@@ -1,13 +1,165 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.KMeans
+import graft.functions.VectorOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Oracle-parity rules used throughout (DuckDB hashes exact values):
+  *  - integer outputs wherever possible (ids, clusters, counts, ranks);
+  *  - money/2-decimal columns aggregated via the fixed-point trick
+  *    `sum(round(x*100))/100.0` — the rounded terms are integer-valued
+  *    doubles, so the sum is EXACT and independent of partial-agg
+  *    order on both engines (doubles hold integers exactly to 2^53);
+  *  - genuinely noisy FP aggregates (means of random floats) rounded
+  *    to 4 decimals on both sides;
+  *  - every computed column aliased identically in Spark and SQL
+  *    (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  import KMeans.{FirstK, ExplicitIds}
+
+  /** Flagship: K-Means fit (k=8, 5 Lloyd iterations) on the sf0.001
+    * embeddings, returning per-cluster sizes. Exercises scan, parse,
+    * broadcast-argmin assignment, partial-agg mean, iterative driver
+    * (SURVEY §2 ops 1-11). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables(spark, dir, "embeddings")
+    val model = KMeans.fit(emb, "vec_id", "embedding", FirstK(8), maxIter = 5)
+    KMeans.assign(emb, "embedding", model.centroids)
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+  }
+
+  /** Shared fixed-centroid set for the oracle-checked K-Means queries:
+    * the 8 lowest-vec_id embedding rows, renumbered 1..8 (FirstK). */
+  private def cents8(s: SparkSession, dir: String): KMeans.Centroids =
+    KMeans.initCentroids(Tables(s, dir, "embeddings"), "vec_id", "embedding", FirstK(8))
+
+  /** DuckDB CTEs mirroring cents8 + one assignment pass. */
+  private val sqlCents8 =
+    """c AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+      |         embedding::DOUBLE[] AS cvec
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+      |),
+      |d AS (
+      |  SELECT e.vec_id, c.cid,
+      |         list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cvec),
+      |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+      |  FROM embeddings e CROSS JOIN c
+      |),
+      |a AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d) WHERE rn = 1
+      |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── op 1-2: scan + parse/project (SURVEY §2.1-2) ────────────────
+    "q_scan_project" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), size(col("embedding")).as("dims"))
+    }),
+
+    // ── op 12: explicit-id init, renumbered 1..k (KMeans.java:597-606)
+    "q_kmeans_init" -> ((s, dir) => {
+      val cents = KMeans.initCentroids(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", ExplicitIds(Seq(42L, 7L, 19L)))
+      val ids = Map(1 -> 42L, 2 -> 7L, 3 -> 19L)
+      import s.implicits._
+      cents.toSeq.map { case (cid, v) => (cid, ids(cid), v.head) }
+        .toDF("cluster", "vec_id", "f1")
+    }),
+
+    // ── op 3-5: broadcast centroids + distance + argmin assignment ──
+    "q_kmeans_assign" -> ((s, dir) => {
+      KMeans.assign(Tables(s, dir, "embeddings"), "embedding", cents8(s, dir))
+        .select(col("vec_id"), col("cluster"))
+    }),
+
+    // ── op 6-8: shuffle + partial agg + group-mean, posexplode form ─
+    "q_centroid_update" -> ((s, dir) => {
+      val assigned = KMeans.assign(Tables(s, dir, "embeddings"), "embedding", cents8(s, dir))
+      assigned
+        .select(col("cluster"),
+          posexplode(VectorOps.toDouble(col("embedding"))).as(Seq("pos0", "v")))
+        .select(col("cluster"), (col("pos0") + 1).cast("int").as("pos"), col("v"))
+        .groupBy("cluster", "pos")
+        .agg(round(avg(col("v")), 4).as("val"))
+    }),
+
+    // ── op 15-adjacent: WCSS/SSE cost of a centroid set ─────────────
+    "q_kmeans_cost" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      emb.select(KMeans.minSqDistColumn(cents8(s, dir),
+          VectorOps.toDouble(col("embedding"))).as("m"))
+        .agg(round(sum(col("m")), 2).as("cost"), count(lit(1)).as("n"))
+    }),
+
+    // ── relational baseline: TPC-H Q1-style aggregation ─────────────
+    "q1_agg" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_base_price"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)) / 10000.0)
+            .as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sum(round(col("l_discount") * 100)) / 100.0 / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_scan_project" ->
+      "SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dims FROM embeddings",
+
+    "q_kmeans_init" ->
+      """SELECT i.cluster, i.vec_id, CAST(e.embedding[1] AS DOUBLE) AS f1
+        |FROM (VALUES (1, CAST(42 AS BIGINT)), (2, CAST(7 AS BIGINT)), (3, CAST(19 AS BIGINT))) i(cluster, vec_id)
+        |JOIN embeddings e ON e.vec_id = i.vec_id""".stripMargin,
+
+    "q_kmeans_assign" ->
+      s"""WITH $sqlCents8
+         |SELECT vec_id, cluster FROM a""".stripMargin,
+
+    "q_centroid_update" ->
+      s"""WITH $sqlCents8,
+         |x AS (
+         |  SELECT vec_id,
+         |         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |)
+         |SELECT a.cluster, x.pos, round(avg(x.v), 4) AS val
+         |FROM a JOIN x USING (vec_id)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_kmeans_cost" ->
+      s"""WITH $sqlCents8
+         |SELECT round(sum(m), 2) AS cost, count(*) AS n
+         |FROM (SELECT vec_id, min(dist) AS m FROM d GROUP BY 1)""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       sum(round(l_extendedprice * 100)) / 100.0 AS sum_base_price,
+        |       sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0 AS sum_disc_price,
+        |       sum(l_quantity) / count(*) AS avg_qty,
+        |       sum(round(l_discount * 100)) / 100.0 / count(*) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+  )
 }

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level dense-vector math built from Catalyst higher-order
+  * functions (`zip_with` / `aggregate` / `transform`), so everything
+  * stays inside whole-stage codegen — no Scala UDF serialization, no
+  * per-row boxing beyond the array itself.
+  *
+  * Re-expresses the reference's scalar kernel
+  * (`KMeans.java:116-122` — `calculateDist`, positional
+  * sqrt-of-sum-of-squares) declaratively. The fold is sequential
+  * left-to-right per row, so results are deterministic for a given
+  * array (unlike a distributed sum).
+  */
+object VectorOps {
+
+  /** Element-wise (a-b)^2 summed — squared Euclidean distance.
+    * Multiplication (not pow) for bit-stable cross-engine parity. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean distance, `KMeans.java:116-122`. */
+  def euclidean(a: Column, b: Column): Column = sqrt(sqDist(a, b))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0-vector guarded to NULL rather than NaN. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm2(a) * norm2(b)
+    when(d =!= 0.0, dot(a, b) / d)
+  }
+
+  /** Element-wise sum of two equal-length vectors. */
+  def vecAdd(a: Column, b: Column): Column = zip_with(a, b, _ + _)
+
+  /** Scale a vector by a scalar column. */
+  def vecScale(a: Column, s: Column): Column = transform(a, x => x * s)
+
+  /** Cast an array<float> (testdata embeddings) to array<double> so all
+    * arithmetic runs in double — matches the oracle's ::DOUBLE[] cast. */
+  def toDouble(a: Column): Column = a.cast("array<double>")
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorMeanAgg, VectorOps}
+
+/** Spark-native Lloyd's K-Means — the reference engine's entire reason
+  * to exist (`KMeans.java` in rohitseb/K-Means-Hadoop), re-expressed
+  * declaratively.
+  *
+  * Mapping from the reference (SURVEY.md §2):
+  *  - centroid side-file read by every map task (`KMeans.java:40-74`)
+  *    → a k×d literal embedded in the plan (tiny; ships once per task
+  *    like a broadcast, no per-task HDFS read);
+  *  - per-row argmin over centroids (`KMeans.java:98-113`)
+  *    → `array_min(transform(centroids, struct(dist, cid)))` — a pure
+  *    Catalyst higher-order-function fold that stays in whole-stage
+  *    codegen; tie-break = lowest centroid id (the reference's de
+  *    facto HashMap-order behavior, SURVEY.md §7.4.2);
+  *  - combiner + reducer mean (`KMeans.java:128-198`)
+  *    → one hash aggregation with automatic partial (map-side) mode:
+  *    each task ships k×(d+1) doubles, NOT all rows — the reference's
+  *    combiner only concatenated lists, so its shuffle was O(rows);
+  *  - iterative driver with HDFS file-swap (`KMeans.java:220-282`)
+  *    → a driver loop over a cached DataFrame; only k×d doubles are
+  *    ever collected. The input is read once and cached (the
+  *    reference re-read the full input from HDFS every iteration).
+  *
+  * At cluster scale each iteration is: one scan of the cached input
+  * (no shuffle for assignment — it's a map), one partial-agg exchange
+  * of k×(d+1)×numPartitions doubles, one tiny collect. No stage is
+  * O(rows) over the network, so the loop scales linearly with data on
+  * executors and constant on the driver.
+  */
+object KMeans {
+
+  /** Centroid set: (clusterId, vector), clusterId sorted ascending. */
+  type Centroids = Array[(Int, Array[Double])]
+
+  sealed trait Init
+  /** Explicit row ids, renumbered 1..k in argument order
+    * (`KMeans.java:597-606`). */
+  final case class ExplicitIds(ids: Seq[Long]) extends Init
+  /** Seeded uniform row sample, renumbered 1..k. Replaces the
+    * reference's biased `Math.random()*10000 % n` draw
+    * (`KMeans.java:584-592`) — a defect, not a semantic (SURVEY §7.5). */
+  final case class RandomRows(k: Int, seed: Long) extends Init
+  /** k rows with the lowest ids, renumbered 1..k. Fully deterministic
+    * (no seed), which makes it the oracle-checkable init. */
+  final case class FirstK(k: Int) extends Init
+
+  final case class KMeansModel(centroids: Centroids, iterations: Int, converged: Boolean)
+
+  /** Pure-Scala Euclidean distance (driver-side convergence math),
+    * same formula as `KMeans.java:116-122`. */
+  def euclideanLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  private def centLit(cents: Centroids): Column =
+    typedlit(cents.sortBy(_._1).map { case (cid, v) => (cid, v.toSeq) }.toSeq)
+
+  /** Nearest-centroid id for a feature column (array<double>).
+    * `array_min` over struct(dist, cid) = argmin with deterministic
+    * lowest-id tie-break. Whole-stage-codegen'd; no UDF, no shuffle. */
+  def assignColumn(cents: Centroids, feat: Column): Column =
+    array_min(transform(centLit(cents), c =>
+      struct(
+        VectorOps.sqDist(feat, c.getField("_2")).as("dist"),
+        c.getField("_1").as("cid")))).getField("cid")
+
+  /** Squared distance to the nearest centroid (per-row cost term). */
+  def minSqDistColumn(cents: Centroids, feat: Column): Column =
+    array_min(transform(centLit(cents), c =>
+      VectorOps.sqDist(feat, c.getField("_2"))))
+
+  /** Adds a cluster-assignment column; input feature column may be
+    * array<float> or array<double> (cast to double for the math). */
+  def assign(df: DataFrame, featCol: String, cents: Centroids,
+             outCol: String = "cluster"): DataFrame =
+    df.withColumn(outCol, assignColumn(cents, VectorOps.toDouble(col(featCol))))
+
+  /** One Lloyd iteration: assign + per-cluster element-wise mean
+    * (reference map/combine/shuffle/reduce, `KMeans.java:78-198`).
+    * Empty clusters vanish, exactly like the reference's reducer
+    * (SURVEY §7.4.3); pass keepEmpty=true for MLlib-style carry-over. */
+  def step(df: DataFrame, featCol: String, cents: Centroids,
+           keepEmpty: Boolean = false): Centroids = {
+    val assigned = df.select(
+      assignColumn(cents, col(featCol)).as("cluster"),
+      col(featCol).as("f"))
+    val next = assigned.groupBy("cluster")
+      .agg(VectorMeanAgg.vecMean(col("f")).as("c"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    if (!keepEmpty) next
+    else {
+      val got = next.map(_._1).toSet
+      (next ++ cents.filter(c => !got.contains(c._1))).sortBy(_._1)
+    }
+  }
+
+  /** Reference convergence predicate (`KMeans.java:291-310`): same
+    * cluster-id set AND per-centroid movement <= tol; tol=0.0
+    * reproduces the exact-zero test at `KMeans.java:300-304`. A
+    * vanished cluster (size mismatch) is never converged. */
+  def isConverged(prev: Centroids, curr: Centroids, tol: Double): Boolean =
+    prev.length == curr.length &&
+      prev.sortBy(_._1).zip(curr.sortBy(_._1)).forall { case ((i1, v1), (i2, v2)) =>
+        i1 == i2 && euclideanLocal(v1, v2) <= tol
+      }
+
+  def initCentroids(df: DataFrame, idCol: String, featCol: String, init: Init): Centroids = {
+    val proj = df.select(col(idCol).cast("long").as("id"),
+      VectorOps.toDouble(col(featCol)).as("f"))
+    init match {
+      case ExplicitIds(ids) =>
+        val byId = proj.filter(col("id").isin(ids: _*)).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+        ids.zipWithIndex.map { case (id, i) =>
+          (i + 1) -> byId.getOrElse(id,
+            throw new NoSuchElementException(s"initial centroid id $id not in dataset"))
+        }.toArray
+      case RandomRows(k, seed) =>
+        proj.orderBy(rand(seed), col("id")).limit(k).collect().zipWithIndex
+          .map { case (r, i) => (i + 1) -> r.getSeq[Double](1).toArray }
+      case FirstK(k) =>
+        proj.orderBy(col("id")).limit(k).collect().zipWithIndex
+          .map { case (r, i) => (i + 1) -> r.getSeq[Double](1).toArray }
+    }
+  }
+
+  /** Full iterative fit (`KMeans.java:220-282`). maxIter = -1 means
+    * run to convergence (`KMeans.java:216,222-225`), with a hard
+    * safety cap since exact-zero convergence + distributed FP
+    * summation can in principle oscillate (SURVEY §7.4.1).
+    * `iterations` counts Lloyd steps executed, matching the
+    * reference's printed job count (`KMeans.java:283`). */
+  def fit(data: DataFrame, idCol: String, featCol: String, init: Init,
+          maxIter: Int, tol: Double = 0.0, keepEmpty: Boolean = false): KMeansModel = {
+    val df = data.select(col(idCol),
+      VectorOps.toDouble(col(featCol)).as(featCol)).cache()
+    try {
+      var cents = initCentroids(df, idCol, featCol, init)
+      val cap = if (maxIter < 0) 10000 else maxIter
+      var iter = 0
+      var converged = false
+      while (!converged && iter < cap) {
+        val next = step(df, featCol, cents, keepEmpty)
+        converged = isConverged(cents, next, tol)
+        cents = next
+        iter += 1
+      }
+      KMeansModel(cents, iter, converged)
+    } finally { df.unpersist(); () }
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.KMeans
+import graft.operators.KMeans._
+
+class KMeansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Two obvious 2-D clusters around (0,0) and (10,10).
+  private lazy val tiny = Seq(
+    (1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)),
+    (4L, Seq(10.0, 10.0)), (5L, Seq(11.0, 10.0)), (6L, Seq(10.0, 11.0))
+  ).toDF("id", "features")
+
+  test("assign: every point goes to its nearest centroid") {
+    val cents: Centroids = Array(1 -> Array(0.0, 0.0), 2 -> Array(10.0, 10.0))
+    val got = KMeans.assign(tiny, "features", cents)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2, 6L -> 2))
+  }
+
+  test("assign: equidistant tie breaks to the lowest centroid id (SURVEY §7.4.2)") {
+    val cents: Centroids = Array(1 -> Array(0.0, 0.0), 2 -> Array(2.0, 0.0))
+    val got = Seq((1L, Seq(1.0, 0.0))).toDF("id", "features")
+    val cl = KMeans.assign(got, "features", cents).select("cluster").as[Int].head()
+    assert(cl == 1)
+    // and with ids reversed in the input array, still the lowest id
+    val rev: Centroids = Array(2 -> Array(2.0, 0.0), 1 -> Array(0.0, 0.0))
+    val cl2 = KMeans.assign(got, "features", rev).select("cluster").as[Int].head()
+    assert(cl2 == 1)
+  }
+
+  test("step: new centroid is the element-wise mean of its members (KMeans.java:184-198)") {
+    val cents: Centroids = Array(1 -> Array(0.0, 0.0), 2 -> Array(10.0, 10.0))
+    val next = KMeans.step(tiny.select($"features".cast("array<double>").as("features")),
+      "features", cents)
+    val m = next.toMap
+    assert(m(1).toSeq == Seq(1.0 / 3, 1.0 / 3))
+    assert(m(2).toSeq == Seq(31.0 / 3, 31.0 / 3))
+  }
+
+  test("step: empty cluster vanishes by default, kept with keepEmpty (SURVEY §7.4.3)") {
+    val far: Centroids = Array(
+      1 -> Array(0.0, 0.0), 2 -> Array(10.0, 10.0), 3 -> Array(1000.0, 1000.0))
+    val dropped = KMeans.step(tiny, "features", far)
+    assert(dropped.map(_._1).toSeq == Seq(1, 2))
+    val kept = KMeans.step(tiny, "features", far, keepEmpty = true)
+    assert(kept.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(kept.toMap.apply(3).toSeq == Seq(1000.0, 1000.0))
+  }
+
+  test("isConverged: exact-zero semantics and size mismatch (KMeans.java:291-310)") {
+    val a: Centroids = Array(1 -> Array(1.0, 2.0), 2 -> Array(3.0, 4.0))
+    val same: Centroids = Array(1 -> Array(1.0, 2.0), 2 -> Array(3.0, 4.0))
+    val moved: Centroids = Array(1 -> Array(1.0, 2.0), 2 -> Array(3.0, 4.0 + 1e-9))
+    val fewer: Centroids = Array(1 -> Array(1.0, 2.0))
+    assert(KMeans.isConverged(a, same, 0.0))
+    assert(!KMeans.isConverged(a, moved, 0.0))
+    assert(KMeans.isConverged(a, moved, 1e-6))
+    assert(!KMeans.isConverged(a, fewer, 1.0))
+  }
+
+  test("initCentroids: ExplicitIds renumbers 1..k in argument order (KMeans.java:597-606)") {
+    val cents = KMeans.initCentroids(tiny, "id", "features", ExplicitIds(Seq(5L, 2L)))
+    assert(cents.map(_._1).toSeq == Seq(1, 2))
+    assert(cents(0)._2.toSeq == Seq(11.0, 10.0)) // id 5 -> cluster 1
+    assert(cents(1)._2.toSeq == Seq(1.0, 0.0))   // id 2 -> cluster 2
+    intercept[NoSuchElementException] {
+      KMeans.initCentroids(tiny, "id", "features", ExplicitIds(Seq(99L)))
+    }
+  }
+
+  test("initCentroids: FirstK takes lowest ids; RandomRows is seed-stable") {
+    val fk = KMeans.initCentroids(tiny, "id", "features", FirstK(2))
+    assert(fk.map(_._1).toSeq == Seq(1, 2))
+    assert(fk(0)._2.toSeq == Seq(0.0, 0.0))
+    val r1 = KMeans.initCentroids(tiny, "id", "features", RandomRows(2, seed = 7))
+    val r2 = KMeans.initCentroids(tiny, "id", "features", RandomRows(2, seed = 7))
+    assert(r1.map(_._2.toSeq).toSeq == r2.map(_._2.toSeq).toSeq)
+  }
+
+  test("fit: converges on separable data to the true means") {
+    val model = KMeans.fit(tiny, "id", "features", ExplicitIds(Seq(1L, 4L)), maxIter = -1)
+    assert(model.converged)
+    val m = model.centroids.toMap
+    assert(m(1).toSeq == Seq(1.0 / 3, 1.0 / 3))
+    assert(m(2).toSeq == Seq(31.0 / 3, 31.0 / 3))
+    // converged in 2 steps: step1 moves centroids, step2 confirms fixpoint
+    assert(model.iterations >= 2 && model.iterations <= 3)
+  }
+
+  test("fit: maxIter caps the loop") {
+    val model = KMeans.fit(tiny, "id", "features", ExplicitIds(Seq(1L, 2L)), maxIter = 1)
+    assert(model.iterations == 1)
+  }
+
+  test("fit: SSE is non-increasing across iterations (Lloyd invariant)") {
+    val df = tiny.select($"id", $"features".cast("array<double>").as("features")).cache()
+    var cents = KMeans.initCentroids(df, "id", "features", ExplicitIds(Seq(1L, 2L)))
+    def sse(c: Centroids): Double =
+      df.select(KMeans.minSqDistColumn(c, $"features").as("m"))
+        .agg(org.apache.spark.sql.functions.sum($"m")).as[Double].head()
+    var prev = sse(cents)
+    for (_ <- 1 to 4) {
+      cents = KMeans.step(df, "features", cents)
+      val cur = sse(cents)
+      assert(cur <= prev + 1e-12)
+      prev = cur
+    }
+    df.unpersist()
+  }
+}
