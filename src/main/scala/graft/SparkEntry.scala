@@ -85,6 +85,13 @@ object SparkEntry {
     }),
 
     // ── op 6-8: shuffle + partial agg + group-mean, posexplode form ─
+    // FP-determinism contract: a distributed `avg` is partial-agg-order
+    // dependent in the last ulp, so its hash is flaky vs DuckDB
+    // (CORRECTNESS_r01). Instead both engines fold the group's values
+    // in SORTED order with a sequential left fold (Spark `aggregate`
+    // HOF; DuckDB `list_reduce`), which is bit-deterministic — so no
+    // rounding is needed at all. This is the oracle-expressible form;
+    // the engine's scale path is VectorMeanAgg (O(k·d·tasks) shuffle).
     "q_centroid_update" -> ((s, dir) => {
       val assigned = KMeans.assign(Tables(s, dir, "embeddings"), "embedding", cents8(s, dir))
       assigned
@@ -92,15 +99,20 @@ object SparkEntry {
           posexplode(VectorOps.toDouble(col("embedding"))).as(Seq("pos0", "v")))
         .select(col("cluster"), (col("pos0") + 1).cast("int").as("pos"), col("v"))
         .groupBy("cluster", "pos")
-        .agg(round(avg(col("v")), 4).as("val"))
+        .agg(collect_list(col("v")).as("vs"))
+        .select(col("cluster"), col("pos"),
+          (VectorOps.foldSum(array_sort(col("vs"))) / size(col("vs"))).as("val"))
     }),
 
     // ── op 15-adjacent: WCSS/SSE cost of a centroid set ─────────────
+    // Same sorted-fold determinism contract as q_centroid_update.
     "q_kmeans_cost" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       emb.select(KMeans.minSqDistColumn(cents8(s, dir),
           VectorOps.toDouble(col("embedding"))).as("m"))
-        .agg(round(sum(col("m")), 2).as("cost"), count(lit(1)).as("n"))
+        .agg(collect_list(col("m")).as("ms"))
+        .select(VectorOps.foldSum(array_sort(col("ms"))).as("cost"),
+          size(col("ms")).cast("long").as("n"))
     }),
 
     // ── relational baseline: TPC-H Q1-style aggregation ─────────────
@@ -141,13 +153,15 @@ object SparkEntry {
          |         CAST(unnest(embedding) AS DOUBLE) AS v
          |  FROM embeddings
          |)
-         |SELECT a.cluster, x.pos, round(avg(x.v), 4) AS val
+         |SELECT a.cluster, x.pos,
+         |       list_reduce(list_sort(list(x.v)), (acc, e) -> acc + e) / count(*) AS val
          |FROM a JOIN x USING (vec_id)
          |GROUP BY 1, 2""".stripMargin,
 
     "q_kmeans_cost" ->
       s"""WITH $sqlCents8
-         |SELECT round(sum(m), 2) AS cost, count(*) AS n
+         |SELECT list_reduce(list_sort(list(m)), (acc, e) -> acc + e) AS cost,
+         |       count(*) AS n
          |FROM (SELECT vec_id, min(dist) AS m FROM d GROUP BY 1)""".stripMargin,
 
     "q1_agg" ->

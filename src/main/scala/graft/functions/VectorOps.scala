@@ -36,6 +36,15 @@ object VectorOps {
     when(d =!= 0.0, dot(a, b) / d)
   }
 
+  /** Sequential left-fold sum of an array<double>. Unlike a
+    * distributed `sum`, the fold order is pinned (left-to-right over
+    * the array), so over a SORTED array the result is bit-deterministic
+    * — the cross-engine FP-parity trick used by the oracle queries
+    * (DuckDB's `list_reduce(list_sort(...), ...)` folds identically;
+    * the 0.0 init is exact: 0.0 + x == x in IEEE754). */
+  def foldSum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + v)
+
   /** Element-wise sum of two equal-length vectors. */
   def vecAdd(a: Column, b: Column): Column = zip_with(a, b, _ + _)
 
