@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.KMeans
+import graft.operators.{ClusterMetrics, KMeans}
 import graft.functions.VectorOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -115,6 +115,15 @@ object SparkEntry {
           size(col("ms")).cast("long").as("n"))
     }),
 
+    // ── op 15: Jaccard coefficient vs ground truth ──────────────────
+    // The reference's headline metric (KMeans.java:623-665), computed
+    // from the (truth, pred) contingency table in one O(n) shuffle
+    // instead of the reference's n×n driver matrices.
+    "q_jaccard" -> ((s, dir) => {
+      val assigned = KMeans.assign(Tables(s, dir, "embeddings"), "embedding", cents8(s, dir))
+      ClusterMetrics.jaccard(assigned, "label", "cluster")
+    }),
+
     // ── relational baseline: TPC-H Q1-style aggregation ─────────────
     "q1_agg" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -163,6 +172,23 @@ object SparkEntry {
          |SELECT list_reduce(list_sort(list(m)), (acc, e) -> acc + e) AS cost,
          |       count(*) AS n
          |FROM (SELECT vec_id, min(dist) AS m FROM d GROUP BY 1)""".stripMargin,
+
+    "q_jaccard" ->
+      s"""WITH $sqlCents8,
+         |jj AS (
+         |  SELECT CAST(e.label AS BIGINT) AS truth, CAST(a.cluster AS BIGINT) AS pred
+         |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+         |),
+         |cells AS (SELECT truth, pred, count(*) AS n FROM jj GROUP BY 1, 2),
+         |mm AS (SELECT CAST(coalesce(sum(n*n), 0) AS BIGINT) AS m11
+         |       FROM cells WHERE truth != -1 AND pred != -1),
+         |gg AS (SELECT CAST(coalesce(sum(nt*nt), 0) AS BIGINT) AS g
+         |       FROM (SELECT sum(n) AS nt FROM cells WHERE truth != -1 GROUP BY truth)),
+         |pp AS (SELECT CAST(coalesce(sum(np*np), 0) AS BIGINT) AS p
+         |       FROM (SELECT sum(n) AS np FROM cells WHERE pred != -1 GROUP BY pred))
+         |SELECT m11, g + p - 2*m11 AS disagree,
+         |       CAST(m11 AS DOUBLE) / CAST(g + p - m11 AS DOUBLE) AS jaccard
+         |FROM mm, gg, pp""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

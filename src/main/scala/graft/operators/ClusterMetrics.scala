@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** External cluster-validation metrics — the reference's headline
+  * quality number (`KMeans.java:623-665`, printed at `:662-663`).
+  *
+  * The reference materializes two n×n boolean co-membership matrices
+  * (ground truth vs prediction over ALL ordered pairs, diagonal
+  * included) and counts agreements — O(n²) memory and time on the
+  * driver. At 100 TB that is impossible; the same number falls out of
+  * the (truth, pred) contingency table in one O(n) shuffle:
+  *
+  *   n_tp = |rows with truth=t, pred=p|   (the contingency cells)
+  *   M11  = Σ_{t≠-1, p≠-1} n_tp²          (pairs co-clustered in both)
+  *   G    = Σ_{t≠-1} (Σ_p n_tp)²          (pairs co-clustered in truth)
+  *   P    = Σ_{p≠-1} (Σ_t n_tp)²          (pairs co-clustered in pred)
+  *   disagree = G + P − 2·M11
+  *   J    = M11 / (M11 + disagree) = M11 / (G + P − M11)
+  *
+  * The `-1` label is excluded from co-membership on BOTH sides,
+  * reproducing the outlier convention at `KMeans.java:629,640` (iyer
+  * dataset outliers). Squared cell counts appear because the reference
+  * counts ordered pairs including (i,i).
+  */
+object ClusterMetrics {
+
+  /** One-row DataFrame (m11, disagree, jaccard) for an assignment
+    * table carrying a ground-truth and a predicted cluster column.
+    * All counts are exact longs; `jaccard` is one double division of
+    * exact integers, so it is bit-deterministic cross-engine. */
+  def jaccard(assigned: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val cells = assigned
+      .select(col(truthCol).cast("long").as("truth"), col(predCol).cast("long").as("pred"))
+      .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+    val m11 = cells.filter(col("truth") =!= -1L && col("pred") =!= -1L)
+      .agg(coalesce(sum(col("n") * col("n")), lit(0L)).as("m11"))
+    val g = cells.filter(col("truth") =!= -1L)
+      .groupBy("truth").agg(sum(col("n")).as("nt"))
+      .agg(coalesce(sum(col("nt") * col("nt")), lit(0L)).as("g"))
+    val p = cells.filter(col("pred") =!= -1L)
+      .groupBy("pred").agg(sum(col("n")).as("np"))
+      .agg(coalesce(sum(col("np") * col("np")), lit(0L)).as("p"))
+    // three 1-row aggregates; the cross joins broadcast trivially
+    m11.crossJoin(g).crossJoin(p).select(
+      col("m11"),
+      (col("g") + col("p") - lit(2L) * col("m11")).as("disagree"),
+      (col("m11") / (col("g") + col("p") - col("m11"))).as("jaccard"))
+  }
+
+  /** Reference-literal O(n²) Jaccard over local pairs — test oracle
+    * only, mirrors the matrix loops at `KMeans.java:624-661`. */
+  def jaccardLocal(truthPred: Seq[(Int, Int)]): (Long, Long, Double) = {
+    var m11 = 0L; var m0 = 0L
+    for ((t1, p1) <- truthPred; (t2, p2) <- truthPred) {
+      val g = t1 == t2 && t1 != -1
+      val c = p1 == p2 && p1 != -1
+      if (g && c) m11 += 1
+      else if (g != c) m0 += 1
+    }
+    (m11, m0, m11.toDouble / (m11 + m0))
+  }
+}
