@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterMetrics, KMeans}
+import graft.operators.{ClusterMetrics, Dedup, KMeans}
 import graft.functions.VectorOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -124,6 +124,33 @@ object SparkEntry {
       ClusterMetrics.jaccard(assigned, "label", "cluster")
     }),
 
+    // ── LLM-pipeline: exact dedup (content-hash group-by) ───────────
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(Tables(s, dir, "documents"), "doc_id", Seq("text"))
+    }),
+
+    // ── LLM-pipeline: MinHash LSH band buckets ──────────────────────
+    // Deterministic md5-minima signatures over trigram shingles,
+    // banded 8×2. The bucket table IS the scale-path data structure:
+    // near-dup candidates come from joining it to itself per
+    // (band, bucket) — never an all-pairs product.
+    "q_minhash_bands" -> ((s, dir) => {
+      Dedup.minhashBuckets(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, b = 8)
+    }),
+
+    // ── LLM-pipeline: near-dup candidates + exact-Jaccard verify ────
+    "q_neardup_pairs" -> ((s, dir) => {
+      Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.0)
+    }),
+
+    // ── LLM-pipeline: 64-bit SimHash document fingerprints ──────────
+    "q_simhash" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(Dedup.tokens(col("text"))).as("fp"))
+    }),
+
     // ── relational baseline: TPC-H Q1-style aggregation ─────────────
     "q1_agg" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -140,7 +167,72 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB CTEs mirroring Dedup.shingles/minhashSignature/bandBuckets
+    * (trigram shingles, H=16 md5 minima, 8 bands × 2 rows). DuckDB
+    * list slicing is end-inclusive, hence the [lo : bi*2] bounds. */
+  private val sqlMinhash =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
+      |  FROM toks WHERE len(toks) >= 3
+      |),
+      |sig AS (
+      |  SELECT doc_id,
+      |         [list_min([md5(CAST(i AS VARCHAR) || ':' || s) for s in sh]) for i in range(1, 17)] AS sig
+      |  FROM sh WHERE len(sh) > 0
+      |),
+      |bb AS (
+      |  SELECT doc_id, CAST(bi AS INTEGER) AS band,
+      |         md5(array_to_string(sig[(bi-1)*2+1 : bi*2], ',')) AS bucket
+      |  FROM sig CROSS JOIN generate_series(1, 8) t(bi)
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_minhash_bands" ->
+      s"""WITH $sqlMinhash
+         |SELECT doc_id, band, bucket FROM bb""".stripMargin,
+
+    "q_neardup_pairs" ->
+      s"""WITH $sqlMinhash,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |  FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |)
+         |SELECT c.id1, c.id2,
+         |       CAST(len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) /
+         |       CAST(len(s1.sh) + len(s2.sh) - len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) AS sim
+         |FROM cand c
+         |JOIN sh s1 ON s1.doc_id = c.id1
+         |JOIN sh s2 ON s2.doc_id = c.id2""".stripMargin,
+
+    "q_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tb AS (
+        |  SELECT doc_id,
+        |         generate_subscripts(bits, 1) AS p,
+        |         unnest(bits) AS b
+        |  FROM (
+        |    SELECT doc_id,
+        |           flatten([[ (CAST(concat('0x', substr(md5(tok), 1+4*w, 4)) AS BIGINT) // CAST(power(2, j) AS BIGINT)) % 2
+        |                      for j in range(15, -1, -1)]
+        |                    for w in range(0, 4)]) AS bits
+        |    FROM tok)
+        |),
+        |acc AS (SELECT doc_id, p, sum(2*b - 1) AS s FROM tb GROUP BY 1, 2),
+        |dig AS (
+        |  SELECT doc_id, (p-1)//4 AS d,
+        |         sum((CASE WHEN s > 0 THEN 1 ELSE 0 END) *
+        |             (CASE (p-1)%4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS v
+        |  FROM acc GROUP BY 1, 2
+        |)
+        |SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(v AS INTEGER)+1, 1), '' ORDER BY d) AS fp
+        |FROM dig GROUP BY doc_id""".stripMargin,
 
     "q_scan_project" ->
       "SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dims FROM embeddings",

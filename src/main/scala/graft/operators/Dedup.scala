@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM-training-data pipelines: exact
+  * (content-hash group-by), MinHash+LSH near-dup (banded — candidate
+  * pairs come from bucket joins, never an all-pairs product), SimHash
+  * fingerprints, and n-gram Jaccard verification of candidates.
+  *
+  * Not present in the reference (its only relation is the gene table,
+  * SURVEY.md §1) — this is the 100 TB extension surface. Scale
+  * posture:
+  *  - exact dedup: one hash-shuffle on a 32-hex-char key, O(rows);
+  *  - MinHash: signatures are computed rowwise in whole-stage codegen
+  *    (HOFs over the token array — no UDF), then exploded to B rows
+  *    per doc; the candidate join is per-(band, bucket), so work is
+  *    Σ bucket² per band, not n²;
+  *  - verification joins texts back only for candidate pairs.
+  *
+  * Cross-engine determinism: every hash is md5 hex (identical strings
+  * in Spark and DuckDB), minima are lexicographic string minima, and
+  * similarity ratios are divisions of exact integer counts — so every
+  * operator here is bit-exact oracle-checkable.
+  */
+object Dedup {
+
+  /** Whitespace tokenization — single-space split, matching the
+    * synthetic corpus and DuckDB's string_split. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingle set (order-preserving construction,
+    * deduplicated). Empty array when the doc has < n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array()))
+  }
+
+  /** MinHash signature: H independent hash functions simulated as
+    * md5(i ':' shingle); the signature element is the lexicographic
+    * minimum hex digest. Null when the shingle set is empty. */
+  def minhashSignature(shingleCol: Column, h: Int): Column =
+    when(size(shingleCol) > 0,
+      transform(sequence(lit(1), lit(h)),
+        i => array_min(transform(shingleCol, s => md5(concat(i.cast("string"), lit(":"), s))))))
+
+  /** LSH banding: B bands of R = H/B signature rows each; the bucket
+    * key is the md5 of the band's joined minima. Docs agreeing on ALL
+    * R rows of any band land in the same (band, bucket). */
+  def bandBuckets(sigCol: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(1), lit(b)), bi =>
+      struct(bi.cast("int").as("band"),
+        md5(concat_ws(",", slice(sigCol, (bi - lit(1)) * r + lit(1), lit(r)))).as("bucket")))
+
+  /** (id, band, bucket) table: B rows per document. */
+  def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, h: Int, b: Int): DataFrame = {
+    require(h % b == 0, s"h=$h must be divisible by b=$b")
+    df.select(col(idCol), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col(idCol), explode(bandBuckets(minhashSignature(col("sh"), h), b, h / b)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs from bucket co-occupancy (id1 < id2, distinct).
+    * This is the LSH step that avoids the n² all-pairs product: the
+    * join key is (band, bucket), so only docs sharing a bucket meet. */
+  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val a = buckets.select(col(idCol).as("id1"), col("band"), col("bucket"))
+    val b = buckets.select(col(idCol).as("id2"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-set columns:
+    * |A∩B| / |A∪B| on distinct shingles — the verification stage run
+    * only on LSH candidates. */
+  def jaccardSim(sh1: Column, sh2: Column): Column = {
+    val inter = size(array_intersect(sh1, sh2))
+    inter.cast("double") / (size(sh1) + size(sh2) - inter).cast("double")
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified with exact n-gram
+    * Jaccard, keeping pairs with sim >= minSim. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, h: Int = 16, b: Int = 8,
+                     minSim: Double = 0.0): DataFrame = {
+    val pairs = candidatePairs(minhashBuckets(df, idCol, textCol, n, h, b), idCol)
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"), jaccardSim(col("sh1"), col("sh2")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** Content hash for exact dedup: md5 of the concatenated key columns
+    * with a \u0001 separator (collision-safe for text columns that
+    * cannot contain the separator). */
+  def contentHash(cols: Column*): Column =
+    md5(concat_ws("\u0001", cols: _*))
+
+  /** Exact-duplicate groups: (hash, n, keep_id) — one row per distinct
+    * content, keep_id = lowest id of the group (the canonical row). */
+  def exactGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.select(col(idCol), contentHash(keyCols.map(col): _*).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+
+  /** Drop exact duplicates keeping the lowest-id row per content hash.
+    * One window over the hash key — a single O(rows) shuffle. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(contentHash(keyCols.map(col): _*)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ── SimHash ──────────────────────────────────────────────────────
+
+  private val HexChars = "0123456789abcdef"
+
+  /** Per-token 64 bits from its md5, as an array<int> of 0/1, MSB
+    * first. The digest is read as 4 × 16-bit words via conv(hex) —
+    * 16-bit values are exact in double, so the bit extraction
+    * floor(v / 2^j) % 2 is integer-exact and mirrors the DuckDB
+    * formulation digit-for-digit. */
+  private def tokenBits(tok: Column): Column = {
+    val m = md5(tok)
+    val words = array((0 until 4).map { w =>
+      conv(substring(m, 1 + 4 * w, 4), 16, 10).cast("int")
+    }: _*)
+    flatten(transform(words, v =>
+      transform(sequence(lit(15), lit(0), lit(-1)),
+        j => (floor(v / pow(lit(2.0), j)) % 2).cast("int"))))
+  }
+
+  /** 64-bit SimHash of a token array (term frequency weighted: each
+    * occurrence contributes ±1 per bit), returned as a 16-hex-char
+    * string. Similar documents differ in few bits (small Hamming
+    * distance), unlike MinHash which models set overlap. */
+  def simhash(toksCol: Column): Column = {
+    val acc = aggregate(toksCol,
+      array_repeat(lit(0), 64),
+      (a, t) => zip_with(a, tokenBits(t), (x, b) => x + b * 2 - 1))
+    val bits = transform(acc, a => when(a > 0, 1).otherwise(0))
+    // repack 64 bits into 16 hex chars
+    concat(
+      (0 until 16).map { d =>
+        val v = element_at(bits, 4 * d + 1) * 8 + element_at(bits, 4 * d + 2) * 4 +
+          element_at(bits, 4 * d + 3) * 2 + element_at(bits, 4 * d + 4)
+        lit(HexChars).substr(v + 1, lit(1))
+      }: _*)
+  }
+
+  /** Hamming distance between two equal-length hex fingerprints. */
+  def hammingHex(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""), (x, y) =>
+        when(x === y, 0).otherwise(
+          bit_count(conv(x, 16, 10).cast("long").bitwiseXOR(conv(y, 16, 10).cast("long"))))),
+      lit(0), (acc, v) => acc + v)
+}
