@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterMetrics, Dedup, KMeans}
+import graft.operators.{ClusterMetrics, Dedup, KMeans, Similarity}
 import graft.functions.VectorOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -124,6 +124,27 @@ object SparkEntry {
       ClusterMetrics.jaccard(assigned, "label", "cluster")
     }),
 
+    // ── LLM-pipeline: exact cosine top-k (TopKAgg partial-agg path) ─
+    "q_topk_cosine" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.topKCosine(emb, "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding", k = 10)
+    }),
+
+    // ── LLM-pipeline: random-hyperplane LSH index buckets ───────────
+    "q_ann_buckets" -> ((s, dir) => {
+      Similarity.lshBuckets(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        tables = 8, bits = 4, d = 64)
+    }),
+
+    // ── LLM-pipeline: IVF ANN with K-Means coarse quantizer ─────────
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        cents8(s, dir), nprobe = 2, k = 10)
+    }),
+
     // ── LLM-pipeline: exact dedup (content-hash group-by) ───────────
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(Tables(s, dir, "documents"), "doc_id", Seq("text"))
@@ -188,7 +209,76 @@ object SparkEntry {
       |  FROM sig CROSS JOIN generate_series(1, 8) t(bi)
       |)""".stripMargin
 
+  /** DuckDB cosine similarity mirroring VectorOps.cosine: sequential
+    * list folds for dot and norms, sqrt each norm then multiply. */
+  private def sqlCosine(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), q -> q[1]*q[2]))
+       | / (sqrt(list_sum(list_transform(list_zip($a, $a), q -> q[1]*q[2])))
+       |    * sqrt(list_sum(list_transform(list_zip($b, $b), q -> q[1]*q[2]))))""".stripMargin
+
+  /** Probe set shared by the similarity-search oracles: the 5
+    * lowest-vec_id embedding rows. */
+  private val sqlProbes =
+    """pr AS (
+      |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5)
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_topk_cosine" ->
+      s"""WITH $sqlProbes,
+         |s AS (
+         |  SELECT pr.probe_id, e.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM embeddings e CROSS JOIN pr WHERE e.vec_id != pr.probe_id
+         |)
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 10""".stripMargin,
+
+    "q_ann_buckets" ->
+      """WITH planes AS (
+        |  SELECT l, i,
+        |         [CAST(concat('0x', substr(md5(l || ':' || i || ':' || j), 1, 8)) AS BIGINT)
+        |            / 4294967296.0 * 2 - 1
+        |          for j in range(1, 65)] AS hv
+        |  FROM generate_series(1, 8) t1(l) CROSS JOIN generate_series(1, 4) t2(i)
+        |),
+        |bits AS (
+        |  SELECT e.vec_id, p.l, p.i,
+        |         CASE WHEN list_sum(list_transform(list_zip(e.embedding::DOUBLE[], p.hv),
+        |                                           q -> q[1]*q[2])) >= 0
+        |              THEN '1' ELSE '0' END AS bit
+        |  FROM embeddings e CROSS JOIN planes p
+        |)
+        |SELECT vec_id, CAST(l AS INTEGER) AS tbl, string_agg(bit, '' ORDER BY i) AS bucket
+        |FROM bits GROUP BY vec_id, l""".stripMargin,
+
+    "q_ivf_topk" ->
+      s"""WITH $sqlCents8,
+         |$sqlProbes,
+         |pc AS (
+         |  SELECT vec_id AS probe_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d WHERE vec_id IN (SELECT probe_id FROM pr)) WHERE rn <= 2
+         |),
+         |s AS (
+         |  SELECT pc.probe_id, a.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM a JOIN pc ON a.cluster = pc.cell
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  JOIN pr ON pr.probe_id = pc.probe_id
+         |  WHERE a.vec_id != pc.probe_id
+         |)
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 10""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id

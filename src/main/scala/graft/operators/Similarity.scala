@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TopKAgg, VectorOps}
+
+/** Similarity search over an embedding column (array<float|double>):
+  * exact brute-force cosine top-k as the correctness baseline, plus
+  * two sublinear index paths — random-hyperplane LSH buckets and an
+  * IVF coarse quantizer built from our own K-Means centroids.
+  *
+  * Scale posture (100 TB corpus, small probe set):
+  *  - probes always broadcast; the corpus is never shuffled whole;
+  *  - exact path: map-side cross join + TopKAgg partial aggregation —
+  *    each task ships at most k pairs per probe (see TopKAgg);
+  *  - LSH path: corpus bucketed once (an index build); a query joins
+  *    only its L buckets;
+  *  - IVF path: corpus partitioned by nearest centroid once; a query
+  *    scans only nprobe cells.
+  *
+  * Cross-engine determinism: hyperplane coords derive from md5 hex
+  * (exact integer / 2^32 arithmetic — every step representable), dot
+  * products are sequential HOF folds, and ranking ties break on the
+  * lowest id, so all outputs are bit-exact oracle-checkable.
+  */
+object Similarity {
+
+  /** Exact cosine top-k per probe via bounded partial aggregation.
+    * probes must be small (broadcast); self-matches are excluded.
+    * Output: (probe_id, vec_id, rank, sim). */
+  def topKCosine(corpus: DataFrame, idCol: String, vecCol: String,
+                 probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                 k: Int): DataFrame = {
+    val scored = corpus
+      .select(col(idCol).cast("long").as("__id"), VectorOps.toDouble(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(probes.select(
+        col(probeIdCol).cast("long").as("probe_id"),
+        VectorOps.toDouble(col(probeVecCol)).as("__pv"))))
+      .filter(col("__id") =!= col("probe_id"))
+      .select(col("probe_id"), col("__id"),
+        VectorOps.cosine(col("__v"), col("__pv")).as("__sim"))
+    scored.groupBy("probe_id")
+      .agg(TopKAgg.topK(k, col("__id"), col("__sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))
+      .select(col("probe_id"), col("p._1").as("vec_id"),
+        (col("r0") + 1).cast("int").as("rank"), col("p._2").as("sim"))
+  }
+
+  // ── Random-hyperplane LSH ────────────────────────────────────────
+
+  /** Deterministic pseudo-random hyperplane coordinate in [-1, 1):
+    * first 8 md5 hex chars of "table:bit:dim" as a uint32, scaled.
+    * Every step is exact in double, so DuckDB reproduces it bitwise. */
+  def planeCoord(table: Int, bit: Int, dim: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$table:$bit:$dim".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 * 2.0 - 1.0
+  }
+
+  /** L×b hyperplanes for d-dim vectors. Driver-computed (L·b·d doubles
+    * — tiny) and embedded as plan literals. */
+  def hyperplanes(tables: Int, bits: Int, d: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, bits, d)((l, i, j) => planeCoord(l + 1, i + 1, j + 1))
+
+  /** Signature bucket of one table: b sign bits of dot(x, h_i) as a
+    * '0'/'1' string, bit order ascending. */
+  private def bucketCol(vec: Column, planes: Array[Array[Double]]): Column =
+    concat(planes.map { h =>
+      when(VectorOps.dot(vec, typedlit(h.toSeq)) >= 0.0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** (id, table, bucket) index table: L rows per corpus vector. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 tables: Int, bits: Int, d: Int): DataFrame = {
+    val planes = hyperplanes(tables, bits, d)
+    val v = VectorOps.toDouble(col(vecCol))
+    df.select(col(idCol).cast("long").as(idCol),
+      explode(array((0 until tables).map { l =>
+        struct(lit(l + 1).cast("int").as("tbl"), bucketCol(v, planes(l)).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** ANN top-k: candidates = corpus vectors sharing ANY table-bucket
+    * with the probe (union over L tables, deduplicated), then exact
+    * cosine + top-k among candidates. Probes broadcast. */
+  def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              probes: DataFrame, probeIdCol: String, probeVecCol: String,
+              k: Int, tables: Int, bits: Int, d: Int): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, tables, bits, d)
+    val pb = lshBuckets(probes, probeIdCol, probeVecCol, tables, bits, d)
+      .withColumnRenamed(probeIdCol, "probe_id")
+    val cands = cb.join(broadcast(pb), Seq("tbl", "bucket"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol)).distinct()
+    val scored = cands
+      .join(corpus.select(col(idCol), VectorOps.toDouble(col(vecCol)).as("__v")), idCol)
+      .join(broadcast(probes.select(col(probeIdCol).cast("long").as("probe_id"),
+        VectorOps.toDouble(col(probeVecCol)).as("__pv"))), "probe_id")
+      .select(col("probe_id"), col(idCol).cast("long").as("__id"),
+        VectorOps.cosine(col("__v"), col("__pv")).as("__sim"))
+    scored.groupBy("probe_id")
+      .agg(TopKAgg.topK(k, col("__id"), col("__sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))
+      .select(col("probe_id"), col("p._1").as("vec_id"),
+        (col("r0") + 1).cast("int").as("rank"), col("p._2").as("sim"))
+  }
+
+  // ── IVF (inverted file) via K-Means coarse quantizer ─────────────
+
+  /** IVF top-k: the corpus is assigned once to its nearest centroid
+    * (the index build — in production a bucketed/partitioned table);
+    * each probe scans only its nprobe nearest cells. Composes the
+    * K-Means operator (KMeans.assignColumn) with TopKAgg. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              probes: DataFrame, probeIdCol: String, probeVecCol: String,
+              cents: KMeans.Centroids, nprobe: Int, k: Int): DataFrame = {
+    val cell = KMeans.assign(
+      corpus.select(col(idCol).cast("long").as("__id"), VectorOps.toDouble(col(vecCol)).as("__v")),
+      "__v", cents, outCol = "cell")
+    // nprobe nearest cells per probe: rank centroids by (sqDist, cid)
+    val probeCells = probes
+      .select(col(probeIdCol).cast("long").as("probe_id"), VectorOps.toDouble(col(probeVecCol)).as("__pv"))
+      .select(col("probe_id"), col("__pv"),
+        explode(slice(array_sort(transform(typedlit(cents.sortBy(_._1).map { case (cid, v) => (cid, v.toSeq) }.toSeq),
+          c => struct(VectorOps.sqDist(col("__pv"), c.getField("_2")).as("d"),
+            c.getField("_1").as("cid")))), 1, nprobe)).as("pc"))
+      .select(col("probe_id"), col("__pv"), col("pc.cid").as("cell"))
+    val scored = cell.join(broadcast(probeCells), "cell")
+      .filter(col("__id") =!= col("probe_id"))
+      .select(col("probe_id"), col("__id"),
+        VectorOps.cosine(col("__v"), col("__pv")).as("__sim"))
+    scored.groupBy("probe_id")
+      .agg(TopKAgg.topK(k, col("__id"), col("__sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))
+      .select(col("probe_id"), col("p._1").as("vec_id"),
+        (col("r0") + 1).cast("int").as("rank"), col("p._2").as("sim"))
+  }
+}

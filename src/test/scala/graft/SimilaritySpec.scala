@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAgg
+import graft.operators.{KMeans, Similarity}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("TopKAgg keeps the k best with (score desc, id asc) tie-break") {
+    val rows = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.5), (1L, 12L, 0.9), (1L, 13L, 0.1),
+      (2L, 20L, 0.3), (2L, 21L, 0.7))
+    val out = rows.toDF("g", "id", "s")
+      .groupBy("g").agg(TopKAgg.topK(2, col("id"), col("s")).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getLong(0), p.getDouble(1)))).toMap
+    assert(out(1L) === Seq((10L, 0.9), (12L, 0.9))) // tie on 0.9 → lower id first
+    assert(out(2L) === Seq((21L, 0.7), (20L, 0.3)))
+  }
+
+  test("TopKAgg survives many values per group (partial-mode trimming)") {
+    val n = 5000
+    val df = (1 to n).map(i => (1L, i.toLong, i.toDouble / n)).toDF("g", "id", "s")
+      .repartition(8)
+    val top = df.groupBy("g").agg(TopKAgg.topK(3, col("id"), col("s")).as("top"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+    assert(top === Seq(n.toLong, n - 1L, n - 2L))
+  }
+
+  private def vecRow(id: Long, v: Array[Double]) = (id, v.map(_.toFloat))
+
+  test("topKCosine ranks an identical-direction vector first") {
+    val base = Array(1.0, 0.0, 0.0, 0.0)
+    val corpus = Seq(
+      vecRow(1, base),
+      vecRow(2, Array(2.0, 0.0, 0.0, 0.0)),   // same direction, sim 1
+      vecRow(3, Array(1.0, 1.0, 0.0, 0.0)),   // sim ~0.707
+      vecRow(4, Array(0.0, 1.0, 0.0, 0.0)),   // orthogonal
+      vecRow(5, Array(-1.0, 0.0, 0.0, 0.0))   // opposite
+    ).toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 1)
+    val got = Similarity.topKCosine(corpus, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((2L, 1), (3L, 2), (4L, 3)))
+  }
+
+  test("hyperplane coords are deterministic and in [-1, 1)") {
+    val h1 = Similarity.hyperplanes(2, 3, 8)
+    val h2 = Similarity.hyperplanes(2, 3, 8)
+    assert(h1.flatten.flatten.toSeq === h2.flatten.flatten.toSeq)
+    assert(h1.flatten.flatten.forall(x => x >= -1.0 && x < 1.0))
+  }
+
+  test("LSH: identical vectors share every table bucket; ANN finds them") {
+    val corpus = Seq(
+      vecRow(1, Array(1.0, 2.0, 3.0, 4.0)),
+      vecRow(2, Array(1.0, 2.0, 3.0, 4.0)),
+      vecRow(3, Array(-4.0, 3.0, -2.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val buckets = Similarity.lshBuckets(corpus, "vec_id", "embedding", 4, 4, 4)
+    assert(buckets.count() === 12) // 3 vectors × 4 tables
+    val shared = buckets.filter(col("vec_id").isin(1L, 2L))
+      .groupBy("tbl", "bucket").count().filter(col("count") === 2).count()
+    assert(shared === 4L)
+    val ann = Similarity.annTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") === 1), "vec_id", "embedding",
+        k = 2, tables = 4, bits = 4, d = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(ann.head === ((2L, 1, 1.0))) // the identical vector, sim exactly 1
+  }
+
+  test("IVF with nprobe=k-cells degrades to exact search") {
+    val corpus = Seq(
+      vecRow(1, Array(10.0, 0.0)), vecRow(2, Array(11.0, 0.0)),
+      vecRow(3, Array(0.0, 10.0)), vecRow(4, Array(0.0, 11.0))
+    ).toDF("vec_id", "embedding")
+    val cents: KMeans.Centroids =
+      Array(1 -> Array(10.0, 0.0), 2 -> Array(0.0, 10.0))
+    val probes = corpus.filter(col("vec_id") === 1)
+    val ivf2 = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      probes, "vec_id", "embedding", cents, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(ivf2.toSeq === Seq((2L, 1), (3L, 2), (4L, 3)))
+    // nprobe=1 searches only the probe's own cell
+    val ivf1 = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      probes, "vec_id", "embedding", cents, nprobe = 1, k = 3)
+      .collect().map(r => r.getLong(1))
+    assert(ivf1.toSeq === Seq(2L))
+  }
+}
