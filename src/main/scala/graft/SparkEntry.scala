@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterMetrics, Dedup, KMeans, Similarity}
+import graft.operators.{ClusterMetrics, Dedup, KMeans, Similarity, TextAnalysis}
 import graft.functions.VectorOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -172,6 +172,37 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash(Dedup.tokens(col("text"))).as("fp"))
     }),
 
+    // ── LLM-pipeline: per-document text statistics ──────────────────
+    "q_text_stats" -> ((s, dir) => {
+      TextAnalysis.docStats(Tables(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // ── LLM-pipeline: quality scoring (C4/Gopher-style ratios) ──────
+    "q_quality" -> ((s, dir) => {
+      TextAnalysis.qualityScore(Tables(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // ── LLM-pipeline: corpus top-20 terms by frequency ──────────────
+    "q_top_terms" -> ((s, dir) => {
+      TextAnalysis.topTerms(Tables(s, dir, "documents"), "text", 20)
+    }),
+
+    // ── LLM-pipeline: (doc, term) TF + corpus DF (TF-IDF core) ──────
+    "q_term_freq" -> ((s, dir) => {
+      TextAnalysis.termFrequencies(Tables(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // ── LLM-pipeline: stopword-profile language ID ──────────────────
+    "q_lang_id" -> ((s, dir) => {
+      TextAnalysis.languageId(Tables(s, dir, "documents"), "doc_id", "text", LangProfiles)
+    }),
+
+    // ── LLM-pipeline: rolling-hash document fingerprint ─────────────
+    "q_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
     // ── relational baseline: TPC-H Q1-style aggregation ─────────────
     "q1_agg" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -224,7 +255,97 @@ object SparkEntry {
       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5)
       |)""".stripMargin
 
+  /** Language profiles for the language-ID heuristic. Word lists must
+    * match the q_lang_id oracle SQL VALUES literally. */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das"),
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "les", "des", "et"),
+    "zh" -> Seq("zhe", "shi", "bu", "wo"))
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+        |       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |         / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+        |       CAST(len(list_distinct(toks)) AS DOUBLE)
+        |         / CAST(len(toks) AS DOUBLE) AS type_token_ratio
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)""".stripMargin,
+
+    "q_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         ['the', 'a', 'and', 'of', 'to', 'in'] AS sw
+        |  FROM documents
+        |),
+        |r AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(list_filter(toks, t -> list_contains(sw, t)))) AS DOUBLE)
+        |           / CAST(len(list_distinct(toks)) AS DOUBLE) AS stop_coverage,
+        |         CAST(len(list_filter(toks, t -> list_contains(sw, t))) AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) AS stop_token_ratio,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) AS type_token_ratio
+        |  FROM d
+        |)
+        |SELECT doc_id, n_tokens, stop_coverage, stop_token_ratio, type_token_ratio,
+        |       (CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN 0.25 ELSE 0.0 END
+        |        + CASE WHEN stop_token_ratio > 0.05 THEN 0.25 ELSE 0.0 END
+        |        + CASE WHEN type_token_ratio > 0.2 THEN 0.25 ELSE 0.0 END
+        |        + CASE WHEN type_token_ratio < 0.95 THEN 0.25 ELSE 0.0 END) AS quality
+        |FROM r""".stripMargin,
+
+    "q_top_terms" ->
+      """SELECT term, cnt, CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rn FROM (
+        |    SELECT term, count(*) AS cnt FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |    GROUP BY 1))
+        |WHERE rn <= 20""".stripMargin,
+
+    "q_term_freq" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df FROM tf JOIN dfreq USING (term)""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH langs AS (
+        |  SELECT * FROM (VALUES
+        |    ('de', ['der', 'die', 'und', 'das']),
+        |    ('en', ['the', 'a', 'and', 'of']),
+        |    ('es', ['el', 'la', 'los', 'y']),
+        |    ('fr', ['le', 'les', 'des', 'et']),
+        |    ('zh', ['zhe', 'shi', 'bu', 'wo'])) l(lang, words)
+        |),
+        |scores AS (
+        |  SELECT d.doc_id, l.lang,
+        |         CAST(len(list_filter(d.toks, t -> list_contains(l.words, t))) AS DOUBLE)
+        |           / CAST(len(d.toks) AS DOUBLE) AS score
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
+        |  CROSS JOIN langs l
+        |)
+        |SELECT doc_id, lang AS lang_pred, score AS lang_score FROM (
+        |  SELECT doc_id, lang, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        |  FROM scores)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
+        |                   (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+        |FROM documents""".stripMargin,
 
     "q_topk_cosine" ->
       s"""WITH $sqlProbes,

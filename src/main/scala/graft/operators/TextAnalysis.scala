@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: token counting, document
+  * statistics / quality scoring, term frequencies, TF-IDF, a
+  * stopword-profile language-ID heuristic, and a rolling-hash document
+  * fingerprint.
+  *
+  * Everything is per-row Catalyst HOF math or a single hash-aggregate
+  * — no UDFs, no driver-side loops. Ratios are divisions of exact
+  * integer counts and the rolling hash is 31-bit modular arithmetic
+  * (every intermediate < 2^36, exact in long), so all outputs are
+  * bit-exact cross-engine.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (single-space split, like Dedup.tokens). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword token-count estimate: words + digit runs +
+    * punctuation glyphs each count once — the usual ~chars/4 LLM
+    * budget heuristic, computed exactly as a regexp count. */
+  def subwordCountEstimate(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Per-document statistics: token/char/distinct counts, mean token
+    * length, type-token ratio. */
+  def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_types"),
+      subwordCountEstimate(col(textCol)).cast("long").as("n_subwords"),
+      // mean token length: sequential fold, exact ints, one division
+      (aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
+        / size(toks).cast("double")).as("avg_token_len"),
+      (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+        .as("type_token_ratio"))
+  }
+
+  /** Quality heuristics à la C4/Gopher filtering: flag docs that are
+    * too short/long, too repetitive, or stopword-free. The score is a
+    * weighted sum of exact ratios (deterministic). */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("double")
+    val stopRatio = (size(array_intersect(toks, typedlit(stopwords))).cast("double")
+      / size(array_distinct(toks)).cast("double"))
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val lenOk = when(size(toks).between(5, 1000), 1.0).otherwise(0.0)
+    val stopCnt = size(filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+    val stopTokRatio = stopCnt.cast("double") / nTok
+    df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      stopRatio.as("stop_coverage"),
+      stopTokRatio.as("stop_token_ratio"),
+      ttr.as("type_token_ratio"),
+      (lenOk * 0.25
+        + when(stopTokRatio > 0.05, 0.25).otherwise(0.0)
+        + when(ttr > 0.2, 0.25).otherwise(0.0)
+        + when(ttr < 0.95, 0.25).otherwise(0.0)).as("quality"))
+  }
+
+  /** Words treated as stopwords by the quality/language heuristics —
+    * function words of the synthetic corpus's shared vocabulary. */
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Corpus-level term frequencies with rank, top-n by (count desc,
+    * term asc). One explode + one hash-aggregate + a tiny top-n. */
+  def topTerms(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    counts.withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))).cast("int"))
+      .filter(col("rank") <= n)
+  }
+
+  /** (doc, term) TF + corpus DF counts — the exact-integer core of
+    * TF-IDF; idf = ln(N/df) is applied by tfIdf (not oracle-hashed:
+    * libm ln may differ in the last ulp across engines). */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term").select(col(idCol), col("term"), col("tf"), col("df"))
+  }
+
+  /** TF-IDF: tf · ln(N / df). */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.count().toDouble
+    termFrequencies(df, idCol, textCol)
+      .withColumn("tfidf", col("tf") * log(lit(n) / col("df")))
+  }
+
+  /** Stopword-profile language scores: per language, the fraction of
+    * tokens found in its profile word set; prediction = argmax with
+    * lexicographic tie-break (array_min over (-score, lang)). */
+  def languageId(df: DataFrame, idCol: String, textCol: String,
+                 profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scores = array(profiles.map { case (lang, words) =>
+      struct(
+        (size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*))).cast("double")
+          / size(toks).cast("double")).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    // argmax: flip score sign, array_min picks (lowest -score, first lang)
+    val best = array_min(transform(scores,
+      s => struct((-s.getField("score")).as("neg"), s.getField("lang").as("lang"))))
+    df.select(col(idCol),
+      best.getField("lang").as("lang_pred"),
+      (-best.getField("neg")).as("lang_score"))
+  }
+
+  /** 31-bit polynomial rolling hash of the raw text (base 31, modulus
+    * 2^31-1): acc = (acc*31 + code(char)) mod p, folded left-to-right
+    * over the characters. Every intermediate ≤ (2^31)·31 + 255 < 2^36
+    * — exact in long on both engines. The classic content fingerprint
+    * (and the building block of winnowing). */
+  def fingerprint(text: Column): Column = {
+    val p = lit(2147483647L)
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => (acc * 31L + coalesce(ascii(c).cast("long"), lit(0L))) % p)
+  }
+}

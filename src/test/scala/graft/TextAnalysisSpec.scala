@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("docStats computes exact counts and ratios") {
+    val df = Seq((1L, "aa bb aa cc")).toDF("doc_id", "text")
+    val r = TextAnalysis.docStats(df, "doc_id", "text").collect()(0)
+    assert(r.getLong(1) === 11L) // n_chars
+    assert(r.getLong(2) === 4L)  // n_tokens
+    assert(r.getLong(3) === 3L)  // n_types
+    assert(r.getDouble(5) === 2.0) // avg_token_len
+    assert(r.getDouble(6) === 0.75) // type_token_ratio
+  }
+
+  test("subword estimate counts words, digit runs, punctuation") {
+    val df = Seq((1L, "hello, world 42 x!")).toDF("doc_id", "text")
+    val n = df.select(TextAnalysis.subwordCountEstimate(col("text"))).collect()(0).getInt(0)
+    assert(n === 6) // hello , world 42 x !
+  }
+
+  test("quality score rewards stopword-bearing prose, penalizes repetition") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and then the dog came in too"),
+      (2L, "x x x x x x x x x x x x")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(q(1L) === 1.0)
+    assert(q(2L) === 0.5) // length ok + ttr<0.95 only
+  }
+
+  test("topTerms ranks by count desc then term asc") {
+    val df = Seq((1L, "b a b c a b")).toDF("doc_id", "text")
+    val top = TextAnalysis.topTerms(df, "text", 2)
+      .orderBy("rank").collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(top.toSeq === Seq(("b", 3L, 1), ("a", 2L, 2)))
+  }
+
+  test("termFrequencies yields tf per doc and df per term") {
+    val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val tf = TextAnalysis.termFrequencies(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(tf((1L, "a")) === ((2L, 2L)))
+    assert(tf((2L, "a")) === ((1L, 2L)))
+    assert(tf((1L, "b")) === ((1L, 1L)))
+    assert(tf((2L, "c")) === ((1L, 1L)))
+  }
+
+  test("tfIdf: corpus-wide terms get zero idf") {
+    val df = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfIdf(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(rows((1L, "a")) === 0.0) // df = N → ln(1) = 0
+    assert(rows((1L, "b")) > 0.0)
+  }
+
+  test("languageId picks the profile with highest token coverage") {
+    val df = Seq(
+      (1L, "the cat and the dog of a town"),
+      (2L, "el gato y la casa de los perros"),
+      (3L, "qqq www zzz")).toDF("doc_id", "text")
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "and", "of"),
+      "es" -> Seq("el", "la", "los", "y"))
+    val got = TextAnalysis.languageId(df, "doc_id", "text", profiles)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 === "en")
+    assert(got(2L)._1 === "es")
+    assert(got(3L) === (("en", 0.0))) // all-zero tie → lexicographic first
+  }
+
+  test("fingerprint is the 31-base modular fold of char codes") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    val fp = df.select(TextAnalysis.fingerprint(col("text"))).collect()(0).getLong(0)
+    assert(fp === ((97L * 31 + 98) * 31 + 99) % 2147483647L)
+    // equal text ⇒ equal fingerprint; different text ⇒ (almost surely) different
+    val df2 = Seq((1L, "abc"), (2L, "abd")).toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    assert(df2.count() === 2)
+  }
+}
