@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterMetrics, Dedup, KMeans, Similarity, TextAnalysis}
+import graft.operators.{ClusterMetrics, Dedup, Events, KMeans, Similarity, TextAnalysis}
 import graft.functions.VectorOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -203,6 +203,21 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
 
+    // ── LLM-pipeline: tumbling-window event aggregates ──────────────
+    "q_events_window" -> ((s, dir) => {
+      Events.tumblingByType(Tables(s, dir, "events"), widthSeconds = 3600L)
+    }),
+
+    // ── LLM-pipeline: gap-based sessionization (islands idiom) ──────
+    "q_sessions" -> ((s, dir) => {
+      Events.sessionize(Tables(s, dir, "events"), gapNanos = 1800000000000L)
+    }),
+
+    // ── LLM-pipeline: JSON props extraction + per-type aggregate ────
+    "q_events_props" -> ((s, dir) => {
+      Events.propsAgg(Tables(s, dir, "events"))
+    }),
+
     // ── relational baseline: TPC-H Q1-style aggregation ─────────────
     "q1_agg" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -265,6 +280,39 @@ object SparkEntry {
     "zh" -> Seq("zhe", "shi", "bu", "wo"))
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_events_window" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket, event_type,
+        |       count(*) AS n, sum(round(value * 100)) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id FROM events),
+        |m AS (
+        |  SELECT user_id, ts_ns, event_id,
+        |         CASE WHEN lag(ts_ns) OVER w IS NULL THEN 1
+        |              WHEN ts_ns - lag(ts_ns) OVER w > 1800000000000 THEN 1
+        |              ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+        |),
+        |s AS (
+        |  SELECT user_id, ts_ns,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+        |  FROM m
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_ns) AS t_start, max(ts_ns) AS t_end,
+        |       max(ts_ns) - min(ts_ns) AS duration_ns
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_events_props" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event/time-series aggregates over the events table (ts arrives as
+  * INT64 nanosecond epochs — Parquet TIMESTAMP(NANOS), read with
+  * spark.sql.legacy.parquet.nanosAsLong=true since Spark's timestamp
+  * type is microseconds).
+  *
+  * Oracle-parity strategy: bucket boundaries and session arithmetic
+  * stay in exact integer nanoseconds (a 2024 epoch-nano is ~1.7e18 —
+  * fits long), and money-like doubles are summed with the fixed-point
+  * trick, so every output hash-matches DuckDB. The tumbling path also
+  * exists in real timestamp form (tumblingAgg/window()) for the
+  * streaming engine, where watermarks need a timestamp column.
+  */
+object Events {
+
+  /** Exact integral division (SQL `div`). Plain `/` is DOUBLE division
+    * — a 2024 epoch-nano (~1.7e18) exceeds 2^53, so the double path
+    * can misbucket values near boundaries; `div` stays in long. */
+  private def ldiv(a: Column, b: Long): Column = call_function("div", a, lit(b))
+
+  /** Nanosecond epoch → timestamp (microsecond truncation). */
+  def tsFromNanos(ns: Column): Column = timestamp_micros(ldiv(ns, 1000L))
+
+  /** Tumbling bucket start in epoch SECONDS from an epoch-nano long —
+    * pure integer floor division, bit-exact cross-engine. */
+  def bucketEpoch(ns: Column, widthSeconds: Long): Column =
+    ldiv(ns, widthSeconds * 1000000000L) * widthSeconds
+
+  /** Tumbling-window aggregate per event type: count + exact 2-decimal
+    * value sum per (bucket, type). One hash-aggregate. */
+  def tumblingByType(df: DataFrame, widthSeconds: Long): DataFrame =
+    df.groupBy(
+        bucketEpoch(col("ts"), widthSeconds).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
+
+  /** Tumbling aggregate in real timestamp form via window() — the
+    * batch twin of the streaming path (EventStream). */
+  def tumblingAgg(df: DataFrame, tsCol: Column, width: String): DataFrame =
+    df.groupBy(window(tsCol, width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("bucket"), col("event_type"), col("n"))
+
+  /** Gap-based sessionization (islands idiom): a new session starts
+    * when the user's inter-event gap exceeds gapNanos. Output: one row
+    * per (user, session) with bounds and counts, all exact integers.
+    * Two window functions over the same (user_id, ts, event_id)
+    * ordering — one shuffle by user_id. */
+  def sessionize(df: DataFrame, gapNanos: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_session",
+        when(col("ts") - lag("ts", 1).over(byUser) > gapNanos, 1)
+          .when(lag("ts", 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("t_start"),
+        max("ts").as("t_end"),
+        (max("ts") - min("ts")).as("duration_ns"))
+  }
+
+  /** Native session_window twin of sessionize (streaming-capable). */
+  def sessionWindowAgg(df: DataFrame, tsCol: Column, gap: String): DataFrame =
+    df.groupBy(col("user_id"), session_window(tsCol, gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("t_start"),
+        col("w.end").as("t_end"), col("n_events"))
+
+  /** JSON props extraction + per-type aggregate: the semi-structured
+    * column path (get_json_object stays in codegen). */
+  def propsAgg(df: DataFrame): DataFrame =
+    df.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+}

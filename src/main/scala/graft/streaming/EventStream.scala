@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Events
+
+/** Structured Streaming twins of the batch event operators: the same
+  * logical aggregations expressed over an unbounded source, with
+  * watermarks bounding state. The reference has no streaming at all
+  * (SURVEY.md §2.2) — this is part of the 100 TB pipeline extension
+  * surface: at scale, event feeds arrive continuously and the engine
+  * must fold them incrementally rather than rescanning.
+  *
+  * All transforms accept any DataFrame with the events schema
+  * (event_id, ts epoch-nanos long, user_id, event_type, value, props)
+  * whether batch or streaming — the plan is identical; only the sink
+  * differs.
+  */
+object EventStream {
+
+  /** Watermarked tumbling counts per event type. With a streaming
+    * source, late rows beyond the watermark are dropped and window
+    * state is evicted — bounded memory regardless of stream length. */
+  def windowedCounts(events: DataFrame, width: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events.withColumn("ets", Events.tsFromNanos(col("ts")))
+      .withWatermark("ets", watermark)
+      .groupBy(window(col("ets"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("bucket"), col("event_type"), col("n"))
+
+  /** Watermarked session windows per user (native session_window —
+    * gap-based, merging as events arrive). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events.withColumn("ets", Events.tsFromNanos(col("ts")))
+      .withWatermark("ets", watermark)
+      .groupBy(col("user_id"), session_window(col("ets"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("t_start"),
+        unix_timestamp(col("w.end")).as("t_end"), col("n_events"))
+
+  final case class UserRunning(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Custom keyed state: running per-user totals via
+    * mapGroupsWithState — the escape hatch for stateful logic that
+    * windowed aggregation can't express. State per key is two longs
+    * (value folded in exact cents), so memory is O(users). */
+  def runningUserTotals(events: DataFrame): Dataset[UserRunning] = {
+    implicit val longEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[UserRunning]
+    implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    events
+      .select(col("user_id").cast("long"), col("value"))
+      .groupByKey((r: Row) => r.getLong(0))(longEnc)
+      .mapGroupsWithState[(Long, Long), UserRunning](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Row], state: GroupState[(Long, Long)]) =>
+          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var cents = c0
+          rows.foreach { r => n += 1; cents += math.round(r.getDouble(1) * 100) }
+          state.update((n, cents))
+          UserRunning(user, n, cents)
+      }
+  }
+
+  /** Batch = streaming consistency contract: the streaming plans above
+    * run unchanged on a batch DataFrame (no watermark semantics in
+    * batch). Used by tests to pin output equality. */
+  def windowedCountsBatch(events: DataFrame, width: String = "1 hour"): DataFrame =
+    Events.tumblingAgg(events.withColumn("ets", Events.tsFromNanos(col("ts"))), col("ets"), width)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.EventStream
+
+/** Event row for MemoryStream (top-level: streaming encoders need an
+  * outer-scope-free case class). */
+case class Ev(event_id: Long, ts: Long, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+/** Drives the streaming operators with a MemoryStream source and a
+  * memory sink — the same plans the batch Events operators use, folded
+  * incrementally. */
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val G = 1000000000L
+
+  private def runToMemory(name: String, mode: String = "complete")
+                         (build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+                         (batches: Seq[Seq[Ev]]): Array[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val q = build(source.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      batches.foreach { b => source.addData(b); q.processAllAvailable() }
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("windowedCounts folds incrementally and matches the batch twin") {
+    import spark.implicits._
+    val evs = Seq(
+      Ev(1, 100 * G, 1, "click", 1.0, "{}"),
+      Ev(2, 200 * G, 2, "click", 1.0, "{}"),
+      Ev(3, 3700 * G, 1, "view", 1.0, "{}"),
+      Ev(4, 3800 * G, 1, "click", 1.0, "{}"))
+    val got = runToMemory("wc")(df => EventStream.windowedCounts(df))(
+      Seq(evs.take(2), evs.drop(2)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStream.windowedCountsBatch(evs.toDF())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === batch)
+    assert(got === Set((0L, "click", 2L), (3600L, "view", 1L), (3600L, "click", 1L)))
+  }
+
+  test("sessionCounts merges events within the gap into one session") {
+    val evs = Seq(
+      Ev(1, 0, 1, "a", 0, "{}"),
+      Ev(2, 600 * G, 1, "a", 0, "{}"),      // 10 min later → same session
+      Ev(3, 8000 * G, 1, "a", 0, "{}"))     // ~2.2h later → new session
+    val got = runToMemory("sc")(df => EventStream.sessionCounts(df))(Seq(evs))
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq.sorted
+    assert(got === Seq((1L, 1L), (1L, 2L)))
+  }
+
+  test("runningUserTotals keeps exact per-user state across batches") {
+    val b1 = Seq(Ev(1, 0, 1, "a", 1.25, "{}"), Ev(2, 1, 2, "a", 2.00, "{}"))
+    val b2 = Seq(Ev(3, 2, 1, "a", 0.75, "{}"))
+    // update mode appends one row per key per batch — keep the latest
+    val got = runToMemory("rt", mode = "update")(
+        df => EventStream.runningUserTotals(df).toDF())(Seq(b1, b2))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+    assert(got(1L) === ((2L, 200L))) // 1.25 + 0.75 = 2.00 → 200 cents
+    assert(got(2L) === ((1L, 200L)))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+
+class EventsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val G = 1000000000L // ns per second
+
+  private def ev(id: Long, tSec: Long, user: Long, typ: String, v: Double, k: Long = 1) =
+    (id, tSec * G, user, typ, v, s"""{"k": $k}""")
+
+  private def df(rows: Seq[(Long, Long, Long, String, Double, String)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("bucketEpoch floors to the window start, exactly, at epoch-nano scale") {
+    val e = Seq(ev(1, 1704067200, 1, "click", 1.0), // exactly on the hour
+      ev(2, 1704067200 + 3599, 1, "click", 1.0),    // last second of hour
+      ev(3, 1704067200 + 3600, 1, "click", 1.0))    // first of next
+    val b = df(e).select(Events.bucketEpoch(col("ts"), 3600).as("b")).as[Long].collect()
+    assert(b.toSeq === Seq(1704067200L, 1704067200L, 1704070800L))
+  }
+
+  test("tumblingByType counts and sums per (bucket, type) with exact cents") {
+    val e = Seq(ev(1, 0, 1, "click", 1.10), ev(2, 10, 2, "click", 2.20),
+      ev(3, 3600, 1, "view", 0.30), ev(4, 3700, 1, "view", 0.01))
+    val got = Events.tumblingByType(df(e), 3600)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got((0L, "click")) === ((2L, 3.30)))
+    assert(got((3600L, "view")) === ((2L, 0.31)))
+  }
+
+  test("tumblingAgg (window()) agrees with bucketEpoch on the same data") {
+    val e = df(Seq(ev(1, 100, 1, "click", 1.0), ev(2, 3700, 1, "click", 1.0),
+      ev(3, 3800, 2, "view", 1.0)))
+    val viaInts = Events.tumblingByType(e, 3600)
+      .select("bucket", "event_type", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaWindow = Events.tumblingAgg(e.withColumn("ets", Events.tsFromNanos(col("ts"))),
+        col("ets"), "1 hour")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaInts === viaWindow)
+  }
+
+  test("sessionize splits on gaps > threshold and aggregates bounds") {
+    val gap30m = 1800L * G
+    val e = Seq(
+      ev(1, 0, 1, "a", 0), ev(2, 60, 1, "a", 0),        // session 1: 2 events
+      ev(3, 60 + 1800 + 61, 1, "a", 0),                  // gap > 30min → session 2
+      ev(4, 0, 2, "a", 0))                               // user 2: own session
+    val got = Events.sessionize(df(e), gap30m)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(5))).toMap
+    assert(got((1L, 1)) === ((2L, 60L * G)))   // 2 events, 60s duration
+    assert(got((1L, 2)) === ((1L, 0L)))
+    assert(got((2L, 1)) === ((1L, 0L)))
+  }
+
+  test("a gap of exactly the threshold does NOT split (strict >)") {
+    val e = Seq(ev(1, 0, 1, "a", 0), ev(2, 1800, 1, "a", 0))
+    val got = Events.sessionize(df(e), 1800L * G).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(2) === 2L)
+  }
+
+  test("propsAgg extracts JSON ints and aggregates exactly") {
+    val e = Seq(ev(1, 0, 1, "click", 0, k = 10), ev(2, 1, 1, "click", 0, k = 32),
+      ev(3, 2, 1, "view", 0, k = 7))
+    val got = Events.propsAgg(df(e))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("click") === ((2L, 42L, 10L, 32L)))
+    assert(got("view") === ((1L, 7L, 7L, 7L)))
+  }
+}
