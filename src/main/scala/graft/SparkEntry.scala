@@ -151,19 +151,29 @@ object SparkEntry {
     }),
 
     // ── LLM-pipeline: MinHash LSH band buckets ──────────────────────
-    // Deterministic md5-minima signatures over trigram shingles,
-    // banded 8×2. The bucket table IS the scale-path data structure:
-    // near-dup candidates come from joining it to itself per
-    // (band, bucket) — never an all-pairs product.
+    // Integer universal-hash minima over one md5-derived base hash per
+    // trigram shingle (parity mode — bit-exact in DuckDB), banded 8×2.
+    // The bucket table IS the scale-path data structure: near-dup
+    // candidates come from joining it to itself per (band, bucket) —
+    // never an all-pairs product.
     "q_minhash_bands" -> ((s, dir) => {
       Dedup.minhashBuckets(Tables(s, dir, "documents"), "doc_id", "text",
-        n = 3, h = 16, b = 8)
+        n = 3, h = 16, b = 8, parity = true)
     }),
 
     // ── LLM-pipeline: near-dup candidates + exact-Jaccard verify ────
     "q_neardup_pairs" -> ((s, dir) => {
       Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
-        n = 3, h = 16, b = 8, minSim = 0.0)
+        n = 3, h = 16, b = 8, minSim = 0.0, parity = true)
+    }),
+
+    // ── LLM-pipeline: near-dup, xxhash64 scale path (default mode) ──
+    // Same banded-LSH shape with the Spark-only masked-xxhash64 base
+    // hash — the production default (no md5 at all). Not expressible in
+    // the oracle (engine-specific hash) → rows-only check.
+    "q_neardup_fast" -> ((s, dir) => {
+      Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.0, parity = false, maxBucket = 10000)
     }),
 
     // ── LLM-pipeline: 64-bit SimHash document fingerprints ──────────
@@ -209,8 +219,10 @@ object SparkEntry {
     }),
 
     // ── LLM-pipeline: gap-based sessionization (islands idiom) ──────
+    // 30-minute gap at MICROSECOND precision (nano digits are not
+    // representable in the oracle's timestamp type — Events.sessionize).
     "q_sessions" -> ((s, dir) => {
-      Events.sessionize(Tables(s, dir, "events"), gapNanos = 1800000000000L)
+      Events.sessionize(Tables(s, dir, "events"), gapMicros = 1800000000L)
     }),
 
     // ── LLM-pipeline: JSON props extraction + per-type aggregate ────
@@ -234,9 +246,11 @@ object SparkEntry {
     })
   )
 
-  /** DuckDB CTEs mirroring Dedup.shingles/minhashSignature/bandBuckets
-    * (trigram shingles, H=16 md5 minima, 8 bands × 2 rows). DuckDB
-    * list slicing is end-inclusive, hence the [lo : bi*2] bounds. */
+  /** DuckDB CTEs mirroring Dedup.shingles/shingleHashes(parity)/
+    * minhashSignature/bandBuckets (trigram shingles, one md5-derived
+    * 32-bit base hash per shingle, H=16 integer universal-hash minima
+    * (a_i·x + b_i) mod 2^31-1, 8 bands × 2 rows). DuckDB list slicing
+    * is end-inclusive, hence the [lo : bi*2] bounds. */
   private val sqlMinhash =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (
@@ -244,14 +258,19 @@ object SparkEntry {
       |         list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
       |  FROM toks WHERE len(toks) >= 3
       |),
-      |sig AS (
-      |  SELECT doc_id,
-      |         [list_min([md5(CAST(i AS VARCHAR) || ':' || s) for s in sh]) for i in range(1, 17)] AS sig
+      |hs AS (
+      |  SELECT doc_id, sh,
+      |         list_transform(sh, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hs
       |  FROM sh WHERE len(sh) > 0
+      |),
+      |sig AS (
+      |  SELECT doc_id, sh,
+      |         [list_min([((1299721*i+7)*x + 104729*i) % 2147483647 for x in hs]) for i in range(1, 17)] AS sig
+      |  FROM hs
       |),
       |bb AS (
       |  SELECT doc_id, CAST(bi AS INTEGER) AS band,
-      |         md5(array_to_string(sig[(bi-1)*2+1 : bi*2], ',')) AS bucket
+      |         array_to_string(sig[(bi-1)*2+1 : bi*2], ',') AS bucket
       |  FROM sig CROSS JOIN generate_series(1, 8) t(bi)
       |)""".stripMargin
 
@@ -287,23 +306,23 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_sessions" ->
-      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id FROM events),
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
         |m AS (
-        |  SELECT user_id, ts_ns, event_id,
-        |         CASE WHEN lag(ts_ns) OVER w IS NULL THEN 1
-        |              WHEN ts_ns - lag(ts_ns) OVER w > 1800000000000 THEN 1
+        |  SELECT user_id, ts_us, event_id,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |              WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
         |              ELSE 0 END AS new_session
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |),
         |s AS (
-        |  SELECT user_id, ts_ns,
-        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |  SELECT user_id, ts_us,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |                                     ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
         |  FROM m
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
-        |       min(ts_ns) AS t_start, max(ts_ns) AS t_end,
-        |       max(ts_ns) - min(ts_ns) AS duration_ns
+        |       min(ts_us) AS t_start_us, max(ts_us) AS t_end_us,
+        |       max(ts_us) - min(ts_us) AS duration_us
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_events_props" ->

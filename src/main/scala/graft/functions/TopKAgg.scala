@@ -21,7 +21,7 @@ import scala.collection.mutable.ArrayBuffer
   * scores break toward the lowest id — matching the oracle SQL's
   * ORDER BY score DESC, id.
   */
-class TopKAgg(k: Int) extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+class TopKAgg(k: Int) extends Aggregator[(Long, Double), ArrayBuffer[(Long, Double)], Seq[(Long, Double)]] {
   require(k > 0, s"k must be positive, got $k")
 
   // keep buffers slightly over-full and trim lazily to amortize sorting
@@ -34,21 +34,27 @@ class TopKAgg(k: Int) extends Aggregator[(Long, Double), Seq[(Long, Double)], Se
   private val ordering: Ordering[(Long, Double)] =
     Ordering.by { case (id, score) => (-score, id) }
 
-  def zero: Seq[(Long, Double)] = Seq.empty
+  def zero: ArrayBuffer[(Long, Double)] = ArrayBuffer.empty
 
-  def reduce(b: Seq[(Long, Double)], v: (Long, Double)): Seq[(Long, Double)] = {
-    val buf = ArrayBuffer.from(b)
-    buf += v
-    (if (buf.length > slack) trim(buf) else buf).toSeq
+  // The runtime buffer object persists between reduce calls within a
+  // group (serialization only happens at shuffle boundaries), so the
+  // ArrayBuffer is appended to IN PLACE — amortized O(1) per row
+  // instead of the old O(buffer) `ArrayBuffer.from(seq)` copy per
+  // scored pair in the hottest path of the similarity suite.
+  def reduce(b: ArrayBuffer[(Long, Double)], v: (Long, Double)): ArrayBuffer[(Long, Double)] = {
+    b += v
+    if (b.length > slack) trim(b) else b
   }
 
-  def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
-    trim(ArrayBuffer.from(a ++ b)).toSeq
+  def merge(a: ArrayBuffer[(Long, Double)], b: ArrayBuffer[(Long, Double)]): ArrayBuffer[(Long, Double)] = {
+    a ++= b
+    trim(a)
+  }
 
-  def finish(b: Seq[(Long, Double)]): Seq[(Long, Double)] =
-    b.sorted(ordering).take(k)
+  def finish(b: ArrayBuffer[(Long, Double)]): Seq[(Long, Double)] =
+    b.sorted(ordering).take(k).toSeq
 
-  def bufferEncoder: Encoder[Seq[(Long, Double)]] = TopKAgg.seqEnc
+  def bufferEncoder: Encoder[ArrayBuffer[(Long, Double)]] = TopKAgg.bufEnc
   def outputEncoder: Encoder[Seq[(Long, Double)]] = TopKAgg.seqEnc
 }
 
@@ -56,6 +62,8 @@ object TopKAgg {
   import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   private[functions] val seqEnc: Encoder[Seq[(Long, Double)]] =
     ExpressionEncoder[Seq[(Long, Double)]]()
+  private[functions] val bufEnc: Encoder[ArrayBuffer[(Long, Double)]] =
+    ExpressionEncoder[ArrayBuffer[(Long, Double)]]()
 
   /** `groupBy(probe).agg(topK(k, id, score))` — long id, double score. */
   def topK(k: Int, id: Column, score: Column): Column =

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions.udaf
   * row count — the load-bearing fact for a 100 TB input.
   *
   * Buffer = (running element-wise sum, count). The sum array starts
-  * empty and adopts the first vector's length, mirroring the
-  * reference's discover-dimensionality-per-row behavior
-  * (`KMeans.java:92-96`).
+  * empty and adopts the first vector's length (the reference discovers
+  * dimensionality per row, `KMeans.java:92-96`) — but unlike the
+  * reference, which would silently mis-index a ragged file
+  * (SURVEY.md §1.3), a later vector of a different length fails fast.
   */
 class VectorMeanAgg extends Aggregator[Array[Double], (Array[Double], Long), Array[Double]] {
   def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
@@ -30,6 +31,8 @@ class VectorMeanAgg extends Aggregator[Array[Double], (Array[Double], Long), Arr
     val (s, n) = b
     if (n == 0L) (v.clone(), 1L)
     else {
+      require(v.length == s.length,
+        s"ragged vector in group: expected dim ${s.length}, got ${v.length}")
       var i = 0
       while (i < s.length) { s(i) += v(i); i += 1 }
       (s, n + 1L)
@@ -40,6 +43,8 @@ class VectorMeanAgg extends Aggregator[Array[Double], (Array[Double], Long), Arr
     if (a._2 == 0L) b
     else if (b._2 == 0L) a
     else {
+      require(a._1.length == b._1.length,
+        s"ragged vector in group: expected dim ${a._1.length}, got ${b._1.length}")
       val s = a._1
       var i = 0
       while (i < s.length) { s(i) += b._1(i); i += 1 }

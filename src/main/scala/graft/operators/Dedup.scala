@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   *    Σ bucket² per band, not n²;
   *  - verification joins texts back only for candidate pairs.
   *
-  * Cross-engine determinism: every hash is md5 hex (identical strings
-  * in Spark and DuckDB), minima are lexicographic string minima, and
-  * similarity ratios are divisions of exact integer counts — so every
-  * operator here is bit-exact oracle-checkable.
+  * Cross-engine determinism: MinHash signatures are integer minima of
+  * universal hashes (a_i·x + b_i mod p) over a per-shingle base hash;
+  * in parity mode the base hash derives from md5 (identical in Spark
+  * and DuckDB), so every operator here is bit-exact oracle-checkable.
+  * The scale default swaps the base hash for masked xxhash64 — same
+  * shape, no digest cost.
   */
 object Dedup {
 
@@ -41,38 +43,87 @@ object Dedup {
         .otherwise(array()))
   }
 
-  /** MinHash signature: H independent hash functions simulated as
-    * md5(i ':' shingle); the signature element is the lexicographic
-    * minimum hex digest. Null when the shingle set is empty. */
-  def minhashSignature(shingleCol: Column, h: Int): Column =
-    when(size(shingleCol) > 0,
-      transform(sequence(lit(1), lit(h)),
-        i => array_min(transform(shingleCol, s => md5(concat(i.cast("string"), lit(":"), s))))))
+  /** MinHash universal-hash mixing constants: h_i(x) = (a_i·x + b_i)
+    * mod p over a 32-bit base hash x. p = 2^31-1 (Mersenne prime, < x's
+    * range so minima genuinely permute); a_i ≤ ~2.1e7 keeps a_i·x <
+    * 2^57 — no signed-64 overflow on either engine. Formula-derived
+    * constants (not a table) so the DuckDB oracle can generate them
+    * with `range(1, h+1)`. */
+  private val P = 2147483647L
+
+  /** Per-shingle 32-bit base hash, computed ONCE per shingle (the h
+    * signature rows are derived by cheap integer mixing — the old
+    * md5-per-(i,shingle) form cost h full digests per shingle and
+    * shuffled 32-char strings).
+    *  - parity=true: first 8 hex chars of md5 — bit-exact in DuckDB
+    *    (`CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)`);
+    *  - parity=false (scale default): xxhash64 masked to 32 bits —
+    *    ~10× cheaper, Spark-only. */
+  def shingleHashes(shingleCol: Column, parity: Boolean): Column =
+    if (parity)
+      transform(shingleCol, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    else
+      transform(shingleCol, s => xxhash64(s).bitwiseAND(lit(4294967295L)))
+
+  /** MinHash signature from a base-hash array: element i = min over
+    * shingles of (a_i·x + b_i) mod p — an array<long> of length h.
+    * Null when the base-hash set is empty. */
+  def minhashSignature(hashesCol: Column, h: Int): Column =
+    when(size(hashesCol) > 0,
+      transform(sequence(lit(1), lit(h)), i => {
+        val il = i.cast("long")
+        val a = lit(1299721L) * il + lit(7L)
+        val b = lit(104729L) * il
+        array_min(transform(hashesCol, x => (a * x + b) % lit(P)))
+      }))
 
   /** LSH banding: B bands of R = H/B signature rows each; the bucket
-    * key is the md5 of the band's joined minima. Docs agreeing on ALL
+    * key is the band's minima joined with ','. Docs agreeing on ALL
     * R rows of any band land in the same (band, bucket). */
   def bandBuckets(sigCol: Column, b: Int, r: Int): Column =
     transform(sequence(lit(1), lit(b)), bi =>
       struct(bi.cast("int").as("band"),
-        md5(concat_ws(",", slice(sigCol, (bi - lit(1)) * r + lit(1), lit(r)))).as("bucket")))
+        concat_ws(",", transform(slice(sigCol, (bi - lit(1)) * r + lit(1), lit(r)),
+          x => x.cast("string"))).as("bucket")))
+
+  /** (id, shingles, signature) table — the shared upstream of both the
+    * bucket explode and the verification join. */
+  private def sigTable(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, h: Int, parity: Boolean): DataFrame =
+    df.select(col(idCol), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col(idCol), col("sh"), shingleHashes(col("sh"), parity).as("hs"))
+      .select(col(idCol), col("sh"), minhashSignature(col("hs"), h).as("sig"))
 
   /** (id, band, bucket) table: B rows per document. */
   def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
-                     n: Int, h: Int, b: Int): DataFrame = {
+                     n: Int, h: Int, b: Int, parity: Boolean = false): DataFrame = {
     require(h % b == 0, s"h=$h must be divisible by b=$b")
-    df.select(col(idCol), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col(idCol), explode(bandBuckets(minhashSignature(col("sh"), h), b, h / b)).as("bb"))
+    sigTable(df, idCol, textCol, n, h, parity)
+      .select(col(idCol), explode(bandBuckets(col("sig"), b, h / b)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** Candidate pairs from bucket co-occupancy (id1 < id2, distinct).
     * This is the LSH step that avoids the n² all-pairs product: the
-    * join key is (band, bucket), so only docs sharing a bucket meet. */
-  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
-    val a = buckets.select(col(idCol).as("id1"), col("band"), col("bucket"))
-    val b = buckets.select(col(idCol).as("id2"), col("band"), col("bucket"))
+    * join key is (band, bucket), so only docs sharing a bucket meet.
+    * maxBucket caps bucket size — the classic banded-LSH skew guard: a
+    * degenerate (band, bucket) with m members (boilerplate docs)
+    * otherwise contributes m² join rows. Oversized buckets are dropped
+    * (their members still meet via their other b-1 bands unless they
+    * are pathological everywhere). */
+  def candidatePairs(buckets: DataFrame, idCol: String,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    val base =
+      if (maxBucket == Int.MaxValue) buckets
+      else {
+        val ok = buckets.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+          .select("band", "bucket")
+        buckets.join(ok, Seq("band", "bucket"), "left_semi")
+      }
+    val a = base.select(col(idCol).as("id1"), col("band"), col("bucket"))
+    val b = base.select(col(idCol).as("id2"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
@@ -86,24 +137,41 @@ object Dedup {
   }
 
   /** Near-duplicate pairs: LSH candidates verified with exact n-gram
-    * Jaccard, keeping pairs with sim >= minSim. */
+    * Jaccard, keeping pairs with sim >= minSim.
+    *
+    * Single-pass: the (id, shingles, signature) table is computed once
+    * and CACHED — it feeds both sides of the bucket self-join AND the
+    * verification joins (previously shingling+signing ran 3×, most of
+    * the query's cost). At 100 TB the cache becomes a materialized
+    * intermediate table (persist DISK_ONLY or a checkpoint); the
+    * asymptotics are unchanged. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, h: Int = 16, b: Int = 8,
-                     minSim: Double = 0.0): DataFrame = {
-    val pairs = candidatePairs(minhashBuckets(df, idCol, textCol, n, h, b), idCol)
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    pairs
-      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+                     minSim: Double = 0.0, parity: Boolean = false,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(h % b == 0, s"h=$h must be divisible by b=$b")
+    val sigs = sigTable(df, idCol, textCol, n, h, parity)
+      .select(col(idCol).as("id"), col("sh"), col("sig")).cache()
+    val buckets = sigs
+      .select(col("id"), explode(bandBuckets(col("sig"), b, h / b)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    candidatePairs(buckets, "id", maxBucket)
+      .join(sigs.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sigs.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
       .select(col("id1"), col("id2"), jaccardSim(col("sh1"), col("sh2")).as("sim"))
       .filter(col("sim") >= minSim)
   }
 
   /** Content hash for exact dedup: md5 of the concatenated key columns
     * with a \u0001 separator (collision-safe for text columns that
-    * cannot contain the separator). */
+    * cannot contain the separator). NULLs are replaced by a distinct
+    * \u0002 sentinel BEFORE concat_ws — concat_ws SKIPS nulls, so
+    * without it multi-column keys ('a', NULL) and (NULL, 'a') would
+    * collide. For a single non-null column this degenerates to
+    * md5(col), which is what the oracle computes. */
   def contentHash(cols: Column*): Column =
-    md5(concat_ws("\u0001", cols: _*))
+    md5(concat_ws("\u0001",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*))
 
   /** Exact-duplicate groups: (hash, n, keep_id) — one row per distinct
     * content, keep_id = lowest id of the group (the canonical row). */

@@ -48,23 +48,31 @@ object Events {
       .select(unix_timestamp(col("w.start")).as("bucket"), col("event_type"), col("n"))
 
   /** Gap-based sessionization (islands idiom): a new session starts
-    * when the user's inter-event gap exceeds gapNanos. Output: one row
+    * when the user's inter-event gap exceeds gapMicros. Output: one row
     * per (user, session) with bounds and counts, all exact integers.
-    * Two window functions over the same (user_id, ts, event_id)
-    * ordering — one shuffle by user_id. */
-  def sessionize(df: DataFrame, gapNanos: Long): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    df.select(col("user_id"), col("ts"), col("event_id"))
+    * Two window functions over the same (user_id, ts_us, event_id)
+    * ordering — one shuffle by user_id.
+    *
+    * Session arithmetic is defined at MICROSECOND precision on both
+    * engines: the raw column is epoch NANOS (Parquet TIMESTAMP(NANOS),
+    * nanosAsLong=true) but DuckDB's timestamp type truncates to micros,
+    * so the sub-microsecond digits are unrecoverable on the oracle
+    * side. Truncating BEFORE the gap compare (not just on output)
+    * guarantees a session boundary can never straddle the lost digits
+    * — both engines see identical gaps. */
+  def sessionize(df: DataFrame, gapMicros: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    df.select(col("user_id"), ldiv(col("ts"), 1000L).as("ts_us"), col("event_id"))
       .withColumn("new_session",
-        when(col("ts") - lag("ts", 1).over(byUser) > gapNanos, 1)
-          .when(lag("ts", 1).over(byUser).isNull, 1).otherwise(0))
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) > gapMicros, 1)
+          .when(lag("ts_us", 1).over(byUser).isNull, 1).otherwise(0))
       .withColumn("session_id", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
-        min("ts").as("t_start"),
-        max("ts").as("t_end"),
-        (max("ts") - min("ts")).as("duration_ns"))
+        min("ts_us").as("t_start_us"),
+        max("ts_us").as("t_end_us"),
+        (max("ts_us") - min("ts_us")).as("duration_us"))
   }
 
   /** Native session_window twin of sessionize (streaming-capable). */

@@ -90,8 +90,8 @@ object KMeans {
   def step(df: DataFrame, featCol: String, cents: Centroids,
            keepEmpty: Boolean = false): Centroids = {
     val assigned = df.select(
-      assignColumn(cents, col(featCol)).as("cluster"),
-      col(featCol).as("f"))
+      assignColumn(cents, VectorOps.toDouble(col(featCol))).as("cluster"),
+      VectorOps.toDouble(col(featCol)).as("f"))
     val next = assigned.groupBy("cluster")
       .agg(VectorMeanAgg.vecMean(col("f")).as("c"))
       .collect()

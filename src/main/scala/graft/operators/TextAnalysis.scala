@@ -73,13 +73,21 @@ object TextAnalysis {
   val DefaultStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
 
   /** Corpus-level term frequencies with rank, top-n by (count desc,
-    * term asc). One explode + one hash-aggregate + a tiny top-n. */
+    * term asc). One explode + one hash-aggregate + a parallel top-n:
+    * `orderBy(...).limit(n)` plans as TakeOrderedAndProject — each
+    * partition ships only its local top-n, never the full vocabulary
+    * (an unpartitioned ranking Window would sort hundreds of millions
+    * of distinct terms on ONE partition at web-corpus scale). Rank is
+    * derived on the tiny collected result (n rows on the driver). */
   def topTerms(df: DataFrame, textCol: String, n: Int): DataFrame = {
     val counts = df.select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-    counts.withColumn("rank",
-        row_number().over(Window.orderBy(col("cnt").desc, col("term"))).cast("int"))
-      .filter(col("rank") <= n)
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(n)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    top.zipWithIndex.map { case ((t, c), i) => (t, c, i + 1) }
+      .toSeq.toDF("term", "cnt", "rank")
   }
 
   /** (doc, term) TF + corpus DF counts — the exact-integer core of

@@ -10,6 +10,7 @@ class EventsSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val G = 1000000000L // ns per second
+  private val M = 1000000L    // µs per second (sessionize works in micros)
 
   private def ev(id: Long, tSec: Long, user: Long, typ: String, v: Double, k: Long = 1) =
     (id, tSec * G, user, typ, v, s"""{"k": $k}""")
@@ -47,23 +48,34 @@ class EventsSpec extends AnyFunSuite {
   }
 
   test("sessionize splits on gaps > threshold and aggregates bounds") {
-    val gap30m = 1800L * G
+    val gap30m = 1800L * M
     val e = Seq(
       ev(1, 0, 1, "a", 0), ev(2, 60, 1, "a", 0),        // session 1: 2 events
       ev(3, 60 + 1800 + 61, 1, "a", 0),                  // gap > 30min → session 2
       ev(4, 0, 2, "a", 0))                               // user 2: own session
     val got = Events.sessionize(df(e), gap30m)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(5))).toMap
-    assert(got((1L, 1)) === ((2L, 60L * G)))   // 2 events, 60s duration
+    assert(got((1L, 1)) === ((2L, 60L * M)))   // 2 events, 60s duration
     assert(got((1L, 2)) === ((1L, 0L)))
     assert(got((2L, 1)) === ((1L, 0L)))
   }
 
   test("a gap of exactly the threshold does NOT split (strict >)") {
     val e = Seq(ev(1, 0, 1, "a", 0), ev(2, 1800, 1, "a", 0))
-    val got = Events.sessionize(df(e), 1800L * G).collect()
+    val got = Events.sessionize(df(e), 1800L * M).collect()
     assert(got.length === 1)
     assert(got(0).getLong(2) === 2L)
+  }
+
+  test("sessionize truncates sub-microsecond digits BEFORE the gap compare") {
+    // two events 1800s apart in micros, but with nano digits that would
+    // push the raw-nano gap over the threshold — must NOT split.
+    val e = Seq((1L, 100L, 1L, "a", 0.0, "{}"),
+      (2L, 1800L * G + 900L, 1L, "a", 0.0, "{}"))  // nano gap 1800s+800ns
+    val got = Events.sessionize(df(e), 1800L * M).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(3) === 0L)           // t_start_us truncated
+    assert(got(0).getLong(5) === 1800L * M)    // duration_us exact micros
   }
 
   test("propsAgg extracts JSON ints and aggregates exactly") {
