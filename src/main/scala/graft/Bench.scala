@@ -15,10 +15,16 @@ object Bench {
     // lets Catalyst prune unreferenced projections, so pure-projection
     // queries would only measure the Parquet scan). Failures propagate:
     // a broken query must not bench "fast and green".
+    // releaseCaches after each query: operator-internal caches (the
+    // nearDuplicates signature table) must not leak across queries —
+    // both for memory hygiene and so no query benches against another
+    // query's warm cache.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.operators.Dedup.releaseCaches()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -36,6 +36,16 @@ object VectorOps {
     when(d =!= 0.0, dot(a, b) / d)
   }
 
+  /** Cosine with caller-precomputed norms — the hot-path form: in an
+    * N×M scoring join each side's norm is computed ONCE per row
+    * upstream instead of once per PAIR (3× fewer folds / array
+    * allocations per pair). Bit-identical to cosine(): the hoisted
+    * norm is the same double, so the quotient is the same. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val d = na * nb
+    when(d =!= 0.0, dot(a, b) / d)
+  }
+
   /** Sequential left-fold sum of an array<double>. Unlike a
     * distributed `sum`, the fold order is pinned (left-to-right over
     * the array), so over a SORTED array the result is bit-deterministic

@@ -28,6 +28,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Cached intermediates created by operators in this object (the
+    * signature table inside nearDuplicates). Spark's CacheManager pins
+    * them for the SparkSession's lifetime, so long-lived sessions that
+    * call nearDuplicates repeatedly must release them: call
+    * releaseCaches() after materializing the result (Bench/Verify do
+    * this after every query action). */
+  private val cachedTables = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def registerCache(df: DataFrame): DataFrame = synchronized {
+    val c = df.cache(); cachedTables += c; c
+  }
+
+  /** Unpersist every intermediate cached by this object's operators.
+    * Safe to call at any time — a released cache is recomputed, not
+    * wrong. */
+  def releaseCaches(): Unit = synchronized {
+    cachedTables.foreach(_.unpersist(false)); cachedTables.clear()
+  }
+
   /** Whitespace tokenization — single-space split, matching the
     * synthetic corpus and DuckDB's string_split. */
   def tokens(text: Column): Column = split(text, " ")
@@ -144,14 +163,19 @@ object Dedup {
     * verification joins (previously shingling+signing ran 3×, most of
     * the query's cost). At 100 TB the cache becomes a materialized
     * intermediate table (persist DISK_ONLY or a checkpoint); the
-    * asymptotics are unchanged. */
+    * asymptotics are unchanged.
+    *
+    * Cache lifecycle: the signature cache lives until
+    * Dedup.releaseCaches() — call it once the result is materialized
+    * (long-lived sessions would otherwise accumulate one pinned
+    * dataset per invocation). */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, h: Int = 16, b: Int = 8,
                      minSim: Double = 0.0, parity: Boolean = false,
                      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(h % b == 0, s"h=$h must be divisible by b=$b")
-    val sigs = sigTable(df, idCol, textCol, n, h, parity)
-      .select(col(idCol).as("id"), col("sh"), col("sig")).cache()
+    val sigs = registerCache(sigTable(df, idCol, textCol, n, h, parity)
+      .select(col(idCol).as("id"), col("sh"), col("sig")))
     val buckets = sigs
       .select(col("id"), explode(bandBuckets(col("sig"), b, h / b)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -191,19 +215,23 @@ object Dedup {
 
   private val HexChars = "0123456789abcdef"
 
+  /** Bit masks 2^15 .. 2^0, MSB first — plan literal shared by every
+    * tokenBits evaluation. */
+  private val Masks16: Seq[Int] = (15 to 0 by -1).map(1 << _)
+
   /** Per-token 64 bits from its md5, as an array<int> of 0/1, MSB
-    * first. The digest is read as 4 × 16-bit words via conv(hex) —
-    * 16-bit values are exact in double, so the bit extraction
-    * floor(v / 2^j) % 2 is integer-exact and mirrors the DuckDB
-    * formulation digit-for-digit. */
+    * first. The digest is read as 4 × 16-bit words via conv(hex); bits
+    * come out with pure integer mask tests (v & 2^j) — no double
+    * pow/floor in the hot loop. Produces the same bits as the DuckDB
+    * oracle's floor(v / 2^j) % 2 formulation (both are exact). */
   private def tokenBits(tok: Column): Column = {
     val m = md5(tok)
     val words = array((0 until 4).map { w =>
       conv(substring(m, 1 + 4 * w, 4), 16, 10).cast("int")
     }: _*)
     flatten(transform(words, v =>
-      transform(sequence(lit(15), lit(0), lit(-1)),
-        j => (floor(v / pow(lit(2.0), j)) % 2).cast("int"))))
+      transform(typedlit(Masks16), k =>
+        when(v.bitwiseAND(k) > 0, 1).otherwise(0))))
   }
 
   /** 64-bit SimHash of a token array (term frequency weighted: each

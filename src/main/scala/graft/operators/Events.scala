@@ -18,16 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** Exact integral division (SQL `div`). Plain `/` is DOUBLE division
-    * — a 2024 epoch-nano (~1.7e18) exceeds 2^53, so the double path
-    * can misbucket values near boundaries; `div` stays in long. */
+  /** Exact integral division (SQL `div`, truncates toward zero). Plain
+    * `/` is DOUBLE division — a 2024 epoch-nano (~1.7e18) exceeds
+    * 2^53, so the double path can misbucket values near boundaries;
+    * `div` stays in long. */
   private def ldiv(a: Column, b: Long): Column = call_function("div", a, lit(b))
 
-  /** Nanosecond epoch → timestamp (microsecond truncation). */
-  def tsFromNanos(ns: Column): Column = timestamp_micros(ldiv(ns, 1000L))
+  /** FLOOR integral division (rounds toward -infinity): `div` truncates
+    * toward zero, so for a pre-1970 nano like -100 it yields 0 where
+    * timestamp semantics (and DuckDB's epoch_us) demand -1 — a 1 µs
+    * shift that could flip a session boundary. pmod(a,b) is in [0,b),
+    * so a - pmod(a,b) is the largest multiple of b <= a, exactly. */
+  private def lfloorDiv(a: Column, b: Long): Column =
+    call_function("div", a - pmod(a, lit(b)), lit(b))
+
+  /** Nanosecond epoch → timestamp (microsecond FLOOR, like epoch_us —
+    * a timestamp is the microsecond interval containing the instant). */
+  def tsFromNanos(ns: Column): Column = timestamp_micros(lfloorDiv(ns, 1000L))
 
   /** Tumbling bucket start in epoch SECONDS from an epoch-nano long —
-    * pure integer floor division, bit-exact cross-engine. */
+    * exact integer division, bit-exact cross-engine. Deliberately
+    * TRUNCATING (not flooring): the oracle buckets with DuckDB's `//`,
+    * which truncates for integers (verified: -7 // 2 = -3), so both
+    * engines place a pre-1970 event in the same bucket. */
   def bucketEpoch(ns: Column, widthSeconds: Long): Column =
     ldiv(ns, widthSeconds * 1000000000L) * widthSeconds
 
@@ -57,12 +70,14 @@ object Events {
     * engines: the raw column is epoch NANOS (Parquet TIMESTAMP(NANOS),
     * nanosAsLong=true) but DuckDB's timestamp type truncates to micros,
     * so the sub-microsecond digits are unrecoverable on the oracle
-    * side. Truncating BEFORE the gap compare (not just on output)
+    * side. Flooring BEFORE the gap compare (not just on output)
     * guarantees a session boundary can never straddle the lost digits
-    * — both engines see identical gaps. */
+    * — both engines see identical gaps. FLOOR division (not `div`)
+    * because DuckDB's epoch_us floors: a -100 ns event is in
+    * microsecond -1 on both engines. */
   def sessionize(df: DataFrame, gapMicros: Long): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    df.select(col("user_id"), ldiv(col("ts"), 1000L).as("ts_us"), col("event_id"))
+    df.select(col("user_id"), lfloorDiv(col("ts"), 1000L).as("ts_us"), col("event_id"))
       .withColumn("new_session",
         when(col("ts_us") - lag("ts_us", 1).over(byUser) > gapMicros, 1)
           .when(lag("ts_us", 1).over(byUser).isNull, 1).otherwise(0))

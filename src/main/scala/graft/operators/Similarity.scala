@@ -34,12 +34,15 @@ object Similarity {
                  k: Int): DataFrame = {
     val scored = corpus
       .select(col(idCol).cast("long").as("__id"), VectorOps.toDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", VectorOps.norm2(col("__v")))
       .crossJoin(broadcast(probes.select(
         col(probeIdCol).cast("long").as("probe_id"),
-        VectorOps.toDouble(col(probeVecCol)).as("__pv"))))
+        VectorOps.toDouble(col(probeVecCol)).as("__pv"))
+        .withColumn("__pn", VectorOps.norm2(col("__pv")))))
       .filter(col("__id") =!= col("probe_id"))
       .select(col("probe_id"), col("__id"),
-        VectorOps.cosine(col("__v"), col("__pv")).as("__sim"))
+        VectorOps.cosineWithNorms(col("__v"), col("__pv"), col("__n"), col("__pn"))
+          .as("__sim"))
     scored.groupBy("probe_id")
       .agg(TopKAgg.topK(k, col("__id"), col("__sim")).as("top"))
       .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))
@@ -96,11 +99,14 @@ object Similarity {
       .filter(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"), col(idCol)).distinct()
     val scored = cands
-      .join(corpus.select(col(idCol), VectorOps.toDouble(col(vecCol)).as("__v")), idCol)
+      .join(corpus.select(col(idCol), VectorOps.toDouble(col(vecCol)).as("__v"))
+        .withColumn("__n", VectorOps.norm2(col("__v"))), idCol)
       .join(broadcast(probes.select(col(probeIdCol).cast("long").as("probe_id"),
-        VectorOps.toDouble(col(probeVecCol)).as("__pv"))), "probe_id")
+        VectorOps.toDouble(col(probeVecCol)).as("__pv"))
+        .withColumn("__pn", VectorOps.norm2(col("__pv")))), "probe_id")
       .select(col("probe_id"), col(idCol).cast("long").as("__id"),
-        VectorOps.cosine(col("__v"), col("__pv")).as("__sim"))
+        VectorOps.cosineWithNorms(col("__v"), col("__pv"), col("__n"), col("__pn"))
+          .as("__sim"))
     scored.groupBy("probe_id")
       .agg(TopKAgg.topK(k, col("__id"), col("__sim")).as("top"))
       .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))
@@ -120,6 +126,7 @@ object Similarity {
     val cell = KMeans.assign(
       corpus.select(col(idCol).cast("long").as("__id"), VectorOps.toDouble(col(vecCol)).as("__v")),
       "__v", cents, outCol = "cell")
+      .withColumn("__n", VectorOps.norm2(col("__v")))
     // nprobe nearest cells per probe: rank centroids by (sqDist, cid)
     val probeCells = probes
       .select(col(probeIdCol).cast("long").as("probe_id"), VectorOps.toDouble(col(probeVecCol)).as("__pv"))
@@ -128,10 +135,12 @@ object Similarity {
           c => struct(VectorOps.sqDist(col("__pv"), c.getField("_2")).as("d"),
             c.getField("_1").as("cid")))), 1, nprobe)).as("pc"))
       .select(col("probe_id"), col("__pv"), col("pc.cid").as("cell"))
+      .withColumn("__pn", VectorOps.norm2(col("__pv")))
     val scored = cell.join(broadcast(probeCells), "cell")
       .filter(col("__id") =!= col("probe_id"))
       .select(col("probe_id"), col("__id"),
-        VectorOps.cosine(col("__v"), col("__pv")).as("__sim"))
+        VectorOps.cosineWithNorms(col("__v"), col("__pv"), col("__n"), col("__pn"))
+          .as("__sim"))
     scored.groupBy("probe_id")
       .agg(TopKAgg.topK(k, col("__id"), col("__sim")).as("top"))
       .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))

@@ -77,17 +77,16 @@ object TextAnalysis {
     * `orderBy(...).limit(n)` plans as TakeOrderedAndProject — each
     * partition ships only its local top-n, never the full vocabulary
     * (an unpartitioned ranking Window would sort hundreds of millions
-    * of distinct terms on ONE partition at web-corpus scale). Rank is
-    * derived on the tiny collected result (n rows on the driver). */
+    * of distinct terms on ONE partition at web-corpus scale). The
+    * ranking Window downstream of the limit is harmless — its input is
+    * exactly n rows — and keeps the operator LAZY (composing the plan
+    * triggers no job). */
   def topTerms(df: DataFrame, textCol: String, n: Int): DataFrame = {
     val counts = df.select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val top = counts.orderBy(col("cnt").desc, col("term")).limit(n)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val spark = df.sparkSession
-    import spark.implicits._
-    top.zipWithIndex.map { case ((t, c), i) => (t, c, i + 1) }
-      .toSeq.toDF("term", "cnt", "rank")
+    counts.orderBy(col("cnt").desc, col("term")).limit(n)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))).cast("int"))
   }
 
   /** (doc, term) TF + corpus DF counts — the exact-integer core of

@@ -51,6 +51,52 @@ class DedupSpec extends AnyFunSuite {
     assert(byBand === 8L)
   }
 
+  test("fast path (parity=false): xxhash64 base hashes are 32-bit and deterministic") {
+    val df = Seq((1L, base)).toDF("doc_id", "text")
+      .select(Dedup.shingleHashes(Dedup.shingles(col("text"), 3), parity = false).as("hs"))
+    val hs1 = df.collect()(0).getSeq[Long](0)
+    val hs2 = df.collect()(0).getSeq[Long](0)
+    assert(hs1 === hs2)                                  // deterministic across runs
+    assert(hs1.nonEmpty && hs1.forall(h => h >= 0L && h <= 4294967295L)) // masked to 32 bits
+    assert(hs1.distinct.length === hs1.length)           // distinct shingles -> distinct hashes
+  }
+
+  test("fast path: near-dup results carry exact Jaccard sims, same as parity mode") {
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val fast = Dedup.nearDuplicates(df, "doc_id", "text", n = 3, h = 16, b = 8,
+        minSim = 0.5, parity = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Dedup.releaseCaches()
+    // the verification stage is hash-independent (exact n-gram Jaccard),
+    // so the surviving pairs and their sims must match the parity mode
+    assert(fast.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+    assert(math.abs(fast(0)._3 - 10.0 / 12.0) < 1e-12)
+  }
+
+  test("maxBucket drops oversized buckets but pairs still meet via other bands") {
+    // 12 identical docs: every (band, bucket) holds all 12 -> any
+    // maxBucket < 12 drops every bucket and no pairs survive...
+    val many = (1L to 12L).map(i => (i, base))
+    val df = many.toDF("doc_id", "text")
+    val capped = Dedup.nearDuplicates(df, "doc_id", "text", n = 3, h = 16, b = 8,
+      minSim = 0.0, parity = false, maxBucket = 11)
+    assert(capped.count() === 0L)
+    Dedup.releaseCaches()
+    // ...while a cap >= the bucket size keeps all 12*11/2 pairs
+    val uncapped = Dedup.nearDuplicates(df, "doc_id", "text", n = 3, h = 16, b = 8,
+      minSim = 0.0, parity = false, maxBucket = 12)
+    assert(uncapped.count() === 66L)
+    Dedup.releaseCaches()
+    // mixed skew: 12 identical boilerplate docs (capped away) + one
+    // genuine near-dup pair in a small bucket survives the cap
+    val mixed = (many ++ Seq((100L, nearDup + " extra"), (101L, nearDup + " extra"))).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(mixed, "doc_id", "text", n = 3, h = 16, b = 8,
+        minSim = 0.9, parity = false, maxBucket = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    Dedup.releaseCaches()
+    assert(pairs.toSeq === Seq((100L, 101L)))
+  }
+
   test("simhash: identical tokens give identical fingerprints; near-dups are close") {
     val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, unrelated)).toDF("doc_id", "text")
       .select(col("doc_id"), Dedup.simhash(Dedup.tokens(col("text"))).as("fp"))
