@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{ClusterMetrics, Dedup, Events, KMeans, Similarity, TextAnalysis}
 import graft.functions.VectorOps
+import graft.sources.GeneIO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,6 +67,19 @@ object SparkEntry {
     "q_scan_project" -> ((s, dir) => {
       Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), size(col("embedding")).as("dims"))
+    }),
+
+    // ── op 1-2 on the REFERENCE'S OWN FORMAT: gene TSV reader ───────
+    // Reads /root/reference/data/new_dataset_1.txt (Iris) — the
+    // reference's actual input path (KMeans.java:79-96). Features
+    // emitted as 4 scalar double columns for exact oracle compare.
+    "q_gene_parse" -> ((s, _) => {
+      val g = GeneIO.readGenes(s, "/root/reference/data/new_dataset_1.txt")
+      g.select(col("id"), col("label"),
+        element_at(col("features"), 1).as("f1"),
+        element_at(col("features"), 2).as("f2"),
+        element_at(col("features"), 3).as("f3"),
+        element_at(col("features"), 4).as("f4"))
     }),
 
     // ── op 12: explicit-id init, renumbered 1..k (KMeans.java:597-606)
@@ -514,6 +528,12 @@ object SparkEntry {
 
     "q_scan_project" ->
       "SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dims FROM embeddings",
+
+    "q_gene_parse" ->
+      """SELECT CAST(column0 AS BIGINT) AS id, CAST(column1 AS INTEGER) AS label,
+        |       CAST(column2 AS DOUBLE) AS f1, CAST(column3 AS DOUBLE) AS f2,
+        |       CAST(column4 AS DOUBLE) AS f3, CAST(column5 AS DOUBLE) AS f4
+        |FROM read_csv('/root/reference/data/new_dataset_1.txt', sep='\t', header=false)""".stripMargin,
 
     "q_kmeans_init" ->
       """SELECT i.cluster, i.vec_id, CAST(e.embedding[1] AS DOUBLE) AS f1
