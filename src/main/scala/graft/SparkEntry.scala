@@ -138,6 +138,42 @@ object SparkEntry {
       ClusterMetrics.jaccard(assigned, "label", "cluster")
     }),
 
+    // ── op 10-11: iterative driver loop, 2 Lloyd steps from FirstK(8)
+    // The loop's oracle gate: both engines run assign→mean twice with
+    // the sorted-fold determinism contract, so the step-2 centroids
+    // are bit-exact. (The scale path is fit()/VectorMeanAgg, golden-
+    // tested on Iris in KMeansSpec.)
+    "q_kmeans_fit2" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val c1 = KMeans.stepSortedFold(emb, "embedding", cents8(s, dir))
+      val c2 = KMeans.stepSortedFold(emb, "embedding", c1)
+      import s.implicits._
+      c2.toSeq.flatMap { case (cid, v) =>
+        v.zipWithIndex.map { case (x, i) => (cid, i + 1, x) }
+      }.toDF("cluster", "pos", "val")
+    }),
+
+    // ── op 11 + 16: convergence predicate + telemetry ───────────────
+    // (iterations run, surviving cluster count, converged flag) after
+    // the same 2-step parity loop — the reference's printed job count
+    // and checkSimilar verdict (KMeans.java:283,291-310).
+    "q_kmeans_fit_meta" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val c1 = KMeans.stepSortedFold(emb, "embedding", cents8(s, dir))
+      val c2 = KMeans.stepSortedFold(emb, "embedding", c1)
+      import s.implicits._
+      Seq((2, c2.length, KMeans.isConverged(c1, c2, 0.0)))
+        .toDF("iterations", "n_clusters", "converged")
+    }),
+
+    // ── op 13: membership id-list per cluster (KMeans.java:471) ─────
+    "q_membership" -> ((s, dir) => {
+      val assigned = KMeans.assign(Tables(s, dir, "embeddings"), "embedding", cents8(s, dir))
+      KMeans.membershipLists(assigned, "vec_id")
+        .select(col("cluster"), col("n"),
+          array_join(col("member_ids"), ",").as("members"))
+    }),
+
     // ── LLM-pipeline: exact cosine top-k (TopKAgg partial-agg path) ─
     "q_topk_cosine" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -259,6 +295,44 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     })
   )
+
+  /** DuckDB CTEs for the 2-step Lloyd parity loop (q_kmeans_fit2 /
+    * q_kmeans_fit_meta): extends sqlCents8's (c, d, a) with the
+    * posexplode'd values (x), step-1 sorted-fold centroids (c1), their
+    * vector form (c1v), step-2 assignment (d2, a2), and step-2
+    * centroids (c2). Means use list_reduce(list_sort(...)) — the same
+    * sorted-fold contract as q_centroid_update, bit-exact vs Spark. */
+  private val sqlFit2 =
+    s"""$sqlCents8,
+       |x AS (
+       |  SELECT vec_id,
+       |         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+       |         CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings
+       |),
+       |c1 AS (
+       |  SELECT a.cluster, x.pos,
+       |         list_reduce(list_sort(list(x.v)), (acc, e) -> acc + e) / count(*) AS val
+       |  FROM a JOIN x USING (vec_id) GROUP BY 1, 2
+       |),
+       |c1v AS (SELECT cluster AS cid, list(val ORDER BY pos) AS cvec FROM c1 GROUP BY 1),
+       |d2 AS (
+       |  SELECT e.vec_id, c1v.cid,
+       |         list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c1v.cvec),
+       |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+       |  FROM embeddings e CROSS JOIN c1v
+       |),
+       |a2 AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d2) WHERE rn = 1
+       |),
+       |c2 AS (
+       |  SELECT a2.cluster, x.pos,
+       |         list_reduce(list_sort(list(x.v)), (acc, e) -> acc + e) / count(*) AS val
+       |  FROM a2 JOIN x USING (vec_id) GROUP BY 1, 2
+       |)""".stripMargin
 
   /** DuckDB CTEs mirroring Dedup.shingles/shingleHashes(parity)/
     * minhashSignature/bandBuckets (trigram shingles, one md5-derived
@@ -562,6 +636,27 @@ object SparkEntry {
          |SELECT list_reduce(list_sort(list(m)), (acc, e) -> acc + e) AS cost,
          |       count(*) AS n
          |FROM (SELECT vec_id, min(dist) AS m FROM d GROUP BY 1)""".stripMargin,
+
+    "q_kmeans_fit2" ->
+      s"""WITH $sqlFit2
+         |SELECT cluster, pos, val FROM c2""".stripMargin,
+
+    "q_kmeans_fit_meta" ->
+      s"""WITH $sqlFit2
+         |SELECT CAST(2 AS INTEGER) AS iterations,
+         |       CAST((SELECT count(DISTINCT cluster) FROM c2) AS INTEGER) AS n_clusters,
+         |       ((SELECT count(*) FROM c1) = (SELECT count(*) FROM c2)
+         |        AND (SELECT count(*) FROM
+         |               (SELECT cluster, pos, val FROM c1
+         |                UNION
+         |                SELECT cluster, pos, val FROM c2))
+         |            = (SELECT count(*) FROM c1)) AS converged""".stripMargin,
+
+    "q_membership" ->
+      s"""WITH $sqlCents8
+         |SELECT cluster, count(*) AS n,
+         |       string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS members
+         |FROM a GROUP BY cluster""".stripMargin,
 
     "q_jaccard" ->
       s"""WITH $sqlCents8,

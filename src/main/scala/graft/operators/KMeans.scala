@@ -104,6 +104,43 @@ object KMeans {
     }
   }
 
+  /** Sorted-fold Lloyd step — the oracle-expressible FP-parity twin of
+    * step(): per-(cluster, dim) means computed as a sequential left
+    * fold over the SORTED group values (see q_centroid_update's
+    * determinism contract), bit-identical to DuckDB's
+    * `list_reduce(list_sort(list(v)), +)`. The scale path remains
+    * step()/VectorMeanAgg (O(k·d·tasks) shuffle); this twin ships the
+    * group VALUES (O(rows·d)) and exists so the iterative driver loop
+    * (ops 10-11) has a bit-exact cross-engine correctness gate. */
+  def stepSortedFold(df: DataFrame, featCol: String, cents: Centroids): Centroids = {
+    val assigned = df.select(
+      assignColumn(cents, VectorOps.toDouble(col(featCol))).as("cluster"),
+      VectorOps.toDouble(col(featCol)).as("f"))
+    assigned
+      .select(col("cluster"), posexplode(col("f")).as(Seq("pos0", "v")))
+      .groupBy(col("cluster"), col("pos0"))
+      .agg(collect_list(col("v")).as("vs"))
+      .select(col("cluster"), col("pos0"),
+        (VectorOps.foldSum(array_sort(col("vs"))) / size(col("vs"))).as("val"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toArray
+      .map { case (cid, dims) => cid -> dims.sortBy(_._2).map(_._3) }
+      .sortBy(_._1)
+  }
+
+  /** Per-cluster membership id list (`KMeans.java:471` — the reducer's
+    * pipe-joined member-id list, op 13). Output: (cluster, n,
+    * member_ids sorted ascending). The reference rendered this into
+    * the centroid text format; here it is a first-class table. One
+    * O(rows) shuffle on the cluster key; the sorted array makes the
+    * output deterministic. */
+  def membershipLists(assigned: DataFrame, idCol: String,
+                      clusterCol: String = "cluster"): DataFrame =
+    assigned.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(col(idCol).cast("long"))).as("member_ids"))
+
   /** Reference convergence predicate (`KMeans.java:291-310`): same
     * cluster-id set AND per-centroid movement <= tol; tol=0.0
     * reproduces the exact-zero test at `KMeans.java:300-304`. A

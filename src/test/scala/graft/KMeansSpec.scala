@@ -97,6 +97,29 @@ class KMeansSpec extends AnyFunSuite {
     assert(model.iterations == 1)
   }
 
+  test("stepSortedFold matches step within FP tolerance") {
+    val cents = KMeans.initCentroids(tiny, "id", "features", FirstK(2))
+    val a = KMeans.step(tiny, "features", cents)
+    val b = KMeans.stepSortedFold(tiny, "features", cents)
+    assert(a.map(_._1).toSeq == b.map(_._1).toSeq)
+    a.zip(b).foreach { case ((_, va), (_, vb)) =>
+      va.zip(vb).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+    }
+  }
+
+  test("membershipLists: sorted ids per cluster, counts match") {
+    val cents = KMeans.initCentroids(tiny, "id", "features", ExplicitIds(Seq(1L, 4L)))
+    val assigned = KMeans.assign(tiny, "features", cents)
+    val rows = KMeans.membershipLists(assigned, "id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq)).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2))
+    rows.foreach { case (_, n, ids) =>
+      assert(n == ids.length)
+      assert(ids == ids.sorted)
+    }
+    assert(rows.flatMap(_._3).sorted.toSeq == (1L to 6L).toSeq)
+  }
+
   test("fit: SSE is non-increasing across iterations (Lloyd invariant)") {
     val df = tiny.select($"id", $"features".cast("array<double>").as("features")).cache()
     var cents = KMeans.initCentroids(df, "id", "features", ExplicitIds(Seq(1L, 2L)))
