@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterMetrics, Dedup, Events, KMeans, Similarity, TextAnalysis}
+import graft.operators.{ClusterMetrics, Dedup, Events, KMeans, PCA, Similarity, TextAnalysis}
 import graft.functions.VectorOps
 import graft.sources.GeneIO
 
@@ -172,6 +172,15 @@ object SparkEntry {
       KMeans.membershipLists(assigned, "vec_id")
         .select(col("cluster"), col("n"),
           array_join(col("member_ids"), ",").as("members"))
+    }),
+
+    // ── op 17: PCA — the distributed covariance stage ───────────────
+    // (i, j, cov) upper triangle via the sorted-fold parity twin; the
+    // scale path is PCA.moments (one GramAgg pass), equality pinned in
+    // PCASpec. The driver-side eig + projection are spec-covered —
+    // eigendecomposition is not SQL-expressible.
+    "q_pca_cov" -> ((s, dir) => {
+      PCA.covarianceSortedFold(Tables(s, dir, "embeddings"), "embedding")
     }),
 
     // ── LLM-pipeline: exact cosine top-k (TopKAgg partial-agg path) ─
@@ -657,6 +666,25 @@ object SparkEntry {
          |SELECT cluster, count(*) AS n,
          |       string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS members
          |FROM a GROUP BY cluster""".stripMargin,
+
+    "q_pca_cov" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |),
+        |mu AS (
+        |  SELECT i, list_reduce(list_sort(list(v)), (acc, e) -> acc + e) / count(*) AS m
+        |  FROM x GROUP BY 1
+        |),
+        |cx AS (SELECT x.vec_id, x.i, x.v - mu.m AS cv FROM x JOIN mu USING (i)),
+        |pr AS (
+        |  SELECT a.i AS i, b.i AS j, a.cv * b.cv AS p
+        |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |)
+        |SELECT i, j, list_reduce(list_sort(list(p)), (acc, e) -> acc + e) / (count(*) - 1) AS cov
+        |FROM pr GROUP BY 1, 2""".stripMargin,
 
     "q_jaccard" ->
       s"""WITH $sqlCents8,
