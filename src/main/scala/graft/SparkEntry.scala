@@ -196,6 +196,18 @@ object SparkEntry {
         tables = 8, bits = 4, d = 64)
     }),
 
+    // ── LLM-pipeline: full ANN top-k via LSH bucket candidates ──────
+    // Candidates = corpus vectors sharing ANY of the probe's 8
+    // table-buckets, then exact cosine rank among candidates only —
+    // the complete sublinear query path (index build + bucket join +
+    // verify), not just the index table.
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.annTopK(emb, "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        k = 10, tables = 8, bits = 4, d = 64)
+    }),
+
     // ── LLM-pipeline: IVF ANN with K-Means coarse quantizer ─────────
     "q_ivf_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -378,6 +390,30 @@ object SparkEntry {
        | / (sqrt(list_sum(list_transform(list_zip($a, $a), q -> q[1]*q[2])))
        |    * sqrt(list_sum(list_transform(list_zip($b, $b), q -> q[1]*q[2]))))""".stripMargin
 
+  /** DuckDB CTEs mirroring Similarity.hyperplanes/lshBuckets: 8 tables
+    * × 4 md5-derived hyperplanes over d=64, sign-bit bucket strings.
+    * Every coordinate is exact integer / 2^32 arithmetic, so buckets
+    * are bit-identical cross-engine. */
+  private val sqlAnnIndex =
+    """planes AS (
+      |  SELECT l, i,
+      |         [CAST(concat('0x', substr(md5(l || ':' || i || ':' || j), 1, 8)) AS BIGINT)
+      |            / 4294967296.0 * 2 - 1
+      |          for j in range(1, 65)] AS hv
+      |  FROM generate_series(1, 8) t1(l) CROSS JOIN generate_series(1, 4) t2(i)
+      |),
+      |bits AS (
+      |  SELECT e.vec_id, p.l, p.i,
+      |         CASE WHEN list_sum(list_transform(list_zip(e.embedding::DOUBLE[], p.hv),
+      |                                           q -> q[1]*q[2])) >= 0
+      |              THEN '1' ELSE '0' END AS bit
+      |  FROM embeddings e CROSS JOIN planes p
+      |),
+      |bk AS (
+      |  SELECT vec_id, CAST(l AS INTEGER) AS tbl, string_agg(bit, '' ORDER BY i) AS bucket
+      |  FROM bits GROUP BY vec_id, l
+      |)""".stripMargin
+
   /** Probe set shared by the similarity-search oracles: the 5
     * lowest-vec_id embedding rows. */
   private val sqlProbes =
@@ -525,22 +561,29 @@ object SparkEntry {
          |WHERE rn <= 10""".stripMargin,
 
     "q_ann_buckets" ->
-      """WITH planes AS (
-        |  SELECT l, i,
-        |         [CAST(concat('0x', substr(md5(l || ':' || i || ':' || j), 1, 8)) AS BIGINT)
-        |            / 4294967296.0 * 2 - 1
-        |          for j in range(1, 65)] AS hv
-        |  FROM generate_series(1, 8) t1(l) CROSS JOIN generate_series(1, 4) t2(i)
-        |),
-        |bits AS (
-        |  SELECT e.vec_id, p.l, p.i,
-        |         CASE WHEN list_sum(list_transform(list_zip(e.embedding::DOUBLE[], p.hv),
-        |                                           q -> q[1]*q[2])) >= 0
-        |              THEN '1' ELSE '0' END AS bit
-        |  FROM embeddings e CROSS JOIN planes p
-        |)
-        |SELECT vec_id, CAST(l AS INTEGER) AS tbl, string_agg(bit, '' ORDER BY i) AS bucket
-        |FROM bits GROUP BY vec_id, l""".stripMargin,
+      s"""WITH $sqlAnnIndex
+         |SELECT vec_id, tbl, bucket FROM bk""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH $sqlAnnIndex,
+         |$sqlProbes,
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id
+         |  FROM bk c JOIN bk p ON c.tbl = p.tbl AND c.bucket = p.bucket
+         |  WHERE p.vec_id IN (SELECT probe_id FROM pr) AND c.vec_id != p.vec_id
+         |),
+         |s AS (
+         |  SELECT cand.probe_id, cand.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM cand
+         |  JOIN embeddings e ON e.vec_id = cand.vec_id
+         |  JOIN pr ON pr.probe_id = cand.probe_id
+         |)
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 10""".stripMargin,
 
     "q_ivf_topk" ->
       s"""WITH $sqlCents8,
