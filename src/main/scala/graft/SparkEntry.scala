@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterMetrics, Dedup, Events, KMeans, PCA, Similarity, TextAnalysis}
+import graft.operators.{ClusterMetrics, Dedup, Events, KMeans, Multimodal, PCA, Similarity, TextAnalysis}
 import graft.functions.VectorOps
 import graft.sources.GeneIO
 
@@ -301,6 +301,38 @@ object SparkEntry {
       Events.propsAgg(Tables(s, dir, "events"))
     }),
 
+    // ── multimodal: binary payload ingest + typed metadata ──────────
+    // The payload is the text's UTF-8 bytes standing in for media
+    // bytes; the schema/plumbing (opaque binary + struct metadata,
+    // payload column prunable) is the real 100 TB path.
+    "q_mm_meta" -> ((s, dir) => {
+      mmTable(s, dir).select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.channels").as("channels"), col("meta.n_bytes").as("n_bytes"))
+    }),
+
+    // ── multimodal: stubbed decode → pixel statistics ───────────────
+    // (hex-pair byte arithmetic — the deterministic fake decode; the
+    // mapPartitions batch path is pinned equal in MultimodalSpec)
+    "q_mm_stats" -> ((s, dir) => {
+      Multimodal.pixelStats(mmTable(s, dir), "doc_id", "content")
+    }),
+
+    // ── multimodal: fixed-size frame sampling over the binary column
+    "q_mm_frames" -> ((s, dir) => {
+      Multimodal.frameSample(mmTable(s, dir), "doc_id", "content", frameBytes = 256)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("n_bytes"),
+          md5(hex(col("frame"))).as("frame_md5"))
+    }),
+
+    // ── multimodal: deterministic feature extraction → embedding ────
+    "q_mm_embed" -> ((s, dir) => {
+      Multimodal.featureExtract(mmTable(s, dir), "doc_id", "content", d = 8)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("d0", "v")))
+        .select(col("doc_id"), (col("d0") + 1).cast("int").as("dim"), col("v"))
+    }),
+
     // ── relational baseline: TPC-H Q1-style aggregation ─────────────
     "q1_agg" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -421,6 +453,11 @@ object SparkEntry {
       |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5)
       |)""".stripMargin
+
+  /** Shared multimodal ingest: documents with the opaque binary
+    * payload + typed metadata attached. */
+  private def mmTable(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withContent(Tables(s, dir, "documents"), "doc_id", "text")
 
   /** Language profiles for the language-ID heuristic. Word lists must
     * match the q_lang_id oracle SQL VALUES literally. */
@@ -745,6 +782,52 @@ object SparkEntry {
          |SELECT m11, g + p - 2*m11 AS disagree,
          |       CAST(m11 AS DOUBLE) / CAST(g + p - m11 AS DOUBLE) AS jaccard
          |FROM mm, gg, pp""".stripMargin,
+
+    "q_mm_meta" ->
+      """SELECT doc_id, 'gray8' AS format, CAST(16 AS INTEGER) AS width,
+        |       CAST((octet_length(encode(text)) + 15) // 16 AS INTEGER) AS height,
+        |       CAST(1 AS INTEGER) AS channels,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "q_mm_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents
+        |),
+        |px AS (
+        |  SELECT doc_id, n,
+        |         [CAST(concat('0x', substr(hx, 2*i-1, 2)) AS BIGINT)
+        |          for i in range(1, n+1)] AS px
+        |  FROM b
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_px,
+        |       CAST(list_sum(px) AS BIGINT) AS sum_px,
+        |       list_min(px) AS min_px, list_max(px) AS max_px,
+        |       CAST(list_sum(px) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_px
+        |FROM px""".stripMargin,
+
+    "q_mm_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |         substr(hx, (i-1)*512+1, 512) AS fhx
+        |  FROM (SELECT doc_id, hx,
+        |               unnest(range(1, CAST((n + 255) // 256 AS BIGINT) + 1)) AS i
+        |        FROM b)
+        |)
+        |SELECT doc_id, frame_idx, CAST(length(fhx) // 2 AS BIGINT) AS n_bytes,
+        |       md5(fhx) AS frame_md5
+        |FROM f""".stripMargin,
+
+    "q_mm_embed" ->
+      """SELECT doc_id, CAST(j AS INTEGER) AS dim,
+        |       CAST(concat('0x', substr(md5(md5(text) || ':' || j), 1, 8)) AS BIGINT)
+        |         / 4294967296.0 AS v
+        |FROM documents CROSS JOIN generate_series(1, 8) t(j)""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

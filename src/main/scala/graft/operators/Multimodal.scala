@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for LLM-training-data pipelines: media payloads
+  * travel as opaque `binary` columns with typed metadata, and the
+  * decode / feature-extract / resize / frame-sample stages are real
+  * Spark plumbing over them.
+  *
+  * Not in the reference (its one relation is the gene table, SURVEY
+  * §1) — this is 100 TB extension surface. The container has no image
+  * or audio codec libraries, so the DECODE KERNEL is a deterministic
+  * fake (bytes are treated as gray8 pixels); everything around it —
+  * schema, batch shape, partitioning, the hex/byte arithmetic, the
+  * binary slicing — is the real engine path a codec would plug into.
+  *
+  * Scale posture: every operator here is rowwise (no shuffle) and
+  * stays in whole-stage codegen except decodeBatched, which is the
+  * deliberate `mapPartitions` escape hatch for codec libraries that
+  * want batched native calls (the Spark analog of a batched
+  * decode UDF). At 100 TB the binary column dominates scan bytes —
+  * Parquet column pruning means queries that don't touch `content`
+  * never read it, which is why metadata lives in a separate struct
+  * column rather than inside the payload.
+  *
+  * Cross-engine determinism: the fake decode is hex-pair byte
+  * arithmetic (exact integers), frame identity is md5 over the frame's
+  * hex rendering, and embeddings derive from md5 via exact
+  * integer / 2^32 scaling — all bit-exact in the DuckDB oracle.
+  */
+object Multimodal {
+
+  /** Ingest: attach the opaque payload (UTF-8 bytes of textCol — a
+    * stand-in for real media bytes) plus a typed metadata struct
+    * (format, width, height, channels, n_bytes). gray8 16-px-wide
+    * raster: height = ceil(n/16). */
+  def withContent(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val content = encode(col(textCol), "UTF-8")
+    val n = length(content).cast("long")
+    df.select(col(idCol), content.as("content"),
+      struct(
+        lit("gray8").as("format"),
+        lit(16).as("width"),
+        floor((n + 15) / 16.0).cast("int").as("height"),
+        lit(1).as("channels"),
+        n.as("n_bytes")).as("meta"))
+  }
+
+  /** Byte values of a binary column as array<long> — the fake "pixel
+    * decode": hex-render the payload, read 2-char pairs as integers.
+    * Pure codegen HOFs; the arithmetic is exact. */
+  def byteValues(content: Column): Column = {
+    val hx = hex(content)
+    transform(sequence(lit(1), length(content)),
+      i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
+  }
+
+  /** Per-payload pixel statistics (the decode-and-summarize stage):
+    * (id, n_px, sum_px, min_px, max_px, mean_px). Sum/min/max are
+    * exact integers; mean is one exact-integer division — bit-stable
+    * cross-engine with no rounding contract needed. */
+  def pixelStats(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val bs = byteValues(col(contentCol))
+    df.select(col(idCol), bs.as("px"))
+      .select(col(idCol),
+        size(col("px")).cast("long").as("n_px"),
+        aggregate(col("px"), lit(0L), (a, v) => a + v).as("sum_px"),
+        array_min(col("px")).as("min_px"),
+        array_max(col("px")).as("max_px"))
+      .withColumn("mean_px", col("sum_px").cast("double") / col("n_px").cast("double"))
+  }
+
+  /** Fixed-size frame sampling (the video/audio chunking stage):
+    * explode the payload into ceil(n/frameBytes) binary frames of
+    * frameBytes each (last one short), keeping at most maxFrames per
+    * payload. Output: (id, frame_idx 1-based, frame: binary). The
+    * slice runs on the real binary column. */
+  def frameSample(df: DataFrame, idCol: String, contentCol: String,
+                  frameBytes: Int, maxFrames: Int = Int.MaxValue): DataFrame = {
+    val n = length(col(contentCol))
+    val nFrames = least(floor((n + frameBytes - 1) / frameBytes.toDouble).cast("int"),
+      lit(maxFrames))
+    df.select(col(idCol), col(contentCol).as("__c"),
+      explode(sequence(lit(1), nFrames)).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        col("__c").substr((col("frame_idx") - 1) * frameBytes + 1, lit(frameBytes))
+          .as("frame"))
+  }
+
+  /** Deterministic feature extraction (the embedding stage a vision /
+    * audio encoder would fill): d pseudo-random coordinates in [0, 1)
+    * derived from the payload digest — exact integer / 2^32, so the
+    * oracle reproduces every double bitwise. Output embeddings feed
+    * the Similarity operators directly. */
+  def featureExtract(df: DataFrame, idCol: String, contentCol: String, d: Int): DataFrame = {
+    val base = md5(col(contentCol))
+    df.select(col(idCol),
+      transform(sequence(lit(1), lit(d)), j =>
+        conv(substring(md5(concat(base, lit(":"), j.cast("string"))), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0)).as("embedding"))
+  }
+
+  /** Stride resize of the fake gray8 raster (the thumbnail stage):
+    * keep every `stride`-th pixel, update metadata to match. Output:
+    * (id, px: array<long> downsampled, meta with width/height/n_bytes
+    * recomputed). */
+  def resizeByStride(df: DataFrame, idCol: String, contentCol: String, stride: Int): DataFrame = {
+    val bs = byteValues(col(contentCol))
+    df.select(col(idCol), bs.as("__px"))
+      .select(col(idCol),
+        transform(sequence(lit(1), ((size(col("__px")) - 1) / stride + 1).cast("int")),
+          i => element_at(col("__px"), (i - 1) * stride + 1)).as("px"))
+      .select(col(idCol), col("px"),
+        struct(
+          lit("gray8").as("format"),
+          lit(16).as("width"),
+          floor((size(col("px")) + 15) / 16.0).cast("int").as("height"),
+          lit(1).as("channels"),
+          size(col("px")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Decoded-record shape produced by a batch decoder. */
+  final case class Decoded(id: Long, width: Int, height: Int, meanPx: Double)
+
+  /** The batched-decode escape hatch: partitions are processed in
+    * batches of `batchSize` payloads, each batch handed to `decode` in
+    * one call — the shape a native codec binding wants (amortized
+    * library-call overhead, vectorized decode). This is deliberately
+    * `mapPartitions` (SURVEY's "(d) last resort"): a codec is
+    * imperative per-byte work no Catalyst expression can express.
+    * Partitioning, ordering within a partition, and laziness are
+    * preserved; the decoder must be deterministic per payload. */
+  def decodeBatched(df: DataFrame, idCol: String, contentCol: String, batchSize: Int)(
+      decode: Seq[(Long, Array[Byte])] => Seq[Decoded]): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val in = df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => decode(batch))
+    }(Encoders.product[Decoded])
+      .toDF()
+  }
+
+  /** The stubbed decode kernel — where libjpeg/ffmpeg would run. The
+    * deterministic fake reads the gray8 raster: width 16, height =
+    * ceil(n/16), meanPx = exact byte mean. Marked clearly as a stub;
+    * replace with a real codec binding in production. */
+  val fakeDecode: Seq[(Long, Array[Byte])] => Seq[Decoded] = batch =>
+    batch.map { case (id, bytes) =>
+      val n = bytes.length
+      var s = 0L
+      var i = 0
+      while (i < n) { s += bytes(i) & 0xff; i += 1 }
+      Decoded(id, 16, (n + 15) / 16, s.toDouble / n)
+    }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, Similarity}
+
+/** Multimodal binary-column plumbing: ingest schema, the deterministic
+  * fake decode (hex-pair byte arithmetic vs the mapPartitions batch
+  * path), frame sampling reassembly, feature extraction feeding
+  * similarity search, and stride resize. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "hello world this is a test document"),
+    (2L, "abc"),
+    (3L, "x" * 300), // spans two 256-byte frames
+    (4L, "the quick brown fox jumps over the lazy dog")
+  ).toDF("doc_id", "text")
+
+  private lazy val mm = Multimodal.withContent(docs, "doc_id", "text")
+
+  test("withContent: binary payload + typed metadata, height = ceil(n/16)") {
+    val rows = mm.select($"doc_id", $"content", $"meta.format", $"meta.width",
+      $"meta.height", $"meta.channels", $"meta.n_bytes").collect()
+    rows.foreach { r =>
+      val content = r.getAs[Array[Byte]](1)
+      assert(r.getString(2) == "gray8" && r.getInt(3) == 16 && r.getInt(5) == 1)
+      assert(r.getLong(6) == content.length)
+      assert(r.getInt(4) == (content.length + 15) / 16)
+    }
+    assert(rows.find(_.getLong(0) == 2L).get.getAs[Array[Byte]](1).toSeq ==
+      "abc".getBytes("UTF-8").toSeq)
+  }
+
+  test("pixelStats: exact byte arithmetic") {
+    val r = Multimodal.pixelStats(mm, "doc_id", "content")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val abc = "abc".getBytes("UTF-8").map(_ & 0xff)
+    assert(r(2L) == ((3L, abc.map(_.toLong).sum, abc.min.toLong, abc.max.toLong,
+      abc.sum.toDouble / 3)))
+    val x300 = r(3L)
+    assert(x300._1 == 300L && x300._2 == 300L * 'x'.toInt && x300._5 == 'x'.toInt.toDouble)
+  }
+
+  test("decodeBatched: batch sizes respected, results equal the SQL-path stats") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val decode: Seq[(Long, Array[Byte])] => Seq[Multimodal.Decoded] = batch => {
+      seen.add(batch.size)
+      Multimodal.fakeDecode(batch)
+    }
+    val out = Multimodal.decodeBatched(mm, "doc_id", "content", batchSize = 3)(decode)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(out.size == 4)
+    seen.forEach(sz => assert(sz <= 3 && sz > 0))
+    val stats = Multimodal.pixelStats(mm, "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    out.foreach { case (id, (w, h, mean)) =>
+      assert(w == 16)
+      assert(math.abs(mean - stats(id)) < 1e-12)
+      val n = docs.filter($"doc_id" === id).select($"text").as[String].head().length
+      assert(h == (n + 15) / 16)
+    }
+  }
+
+  test("frameSample: frames reassemble to the payload, last frame short") {
+    val frames = Multimodal.frameSample(mm, "doc_id", "content", frameBytes = 256)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+      .groupBy(_._1)
+    val content = mm.select($"doc_id", $"content")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    content.foreach { case (id, bytes) =>
+      val fs = frames(id).sortBy(_._2).map(_._3)
+      assert(fs.length == (bytes.length + 255) / 256)
+      assert(fs.flatten.toSeq == bytes.toSeq)
+      fs.init.foreach(f => assert(f.length == 256))
+      assert(fs.last.length == bytes.length - 256 * (fs.length - 1))
+    }
+    // maxFrames caps the explode
+    val capped = Multimodal.frameSample(mm, "doc_id", "content", 256, maxFrames = 1)
+    assert(capped.filter($"doc_id" === 3L).count() == 1)
+  }
+
+  test("featureExtract: deterministic [0,1) embeddings that feed similarity search") {
+    val e1 = Multimodal.featureExtract(mm, "doc_id", "content", d = 8)
+    val rows = e1.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.values.forall(v => v.length == 8 && v.forall(x => x >= 0.0 && x < 1.0)))
+    val e2 = Multimodal.featureExtract(mm, "doc_id", "content", d = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows == e2)
+    // identical payloads ⇒ identical embeddings; different ⇒ different
+    assert(rows(1L) != rows(2L))
+    val topk = Similarity.topKCosine(e1, "doc_id", "embedding",
+      e1.filter($"doc_id" === 1L), "doc_id", "embedding", k = 2).collect()
+    assert(topk.length == 2 && topk.forall(_.getLong(0) == 1L))
+  }
+
+  test("resizeByStride: every stride-th pixel, metadata recomputed") {
+    val r = Multimodal.resizeByStride(mm, "doc_id", "content", stride = 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getStruct(2))).toList
+    val content = mm.select($"doc_id", $"content")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    r.foreach { case (id, px, meta) =>
+      val bytes = content(id).map(b => (b & 0xff).toLong)
+      val expect = bytes.indices.collect { case i if i % 4 == 0 => bytes(i) }.toSeq
+      assert(px == expect)
+      assert(meta.getAs[Long]("n_bytes") == expect.length.toLong)
+      assert(meta.getAs[Int]("height") == (expect.length + 15) / 16)
+    }
+  }
+}
