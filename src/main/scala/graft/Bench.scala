@@ -19,6 +19,11 @@ object Bench {
     // nearDuplicates signature table) must not leak across queries —
     // both for memory hygiene and so no query benches against another
     // query's warm cache.
+    // JVM/codegen warm-up outside the timed region: without it the
+    // first query benched absorbs ~3 s of JIT + Spark init, and map
+    // iteration order decides which query that is (BENCH_r03's
+    // q_text_stats vs r2's — same query, 5× apart).
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

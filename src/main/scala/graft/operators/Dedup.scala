@@ -136,10 +136,15 @@ object Dedup {
     val base =
       if (maxBucket == Int.MaxValue) buckets
       else {
-        val ok = buckets.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+        // Anti-join against the OVERSIZED buckets, not semi-join
+        // against the ok ones: the blacklist is tiny by construction
+        // (only pathological buckets exceed the cap), so it broadcasts
+        // and the guard costs one map-side filter instead of a
+        // full-width shuffle join.
+        val over = buckets.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
           .select("band", "bucket")
-        buckets.join(ok, Seq("band", "bucket"), "left_semi")
+        buckets.join(broadcast(over), Seq("band", "bucket"), "left_anti")
       }
     val a = base.select(col(idCol).as("id1"), col("band"), col("bucket"))
     val b = base.select(col(idCol).as("id2"), col("band"), col("bucket"))
@@ -176,9 +181,12 @@ object Dedup {
     require(h % b == 0, s"h=$h must be divisible by b=$b")
     val sigs = registerCache(sigTable(df, idCol, textCol, n, h, parity)
       .select(col(idCol).as("id"), col("sh"), col("sig")))
-    val buckets = sigs
+    // cached: referenced up to 3× downstream (the skew-guard count and
+    // BOTH sides of the candidate self-join) — without the cache the
+    // explode re-runs per reference
+    val buckets = registerCache(sigs
       .select(col("id"), explode(bandBuckets(col("sig"), b, h / b)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
     candidatePairs(buckets, "id", maxBucket)
       .join(sigs.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sigs.select(col("id").as("id2"), col("sh").as("sh2")), "id2")

@@ -48,13 +48,14 @@ object Multimodal {
   }
 
   /** Byte values of a binary column as array<long> — the fake "pixel
-    * decode": hex-render the payload, read 2-char pairs as integers.
-    * Pure codegen HOFs; the arithmetic is exact. */
-  def byteValues(content: Column): Column = {
-    val hx = hex(content)
-    transform(sequence(lit(1), length(content)),
-      i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
-  }
+    * decode". Latin-1 maps bytes 0-255 to code points 0-255, so
+    * decode + one-pass char split + ascii() reads every byte exactly,
+    * in O(n) (the hex/substr form is O(n²) in payload length — each
+    * substr re-scans the string). Pure codegen HOFs; exact. */
+  def byteValues(content: Column): Column =
+    when(length(content) === 0, typedlit(Seq.empty[Long]))
+      .otherwise(transform(split(decode(content, "ISO-8859-1"), ""),
+        c => ascii(c).cast("long")))
 
   /** Per-payload pixel statistics (the decode-and-summarize stage):
     * (id, n_px, sum_px, min_px, max_px, mean_px). Sum/min/max are
