@@ -253,6 +253,21 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash(Dedup.tokens(col("text"))).as("fp"))
     }),
 
+    // ── LLM-pipeline: SimHash near-dup via banded Hamming LSH ───────
+    // Pigeonhole: ≤3 differing bits over 4 bands ⇒ one band matches
+    // exactly, so the band join has perfect recall at the threshold.
+    "q_simhash_neardup" -> ((s, dir) => {
+      Dedup.simhashNearDup(Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    }),
+
+    // ── LLM-pipeline: embedding-cosine near-dup (dense-vector dedup) ─
+    // Candidates from the hyperplane-LSH bucket self-join, verified
+    // with exact cosine ≥ 0.3.
+    "q_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        minSim = 0.3, tables = 8, bits = 4, d = 64)
+    }),
+
     // ── LLM-pipeline: per-document text statistics ──────────────────
     "q_text_stats" -> ((s, dir) => {
       TextAnalysis.docStats(Tables(s, dir, "documents"), "doc_id", "text")
@@ -452,6 +467,34 @@ object SparkEntry {
     """pr AS (
       |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5)
+      |)""".stripMargin
+
+  /** DuckDB CTEs mirroring Dedup.simhash: per-token 64 bits from the
+    * md5 digest (4 × 16-bit words), ±1 majority vote per bit, hex
+    * repack — ends in fpt(doc_id, fp). */
+  private val sqlSimhashFp =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tb AS (
+      |  SELECT doc_id,
+      |         generate_subscripts(bits, 1) AS p,
+      |         unnest(bits) AS b
+      |  FROM (
+      |    SELECT doc_id,
+      |           flatten([[ (CAST(concat('0x', substr(md5(tok), 1+4*w, 4)) AS BIGINT) // CAST(power(2, j) AS BIGINT)) % 2
+      |                      for j in range(15, -1, -1)]
+      |                    for w in range(0, 4)]) AS bits
+      |    FROM tok)
+      |),
+      |acc AS (SELECT doc_id, p, sum(2*b - 1) AS s FROM tb GROUP BY 1, 2),
+      |dig AS (
+      |  SELECT doc_id, (p-1)//4 AS d,
+      |         sum((CASE WHEN s > 0 THEN 1 ELSE 0 END) *
+      |             (CASE (p-1)%4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS v
+      |  FROM acc GROUP BY 1, 2
+      |),
+      |fpt AS (
+      |  SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(v AS INTEGER)+1, 1), '' ORDER BY d) AS fp
+      |  FROM dig GROUP BY doc_id
       |)""".stripMargin
 
   /** Shared multimodal ingest: documents with the opaque binary
@@ -667,27 +710,42 @@ object SparkEntry {
          |JOIN sh s2 ON s2.doc_id = c.id2""".stripMargin,
 
     "q_simhash" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |tb AS (
-        |  SELECT doc_id,
-        |         generate_subscripts(bits, 1) AS p,
-        |         unnest(bits) AS b
-        |  FROM (
-        |    SELECT doc_id,
-        |           flatten([[ (CAST(concat('0x', substr(md5(tok), 1+4*w, 4)) AS BIGINT) // CAST(power(2, j) AS BIGINT)) % 2
-        |                      for j in range(15, -1, -1)]
-        |                    for w in range(0, 4)]) AS bits
-        |    FROM tok)
-        |),
-        |acc AS (SELECT doc_id, p, sum(2*b - 1) AS s FROM tb GROUP BY 1, 2),
-        |dig AS (
-        |  SELECT doc_id, (p-1)//4 AS d,
-        |         sum((CASE WHEN s > 0 THEN 1 ELSE 0 END) *
-        |             (CASE (p-1)%4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS v
-        |  FROM acc GROUP BY 1, 2
-        |)
-        |SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(v AS INTEGER)+1, 1), '' ORDER BY d) AS fp
-        |FROM dig GROUP BY doc_id""".stripMargin,
+      s"""WITH $sqlSimhashFp
+         |SELECT doc_id, fp FROM fpt""".stripMargin,
+
+    "q_simhash_neardup" ->
+      s"""WITH $sqlSimhashFp,
+         |bx AS (
+         |  SELECT doc_id, fp, bi, substr(fp, bi*4+1, 4) AS bk
+         |  FROM fpt CROSS JOIN range(0, 4) t(bi)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id1, x.fp AS fp1, y.doc_id AS id2, y.fp AS fp2
+         |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.bk = y.bk AND x.doc_id < y.doc_id
+         |),
+         |hm AS (
+         |  SELECT id1, id2,
+         |         CAST(list_sum([bit_count(xor(CAST(concat('0x', substr(fp1, p, 1)) AS BIGINT),
+         |                                      CAST(concat('0x', substr(fp2, p, 1)) AS BIGINT)))
+         |                        for p in range(1, 17)]) AS INTEGER) AS hamming
+         |  FROM cand
+         |)
+         |SELECT id1, id2, hamming FROM hm WHERE hamming <= 3""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH $sqlAnnIndex,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+         |  FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |),
+         |s AS (
+         |  SELECT c.id1, c.id2,
+         |         ${sqlCosine("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS sim
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.id1
+         |  JOIN embeddings b ON b.vec_id = c.id2
+         |)
+         |SELECT id1, id2, sim FROM s WHERE sim >= 0.3""".stripMargin,
 
     "q_scan_project" ->
       "SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dims FROM embeddings",

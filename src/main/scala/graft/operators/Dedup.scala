@@ -267,4 +267,61 @@ object Dedup {
         when(x === y, 0).otherwise(
           bit_count(conv(x, 16, 10).cast("long").bitwiseXOR(conv(y, 16, 10).cast("long"))))),
       lit(0), (acc, v) => acc + v)
+
+  /** SimHash near-duplicate pairs via banded Hamming LSH: the 16-hex
+    * fingerprint splits into maxHamming+1 bands, and by pigeonhole two
+    * fingerprints within maxHamming bits MUST agree exactly on at
+    * least one band — so candidates come from per-(band, substring)
+    * joins (never all-pairs) with PERFECT recall at the threshold,
+    * then exact Hamming verification. Same shuffle shape as the
+    * MinHash path: Σ bucket² per band, O(rows) otherwise.
+    * maxHamming+1 must divide 16 (maxHamming ∈ {0, 1, 3, 7, 15}).
+    * Output: (id1, id2, hamming ≤ maxHamming), id1 < id2. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(16 % bands == 0, s"maxHamming+1=$bands must divide the 16 hex chars")
+    val w = 16 / bands
+    val fps = registerCache(
+      df.select(col(idCol).as("id"), simhash(tokens(col(textCol))).as("fp")))
+    val bx = fps.select(col("id"), col("fp"),
+      explode(sequence(lit(0), lit(bands - 1))).as("bi"))
+      .select(col("id"), col("fp"), col("bi"),
+        col("fp").substr(col("bi") * w + 1, lit(w)).as("bk"))
+    val x = bx.select(col("id").as("id1"), col("fp").as("fp1"), col("bi"), col("bk"))
+    val y = bx.select(col("id").as("id2"), col("fp").as("fp2"), col("bi"), col("bk"))
+    x.join(y, Seq("bi", "bk")).filter(col("id1") < col("id2"))
+      .select("id1", "id2", "fp1", "fp2").distinct()
+      .select(col("id1"), col("id2"),
+        hammingHex(col("fp1"), col("fp2")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: candidates from the
+    * random-hyperplane LSH bucket self-join (docs sharing ANY
+    * table-bucket — reuses the Similarity index, never all-pairs),
+    * verified with exact cosine ≥ minSim. The similarity-space analog
+    * of the MinHash path for dense-vector columns. Bucket sizes under
+    * random hyperplanes are near-uniform (no text-skew analog), so no
+    * cap parameter; deeper `bits` shrinks buckets at scale.
+    * Output: (id1, id2, sim ≥ minSim), id1 < id2. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       minSim: Double, tables: Int = 8, bits: Int = 4,
+                       d: Int = 64): DataFrame = {
+    import graft.functions.VectorOps
+    val bk = Similarity.lshBuckets(df, idCol, vecCol, tables, bits, d)
+    val cand = bk.select(col(idCol).as("id1"), col("tbl"), col("bucket"))
+      .join(bk.select(col(idCol).as("id2"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val vecs = registerCache(df.select(col(idCol).cast("long").as("vid"),
+      VectorOps.toDouble(col(vecCol)).as("v"))
+      .withColumn("n", VectorOps.norm2(col("v"))))
+    cand
+      .join(vecs.select(col("vid").as("id1"), col("v").as("v1"), col("n").as("n1")), "id1")
+      .join(vecs.select(col("vid").as("id2"), col("v").as("v2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        VectorOps.cosineWithNorms(col("v1"), col("v2"), col("n1"), col("n2")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
 }

@@ -97,6 +97,49 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((100L, 101L)))
   }
 
+  test("simhashNearDup: exact dup at hamming 0, banding never misses <= maxHamming") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // identical -> hamming 0
+      (3L, "alpha beta gamma delta epsilon eta"),  // near
+      (4L, "one two three four five six")          // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    // recall check against brute force: every pair within the
+    // threshold must be found (pigeonhole guarantee)
+    val fps = docs.select($"doc_id", Dedup.simhash(Dedup.tokens($"text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String): Int =
+      a.zip(b).map { case (x, y) =>
+        java.lang.Long.bitCount(java.lang.Long.parseLong(x.toString, 16) ^
+          java.lang.Long.parseLong(y.toString, 16))
+      }.sum
+    for (i <- fps.keys; j <- fps.keys if i < j) {
+      val h = ham(fps(i), fps(j))
+      if (h <= 3) assert(pairs.get((i, j)).contains(h), s"missed pair ($i,$j) at hamming $h")
+      else assert(!pairs.contains((i, j)))
+    }
+  }
+
+  test("embeddingNearDup: finds identical vectors, excludes dissimilar ones") {
+    val base = Array.tabulate(64)(i => math.sin(i + 1))
+    val near = base.clone(); near(0) += 0.001
+    val anti = base.map(x => -x)
+    val df = Seq(
+      (1L, base.toSeq), (2L, base.toSeq), (3L, near.toSeq), (4L, anti.toSeq)
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding", minSim = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.999)
+    // anti-correlated vector lands in complementary buckets; even if
+    // it collided, sim = -1 < minSim filters it
+    assert(!pairs.exists { case ((a, b), _) => a == 4L || b == 4L })
+    Dedup.releaseCaches()
+  }
+
   test("simhash: identical tokens give identical fingerprints; near-dups are close") {
     val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, unrelated)).toDF("doc_id", "text")
       .select(col("doc_id"), Dedup.simhash(Dedup.tokens(col("text"))).as("fp"))
