@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Structured Streaming twins of the batch dedup operators — for the
+  * ingest-time shape of a training-data pipeline, where documents
+  * arrive continuously and exact duplicates should be dropped before
+  * they ever land in the corpus.
+  *
+  * State posture at 100 TB: the dedup state is ONE 32-hex-char hash
+  * per distinct content seen within the watermark horizon, evicted as
+  * the watermark advances (dropDuplicatesWithinWatermark) — memory is
+  * bounded by arrival rate × horizon, not corpus size. Global
+  * (horizon-free) dedup belongs in the batch operator
+  * (Dedup.dropExactDuplicates) over the accumulated table.
+  */
+object DedupStream {
+
+  /** Streaming exact dedup: keep the first arrival of each distinct
+    * content, dropping later duplicates that arrive within the
+    * watermark horizon. Dedup key = content hash of keyCols (same
+    * contract as the batch Dedup.exactGroups); state is evicted by
+    * the watermark. */
+  def dropExactDuplicates(docs: DataFrame, tsCol: String, keyCols: Seq[String],
+                          watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("__h", Dedup.contentHash(keyCols.map(col): _*))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
+  /** Streaming MinHash LSH index build: the banding pipeline
+    * (shingle → signature → band buckets) is stateless rowwise
+    * compute, so it runs unchanged on a stream in append mode — each
+    * arriving document emits its B bucket rows incrementally. The
+    * bucket table/sink then serves candidate lookups. */
+  def minhashBuckets(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, h: Int = 16, b: Int = 8,
+                     parity: Boolean = false): DataFrame =
+    Dedup.minhashBuckets(docs, idCol, textCol, n, h, b, parity)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.Dedup
+import graft.streaming.DedupStream
+
+/** Document row for MemoryStream (top-level for encoder derivation). */
+case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+/** Streaming dedup: first-arrival-wins within the watermark horizon,
+  * and the stateless MinHash index build folding incrementally. */
+class DedupStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("dropExactDuplicates: first arrival wins, later dups within horizon dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Doc]
+    val q = DedupStream.dropExactDuplicates(source.toDF(), "ts", Seq("text"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      source.addData(Seq(
+        Doc(1, t(100), "alpha beta"),
+        Doc(2, t(101), "alpha beta"), // same batch dup
+        Doc(3, t(102), "gamma delta")))
+      q.processAllAvailable()
+      source.addData(Seq(
+        Doc(4, t(103), "alpha beta"), // cross-batch dup, within horizon
+        Doc(5, t(104), "epsilon")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
+  test("minhashBuckets on a stream matches the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Doc(1, t(0), "the quick brown fox jumps over the lazy dog"),
+      Doc(2, t(1), "the quick brown fox jumps over the lazy cat"),
+      Doc(3, t(2), "completely different words entirely here now"))
+    val source = MemoryStream[Doc]
+    val q = DedupStream.minhashBuckets(source.toDF(), "doc_id", "text")
+      .writeStream.format("memory").queryName("mh_out")
+      .outputMode("append").start()
+    try {
+      docs.grouped(2).foreach { b => source.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("mh_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val batch = Dedup.minhashBuckets(docs.toDF(), "doc_id", "text", n = 3, h = 16, b = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
