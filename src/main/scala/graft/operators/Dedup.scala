@@ -245,8 +245,18 @@ object Dedup {
   /** 64-bit SimHash of a token array (term frequency weighted: each
     * occurrence contributes ±1 per bit), returned as a 16-hex-char
     * string. Similar documents differ in few bits (small Hamming
-    * distance), unlike MinHash which models set overlap. */
-  def simhash(toksCol: Column): Column = {
+    * distance), unlike MinHash which models set overlap.
+    *
+    * Default = the native SimHash64 expression (one JVM kernel per
+    * row, ~7× the composed-HOF throughput, still inside whole-stage
+    * codegen). simhashHof is the declarative twin it is bit-identical
+    * to (pinned in DedupSpec) and the form the DuckDB oracle mirrors
+    * term by term. */
+  def simhash(toksCol: Column): Column =
+    graft.functions.SimHash64.simhash64(toksCol)
+
+  /** Composed-HOF SimHash — the oracle-shaped reference form. */
+  def simhashHof(toksCol: Column): Column = {
     val acc = aggregate(toksCol,
       array_repeat(lit(0), 64),
       (a, t) => zip_with(a, tokenBits(t), (x, b) => x + b * 2 - 1))

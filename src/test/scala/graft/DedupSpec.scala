@@ -97,6 +97,20 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((100L, 101L)))
   }
 
+  test("native SimHash64 expression is bit-identical to the HOF form") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the the the repeated tokens weigh by frequency"),
+      (3L, "x"),
+      (4L, "unicode tokens naïve café 東京 mixed in"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val both = docs.select(
+      Dedup.simhash(Dedup.tokens($"text")).as("native"),
+      Dedup.simhashHof(Dedup.tokens($"text")).as("hof")).collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("simhashNearDup: exact dup at hamming 0, banding never misses <= maxHamming") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
