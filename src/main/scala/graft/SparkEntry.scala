@@ -138,6 +138,18 @@ object SparkEntry {
       ClusterMetrics.jaccard(assigned, "label", "cluster")
     }),
 
+    // ── op 15 family: Rand index (same contingency table as Jaccard) ─
+    "q_rand_index" -> ((s, dir) => {
+      val assigned = KMeans.assign(Tables(s, dir, "embeddings"), "embedding", cents8(s, dir))
+      ClusterMetrics.randIndex(assigned, "label", "cluster")
+    }),
+
+    // ── op 15 family: cluster purity ────────────────────────────────
+    "q_purity" -> ((s, dir) => {
+      val assigned = KMeans.assign(Tables(s, dir, "embeddings"), "embedding", cents8(s, dir))
+      ClusterMetrics.purity(assigned, "label", "cluster")
+    }),
+
     // ── op 10-11: iterative driver loop, 2 Lloyd steps from FirstK(8)
     // The loop's oracle gate: both engines run assign→mean twice with
     // the sorted-fold determinism contract, so the step-2 centroids
@@ -346,6 +358,23 @@ object SparkEntry {
       Multimodal.featureExtract(mmTable(s, dir), "doc_id", "content", d = 8)
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("d0", "v")))
         .select(col("doc_id"), (col("d0") + 1).cast("int").as("dim"), col("v"))
+    }),
+
+    // ── relational baseline: TPC-H Q3-style 3-way join + agg ────────
+    // customer (dim, broadcastable) ⋈ orders ⋈ lineitem (facts): the
+    // segment filter pushes to the customer scan, the date filters to
+    // the fact scans, and Catalyst broadcasts the filtered dim —
+    // shuffle only on o_orderkey for the final aggregate.
+    "q3_join" -> ((s, dir) => {
+      val cut = lit("1998-06-01").cast("timestamp")
+      Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables(s, dir, "orders").filter(col("o_orderdate") < cut),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables(s, dir, "lineitem").filter(col("l_shipdate") > cut),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)) / 10000.0)
+          .as("revenue"))
     }),
 
     // ── relational baseline: TPC-H Q1-style aggregation ─────────────
@@ -886,6 +915,48 @@ object SparkEntry {
         |       CAST(concat('0x', substr(md5(md5(text) || ':' || j), 1, 8)) AS BIGINT)
         |         / 4294967296.0 AS v
         |FROM documents CROSS JOIN generate_series(1, 8) t(j)""".stripMargin,
+
+    "q_rand_index" ->
+      s"""WITH $sqlCents8,
+         |jj AS (
+         |  SELECT CAST(e.label AS BIGINT) AS truth, CAST(a.cluster AS BIGINT) AS pred
+         |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+         |),
+         |cells AS (SELECT truth, pred, count(*) AS n FROM jj GROUP BY 1, 2),
+         |mm AS (SELECT CAST(coalesce(sum(n*n), 0) AS BIGINT) AS m11
+         |       FROM cells WHERE truth != -1 AND pred != -1),
+         |gg AS (SELECT CAST(coalesce(sum(nt*nt), 0) AS BIGINT) AS g
+         |       FROM (SELECT sum(n) AS nt FROM cells WHERE truth != -1 GROUP BY truth)),
+         |pp AS (SELECT CAST(coalesce(sum(np*np), 0) AS BIGINT) AS p
+         |       FROM (SELECT sum(n) AS np FROM cells WHERE pred != -1 GROUP BY pred)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM jj)
+         |SELECT m11, ntot*ntot - g - p + m11 AS m00,
+         |       CAST(m11 + ntot*ntot - g - p + m11 AS DOUBLE)
+         |         / CAST(ntot*ntot AS DOUBLE) AS rand
+         |FROM mm, gg, pp, nn""".stripMargin,
+
+    "q_purity" ->
+      s"""WITH $sqlCents8,
+         |jj AS (
+         |  SELECT CAST(e.label AS BIGINT) AS truth, CAST(a.cluster AS BIGINT) AS pred
+         |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+         |),
+         |cells AS (SELECT truth, pred, count(*) AS n FROM jj GROUP BY 1, 2),
+         |per AS (SELECT pred, max(n) AS mx, sum(n) AS ns FROM cells GROUP BY pred)
+         |SELECT CAST(sum(mx) AS BIGINT) AS correct, CAST(sum(ns) AS BIGINT) AS n,
+         |       CAST(sum(mx) AS DOUBLE) / CAST(sum(ns) AS DOUBLE) AS purity
+         |FROM per""".stripMargin,
+
+    "q3_join" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0 AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -49,6 +49,44 @@ object ClusterMetrics {
       (col("m11") / (col("g") + col("p") - col("m11"))).as("jaccard"))
   }
 
+  /** Rand index under the same ordered-pairs-with-diagonal convention
+    * as the reference's Jaccard: agreement = co-clustered in both
+    * (M11) or in neither (M00 = n² − G − P + M11, where rows labeled
+    * -1 never co-cluster). One extra 1-row aggregate (total count)
+    * over the same contingency cells. Output: (m11, m00, rand). */
+  def randIndex(assigned: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val jj = assigned
+      .select(col(truthCol).cast("long").as("truth"), col(predCol).cast("long").as("pred"))
+    val cells = jj.groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+    val m11 = cells.filter(col("truth") =!= -1L && col("pred") =!= -1L)
+      .agg(coalesce(sum(col("n") * col("n")), lit(0L)).as("m11"))
+    val g = cells.filter(col("truth") =!= -1L)
+      .groupBy("truth").agg(sum(col("n")).as("nt"))
+      .agg(coalesce(sum(col("nt") * col("nt")), lit(0L)).as("g"))
+    val p = cells.filter(col("pred") =!= -1L)
+      .groupBy("pred").agg(sum(col("n")).as("np"))
+      .agg(coalesce(sum(col("np") * col("np")), lit(0L)).as("p"))
+    val nn = jj.agg(count(lit(1)).as("ntot"))
+    m11.crossJoin(g).crossJoin(p).crossJoin(nn).select(
+      col("m11"),
+      (col("ntot") * col("ntot") - col("g") - col("p") + col("m11")).as("m00"),
+      ((col("m11") + col("ntot") * col("ntot") - col("g") - col("p") + col("m11"))
+        .cast("double") / (col("ntot") * col("ntot")).cast("double")).as("rand"))
+  }
+
+  /** Cluster purity: each predicted cluster votes its majority truth
+    * label; purity = correctly-voted rows / all rows. No outlier
+    * convention (every row counts — standard definition). One shuffle
+    * on the contingency cells. Output: (correct, n, purity). */
+  def purity(assigned: DataFrame, truthCol: String, predCol: String): DataFrame =
+    assigned
+      .select(col(truthCol).cast("long").as("truth"), col(predCol).cast("long").as("pred"))
+      .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+      .groupBy("pred").agg(max(col("n")).as("mx"), sum(col("n")).as("ns"))
+      .agg(sum(col("mx")).as("correct"), sum(col("ns")).as("n"))
+      .select(col("correct"), col("n"),
+        (col("correct").cast("double") / col("n").cast("double")).as("purity"))
+
   /** Reference-literal O(n²) Jaccard over local pairs — test oracle
     * only, mirrors the matrix loops at `KMeans.java:624-661`. */
   def jaccardLocal(truthPred: Seq[(Int, Int)]): (Long, Long, Double) = {

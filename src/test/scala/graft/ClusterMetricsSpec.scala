@@ -41,4 +41,41 @@ class ClusterMetricsSpec extends AnyFunSuite {
     val pairs = Seq.fill(120)((rnd.nextInt(5) - 1, rnd.nextInt(4) - 1))
     check(pairs)
   }
+
+  /** Brute-force Rand over ordered pairs incl. diagonal, -1 never
+    * co-members — the same convention as jaccardLocal. */
+  private def randLocal(pairs: Seq[(Int, Int)]): (Long, Long, Double) = {
+    var m11 = 0L; var m00 = 0L
+    for ((t1, p1) <- pairs; (t2, p2) <- pairs) {
+      val g = t1 == t2 && t1 != -1
+      val c = p1 == p2 && p1 != -1
+      if (g && c) m11 += 1
+      else if (!g && !c) m00 += 1
+    }
+    val n = pairs.length.toLong
+    (m11, m00, (m11 + m00).toDouble / (n * n))
+  }
+
+  test("randIndex matches brute-force ordered-pair counting") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(90)((rnd.nextInt(4) - 1, rnd.nextInt(3) - 1))
+    val (m11, m00, r) = randLocal(pairs)
+    val row = ClusterMetrics.randIndex(pairs.toDF("truth", "pred"), "truth", "pred").collect()(0)
+    assert(row.getLong(0) == m11)
+    assert(row.getLong(1) == m00)
+    assert(row.getDouble(2) == r)
+  }
+
+  test("purity: majority-vote fraction, 1.0 for perfect clustering") {
+    import spark.implicits._
+    val pairs = Seq((1, 5), (1, 5), (2, 5), (2, 7), (2, 7), (3, 9))
+    // cluster 5: majority truth 1 (2 of 3); cluster 7: truth 2 (2); cluster 9: truth 3 (1)
+    val row = ClusterMetrics.purity(pairs.toDF("truth", "pred"), "truth", "pred").collect()(0)
+    assert(row.getLong(0) == 5L && row.getLong(1) == 6L)
+    assert(row.getDouble(2) == 5.0 / 6.0)
+    val perfect = ClusterMetrics.purity(
+      Seq((1, 5), (1, 5), (2, 7)).toDF("truth", "pred"), "truth", "pred").collect()(0)
+    assert(perfect.getDouble(2) == 1.0)
+  }
 }
