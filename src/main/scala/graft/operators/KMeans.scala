@@ -50,7 +50,12 @@ object KMeans {
     * (no seed), which makes it the oracle-checkable init. */
   final case class FirstK(k: Int) extends Init
 
-  final case class KMeansModel(centroids: Centroids, iterations: Int, converged: Boolean)
+  /** Fit telemetry (op 16): iteration count matches the reference's
+    * printed job count (`KMeans.java:283`); costHistory is the WCSS
+    * after each Lloyd step when fit(trackCost = true) — empty
+    * otherwise (it costs one extra scan per iteration). */
+  final case class KMeansModel(centroids: Centroids, iterations: Int, converged: Boolean,
+                               costHistory: Seq[Double] = Nil)
 
   /** Pure-Scala Euclidean distance (driver-side convergence math),
     * same formula as `KMeans.java:116-122`. */
@@ -178,7 +183,8 @@ object KMeans {
     * `iterations` counts Lloyd steps executed, matching the
     * reference's printed job count (`KMeans.java:283`). */
   def fit(data: DataFrame, idCol: String, featCol: String, init: Init,
-          maxIter: Int, tol: Double = 0.0, keepEmpty: Boolean = false): KMeansModel = {
+          maxIter: Int, tol: Double = 0.0, keepEmpty: Boolean = false,
+          trackCost: Boolean = false): KMeansModel = {
     val df = data.select(col(idCol),
       VectorOps.toDouble(col(featCol)).as(featCol)).cache()
     try {
@@ -186,13 +192,17 @@ object KMeans {
       val cap = if (maxIter < 0) 10000 else maxIter
       var iter = 0
       var converged = false
+      val costs = Seq.newBuilder[Double]
       while (!converged && iter < cap) {
         val next = step(df, featCol, cents, keepEmpty)
         converged = isConverged(cents, next, tol)
         cents = next
         iter += 1
+        if (trackCost)
+          costs += df.select(minSqDistColumn(cents, col(featCol)).as("m"))
+            .agg(sum(col("m"))).head().getDouble(0)
       }
-      KMeansModel(cents, iter, converged)
+      KMeansModel(cents, iter, converged, costs.result())
     } finally { df.unpersist(); () }
   }
 }

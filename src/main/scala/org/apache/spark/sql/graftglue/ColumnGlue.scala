@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnGlue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp function on a LIVE session (sessionState is
+    * private[sql]); config-driven deployments use GraftExtensions via
+    * spark.sql.extensions instead. */
+  def registerTempFunction(spark: org.apache.spark.sql.classic.SparkSession, name: String,
+                           builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -92,6 +92,18 @@ class KMeansSpec extends AnyFunSuite {
     assert(model.iterations >= 2 && model.iterations <= 3)
   }
 
+  test("fit: trackCost records non-increasing WCSS per iteration") {
+    val model = KMeans.fit(tiny, "id", "features", ExplicitIds(Seq(1L, 2L)),
+      maxIter = 4, trackCost = true)
+    assert(model.costHistory.length == model.iterations)
+    model.costHistory.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-12)
+      case _ =>
+    }
+    // off by default
+    assert(KMeans.fit(tiny, "id", "features", FirstK(2), maxIter = 1).costHistory.isEmpty)
+  }
+
   test("fit: maxIter caps the loop") {
     val model = KMeans.fit(tiny, "id", "features", ExplicitIds(Seq(1L, 2L)), maxIter = 1)
     assert(model.iterations == 1)
