@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TopKAgg, VectorOps}
@@ -120,6 +120,62 @@ object Similarity {
     * (the index build — in production a bucketed/partitioned table);
     * each probe scans only its nprobe nearest cells. Composes the
     * K-Means operator (KMeans.assignColumn) with TopKAgg. */
+  /** Driver-side nprobe nearest cells for a LOCAL probe vector —
+    * exact same ranking as the probeCells plan (sqDist asc, cid asc). */
+  def nearestCells(v: Array[Double], cents: KMeans.Centroids, nprobe: Int): Seq[Int] =
+    cents.sortBy(_._1)
+      .map { case (cid, c) => (KMeans.euclideanLocal(v, c), cid) }
+      .sortBy(identity).take(nprobe).map(_._2).toSeq
+
+  /** Persist the IVF index: corpus assigned to its nearest centroid
+    * once, written PARTITIONED BY cell — the production form of the
+    * "index build". At 100 TB each cell is a parquet partition
+    * directory, so a query touching nprobe cells reads nprobe/k of
+    * the corpus from disk (static partition pruning — see
+    * ivfTopKIndexed), not a full scan. Norms are precomputed into the
+    * index so queries never re-fold them. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    cents: KMeans.Centroids, path: String): Unit =
+    KMeans.assign(
+      corpus.select(col(idCol).cast("long").as("id"), VectorOps.toDouble(col(vecCol)).as("v")),
+      "v", cents, outCol = "cell")
+      .withColumn("n", VectorOps.norm2(col("v")))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** IVF top-k against a PERSISTED index: probe cells are computed
+    * driver-side from the (local, tiny) centroid set, then pushed as a
+    * literal `cell IN (...)` predicate — Parquet partition pruning
+    * skips every other cell's files entirely. The scan-side plan is
+    * identical to ivfTopK from the join onward, so results match the
+    * in-memory path bit-for-bit. */
+  def ivfTopKIndexed(spark: SparkSession, indexPath: String,
+                     probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                     cents: KMeans.Centroids, nprobe: Int, k: Int): DataFrame = {
+    val probeRows = probes
+      .select(col(probeIdCol).cast("long").as("probe_id"),
+        VectorOps.toDouble(col(probeVecCol)).as("pv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val probeCells = probeRows.flatMap { case (pid, v) =>
+      nearestCells(v, cents, nprobe).map(c => (pid, c, v.toSeq))
+    }
+    val cells = probeCells.map(_._2).distinct.toSeq
+    import spark.implicits._
+    val pc = probeCells.toSeq.toDF("probe_id", "cell", "__pv")
+      .withColumn("__pn", VectorOps.norm2(col("__pv")))
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells: _*)) // static partition pruning
+    val scored = idx.join(broadcast(pc), "cell")
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id").as("__id"),
+        VectorOps.cosineWithNorms(col("v"), col("__pv"), col("n"), col("__pn"))
+          .as("__sim"))
+    scored.groupBy("probe_id")
+      .agg(TopKAgg.topK(k, col("__id"), col("__sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))
+      .select(col("probe_id"), col("p._1").as("vec_id"),
+        (col("r0") + 1).cast("int").as("rank"), col("p._2").as("sim"))
+  }
+
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               probes: DataFrame, probeIdCol: String, probeVecCol: String,
               cents: KMeans.Centroids, nprobe: Int, k: Int): DataFrame = {

@@ -92,4 +92,35 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1))
     assert(ivf1.toSeq === Seq(2L))
   }
+
+  test("persisted IVF index: results match the in-memory path, scan prunes to probed cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val probes = emb.orderBy("vec_id").limit(3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents, dir)
+      // one partition directory per surviving cell
+      val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell="))
+      assert(parts.nonEmpty)
+      val indexed = Similarity.ivfTopKIndexed(spark, dir,
+        probes, "vec_id", "embedding", cents, nprobe = 2, k = 5)
+      val direct = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", cents, nprobe = 2, k = 5)
+      val a = indexed.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val b = direct.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(a == b && a.nonEmpty)
+      // partition pruning: the cell IN (...) predicate reaches the scan
+      // as a partition filter (literal, so pruning is static)
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        s"expected partition filters on cell in:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
