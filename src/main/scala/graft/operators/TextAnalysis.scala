@@ -89,6 +89,16 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("cnt").desc, col("term"))).cast("int"))
   }
 
+  /** Approximate corpus vocabulary size via HyperLogLog++
+    * (approx_count_distinct). At web scale an exact distinct over
+    * hundreds of millions of terms shuffles the whole vocabulary; the
+    * sketch ships a few KB per task and merges. rsd = target relative
+    * standard deviation. Engine-only (sketch internals are not
+    * oracle-expressible); accuracy pinned in TextAnalysisSpec. */
+  def vocabSizeApprox(df: DataFrame, textCol: String, rsd: Double = 0.05): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .agg(approx_count_distinct(col("term"), rsd).as("vocab_approx"))
+
   /** (doc, term) TF + corpus DF counts — the exact-integer core of
     * TF-IDF; idf = ln(N/df) is applied by tfIdf (not oracle-hashed:
     * libm ln may differ in the last ulp across engines). */

@@ -139,6 +139,44 @@ class GeneIOSpec extends AnyFunSuite {
     assert(j > 0.4)
   }
 
+  // ── GOLDEN PARITY: the other two reference datasets ──────────────
+  // cho (k=5) and iyer (k=10, 33 rows labeled -1) — together with the
+  // Iris golden above, every dataset the reference ships is run
+  // end-to-end (parse → fit to convergence → assign → Jaccard) against
+  // the independent local Lloyd's.
+
+  test("golden: cho and iyer (with -1 outliers) match independent Lloyd's exactly") {
+    for ((file, k) <- Seq(("cho.txt", 5), ("iyer.txt", 10))) {
+      val rows = localParse(s"$DataDir/$file")
+      val byId = rows.map(r => r._1 -> r._3).toMap
+      val ids = (1L to k.toLong).toSeq
+      val init = ids.zipWithIndex.map { case (id, i) => (i + 1) -> byId(id) }
+      val (expCents, expIters, expAssign) = localLloyd(rows, init)
+
+      val df = GeneIO.readGenes(spark, s"$DataDir/$file").coalesce(1)
+      val model = KMeans.fit(df, "id", "features", ExplicitIds(ids), maxIter = -1)
+      assert(model.converged, file)
+      assert(model.iterations === expIters, file)
+      model.centroids.sortBy(_._1).zip(expCents.sortBy(_._1)).foreach {
+        case ((c1, v1), (c2, v2)) =>
+          assert(c1 === c2, file)
+          assert(v1.toSeq === v2.toSeq, file)
+      }
+      val assigned = KMeans.assign(df, "features", model.centroids)
+      val gotAssign = assigned.select("id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(gotAssign === expAssign, file)
+
+      // Jaccard parity including the -1 exclusion (exercised by iyer)
+      val truthPred = rows.map(r => (r._2, gotAssign(r._1)))
+      val (m11, dis, j) = ClusterMetrics.jaccardLocal(truthPred)
+      val row = ClusterMetrics.jaccard(assigned, "label", "cluster").collect()(0)
+      assert(row.getLong(0) === m11, file)
+      assert(row.getLong(1) === dis, file)
+      assert(row.getDouble(2) === j, file)
+    }
+  }
+
   // ── sinks (op 14) ────────────────────────────────────────────────
 
   test("row sinks render the reference's byte formats") {

@@ -75,6 +75,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) === (("en", 0.0))) // all-zero tie → lexicographic first
   }
 
+  test("vocabSizeApprox lands within the HLL error bound of the exact count") {
+    val docs = (1 to 200).map(i => (i.toLong, s"tok_${i * 5} tok_${i * 5 + 1} tok_${i * 5 + 2}"))
+      .toDF("doc_id", "text") // 600 distinct tokens, no overlap
+    val approx = TextAnalysis.vocabSizeApprox(docs, "text", rsd = 0.02)
+      .collect()(0).getLong(0)
+    assert(math.abs(approx - 600L) <= 600L / 10, s"approx=$approx vs exact=600")
+  }
+
   test("fingerprint is the 31-base modular fold of char codes") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     val fp = df.select(TextAnalysis.fingerprint(col("text"))).collect()(0).getLong(0)
