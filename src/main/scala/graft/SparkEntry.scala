@@ -305,6 +305,12 @@ object SparkEntry {
       TextAnalysis.languageId(Tables(s, dir, "documents"), "doc_id", "text", LangProfiles)
     }),
 
+    // ── LLM-pipeline: char-trigram language ID (n-gram heuristic) ───
+    "q_lang_ngram" -> ((s, dir) => {
+      TextAnalysis.languageIdNgram(Tables(s, dir, "documents"), "doc_id", "text",
+        NgramProfiles)
+    }),
+
     // ── LLM-pipeline: rolling-hash document fingerprint ─────────────
     "q_fingerprint" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -321,6 +327,11 @@ object SparkEntry {
     // representable in the oracle's timestamp type — Events.sessionize).
     "q_sessions" -> ((s, dir) => {
       Events.sessionize(Tables(s, dir, "events"), gapMicros = 1800000000L)
+    }),
+
+    // ── LLM-pipeline: top-n events per user (PARTITIONED window) ────
+    "q_top_events" -> ((s, dir) => {
+      Events.topPerUser(Tables(s, dir, "events"), n = 3)
     }),
 
     // ── LLM-pipeline: JSON props extraction + per-type aggregate ────
@@ -531,6 +542,14 @@ object SparkEntry {
   private def mmTable(s: SparkSession, dir: String): DataFrame =
     Multimodal.withContent(Tables(s, dir, "documents"), "doc_id", "text")
 
+  /** Char-trigram profiles for the n-gram language-ID variant. Must
+    * match the q_lang_ngram oracle SQL VALUES literally. */
+  private val NgramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "ein", "sch"),
+    "en" -> Seq(" th", "ing", " an"),
+    "es" -> Seq(" de", "los", " la"),
+    "fr" -> Seq(" le", "ent", "eau"))
+
   /** Language profiles for the language-ID heuristic. Word lists must
     * match the q_lang_id oracle SQL VALUES literally. */
   private val LangProfiles: Seq[(String, Seq[String])] = Seq(
@@ -649,6 +668,38 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
         |  FROM scores)
         |WHERE rn = 1""".stripMargin,
+
+    "q_lang_ngram" ->
+      """WITH langs AS (
+        |  SELECT * FROM (VALUES
+        |    ('de', ['der', 'ein', 'sch']),
+        |    ('en', [' th', 'ing', ' an']),
+        |    ('es', [' de', 'los', ' la']),
+        |    ('fr', [' le', 'ent', 'eau'])) l(lang, grams)
+        |),
+        |g AS (
+        |  SELECT doc_id, [substr(text, i, 3) for i in range(1, length(text)-1)] AS grams
+        |  FROM documents
+        |),
+        |scores AS (
+        |  SELECT g.doc_id, l.lang,
+        |         CAST(len(list_filter(g.grams, x -> list_contains(l.grams, x))) AS DOUBLE)
+        |           / CAST(len(g.grams) AS DOUBLE) AS score
+        |  FROM g CROSS JOIN langs l
+        |)
+        |SELECT doc_id, lang AS lang_pred, score AS lang_score FROM (
+        |  SELECT doc_id, lang, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        |  FROM scores)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_top_events" ->
+      """SELECT user_id, event_id, value, CAST(rn AS INTEGER) AS rank
+        |FROM (SELECT user_id, event_id, value,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY value DESC, event_id) AS rn
+        |      FROM events)
+        |WHERE rn <= 3""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -60,6 +60,19 @@ object Events {
       .agg(count(lit(1)).as("n"))
       .select(unix_timestamp(col("w.start")).as("bucket"), col("event_type"), col("n"))
 
+  /** Top-n events per user by value (tie: lowest event_id) — the
+    * PARTITIONED window pattern: row_number over (user_id) spreads
+    * across tasks by user, unlike a global-order window (the
+    * scale-killer flagged in round 2's topTerms). One shuffle on
+    * user_id; per-task state is one counter. */
+  def topPerUser(df: DataFrame, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    df.select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= n)
+  }
+
   /** Gap-based sessionization (islands idiom): a new session starts
     * when the user's inter-event gap exceeds gapMicros. Output: one row
     * per (user, session) with bounds and counts, all exact integers.

@@ -136,6 +136,28 @@ object TextAnalysis {
       (-best.getField("neg")).as("lang_score"))
   }
 
+  /** Char-trigram language scores — the n-gram heuristic variant of
+    * languageId for text without clean word boundaries: score = the
+    * fraction of the doc's character trigrams found in the language's
+    * profile set. Same argmax/tie contract as languageId; counts are
+    * exact integers, the ratio one exact division. */
+  def languageIdNgram(df: DataFrame, idCol: String, textCol: String,
+                      profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val t = col(textCol)
+    val grams = transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3)))
+    val scores = array(profiles.map { case (lang, gs) =>
+      struct(
+        (size(filter(grams, g => g.isin(gs.map(_.asInstanceOf[Any]): _*))).cast("double")
+          / size(grams).cast("double")).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_min(transform(scores,
+      s => struct((-s.getField("score")).as("neg"), s.getField("lang").as("lang"))))
+    df.select(col(idCol),
+      best.getField("lang").as("lang_pred"),
+      (-best.getField("neg")).as("lang_score"))
+  }
+
   /** 31-bit polynomial rolling hash of the raw text (base 31, modulus
     * 2^31-1): acc = (acc*31 + code(char)) mod p, folded left-to-right
     * over the characters. Every intermediate ≤ (2^31)·31 + 255 < 2^36
