@@ -1,0 +1,109 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{SimHash64, VectorMeanAgg}
+import graft.operators.{KMeans, PCA}
+
+/** Property-based checks of the pure (non-Spark-session) kernels:
+  * Jacobi eigendecomposition, the native SimHash kernel, the distance
+  * metric, and the mean-aggregator algebra. scalacheck runs these
+  * under sbt's native ScalaCheck framework — no session, thousands of
+  * cases in milliseconds. */
+object PureKernelProps extends Properties("pure-kernels") {
+
+  // ── eigSym on random symmetric matrices ──────────────────────────
+
+  private val symMat: Gen[Array[Array[Double]]] = for {
+    d <- Gen.choose(2, 6)
+    vals <- Gen.listOfN(d * d, Gen.choose(-10.0, 10.0))
+  } yield {
+    val m = vals.toArray.grouped(d).toArray
+    Array.tabulate(d, d)((i, j) => (m(i)(j) + m(j)(i)) / 2.0)
+  }
+
+  property("eigSym: A·v = λ·v, orthonormal, Σλ = trace") = Prop.forAll(symMat) { a =>
+    val d = a.length
+    val (values, vectors) = PCA.eigSym(a)
+    val scale = math.max(1.0, a.map(_.map(math.abs).max).max)
+    val eigenEq = (0 until d).forall { c =>
+      (0 until d).forall { i =>
+        val av = (0 until d).map(j => a(i)(j) * vectors(c)(j)).sum
+        math.abs(av - values(c) * vectors(c)(i)) < 1e-8 * scale
+      }
+    }
+    val ortho = (0 until d).forall { c1 =>
+      (0 until d).forall { c2 =>
+        val dot = (0 until d).map(i => vectors(c1)(i) * vectors(c2)(i)).sum
+        math.abs(dot - (if (c1 == c2) 1.0 else 0.0)) < 1e-9
+      }
+    }
+    val trace = (0 until d).map(i => a(i)(i)).sum
+    val traceOk = math.abs(values.sum - trace) < 1e-8 * scale * d
+    val sorted = values.sliding(2).forall(w => w.length < 2 || w(0) >= w(1) - 1e-12)
+    eigenEq && ortho && traceOk && sorted
+  }
+
+  // ── native SimHash kernel ────────────────────────────────────────
+
+  private def arr(toks: Seq[String]): GenericArrayData =
+    new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any).toArray)
+
+  private val tokList: Gen[List[String]] =
+    Gen.listOfN(12, Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)).map(_.take(12))
+
+  property("simhash64: order-invariant, deterministic, 16 lowercase hex") =
+    Prop.forAll(tokList, Gen.long) { (toks, seed) =>
+      val fp1 = SimHash64.compute(arr(toks)).toString
+      val shuffled = new scala.util.Random(seed).shuffle(toks)
+      val fp2 = SimHash64.compute(arr(shuffled)).toString
+      fp1 == fp2 && fp1.length == 16 && fp1.forall("0123456789abcdef".contains(_))
+    }
+
+  property("simhash64: duplicating every token preserves the fingerprint") =
+    Prop.forAll(tokList) { toks =>
+      // votes double but every sign (incl. the zero-vote 0-bias) is
+      // preserved: 2v > 0 iff v > 0
+      SimHash64.compute(arr(toks ++ toks)).toString ==
+        SimHash64.compute(arr(toks)).toString
+    }
+
+  // ── distance metric axioms ───────────────────────────────────────
+
+  private val vecPair: Gen[(Array[Double], Array[Double], Array[Double])] = for {
+    d <- Gen.choose(1, 8)
+    a <- Gen.listOfN(d, Gen.choose(-100.0, 100.0))
+    b <- Gen.listOfN(d, Gen.choose(-100.0, 100.0))
+    c <- Gen.listOfN(d, Gen.choose(-100.0, 100.0))
+  } yield (a.toArray, b.toArray, c.toArray)
+
+  property("euclideanLocal: identity, exact symmetry, triangle inequality") =
+    Prop.forAll(vecPair) { case (a, b, c) =>
+      val ab = KMeans.euclideanLocal(a, b)
+      KMeans.euclideanLocal(a, a) == 0.0 &&
+        ab == KMeans.euclideanLocal(b, a) && // (x-y)² == (y-x)² bitwise
+        ab <= KMeans.euclideanLocal(a, c) + KMeans.euclideanLocal(c, b) + 1e-9
+    }
+
+  // ── VectorMeanAgg algebra ────────────────────────────────────────
+
+  private val vecGroup: Gen[(List[Array[Double]], Int)] = for {
+    d <- Gen.choose(1, 5)
+    n <- Gen.choose(1, 20)
+    vs <- Gen.listOfN(n, Gen.listOfN(d, Gen.choose(-50.0, 50.0)).map(_.toArray))
+    split <- Gen.choose(0, n)
+  } yield (vs, split)
+
+  property("VectorMeanAgg: split-reduce-merge equals whole-reduce (partial-agg algebra)") =
+    Prop.forAll(vecGroup) { case (vs, split) =>
+      val agg = new VectorMeanAgg
+      def reduceAll(xs: Seq[Array[Double]]) =
+        xs.foldLeft(agg.zero)((b, v) => agg.reduce(b, v.clone()))
+      val whole = agg.finish(reduceAll(vs))
+      val (l, r) = vs.splitAt(split)
+      val merged = agg.finish(agg.merge(reduceAll(l), reduceAll(r)))
+      whole.zip(merged).forall { case (x, y) => math.abs(x - y) < 1e-9 }
+    }
+}
