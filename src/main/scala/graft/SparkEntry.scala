@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterMetrics, Dedup, Events, KMeans, Multimodal, PCA, Similarity, TextAnalysis}
+import graft.operators.{ClusterMetrics, Dedup, Events, KMeans, Multimodal, PCA, Similarity, TemporalJoins, TextAnalysis}
 import graft.functions.VectorOps
 import graft.sources.GeneIO
 
@@ -334,6 +334,38 @@ object SparkEntry {
       Events.topPerUser(Tables(s, dir, "events"), n = 3)
     }),
 
+    // ── temporal: backward as-of join (click ← latest prior purchase)
+    // The feature-lookup join at µs precision: one shuffle by user_id,
+    // union + running-last window — no per-row range scan.
+    "q_asof" -> ((s, dir) => {
+      val base = Tables(s, dir, "events").select(col("event_id"), col("user_id"),
+        Events.epochMicros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      val clicks = base.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_ts_us"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      TemporalJoins.asofJoin(clicks, purchases, "user_id", "ts_us", "p_ts_us",
+        valueCols = Seq("p_event_id", "p_ts_us", "p_value"), rightTieCol = "p_event_id")
+    }),
+
+    // ── temporal: range join (clicks inside 5-min pre-purchase window)
+    // Point-in-interval WITHOUT the nested-loop cross product: both
+    // sides bucket to a 5-min grid, the join is equi on (user, bucket),
+    // the exact BETWEEN filters in-bucket.
+    "q_range_attrib" -> ((s, dir) => {
+      val base = Tables(s, dir, "events").select(col("event_id"), col("user_id"),
+        Events.epochMicros(col("ts")).as("ts_us"), col("event_type"))
+      val clicks = base.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts_us")
+      val intervals = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          (col("ts_us") - 300000000L).as("lo"), col("ts_us").as("hi"))
+      TemporalJoins.rangeJoin(clicks, "ts_us", intervals, "lo", "hi",
+        "user_id", bucketWidth = 300000000L)
+        .groupBy("p_id").agg(count(lit(1)).as("n_clicks"))
+    }),
+
     // ── LLM-pipeline: JSON props extraction + per-type aggregate ────
     "q_events_props" -> ((s, dir) => {
       Events.propsAgg(Tables(s, dir, "events"))
@@ -585,6 +617,41 @@ object SparkEntry {
         |       min(ts_us) AS t_start_us, max(ts_us) AS t_end_us,
         |       max(ts_us) - min(ts_us) AS duration_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_us AS p_ts_us, event_id AS p_event_id, value AS p_value
+        |      FROM e WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, ts_us, 1 AS side, 9223372036854775807 AS tie, event_id,
+        |         CAST(NULL AS BIGINT) AS p_event_id, CAST(NULL AS BIGINT) AS p_ts_us,
+        |         CAST(NULL AS DOUBLE) AS p_value
+        |  FROM c
+        |  UNION ALL
+        |  SELECT user_id, p_ts_us AS ts_us, 0 AS side, p_event_id AS tie,
+        |         CAST(NULL AS BIGINT) AS event_id, p_event_id, p_ts_us, p_value
+        |  FROM p
+        |),
+        |w AS (
+        |  SELECT user_id, ts_us, side, event_id,
+        |         last_value(p_event_id IGNORE NULLS) OVER win AS p_event_id,
+        |         last_value(p_ts_us IGNORE NULLS) OVER win AS p_ts_us,
+        |         last_value(p_value IGNORE NULLS) OVER win AS p_value
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, side, tie
+        |                 ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT event_id, user_id, ts_us, p_event_id, p_ts_us, p_value
+        |FROM w WHERE side = 1""".stripMargin,
+
+    "q_range_attrib" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events)
+        |SELECT p.event_id AS p_id, count(*) AS n_clicks
+        |FROM (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id AND c.ts_us BETWEEN p.ts_us - 300000000 AND p.ts_us
+        |GROUP BY 1""".stripMargin,
 
     "q_events_props" ->
       """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,

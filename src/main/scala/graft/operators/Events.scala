@@ -36,6 +36,11 @@ object Events {
     * a timestamp is the microsecond interval containing the instant). */
   def tsFromNanos(ns: Column): Column = timestamp_micros(lfloorDiv(ns, 1000L))
 
+  /** Nanosecond epoch → microsecond epoch long (FLOOR — matches
+    * DuckDB's epoch_us for all signs). The µs-precision contract for
+    * cross-engine temporal comparisons (see sessionize). */
+  def epochMicros(ns: Column): Column = lfloorDiv(ns, 1000L)
+
   /** Tumbling bucket start in epoch SECONDS from an epoch-nano long —
     * exact integer division, bit-exact cross-engine. Deliberately
     * TRUNCATING (not flooring): the oracle buckets with DuckDB's `//`,

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark has no built-in operator for — composed from
+  * existing operators per the extension ladder's first rung (SURVEY
+  * build rules: compose before custom plans), with shuffle shapes
+  * that survive scale.
+  *
+  * - asofJoin: "latest right row at or before each left row" — the
+  *   timeseries/feature-lookup join. ONE shuffle by key via the
+  *   union + running-last window trick: no per-row subquery, no range
+  *   scan, state per task is one row of right-side values.
+  * - rangeJoin: point-in-interval matching without the cross product
+  *   a naive non-equi join plans (BroadcastNestedLoop — the classic
+  *   scale-killer). Points and intervals are bucketed to a coarse
+  *   grid; intervals explode to the buckets they overlap, the join is
+  *   an EQUI-join on (key, bucket), and the exact predicate filters
+  *   in-bucket. Work is O(points + intervals · avg_buckets + matches).
+  */
+object TemporalJoins {
+
+  /** Backward inclusive as-of join: for each left row, attach
+    * `valueCols` from the right row with the greatest rightTs ≤
+    * leftTs for the same key (ties on rightTs broken by the LAST
+    * right row in (ts, tieCol) order). Left rows with no prior right
+    * row get nulls.
+    *
+    * Both sides shuffle ONCE by keyCol; a single ascending window
+    * pass carries the running last right-side values into the
+    * interleaved left rows. Right rows sort before left rows at equal
+    * timestamps (inclusive semantics). */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTsCol: String, rightTsCol: String,
+               valueCols: Seq[String], rightTieCol: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__ts", col(leftTsCol))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(Long.MaxValue))
+    val lPadded = valueCols.foldLeft(l)((d, c) => d.withColumn(c, lit(null)))
+    val r = right
+      .select((Seq(col(keyCol), col(rightTsCol).as("__ts"), lit(0).as("__side"),
+        col(rightTieCol).cast("long").as("__tie")) ++ valueCols.map(col)): _*)
+    val rPadded = leftCols.filterNot(c => c == keyCol || valueCols.contains(c))
+      .foldLeft(r)((d, c) => d.withColumn(c, lit(null)))
+    val unioned = lPadded.select((Seq(col(keyCol), col("__ts"), col("__side"), col("__tie")) ++
+      leftCols.filterNot(_ == keyCol).map(col) ++ valueCols.map(col)): _*)
+      .unionByName(rPadded.select((Seq(col(keyCol), col("__ts"), col("__side"), col("__tie")) ++
+        leftCols.filterNot(_ == keyCol).map(col) ++ valueCols.map(col)): _*))
+    val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(unioned)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+
+  /** Point-in-interval range join on a shared key: returns
+    * point-row ⋈ interval-row pairs where lo ≤ pt ≤ hi (all long
+    * columns). bucketWidth trades replication for selectivity: each
+    * interval is exploded to ceil(span/width)+1 bucket rows; pick a
+    * width near the typical interval span. */
+  def rangeJoin(points: DataFrame, ptCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                keyCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // exact integer floor division: epoch-scale longs exceed 2^53, so
+    // a double divide would round; a - pmod(a,w) is an exact multiple
+    def bucket(c: Column): Column =
+      call_function("div", c - pmod(c, lit(bucketWidth)), lit(bucketWidth))
+    val p = points.withColumn("__b", bucket(col(ptCol)))
+    val iv = intervals
+      .withColumn("__b",
+        explode(sequence(bucket(col(loCol)), bucket(col(hiCol)))))
+    p.join(iv, Seq(keyCol, "__b"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__b")
+  }
+}

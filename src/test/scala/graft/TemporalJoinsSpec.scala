@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoins
+
+/** As-of and range joins against brute-force references. */
+class TemporalJoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asofJoin: latest prior value, inclusive at equal ts, nulls before first right row") {
+    val left = Seq(
+      (101L, 1L, 50L),   // before any right row -> nulls
+      (102L, 1L, 100L),  // == right ts 100 -> inclusive match r1
+      (103L, 1L, 250L),  // after r2 -> r2
+      (104L, 2L, 500L)   // other key, no right rows -> nulls
+    ).toDF("event_id", "user_id", "ts_us")
+    val right = Seq(
+      (1L, 100L, 11L, 1.5),
+      (1L, 200L, 12L, 2.5)
+    ).toDF("user_id", "p_ts_us", "p_event_id", "p_value")
+    val got = TemporalJoins.asofJoin(left, right, "user_id", "ts_us", "p_ts_us",
+      Seq("p_event_id", "p_value"), "p_event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4))))).toMap
+    assert(got(101L).isEmpty)
+    assert(got(102L).contains((11L, 1.5)))
+    assert(got(103L).contains((12L, 2.5)))
+    assert(got(104L).isEmpty)
+  }
+
+  test("asofJoin: equal right timestamps tie-break to the larger tie id") {
+    val left = Seq((1L, 1L, 300L)).toDF("event_id", "user_id", "ts_us")
+    val right = Seq((1L, 300L, 7L, 7.0), (1L, 300L, 9L, 9.0))
+      .toDF("user_id", "p_ts_us", "p_event_id", "p_value")
+    val r = TemporalJoins.asofJoin(left, right, "user_id", "ts_us", "p_ts_us",
+      Seq("p_event_id", "p_value"), "p_event_id").collect()(0)
+    assert(r.getLong(3) == 9L) // last in (ts, tie) order wins
+  }
+
+  test("rangeJoin equals the brute-force non-equi join, incl. multi-bucket intervals") {
+    val rnd = new scala.util.Random(3)
+    val points = (1 to 300).map(i => (i.toLong, (i % 5).toLong, rnd.nextInt(10000).toLong))
+      .toDF("pt_id", "key", "pt")
+    val intervals = (1 to 60).map { i =>
+      val lo = rnd.nextInt(9000).toLong
+      // spans up to 30 buckets at width 100
+      (i.toLong, (i % 5).toLong, lo, lo + rnd.nextInt(3000).toLong)
+    }.toDF("iv_id", "key", "lo", "hi")
+    val got = TemporalJoins.rangeJoin(points, "pt", intervals, "lo", "hi", "key",
+      bucketWidth = 100L)
+      .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val expect = points.join(intervals, "key")
+      .filter(col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == expect.toSeq && expect.nonEmpty)
+  }
+}
