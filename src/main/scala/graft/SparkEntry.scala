@@ -420,6 +420,21 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    // ── relational baseline: ROLLUP hierarchy aggregation ───────────
+    // Partial totals per (returnflag, linestatus), per returnflag, and
+    // grand total in ONE pass — Spark expands grouping sets before the
+    // exchange, so it stays a single shuffle.
+    "q_rollup" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+    }),
+
     // ── relational baseline: TPC-H Q1-style aggregation ─────────────
     "q1_agg" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -1064,6 +1079,13 @@ object SparkEntry {
          |SELECT CAST(sum(mx) AS BIGINT) AS correct, CAST(sum(ns) AS BIGINT) AS n,
          |       CAST(sum(mx) AS DOUBLE) / CAST(sum(ns) AS DOUBLE) AS purity
          |FROM per""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
