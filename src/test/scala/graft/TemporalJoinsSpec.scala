@@ -49,9 +49,13 @@ class TemporalJoinsSpec extends AnyFunSuite {
       // spans up to 30 buckets at width 100
       (i.toLong, (i % 5).toLong, lo, lo + rnd.nextInt(3000).toLong)
     }.toDF("iv_id", "key", "lo", "hi")
-    val got = TemporalJoins.rangeJoin(points, "pt", intervals, "lo", "hi", "key",
+    val rj = TemporalJoins.rangeJoin(points, "pt", intervals, "lo", "hi", "key",
       bucketWidth = 100L)
-      .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // the whole point: an equi-join plan, never the nested loop a
+    // naive non-equi join gets
+    val plan = rj.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan)
+    val got = rj.select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     val expect = points.join(intervals, "key")
       .filter(col("pt") >= col("lo") && col("pt") <= col("hi"))
       .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
