@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterMetrics, Dedup, Events, KMeans, Multimodal, PCA, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{ClusterMetrics, Dedup, Events, KMeans, Multimodal, PCA, Sampling, Similarity, TemporalJoins, TextAnalysis}
 import graft.functions.VectorOps
 import graft.sources.GeneIO
 
@@ -369,6 +369,33 @@ object SparkEntry {
     // ── LLM-pipeline: JSON props extraction + per-type aggregate ────
     "q_events_props" -> ((s, dir) => {
       Events.propsAgg(Tables(s, dir, "events"))
+    }),
+
+    // ── curation: deterministic train/test split (contamination-safe)
+    "q_split" -> ((s, dir) => {
+      Sampling.trainTestSplit(Tables(s, dir, "documents"), "doc_id", testFrac = 0.2)
+        .select(col("doc_id"), col("split"))
+    }),
+
+    // ── curation: per-stratum deterministic down-sampling ───────────
+    "q_stratified" -> ((s, dir) => {
+      Sampling.stratifiedSample(Tables(s, dir, "documents"), "doc_id", "lang",
+        rates = Map("en" -> 0.5, "de" -> 1.0), defaultRate = 0.25)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // ── dedup: the DROP operator (keep lowest id per content) ───────
+    "q_dedup_kept" -> ((s, dir) => {
+      Dedup.dropExactDuplicates(Tables(s, dir, "documents"), "doc_id", Seq("text"))
+        .select(col("doc_id"))
+    }),
+
+    // ── set ops: users who clicked but never purchased ──────────────
+    "q_setops" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      ev.filter(col("event_type") === "click").select(col("user_id")).distinct()
+        .except(ev.filter(col("event_type") === "purchase" && col("value") > 150)
+          .select(col("user_id")))
     }),
 
     // ── multimodal: binary payload ingest + typed metadata ──────────
@@ -1002,6 +1029,33 @@ object SparkEntry {
          |SELECT m11, g + p - 2*m11 AS disagree,
          |       CAST(m11 AS DOUBLE) / CAST(g + p - m11 AS DOUBLE) AS jaccard
          |FROM mm, gg, pp""".stripMargin,
+
+    "q_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                 / 4294967296.0 < 0.2
+        |            THEN 'test' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
+    "q_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS h,
+        |         CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 ELSE 0.25 END AS rate
+        |  FROM documents)
+        |WHERE h < rate""".stripMargin,
+
+    "q_dedup_kept" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_setops" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150""".stripMargin,
 
     "q_mm_meta" ->
       """SELECT doc_id, 'gray8' AS format, CAST(16 AS INTEGER) AS width,
