@@ -311,6 +311,11 @@ object SparkEntry {
         NgramProfiles)
     }),
 
+    // ── LLM-pipeline: winnowing fingerprints (local-overlap dedup) ──
+    "q_winnow" -> ((s, dir) => {
+      TextAnalysis.winnow(Tables(s, dir, "documents"), "doc_id", "text", k = 5, w = 4)
+    }),
+
     // ── LLM-pipeline: rolling-hash document fingerprint ─────────────
     "q_fingerprint" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -809,6 +814,31 @@ object SparkEntry {
         |                                ORDER BY value DESC, event_id) AS rn
         |      FROM events)
         |WHERE rn <= 3""".stripMargin,
+
+    "q_winnow" ->
+      """WITH cs AS (
+        |  SELECT doc_id, string_split(text, '') AS cs, length(text) - 4 AS m
+        |  FROM documents
+        |),
+        |hs AS (
+        |  SELECT doc_id, m,
+        |         CASE WHEN m >= 1 THEN
+        |           [list_reduce(list_transform(cs[i:i+4], c -> CAST(ascii(c) AS BIGINT)),
+        |                        (acc, c) -> (acc * 31 + c) % 2147483647)
+        |            for i in range(1, m + 1)]
+        |         ELSE [] END AS hs
+        |  FROM cs
+        |),
+        |mins AS (
+        |  SELECT doc_id,
+        |         CASE WHEN m < 1 THEN []
+        |              WHEN m <= 4 THEN [list_min(hs)]
+        |              ELSE [list_min(hs[j:j+3]) for j in range(1, m - 2)]
+        |         END AS mins
+        |  FROM hs
+        |)
+        |SELECT doc_id, array_to_string(list_sort(list_distinct(mins)), ',') AS fps
+        |FROM mins""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -170,6 +170,37 @@ object TextAnalysis {
       (-best.getField("neg")).as("lang_score"))
   }
 
+  /** Winnowing fingerprints (value-set form): k-gram rolling hashes →
+    * per-window-of-w minima → sorted distinct selection. Guarantees of
+    * the scheme: any shared substring of length ≥ w + k - 1 between
+    * two documents contributes at least one COMMON fingerprint, so
+    * local overlap is detectable without comparing full shingle sets.
+    * (Classic winnowing keeps the rightmost minimum's POSITION per
+    * window; this value-set simplification keeps the minima values —
+    * same detection guarantee, position-free, and exactly mirrorable
+    * in SQL.) All arithmetic is the 31-base mod 2^31-1 integer hash —
+    * exact cross-engine. Output: (id, fps) with fps the sorted
+    * distinct minima joined by ','. Rowwise, one pass, O(n·k). */
+  def winnow(df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    val p = lit(2147483647L)
+    val chars = df.select(col(idCol), split(col(textCol), "").as("__cs"),
+      (length(col(textCol)) - (k - 1)).as("__m"))
+    val hashes = chars.select(col(idCol), col("__m"),
+      when(col("__m") >= 1,
+        transform(sequence(lit(1), col("__m")), i =>
+          aggregate(slice(col("__cs"), i, lit(k)), lit(0L),
+            (acc, c) => (acc * 31L + coalesce(ascii(c).cast("long"), lit(0L))) % p)))
+        .otherwise(array().cast("array<long>")).as("__hs"))
+    val mins = hashes.select(col(idCol),
+      when(col("__m") < 1, array().cast("array<long>"))
+        .when(col("__m") <= w, array(array_min(col("__hs"))))
+        .otherwise(transform(sequence(lit(1), col("__m") - (w - 1)), j =>
+          array_min(slice(col("__hs"), j, lit(w))))).as("__mins"))
+    mins.select(col(idCol),
+      array_join(array_sort(array_distinct(col("__mins"))), ",").as("fps"))
+  }
+
   /** 31-bit polynomial rolling hash of the raw text (base 31, modulus
     * 2^31-1): acc = (acc*31 + code(char)) mod p, folded left-to-right
     * over the characters. Every intermediate ≤ (2^31)·31 + 255 < 2^36

@@ -83,6 +83,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(approx - 600L) <= 600L / 10, s"approx=$approx vs exact=600")
   }
 
+  test("winnow matches a local reference; shared substrings share a fingerprint") {
+    def localWinnow(text: String, k: Int, w: Int): String = {
+      val P = 2147483647L
+      val m = text.length - (k - 1)
+      if (m < 1) ""
+      else {
+        val hs = (0 until m).map(i =>
+          text.substring(i, i + k).foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P))
+        val mins = if (m <= w) Seq(hs.min) else (0 to m - w).map(j => hs.slice(j, j + w).min)
+        mins.distinct.sorted.mkString(",")
+      }
+    }
+    val rnd = new scala.util.Random(13)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val texts = Seq("", "ab", "abcd", "abcde", "abcdefgh") ++ (1 to 20).map(_ => randStr(5 + rnd.nextInt(120)))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.winnow(df, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == localWinnow(t, 5, 4), s"doc $i: '$t'")
+    }
+    // detection guarantee: a shared substring of length >= w + k - 1
+    // yields at least one common fingerprint
+    val shared = randStr(30)
+    val a = randStr(40) + shared + randStr(40)
+    val b = randStr(40) + shared + randStr(40)
+    val pair = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(pair, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(",").toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+  }
+
   test("fingerprint is the 31-base modular fold of char codes") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     val fp = df.select(TextAnalysis.fingerprint(col("text"))).collect()(0).getLong(0)
