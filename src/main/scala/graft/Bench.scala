@@ -25,6 +25,10 @@ object Bench {
     // q_text_stats vs r2's — same query, 5× apart).
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // settle the heap between queries: without this, whichever query
+      // follows an allocation-heavy one absorbs its GC debt (observed
+      // 2-4x swings on the same query across runs)
+      System.gc()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
