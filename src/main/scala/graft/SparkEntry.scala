@@ -672,24 +672,24 @@ object SparkEntry {
         |      FROM e WHERE event_type = 'purchase'),
         |u AS (
         |  SELECT user_id, ts_us, 1 AS side, 9223372036854775807 AS tie, event_id,
-        |         CAST(NULL AS BIGINT) AS p_event_id, CAST(NULL AS BIGINT) AS p_ts_us,
-        |         CAST(NULL AS DOUBLE) AS p_value
+        |         CAST(NULL AS STRUCT(p_event_id BIGINT, p_ts_us BIGINT, p_value DOUBLE)) AS vals
         |  FROM c
         |  UNION ALL
         |  SELECT user_id, p_ts_us AS ts_us, 0 AS side, p_event_id AS tie,
-        |         CAST(NULL AS BIGINT) AS event_id, p_event_id, p_ts_us, p_value
+        |         CAST(NULL AS BIGINT) AS event_id,
+        |         struct_pack(p_event_id := p_event_id, p_ts_us := p_ts_us,
+        |                     p_value := p_value) AS vals
         |  FROM p
         |),
         |w AS (
         |  SELECT user_id, ts_us, side, event_id,
-        |         last_value(p_event_id IGNORE NULLS) OVER win AS p_event_id,
-        |         last_value(p_ts_us IGNORE NULLS) OVER win AS p_ts_us,
-        |         last_value(p_value IGNORE NULLS) OVER win AS p_value
+        |         last_value(vals IGNORE NULLS) OVER win AS vals
         |  FROM u
         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, side, tie
         |                 ROWS UNBOUNDED PRECEDING)
         |)
-        |SELECT event_id, user_id, ts_us, p_event_id, p_ts_us, p_value
+        |SELECT event_id, user_id, ts_us, vals.p_event_id AS p_event_id,
+        |       vals.p_ts_us AS p_ts_us, vals.p_value AS p_value
         |FROM w WHERE side = 1""".stripMargin,
 
     "q_range_attrib" ->
@@ -797,8 +797,10 @@ object SparkEntry {
         |),
         |scores AS (
         |  SELECT g.doc_id, l.lang,
-        |         CAST(len(list_filter(g.grams, x -> list_contains(l.grams, x))) AS DOUBLE)
-        |           / CAST(len(g.grams) AS DOUBLE) AS score
+        |         CASE WHEN len(g.grams) > 0 THEN
+        |           CAST(len(list_filter(g.grams, x -> list_contains(l.grams, x))) AS DOUBLE)
+        |             / CAST(len(g.grams) AS DOUBLE)
+        |         ELSE 0.0 END AS score
         |  FROM g CROSS JOIN langs l
         |)
         |SELECT doc_id, lang AS lang_pred, score AS lang_score FROM (
@@ -1108,7 +1110,8 @@ object SparkEntry {
         |SELECT doc_id, CAST(n AS BIGINT) AS n_px,
         |       CAST(list_sum(px) AS BIGINT) AS sum_px,
         |       list_min(px) AS min_px, list_max(px) AS max_px,
-        |       CAST(list_sum(px) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_px
+        |       CASE WHEN n > 0 THEN CAST(list_sum(px) AS DOUBLE) / CAST(n AS DOUBLE)
+        |            ELSE 0.0 END AS mean_px
         |FROM px""".stripMargin,
 
     "q_mm_frames" ->

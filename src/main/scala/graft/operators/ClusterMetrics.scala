@@ -66,7 +66,10 @@ object ClusterMetrics {
     val p = cells.filter(col("pred") =!= -1L)
       .groupBy("pred").agg(sum(col("n")).as("np"))
       .agg(coalesce(sum(col("np") * col("np")), lit(0L)).as("p"))
-    val nn = jj.agg(count(lit(1)).as("ntot"))
+    // total from the contingency cells (identical subtree to the other
+    // three aggregates, so the exchange is reused), not a 4th full
+    // scan of the assignment input
+    val nn = cells.agg(coalesce(sum(col("n")), lit(0L)).as("ntot"))
     m11.crossJoin(g).crossJoin(p).crossJoin(nn).select(
       col("m11"),
       (col("ntot") * col("ntot") - col("g") - col("p") + col("m11")).as("m00"),

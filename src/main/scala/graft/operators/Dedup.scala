@@ -319,7 +319,9 @@ object Dedup {
                        minSim: Double, tables: Int = 8, bits: Int = 4,
                        d: Int = 64): DataFrame = {
     import graft.functions.VectorOps
-    val bk = Similarity.lshBuckets(df, idCol, vecCol, tables, bits, d)
+    // cached: both sides of the candidate self-join — without it the
+    // tables×bits hyperplane projections run twice over the corpus
+    val bk = registerCache(Similarity.lshBuckets(df, idCol, vecCol, tables, bits, d))
     val cand = bk.select(col(idCol).as("id1"), col("tbl"), col("bucket"))
       .join(bk.select(col(idCol).as("id2"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
       .filter(col("id1") < col("id2"))

@@ -69,7 +69,11 @@ object Multimodal {
         aggregate(col("px"), lit(0L), (a, v) => a + v).as("sum_px"),
         array_min(col("px")).as("min_px"),
         array_max(col("px")).as("max_px"))
-      .withColumn("mean_px", col("sum_px").cast("double") / col("n_px").cast("double"))
+      .withColumn("mean_px",
+        // empty payload: define mean as 0.0 (matches fakeDecode) —
+        // Spark's 0/0 would be NULL, DuckDB's NaN
+        when(col("n_px") > 0, col("sum_px").cast("double") / col("n_px").cast("double"))
+          .otherwise(lit(0.0)))
   }
 
   /** Fixed-size frame sampling (the video/audio chunking stage):
@@ -82,8 +86,11 @@ object Multimodal {
     val n = length(col(contentCol))
     val nFrames = least(floor((n + frameBytes - 1) / frameBytes.toDouble).cast("int"),
       lit(maxFrames))
+    // guard the empty payload: sequence(1, 0) DESCENDS to [1, 0] in
+    // Spark — an empty payload must explode to zero frame rows
     df.select(col(idCol), col(contentCol).as("__c"),
-      explode(sequence(lit(1), nFrames)).as("frame_idx"))
+      explode(when(nFrames >= 1, sequence(lit(1), nFrames))
+        .otherwise(array().cast("array<int>"))).as("frame_idx"))
       .select(col(idCol), col("frame_idx"),
         col("__c").substr((col("frame_idx") - 1) * frameBytes + 1, lit(frameBytes))
           .as("frame"))
@@ -98,8 +105,7 @@ object Multimodal {
     val base = md5(col(contentCol))
     df.select(col(idCol),
       transform(sequence(lit(1), lit(d)), j =>
-        conv(substring(md5(concat(base, lit(":"), j.cast("string"))), 1, 8), 16, 10)
-          .cast("double") / lit(4294967296.0)).as("embedding"))
+        Sampling.unitFromMd5(concat(base, lit(":"), j.cast("string")))).as("embedding"))
   }
 
   /** Stride resize of the fake gray8 raster (the thumbnail stage):
@@ -110,8 +116,11 @@ object Multimodal {
     val bs = byteValues(col(contentCol))
     df.select(col(idCol), bs.as("__px"))
       .select(col(idCol),
-        transform(sequence(lit(1), ((size(col("__px")) - 1) / stride + 1).cast("int")),
-          i => element_at(col("__px"), (i - 1) * stride + 1)).as("px"))
+        // empty-payload guard: see frameSample (descending sequence)
+        when(size(col("__px")) >= 1,
+          transform(sequence(lit(1), ((size(col("__px")) - 1) / stride + 1).cast("int")),
+            i => element_at(col("__px"), (i - 1) * stride + 1)))
+          .otherwise(array().cast("array<long>")).as("px"))
       .select(col(idCol), col("px"),
         struct(
           lit("gray8").as("format"),
@@ -153,6 +162,6 @@ object Multimodal {
       var s = 0L
       var i = 0
       while (i < n) { s += bytes(i) & 0xff; i += 1 }
-      Decoded(id, 16, (n + 15) / 16, s.toDouble / n)
+      Decoded(id, 16, (n + 15) / 16, if (n == 0) 0.0 else s.toDouble / n)
     }
 }

@@ -17,10 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform [0, 1) from an id: first 8 md5-hex chars of the id's
-    * decimal string, scaled by 2^-32 — every step exact. */
-  def hashUnit(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+  /** Uniform [0, 1) from any string column: first 8 md5-hex chars
+    * scaled by 2^-32 — every step exact. The single source of the
+    * hash-to-unit-interval contract (Multimodal.featureExtract and
+    * the oracles share it). */
+  def unitFromMd5(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+
+  /** Uniform [0, 1) from an id (its decimal string form). */
+  def hashUnit(id: Column): Column = unitFromMd5(id.cast("string"))
 
   /** Keep ≈ rate of rows, chosen by id hash. Deterministic: the same
     * id is kept at every rate ≥ its hash point (nested samples —

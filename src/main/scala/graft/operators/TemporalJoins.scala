@@ -31,31 +31,31 @@ object TemporalJoins {
     * Both sides shuffle ONCE by keyCol; a single ascending window
     * pass carries the running last right-side values into the
     * interleaved left rows. Right rows sort before left rows at equal
-    * timestamps (inclusive semantics). */
+    * timestamps (inclusive semantics).
+    *
+    * The right row's values travel as ONE struct, so a matched row is
+    * atomic: a NULL inside one value column never tears the output by
+    * falling back to an older row's value for just that column (which
+    * per-column ignoreNulls carry would do). */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTsCol: String, rightTsCol: String,
                valueCols: Seq[String], rightTieCol: String): DataFrame = {
     val leftCols = left.columns
-    val l = left
-      .withColumn("__ts", col(leftTsCol))
-      .withColumn("__side", lit(1))
-      .withColumn("__tie", lit(Long.MaxValue))
-    val lPadded = valueCols.foldLeft(l)((d, c) => d.withColumn(c, lit(null)))
-    val r = right
-      .select((Seq(col(keyCol), col(rightTsCol).as("__ts"), lit(0).as("__side"),
-        col(rightTieCol).cast("long").as("__tie")) ++ valueCols.map(col)): _*)
-    val rPadded = leftCols.filterNot(c => c == keyCol || valueCols.contains(c))
-      .foldLeft(r)((d, c) => d.withColumn(c, lit(null)))
-    val unioned = lPadded.select((Seq(col(keyCol), col("__ts"), col("__side"), col("__tie")) ++
-      leftCols.filterNot(_ == keyCol).map(col) ++ valueCols.map(col)): _*)
-      .unionByName(rPadded.select((Seq(col(keyCol), col("__ts"), col("__side"), col("__tie")) ++
-        leftCols.filterNot(_ == keyCol).map(col) ++ valueCols.map(col)): _*))
+    val l = left.select(col(keyCol), col(leftTsCol).as("__ts"),
+      lit(1).as("__side"), lit(Long.MaxValue).as("__tie"),
+      struct(leftCols.filterNot(_ == keyCol).map(col): _*).as("__lrow"))
+    val r = right.select(col(keyCol), col(rightTsCol).as("__ts"),
+      lit(0).as("__side"), col(rightTieCol).cast("long").as("__tie"),
+      struct(valueCols.map(col): _*).as("__vals"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+    unioned
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c =>
+        (if (c == keyCol) col(c) else col("__lrow").getField(c)).as(c)) ++
+        valueCols.map(c => col("__vals").getField(c).as(c)): _*)
   }
 
   /** Point-in-interval range join on a shared key: returns

@@ -159,8 +159,11 @@ object TextAnalysis {
     val g = col("__grams")
     val scores = array(profiles.map { case (lang, gs) =>
       struct(
-        (size(filter(g, x => x.isin(gs.map(_.asInstanceOf[Any]): _*))).cast("double")
-          / size(g).cast("double")).as("score"),
+        // short text (< 3 chars) has no grams: score 0.0, not 0/0
+        when(size(g) > 0,
+          size(filter(g, x => x.isin(gs.map(_.asInstanceOf[Any]): _*))).cast("double")
+            / size(g).cast("double"))
+          .otherwise(lit(0.0)).as("score"),
         lit(lang).as("lang"))
     }: _*)
     val best = array_min(transform(scores,

@@ -83,6 +83,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(capped.filter($"doc_id" === 3L).count() == 1)
   }
 
+  test("empty payload: zero frames, empty resize, mean_px 0.0 matching fakeDecode") {
+    val withEmpty = Multimodal.withContent(
+      Seq((1L, ""), (2L, "abc")).toDF("doc_id", "text"), "doc_id", "text")
+    // sequence(1,0) descends in Spark — must NOT yield frames for doc 1
+    val frames = Multimodal.frameSample(withEmpty, "doc_id", "content", 256)
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!frames.contains(1L) && frames(2L) == 1L)
+    val resized = Multimodal.resizeByStride(withEmpty, "doc_id", "content", 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(resized(1L).isEmpty)
+    val stats = Multimodal.pixelStats(withEmpty, "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(5))).toMap
+    assert(stats(1L) == ((0L, 0.0)))
+    val decoded = Multimodal.decodeBatched(withEmpty, "doc_id", "content", 2)(Multimodal.fakeDecode)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(decoded(1L) == 0.0 && decoded(1L) == stats(1L)._2)
+  }
+
   test("featureExtract: deterministic [0,1) embeddings that feed similarity search") {
     val e1 = Multimodal.featureExtract(mm, "doc_id", "content", d = 8)
     val rows = e1.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap

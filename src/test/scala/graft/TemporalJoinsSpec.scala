@@ -40,6 +40,18 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 9L) // last in (ts, tie) order wins
   }
 
+  test("asofJoin: a NULL value column never tears — the matched row is atomic") {
+    val left = Seq((1L, 1L, 250L)).toDF("event_id", "user_id", "ts_us")
+    val right = Seq(
+      (1L, 100L, Some(11L), Some(1.5)),
+      (1L, 200L, Some(12L), Option.empty[Double]) // latest row carries a NULL value
+    ).toDF("user_id", "p_ts_us", "p_event_id", "p_value")
+    val r = TemporalJoins.asofJoin(left, right, "user_id", "ts_us", "p_ts_us",
+      Seq("p_event_id", "p_value"), "p_event_id").collect()(0)
+    assert(r.getLong(3) == 12L)
+    assert(r.isNullAt(4), "p_value must be the matched row's NULL, not the older row's 1.5")
+  }
+
   test("rangeJoin equals the brute-force non-equi join, incl. multi-bucket intervals") {
     val rnd = new scala.util.Random(3)
     val points = (1 to 300).map(i => (i.toLong, (i % 5).toLong, rnd.nextInt(10000).toLong))

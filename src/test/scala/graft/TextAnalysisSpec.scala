@@ -75,6 +75,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) === (("en", 0.0))) // all-zero tie → lexicographic first
   }
 
+  test("languageIdNgram: trigram coverage scores; short text scores 0.0, not 0/0") {
+    val profiles = Seq("en" -> Seq("the", "he "), "fr" -> Seq("le ", " de"))
+    val df = Seq(
+      (1L, "the cat and the dog"), // contains 'the'/'he ' grams
+      (2L, "le chat de paris"),    // contains 'le '/' de'
+      (3L, "ab")                   // too short for any trigram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.languageIdNgram(df, "doc_id", "text", profiles)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == "en" && got(1L)._2 > 0.0)
+    assert(got(2L)._1 == "fr" && got(2L)._2 > 0.0)
+    assert(got(3L) == (("en", 0.0))) // all-zero tie -> lexicographic first, score 0.0
+  }
+
   test("vocabSizeApprox lands within the HLL error bound of the exact count") {
     val docs = (1 to 200).map(i => (i.toLong, s"tok_${i * 5} tok_${i * 5 + 1} tok_${i * 5 + 2}"))
       .toDF("doc_id", "text") // 600 distinct tokens, no overlap
