@@ -376,6 +376,29 @@ object SparkEntry {
       Events.propsAgg(Tables(s, dir, "events"))
     }),
 
+    // ── capstone: the full curation pipeline, composed ──────────────
+    // quality filter → language filter → exact dedup → near-dup
+    // removal (MinHash-LSH verified, drop the higher id of each pair)
+    // → deterministic train/test split. Every stage is one of the
+    // engine's operators; the oracle replays the identical chain in
+    // SQL. This is the "a user could run their whole workflow" claim
+    // in one query.
+    "q_pipeline" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val good = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .filter(col("quality") >= 0.75).select("doc_id")
+      val en = TextAnalysis.languageId(docs, "doc_id", "text", LangProfiles)
+        .filter(col("lang_pred") === "en").select("doc_id")
+      val kept = docs.join(good, "doc_id").join(en, "doc_id")
+      val exact = Dedup.dropExactDuplicates(kept, "doc_id", Seq("text"))
+      val nearDupIds = Dedup.nearDuplicates(exact, "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.5, parity = true)
+        .select(col("id2").as("doc_id")).distinct()
+      val deduped = exact.join(nearDupIds, Seq("doc_id"), "left_anti")
+      Sampling.trainTestSplit(deduped, "doc_id", testFrac = 0.2)
+        .select(col("doc_id"), col("split"))
+    }),
+
     // ── curation: deterministic train/test split (contamination-safe)
     "q_split" -> ((s, dir) => {
       Sampling.trainTestSplit(Tables(s, dir, "documents"), "doc_id", testFrac = 0.2)
@@ -526,8 +549,10 @@ object SparkEntry {
     * 32-bit base hash per shingle, H=16 integer universal-hash minima
     * (a_i·x + b_i) mod 2^31-1, 8 bands × 2 rows). DuckDB list slicing
     * is end-inclusive, hence the [lo : bi*2] bounds. */
-  private val sqlMinhash =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** Same CTE chain over an arbitrary source relation (the pipeline
+    * query runs it over the already-filtered document set). */
+  private def sqlMinhashOn(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
       |sh AS (
       |  SELECT doc_id,
       |         list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
@@ -548,6 +573,8 @@ object SparkEntry {
       |         array_to_string(sig[(bi-1)*2+1 : bi*2], ',') AS bucket
       |  FROM sig CROSS JOIN generate_series(1, 8) t(bi)
       |)""".stripMargin
+
+  private val sqlMinhash = sqlMinhashOn("documents")
 
   /** DuckDB cosine similarity mirroring VectorOps.cosine: sequential
     * list folds for dot and norms, sqrt each norm then multiply. */
@@ -1061,6 +1088,83 @@ object SparkEntry {
          |SELECT m11, g + p - 2*m11 AS disagree,
          |       CAST(m11 AS DOUBLE) / CAST(g + p - m11 AS DOUBLE) AS jaccard
          |FROM mm, gg, pp""".stripMargin,
+
+    "q_pipeline" ->
+      s"""WITH qd AS (
+         |  SELECT doc_id, string_split(text, ' ') AS qtoks,
+         |         ['the', 'a', 'and', 'of', 'to', 'in'] AS sw
+         |  FROM documents
+         |),
+         |qr AS (
+         |  SELECT doc_id,
+         |         CAST(len(qtoks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(qtoks, t -> list_contains(sw, t))) AS DOUBLE)
+         |           / CAST(len(qtoks) AS DOUBLE) AS stop_token_ratio,
+         |         CAST(len(list_distinct(qtoks)) AS DOUBLE)
+         |           / CAST(len(qtoks) AS DOUBLE) AS type_token_ratio
+         |  FROM qd
+         |),
+         |good AS (
+         |  SELECT doc_id FROM qr
+         |  WHERE (CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN 0.25 ELSE 0.0 END
+         |         + CASE WHEN stop_token_ratio > 0.05 THEN 0.25 ELSE 0.0 END
+         |         + CASE WHEN type_token_ratio > 0.2 THEN 0.25 ELSE 0.0 END
+         |         + CASE WHEN type_token_ratio < 0.95 THEN 0.25 ELSE 0.0 END) >= 0.75
+         |),
+         |langs AS (
+         |  SELECT * FROM (VALUES
+         |    ('de', ['der', 'die', 'und', 'das']),
+         |    ('en', ['the', 'a', 'and', 'of']),
+         |    ('es', ['el', 'la', 'los', 'y']),
+         |    ('fr', ['le', 'les', 'des', 'et']),
+         |    ('zh', ['zhe', 'shi', 'bu', 'wo'])) l(lang, words)
+         |),
+         |lscores AS (
+         |  SELECT d.doc_id, l.lang,
+         |         CAST(len(list_filter(d.ltoks, t -> list_contains(l.words, t))) AS DOUBLE)
+         |           / CAST(len(d.ltoks) AS DOUBLE) AS score
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ltoks FROM documents) d
+         |  CROSS JOIN langs l
+         |),
+         |en AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, lang,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |    FROM lscores)
+         |  WHERE rn = 1 AND lang = 'en'
+         |),
+         |kept AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN good USING (doc_id) JOIN en USING (doc_id)
+         |),
+         |ex AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM kept)
+         |  WHERE rn = 1
+         |),
+         |${sqlMinhashOn("ex")},
+         |ndcand AS (
+         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |  FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |),
+         |nd AS (
+         |  SELECT DISTINCT id2 AS doc_id FROM (
+         |    SELECT c.id1, c.id2,
+         |           CAST(len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) /
+         |           CAST(len(s1.sh) + len(s2.sh) - len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) AS sim
+         |    FROM ndcand c
+         |    JOIN sh s1 ON s1.doc_id = c.id1
+         |    JOIN sh s2 ON s2.doc_id = c.id2)
+         |  WHERE sim >= 0.5
+         |)
+         |SELECT doc_id,
+         |       CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |                 / 4294967296.0 < 0.2
+         |            THEN 'test' ELSE 'train' END AS split
+         |FROM ex
+         |WHERE doc_id NOT IN (SELECT doc_id FROM nd)""".stripMargin,
 
     "q_split" ->
       """SELECT doc_id,
