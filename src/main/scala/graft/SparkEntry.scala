@@ -421,7 +421,9 @@ object SparkEntry {
     // ── set ops: users who clicked but never purchased ──────────────
     "q_setops" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
-      ev.filter(col("event_type") === "click").select(col("user_id")).distinct()
+      // no .distinct() on the left: Spark's except is EXCEPT DISTINCT
+      // already — an explicit one adds a redundant shuffle
+      ev.filter(col("event_type") === "click").select(col("user_id"))
         .except(ev.filter(col("event_type") === "purchase" && col("value") > 150)
           .select(col("user_id")))
     }),
@@ -1212,7 +1214,7 @@ object SparkEntry {
         |  FROM b
         |)
         |SELECT doc_id, CAST(n AS BIGINT) AS n_px,
-        |       CAST(list_sum(px) AS BIGINT) AS sum_px,
+        |       coalesce(CAST(list_sum(px) AS BIGINT), 0) AS sum_px,
         |       list_min(px) AS min_px, list_max(px) AS max_px,
         |       CASE WHEN n > 0 THEN CAST(list_sum(px) AS DOUBLE) / CAST(n AS DOUBLE)
         |            ELSE 0.0 END AS mean_px

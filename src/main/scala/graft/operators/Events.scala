@@ -29,7 +29,7 @@ object Events {
     * timestamp semantics (and DuckDB's epoch_us) demand -1 — a 1 µs
     * shift that could flip a session boundary. pmod(a,b) is in [0,b),
     * so a - pmod(a,b) is the largest multiple of b <= a, exactly. */
-  private def lfloorDiv(a: Column, b: Long): Column =
+  private[operators] def lfloorDiv(a: Column, b: Long): Column =
     call_function("div", a - pmod(a, lit(b)), lit(b))
 
   /** Nanosecond epoch → timestamp (microsecond FLOOR, like epoch_us —

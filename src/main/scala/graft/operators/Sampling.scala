@@ -40,6 +40,9 @@ object Sampling {
     * between runs, and duplicate ids land on the same side. */
   def trainTestSplit(df: DataFrame, idCol: String, testFrac: Double): DataFrame = {
     require(testFrac >= 0.0 && testFrac <= 1.0, s"testFrac must be in [0,1], got $testFrac")
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column — silently replacing an existing " +
+        "assignment would defeat the contamination-safety contract")
     df.withColumn("split",
       when(hashUnit(col(idCol)) < testFrac, "test").otherwise("train"))
   }

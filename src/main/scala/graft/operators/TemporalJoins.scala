@@ -40,6 +40,10 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTsCol: String, rightTsCol: String,
                valueCols: Seq[String], rightTieCol: String): DataFrame = {
+    // a non-numeric tie column would cast to NULL for every row,
+    // silently un-determinizing equal-timestamp ordering
+    require(right.schema(rightTieCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"rightTieCol '$rightTieCol' must be numeric, got ${right.schema(rightTieCol).dataType}")
     val leftCols = left.columns
     val l = left.select(col(keyCol), col(leftTsCol).as("__ts"),
       lit(1).as("__side"), lit(Long.MaxValue).as("__tie"),
@@ -65,14 +69,26 @@ object TemporalJoins {
     * width near the typical interval span. */
   def rangeJoin(points: DataFrame, ptCol: String,
                 intervals: DataFrame, loCol: String, hiCol: String,
-                keyCol: String, bucketWidth: Long): DataFrame = {
+                keyCol: String, bucketWidth: Long,
+                maxBucketsPerInterval: Int = 100000): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    // exact integer floor division: epoch-scale longs exceed 2^53, so
-    // a double divide would round; a - pmod(a,w) is an exact multiple
-    def bucket(c: Column): Column =
-      call_function("div", c - pmod(c, lit(bucketWidth)), lit(bucketWidth))
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
+    // exact integer floor division via Events.lfloorDiv: epoch-scale
+    // longs exceed 2^53, so a double divide would round
+    def bucket(c: Column): Column = Events.lfloorDiv(c, bucketWidth)
     val p = points.withColumn("__b", bucket(col(ptCol)))
+    // fail loudly on a pathological interval (sentinel lo, unit-mixed
+    // timestamps): one wide row would otherwise explode to millions of
+    // bucket rows or overflow the array limit. assert_true returns
+    // NULL on success, so the filter passes every valid row.
+    val span = bucket(col(hiCol)) - bucket(col(loCol))
     val iv = intervals
+      .filter(coalesce(
+        assert_true(span < maxBucketsPerInterval,
+          lit(s"rangeJoin: an interval spans >= $maxBucketsPerInterval buckets " +
+            s"at bucketWidth=$bucketWidth — wrong unit or sentinel bound?")),
+        lit(true)))
       .withColumn("__b",
         explode(sequence(bucket(col(loCol)), bucket(col(hiCol)))))
     p.join(iv, Seq(keyCol, "__b"))

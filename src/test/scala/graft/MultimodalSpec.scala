@@ -94,8 +94,8 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(resized(1L).isEmpty)
     val stats = Multimodal.pixelStats(withEmpty, "doc_id", "content")
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(5))).toMap
-    assert(stats(1L) == ((0L, 0.0)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    assert(stats(1L) == ((0L, 0L, 0.0))) // n_px, sum_px (not null), mean_px
     val decoded = Multimodal.decodeBatched(withEmpty, "doc_id", "content", 2)(Multimodal.fakeDecode)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(decoded(1L) == 0.0 && decoded(1L) == stats(1L)._2)

@@ -37,6 +37,13 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b) // partitioning cannot change the split
   }
 
+  test("trainTestSplit refuses to overwrite an existing split column") {
+    val once = Sampling.trainTestSplit(ids, "id", 0.25)
+    intercept[IllegalArgumentException] {
+      Sampling.trainTestSplit(once, "id", 0.5)
+    }
+  }
+
   test("stratifiedSample honors per-stratum rates") {
     val kept = Sampling.stratifiedSample(ids, "id", "lang",
       rates = Map("en" -> 1.0), defaultRate = 0.0)

@@ -52,6 +52,23 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(r.isNullAt(4), "p_value must be the matched row's NULL, not the older row's 1.5")
   }
 
+  test("guards: non-numeric tie column and pathological interval span fail loudly") {
+    val left = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "ts_us")
+    val right = Seq((1L, 5L, "not-numeric", 1.0))
+      .toDF("user_id", "p_ts_us", "p_id", "p_value")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(left, right, "user_id", "ts_us", "p_ts_us",
+        Seq("p_value"), rightTieCol = "p_id")
+    }
+    val points = Seq((1L, 1L, 50L)).toDF("pt_id", "key", "pt")
+    val wild = Seq((1L, 1L, 0L, 10000000L)).toDF("iv_id", "key", "lo", "hi")
+    val ex = intercept[Exception] {
+      TemporalJoins.rangeJoin(points, "pt", wild, "lo", "hi", "key",
+        bucketWidth = 10L, maxBucketsPerInterval = 100).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("rangeJoin equals the brute-force non-equi join, incl. multi-bucket intervals") {
     val rnd = new scala.util.Random(3)
     val points = (1 to 300).map(i => (i.toLong, (i % 5).toLong, rnd.nextInt(10000).toLong))
