@@ -371,6 +371,11 @@ object SparkEntry {
         .groupBy("p_id").agg(count(lit(1)).as("n_clicks"))
     }),
 
+    // ── events: ordered conversion funnel (view → click → purchase) ─
+    "q_funnel" -> ((s, dir) => {
+      Events.funnelCounts(Tables(s, dir, "events"), Seq("view", "click", "purchase"))
+    }),
+
     // ── LLM-pipeline: JSON props extraction + per-type aggregate ────
     "q_events_props" -> ((s, dir) => {
       Events.propsAgg(Tables(s, dir, "events"))
@@ -693,6 +698,27 @@ object SparkEntry {
         |       min(ts_us) AS t_start_us, max(ts_us) AS t_end_us,
         |       max(ts_us) - min(ts_us) AS duration_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > s1.t
+        |  GROUP BY 1
+        |),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), 'purchase', count(*) FROM s3""".stripMargin,
 
     "q_asof" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),

@@ -78,6 +78,37 @@ object Events {
       .filter(col("rank") <= n)
   }
 
+  /** Ordered conversion funnel: a user reaches step k when an event of
+    * that step's type occurs STRICTLY AFTER the time they reached step
+    * k-1 (first-occurrence semantics, µs precision). Output: one row
+    * per step — (step 1-based, event_type, n_users reaching it).
+    *
+    * Each step is one aggregate + one broadcast-friendly join of the
+    * previous step's (user, t) table (shrinking monotonically), so the
+    * plan is a chain of hash-aggregates over the events scan — no
+    * windows, no per-user state beyond one timestamp. */
+  def funnelCounts(df: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = df.select(col("user_id"), col("event_type"),
+      epochMicros(col("ts")).as("ts_us"))
+    // (user_id, t_reached) per step, folded left to right
+    val spark = df.sparkSession
+    import spark.implicits._
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts_us")).as("t"))
+    val reached = steps.drop(1).scanLeft(first) { (prev, step) =>
+      ev.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .filter(col("ts_us") > col("t_prev"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t"))
+    }
+    reached.zip(steps).zipWithIndex.map { case ((r, step), i) =>
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(step).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Gap-based sessionization (islands idiom): a new session starts
     * when the user's inter-event gap exceeds gapMicros. Output: one row
     * per (user, session) with bounds and counts, all exact integers.

@@ -35,6 +35,22 @@ class EventsSpec extends AnyFunSuite {
     assert(got((3600L, "view")) === ((2L, 0.31)))
   }
 
+  test("funnelCounts: strictly-after first-occurrence step semantics") {
+    val e = df(Seq(
+      // user 1: completes the funnel in order
+      ev(1, 10, 1, "view", 0), ev(2, 20, 1, "click", 0), ev(3, 30, 1, "purchase", 0),
+      // user 2: click BEFORE the first view — never reaches step 2
+      ev(4, 10, 2, "click", 0), ev(5, 20, 2, "view", 0),
+      // user 3: view then purchase, but no click — stops at step 1
+      ev(6, 10, 3, "view", 0), ev(7, 20, 3, "purchase", 0),
+      // user 4: purchase only before the click — stops at step 2
+      ev(8, 5, 4, "purchase", 0), ev(9, 10, 4, "view", 0),
+      ev(10, 15, 4, "click", 0), ev(11, 12, 4, "purchase", 0)))
+    val got = Events.funnelCounts(e, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
   test("tumblingAgg (window()) agrees with bucketEpoch on the same data") {
     val e = df(Seq(ev(1, 100, 1, "click", 1.0), ev(2, 3700, 1, "click", 1.0),
       ev(3, 3800, 2, "view", 1.0)))
