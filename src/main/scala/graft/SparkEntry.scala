@@ -482,6 +482,42 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    // ── relational baseline: TPC-H Q5-style 6-table join ────────────
+    // region→nation are broadcast dims, supplier/customer broadcast at
+    // test scale (shuffle at cluster scale), facts join on their keys;
+    // Catalyst orders the join tree — nothing is hand-scheduled.
+    "q5_join" -> ((s, dir) => {
+      Tables(s, dir, "customer").as("c")
+        .join(Tables(s, dir, "orders").as("o")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("c.c_custkey") === col("o.o_custkey"))
+        .join(Tables(s, dir, "lineitem").as("l"),
+          col("l.l_orderkey") === col("o.o_orderkey"))
+        .join(Tables(s, dir, "supplier").as("s"),
+          col("l.l_suppkey") === col("s.s_suppkey") &&
+            col("c.c_nationkey") === col("s.s_nationkey"))
+        .join(Tables(s, dir, "nation").as("n"),
+          col("s.s_nationkey") === col("n.n_nationkey"))
+        .join(Tables(s, dir, "region").as("r"),
+          col("n.n_regionkey") === col("r.r_regionkey") && col("r.r_name") === "ASIA")
+        .groupBy(col("n.n_name"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)) / 10000.0)
+            .as("revenue"))
+    }),
+
+    // ── documents: per-source corpus profile (source column) ────────
+    "q_source_stats" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_chars"))
+    }),
+
     // ── relational baseline: ROLLUP hierarchy aggregation ───────────
     // Partial totals per (returnflag, linestatus), per returnflag, and
     // grand total in ONE pass — Spark expands grouping sets before the
@@ -1298,6 +1334,25 @@ object SparkEntry {
          |SELECT CAST(sum(mx) AS BIGINT) AS correct, CAST(sum(ns) AS BIGINT) AS n,
          |       CAST(sum(mx) AS DOUBLE) / CAST(sum(ns) AS DOUBLE) AS purity
          |FROM per""".stripMargin,
+
+    "q5_join" ->
+      """SELECT n_name, count(*) AS n,
+        |       sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0 AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       count(DISTINCT lang) AS n_langs,
+        |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
