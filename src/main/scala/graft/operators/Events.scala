@@ -92,8 +92,6 @@ object Events {
     val ev = df.select(col("user_id"), col("event_type"),
       epochMicros(col("ts")).as("ts_us"))
     // (user_id, t_reached) per step, folded left to right
-    val spark = df.sparkSession
-    import spark.implicits._
     val first = ev.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min(col("ts_us")).as("t"))
     val reached = steps.drop(1).scanLeft(first) { (prev, step) =>

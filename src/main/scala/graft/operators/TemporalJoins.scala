@@ -41,9 +41,13 @@ object TemporalJoins {
                leftTsCol: String, rightTsCol: String,
                valueCols: Seq[String], rightTieCol: String): DataFrame = {
     // a non-numeric tie column would cast to NULL for every row,
-    // silently un-determinizing equal-timestamp ordering
-    require(right.schema(rightTieCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"rightTieCol '$rightTieCol' must be numeric, got ${right.schema(rightTieCol).dataType}")
+    // silently un-determinizing equal-timestamp ordering (resolve
+    // case-insensitively, like Spark's default column resolution)
+    val tieField = right.schema.find(_.name.equalsIgnoreCase(rightTieCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"rightTieCol '$rightTieCol' not found in ${right.columns.mkString(", ")}"))
+    require(tieField.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"rightTieCol '$rightTieCol' must be numeric, got ${tieField.dataType}")
     val leftCols = left.columns
     val l = left.select(col(keyCol), col(leftTsCol).as("__ts"),
       lit(1).as("__side"), lit(Long.MaxValue).as("__tie"),
@@ -82,12 +86,19 @@ object TemporalJoins {
     // timestamps): one wide row would otherwise explode to millions of
     // bucket rows or overflow the array limit. assert_true returns
     // NULL on success, so the filter passes every valid row.
+    // NULL-bounded (open) intervals are dropped, matching the
+    // pre-guard explode(sequence(NULL, ...)) behavior; the guard also
+    // rejects INVERTED intervals (lo > hi) — Spark's sequence would
+    // DESCEND through |span| buckets, the exact explosion being
+    // guarded against
     val span = bucket(col(hiCol)) - bucket(col(loCol))
     val iv = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull)
       .filter(coalesce(
-        assert_true(span < maxBucketsPerInterval,
-          lit(s"rangeJoin: an interval spans >= $maxBucketsPerInterval buckets " +
-            s"at bucketWidth=$bucketWidth — wrong unit or sentinel bound?")),
+        assert_true(span >= 0 && span < maxBucketsPerInterval,
+          lit(s"rangeJoin: an interval is inverted (lo > hi) or spans >= " +
+            s"$maxBucketsPerInterval buckets at bucketWidth=$bucketWidth — " +
+            "wrong unit or sentinel bound?")),
         lit(true)))
       .withColumn("__b",
         explode(sequence(bucket(col(loCol)), bucket(col(hiCol)))))

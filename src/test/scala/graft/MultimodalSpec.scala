@@ -98,7 +98,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats(1L) == ((0L, 0L, 0.0))) // n_px, sum_px (not null), mean_px
     val decoded = Multimodal.decodeBatched(withEmpty, "doc_id", "content", 2)(Multimodal.fakeDecode)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
-    assert(decoded(1L) == 0.0 && decoded(1L) == stats(1L)._2)
+    assert(decoded(1L) == 0.0 && decoded(1L) == stats(1L)._3) // mean, not sum_px
   }
 
   test("featureExtract: deterministic [0,1) embeddings that feed similarity search") {

@@ -67,6 +67,24 @@ class TemporalJoinsSpec extends AnyFunSuite {
         bucketWidth = 10L, maxBucketsPerInterval = 100).collect()
     }
     assert(ex.getMessage != null)
+    // inverted interval (lo > hi): sequence would DESCEND — must also trip
+    val inverted = Seq((1L, 1L, 10000000L, 0L)).toDF("iv_id", "key", "lo", "hi")
+    intercept[Exception] {
+      TemporalJoins.rangeJoin(points, "pt", inverted, "lo", "hi", "key",
+        bucketWidth = 10L, maxBucketsPerInterval = 100).collect()
+    }
+    // NULL-bounded (open) interval rows are dropped, not fatal
+    val withNull = Seq((1L, 1L, Some(40L), Option.empty[Long]),
+      (2L, 1L, Some(40L), Some(60L))).toDF("iv_id", "key", "lo", "hi")
+    val ok = TemporalJoins.rangeJoin(points, "pt", withNull, "lo", "hi", "key",
+      bucketWidth = 10L).select("iv_id").collect().map(_.getLong(0))
+    assert(ok.toSeq == Seq(2L))
+    // case-insensitive tie-column resolution still works
+    val left2 = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "ts_us")
+    val right2 = Seq((1L, 5L, 9L, 1.0)).toDF("user_id", "p_ts_us", "p_id", "p_value")
+    val r = TemporalJoins.asofJoin(left2, right2, "user_id", "ts_us", "p_ts_us",
+      Seq("p_value"), rightTieCol = "P_ID")
+    assert(r.count() == 1L)
   }
 
   test("rangeJoin equals the brute-force non-equi join, incl. multi-bucket intervals") {
