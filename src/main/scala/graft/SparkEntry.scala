@@ -396,10 +396,8 @@ object SparkEntry {
         .filter(col("lang_pred") === "en").select("doc_id")
       val kept = docs.join(good, "doc_id").join(en, "doc_id")
       val exact = Dedup.dropExactDuplicates(kept, "doc_id", Seq("text"))
-      val nearDupIds = Dedup.nearDuplicates(exact, "doc_id", "text",
+      val deduped = Dedup.dropNearDuplicates(exact, "doc_id", "text",
         n = 3, h = 16, b = 8, minSim = 0.5, parity = true)
-        .select(col("id2").as("doc_id")).distinct()
-      val deduped = exact.join(nearDupIds, Seq("doc_id"), "left_anti")
       Sampling.trainTestSplit(deduped, "doc_id", testFrac = 0.2)
         .select(col("doc_id"), col("split"))
     }),
@@ -516,6 +514,22 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"),
           (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
             .as("avg_chars"))
+    }),
+
+    // ── relational baseline: TPC-H Q18-style semi-join (large orders)
+    // The IN-subquery shape: orders whose total lineitem quantity
+    // exceeds the threshold — a grouped aggregate driving a LEFT SEMI
+    // join, never a correlated per-row subquery.
+    "q18_join" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      Tables(s, dir, "orders").as("o")
+        .join(big.select(col("l_orderkey"), col("sum_qty")),
+          col("o.o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("sum_qty"))
     }),
 
     // ── relational baseline: ROLLUP hierarchy aggregation ───────────
@@ -1353,6 +1367,13 @@ object SparkEntry {
         |       count(DISTINCT lang) AS n_langs,
         |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q18_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) b
+        |  ON o_orderkey = b.l_orderkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

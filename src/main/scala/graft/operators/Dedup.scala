@@ -194,6 +194,20 @@ object Dedup {
       .filter(col("sim") >= minSim)
   }
 
+  /** Drop near-duplicates: remove the HIGHER id of every verified
+    * near-dup pair (sim ≥ minSim), keeping canonical lower-id docs —
+    * the curation-pipeline form of nearDuplicates. A doc that pairs
+    * with several others is dropped once; chains keep their lowest
+    * member. One anti-join over the pair table. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, h: Int = 16, b: Int = 8,
+                         minSim: Double = 0.5, parity: Boolean = false,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    val doomed = nearDuplicates(df, idCol, textCol, n, h, b, minSim, parity, maxBucket)
+      .select(col("id2").as(idCol)).distinct()
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Content hash for exact dedup: md5 of the concatenated key columns
     * with a \u0001 separator (collision-safe for text columns that
     * cannot contain the separator). NULLs are replaced by a distinct

@@ -97,6 +97,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((100L, 101L)))
   }
 
+  test("dropNearDuplicates keeps the lowest id of each near-dup group") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // exact near-dup of 1
+      (3L, "completely different content with unrelated words here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", minSim = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+    Dedup.releaseCaches()
+  }
+
   test("native SimHash64 expression is bit-identical to the HOF form") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
