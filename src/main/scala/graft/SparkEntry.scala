@@ -150,6 +150,13 @@ object SparkEntry {
       ClusterMetrics.purity(assigned, "label", "cluster")
     }),
 
+    // ── op 15 family: simplified (centroid-based) silhouette ────────
+    "q_silhouette" -> ((s, dir) => {
+      val cents = cents8(s, dir)
+      val assigned = KMeans.assign(Tables(s, dir, "embeddings"), "embedding", cents)
+      ClusterMetrics.simplifiedSilhouette(assigned, "embedding", cents)
+    }),
+
     // ── op 10-11: iterative driver loop, 2 Lloyd steps from FirstK(8)
     // The loop's oracle gate: both engines run assign→mean twice with
     // the sorted-fold determinism contract, so the step-2 centroids
@@ -1317,6 +1324,23 @@ object SparkEntry {
         |       CAST(concat('0x', substr(md5(md5(text) || ':' || j), 1, 8)) AS BIGINT)
         |         / 4294967296.0 AS v
         |FROM documents CROSS JOIN generate_series(1, 8) t(j)""".stripMargin,
+
+    "q_silhouette" ->
+      s"""WITH $sqlCents8,
+         |sil AS (
+         |  SELECT d.vec_id,
+         |         sqrt(min(CASE WHEN d.cid = a.cluster THEN d.dist END)) AS ad,
+         |         sqrt(min(CASE WHEN d.cid != a.cluster THEN d.dist END)) AS bd
+         |  FROM d JOIN a USING (vec_id) GROUP BY d.vec_id
+         |),
+         |ss AS (
+         |  SELECT CASE WHEN greatest(ad, bd) > 0 THEN (bd - ad) / greatest(ad, bd)
+         |              ELSE 0.0 END AS s
+         |  FROM sil
+         |)
+         |SELECT list_reduce(list_sort(list(s)), (acc, e) -> acc + e) / count(*) AS silhouette,
+         |       count(*) AS n
+         |FROM ss""".stripMargin,
 
     "q_rand_index" ->
       s"""WITH $sqlCents8,

@@ -90,6 +90,35 @@ object ClusterMetrics {
       .select(col("correct"), col("n"),
         (col("correct").cast("double") / col("n").cast("double")).as("purity"))
 
+  /** Simplified (centroid-based) silhouette: per row, a = distance to
+    * own centroid, b = distance to the nearest OTHER centroid,
+    * s = (b - a) / max(a, b); the score is the mean of s. The O(n²)
+    * pairwise silhouette is impossible at scale; the centroid form is
+    * the standard approximation (one rowwise pass against the k×d
+    * broadcast, no shuffle beyond the mean). Sorted-fold mean for the
+    * cross-engine bit-exactness contract. Rows whose a = b = 0 (point
+    * exactly on two centroids) contribute 0. */
+  def simplifiedSilhouette(assigned: DataFrame, featCol: String,
+                           cents: KMeans.Centroids, clusterCol: String = "cluster"): DataFrame = {
+    import graft.functions.VectorOps
+    val centsSorted = cents.sortBy(_._1).map { case (cid, v) => (cid, v.toSeq) }.toSeq
+    val f = VectorOps.toDouble(col(featCol))
+    val dists = transform(typedlit(centsSorted), c =>
+      struct(sqrt(VectorOps.sqDist(f, c.getField("_2"))).as("d"),
+        c.getField("_1").as("cid")))
+    val a = element_at(filter(dists, s => s.getField("cid") === col(clusterCol)), 1)
+      .getField("d")
+    val b = array_min(transform(
+      filter(dists, s => s.getField("cid") =!= col(clusterCol)),
+      s => s.getField("d")))
+    val s = when(greatest(a, b) > 0.0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
+    assigned.select(s.as("s"))
+      .agg(collect_list(col("s")).as("ss"))
+      .select(
+        (VectorOps.foldSum(array_sort(col("ss"))) / size(col("ss"))).as("silhouette"),
+        size(col("ss")).cast("long").as("n"))
+  }
+
   /** Reference-literal O(n²) Jaccard over local pairs — test oracle
     * only, mirrors the matrix loops at `KMeans.java:624-661`. */
   def jaccardLocal(truthPred: Seq[(Int, Int)]): (Long, Long, Double) = {

@@ -67,6 +67,21 @@ class ClusterMetricsSpec extends AnyFunSuite {
     assert(row.getDouble(2) == r)
   }
 
+  test("simplifiedSilhouette: 1.0 on centroid-coincident points, 0 when equidistant") {
+    import spark.implicits._
+    import graft.operators.KMeans
+    val cents: KMeans.Centroids = Array(1 -> Array(0.0, 0.0), 2 -> Array(10.0, 10.0))
+    val df = Seq(
+      (1L, Seq(0.0, 0.0)),   // on centroid 1: a=0, b>0 -> s=1
+      (2L, Seq(10.0, 10.0)), // on centroid 2: s=1
+      (3L, Seq(5.0, 5.0))    // equidistant: a=b -> s=0
+    ).toDF("id", "features")
+    val assigned = KMeans.assign(df, "features", cents)
+    val row = ClusterMetrics.simplifiedSilhouette(assigned, "features", cents).collect()(0)
+    assert(row.getLong(1) == 3L)
+    assert(math.abs(row.getDouble(0) - 2.0 / 3.0) < 1e-12)
+  }
+
   test("purity: majority-vote fraction, 1.0 for perfect clustering") {
     import spark.implicits._
     val pairs = Seq((1, 5), (1, 5), (2, 5), (2, 7), (2, 7), (3, 9))
