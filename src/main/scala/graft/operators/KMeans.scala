@@ -49,6 +49,15 @@ object KMeans {
   /** k rows with the lowest ids, renumbered 1..k. Fully deterministic
     * (no seed), which makes it the oracle-checkable init. */
   final case class FirstK(k: Int) extends Init
+  /** k-means++ (D²-weighted) seeding: each next centroid is drawn with
+    * probability ∝ squared distance to the nearest chosen one — the
+    * init that makes Lloyd's convergence fast and stable in practice.
+    * Deterministic AND partitioning-independent: the randomness is an
+    * md5-derived uniform per (seed, round, id), and D²-weighted
+    * sampling uses the exponential-race trick (argmin of -ln(u)/d²),
+    * so re-running on a re-partitioned table picks the same seeds —
+    * unlike rand()-based sampling. k passes over the cached input. */
+  final case class PlusPlus(k: Int, seed: Long) extends Init
 
   /** Fit telemetry (op 16): iteration count matches the reference's
     * printed job count (`KMeans.java:283`); costHistory is the WCSS
@@ -173,6 +182,31 @@ object KMeans {
       case FirstK(k) =>
         proj.orderBy(col("id")).limit(k).collect().zipWithIndex
           .map { case (r, i) => (i + 1) -> r.getSeq[Double](1).toArray }
+      case PlusPlus(k, seed) =>
+        val cached = proj.cache()
+        try {
+          val first = cached
+            .withColumn("__u", Sampling.unitFromMd5(concat(lit(s"$seed:0:"), col("id"))))
+            .orderBy(col("__u"), col("id")).limit(1).collect()(0)
+          var chosen = Vector(first.getLong(0) -> first.getSeq[Double](1).toArray)
+          for (round <- 1 until k) {
+            val soFar: Centroids = chosen.zipWithIndex
+              .map { case ((_, v), i) => (i + 1) -> v }.toArray
+            // exponential race: argmin of -ln(u)/d² samples ∝ d²;
+            // d²=0 rows (already-chosen points) are excluded up front
+            // (ANSI mode makes the division fatal, not Infinity)
+            val u = Sampling.unitFromMd5(concat(lit(s"$seed:$round:"), col("id")))
+            val d2 = minSqDistColumn(soFar, col("f"))
+            val key = when(d2 > 0.0, -log(u) / d2)
+            val rows = cached.withColumn("__key", key)
+              .filter(col("__key").isNotNull && !isnan(col("__key")))
+              .orderBy(col("__key"), col("id")).limit(1).collect()
+            require(rows.nonEmpty,
+              s"k-means++: fewer than $k distinct points in the input")
+            chosen = chosen :+ (rows(0).getLong(0) -> rows(0).getSeq[Double](1).toArray)
+          }
+          chosen.zipWithIndex.map { case ((_, v), i) => (i + 1) -> v }.toArray
+        } finally { cached.unpersist(); () }
     }
   }
 

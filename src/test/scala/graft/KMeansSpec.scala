@@ -132,6 +132,30 @@ class KMeansSpec extends AnyFunSuite {
     assert(rows.flatMap(_._3).sorted.toSeq == (1L to 6L).toSeq)
   }
 
+  test("PlusPlus init: deterministic, repartition-stable, one seed per separated blob") {
+    // 4 tight, well-separated blobs of 5 points each
+    val blobs = for {
+      (bx, by) <- Seq((0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0))
+      i <- 0 until 5
+    } yield (bx, by, bx + i * 0.1, by + i * 0.1)
+    val df = blobs.zipWithIndex
+      .map { case ((_, _, x, y), id) => (id.toLong + 1, Seq(x, y)) }
+      .toDF("id", "features")
+    val c1 = KMeans.initCentroids(df, "id", "features", PlusPlus(4, seed = 42))
+    val c2 = KMeans.initCentroids(df, "id", "features", PlusPlus(4, seed = 42))
+    assert(c1.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq) // deterministic
+    val c3 = KMeans.initCentroids(df.repartition(7), "id", "features", PlusPlus(4, seed = 42))
+    assert(c1.map(_._2.toSeq).toSeq == c3.map(_._2.toSeq).toSeq) // partitioning-independent
+    // D² weighting: one seed lands in each blob (blob = rounded /100)
+    val blobsHit = c1.map { case (_, v) =>
+      (math.round(v(0) / 100.0), math.round(v(1) / 100.0))
+    }.toSet
+    assert(blobsHit.size == 4, s"expected one seed per blob, got ${c1.map(_._2.toSeq).toSeq}")
+    // different seed picks (almost surely) different points
+    val c4 = KMeans.initCentroids(df, "id", "features", PlusPlus(4, seed = 7))
+    assert(c1.map(_._2.toSeq).toSeq != c4.map(_._2.toSeq).toSeq)
+  }
+
   test("fit: SSE is non-increasing across iterations (Lloyd invariant)") {
     val df = tiny.select($"id", $"features".cast("array<double>").as("features")).cache()
     var cents = KMeans.initCentroids(df, "id", "features", ExplicitIds(Seq(1L, 2L)))
