@@ -92,6 +92,18 @@ object SparkEntry {
         .toDF("cluster", "vec_id", "f1")
     }),
 
+    // ── op 12+: k-means++ D²-weighted seeding (3 rounds, seed 42) ───
+    // The md5-uniform exponential race is deterministic, so the
+    // chosen seed VECTORS are oracle-checkable bit-for-bit.
+    "q_kmeans_pp" -> ((s, dir) => {
+      val cents = KMeans.initCentroids(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", KMeans.PlusPlus(3, seed = 42L))
+      import s.implicits._
+      cents.toSeq.flatMap { case (cid, v) =>
+        v.zipWithIndex.map { case (x, i) => (cid, i + 1, x) }
+      }.toDF("cluster", "pos", "val")
+    }),
+
     // ── op 3-5: broadcast centroids + distance + argmin assignment ──
     "q_kmeans_assign" -> ((s, dir) => {
       KMeans.assign(Tables(s, dir, "embeddings"), "embedding", cents8(s, dir))
@@ -1097,6 +1109,41 @@ object SparkEntry {
     "q_kmeans_assign" ->
       s"""WITH $sqlCents8
          |SELECT vec_id, cluster FROM a""".stripMargin,
+
+    "q_kmeans_pp" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u0 AS (SELECT vec_id, v,
+        |              CAST(concat('0x', substr(md5('42:0:' || vec_id), 1, 8)) AS BIGINT)
+        |                / 4294967296.0 AS u
+        |       FROM e),
+        |c1 AS (SELECT vec_id, v FROM u0 ORDER BY u, vec_id LIMIT 1),
+        |k1 AS (
+        |  SELECT e.vec_id, e.v,
+        |         list_sum(list_transform(list_zip(e.v, c1.v), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2,
+        |         CAST(concat('0x', substr(md5('42:1:' || e.vec_id), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS u
+        |  FROM e CROSS JOIN c1
+        |),
+        |c2 AS (SELECT vec_id, v FROM k1 WHERE d2 > 0 ORDER BY -ln(u)/d2, vec_id LIMIT 1),
+        |k2 AS (
+        |  SELECT e.vec_id, e.v,
+        |         least(
+        |           list_sum(list_transform(list_zip(e.v, c1.v), p -> (p[1]-p[2])*(p[1]-p[2]))),
+        |           list_sum(list_transform(list_zip(e.v, c2.v), p -> (p[1]-p[2])*(p[1]-p[2])))) AS d2,
+        |         CAST(concat('0x', substr(md5('42:2:' || e.vec_id), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS u
+        |  FROM e CROSS JOIN c1 CROSS JOIN c2
+        |),
+        |c3 AS (SELECT vec_id, v FROM k2 WHERE d2 > 0 ORDER BY -ln(u)/d2, vec_id LIMIT 1),
+        |sel AS (
+        |  SELECT 1 AS cluster, v FROM c1
+        |  UNION ALL SELECT 2, v FROM c2
+        |  UNION ALL SELECT 3, v FROM c3
+        |)
+        |SELECT CAST(cluster AS INTEGER) AS cluster,
+        |       CAST(generate_subscripts(v, 1) AS INTEGER) AS pos,
+        |       unnest(v) AS val
+        |FROM sel""".stripMargin,
 
     "q_centroid_update" ->
       s"""WITH $sqlCents8,
