@@ -166,7 +166,7 @@ object SparkEntry {
     "q_silhouette" -> ((s, dir) => {
       val cents = cents8(s, dir)
       val assigned = KMeans.assign(Tables(s, dir, "embeddings"), "embedding", cents)
-      ClusterMetrics.simplifiedSilhouette(assigned, "embedding", cents)
+      ClusterMetrics.simplifiedSilhouette(assigned, "embedding", cents, sortedFold = true)
     }),
 
     // ── op 10-11: iterative driver loop, 2 Lloyd steps from FirstK(8)
@@ -535,10 +535,10 @@ object SparkEntry {
             .as("avg_chars"))
     }),
 
-    // ── relational baseline: TPC-H Q18-style semi-join (large orders)
-    // The IN-subquery shape: orders whose total lineitem quantity
-    // exceeds the threshold — a grouped aggregate driving a LEFT SEMI
-    // join, never a correlated per-row subquery.
+    // ── relational baseline: TPC-H Q18-style subquery join (large
+    // orders). The IN-subquery shape: orders joined (inner — sum_qty
+    // is projected from the aggregate side) against a grouped HAVING
+    // subquery, never a correlated per-row subquery.
     "q18_join" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
       val big = li.groupBy(col("l_orderkey"))

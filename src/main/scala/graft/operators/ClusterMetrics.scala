@@ -94,16 +94,22 @@ object ClusterMetrics {
     * own centroid, b = distance to the nearest OTHER centroid,
     * s = (b - a) / max(a, b); the score is the mean of s. The O(n²)
     * pairwise silhouette is impossible at scale; the centroid form is
-    * the standard approximation (one rowwise pass against the k×d
-    * broadcast, no shuffle beyond the mean). Sorted-fold mean for the
-    * cross-engine bit-exactness contract. Rows whose a = b = 0 (point
-    * exactly on two centroids) contribute 0. */
+    * the standard approximation — one rowwise pass against the k×d
+    * broadcast. Rows whose a = b = 0 (point exactly on two centroids)
+    * contribute 0. Requires k ≥ 2 (b is undefined otherwise).
+    *
+    * sortedFold=false (default, the SCALE path): distributed partial
+    * avg — O(1) state per task. sortedFold=true (the oracle twin):
+    * collect_list + sorted sequential fold, bit-exact vs DuckDB but
+    * O(n) in one aggregation buffer — correctness gates only. */
   def simplifiedSilhouette(assigned: DataFrame, featCol: String,
-                           cents: KMeans.Centroids, clusterCol: String = "cluster"): DataFrame = {
+                           cents: KMeans.Centroids, clusterCol: String = "cluster",
+                           sortedFold: Boolean = false): DataFrame = {
     import graft.functions.VectorOps
-    val centsSorted = cents.sortBy(_._1).map { case (cid, v) => (cid, v.toSeq) }.toSeq
+    require(cents.length >= 2,
+      s"silhouette needs >= 2 centroids (b is undefined for k=1), got ${cents.length}")
     val f = VectorOps.toDouble(col(featCol))
-    val dists = transform(typedlit(centsSorted), c =>
+    val dists = transform(KMeans.centLit(cents), c =>
       struct(sqrt(VectorOps.sqDist(f, c.getField("_2"))).as("d"),
         c.getField("_1").as("cid")))
     val a = element_at(filter(dists, s => s.getField("cid") === col(clusterCol)), 1)
@@ -112,11 +118,14 @@ object ClusterMetrics {
       filter(dists, s => s.getField("cid") =!= col(clusterCol)),
       s => s.getField("d")))
     val s = when(greatest(a, b) > 0.0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
-    assigned.select(s.as("s"))
-      .agg(collect_list(col("s")).as("ss"))
-      .select(
-        (VectorOps.foldSum(array_sort(col("ss"))) / size(col("ss"))).as("silhouette"),
-        size(col("ss")).cast("long").as("n"))
+    val scored = assigned.select(s.as("s"))
+    if (sortedFold)
+      scored.agg(collect_list(col("s")).as("ss"))
+        .select(
+          (VectorOps.foldSum(array_sort(col("ss"))) / size(col("ss"))).as("silhouette"),
+          size(col("ss")).cast("long").as("n"))
+    else
+      scored.agg(avg(col("s")).as("silhouette"), count(lit(1)).as("n"))
   }
 
   /** Reference-literal O(n²) Jaccard over local pairs — test oracle

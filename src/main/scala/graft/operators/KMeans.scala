@@ -74,7 +74,7 @@ object KMeans {
     math.sqrt(s)
   }
 
-  private def centLit(cents: Centroids): Column =
+  private[operators] def centLit(cents: Centroids): Column =
     typedlit(cents.sortBy(_._1).map { case (cid, v) => (cid, v.toSeq) }.toSeq)
 
   /** Nearest-centroid id for a feature column (array<double>).
@@ -187,7 +187,9 @@ object KMeans {
         try {
           val first = cached
             .withColumn("__u", Sampling.unitFromMd5(concat(lit(s"$seed:0:"), col("id"))))
-            .orderBy(col("__u"), col("id")).limit(1).collect()(0)
+            .orderBy(col("__u"), col("id")).limit(1).collect()
+            .headOption.getOrElse(throw new NoSuchElementException(
+              "k-means++: input DataFrame is empty"))
           var chosen = Vector(first.getLong(0) -> first.getSeq[Double](1).toArray)
           for (round <- 1 until k) {
             val soFar: Centroids = chosen.zipWithIndex

@@ -80,6 +80,15 @@ class ClusterMetricsSpec extends AnyFunSuite {
     val row = ClusterMetrics.simplifiedSilhouette(assigned, "features", cents).collect()(0)
     assert(row.getLong(1) == 3L)
     assert(math.abs(row.getDouble(0) - 2.0 / 3.0) < 1e-12)
+    // the sorted-fold oracle twin agrees
+    val tw = ClusterMetrics.simplifiedSilhouette(assigned, "features", cents,
+      sortedFold = true).collect()(0)
+    assert(math.abs(tw.getDouble(0) - row.getDouble(0)) < 1e-12 && tw.getLong(1) == 3L)
+    // k=1 has no "other centroid" — must fail fast, not silently drop rows
+    intercept[IllegalArgumentException] {
+      ClusterMetrics.simplifiedSilhouette(assigned, "features",
+        Array(1 -> Array(0.0, 0.0)))
+    }
   }
 
   test("purity: majority-vote fraction, 1.0 for perfect clustering") {
