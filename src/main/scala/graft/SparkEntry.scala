@@ -335,6 +335,12 @@ object SparkEntry {
       TextAnalysis.winnow(Tables(s, dir, "documents"), "doc_id", "text", k = 5, w = 4)
     }),
 
+    // ── LLM-pipeline: winnow-based near-dup (shared-passage pairs) ──
+    "q_winnow_pairs" -> ((s, dir) => {
+      Dedup.winnowNearDup(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, minShared = 60)
+    }),
+
     // ── LLM-pipeline: rolling-hash document fingerprint ─────────────
     "q_fingerprint" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -719,6 +725,32 @@ object SparkEntry {
       |  FROM dig GROUP BY doc_id
       |)""".stripMargin
 
+  /** DuckDB CTEs mirroring TextAnalysis.winnowMins (k=5, w=4): 5-gram
+    * rolling hashes, per-window-of-4 minima — ends in
+    * mins(doc_id, mins). */
+  private val sqlWinnowMins =
+    """cs AS (
+      |  SELECT doc_id, string_split(text, '') AS cs, length(text) - 4 AS m
+      |  FROM documents
+      |),
+      |hs AS (
+      |  SELECT doc_id, m,
+      |         CASE WHEN m >= 1 THEN
+      |           [list_reduce(list_transform(cs[i:i+4], c -> CAST(ascii(c) AS BIGINT)),
+      |                        (acc, c) -> (acc * 31 + c) % 2147483647)
+      |            for i in range(1, m + 1)]
+      |         ELSE [] END AS hs
+      |  FROM cs
+      |),
+      |mins AS (
+      |  SELECT doc_id,
+      |         CASE WHEN m < 1 THEN []
+      |              WHEN m <= 4 THEN [list_min(hs)]
+      |              ELSE [list_min(hs[j:j+3]) for j in range(1, m - 2)]
+      |         END AS mins
+      |  FROM hs
+      |)""".stripMargin
+
   /** Shared multimodal ingest: documents with the opaque binary
     * payload + typed metadata attached. */
   private def mmTable(s: SparkSession, dir: String): DataFrame =
@@ -942,29 +974,17 @@ object SparkEntry {
         |WHERE rn <= 3""".stripMargin,
 
     "q_winnow" ->
-      """WITH cs AS (
-        |  SELECT doc_id, string_split(text, '') AS cs, length(text) - 4 AS m
-        |  FROM documents
-        |),
-        |hs AS (
-        |  SELECT doc_id, m,
-        |         CASE WHEN m >= 1 THEN
-        |           [list_reduce(list_transform(cs[i:i+4], c -> CAST(ascii(c) AS BIGINT)),
-        |                        (acc, c) -> (acc * 31 + c) % 2147483647)
-        |            for i in range(1, m + 1)]
-        |         ELSE [] END AS hs
-        |  FROM cs
-        |),
-        |mins AS (
-        |  SELECT doc_id,
-        |         CASE WHEN m < 1 THEN []
-        |              WHEN m <= 4 THEN [list_min(hs)]
-        |              ELSE [list_min(hs[j:j+3]) for j in range(1, m - 2)]
-        |         END AS mins
-        |  FROM hs
-        |)
-        |SELECT doc_id, array_to_string(list_sort(list_distinct(mins)), ',') AS fps
-        |FROM mins""".stripMargin,
+      s"""WITH $sqlWinnowMins
+         |SELECT doc_id, array_to_string(list_sort(list_distinct(mins)), ',') AS fps
+         |FROM mins""".stripMargin,
+
+    "q_winnow_pairs" ->
+      s"""WITH $sqlWinnowMins,
+         |fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS f FROM mins)
+         |SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n_shared
+         |FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 60""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

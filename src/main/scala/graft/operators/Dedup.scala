@@ -194,6 +194,35 @@ object Dedup {
       .filter(col("sim") >= minSim)
   }
 
+  /** Winnowing-based near-dup candidates: document pairs sharing at
+    * least minShared winnow fingerprints. Detects LOCAL overlap (a
+    * long shared passage) that set-level MinHash dilutes away on
+    * otherwise-different documents — the plagiarism-shaped dedup.
+    * Join key = fingerprint value, so the same skew hazard as banded
+    * LSH applies: maxDocsPerFp drops fingerprints present in more
+    * than that many docs (they are non-discriminative boilerplate
+    * anyway), via the same broadcast-blacklist anti-join as
+    * candidatePairs. Output: (id1, id2, n_shared ≥ minShared). */
+  def winnowNearDup(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, w: Int = 4, minShared: Int = 60,
+                    maxDocsPerFp: Int = Int.MaxValue): DataFrame = {
+    val fps = registerCache(
+      TextAnalysis.winnowMins(df, idCol, textCol, k, w)
+        .select(col(idCol).as("id"), explode(array_distinct(col("__mins"))).as("f")))
+    val base =
+      if (maxDocsPerFp == Int.MaxValue) fps
+      else {
+        val over = fps.groupBy("f").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxDocsPerFp).select("f")
+        fps.join(broadcast(over), Seq("f"), "left_anti")
+      }
+    base.select(col("id").as("id1"), col("f"))
+      .join(base.select(col("id").as("id2"), col("f")), Seq("f"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Drop near-duplicates: remove the HIGHER id of every verified
     * near-dup pair (sim ≥ minSim), keeping canonical lower-id docs —
     * the curation-pipeline form of nearDuplicates. A doc that pairs

@@ -184,7 +184,14 @@ object TextAnalysis {
     * in SQL.) All arithmetic is the 31-base mod 2^31-1 integer hash —
     * exact cross-engine. Output: (id, fps) with fps the sorted
     * distinct minima joined by ','. Rowwise, one pass, O(n·k). */
-  def winnow(df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
+  def winnow(df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame =
+    winnowMins(df, idCol, textCol, k, w)
+      .select(col(idCol),
+        array_join(array_sort(array_distinct(col("__mins"))), ",").as("fps"))
+
+  /** The raw per-window minima behind winnow (un-deduplicated), as
+    * (id, __mins array<long>) — the form winnowNearDup fans out. */
+  def winnowMins(df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
     require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
     val p = lit(2147483647L)
     val chars = df.select(col(idCol), split(col(textCol), "").as("__cs"),
@@ -195,13 +202,11 @@ object TextAnalysis {
           aggregate(slice(col("__cs"), i, lit(k)), lit(0L),
             (acc, c) => (acc * 31L + coalesce(ascii(c).cast("long"), lit(0L))) % p)))
         .otherwise(array().cast("array<long>")).as("__hs"))
-    val mins = hashes.select(col(idCol),
+    hashes.select(col(idCol),
       when(col("__m") < 1, array().cast("array<long>"))
         .when(col("__m") <= w, array(array_min(col("__hs"))))
         .otherwise(transform(sequence(lit(1), col("__m") - (w - 1)), j =>
           array_min(slice(col("__hs"), j, lit(w))))).as("__mins"))
-    mins.select(col(idCol),
-      array_join(array_sort(array_distinct(col("__mins"))), ",").as("fps"))
   }
 
   /** 31-bit polynomial rolling hash of the raw text (base 31, modulus

@@ -97,6 +97,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((100L, 101L)))
   }
 
+  test("winnowNearDup surfaces shared passages, not unrelated docs; cap drops hot fps") {
+    val shared = "a very long shared passage that appears verbatim in two documents"
+    val docs = Seq(
+      (1L, s"first document prefix $shared and a distinct suffix one"),
+      (2L, s"second document opening $shared then another different tail"),
+      (3L, "a completely unrelated document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDup(docs, "doc_id", "text", minShared = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 5L)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // an aggressive popularity cap removes every fingerprint that
+    // appears in 2+ docs, killing the shared-passage candidates
+    val capped = Dedup.winnowNearDup(docs, "doc_id", "text", minShared = 1, maxDocsPerFp = 1)
+    assert(capped.count() == 0L)
+    Dedup.releaseCaches()
+  }
+
   test("dropNearDuplicates keeps the lowest id of each near-dup group") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
