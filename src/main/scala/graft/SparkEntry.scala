@@ -338,7 +338,7 @@ object SparkEntry {
     // ── LLM-pipeline: winnow-based near-dup (shared-passage pairs) ──
     "q_winnow_pairs" -> ((s, dir) => {
       Dedup.winnowNearDup(Tables(s, dir, "documents"), "doc_id", "text",
-        k = 5, w = 4, minShared = 60)
+        k = 5, w = 4, minShared = 60, maxDocsPerFp = 10000)
     }),
 
     // ── LLM-pipeline: rolling-hash document fingerprint ─────────────
@@ -980,7 +980,9 @@ object SparkEntry {
 
     "q_winnow_pairs" ->
       s"""WITH $sqlWinnowMins,
-         |fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS f FROM mins)
+         |fp0 AS (SELECT doc_id, unnest(list_distinct(mins)) AS f FROM mins),
+         |hot AS (SELECT f FROM fp0 GROUP BY f HAVING count(*) > 10000),
+         |fp AS (SELECT * FROM fp0 WHERE f NOT IN (SELECT f FROM hot))
          |SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n_shared
          |FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
          |GROUP BY 1, 2

@@ -133,24 +133,28 @@ object Dedup {
     * are pathological everywhere). */
   def candidatePairs(buckets: DataFrame, idCol: String,
                      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val base =
-      if (maxBucket == Int.MaxValue) buckets
-      else {
-        // Anti-join against the OVERSIZED buckets, not semi-join
-        // against the ok ones: the blacklist is tiny by construction
-        // (only pathological buckets exceed the cap), so it broadcasts
-        // and the guard costs one map-side filter instead of a
-        // full-width shuffle join.
-        val over = buckets.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
-          .select("band", "bucket")
-        buckets.join(broadcast(over), Seq("band", "bucket"), "left_anti")
-      }
+    val base = dropOverPopulated(buckets, Seq("band", "bucket"), maxBucket)
     val a = base.select(col(idCol).as("id1"), col("band"), col("bucket"))
     val b = base.select(col(idCol).as("id2"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
+
+  /** The shared skew guard: drop rows whose key group exceeds `max`
+    * members. Anti-join against the OVERSIZED keys, not semi-join
+    * against the ok ones: the blacklist is tiny by construction (only
+    * pathological keys exceed the cap), so it broadcasts and the
+    * guard costs one map-side filter instead of a full-width shuffle
+    * join. Used by both the banded-LSH bucket join and the winnow
+    * fingerprint join. */
+  private def dropOverPopulated(df: DataFrame, keyCols: Seq[String], max: Int): DataFrame =
+    if (max == Int.MaxValue) df
+    else {
+      val over = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > max)
+        .select(keyCols.map(col): _*)
+      df.join(broadcast(over), keyCols, "left_anti")
+    }
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns:
     * |A∩B| / |A∪B| on distinct shingles — the verification stage run
@@ -201,21 +205,16 @@ object Dedup {
     * Join key = fingerprint value, so the same skew hazard as banded
     * LSH applies: maxDocsPerFp drops fingerprints present in more
     * than that many docs (they are non-discriminative boilerplate
-    * anyway), via the same broadcast-blacklist anti-join as
-    * candidatePairs. Output: (id1, id2, n_shared ≥ minShared). */
+    * anyway — a header shared by m docs would otherwise put m² rows
+    * in one join key), via the shared broadcast-blacklist guard. The
+    * cap is ON by default. Output: (id1, id2, n_shared ≥ minShared). */
   def winnowNearDup(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 5, w: Int = 4, minShared: Int = 60,
-                    maxDocsPerFp: Int = Int.MaxValue): DataFrame = {
+                    maxDocsPerFp: Int = 10000): DataFrame = {
     val fps = registerCache(
       TextAnalysis.winnowMins(df, idCol, textCol, k, w)
         .select(col(idCol).as("id"), explode(array_distinct(col("__mins"))).as("f")))
-    val base =
-      if (maxDocsPerFp == Int.MaxValue) fps
-      else {
-        val over = fps.groupBy("f").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > maxDocsPerFp).select("f")
-        fps.join(broadcast(over), Seq("f"), "left_anti")
-      }
+    val base = dropOverPopulated(fps, Seq("f"), maxDocsPerFp)
     base.select(col("id").as("id1"), col("f"))
       .join(base.select(col("id").as("id2"), col("f")), Seq("f"))
       .filter(col("id1") < col("id2"))
