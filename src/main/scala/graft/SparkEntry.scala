@@ -336,9 +336,13 @@ object SparkEntry {
     }),
 
     // ── LLM-pipeline: winnow-based near-dup (shared-passage pairs) ──
+    // maxDocsPerFp=100 drops the common-gram fingerprints that carry
+    // ~ALL the join volume and no signal (at sf0.1 they account for
+    // 678M of 678.4M join rows); pairs then share RARE fingerprints
+    // only, which is the discriminative signal.
     "q_winnow_pairs" -> ((s, dir) => {
       Dedup.winnowNearDup(Tables(s, dir, "documents"), "doc_id", "text",
-        k = 5, w = 4, minShared = 60, maxDocsPerFp = 10000)
+        k = 5, w = 4, minShared = 10, maxDocsPerFp = 100)
     }),
 
     // ── LLM-pipeline: rolling-hash document fingerprint ─────────────
@@ -981,12 +985,12 @@ object SparkEntry {
     "q_winnow_pairs" ->
       s"""WITH $sqlWinnowMins,
          |fp0 AS (SELECT doc_id, unnest(list_distinct(mins)) AS f FROM mins),
-         |hot AS (SELECT f FROM fp0 GROUP BY f HAVING count(*) > 10000),
+         |hot AS (SELECT f FROM fp0 GROUP BY f HAVING count(*) > 100),
          |fp AS (SELECT * FROM fp0 WHERE f NOT IN (SELECT f FROM hot))
          |SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n_shared
          |FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
          |GROUP BY 1, 2
-         |HAVING count(*) >= 60""".stripMargin,
+         |HAVING count(*) >= 10""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

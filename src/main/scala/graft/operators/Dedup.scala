@@ -207,9 +207,13 @@ object Dedup {
     * than that many docs (they are non-discriminative boilerplate
     * anyway — a header shared by m docs would otherwise put m² rows
     * in one join key), via the shared broadcast-blacklist guard. The
-    * cap is ON by default. Output: (id1, id2, n_shared ≥ minShared). */
+    * cap is ON by default; size it to ~1% of the corpus — popular
+    * fingerprints carry nearly all the join volume and none of the
+    * signal (measured: 678M of 678.4M join rows at sf0.1 came from
+    * fps in >100 of 5000 docs). Output: (id1, id2, n_shared ≥
+    * minShared). */
   def winnowNearDup(df: DataFrame, idCol: String, textCol: String,
-                    k: Int = 5, w: Int = 4, minShared: Int = 60,
+                    k: Int = 5, w: Int = 4, minShared: Int = 10,
                     maxDocsPerFp: Int = 10000): DataFrame = {
     val fps = registerCache(
       TextAnalysis.winnowMins(df, idCol, textCol, k, w)
