@@ -87,6 +87,32 @@ object PureKernelProps extends Properties("pure-kernels") {
         ab <= KMeans.euclideanLocal(a, c) + KMeans.euclideanLocal(c, b) + 1e-9
     }
 
+  // ── winnowing detection guarantee ────────────────────────────────
+
+  private def localWinnowSet(text: String, k: Int, w: Int): Set[Long] = {
+    val P = 2147483647L
+    val m = text.length - (k - 1)
+    if (m < 1) Set.empty
+    else {
+      val hs = (0 until m).map(i =>
+        text.substring(i, i + k).foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P))
+      val mins = if (m <= w) Seq(hs.min) else (0 to m - w).map(j => hs.slice(j, j + w).min)
+      mins.toSet
+    }
+  }
+
+  private val asciiStr: Gen[String] =
+    Gen.choose(0, 120).flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString))
+
+  property("winnow: shared substring of length >= w+k-1 shares a fingerprint") =
+    Prop.forAll(asciiStr, asciiStr, Gen.listOfN(8, Gen.alphaChar).map(_.mkString)) {
+      (pre, post, core) =>
+        // core length 8 = w + k - 1 for (k=5, w=4)
+        val a = localWinnowSet(pre + core + post, 5, 4)
+        val b = localWinnowSet(post + core + pre, 5, 4)
+        a.intersect(b).nonEmpty
+    }
+
   // ── VectorMeanAgg algebra ────────────────────────────────────────
 
   private val vecGroup: Gen[(List[Array[Double]], Int)] = for {
