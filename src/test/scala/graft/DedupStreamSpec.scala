@@ -38,6 +38,29 @@ class DedupStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless text-analysis operators run unchanged on a stream (quality gate at ingest)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Doc(1, t(0), "the quick brown fox and the lazy dog of summer"), // prose: quality 1.0
+      Doc(2, t(1), "x x x x x x x x x x x x x x x x"))                // degenerate repetition
+    val source = MemoryStream[Doc]
+    val q = graft.operators.TextAnalysis
+      .qualityScore(source.toDF(), "doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("quality") >= 0.75)
+      .writeStream.format("memory").queryName("quality_out")
+      .outputMode("append").start()
+    try {
+      source.addData(docs); q.processAllAvailable()
+      val kept = spark.table("quality_out").select("doc_id").as[Long].collect().toSeq
+      assert(kept == Seq(1L)) // the ingest-time quality gate dropped the degenerate doc
+      val batch = graft.operators.TextAnalysis.qualityScore(docs.toDF(), "doc_id", "text")
+        .filter(org.apache.spark.sql.functions.col("quality") >= 0.75)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(kept == batch) // batch = streaming, same plan
+    } finally q.stop()
+  }
+
   test("minhashBuckets on a stream matches the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
