@@ -97,6 +97,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((100L, 101L)))
   }
 
+  test("fast-path near-dup invariants on real testdata, sims spot-checked vs local Jaccard") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+      n = 3, h = 16, b = 8, minSim = 0.0, parity = false, maxBucket = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Dedup.releaseCaches()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, s) => a < b && s >= 0.0 && s <= 1.0 })
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+    // spot-check: reported sim is the EXACT trigram Jaccard
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val text = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.take(5).foreach { case (a, b, s) =>
+      val (sa, sb) = (shingleSet(text(a)), shingleSet(text(b)))
+      val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(s - expect) < 1e-12, s"pair ($a,$b): $s vs $expect")
+    }
+  }
+
   test("winnowNearDup surfaces shared passages, not unrelated docs; cap drops hot fps") {
     val shared = "a very long shared passage that appears verbatim in two documents"
     val docs = Seq(
