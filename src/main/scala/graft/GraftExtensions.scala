@@ -1,15 +1,30 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftglue.ColumnGlue
 
 import graft.functions.SimHash64
+import graft.operators.{Dedup, TextAnalysis}
 
 /** SparkSessionExtensions entry point: makes graft's native
-  * expressions callable from SQL text, e.g.
-  * `SELECT simhash64(split(text, ' ')) FROM documents`.
+  * expressions AND its Column-composed kernels callable from SQL
+  * text, e.g.
+  * {{{
+  *   SELECT simhash64(split(text, ' '))            FROM documents
+  *   SELECT minhash_signature(text, 3, 16, false)  FROM documents
+  *   SELECT winnow_fingerprints(text, 5, 4)        FROM documents
+  *   SELECT hamming_hex(fp1, fp2)                  FROM pairs
+  *   SELECT rolling_fingerprint(text)              FROM documents
+  * }}}
+  * Column-composed functions resolve to the same Catalyst trees as
+  * their Column-API twins (ColumnGlue.expression), so SQL and
+  * DataFrame callers get identical plans and identical results —
+  * pinned in GraftExtensionsSpec. Tuning parameters (n, h, k, w,
+  * parity) must be foldable literals: they select the SHAPE of the
+  * expression tree at resolution time, exactly like the Column API's
+  * Int/Boolean arguments.
   *
   * Cluster deployment: `--conf spark.sql.extensions=graft.GraftExtensions`
   * (applied at session build). For an already-running session use
@@ -31,11 +46,60 @@ object GraftExtensions {
       s"$name expects exactly 1 argument, got ${args.length}")
   }
 
+  private def litInt(fn: String, pos: Int, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Short, _) => v.toInt
+    case Literal(v: Byte, _) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $e")
+  }
+
+  private def litBool(fn: String, pos: Int, e: Expression): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be a boolean literal, got $e")
+  }
+
+  private def colIn(e: Expression): Column = ColumnGlue.column(e)
+  private def exprOut(c: Column): Expression = ColumnGlue.resolvedExpression(c)
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft.GraftExtensions", name)
+
   /** (name, info, builder) rows — one per injectable function. */
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      oneArg("simhash64", SimHash64.apply)))
+      oneArg("simhash64", SimHash64.apply)),
+
+    ("minhash_signature", info("minhash_signature"), {
+      case Seq(text, n, h, parity) =>
+        exprOut(Dedup.minhashSignatureOf(colIn(text),
+          litInt("minhash_signature", 2, n),
+          litInt("minhash_signature", 3, h),
+          litBool("minhash_signature", 4, parity)))
+      case args => throw new IllegalArgumentException(
+        s"minhash_signature expects (text, n, h, parity), got ${args.length} arguments")
+    }),
+
+    ("winnow_fingerprints", info("winnow_fingerprints"), {
+      case Seq(text, k, w) =>
+        exprOut(TextAnalysis.winnowFingerprints(colIn(text),
+          litInt("winnow_fingerprints", 2, k),
+          litInt("winnow_fingerprints", 3, w)))
+      case args => throw new IllegalArgumentException(
+        s"winnow_fingerprints expects (text, k, w), got ${args.length} arguments")
+    }),
+
+    ("hamming_hex", info("hamming_hex"), {
+      case Seq(a, b) => exprOut(Dedup.hammingHex(colIn(a), colIn(b)))
+      case args => throw new IllegalArgumentException(
+        s"hamming_hex expects exactly 2 arguments, got ${args.length}")
+    }),
+
+    ("rolling_fingerprint", info("rolling_fingerprint"),
+      oneArg("rolling_fingerprint", e => exprOut(TextAnalysis.fingerprint(colIn(e))))))
 
   /** Register every graft function on a live session. */
   def register(spark: SparkSession): Unit =

@@ -287,16 +287,25 @@ object SparkEntry {
     // ── LLM-pipeline: SimHash near-dup via banded Hamming LSH ───────
     // Pigeonhole: ≤3 differing bits over 4 bands ⇒ one band matches
     // exactly, so the band join has perfect recall at the threshold.
+    // maxBucket = 100 (~2% of the sf0.1 corpus) drops (band,
+    // substring) keys shared by boilerplate fingerprint clusters —
+    // the m² skew guard, mirrored in the oracle's hot-bucket CTE.
     "q_simhash_neardup" -> ((s, dir) => {
-      Dedup.simhashNearDup(Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashNearDup(Tables(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, maxBucket = 100)
     }),
 
     // ── LLM-pipeline: embedding-cosine near-dup (dense-vector dedup) ─
     // Candidates from the hyperplane-LSH bucket self-join, verified
-    // with exact cosine ≥ 0.3.
+    // with exact cosine ≥ 0.3. maxBucket = 400 (~10% of the sf0.1
+    // corpus) is the hot-cluster guard, mirrored in the oracle; the
+    // structural scale knob is bits = Dedup.autoBits(n) (bucket space
+    // grows with the corpus — fixed bits is quadratic), which is the
+    // engine-only path because the oracle's hyperplane CTE is
+    // fixed-width: sub-quadratic growth is spec-asserted in DedupSpec.
     "q_embed_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-        minSim = 0.3, tables = 8, bits = 4, d = 64)
+        minSim = 0.3, tables = 8, bits = 4, d = 64, maxBucket = 400)
     }),
 
     // ── LLM-pipeline: per-document text statistics ──────────────────
@@ -419,14 +428,25 @@ object SparkEntry {
     // in one query.
     "q_pipeline" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val good = TextAnalysis.qualityScore(docs, "doc_id", "text")
-        .filter(col("quality") >= 0.75).select("doc_id")
-      val en = TextAnalysis.languageId(docs, "doc_id", "text", LangProfiles)
-        .filter(col("lang_pred") === "en").select("doc_id")
-      val kept = docs.join(good, "doc_id").join(en, "doc_id")
-      val exact = Dedup.dropExactDuplicates(kept, "doc_id", Seq("text"))
+      // fused single-pass gate: quality + language in ONE scan of
+      // documents (the join-of-three-scans form triple-reads the
+      // corpus — at 100 TB the repeated scan dominates everything
+      // downstream). Bit-equal to the unfused operators, so the
+      // oracle's join-shaped replay still hash-matches.
+      val kept = TextAnalysis.curationScores(docs, "text", LangProfiles)
+        .filter(col("quality") >= 0.75 && col("lang_pred") === "en")
+        .select("doc_id", "text")
+      // pinned: the exact-deduped table feeds BOTH the near-dup
+      // signature build and the final anti-join + split — without the
+      // pin the whole scan→gate→window chain executes once per
+      // consumer. Released by Bench/Verify via Dedup.releaseCaches().
+      val exact = Dedup.pin(Dedup.dropExactDuplicates(kept, "doc_id", Seq("text")))
+      // maxBucket = 50 (~1% of the sf0.1 corpus): the banded-LSH skew
+      // guard the standalone q_neardup_fast path demonstrates — one
+      // boilerplate-heavy (band, bucket) of m docs otherwise puts m²
+      // rows in a single task at scale. The oracle replays the cap.
       val deduped = Dedup.dropNearDuplicates(exact, "doc_id", "text",
-        n = 3, h = 16, b = 8, minSim = 0.5, parity = true)
+        n = 3, h = 16, b = 8, minSim = 0.5, parity = true, maxBucket = 50)
       Sampling.trainTestSplit(deduped, "doc_id", testFrac = 0.2)
         .select(col("doc_id"), col("split"))
     }),
@@ -564,15 +584,20 @@ object SparkEntry {
     // ── relational baseline: ROLLUP hierarchy aggregation ───────────
     // Partial totals per (returnflag, linestatus), per returnflag, and
     // grand total in ONE pass — Spark expands grouping sets before the
-    // exchange, so it stays a single shuffle.
+    // exchange, so it stays a single shuffle. Subtotal rows are
+    // labelled via grouping() (NOT coalesce-on-NULL, which would
+    // conflate a genuine NULL group value with a ROLLUP total on
+    // nullable columns).
     "q_rollup" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("__g_rf"),
+          grouping(col("l_linestatus")).as("__g_ls"))
         .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          when(col("__g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("rf"),
+          when(col("__g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("ls"),
           col("sum_qty"), col("n"))
     }),
 
@@ -1086,10 +1111,12 @@ object SparkEntry {
 
     "q_simhash_neardup" ->
       s"""WITH $sqlSimhashFp,
-         |bx AS (
+         |bx0 AS (
          |  SELECT doc_id, fp, bi, substr(fp, bi*4+1, 4) AS bk
          |  FROM fpt CROSS JOIN range(0, 4) t(bi)
          |),
+         |bxh AS (SELECT bi, bk FROM bx0 GROUP BY 1, 2 HAVING count(*) > 100),
+         |bx AS (SELECT bx0.* FROM bx0 ANTI JOIN bxh USING (bi, bk)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS id1, x.fp AS fp1, y.doc_id AS id2, y.fp AS fp2
          |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.bk = y.bk AND x.doc_id < y.doc_id
@@ -1105,9 +1132,11 @@ object SparkEntry {
 
     "q_embed_neardup" ->
       s"""WITH $sqlAnnIndex,
+         |bkh AS (SELECT tbl, bucket FROM bk GROUP BY 1, 2 HAVING count(*) > 400),
+         |bkc AS (SELECT bk.* FROM bk ANTI JOIN bkh USING (tbl, bucket)),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-         |  FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  FROM bkc x JOIN bkc y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
          |),
          |s AS (
          |  SELECT c.id1, c.id2,
@@ -1150,7 +1179,7 @@ object SparkEntry {
         |           / 4294967296.0 AS u
         |  FROM e CROSS JOIN c1
         |),
-        |c2 AS (SELECT vec_id, v FROM k1 WHERE d2 > 0 ORDER BY -ln(u)/d2, vec_id LIMIT 1),
+        |c2 AS (SELECT vec_id, v FROM k1 WHERE d2 > 0 AND u > 0 ORDER BY -ln(u)/d2, vec_id LIMIT 1),
         |k2 AS (
         |  SELECT e.vec_id, e.v,
         |         least(
@@ -1160,7 +1189,7 @@ object SparkEntry {
         |           / 4294967296.0 AS u
         |  FROM e CROSS JOIN c1 CROSS JOIN c2
         |),
-        |c3 AS (SELECT vec_id, v FROM k2 WHERE d2 > 0 ORDER BY -ln(u)/d2, vec_id LIMIT 1),
+        |c3 AS (SELECT vec_id, v FROM k2 WHERE d2 > 0 AND u > 0 ORDER BY -ln(u)/d2, vec_id LIMIT 1),
         |sel AS (
         |  SELECT 1 AS cluster, v FROM c1
         |  UNION ALL SELECT 2, v FROM c2
@@ -1303,9 +1332,11 @@ object SparkEntry {
          |  WHERE rn = 1
          |),
          |${sqlMinhashOn("ex")},
+         |bbh AS (SELECT band, bucket FROM bb GROUP BY 1, 2 HAVING count(*) > 50),
+         |bbc AS (SELECT bb.* FROM bb ANTI JOIN bbh USING (band, bucket)),
          |ndcand AS (
          |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-         |  FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |  FROM bbc x JOIN bbc y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
          |),
          |nd AS (
          |  SELECT DISTINCT id2 AS doc_id FROM (
@@ -1473,8 +1504,8 @@ object SparkEntry {
         |  ON o_orderkey = b.l_orderkey""".stripMargin,
 
     "q_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
-        |       coalesce(l_linestatus, 'ALL') AS ls,
+      """SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        |       CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
         |       sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,

@@ -40,9 +40,27 @@ object Dedup {
     val c = df.cache(); cachedTables += c; c
   }
 
+  /** Pin a caller-built intermediate under this object's cache
+    * lifecycle (released by the next releaseCaches()). For pipeline
+    * compositions whose intermediate feeds several downstream
+    * operators — e.g. the exact-deduped table that both sides of a
+    * near-dup pass re-read — so the whole upstream chain executes
+    * once instead of once per consumer. */
+  def pin(df: DataFrame): DataFrame = registerCache(df)
+
   /** Unpersist every intermediate cached by this object's operators.
     * Safe to call at any time — a released cache is recomputed, not
-    * wrong. */
+    * wrong.
+    *
+    * Scope: the registry (and therefore this release) is
+    * SESSION-GLOBAL and single-tenant by design — it frees every
+    * cache registered object-wide, including ones still referenced by
+    * another caller's in-flight query in a shared session (results
+    * stay correct via recompute; only the cache benefit disappears).
+    * Concurrent multi-tenant sessions should release at a quiesce
+    * point (as Bench/Verify do, after each query's action), and
+    * long-lived sessions MUST call this periodically or cachedTables
+    * grows without bound. */
   def releaseCaches(): Unit = synchronized {
     cachedTables.foreach(_.unpersist(false)); cachedTables.clear()
   }
@@ -95,6 +113,13 @@ object Dedup {
         val b = lit(104729L) * il
         array_min(transform(hashesCol, x => (a * x + b) % lit(P)))
       }))
+
+  /** Full text→signature composition as one Column: shingle, base-
+    * hash, minhash — the SQL-surface form (registered as
+    * minhash_signature by GraftExtensions). Null when the doc has no
+    * n-shingles, mirroring sigTable's filter. */
+  def minhashSignatureOf(text: Column, n: Int, h: Int, parity: Boolean): Column =
+    minhashSignature(shingleHashes(shingles(text, n), parity), h)
 
   /** LSH banding: B bands of R = H/B signature rows each; the bucket
     * key is the band's minima joined with ','. Docs agreeing on ALL
@@ -330,20 +355,29 @@ object Dedup {
     * least one band — so candidates come from per-(band, substring)
     * joins (never all-pairs) with PERFECT recall at the threshold,
     * then exact Hamming verification. Same shuffle shape as the
-    * MinHash path: Σ bucket² per band, O(rows) otherwise.
+    * MinHash path: Σ bucket² per band, O(rows) otherwise — and the
+    * same skew hazard: m boilerplate docs sharing a band substring
+    * put m² rows in one (band, substring) join key, so maxBucket
+    * drops over-populated keys via the shared broadcast-blacklist
+    * guard (size it to ~1% of the corpus; dropped docs still meet
+    * through their other bands unless identical everywhere — and
+    * identical-everywhere groups that large should be exact-deduped
+    * first). Default 10000 matches winnowNearDup's maxDocsPerFp.
     * maxHamming+1 must divide 16 (maxHamming ∈ {0, 1, 3, 7, 15}).
     * Output: (id1, id2, hamming ≤ maxHamming), id1 < id2. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val bands = maxHamming + 1
     require(16 % bands == 0, s"maxHamming+1=$bands must divide the 16 hex chars")
     val w = 16 / bands
     val fps = registerCache(
       df.select(col(idCol).as("id"), simhash(tokens(col(textCol))).as("fp")))
-    val bx = fps.select(col("id"), col("fp"),
-      explode(sequence(lit(0), lit(bands - 1))).as("bi"))
-      .select(col("id"), col("fp"), col("bi"),
-        col("fp").substr(col("bi") * w + 1, lit(w)).as("bk"))
+    val bx = dropOverPopulated(
+      fps.select(col("id"), col("fp"),
+        explode(sequence(lit(0), lit(bands - 1))).as("bi"))
+        .select(col("id"), col("fp"), col("bi"),
+          col("fp").substr(col("bi") * w + 1, lit(w)).as("bk")),
+      Seq("bi", "bk"), maxBucket)
     val x = bx.select(col("id").as("id1"), col("fp").as("fp1"), col("bi"), col("bk"))
     val y = bx.select(col("id").as("id2"), col("fp").as("fp2"), col("bi"), col("bk"))
     x.join(y, Seq("bi", "bk")).filter(col("id1") < col("id2"))
@@ -353,23 +387,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Bit width that keeps expected LSH bucket occupancy near
+    * `targetBucket` for an n-vector corpus: bits ≈ log2(n /
+    * targetBucket), floored at `minBits`. The structural scale knob
+    * for embeddingNearDup — with FIXED bits the 2^bits bucket space
+    * is constant, so expected bucket size grows with n and the
+    * candidate self-join is Θ(tables·n²/2^bits), quadratic in corpus
+    * size; deriving bits from n keeps buckets (and therefore
+    * candidates per vector) constant as the corpus grows. Costs one
+    * count() job at plan time — negligible against the join it
+    * protects. */
+  def autoBits(n: Long, targetBucket: Int = 32, minBits: Int = 4): Int =
+    math.max(minBits,
+      math.ceil(math.log(math.max(1L, n).toDouble / targetBucket) / math.log(2.0)).toInt)
+
   /** Embedding-cosine near-duplicate pairs: candidates from the
     * random-hyperplane LSH bucket self-join (docs sharing ANY
     * table-bucket — reuses the Similarity index, never all-pairs),
     * verified with exact cosine ≥ minSim. The similarity-space analog
-    * of the MinHash path for dense-vector columns. Bucket sizes under
-    * random hyperplanes are near-uniform (no text-skew analog), so no
-    * cap parameter; deeper `bits` shrinks buckets at scale.
+    * of the MinHash path for dense-vector columns.
+    *
+    * Two scale guards, both needed:
+    *  - `bits` sets the 2^bits bucket space; with a fixed value the
+    *    candidate join is quadratic in corpus size, so at scale pass
+    *    `bits = autoBits(df.count())` (spec-asserted sub-quadratic in
+    *    DedupSpec). Random hyperplanes keep RANDOM buckets
+    *    near-uniform, but
+    *  - duplicate-heavy corpora break that assumption: identical and
+    *    near-identical vectors share EVERY table-bucket, so a hot
+    *    embedding cluster of m docs still yields a Θ(m²) bucket
+    *    self-join regardless of bits. maxBucket drops over-populated
+    *    (tbl, bucket) keys via the shared broadcast-blacklist guard
+    *    (size to ~1% of the corpus); alternatively exact-dedup the
+    *    vectors first.
     * Output: (id1, id2, sim ≥ minSim), id1 < id2. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        minSim: Double, tables: Int = 8, bits: Int = 4,
-                       d: Int = 64): DataFrame = {
+                       d: Int = 64, maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.functions.VectorOps
     // cached: both sides of the candidate self-join — without it the
     // tables×bits hyperplane projections run twice over the corpus
     val bk = registerCache(Similarity.lshBuckets(df, idCol, vecCol, tables, bits, d))
-    val cand = bk.select(col(idCol).as("id1"), col("tbl"), col("bucket"))
-      .join(bk.select(col(idCol).as("id2"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+    val base = dropOverPopulated(bk, Seq("tbl", "bucket"), maxBucket)
+    val cand = base.select(col(idCol).as("id1"), col("tbl"), col("bucket"))
+      .join(base.select(col(idCol).as("id2"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
     val vecs = registerCache(df.select(col(idCol).cast("long").as("vid"),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data curation: token counting, document
@@ -53,7 +52,6 @@ object TextAnalysis {
     val stopRatio = (size(array_intersect(toks, typedlit(stopwords))).cast("double")
       / size(array_distinct(toks)).cast("double"))
     val ttr = size(array_distinct(toks)).cast("double") / nTok
-    val lenOk = when(size(toks).between(5, 1000), 1.0).otherwise(0.0)
     val stopCnt = size(filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
     val stopTokRatio = stopCnt.cast("double") / nTok
     df.select(
@@ -62,10 +60,22 @@ object TextAnalysis {
       stopRatio.as("stop_coverage"),
       stopTokRatio.as("stop_token_ratio"),
       ttr.as("type_token_ratio"),
-      (lenOk * 0.25
-        + when(stopTokRatio > 0.05, 0.25).otherwise(0.0)
-        + when(ttr > 0.2, 0.25).otherwise(0.0)
-        + when(ttr < 0.95, 0.25).otherwise(0.0)).as("quality"))
+      qualityCol(toks, stopwords).as("quality"))
+  }
+
+  /** The quality score as a composable Column over a token array —
+    * shared by qualityScore and the fused curationScores (identical
+    * arithmetic, so both produce bit-equal scores). */
+  private def qualityCol(toks: Column, stopwords: Seq[String]): Column = {
+    val nTok = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val lenOk = when(size(toks).between(5, 1000), 1.0).otherwise(0.0)
+    val stopCnt = size(filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+    val stopTokRatio = stopCnt.cast("double") / nTok
+    lenOk * 0.25 +
+      when(stopTokRatio > 0.05, 0.25).otherwise(0.0) +
+      when(ttr > 0.2, 0.25).otherwise(0.0) +
+      when(ttr < 0.95, 0.25).otherwise(0.0)
   }
 
   /** Words treated as stopwords by the quality/language heuristics —
@@ -77,16 +87,19 @@ object TextAnalysis {
     * `orderBy(...).limit(n)` plans as TakeOrderedAndProject — each
     * partition ships only its local top-n, never the full vocabulary
     * (an unpartitioned ranking Window would sort hundreds of millions
-    * of distinct terms on ONE partition at web-corpus scale). The
-    * ranking Window downstream of the limit is harmless — its input is
-    * exactly n rows — and keeps the operator LAZY (composing the plan
-    * triggers no job). */
+    * of distinct terms on ONE partition at web-corpus scale). Rank is
+    * then just the row index of the sorted output:
+    * TakeOrderedAndProject emits ONE partition in sort order, so
+    * monotonically_increasing_id() counts 0..n-1 down it — no
+    * post-limit Window (whose "No Partition Defined" warning, though
+    * benign on n rows, reads like a scale bug), and the operator
+    * stays LAZY (composing the plan triggers no job). The id==rank
+    * contract is pinned against a Window twin in TextAnalysisSpec. */
   def topTerms(df: DataFrame, textCol: String, n: Int): DataFrame = {
     val counts = df.select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     counts.orderBy(col("cnt").desc, col("term")).limit(n)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("cnt").desc, col("term"))).cast("int"))
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
   }
 
   /** Approximate corpus vocabulary size via HyperLogLog++
@@ -121,19 +134,47 @@ object TextAnalysis {
     * lexicographic tie-break (array_min over (-score, lang)). */
   def languageId(df: DataFrame, idCol: String, textCol: String,
                  profiles: Seq[(String, Seq[String])]): DataFrame = {
-    val toks = tokens(col(textCol))
+    val best = langBest(tokens(col(textCol)), profiles)
+    df.select(col(idCol),
+      best.getField("lang").as("lang_pred"),
+      (-best.getField("neg")).as("lang_score"))
+  }
+
+  /** Language argmax as a composable Column over a token array:
+    * struct(neg = -bestScore, lang) — flip score sign, array_min
+    * picks (lowest -score, first lang), i.e. argmax with
+    * lexicographic tie-break. Shared by languageId and the fused
+    * curationScores. */
+  private def langBest(toks: Column, profiles: Seq[(String, Seq[String])]): Column = {
     val scores = array(profiles.map { case (lang, words) =>
       struct(
         (size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*))).cast("double")
           / size(toks).cast("double")).as("score"),
         lit(lang).as("lang"))
     }: _*)
-    // argmax: flip score sign, array_min picks (lowest -score, first lang)
-    val best = array_min(transform(scores,
+    array_min(transform(scores,
       s => struct((-s.getField("score")).as("neg"), s.getField("lang").as("lang"))))
-    df.select(col(idCol),
-      best.getField("lang").as("lang_pred"),
-      (-best.getField("neg")).as("lang_score"))
+  }
+
+  /** Fused single-pass curation gate: quality score + language
+    * prediction in ONE projection over the corpus. Produces every
+    * input column plus (quality, lang_pred, lang_score), bit-equal to
+    * qualityScore/languageId run separately (shared Column builders).
+    *
+    * Why it exists: a filter pipeline built by joining qualityScore
+    * and languageId outputs back onto the corpus scans the input
+    * three times and shuffles twice for the joins; at 100 TB the
+    * repeated scan IS the dominant cost. This form is one scan, zero
+    * joins — filter on both columns and project, e.g.
+    * `.filter($"quality" >= 0.75 && $"lang_pred" === "en")`. */
+  def curationScores(df: DataFrame, textCol: String,
+                     profiles: Seq[(String, Seq[String])],
+                     stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val toks = tokens(col(textCol))
+    val best = langBest(toks, profiles)
+    df.withColumn("quality", qualityCol(toks, stopwords))
+      .withColumn("lang_pred", best.getField("lang"))
+      .withColumn("lang_score", -best.getField("neg"))
   }
 
   /** Char-trigram language scores — the n-gram heuristic variant of
@@ -189,24 +230,54 @@ object TextAnalysis {
       .select(col(idCol),
         array_join(array_sort(array_distinct(col("__mins"))), ",").as("fps"))
 
+  /** k-gram rolling hashes over a char array: element i = hash of the
+    * k chars starting at i (1-based), for i in [1, m]. Shared kernel
+    * of winnowMins and winnowFingerprints. */
+  private def kgramHashes(cs: Column, m: Column, k: Int): Column = {
+    val p = lit(2147483647L)
+    when(m >= 1,
+      transform(sequence(lit(1), m), i =>
+        aggregate(slice(cs, i, lit(k)), lit(0L),
+          (acc, c) => (acc * 31L + coalesce(ascii(c).cast("long"), lit(0L))) % p)))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** Per-window-of-w minima over a hash array of length m — the
+    * winnow selection step. */
+  private def windowMinima(hs: Column, m: Column, w: Int): Column =
+    when(m < 1, array().cast("array<long>"))
+      .when(m <= w, array(array_min(hs)))
+      .otherwise(transform(sequence(lit(1), m - (w - 1)), j =>
+        array_min(slice(hs, j, lit(w)))))
+
   /** The raw per-window minima behind winnow (un-deduplicated), as
-    * (id, __mins array<long>) — the form winnowNearDup fans out. */
+    * (id, __mins array<long>) — the form winnowNearDup fans out. The
+    * three-projection shape (chars, hashes, minima as separate
+    * selects) forces the char split and the k-gram hash array to be
+    * computed once each — prefer it over winnowFingerprints when
+    * composing DataFrame plans. */
   def winnowMins(df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
     require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
-    val p = lit(2147483647L)
     val chars = df.select(col(idCol), split(col(textCol), "").as("__cs"),
       (length(col(textCol)) - (k - 1)).as("__m"))
     val hashes = chars.select(col(idCol), col("__m"),
-      when(col("__m") >= 1,
-        transform(sequence(lit(1), col("__m")), i =>
-          aggregate(slice(col("__cs"), i, lit(k)), lit(0L),
-            (acc, c) => (acc * 31L + coalesce(ascii(c).cast("long"), lit(0L))) % p)))
-        .otherwise(array().cast("array<long>")).as("__hs"))
+      kgramHashes(col("__cs"), col("__m"), k).as("__hs"))
     hashes.select(col(idCol),
-      when(col("__m") < 1, array().cast("array<long>"))
-        .when(col("__m") <= w, array(array_min(col("__hs"))))
-        .otherwise(transform(sequence(lit(1), col("__m") - (w - 1)), j =>
-          array_min(slice(col("__hs"), j, lit(w))))).as("__mins"))
+      windowMinima(col("__hs"), col("__m"), w).as("__mins"))
+  }
+
+  /** Winnow fingerprint set as one composable Column: sorted distinct
+    * per-window minima of the k-gram rolling hashes — the SQL-surface
+    * form (registered as winnow_fingerprints by GraftExtensions).
+    * Same arithmetic as winnowMins (shared kernels); as a single
+    * expression tree it relies on codegen subexpression elimination
+    * rather than the forced projection sharing of the DataFrame form.
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    val cs = split(text, "")
+    val m = length(text) - (k - 1)
+    array_sort(array_distinct(windowMinima(kgramHashes(cs, m, k), m, w)))
   }
 
   /** 31-bit polynomial rolling hash of the raw text (base 31, modulus

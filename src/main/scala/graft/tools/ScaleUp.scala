@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-validation data generator: replicates a driver-generated
+  * testdata directory R× with shifted keys, producing the next scale
+  * factor for bench runs (e.g. sf0.1 × 10 → an sf1-shaped dataset).
+  * Usage: `runMain graft.tools.ScaleUp <srcDir> <dstDir> [replicas]`.
+  *
+  * The replication is NOT a byte copy — that would make every
+  * replica an exact/near duplicate of replica 0 and turn the dedup
+  * and similarity workloads quadratic in R (10 copies of each doc ⇒
+  * 45 spurious pairs per original), which is not how a real corpus
+  * grows. Instead each replica is decorrelated while preserving
+  * within-replica structure exactly:
+  *  - all integer keys shift by `replica · 10⁷` (FK relations —
+  *    orders↔lineitem↔part/supplier, customer↔orders — stay
+  *    consistent because both sides shift together; the tiny
+  *    region/nation dims are written once, unshifted, and
+  *    c_nationkey/s_nationkey keep referencing them);
+  *  - document text gets a per-replica token prefix (every shingle
+  *    becomes replica-unique ⇒ zero cross-replica MinHash/winnow
+  *    collisions, within-replica near-dups preserved verbatim);
+  *  - embeddings are multiplied by a per-replica deterministic ±1
+  *    sign PATTERN — an isometry within the replica (all dot
+  *    products, norms, and cosines among replica members are
+  *    unchanged) that decorrelates across replicas (expected
+  *    cross-replica cosine ≈ 0 under sign flips ⇒ no spurious
+  *    near-dup pairs);
+  *  - events shift user_id/event_id (10× the users, same per-user
+  *    density — sessionization and windows scale linearly as they
+  *    would with real growth).
+  */
+object ScaleUp {
+
+  private val KeyShift = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try write(spark, src, dst, replicas) finally spark.stop()
+  }
+
+  def write(spark: SparkSession, src: String, dst: String, replicas: Int): Unit = {
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def out(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // unshifted dims: one copy, still referenced by every replica
+    out(read("region"), "region")
+    out(read("nation"), "nation")
+
+    def replicated(t: String)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until replicas).map(r => f(read(t), r)).reduce(_.unionAll(_))
+
+    def shift(df: DataFrame, r: Int, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * KeyShift)))
+
+    out(replicated("customer")(shift(_, _, "c_custkey")), "customer")
+    out(replicated("supplier")(shift(_, _, "s_suppkey")), "supplier")
+    out(replicated("part")(shift(_, _, "p_partkey")), "part")
+    out(replicated("orders")(shift(_, _, "o_orderkey", "o_custkey")), "orders")
+    out(replicated("lineitem")(shift(_, _, "l_orderkey", "l_partkey", "l_suppkey")),
+      "lineitem")
+    out(replicated("events")(shift(_, _, "event_id", "user_id")), "events")
+
+    out(replicated("documents") { (df, r) =>
+      val d = shift(df, r, "doc_id")
+      if (r == 0) d
+      else d.withColumn("text",
+        array_join(transform(split(col("text"), " "),
+          t => concat(lit(s"r$r"), t)), " "))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }, "documents")
+
+    out(replicated("embeddings") { (df, r) =>
+      val d = shift(df, r, "vec_id")
+      if (r == 0) d
+      else {
+        // deterministic ±1 sign pattern per (replica, position):
+        // an isometry inside the replica, decorrelating across them
+        val signs = Array.tabulate(64) { j =>
+          if (math.sin((r * 64 + j + 1) * 12.9898) >= 0) 1.0f else -1.0f
+        }.toSeq
+        d.withColumn("embedding",
+          zip_with(col("embedding"), typedlit(signs), (x, s) => x * s))
+      }
+    }, "embeddings")
+  }
+}

@@ -13,6 +13,15 @@ object ColumnGlue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column's node tree to a catalyst Expression
+    * tree (UnresolvedFunction etc., which the analyzer then
+    * resolves). ExpressionUtils.expression wraps the tree in a LAZY
+    * ColumnNodeExpression leaf that only Dataset API entry points
+    * unwrap — a SQL FunctionRegistry builder must hand the analyzer
+    * the converted tree, or codegen meets the unconverted wrapper. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a temp function on a LIVE session (sessionState is
     * private[sql]); config-driven deployments use GraftExtensions via
     * spark.sql.extensions instead. */

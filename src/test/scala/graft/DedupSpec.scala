@@ -207,6 +207,63 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseCaches()
   }
 
+  test("simhashNearDup maxBucket drops boilerplate bucket clusters") {
+    // 12 identical docs: every (band, substring) bucket has 12
+    // members in all 4 bands -> 66 pairs uncapped, zero once the cap
+    // blacklists the over-populated keys (the m² skew guard).
+    val docs = (1L to 12L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3).count()
+    Dedup.releaseCaches()
+    val capped = Dedup.simhashNearDup(docs, "doc_id", "text",
+      maxHamming = 3, maxBucket = 10).count()
+    Dedup.releaseCaches()
+    assert(uncapped === 66L)
+    assert(capped === 0L)
+  }
+
+  test("autoBits keeps expected bucket occupancy near the target") {
+    assert(Dedup.autoBits(1024, targetBucket = 32) === 5)
+    assert(Dedup.autoBits(100, targetBucket = 32) === 4)  // floored at minBits
+    assert(Dedup.autoBits(1L << 20, targetBucket = 32) === 15)
+    assert(Dedup.autoBits(0, targetBucket = 32) === 4)    // degenerate corpus
+    // the invariant that makes the candidate join linear: n / 2^bits
+    // (expected bucket size) stays within 2x of the target
+    for (n <- Seq(1000L, 10000L, 100000L, 1000000L)) {
+      val b = Dedup.autoBits(n, targetBucket = 32)
+      val occupancy = n.toDouble / (1L << b)
+      assert(occupancy <= 32.0 && occupancy > 8.0, s"n=$n bits=$b occ=$occupancy")
+    }
+  }
+
+  test("embeddingNearDup candidate growth is sub-quadratic with autoBits + cap") {
+    // Duplicate-heavy corpus: a hot cluster of n/4 identical vectors
+    // (shares every table-bucket -> the quadratic hazard) plus
+    // scattered deterministic background vectors. With the cap
+    // blacklisting the hot buckets and bits derived from n, doubling
+    // the corpus must NOT quadruple the pair count (fixed bits and no
+    // cap would: hot cluster alone contributes (n/4)²/2 pairs).
+    def corpus(n: Int) = {
+      val hot = Array.tabulate(64)(j => math.cos(j + 1))
+      (1 to n).map { i =>
+        val v = if (i % 4 == 0) hot else Array.tabulate(64)(j => math.sin(i * 64 + j))
+        (i.toLong, v.toSeq)
+      }.toDF("vec_id", "embedding")
+    }
+    def pairs(n: Int): Long = {
+      val c = Dedup.embeddingNearDup(corpus(n), "vec_id", "embedding",
+        minSim = -2.0, // keep every verified candidate: count = candidate count
+        tables = 4, bits = Dedup.autoBits(n, targetBucket = 16), d = 64,
+        maxBucket = 32).count()
+      Dedup.releaseCaches()
+      c
+    }
+    val small = pairs(256)
+    val big = pairs(512)
+    assert(small > 0L, "guard must not kill ordinary buckets")
+    assert(big < 4 * small, s"quadratic candidate growth: $small -> $big")
+  }
+
   test("simhash: identical tokens give identical fingerprints; near-dups are close") {
     val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, unrelated)).toDF("doc_id", "text")
       .select(col("doc_id"), Dedup.simhash(Dedup.tokens(col("text"))).as("fp"))

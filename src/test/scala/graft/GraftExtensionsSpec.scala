@@ -33,4 +33,46 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().map(_.getString(1)).toSeq
     assert(viaSql == viaCol)
   }
+
+  test("minhash_signature / winnow_fingerprints / hamming_hex / rolling_fingerprint from SQL") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    GraftExtensions.register(spark)
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "pack my box with five dozen liquor jugs"),
+        (3L, "x"))
+      .toDF("id", "text").createOrReplaceTempView("ext_docs2")
+
+    val sqlRows = spark.sql(
+      """SELECT id,
+        |       minhash_signature(text, 3, 16, false) AS sig,
+        |       winnow_fingerprints(text, 5, 4) AS wfp,
+        |       rolling_fingerprint(text) AS rfp
+        |FROM ext_docs2 ORDER BY id""".stripMargin).collect()
+    val colRows = spark.table("ext_docs2")
+      .select($"id",
+        Dedup.minhashSignatureOf($"text", 3, 16, parity = false).as("sig"),
+        TextAnalysis.winnowFingerprints($"text", 5, 4).as("wfp"),
+        TextAnalysis.fingerprint($"text").as("rfp"))
+      .orderBy($"id").collect()
+    assert(sqlRows.map(_.toString).toSeq == colRows.map(_.toString).toSeq)
+
+    // winnow_fingerprints matches the DataFrame operator's set form
+    val opFps = TextAnalysis.winnow(spark.table("ext_docs2"), "id", "text", 5, 4)
+      .orderBy($"id").collect().map(_.getString(1)).toSeq
+    val sqlFps = spark.sql(
+      "SELECT array_join(winnow_fingerprints(text, 5, 4), ',') FROM ext_docs2 ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(sqlFps == opFps)
+
+    val hd = spark.sql(
+      "SELECT hamming_hex('00ff', '0f0f'), hamming_hex('abcd', 'abcd')").collect()(0)
+    assert(hd.getInt(0) === 8 && hd.getInt(1) === 0)
+
+    // tuning parameters must be literals, not columns
+    intercept[Exception] {
+      spark.sql("SELECT minhash_signature(text, CAST(id AS INT), 16, false) FROM ext_docs2")
+        .collect()
+    }
+  }
 }

@@ -42,6 +42,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(top.toSeq === Seq(("b", 3L, 1), ("a", 2L, 2)))
   }
 
+  test("topTerms rank equals the Window-rank twin on a multi-partition corpus") {
+    // rank comes from monotonically_increasing_id over the
+    // TakeOrderedAndProject output (single partition, sort order) —
+    // pin it against an explicit (cnt desc, term asc) sort of the
+    // collected rows, across an input spread over many partitions
+    val text = (1 to 200).map(i => s"w${i % 37} w${i % 11} filler$i").mkString(" ")
+    val df = (1 to 8).map(p => (p.toLong, text)).toDF("doc_id", "text").repartition(8)
+    val got = TextAnalysis.topTerms(df, "text", 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val expectedOrder = got.sortBy { case (term, cnt, _) => (-cnt, term) }
+      .zipWithIndex.map { case ((term, cnt, _), i) => (term, cnt, i + 1) }
+    assert(got.toSeq === expectedOrder.toSeq)
+    assert(got.map(_._3).toSeq === (1 to 20))
+  }
+
+  test("curationScores is bit-equal to qualityScore + languageId run separately") {
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "and", "of"),
+      "de" -> Seq("der", "die", "und", "das"))
+    val df = Seq(
+      (1L, "the cat sat on the mat and then the dog came in too"),
+      (2L, "der hund und die katze und das haus"),
+      (3L, "x x x x x x x x x x x x"),
+      (4L, "solitary")).toDF("doc_id", "text")
+    val fused = TextAnalysis.curationScores(df, "text", profiles)
+      .select("doc_id", "quality", "lang_pred", "lang_score")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2), r.getDouble(3)))).toMap
+    val q = TextAnalysis.qualityScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val l = TextAnalysis.languageId(df, "doc_id", "text", profiles)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    for (id <- 1L to 4L) {
+      assert(fused(id)._1 === q(id), s"quality mismatch doc $id")
+      assert((fused(id)._2, fused(id)._3) === l(id), s"lang mismatch doc $id")
+    }
+  }
+
   test("termFrequencies yields tf per doc and df per term") {
     val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
     val tf = TextAnalysis.termFrequencies(df, "doc_id", "text")
