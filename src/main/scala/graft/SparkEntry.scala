@@ -297,15 +297,24 @@ object SparkEntry {
 
     // ── LLM-pipeline: embedding-cosine near-dup (dense-vector dedup) ─
     // Candidates from the hyperplane-LSH bucket self-join, verified
-    // with exact cosine ≥ 0.3. maxBucket = 400 (~10% of the sf0.1
-    // corpus) is the hot-cluster guard, mirrored in the oracle; the
-    // structural scale knob is bits = Dedup.autoBits(n) (bucket space
-    // grows with the corpus — fixed bits is quadratic), which is the
-    // engine-only path because the oracle's hyperplane CTE is
-    // fixed-width: sub-quadratic growth is spec-asserted in DedupSpec.
+    // with exact cosine ≥ 0.3. Two scale guards, both active:
+    //  - bits = autoBits(n): bucket space grows with the corpus so
+    //    expected bucket size (and candidates per vector) stays
+    //    constant — at the sf0.01 gate autoBits(400) = 4, exactly the
+    //    4-plane CTE the oracle builds, so the gate stays hash-exact;
+    //    at larger SFs the plan deepens (6 bits at sf0.1, 10 at sf1)
+    //    instead of going quadratic. Costs one count() at plan time.
+    //  - maxBucket = 400: the hot-cluster blacklist (identical
+    //    vectors share EVERY table-bucket regardless of bits),
+    //    mirrored in the oracle's anti-join CTE; with autoBits
+    //    holding buckets near 32 the fixed cap stays ~12× the
+    //    expected size at every corpus scale — only pathological
+    //    clusters trip it.
     "q_embed_neardup" -> ((s, dir) => {
-      Dedup.embeddingNearDup(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-        minSim = 0.3, tables = 8, bits = 4, d = 64, maxBucket = 400)
+      val emb = Tables(s, dir, "embeddings")
+      val bits = Dedup.autoBits(emb.count(), targetBucket = 32, minBits = 4)
+      Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+        minSim = 0.3, tables = 8, bits = bits, d = 64, maxBucket = 400)
     }),
 
     // ── LLM-pipeline: per-document text statistics ──────────────────

@@ -104,7 +104,10 @@ object Dedup {
 
   /** MinHash signature from a base-hash array: element i = min over
     * shingles of (a_i·x + b_i) mod p — an array<long> of length h.
-    * Null when the base-hash set is empty. */
+    * Null when the base-hash set is empty. This HOF form is the
+    * oracle-shaped declarative twin of the native MinHashSig kernel
+    * (what sigTable actually runs) — bit-identical, pinned in
+    * DedupSpec. */
   def minhashSignature(hashesCol: Column, h: Int): Column =
     when(size(hashesCol) > 0,
       transform(sequence(lit(1), lit(h)), i => {
@@ -116,10 +119,11 @@ object Dedup {
 
   /** Full text→signature composition as one Column: shingle, base-
     * hash, minhash — the SQL-surface form (registered as
-    * minhash_signature by GraftExtensions). Null when the doc has no
-    * n-shingles, mirroring sigTable's filter. */
+    * minhash_signature by GraftExtensions), running the native
+    * MinHashSig kernel. Null when the doc has no n-shingles,
+    * mirroring sigTable's filter. */
   def minhashSignatureOf(text: Column, n: Int, h: Int, parity: Boolean): Column =
-    minhashSignature(shingleHashes(shingles(text, n), parity), h)
+    graft.functions.MinHashSig.minhashSig(shingles(text, n), h, parity)
 
   /** LSH banding: B bands of R = H/B signature rows each; the bucket
     * key is the band's minima joined with ','. Docs agreeing on ALL
@@ -131,13 +135,16 @@ object Dedup {
           x => x.cast("string"))).as("bucket")))
 
   /** (id, shingles, signature) table — the shared upstream of both the
-    * bucket explode and the verification join. */
+    * bucket explode and the verification join. Signatures come from
+    * the native MinHashSig kernel (one S·h integer loop per doc);
+    * shingleHashes→minhashSignature above is its bit-identical
+    * HOF/oracle twin (pinned in DedupSpec). */
   private def sigTable(df: DataFrame, idCol: String, textCol: String,
                        n: Int, h: Int, parity: Boolean): DataFrame =
     df.select(col(idCol), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col(idCol), col("sh"), shingleHashes(col("sh"), parity).as("hs"))
-      .select(col(idCol), col("sh"), minhashSignature(col("hs"), h).as("sig"))
+      .select(col(idCol), col("sh"),
+        graft.functions.MinHashSig.minhashSig(col("sh"), h, parity).as("sig"))
 
   /** (id, band, bucket) table: B rows per document. */
   def minhashBuckets(df: DataFrame, idCol: String, textCol: String,

@@ -251,12 +251,23 @@ object TextAnalysis {
         array_min(slice(hs, j, lit(w)))))
 
   /** The raw per-window minima behind winnow (un-deduplicated), as
-    * (id, __mins array<long>) — the form winnowNearDup fans out. The
+    * (id, __mins array<long>) — the form winnowNearDup fans out.
+    * Runs the native WinnowMins kernel (code points decoded once, all
+    * arithmetic in primitive longs); winnowMinsHof below is its
+    * bit-identical declarative twin. */
+  def winnowMins(df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    df.select(col(idCol),
+      graft.functions.WinnowMins.winnowMins(col(textCol), k, w).as("__mins"))
+  }
+
+  /** The composed-HOF twin of the WinnowMins kernel — the form the
+    * DuckDB oracle mirrors term by term, and the parity pin for the
+    * kernel (PureKernelProps property test + TextAnalysisSpec). The
     * three-projection shape (chars, hashes, minima as separate
     * selects) forces the char split and the k-gram hash array to be
-    * computed once each — prefer it over winnowFingerprints when
-    * composing DataFrame plans. */
-  def winnowMins(df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
+    * computed once each. */
+  def winnowMinsHof(df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
     require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
     val chars = df.select(col(idCol), split(col(textCol), "").as("__cs"),
       (length(col(textCol)) - (k - 1)).as("__m"))
@@ -268,16 +279,11 @@ object TextAnalysis {
 
   /** Winnow fingerprint set as one composable Column: sorted distinct
     * per-window minima of the k-gram rolling hashes — the SQL-surface
-    * form (registered as winnow_fingerprints by GraftExtensions).
-    * Same arithmetic as winnowMins (shared kernels); as a single
-    * expression tree it relies on codegen subexpression elimination
-    * rather than the forced projection sharing of the DataFrame form.
-    */
+    * form (registered as winnow_fingerprints by GraftExtensions),
+    * backed by the native WinnowMins kernel. */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
     require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
-    val cs = split(text, "")
-    val m = length(text) - (k - 1)
-    array_sort(array_distinct(windowMinima(kgramHashes(cs, m, k), m, w)))
+    array_sort(array_distinct(graft.functions.WinnowMins.winnowMins(text, k, w)))
   }
 
   /** 31-bit polynomial rolling hash of the raw text (base 31, modulus

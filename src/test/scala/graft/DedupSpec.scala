@@ -264,6 +264,27 @@ class DedupSpec extends AnyFunSuite {
     assert(big < 4 * small, s"quadratic candidate growth: $small -> $big")
   }
 
+  test("native MinHashSig kernel is bit-identical to the HOF twin in both hash modes") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "a b c"),                         // exactly one 3-shingle
+      (4L, "naïve café 東京 tokens mixed in here"),
+      (5L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    for (parity <- Seq(true, false)) {
+      val hof = sh.select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingleHashes(col("sh"), parity), 16).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val native = sh.select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("sh"), 16, parity).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native === hof, s"parity=$parity")
+    }
+  }
+
   test("simhash: identical tokens give identical fingerprints; near-dups are close") {
     val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, unrelated)).toDF("doc_id", "text")
       .select(col("doc_id"), Dedup.simhash(Dedup.tokens(col("text"))).as("fp"))

@@ -113,6 +113,33 @@ object PureKernelProps extends Properties("pure-kernels") {
         a.intersect(b).nonEmpty
     }
 
+  // ── native WinnowMins kernel vs pure reference ───────────────────
+
+  private def localWinnowList(text: String, k: Int, w: Int): Seq[Long] = {
+    val P = 2147483647L
+    val cps = text.codePoints().toArray
+    val m = cps.length - (k - 1)
+    if (m < 1) Seq.empty
+    else {
+      val hs = (0 until m).map(i =>
+        (i until i + k).foldLeft(0L)((a, j) => (a * 31 + cps(j)) % P))
+      if (m <= w) Seq(hs.min) else (0 to m - w).map(j => hs.slice(j, j + w).min)
+    }
+  }
+
+  private val mixedChar: Gen[Char] = Gen.frequency(
+    8 -> Gen.alphaNumChar, 1 -> Gen.oneOf(' ', '\t', ','),
+    1 -> Gen.oneOf('é', 'ß', '東', '京', 'λ'))
+  private val mixedStr: Gen[String] =
+    Gen.choose(0, 80).flatMap(n => Gen.listOfN(n, mixedChar).map(_.mkString))
+
+  property("WinnowMins kernel: ordered minima equal the pure code-point reference") =
+    Prop.forAll(mixedStr, Gen.choose(1, 6), Gen.choose(1, 6)) { (s, k, w) =>
+      val got = graft.functions.WinnowMins.compute(UTF8String.fromString(s), k, w)
+        .toLongArray().toSeq
+      got == localWinnowList(s, k, w)
+    }
+
   // ── VectorMeanAgg algebra ────────────────────────────────────────
 
   private val vecGroup: Gen[(List[Array[Double]], Int)] = for {

@@ -79,6 +79,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("native WinnowMins is bit-identical to the HOF twin on a mixed corpus") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), (3L, "ab"), (4L, "abcde"),   // m<1, m=1 edges for k=5
+      (5L, "naïve café 東京 λx mixed unicode"),
+      (6L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaa")).toDF("doc_id", "text")
+    for ((k, w) <- Seq((5, 4), (3, 7), (1, 1))) {
+      val native = TextAnalysis.winnowMins(df, "doc_id", "text", k, w)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val hof = TextAnalysis.winnowMinsHof(df, "doc_id", "text", k, w)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native === hof, s"k=$k w=$w")
+    }
+  }
+
   test("termFrequencies yields tf per doc and df per term") {
     val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
     val tf = TextAnalysis.termFrequencies(df, "doc_id", "text")
