@@ -70,8 +70,15 @@ object Dedup {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct word n-gram shingle set (order-preserving construction,
-    * deduplicated). Empty array when the doc has < n tokens. */
-  def shingles(text: Column, n: Int): Column = {
+    * deduplicated). Empty array when the doc has < n tokens. Runs the
+    * native Shingles kernel; shinglesHof below is its bit-identical
+    * declarative twin (pinned in DedupSpec). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.Shingles.shingles(text, n)
+
+  /** The composed-HOF twin of the Shingles kernel — the form the
+    * DuckDB oracle mirrors (list comprehension over token slices). */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     array_distinct(
       when(size(toks) >= n,

@@ -264,6 +264,24 @@ class DedupSpec extends AnyFunSuite {
     assert(big < 4 * small, s"quadratic candidate growth: $small -> $big")
   }
 
+  test("native Shingles kernel is bit-identical to the HOF twin incl. space edge cases") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b a b a b a b"),                  // duplicate shingles
+      (3L, "one  two   three four"),            // runs of spaces -> empty tokens
+      (4L, "trailing space "), (5L, " leading"),
+      (6L, ""), (7L, "just two"),               // below n
+      (8L, "naïve café 東京 unicode tokens here")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val native = docs.select(col("doc_id"), Dedup.shingles(col("text"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val hof = docs.select(col("doc_id"), Dedup.shinglesHof(col("text"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native === hof, s"n=$n")
+    }
+  }
+
   test("native MinHashSig kernel is bit-identical to the HOF twin in both hash modes") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

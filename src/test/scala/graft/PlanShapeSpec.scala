@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+import graft.operators.Dedup
+
+/** Plan-shape pins for the scale claims that .explain would show a
+  * human: the capstone pipeline must read the corpus parquet exactly
+  * once, through the single pinned intermediate — not once per
+  * consumer. (BucketedSpec and SimilaritySpec pin their exchange-free
+  * and partition-pruning shapes the same way.) */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("q_pipeline: every consumer reads the pinned intermediate; documents scanned once") {
+    val df = SparkEntry.queries("q_pipeline")(spark, "/root/testdata/sf0.001")
+    try {
+      val opt = df.queryExecution.optimizedPlan
+      // no consumer may reach the raw parquet around the cache
+      val rawScans = opt.collect {
+        case r: LogicalRelation if r.relation.toString.contains("documents") => r
+      }
+      assert(rawScans.isEmpty,
+        s"documents parquet read outside the pinned intermediate: $rawScans")
+      val imrs = opt.collect { case m: InMemoryRelation => m }
+      assert(imrs.nonEmpty, "expected the pinned exact-dedup intermediate in the plan")
+      // the plan stacks three caches by design (pinned exact-dedup +
+      // nearDuplicates' signature and bucket tables, each reading the
+      // previous); across ALL distinct cache builders the corpus
+      // parquet must appear exactly once — every other access goes
+      // through a cache
+      val builders = imrs.map(_.cacheBuilder)
+        .groupBy(System.identityHashCode(_)).values.map(_.head)
+      // cachedPlan roots are AdaptiveSparkPlanExec whose inner plan is
+      // a field, not a child — unwrap before collecting scans
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+          : org.apache.spark.sql.execution.SparkPlan = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case other => other
+      }
+      val innerScans = builders.toSeq.flatMap(b => unwrap(b.cachedPlan).collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.mkString(",").contains("documents") => s
+      })
+      assert(innerScans.size == 1,
+        s"documents should be scanned exactly once across all caches, found ${innerScans.size}")
+    } finally Dedup.releaseCaches()
+  }
+}
