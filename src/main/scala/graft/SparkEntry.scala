@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterMetrics, Dedup, Events, KMeans, Multimodal, PCA, Sampling, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{ClusterMetrics, Curation, Dedup, Events, KMeans, Multimodal, PCA, Sampling, Similarity, TemporalJoins, TextAnalysis}
 import graft.functions.VectorOps
 import graft.sources.GeneIO
 
@@ -471,6 +471,36 @@ object SparkEntry {
       Sampling.stratifiedSample(Tables(s, dir, "documents"), "doc_id", "lang",
         rates = Map("en" -> 0.5, "de" -> 1.0), defaultRate = 0.25)
         .select(col("doc_id"), col("lang"))
+    }),
+
+    // ── curation: ≤N documents per source (domain cap) ──────────────
+    "q_source_cap" -> ((s, dir) => {
+      Curation.capPerKey(Tables(s, dir, "documents"), "source", "doc_id", 20)
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // ── curation: token-budget sequence packing per source ──────────
+    // shard = exclusive-prefix-sum(tokens) div budget, in doc_id
+    // order per source — ONE partitioned running-sum window (never a
+    // global single-partition window), exact integer arithmetic.
+    "q_pack" -> ((s, dir) => {
+      Curation.packByTokenBudget(Tables(s, dir, "documents"),
+        "source", "doc_id", "text", budget = 512L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"))
+    }),
+
+    // ── curation: benchmark decontamination (winnow fp overlap) ─────
+    // Corpus docs sharing ≥10 winnow fingerprints with any of the 5
+    // lowest-id "benchmark" docs; probe side broadcast, corpus never
+    // shuffled. Identity matches excluded (probes live in the corpus
+    // here).
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val probes = docs.orderBy(col("doc_id")).limit(5)
+        .select(col("doc_id"), col("text"))
+      Curation.winnowContamination(docs, "doc_id", "text",
+        probes, "doc_id", "text", k = 5, w = 4, minShared = 10)
+        .filter(col("doc_id") =!= col("probe_id"))
     }),
 
     // ── dedup: the DROP operator (keep lowest id per content) ───────
@@ -1379,6 +1409,38 @@ object SparkEntry {
         |         CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 ELSE 0.25 END AS rate
         |  FROM documents)
         |WHERE h < rate""".stripMargin,
+
+    "q_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20""".stripMargin,
+
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tokens, CAST(cum // 512 AS BIGINT) AS shard
+        |FROM c""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH $sqlWinnowMins,
+         |fp0 AS (SELECT doc_id, unnest(list_distinct(mins)) AS f FROM mins),
+         |pid AS (SELECT doc_id AS probe_id FROM documents ORDER BY doc_id LIMIT 5),
+         |pf AS (SELECT probe_id, f FROM fp0 JOIN pid ON fp0.doc_id = pid.probe_id)
+         |SELECT c.doc_id, p.probe_id, count(*) AS n_shared
+         |FROM fp0 c JOIN pf p ON c.f = p.f
+         |WHERE c.doc_id != p.probe_id
+         |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin,
 
     "q_dedup_kept" ->
       """SELECT doc_id FROM (

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond dedup: per-source caps, token-
+  * budget packing, and benchmark decontamination. Not present in the
+  * reference (its only relation is the gene table, SURVEY §1) — this
+  * is the 100 TB extension surface. Everything here is one window or
+  * one join over keys the data is already grouped by, so each
+  * operator costs a single hash-shuffle on its key column.
+  */
+object Curation {
+
+  /** Keep at most n rows per key, lowest idCol first (the
+    * deterministic "≤N documents per domain" rule of web-corpus
+    * curation). One window over the key — a single O(rows) shuffle
+    * partitioned by keyCol; no key's group is ever collected to one
+    * node beyond the window sort, and the per-key sort is bounded by
+    * the key's own group size (cap skew is the caller's concern:
+    * a pathological mega-key sorts its own partition slice only). */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Sequence packing: assign each document a shard id such that the
+    * running token total within (keyCol, shard) stays ≤ budget —
+    * shard = floor(exclusive-prefix-sum(tokens) / budget) in idCol
+    * order per key. The standard LLM pre-training packing step
+    * (concatenate docs into fixed-token training sequences),
+    * expressed as ONE partitioned running-sum window: integer
+    * arithmetic end to end, deterministic, and partitioned by keyCol
+    * so no global single-partition window exists at any scale. Docs
+    * longer than the budget get a shard of their own (the prefix-sum
+    * rule never splits a document). Output: input columns +
+    * (n_tokens, shard). */
+  def packByTokenBudget(df: DataFrame, keyCol: String, idCol: String,
+                        textCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // integer `div`, not `/`: Spark's / is double division, and a
+      // prefix sum over a 100 TB key can exceed 2^53 where doubles
+      // drop integer exactness
+      .withColumn("shard", expr(s"__cum div ${budget}L").cast("long"))
+      .drop("__cum")
+  }
+
+  /** Benchmark decontamination: corpus documents sharing ≥ minShared
+    * winnow fingerprints with ANY probe document (the eval-set
+    * leak check run before training). Same detection guarantee as
+    * winnowNearDup — a shared substring of length ≥ w+k-1 produces a
+    * common fingerprint — but joined corpus×probes instead of
+    * self-joined, and the probe side (an eval benchmark: thousands
+    * of rows, not billions) is BROADCAST, so the corpus is never
+    * shuffled at all: fingerprint explode + broadcast-hash join +
+    * partial-agg count. Output: (idCol, probe_id, n_shared ≥
+    * minShared). */
+  def winnowContamination(corpus: DataFrame, corpusId: String, corpusText: String,
+                          probes: DataFrame, probeId: String, probeText: String,
+                          k: Int = 5, w: Int = 4, minShared: Int = 10): DataFrame = {
+    def fps(df: DataFrame, id: String, text: String, outId: String) =
+      TextAnalysis.winnowMins(df, id, text, k, w)
+        .select(col(id).as(outId), explode(array_distinct(col("__mins"))).as("f"))
+    fps(corpus, corpusId, corpusText, corpusId)
+      .join(broadcast(fps(probes, probeId, probeText, "probe_id")), Seq("f"))
+      .groupBy(col(corpusId), col("probe_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

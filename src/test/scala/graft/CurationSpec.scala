@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("capPerKey keeps the n lowest ids per key") {
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c")
+    ).toDF("id", "k")
+    val kept = Curation.capPerKey(df, "k", "id", 2)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(kept === Set(("a", 1L), ("a", 2L), ("b", 4L), ("b", 5L), ("c", 6L)))
+  }
+
+  test("packByTokenBudget: shards respect the budget and never split a document") {
+    val df = Seq(
+      (1L, "k", "a b c"),            // 3 tokens, cum-before 0  -> shard 0
+      (2L, "k", "a b c d"),          // 4 tokens, cum-before 3  -> shard 0
+      (3L, "k", "a b c d e"),        // 5 tokens, cum-before 7  -> shard 0
+      (4L, "k", "a b"),              // 2 tokens, cum-before 12 -> shard 1
+      (5L, "k", (1 to 25).map(_ => "x").mkString(" ")), // 25 > budget, own shard
+      (6L, "k", "a"),                // cum-before 39 -> shard 3
+      (7L, "other", "a b c")         // independent key -> shard 0
+    ).toDF("id", "k", "text")
+    val got = Curation.packByTokenBudget(df, "k", "id", "text", budget = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) === ((3L, 0L)) && got(2L) === ((4L, 0L)) && got(3L) === ((5L, 0L)))
+    assert(got(4L) === ((2L, 1L)))
+    assert(got(5L) === ((25L, 1L)))  // starts in shard 1 (cum-before 14), unsplit
+    assert(got(6L) === ((1L, 3L)))   // cum-before 39 div 10
+    assert(got(7L) === ((3L, 0L)))
+    // within every (key, shard), docs that STARTED the shard obey the
+    // budget prefix rule: exclusive prefix sum div budget is constant
+    val all = Curation.packByTokenBudget(df, "k", "id", "text", budget = 10L)
+      .filter($"k" === "k").orderBy($"id").collect()
+    val cums = all.scanLeft(0L)((acc, r) => acc + r.getLong(3)).init
+    all.zip(cums).foreach { case (r, cumBefore) =>
+      assert(r.getLong(4) === cumBefore / 10L)
+    }
+  }
+
+  test("winnowContamination flags the planted shared passage, broadcast side in plan") {
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (10L, s"unrelated words entirely different content here $passage"),
+      (11L, "completely separate text with no overlap whatsoever in it"),
+      (12L, s"$passage padded with some extra trailing context words")
+    ).toDF("doc_id", "text")
+    val probes = Seq((1L, s"benchmark item containing $passage verbatim"))
+      .toDF("pid", "ptext")
+    val hits = Curation.winnowContamination(corpus, "doc_id", "text",
+      probes, "pid", "ptext", k = 5, w = 4, minShared = 10)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"probe side must broadcast, got:\n$plan")
+    val got = hits.collect().map(r => r.getLong(0)).toSet
+    assert(got === Set(10L, 12L), s"got $got")
+  }
+}
