@@ -50,4 +50,17 @@ class PlanShapeSpec extends AnyFunSuite {
         s"documents should be scanned exactly once across all caches, found ${innerScans.size}")
     } finally Dedup.releaseCaches()
   }
+
+  test("curation windows are partitioned — no single-partition global sort") {
+    for (q <- Seq("q_pack", "q_source_cap", "q_sessions", "q_top_events")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.nonEmpty, s"$q should plan a Window")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q plans an unpartitioned Window — all rows on one partition at scale"))
+      Dedup.releaseCaches()
+    }
+  }
 }
