@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftglue.ColumnGlue
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for the two hot dense-vector folds —
+  * squared Euclidean distance and dot product — bit-identical to the
+  * zip_with/aggregate HOF forms in VectorOps (kept there as twins,
+  * pinned in VectorOpsSpec) but one primitive double loop per row.
+  *
+  * Why Expressions: the HOF form materializes the zipped product
+  * array, then folds it with per-element lambda dispatch — an array
+  * allocation plus ~2 boxed evaluations per dimension per row. In an
+  * N×M scoring join (ANN verify, K-Means assignment with k centroid
+  * literals) that allocation sits in the innermost loop of the whole
+  * engine. The kernels run the SAME arithmetic in the SAME order —
+  * per-element product/difference rounded first, then one sequential
+  * left-to-right add chain starting at 0.0, no FMA (Java semantics
+  * forbid fusing) — so results are bit-equal to the HOFs and to the
+  * oracle's list_reduce folds.
+  *
+  * Null contract (matches the HOF chain exactly): any null element,
+  * or a length mismatch (zip_with pads with null), nulls the result;
+  * two empty arrays give 0.0 (the fold init).
+  */
+abstract class VectorFold extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double>, got $l and $r")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected def kernelCall(a: String, b: String): String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vf")
+      s"""
+         |java.lang.Double $r = ${kernelCall(a, b)};
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+}
+
+case class SqDistExpr(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "vec_sqdist"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def kernelCall(a: String, b: String): String =
+    s"graft.functions.VectorKernels.sqDist($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistExpr =
+    copy(left = l, right = r)
+}
+
+case class DotExpr(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "vec_dot"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def kernelCall(a: String, b: String): String =
+    s"graft.functions.VectorKernels.dot($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr =
+    copy(left = l, right = r)
+}
+
+object VectorKernels {
+
+  def sqDistCol(a: Column, b: Column): Column =
+    ColumnGlue.column(SqDistExpr(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+
+  def dotCol(a: Column, b: Column): Column =
+    ColumnGlue.column(DotExpr(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+
+  def sqDist(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc = acc + d * d
+      i += 1
+    }
+    acc
+  }
+
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc = acc + a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}

@@ -17,15 +17,24 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   /** Element-wise (a-b)^2 summed — squared Euclidean distance.
-    * Multiplication (not pow) for bit-stable cross-engine parity. */
-  def sqDist(a: Column, b: Column): Column =
+    * Multiplication (not pow) for bit-stable cross-engine parity.
+    * Runs the native SqDistExpr kernel; sqDistHof is the HOF twin it
+    * is bit-identical to (pinned in VectorOpsSpec). */
+  def sqDist(a: Column, b: Column): Column = VectorKernels.sqDistCol(a, b)
+
+  /** The declarative HOF twin of sqDist — the form the oracle SQL
+    * mirrors term by term. */
+  def sqDistHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
   /** Euclidean distance, `KMeans.java:116-122`. */
   def euclidean(a: Column, b: Column): Column = sqrt(sqDist(a, b))
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — native DotExpr kernel; dotHof is the pinned twin. */
+  def dot(a: Column, b: Column): Column = VectorKernels.dotCol(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
