@@ -48,7 +48,10 @@ object GraftExtensions {
 
   private def litInt(fn: String, pos: Int, e: Expression): Int = e match {
     case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Long, _) =>
+      if (v.isValidInt) v.toInt
+      else throw new IllegalArgumentException(
+        s"$fn: argument $pos out of Int range: $v")
     case Literal(v: Short, _) => v.toInt
     case Literal(v: Byte, _) => v.toInt
     case _ => throw new IllegalArgumentException(

@@ -300,10 +300,11 @@ object SparkEntry {
     // with exact cosine ≥ 0.3. Two scale guards, both active:
     //  - bits = autoBits(n): bucket space grows with the corpus so
     //    expected bucket size (and candidates per vector) stays
-    //    constant — at the sf0.01 gate autoBits(400) = 4, exactly the
-    //    4-plane CTE the oracle builds, so the gate stays hash-exact;
-    //    at larger SFs the plan deepens (6 bits at sf0.1, 10 at sf1)
-    //    instead of going quadratic. Costs one count() at plan time.
+    //    constant — 4 bits at the sf0.01 gate, 6 at sf0.1, 10 at sf1
+    //    instead of going quadratic. The oracle (sqlAnnIndexAuto)
+    //    replays the SAME integer bits derivation from count(*), so
+    //    the gate stays hash-exact at any verify scale. Costs one
+    //    count() at plan time.
     //  - maxBucket = 400: the hot-cluster blacklist (identical
     //    vectors share EVERY table-bucket regardless of bits),
     //    mirrored in the oracle's anti-join CTE; with autoBits
@@ -757,6 +758,38 @@ object SparkEntry {
       |  FROM bits GROUP BY vec_id, l
       |)""".stripMargin
 
+  /** Corpus-adaptive twin of sqlAnnIndex for q_embed_neardup: plane
+    * count = Dedup.autoBits(count) replayed with the SAME integer
+    * arithmetic ((n+31)//32 ceil-div, then ceil-log2 as the binary
+    * digit count of q-1 — never a floating log2, whose rounding at
+    * exact powers of two could differ across engines). This keeps the
+    * oracle hash-exact at ANY verify scale, not just where
+    * autoBits(n) happens to equal 4. */
+  private val sqlAnnIndexAuto =
+    """ab AS (
+      |  SELECT GREATEST(4, CASE WHEN q <= 1 THEN 0 ELSE length(printf('%b', q - 1)) END) AS bits
+      |  FROM (SELECT (count(*) + 31) // 32 AS q FROM embeddings)
+      |),
+      |planes AS (
+      |  SELECT l, i,
+      |         [CAST(concat('0x', substr(md5(l || ':' || i || ':' || j), 1, 8)) AS BIGINT)
+      |            / 4294967296.0 * 2 - 1
+      |          for j in range(1, 65)] AS hv
+      |  FROM generate_series(1, 8) t1(l)
+      |  CROSS JOIN (SELECT unnest(range(1, (SELECT bits FROM ab) + 1)) AS i) t2
+      |),
+      |pbits AS (
+      |  SELECT e.vec_id, p.l, p.i,
+      |         CASE WHEN list_sum(list_transform(list_zip(e.embedding::DOUBLE[], p.hv),
+      |                                           q -> q[1]*q[2])) >= 0
+      |              THEN '1' ELSE '0' END AS bit
+      |  FROM embeddings e CROSS JOIN planes p
+      |),
+      |bk AS (
+      |  SELECT vec_id, CAST(l AS INTEGER) AS tbl, string_agg(bit, '' ORDER BY i) AS bucket
+      |  FROM pbits GROUP BY vec_id, l
+      |)""".stripMargin
+
   /** Probe set shared by the similarity-search oracles: the 5
     * lowest-vec_id embedding rows. */
   private val sqlProbes =
@@ -1170,7 +1203,7 @@ object SparkEntry {
          |SELECT id1, id2, hamming FROM hm WHERE hamming <= 3""".stripMargin,
 
     "q_embed_neardup" ->
-      s"""WITH $sqlAnnIndex,
+      s"""WITH $sqlAnnIndexAuto,
          |bkh AS (SELECT tbl, bucket FROM bk GROUP BY 1, 2 HAVING count(*) > 400),
          |bkc AS (SELECT bk.* FROM bk ANTI JOIN bkh USING (tbl, bucket)),
          |cand AS (

@@ -38,6 +38,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   */
 case class MinHashSig(child: Expression, h: Int, parity: Boolean)
     extends UnaryExpression {
+  require(h > 0, s"h must be positive, got $h")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig requires array<string>, got $t")

@@ -27,17 +27,24 @@ object Curation {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
-  /** Sequence packing: assign each document a shard id such that the
-    * running token total within (keyCol, shard) stays ≤ budget —
-    * shard = floor(exclusive-prefix-sum(tokens) / budget) in idCol
-    * order per key. The standard LLM pre-training packing step
-    * (concatenate docs into fixed-token training sequences),
-    * expressed as ONE partitioned running-sum window: integer
-    * arithmetic end to end, deterministic, and partitioned by keyCol
-    * so no global single-partition window exists at any scale. Docs
-    * longer than the budget get a shard of their own (the prefix-sum
-    * rule never splits a document). Output: input columns +
-    * (n_tokens, shard). */
+  /** Sequence packing: concatenate each key's documents in idCol
+    * order and cut the token stream at budget marks — a document's
+    * shard is where it STARTS: shard = exclusive-prefix-sum(tokens)
+    * div budget. The standard spillover packing of LLM pre-training
+    * (fill a sequence, let the last document run over, continue in
+    * the next), expressed as ONE partitioned running-sum window:
+    * integer arithmetic end to end, deterministic, and partitioned
+    * by keyCol so no global single-partition window exists at any
+    * scale.
+    *
+    * Contract, precisely: documents are never split; a shard's total
+    * may EXCEED the budget by up to its last document's length minus
+    * one (start-position rule) — consumers that truncate each shard
+    * at `budget` tokens lose only that spillover tail, which is how
+    * packed training sequences are consumed. This is NOT bin
+    * packing: a hard ≤ budget guarantee with no splitting is a
+    * sequential greedy fold, which no shuffle-parallel operator can
+    * express. Output: input columns + (n_tokens, shard). */
   def packByTokenBudget(df: DataFrame, keyCol: String, idCol: String,
                         textCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")

@@ -402,18 +402,26 @@ object Dedup {
   }
 
   /** Bit width that keeps expected LSH bucket occupancy near
-    * `targetBucket` for an n-vector corpus: bits ≈ log2(n /
-    * targetBucket), floored at `minBits`. The structural scale knob
-    * for embeddingNearDup — with FIXED bits the 2^bits bucket space
-    * is constant, so expected bucket size grows with n and the
-    * candidate self-join is Θ(tables·n²/2^bits), quadratic in corpus
-    * size; deriving bits from n keeps buckets (and therefore
-    * candidates per vector) constant as the corpus grows. Costs one
-    * count() job at plan time — negligible against the join it
-    * protects. */
-  def autoBits(n: Long, targetBucket: Int = 32, minBits: Int = 4): Int =
-    math.max(minBits,
-      math.ceil(math.log(math.max(1L, n).toDouble / targetBucket) / math.log(2.0)).toInt)
+    * `targetBucket` for an n-vector corpus: the smallest b ≥ minBits
+    * with 2^b · targetBucket ≥ n. The structural scale knob for
+    * embeddingNearDup — with FIXED bits the 2^bits bucket space is
+    * constant, so expected bucket size grows with n and the candidate
+    * self-join is Θ(tables·n²/2^bits), quadratic in corpus size;
+    * deriving bits from n keeps buckets (and therefore candidates per
+    * vector) constant as the corpus grows. Costs one count() job at
+    * plan time — negligible against the join it protects.
+    *
+    * INTEGER arithmetic throughout (ceil-div + ceil-log2 via leading
+    * zeros), never floating log2: at exact powers of two a libm log
+    * can land on either side of the integer and ceil() would then
+    * disagree across engines — the q_embed_neardup oracle replays
+    * this formula in SQL ((n+31)//32 and a binary-digit count), so
+    * both sides must round identically everywhere. */
+  def autoBits(n: Long, targetBucket: Int = 32, minBits: Int = 4): Int = {
+    val q = (math.max(1L, n) + targetBucket - 1) / targetBucket
+    val ceilLog2 = if (q <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+    math.max(minBits, ceilLog2.toInt)
+  }
 
   /** Embedding-cosine near-duplicate pairs: candidates from the
     * random-hyperplane LSH bucket self-join (docs sharing ANY

@@ -60,22 +60,29 @@ object TextAnalysis {
       stopRatio.as("stop_coverage"),
       stopTokRatio.as("stop_token_ratio"),
       ttr.as("type_token_ratio"),
-      qualityCol(toks, stopwords).as("quality"))
+      qualityFromRatios(toks, stopTokRatio, ttr).as("quality"))
   }
 
-  /** The quality score as a composable Column over a token array —
-    * shared by qualityScore and the fused curationScores (identical
-    * arithmetic, so both produce bit-equal scores). */
-  private def qualityCol(toks: Column, stopwords: Seq[String]): Column = {
-    val nTok = size(toks).cast("double")
-    val ttr = size(array_distinct(toks)).cast("double") / nTok
+  /** The quality formula over already-built ratio columns — each
+    * ratio tree is expressed ONCE per caller (qualityScore reuses its
+    * exported columns; qualityCol builds them for curationScores). */
+  private def qualityFromRatios(toks: Column, stopTokRatio: Column, ttr: Column): Column = {
     val lenOk = when(size(toks).between(5, 1000), 1.0).otherwise(0.0)
-    val stopCnt = size(filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
-    val stopTokRatio = stopCnt.cast("double") / nTok
     lenOk * 0.25 +
       when(stopTokRatio > 0.05, 0.25).otherwise(0.0) +
       when(ttr > 0.2, 0.25).otherwise(0.0) +
       when(ttr < 0.95, 0.25).otherwise(0.0)
+  }
+
+  /** The quality score as a composable Column over a token array —
+    * used by the fused curationScores (identical arithmetic to
+    * qualityScore, so both produce bit-equal scores). */
+  private def qualityCol(toks: Column, stopwords: Seq[String]): Column = {
+    val nTok = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val stopCnt = size(filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+    val stopTokRatio = stopCnt.cast("double") / nTok
+    qualityFromRatios(toks, stopTokRatio, ttr)
   }
 
   /** Words treated as stopwords by the quality/language heuristics —

@@ -64,8 +64,21 @@ object ScaleUp {
     def replicated(t: String)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until replicas).map(r => f(read(t), r)).reduce(_.unionAll(_))
 
-    def shift(df: DataFrame, r: Int, keys: String*): DataFrame =
+    /** Replica r shifts every key by r·10⁷ — which silently COLLIDES
+      * across replicas if a source key already reaches 10⁷ (e.g.
+      * running ScaleUp on its own output). Fail fast instead. */
+    def checkKeys(df: DataFrame, t: String, keys: Seq[String]): Unit =
+      keys.foreach { k =>
+        val mx = df.agg(max(col(k))).collect()(0).getLong(0)
+        require(mx < KeyShift,
+          s"$t.$k max $mx >= shift $KeyShift — replicas would collide; " +
+            "raise KeyShift or scale from the original source")
+      }
+
+    def shift(df: DataFrame, r: Int, keys: String*): DataFrame = {
+      if (r == 0) checkKeys(df, "input", keys)
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * KeyShift)))
+    }
 
     out(replicated("customer")(shift(_, _, "c_custkey")), "customer")
     out(replicated("supplier")(shift(_, _, "s_suppkey")), "supplier")

@@ -24,7 +24,7 @@ class CurationSpec extends AnyFunSuite {
       (2L, "k", "a b c d"),          // 4 tokens, cum-before 3  -> shard 0
       (3L, "k", "a b c d e"),        // 5 tokens, cum-before 7  -> shard 0
       (4L, "k", "a b"),              // 2 tokens, cum-before 12 -> shard 1
-      (5L, "k", (1 to 25).map(_ => "x").mkString(" ")), // 25 > budget, own shard
+      (5L, "k", (1 to 25).map(_ => "x").mkString(" ")), // 25 > budget: starts in shard 1, spills over unsplit
       (6L, "k", "a"),                // cum-before 39 -> shard 3
       (7L, "other", "a b c")         // independent key -> shard 0
     ).toDF("id", "k", "text")
