@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch curation operators — the
+  * ingest-time shape of quota enforcement: admit documents as they
+  * arrive, per-key, until the key's quota is filled.
+  */
+object CurationStream {
+
+  /** Streaming per-key admission cap: admit the first n rows of each
+    * key IN ARRIVAL ORDER, drop the rest. The streaming form of
+    * Curation.capPerKey — where the batch operator replays
+    * deterministically by lowest id, a stream can only rank by
+    * arrival, so the admitted SET differs from the batch result
+    * unless arrival order is id order (the spec pins exactly that
+    * case).
+    *
+    * State per key is ONE long (the admitted count), kept forever
+    * (NoTimeout): a quota is a lifetime budget, so state size is
+    * O(distinct keys) — at 100 TB that is the domain/source
+    * cardinality (millions), a few MB of state, not corpus-sized.
+    * flatMapGroupsWithState in append mode — the escape hatch for
+    * per-group logic with output cardinality 0..group-size that
+    * windowed aggregation can't express. */
+  def capPerKey(docs: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val schema = docs.schema
+    val ki = schema.fieldIndex(keyCol)
+    implicit val keyEnc = Encoders.STRING
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val stateEnc = Encoders.scalaLong
+    docs.groupByKey((r: Row) => String.valueOf(r.get(ki)))(keyEnc)
+      .flatMapGroupsWithState[Long, Row](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[Row]
+          rows.foreach { r =>
+            if (admitted < n) { out += r; admitted += 1 }
+          }
+          state.update(admitted)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.Curation
+import graft.streaming.CurationStream
+
+/** Row for MemoryStream (top-level for encoder derivation). */
+case class KeyedDoc(doc_id: Long, src: String, text: String)
+
+/** Streaming per-key admission cap: quota state persists across
+  * micro-batches, and when arrival order equals id order the admitted
+  * set matches the batch capPerKey exactly. */
+class CurationStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("capPerKey admits first n per key across batches; equals batch on id-ordered arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[KeyedDoc]
+    val q = CurationStream.capPerKey(source.toDF(), "src", n = 2)
+      .writeStream.format("memory").queryName("cap_out")
+      .outputMode("append").start()
+    val all = Seq(
+      KeyedDoc(1, "a", "t1"), KeyedDoc(2, "a", "t2"),
+      KeyedDoc(3, "b", "t3"))
+    val late = Seq(
+      KeyedDoc(4, "a", "t4"), // over quota: a already admitted 2
+      KeyedDoc(5, "b", "t5"), // fills b's quota
+      KeyedDoc(6, "b", "t6")) // over quota
+    try {
+      source.addData(all); q.processAllAvailable()
+      source.addData(late); q.processAllAvailable()
+      val admitted = spark.table("cap_out").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(admitted == Seq(1L, 2L, 3L, 5L))
+      // id-ordered arrival ⇒ streaming set == batch capPerKey set
+      val batch = Curation.capPerKey((all ++ late).toDF(), "src", "doc_id", 2)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(admitted == batch)
+    } finally q.stop()
+  }
+}
