@@ -39,20 +39,24 @@ abstract class VectorFold extends BinaryExpression {
 
   protected def kernelCall(a: String, b: String): String
 
+  /** Codegen splits validity (length match + null elements — a bit
+    * scan, no allocation) from the primitive fold, so the hot path
+    * never boxes the result: a per-row Double.valueOf would be
+    * exactly the allocation these kernels exist to remove. */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val r = ctx.freshName("vf")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |java.lang.Double $r = ${kernelCall(a, b)};
-         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
-       """.stripMargin
-    })
+         |if (!graft.functions.VectorKernels.valid($a, $b)) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${kernelCall(a, b)}; }
+       """.stripMargin)
 }
 
 case class SqDistExpr(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "vec_sqdist"
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (!VectorKernels.valid(x, y)) null else VectorKernels.sqDist(x, y)
+  }
   override protected def kernelCall(a: String, b: String): String =
     s"graft.functions.VectorKernels.sqDist($a, $b)"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistExpr =
@@ -61,8 +65,10 @@ case class SqDistExpr(left: Expression, right: Expression) extends VectorFold {
 
 case class DotExpr(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "vec_dot"
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (!VectorKernels.valid(x, y)) null else VectorKernels.dot(x, y)
+  }
   override protected def kernelCall(a: String, b: String): String =
     s"graft.functions.VectorKernels.dot($a, $b)"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr =
@@ -77,13 +83,26 @@ object VectorKernels {
   def dotCol(a: Column, b: Column): Column =
     ColumnGlue.column(DotExpr(ColumnGlue.expression(a), ColumnGlue.expression(b)))
 
-  def sqDist(a: ArrayData, b: ArrayData): java.lang.Double = {
+  /** Lengths equal and no null element — the HOF chain's implicit
+    * null contract, checked WITHOUT computing (and without boxing a
+    * nullable result). */
+  def valid(a: ArrayData, b: ArrayData): Boolean = {
     val n = a.numElements()
-    if (b.numElements() != n) return null
+    if (b.numElements() != n) return false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Primitive folds — call only after valid(a, b). */
+  def sqDist(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getDouble(i) - b.getDouble(i)
       acc = acc + d * d
       i += 1
@@ -91,13 +110,11 @@ object VectorKernels {
     acc
   }
 
-  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
-    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc = acc + a.getDouble(i) * b.getDouble(i)
       i += 1
     }

@@ -31,7 +31,11 @@ object CurationStream {
     implicit val keyEnc = Encoders.STRING
     implicit val rowEnc = Encoders.row(schema)
     implicit val stateEnc = Encoders.scalaLong
-    docs.groupByKey((r: Row) => String.valueOf(r.get(ki)))(keyEnc)
+    // marker-prefixed key: a NULL key must be its OWN quota group
+    // (as in the batch operator's groupBy), not collapse into the
+    // string "null" and share that domain's budget
+    docs.groupByKey((r: Row) =>
+      if (r.isNullAt(ki)) "" else "v" + String.valueOf(r.get(ki)))(keyEnc)
       .flatMapGroupsWithState[Long, Row](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Row], state) =>
           var admitted = state.getOption.getOrElse(0L)

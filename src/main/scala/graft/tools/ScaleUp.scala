@@ -66,30 +66,36 @@ object ScaleUp {
 
     /** Replica r shifts every key by r·10⁷ — which silently COLLIDES
       * across replicas if a source key already reaches 10⁷ (e.g.
-      * running ScaleUp on its own output). Fail fast instead. */
-    def checkKeys(df: DataFrame, t: String, keys: Seq[String]): Unit =
-      keys.foreach { k =>
-        val mx = df.agg(max(col(k))).collect()(0).getLong(0)
-        require(mx < KeyShift,
-          s"$t.$k max $mx >= shift $KeyShift — replicas would collide; " +
-            "raise KeyShift or scale from the original source")
+      * running ScaleUp on its own output). Fail fast, naming the
+      * table: one multi-max aggregate per table (not one scan per
+      * key column), null-safe for empty sources. */
+    def checkKeys(df: DataFrame, t: String, keys: Seq[String]): Unit = {
+      val row = df.agg(max(col(keys.head)), keys.tail.map(k => max(col(k))): _*).collect()(0)
+      keys.zipWithIndex.foreach { case (k, i) =>
+        if (!row.isNullAt(i)) {
+          val mx = row.getLong(i)
+          require(mx < KeyShift,
+            s"$t.$k max $mx >= shift $KeyShift — replicas would collide; " +
+              "raise KeyShift or scale from the original source")
+        }
       }
+    }
 
-    def shift(df: DataFrame, r: Int, keys: String*): DataFrame = {
-      if (r == 0) checkKeys(df, "input", keys)
+    def shift(t: String)(df: DataFrame, r: Int, keys: String*): DataFrame = {
+      if (r == 0) checkKeys(df, t, keys)
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * KeyShift)))
     }
 
-    out(replicated("customer")(shift(_, _, "c_custkey")), "customer")
-    out(replicated("supplier")(shift(_, _, "s_suppkey")), "supplier")
-    out(replicated("part")(shift(_, _, "p_partkey")), "part")
-    out(replicated("orders")(shift(_, _, "o_orderkey", "o_custkey")), "orders")
-    out(replicated("lineitem")(shift(_, _, "l_orderkey", "l_partkey", "l_suppkey")),
+    out(replicated("customer")(shift("customer")(_, _, "c_custkey")), "customer")
+    out(replicated("supplier")(shift("supplier")(_, _, "s_suppkey")), "supplier")
+    out(replicated("part")(shift("part")(_, _, "p_partkey")), "part")
+    out(replicated("orders")(shift("orders")(_, _, "o_orderkey", "o_custkey")), "orders")
+    out(replicated("lineitem")(shift("lineitem")(_, _, "l_orderkey", "l_partkey", "l_suppkey")),
       "lineitem")
-    out(replicated("events")(shift(_, _, "event_id", "user_id")), "events")
+    out(replicated("events")(shift("events")(_, _, "event_id", "user_id")), "events")
 
     out(replicated("documents") { (df, r) =>
-      val d = shift(df, r, "doc_id")
+      val d = shift("documents")(df, r, "doc_id")
       if (r == 0) d
       else d.withColumn("text",
         array_join(transform(split(col("text"), " "),
@@ -98,7 +104,7 @@ object ScaleUp {
     }, "documents")
 
     out(replicated("embeddings") { (df, r) =>
-      val d = shift(df, r, "vec_id")
+      val d = shift("embeddings")(df, r, "vec_id")
       if (r == 0) d
       else {
         // deterministic ±1 sign pattern per (replica, position):

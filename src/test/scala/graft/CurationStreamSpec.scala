@@ -24,16 +24,18 @@ class CurationStreamSpec extends AnyFunSuite {
       .outputMode("append").start()
     val all = Seq(
       KeyedDoc(1, "a", "t1"), KeyedDoc(2, "a", "t2"),
-      KeyedDoc(3, "b", "t3"))
+      KeyedDoc(3, "b", "t3"),
+      KeyedDoc(7, null, "t7"), KeyedDoc(8, "null", "t8")) // NULL key ≠ "null" key
     val late = Seq(
       KeyedDoc(4, "a", "t4"), // over quota: a already admitted 2
       KeyedDoc(5, "b", "t5"), // fills b's quota
-      KeyedDoc(6, "b", "t6")) // over quota
+      KeyedDoc(6, "b", "t6"), // over quota
+      KeyedDoc(9, null, "t9"), KeyedDoc(10, "null", "t10")) // each fills its OWN quota
     try {
       source.addData(all); q.processAllAvailable()
       source.addData(late); q.processAllAvailable()
       val admitted = spark.table("cap_out").select("doc_id").as[Long].collect().sorted.toSeq
-      assert(admitted == Seq(1L, 2L, 3L, 5L))
+      assert(admitted == Seq(1L, 2L, 3L, 5L, 7L, 8L, 9L, 10L))
       // id-ordered arrival ⇒ streaming set == batch capPerKey set
       val batch = Curation.capPerKey((all ++ late).toDF(), "src", "doc_id", 2)
         .select("doc_id").as[Long].collect().sorted.toSeq
