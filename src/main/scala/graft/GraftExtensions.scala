@@ -17,6 +17,7 @@ import graft.operators.{Dedup, TextAnalysis}
   *   SELECT winnow_fingerprints(text, 5, 4)        FROM documents
   *   SELECT hamming_hex(fp1, fp2)                  FROM pairs
   *   SELECT rolling_fingerprint(text)              FROM documents
+  *   SELECT vec_dot(a, b), vec_sqdist(a, b)        FROM vectors
   * }}}
   * Column-composed functions resolve to the same Catalyst trees as
   * their Column-API twins (ColumnGlue.expression), so SQL and
@@ -102,7 +103,19 @@ object GraftExtensions {
     }),
 
     ("rolling_fingerprint", info("rolling_fingerprint"),
-      oneArg("rolling_fingerprint", e => exprOut(TextAnalysis.fingerprint(colIn(e))))))
+      oneArg("rolling_fingerprint", e => exprOut(TextAnalysis.fingerprint(colIn(e))))),
+
+    ("vec_dot", info("vec_dot"), {
+      case Seq(a, b) => graft.functions.DotExpr(a, b)
+      case args => throw new IllegalArgumentException(
+        s"vec_dot expects exactly 2 arguments, got ${args.length}")
+    }),
+
+    ("vec_sqdist", info("vec_sqdist"), {
+      case Seq(a, b) => graft.functions.SqDistExpr(a, b)
+      case args => throw new IllegalArgumentException(
+        s"vec_sqdist expects exactly 2 arguments, got ${args.length}")
+    }))
 
   /** Register every graft function on a live session. */
   def register(spark: SparkSession): Unit =

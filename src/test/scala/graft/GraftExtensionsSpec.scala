@@ -69,6 +69,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT hamming_hex('00ff', '0f0f'), hamming_hex('abcd', 'abcd')").collect()(0)
     assert(hd.getInt(0) === 8 && hd.getInt(1) === 0)
 
+    val vd = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)),
+        |       vec_sqdist(array(1.0d, 2.0d), array(3.0d, 4.0d)),
+        |       vec_dot(array(1.0d), array(1.0d, 2.0d))""".stripMargin).collect()(0)
+    assert(vd.getDouble(0) === 11.0 && vd.getDouble(1) === 8.0)
+    assert(vd.isNullAt(2)) // length mismatch nulls, like the HOF chain
+
     // tuning parameters must be literals, not columns
     intercept[Exception] {
       spark.sql("SELECT minhash_signature(text, CAST(id AS INT), 16, false) FROM ext_docs2")
