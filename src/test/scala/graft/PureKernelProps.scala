@@ -140,6 +140,44 @@ object PureKernelProps extends Properties("pure-kernels") {
       got == localWinnowList(s, k, w)
     }
 
+  // ── native Shingles / MinHashSig kernels vs pure references ──────
+
+  private val spacyStr: Gen[String] =
+    Gen.choose(0, 60).flatMap(n => Gen.listOfN(n,
+      Gen.frequency(5 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+        1 -> Gen.oneOf('é', '東'))).map(_.mkString))
+
+  private def refShingles(text: String, n: Int): Seq[String] = {
+    val toks = text.split(" ", -1) // Java regex, limit -1: trailing empties kept
+    if (toks.length < n) Seq.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  property("Shingles kernel matches the regex-split reference incl. space runs") =
+    Prop.forAll(spacyStr, Gen.choose(1, 4)) { (s, n) =>
+      val got = graft.functions.Shingles.compute(UTF8String.fromString(s), n)
+        .array.map(_.toString).toSeq
+      got == refShingles(s, n)
+    }
+
+  private def refMinhash(toks: Seq[String], h: Int): Seq[Long] = {
+    val P = 2147483647L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val xs = toks.map { t =>
+      val d = md.digest(t.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    (1 to h).map(i => xs.map(x => ((1299721L * i + 7L) * x + 104729L * i) % P).min)
+  }
+
+  property("MinHashSig kernel (parity mode) matches the pure md5 reference") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)),
+      Gen.choose(1, 24)) { (toks, h) =>
+      val got = graft.functions.MinHashSig.compute(arr(toks), h, parity = true)
+        .toLongArray().toSeq
+      got == refMinhash(toks, h)
+    }
+
   // ── VectorMeanAgg algebra ────────────────────────────────────────
 
   private val vecGroup: Gen[(List[Array[Double]], Int)] = for {
