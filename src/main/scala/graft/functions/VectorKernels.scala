@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftglue.ColumnGlue
@@ -28,12 +27,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * or a length mismatch (zip_with pads with null), nulls the result;
   * two empty arrays give 0.0 (the fold init).
   */
-abstract class VectorFold extends BinaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<double>, got $l and $r")
-  }
+abstract class VectorFold extends BinaryExpression with ImplicitCastInputTypes {
+  /** array<double> via ImplicitCastInputTypes, so SQL callers passing
+    * integer/float arrays (e.g. vec_dot(array(1,2), array(3,4))) get
+    * the analyzer's element-wise numeric coercion — the same leniency
+    * as the HOF twins and Spark's own numeric built-ins — instead of
+    * an analysis failure. */
+  override def inputTypes: Seq[ColumnGlue.AbstractType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 

@@ -367,16 +367,19 @@ object Dedup {
     * fingerprint splits into maxHamming+1 bands, and by pigeonhole two
     * fingerprints within maxHamming bits MUST agree exactly on at
     * least one band — so candidates come from per-(band, substring)
-    * joins (never all-pairs) with PERFECT recall at the threshold,
-    * then exact Hamming verification. Same shuffle shape as the
-    * MinHash path: Σ bucket² per band, O(rows) otherwise — and the
-    * same skew hazard: m boilerplate docs sharing a band substring
-    * put m² rows in one (band, substring) join key, so maxBucket
-    * drops over-populated keys via the shared broadcast-blacklist
-    * guard (size it to ~1% of the corpus; dropped docs still meet
-    * through their other bands unless identical everywhere — and
-    * identical-everywhere groups that large should be exact-deduped
-    * first). Default 10000 matches winnowNearDup's maxDocsPerFp.
+    * joins (never all-pairs) — PERFECT recall at the threshold when
+    * no bucket trips maxBucket — then exact Hamming verification.
+    * Same shuffle shape as the MinHash path: Σ bucket² per band,
+    * O(rows) otherwise — and the same skew hazard: m boilerplate
+    * docs sharing a band substring put m² rows in one (band,
+    * substring) join key, so maxBucket drops over-populated keys via
+    * the shared broadcast-blacklist guard (size it to ~1% of the
+    * corpus). Dropped buckets trade BOUNDED RECALL LOSS for skew
+    * safety, exactly as winnowNearDup does: a pair whose ONLY
+    * agreeing band is a dropped one is missed — meeting through the
+    * other bands is likely, not guaranteed. Exact-dedup first so
+    * identical-everywhere groups never reach this join. Default
+    * 10000 matches winnowNearDup's maxDocsPerFp.
     * maxHamming+1 must divide 16 (maxHamming ∈ {0, 1, 3, 7, 15}).
     * Output: (id1, id2, hamming ≤ maxHamming), id1 < id2. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,

@@ -100,12 +100,19 @@ object TextAnalysis {
     * monotonically_increasing_id() counts 0..n-1 down it — no
     * post-limit Window (whose "No Partition Defined" warning, though
     * benign on n rows, reads like a scale bug), and the operator
-    * stays LAZY (composing the plan triggers no job). The id==rank
-    * contract is pinned against a Window twin in TextAnalysisSpec. */
+    * stays LAZY (composing the plan triggers no job). Because any
+    * global limit-n output is a single partition, a local re-sort
+    * (sortWithinPartitions — no exchange, n rows) pins the row order
+    * the id counts down even if the planner ever falls back from
+    * TakeOrderedAndProject to LocalLimit+GlobalLimit (e.g. a low
+    * spark.sql.execution.topKSortFallbackThreshold), whose shuffle
+    * concatenates per-mapper blocks unsorted. The id==rank contract
+    * is pinned against a Window twin in TextAnalysisSpec. */
   def topTerms(df: DataFrame, textCol: String, n: Int): DataFrame = {
     val counts = df.select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     counts.orderBy(col("cnt").desc, col("term")).limit(n)
+      .sortWithinPartitions(col("cnt").desc, col("term"))
       .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
   }
 

@@ -17,6 +17,16 @@ object CurationStream {
     * unless arrival order is id order (the spec pins exactly that
     * case).
     *
+    * "Arrival order" is well-defined ACROSS micro-batches (the count
+    * state advances batch by batch) but NOT within one: the
+    * post-shuffle group iterator order is nondeterministic, so which
+    * rows of a key win a quota that fills mid-batch can differ
+    * across reruns/recovery. Pass orderCol to make that choice
+    * deterministic — the key's rows in each batch are sorted by that
+    * column (nulls first) before admitting, at the cost of buffering
+    * one (key, micro-batch) group in memory (bounded by batch size,
+    * not stream length).
+    *
     * State per key is ONE long (the admitted count), kept forever
     * (NoTimeout): a quota is a lifetime budget, so state size is
     * O(distinct keys) — at 100 TB that is the domain/source
@@ -24,10 +34,12 @@ object CurationStream {
     * flatMapGroupsWithState in append mode — the escape hatch for
     * per-group logic with output cardinality 0..group-size that
     * windowed aggregation can't express. */
-  def capPerKey(docs: DataFrame, keyCol: String, n: Int): DataFrame = {
+  def capPerKey(docs: DataFrame, keyCol: String, n: Int,
+                orderCol: Option[String] = None): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     val schema = docs.schema
     val ki = schema.fieldIndex(keyCol)
+    val oi = orderCol.map(schema.fieldIndex)
     implicit val keyEnc = Encoders.STRING
     implicit val rowEnc = Encoders.row(schema)
     implicit val stateEnc = Encoders.scalaLong
@@ -39,8 +51,19 @@ object CurationStream {
       .flatMapGroupsWithState[Long, Row](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Row], state) =>
           var admitted = state.getOption.getOrElse(0L)
+          val ordered = oi match {
+            case None => rows
+            case Some(i) => rows.toIndexedSeq.sorted(new Ordering[Row] {
+              def compare(a: Row, b: Row): Int = (a.isNullAt(i), b.isNullAt(i)) match {
+                case (true, true)  => 0
+                case (true, false) => -1
+                case (false, true) => 1
+                case _ => a.get(i).asInstanceOf[Comparable[Any]].compareTo(b.get(i))
+              }
+            }).iterator
+          }
           val out = Seq.newBuilder[Row]
-          rows.foreach { r =>
+          ordered.foreach { r =>
             if (admitted < n) { out += r; admitted += 1 }
           }
           state.update(admitted)

@@ -10,6 +10,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * for Spark extension libraries that define custom expressions
   * without a session-level FunctionRegistry registration. */
 object ColumnGlue {
+  /** AbstractDataType is private[sql]; graft expressions that declare
+    * inputTypes (for ImplicitCastInputTypes coercion) name it through
+    * this alias. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 

@@ -42,4 +42,24 @@ class CurationStreamSpec extends AnyFunSuite {
       assert(admitted == batch)
     } finally q.stop()
   }
+
+  test("capPerKey(orderCol) admits the lowest ids when a quota fills mid-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[KeyedDoc]
+    val q = CurationStream.capPerKey(source.toDF(), "src", n = 2, orderCol = Some("doc_id"))
+      .writeStream.format("memory").queryName("cap_ord_out")
+      .outputMode("append").start()
+    try {
+      // one batch, ids deliberately NOT in arrival order: without the
+      // sort the winners depend on the shuffle iterator; with it the
+      // two lowest ids per key win, deterministically
+      source.addData(Seq(
+        KeyedDoc(9, "a", "t9"), KeyedDoc(3, "a", "t3"), KeyedDoc(5, "a", "t5"),
+        KeyedDoc(4, "b", "t4"), KeyedDoc(2, "b", "t2"), KeyedDoc(1, "b", "t1")))
+      q.processAllAvailable()
+      val admitted = spark.table("cap_ord_out").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(admitted == Seq(1L, 2L, 3L, 5L))
+    } finally q.stop()
+  }
 }

@@ -76,6 +76,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(vd.getDouble(0) === 11.0 && vd.getDouble(1) === 8.0)
     assert(vd.isNullAt(2)) // length mismatch nulls, like the HOF chain
 
+    // int/float arrays coerce (ImplicitCastInputTypes), like built-ins
+    val vc = spark.sql(
+      """SELECT vec_dot(array(1, 2), array(3, 4)),
+        |       vec_sqdist(array(CAST(1 AS FLOAT)), array(CAST(3 AS FLOAT)))""".stripMargin)
+      .collect()(0)
+    assert(vc.getDouble(0) === 11.0 && vc.getDouble(1) === 4.0)
+
     // tuning parameters must be literals, not columns
     intercept[Exception] {
       spark.sql("SELECT minhash_signature(text, CAST(id AS INT), 16, false) FROM ext_docs2")
