@@ -328,6 +328,16 @@ object SparkEntry {
       TextAnalysis.qualityScore(Tables(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // ── LLM-pipeline: Gopher-style n-gram repetition metrics ────────
+    "q_rep_ngrams" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(Tables(s, dir, "documents"), "doc_id", "text", n = 2)
+    }),
+
+    // ── LLM-pipeline: longest identical-token run per doc ───────────
+    "q_rep_runs" -> ((s, dir) => {
+      TextAnalysis.maxTokenRun(Tables(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // ── LLM-pipeline: corpus top-20 terms by frequency ──────────────
     "q_top_terms" -> ((s, dir) => {
       TextAnalysis.topTerms(Tables(s, dir, "documents"), "text", 20)
@@ -1000,6 +1010,43 @@ object SparkEntry {
         |        + CASE WHEN type_token_ratio > 0.2 THEN 0.25 ELSE 0.0 END
         |        + CASE WHEN type_token_ratio < 0.95 THEN 0.25 ELSE 0.0 END) AS quality
         |FROM r""".stripMargin,
+
+    "q_rep_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS gram
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        |),
+        |counts AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+        |),
+        |agg AS (
+        |  SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_grams,
+        |         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_grams
+        |  FROM counts GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       COALESCE(a.n_grams, 0) AS n_grams,
+        |       COALESCE(CAST(a.top_cnt AS DOUBLE) / a.n_grams, 0.0) AS top_ngram_frac,
+        |       COALESCE(CAST(a.dup_grams AS DOUBLE) / a.n_grams, 0.0) AS dup_ngram_frac
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q_rep_runs" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |),
+        |r AS (
+        |  SELECT doc_id, tok, pos,
+        |         pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+        |  FROM t
+        |),
+        |runs AS (SELECT doc_id, count(*) AS run_len FROM r GROUP BY doc_id, tok, grp)
+        |SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run
+        |FROM runs GROUP BY doc_id""".stripMargin,
 
     "q_top_terms" ->
       """SELECT term, cnt, CAST(rn AS INTEGER) AS rank FROM (

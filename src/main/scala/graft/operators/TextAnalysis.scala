@@ -126,6 +126,63 @@ object TextAnalysis {
     df.select(explode(tokens(col(textCol))).as("term"))
       .agg(approx_count_distinct(col("term"), rsd).as("vocab_approx"))
 
+  /** Token n-grams as space-joined strings. Docs shorter than n
+    * tokens yield an empty array — the explicit guard matters because
+    * sequence(1, negative) would silently count DOWN. */
+  def tokenNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(typedlit(Seq.empty[String]))
+
+  /** Per-document n-gram repetition metrics à la the Gopher paper's
+    * repetition filters (token-based rather than character-based —
+    * the exact-integer form): top_ngram_frac = occurrences of the
+    * single most frequent n-gram / total n-grams; dup_ngram_frac =
+    * occurrences of all n-grams seen more than once / total n-grams.
+    * Docs shorter than n tokens report 0 grams and 0.0 fractions.
+    *
+    * Shape for scale: explode → two-level hash aggregate (map-side
+    * partial combine on (doc, gram), then a per-doc rollup) → one
+    * id-equi-join back to the doc list. Shuffle is O(total n-grams),
+    * never quadratic in document length — a per-row HOF "count each
+    * distinct gram by rescanning the array" would be O(len²) per doc
+    * and melt on long documents. Ratios are divisions of exact
+    * integer counts: bit-exact cross-engine. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(tokenNgrams(tokens(col(textCol)), n)).as("gram"))
+    val perDoc = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(
+        max(col("cnt")).as("top_cnt"),
+        sum(col("cnt")).as("grams"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("grams"), lit(0L)).as("n_grams"),
+        coalesce(col("top_cnt").cast("double") / col("grams").cast("double"), lit(0.0))
+          .as("top_ngram_frac"),
+        coalesce(col("dup").cast("double") / col("grams").cast("double"), lit(0.0))
+          .as("dup_ngram_frac"))
+  }
+
+  /** Longest run of identical consecutive tokens per document — the
+    * degenerate-repetition detector ("a a a a ..." spam that n-gram
+    * fractions under-report). One rowwise left fold carrying
+    * (prev token, current run, best run) — no shuffle at all, and
+    * the state is three scalars regardless of document length. */
+  def maxTokenRun(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      aggregate(
+        tokens(col(textCol)),
+        struct(lit(" ").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (s, t) => {
+          val run = when(t === s.getField("prev"), s.getField("run") + 1).otherwise(lit(1L))
+          struct(t.as("prev"), run.as("run"),
+            greatest(s.getField("best"), run).as("best"))
+        },
+        s => s.getField("best")).as("max_run"))
+
   /** (doc, term) TF + corpus DF counts — the exact-integer core of
     * TF-IDF; idf = ln(N/df) is applied by tfIdf (not oracle-hashed:
     * libm ln may differ in the last ulp across engines). */

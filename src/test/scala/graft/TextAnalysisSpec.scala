@@ -35,6 +35,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(q(2L) === 0.5) // length ok + ttr<0.95 only
   }
 
+  test("repetitionStats computes top/dup 2-gram fractions; short docs get zeros") {
+    val df = Seq(
+      (1L, "a b a b a b"),   // grams: ab ba ab ba ab → 5 grams, top "a b"×3, all 5 duplicated
+      (2L, "a b c d"),       // 3 grams, all distinct
+      (3L, "solo")           // < 2 tokens → no grams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df, "doc_id", "text", n = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r(1L) === ((5L, 3.0 / 5.0, 1.0)))
+    assert(r(2L) === ((3L, 1.0 / 3.0, 0.0)))
+    assert(r(3L) === ((0L, 0.0, 0.0)))
+  }
+
+  test("tokenNgrams guards docs shorter than n (sequence would count down)") {
+    val df = Seq((1L, "x"), (2L, "x y z")).toDF("doc_id", "text")
+    val g = df.select(col("doc_id"),
+        TextAnalysis.tokenNgrams(TextAnalysis.tokens(col("text")), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(g(1L).isEmpty)
+    assert(g(2L) === Seq("x y z"))
+  }
+
+  test("maxTokenRun finds the longest identical-token run") {
+    val df = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b a b"),
+      (3L, "")               // one empty token → run of 1
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.maxTokenRun(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("topTerms ranks by count desc then term asc") {
     val df = Seq((1L, "b a b c a b")).toDF("doc_id", "text")
     val top = TextAnalysis.topTerms(df, "text", 2)
