@@ -484,6 +484,12 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // ── curation: deterministic global shuffle + shard assignment ───
+    "q_shard" -> ((s, dir) => {
+      Curation.shuffleShards(Tables(s, dir, "documents"), "doc_id", nShards = 16)
+        .select(col("doc_id"), col("shuffle_key"), col("shard"))
+    }),
+
     // ── curation: ≤N documents per source (domain cap) ──────────────
     "q_source_cap" -> ((s, dir) => {
       Curation.capPerKey(Tables(s, dir, "documents"), "source", "doc_id", 20)
@@ -1479,6 +1485,13 @@ object SparkEntry {
         |       CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |                 / 4294967296.0 < 0.2
         |            THEN 'test' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
+    "q_shard" ->
+      """SELECT doc_id,
+        |       md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |       CAST(floor(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                  / 4294967296.0 * 16) AS INTEGER) AS shard
         |FROM documents""".stripMargin,
 
     "q_stratified" ->

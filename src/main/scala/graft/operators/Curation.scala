@@ -59,6 +59,38 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Deterministic global shuffle + shard assignment — the "shuffle
+    * the corpus exactly once, reproducibly" step before writing
+    * training shards. Each row gets a shuffle_key (md5 hex of its id
+    * — an effectively random but engine-portable total order, the
+    * same hash contract as Sampling) and shard = floor(unit(key) ·
+    * nShards): shards are CONTIGUOUS RANGES of the key space, so
+    * sorting by shuffle_key both shuffles the corpus and clusters it
+    * by shard in one range partitioning. Rowwise, no shuffle here;
+    * pair with shuffled() to materialize the order. Duplicate ids
+    * collide on purpose (same id ⇒ same position ⇒ adjacent — easy
+    * to spot); distinct ids get md5-uniform spread, so shard sizes
+    * are balanced to O(√n) fluctuation with no coordination. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val unit = Sampling.hashUnit(col(idCol))
+    df.withColumn("shuffle_key", md5(col(idCol).cast("string")))
+      .withColumn("shard", floor(unit * nShards).cast("int"))
+  }
+
+  /** The materialized form: range-repartition into nShards tasks by
+    * shuffle_key and sort within each — ONE Exchange(RangePartitioning)
+    * for the whole corpus, after which `write.partitionBy("shard")`
+    * (or per-partition writers) emits globally-shuffled, stably
+    * ordered training shards. Because shard boundaries are quantiles
+    * of the SAME key the range partitioner samples, partitions align
+    * with shards up to sampling error — no second shuffle to group
+    * by shard. */
+  def shuffled(df: DataFrame, idCol: String, nShards: Int): DataFrame =
+    shuffleShards(df, idCol, nShards)
+      .repartitionByRange(nShards, col("shuffle_key"))
+      .sortWithinPartitions(col("shuffle_key"))
+
   /** Benchmark decontamination: corpus documents sharing ≥ minShared
     * winnow fingerprints with ANY probe document (the eval-set
     * leak check run before training). Same detection guarantee as

@@ -45,6 +45,41 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffleShards is deterministic, balanced-ish, and shard tracks the key range") {
+    val df = (1L to 400L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val a = Curation.shuffleShards(df, "id", 8)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3)))
+    val b = Curation.shuffleShards(df.repartition(13), "id", 8)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3)))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq) // partitioning-independent
+    val byShard = a.groupBy(_._3)
+    assert(a.forall(x => x._3 >= 0 && x._3 < 8))
+    assert(byShard.size === 8) // 400 md5-uniform rows hit all 8 shards
+    // shards are contiguous ranges of the shuffle key: max key of
+    // shard s sorts before min key of shard s+1
+    val bounds = byShard.toSeq.sortBy(_._1).map { case (s, xs) =>
+      (s, xs.map(_._2).min, xs.map(_._2).max) }
+    bounds.sliding(2).foreach {
+      case Seq((_, _, hiPrev), (_, loNext, _)) => assert(hiPrev < loNext)
+      case _ =>
+    }
+  }
+
+  test("shuffled materializes one range partitioning: per-partition sorted, shard-aligned") {
+    val df = (1L to 400L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val out = Curation.shuffled(df, "id", 8)
+    assert(out.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+    val parts = out.select("shuffle_key", "shard").rdd
+      .mapPartitions(it => Iterator(it.map(r => (r.getString(0), r.getInt(1))).toSeq))
+      .collect().filter(_.nonEmpty)
+    parts.foreach { p =>
+      assert(p.map(_._1) == p.map(_._1).sorted) // sorted within partition
+      assert(p.map(_._2).distinct == p.map(_._2).distinct.sorted) // shard ids non-interleaved
+    }
+    // every row survives the shuffle exactly once
+    assert(out.count() === 400L)
+  }
+
   test("winnowContamination flags the planted shared passage, broadcast side in plan") {
     val passage = "the quick brown fox jumps over the lazy dog again and again"
     val corpus = Seq(
