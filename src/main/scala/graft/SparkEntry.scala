@@ -338,6 +338,18 @@ object SparkEntry {
       TextAnalysis.maxTokenRun(Tables(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // ── LLM-pipeline: PII scrubbing (URLs, emails, phone runs) ──────
+    // The synthetic corpus carries no PII, so the query plants one of
+    // each per doc (derived from doc_id, identically in the oracle)
+    // and checks both the redacted text and the audit counts.
+    "q_scrub" -> ((s, dir) => {
+      val aug = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or https://ex.com/d/"), col("doc_id"),
+          lit(" tel 555-0100-"), col("doc_id")).as("text"))
+      TextAnalysis.scrubPii(aug, "doc_id", "text")
+    }),
+
     // ── LLM-pipeline: corpus top-20 terms by frequency ──────────────
     "q_top_terms" -> ((s, dir) => {
       TextAnalysis.topTerms(Tables(s, dir, "documents"), "text", 20)
@@ -1016,6 +1028,30 @@ object SparkEntry {
         |        + CASE WHEN type_token_ratio > 0.2 THEN 0.25 ELSE 0.0 END
         |        + CASE WHEN type_token_ratio < 0.95 THEN 0.25 ELSE 0.0 END) AS quality
         |FROM r""".stripMargin,
+
+    "q_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@example.com or https://ex.com/d/' || doc_id
+        |              || ' tel 555-0100-' || doc_id AS t
+        |  FROM documents
+        |)
+        |, p AS (
+        |  SELECT doc_id, t,
+        |         regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS no_url
+        |  FROM aug
+        |), p2 AS (
+        |  SELECT doc_id, t, no_url,
+        |         regexp_replace(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                        '<EMAIL>', 'g') AS no_email
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |       regexp_replace(no_email, '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUM>', 'g') AS clean_text,
+        |       CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |       CAST(len(regexp_extract_all(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(no_email, '[0-9][0-9 ()+.-]{6,}[0-9]')) AS BIGINT) AS n_phones
+        |FROM p2""".stripMargin,
 
     "q_rep_ngrams" ->
       """WITH toks AS (

@@ -183,6 +183,38 @@ object TextAnalysis {
         },
         s => s.getField("best")).as("max_run"))
 
+  /** PII patterns for scrubbing. Deliberately RE2-compatible (no
+    * backreferences or lookaround) so the same pattern string runs
+    * identically on Java regex, RE2-based engines, and the DuckDB
+    * oracle. Order matters: URLs are scrubbed BEFORE emails so a
+    * credential-bearing URL (http://user@host) isn't half-eaten by
+    * the email pass first. */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongDigitPattern = "[0-9][0-9 ()+.-]{6,}[0-9]"
+
+  /** PII redaction for training corpora: URLs, email addresses, and
+    * phone-number-shaped digit runs are replaced by typed placeholder
+    * tags, and per-document match counts are reported (the audit
+    * column a curation pipeline filters/monitors on). Each count is
+    * taken on the text AS THE PASS SEES IT (post earlier passes), so
+    * counts equal placeholders inserted — an email inside an already-
+    * scrubbed URL is one <URL>, not also an email. Pure rowwise
+    * regexp_replace/regexp_count — codegen'd, no shuffle, no UDF;
+    * scrubbing 100 TB is exactly one map-only pass.
+    * Output: (idCol, clean text, n_urls, n_emails, n_phones). */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val noUrl = regexp_replace(t, UrlPattern, "<URL>")
+    val noEmail = regexp_replace(noUrl, EmailPattern, "<EMAIL>")
+    df.select(
+      col(idCol),
+      regexp_replace(noEmail, LongDigitPattern, "<NUM>").as("clean_text"),
+      regexp_count(t, lit(UrlPattern)).cast("long").as("n_urls"),
+      regexp_count(noUrl, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(noEmail, lit(LongDigitPattern)).cast("long").as("n_phones"))
+  }
+
   /** (doc, term) TF + corpus DF counts — the exact-integer core of
     * TF-IDF; idf = ln(N/df) is applied by tfIdf (not oracle-hashed:
     * libm ln may differ in the last ulp across engines). */

@@ -68,6 +68,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("scrubPii redacts URLs before emails, counts every match") {
+    val df = Seq(
+      (1L, "see http://u@h.com/x mail a.b@c.org or d@e.io call 555-123-4567 ok"),
+      (2L, "clean text only")).toDF("doc_id", "text")
+    val r = TextAnalysis.scrubPii(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // the credential-bearing URL is ONE <URL>, not a mangled <EMAIL>
+    assert(r(1L) === (("see <URL> mail <EMAIL> or <EMAIL> call <NUM> ok", 1L, 2L, 1L)))
+    assert(r(2L) === (("clean text only", 0L, 0L, 0L)))
+  }
+
   test("topTerms ranks by count desc then term asc") {
     val df = Seq((1L, "b a b c a b")).toDF("doc_id", "text")
     val top = TextAnalysis.topTerms(df, "text", 2)
