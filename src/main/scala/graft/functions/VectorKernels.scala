@@ -32,7 +32,11 @@ abstract class VectorFold extends BinaryExpression with ImplicitCastInputTypes {
     * integer/float arrays (e.g. vec_dot(array(1,2), array(3,4))) get
     * the analyzer's element-wise numeric coercion — the same leniency
     * as the HOF twins and Spark's own numeric built-ins — instead of
-    * an analysis failure. */
+    * an analysis failure. Leniency cuts both ways, exactly as with
+    * built-ins: string arrays also coerce, and a non-numeric string
+    * element becomes a null element (non-ANSI mode), which valid()
+    * then turns into a null result — a typo'd text column yields
+    * NULLs, not an error. */
   override def inputTypes: Seq[ColumnGlue.AbstractType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

@@ -73,6 +73,9 @@ object Curation {
     * are balanced to O(√n) fluctuation with no coordination. */
   def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    Seq("shuffle_key", "shard").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column — silently replacing a previous " +
+        "shard assignment would let old and new assignments be confused downstream"))
     val unit = Sampling.hashUnit(col(idCol))
     df.withColumn("shuffle_key", md5(col(idCol).cast("string")))
       .withColumn("shard", floor(unit * nShards).cast("int"))

@@ -100,14 +100,16 @@ object TextAnalysis {
     * monotonically_increasing_id() counts 0..n-1 down it — no
     * post-limit Window (whose "No Partition Defined" warning, though
     * benign on n rows, reads like a scale bug), and the operator
-    * stays LAZY (composing the plan triggers no job). Because any
-    * global limit-n output is a single partition, a local re-sort
-    * (sortWithinPartitions — no exchange, n rows) pins the row order
-    * the id counts down even if the planner ever falls back from
-    * TakeOrderedAndProject to LocalLimit+GlobalLimit (e.g. a low
-    * spark.sql.execution.topKSortFallbackThreshold), whose shuffle
-    * concatenates per-mapper blocks unsorted. The id==rank contract
-    * is pinned against a Window twin in TextAnalysisSpec. */
+    * stays LAZY (composing the plan triggers no job). The local
+    * re-sort after the limit (sortWithinPartitions — no exchange, n
+    * rows) pins the ORDER the id counts down against block-fetch
+    * nondeterminism in the single-partition output; it cannot repair
+    * a planner fallback to LocalLimit+GlobalLimit (e.g. a low
+    * spark.sql.execution.topKSortFallbackThreshold), which could pick
+    * the wrong SET of n rows before any re-sort runs — the
+    * TakeOrderedAndProject plan-shape assertion in PlanShapeSpec is
+    * the guard for that. The id==rank contract is pinned against a
+    * Window twin in TextAnalysisSpec. */
   def topTerms(df: DataFrame, textCol: String, n: Int): DataFrame = {
     val counts = df.select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))

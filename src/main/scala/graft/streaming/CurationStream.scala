@@ -25,7 +25,13 @@ object CurationStream {
     * deterministic — the key's rows in each batch are sorted by that
     * column (nulls first) before admitting, at the cost of buffering
     * one (key, micro-batch) group in memory (bounded by batch size,
-    * not stream length).
+    * not stream length). Determinism holds exactly when orderCol is
+    * unique per (key, batch) — use an id column; ties fall back to
+    * the iterator order the sort is stable over. orderCol must be an
+    * atomic (orderable) type, checked at plan time. Groups whose
+    * quota is already full skip the buffer+sort entirely — in the
+    * steady state of a long stream, saturated keys cost O(1) per
+    * batch, not a sort.
     *
     * State per key is ONE long (the admitted count), kept forever
     * (NoTimeout): a quota is a lifetime budget, so state size is
@@ -39,7 +45,22 @@ object CurationStream {
     require(n > 0, s"n must be positive, got $n")
     val schema = docs.schema
     val ki = schema.fieldIndex(keyCol)
-    val oi = orderCol.map(schema.fieldIndex)
+    val oi = orderCol.map { c =>
+      val i = schema.fieldIndex(c)
+      // fail at plan time, not mid-batch on an executor: the runtime
+      // comparator casts to java.lang.Comparable, which the external
+      // values of array/map/struct/binary columns are not
+      import org.apache.spark.sql.types._
+      val comparable = schema(i).dataType match {
+        case StringType | BooleanType | ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | DateType | TimestampType | TimestampNTZType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+      require(comparable,
+        s"orderCol '$c' must be an orderable scalar type, got ${schema(i).dataType}")
+      i
+    }
     implicit val keyEnc = Encoders.STRING
     implicit val rowEnc = Encoders.row(schema)
     implicit val stateEnc = Encoders.scalaLong
@@ -52,6 +73,7 @@ object CurationStream {
         (_: String, rows: Iterator[Row], state) =>
           var admitted = state.getOption.getOrElse(0L)
           val ordered = oi match {
+            case _ if admitted >= n => Iterator.empty // saturated: drop without buffering
             case None => rows
             case Some(i) => rows.toIndexedSeq.sorted(new Ordering[Row] {
               def compare(a: Row, b: Row): Int = (a.isNullAt(i), b.isNullAt(i)) match {

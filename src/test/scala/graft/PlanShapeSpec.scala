@@ -51,6 +51,17 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally Dedup.releaseCaches()
   }
 
+  test("topTerms plans TakeOrderedAndProject — the id==rank contract's plan guard") {
+    // the rank column counts a monotonically_increasing_id down the
+    // limit output; only TakeOrderedAndProject guarantees that output
+    // is the true global top-n (a LocalLimit+GlobalLimit fallback
+    // could pick the wrong SET, which no post-limit re-sort repairs)
+    val df = SparkEntry.queries("q_top_terms")(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "topTerms must plan TakeOrderedAndProject; if this ever fails, the rank " +
+        "assignment in TextAnalysis.topTerms is unsafe and must move to a Window")
+  }
+
   test("curation windows are partitioned — no single-partition global sort") {
     for (q <- Seq("q_pack", "q_source_cap", "q_sessions", "q_top_events")) {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
