@@ -269,6 +269,16 @@ object SparkEntry {
         n = 3, h = 16, b = 8, minSim = 0.0, parity = true)
     }),
 
+    // ── LLM-pipeline: near-dup clusters via connected components ────
+    // Pairs (Jaccard ≥ 0.5) → transitive closure: each doc labeled
+    // with its cluster's minimum id — the one-representative-per-
+    // cluster semantics that per-pair dropping can't express.
+    "q_components" -> ((s, dir) => {
+      val pairs = Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.5, parity = true).select("id1", "id2")
+      Dedup.connectedComponents(pairs)
+    }),
+
     // ── LLM-pipeline: near-dup, xxhash64 scale path (default mode) ──
     // Same banded-LSH shape with the Spark-only masked-xxhash64 base
     // hash — the production default (no md5 at all). Not expressible in
@@ -1265,6 +1275,33 @@ object SparkEntry {
          |FROM cand c
          |JOIN sh s1 ON s1.doc_id = c.id1
          |JOIN sh s2 ON s2.doc_id = c.id2""".stripMargin,
+
+    "q_components" ->
+      s"""WITH RECURSIVE $sqlMinhash,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |  FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |),
+         |pairs AS (
+         |  SELECT c.id1, c.id2
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.id1
+         |  JOIN sh s2 ON s2.doc_id = c.id2
+         |  WHERE CAST(len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) /
+         |        CAST(len(s1.sh) + len(s2.sh) - len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE)
+         |        >= 0.5
+         |),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION
+         |  SELECT id2 AS a, id1 AS b FROM pairs
+         |),
+         |reach(id, comp) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+         |)
+         |SELECT id, min(comp) AS component FROM reach GROUP BY id""".stripMargin,
 
     "q_simhash" ->
       s"""WITH $sqlSimhashFp

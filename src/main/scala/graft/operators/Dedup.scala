@@ -279,6 +279,64 @@ object Dedup {
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Connected components of a pair graph by iterative min-label
+    * propagation — the transitive-closure step that turns near-dup
+    * PAIRS into dedup CLUSTERS. dropNearDuplicates' per-pair rule
+    * (drop the higher id of each pair) keeps every LOCAL minimum, so
+    * a chain a(1)–c(3)–b(2) keeps both 1 and 2 from one cluster;
+    * components give the one-representative-per-cluster semantics
+    * (the component label IS the cluster's minimum id).
+    *
+    * Each round: one hash join (edge propagation) + one partial-agg
+    * min + one count action; labels only ever decrease, and the loop
+    * stops the first round nothing changes. Rounds needed = graph
+    * diameter, which for near-dup clusters is small (duplicates of a
+    * document are duplicates of each other — clusters are near-
+    * cliques; the sf0.01 corpus's deepest chain is 3 nodes). For adversarial
+    * long-path graphs the known fix is large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) at O(log²) rounds — not needed for dedup
+    * workloads, noted here so the limit is a decision, not a
+    * surprise. Everything per-round is a standard shuffle: no
+    * driver-side graph, no collect.
+    *
+    * Output: (id, component) for every id in the pair table. */
+  def connectedComponents(pairs: DataFrame, id1Col: String = "id1", id2Col: String = "id2",
+                          maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
+      .union(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), labels("component"))
+      // localCheckpoint (eager) cuts the lineage each round — without
+      // it the logical plan references the previous round's plan
+      // three times (propagation join, union, convergence check) and
+      // grows as 3^rounds: the driver OOMs stringifying it long
+      // before any executor does real work. On a cluster where a lost
+      // executor must not restart the whole loop, use
+      // spark.sparkContext.setCheckpointDir + .checkpoint() instead —
+      // same shape, reliable storage. Superseded round RDDs are freed
+      // by the ContextCleaner once unreferenced (bounded by maxIter).
+      val next = labels.union(prop).groupBy("id")
+        .agg(min("component").as("component"))
+        .localCheckpoint(eager = true)
+      val changed = next.join(labels.withColumnRenamed("component", "prev"), Seq("id"))
+        .filter(col("component") < col("prev")).count()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** Content hash for exact dedup: md5 of the concatenated key columns
     * with a \u0001 separator (collision-safe for text columns that
     * cannot contain the separator). NULLs are replaced by a distinct

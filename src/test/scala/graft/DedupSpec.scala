@@ -120,6 +120,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents labels transitive clusters with their minimum id") {
+    // chain 1–3, 3–2: one cluster {1,2,3}. Per-pair dropping would
+    // keep BOTH local minima 1 and 2; components keep only 1.
+    val pairs = Seq((1L, 3L), (3L, 2L), (5L, 6L)).toDF("id1", "id2")
+    try {
+      val got = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    } finally Dedup.releaseCaches()
+  }
+
+  test("connectedComponents converges on a long path (many propagation rounds)") {
+    val path = (0L until 12L).sliding(2).map(s => (s(1), s(0))).toSeq.toDF("id1", "id2")
+    try {
+      val got = Dedup.connectedComponents(path)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size === 12 && got.values.forall(_ == 0L))
+    } finally Dedup.releaseCaches()
+  }
+
   test("winnowNearDup surfaces shared passages, not unrelated docs; cap drops hot fps") {
     val shared = "a very long shared passage that appears verbatim in two documents"
     val docs = Seq(
