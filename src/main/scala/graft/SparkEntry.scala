@@ -279,6 +279,13 @@ object SparkEntry {
       Dedup.connectedComponents(pairs)
     }),
 
+    // ── LLM-pipeline: cluster-level dedup (components anti-join) ────
+    "q_cluster_dedup" -> ((s, dir) => {
+      Dedup.dropNearDupClusters(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.5, parity = true)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // ── LLM-pipeline: near-dup, xxhash64 scale path (default mode) ──
     // Same banded-LSH shape with the Spark-only masked-xxhash64 base
     // hash — the production default (no md5 at all). Not expressible in
@@ -764,6 +771,35 @@ object SparkEntry {
       |)""".stripMargin
 
   private val sqlMinhash = sqlMinhashOn("documents")
+
+  /** Shared CTE chain: minhash pairs (Jaccard ≥ 0.5) → symmetric
+    * edges → recursive min-reachable closure. Used by q_components
+    * and q_cluster_dedup. */
+  private val sqlNearDupReach =
+    s"""RECURSIVE $sqlMinhash,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |  FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |),
+       |pairs AS (
+       |  SELECT c.id1, c.id2
+       |  FROM cand c
+       |  JOIN sh s1 ON s1.doc_id = c.id1
+       |  JOIN sh s2 ON s2.doc_id = c.id2
+       |  WHERE CAST(len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) /
+       |        CAST(len(s1.sh) + len(s2.sh) - len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE)
+       |        >= 0.5
+       |),
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION
+       |  SELECT id2 AS a, id1 AS b FROM pairs
+       |),
+       |reach(id, comp) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+       |)""".stripMargin
 
   /** DuckDB cosine similarity mirroring VectorOps.cosine: sequential
     * list folds for dot and norms, sqrt each norm then multiply. */
@@ -1277,31 +1313,14 @@ object SparkEntry {
          |JOIN sh s2 ON s2.doc_id = c.id2""".stripMargin,
 
     "q_components" ->
-      s"""WITH RECURSIVE $sqlMinhash,
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-         |  FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-         |),
-         |pairs AS (
-         |  SELECT c.id1, c.id2
-         |  FROM cand c
-         |  JOIN sh s1 ON s1.doc_id = c.id1
-         |  JOIN sh s2 ON s2.doc_id = c.id2
-         |  WHERE CAST(len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) /
-         |        CAST(len(s1.sh) + len(s2.sh) - len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE)
-         |        >= 0.5
-         |),
-         |edges AS (
-         |  SELECT id1 AS a, id2 AS b FROM pairs
-         |  UNION
-         |  SELECT id2 AS a, id1 AS b FROM pairs
-         |),
-         |reach(id, comp) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
-         |)
+      s"""WITH $sqlNearDupReach
          |SELECT id, min(comp) AS component FROM reach GROUP BY id""".stripMargin,
+
+    "q_cluster_dedup" ->
+      s"""WITH $sqlNearDupReach,
+         |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin,
 
     "q_simhash" ->
       s"""WITH $sqlSimhashFp

@@ -337,6 +337,25 @@ object Dedup {
     labels
   }
 
+  /** Cluster-level near-dup removal: pairs → connected components →
+    * keep each cluster's minimum-id representative (plus every doc in
+    * no pair at all). The set-correct form of dropNearDuplicates —
+    * per-pair dropping keeps every LOCAL minimum, which over-keeps on
+    * transitive chains. Costs the component loop (diameter rounds
+    * over the pair table, which holds only near-dup docs — tiny next
+    * to the corpus) plus one anti-join. */
+  def dropNearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, h: Int = 16, b: Int = 8,
+                          minSim: Double = 0.5, parity: Boolean = false,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs = nearDuplicates(df, idCol, textCol, n, h, b, minSim, parity, maxBucket)
+      .select("id1", "id2")
+    val doomed = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Content hash for exact dedup: md5 of the concatenated key columns
     * with a \u0001 separator (collision-safe for text columns that
     * cannot contain the separator). NULLs are replaced by a distinct
