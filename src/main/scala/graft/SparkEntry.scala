@@ -513,6 +513,11 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // ── curation: per-source length-distribution profile ────────────
+    "q_source_profile" -> ((s, dir) => {
+      Curation.sourceProfile(Tables(s, dir, "documents"), "source", "doc_id", "text")
+    }),
+
     // ── curation: deterministic global shuffle + shard assignment ───
     "q_shard" -> ((s, dir) => {
       Curation.shuffleShards(Tables(s, dir, "documents"), "doc_id", nShards = 16)
@@ -1578,6 +1583,24 @@ object SparkEntry {
         |                 / 4294967296.0 < 0.2
         |            THEN 'test' ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+
+    "q_source_profile" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+        |),
+        |r AS (
+        |  SELECT source, n,
+        |         row_number() OVER (PARTITION BY source ORDER BY n, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM d
+        |)
+        |SELECT source,
+        |       CAST(max(cnt) AS BIGINT) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS total_tokens,
+        |       max(CASE WHEN rn <= CAST(ceil(0.5 * cnt) AS BIGINT) THEN n END) AS p50_tokens,
+        |       max(CASE WHEN rn <= CAST(ceil(0.9 * cnt) AS BIGINT) THEN n END) AS p90_tokens,
+        |       max(CASE WHEN rn <= CAST(ceil(0.99 * cnt) AS BIGINT) THEN n END) AS p99_tokens
+        |FROM r GROUP BY source""".stripMargin,
 
     "q_shard" ->
       """SELECT doc_id,

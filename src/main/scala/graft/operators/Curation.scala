@@ -94,6 +94,34 @@ object Curation {
       .repartitionByRange(nShards, col("shuffle_key"))
       .sortWithinPartitions(col("shuffle_key"))
 
+  /** Per-source corpus profile: doc count, total tokens, and EXACT
+    * discrete percentiles of per-doc token count (the "what does each
+    * domain's length distribution look like" audit before mixing).
+    * p-th percentile = the ceil(p·n)-th smallest value, rank-ordered
+    * with idCol as the deterministic tie-break — exact integers end
+    * to end, unlike percentile_approx (a sketch, not cross-engine
+    * checkable) or interpolating percentile (whose FP lerp order is
+    * engine-specific). One window + one hash-agg, both partitioned by
+    * the key: no global sort, skew bounded by the largest source
+    * (same posture as capPerKey; cap pathological sources first). */
+  def sourceProfile(df: DataFrame, keyCol: String, idCol: String, textCol: String,
+                    percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    percentiles.foreach(p => require(p > 0.0 && p <= 1.0, s"percentile must be in (0,1], got $p"))
+    val w = Window.partitionBy(col(keyCol))
+    val wOrd = w.orderBy(col("n"), col(idCol))
+    val ranked = df
+      .select(col(keyCol), col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(w))
+    val pctCols = percentiles.map(p =>
+      max(when(col("rn") <= ceil(lit(p) * col("cnt")).cast("long"), col("n")))
+        .as(s"p${(p * 100).round}_tokens"))
+    val aggs = sum(col("n")).cast("long").as("total_tokens") +: pctCols
+    ranked.groupBy(col(keyCol))
+      .agg(max(col("cnt")).cast("long").as("n_docs"), aggs: _*)
+  }
+
   /** Benchmark decontamination: corpus documents sharing ≥ minShared
     * winnow fingerprints with ANY probe document (the eval-set
     * leak check run before training). Same detection guarantee as

@@ -80,6 +80,18 @@ class CurationSpec extends AnyFunSuite {
     assert(out.count() === 400L)
   }
 
+  test("sourceProfile reports exact discrete percentiles per key") {
+    // key a: lengths 1..4 tokens → p50 = 2nd smallest = 2, p90/p99 = 4th = 4
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x x"), (3L, "a", "x x x"), (4L, "a", "x x x x"),
+      (5L, "b", "y y y y y")).toDF("id", "src", "text")
+    val r = Curation.sourceProfile(df, "src", "id", "text")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r("a") === ((4L, 10L, 2L, 4L, 4L)))
+    assert(r("b") === ((1L, 5L, 5L, 5L, 5L)))
+  }
+
   test("winnowContamination flags the planted shared passage, broadcast side in plan") {
     val passage = "the quick brown fox jumps over the lazy dog again and again"
     val corpus = Seq(
