@@ -426,6 +426,11 @@ object SparkEntry {
       Events.topPerUser(Tables(s, dir, "events"), n = 3)
     }),
 
+    // ── events: daily cohort retention triangle ─────────────────────
+    "q_cohorts" -> ((s, dir) => {
+      Events.cohortRetention(Tables(s, dir, "events"), "user_id", "ts")
+    }),
+
     // ── temporal: backward as-of join (click ← latest prior purchase)
     // The feature-lookup join at µs precision: one shuffle by user_id,
     // union + running-last window — no per-row range scan.
@@ -959,6 +964,16 @@ object SparkEntry {
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket, event_type,
         |       count(*) AS n, sum(round(value * 100)) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_cohorts" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS period FROM events
+        |),
+        |c AS (
+        |  SELECT u, period, min(period) OVER (PARTITION BY u) AS cohort FROM ud
+        |)
+        |SELECT cohort, period - cohort AS period_offset, count(*) AS n_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     "q_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),

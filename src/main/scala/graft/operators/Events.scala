@@ -144,6 +144,32 @@ object Events {
       .select(col("user_id"), col("w.start").as("t_start"),
         col("w.end").as("t_end"), col("n_events"))
 
+  /** Cohort retention: bucket time into fixed periods (default 1 day),
+    * assign each user the period of their FIRST event (their cohort),
+    * and count how many of each cohort's users were active again k
+    * periods later — the classic retention triangle. Exact integer
+    * periods via the shared µs floor-div contract.
+    *
+    * Three partial-agg shuffles, none corpus-wide: dedup to (user,
+    * period) — one row per active-day, not per event; a user-
+    * partitioned window for the cohort min; then a hash-agg on
+    * (cohort, offset). After the dedup each (user, period) is unique,
+    * so the final count needs no count-distinct. Output: (cohort,
+    * period_offset, n_users). tsCol is epoch-ns long (the µs
+    * contract: floor to µs first, exactly like DuckDB's epoch_us,
+    * then floor-div into periods — composed floors equal the direct
+    * one, signs included). */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+                      widthSeconds: Long = 86400L): DataFrame = {
+    require(widthSeconds > 0, s"widthSeconds must be positive, got $widthSeconds")
+    val period = lfloorDiv(epochMicros(col(tsCol)), widthSeconds * 1000000L)
+    val active = df.select(col(userCol).as("u"), period.as("period")).distinct()
+    val w = Window.partitionBy(col("u"))
+    active.withColumn("cohort", min(col("period")).over(w))
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** JSON props extraction + per-type aggregate: the semi-structured
     * column path (get_json_object stays in codegen). */
   def propsAgg(df: DataFrame): DataFrame =

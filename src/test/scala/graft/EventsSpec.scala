@@ -35,6 +35,19 @@ class EventsSpec extends AnyFunSuite {
     assert(got((3600L, "view")) === ((2L, 0.31)))
   }
 
+  test("cohortRetention: first-period cohort, per-day dedup, offset counts") {
+    val D = 86400L
+    val e = Seq(
+      ev(1, 0, 1, "view", 0), ev(2, D + 5, 1, "view", 0), ev(3, 3 * D, 1, "view", 0),
+      ev(4, D, 2, "view", 0), ev(5, 2 * D, 2, "view", 0),
+      ev(6, 10, 3, "view", 0), ev(7, 20, 3, "view", 0)) // same day: dedup to one
+    val got = Events.cohortRetention(df(e), "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+
   test("funnelCounts: strictly-after first-occurrence step semantics") {
     val e = df(Seq(
       // user 1: completes the funnel in order
