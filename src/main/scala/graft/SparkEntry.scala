@@ -518,6 +518,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // ── curation: rebalance to target source proportions ────────────
+    "q_rebalance" -> ((s, dir) => {
+      Curation.rebalanceSources(Tables(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("doc_id"), col("source"))
+    }),
+
     // ── curation: per-source length-distribution profile ────────────
     "q_source_profile" -> ((s, dir) => {
       Curation.sourceProfile(Tables(s, dir, "documents"), "source", "doc_id", "text")
@@ -1598,6 +1605,20 @@ object SparkEntry {
         |                 / 4294967296.0 < 0.2
         |            THEN 'test' ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+
+    "q_rebalance" ->
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |tgt AS (SELECT * FROM (VALUES
+        |  ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |  ('src2', CAST(0.2 AS DOUBLE))) t(source, w)),
+        |nt AS (SELECT min(n / w) AS ntarget FROM cnt JOIN tgt USING (source)),
+        |rates AS (
+        |  SELECT c.source, least(CAST(1.0 AS DOUBLE), t.w * nt.ntarget / c.n) AS rate
+        |  FROM cnt c JOIN tgt t USING (source) CROSS JOIN nt)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 < r.rate""".stripMargin,
 
     "q_source_profile" ->
       """WITH d AS (

@@ -94,6 +94,34 @@ object Curation {
       .repartitionByRange(nShards, col("shuffle_key"))
       .sortWithinPartitions(col("shuffle_key"))
 
+  /** Rebalance a corpus to target source proportions ("make the mix
+    * 50% src0, 30% src1, 20% src2") by deterministic down-sampling —
+    * never up-sampling: the output size is the largest N where every
+    * target share is achievable, N = min over sources of n_s / w_s,
+    * and each source keeps rate_s = w_s·N / n_s of its rows via the
+    * id-hash rule (stable under reruns and repartitioning, nested
+    * across rate changes — Sampling's contract). Sources absent from
+    * targetShare are dropped: the output mix is exactly the specified
+    * sources. The per-source counts are collected to the driver by
+    * design — that is #sources rows (the same k-bounded-collect
+    * posture as the K-Means centroid step), never corpus rows; the
+    * corpus itself is read once more for the one filter pass. */
+  def rebalanceSources(df: DataFrame, keyCol: String, idCol: String,
+                       targetShare: Map[String, Double]): DataFrame = {
+    require(targetShare.nonEmpty, "targetShare must not be empty")
+    targetShare.foreach { case (s, w) =>
+      require(w > 0.0, s"share for '$s' must be positive, got $w") }
+    val counts = df
+      .filter(col(keyCol).isin(targetShare.keys.toSeq.map(_.asInstanceOf[Any]): _*))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targetShare.filter { case (s, _) => counts.contains(s) }
+    require(present.nonEmpty, "no targetShare key present in the data")
+    val nTarget = present.map { case (s, w) => counts(s) / w }.min
+    val rates = present.map { case (s, w) => s -> math.min(1.0, w * nTarget / counts(s)) }
+    Sampling.stratifiedSample(df, idCol, keyCol, rates, defaultRate = 0.0)
+  }
+
   /** Per-source corpus profile: doc count, total tokens, and EXACT
     * discrete percentiles of per-doc token count (the "what does each
     * domain's length distribution look like" audit before mixing).

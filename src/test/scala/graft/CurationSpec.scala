@@ -92,6 +92,23 @@ class CurationSpec extends AnyFunSuite {
     assert(r("b") === ((1L, 5L, 5L, 5L, 5L)))
   }
 
+  test("rebalanceSources down-samples to the target mix, drops unspecified sources") {
+    // a: 40 rows, b: 10, c: 10; target 50/50 a-b → N = min(40/.5, 10/.5) = 20
+    // → rate a = .5*20/40 = 0.25, rate b = 1.0, c dropped
+    val df = ((1L to 40L).map(i => (i, "a")) ++ (41L to 50L).map(i => (i, "b")) ++
+      (51L to 60L).map(i => (i, "c"))).toDF("id", "src")
+    val kept = Curation.rebalanceSources(df, "src", "id", Map("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val bySrc = kept.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("c", 0) === 0)
+    assert(bySrc("b") === 10) // rate 1.0 keeps all
+    assert(bySrc("a") > 0 && bySrc("a") < 40) // rate 0.25, hash-chosen
+    // deterministic: same call, same set
+    val again = Curation.rebalanceSources(df, "src", "id", Map("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(kept.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("winnowContamination flags the planted shared passage, broadcast side in plan") {
     val passage = "the quick brown fox jumps over the lazy dog again and again"
     val corpus = Seq(
