@@ -789,24 +789,31 @@ object SparkEntry {
 
   private val sqlMinhash = sqlMinhashOn("documents")
 
+  /** Shared CTE pair: banded-LSH candidates + exact Jaccard — the ONE
+    * place the oracle states candidate-pair semantics; q_neardup_pairs,
+    * q_components, and q_cluster_dedup all build on `simpairs` so a
+    * future change cannot desynchronize them. */
+  private val sqlCandJaccard =
+    """cand AS (
+      |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+      |  FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+      |),
+      |simpairs AS (
+      |  SELECT c.id1, c.id2,
+      |         CAST(len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) /
+      |         CAST(len(s1.sh) + len(s2.sh) - len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) AS sim
+      |  FROM cand c
+      |  JOIN sh s1 ON s1.doc_id = c.id1
+      |  JOIN sh s2 ON s2.doc_id = c.id2
+      |)""".stripMargin
+
   /** Shared CTE chain: minhash pairs (Jaccard ≥ 0.5) → symmetric
     * edges → recursive min-reachable closure. Used by q_components
     * and q_cluster_dedup. */
   private val sqlNearDupReach =
     s"""RECURSIVE $sqlMinhash,
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-       |  FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-       |),
-       |pairs AS (
-       |  SELECT c.id1, c.id2
-       |  FROM cand c
-       |  JOIN sh s1 ON s1.doc_id = c.id1
-       |  JOIN sh s2 ON s2.doc_id = c.id2
-       |  WHERE CAST(len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) /
-       |        CAST(len(s1.sh) + len(s2.sh) - len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE)
-       |        >= 0.5
-       |),
+       |$sqlCandJaccard,
+       |pairs AS (SELECT id1, id2 FROM simpairs WHERE sim >= 0.5),
        |edges AS (
        |  SELECT id1 AS a, id2 AS b FROM pairs
        |  UNION
@@ -1328,16 +1335,8 @@ object SparkEntry {
 
     "q_neardup_pairs" ->
       s"""WITH $sqlMinhash,
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-         |  FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-         |)
-         |SELECT c.id1, c.id2,
-         |       CAST(len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) /
-         |       CAST(len(s1.sh) + len(s2.sh) - len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) AS sim
-         |FROM cand c
-         |JOIN sh s1 ON s1.doc_id = c.id1
-         |JOIN sh s2 ON s2.doc_id = c.id2""".stripMargin,
+         |$sqlCandJaccard
+         |SELECT id1, id2, sim FROM simpairs""".stripMargin,
 
     "q_components" ->
       s"""WITH $sqlNearDupReach
@@ -1626,7 +1625,8 @@ object SparkEntry {
         |),
         |r AS (
         |  SELECT source, n,
-        |         row_number() OVER (PARTITION BY source ORDER BY n, doc_id) AS rn,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n NULLS FIRST, doc_id NULLS FIRST) AS rn,
         |         count(*) OVER (PARTITION BY source) AS cnt
         |  FROM d
         |)

@@ -136,7 +136,10 @@ object Curation {
                     percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     percentiles.foreach(p => require(p > 0.0 && p <= 1.0, s"percentile must be in (0,1], got $p"))
     val w = Window.partitionBy(col(keyCol))
-    val wOrd = w.orderBy(col("n"), col(idCol))
+    // NULLS FIRST made explicit on BOTH engines: Spark's ascending
+    // default is nulls-first but DuckDB's is nulls-LAST, and a silent
+    // default mismatch would shift every rank below a null-text doc
+    val wOrd = w.orderBy(col("n").asc_nulls_first, col(idCol).asc_nulls_first)
     val ranked = df
       .select(col(keyCol), col(idCol),
         size(split(col(textCol), " ")).cast("long").as("n"))

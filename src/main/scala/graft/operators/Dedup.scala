@@ -303,11 +303,13 @@ object Dedup {
     * Output: (id, component) for every id in the pair table. */
   def connectedComponents(pairs: DataFrame, id1Col: String = "id1", id2Col: String = "id2",
                           maxIter: Int = 50): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
-      .union(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // registerCache, not a bare persist: if an action inside the loop
+    // throws, releaseCaches() can still free the pinned table — the
+    // same failure-safe lifecycle as every other operator intermediate
+    val edges = registerCache(
+      pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
+        .union(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
+        .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
     var iter = 0
@@ -334,6 +336,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // a silent partial result would violate the one-label-per-
+    // component contract downstream (dropNearDupClusters would keep
+    // several "representatives" of one cluster) — refuse instead
+    require(done, s"connectedComponents did not converge in $maxIter rounds: the " +
+      "pair graph's diameter exceeds the cap (raise maxIter, or pre-split the " +
+      "graph — near-dup clusters this deep usually mean the similarity " +
+      "threshold is admitting chains of unrelated documents)")
     labels
   }
 

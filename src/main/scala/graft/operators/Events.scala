@@ -156,13 +156,15 @@ object Events {
     * (cohort, offset). After the dedup each (user, period) is unique,
     * so the final count needs no count-distinct. Output: (cohort,
     * period_offset, n_users). tsCol is epoch-ns long (the µs
-    * contract: floor to µs first, exactly like DuckDB's epoch_us,
-    * then floor-div into periods — composed floors equal the direct
-    * one, signs included). */
+    * contract): FLOOR to µs first, exactly like DuckDB's epoch_us,
+    * then TRUNCATING division into periods — bucketEpoch's
+    * convention, because the oracle's `//` truncates for integers
+    * (-7 // 2 = -3), so both engines period a pre-1970 event the
+    * same way. */
   def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
                       widthSeconds: Long = 86400L): DataFrame = {
     require(widthSeconds > 0, s"widthSeconds must be positive, got $widthSeconds")
-    val period = lfloorDiv(epochMicros(col(tsCol)), widthSeconds * 1000000L)
+    val period = ldiv(epochMicros(col(tsCol)), widthSeconds * 1000000L)
     val active = df.select(col(userCol).as("u"), period.as("period")).distinct()
     val w = Window.partitionBy(col("u"))
     active.withColumn("cohort", min(col("period")).over(w))
