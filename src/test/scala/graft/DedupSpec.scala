@@ -140,6 +140,16 @@ class DedupSpec extends AnyFunSuite {
     } finally Dedup.releaseCaches()
   }
 
+  test("connectedComponents refuses a partial labeling when maxIter is hit") {
+    val path = (0L until 8L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id1", "id2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(path, maxIter = 2).collect()
+      }
+      assert(e.getMessage.contains("did not converge"))
+    } finally Dedup.releaseCaches()
+  }
+
   test("winnowNearDup surfaces shared passages, not unrelated docs; cap drops hot fps") {
     val shared = "a very long shared passage that appears verbatim in two documents"
     val docs = Seq(
