@@ -80,6 +80,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(2L) === (("clean text only", 0L, 0L, 0L)))
   }
 
+  test("repetitionStats and maxTokenRun match pure references on 300 random docs") {
+    // small alphabet + short docs force heavy gram ties, runs ending
+    // at the array edge, and all-duplicate documents — the fold's
+    // corner cases — checked against naive Scala implementations
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 300L).map { i =>
+      val toks = Seq.fill(1 + rnd.nextInt(12))(("a" + ('a' + rnd.nextInt(3)).toChar))
+      (i, toks.mkString(" "), toks)
+    }
+    def refStats(toks: Seq[String]): (Long, Double, Double) = {
+      val grams = if (toks.length < 2) Seq.empty[String]
+                  else toks.sliding(2).map(_.mkString(" ")).toSeq
+      val total = grams.size.toLong
+      if (total == 0L) (0L, 0.0, 0.0)
+      else {
+        val counts = grams.groupBy(identity).map(_._2.size.toLong)
+        (total, counts.max.toDouble / total,
+          counts.filter(_ > 1L).sum.toDouble / total)
+      }
+    }
+    def refRun(toks: Seq[String]): Long =
+      toks.foldLeft(("", 0L, 0L)) { case ((p, r, b), t) =>
+        val nr = if (t == p) r + 1 else 1L
+        (t, nr, math.max(b, nr))
+      }._3
+    val df = docs.map(d => (d._1, d._2)).toDF("doc_id", "text")
+    val gotStats = TextAnalysis.repetitionStats(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val gotRuns = TextAnalysis.maxTokenRun(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, _, toks) =>
+      assert(gotStats(id) === refStats(toks), s"repetitionStats mismatch for doc $id: $toks")
+      assert(gotRuns(id) === refRun(toks), s"maxTokenRun mismatch for doc $id: $toks")
+    }
+  }
+
   test("topTerms ranks by count desc then term asc") {
     val df = Seq((1L, "b a b c a b")).toDF("doc_id", "text")
     val top = TextAnalysis.topTerms(df, "text", 2)
