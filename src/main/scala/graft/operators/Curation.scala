@@ -76,9 +76,11 @@ object Curation {
     Seq("shuffle_key", "shard").foreach(c => require(!df.columns.contains(c),
       s"input already has a '$c' column — silently replacing a previous " +
         "shard assignment would let old and new assignments be confused downstream"))
-    val unit = Sampling.hashUnit(col(idCol))
+    // shard derives from the materialized key (one md5 per row, and
+    // the unit-interval contract stays stated once, in Sampling)
     df.withColumn("shuffle_key", md5(col(idCol).cast("string")))
-      .withColumn("shard", floor(unit * nShards).cast("int"))
+      .withColumn("shard",
+        floor(Sampling.unitFromMd5Hex(col("shuffle_key")) * nShards).cast("int"))
   }
 
   /** The materialized form: range-repartition into nShards tasks by

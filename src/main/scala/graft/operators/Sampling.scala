@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform [0, 1) from any string column: first 8 md5-hex chars
-    * scaled by 2^-32 — every step exact. The single source of the
-    * hash-to-unit-interval contract (Multimodal.featureExtract and
-    * the oracles share it). */
-  def unitFromMd5(s: Column): Column =
-    conv(substring(md5(s), 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+  /** Uniform [0, 1) from an md5 hex string: first 8 hex chars scaled
+    * by 2^-32 — every step exact. The single source of the
+    * hash-to-unit-interval contract (Multimodal.featureExtract,
+    * Curation.shuffleShards, and the oracles share it); take this
+    * overload when the hex is already materialized in a column. */
+  def unitFromMd5Hex(hex: Column): Column =
+    conv(substring(hex, 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+
+  /** Uniform [0, 1) from any string column (hashes, then scales). */
+  def unitFromMd5(s: Column): Column = unitFromMd5Hex(md5(s))
 
   /** Uniform [0, 1) from an id (its decimal string form). */
   def hashUnit(id: Column): Column = unitFromMd5(id.cast("string"))

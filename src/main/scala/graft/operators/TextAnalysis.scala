@@ -194,7 +194,10 @@ object TextAnalysis {
     df.select(col(idCol),
       aggregate(
         tokens(col(textCol)),
-        struct(lit(" ").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        // sentinel prev can safely collide with a real token: run
+        // starts at 0, so match-vs-miss both yield run = 1 (same
+        // convention as repetitionStats' fold)
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
         (s, t) => {
           val run = when(t === s.getField("prev"), s.getField("run") + 1).otherwise(lit(1L))
           struct(t.as("prev"), run.as("run"),
