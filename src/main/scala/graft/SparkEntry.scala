@@ -372,6 +372,32 @@ object SparkEntry {
       TextAnalysis.topTerms(Tables(s, dir, "documents"), "text", 20)
     }),
 
+    // ── LLM-pipeline: full-vocabulary build (term → contiguous id) ──
+    // Ranks EVERY distinct term by (count desc, term asc) through the
+    // range-partition + offset globalRank — no single-partition sort.
+    "q_vocab" -> ((s, dir) => {
+      TextAnalysis.buildVocab(Tables(s, dir, "documents"), "text")
+    }),
+
+    // ── LLM-pipeline: sliding-window chunking by token budget ───────
+    // 32-token chunks, 8-token overlap (stride 24); docs ≤ 32 tokens
+    // stay one chunk. Rowwise generator, no shuffle.
+    "q_chunks" -> ((s, dir) => {
+      TextAnalysis.chunkByTokens(Tables(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 32, overlap = 8)
+    }),
+
+    // ── LLM-pipeline: text normalization (ctrl chars, space runs) ───
+    // The synthetic corpus is already clean ASCII, so the query dirties
+    // each doc first (derived from doc_id, identically in the oracle):
+    // a tab, double spaces, stray case, padding — then normalizes.
+    "q_normalize" -> ((s, dir) => {
+      val dirty = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(lit("  Start\t"), col("text"),
+          lit(" MID  dash "), col("doc_id"), lit("  ")).as("text"))
+      TextAnalysis.normalizeText(dirty, "doc_id", "text")
+    }),
+
     // ── LLM-pipeline: (doc, term) TF + corpus DF (TF-IDF core) ──────
     "q_term_freq" -> ((s, dir) => {
       TextAnalysis.termFrequencies(Tables(s, dir, "documents"), "doc_id", "text")
@@ -534,6 +560,14 @@ object SparkEntry {
     "q_shard" -> ((s, dir) => {
       Curation.shuffleShards(Tables(s, dir, "documents"), "doc_id", nShards = 16)
         .select(col("doc_id"), col("shuffle_key"), col("shard"))
+    }),
+
+    // ── curation: best document per (source, lang) — argmax keep ────
+    // max_by partial aggregate (one candidate per key per task), not
+    // a ranking window; longest doc wins, lowest doc_id breaks ties.
+    "q_keep_best" -> ((s, dir) => {
+      Curation.keepBestPerKey(Tables(s, dir, "documents"),
+        Seq("source", "lang"), "n_chars", "doc_id")
     }),
 
     // ── curation: ≤N documents per source (domain cap) ──────────────
@@ -1187,6 +1221,44 @@ object SparkEntry {
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
         |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df FROM tf JOIN dfreq USING (term)""".stripMargin,
 
+    "q_vocab" ->
+      """WITH counts AS (
+        |  SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term)
+        |SELECT term, cnt,
+        |       CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS vocab_id
+        |FROM counts""".stripMargin,
+
+    "q_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, toks, n,
+        |         unnest(range(1, greatest(1, n - 8) + 1, 24)) AS s
+        |  FROM t)
+        |SELECT doc_id,
+        |       CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+        |       array_to_string(list_slice(toks, s, s + 31), ' ') AS chunk_text,
+        |       least(CAST(32 AS BIGINT), n - s + 1) AS n_tokens
+        |FROM u""".stripMargin,
+
+    "q_normalize" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         '  Start' || chr(9) || text || ' MID  dash ' || doc_id || '  ' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       lower(trim(regexp_replace(
+        |         regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'), '  +', ' ', 'g')))
+        |         AS norm_text,
+        |       CAST(length(text) - length(lower(trim(regexp_replace(
+        |         regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'), '  +', ' ', 'g'))))
+        |         AS BIGINT) AS n_chars_removed
+        |FROM dirty""".stripMargin,
+
     "q_lang_id" ->
       """WITH langs AS (
         |  SELECT * FROM (VALUES
@@ -1653,6 +1725,13 @@ object SparkEntry {
         |         CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 ELSE 0.25 END AS rate
         |  FROM documents)
         |WHERE h < rate""".stripMargin,
+
+    "q_keep_best" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source, lang
+        |                               ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1""".stripMargin,
 
     "q_source_cap" ->
       """SELECT doc_id, source FROM (

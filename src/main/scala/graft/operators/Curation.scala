@@ -155,6 +155,76 @@ object Curation {
       .agg(max(col("cnt")).cast("long").as("n_docs"), aggs: _*)
   }
 
+  /** Scalable global rank (1-based, dense over rows): the two-pass
+    * range-partition + partition-offset form of `row_number() OVER
+    * (ORDER BY ...)`. A global ranking Window sorts the WHOLE input
+    * on ONE partition — the classic 100 TB scale cliff; this form
+    * never materializes a global sort on a single node:
+    *
+    *  1. `repartitionByRange(np, order)` + `sortWithinPartitions` —
+    *     ONE range exchange; partition i holds the rows ranked
+    *     between partitions i-1 and i+1, each internally sorted.
+    *  2. per-partition row counts → driver (np rows — the same
+    *     k-bounded-collect posture as the K-Means centroid step) →
+    *     exclusive prefix sums = each partition's rank offset.
+    *  3. rank = offset(pid) + local index + 1, where
+    *     `monotonically_increasing_id()` = pid·2³³ + local index
+    *     (its documented contract) gives both pieces rowwise.
+    *
+    * The sorted relation is materialized ONCE (localCheckpoint) before
+    * the counts job: range-bound sampling is seeded by RDD id, so
+    * re-executing the exchange in the rank job could place boundary
+    * rows in different partitions than the counts saw (observed as
+    * off-by-k ranks at np=3) — both jobs must read the SAME placement.
+    * That materialization is also why the input should be the SMALL
+    * relation (an aggregated vocabulary, not the raw corpus). The
+    * caller's `order` must be a TOTAL order — pass a tie-break column.
+    * Rank parity with the single-partition Window twin is pinned in
+    * CurationSpec. */
+  def globalRank(df: DataFrame, rankCol: String, numPartitions: Int,
+                 order: Column*): DataFrame = {
+    require(order.nonEmpty, "globalRank needs at least one order column")
+    val np = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(np, order: _*).sortWithinPartitions(order: _*)
+      .localCheckpoint()
+    val counts = sorted.select(spark_partition_id().as("__pid"))
+      .groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until np).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetByPid = (0 until np).map(p => p -> offsets(p)).toMap
+    val mid = monotonically_increasing_id()
+    sorted.withColumn(rankCol,
+      element_at(typedlit(offsetByPid), shiftright(mid, 33).cast("int"))
+        + (mid.bitwiseAND((1L << 33) - 1)) + 1L)
+  }
+
+  /** Keep the single best row per key — argmax by scoreCol with
+    * lowest-idCol tie-break (the "best document per URL/domain" rule
+    * of web-corpus curation, where crawls see the same page many
+    * times at different quality). Deliberately NOT a window: a
+    * ranking window shuffles and sorts every row of every key;
+    * `max_by` is a declarative aggregate, so each map task ships ONE
+    * candidate row per key it sees (partial aggregation — the struct
+    * buffer plans as a SortAggregate pair, still map-side combined),
+    * and the reduce side compares #tasks candidates — the shuffle is
+    * O(keys·tasks), independent of corpus size. Parity with the
+    * row_number()=1 window twin is pinned in CurationSpec.
+    * idCol must be numeric (the tie-break negates it so the struct
+    * comparison picks max score then MIN id). Null scores never win
+    * against a non-null score (struct ordering on the agg side skips
+    * rows whose ordering key is not greater). */
+  def keepBestPerKey(df: DataFrame, keyCols: Seq[String], scoreCol: String,
+                     idCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keepBestPerKey needs at least one key column")
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"idCol '$idCol' must be numeric — the tie-break negates it")
+    val all = df.columns.map(col)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(all: _*), struct(col(scoreCol), -col(idCol))).as("__best"))
+      .select(col("__best.*"))
+  }
+
   /** Benchmark decontamination: corpus documents sharing ≥ minShared
     * winnow fingerprints with ANY probe document (the eval-set
     * leak check run before training). Same detection guarantee as

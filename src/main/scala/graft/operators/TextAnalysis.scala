@@ -118,6 +118,72 @@ object TextAnalysis {
       .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
   }
 
+  /** Deterministic vocabulary build: every distinct term with its
+    * corpus count and a contiguous 1-based vocab_id assigned by
+    * (count desc, term asc) — the token→id table a tokenizer or
+    * embedding layer trains against. Unlike topTerms (top-n only,
+    * single output partition), this ranks the ENTIRE vocabulary —
+    * hundreds of millions of terms at web scale — so the ranking runs
+    * through Curation.globalRank's range-partition + offset form: one
+    * explode, one hash-aggregate, one range exchange; no global
+    * single-partition sort anywhere. */
+  def buildVocab(df: DataFrame, textCol: String, numPartitions: Int = 0): DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    Curation.globalRank(counts, "vocab_id", numPartitions,
+      col("cnt").desc, col("term").asc)
+  }
+
+  /** Sliding-window document chunking by token budget: split each
+    * document into chunks of maxTokens tokens whose starts are
+    * `stride = maxTokens - overlap` apart (consecutive chunks share
+    * `overlap` tokens — the standard long-document treatment before
+    * packing into training sequences). Documents are never dropped: a
+    * doc with ≤ maxTokens tokens is one chunk of itself. The chunk
+    * count is exactly ceil((n - overlap) / stride) (min 1), expressed
+    * as a stepped `sequence` of start positions so the arithmetic
+    * stays in exact integers. Rowwise transform + one generator
+    * (posexplode) — no shuffle; output grows the corpus by at most
+    * ~1/(1 - overlap/maxTokens)×.
+    * Output: (idCol, chunk_id 0-based, chunk_text, n_tokens). */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = (maxTokens - overlap).toLong
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val starts = sequence(lit(1L), greatest(lit(1L), n - overlap.toLong), lit(stride))
+    df.select(col(idCol), n.as("__n"),
+        posexplode(transform(starts,
+          s => array_join(slice(toks, s, lit(maxTokens)), " "))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk_text"),
+        least(lit(maxTokens.toLong), col("__n") - lit(stride) * col("pos"))
+          .as("n_tokens"))
+  }
+
+  /** Text normalization for curation: control characters (ASCII
+    * C0 + DEL) become spaces, space runs collapse to one, the result
+    * is trimmed and (optionally) lowercased. Patterns use hex escapes
+    * and literal classes only — the same strings run identically on
+    * Java regex and RE2-family engines (same portability contract as
+    * scrubPii). One map-only codegen pass, no shuffle; the audit
+    * column n_chars_removed = length delta lets a pipeline monitor
+    * how much it is rewriting. Output: (idCol, norm_text,
+    * n_chars_removed). */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String,
+                    lowercase: Boolean = true): DataFrame = {
+    val t = col(textCol)
+    val noCtrl = regexp_replace(t, "[\\x00-\\x1F\\x7F]", " ")
+    val collapsed = trim(regexp_replace(noCtrl, "  +", " "))
+    val norm = if (lowercase) lower(collapsed) else collapsed
+    df.select(col(idCol), norm.as("norm_text"),
+      (length(t) - length(norm)).cast("long").as("n_chars_removed"))
+  }
+
   /** Approximate corpus vocabulary size via HyperLogLog++
     * (approx_count_distinct). At web scale an exact distinct over
     * hundreds of millions of terms shuffles the whole vocabulary; the

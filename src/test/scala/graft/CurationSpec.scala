@@ -126,4 +126,63 @@ class CurationSpec extends AnyFunSuite {
     val got = hits.collect().map(r => r.getLong(0)).toSet
     assert(got === Set(10L, 12L), s"got $got")
   }
+
+  test("globalRank matches the single-partition window twin, across partitionings") {
+    import org.apache.spark.sql.expressions.Window
+    // keys with heavy duplication so the tie-break column matters
+    val df = (1L to 997L).map(i => (i, (i * 7919) % 50)).toDF("id", "score")
+    val expected = df.withColumn("rank",
+        row_number().over(Window.orderBy($"score".desc, $"id")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (np <- Seq(3, 8); input <- Seq(df, df.repartition(13))) {
+      val got = Curation.globalRank(input, "rank", np, $"score".desc, $"id")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === expected, s"np=$np mismatch")
+    }
+    // ranks are a dense 1..n permutation
+    val ranks = Curation.globalRank(df, "rank", 5, $"score".desc, $"id")
+      .collect().map(_.getLong(2)).sorted
+    assert(ranks.toSeq === (1L to 997L).toSeq)
+  }
+
+  test("globalRank plans no single-partition global sort") {
+    val df = (1L to 100L).map(i => (i, i % 7)).toDF("id", "score")
+    val ranked = Curation.globalRank(df, "rank", 4, $"score", $"id")
+    val plan = ranked.queryExecution.executedPlan.toString
+    // the ranking Window form would show Window + Exchange SinglePartition;
+    // here the sorted relation is a materialized np-partition checkpoint
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-partition exchange in:\n$plan")
+    assert(ranked.rdd.getNumPartitions === 4,
+      s"expected the np-partition range layout, got ${ranked.rdd.getNumPartitions}")
+  }
+
+  test("keepBestPerKey: argmax with min-id tie-break, matches window twin, no Window in plan") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (1L, "a", "x", 10L), (2L, "a", "x", 30L), (3L, "a", "x", 30L), // tie on 30 -> id 2
+      (4L, "a", "y", 5L), (5L, "b", "x", 7L), (6L, "b", "x", 9L)
+    ).toDF("id", "k1", "k2", "score")
+    val best = Curation.keepBestPerKey(df, Seq("k1", "k2"), "score", "id")
+    assert(best.columns.toSeq === Seq("id", "k1", "k2", "score"))
+    val got = best.collect().map(r => (r.getString(1), r.getString(2)) -> r.getLong(0)).toMap
+    assert(got === Map(("a", "x") -> 2L, ("a", "y") -> 4L, ("b", "x") -> 6L))
+    // parity with the row_number()=1 window twin on random-ish data
+    val big = (1L to 500L).map(i => (i, s"k${i % 23}", "z", (i * 31) % 97)).toDF("id", "k1", "k2", "score")
+    val twin = big.withColumn("rn",
+        row_number().over(Window.partitionBy($"k1", $"k2").orderBy($"score".desc, $"id")))
+      .filter($"rn" === 1).drop("rn")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val ours = Curation.keepBestPerKey(big, Seq("k1", "k2"), "score", "id")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(ours === twin)
+    // partial-agg shape: an Aggregate pair (struct buffer → SortAggregate),
+    // never a ranking Window; partial + final = map-side combine present
+    val plan = Curation.keepBestPerKey(big, Seq("k1", "k2"), "score", "id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+    val nAgg = "(SortAggregate|HashAggregate|ObjectHashAggregate)".r
+      .findAllIn(plan).length
+    assert(nAgg >= 2, s"expected partial+final aggregate pair, got:\n$plan")
+  }
 }

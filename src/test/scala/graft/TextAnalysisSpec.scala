@@ -262,6 +262,76 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(1L).intersect(fps(2L)).nonEmpty)
   }
 
+  test("buildVocab: contiguous ids by (count desc, term asc), matches window twin") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      (1L, "b b b a a c"), (2L, "a b d"), (3L, "c c b e")
+    ).toDF("doc_id", "text")
+    // counts: b=5 a=3 c=3 d=1 e=1 -> ids: b=1, a=2, c=3, d=4, e=5
+    val got = TextAnalysis.buildVocab(docs, "text", numPartitions = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map("b" -> ((5L, 1L)), "a" -> ((3L, 2L)), "c" -> ((3L, 3L)),
+      "d" -> ((1L, 4L)), "e" -> ((1L, 5L))))
+    // parity with a window twin on a larger synthetic vocabulary
+    val big = (1L to 300L).map(i => (i, s"w${i % 71} w${i % 13} w${i % 7}"))
+      .toDF("doc_id", "text")
+    val twinCounts = big.select(explode(split($"text", " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val twin = twinCounts.withColumn("vocab_id",
+        row_number().over(Window.orderBy($"cnt".desc, $"term")).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val ours = TextAnalysis.buildVocab(big, "text", numPartitions = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ours === twin)
+  }
+
+  test("chunkByTokens: stride/overlap geometry, short docs, exact reassembly") {
+    val n = 100
+    val doc = (1 to n).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkByTokens(df, "doc_id", "text", maxTokens = 32, overlap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // starts 1, 25, 49, 73 -> 4 chunks; last covers 73..100 = 28 tokens
+    assert(d1.length === 4)
+    assert(d1.map(_._4).toSeq === Seq(32L, 32L, 32L, 28L))
+    assert(d1(0)._3.startsWith("t1 ") && d1(1)._3.startsWith("t25 ")
+      && d1(3)._3.endsWith(" t100"))
+    // consecutive chunks share exactly the 8-token overlap
+    val c0 = d1(0)._3.split(" "); val c1 = d1(1)._3.split(" ")
+    assert(c0.takeRight(8).toSeq === c1.take(8).toSeq)
+    // stitching chunk 0 + non-overlap tails reassembles the document
+    val stitched = (d1(0)._3.split(" ") ++ d1.drop(1).flatMap(_._3.split(" ").drop(8))).mkString(" ")
+    assert(stitched === doc)
+    // short docs: exactly one chunk, the doc itself
+    assert(rows.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "a b", 2L)))
+    assert(rows.filter(_._1 == 3L).toSeq === Seq((3L, 0L, "x", 1L)))
+    // no-overlap mode partitions the tokens exactly
+    val flat = TextAnalysis.chunkByTokens(df.filter($"doc_id" === 1L), "doc_id", "text",
+        maxTokens = 30, overlap = 0)
+      .collect().sortBy(_.getLong(1)).flatMap(_.getString(2).split(" "))
+    assert(flat.toSeq === doc.split(" ").toSeq)
+  }
+
+  test("normalizeText: control chars, space runs, trim, case; audit delta") {
+    val df = Seq(
+      (1L, "  Hello\tWorld  twice  "),
+      (2L, "already clean"),
+      (3L, "MiXeD Case")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.normalizeText(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L)._1 === "hello world twice")
+    assert(got(1L)._2 === ("  Hello\tWorld  twice  ".length - "hello world twice".length).toLong)
+    assert(got(2L) === (("already clean", 0L)))
+    assert(got(3L) === (("mixed case", 0L)))
+    // lowercase=false preserves case but still cleans whitespace
+    val keep = TextAnalysis.normalizeText(df, "doc_id", "text", lowercase = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keep(3L) === "MiXeD Case")
+    assert(keep(1L) === "Hello World twice")
+  }
+
   test("fingerprint is the 31-base modular fold of char codes") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     val fp = df.select(TextAnalysis.fingerprint(col("text"))).collect()(0).getLong(0)
