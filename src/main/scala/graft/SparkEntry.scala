@@ -398,6 +398,15 @@ object SparkEntry {
       TextAnalysis.normalizeText(dirty, "doc_id", "text")
     }),
 
+    // ── LLM-pipeline: OOV rate vs the corpus top-10 vocabulary ──────
+    // Vocabulary broadcast; corpus exploded and joined map-side, then
+    // partial-aggregated back to one row per document.
+    "q_oov" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val top10 = TextAnalysis.buildVocab(docs, "text").filter(col("vocab_id") <= 10)
+      TextAnalysis.oovRate(docs, "doc_id", "text", top10)
+    }),
+
     // ── LLM-pipeline: (doc, term) TF + corpus DF (TF-IDF core) ──────
     "q_term_freq" -> ((s, dir) => {
       TextAnalysis.termFrequencies(Tables(s, dir, "documents"), "doc_id", "text")
@@ -568,6 +577,15 @@ object SparkEntry {
     "q_keep_best" -> ((s, dir) => {
       Curation.keepBestPerKey(Tables(s, dir, "documents"),
         Seq("source", "lang"), "n_chars", "doc_id")
+    }),
+
+    // ── curation: drop each source's shortest 20% (quantile gate) ───
+    // Exact integer rank rule (rank > ceil(0.2·n) per source), never
+    // an FP threshold compare; one window shuffle on the key.
+    "q_quantile_gate" -> ((s, dir) => {
+      Curation.filterByQuantile(Tables(s, dir, "documents"),
+        "source", "doc_id", "n_chars", q = 0.2)
+        .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
     // ── curation: ≤N documents per source (domain cap) ──────────────
@@ -1259,6 +1277,21 @@ object SparkEntry {
         |         AS BIGINT) AS n_chars_removed
         |FROM dirty""".stripMargin,
 
+    "q_oov" ->
+      """WITH counts AS (
+        |  SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term),
+        |topv AS (SELECT list(term) AS lt FROM (
+        |  SELECT term FROM counts ORDER BY cnt DESC, term LIMIT 10)),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_filter(toks, x -> NOT list_contains(topv.lt, x))) AS BIGINT) AS n_oov,
+        |       CAST(len(list_filter(toks, x -> NOT list_contains(topv.lt, x))) AS DOUBLE)
+        |         / CAST(len(toks) AS DOUBLE) AS oov_rate
+        |FROM t, topv""".stripMargin,
+
     "q_lang_id" ->
       """WITH langs AS (
         |  SELECT * FROM (VALUES
@@ -1732,6 +1765,16 @@ object SparkEntry {
         |                               ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1""".stripMargin,
+
+    "q_quantile_gate" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars ASC NULLS FIRST,
+        |                                     doc_id ASC NULLS FIRST) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents)
+        |WHERE rn > ceil(0.2 * cnt)""".stripMargin,
 
     "q_source_cap" ->
       """SELECT doc_id, source FROM (

@@ -155,6 +155,27 @@ object Curation {
       .agg(max(col("cnt")).cast("long").as("n_docs"), aggs: _*)
   }
 
+  /** Per-key quantile gate: within each key, drop the bottom q
+    * fraction of rows by metricCol (keep rows ranked ABOVE the
+    * ceil(q·n)-th smallest — "drop each source's shortest/lowest-
+    * quality 20%"). The cut is the exact-integer rank rule of
+    * sourceProfile — rank with idCol tie-break, threshold
+    * ceil(q·count) — never an FP comparison against an interpolated
+    * quantile value, so membership is deterministic and cross-engine
+    * exact (ties are split by id, not all-kept or all-dropped).
+    * One key-partitioned window + count — a single O(rows) shuffle on
+    * the key, same posture as capPerKey. */
+  def filterByQuantile(df: DataFrame, keyCol: String, idCol: String,
+                       metricCol: String, q: Double): DataFrame = {
+    require(q >= 0.0 && q < 1.0, s"q must be in [0,1), got $q")
+    val w = Window.partitionBy(col(keyCol))
+    val wOrd = w.orderBy(col(metricCol).asc_nulls_first, col(idCol).asc_nulls_first)
+    df.withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__rn") > ceil(lit(q) * col("__cnt")).cast("long"))
+      .drop("__rn", "__cnt")
+  }
+
   /** Scalable global rank (1-based, dense over rows): the two-pass
     * range-partition + partition-offset form of `row_number() OVER
     * (ORDER BY ...)`. A global ranking Window sorts the WHOLE input

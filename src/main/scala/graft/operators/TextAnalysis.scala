@@ -184,6 +184,30 @@ object TextAnalysis {
       (length(t) - length(norm)).cast("long").as("n_chars_removed"))
   }
 
+  /** Per-document out-of-vocabulary rate against a reference
+    * vocabulary (typically the top-k rows of buildVocab, or a
+    * tokenizer's term table): n_oov / n_tokens — the coverage signal
+    * used both for quality filtering (high OOV ⇒ noise/wrong
+    * language) and for sizing a tokenizer's vocab. The vocabulary is
+    * BROADCAST (it is the small relation — even a 1M-term vocab is
+    * MBs against a 100 TB corpus), so the corpus-side explode joins
+    * map-side with no corpus shuffle; the per-doc counts then partial-
+    * aggregate to one row per document. Counts are exact integers,
+    * the rate one exact division — bit-exact cross-engine.
+    * Output: (idCol, n_tokens, n_oov, oov_rate). */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocab: DataFrame, termCol: String = "term"): DataFrame = {
+    val v = broadcast(vocab.select(col(termCol).as("__term")).distinct()
+      .withColumn("__in", lit(1)))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__term"))
+      .join(v, Seq("__term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Approximate corpus vocabulary size via HyperLogLog++
     * (approx_count_distinct). At web scale an exact distinct over
     * hundreds of millions of terms shuffles the whole vocabulary; the

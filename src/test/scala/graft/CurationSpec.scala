@@ -127,6 +127,20 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Set(10L, 12L), s"got $got")
   }
 
+  test("filterByQuantile drops the bottom q per key with exact integer cut") {
+    // key "a": metrics 1..10 -> ceil(0.2*10)=2 dropped (ids 1,2)
+    // key "b": metrics all EQUAL -> tie split by id: ceil(0.2*5)=1 dropped (id 11)
+    val df = ((1L to 10L).map(i => (i, "a", i * 10)) ++
+      (11L to 15L).map(i => (i, "b", 7L))).toDF("id", "k", "m")
+    val kept = Curation.filterByQuantile(df, "k", "id", "m", q = 0.2)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(kept === ((3L to 10L) ++ (12L to 15L)).toSet)
+    assert(Curation.filterByQuantile(df, "k", "id", "m", q = 0.0).count() === 15)
+    // columns pass through unchanged
+    assert(Curation.filterByQuantile(df, "k", "id", "m", 0.2).columns.toSeq
+      === Seq("id", "k", "m"))
+  }
+
   test("globalRank matches the single-partition window twin, across partitionings") {
     import org.apache.spark.sql.expressions.Window
     // keys with heavy duplication so the tie-break column matters

@@ -62,4 +62,39 @@ class CurationStreamSpec extends AnyFunSuite {
       assert(admitted == Seq(1L, 2L, 3L, 5L))
     } finally q.stop()
   }
+
+  test("stateless curation ops (normalize → chunk) run unchanged on a stream, equal batch") {
+    // normalizeText and chunkByTokens are rowwise projections/
+    // generators — no state, no watermark — so the SAME operator
+    // composition runs on readStream verbatim; this pins that the
+    // streaming micro-batch output equals the batch run row-for-row.
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[KeyedDoc]
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val norm = TextAnalysis.normalizeText(df, "doc_id", "text")
+      TextAnalysis.chunkByTokens(
+        norm.withColumnRenamed("norm_text", "text"), "doc_id", "text",
+        maxTokens = 4, overlap = 1)
+    }
+    val q = pipeline(source.toDF())
+      .writeStream.format("memory").queryName("curate_stream_out")
+      .outputMode("append").start()
+    val rows = Seq(
+      KeyedDoc(1, "a", "  One\ttwo  three four five six SEVEN  "),
+      KeyedDoc(2, "a", "tiny"))
+    try {
+      source.addData(rows.take(1)); q.processAllAvailable()
+      source.addData(rows.drop(1)); q.processAllAvailable()
+      val streamed = spark.table("curate_stream_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      val batch = pipeline(rows.toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(streamed == batch)
+      assert(streamed.head._3 == "one two three four") // normalized before chunking
+    } finally q.stop()
+  }
 }

@@ -63,7 +63,8 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("curation windows are partitioned — no single-partition global sort") {
-    for (q <- Seq("q_pack", "q_source_cap", "q_sessions", "q_top_events")) {
+    for (q <- Seq("q_pack", "q_source_cap", "q_sessions", "q_top_events",
+        "q_quantile_gate")) {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
       val windows = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w

@@ -285,6 +285,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(ours === twin)
   }
 
+  test("oovRate: exact fractions, vocab side broadcast in the plan") {
+    val docs = Seq((1L, "a b c d"), (2L, "a a x"), (3L, "z")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "a").toDF("term") // duplicate collapses
+    val out = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((4L, 2L, 0.5)))      // c, d OOV
+    assert(got(2L) === ((3L, 1L, 1.0 / 3)))  // x OOV
+    assert(got(3L) === ((1L, 1L, 1.0)))      // all OOV
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocabulary must broadcast, got:\n$plan")
+  }
+
   test("chunkByTokens: stride/overlap geometry, short docs, exact reassembly") {
     val n = 100
     val doc = (1 to n).map(i => s"t$i").mkString(" ")
