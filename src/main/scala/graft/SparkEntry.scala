@@ -407,6 +407,13 @@ object SparkEntry {
       TextAnalysis.oovRate(docs, "doc_id", "text", top10)
     }),
 
+    // ── LLM-pipeline: passage-level exact dedup (C4-style spans) ────
+    // 8-token passages; first corpus-wide occurrence wins (partial
+    // MIN agg on an integer encoding — no window on the passage key).
+    "q_passage_dedup" -> ((s, dir) => {
+      Dedup.dedupPassages(Tables(s, dir, "documents"), "doc_id", "text", width = 8)
+    }),
+
     // ── LLM-pipeline: (doc, term) TF + corpus DF (TF-IDF core) ──────
     "q_term_freq" -> ((s, dir) => {
       TextAnalysis.termFrequencies(Tables(s, dir, "documents"), "doc_id", "text")
@@ -577,6 +584,14 @@ object SparkEntry {
     "q_keep_best" -> ((s, dir) => {
       Curation.keepBestPerKey(Tables(s, dir, "documents"),
         Seq("source", "lang"), "n_chars", "doc_id")
+    }),
+
+    // ── curation: stable pseudonymization of user ids ───────────────
+    // Salted md5 replacement — joins/group-bys on the pseudonym still
+    // work; rowwise, no shuffle.
+    "q_pseudonymize" -> ((s, dir) => {
+      Curation.pseudonymize(Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id")), Seq("user_id"), salt = "graft-r7")
     }),
 
     // ── curation: drop each source's shortest 20% (quantile gate) ───
@@ -1277,6 +1292,31 @@ object SparkEntry {
         |         AS BIGINT) AS n_chars_removed
         |FROM dirty""".stripMargin,
 
+    "q_passage_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |u AS (SELECT doc_id, toks, n,
+        |             unnest(range(1, greatest(1, n) + 1, 8)) AS s FROM t),
+        |c AS (SELECT doc_id, CAST((s - 1) // 8 AS BIGINT) AS chunk_id,
+        |             array_to_string(list_slice(toks, s, s + 7), ' ') AS chunk_text
+        |      FROM u),
+        |w AS (SELECT chunk_text, min(doc_id * 1048576 + chunk_id) AS win
+        |      FROM c GROUP BY 1),
+        |k AS (SELECT c.doc_id, c.chunk_id, c.chunk_text FROM c
+        |      JOIN w ON c.chunk_text = w.chunk_text
+        |            AND c.doc_id * 1048576 + c.chunk_id = w.win),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY 1),
+        |kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |                string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text
+        |         FROM k GROUP BY 1)
+        |SELECT tot.doc_id,
+        |       coalesce(kept.clean_text, '') AS clean_text,
+        |       coalesce(kept.n_kept, 0) AS n_kept,
+        |       tot.n_chunks - coalesce(kept.n_kept, 0) AS n_dropped
+        |FROM tot LEFT JOIN kept USING (doc_id)""".stripMargin,
+
     "q_oov" ->
       """WITH counts AS (
         |  SELECT term, count(*) AS cnt FROM (
@@ -1765,6 +1805,13 @@ object SparkEntry {
         |                               ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1""".stripMargin,
+
+    "q_pseudonymize" ->
+      """SELECT event_id,
+        |       CASE WHEN user_id IS NOT NULL
+        |            THEN md5('graft-r7' || ':' || CAST(user_id AS VARCHAR))
+        |       END AS user_id
+        |FROM events""".stripMargin,
 
     "q_quantile_gate" ->
       """SELECT doc_id, source, n_chars FROM (

@@ -155,6 +155,26 @@ object Curation {
       .agg(max(col("cnt")).cast("long").as("n_docs"), aggs: _*)
   }
 
+  /** Stable pseudonymization: replace each named column with the md5
+    * hex of salt ‖ ':' ‖ value — the de-identification step before a
+    * curated corpus leaves its enclave. Same (salt, value) ⇒ same
+    * pseudonym, so joins and group-bys on the pseudonymized key still
+    * work across tables hashed with the same salt, while the raw
+    * identifier never appears downstream; rotating the salt unlinks
+    * past releases. NULL stays NULL (a hashed sentinel would make
+    * every null identical-and-joinable, which is exactly the linkage
+    * leak this prevents). Rowwise codegen, no shuffle — one map-only
+    * pass at any scale. Nothing here is reversible anonymization —
+    * it is linkable pseudonymization, as documented. */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize needs at least one column")
+    require(salt.nonEmpty, "empty salt defeats the unlinkability contract")
+    cols.foldLeft(df)((acc, c) =>
+      acc.withColumn(c,
+        when(col(c).isNotNull,
+          md5(concat(lit(salt), lit(":"), col(c).cast("string"))))))
+  }
+
   /** Per-key quantile gate: within each key, drop the bottom q
     * fraction of rows by metricCol (keep rows ranked ABOVE the
     * ceil(q·n)-th smallest — "drop each source's shortest/lowest-

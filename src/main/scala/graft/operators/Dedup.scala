@@ -554,4 +554,60 @@ object Dedup {
         VectorOps.cosineWithNorms(col("v1"), col("v2"), col("n1"), col("n2")).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  /** Passage-level exact dedup à la C4's span/line dedup: cut every
+    * document into non-overlapping width-token passages
+    * (TextAnalysis.chunkByTokens, overlap 0), keep only the FIRST
+    * occurrence of each distinct passage corpus-wide (lowest doc id,
+    * then chunk position), and reassemble each document from its
+    * surviving passages in order. Boilerplate repeated across
+    * thousands of pages (headers, licence blocks, navigation) is cut
+    * from every copy but the first, while each host document's unique
+    * content survives — the sub-document granularity exact dedup that
+    * whole-doc dedup cannot express.
+    *
+    * Scale shape: the first-occurrence winner per passage is a
+    * partial MIN aggregate over an exact integer encoding
+    * doc_id·2²⁰ + chunk_id (never a ranking window partitioned by
+    * passage text — a viral passage would sort its million copies on
+    * one partition; MIN partial-aggregates them away map-side). One
+    * hash-shuffle of the chunks on passage text for the winner agg +
+    * join, one shuffle by doc for reassembly. The encoding requires
+    * chunk_id < 2²⁰ (a million passages per doc) and doc_id < 2⁴³ —
+    * loudly guarded, not silently wrong. The chunk relation feeds
+    * three consumers (winner agg, winner join, per-doc totals) so it
+    * is cached under the releaseCaches() lifecycle — the corpus
+    * parquet is scanned exactly ONCE, on the cache build.
+    * Output: (idCol, clean_text, n_kept, n_dropped); a document whose
+    * every passage was seen earlier comes back with empty clean_text
+    * (its rows are what a downstream filter drops). */
+  def dedupPassages(df: DataFrame, idCol: String, textCol: String,
+                    width: Int): DataFrame = {
+    val enc = col(idCol).cast("long") * lit(1048576L) + col("chunk_id")
+    val chunks = registerCache(
+      TextAnalysis.chunkByTokens(df, idCol, textCol, width, overlap = 0)
+        .select(col(idCol), col("chunk_id"), col("chunk_text"))
+        .withColumn("__enc",
+          when(col("chunk_id") < 1048576L
+              && col(idCol).cast("long").between(0L, (1L << 43) - 1), enc)
+            .otherwise(raise_error(concat(lit("dedupPassages encoding overflow: doc "),
+              col(idCol).cast("string"), lit(" chunk "), col("chunk_id").cast("string"))))))
+    val winners = chunks.groupBy("chunk_text").agg(min(col("__enc")).as("__win"))
+    val kept = chunks.join(winners, Seq("chunk_text"))
+      .filter(col("__enc") === col("__win"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("clean_text"))
+    // chunk_ids are contiguous 0..k-1, so totals come from the CACHED
+    // chunks (max+1) — the corpus parquet is scanned exactly once
+    val totals = chunks.groupBy(col(idCol))
+      .agg((max(col("chunk_id")) + 1L).as("n_chunks"))
+    totals.join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

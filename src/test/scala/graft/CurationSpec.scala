@@ -127,6 +127,24 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Set(10L, 12L), s"got $got")
   }
 
+  test("pseudonymize: stable, null-preserving, salt-rotating, join-preserving") {
+    val a = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None)).toDF("eid", "uid")
+    val p1 = Curation.pseudonymize(a, Seq("uid"), "s1")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(p1(3L).isEmpty) // NULL stays NULL, never a joinable sentinel
+    assert(p1(1L).get.length === 32 && p1(1L).get != "10")
+    // same (salt, value) in another table → same pseudonym (joins survive)
+    val b = Seq((99L, Some(10L))).toDF("other", "uid")
+    val p2 = Curation.pseudonymize(b, Seq("uid"), "s1").collect()(0).getString(1)
+    assert(p2 === p1(1L).get)
+    // rotating the salt unlinks
+    val p3 = Curation.pseudonymize(a, Seq("uid"), "s2")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(p3(1L).get != p1(1L).get)
+    // distinct values stay distinct (no collisions on this domain)
+    assert(p1(1L).get != p1(2L).get)
+  }
+
   test("filterByQuantile drops the bottom q per key with exact integer cut") {
     // key "a": metrics 1..10 -> ceil(0.2*10)=2 dropped (ids 1,2)
     // key "b": metrics all EQUAL -> tie split by id: ceil(0.2*5)=1 dropped (id 11)

@@ -347,4 +347,40 @@ class DedupSpec extends AnyFunSuite {
     assert(dist((1L, 3L)) < dist((1L, 4L))) // near-dup closer than unrelated
     assert(dist((1L, 3L)) === dist((3L, 1L)))
   }
+
+  test("dedupPassages: first occurrence wins, docs reassemble in order, audit counts") {
+    // width 2, docs of 4 tokens = 2 passages each:
+    //   doc 1: [a b][c d]           — all first occurrences
+    //   doc 2: [a b][x y]           — [a b] seen in doc 1, dropped
+    //   doc 3: [c d][a b]           — both passages seen, fully dropped
+    //   doc 4: [p q][r s]           — untouched
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "c d a b"), (4L, "p q r s")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupPassages(df, "doc_id", "text", width = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === (("a b c d", 2L, 0L)))
+    assert(got(2L) === (("x y", 1L, 1L)))
+    assert(got(3L) === (("", 0L, 2L)))   // fully boilerplate, empty not missing
+    assert(got(4L) === (("p q r s", 2L, 0L)))
+    // passage order within a doc is chunk order, not passage-text order
+    val ooo = Seq((1L, "z z a a"), (2L, "b b z z")).toDF("doc_id", "text")
+    val g2 = Dedup.dedupPassages(ooo, "doc_id", "text", width = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g2(1L) === "z z a a" && g2(2L) === "b b")
+    // winner selection is a partial aggregate, never a window on the
+    // passage key (a viral passage would single-thread its copies);
+    // the chunk relation is cached so all three consumers (winner agg,
+    // join, totals) read one materialization — one corpus scan
+    val qe = Dedup.dedupPassages(df, "doc_id", "text", 2).queryExecution
+    try {
+      val plan = qe.executedPlan.toString
+      assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+      val imrs = qe.optimizedPlan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }
+      assert(imrs.nonEmpty, "expected the cached chunk relation in the plan")
+    } finally Dedup.releaseCaches()
+  }
 }
