@@ -221,6 +221,18 @@ object SparkEntry {
         emb.orderBy("vec_id").limit(5), "vec_id", "embedding", k = 10)
     }),
 
+    // ── LLM-pipeline: int8 embedding quantization ───────────────────
+    // The 4×-smaller storage form for billion-vector corpora; codes
+    // emitted as a comma-joined string so the compare hashes scalars.
+    "q_quantize" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          VectorOps.quantizeInt8(VectorOps.toDouble(col("embedding"))).as("q"))
+        .select(col("vec_id"),
+          array_join(transform(col("q.codes"), c => c.cast("string")), ",").as("codes"),
+          col("q.lo").as("lo"), col("q.hi").as("hi"))
+    }),
+
     // ── LLM-pipeline: random-hyperplane LSH index buckets ───────────
     "q_ann_buckets" -> ((s, dir) => {
       Similarity.lshBuckets(Tables(s, dir, "embeddings"), "vec_id", "embedding",
@@ -284,6 +296,25 @@ object SparkEntry {
       Dedup.dropNearDupClusters(Tables(s, dir, "documents"), "doc_id", "text",
         n = 3, h = 16, b = 8, minSim = 0.5, parity = true)
         .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // ── LLM-pipeline: incremental dedup — batch vs corpus index ─────
+    // Continuous ingestion: docs with doc_id % 4 == 0 arrive as a new
+    // batch and are deduped against an INDEX of the already-admitted
+    // corpus (the other 3/4) — exact content hashes first, then a
+    // minhash-signature near-dup join (agreement ≥ 0.5), never
+    // re-scanning corpus text. The kept doc_ids are what a full
+    // re-dedup would admit from the batch.
+    "q_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+      val b1 = Dedup.dropSeenExact(batch, Dedup.exactIndex(corpus, Seq("text")), Seq("text"))
+      Dedup.dropSeenNearDup(b1,
+        Dedup.minhashIndex(corpus, "doc_id", "text", n = 3, h = 16, parity = true),
+        "doc_id", "text", n = 3, h = 16, b = 8,
+        minAgree = 0.5, parity = true, maxBucket = 100)
+        .select(col("doc_id"), col("source"))
     }),
 
     // ── LLM-pipeline: near-dup, xxhash64 scale path (default mode) ──
@@ -560,11 +591,28 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // ── curation: leakage-safe grouped split (side chosen by source
+    // hash, so every doc of a source — and the near-dups that cluster
+    // within it — lands on one side) ─────────────────────────────────
+    "q_group_split" -> ((s, dir) => {
+      Sampling.groupSplit(Tables(s, dir, "documents"), "source", testFrac = 0.25)
+        .select(col("doc_id"), col("source"), col("split"))
+    }),
+
     // ── curation: rebalance to target source proportions ────────────
     "q_rebalance" -> ((s, dir) => {
       Curation.rebalanceSources(Tables(s, dir, "documents"), "source", "doc_id",
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select(col("doc_id"), col("source"))
+    }),
+
+    // ── curation: up-sample to target mix (epoch-repeat) ────────────
+    // The complement of q_rebalance: under-represented sources repeat
+    // across epochs instead of over-represented ones being cut.
+    "q_upsample" -> ((s, dir) => {
+      Curation.upsampleToMix(Tables(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("doc_id"), col("source"), col("epoch"))
     }),
 
     // ── curation: per-source length-distribution profile ────────────
@@ -830,29 +878,33 @@ object SparkEntry {
     * (a_i·x + b_i) mod 2^31-1, 8 bands × 2 rows). DuckDB list slicing
     * is end-inclusive, hence the [lo : bi*2] bounds. */
   /** Same CTE chain over an arbitrary source relation (the pipeline
-    * query runs it over the already-filtered document set). */
-  private def sqlMinhashOn(src: String): String =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
-      |sh AS (
+    * query runs it over the already-filtered document set), with an
+    * optional CTE-name prefix so two chains (e.g. corpus + batch in
+    * q_incremental) can coexist in one WITH. */
+  private def sqlSigChainOn(src: String, p: String): String =
+    s"""${p}toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
+      |${p}sh AS (
       |  SELECT doc_id,
       |         list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh
-      |  FROM toks WHERE len(toks) >= 3
+      |  FROM ${p}toks WHERE len(toks) >= 3
       |),
-      |hs AS (
+      |${p}hs AS (
       |  SELECT doc_id, sh,
       |         list_transform(sh, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hs
-      |  FROM sh WHERE len(sh) > 0
+      |  FROM ${p}sh WHERE len(sh) > 0
       |),
-      |sig AS (
+      |${p}sig AS (
       |  SELECT doc_id, sh,
       |         [list_min([((1299721*i+7)*x + 104729*i) % 2147483647 for x in hs]) for i in range(1, 17)] AS sig
-      |  FROM hs
+      |  FROM ${p}hs
       |),
-      |bb AS (
+      |${p}bb AS (
       |  SELECT doc_id, CAST(bi AS INTEGER) AS band,
       |         array_to_string(sig[(bi-1)*2+1 : bi*2], ',') AS bucket
-      |  FROM sig CROSS JOIN generate_series(1, 8) t(bi)
+      |  FROM ${p}sig CROSS JOIN generate_series(1, 8) t(bi)
       |)""".stripMargin
+
+  private def sqlMinhashOn(src: String): String = sqlSigChainOn(src, "")
 
   private val sqlMinhash = sqlMinhashOn("documents")
 
@@ -1422,6 +1474,17 @@ object SparkEntry {
          |  FROM s)
          |WHERE rn <= 10""".stripMargin,
 
+    "q_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e)
+        |SELECT vec_id,
+        |       array_to_string(list_transform(v, x ->
+        |         CAST(CASE WHEN hi = lo THEN 0
+        |                   ELSE floor((x - lo) * 255.0 / (hi - lo) + 0.5)
+        |              END AS INTEGER)), ',') AS codes,
+        |       lo, hi
+        |FROM mm""".stripMargin,
+
     "q_ann_buckets" ->
       s"""WITH $sqlAnnIndex
          |SELECT vec_id, tbl, bucket FROM bk""".stripMargin,
@@ -1492,6 +1555,30 @@ object SparkEntry {
          |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin,
+
+    "q_incremental" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+         |idx AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+         |b0 AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+         |b1 AS (SELECT b0.* FROM b0 ANTI JOIN idx ON md5(b0.text) = idx.h),
+         |${sqlSigChainOn("corpus", "c")},
+         |${sqlSigChainOn("b1", "b")},
+         |hot AS (SELECT band, bucket FROM cbb GROUP BY 1, 2 HAVING count(*) > 100),
+         |cbbc AS (SELECT cbb.* FROM cbb ANTI JOIN hot USING (band, bucket)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS bid, y.doc_id AS cid
+         |  FROM bbb x JOIN cbbc y USING (band, bucket)
+         |),
+         |agr AS (
+         |  SELECT cand.bid,
+         |         CAST(list_sum(list_transform(list_zip(bs.sig, cs.sig),
+         |                       p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+         |           / 16.0 AS agree
+         |  FROM cand JOIN bsig bs ON bs.doc_id = cand.bid
+         |            JOIN csig cs ON cs.doc_id = cand.cid
+         |),
+         |doomed AS (SELECT DISTINCT bid FROM agr WHERE agree >= 0.5)
+         |SELECT doc_id, source FROM b1 ANTI JOIN doomed ON b1.doc_id = doomed.bid""".stripMargin,
 
     "q_simhash" ->
       s"""WITH $sqlSimhashFp
@@ -1750,6 +1837,13 @@ object SparkEntry {
         |            THEN 'test' ELSE 'train' END AS split
         |FROM documents""".stripMargin,
 
+    "q_group_split" ->
+      """SELECT doc_id, source,
+        |       CASE WHEN CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT)
+        |                 / 4294967296.0 < 0.25
+        |            THEN 'test' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
     "q_rebalance" ->
       """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
         |tgt AS (SELECT * FROM (VALUES
@@ -1763,6 +1857,25 @@ object SparkEntry {
         |FROM documents d JOIN rates r USING (source)
         |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |      / 4294967296.0 < r.rate""".stripMargin,
+
+    "q_upsample" ->
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |tgt AS (SELECT * FROM (VALUES
+        |  ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |  ('src2', CAST(0.2 AS DOUBLE))) t(source, w)),
+        |tt AS (SELECT max(n / w) AS t FROM cnt JOIN tgt USING (source)),
+        |mult AS (
+        |  SELECT c.source, greatest(CAST(1.0 AS DOUBLE), t.w * tt.t / c.n) AS m
+        |  FROM cnt c JOIN tgt t USING (source) CROSS JOIN tt),
+        |reps AS (
+        |  SELECT d.doc_id, d.source,
+        |         CAST(floor(coalesce(m.m, 1.0)) AS BIGINT) +
+        |         CASE WHEN CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                   / 4294967296.0
+        |                 < coalesce(m.m, 1.0) - floor(coalesce(m.m, 1.0))
+        |              THEN 1 ELSE 0 END AS r
+        |  FROM documents d LEFT JOIN mult m USING (source))
+        |SELECT doc_id, source, CAST(unnest(range(r)) AS INTEGER) AS epoch FROM reps""".stripMargin,
 
     "q_source_profile" ->
       """WITH d AS (

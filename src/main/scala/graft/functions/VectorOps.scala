@@ -73,4 +73,35 @@ object VectorOps {
   /** Cast an array<float> (testdata embeddings) to array<double> so all
     * arithmetic runs in double — matches the oracle's ::DOUBLE[] cast. */
   def toDouble(a: Column): Column = a.cast("array<double>")
+
+  // ── int8 scalar quantization (embedding storage at corpus scale) ──
+
+  /** Per-vector min/max scalar quantization: code_i = floor((x_i-lo)
+    * · 255 / (hi-lo) + 0.5) ∈ [0,255], plus the (lo, hi) pair needed
+    * to dequantize — 4× smaller than float32 (parquet byte-packs the
+    * small ints), the standard storage form for billion-vector ANN
+    * corpora where the index shuttles codes and only the final
+    * re-rank touches full floats. floor(x+0.5) instead of round():
+    * round()'s half-mode is engine-specific (HALF_UP vs banker's);
+    * floor is IEEE-exact everywhere, so codes are cross-engine
+    * bit-identical. Constant vectors (hi == lo) map to code 0.
+    * Rowwise codegen, no shuffle. */
+  def quantizeInt8(a: Column): Column = {
+    val lo = array_min(a)
+    val hi = array_max(a)
+    struct(
+      transform(a, x =>
+        when(hi === lo, 0)
+          .otherwise(floor((x - lo) * 255.0 / (hi - lo) + 0.5).cast("int"))).as("codes"),
+      lo.as("lo"), hi.as("hi"))
+  }
+
+  /** Inverse of quantizeInt8: x̂_i = lo + code_i · (hi-lo) / 255.
+    * Max abs reconstruction error is half a step: (hi-lo)/510. */
+  def dequantizeInt8(q: Column): Column = {
+    val lo = q.getField("lo")
+    val hi = q.getField("hi")
+    transform(q.getField("codes"), c =>
+      when(hi === lo, lo).otherwise(lo + c.cast("double") * (hi - lo) / 255.0))
+  }
 }

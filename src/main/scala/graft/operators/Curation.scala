@@ -124,6 +124,47 @@ object Curation {
     Sampling.stratifiedSample(df, idCol, keyCol, rates, defaultRate = 0.0)
   }
 
+  /** Up-sample to a target mix by REPEATING rows across epochs — the
+    * complement of rebalanceSources (which only drops). The binding
+    * source is the one whose share most exceeds its target: it stays
+    * at one copy; every other listed source repeats to an expected
+    * f_s = w_s · max_j(n_j / w_j) copies (multiplier m_s ≥ 1) — the
+    * integer part exactly, the fractional part by the id-hash rule
+    * (rerun- and repartition-stable). Output rows carry an `epoch`
+    * column (0-based copy index), the training-data convention that
+    * lets the shard writer interleave repeated copies deliberately
+    * instead of re-reading a source k times. Sources absent from
+    * targetShare pass through with one copy — up-sampling never drops
+    * data (rebalanceSources is the cutting knife). The per-source
+    * counts are a k-bounded driver collect (the centroid-step
+    * posture); multipliers ship back as a plan literal CASE chain, so
+    * the data-sized work is ONE map-side generator pass — no join, no
+    * shuffle, output ≤ max-multiplier × input. */
+  def upsampleToMix(df: DataFrame, keyCol: String, idCol: String,
+                    targetShare: Map[String, Double]): DataFrame = {
+    require(targetShare.nonEmpty, "targetShare must not be empty")
+    targetShare.foreach { case (s, w) =>
+      require(w > 0.0, s"share for '$s' must be positive, got $w") }
+    require(!df.columns.contains("epoch"),
+      "input already has an 'epoch' column — refusing to up-sample twice")
+    val counts = df
+      .filter(col(keyCol).isin(targetShare.keys.toSeq.map(_.asInstanceOf[Any]): _*))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targetShare.filter { case (s, _) => counts.contains(s) }
+    require(present.nonEmpty, "no targetShare key present in the data")
+    val tTotal = present.map { case (s, w) => counts(s) / w }.max
+    val mult = present.map { case (s, w) => s -> math.max(1.0, w * tTotal / counts(s)) }
+    val multCol = mult.foldLeft(lit(1.0)) { case (acc, (v, m)) =>
+      when(col(keyCol) === v, lit(m)).otherwise(acc)
+    }
+    val reps = (floor(multCol).cast("long") +
+      when(Sampling.hashUnit(col(idCol)) < multCol - floor(multCol), 1L).otherwise(0L))
+    // explode must stay a top-level generator (no wrapping cast)
+    df.withColumn("__epoch", explode(sequence(lit(0L), reps - 1)))
+      .withColumn("epoch", col("__epoch").cast("int")).drop("__epoch")
+  }
+
   /** Per-source corpus profile: doc count, total tokens, and EXACT
     * discrete percentiles of per-doc token count (the "what does each
     * domain's length distribution look like" audit before mixing).

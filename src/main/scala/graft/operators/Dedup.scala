@@ -390,6 +390,87 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  // ── Incremental dedup: a new batch vs a persisted corpus index ──
+  //
+  // Continuous ingestion cannot re-dedup 100 TB against itself per
+  // batch; it dedups the BATCH against a compact INDEX of what is
+  // already admitted, then appends the batch's own entries to the
+  // index. Two index granularities: content hashes (exact) and
+  // minhash signatures (near-dup) — both O(docs) rows of a few dozen
+  // bytes, never the corpus text.
+
+  /** Exact-dedup index: the distinct content hashes of a corpus —
+    * one 32-hex row per unique content, regardless of corpus width.
+    * Persist it (parquet, bucketed by content_hash for an exchange-
+    * free anti-join) and union in each admitted batch's hashes. */
+  def exactIndex(corpus: DataFrame, keyCols: Seq[String]): DataFrame =
+    corpus.select(contentHash(keyCols.map(col): _*).as("content_hash")).distinct()
+
+  /** Drop batch rows whose content is already in the index — the
+    * incremental form of dropExactDuplicates: yesterday's corpus is
+    * never re-scanned; the anti-join shuffles 32-char hashes only.
+    * contentHash maps NULLs to a sentinel (never a null hash), so a
+    * null-content batch row matches a null-content corpus row — same
+    * grouping rule as dropExactDuplicates. Batch-INTERNAL duplicates are not
+    * this function's job — run dropExactDuplicates on the batch
+    * first; the composition admits exactly what a full re-dedup of
+    * corpus+batch would keep from the batch. */
+  def dropSeenExact(batch: DataFrame, index: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(!batch.columns.contains("__ch"),
+      "batch already has a __ch column — rename it before dropSeenExact")
+    batch.withColumn("__ch", contentHash(keyCols.map(col): _*))
+      .join(index.select(col("content_hash").as("__ch")), Seq("__ch"), "left_anti")
+      .drop("__ch")
+  }
+
+  /** Near-dup index of a curated corpus: (id, sig) — h longs per doc,
+    * NO shingle sets. Signature agreement (below) stands in for exact
+    * Jaccard at verification time, which is precisely what lets the
+    * index stay this small. */
+  def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, h: Int = 16, parity: Boolean = false): DataFrame =
+    sigTable(corpus, idCol, textCol, n, h, parity)
+      .select(col(idCol).as("id"), col("sig"))
+
+  /** MinHash estimate of Jaccard: the fraction of agreeing signature
+    * positions (unbiased, variance 1/h). */
+  def sigAgreement(s1: Column, s2: Column): Column =
+    aggregate(zip_with(s1, s2, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(s1).cast("double")
+
+  /** Drop batch docs that near-duplicate any INDEXED corpus doc: band
+    * both signature sets, equi-join on (band, bucket) — batch side ×
+    * index side only, never batch-internal — then verify candidates
+    * with sigAgreement ≥ minAgree. Shuffle volume is O(batch·b +
+    * index·b) bucket rows plus the candidates; maxBucket drops over-
+    * populated INDEX buckets via the broadcast-blacklist guard, which
+    * bounds a hot boilerplate bucket's contribution to maxBucket ×
+    * (its batch-side count) instead of m_index × m_batch. Docs too
+    * short to shingle have no signature and pass through. Run
+    * dropSeenExact (cheaper) first; this join then only sees novel
+    * content. */
+  def dropSeenNearDup(batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, h: Int = 16, b: Int = 8,
+                      minAgree: Double = 0.5, parity: Boolean = false,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(h % b == 0, s"h=$h must be divisible by b=$b")
+    val bsig = registerCache(sigTable(batch, idCol, textCol, n, h, parity)
+      .select(col(idCol).as("__bid"), col("sig").as("__bsig")))
+    val isig = registerCache(index
+      .select(col("id").as("__iid"), col("sig").as("__isig")))
+    def bandsOf(sigs: DataFrame, id: String, sig: String) =
+      sigs.select(col(id), explode(bandBuckets(col(sig), b, h / b)).as("bb"))
+        .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val ib = dropOverPopulated(bandsOf(isig, "__iid", "__isig"), Seq("band", "bucket"), maxBucket)
+    val doomed = bandsOf(bsig, "__bid", "__bsig")
+      .join(ib, Seq("band", "bucket"))
+      .select("__bid", "__iid").distinct()
+      .join(bsig, "__bid").join(isig, "__iid")
+      .filter(sigAgreement(col("__bsig"), col("__isig")) >= minAgree)
+      .select(col("__bid").as(idCol)).distinct()
+    batch.join(doomed, Seq(idCol), "left_anti")
+  }
+
   // ── SimHash ──────────────────────────────────────────────────────
 
   private val HexChars = "0123456789abcdef"

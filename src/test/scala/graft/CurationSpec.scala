@@ -109,6 +109,42 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("upsampleToMix repeats under-represented sources across epochs, never drops") {
+    // a=100, b=50; equal targets → binding source a stays 1×, b gets 2× exactly
+    val df = ((1L to 100L).map(i => (i, "a")) ++ (101L to 150L).map(i => (i, "b")))
+      .toDF("id", "src")
+    val up = Curation.upsampleToMix(df, "src", "id", Map("a" -> 0.5, "b" -> 0.5))
+    val perSrc = up.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc("a") === 100L && perSrc("b") === 100L)
+    // epochs are contiguous from 0 per row
+    val epochs = up.filter($"src" === "b").groupBy("id")
+      .agg(sort_array(collect_list($"epoch")).as("es"))
+      .select("es").collect().map(_.getSeq[Int](0))
+    assert(epochs.forall(_ == Seq(0, 1)))
+    // fractional multipliers: every row appears floor(m) or ceil(m) times,
+    // assignment repartition-stable
+    val df2 = ((1L to 60L).map(i => (i, "a")) ++ (61L to 100L).map(i => (i, "b")))
+      .toDF("id", "src")
+    val m = Map("a" -> 0.5, "b" -> 0.5) // m_b = 1.5
+    val c1 = Curation.upsampleToMix(df2, "src", "id", m)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c2 = Curation.upsampleToMix(df2.repartition(7), "src", "id", m)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c1 === c2)
+    assert((1L to 60L).forall(c1(_) == 1L))
+    assert((61L to 100L).forall(i => c1(i) == 1L || c1(i) == 2L))
+    // sources not in the target map pass through with one copy at epoch 0
+    val df3 = df.union(Seq((200L, "other")).toDF("id", "src"))
+    val other = Curation.upsampleToMix(df3, "src", "id", Map("a" -> 0.5, "b" -> 0.5))
+      .filter($"src" === "other").collect()
+    assert(other.length == 1 && other(0).getInt(2) == 0)
+    // refuses a second pass
+    intercept[IllegalArgumentException] {
+      Curation.upsampleToMix(up, "src", "id", Map("a" -> 1.0))
+    }
+  }
+
   test("winnowContamination flags the planted shared passage, broadcast side in plan") {
     val passage = "the quick brown fox jumps over the lazy dog again and again"
     val corpus = Seq(

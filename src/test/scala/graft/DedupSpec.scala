@@ -383,4 +383,39 @@ class DedupSpec extends AnyFunSuite {
       assert(imrs.nonEmpty, "expected the cached chunk relation in the plan")
     } finally Dedup.releaseCaches()
   }
+
+  test("incremental dedup: batch vs index admits what a full re-dedup would") {
+    val corpus = Seq((1L, base), (3L, nearDup), (5L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq(
+      (4L, base),                      // exact copy of corpus doc 1 → dropped by the hash index
+      (8L, base + " x"),               // near-dup of corpus doc 1 → dropped by the sig index
+      (12L, "a fresh sentence with entirely novel tokens nothing shares"), // novel → kept
+      (16L, "too short")               // no trigram signature → passes the near-dup join
+    ).toDF("doc_id", "text")
+    try {
+      val afterExact = Dedup.dropSeenExact(batch, Dedup.exactIndex(corpus, Seq("text")), Seq("text"))
+      assert(afterExact.select("doc_id").as[Long].collect().toSet === Set(8L, 12L, 16L))
+      val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
+      val admitted = Dedup.dropSeenNearDup(afterExact, idx, "doc_id", "text", minAgree = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted === Set(12L, 16L))
+      // the decision is batch-vs-index only: two near-dup batch docs both
+      // survive if neither matches the index (batch-internal dedup is
+      // dropExactDuplicates/dropNearDuplicates' job, run before this)
+      val twins = Seq((20L, unrelated + " a"), (24L, unrelated + " b")).toDF("doc_id", "text")
+      val corpusOnly = Seq((1L, base)).toDF("doc_id", "text")
+      val kept2 = Dedup.dropSeenNearDup(twins,
+        Dedup.minhashIndex(corpusOnly, "doc_id", "text"), "doc_id", "text", minAgree = 0.5)
+      assert(kept2.count() === 2L)
+    } finally Dedup.releaseCaches()
+  }
+
+  test("sigAgreement: 1.0 on identical signatures, 0.0 on disjoint ones") {
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L)))
+      .toDF("a", "b", "c")
+      .select(Dedup.sigAgreement(col("a"), col("b")).as("same"),
+        Dedup.sigAgreement(col("a"), col("c")).as("diff"))
+    val r = df.collect()(0)
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 0.0)
+  }
 }

@@ -44,6 +44,29 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("groupSplit: one side per group, null-safe, still repartition-stable") {
+    val docs = (1L to 600L).map(i => (i, s"host${i % 40}")).toDF("id", "host")
+    val split = Sampling.groupSplit(docs, "host", 0.25)
+    // every group entirely on one side — the leakage-safety contract
+    val mixed = split.groupBy("host").agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(mixed == 0L)
+    // both sides populated at this frac on 40 groups
+    assert(split.select("split").distinct().count() == 2L)
+    // null group keys get a deterministic side, not a null
+    val withNull = docs.withColumn("host",
+      when($"id" <= 10, lit(null: String)).otherwise($"host"))
+    val nullSides = Sampling.groupSplit(withNull, "host", 0.25)
+      .filter($"host".isNull).select("split").distinct().as[String].collect()
+    assert(nullSides.length == 1)
+    // partitioning cannot change the assignment
+    val a = Sampling.groupSplit(docs, "host", 0.25)
+      .filter($"split" === "test").select("id").as[Long].collect().toSet
+    val b = Sampling.groupSplit(docs.repartition(7), "host", 0.25)
+      .filter($"split" === "test").select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("stratifiedSample honors per-stratum rates") {
     val kept = Sampling.stratifiedSample(ids, "id", "lang",
       rates = Map("en" -> 1.0), defaultRate = 0.0)

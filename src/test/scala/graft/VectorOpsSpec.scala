@@ -81,4 +81,34 @@ class VectorOpsSpec extends AnyFunSuite {
     val rn = withNull.select(VectorOps.sqDist($"a", $"b"), VectorOps.dot($"a", $"b")).head()
     assert(rn.isNullAt(0) && rn.isNullAt(1))
   }
+
+  test("quantizeInt8: codes in [0,255], endpoints exact, reconstruction within half a step") {
+    val vecs = Seq(
+      Seq(-1.0, 0.0, 0.25, 1.0),
+      Seq(3.0, 3.0, 3.0),               // constant vector → all codes 0
+      (1 to 64).map(i => math.sin(i.toDouble)).toSeq
+    ).toDF("v")
+    val q = vecs.select($"v", VectorOps.quantizeInt8($"v").as("q"))
+      .select($"v", $"q.codes".as("codes"), $"q.lo".as("lo"), $"q.hi".as("hi"),
+        VectorOps.dequantizeInt8($"q").as("vhat"))
+    q.collect().foreach { r =>
+      val v = r.getSeq[Double](0)
+      val codes = r.getSeq[Int](1)
+      val (lo, hi) = (r.getDouble(2), r.getDouble(3))
+      val vhat = r.getSeq[Double](4)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      assert(lo === v.min && hi === v.max)
+      if (hi > lo) {
+        // extremes hit the end codes exactly
+        assert(codes(v.indexOf(lo)) === 0 && codes(v.indexOf(hi)) === 255)
+        val step = (hi - lo) / 255.0
+        v.zip(vhat).foreach { case (x, xh) =>
+          assert(math.abs(x - xh) <= step / 2 + 1e-12,
+            s"reconstruction error ${math.abs(x - xh)} > half-step ${step / 2}")
+        }
+      } else {
+        assert(codes.forall(_ == 0) && vhat.forall(_ == lo))
+      }
+    }
+  }
 }
