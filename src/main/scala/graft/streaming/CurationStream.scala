@@ -1,7 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.functions.WinnowMins
 
 /** Structured Streaming twins of the batch curation operators — the
   * ingest-time shape of quota enforcement: admit documents as they
@@ -91,5 +94,43 @@ object CurationStream {
           state.update(admitted)
           out.result().iterator
       }
+  }
+
+  /** Ingest-time benchmark decontamination: drop arriving documents
+    * sharing ≥ minShared winnow fingerprints with a STATIC eval
+    * suite. The suite's distinct fingerprints are computed ONCE at
+    * query-build time and shipped as a plan literal — the broadcast
+    * side-input posture of the K-Means centroid step: an eval suite
+    * is thousands of documents, so its fingerprint set is KBs–MBs
+    * (guarded by maxBenchFps, loudly), never corpus-sized. The
+    * filter is then pure rowwise codegen: no join, no state, no
+    * watermark — a document's fate depends only on its own text, so
+    * batch and streaming agree EXACTLY (pinned in
+    * CurationStreamSpec), and restart/replay cannot change it.
+    *
+    * Same detection guarantee as Curation.winnowContamination (any
+    * shared substring of length ≥ w+k-1 chars yields a shared
+    * fingerprint), but the threshold pools fingerprints across the
+    * whole suite: a doc sharing one fingerprint with each of three
+    * probes counts 3 here, where the batch report counts per-probe.
+    * At minShared=1 (the drop-decision default) they agree. For
+    * suites too big for a plan literal, run the batch operator's
+    * broadcast join instead — this is the latency path. */
+  def dropContaminated(docs: DataFrame, textCol: String,
+                       bench: DataFrame, benchText: String,
+                       k: Int = 5, w: Int = 4, minShared: Int = 1,
+                       maxBenchFps: Int = 2000000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(bench.isStreaming == false,
+      "bench must be a static DataFrame — its fingerprints become a plan literal")
+    val fps = bench
+      .select(explode(array_distinct(WinnowMins.winnowMins(col(benchText), k, w))).as("f"))
+      .distinct().collect().map(_.getLong(0))
+    require(fps.length <= maxBenchFps,
+      s"benchmark fingerprint set (${fps.length}) exceeds maxBenchFps=$maxBenchFps — " +
+        "use Curation.winnowContamination's broadcast join for suites this large")
+    val benchLit = typedlit(fps.sorted.toSeq)
+    docs.filter(
+      size(array_intersect(WinnowMins.winnowMins(col(textCol), k, w), benchLit)) < minShared)
   }
 }

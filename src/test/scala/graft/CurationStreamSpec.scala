@@ -97,4 +97,46 @@ class CurationStreamSpec extends AnyFunSuite {
       assert(streamed.head._3 == "one two three four") // normalized before chunking
     } finally q.stop()
   }
+
+  test("dropContaminated: streaming equals batch; planted leak dropped, clean docs pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val passage = "the exact benchmark question about photosynthesis energy pathways"
+    val bench = Seq((100L, s"Q: $passage A: chloroplasts")).toDF("bid", "btext")
+    val docs = Seq(
+      KeyedDoc(1, "a", s"intro text then $passage then more prose"), // leaked → dropped
+      // "clean" here also means: shares no 5-char substring with the
+      // bench text (even one shared word like "about" can surface a
+      // common winnow fingerprint — that's the detector working)
+      KeyedDoc(2, "a", "a perfectly clean training document describing pasta recipes"),
+      KeyedDoc(3, "b", "another clean one discussing bridge engineering at length"))
+    val source = MemoryStream[KeyedDoc]
+    val q = CurationStream.dropContaminated(source.toDF(), "text", bench, "btext")
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      source.addData(docs.take(2)); q.processAllAvailable()
+      source.addData(docs.drop(2)); q.processAllAvailable()
+      val streamed = spark.table("decon_out").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == Seq(2L, 3L))
+      // a document's fate depends only on its own text ⇒ batch result identical
+      val batch = CurationStream.dropContaminated(docs.toDF(), "text", bench, "btext")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == batch)
+      // and the decision agrees with the batch report at minShared=1
+      val flagged = Curation.winnowContamination(docs.toDF(), "doc_id", "text",
+        bench, "bid", "btext", minShared = 1)
+        .select("doc_id").as[Long].collect().toSet
+      assert(flagged == Set(1L))
+    } finally q.stop()
+  }
+
+  test("dropContaminated refuses an over-budget benchmark fingerprint set") {
+    import spark.implicits._
+    val bench = Seq((1L, "a b c d e f g h i j k l m n o p")).toDF("bid", "btext")
+    val docs = Seq(KeyedDoc(1, "a", "x")).toDF()
+    intercept[IllegalArgumentException] {
+      CurationStream.dropContaminated(docs, "text", bench, "btext", maxBenchFps = 1)
+    }
+  }
 }
