@@ -24,7 +24,15 @@ object Bench {
     // iteration order decides which query that is (BENCH_r03's
     // q_text_stats vs r2's — same query, 5× apart).
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b: iterate on specific queries
+    // without paying the full suite (driver runs leave it unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       // settle the heap between queries: without this, whichever query
       // follows an allocation-heavy one absorbs its GC debt (observed
       // 2-4x swings on the same query across runs)

@@ -221,6 +221,30 @@ object SparkEntry {
         emb.orderBy("vec_id").limit(5), "vec_id", "embedding", k = 10)
     }),
 
+    // ── LLM-pipeline: product-quantization encode (m=4 × k=16) ──────
+    // Codebooks in the oracle-checkable maxIter=0 configuration
+    // (codewords = the 16 lowest-vec_id rows' subvectors, FirstK);
+    // training parity itself is q_kmeans_fit2's job. The encode is
+    // the K-Means argmin per subspace — rowwise, no shuffle.
+    "q_pq_encode" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      Similarity.encodePQ(emb, "embedding", model)
+        .select(col("vec_id"),
+          array_join(transform(col("codes"), c => c.cast("string")), ",").as("codes"))
+    }),
+
+    // ── LLM-pipeline: PQ asymmetric-distance top-k over codes ───────
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      val codes = Similarity.encodePQ(emb, "embedding", model).select("vec_id", "codes")
+      Similarity.pqTopK(codes, "vec_id", "codes",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding", model, k = 10)
+    }),
+
     // ── LLM-pipeline: int8 embedding quantization ───────────────────
     // The 4×-smaller storage form for billion-vector corpora; codes
     // emitted as a comma-joined string so the compare hashes scalars.
@@ -502,6 +526,12 @@ object SparkEntry {
     // ── events: daily cohort retention triangle ─────────────────────
     "q_cohorts" -> ((s, dir) => {
       Events.cohortRetention(Tables(s, dir, "events"), "user_id", "ts")
+    }),
+
+    // ── events: rolling 7-day active users (WAU per day) ────────────
+    "q_active_users" -> ((s, dir) => {
+      Events.rollingActiveUsers(Tables(s, dir, "events"), "user_id", "ts",
+        widthSeconds = 86400L, windowPeriods = 7)
     }),
 
     // ── temporal: backward as-of join (click ← latest prior purchase)
@@ -1015,6 +1045,33 @@ object SparkEntry {
       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5)
       |)""".stripMargin
 
+  /** DuckDB CTEs mirroring Similarity.trainPQ(maxIter=0)/encodePQ:
+    * m=4 subspaces of 16 dims, codewords = the 16 lowest-vec_id rows'
+    * subvectors renumbered 1..16 per subspace (FirstK), assignment =
+    * argmin sqdist with lowest-cid tie-break. DuckDB list slices are
+    * 1-based and end-INCLUSIVE: [j*16+1 : j*16+16]. */
+  private val sqlPqCodes =
+    """cb AS (
+      |  SELECT t.j, CAST(row_number() OVER (PARTITION BY t.j ORDER BY f.vec_id) AS INTEGER) AS cid,
+      |         (f.embedding::DOUBLE[])[t.j*16+1 : t.j*16+16] AS cw
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16) f CROSS JOIN range(0, 4) t(j)
+      |),
+      |sub AS (
+      |  SELECT e.vec_id, t.j, (e.embedding::DOUBLE[])[t.j*16+1 : t.j*16+16] AS sv
+      |  FROM embeddings e CROSS JOIN range(0, 4) t(j)
+      |),
+      |dpq AS (
+      |  SELECT s.vec_id, s.j, cb.cid,
+      |         list_sum(list_transform(list_zip(s.sv, cb.cw), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+      |  FROM sub s JOIN cb ON cb.j = s.j
+      |),
+      |pqa AS (
+      |  SELECT vec_id, j, cid FROM (
+      |    SELECT vec_id, j, cid,
+      |           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+      |    FROM dpq) WHERE rn = 1
+      |)""".stripMargin
+
   /** DuckDB CTEs mirroring Dedup.simhash: per-token 64 bits from the
     * md5 digest (4 × 16-bit words), ±1 majority vote per bit, hex
     * repack — ends in fpt(doc_id, fp). */
@@ -1107,6 +1164,13 @@ object SparkEntry {
         |)
         |SELECT cohort, period - cohort AS period_offset, count(*) AS n_users
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q_active_users" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS p FROM events
+        |),
+        |w AS (SELECT DISTINCT u, p + d AS period FROM active CROSS JOIN range(0, 7) t(d))
+        |SELECT period, count(*) AS n_active FROM w GROUP BY 1""".stripMargin,
 
     "q_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
@@ -1472,6 +1536,31 @@ object SparkEntry {
          |  SELECT probe_id, vec_id, sim,
          |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
          |  FROM s)
+         |WHERE rn <= 10""".stripMargin,
+
+    "q_pq_encode" ->
+      s"""WITH $sqlPqCodes
+         |SELECT vec_id, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY j) AS codes
+         |FROM pqa GROUP BY vec_id""".stripMargin,
+
+    "q_pq_topk" ->
+      s"""WITH $sqlPqCodes,
+         |$sqlProbes,
+         |pt AS (
+         |  SELECT pr.probe_id, cb.j, cb.cid,
+         |         list_sum(list_transform(list_zip(pr.pv[cb.j*16+1 : cb.j*16+16], cb.cw),
+         |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS sd
+         |  FROM pr CROSS JOIN cb
+         |),
+         |ad AS (
+         |  SELECT pt.probe_id, a.vec_id, list_sum(list(pt.sd ORDER BY a.j)) AS adist
+         |  FROM pqa a JOIN pt ON pt.j = a.j AND pt.cid = a.cid
+         |  GROUP BY 1, 2
+         |)
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, adist FROM (
+         |  SELECT probe_id, vec_id, adist,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+         |  FROM ad WHERE vec_id != probe_id)
          |WHERE rn <= 10""".stripMargin,
 
     "q_quantize" ->

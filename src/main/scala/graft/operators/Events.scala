@@ -172,6 +172,40 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Rolling active users — the WAU/MAU curve: for each period, how
+    * many DISTINCT users were active in the trailing `windowPeriods`
+    * periods ending there (widthSeconds=86400 + windowPeriods=7 ⇒
+    * weekly actives anchored per day). Exact integer periods via the
+    * shared µs contract, cohortRetention's convention.
+    *
+    * Shape: dedup to (user, period) first — one row per active-
+    * period, never per event — then each active-period contributes
+    * to its `windowPeriods` trailing anchors via a BOUNDED explode
+    * (×7/×30, a constant, not data-sized), then a second dedup on
+    * (user, anchor) before the count: a user active on three days of
+    * one window still counts once, and after that dedup the count
+    * needs no count-distinct (cohortRetention's trick). Three
+    * partial-agg shuffles, all on activity-sized data. NEVER a
+    * count(DISTINCT) over a sliding window — that plans a per-anchor
+    * re-scan.
+    *
+    * Output: (period, n_active) for every anchor some activity
+    * reaches — including up to windowPeriods-1 anchors past the last
+    * event (a user active yesterday IS a weekly-active tomorrow);
+    * join a calendar if zero-filled or clipped reporting matters. */
+  def rollingActiveUsers(df: DataFrame, userCol: String, tsCol: String,
+                         widthSeconds: Long = 86400L, windowPeriods: Int = 7): DataFrame = {
+    require(widthSeconds > 0, s"widthSeconds must be positive, got $widthSeconds")
+    require(windowPeriods >= 1 && windowPeriods <= 1000,
+      s"windowPeriods must be in [1,1000] (it multiplies rows), got $windowPeriods")
+    val period = ldiv(epochMicros(col(tsCol)), widthSeconds * 1000000L)
+    df.select(col(userCol).as("u"), period.as("p")).distinct()
+      .select(col("u"),
+        explode(sequence(col("p"), col("p") + lit(windowPeriods - 1).cast("long"))).as("period"))
+      .distinct()
+      .groupBy("period").agg(count(lit(1)).as("n_active"))
+  }
+
   /** JSON props extraction + per-type aggregate: the semi-structured
     * column path (get_json_object stays in codegen). */
   def propsAgg(df: DataFrame): DataFrame =

@@ -203,4 +203,96 @@ object Similarity {
       .select(col("probe_id"), col("p._1").as("vec_id"),
         (col("r0") + 1).cast("int").as("rank"), col("p._2").as("sim"))
   }
+
+  // ── Product quantization (PQ) ────────────────────────────────────
+
+  /** PQ model: m sub-codebooks of (up to) k centroids over dsub = d/m
+    * dims each; codeword ids are 1-based (KMeans renumbering). The
+    * standard compression for billion-vector corpora: d float32s
+    * become m small ints — 32× at d=64, m=8 — and queries run on the
+    * codes (pqTopK), touching floats only for an optional re-rank. */
+  final case class PQModel(d: Int, m: Int, k: Int,
+                           codebooks: IndexedSeq[KMeans.Centroids]) {
+    val dsub: Int = d / m
+  }
+
+  /** Train PQ codebooks: the d dims split into m contiguous
+    * subspaces, each clustered independently by our own K-Means
+    * (deterministic FirstK init ⇒ reproducible codebooks; maxIter=0
+    * degenerates to "codewords = first k rows' subvectors", the
+    * oracle-checkable configuration). Cost is m fits over n×dsub
+    * slices; at 100 TB you train on a sample (pass a sampled df —
+    * Sampling.deterministicSample — exactly as IVF trains its coarse
+    * quantizer) and encode the full corpus with the result. */
+  def trainPQ(corpus: DataFrame, idCol: String, vecCol: String, d: Int,
+              m: Int = 8, k: Int = 16, maxIter: Int = 10): PQModel = {
+    require(m >= 1 && d % m == 0, s"d=$d must divide into m=$m subspaces")
+    require(k >= 1 && k <= 256, s"k=$k must fit an unsigned byte, got $k")
+    val dsub = d / m
+    val v = VectorOps.toDouble(col(vecCol))
+    val books = (0 until m).map { j =>
+      val sub = corpus.select(col(idCol), slice(v, j * dsub + 1, dsub).as("__sub"))
+      KMeans.fit(sub, idCol, "__sub", KMeans.FirstK(k), maxIter).centroids
+    }
+    PQModel(d, m, k, books)
+  }
+
+  /** Encode vectors to PQ codes: per subspace, the nearest-codeword
+    * id (1-based) — an array<int> of length m. The same codegen'd
+    * argmin expression as the K-Means assignment, per subspace:
+    * rowwise, no shuffle, no UDF. */
+  def encodePQ(df: DataFrame, vecCol: String, model: PQModel,
+               outCol: String = "codes"): DataFrame = {
+    val v = VectorOps.toDouble(col(vecCol))
+    val codes = array((0 until model.m).map { j =>
+      KMeans.assignColumn(model.codebooks(j), slice(v, j * model.dsub + 1, model.dsub))
+    }: _*)
+    df.withColumn(outCol, codes)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each probe
+    * precomputes its m×k table of squared sub-distances to every
+    * codeword DRIVER-side (m·k·dsub flops — constants, the centroid-
+    * step posture), and a candidate's approximate squared distance is
+    * then Σ_j table(j)(code_j) — an O(m) array lookup per corpus row
+    * that never touches the original floats. The table set broadcasts
+    * (probes × m×k doubles); the scan is rowwise codegen over the
+    * 32×-smaller code column; ranking reuses the TopKAgg partial-agg
+    * path (≤k rows per probe leave each task). Ties break on the
+    * lowest vec_id. Self-matches excluded, like topKCosine. Output:
+    * (probe_id, vec_id, rank, adist); re-rank the head with exact
+    * floats when exactness matters — the standard PQ recipe. */
+  def pqTopK(codes: DataFrame, idCol: String, codesCol: String,
+             probes: DataFrame, probeIdCol: String, probeVecCol: String,
+             model: PQModel, k: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val pr = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+      VectorOps.toDouble(col(probeVecCol)).as("__pv")).collect()
+    require(pr.length <= 10000, s"probes must be small (got ${pr.length}) — they broadcast")
+    val tables: Seq[(Long, Seq[Seq[Double]])] = pr.toSeq.map { r =>
+      val pv = r.getSeq[Double](1).toArray
+      val tbl = (0 until model.m).map { j =>
+        val off = j * model.dsub
+        model.codebooks(j).sortBy(_._1).map { case (_, cw) =>
+          var s = 0.0; var i = 0
+          while (i < cw.length) { val dd = pv(off + i) - cw(i); s += dd * dd; i += 1 }
+          s
+        }.toSeq
+      }
+      (r.getLong(0), tbl)
+    }
+    val tdf = tables.toDF("probe_id", "__tbl")
+    codes.select(col(idCol).cast("long").as("__id"), col(codesCol).as("__c"))
+      .crossJoin(broadcast(tdf))
+      .filter(col("__id") =!= col("probe_id"))
+      .select(col("probe_id"), col("__id"),
+        VectorOps.foldSum(zip_with(col("__c"), col("__tbl"),
+          (c, t) => element_at(t, c))).as("__d"))
+      .groupBy("probe_id")
+      .agg(TopKAgg.topK(k, col("__id"), -col("__d")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))
+      .select(col("probe_id"), col("p._1").as("vec_id"),
+        (col("r0") + 1).cast("int").as("rank"), (-col("p._2")).as("adist"))
+  }
 }

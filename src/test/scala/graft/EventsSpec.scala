@@ -48,6 +48,26 @@ class EventsSpec extends AnyFunSuite {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L))
   }
 
+  test("rollingActiveUsers: trailing-window distinct counts, per-window dedup") {
+    val D = 86400L
+    val e = Seq(
+      ev(1, 0, 1, "view", 0), ev(2, 5, 1, "view", 0),      // u1 day 0 (twice: dedup)
+      ev(3, D, 1, "view", 0),                              // u1 day 1
+      ev(4, 2 * D, 2, "view", 0),                          // u2 day 2
+      ev(5, 9 * D, 3, "view", 0))                          // u3 day 9 (gap)
+    val got = Events.rollingActiveUsers(df(e), "user_id", "ts", windowPeriods = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // day 0: u1. day 1: u1. day 2: u1(d0,d1 in window)+u2 = 2.
+    // day 3: u1(d1)+u2 = 2. day 4: u2. days 5-8: nobody (absent).
+    // days 9-11: u3.
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L,
+      9L -> 1L, 10L -> 1L, 11L -> 1L))
+    // windowPeriods=1 degenerates to per-period actives
+    val daily = Events.rollingActiveUsers(df(e), "user_id", "ts", windowPeriods = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(daily === Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 9L -> 1L))
+  }
+
   test("funnelCounts: strictly-after first-occurrence step semantics") {
     val e = df(Seq(
       // user 1: completes the funnel in order

@@ -123,4 +123,46 @@ class SimilaritySpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("PQ: codes in range, deterministic retrain, clustered probe recalls its cluster") {
+    val rnd = new scala.util.Random(7)
+    def near(c: Array[Double]) = c.map(_ + rnd.nextGaussian() * 0.05).toSeq
+    val c1 = Array.fill(8)(0.0)
+    val c2 = Array.fill(8)(10.0)
+    val c3 = Array.tabulate(8)(i => if (i % 2 == 0) -10.0 else 10.0)
+    // ids interleave clusters (cluster = (id-1) % 3) so the
+    // deterministic FirstK init sees diverse seeds — k=3 codewords
+    // per subspace then converge to the three cluster means
+    val centers = Array(c1, c2, c3)
+    val rows = (1 to 60).map(i => (i.toLong, near(centers((i - 1) % 3))))
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Similarity.trainPQ(df, "vec_id", "embedding", d = 8, m = 2, k = 3, maxIter = 5)
+    assert(model.codebooks.length == 2 && model.dsub == 4)
+    // FirstK init + deterministic Lloyd steps ⇒ retraining reproduces the model
+    val model2 = Similarity.trainPQ(df, "vec_id", "embedding", d = 8, m = 2, k = 3, maxIter = 5)
+    assert(model.codebooks.zip(model2.codebooks).forall { case (a, b) =>
+      a.zip(b).forall { case ((i1, v1), (i2, v2)) => i1 == i2 && v1.sameElements(v2) }
+    })
+    val codes = Similarity.encodePQ(df, "embedding", model).select("vec_id", "codes")
+    val cs = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(cs.forall { case (_, c) => c.length == 2 && c.forall(x => x >= 1 && x <= 3) })
+    // all members of one tight cluster share a code word per subspace
+    cs.groupBy { case (id, _) => (id - 1) % 3 }.values.foreach { members =>
+      assert(members.map(_._2).distinct.length == 1,
+        s"tight cluster encoded to ${members.map(_._2).distinct.length} distinct codes")
+    }
+    // ADC: probe 1's top-19 are exactly the rest of its cluster
+    val sameCluster = (2L to 60L).filter(id => (id - 1) % 3 == 0).toSet
+    val top = Similarity.pqTopK(codes, "vec_id", "codes",
+      df.filter($"vec_id" === 1L), "vec_id", "embedding", model, k = 19)
+      .collect()
+    assert(top.length == 19)
+    assert(top.forall(r => sameCluster(r.getLong(1))),
+      s"foreign cluster leaked into top-k: ${top.map(_.getLong(1)).mkString(",")}")
+    // adist of same-cluster members is far below a foreign cluster's
+    val all = Similarity.pqTopK(codes, "vec_id", "codes",
+      df.filter($"vec_id" === 1L), "vec_id", "embedding", model, k = 59)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(all(4L) < 1.0 && all(2L) > 100.0)
+  }
 }
