@@ -245,6 +245,16 @@ object SparkEntry {
         emb.orderBy("vec_id").limit(5), "vec_id", "embedding", model, k = 10)
     }),
 
+    // ── LLM-pipeline: IVF-PQ top-k (cells prune, codes rank) ────────
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        cents8(s, dir), model, nprobe = 2, k = 10)
+    }),
+
     // ── LLM-pipeline: int8 embedding quantization ───────────────────
     // The 4×-smaller storage form for billion-vector corpora; codes
     // emitted as a comma-joined string so the compare hashes scalars.
@@ -1562,6 +1572,38 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
          |  FROM ad WHERE vec_id != probe_id)
          |WHERE rn <= 10""".stripMargin,
+
+    "q_ivfpq_topk" ->
+      s"""WITH $sqlCents8,
+         |$sqlPqCodes,
+         |$sqlProbes,
+         |pc AS (
+         |  SELECT vec_id AS probe_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d WHERE vec_id IN (SELECT probe_id FROM pr)) WHERE rn <= 2
+         |),
+         |pt AS (
+         |  SELECT pr.probe_id, cb.j, cb.cid,
+         |         list_sum(list_transform(list_zip(pr.pv[cb.j*16+1 : cb.j*16+16], cb.cw),
+         |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS sd
+         |  FROM pr CROSS JOIN cb
+         |),
+         |candq AS (
+         |  SELECT DISTINCT pc.probe_id, a.vec_id
+         |  FROM a JOIN pc ON a.cluster = pc.cell
+         |  WHERE a.vec_id != pc.probe_id
+         |),
+         |adq AS (
+         |  SELECT candq.probe_id, candq.vec_id, list_sum(list(pt.sd ORDER BY q.j)) AS adist
+         |  FROM candq JOIN pqa q ON q.vec_id = candq.vec_id
+         |             JOIN pt ON pt.probe_id = candq.probe_id AND pt.j = q.j AND pt.cid = q.cid
+         |  GROUP BY 1, 2
+         |)
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, adist FROM (
+         |  SELECT probe_id, vec_id, adist,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+         |  FROM adq) WHERE rn <= 10""".stripMargin,
 
     "q_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -262,6 +262,18 @@ object Similarity {
     * lowest vec_id. Self-matches excluded, like topKCosine. Output:
     * (probe_id, vec_id, rank, adist); re-rank the head with exact
     * floats when exactness matters — the standard PQ recipe. */
+  /** One probe's m×k table of squared sub-distances to every
+    * codeword — the driver-side precompute both ADC paths share. */
+  private def adcTable(pv: Array[Double], model: PQModel): Seq[Seq[Double]] =
+    (0 until model.m).map { j =>
+      val off = j * model.dsub
+      model.codebooks(j).sortBy(_._1).map { case (_, cw) =>
+        var s = 0.0; var i = 0
+        while (i < cw.length) { val dd = pv(off + i) - cw(i); s += dd * dd; i += 1 }
+        s
+      }.toSeq
+    }
+
   def pqTopK(codes: DataFrame, idCol: String, codesCol: String,
              probes: DataFrame, probeIdCol: String, probeVecCol: String,
              model: PQModel, k: Int): DataFrame = {
@@ -271,20 +283,57 @@ object Similarity {
       VectorOps.toDouble(col(probeVecCol)).as("__pv")).collect()
     require(pr.length <= 10000, s"probes must be small (got ${pr.length}) — they broadcast")
     val tables: Seq[(Long, Seq[Seq[Double]])] = pr.toSeq.map { r =>
-      val pv = r.getSeq[Double](1).toArray
-      val tbl = (0 until model.m).map { j =>
-        val off = j * model.dsub
-        model.codebooks(j).sortBy(_._1).map { case (_, cw) =>
-          var s = 0.0; var i = 0
-          while (i < cw.length) { val dd = pv(off + i) - cw(i); s += dd * dd; i += 1 }
-          s
-        }.toSeq
-      }
-      (r.getLong(0), tbl)
+      (r.getLong(0), adcTable(r.getSeq[Double](1).toArray, model))
     }
     val tdf = tables.toDF("probe_id", "__tbl")
     codes.select(col(idCol).cast("long").as("__id"), col(codesCol).as("__c"))
       .crossJoin(broadcast(tdf))
+      .filter(col("__id") =!= col("probe_id"))
+      .select(col("probe_id"), col("__id"),
+        VectorOps.foldSum(zip_with(col("__c"), col("__tbl"),
+          (c, t) => element_at(t, c))).as("__d"))
+      .groupBy("probe_id")
+      .agg(TopKAgg.topK(k, col("__id"), -col("__d")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))
+      .select(col("probe_id"), col("p._1").as("vec_id"),
+        (col("r0") + 1).cast("int").as("rank"), (-col("p._2")).as("adist"))
+  }
+
+  /** IVF-PQ top-k — the composition that actually indexes billions
+    * of vectors: the IVF coarse quantizer restricts each query to
+    * nprobe cells (partition pruning when the code table is persisted
+    * partitioned by cell, as buildIvfIndex does for floats), and
+    * within those cells ranking runs entirely on PQ codes via the
+    * broadcast ADC tables — the floats are never read at query time.
+    * The index row is (id, cell, codes): a cell id plus m small ints
+    * per vector. Query cost = (nprobe / #cells) · corpus · O(m)
+    * lookups, zero corpus shuffle (TopKAgg ships ≤k rows per probe
+    * per task). Exclusions/ties follow pqTopK. Output: (probe_id,
+    * vec_id, rank, adist). */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                cents: KMeans.Centroids, model: PQModel,
+                nprobe: Int, k: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    // index build (in production: persisted once, partitioned by cell)
+    val indexed = encodePQ(
+      KMeans.assign(
+        corpus.select(col(idCol).cast("long").as("__id"),
+          VectorOps.toDouble(col(vecCol)).as("__v")),
+        "__v", cents, outCol = "__cell"),
+      "__v", model, outCol = "__c")
+      .select("__id", "__cell", "__c")
+    val pr = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+      VectorOps.toDouble(col(probeVecCol)).as("__pv")).collect()
+    require(pr.length <= 10000, s"probes must be small (got ${pr.length}) — they broadcast")
+    val probeCells: Seq[(Long, Int, Seq[Seq[Double]])] = pr.toSeq.flatMap { r =>
+      val pv = r.getSeq[Double](1).toArray
+      val tbl = adcTable(pv, model)
+      nearestCells(pv, cents, nprobe).map(c => (r.getLong(0), c, tbl))
+    }
+    val pc = probeCells.toDF("probe_id", "__cell", "__tbl")
+    indexed.join(broadcast(pc), "__cell")
       .filter(col("__id") =!= col("probe_id"))
       .select(col("probe_id"), col("__id"),
         VectorOps.foldSum(zip_with(col("__c"), col("__tbl"),

@@ -164,5 +164,20 @@ class SimilaritySpec extends AnyFunSuite {
       df.filter($"vec_id" === 1L), "vec_id", "embedding", model, k = 59)
       .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
     assert(all(4L) < 1.0 && all(2L) > 100.0)
+
+    // IVF-PQ: with nprobe = all cells it reproduces plain ADC exactly;
+    // with nprobe = 1 the probe's own cell already holds its cluster
+    val cents = KMeans.fit(df, "vec_id", "embedding", KMeans.FirstK(3), maxIter = 5).centroids
+    val probes = df.filter($"vec_id" === 1L)
+    def asTuples(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sortBy(_._3)
+    val full = asTuples(Similarity.ivfPqTopK(df, "vec_id", "embedding",
+      probes, "vec_id", "embedding", cents, model, nprobe = 3, k = 10))
+    val adc = asTuples(Similarity.pqTopK(codes, "vec_id", "codes",
+      probes, "vec_id", "embedding", model, k = 10))
+    assert(full.toSeq == adc.toSeq)
+    val pruned = asTuples(Similarity.ivfPqTopK(df, "vec_id", "embedding",
+      probes, "vec_id", "embedding", cents, model, nprobe = 1, k = 10))
+    assert(pruned.length == 10 && pruned.forall(t => sameCluster(t._2)))
   }
 }
