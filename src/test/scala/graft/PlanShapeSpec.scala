@@ -75,4 +75,22 @@ class PlanShapeSpec extends AnyFunSuite {
       Dedup.releaseCaches()
     }
   }
+
+  test("PQ ADC scan: probe tables broadcast, exactly one corpus exchange (the top-k agg)") {
+    // the 100 TB claim of pqTopK: the code table is scanned in place
+    // (tables ride a BroadcastExchange), and the only thing that
+    // shuffles is the partially-aggregated top-k per probe — so
+    // exchanges of corpus-sized data = 1
+    val df = SparkEntry.queries("q_pq_topk")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastHashJoin"),
+      s"probe ADC tables must broadcast, got:\n$s")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length <= 1,
+      s"pqTopK should shuffle only the bounded top-k partials, found ${shuffles.length}:\n$s")
+  }
 }
