@@ -245,6 +245,20 @@ object SparkEntry {
         emb.orderBy("vec_id").limit(5), "vec_id", "embedding", model, k = 10)
     }),
 
+    // ── LLM-pipeline: PQ shortlist + exact re-rank ──────────────────
+    // ADC picks 50 candidates per probe from codes alone; only those
+    // 250 rows touch the float table for the exact final top-10.
+    "q_pq_rerank" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      val codes = Similarity.encodePQ(emb, "embedding", model).select("vec_id", "codes")
+      Similarity.pqTopKRerank(emb, "vec_id", "embedding",
+        codes, "vec_id", "codes",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        model, k = 10, shortlist = 50)
+    }),
+
     // ── LLM-pipeline: IVF-PQ top-k (cells prune, codes rank) ────────
     "q_ivfpq_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -1082,6 +1096,23 @@ object SparkEntry {
       |    FROM dpq) WHERE rn = 1
       |)""".stripMargin
 
+  /** Shared ADC CTEs (need sqlPqCodes + sqlProbes upstream): per-probe
+    * m×k sub-distance tables and the summed approximate distance per
+    * (probe, vec) — the ONE place the oracle states ADC semantics
+    * (q_pq_topk and q_pq_rerank both build on `ad`). */
+  private val sqlPqAdc =
+    """pt AS (
+      |  SELECT pr.probe_id, cb.j, cb.cid,
+      |         list_sum(list_transform(list_zip(pr.pv[cb.j*16+1 : cb.j*16+16], cb.cw),
+      |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS sd
+      |  FROM pr CROSS JOIN cb
+      |),
+      |ad AS (
+      |  SELECT pt.probe_id, a.vec_id, list_sum(list(pt.sd ORDER BY a.j)) AS adist
+      |  FROM pqa a JOIN pt ON pt.j = a.j AND pt.cid = a.cid
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
   /** DuckDB CTEs mirroring Dedup.simhash: per-token 64 bits from the
     * md5 digest (4 × 16-bit words), ±1 majority vote per bit, hex
     * repack — ends in fpt(doc_id, fp). */
@@ -1556,22 +1587,33 @@ object SparkEntry {
     "q_pq_topk" ->
       s"""WITH $sqlPqCodes,
          |$sqlProbes,
-         |pt AS (
-         |  SELECT pr.probe_id, cb.j, cb.cid,
-         |         list_sum(list_transform(list_zip(pr.pv[cb.j*16+1 : cb.j*16+16], cb.cw),
-         |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS sd
-         |  FROM pr CROSS JOIN cb
-         |),
-         |ad AS (
-         |  SELECT pt.probe_id, a.vec_id, list_sum(list(pt.sd ORDER BY a.j)) AS adist
-         |  FROM pqa a JOIN pt ON pt.j = a.j AND pt.cid = a.cid
-         |  GROUP BY 1, 2
-         |)
+         |$sqlPqAdc
          |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, adist FROM (
          |  SELECT probe_id, vec_id, adist,
          |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
          |  FROM ad WHERE vec_id != probe_id)
          |WHERE rn <= 10""".stripMargin,
+
+    "q_pq_rerank" ->
+      s"""WITH $sqlPqCodes,
+         |$sqlProbes,
+         |$sqlPqAdc,
+         |sl AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+         |    FROM ad WHERE vec_id != probe_id) WHERE rn <= 50
+         |),
+         |ex AS (
+         |  SELECT sl.probe_id, sl.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+         |          JOIN pr ON pr.probe_id = sl.probe_id
+         |)
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM ex) WHERE rn <= 10""".stripMargin,
 
     "q_ivfpq_topk" ->
       s"""WITH $sqlCents8,

@@ -299,6 +299,40 @@ object Similarity {
         (col("r0") + 1).cast("int").as("rank"), (-col("p._2")).as("adist"))
   }
 
+  /** PQ shortlist + exact re-rank — the full standard recipe: ADC
+    * over codes produces a shortlist of `shortlist` candidates per
+    * probe (cheap, floats never read), then ONLY those rows join back
+    * to the float table for exact cosine ranking of the final top-k.
+    * The float join touches shortlist·probes rows — thousands, not
+    * the corpus — so the expensive exact math runs on a vanishing
+    * fraction of the data while recall approaches brute force as
+    * `shortlist`/k grows. Output matches topKCosine's shape:
+    * (probe_id, vec_id, rank, sim). */
+  def pqTopKRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                   codes: DataFrame, codesIdCol: String, codesCol: String,
+                   probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                   model: PQModel, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val short = pqTopK(codes, codesIdCol, codesCol,
+      probes, probeIdCol, probeVecCol, model, shortlist)
+      .select(col("probe_id"), col("vec_id"))
+    val pv = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+      VectorOps.toDouble(col(probeVecCol)).as("__pv"))
+      .withColumn("__pn", VectorOps.norm2(col("__pv")))
+    val scored = short
+      .join(corpus.select(col(idCol).cast("long").as("vec_id"),
+        VectorOps.toDouble(col(vecCol)).as("__v")), "vec_id")
+      .join(broadcast(pv), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        VectorOps.cosineWithNorms(col("__v"), col("__pv"),
+          VectorOps.norm2(col("__v")), col("__pn")).as("__sim"))
+    scored.groupBy("probe_id")
+      .agg(TopKAgg.topK(k, col("vec_id"), col("__sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))
+      .select(col("probe_id"), col("p._1").as("vec_id"),
+        (col("r0") + 1).cast("int").as("rank"), col("p._2").as("sim"))
+  }
+
   /** IVF-PQ top-k — the composition that actually indexes billions
     * of vectors: the IVF coarse quantizer restricts each query to
     * nprobe cells (partition pruning when the code table is persisted

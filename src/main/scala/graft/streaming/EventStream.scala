@@ -42,6 +42,33 @@ object EventStream {
       .select(col("user_id"), unix_timestamp(col("w.start")).as("t_start"),
         unix_timestamp(col("w.end")).as("t_end"), col("n_events"))
 
+  /** Watermarked rolling active users — the streaming WAU/MAU twin of
+    * Events.rollingActiveUsers: distinct users per sliding window
+    * (length = windowPeriods·width, slide = width), anchored like the
+    * batch operator at the window's LAST period. Two chained stateful
+    * operators (supported in append mode): dropDuplicates on (user,
+    * window) — one state entry per active (user, window) inside the
+    * watermark horizon, the exact-distinct analogue of the batch
+    * (user, period) dedup, NEVER a distinct aggregate — then a plain
+    * windowed count. Append semantics: each anchor emits exactly
+    * once, when the watermark passes its window's end. */
+  def activeUsers(events: DataFrame, widthSeconds: Long = 86400L,
+                  windowPeriods: Int = 7, watermark: String = "1 hour"): DataFrame = {
+    require(widthSeconds > 0, s"widthSeconds must be positive, got $widthSeconds")
+    require(windowPeriods >= 1 && windowPeriods <= 1000,
+      s"windowPeriods must be in [1,1000], got $windowPeriods")
+    events.withColumn("ets", Events.tsFromNanos(col("ts")))
+      .withWatermark("ets", watermark)
+      .select(col("user_id"),
+        window(col("ets"), s"${widthSeconds * windowPeriods} seconds",
+          s"$widthSeconds seconds").as("w"))
+      .dropDuplicates("user_id", "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_active"))
+      .select((unix_timestamp(col("w.end")) / widthSeconds - 1).cast("long").as("period"),
+        col("n_active"))
+  }
+
   final case class UserRunning(user_id: Long, n_events: Long, sum_cents: Long)
 
   /** Custom keyed state: running per-user totals via

@@ -49,6 +49,28 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got === Set((0L, "click", 2L), (3600L, "view", 1L), (3600L, "click", 1L)))
   }
 
+  test("activeUsers: sliding distinct counts equal the batch twin on closed windows") {
+    import spark.implicits._
+    import graft.operators.Events
+    val evs = Seq(
+      Ev(1, 10 * G, 1, "a", 0, "{}"), Ev(2, 20 * G, 1, "a", 0, "{}"), // u1 period 0 twice
+      Ev(3, 70 * G, 1, "a", 0, "{}"),                                 // u1 period 1
+      Ev(4, 130 * G, 2, "a", 0, "{}"),                                // u2 period 2
+      Ev(5, 550 * G, 3, "a", 0, "{}"))                                // u3 period 9
+    // sentinel far ahead advances the watermark so every real window closes
+    val sentinel = Ev(99, 100000 * G, 99, "a", 0, "{}")
+    val got = runToMemory("au", mode = "append")(df =>
+      EventStream.activeUsers(df, widthSeconds = 60L, windowPeriods = 3,
+        watermark = "0 seconds"))(
+      Seq(evs.take(3), evs.drop(3), Seq(sentinel)))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Events.rollingActiveUsers(evs.toDF(), "user_id", "ts",
+      widthSeconds = 60L, windowPeriods = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === batch) // sentinel's own windows never closed — not emitted
+    assert(got(2L) === 2L && got(0L) === 1L && got(9L) === 1L)
+  }
+
   test("sessionCounts merges events within the gap into one session") {
     val evs = Seq(
       Ev(1, 0, 1, "a", 0, "{}"),

@@ -179,5 +179,13 @@ class SimilaritySpec extends AnyFunSuite {
     val pruned = asTuples(Similarity.ivfPqTopK(df, "vec_id", "embedding",
       probes, "vec_id", "embedding", cents, model, nprobe = 1, k = 10))
     assert(pruned.length == 10 && pruned.forall(t => sameCluster(t._2)))
+    // re-rank with a full-corpus shortlist IS brute force: results
+    // equal topKCosine bit-for-bit
+    val rer = asTuples(Similarity.pqTopKRerank(df, "vec_id", "embedding",
+      codes, "vec_id", "codes", probes, "vec_id", "embedding",
+      model, k = 10, shortlist = 59))
+    val exact = asTuples(Similarity.topKCosine(df, "vec_id", "embedding",
+      probes, "vec_id", "embedding", k = 10))
+    assert(rer.toSeq == exact.toSeq)
   }
 }
