@@ -365,6 +365,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // ── LLM-pipeline: cross-corpus overlap audit ────────────────────
+    // "Is the new dataset actually new?" — fraction of the batch
+    // already present (by content hash) in the corpus, before paying
+    // for a merge+dedup. Hashes shuffle; text never moves.
+    "q_overlap" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.overlapStats(
+        docs.filter(col("doc_id") % 4 =!= 0), Seq("text"),
+        docs.filter(col("doc_id") % 4 === 0), Seq("text"))
+    }),
+
     // ── LLM-pipeline: near-dup, xxhash64 scale path (default mode) ──
     // Same banded-LSH shape with the Spark-only masked-xxhash64 base
     // hash — the production default (no md5 at all). Not expressible in
@@ -667,6 +678,11 @@ object SparkEntry {
       Curation.upsampleToMix(Tables(s, dir, "documents"), "source", "doc_id",
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select(col("doc_id"), col("source"), col("epoch"))
+    }),
+
+    // ── curation: exact fixed-width length histogram ────────────────
+    "q_histogram" -> ((s, dir) => {
+      Curation.histogram(Tables(s, dir, "documents"), "n_chars", buckets = 10)
     }),
 
     // ── curation: per-source length-distribution profile ────────────
@@ -1728,6 +1744,32 @@ object SparkEntry {
          |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin,
+
+    "q_overlap" ->
+      """WITH av AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 <> 0),
+        |bv AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 4 = 0),
+        |j AS (SELECT bv.h, CASE WHEN av.h IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |      FROM bv LEFT JOIN av USING (h))
+        |SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |       CAST(sum(hit) AS BIGINT) AS n_exact,
+        |       CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_exact
+        |FROM j""".stripMargin,
+
+    "q_histogram" ->
+      """WITH mm AS (
+        |  SELECT min(CAST(n_chars AS DOUBLE)) AS mn, max(CAST(n_chars AS DOUBLE)) AS mx
+        |  FROM documents
+        |),
+        |bkt AS (
+        |  SELECT CAST(least(floor((CAST(n_chars AS DOUBLE) - mm.mn) * 10 / (mm.mx - mm.mn)),
+        |                    9) AS INTEGER) AS bucket
+        |  FROM documents CROSS JOIN mm WHERE n_chars IS NOT NULL
+        |)
+        |SELECT bucket, count(*) AS n,
+        |       mm.mn + bucket * ((mm.mx - mm.mn) / 10) AS lo,
+        |       CASE WHEN bucket = 9 THEN mm.mx
+        |            ELSE mm.mn + (bucket + 1) * ((mm.mx - mm.mn) / 10) END AS hi
+        |FROM bkt CROSS JOIN mm GROUP BY bucket, mm.mn, mm.mx""".stripMargin,
 
     "q_incremental" ->
       s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),

@@ -196,6 +196,35 @@ object Curation {
       .agg(max(col("cnt")).cast("long").as("n_docs"), aggs: _*)
   }
 
+  /** Exact fixed-width histogram of a numeric column — the length/
+    * score-distribution audit next to sourceProfile's percentiles.
+    * Bucket = floor((x − min) · buckets / (max − min)), the max value
+    * clamped into the last bucket; nulls are excluded. min/max come
+    * from one O(1)-rows-back aggregate (the k-bounded-collect
+    * posture), ship back as plan literals, and the histogram itself
+    * is ONE hash-agg over `buckets` keys — two corpus scans total,
+    * no window, no sort. Doubles stay exact cross-engine because
+    * every step ((x−lo)·buckets, one division, floor) is the same
+    * IEEE op sequence the oracle runs. Output: (bucket, n, lo, hi)
+    * with lo/hi the bucket's real-value bounds. */
+  def histogram(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= 100000, s"buckets must be in [1,1e5], got $buckets")
+    val mm = df.agg(min(col(valueCol).cast("double")).as("lo"),
+      max(col(valueCol).cast("double")).as("hi")).head()
+    require(!mm.isNullAt(0), s"histogram of an empty or all-null column '$valueCol'")
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val w = (hi - lo) / buckets
+    val bkt = if (hi == lo) lit(0)
+      else least(floor((col(valueCol).cast("double") - lo) * buckets / (hi - lo)),
+        lit(buckets - 1)).cast("int")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(bkt.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", lit(lo) + col("bucket") * lit(w))
+      .withColumn("hi", when(col("bucket") === buckets - 1, lit(hi))
+        .otherwise(lit(lo) + (col("bucket") + 1) * lit(w)))
+  }
+
   /** Stable pseudonymization: replace each named column with the md5
     * hex of salt ‖ ':' ‖ value — the de-identification step before a
     * curated corpus leaves its enclave. Same (salt, value) ⇒ same

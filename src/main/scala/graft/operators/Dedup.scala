@@ -423,6 +423,25 @@ object Dedup {
       .drop("__ch")
   }
 
+  /** Cross-corpus overlap audit: how much of `b` is already in `a`?
+    * One row — (n_b, n_exact, frac_exact) — counting b rows whose
+    * content hash appears anywhere in a: the "is this new dataset
+    * actually new" check run BEFORE paying for a merge+dedup. Only
+    * 32-hex hashes shuffle (one distinct + one left join); text never
+    * moves. For near-duplicate overlap, compare counts around
+    * dropSeenNearDup(b, minhashIndex(a)). */
+  def overlapStats(a: DataFrame, aKeys: Seq[String],
+                   b: DataFrame, bKeys: Seq[String]): DataFrame = {
+    val ah = a.select(contentHash(aKeys.map(col): _*).as("__h")).distinct()
+      .withColumn("__in", lit(1))
+    b.select(contentHash(bKeys.map(col): _*).as("__h"))
+      .join(ah, Seq("__h"), "left")
+      .agg(count(lit(1)).cast("long").as("n_b"),
+        sum(when(col("__in").isNotNull, 1L).otherwise(0L)).cast("long").as("n_exact"))
+      .select(col("n_b"), col("n_exact"),
+        (col("n_exact").cast("double") / col("n_b").cast("double")).as("frac_exact"))
+  }
+
   /** Near-dup index of a curated corpus: (id, sig) — h longs per doc,
     * NO shingle sets. Signature agreement (below) stands in for exact
     * Jaccard at verification time, which is precisely what lets the

@@ -221,8 +221,14 @@ object KMeans {
   def fit(data: DataFrame, idCol: String, featCol: String, init: Init,
           maxIter: Int, tol: Double = 0.0, keepEmpty: Boolean = false,
           trackCost: Boolean = false): KMeansModel = {
-    val df = data.select(col(idCol),
-      VectorOps.toDouble(col(featCol)).as(featCol)).cache()
+    val proj = data.select(col(idCol),
+      VectorOps.toDouble(col(featCol)).as(featCol))
+    // init-only (maxIter=0, e.g. PQ's oracle-checkable codebooks):
+    // one scan total — caching would cost a materialization to save
+    // nothing
+    if (maxIter == 0)
+      return KMeansModel(initCentroids(proj, idCol, featCol, init), 0, converged = false)
+    val df = proj.cache()
     try {
       var cents = initCentroids(df, idCol, featCol, init)
       val cap = if (maxIter < 0) 10000 else maxIter

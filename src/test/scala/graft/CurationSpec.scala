@@ -80,6 +80,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out.count() === 400L)
   }
 
+  test("histogram: exact widths, max clamped to last bucket, nulls excluded") {
+    val df = (Seq.fill(5)(0L) ++ Seq(25L, 50L, 99L, 100L))
+      .map(java.lang.Long.valueOf).map(Option(_)).padTo(10, None) // one null row
+      .map(o => Tuple1(o.map(Long2long))).toDF("v")
+    val h = Curation.histogram(df, "v", buckets = 10)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(h(0) === ((5L, 0.0, 10.0)))   // five zeros
+    assert(h(2) === ((1L, 20.0, 30.0)))  // 25
+    assert(h(5) === ((1L, 50.0, 60.0)))  // 50
+    assert(h(9) === ((2L, 90.0, 100.0))) // 99 and the clamped max
+    assert(h.values.map(_._1).sum === 9L) // null excluded
+    // degenerate constant column: everything in bucket 0
+    val const = Seq(7L, 7L, 7L).map(v => Tuple1(v)).toDF("v")
+    val hc = Curation.histogram(const, "v", buckets = 4).collect()
+    assert(hc.length == 1 && hc(0).getInt(0) == 0 && hc(0).getLong(1) == 3L)
+  }
+
   test("sourceProfile reports exact discrete percentiles per key") {
     // key a: lengths 1..4 tokens → p50 = 2nd smallest = 2, p90/p99 = 4th = 4
     val df = Seq(

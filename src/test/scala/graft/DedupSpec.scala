@@ -410,6 +410,14 @@ class DedupSpec extends AnyFunSuite {
     } finally Dedup.releaseCaches()
   }
 
+  test("overlapStats counts batch rows whose content hash exists in the corpus") {
+    val a = Seq((1L, base), (2L, base), (3L, unrelated)).toDF("doc_id", "text")
+    val b = Seq((4L, base), (5L, base), (6L, nearDup), (7L, unrelated)).toDF("doc_id", "text")
+    val r = Dedup.overlapStats(a, Seq("text"), b, Seq("text")).head()
+    // 4, 5 (base) and 7 (unrelated) hit; 6 (nearDup) is novel content
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L && r.getDouble(2) === 0.75)
+  }
+
   test("sigAgreement: 1.0 on identical signatures, 0.0 on disjoint ones") {
     val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L)))
       .toDF("a", "b", "c")
