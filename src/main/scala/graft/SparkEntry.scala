@@ -680,6 +680,14 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("epoch"))
     }),
 
+    // ── curation: robust per-source outlier gate (median ± 2·MAD) ───
+    "q_mad_gate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      Curation.madOutlierGate(docs, "source", "doc_id", "n_tokens", nMads = 2.0)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+
     // ── curation: exact fixed-width length histogram ────────────────
     "q_histogram" -> ((s, dir) => {
       Curation.histogram(Tables(s, dir, "documents"), "n_chars", buckets = 10)
@@ -1754,6 +1762,42 @@ object SparkEntry {
         |       CAST(sum(hit) AS BIGINT) AS n_exact,
         |       CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_exact
         |FROM j""".stripMargin,
+
+    "q_mad_gate" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |r1 AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_tokens NULLS FIRST, doc_id NULLS FIRST) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM d
+        |),
+        |m1 AS (
+        |  SELECT source, doc_id, n_tokens, cnt,
+        |         max(CASE WHEN rn <= CAST(ceil(cnt / 2.0) AS BIGINT) THEN n_tokens END)
+        |           OVER (PARTITION BY source) AS med
+        |  FROM r1
+        |),
+        |m2 AS (
+        |  SELECT source, doc_id, n_tokens, cnt, abs(n_tokens - med) AS dev
+        |  FROM m1
+        |),
+        |r2 AS (
+        |  SELECT source, doc_id, n_tokens, cnt, dev,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY dev NULLS FIRST, doc_id NULLS FIRST) AS rn2
+        |  FROM m2
+        |),
+        |m3 AS (
+        |  SELECT source, doc_id, n_tokens, dev,
+        |         max(CASE WHEN rn2 <= CAST(ceil(cnt / 2.0) AS BIGINT) THEN dev END)
+        |           OVER (PARTITION BY source) AS mad
+        |  FROM r2
+        |)
+        |SELECT doc_id, source, n_tokens FROM m3 WHERE dev <= 2.0 * mad""".stripMargin,
 
     "q_histogram" ->
       """WITH mm AS (

@@ -266,6 +266,38 @@ object Curation {
       .drop("__rn", "__cnt")
   }
 
+  /** Per-key robust outlier gate: keep rows whose metric sits within
+    * nMads median-absolute-deviations of their key's median — the
+    * quality gate that, unlike mean/stddev z-scores, one viral
+    * outlier cannot drag (median and MAD have 50% breakdown). Both
+    * statistics are DISCRETE (the ceil(n/2)-th smallest value under
+    * (metric, id) ordering — sourceProfile's exact-rank rule, nulls
+    * first) so membership is deterministic and cross-engine exact;
+    * no FP interpolation anywhere. Rows with a null metric drop (an
+    * unmeasurable row is not within any deviation bound). Degenerate
+    * keys where MAD = 0 (over half the rows share the median) keep
+    * only metric == median — the honest reading of "within 0
+    * deviations"; widen with filterByQuantile if that is too sharp.
+    * Cost: two same-key windows over one exchange — the capPerKey
+    * posture, skew bounded by the largest key. */
+  def madOutlierGate(df: DataFrame, keyCol: String, idCol: String,
+                     metricCol: String, nMads: Double = 3.0): DataFrame = {
+    require(nMads >= 0.0, s"nMads must be >= 0, got $nMads")
+    val w = Window.partitionBy(col(keyCol))
+    val half = ceil(col("__cnt") / lit(2.0)).cast("long")
+    val ord1 = w.orderBy(col(metricCol).asc_nulls_first, col(idCol).asc_nulls_first)
+    val m1 = df
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(ord1))
+      .withColumn("__med", max(when(col("__rn") <= half, col(metricCol))).over(w))
+      .withColumn("__dev", abs(col(metricCol) - col("__med")))
+    val ord2 = w.orderBy(col("__dev").asc_nulls_first, col(idCol).asc_nulls_first)
+    m1.withColumn("__rn2", row_number().over(ord2))
+      .withColumn("__mad", max(when(col("__rn2") <= half, col("__dev"))).over(w))
+      .filter(col("__dev") <= lit(nMads) * col("__mad"))
+      .drop("__cnt", "__rn", "__med", "__dev", "__rn2", "__mad")
+  }
+
   /** Scalable global rank (1-based, dense over rows): the two-pass
     * range-partition + partition-offset form of `row_number() OVER
     * (ORDER BY ...)`. A global ranking Window sorts the WHOLE input

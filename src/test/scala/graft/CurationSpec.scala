@@ -97,6 +97,23 @@ class CurationSpec extends AnyFunSuite {
     assert(hc.length == 1 && hc(0).getInt(0) == 0 && hc(0).getLong(1) == 3L)
   }
 
+  test("madOutlierGate keeps the median band, drops the outlier, MAD=0 keeps equals only") {
+    // key a: metrics 10,10,11,12,100 → med=11 (rank ceil(5/2)=3),
+    // devs 1,1,0,1,89 → mad=1 (rank 3 of 0,1,1,1,89) → keep |x-11|<=2
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 11L), (4L, "a", 12L), (5L, "a", 100L),
+      // key b: all equal → mad 0 → only exact median survives
+      (6L, "b", 5L), (7L, "b", 5L), (8L, "b", 6L),
+      // null metric drops (its own key so it doesn't shift a's ranks)
+      (9L, "c", -1L)
+    ).toDF("id", "k", "m")
+      .withColumn("m", when($"m" === -1L, lit(null: java.lang.Long)).otherwise($"m"))
+    val kept = Curation.madOutlierGate(df, "k", "id", "m", nMads = 2.0)
+      .select("id").as[Long].collect().toSet
+    // b: n=3, ranks of (5,5,6): med = rank-2 value = 5; devs 0,0,1 → mad=0
+    assert(kept === Set(1L, 2L, 3L, 4L, 6L, 7L))
+  }
+
   test("sourceProfile reports exact discrete percentiles per key") {
     // key a: lengths 1..4 tokens → p50 = 2nd smallest = 2, p90/p99 = 4th = 4
     val df = Seq(
