@@ -346,6 +346,41 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // ── LLM-pipeline: quality-aware cluster dedup (keep best copy) ──
+    // Same component closure as q_cluster_dedup, but each dup cluster
+    // keeps its LONGEST document (max n_chars, min doc_id tie) — the
+    // keep-the-best-copy rule real curation uses — via the max_by
+    // partial agg, never a ranking window over the corpus.
+    "q_cluster_best" -> ((s, dir) => {
+      Dedup.dropNearDupClustersKeepBest(Tables(s, dir, "documents"), "doc_id", "text",
+        scoreCol = "n_chars", n = 3, h = 16, b = 8, minSim = 0.5, parity = true)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // ── LLM-pipeline: per-source duplication audit ──────────────────
+    // Docs / distinct contents / dup overhead / content shared with
+    // other sources, one row per source; everything shuffled is
+    // (source, md5) counts — text never leaves the scan stage.
+    "q_dedup_report" -> ((s, dir) => {
+      Dedup.dedupReport(Tables(s, dir, "documents"), Seq("text"), "source")
+    }),
+
+    // ── LLM-pipeline: snapshot diff (corpus version delta audit) ────
+    // "New crawl" derived deterministically from documents: docs with
+    // doc_id%7=0 dropped, text of doc_id%5=0 revised, and a fresh id
+    // block added for doc_id%11=0 — the diff must report exactly the
+    // removed/changed/added deltas (mirrored in the oracle).
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cur = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Curation.snapshotDiff(docs, cur, "doc_id", Seq("text"))
+    }),
+
     // ── LLM-pipeline: incremental dedup — batch vs corpus index ─────
     // Continuous ingestion: docs with doc_id % 4 == 0 arrive as a new
     // batch and are deduped against an INDEX of the already-admitted
@@ -423,6 +458,19 @@ object SparkEntry {
       val bits = Dedup.autoBits(emb.count(), targetBucket = 32, minBits = 4)
       Dedup.embeddingNearDup(emb, "vec_id", "embedding",
         minSim = 0.3, tables = 8, bits = bits, d = 64, maxBucket = 400)
+    }),
+
+    // ── LLM-pipeline: SemDeDup semantic near-dup (K-Means-pruned) ───
+    // The data-dependent twin of q_embed_neardup: candidates come
+    // from a K-Means cell partition instead of random hyperplanes —
+    // pairs are verified (exact cosine ≥ 0.3) only within a cluster,
+    // so the pair space is Σ cluster², with the maxCluster blacklist
+    // guarding skewed cells (mirrored in the oracle's HAVING CTE).
+    // FirstK(8) centroids keep the assignment deterministic for the
+    // oracle; at scale train centroids on a sample with k ≈ n/target.
+    "q_semdedup" -> ((s, dir) => {
+      Dedup.semanticNearDup(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        cents8(s, dir), minSim = 0.3, maxCluster = 200)
     }),
 
     // ── LLM-pipeline: per-document text statistics ──────────────────
@@ -1753,6 +1801,52 @@ object SparkEntry {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin,
 
+    "q_cluster_best" ->
+      s"""WITH $sqlNearDupReach,
+         |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |best AS (
+         |  SELECT doc_id FROM (
+         |    SELECT d.doc_id,
+         |           row_number() OVER (PARTITION BY c.component
+         |                              ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |    FROM documents d JOIN comp c ON d.doc_id = c.id)
+         |  WHERE rn = 1
+         |)
+         |SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM best)
+         |   OR doc_id NOT IN (SELECT id FROM comp)""".stripMargin,
+
+    "q_dedup_report" ->
+      """WITH gh AS (
+        |  SELECT source, md5(text) AS h, count(*) AS n
+        |  FROM documents GROUP BY 1, 2
+        |),
+        |spread AS (SELECT h, count(*) AS n_groups FROM gh GROUP BY h)
+        |SELECT gh.source,
+        |       CAST(sum(gh.n) AS BIGINT) AS docs,
+        |       CAST(count(*) AS BIGINT) AS distinct_keys,
+        |       CAST(sum(gh.n) - count(*) AS BIGINT) AS dup_docs,
+        |       CAST(sum(CASE WHEN spread.n_groups > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_keys
+        |FROM gh JOIN spread USING (h)
+        |GROUP BY gh.source""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |cur0 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+        |),
+        |cur AS (SELECT doc_id, md5(text) AS h FROM cur0)
+        |SELECT COALESCE(old.doc_id, cur.doc_id) AS doc_id,
+        |       CASE WHEN old.h IS NULL THEN 'added'
+        |            WHEN cur.h IS NULL THEN 'removed'
+        |            WHEN old.h <> cur.h THEN 'changed' END AS status
+        |FROM old FULL OUTER JOIN cur ON old.doc_id = cur.doc_id
+        |WHERE (old.h IS NULL OR cur.h IS NULL OR old.h <> cur.h)""".stripMargin,
+
     "q_overlap" ->
       """WITH av AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 <> 0),
         |bv AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 4 = 0),
@@ -1880,6 +1974,20 @@ object SparkEntry {
          |  JOIN embeddings b ON b.vec_id = c.id2
          |)
          |SELECT id1, id2, sim FROM s WHERE sim >= 0.3""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH $sqlCents8,
+         |hot AS (SELECT cluster FROM a GROUP BY cluster HAVING count(*) > 200),
+         |af AS (SELECT a.vec_id, a.cluster FROM a ANTI JOIN hot USING (cluster)),
+         |p AS (
+         |  SELECT x.cluster, x.vec_id AS id1, y.vec_id AS id2,
+         |         ${sqlCosine("ea.embedding::DOUBLE[]", "eb.embedding::DOUBLE[]")} AS sim
+         |  FROM af x
+         |  JOIN af y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = x.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = y.vec_id
+         |)
+         |SELECT cluster, id1, id2, sim FROM p WHERE sim >= 0.3""".stripMargin,
 
     "q_scan_project" ->
       "SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dims FROM embeddings",

@@ -368,6 +368,29 @@ object Curation {
       .select(col("__best.*"))
   }
 
+  /** Snapshot diff between two corpus versions — the audit a periodic
+    * ingestion pipeline runs before promoting a new crawl: which ids
+    * were added, which disappeared, which changed content. Emits
+    * DELTAS ONLY (unchanged rows are the overwhelming majority at
+    * scale and are filtered before the result materializes).
+    *
+    * Scale shape: each side is reduced map-side to (id, md5) — wide
+    * value columns are hashed in the scan stage and never shuffled —
+    * then one full-outer hash join on the id. Output:
+    * (idCol, status ∈ {added, removed, changed}). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   valueCols: Seq[String]): DataFrame = {
+    val oh = oldDf.select(col(idCol), Dedup.contentHash(valueCols.map(col): _*).as("__oh"))
+    val nh = newDf.select(col(idCol), Dedup.contentHash(valueCols.map(col): _*).as("__nh"))
+    oh.join(nh, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("removed"))
+          .when(col("__oh") =!= col("__nh"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
+
   /** Benchmark decontamination: corpus documents sharing ≥ minShared
     * winnow fingerprints with ANY probe document (the eval-set
     * leak check run before training). Same detection guarantee as

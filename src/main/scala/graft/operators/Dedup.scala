@@ -365,6 +365,59 @@ object Dedup {
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware cluster-level near-dup removal: pairs → connected
+    * components → keep each component's BEST-scoring document (max
+    * scoreCol, lowest id on ties) instead of dropNearDupClusters'
+    * minimum id. The form real curation pipelines want — of a dup
+    * cluster, keep the longest / highest-quality copy, not whichever
+    * crawled first. Docs in no pair pass through untouched.
+    *
+    * Costs what dropNearDupClusters costs plus one max_by partial agg
+    * over the component members (a relation of near-dup docs only —
+    * tiny next to the corpus; the winner agg ships one candidate per
+    * component per task, never window-sorts). idCol must be numeric
+    * (keepBestPerKey's tie-break contract). */
+  def dropNearDupClustersKeepBest(df: DataFrame, idCol: String, textCol: String,
+                                  scoreCol: String,
+                                  n: Int = 3, h: Int = 16, b: Int = 8,
+                                  minSim: Double = 0.5, parity: Boolean = false,
+                                  maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs = nearDuplicates(df, idCol, textCol, n, h, b, minSim, parity, maxBucket)
+      .select("id1", "id2")
+    val comps = connectedComponents(pairs).select(col("id").as("__cid"), col("component"))
+    val members = df.join(comps, df(idCol) === comps("__cid")).drop("__cid")
+    val best = Curation.keepBestPerKey(members, Seq("component"), scoreCol, idCol)
+      .drop("component")
+    val untouched = df.join(comps.select(col("__cid").as(idCol)), Seq(idCol), "left_anti")
+    untouched.unionByName(best)
+  }
+
+  /** Per-group duplication audit — the dashboard a curation run emits
+    * per source/domain/snapshot: how many rows, how many distinct
+    * contents, the dup overhead, and how much content is SHARED with
+    * other groups (mirror sites, syndication). One row per group:
+    * (groupCol, docs, distinct_keys, dup_docs, shared_keys) where
+    * shared_keys counts this group's distinct contents that also
+    * appear in ≥1 other group.
+    *
+    * Scale shape: rows reduce map-side to (group, md5) in the scan
+    * stage; one partial-agg shuffle to (group, hash) counts, one more
+    * on hash for the cross-group fan-out, then a per-group rollup of
+    * the (group, hash) relation — every shuffled relation is counts
+    * over compact keys, never document text. */
+  def dedupReport(df: DataFrame, keyCols: Seq[String], groupCol: String): DataFrame = {
+    val gh = registerCache(
+      df.select(col(groupCol).as("__grp"), contentHash(keyCols.map(col): _*).as("__h"))
+        .groupBy("__grp", "__h").agg(count(lit(1)).as("__n")))
+    val spread = gh.groupBy("__h").agg(count(lit(1)).as("__n_groups"))
+    gh.join(spread, Seq("__h"))
+      .groupBy(col("__grp").as(groupCol))
+      .agg(sum("__n").cast("long").as("docs"),
+        count(lit(1)).cast("long").as("distinct_keys"),
+        (sum("__n") - count(lit(1))).cast("long").as("dup_docs"),
+        sum(when(col("__n_groups") > 1, 1L).otherwise(0L)).cast("long").as("shared_keys"))
+  }
+
   /** Content hash for exact dedup: md5 of the concatenated key columns
     * with a \u0001 separator (collision-safe for text columns that
     * cannot contain the separator). NULLs are replaced by a distinct
@@ -653,6 +706,59 @@ object Dedup {
       .select(col("id1"), col("id2"),
         VectorOps.cosineWithNorms(col("v1"), col("v2"), col("n1"), col("n2")).as("sim"))
       .filter(col("sim") >= minSim)
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): partition the embedding space by
+    * nearest-centroid assignment, then verify pairs EXACTLY (cosine ≥
+    * minSim) only WITHIN a cluster. Where embeddingNearDup prunes
+    * candidates with random hyperplanes, this prunes with a
+    * data-dependent K-Means partition — semantic duplicates embed
+    * close together, so they land in the same cell and the pair space
+    * collapses from n² to Σ cluster².
+    *
+    * Scale shape: assignment is a rowwise argmin against a k×d plan
+    * literal (KMeans.assignColumn — broadcast-sized, no shuffle), the
+    * self-join shuffles once on the cluster id, and per-row norms are
+    * hoisted so each PAIR costs one dot product. Sizing rule: pick
+    * k ≈ n / targetCluster (train centroids with KMeans.fit on a
+    * sample at scale; any fixed k makes expected cluster size grow
+    * with n and the join quadratic — same law as autoBits). Skewed
+    * cells (a mega-cluster of boilerplate embeddings) are dropped by
+    * the shared maxCluster blacklist — bounded recall loss for skew
+    * safety, as with every banded path here; exact-dedup identical
+    * vectors first so they never reach the join.
+    * Output: (cluster, id1, id2, sim ≥ minSim), id1 < id2. */
+  def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
+                      cents: KMeans.Centroids, minSim: Double,
+                      maxCluster: Int = Int.MaxValue): DataFrame = {
+    import graft.functions.VectorOps
+    val assigned = registerCache(
+      KMeans.assign(
+        df.select(col(idCol).cast("long").as("vid"),
+          VectorOps.toDouble(col(vecCol)).as("v")), "v", cents)
+        .withColumn("n", VectorOps.norm2(col("v"))))
+    val base = dropOverPopulated(assigned, Seq("cluster"), maxCluster)
+    val x = base.select(col("cluster"), col("vid").as("id1"), col("v").as("v1"), col("n").as("n1"))
+    val y = base.select(col("cluster"), col("vid").as("id2"), col("v").as("v2"), col("n").as("n2"))
+    x.join(y, Seq("cluster")).filter(col("id1") < col("id2"))
+      .select(col("cluster"), col("id1"), col("id2"),
+        VectorOps.cosineWithNorms(col("v1"), col("v2"), col("n1"), col("n2")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** Semantic dedup: drop the higher id of every semantic near-dup
+    * pair (the per-pair keep-first rule; for one-representative-per-
+    * component semantics feed semanticNearDup's pairs through
+    * connectedComponents as dropNearDupClusters does). Returns the
+    * surviving rows of `df` unchanged. */
+  def dropSemanticDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                             cents: KMeans.Centroids, minSim: Double,
+                             maxCluster: Int = Int.MaxValue): DataFrame = {
+    val doomed = semanticNearDup(df, idCol, vecCol, cents, minSim, maxCluster)
+      .select(col("id2").as(idCol)).distinct()
+    df.join(doomed, Seq(idCol), "left_anti")
   }
 
   /** Passage-level exact dedup à la C4's span/line dedup: cut every

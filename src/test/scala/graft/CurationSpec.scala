@@ -287,4 +287,18 @@ class CurationSpec extends AnyFunSuite {
       .findAllIn(plan).length
     assert(nAgg >= 2, s"expected partial+final aggregate pair, got:\n$plan")
   }
+
+  test("snapshotDiff reports added/removed/changed deltas only") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "text")
+    val cur = Seq((1L, "a"), (2L, "B"), (5L, "e")).toDF("id", "text")
+    val got = Curation.snapshotDiff(old, cur, "id", Seq("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // 1 unchanged (absent), 2 changed, 3+4 removed, 5 added
+    assert(got === Map(2L -> "changed", 3L -> "removed", 4L -> "removed", 5L -> "added"))
+    // multi-column keys: a NULL moving between columns is a change
+    val o2 = Seq((1L, Some("x"), None: Option[String])).toDF("id", "a", "b")
+    val c2 = Seq((1L, None: Option[String], Some("x"))).toDF("id", "a", "b")
+    val d2 = Curation.snapshotDiff(o2, c2, "id", Seq("a", "b")).collect()
+    assert(d2.length === 1 && d2(0).getString(1) === "changed")
+  }
 }

@@ -237,6 +237,69 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseCaches()
   }
 
+  test("semanticNearDup: within-cluster cosine pairs, cross-cluster pruned by design") {
+    import graft.operators.KMeans
+    val a = Array.tabulate(64)(i => math.sin(i + 1))
+    val aNear = a.clone(); aNear(0) += 0.001
+    val b = a.map(x => -x) // opposite cell, cosine -1 to a
+    val bNear = b.clone(); bNear(1) += 0.001
+    val cents: KMeans.Centroids = Array((1, a), (2, b))
+    val df = Seq((1L, a.toSeq), (2L, aNear.toSeq), (3L, b.toSeq), (4L, bNear.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticNearDup(df, "vec_id", "embedding", cents, minSim = 0.9)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    Dedup.releaseCaches()
+    // near pairs inside each cell found with exact similarity …
+    assert(pairs.keySet === Set((1L, 2L), (3L, 4L)))
+    assert(pairs((1L, 2L)) > 0.999 && pairs((3L, 4L)) > 0.999)
+  }
+
+  test("dropSemanticDuplicates keeps the lowest id of each pair; maxCluster guards hot cells") {
+    import graft.operators.KMeans
+    val hot = Array.tabulate(64)(i => math.cos(i + 1))
+    val cents: KMeans.Centroids = Array((1, hot))
+    // 10 identical vectors: one cell, 45 pairs uncapped -> keep id 1
+    val df = (1L to 10L).map(i => (i, hot.toSeq)).toDF("vec_id", "embedding")
+    val kept = Dedup.dropSemanticDuplicates(df, "vec_id", "embedding", cents, minSim = 0.9)
+      .select("vec_id").as[Long].collect().sorted
+    Dedup.releaseCaches()
+    assert(kept === Array(1L))
+    // the skew guard blacklists the over-populated cell entirely:
+    // zero pairs, nothing dropped (bounded recall loss, never m² rows)
+    val capped = Dedup.semanticNearDup(df, "vec_id", "embedding", cents,
+      minSim = 0.9, maxCluster = 5).count()
+    Dedup.releaseCaches()
+    assert(capped === 0L)
+  }
+
+  test("dedupReport: per-group docs/distinct/dups/shared counts") {
+    val df = Seq(
+      (1L, "s1", base), (2L, "s1", base), (3L, "s1", unrelated),
+      (4L, "s2", base), (5L, "s2", nearDup)
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.dedupReport(df, Seq("text"), "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    Dedup.releaseCaches()
+    // s1: 3 docs, 2 distinct (base×2 + unrelated), 1 dup, base shared with s2
+    assert(got("s1") === ((3L, 2L, 1L, 1L)))
+    // s2: 2 docs, 2 distinct, 0 dups, base shared with s1
+    assert(got("s2") === ((2L, 2L, 0L, 1L)))
+  }
+
+  test("dropNearDupClustersKeepBest keeps the best-scoring doc per component") {
+    // 1-2-3 form one near-dup chain (transitive), 4 unrelated; score
+    // says keep 2 (longest), not the min id 1
+    val df = Seq(
+      (1L, base, 10), (2L, base + " x", 99), (3L, base + " y", 50),
+      (4L, unrelated, 1)
+    ).toDF("doc_id", "text", "n_chars")
+    val kept = Dedup.dropNearDupClustersKeepBest(df, "doc_id", "text", "n_chars",
+        minSim = 0.5, parity = true)
+      .select("doc_id").as[Long].collect().sorted
+    Dedup.releaseCaches()
+    assert(kept === Array(2L, 4L))
+  }
+
   test("simhashNearDup maxBucket drops boilerplate bucket clusters") {
     // 12 identical docs: every (band, substring) bucket has 12
     // members in all 4 bands -> 66 pairs uncapped, zero once the cap
