@@ -601,6 +601,24 @@ object SparkEntry {
       Events.sessionize(Tables(s, dir, "events"), gapMicros = 1800000000L)
     }),
 
+    // ── LLM-pipeline: next-event training labels (lead window) ──────
+    "q_next_event" -> ((s, dir) => {
+      Events.nextEventLabels(Tables(s, dir, "events"))
+    }),
+
+    // ── LLM-pipeline: split-leakage audit ───────────────────────────
+    // Near-dup pairs straddling a per-row train/test split — the
+    // eval-contamination measurement that motivates groupSplit. The
+    // synthetic corpus HAS near-dups, so a per-doc_id split leaks;
+    // the audit must list exactly the crossing pairs.
+    "q_leakage" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.5, parity = true)
+      Sampling.splitLeakage(pairs, "id1", "id2",
+        Sampling.trainTestSplit(docs, "doc_id", testFrac = 0.2), "doc_id")
+    }),
+
     // ── LLM-pipeline: top-n events per user (PARTITIONED window) ────
     "q_top_events" -> ((s, dir) => {
       Events.topPerUser(Tables(s, dir, "events"), n = 3)
@@ -805,6 +823,55 @@ object SparkEntry {
       Curation.winnowContamination(docs, "doc_id", "text",
         probes, "doc_id", "text", k = 5, w = 4, minShared = 10)
         .filter(col("doc_id") =!= col("probe_id"))
+    }),
+
+    // ── curation: exact n-gram decontamination (13-gram standard) ───
+    // Corpus docs sharing any exact word 5-gram with one of the 20
+    // lowest-id "benchmark" docs; grams md5-compressed, probe side
+    // broadcast. Identity matches excluded (probes live in the
+    // corpus here).
+    "q_ngram_decontam" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val probes = docs.orderBy(col("doc_id")).limit(20)
+        .select(col("doc_id"), col("text"))
+      Curation.ngramContamination(docs, "doc_id", "text",
+        probes, "doc_id", "text", n = 5, minShared = 1)
+        .filter(col("doc_id") =!= col("probe_id"))
+    }),
+
+    // ── curation: distribution drift between corpus versions ────────
+    // Mix-shift audit over `source` between the corpus and a version
+    // with doc_id%3=0 removed — per-key counts, fractions, |Δfrac|.
+    "q_drift" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Curation.distributionDrift(docs, docs.filter(col("doc_id") % 3 =!= 0), "source")
+    }),
+
+    // ── curation: deterministic negative sampling (contrastive) ─────
+    // 3 negatives per doc via rank + md5 modular shift — never the
+    // anchor, reproducible, replayed exactly by the oracle.
+    "q_negatives" -> ((s, dir) => {
+      Curation.negativeSamples(Tables(s, dir, "documents"), "doc_id", k = 3, seed = 42L)
+    }),
+
+    // ── curation: hard negatives from the anchor's K-Means cell ─────
+    "q_hard_negatives" -> ((s, dir) => {
+      Curation.hardNegatives(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        cents8(s, dir), k = 2, seed = 42L)
+    }),
+
+    // ── curation: uniform deterministic k-per-key sample ────────────
+    // 10 docs per source, ranked by salted id hash (unbiased, unlike
+    // capPerKey's first-n-by-id crawl-order bias).
+    "q_sample_k" -> ((s, dir) => {
+      Curation.sampleKPerKey(Tables(s, dir, "documents"), "source", "doc_id",
+        k = 10, seed = 42L).select(col("doc_id"), col("source"))
+    }),
+
+    // ── curation: curriculum shards (score-ordered ranking cut) ─────
+    "q_curriculum" -> ((s, dir) => {
+      Curation.curriculumShards(Tables(s, dir, "documents"), "n_chars", "doc_id",
+        nShards = 7).select(col("doc_id"), col("curriculum_rank"), col("shard"))
     }),
 
     // ── dedup: the DROP operator (keep lowest id per content) ───────
@@ -1791,6 +1858,29 @@ object SparkEntry {
          |$sqlCandJaccard
          |SELECT id1, id2, sim FROM simpairs""".stripMargin,
 
+    "q_next_event" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+        |SELECT event_id, user_id, event_type,
+        |       lead(event_type) OVER w AS next_type,
+        |       lead(ts_us) OVER w - ts_us AS gap_us
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
+
+    "q_leakage" ->
+      s"""WITH $sqlMinhash,
+         |$sqlCandJaccard,
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |                   / 4294967296.0 < 0.2
+         |              THEN 'test' ELSE 'train' END AS split
+         |  FROM documents
+         |)
+         |SELECT p.id1, p.id2, s1.split AS split1, s2.split AS split2
+         |FROM simpairs p
+         |JOIN sp s1 ON s1.doc_id = p.id1
+         |JOIN sp s2 ON s2.doc_id = p.id2
+         |WHERE p.sim >= 0.5 AND s1.split <> s2.split""".stripMargin,
+
     "q_components" ->
       s"""WITH $sqlNearDupReach
          |SELECT id, min(comp) AS component FROM reach GROUP BY id""".stripMargin,
@@ -2334,6 +2424,88 @@ object SparkEntry {
          |FROM fp0 c JOIN pf p ON c.f = p.f
          |WHERE c.doc_id != p.probe_id
          |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin,
+
+    "q_ngram_decontam" ->
+      """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |cg AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([md5(array_to_string(toks[i:i+4], ' '))
+        |                               for i in range(1, len(toks)-3)])) AS g
+        |  FROM ct WHERE len(toks) >= 5
+        |),
+        |pr AS (SELECT doc_id AS probe_id, string_split(text, ' ') AS toks
+        |       FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |pg AS (
+        |  SELECT probe_id,
+        |         unnest(list_distinct([md5(array_to_string(toks[i:i+4], ' '))
+        |                               for i in range(1, len(toks)-3)])) AS g
+        |  FROM pr WHERE len(toks) >= 5
+        |)
+        |SELECT cg.doc_id, pg.probe_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM cg JOIN pg USING (g)
+        |WHERE cg.doc_id <> pg.probe_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_drift" ->
+      """WITH oc AS (SELECT source, count(*) AS n_old FROM documents GROUP BY 1),
+        |nc AS (SELECT source, count(*) AS n_new FROM documents
+        |       WHERE doc_id % 3 <> 0 GROUP BY 1),
+        |j AS (SELECT COALESCE(oc.source, nc.source) AS source,
+        |             COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+        |      FROM oc FULL OUTER JOIN nc ON oc.source = nc.source),
+        |t AS (SELECT CAST(sum(n_old) AS BIGINT) AS tot_o,
+        |             CAST(sum(n_new) AS BIGINT) AS tot_n FROM j)
+        |SELECT source, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+        |       CASE WHEN tot_o > 0 THEN CAST(n_old AS DOUBLE) / CAST(tot_o AS DOUBLE) END AS frac_old,
+        |       CASE WHEN tot_n > 0 THEN CAST(n_new AS DOUBLE) / CAST(tot_n AS DOUBLE) END AS frac_new,
+        |       abs(COALESCE(CASE WHEN tot_n > 0 THEN CAST(n_new AS DOUBLE) / CAST(tot_n AS DOUBLE) END, 0)
+        |           - COALESCE(CASE WHEN tot_o > 0 THEN CAST(n_old AS DOUBLE) / CAST(tot_o AS DOUBLE) END, 0)) AS drift
+        |FROM j CROSS JOIN t""".stripMargin,
+
+    "q_negatives" ->
+      """WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk FROM documents),
+        |t AS (SELECT count(*) AS n FROM documents),
+        |x AS (
+        |  SELECT r.doc_id, CAST(j AS INTEGER) AS j,
+        |         (rk - 1 + 1 + CAST(concat('0x', substr(md5('42:' || r.doc_id || ':' || j), 1, 8)) AS BIGINT)
+        |                       % (t.n - 1)) % t.n + 1 AS nr
+        |  FROM r CROSS JOIN t CROSS JOIN generate_series(1, 3) s(j)
+        |)
+        |SELECT x.doc_id, x.j, r2.doc_id AS neg_id
+        |FROM x JOIN r r2 ON r2.rk = x.nr""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""WITH $sqlCents8,
+         |r AS (SELECT vec_id, cluster,
+         |             row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rk,
+         |             count(*) OVER (PARTITION BY cluster) AS m
+         |      FROM a),
+         |x AS (
+         |  SELECT vec_id, cluster, CAST(j AS INTEGER) AS j,
+         |         (rk - 1 + 1 + CAST(concat('0x', substr(md5('42:' || vec_id || ':' || j), 1, 8)) AS BIGINT)
+         |                       % (m - 1)) % m + 1 AS nr
+         |  FROM r CROSS JOIN generate_series(1, 2) s(j)
+         |  WHERE m >= 2
+         |)
+         |SELECT x.vec_id, x.cluster, x.j, r2.vec_id AS neg_id
+         |FROM x JOIN r r2 ON r2.cluster = x.cluster AND r2.rk = x.nr""".stripMargin,
+
+    "q_sample_k" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5('42:' || doc_id), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
+
+    "q_curriculum" ->
+      """WITH r AS (SELECT doc_id,
+        |                  row_number() OVER (ORDER BY n_chars, doc_id) AS curriculum_rank
+        |           FROM documents),
+        |t AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, curriculum_rank,
+        |       CAST((curriculum_rank - 1) // ((n + 6) // 7) AS INTEGER) AS shard
+        |FROM r CROSS JOIN t""".stripMargin,
 
     "q_dedup_kept" ->
       """SELECT doc_id FROM (

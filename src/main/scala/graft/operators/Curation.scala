@@ -27,6 +27,46 @@ object Curation {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Uniform deterministic k-of-n sample per key — the "keep a fair
+    * sample of every domain" knob (capPerKey above keeps the FIRST n
+    * by id, which biases toward early crawl order; this ranks each
+    * key's rows by a salted md5 of the id, so the admitted subset is
+    * uniform over the key's rows, reproducible, and repartition-
+    * stable). One ranking window = one shuffle on the key. Note the
+    * admitted set is NOT nested across k (rank order is, so k=5's
+    * sample contains k=3's — nested in that sense). */
+  def sampleKPerKey(df: DataFrame, keyCol: String, idCol: String, k: Int,
+                    seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = md5(concat_ws(":", lit(seed), col(idCol)))
+    val w = Window.partitionBy(col(keyCol)).orderBy(u, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Curriculum sharding: rank the corpus by a difficulty/quality
+    * score (globalRank — range exchange + partition offsets, never a
+    * single-partition sort) and cut the ranking into nShards
+    * contiguous shards: shard 0 = lowest scores … nShards-1 =
+    * highest. Feeding shards in order gives ascending-difficulty
+    * curriculum epochs; ties broken by id so the assignment is total
+    * and deterministic. shard = (rank-1) div ceil(n/nShards): every
+    * shard holds exactly ceil(n/nShards) rows except a shorter final
+    * one — exact integer arithmetic, replayable in SQL. Output:
+    * input columns + (curriculum_rank, shard). */
+  def curriculumShards(df: DataFrame, scoreCol: String, idCol: String,
+                       nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val ranked = Dedup.pin(globalRank(df, "curriculum_rank", 0,
+      col(scoreCol), col(idCol)))
+    val n = ranked.count()
+    val per = math.max(1L, (n + nShards - 1) / nShards.toLong)
+    // exact integer division (Column./ is double division — exact
+    // only below 2^53; `div` never degrades)
+    ranked.withColumn("shard",
+      call_function("div", col("curriculum_rank") - 1L, lit(per)).cast("int"))
+  }
+
   /** Sequence packing: concatenate each key's documents in idCol
     * order and cut the token stream at budget marks — a document's
     * shard is where it STARTS: shard = exclusive-prefix-sum(tokens)
@@ -389,6 +429,130 @@ object Curation {
           .when(col("__oh") =!= col("__nh"), lit("changed")))
       .filter(col("status").isNotNull)
       .select(col(idCol), col("status"))
+  }
+
+  /** Exact n-gram decontamination — the 13-gram standard of GPT-3
+    * appendix C / PaLM-style eval hygiene (public papers): corpus
+    * documents sharing at least minShared exact word n-grams with ANY
+    * probe document. Complementary to winnowContamination below:
+    * winnow detects long shared passages with sampled fingerprints;
+    * this is the exhaustive exact-n-gram contract most eval cards
+    * state. Grams are md5-compressed before the join so the shuffled/
+    * broadcast relation carries 32-hex keys, never 13-word strings.
+    *
+    * Scale shape: identical to winnowContamination — the probe side
+    * (an eval benchmark, thousands of rows) is BROADCAST, so the
+    * corpus explodes its grams map-side into the broadcast-hash join
+    * and is never shuffled; the partial-agg count ships only matched
+    * (doc, probe) rows. Output: (corpusId, probe_id, n_shared ≥
+    * minShared) counting DISTINCT shared n-grams. */
+  def ngramContamination(corpus: DataFrame, corpusId: String, corpusText: String,
+                         probes: DataFrame, probeId: String, probeText: String,
+                         n: Int = 13, minShared: Int = 1): DataFrame = {
+    def grams(df: DataFrame, id: String, text: String, outId: String) =
+      df.select(col(id).as(outId),
+        explode(Dedup.shingles(col(text), n)).as("__g"))
+        .select(col(outId), md5(col("__g")).as("__g"))
+    grams(corpus, corpusId, corpusText, corpusId)
+      .join(broadcast(grams(probes, probeId, probeText, "probe_id")), Seq("__g"))
+      .groupBy(col(corpusId), col("probe_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Distribution drift between two corpus versions over a
+    * categorical key (source, lang, domain): per-key counts and
+    * fractions on both sides plus the absolute fraction change — the
+    * mix-shift audit run next to snapshotDiff before promoting a new
+    * crawl (half the total drift summed over keys is the total
+    * variation distance). Keys absent on one side report 0 with
+    * frac 0, not a dropped row. Fractions are NULL when a side is
+    * empty (never an IEEE infinity).
+    *
+    * Scale shape: each side partial-aggs to (key, count) map-side —
+    * one compact-key shuffle each — then a full-outer join of two
+    * key-cardinality relations and a broadcast of the 1-row totals.
+    * Output: (keyCol, n_old, n_new, frac_old, frac_new, drift). */
+  def distributionDrift(oldDf: DataFrame, newDf: DataFrame, keyCol: String): DataFrame = {
+    val oc = oldDf.groupBy(col(keyCol)).agg(count(lit(1)).as("n_old"))
+    val nc = newDf.groupBy(col(keyCol)).agg(count(lit(1)).as("n_new"))
+    val joined = oc.join(nc, Seq(keyCol), "full_outer")
+      .select(col(keyCol), coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
+    val fo = when(col("__to") > 0, col("n_old").cast("double") / col("__to"))
+    val fn = when(col("__tn") > 0, col("n_new").cast("double") / col("__tn"))
+    joined.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("n_old"), col("n_new"),
+        fo.as("frac_old"), fn.as("frac_new"),
+        abs(coalesce(fn, lit(0.0)) - coalesce(fo, lit(0.0))).as("drift"))
+  }
+
+  /** Deterministic negative sampling for contrastive training: for
+    * each row, k pseudo-random OTHER rows — negatives that are (a)
+    * never the anchor itself, (b) reproducible (a pure function of
+    * seed, id, and j — reruns, retries, and repartitioning cannot
+    * change a pair), and (c) uniform-ish over the corpus via md5.
+    *
+    * Mechanics: rank rows 1..n by id (globalRank — one range
+    * exchange, no single-partition sort), then negative j of a row is
+    * the row at rank (rank-1 + 1 + md5(seed:id:j) mod (n-1)) mod n +
+    * 1 — a modular shift that can never land on the anchor. One hash
+    * join on the rank resolves ids; output is the k·n pair relation
+    * itself, so the join IS the output size. The ranked relation is
+    * pinned (cache) because both the shift and the resolve side read
+    * it. Output: (idCol, j ∈ 1..k, neg_id). */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ranked = Dedup.pin(globalRank(df.select(col(idCol)), "__r", 0, col(idCol)))
+    val n = ranked.count()
+    require(n >= 2, s"negative sampling needs >= 2 rows, got $n")
+    val off = conv(substring(md5(concat_ws(":", lit(seed), col(idCol), col("j"))), 1, 8),
+      16, 10).cast("long") % lit(n - 1) + 1L
+    ranked.select(col(idCol), col("__r"), explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("__nr", (col("__r") - 1L + off) % lit(n) + 1L)
+      .join(ranked.select(col("__r").as("__nr"), col(idCol).as("neg_id")), Seq("__nr"))
+      .select(col(idCol), col("j"), col("neg_id"))
+  }
+
+  /** Hard-negative mining for contrastive training: negatives drawn
+    * from the anchor's OWN K-Means cell — semantically close (hard)
+    * but never the anchor itself — where negativeSamples draws
+    * uniformly from the whole corpus (easy negatives). Same
+    * determinism contract: a pure function of (seed, id, j), stable
+    * under reruns and repartitioning. Anchors in singleton cells emit
+    * no rows (there is nothing hard to offer them — fall back to
+    * negativeSamples for those).
+    *
+    * Mechanics: rowwise argmin assignment against the k×d centroid
+    * plan literal, then rank + size per cell with one key-partitioned
+    * window (a single shuffle on the cluster id), then the modular-
+    * shift trick of negativeSamples per cell: negative j sits at rank
+    * (rank-1 + 1 + md5(seed:id:j) mod (m-1)) mod m + 1 — never the
+    * anchor. One hash join on (cluster, rank) resolves ids.
+    * Output: (idCol, cluster, j ∈ 1..k, neg_id). */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    cents: graft.operators.KMeans.Centroids, k: Int,
+                    seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.functions.VectorOps
+    val assigned = Dedup.pin(
+      KMeans.assign(df.select(col(idCol).cast("long").as("__id"),
+        VectorOps.toDouble(col(vecCol)).as("__v")), "__v", cents)
+        .select(col("__id"), col("cluster")))
+    val ranked = Dedup.pin(assigned
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("cluster").orderBy("__id")).cast("long"))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy("cluster")).cast("long")))
+    val off = conv(substring(md5(concat_ws(":", lit(seed), col("__id"), col("j"))), 1, 8),
+      16, 10).cast("long") % (col("__m") - 1L) + 1L
+    ranked.filter(col("__m") >= 2L)
+      .select(col("__id"), col("cluster"), col("__r"), col("__m"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("__nr", (col("__r") - 1L + off) % col("__m") + 1L)
+      .join(ranked.select(col("cluster"), col("__r").as("__nr"), col("__id").as("neg_id")),
+        Seq("cluster", "__nr"))
+      .select(col("__id").as(idCol), col("cluster"), col("j"), col("neg_id"))
   }
 
   /** Benchmark decontamination: corpus documents sharing ≥ minShared

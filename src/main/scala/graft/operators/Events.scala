@@ -137,6 +137,23 @@ object Events {
         (max("ts_us") - min("ts_us")).as("duration_us"))
   }
 
+  /** Next-event label generation — the (event, next-event) training
+    * pairs a next-action / sequential-recommendation model consumes:
+    * for each event, the same user's NEXT event type and the exact-µs
+    * gap to it (both NULL for the user's last event). One lead()
+    * window = one shuffle on user_id; ordering is (ts_us, event_id),
+    * the same total-order contract sessionize uses (unique event ids
+    * break timestamp ties identically on both engines).
+    * Output: (event_id, user_id, event_type, next_type, gap_us). */
+  def nextEventLabels(df: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    df.select(col("event_id"), col("user_id"), col("event_type"),
+        lfloorDiv(col("ts"), 1000L).as("ts_us"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .withColumn("gap_us", lead("ts_us", 1).over(byUser) - col("ts_us"))
+      .select("event_id", "user_id", "event_type", "next_type", "gap_us")
+  }
+
   /** Native session_window twin of sessionize (streaming-capable). */
   def sessionWindowAgg(df: DataFrame, tsCol: Column, gap: String): DataFrame =
     df.groupBy(col("user_id"), session_window(tsCol, gap).as("w"))

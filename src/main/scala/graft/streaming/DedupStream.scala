@@ -40,4 +40,21 @@ object DedupStream {
                      n: Int = 3, h: Int = 16, b: Int = 8,
                      parity: Boolean = false): DataFrame =
     Dedup.minhashBuckets(docs, idCol, textCol, n, h, b, parity)
+
+  /** Streaming incremental exact dedup: drop arriving documents whose
+    * content already exists in the STATIC corpus index (the persisted
+    * Dedup.exactIndex relation — one 32-hex hash per distinct
+    * content). A stream-static left-anti join is stateless per
+    * micro-batch — no watermark, no state store; Spark re-plans the
+    * static side each batch, so an index small enough broadcasts and
+    * the stream is never shuffled. Batch ≡ streaming EXACTLY (the
+    * join is the same relation algebra; DedupStreamSpec pins it).
+    * Complementary to dropExactDuplicates above: that dedups the
+    * stream against ITSELF within the watermark horizon; this dedups
+    * it against the accumulated corpus. Run both at ingest — horizon
+    * state catches burst dups, the index join catches everything
+    * older. Refresh the index between batches by unioning admitted
+    * hashes (exactIndex's contract). */
+  def dropSeenExact(stream: DataFrame, index: DataFrame, keyCols: Seq[String]): DataFrame =
+    Dedup.dropSeenExact(stream, index, keyCols)
 }

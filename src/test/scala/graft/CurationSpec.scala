@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.Curation
+import graft.operators.{Curation, Dedup}
 
 class CurationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -195,6 +195,98 @@ class CurationSpec extends AnyFunSuite {
       s"probe side must broadcast, got:\n$plan")
     val got = hits.collect().map(r => r.getLong(0)).toSet
     assert(got === Set(10L, 12L), s"got $got")
+  }
+
+  test("ngramContamination: exact shared n-grams counted distinct, probe broadcast") {
+    val run = "alpha beta gamma delta epsilon" // a 5-gram
+    val corpus = Seq(
+      (10L, s"one two three $run four five"),        // contains the run once
+      (11L, s"$run six $run seven"),                 // twice -> still distinct=1 shared
+      (12L, "totally unrelated words here with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val probes = Seq((1L, s"benchmark question about $run indeed"))
+      .toDF("pid", "ptext")
+    val hits = Curation.ngramContamination(corpus, "doc_id", "text",
+      probes, "pid", "ptext", n = 5, minShared = 1)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"probe side must broadcast, got:\n$plan")
+    val got = hits.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.keySet === Set(10L, 11L))
+    assert(got(10L) === 1L && got(11L) === 1L) // distinct grams, not occurrences
+  }
+
+  test("distributionDrift: fractions, absent keys as zero, drift math") {
+    val old = Seq("a", "a", "a", "b").toDF("src")
+    val cur = Seq("a", "a", "b", "c").toDF("src")
+    val got = Curation.distributionDrift(old, cur, "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got("a") === ((3L, 2L, 0.75, 0.5, 0.25)))
+    assert(got("b") === ((1L, 1L, 0.25, 0.25, 0.0)))
+    // key absent in old: n_old 0, frac_old 0-valued via coalesce in drift
+    val c = got("c")
+    assert(c._1 === 0L && c._2 === 1L && c._5 === 0.25)
+  }
+
+  test("negativeSamples: k per anchor, never self, deterministic, valid ids") {
+    val df = (1L to 20L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val a = Curation.negativeSamples(df, "id", k = 3, seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    Dedup.releaseCaches()
+    assert(a.length === 60)                          // 20 anchors × 3
+    assert(a.forall { case (id, _, neg) => id != neg }, "anchor sampled as its own negative")
+    val ids = (1L to 20L).toSet
+    assert(a.forall { case (_, _, neg) => ids(neg) }, "negative id not in corpus")
+    // deterministic across reruns and partitionings
+    val b = Curation.negativeSamples(df.repartition(7), "id", k = 3, seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    Dedup.releaseCaches()
+    assert(a.sorted.toSeq === b.sorted.toSeq)
+  }
+
+  test("sampleKPerKey: exactly k per key, repartition-stable, unbiased by id order") {
+    val df = (1L to 100L).map(i => (i, s"k${i % 4}")).toDF("id", "key")
+    val got = Curation.sampleKPerKey(df, "key", "id", k = 5, seed = 1L)
+    assert(got.groupBy("key").count().collect().forall(_.getLong(1) === 5L))
+    val a = got.select("id").as[Long].collect().toSet
+    val b = Curation.sampleKPerKey(df.repartition(9), "key", "id", k = 5, seed = 1L)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+    // hash ranking, not first-k: the admitted set is not simply 1..5 per key
+    assert(a !== (1L to 20L).toSet)
+    // a short key yields all its rows
+    val short = Curation.sampleKPerKey(df.filter($"id" <= 2), "key", "id", k = 5)
+    assert(short.count() === 2L)
+  }
+
+  test("curriculumShards: contiguous score-ordered cut, exact sizes") {
+    val df = (1L to 10L).map(i => (i, (11 - i).toInt)).toDF("id", "score")
+    val got = Curation.curriculumShards(df, "score", "id", nShards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    Dedup.releaseCaches()
+    // lowest score = id 10 -> rank 1, shard 0; per = ceil(10/4) = 3
+    assert(got(10L) === ((1L, 0)))
+    assert(got(1L) === ((10L, 3)))          // highest score -> last shard
+    val sizes = got.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes === Map(0 -> 3, 1 -> 3, 2 -> 3, 3 -> 1))
+  }
+
+  test("hardNegatives: same-cell only, never self, singleton cells emit nothing") {
+    import graft.operators.KMeans
+    val ca = Array.tabulate(8)(i => math.sin(i + 1))
+    val cb = ca.map(-_)
+    val cents: KMeans.Centroids = Array((1, ca), (2, cb))
+    // ids 1-4 near ca, id 9 alone near cb
+    val rows = (1L to 4L).map(i => (i, ca.map(_ * (1 + i * 0.001)).toSeq)) :+
+      ((9L, cb.toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Curation.hardNegatives(df, "vec_id", "embedding", cents, k = 2, seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    Dedup.releaseCaches()
+    assert(got.length === 8)                               // 4 anchors × 2; singleton emits none
+    assert(got.forall { case (id, c, _, neg) => c === 1 && id != neg && neg <= 4L })
+    assert(!got.exists(_._1 == 9L))
   }
 
   test("pseudonymize: stable, null-preserving, salt-rotating, join-preserving") {

@@ -38,6 +38,31 @@ class DedupStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropSeenExact on a stream matches the batch operator (stream-static anti-join)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "alpha beta"), (101L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val index = Dedup.exactIndex(corpus, Seq("text"))
+    val source = MemoryStream[Doc]
+    val q = DedupStream.dropSeenExact(source.toDF(), index, Seq("text"))
+      .writeStream.format("memory").queryName("seen_out")
+      .outputMode("append").start()
+    try {
+      val batch1 = Seq(Doc(1, t(100), "alpha beta"),   // seen -> dropped
+        Doc(2, t(101), "epsilon zeta"))                 // new  -> admitted
+      val batch2 = Seq(Doc(3, t(102), "gamma delta"),  // seen -> dropped
+        Doc(4, t(103), "eta theta"))                    // new  -> admitted
+      source.addData(batch1); q.processAllAvailable()
+      source.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("seen_out").select("doc_id").as[Long].collect().sorted
+      val batched = Dedup.dropSeenExact((batch1 ++ batch2).toDF(), index, Seq("text"))
+        .select("doc_id").as[Long].collect().sorted
+      assert(streamed.toSeq == Seq(2L, 4L))
+      assert(streamed.toSeq == batched.toSeq)
+    } finally q.stop()
+  }
+
   test("stateless text-analysis operators run unchanged on a stream (quality gate at ingest)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -109,6 +109,17 @@ class EventsSpec extends AnyFunSuite {
     assert(got((2L, 1)) === ((1L, 0L)))
   }
 
+  test("nextEventLabels: per-user lead with exact-µs gaps, NULL tail") {
+    val e = Seq(ev(1, 100, 1, "view", 0), ev(2, 160, 1, "click", 0),
+      ev(3, 200, 1, "buy", 0), ev(4, 150, 2, "view", 0))
+    val got = Events.nextEventLabels(df(e))
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(3)), Option(r.get(4)))).toMap
+    assert(got(1L) === ((Some("click"), Some(60L * M))))
+    assert(got(2L) === ((Some("buy"), Some(40L * M))))
+    assert(got(3L) === ((None, None)))   // user 1's last event
+    assert(got(4L) === ((None, None)))   // user 2's only event
+  }
+
   test("a gap of exactly the threshold does NOT split (strict >)") {
     val e = Seq(ev(1, 0, 1, "a", 0), ev(2, 1800, 1, "a", 0))
     val got = Events.sessionize(df(e), 1800L * M).collect()

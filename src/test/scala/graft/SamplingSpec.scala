@@ -67,6 +67,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("splitLeakage: per-row split leaks near-dup pairs, groupSplit cannot") {
+    // pairs (1,2) and (3,4) are "near-dups"; group key shared per pair
+    val docs = Seq((1L, "g1"), (2L, "g1"), (3L, "g2"), (4L, "g2"),
+      (5L, "g3"), (6L, "g4")).toDF("doc_id", "host")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    // per-row split: ids of a pair hash independently -> may straddle;
+    // assert the audit reports exactly the pairs whose sides differ
+    val rowSplit = Sampling.trainTestSplit(docs, "doc_id", 0.5)
+    val sides = rowSplit.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expected = Seq((1L, 2L), (3L, 4L)).filter { case (a, b) => sides(a) != sides(b) }
+    val leaked = Sampling.splitLeakage(pairs, "id1", "id2", rowSplit, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(leaked.sorted === expected.sorted)
+    // group split by the key near-dups share: zero leakage, always
+    val gs = Sampling.groupSplit(docs, "host", 0.5)
+    assert(Sampling.splitLeakage(pairs, "id1", "id2", gs, "doc_id").count() === 0L)
+  }
+
   test("stratifiedSample honors per-stratum rates") {
     val kept = Sampling.stratifiedSample(ids, "id", "lang",
       rates = Map("en" -> 1.0), defaultRate = 0.0)
