@@ -59,6 +59,27 @@ object KMeans {
     * unlike rand()-based sampling. k passes over the cached input. */
   final case class PlusPlus(k: Int, seed: Long) extends Init
 
+  /** k-means‖ (Bahmani et al., "Scalable K-Means++", VLDB'12 —
+    * public paper): the oversampling init for LARGE k. PlusPlus
+    * above needs k sequential passes (one per centroid); this takes
+    * `rounds` passes TOTAL, each sampling every point independently
+    * with probability min(1, l·d²(x,C)/cost(C)) — expected ~l new
+    * candidates per round, drawn in one distributed scan — then
+    * weights the ~rounds·l candidates by assignment counts and
+    * reduces them to k with a driver-side weighted ++ race (the
+    * candidate set is k·rounds rows, broadcast-sized, never the
+    * corpus). l = 0 means the paper's default 2k.
+    *
+    * Determinism: every coin is an md5 unit of (seed, round, id) and
+    * the driver-side reduction races on md5 units too, so reruns are
+    * bit-identical. Caveat, stated honestly: unlike PlusPlus (whose
+    * race avoids any global sum), the acceptance probability divides
+    * by cost(C) — a distributed FP sum whose last-ulp value depends
+    * on partition order, so a coin EXACTLY at the boundary could in
+    * principle flip across different partitionings (~2⁻⁵⁰ per
+    * point·round). Same-partitioning reruns are exactly stable. */
+  final case class Parallel(k: Int, seed: Long, rounds: Int = 5, l: Int = 0) extends Init
+
   /** Fit telemetry (op 16): iteration count matches the reference's
     * printed job count (`KMeans.java:283`); costHistory is the WCSS
     * after each Lloyd step when fit(trackCost = true) — empty
@@ -209,7 +230,99 @@ object KMeans {
           }
           chosen.zipWithIndex.map { case ((_, v), i) => (i + 1) -> v }.toArray
         } finally { cached.unpersist(); () }
+      case Parallel(k, seed, rounds, l0) =>
+        val lFactor = if (l0 > 0) l0 else 2 * k
+        require(rounds >= 1, s"k-means parallel needs rounds >= 1, got $rounds")
+        val cached = proj.cache()
+        try {
+          val first = cached
+            .withColumn("__u", Sampling.unitFromMd5(concat(lit(s"$seed:0:"), col("id"))))
+            .orderBy(col("__u"), col("id")).limit(1).collect()
+            .headOption.getOrElse(throw new NoSuchElementException(
+              "k-means parallel: input DataFrame is empty"))
+          var cands = Vector(first.getLong(0) -> first.getSeq[Double](1).toArray)
+          var round = 1
+          var exhausted = false
+          while (round <= rounds && !exhausted) {
+            val soFar: Centroids = cands.zipWithIndex
+              .map { case ((_, v), i) => (i + 1) -> v }.toArray
+            val d2 = minSqDistColumn(soFar, col("f"))
+            val cost = cached.select(sum(d2).as("c")).head().getDouble(0)
+            if (cost <= 0.0) exhausted = true // every point IS a candidate
+            else {
+              val u = Sampling.unitFromMd5(concat(lit(s"$seed:$round:"), col("id")))
+              val p = least(lit(1.0), lit(lFactor.toDouble) * d2 / lit(cost))
+              // collect order varies with partitioning — sort by id so
+              // the candidate sequence (and the weighted race below)
+              // sees a deterministic order
+              val newRows = cached.filter(u < p).select(col("id"), col("f"))
+                .collect().sortBy(_.getLong(0))
+              val seen = cands.map(_._1).toSet
+              cands ++= newRows.iterator
+                .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+                .filter(c => !seen(c._1))
+            }
+            round += 1
+          }
+          require(cands.length >= k,
+            s"k-means parallel sampled ${cands.length} candidates < k=$k — " +
+              "raise rounds or l (or the input has too few distinct points)")
+          // weight candidates by how many corpus points they serve
+          val candCents: Centroids = cands.zipWithIndex
+            .map { case ((_, v), i) => (i + 1) -> v }.toArray
+          val wByCluster = assign(cached, "f", candCents).groupBy("cluster")
+            .agg(count(lit(1)).as("w")).collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val weighted = cands.zipWithIndex.map { case ((id, v), i) =>
+            (id, v, wByCluster.getOrElse(i + 1, 0L).max(1L))
+          }.toArray
+          weightedPlusPlusLocal(weighted, k, seed)
+        } finally { cached.unpersist(); () }
     }
+  }
+
+  /** Driver-side md5 unit — the local twin of Sampling.unitFromMd5,
+    * for racing over the (small) k-means parallel candidate set. */
+  private def unitLocal(s: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(4)
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+  }
+
+  private def sqDistLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Weighted k-means++ over an in-memory candidate set — the final
+    * reduction of the k-means parallel init. Same exponential-race
+    * determinism as the distributed PlusPlus: first pick races
+    * -ln(u)/w (weighted uniform), each next races -ln(u)/(w·d²);
+    * candidates coinciding with a chosen point (d²=0) are excluded. */
+  private def weightedPlusPlusLocal(cands: Array[(Long, Array[Double], Long)],
+                                    k: Int, seed: Long): Centroids = {
+    def u(round: Int, id: Long) = unitLocal(s"$seed:local:$round:$id")
+    val first = cands.minBy { case (id, _, w) => (-math.log(u(0, id)) / w, id) }
+    var chosen = Vector(first._1 -> first._2)
+    var chosenIds = Set(first._1)
+    for (round <- 1 until k) {
+      val best = cands.iterator
+        .filter(c => !chosenIds(c._1))
+        .map { case (id, v, w) =>
+          val d2 = chosen.iterator.map(c => sqDistLocal(v, c._2)).min
+          val key = if (d2 > 0.0) -math.log(u(round, id)) / (w * d2)
+                    else Double.PositiveInfinity
+          (key, id, v)
+        }
+        .minBy(t => (t._1, t._2))
+      require(!best._1.isInfinite,
+        s"k-means parallel: fewer than $k distinct candidate points")
+      chosen = chosen :+ (best._2 -> best._3)
+      chosenIds += best._2
+    }
+    chosen.zipWithIndex.map { case ((_, v), i) => (i + 1) -> v }.toArray
   }
 
   /** Full iterative fit (`KMeans.java:220-282`). maxIter = -1 means

@@ -156,6 +156,34 @@ class KMeansSpec extends AnyFunSuite {
     assert(c1.map(_._2.toSeq).toSeq != c4.map(_._2.toSeq).toSeq)
   }
 
+  test("Parallel init (k-means parallel): deterministic, one seed per blob, fit-compatible") {
+    // 4 tight, well-separated blobs of 8 points each
+    val blobs = for {
+      (bx, by) <- Seq((0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0))
+      i <- 0 until 8
+    } yield (bx + i * 0.1, by + i * 0.1)
+    val df = blobs.zipWithIndex
+      .map { case ((x, y), id) => (id.toLong + 1, Seq(x, y)) }
+      .toDF("id", "features")
+    val c1 = KMeans.initCentroids(df, "id", "features", Parallel(4, seed = 42, rounds = 3))
+    val c2 = KMeans.initCentroids(df, "id", "features", Parallel(4, seed = 42, rounds = 3))
+    assert(c1.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq) // deterministic rerun
+    assert(c1.map(_._1).toSeq == Seq(1, 2, 3, 4))                // renumbered 1..k
+    // oversampling + weighted reduction: one seed per separated blob
+    val blobsHit = c1.map { case (_, v) =>
+      (math.round(v(0) / 100.0), math.round(v(1) / 100.0))
+    }.toSet
+    assert(blobsHit.size == 4, s"expected one seed per blob, got ${c1.map(_._2.toSeq).toSeq}")
+    // the init feeds fit() like any other; converges on the blobs
+    val m = KMeans.fit(df, "id", "features", Parallel(4, seed = 42, rounds = 3), maxIter = -1)
+    assert(m.converged && m.centroids.length == 4)
+    // too few distinct points refuses loudly
+    val dup = Seq((1L, Seq(1.0, 1.0)), (2L, Seq(1.0, 1.0))).toDF("id", "features")
+    intercept[IllegalArgumentException] {
+      KMeans.initCentroids(dup, "id", "features", Parallel(3, seed = 1, rounds = 4))
+    }
+  }
+
   test("fit: SSE is non-increasing across iterations (Lloyd invariant)") {
     val df = tiny.select($"id", $"features".cast("array<double>").as("features")).cache()
     var cents = KMeans.initCentroids(df, "id", "features", ExplicitIds(Seq(1L, 2L)))
