@@ -709,6 +709,29 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
     }),
 
+    // ── capstone 2: training-set PREP pipeline, composed ────────────
+    // The post-dedup half of the story: exact-5-gram decontamination
+    // against the 20 lowest-id "benchmark" docs → deterministic cut
+    // to a 60k-token budget (global prefix sum in salted-hash order)
+    // → 4 curriculum shards by length. Every stage is one of the
+    // engine's operators; the oracle replays the identical chain.
+    "q_prep_pipeline" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val probes = docs.orderBy(col("doc_id")).limit(20)
+        .select(col("doc_id"), col("text"))
+      val contaminated = Curation.ngramContamination(docs, "doc_id", "text",
+          probes, "doc_id", "text", n = 5, minShared = 1)
+        .filter(col("doc_id") =!= col("probe_id"))
+        .select("doc_id").distinct()
+      val clean = docs.join(contaminated, Seq("doc_id"), "left_anti")
+      val cut = Curation.sampleToTokenBudget(clean, "doc_id", "n_chars",
+        budget = 60000L, seed = 42L)
+      Curation.curriculumShards(
+          cut.select(col("doc_id"), col("n_chars"), col("cum_tokens")),
+          "n_chars", "doc_id", nShards = 4)
+        .select(col("doc_id"), col("cum_tokens"), col("curriculum_rank"), col("shard"))
+    }),
+
     // ── curation: deterministic train/test split (contamination-safe)
     "q_split" -> ((s, dir) => {
       Sampling.trainTestSplit(Tables(s, dir, "documents"), "doc_id", testFrac = 0.2)
@@ -872,6 +895,17 @@ object SparkEntry {
     "q_curriculum" -> ((s, dir) => {
       Curation.curriculumShards(Tables(s, dir, "documents"), "n_chars", "doc_id",
         nShards = 7).select(col("doc_id"), col("curriculum_rank"), col("shard"))
+    }),
+
+    // ── curation: total-token-budget cut (global prefix sum) ────────
+    // Keep docs in salted-hash order while the running n_chars sum
+    // stays ≤ 75k (≈ half the sf0.01 corpus) — the "exactly-≤N-token
+    // corpus" cut, via the range-exchange prefix-sum primitive, never
+    // a single-partition window.
+    "q_token_budget" -> ((s, dir) => {
+      Curation.sampleToTokenBudget(Tables(s, dir, "documents"), "doc_id", "n_chars",
+        budget = 75000L, seed = 42L)
+        .select(col("doc_id"), col("n_chars"), col("cum_tokens"))
     }),
 
     // ── dedup: the DROP operator (keep lowest id per content) ───────
@@ -2505,6 +2539,49 @@ object SparkEntry {
         |t AS (SELECT count(*) AS n FROM documents)
         |SELECT doc_id, curriculum_rank,
         |       CAST((curriculum_rank - 1) // ((n + 6) // 7) AS INTEGER) AS shard
+        |FROM r CROSS JOIN t""".stripMargin,
+
+    "q_token_budget" ->
+      """SELECT doc_id, n_chars, cum_tokens FROM (
+        |  SELECT doc_id, n_chars,
+        |         CAST(sum(n_chars) OVER (ORDER BY md5('42:' || doc_id), doc_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM documents)
+        |WHERE cum_tokens <= 75000""".stripMargin,
+
+    "q_prep_pipeline" ->
+      """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |cg AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([md5(array_to_string(toks[i:i+4], ' '))
+        |                               for i in range(1, len(toks)-3)])) AS g
+        |  FROM ct WHERE len(toks) >= 5
+        |),
+        |pr AS (SELECT doc_id AS probe_id, string_split(text, ' ') AS toks
+        |       FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |pg AS (
+        |  SELECT probe_id,
+        |         unnest(list_distinct([md5(array_to_string(toks[i:i+4], ' '))
+        |                               for i in range(1, len(toks)-3)])) AS g
+        |  FROM pr WHERE len(toks) >= 5
+        |),
+        |bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN pg USING (g)
+        |        WHERE cg.doc_id <> pg.probe_id),
+        |clean AS (SELECT d.doc_id, d.n_chars FROM documents d ANTI JOIN bad USING (doc_id)),
+        |cut AS (
+        |  SELECT doc_id, n_chars, cum_tokens FROM (
+        |    SELECT doc_id, n_chars,
+        |           CAST(sum(n_chars) OVER (ORDER BY md5('42:' || doc_id), doc_id
+        |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |    FROM clean)
+        |  WHERE cum_tokens <= 60000
+        |),
+        |t AS (SELECT count(*) AS n FROM cut),
+        |r AS (SELECT doc_id, cum_tokens, n_chars,
+        |             row_number() OVER (ORDER BY n_chars, doc_id) AS curriculum_rank
+        |      FROM cut)
+        |SELECT doc_id, cum_tokens, curriculum_rank,
+        |       CAST((curriculum_rank - 1) // ((n + 3) // 4) AS INTEGER) AS shard
         |FROM r CROSS JOIN t""".stripMargin,
 
     "q_dedup_kept" ->

@@ -382,6 +382,79 @@ object Curation {
         + (mid.bitwiseAND((1L << 33) - 1)) + 1L)
   }
 
+  /** Global inclusive running sum over a total order — the prefix-sum
+    * primitive behind budget cuts and offset assignment. A plain
+    * `Window.orderBy(...)` with no partition funnels the corpus
+    * through ONE task; this takes the globalRank route instead:
+    * range-partition by the order keys + in-partition sort (one
+    * Exchange(RangePartitioning) — np parallel sorted runs), collect
+    * the np per-partition TOTALS (np longs, not rows) to the driver,
+    * and stream each partition once adding its exclusive offset. The
+    * per-partition pass is the one genuinely sequential step of a
+    * prefix sum — the documented mapPartitions exception (like the
+    * Multimodal codec hatch): expressing it as a window partitioned
+    * by spark_partition_id would re-shuffle the full corpus a second
+    * time for nothing. localCheckpoint pins the partition layout so
+    * the totals job and the streaming pass see identical pids.
+    * valueCol must be an integral column (exact arithmetic; FP prefix
+    * sums would be partitioning-dependent in the last ulp). Output:
+    * input columns + outCol (inclusive running sum, order given). */
+  def globalRunningSum(df: DataFrame, valueCol: String, outCol: String,
+                       numPartitions: Int, order: Column*): DataFrame = {
+    require(order.nonEmpty, "globalRunningSum needs at least one order column")
+    require(df.schema(valueCol).dataType == org.apache.spark.sql.types.LongType
+        || df.schema(valueCol).dataType == org.apache.spark.sql.types.IntegerType,
+      s"valueCol '$valueCol' must be int/long — exact integer prefix sums only")
+    val np = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df.withColumn("__v", col(valueCol).cast("long"))
+      .repartitionByRange(np, order: _*).sortWithinPartitions(order: _*)
+      .localCheckpoint()
+    val totals = sorted.select(spark_partition_id().as("__pid"), col("__v"))
+      .groupBy("__pid").agg(sum(col("__v")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until np).scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+    // the pid rides as a COLUMN, not TaskContext.getPartitionId():
+    // spark_partition_id() is evaluated with the PLANNING partition's
+    // index (mapPartitionsWithIndex under the hood), so it survives a
+    // downstream coalesce() — whereas the task id would collapse to 0
+    // and silently drop every offset. The accumulator resets on pid
+    // change because a coalesced task concatenates several planning
+    // partitions into one iterator.
+    val withPid = sorted.withColumn("__pid", spark_partition_id())
+    val vIdx = withPid.schema.fieldIndex("__v")
+    val pidIdx = withPid.schema.fieldIndex("__pid")
+    val outSchema = withPid.schema.add(outCol, org.apache.spark.sql.types.LongType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    withPid.mapPartitions { it =>
+      var cur = -1
+      var acc = 0L
+      it.map { r =>
+        val pid = r.getInt(pidIdx)
+        if (pid != cur) { cur = pid; acc = offsets(pid) }
+        acc += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(enc).drop("__v", "__pid")
+  }
+
+  /** Deterministic down-sample to a TOTAL token budget — "cut me an
+    * exactly-≤N-token corpus": rows are ordered by a salted md5 of
+    * the id (an unbiased, repartition-stable shuffle order) and kept
+    * while the inclusive running token sum stays ≤ budget. The
+    * admitted set is nested across budgets (a 1B-token cut contains
+    * the 100M-token cut — same order, longer prefix) and never
+    * depends on rng state. Costs globalRunningSum's one range
+    * exchange. Output: input columns + cum_tokens (of kept rows). */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+                          budget: Long, seed: Long = 42L): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val keyed = df.withColumn("__sk", md5(concat_ws(":", lit(seed), col(idCol))))
+    globalRunningSum(keyed, tokensCol, "cum_tokens", 0, col("__sk"), col(idCol))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__sk")
+  }
+
   /** Keep the single best row per key — argmax by scoreCol with
     * lowest-idCol tie-break (the "best document per URL/domain" rule
     * of web-corpus curation, where crawls see the same page many

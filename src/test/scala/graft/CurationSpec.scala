@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Curation, Dedup}
@@ -378,6 +379,41 @@ class CurationSpec extends AnyFunSuite {
     val nAgg = "(SortAggregate|HashAggregate|ObjectHashAggregate)".r
       .findAllIn(plan).length
     assert(nAgg >= 2, s"expected partial+final aggregate pair, got:\n$plan")
+  }
+
+  test("globalRunningSum matches the window twin and survives coalesce(1)") {
+    val df = (1L to 200L).map(i => (i, (i * 13 % 7) + 1)).toDF("id", "v")
+      .select($"id", $"v".cast("long").as("v"))
+    val twin = df.withColumn("cum",
+        sum("v").over(Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ours = Curation.globalRunningSum(df, "v", "cum", 4, col("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ours === twin)
+    // REGRESSION PIN: a downstream coalesce(1) concatenates planning
+    // partitions into one task — the offsets must still apply (the
+    // pid rides as a column, never TaskContext)
+    val coalesced = Curation.globalRunningSum(df, "v", "cum", 4, col("id"))
+      .coalesce(1).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(coalesced === twin)
+    // integral-only contract
+    intercept[IllegalArgumentException] {
+      Curation.globalRunningSum(df.withColumn("v", $"v".cast("double")), "v", "c", 4, col("id"))
+    }
+  }
+
+  test("sampleToTokenBudget: budget respected, nested across budgets, deterministic") {
+    val df = (1L to 50L).map(i => (i, 10L)).toDF("id", "tok")
+    val small = Curation.sampleToTokenBudget(df, "id", "tok", budget = 100L)
+    assert(small.count() === 10L)                        // exactly 100/10 rows
+    assert(small.agg(max("cum_tokens")).head().getLong(0) <= 100L)
+    val big = Curation.sampleToTokenBudget(df, "id", "tok", budget = 300L)
+    val smallIds = small.select("id").as[Long].collect().toSet
+    val bigIds = big.select("id").as[Long].collect().toSet
+    assert(smallIds.subsetOf(bigIds))                    // nested prefixes
+    val rerun = Curation.sampleToTokenBudget(df.repartition(7), "id", "tok", budget = 100L)
+      .select("id").as[Long].collect().toSet
+    assert(rerun === smallIds)                           // repartition-stable
   }
 
   test("snapshotDiff reports added/removed/changed deltas only") {

@@ -93,4 +93,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles.length <= 1,
       s"pqTopK should shuffle only the bounded top-k partials, found ${shuffles.length}:\n$s")
   }
+
+  test("semanticNearDup: no cartesian product — the pair join is keyed on the cluster id") {
+    val df = SparkEntry.queries("q_semdedup")(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"),
+      s"semanticNearDup must join on the cluster key, got:\n$s")
+    assert(s.contains("hashpartitioning(cluster") || s.contains("BroadcastHashJoin"),
+      s"expected a cluster-keyed join, got:\n$s")
+    Dedup.releaseCaches()
+  }
+
+  test("token-budget cut: one range exchange, no Window, no single-partition sort") {
+    // globalRunningSum's 100 TB claim: the ONLY corpus movement is the
+    // Exchange(RangePartitioning) that establishes the total order —
+    // the prefix sum itself is the per-partition sequential pass, and
+    // no ranking Window (which would re-shuffle or single-partition)
+    // exists anywhere in the plan
+    // (the range exchange runs INSIDE globalRunningSum's
+    // localCheckpoint, so the returned plan starts at the checkpointed
+    // RDD — after it there must be NO exchange and NO window at all)
+    val df = SparkEntry.queries("q_token_budget")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    assert(!s.contains("Window"), s"unexpected Window in token-budget plan:\n$s")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"the prefix-sum pass must add zero exchanges after the range checkpoint:\n$s")
+    Dedup.releaseCaches()
+  }
 }
