@@ -956,6 +956,25 @@ object SparkEntry {
         .select(col("doc_id"), (col("d0") + 1).cast("int").as("dim"), col("v"))
     }),
 
+    // ── multimodal: perceptual dHash image near-dup ─────────────────
+    // The image twin of q_simhash_neardup: 64-bit gradient hash per
+    // payload, banded-Hamming candidates, exact verify ≤ 3 bits.
+    // Every doc's first 144 bytes become a fixed-size "image"; docs
+    // with doc_id%10=0 also plant a variant copy with the first byte
+    // flipped — a single-pixel edit the gradient hash must land
+    // within a few bits of (re-encode/edit robustness, which raw
+    // byte hashing cannot express). Mirrored in the oracle.
+    "q_image_neardup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"), substring(col("text"), 1, 144).as("img"))
+      val variants = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("x"), substring(substring(col("text"), 1, 144), 2, 143)).as("img"))
+      val payloads = Multimodal.withContent(base.unionByName(variants), "doc_id", "img")
+      Multimodal.imageNearDup(payloads, "doc_id", "content",
+        maxHamming = 3, maxBucket = 100)
+    }),
+
     // ── relational baseline: TPC-H Q3-style 3-way join + agg ────────
     // customer (dim, broadcastable) ⋈ orders ⋈ lineitem (facts): the
     // segment filter pushes to the customer scan, the date filters to
@@ -2081,6 +2100,53 @@ object SparkEntry {
          |  FROM cand
          |)
          |SELECT id1, id2, hamming FROM hm WHERE hamming <= 3""".stripMargin,
+
+    "q_image_neardup" ->
+      """WITH pay AS (
+        |  SELECT doc_id, substr(text, 1, 144) AS img FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'x' || substr(substr(text, 1, 144), 2, 143)
+        |  FROM documents WHERE doc_id % 10 = 0
+        |),
+        |b AS (
+        |  SELECT doc_id, hex(encode(img)) AS hx, octet_length(encode(img)) AS n
+        |  FROM pay
+        |),
+        |px AS (
+        |  SELECT doc_id, n,
+        |         [CAST(concat('0x', substr(hx, 2*i-1, 2)) AS BIGINT)
+        |          for i in range(1, n+1)] AS px
+        |  FROM b WHERE n > 0
+        |),
+        |smp AS (SELECT doc_id, [px[CAST((k*n)//72 AS INTEGER) + 1] for k in range(0, 72)] AS s
+        |        FROM px),
+        |bits AS (SELECT doc_id,
+        |                [CASE WHEN s[(k//8)*9 + (k%8) + 1] < s[(k//8)*9 + (k%8) + 2]
+        |                      THEN 1 ELSE 0 END for k in range(0, 64)] AS bt
+        |         FROM smp),
+        |fpt AS (SELECT doc_id,
+        |               array_to_string([substr('0123456789abcdef',
+        |                 bt[4*j+1]*8 + bt[4*j+2]*4 + bt[4*j+3]*2 + bt[4*j+4] + 1, 1)
+        |                 for j in range(0, 16)], '') AS fp
+        |        FROM bits),
+        |bx0 AS (
+        |  SELECT doc_id, fp, bi, substr(fp, bi*4+1, 4) AS bk
+        |  FROM fpt CROSS JOIN range(0, 4) t(bi)
+        |),
+        |bxh AS (SELECT bi, bk FROM bx0 GROUP BY 1, 2 HAVING count(*) > 100),
+        |bx AS (SELECT bx0.* FROM bx0 ANTI JOIN bxh USING (bi, bk)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id1, x.fp AS fp1, y.doc_id AS id2, y.fp AS fp2
+        |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.bk = y.bk AND x.doc_id < y.doc_id
+        |),
+        |hm AS (
+        |  SELECT id1, id2,
+        |         CAST(list_sum([bit_count(xor(CAST(concat('0x', substr(fp1, p, 1)) AS BIGINT),
+        |                                      CAST(concat('0x', substr(fp2, p, 1)) AS BIGINT)))
+        |                        for p in range(1, 17)]) AS INTEGER) AS hamming
+        |  FROM cand
+        |)
+        |SELECT id1, id2, hamming FROM hm WHERE hamming <= 3""".stripMargin,
 
     "q_embed_neardup" ->
       s"""WITH $sqlAnnIndexAuto,

@@ -622,12 +622,25 @@ object Dedup {
     * maxHamming+1 must divide 16 (maxHamming ∈ {0, 1, 3, 7, 15}).
     * Output: (id1, id2, hamming ≤ maxHamming), id1 < id2. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    hammingNearDup(
+      df.select(col(idCol), simhash(tokens(col(textCol))).as("__fp")),
+      idCol, "__fp", maxHamming, maxBucket)
+
+  /** Banded-Hamming near-dup join over ANY 16-hex 64-bit fingerprint
+    * relation — the shared engine behind simhashNearDup (text
+    * SimHash) and Multimodal.imageNearDup (perceptual dHash).
+    * Pigeonhole recall and the maxBucket skew trade-off are exactly
+    * simhashNearDup's (see its docstring); the fingerprint table is
+    * cached for the two sides of the band join.
+    * Output: (id1, id2, hamming ≤ maxHamming), id1 < id2. */
+  def hammingNearDup(fps0: DataFrame, idCol: String, fpCol: String,
                      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val bands = maxHamming + 1
     require(16 % bands == 0, s"maxHamming+1=$bands must divide the 16 hex chars")
     val w = 16 / bands
     val fps = registerCache(
-      df.select(col(idCol).as("id"), simhash(tokens(col(textCol))).as("fp")))
+      fps0.select(col(idCol).as("id"), col(fpCol).as("fp")))
     val bx = dropOverPopulated(
       fps.select(col("id"), col("fp"),
         explode(sequence(lit(0), lit(bands - 1))).as("bi"))

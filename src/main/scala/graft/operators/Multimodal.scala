@@ -130,6 +130,54 @@ object Multimodal {
           size(col("px")).cast("long").as("n_bytes")).as("meta"))
   }
 
+  /** 64-bit perceptual difference hash (dHash — the classic
+    * duplicate-image fingerprint) of each decoded gray8 raster, as 16
+    * hex chars: sample the pixel sequence at 72 evenly spaced points
+    * (9 per row × 8 rows), emit bit (r, c) = 1 iff sample[r·9+c] <
+    * sample[r·9+c+1] — brightness gradients survive re-encoding and
+    * resizing, so near-identical images land within a few bits. All
+    * exact integer arithmetic (floor-div sampling, nibble packing),
+    * bit-replayable in the oracle. Empty payloads emit NO row (there
+    * is no image to hash). Each stage is its own projection so the
+    * 72-sample array materializes once per row instead of being
+    * inlined into all 64 bit expressions.
+    * Output: (idCol, dhash: 16-hex string). */
+  def dHash(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val hexDigits = "0123456789abcdef"
+    df.select(col(idCol), byteValues(col(contentCol)).as("__px"))
+      .filter(size(col("__px")) > 0)
+      .select(col(idCol), col("__px"), size(col("__px")).cast("long").as("__n"))
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit(71L)), k =>
+          element_at(col("__px"),
+            call_function("div", k * col("__n"), lit(72L)).cast("int") + 1)).as("__s"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(63)), k => {
+          val r = call_function("div", k, lit(8)).cast("int")
+          val c = k % 8
+          when(element_at(col("__s"), r * 9 + c + 1) <
+               element_at(col("__s"), r * 9 + c + 2), 1).otherwise(0)
+        }).as("__b"))
+      .select(col(idCol),
+        array_join(transform(sequence(lit(0), lit(15)), j =>
+          lit(hexDigits).substr(
+            element_at(col("__b"), j * 4 + 1) * 8 + element_at(col("__b"), j * 4 + 2) * 4 +
+              element_at(col("__b"), j * 4 + 3) * 2 + element_at(col("__b"), j * 4 + 4) + 1,
+            lit(1))), "").as("dhash"))
+  }
+
+  /** Near-duplicate IMAGES: perceptual dHash + the shared
+    * banded-Hamming join (Dedup.hammingNearDup — same pigeonhole
+    * recall and maxBucket skew guard as the text SimHash path). The
+    * multimodal twin of text near-dup: re-encoded, slightly edited,
+    * or re-sampled copies of an image differ in a few gradient bits,
+    * not in their byte hash. Output: (id1, id2, hamming ≤
+    * maxHamming), id1 < id2. */
+  def imageNearDup(df: DataFrame, idCol: String, contentCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    Dedup.hammingNearDup(dHash(df, idCol, contentCol), idCol, "dhash",
+      maxHamming, maxBucket)
+
   /** Decoded-record shape produced by a batch decoder. */
   final case class Decoded(id: Long, width: Int, height: Int, meanPx: Double)
 

@@ -115,6 +115,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(topk.length == 2 && topk.forall(_.getLong(0) == 1L))
   }
 
+  test("dHash + imageNearDup: identical and one-pixel-edited images pair, empty payload emits no fp") {
+    import graft.operators.Dedup
+    val img = ("the quick brown fox jumps over the lazy dog " * 4).take(144)
+    val edited = "x" + img.drop(1)               // one-pixel brightness edit
+    val other = ("zz yy xx ww vv uu tt ss rr qq pp oo nn mm " * 4).take(144)
+    val df = Seq((1L, img), (2L, img), (3L, edited), (4L, other), (5L, ""))
+      .toDF("doc_id", "img")
+    val pay = Multimodal.withContent(df, "doc_id", "img")
+    // empty payload: no fingerprint row at all
+    assert(Multimodal.dHash(pay, "doc_id", "content").count() === 4L)
+    val pairs = Multimodal.imageNearDup(pay, "doc_id", "content", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    Dedup.releaseCaches()
+    assert(pairs((1L, 2L)) === 0)                // identical images: 0 bits apart
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 3) // edit survives
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L || a == 5L || b == 5L })
+  }
+
   test("resizeByStride: every stride-th pixel, metadata recomputed") {
     val r = Multimodal.resizeByStride(mm, "doc_id", "content", stride = 4)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getStruct(2))).toList
