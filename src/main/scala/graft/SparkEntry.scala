@@ -460,6 +460,16 @@ object SparkEntry {
         minSim = 0.3, tables = 8, bits = bits, d = 64, maxBucket = 400)
     }),
 
+    // ── LLM-pipeline: per-group embedding centroids ─────────────────
+    // Mean vector per label (class centroids) via the VectorMeanAgg
+    // partial combiner; exploded to (label, pos, val) rows for the
+    // oracle's sorted-fold replay.
+    "q_group_centroids" -> ((s, dir) => {
+      Similarity.groupCentroids(Tables(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), col("n"), posexplode(col("centroid")).as(Seq("p0", "val")))
+        .select(col("label"), col("n"), (col("p0") + 1).cast("int").as("pos"), col("val"))
+    }),
+
     // ── LLM-pipeline: SemDeDup semantic near-dup (K-Means-pruned) ───
     // The data-dependent twin of q_embed_neardup: candidates come
     // from a K-Means cell partition instead of random hyperplanes —
@@ -2164,6 +2174,18 @@ object SparkEntry {
          |  JOIN embeddings b ON b.vec_id = c.id2
          |)
          |SELECT id1, id2, sim FROM s WHERE sim >= 0.3""".stripMargin,
+
+    "q_group_centroids" ->
+      """WITH x AS (
+        |  SELECT label,
+        |         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |)
+        |SELECT label,
+        |       CAST(count(*) AS BIGINT) AS n, pos,
+        |       list_reduce(list_sort(list(v)), (acc, e) -> acc + e) / count(*) AS val
+        |FROM x GROUP BY label, pos""".stripMargin,
 
     "q_semdedup" ->
       s"""WITH $sqlCents8,

@@ -26,6 +26,18 @@ import graft.functions.{TopKAgg, VectorOps}
   */
 object Similarity {
 
+  /** Mean embedding per group — class centroids, cluster summaries,
+    * per-source prototypes: the "one vector that represents this
+    * slice" reduction. One partial-agg shuffle of d+1 doubles per
+    * (group, task) via VectorMeanAgg (the same combiner K-Means'
+    * step uses) — never a collect_list of the group's vectors.
+    * Output: (keyCol, centroid: array<double>, n). */
+  def groupCentroids(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(graft.functions.VectorMeanAgg.vecMean(
+          graft.functions.VectorOps.toDouble(col(vecCol))).as("centroid"),
+        count(lit(1)).as("n"))
+
   /** Exact cosine top-k per probe via bounded partial aggregation.
     * probes must be small (broadcast); self-matches are excluded.
     * Output: (probe_id, vec_id, rank, sim). */

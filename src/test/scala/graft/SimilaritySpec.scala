@@ -10,6 +10,21 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("groupCentroids: element-wise mean per group, partial-agg plan") {
+    val df = Seq(
+      ("a", Seq(1.0, 2.0)), ("a", Seq(3.0, 4.0)), ("b", Seq(10.0, 0.0))
+    ).toDF("k", "v")
+    val got = Similarity.groupCentroids(df, "k", "v")
+      .collect().map(r => r.getString(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(got("a") === ((Seq(2.0, 3.0), 2L)))
+    assert(got("b") === ((Seq(10.0, 0.0), 1L)))
+    // partial + final aggregate pair; never a collect_list of vectors
+    val plan = Similarity.groupCentroids(df, "k", "v").queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), s"unexpected collect_list:\n$plan")
+    assert("(SortAggregate|HashAggregate|ObjectHashAggregate)".r
+      .findAllIn(plan).length >= 2, s"expected partial+final agg pair:\n$plan")
+  }
+
   test("TopKAgg keeps the k best with (score desc, id asc) tie-break") {
     val rows = Seq(
       (1L, 10L, 0.9), (1L, 11L, 0.5), (1L, 12L, 0.9), (1L, 13L, 0.1),
