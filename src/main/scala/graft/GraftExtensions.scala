@@ -77,6 +77,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       oneArg("simhash64", SimHash64.apply)),
 
+    ("dhash64",
+      new ExpressionInfo(classOf[graft.functions.DHash64].getName, "dhash64"),
+      oneArg("dhash64", graft.functions.DHash64.apply)),
+
     ("minhash_signature", info("minhash_signature"), {
       case Seq(text, n, h, parity) =>
         exprOut(Dedup.minhashSignatureOf(colIn(text),

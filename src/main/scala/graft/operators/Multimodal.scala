@@ -138,11 +138,19 @@ object Multimodal {
     * resizing, so near-identical images land within a few bits. All
     * exact integer arithmetic (floor-div sampling, nibble packing),
     * bit-replayable in the oracle. Empty payloads emit NO row (there
-    * is no image to hash). Each stage is its own projection so the
-    * 72-sample array materializes once per row instead of being
-    * inlined into all 64 bit expressions.
+    * is no image to hash). Runs the native DHash64 kernel; dHashHof
+    * below is its bit-identical staged-HOF twin (pinned in
+    * MultimodalSpec) — the form the DuckDB oracle mirrors.
     * Output: (idCol, dhash: 16-hex string). */
-  def dHash(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+  def dHash(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.DHash64.dhash64(col(contentCol)).as("dhash"))
+      .filter(col("dhash").isNotNull)
+
+  /** The staged-HOF twin of the DHash64 kernel — each stage is its
+    * own projection so the 72-sample array materializes once per row
+    * instead of being inlined into all 64 bit expressions. */
+  def dHashHof(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
     val hexDigits = "0123456789abcdef"
     df.select(col(idCol), byteValues(col(contentCol)).as("__px"))
       .filter(size(col("__px")) > 0)

@@ -20,6 +20,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
 
+  test("dhash64 is callable from SQL and matches the Column API") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((1L, "the quick brown fox jumps over it"), (2L, "pack my box with jugs"))
+      .toDF("id", "text").createOrReplaceTempView("ext_imgs")
+    val viaSql = spark.sql(
+      "SELECT id, dhash64(encode(text, 'UTF-8')) AS fp FROM ext_imgs ORDER BY id")
+      .collect().map(_.getString(1)).toSeq
+    val viaCol = spark.table("ext_imgs")
+      .select($"id", graft.functions.DHash64.dhash64(
+        org.apache.spark.sql.functions.encode($"text", "UTF-8")).as("fp"))
+      .orderBy($"id").collect().map(_.getString(1)).toSeq
+    assert(viaSql == viaCol)
+  }
+
   test("registered function is callable from SQL and matches the Column API") {
     import spark.implicits._
     GraftExtensions.register(spark)

@@ -133,6 +133,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L || a == 5L || b == 5L })
   }
 
+  test("native DHash64 kernel is bit-identical to the staged-HOF twin incl. edge sizes") {
+    // n = 1 (all samples the same byte), 71/72/73 (around the sample
+    // count), 144 (exact 2x), a long payload, and high-bit bytes
+    val payloads = Seq(
+      1L -> "a", 2L -> "ab", 3L -> ("x" * 71), 4L -> ("ab" * 36),
+      5L -> ("the quick brown fox " * 20), 6L -> ("zyxw" * 100),
+      7L -> new String(Array.tabulate(200)(i => ((i * 37) % 256).toChar))
+    )
+    val df = payloads.toDF("doc_id", "img")
+    val pay = Multimodal.withContent(df, "doc_id", "img")
+    val kernel = Multimodal.dHash(pay, "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val twin = Multimodal.dHashHof(pay, "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kernel === twin)
+    assert(kernel.values.forall(_.matches("[0-9a-f]{16}")))
+  }
+
   test("resizeByStride: every stride-th pixel, metadata recomputed") {
     val r = Multimodal.resizeByStride(mm, "doc_id", "content", stride = 4)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getStruct(2))).toList
