@@ -634,6 +634,21 @@ object SparkEntry {
       Events.topPerUser(Tables(s, dir, "events"), n = 3)
     }),
 
+    // ── LLM-pipeline: top-n per user via bounded partial agg ────────
+    // The skew-safe twin of q_top_events: ≤n pairs per user per task
+    // shuffle, independent of the hottest user's event count.
+    "q_top_events_agg" -> ((s, dir) => {
+      Events.topPerUserAgg(Tables(s, dir, "events"), n = 3)
+    }),
+
+    // ── curation: materialized packed training sequences ────────────
+    // The emit step of q_pack: one row per (source, shard) with the
+    // member docs joined in id order at an EOS separator.
+    "q_packed_seqs" -> ((s, dir) => {
+      Curation.materializePacked(Tables(s, dir, "documents"), "source", "doc_id",
+        "text", budget = 512L)
+    }),
+
     // ── events: daily cohort retention triangle ─────────────────────
     "q_cohorts" -> ((s, dir) => {
       Events.cohortRetention(Tables(s, dir, "events"), "user_id", "ts")
@@ -1746,6 +1761,32 @@ object SparkEntry {
         |                                ORDER BY value DESC, event_id) AS rn
         |      FROM events)
         |WHERE rn <= 3""".stripMargin,
+
+    "q_top_events_agg" ->
+      """SELECT user_id, event_id, value, CAST(rn AS INTEGER) AS rank
+        |FROM (SELECT user_id, event_id, value,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY value DESC, event_id) AS rn
+        |      FROM events)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_packed_seqs" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, source, text, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+        |  FROM t
+        |)
+        |SELECT source, CAST(cum // 512 AS BIGINT) AS shard,
+        |       string_agg(text, ' <|eos|> ' ORDER BY doc_id) AS sequence,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     "q_winnow" ->
       s"""WITH $sqlWinnowMins

@@ -99,6 +99,27 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Materialize the packed training sequences packByTokenBudget
+    * assigns: one row per (key, shard) with the member documents
+    * joined in id order by a separator token (where a tokenizer would
+    * put EOS), plus exact token/member counts. The emit step of the
+    * packing story — q_pack's assignment becomes the actual sequence
+    * relation a trainer reads. One additional hash-shuffle on
+    * (key, shard); the collect_list holds one shard's documents
+    * (≈ budget tokens by construction — bounded by the packing
+    * contract, never a whole key). */
+  def materializePacked(df: DataFrame, keyCol: String, idCol: String,
+                        textCol: String, budget: Long,
+                        sep: String = " <|eos|> "): DataFrame =
+    packByTokenBudget(df, keyCol, idCol, textCol, budget)
+      .groupBy(col(keyCol), col("shard"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          s => s.getField(textCol)), sep).as("sequence"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_docs"))
+
   /** Deterministic global shuffle + shard assignment — the "shuffle
     * the corpus exactly once, reproducibly" step before writing
     * training shards. Each row gets a shuffle_key (md5 hex of its id

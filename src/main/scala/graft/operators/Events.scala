@@ -78,6 +78,20 @@ object Events {
       .filter(col("rank") <= n)
   }
 
+  /** TopKAgg form of topPerUser — the skew-safe twin: the ranking
+    * window sorts EVERY row of a hot user inside one partition slice,
+    * while the bounded partial aggregate ships at most n (id, value)
+    * pairs per user per task and merges them — the shuffle is
+    * O(users·n·tasks), independent of how many events the hottest
+    * user has. Identical output contract (value desc, event_id asc
+    * tie-break; parity pinned in EventsSpec). */
+  def topPerUserAgg(df: DataFrame, n: Int): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(graft.functions.TopKAgg.topK(n, col("event_id"), col("value")).as("__top"))
+      .select(col("user_id"), posexplode(col("__top")).as(Seq("__r0", "__p")))
+      .select(col("user_id"), col("__p._1").as("event_id"), col("__p._2").as("value"),
+        (col("__r0") + 1).cast("int").as("rank"))
+
   /** Ordered conversion funnel: a user reaches step k when an event of
     * that step's type occurs STRICTLY AFTER the time they reached step
     * k-1 (first-occurrence semantics, µs precision). Output: one row

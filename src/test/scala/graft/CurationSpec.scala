@@ -381,6 +381,20 @@ class CurationSpec extends AnyFunSuite {
     assert(nAgg >= 2, s"expected partial+final aggregate pair, got:\n$plan")
   }
 
+  test("materializePacked: id-ordered reassembly at the separator, exact counts") {
+    val df = Seq(
+      (1L, "k", "a b c"), (2L, "k", "d e"), (3L, "k", "f g h i"), (4L, "m", "x")
+    ).toDF("id", "key", "text")
+    // budget 5: doc1 starts at 0 (shard 0), doc2 at 3 (shard 0), doc3
+    // at 5 (shard 1); key m: doc4 alone
+    val got = Curation.materializePacked(df, "key", "id", "text", budget = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("k", 0L)) === (("a b c <|eos|> d e", 5L, 2L)))
+    assert(got(("k", 1L)) === (("f g h i", 4L, 1L)))
+    assert(got(("m", 0L)) === (("x", 1L, 1L)))
+  }
+
   test("globalRunningSum matches the window twin and survives coalesce(1)") {
     val df = (1L to 200L).map(i => (i, (i * 13 % 7) + 1)).toDF("id", "v")
       .select($"id", $"v".cast("long").as("v"))

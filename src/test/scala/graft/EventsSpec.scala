@@ -109,6 +109,19 @@ class EventsSpec extends AnyFunSuite {
     assert(got((2L, 1)) === ((1L, 0L)))
   }
 
+  test("topPerUserAgg matches the window twin; plans a partial-agg pair, no Window") {
+    val e = (1L to 60L).map(i => ev(i, 100 + i, i % 5, "a", (i * 31 % 17).toDouble))
+    val twin = Events.topPerUser(df(e), n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val agg = Events.topPerUserAgg(df(e), n = 3)
+    val ours = agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(ours === twin)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+    assert("(SortAggregate|HashAggregate|ObjectHashAggregate)".r
+      .findAllIn(plan).length >= 2, s"expected partial+final agg pair:\n$plan")
+  }
+
   test("nextEventLabels: per-user lead with exact-µs gaps, NULL tail") {
     val e = Seq(ev(1, 100, 1, "view", 0), ev(2, 160, 1, "click", 0),
       ev(3, 200, 1, "buy", 0), ev(4, 150, 2, "view", 0))
