@@ -641,6 +641,13 @@ object SparkEntry {
       Events.topPerUserAgg(Tables(s, dir, "events"), n = 3)
     }),
 
+    // ── curation: quantile normalization across sources ─────────────
+    // Each doc's n_chars is replaced by the global n_chars at its
+    // within-source quantile — exact integer rank arithmetic.
+    "q_quantile_norm" -> ((s, dir) => {
+      Curation.quantileNormalize(Tables(s, dir, "documents"), "source", "n_chars", "doc_id")
+    }),
+
     // ── curation: materialized packed training sequences ────────────
     // The emit step of q_pack: one row per (source, shard) with the
     // member docs joined in id order at an EOS separator.
@@ -1769,6 +1776,27 @@ object SparkEntry {
         |                                ORDER BY value DESC, event_id) AS rn
         |      FROM events)
         |WHERE rn <= 3""".stripMargin,
+
+    "q_quantile_norm" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                                 ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+        |         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS m
+        |  FROM documents
+        |),
+        |g AS (SELECT n_chars AS gs,
+        |             CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS gr
+        |      FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |x AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CASE WHEN m > 1 THEN 1 + ((r - 1) * (n - 1)) // (m - 1)
+        |              ELSE 1 + (n - 1) // 2 END AS tr
+        |  FROM k CROSS JOIN t
+        |)
+        |SELECT x.doc_id, x.source, x.n_chars, g.gs AS score_norm
+        |FROM x JOIN g ON g.gr = x.tr""".stripMargin,
 
     "q_packed_seqs" ->
       """WITH t AS (

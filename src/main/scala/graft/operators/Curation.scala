@@ -609,6 +609,42 @@ object Curation {
       .select(col(idCol), col("j"), col("neg_id"))
   }
 
+  /** Quantile normalization of a per-key score onto the corpus-wide
+    * distribution — the cross-source calibration step for quality
+    * scores: a "0.8" from a verbose source and a "0.8" from a terse
+    * one rarely mean the same thing, so each row's score is replaced
+    * by the GLOBAL score at its within-key quantile. After it, every
+    * key's scores share the corpus distribution and one threshold
+    * means one thing (the classic quantile-normalization technique).
+    *
+    * Exact integer contract (deterministic, SQL-replayable): within
+    * key, rank r of m by (score, id); target global rank =
+    * 1 + (r-1)·(N-1) div (m-1) — endpoints map to endpoints — and a
+    * singleton key maps to the global median rank 1 + (N-1) div 2.
+    * No floating quantile is ever computed.
+    *
+    * Scale shape: one ranking window on the key, the globalRank
+    * range exchange for the reference distribution, one hash join on
+    * the computed rank. Output: (idCol, keyCol, scoreCol,
+    * score_norm). */
+  def quantileNormalize(df: DataFrame, keyCol: String, scoreCol: String,
+                        idCol: String): DataFrame = {
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col(scoreCol), col(idCol))
+    val ranked = df
+      .withColumn("__r", row_number().over(wk).cast("long"))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy(col(keyCol))).cast("long"))
+    val global = Dedup.pin(globalRank(
+      df.select(col(scoreCol).as("__gs"), col(idCol).as("__gid")),
+      "__gr", 0, col("__gs"), col("__gid")))
+    val n = global.count()
+    val target = when(col("__m") > 1L,
+        lit(1L) + call_function("div", (col("__r") - 1L) * lit(n - 1), col("__m") - 1L))
+      .otherwise(lit(1L + (n - 1) / 2))
+    ranked.withColumn("__t", target)
+      .join(global.select(col("__gr").as("__t"), col("__gs").as("score_norm")), Seq("__t"))
+      .select(col(idCol), col(keyCol), col(scoreCol), col("score_norm"))
+  }
+
   /** Hard-negative mining for contrastive training: negatives drawn
     * from the anchor's OWN K-Means cell — semantically close (hard)
     * but never the anchor itself — where negativeSamples draws

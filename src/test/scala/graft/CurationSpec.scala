@@ -381,6 +381,26 @@ class CurationSpec extends AnyFunSuite {
     assert(nAgg >= 2, s"expected partial+final aggregate pair, got:\n$plan")
   }
 
+  test("quantileNormalize: endpoints map to endpoints, distributions equalize") {
+    // key a: scores 1..4; key b: scores 100..103; global sorted:
+    // 1,2,3,4,100,101,102,103 (N=8)
+    val df = (1L to 4L).map(i => (i, "a", i)) ++ (5L to 8L).map(i => (i, "b", i + 95))
+    val got = Curation.quantileNormalize(df.toDF("id", "k", "s"), "k", "s", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    Dedup.releaseCaches()
+    // r of m=4 -> global rank 1 + (r-1)*7 div 3 = 1, 3, 5, 8
+    val expect = Seq(1L, 3L, 100L, 103L)
+    assert((1L to 4L).map(got) === expect)   // key a
+    assert((5L to 8L).map(got) === expect)   // key b: SAME mapped values
+    // singleton key maps to the global median rank
+    val single = Curation.quantileNormalize(
+      (df :+ ((9L, "c", 1000L))).toDF("id", "k", "s"), "k", "s", "id")
+      .filter($"k" === "c").head().getLong(3)
+    Dedup.releaseCaches()
+    // N=9, median rank 1 + 4 = 5 -> value 100
+    assert(single === 100L)
+  }
+
   test("materializePacked: id-ordered reassembly at the separator, exact counts") {
     val df = Seq(
       (1L, "k", "a b c"), (2L, "k", "d e"), (3L, "k", "f g h i"), (4L, "m", "x")
