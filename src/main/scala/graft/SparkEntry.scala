@@ -461,13 +461,22 @@ object SparkEntry {
     }),
 
     // ── LLM-pipeline: per-group embedding centroids ─────────────────
-    // Mean vector per label (class centroids) via the VectorMeanAgg
-    // partial combiner; exploded to (label, pos, val) rows for the
-    // oracle's sorted-fold replay.
+    // ORACLE TWIN (sorted-fold, the q_centroid_update convention): a
+    // distributed VectorMeanAgg sum is partition-order-dependent in
+    // the last ulp, so the gated query pins the fold order by sorting
+    // each (label, pos) group's values before summing — bit-equal to
+    // DuckDB's list_reduce(list_sort(...)). The SCALE path is
+    // Similarity.groupCentroids (d+1 doubles per group per task),
+    // equality pinned in SimilaritySpec.
     "q_group_centroids" -> ((s, dir) => {
-      Similarity.groupCentroids(Tables(s, dir, "embeddings"), "label", "embedding")
-        .select(col("label"), col("n"), posexplode(col("centroid")).as(Seq("p0", "val")))
-        .select(col("label"), col("n"), (col("p0") + 1).cast("int").as("pos"), col("val"))
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p0", "v")))
+        .select(col("label"), (col("p0") + 1).cast("int").as("pos"),
+          col("v").cast("double").as("v"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).cast("long").as("n"),
+          (VectorOps.foldSum(sort_array(collect_list(col("v")))) / count(lit(1))).as("val"))
+        .select(col("label"), col("n"), col("pos"), col("val"))
     }),
 
     // ── LLM-pipeline: SemDeDup semantic near-dup (K-Means-pruned) ───
@@ -2695,7 +2704,7 @@ object SparkEntry {
         |           FROM documents),
         |t AS (SELECT count(*) AS n FROM documents)
         |SELECT doc_id, curriculum_rank,
-        |       CAST((curriculum_rank - 1) // ((n + 6) // 7) AS INTEGER) AS shard
+        |       CAST(((curriculum_rank - 1) * 7) // n AS INTEGER) AS shard
         |FROM r CROSS JOIN t""".stripMargin,
 
     "q_token_budget" ->
@@ -2738,7 +2747,7 @@ object SparkEntry {
         |             row_number() OVER (ORDER BY n_chars, doc_id) AS curriculum_rank
         |      FROM cut)
         |SELECT doc_id, cum_tokens, curriculum_rank,
-        |       CAST((curriculum_rank - 1) // ((n + 3) // 4) AS INTEGER) AS shard
+        |       CAST(((curriculum_rank - 1) * 4) // n AS INTEGER) AS shard
         |FROM r CROSS JOIN t""".stripMargin,
 
     "q_dedup_kept" ->

@@ -50,21 +50,22 @@ object Curation {
     * contiguous shards: shard 0 = lowest scores … nShards-1 =
     * highest. Feeding shards in order gives ascending-difficulty
     * curriculum epochs; ties broken by id so the assignment is total
-    * and deterministic. shard = (rank-1) div ceil(n/nShards): every
-    * shard holds exactly ceil(n/nShards) rows except a shorter final
-    * one — exact integer arithmetic, replayable in SQL. Output:
-    * input columns + (curriculum_rank, shard). */
+    * and deterministic. shard = (rank-1)·nShards div n: EVERY shard
+    * 0..nShards-1 is populated (when n ≥ nShards) with sizes within
+    * one of each other — the ceil-div cut would leave trailing shards
+    * empty whenever nShards does not divide n evenly. Exact integer
+    * arithmetic, replayable in SQL. Output: input columns +
+    * (curriculum_rank, shard). */
   def curriculumShards(df: DataFrame, scoreCol: String, idCol: String,
                        nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val ranked = Dedup.pin(globalRank(df, "curriculum_rank", 0,
       col(scoreCol), col(idCol)))
-    val n = ranked.count()
-    val per = math.max(1L, (n + nShards - 1) / nShards.toLong)
+    val n = math.max(1L, ranked.count())
     // exact integer division (Column./ is double division — exact
     // only below 2^53; `div` never degrades)
     ranked.withColumn("shard",
-      call_function("div", col("curriculum_rank") - 1L, lit(per)).cast("int"))
+      call_function("div", (col("curriculum_rank") - 1L) * nShards, lit(n)).cast("int"))
   }
 
   /** Sequence packing: concatenate each key's documents in idCol
@@ -431,8 +432,12 @@ object Curation {
     val sorted = df.withColumn("__v", col(valueCol).cast("long"))
       .repartitionByRange(np, order: _*).sortWithinPartitions(order: _*)
       .localCheckpoint()
+    // coalesce: an all-null partition would otherwise NPE the driver
+    // collect below; the streaming pass still rejects any null row
+    // loudly (the totals job runs first, so this is the only place a
+    // null could slip through silently)
     val totals = sorted.select(spark_partition_id().as("__pid"), col("__v"))
-      .groupBy("__pid").agg(sum(col("__v")).as("__t"))
+      .groupBy("__pid").agg(coalesce(sum(col("__v")), lit(0L)).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until np).scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
     // the pid rides as a COLUMN, not TaskContext.getPartitionId():
@@ -451,6 +456,10 @@ object Curation {
       var cur = -1
       var acc = 0L
       it.map { r =>
+        if (r.isNullAt(vIdx))
+          throw new IllegalArgumentException(
+            "globalRunningSum: NULL in the value column — a null has no " +
+              "defined place in an exact prefix sum; filter or coalesce it upstream")
         val pid = r.getInt(pidIdx)
         if (pid != cur) { cur = pid; acc = offsets(pid) }
         acc += r.getLong(vIdx)
@@ -570,9 +579,12 @@ object Curation {
   def distributionDrift(oldDf: DataFrame, newDf: DataFrame, keyCol: String): DataFrame = {
     val oc = oldDf.groupBy(col(keyCol)).agg(count(lit(1)).as("n_old"))
     val nc = newDf.groupBy(col(keyCol)).agg(count(lit(1)).as("n_new"))
-    val joined = oc.join(nc, Seq(keyCol), "full_outer")
+    // pinned: the totals row AND the output read `joined` — without
+    // the pin both corpus-wide aggregations (the operator's dominant
+    // cost) run twice; the cached relation is only |keys| rows
+    val joined = Dedup.pin(oc.join(nc, Seq(keyCol), "full_outer")
       .select(col(keyCol), coalesce(col("n_old"), lit(0L)).as("n_old"),
-        coalesce(col("n_new"), lit(0L)).as("n_new"))
+        coalesce(col("n_new"), lit(0L)).as("n_new")))
     val totals = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
     val fo = when(col("__to") > 0, col("n_old").cast("double") / col("__to"))
     val fn = when(col("__tn") > 0, col("n_new").cast("double") / col("__tn"))

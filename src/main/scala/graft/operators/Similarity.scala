@@ -31,12 +31,14 @@ object Similarity {
     * slice" reduction. One partial-agg shuffle of d+1 doubles per
     * (group, task) via VectorMeanAgg (the same combiner K-Means'
     * step uses) — never a collect_list of the group's vectors.
-    * Output: (keyCol, centroid: array<double>, n). */
+    * n counts the NON-NULL vectors (the aggregator's actual divisor —
+    * count(*) would disagree with the mean whenever a group carries
+    * null embeddings). Output: (keyCol, centroid: array<double>, n). */
   def groupCentroids(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
     df.groupBy(col(keyCol))
       .agg(graft.functions.VectorMeanAgg.vecMean(
           graft.functions.VectorOps.toDouble(col(vecCol))).as("centroid"),
-        count(lit(1)).as("n"))
+        count(col(vecCol)).as("n"))
 
   /** Exact cosine top-k per probe via bounded partial aggregation.
     * probes must be small (broadcast); self-matches are excluded.

@@ -261,16 +261,27 @@ class CurationSpec extends AnyFunSuite {
     assert(short.count() === 2L)
   }
 
-  test("curriculumShards: contiguous score-ordered cut, exact sizes") {
+  test("curriculumShards: contiguous score-ordered cut, every shard populated") {
     val df = (1L to 10L).map(i => (i, (11 - i).toInt)).toDF("id", "score")
     val got = Curation.curriculumShards(df, "score", "id", nShards = 4)
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
     Dedup.releaseCaches()
-    // lowest score = id 10 -> rank 1, shard 0; per = ceil(10/4) = 3
+    // lowest score = id 10 -> rank 1, shard 0; shard = (rank-1)*4 div 10
     assert(got(10L) === ((1L, 0)))
     assert(got(1L) === ((10L, 3)))          // highest score -> last shard
+    // ALL nShards populated even though 4 does not divide 10 (the
+    // ceil-div cut would leave shard 3 empty); sizes within one
     val sizes = got.values.groupBy(_._2).view.mapValues(_.size).toMap
-    assert(sizes === Map(0 -> 3, 1 -> 3, 2 -> 3, 3 -> 1))
+    assert(sizes === Map(0 -> 3, 1 -> 2, 2 -> 3, 3 -> 2))
+  }
+
+  test("globalRunningSum refuses NULL values loudly") {
+    val df = Seq((1L, Some(1L)), (2L, None: Option[Long]), (3L, Some(3L)))
+      .toDF("id", "v")
+    val ex = intercept[Exception] {
+      Curation.globalRunningSum(df, "v", "cum", 2, col("id")).collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("hardNegatives: same-cell only, never self, singleton cells emit nothing") {

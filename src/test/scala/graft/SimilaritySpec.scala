@@ -18,6 +18,11 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
     assert(got("a") === ((Seq(2.0, 3.0), 2L)))
     assert(got("b") === ((Seq(10.0, 0.0), 1L)))
+    // n counts NON-NULL vectors — the mean's actual divisor
+    val withNull = Seq(("a", Some(Seq(1.0, 2.0))), ("a", Some(Seq(3.0, 4.0))),
+      ("a", None: Option[Seq[Double]])).toDF("k", "v")
+    val gn = Similarity.groupCentroids(withNull, "k", "v").head()
+    assert(gn.getSeq[Double](1) === Seq(2.0, 3.0) && gn.getLong(2) === 2L)
     // partial + final aggregate pair; never a collect_list of vectors
     val plan = Similarity.groupCentroids(df, "k", "v").queryExecution.executedPlan.toString
     assert(!plan.contains("collect_list"), s"unexpected collect_list:\n$plan")
