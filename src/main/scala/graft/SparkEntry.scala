@@ -638,6 +638,20 @@ object SparkEntry {
         Sampling.trainTestSplit(docs, "doc_id", testFrac = 0.2), "doc_id")
     }),
 
+    // ── LLM-pipeline: split repair — drop leaked test docs ──────────
+    // The fix for what q_leakage measures: remove every test doc that
+    // near-dup-pairs across the split (removal cannot create new
+    // leaks; train is untouched). Output: surviving assignment rows.
+    "q_split_clean" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.5, parity = true)
+      Sampling.dropLeakedTest(
+          Sampling.trainTestSplit(docs, "doc_id", testFrac = 0.2), "doc_id",
+          pairs, "id1", "id2")
+        .select(col("doc_id"), col("split"))
+    }),
+
     // ── LLM-pipeline: top-n events per user (PARTITIONED window) ────
     "q_top_events" -> ((s, dir) => {
       Events.topPerUser(Tables(s, dir, "events"), n = 3)
@@ -1998,6 +2012,25 @@ object SparkEntry {
       s"""WITH $sqlMinhash,
          |$sqlCandJaccard
          |SELECT id1, id2, sim FROM simpairs""".stripMargin,
+
+    "q_split_clean" ->
+      s"""WITH $sqlMinhash,
+         |$sqlCandJaccard,
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |                   / 4294967296.0 < 0.2
+         |              THEN 'test' ELSE 'train' END AS split
+         |  FROM documents
+         |),
+         |doomed AS (
+         |  SELECT DISTINCT CASE WHEN s1.split = 'test' THEN p.id1 ELSE p.id2 END AS doc_id
+         |  FROM simpairs p
+         |  JOIN sp s1 ON s1.doc_id = p.id1
+         |  JOIN sp s2 ON s2.doc_id = p.id2
+         |  WHERE p.sim >= 0.5 AND s1.split <> s2.split
+         |)
+         |SELECT sp.doc_id, sp.split FROM sp ANTI JOIN doomed USING (doc_id)""".stripMargin,
 
     "q_next_event" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)

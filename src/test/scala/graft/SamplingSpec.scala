@@ -85,6 +85,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.splitLeakage(pairs, "id1", "id2", gs, "doc_id").count() === 0L)
   }
 
+  test("dropLeakedTest removes exactly the leaked test docs; zero leakage after") {
+    val assign = Seq((1L, "train"), (2L, "test"), (3L, "test"), (4L, "train"),
+      (5L, "test")).toDF("doc_id", "split")
+    // (1,2) leaks (train-test), (2,3) is test-test (fine), (4,1) train-train
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 1L)).toDF("id1", "id2")
+    val clean = Sampling.dropLeakedTest(assign, "doc_id", pairs, "id1", "id2")
+    val ids = clean.select("doc_id").as[Long].collect().sorted
+    assert(ids === Array(1L, 3L, 4L, 5L))    // only doc 2 (leaked test) dropped
+    assert(Sampling.splitLeakage(pairs, "id1", "id2", clean, "doc_id").count() === 0L)
+  }
+
   test("stratifiedSample honors per-stratum rates") {
     val kept = Sampling.stratifiedSample(ids, "id", "lang",
       rates = Map("en" -> 1.0), defaultRate = 0.0)
