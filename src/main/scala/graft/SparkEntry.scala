@@ -664,6 +664,15 @@ object SparkEntry {
       Events.topPerUserAgg(Tables(s, dir, "events"), n = 3)
     }),
 
+    // ── curation: deterministic training-order interleave ───────────
+    // Deficit round-robin over three sources at 3:2:1 — every prefix
+    // of the schedule holds ≈ the target mix.
+    "q_interleave" -> ((s, dir) => {
+      Curation.interleaveMix(Tables(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 3.0, "src1" -> 2.0, "src2" -> 1.0))
+        .select(col("doc_id"), col("source"), col("vtime"), col("order_pos"))
+    }),
+
     // ── curation: quantile normalization across sources ─────────────
     // Each doc's n_chars is replaced by the global n_chars at its
     // within-source quantile — exact integer rank arithmetic.
@@ -1799,6 +1808,18 @@ object SparkEntry {
         |                                ORDER BY value DESC, event_id) AS rn
         |      FROM events)
         |WHERE rn <= 3""".stripMargin,
+
+    "q_interleave" ->
+      """WITH w AS (SELECT * FROM (VALUES ('src0', 3.0), ('src1', 2.0), ('src2', 1.0)) t(source, wt)),
+        |r AS (
+        |  SELECT d.doc_id, d.source,
+        |         (CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS DOUBLE)
+        |          - 0.5) / w.wt AS vtime
+        |  FROM documents d JOIN w USING (source)
+        |)
+        |SELECT doc_id, source, vtime,
+        |       CAST(row_number() OVER (ORDER BY vtime, source, doc_id) AS BIGINT) AS order_pos
+        |FROM r""".stripMargin,
 
     "q_quantile_norm" ->
       """WITH k AS (

@@ -170,6 +170,37 @@ object Curation {
     * design — that is #sources rows (the same k-bounded-collect
     * posture as the K-Means centroid step), never corpus rows; the
     * corpus itself is read once more for the one filter pass. */
+  /** Deterministic training-order interleave to a target mix — the
+    * SCHEDULE twin of rebalanceSources below (which decides WHAT to
+    * keep; this decides in WHAT ORDER to feed it): deficit
+    * round-robin, the classic weighted-fair-queueing discipline. Row
+    * r of a key with weight w gets virtual time (r - 1/2) / w; the
+    * ascending virtual-time order interleaves keys so every prefix of
+    * the plan holds ≈ the target proportions — a training run stopped
+    * at any step has seen the intended mix, unlike per-source
+    * concatenation. order_pos is the global rank of (vtime, key, id)
+    * via globalRank (range exchange, no single-partition sort);
+    * ties break by key then id, so the plan is total and
+    * reproducible. The one division per row is a single IEEE op on
+    * exact integers — bit-stable cross-engine. Keys missing from
+    * `weights` are excluded (weight 0 = never scheduled).
+    * Output: input columns + (vtime, order_pos). */
+  def interleaveMix(df: DataFrame, keyCol: String, idCol: String,
+                    weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    weights.foreach { case (s, w) =>
+      require(w > 0.0, s"weight for '$s' must be positive, got $w") }
+    val wCol = weights.foldLeft(lit(null).cast("double")) { case (acc, (v, w)) =>
+      when(col(keyCol) === v, lit(w)).otherwise(acc)
+    }
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+    val timed = df.filter(col(keyCol).isin(weights.keys.toSeq.map(_.asInstanceOf[Any]): _*))
+      .withColumn("__r", row_number().over(byKey).cast("long"))
+      .withColumn("vtime", (col("__r").cast("double") - 0.5) / wCol)
+      .drop("__r")
+    globalRank(timed, "order_pos", 0, col("vtime"), col(keyCol), col(idCol))
+  }
+
   def rebalanceSources(df: DataFrame, keyCol: String, idCol: String,
                        targetShare: Map[String, Double]): DataFrame = {
     require(targetShare.nonEmpty, "targetShare must not be empty")

@@ -392,6 +392,25 @@ class CurationSpec extends AnyFunSuite {
     assert(nAgg >= 2, s"expected partial+final aggregate pair, got:\n$plan")
   }
 
+  test("interleaveMix: every prefix holds the target mix, deterministic, unknown keys excluded") {
+    val df = ((1L to 30L).map(i => (i, "a")) ++ (31L to 60L).map(i => (i, "b")) ++
+      (61L to 65L).map(i => (i, "zz"))).toDF("id", "src")
+    val plan = Curation.interleaveMix(df, "src", "id", Map("a" -> 2.0, "b" -> 1.0))
+      .orderBy("order_pos").select("src").as[String].collect()
+    Dedup.releaseCaches()
+    assert(plan.length === 60)               // zz (weight absent) excluded
+    // every prefix of length 3k holds exactly 2k a's and k b's
+    for (k <- 1 to 15) {
+      val prefix = plan.take(3 * k)
+      assert(prefix.count(_ == "a") === 2 * k, s"prefix ${3 * k}: ${prefix.mkString}")
+    }
+    // repartitioning cannot change the schedule
+    val again = Curation.interleaveMix(df.repartition(7), "src", "id",
+      Map("a" -> 2.0, "b" -> 1.0)).orderBy("order_pos").select("src").as[String].collect()
+    Dedup.releaseCaches()
+    assert(plan.toSeq === again.toSeq)
+  }
+
   test("quantileNormalize: endpoints map to endpoints, distributions equalize") {
     // key a: scores 1..4; key b: scores 100..103; global sorted:
     // 1,2,3,4,100,101,102,103 (N=8)
