@@ -474,8 +474,11 @@ object SparkEntry {
         .select(col("label"), (col("p0") + 1).cast("int").as("pos"),
           col("v").cast("double").as("v"))
         .groupBy("label", "pos")
-        .agg(count(lit(1)).cast("long").as("n"),
-          (VectorOps.foldSum(sort_array(collect_list(col("v")))) / count(lit(1))).as("val"))
+        // count(col), not count(*): collect_list silently drops NULL
+        // elements, so the divisor must be the non-null count or a
+        // null-carrying group's mean silently shifts
+        .agg(count(col("v")).cast("long").as("n"),
+          (VectorOps.foldSum(sort_array(collect_list(col("v")))) / count(col("v"))).as("val"))
         .select(col("label"), col("n"), col("pos"), col("val"))
     }),
 
@@ -2044,12 +2047,17 @@ object SparkEntry {
          |              THEN 'test' ELSE 'train' END AS split
          |  FROM documents
          |),
-         |doomed AS (
-         |  SELECT DISTINCT CASE WHEN s1.split = 'test' THEN p.id1 ELSE p.id2 END AS doc_id
+         |cx AS (
+         |  SELECT p.id1, p.id2, s1.split AS split1, s2.split AS split2
          |  FROM simpairs p
          |  JOIN sp s1 ON s1.doc_id = p.id1
          |  JOIN sp s2 ON s2.doc_id = p.id2
          |  WHERE p.sim >= 0.5 AND s1.split <> s2.split
+         |),
+         |doomed AS (
+         |  SELECT id1 AS doc_id FROM cx WHERE split1 = 'test'
+         |  UNION
+         |  SELECT id2 FROM cx WHERE split2 = 'test'
          |)
          |SELECT sp.doc_id, sp.split FROM sp ANTI JOIN doomed USING (doc_id)""".stripMargin,
 
@@ -2315,9 +2323,9 @@ object SparkEntry {
         |  FROM embeddings
         |)
         |SELECT label,
-        |       CAST(count(*) AS BIGINT) AS n, pos,
-        |       list_reduce(list_sort(list(v)), (acc, e) -> acc + e) / count(*) AS val
-        |FROM x GROUP BY label, pos""".stripMargin,
+        |       CAST(count(v) AS BIGINT) AS n, pos,
+        |       list_reduce(list_sort(list(v)), (acc, e) -> acc + e) / count(v) AS val
+        |FROM x WHERE v IS NOT NULL GROUP BY label, pos""".stripMargin,
 
     "q_semdedup" ->
       s"""WITH $sqlCents8,

@@ -170,37 +170,6 @@ object Curation {
     * design — that is #sources rows (the same k-bounded-collect
     * posture as the K-Means centroid step), never corpus rows; the
     * corpus itself is read once more for the one filter pass. */
-  /** Deterministic training-order interleave to a target mix — the
-    * SCHEDULE twin of rebalanceSources below (which decides WHAT to
-    * keep; this decides in WHAT ORDER to feed it): deficit
-    * round-robin, the classic weighted-fair-queueing discipline. Row
-    * r of a key with weight w gets virtual time (r - 1/2) / w; the
-    * ascending virtual-time order interleaves keys so every prefix of
-    * the plan holds ≈ the target proportions — a training run stopped
-    * at any step has seen the intended mix, unlike per-source
-    * concatenation. order_pos is the global rank of (vtime, key, id)
-    * via globalRank (range exchange, no single-partition sort);
-    * ties break by key then id, so the plan is total and
-    * reproducible. The one division per row is a single IEEE op on
-    * exact integers — bit-stable cross-engine. Keys missing from
-    * `weights` are excluded (weight 0 = never scheduled).
-    * Output: input columns + (vtime, order_pos). */
-  def interleaveMix(df: DataFrame, keyCol: String, idCol: String,
-                    weights: Map[String, Double]): DataFrame = {
-    require(weights.nonEmpty, "weights must not be empty")
-    weights.foreach { case (s, w) =>
-      require(w > 0.0, s"weight for '$s' must be positive, got $w") }
-    val wCol = weights.foldLeft(lit(null).cast("double")) { case (acc, (v, w)) =>
-      when(col(keyCol) === v, lit(w)).otherwise(acc)
-    }
-    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
-    val timed = df.filter(col(keyCol).isin(weights.keys.toSeq.map(_.asInstanceOf[Any]): _*))
-      .withColumn("__r", row_number().over(byKey).cast("long"))
-      .withColumn("vtime", (col("__r").cast("double") - 0.5) / wCol)
-      .drop("__r")
-    globalRank(timed, "order_pos", 0, col("vtime"), col(keyCol), col(idCol))
-  }
-
   def rebalanceSources(df: DataFrame, keyCol: String, idCol: String,
                        targetShare: Map[String, Double]): DataFrame = {
     require(targetShare.nonEmpty, "targetShare must not be empty")
@@ -215,6 +184,56 @@ object Curation {
     val nTarget = present.map { case (s, w) => counts(s) / w }.min
     val rates = present.map { case (s, w) => s -> math.min(1.0, w * nTarget / counts(s)) }
     Sampling.stratifiedSample(df, idCol, keyCol, rates, defaultRate = 0.0)
+  }
+
+  /** Deterministic training-order interleave to a target mix — the
+    * SCHEDULE twin of rebalanceSources above (which decides WHAT to
+    * keep; this decides in WHAT ORDER to feed it): deficit
+    * round-robin, the classic weighted-fair-queueing discipline. Row
+    * r of a key with weight w gets virtual time (r - 1/2) / w; the
+    * ascending virtual-time order interleaves keys so every prefix of
+    * the plan holds ≈ the target proportions — a training run stopped
+    * at any step has seen the intended mix, unlike per-source
+    * concatenation. Keys missing from `weights` are excluded
+    * (weight 0 = never scheduled).
+    *
+    * Scale shape — no per-key window anywhere: with a handful of
+    * sources a Window.partitionBy(key) would sort ~corpus/keys rows
+    * in ONE task, so the per-key rank comes instead from globalRank
+    * over (key, id) (a range exchange of np parallel sorted runs)
+    * minus each key's exclusive offset, computed from a
+    * #keys-bounded groupBy-count collect (keys ⊆ the driver-side
+    * weights map by construction). A second globalRank orders the
+    * virtual times. The one division per row is a single IEEE op on
+    * exact integers — bit-stable cross-engine.
+    * Output: input columns + (vtime, order_pos). */
+  def interleaveMix(df: DataFrame, keyCol: String, idCol: String,
+                    weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    weights.foreach { case (s, w) =>
+      require(w > 0.0, s"weight for '$s' must be positive, got $w") }
+    Seq("vtime", "order_pos", "__g", "__r").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — silently replacing a previous " +
+          "schedule would let old and new training orders be confused downstream"))
+    val kept = df.filter(col(keyCol).isin(weights.keys.toSeq.map(_.asInstanceOf[Any]): _*))
+    // exclusive per-key offsets in (key asc) order: rank within key =
+    // global (key, id) rank − offset(key)
+    val counts = kept.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keysAsc = counts.keys.toSeq.sorted
+    val offsets = keysAsc.zip(keysAsc.scanLeft(0L)((acc, k) => acc + counts(k))).toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (k, off)) =>
+      when(col(keyCol) === k, lit(off)).otherwise(acc)
+    }
+    val wCol = weights.foldLeft(lit(null).cast("double")) { case (acc, (v, w)) =>
+      when(col(keyCol) === v, lit(w)).otherwise(acc)
+    }
+    val timed = globalRank(kept, "__g", 0, col(keyCol), col(idCol))
+      .withColumn("__r", col("__g") - offCol)
+      .withColumn("vtime", (col("__r").cast("double") - 0.5) / wCol)
+      .drop("__g", "__r")
+    globalRank(timed, "order_pos", 0, col("vtime"), col(keyCol), col(idCol))
   }
 
   /** Up-sample to a target mix by REPEATING rows across epochs — the

@@ -94,6 +94,15 @@ class SamplingSpec extends AnyFunSuite {
     val ids = clean.select("doc_id").as[Long].collect().sorted
     assert(ids === Array(1L, 3L, 4L, 5L))    // only doc 2 (leaked test) dropped
     assert(Sampling.splitLeakage(pairs, "id1", "id2", clean, "doc_id").count() === 0L)
+    // multi-way split: a (val, train) crossing pair must doom NOTHING
+    // (neither side is test) — train and val stay untouched; and the
+    // test side of a (val, test) pair is doomed regardless of column
+    // order
+    val three = Seq((1L, "train"), (2L, "val"), (3L, "test")).toDF("doc_id", "split")
+    val p2 = Seq((2L, 1L), (2L, 3L)).toDF("id1", "id2") // val-train, val-test
+    val c2 = Sampling.dropLeakedTest(three, "doc_id", p2, "id1", "id2")
+      .select("doc_id").as[Long].collect().sorted
+    assert(c2 === Array(1L, 2L))             // only test doc 3 dropped
   }
 
   test("stratifiedSample honors per-stratum rates") {
