@@ -527,6 +527,18 @@ object SparkEntry {
       TextAnalysis.scrubPii(aug, "doc_id", "text")
     }),
 
+    // ── LLM-pipeline: sentence segmentation ─────────────────────────
+    // The synthetic corpus carries no punctuation, so the query
+    // plants two sentence boundaries per doc (identically in the
+    // oracle) and checks ids, order, retained punctuation, counts.
+    "q_sentences" -> ((s, dir) => {
+      val aug = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(substring(col("text"), 1, 50), lit(". "),
+          substring(col("text"), 51, 50), lit("! "),
+          substring(col("text"), 101, 1000000)).as("text"))
+      TextAnalysis.splitSentences(aug, "doc_id", "text")
+    }),
+
     // ── LLM-pipeline: corpus top-20 terms by frequency ──────────────
     "q_top_terms" -> ((s, dir) => {
       TextAnalysis.topTerms(Tables(s, dir, "documents"), "text", 20)
@@ -1693,6 +1705,27 @@ object SparkEntry {
         |       array_to_string(list_slice(toks, s, s + 31), ' ') AS chunk_text,
         |       least(CAST(32 AS BIGINT), n - s + 1) AS n_tokens
         |FROM u""".stripMargin,
+
+    "q_sentences" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 50) || '. ' || substr(text, 51, 50) || '! '
+        |           || substr(text, 101, 1000000) AS text
+        |  FROM documents
+        |),
+        |s0 AS (
+        |  SELECT doc_id,
+        |         list_filter(
+        |           list_transform(
+        |             string_split(regexp_replace(text, '([.!?]+)\s+', '\1' || chr(1), 'g'),
+        |                          chr(1)),
+        |             y -> trim(y)),
+        |           x -> len(x) > 0) AS ss
+        |  FROM aug
+        |)
+        |SELECT doc_id, CAST(generate_subscripts(ss, 1) AS INTEGER) AS sent_id,
+        |       unnest(ss) AS sentence, CAST(len(ss) AS BIGINT) AS n_sents
+        |FROM s0""".stripMargin,
 
     "q_normalize" ->
       """WITH dirty AS (

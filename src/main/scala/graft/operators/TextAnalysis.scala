@@ -174,6 +174,27 @@ object TextAnalysis {
     * column n_chars_removed = length delta lets a pipeline monitor
     * how much it is rewriting. Output: (idCol, norm_text,
     * n_chars_removed). */
+  /** Sentence segmentation (the paragraph/sentence-level row
+    * explosion C4-style span filters run on): a sentence boundary is
+    * a [.!?] run followed by whitespace. RE2-portable construction —
+    * no lookbehind (RE2, hence the DuckDB oracle, has none): the
+    * boundary regex rewrites "<punct><space>" to "<punct>" with
+    * a capture backreference, then splits on the sentinel, so
+    * terminal punctuation STAYS with its sentence. Empty/blank
+    * fragments are dropped; sent_id is the 1-based in-document
+    * position. Rowwise generator — one scan, no shuffle. Output:
+    * (idCol, sent_id, sentence, n_sents). */
+  def splitSentences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val marked = regexp_replace(col(textCol), "([.!?]+)\\s+", "$1\u0001")
+    val sents = filter(transform(split(marked, "\u0001"), s => trim(s)),
+      s => length(s) > 0)
+    df.select(col(idCol), sents.as("__s"))
+      .select(col(idCol), size(col("__s")).cast("long").as("n_sents"),
+        posexplode(col("__s")).as(Seq("__p", "sentence")))
+      .select(col(idCol), (col("__p") + 1).cast("int").as("sent_id"),
+        col("sentence"), col("n_sents"))
+  }
+
   def normalizeText(df: DataFrame, idCol: String, textCol: String,
                     lowercase: Boolean = true): DataFrame = {
     val t = col(textCol)

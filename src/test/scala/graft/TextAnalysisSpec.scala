@@ -327,6 +327,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(flat.toSeq === doc.split(" ").toSeq)
   }
 
+  test("splitSentences: boundaries on punct+space, punctuation retained, blanks dropped") {
+    val df = Seq(
+      (1L, "first sentence. second one! third? tail"),
+      (2L, "no punctuation at all"),
+      (3L, "double punct!!  and spaces. "),
+      (4L, "ends clean.")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.splitSentences(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3))).toMap
+    assert(got((1L, 1)) === (("first sentence.", 4L)))
+    assert(got((1L, 2)) === (("second one!", 4L)))
+    assert(got((1L, 3)) === (("third?", 4L)))
+    assert(got((1L, 4)) === (("tail", 4L)))
+    assert(got((2L, 1)) === (("no punctuation at all", 1L)))
+    assert(got((3L, 1)) === (("double punct!!", 2L)))   // punct run kept whole
+    assert(got((3L, 2)) === (("and spaces.", 2L)))      // trailing blank dropped
+    assert(got((4L, 1)) === (("ends clean.", 1L)))
+    assert(!got.contains((3L, 3)) && !got.contains((4L, 2)))
+  }
+
   test("normalizeText: control chars, space runs, trim, case; audit delta") {
     val df = Seq(
       (1L, "  Hello\tWorld  twice  "),
