@@ -527,6 +527,23 @@ object SparkEntry {
       TextAnalysis.scrubPii(aug, "doc_id", "text")
     }),
 
+    // ── LLM-pipeline: markup stripping (C4-style extract pass) ──────
+    // The corpus is plain text, so the query wraps each doc in tags +
+    // entities (identically in the oracle) and checks the extraction.
+    "q_strip_markup" -> ((s, dir) => {
+      val aug = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(lit("<html><body class=\"d\"><p>"), substring(col("text"), 1, 60),
+          lit("</p><br/>&amp;co &lt;tag&gt; "),
+          substring(col("text"), 61, 1000000), lit("</body></html>")).as("text"))
+      TextAnalysis.stripMarkup(aug, "doc_id", "text")
+    }),
+
+    // ── LLM-pipeline: token-budget truncation ───────────────────────
+    "q_truncate" -> ((s, dir) => {
+      TextAnalysis.truncateTokens(Tables(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 30)
+    }),
+
     // ── LLM-pipeline: sentence segmentation ─────────────────────────
     // The synthetic corpus carries no punctuation, so the query
     // plants two sentence boundaries per doc (identically in the
@@ -1705,6 +1722,42 @@ object SparkEntry {
         |       array_to_string(list_slice(toks, s, s + 31), ' ') AS chunk_text,
         |       least(CAST(32 AS BIGINT), n - s + 1) AS n_tokens
         |FROM u""".stripMargin,
+
+    "q_strip_markup" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         '<html><body class="d"><p>' || substr(text, 1, 60)
+        |           || '</p><br/>&amp;co &lt;tag&gt; ' || substr(text, 61, 1000000)
+        |           || '</body></html>' AS text
+        |  FROM documents
+        |),
+        |st AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '<[^<>]*>')) AS BIGINT) AS n_tags_removed,
+        |         regexp_replace(text, '<[^<>]*>', ' ', 'g') AS s1
+        |  FROM aug
+        |),
+        |de AS (
+        |  SELECT doc_id, n_tags_removed,
+        |         replace(replace(replace(replace(replace(
+        |           s1, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |           '&apos;', ''''), '&amp;', '&') AS s2
+        |  FROM st
+        |)
+        |SELECT doc_id,
+        |       trim(regexp_replace(s2, '  +', ' ', 'g')) AS clean_text,
+        |       n_tags_removed
+        |FROM de""".stripMargin,
+
+    "q_truncate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |)
+        |SELECT doc_id,
+        |       array_to_string(toks[1:30], ' ') AS text,
+        |       CAST(least(len(toks), 30) AS BIGINT) AS n_tokens_kept,
+        |       CAST(len(toks) - least(len(toks), 30) AS BIGINT) AS n_tokens_dropped
+        |FROM t""".stripMargin,
 
     "q_sentences" ->
       """WITH aug AS (

@@ -174,6 +174,40 @@ object TextAnalysis {
     * column n_chars_removed = length delta lets a pipeline monitor
     * how much it is rewriting. Output: (idCol, norm_text,
     * n_chars_removed). */
+  /** Markup stripping (the C4-style "extracted text only" pass): drop
+    * HTML/XML tags, decode the five XML entities, collapse the spaces
+    * the removals leave behind. Deliberately a THREE-regexp cascade,
+    * not a parser — the standard web-corpus treatment where malformed
+    * tag soup must degrade to text, never to an error. RE2-portable
+    * patterns (the oracle replays them verbatim); map-only codegen
+    * pass, no shuffle. Output: (idCol, clean_text, n_tags_removed). */
+  def stripMarkup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTags = regexp_count(t, lit("<[^<>]*>")).cast("long")
+    val noTags = regexp_replace(t, "<[^<>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(noTags, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+      "&apos;", "'"), "&amp;", "&")
+    val collapsed = trim(regexp_replace(decoded, "  +", " "))
+    df.select(col(idCol), collapsed.as("clean_text"), nTags.as("n_tags_removed"))
+  }
+
+  /** Token-budget truncation (the max-document-length guard run
+    * before chunking/packing): keep the first maxTokens whitespace
+    * tokens, drop the rest, report what was cut. Rowwise slice +
+    * rejoin — exact integers, no shuffle. Output: (idCol, text
+    * truncated, n_tokens_kept, n_tokens_dropped). */
+  def truncateTokens(df: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val toks = tokens(col(textCol))
+    val kept = least(size(toks), lit(maxTokens))
+    df.select(col(idCol),
+      array_join(slice(toks, 1, maxTokens), " ").as("text"),
+      kept.cast("long").as("n_tokens_kept"),
+      (size(toks) - kept).cast("long").as("n_tokens_dropped"))
+  }
+
   /** Sentence segmentation (the paragraph/sentence-level row
     * explosion C4-style span filters run on): a sentence boundary is
     * a [.!?] run followed by whitespace. RE2-portable construction —

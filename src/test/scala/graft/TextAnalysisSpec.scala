@@ -327,6 +327,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(flat.toSeq === doc.split(" ").toSeq)
   }
 
+  test("stripMarkup: tags out, entities decoded, spaces collapsed, tag soup survives") {
+    val df = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "a &lt;b&gt; &amp; c &quot;d&quot; &apos;e&apos;"),
+      (3L, "plain text no markup"),
+      (4L, "broken <tag soup < here > stays")  // unclosed < is not a tag
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stripMarkup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) === (("hello world", 4L)))
+    assert(got(2L) === (("a <b> & c \"d\" 'e'", 0L)))
+    assert(got(3L) === (("plain text no markup", 0L)))
+    // "<tag soup < here >" — the regexp takes the INNERMOST <...>
+    // bracket pair (no nested <>), the dangling "<" survives as text
+    assert(got(4L)._1 === "broken <tag soup stays" && got(4L)._2 === 1L)
+  }
+
+  test("truncateTokens: budget slice, exact kept/dropped counts, short docs untouched") {
+    val df = Seq((1L, "a b c d e"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.truncateTokens(df, "doc_id", "text", maxTokens = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === (("a b c", 3L, 2L)))
+    assert(got(2L) === (("x y", 2L, 0L)))
+  }
+
   test("splitSentences: boundaries on punct+space, punctuation retained, blanks dropped") {
     val df = Seq(
       (1L, "first sentence. second one! third? tail"),
