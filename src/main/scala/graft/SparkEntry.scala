@@ -169,6 +169,13 @@ object SparkEntry {
       ClusterMetrics.simplifiedSilhouette(assigned, "embedding", cents, sortedFold = true)
     }),
 
+    // ── extension: Calinski-Harabasz variance-ratio criterion ───────
+    "q_calinski" -> ((s, dir) => {
+      val cents = cents8(s, dir)
+      val assigned = KMeans.assign(Tables(s, dir, "embeddings"), "embedding", cents)
+      ClusterMetrics.calinskiHarabasz(assigned, "embedding", cents, sortedFold = true)
+    }),
+
     // ── op 10-11: iterative driver loop, 2 Lloyd steps from FirstK(8)
     // The loop's oracle gate: both engines run assign→mean twice with
     // the sorted-fold determinism contract, so the step-2 centroids
@@ -2972,6 +2979,34 @@ object SparkEntry {
          |SELECT list_reduce(list_sort(list(s)), (acc, e) -> acc + e) / count(*) AS silhouette,
          |       count(*) AS n
          |FROM ss""".stripMargin,
+
+    "q_calinski" ->
+      s"""WITH $sqlCents8,
+         |own AS (
+         |  SELECT d.vec_id, min(CASE WHEN d.cid = a.cluster THEN d.dist END) AS d2
+         |  FROM d JOIN a USING (vec_id) GROUP BY d.vec_id
+         |),
+         |w AS (SELECT list_reduce(list_sort(list(d2)), (acc, e) -> acc + e) AS w,
+         |             CAST(count(*) AS BIGINT) AS n
+         |      FROM own),
+         |x AS (SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+         |             CAST(unnest(embedding) AS DOUBLE) AS v
+         |      FROM embeddings),
+         |mu AS (SELECT pos,
+         |              list_reduce(list_sort(list(v)), (acc, e) -> acc + e) / count(*) AS m
+         |       FROM x GROUP BY pos),
+         |muv AS (SELECT list(m ORDER BY pos) AS mu FROM mu),
+         |nc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_c FROM a GROUP BY cluster),
+         |bt AS (
+         |  SELECT c.cid,
+         |         CAST(COALESCE(nc.n_c, 0) AS DOUBLE)
+         |           * list_sum(list_transform(list_zip(c.cvec, muv.mu),
+         |                                     p -> (p[1]-p[2])*(p[1]-p[2]))) AS t
+         |  FROM c CROSS JOIN muv LEFT JOIN nc ON nc.cluster = c.cid
+         |),
+         |b AS (SELECT list_reduce(list(t ORDER BY cid), (acc, e) -> acc + e) AS b FROM bt)
+         |SELECT (b.b / (8 - 1)) / (w.w / (w.n - 8)) AS ch, b.b AS b, w.w AS w, w.n AS n
+         |FROM b CROSS JOIN w""".stripMargin,
 
     "q_rand_index" ->
       s"""WITH $sqlCents8,

@@ -128,6 +128,62 @@ object ClusterMetrics {
       scored.agg(avg(col("s")).as("silhouette"), count(lit(1)).as("n"))
   }
 
+  /** Calinski-Harabasz index (the variance-ratio criterion — public
+    * formula): CH = (B/(k-1)) / (W/(n-k)) with B = Σ_c n_c·d²(c̄_c, μ)
+    * (between-cluster dispersion vs the overall mean μ) and W =
+    * Σ_x d²(x, c̄_{cluster(x)}) (within-cluster dispersion). Higher is
+    * better; the standard internal "did k make sense" check next to
+    * the silhouette. Takes the centroids the fit produced — B costs
+    * k×d driver-free plan arithmetic, never a second pass.
+    *
+    * Scale shape: one pass over the assigned table computes W, the
+    * per-cluster sizes, and the per-dim overall mean; B folds k
+    * terms IN CID ORDER over the centroid plan literal. sortedFold
+    * as in simplifiedSilhouette: false = distributed partial aggs
+    * (the scale path), true = collect_list + sorted sequential folds,
+    * bit-exact vs DuckDB — correctness gates only.
+    * Output one row: (ch, b, w, n). */
+  def calinskiHarabasz(assigned: DataFrame, featCol: String, cents: KMeans.Centroids,
+                       clusterCol: String = "cluster",
+                       sortedFold: Boolean = false): DataFrame = {
+    import graft.functions.VectorOps
+    require(cents.length >= 2, s"CH needs >= 2 centroids, got ${cents.length}")
+    val k = cents.length
+    val f = VectorOps.toDouble(col(featCol))
+    val ownD2 = element_at(filter(transform(KMeans.centLit(cents), c =>
+        struct(VectorOps.sqDist(f, c.getField("_2")).as("d"),
+          c.getField("_1").as("cid"))),
+      s => s.getField("cid") === col(clusterCol)), 1).getField("d")
+    val scored = assigned.select(col(clusterCol).as("__c"), ownD2.as("__d2"), f.as("__v"))
+    val wRow =
+      if (sortedFold)
+        scored.agg(VectorOps.foldSum(array_sort(collect_list(col("__d2")))).as("w"),
+          count(lit(1)).cast("long").as("n"))
+      else scored.agg(sum(col("__d2")).as("w"), count(lit(1)).cast("long").as("n"))
+    val perPos = scored.select(posexplode(col("__v")).as(Seq("__p", "__x"))).groupBy("__p")
+    val muRow =
+      (if (sortedFold)
+        perPos.agg((VectorOps.foldSum(array_sort(collect_list(col("__x"))))
+          / count(lit(1))).as("__m"))
+      else perPos.agg(avg(col("__x")).as("__m")))
+        .agg(transform(sort_array(collect_list(struct(col("__p"), col("__m")))),
+          s => s.getField("__m")).as("__mu"))
+    val ncRow = scored.groupBy(col("__c")).agg(count(lit(1)).cast("long").as("__nc"))
+      .agg(sort_array(collect_list(struct(col("__c"), col("__nc")))).as("__ncs"))
+    // B: k terms folded in cid order (the plan literal is cid-sorted)
+    // — a pinned fold order both engines replay; vanished clusters
+    // contribute n_c = 0
+    val bTerms = transform(KMeans.centLit(cents), c => {
+      val hits = filter(col("__ncs"), s => s.getField("__c") === c.getField("_1"))
+      val nc = when(size(hits) > 0, element_at(hits, 1).getField("__nc")).otherwise(lit(0L))
+      nc.cast("double") * VectorOps.sqDist(c.getField("_2"), col("__mu"))
+    })
+    val b = VectorOps.foldSum(bTerms)
+    wRow.crossJoin(muRow).crossJoin(ncRow)
+      .select(((b / (k - 1)) / (col("w") / (col("n") - k))).as("ch"),
+        b.as("b"), col("w"), col("n"))
+  }
+
   /** Reference-literal O(n²) Jaccard over local pairs — test oracle
     * only, mirrors the matrix loops at `KMeans.java:624-661`. */
   def jaccardLocal(truthPred: Seq[(Int, Int)]): (Long, Long, Double) = {

@@ -91,6 +91,27 @@ class ClusterMetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("calinskiHarabasz: hand-computed value, fold modes agree, vanished cluster is 0-weight") {
+    import spark.implicits._
+    import graft.operators.KMeans
+    // two 1-D clusters: {0, 2} around centroid 1, {10, 12} around 11
+    // W = 1+1+1+1 = 4; mu = 6; B = 2*(1-6)^2 + 2*(11-6)^2 = 100
+    // CH = (100/(2-1)) / (4/(4-2)) = 50
+    val cents: KMeans.Centroids = Array((1, Array(1.0)), (2, Array(11.0)))
+    val df = Seq((1L, Seq(0.0), 1), (2L, Seq(2.0), 1), (3L, Seq(10.0), 2), (4L, Seq(12.0), 2))
+      .toDF("id", "features", "cluster")
+    val r = ClusterMetrics.calinskiHarabasz(df, "features", cents, sortedFold = true).head()
+    assert(math.abs(r.getDouble(0) - 50.0) < 1e-12)
+    assert(r.getDouble(1) === 100.0 && r.getDouble(2) === 4.0 && r.getLong(3) === 4L)
+    // the scale path (partial aggs) agrees within FP tolerance
+    val s = ClusterMetrics.calinskiHarabasz(df, "features", cents, sortedFold = false).head()
+    assert(math.abs(s.getDouble(0) - 50.0) < 1e-9)
+    // a centroid with no members contributes zero to B, not a null
+    val cents3: KMeans.Centroids = Array((1, Array(1.0)), (2, Array(11.0)), (3, Array(99.0)))
+    val r3 = ClusterMetrics.calinskiHarabasz(df, "features", cents3, sortedFold = true).head()
+    assert(!r3.isNullAt(0) && r3.getDouble(1) === 100.0)
+  }
+
   test("purity: majority-vote fraction, 1.0 for perfect clustering") {
     import spark.implicits._
     val pairs = Seq((1, 5), (1, 5), (2, 5), (2, 7), (2, 7), (3, 9))
