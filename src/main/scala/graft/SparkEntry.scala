@@ -775,6 +775,12 @@ object SparkEntry {
       Events.funnelCounts(Tables(s, dir, "events"), Seq("view", "click", "purchase"))
     }),
 
+    // ── events: time-bounded funnel (each step within 1 h) ──────────
+    "q_funnel_within" -> ((s, dir) => {
+      Events.funnelCountsWithin(Tables(s, dir, "events"),
+        Seq("view", "click", "purchase"), windowMicros = 3600000000L)
+    }),
+
     // ── LLM-pipeline: JSON props extraction + per-type aggregate ────
     "q_events_props" -> ((s, dir) => {
       Events.propsAgg(Tables(s, dir, "events"))
@@ -1541,6 +1547,27 @@ object SparkEntry {
         |  SELECT e.user_id, min(e.ts_us) AS t
         |  FROM e JOIN s2 ON e.user_id = s2.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), 'purchase', count(*) FROM s3""".stripMargin,
+
+    "q_funnel_within" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > s1.t AND e.ts_us <= s1.t + 3600000000
+        |  GROUP BY 1
+        |),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t AND e.ts_us <= s2.t + 3600000000
         |  GROUP BY 1
         |)
         |SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type, count(*) AS n_users FROM s1

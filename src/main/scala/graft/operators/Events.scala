@@ -121,6 +121,35 @@ object Events {
     }.reduce(_.unionByName(_))
   }
 
+  /** Time-bounded funnel: like funnelCounts, but a user reaches step
+    * k only if an event of that type occurs within windowMicros AFTER
+    * reaching step k-1 — the "converted within 30 minutes" contract
+    * product funnels actually state (the unbounded form counts a
+    * purchase a year after the click). Same greedy first-occurrence
+    * fold, same exact-µs arithmetic, one extra integer comparison per
+    * transition; the first step is unconstrained. */
+  def funnelCountsWithin(df: DataFrame, steps: Seq[String],
+                         windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowMicros > 0, s"windowMicros must be positive, got $windowMicros")
+    val ev = df.select(col("user_id"), col("event_type"),
+      epochMicros(col("ts")).as("ts_us"))
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts_us")).as("t"))
+    val reached = steps.drop(1).scanLeft(first) { (prev, step) =>
+      ev.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .filter(col("ts_us") > col("t_prev")
+          && col("ts_us") <= col("t_prev") + windowMicros)
+        .groupBy("user_id").agg(min(col("ts_us")).as("t"))
+    }
+    reached.zip(steps).zipWithIndex.map { case ((r, step), i) =>
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(step).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Gap-based sessionization (islands idiom): a new session starts
     * when the user's inter-event gap exceeds gapMicros. Output: one row
     * per (user, session) with bounds and counts, all exact integers.

@@ -84,6 +84,22 @@ class EventsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("funnelCountsWithin: the window bound is inclusive and per-transition") {
+    val e = df(Seq(
+      // user 1: click 50s after view (inside 60s), purchase 60s after
+      // click — exactly ON the bound, still counts (<=)
+      ev(1, 10, 1, "view", 0), ev(2, 60, 1, "click", 0), ev(3, 120, 1, "purchase", 0),
+      // user 2: click 61s after view — outside the window
+      ev(4, 10, 2, "view", 0), ev(5, 71, 2, "click", 0),
+      // user 3: first click late, but the window is measured from the
+      // FIRST view — a second view doesn't reset it
+      ev(6, 10, 3, "view", 0), ev(7, 100, 3, "view", 0), ev(8, 130, 3, "click", 0)))
+    val got = Events.funnelCountsWithin(e, Seq("view", "click", "purchase"),
+        windowMicros = 60L * M)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+  }
+
   test("tumblingAgg (window()) agrees with bucketEpoch on the same data") {
     val e = df(Seq(ev(1, 100, 1, "click", 1.0), ev(2, 3700, 1, "click", 1.0),
       ev(3, 3800, 2, "view", 1.0)))
