@@ -1561,13 +1561,13 @@ object SparkEntry {
         |s2 AS (
         |  SELECT e.user_id, min(e.ts_us) AS t
         |  FROM e JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'click' AND e.ts_us > s1.t AND e.ts_us <= s1.t + 3600000000
+        |  WHERE e.event_type = 'click' AND e.ts_us > s1.t AND e.ts_us - s1.t <= 3600000000
         |  GROUP BY 1
         |),
         |s3 AS (
         |  SELECT e.user_id, min(e.ts_us) AS t
         |  FROM e JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t AND e.ts_us <= s2.t + 3600000000
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t AND e.ts_us - s2.t <= 3600000000
         |  GROUP BY 1
         |)
         |SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type, count(*) AS n_users FROM s1
@@ -1804,7 +1804,8 @@ object SparkEntry {
         |  SELECT doc_id,
         |         list_filter(
         |           list_transform(
-        |             string_split(regexp_replace(text, '([.!?]+)\s+', '\1' || chr(1), 'g'),
+        |             string_split(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+        |                                         '([.!?]+)\s+', '\1' || chr(1), 'g'),
         |                          chr(1)),
         |             y -> trim(y)),
         |           x -> len(x) > 0) AS ss

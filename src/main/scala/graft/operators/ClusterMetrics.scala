@@ -136,13 +136,18 @@ object ClusterMetrics {
     * the silhouette. Takes the centroids the fit produced — B costs
     * k×d driver-free plan arithmetic, never a second pass.
     *
-    * Scale shape: one pass over the assigned table computes W, the
-    * per-cluster sizes, and the per-dim overall mean; B folds k
-    * terms IN CID ORDER over the centroid plan literal. sortedFold
+    * Scale shape: the projected (cluster, own-d², vector) relation is
+    * computed once and PINNED (three aggregates read it — W, sizes,
+    * overall mean; without the cache each would re-scan and re-assign
+    * the corpus); own-d² is ONE sqDist against the row's own centroid
+    * (looked up in the plan literal — never all k distances); B folds
+    * k terms IN CID ORDER over the centroid plan literal. sortedFold
     * as in simplifiedSilhouette: false = distributed partial aggs
     * (the scale path), true = collect_list + sorted sequential folds,
     * bit-exact vs DuckDB — correctness gates only.
-    * Output one row: (ch, b, w, n). */
+    * Output one row: (ch, b, w, n); ch is NULL when n ≤ k (the
+    * criterion is undefined — zero within-cluster degrees of
+    * freedom), never an ANSI division error. */
   def calinskiHarabasz(assigned: DataFrame, featCol: String, cents: KMeans.Centroids,
                        clusterCol: String = "cluster",
                        sortedFold: Boolean = false): DataFrame = {
@@ -150,11 +155,11 @@ object ClusterMetrics {
     require(cents.length >= 2, s"CH needs >= 2 centroids, got ${cents.length}")
     val k = cents.length
     val f = VectorOps.toDouble(col(featCol))
-    val ownD2 = element_at(filter(transform(KMeans.centLit(cents), c =>
-        struct(VectorOps.sqDist(f, c.getField("_2")).as("d"),
-          c.getField("_1").as("cid"))),
-      s => s.getField("cid") === col(clusterCol)), 1).getField("d")
-    val scored = assigned.select(col(clusterCol).as("__c"), ownD2.as("__d2"), f.as("__v"))
+    val own = element_at(filter(KMeans.centLit(cents),
+      c => c.getField("_1") === col(clusterCol)), 1).getField("_2")
+    val ownD2 = VectorOps.sqDist(f, own)
+    val scored = Dedup.pin(
+      assigned.select(col(clusterCol).as("__c"), ownD2.as("__d2"), f.as("__v")))
     val wRow =
       if (sortedFold)
         scored.agg(VectorOps.foldSum(array_sort(collect_list(col("__d2")))).as("w"),
@@ -180,7 +185,8 @@ object ClusterMetrics {
     })
     val b = VectorOps.foldSum(bTerms)
     wRow.crossJoin(muRow).crossJoin(ncRow)
-      .select(((b / (k - 1)) / (col("w") / (col("n") - k))).as("ch"),
+      .select(when(col("n") > k,
+          (b / (k - 1)) / (col("w") / (col("n") - k))).as("ch"),
         b.as("b"), col("w"), col("n"))
   }
 

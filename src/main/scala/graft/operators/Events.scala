@@ -101,17 +101,26 @@ object Events {
     * previous step's (user, t) table (shrinking monotonically), so the
     * plan is a chain of hash-aggregates over the events scan — no
     * windows, no per-user state beyond one timestamp. */
-  def funnelCounts(df: DataFrame, steps: Seq[String]): DataFrame = {
+  def funnelCounts(df: DataFrame, steps: Seq[String]): DataFrame =
+    funnelFold(df, steps, window = None)
+
+  /** The shared greedy fold behind both funnel forms: (user, first
+    * time step k was reached), folded left to right, with an optional
+    * per-transition time bound. The bound compares BY SUBTRACTION
+    * (ts - t_prev <= w) — the addition form t_prev + w overflows Long
+    * for near-MaxValue windows and would silently reject everything. */
+  private def funnelFold(df: DataFrame, steps: Seq[String],
+                         window: Option[Long]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val ev = df.select(col("user_id"), col("event_type"),
       epochMicros(col("ts")).as("ts_us"))
-    // (user_id, t_reached) per step, folded left to right
     val first = ev.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min(col("ts_us")).as("t"))
     val reached = steps.drop(1).scanLeft(first) { (prev, step) =>
-      ev.filter(col("event_type") === step)
+      val base = ev.filter(col("event_type") === step)
         .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
         .filter(col("ts_us") > col("t_prev"))
+      window.fold(base)(w => base.filter(col("ts_us") - col("t_prev") <= w))
         .groupBy("user_id").agg(min(col("ts_us")).as("t"))
     }
     reached.zip(steps).zipWithIndex.map { case ((r, step), i) =>
@@ -124,30 +133,21 @@ object Events {
   /** Time-bounded funnel: like funnelCounts, but a user reaches step
     * k only if an event of that type occurs within windowMicros AFTER
     * reaching step k-1 — the "converted within 30 minutes" contract
-    * product funnels actually state (the unbounded form counts a
-    * purchase a year after the click). Same greedy first-occurrence
-    * fold, same exact-µs arithmetic, one extra integer comparison per
-    * transition; the first step is unconstrained. */
+    * (the unbounded form counts a purchase a year after the click).
+    * The first step is unconstrained.
+    *
+    * Semantics, stated precisely: GREEDY FIRST-REACH — t_k is the
+    * earliest qualifying event after t_{k-1}, and the window for step
+    * k+1 is measured from THAT time. A user whose first step-k event
+    * starts a chain that later times out, but who has a LATER step-k
+    * event from which the full chain would fit, still counts as
+    * stopped (this is the common analytics-product funnel rule; the
+    * alternative — search over all chains — is a different, more
+    * expensive operator, not a bug fix to this one). */
   def funnelCountsWithin(df: DataFrame, steps: Seq[String],
                          windowMicros: Long): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
     require(windowMicros > 0, s"windowMicros must be positive, got $windowMicros")
-    val ev = df.select(col("user_id"), col("event_type"),
-      epochMicros(col("ts")).as("ts_us"))
-    val first = ev.filter(col("event_type") === steps.head)
-      .groupBy("user_id").agg(min(col("ts_us")).as("t"))
-    val reached = steps.drop(1).scanLeft(first) { (prev, step) =>
-      ev.filter(col("event_type") === step)
-        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
-        .filter(col("ts_us") > col("t_prev")
-          && col("ts_us") <= col("t_prev") + windowMicros)
-        .groupBy("user_id").agg(min(col("ts_us")).as("t"))
-    }
-    reached.zip(steps).zipWithIndex.map { case ((r, step), i) =>
-      r.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("step"), lit(step).as("event_type"),
-          col("n_users"))
-    }.reduce(_.unionByName(_))
+    funnelFold(df, steps, window = Some(windowMicros))
   }
 
   /** Gap-based sessionization (islands idiom): a new session starts

@@ -214,12 +214,19 @@ object TextAnalysis {
     * no lookbehind (RE2, hence the DuckDB oracle, has none): the
     * boundary regex rewrites "<punct><space>" to "<punct>" with
     * a capture backreference, then splits on the sentinel, so
-    * terminal punctuation STAYS with its sentence. Empty/blank
-    * fragments are dropped; sent_id is the 1-based in-document
-    * position. Rowwise generator — one scan, no shuffle. Output:
+    * terminal punctuation STAYS with its sentence. Control chars
+    * (x00-x1F, x7F) are stripped to spaces BEFORE the rewrite — a
+    * stray \u0001 in scraped text would otherwise collide with the
+    * sentinel and fabricate a boundary. Empty/blank fragments are
+    * dropped; sent_id is the 1-based in-document position. A document
+    * whose text is empty or whitespace-only emits NO rows (there is
+    * no sentence to emit — unlike chunkByTokens' never-drop contract,
+    * a stated drop: left-join sentences back to documents if every id
+    * must survive). Rowwise generator — one scan, no shuffle. Output:
     * (idCol, sent_id, sentence, n_sents). */
   def splitSentences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val marked = regexp_replace(col(textCol), "([.!?]+)\\s+", "$1\u0001")
+    val clean = regexp_replace(col(textCol), "[\\x00-\\x1F\\x7F]", " ")
+    val marked = regexp_replace(clean, "([.!?]+)\\s+", "$1\u0001")
     val sents = filter(transform(split(marked, "\u0001"), s => trim(s)),
       s => length(s) > 0)
     df.select(col(idCol), sents.as("__s"))
