@@ -1691,8 +1691,9 @@ object SparkEntry {
         |  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
         |),
         |agg AS (
-        |  SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_grams,
-        |         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_grams
+        |  SELECT doc_id, max(cnt) AS top_cnt,
+        |         CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_grams
         |  FROM counts GROUP BY doc_id
         |)
         |SELECT d.doc_id,
@@ -3033,7 +3034,9 @@ object SparkEntry {
          |  FROM c CROSS JOIN muv LEFT JOIN nc ON nc.cluster = c.cid
          |),
          |b AS (SELECT list_reduce(list(t ORDER BY cid), (acc, e) -> acc + e) AS b FROM bt)
-         |SELECT (b.b / (8 - 1)) / (w.w / (w.n - 8)) AS ch, b.b AS b, w.w AS w, w.n AS n
+         |SELECT CASE WHEN w.n > 8
+         |            THEN (b.b / (8 - 1)) / (w.w / (w.n - 8)) END AS ch,
+         |       b.b AS b, w.w AS w, w.n AS n
          |FROM b CROSS JOIN w""".stripMargin,
 
     "q_rand_index" ->

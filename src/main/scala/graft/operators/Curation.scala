@@ -216,12 +216,24 @@ object Curation {
       require(!df.columns.contains(c),
         s"input already has a '$c' column — silently replacing a previous " +
           "schedule would let old and new training orders be confused downstream"))
+    require(df.schema(keyCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"interleaveMix: keyCol '$keyCol' must be string (weights are " +
+        "keyed by string; cast explicitly if the source key is numeric)")
     val kept = df.filter(col(keyCol).isin(weights.keys.toSeq.map(_.asInstanceOf[Any]): _*))
     // exclusive per-key offsets in (key asc) order: rank within key =
-    // global (key, id) rank − offset(key)
+    // global (key, id) rank − offset(key). The offsets are subtracted
+    // from a rank ordered by Spark's UTF8String BINARY comparison
+    // (UTF-8 byte order), so the driver-side sort must use the same
+    // order — Scala's String.sorted is UTF-16 code-unit order, which
+    // disagrees for supplementary characters vs U+E000..U+FFFF.
     val counts = kept.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val keysAsc = counts.keys.toSeq.sorted
+    val keysAsc = counts.keys.toSeq.sortWith { (a, b) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    }
     val offsets = keysAsc.zip(keysAsc.scanLeft(0L)((acc, k) => acc + counts(k))).toMap
     val offCol = offsets.foldLeft(lit(0L)) { case (acc, (k, off)) =>
       when(col(keyCol) === k, lit(off)).otherwise(acc)
@@ -727,6 +739,10 @@ object Curation {
                     cents: graft.operators.KMeans.Centroids, k: Int,
                     seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"idCol '$idCol' must be numeric — a string id would silently " +
+        "cast to NULL and corrupt the per-cell ranking")
+    val idType = df.schema(idCol).dataType
     import graft.functions.VectorOps
     val assigned = Dedup.pin(
       KMeans.assign(df.select(col(idCol).cast("long").as("__id"),
@@ -744,7 +760,8 @@ object Curation {
       .withColumn("__nr", (col("__r") - 1L + off) % col("__m") + 1L)
       .join(ranked.select(col("cluster"), col("__r").as("__nr"), col("__id").as("neg_id")),
         Seq("cluster", "__nr"))
-      .select(col("__id").as(idCol), col("cluster"), col("j"), col("neg_id"))
+      .select(col("__id").cast(idType).as(idCol), col("cluster"), col("j"),
+        col("neg_id").cast(idType).as("neg_id"))
   }
 
   /** Benchmark decontamination: corpus documents sharing ≥ minShared
