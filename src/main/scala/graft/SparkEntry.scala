@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterMetrics, Curation, Dedup, Events, KMeans, Multimodal, PCA, Sampling, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{ClusterMetrics, Curation, Dedup, Events, Graph, KMeans, Multimodal, PCA, Sampling, Similarity, TemporalJoins, TextAnalysis}
 import graft.functions.VectorOps
 import graft.sources.GeneIO
 
@@ -1186,6 +1186,79 @@ object SparkEntry {
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           (sum(round(col("l_discount") * 100)) / 100.0 / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
+    }),
+
+    // ── graph: connected components via large-star/small-star ───────
+    // Same output contract as q_components (min-id label per node),
+    // run against the IDENTICAL oracle SQL — the O(log²) alternation
+    // path for graphs whose diameter would stall min-label
+    // propagation.
+    "q_components_star" -> ((s, dir) => {
+      val pairs = Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.5, parity = true).select("id1", "id2")
+      Dedup.componentsStar(pairs)
+    }),
+
+    // ── graph: PageRank (3 fixed rounds) on the near-dup graph ──────
+    // Rank = how centrally a doc sits in its duplicate neighborhood;
+    // sorted-fold contributions for the bit-exact gate.
+    "q_pagerank" -> ((s, dir) => {
+      val pairs = Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.5, parity = true).select("id1", "id2")
+      Graph.pageRank(pairs, "id1", "id2", iters = 3, damping = 0.85,
+        undirected = true, sortedFold = true)
+    }),
+
+    // ── graph: degree histogram of the near-dup graph ───────────────
+    "q_degree_hist" -> ((s, dir) => {
+      val pairs = Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.5, parity = true).select("id1", "id2")
+      Graph.degreeHistogram(pairs, "id1", "id2")
+    }),
+
+    // ── clustering metric: Davies-Bouldin index ─────────────────────
+    "q_davies_bouldin" -> ((s, dir) => {
+      val cents = cents8(s, dir)
+      val assigned = KMeans.assign(Tables(s, dir, "embeddings"), "embedding", cents)
+      ClusterMetrics.daviesBouldin(assigned, "embedding", cents, sortedFold = true)
+    }),
+
+    // ── retrieval: BM25 of every doc vs a fixed probe query ─────────
+    // Rational idf (log-free) in the gate; see bm25Score's docstring.
+    "q_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25Score(Tables(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("table", "spark", "value"))
+    }),
+
+    // ── LLM-pipeline: corpus-typicality n-gram score ────────────────
+    "q_ngram_quality" -> ((s, dir) => {
+      TextAnalysis.corpusNgramScore(Tables(s, dir, "documents"), "doc_id", "text", n = 2)
+    }),
+
+    // ── LLM-pipeline: C4-style boilerplate line removal ─────────────
+    // The corpus text is single-line, so the query PLANTS multi-line
+    // structure (a universal footer + a 1-in-3 promo line), mirrored
+    // in the oracle — deterministic positives, not a vacuous pass.
+    "q_boilerplate" -> ((s, dir) => {
+      val planted = Tables(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("footer: terms apply"),
+          when(col("doc_id") % 3 === 0, lit("promo: subscribe now"))).as("text"))
+      TextAnalysis.dropBoilerplateLines(planted, "doc_id", "text", minDocs = 50)
+    }),
+
+    // ── sampling: weighted without replacement (E-S keys) ───────────
+    // Weight = n_chars; the pow key is dropped from the output (libm
+    // last-ulp), the rank is the contract.
+    "q_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(
+        Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"), col("source")),
+        "doc_id", "n_chars", k = 100)
+    }),
+
+    // ── curation report: exact per-source length quantiles ──────────
+    "q_quantiles" -> ((s, dir) => {
+      Curation.quantilesByKey(Tables(s, dir, "documents"), "source", "n_chars",
+        Seq(0.5, 0.9, 0.99))
     })
   )
 
@@ -1297,6 +1370,19 @@ object SparkEntry {
        |  SELECT a, a FROM edges
        |  UNION
        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+       |)""".stripMargin
+
+  /** Shared CTE chain: minhash near-dup pairs → symmetric `edges`
+    * (src, dst) WITHOUT the recursive closure — the graph-operator
+    * oracles (q_pagerank, q_degree_hist) build on this. */
+  private val sqlNearDupEdges =
+    s"""$sqlMinhash,
+       |$sqlCandJaccard,
+       |prpairs AS (SELECT id1, id2 FROM simpairs WHERE sim >= 0.5),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM prpairs
+       |  UNION
+       |  SELECT id2 AS src, id1 AS dst FROM prpairs
        |)""".stripMargin
 
   /** DuckDB cosine similarity mirroring VectorOps.cosine: sequential
@@ -3124,6 +3210,201 @@ object SparkEntry {
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // identical closure to q_components: the star alternation must
+    // land on the same min-id labels as min-label propagation
+    "q_components_star" ->
+      s"""WITH $sqlNearDupReach
+         |SELECT id, min(comp) AS component FROM reach GROUP BY id""".stripMargin,
+
+    "q_pagerank" ->
+      s"""WITH $sqlNearDupEdges,
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+         |        FROM edges GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |r0 AS (SELECT id, CAST(1 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS pr
+         |       FROM deg CROSS JOIN nn),
+         |r1 AS (
+         |  SELECT e.dst AS id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+         |           + CAST(0.85 AS DOUBLE) *
+         |             list_reduce(list_sort(list(r.pr / d.degree)), (acc, x) -> acc + x) AS pr
+         |  FROM edges e JOIN r0 r ON r.id = e.src JOIN deg d ON d.id = e.src
+         |  CROSS JOIN nn GROUP BY e.dst, nn.n
+         |),
+         |r2 AS (
+         |  SELECT e.dst AS id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+         |           + CAST(0.85 AS DOUBLE) *
+         |             list_reduce(list_sort(list(r.pr / d.degree)), (acc, x) -> acc + x) AS pr
+         |  FROM edges e JOIN r1 r ON r.id = e.src JOIN deg d ON d.id = e.src
+         |  CROSS JOIN nn GROUP BY e.dst, nn.n
+         |),
+         |r3 AS (
+         |  SELECT e.dst AS id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+         |           + CAST(0.85 AS DOUBLE) *
+         |             list_reduce(list_sort(list(r.pr / d.degree)), (acc, x) -> acc + x) AS pr
+         |  FROM edges e JOIN r2 r ON r.id = e.src JOIN deg d ON d.id = e.src
+         |  CROSS JOIN nn GROUP BY e.dst, nn.n
+         |)
+         |SELECT r3.id, r3.pr, d.degree FROM r3 JOIN deg d ON d.id = r3.id""".stripMargin,
+
+    "q_degree_hist" ->
+      s"""WITH $sqlNearDupEdges,
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+         |        FROM edges GROUP BY src)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM deg GROUP BY degree""".stripMargin,
+
+    "q_davies_bouldin" ->
+      s"""WITH $sqlCents8,
+         |own AS (
+         |  SELECT a.vec_id, a.cluster,
+         |         min(CASE WHEN d.cid = a.cluster THEN d.dist END) AS d2
+         |  FROM d JOIN a USING (vec_id) GROUP BY a.vec_id, a.cluster
+         |),
+         |s AS (
+         |  SELECT cluster,
+         |         list_reduce(list_sort(list(sqrt(d2))), (acc, e) -> acc + e) / count(*) AS s
+         |  FROM own GROUP BY cluster
+         |),
+         |cd AS (
+         |  SELECT c1.cid AS i, c2.cid AS j,
+         |         sqrt(list_sum(list_transform(list_zip(c1.cvec, c2.cvec),
+         |                                      p -> (p[1]-p[2])*(p[1]-p[2])))) AS dc
+         |  FROM c c1 JOIN c c2 ON c1.cid <> c2.cid
+         |),
+         |r AS (
+         |  SELECT s1.cluster AS i, max((s1.s + s2.s) / cd.dc) AS r
+         |  FROM s s1 JOIN cd ON cd.i = s1.cluster JOIN s s2 ON s2.cluster = cd.j
+         |  GROUP BY s1.cluster
+         |),
+         |agg AS (SELECT list_reduce(list(r ORDER BY i), (acc, e) -> acc + e) AS rsum,
+         |               CAST(count(*) AS BIGINT) AS kp
+         |        FROM r),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM own)
+         |SELECT CASE WHEN kp >= 2 THEN rsum / kp END AS db, kp AS k_present, tot.n
+         |FROM agg CROSS JOIN tot""".stripMargin,
+
+    // op order mirrors bm25Score exactly: rational idf, k1=1.2,
+    // b=0.75 (1-b = 0.25 and 0.75 are dyadic — exact doubles)
+    "q_bm25" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |t AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(toks, x -> x = 'table')) AS BIGINT) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'value')) AS BIGINT) AS tf2
+        |  FROM base
+        |),
+        |st AS (
+        |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM t
+        |)
+        |SELECT doc_id, dl,
+        |    (CAST(n - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)
+        |      * ((CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+        |         / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |               * (CAST(dl AS DOUBLE) / avgdl))))
+        |  + (CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
+        |      * ((CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+        |         / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |               * (CAST(dl AS DOUBLE) / avgdl))))
+        |  + (CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
+        |      * ((CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+        |         / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |               * (CAST(dl AS DOUBLE) / avgdl)))) AS bm25
+        |FROM t CROSS JOIN st""".stripMargin,
+
+    "q_ngram_quality" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS gram
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        |),
+        |cnt AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY gram),
+        |per AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(sum(c.c) AS BIGINT) AS sum_freq
+        |  FROM grams g JOIN cnt c USING (gram) GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       COALESCE(p.n_grams, 0) AS n_grams,
+        |       COALESCE(p.sum_freq, 0) AS sum_freq,
+        |       CAST(p.sum_freq AS DOUBLE) / p.n_grams AS avg_freq
+        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10), text, 'footer: terms apply',
+        |           CASE WHEN doc_id % 3 = 0 THEN 'promo: subscribe now' END) AS text
+        |  FROM documents
+        |),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs2),
+        |lines AS (
+        |  SELECT doc_id, i AS pos, l[i] AS line
+        |  FROM ls, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+        |),
+        |boiler AS (SELECT line FROM lines GROUP BY line
+        |           HAVING count(DISTINCT doc_id) >= 50),
+        |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler)),
+        |reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+        |         CAST(count(*) AS BIGINT) AS kept_n
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       COALESCE(r.clean, '') AS clean_text,
+        |       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+        |       CAST(len(string_split(d.text, chr(10))) AS BIGINT)
+        |         - COALESCE(r.kept_n, 0) AS n_dropped
+        |FROM docs2 d LEFT JOIN reb r USING (doc_id)""".stripMargin,
+
+    // the pow key is recomputed, ranked, and DISCARDED (libm last-ulp
+    // differences survive in the value, not the rank)
+    "q_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars, source,
+        |         pow(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |               / 4294967296.0,
+        |             CAST(1 AS DOUBLE) / CAST(n_chars AS DOUBLE)) AS k
+        |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+        |),
+        |r AS (SELECT doc_id, n_chars, source,
+        |             CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT)
+        |               AS sample_rank
+        |      FROM keyed)
+        |SELECT doc_id, n_chars, source, sample_rank FROM r
+        |WHERE sample_rank <= 100""".stripMargin,
+
+    "q_quantiles" ->
+      """WITH v AS (SELECT source AS k, CAST(n_chars AS DOUBLE) AS v
+        |           FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT k, v,
+        |             CAST(row_number() OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS r
+        |      FROM v),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS m FROM v GROUP BY k),
+        |ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |                      CAST(0.99 AS DOUBLE)]) AS p),
+        |spec AS (SELECT k, p, m, CAST(m - 1 AS DOUBLE) * p + 1 AS h
+        |         FROM m CROSS JOIN ps),
+        |spec2 AS (
+        |  SELECT k, p, m, CAST(floor(h) AS BIGINT) AS lo,
+        |         least(CAST(floor(h) AS BIGINT) + 1, m) AS hi, h - floor(h) AS frac
+        |  FROM spec
+        |)
+        |SELECT s.k AS source, s.p, rl.v + s.frac * (rh.v - rl.v) AS q, s.m AS m
+        |FROM spec2 s JOIN r rl ON rl.k = s.k AND rl.r = s.lo
+        |             JOIN r rh ON rh.k = s.k AND rh.r = s.hi""".stripMargin
   )
 }

@@ -190,6 +190,61 @@ object ClusterMetrics {
         b.as("b"), col("w"), col("n"))
   }
 
+  /** Davies-Bouldin index (public formula): DB = (1/k')·Σ_i max_{j≠i}
+    * (S_i + S_j) / d(c̄_i, c̄_j), with S_i the mean Euclidean distance
+    * of cluster i's points to their centroid and d the centroid
+    * distance — lower is better, the "are clusters compact AND far
+    * apart" twin of Calinski-Harabasz above. Only clusters that
+    * actually hold points participate (k' = surviving clusters; a
+    * vanished centroid has no S and would make every ratio
+    * undefined); DB is NULL when fewer than 2 survive.
+    *
+    * Scale shape: ONE corpus pass — per-row distance to the row's own
+    * centroid (plan-literal lookup, never all k), then a per-cluster
+    * mean (partial agg on ≤ k groups); everything after is k-bounded
+    * plan arithmetic over the collected (cid, S) array — the k×k
+    * ratio matrix never touches an executor-side join. The outer mean
+    * folds in cid order (sort_array pins it); max_{j≠i} is
+    * order-independent. sortedFold as in calinskiHarabasz: true =
+    * collect_list + sorted sequential per-cluster means, bit-exact vs
+    * DuckDB — correctness gates only; false = distributed partial
+    * aggs, the scale path.
+    * Output one row: (db, k_present, n). */
+  def daviesBouldin(assigned: DataFrame, featCol: String, cents: KMeans.Centroids,
+                    clusterCol: String = "cluster",
+                    sortedFold: Boolean = false): DataFrame = {
+    import graft.functions.VectorOps
+    require(cents.length >= 2, s"DB needs >= 2 centroids, got ${cents.length}")
+    val f = VectorOps.toDouble(col(featCol))
+    val own = element_at(filter(KMeans.centLit(cents),
+      c => c.getField("_1") === col(clusterCol)), 1).getField("_2")
+    val scored = assigned.select(col(clusterCol).as("__c"),
+      sqrt(VectorOps.sqDist(f, own)).as("__d"))
+    val perC = scored.groupBy(col("__c"))
+    val sRows =
+      if (sortedFold)
+        perC.agg((VectorOps.foldSum(array_sort(collect_list(col("__d"))))
+          / count(lit(1))).as("__s"), count(lit(1)).cast("long").as("__nc"))
+      else perC.agg(avg(col("__d")).as("__s"), count(lit(1)).cast("long").as("__nc"))
+    val packed = sRows.agg(
+      sort_array(collect_list(struct(col("__c"), col("__s")))).as("__ss"),
+      sum(col("__nc")).cast("long").as("n"))
+    def centOf(cid: org.apache.spark.sql.Column) =
+      element_at(filter(KMeans.centLit(cents), e => e.getField("_1") === cid), 1)
+        .getField("_2")
+    val rTerms = transform(col("__ss"), si =>
+      array_max(transform(
+        filter(col("__ss"), sj => sj.getField("__c") =!= si.getField("__c")),
+        sj => (si.getField("__s") + sj.getField("__s"))
+          / sqrt(VectorOps.sqDist(centOf(si.getField("__c")),
+            centOf(sj.getField("__c")))))))
+    packed.select(
+      when(size(col("__ss")) >= 2,
+        VectorOps.foldSum(rTerms) / size(col("__ss"))).as("db"),
+      size(col("__ss")).cast("long").as("k_present"),
+      col("n"))
+  }
+
   /** Reference-literal O(n²) Jaccard over local pairs — test oracle
     * only, mirrors the matrix loops at `KMeans.java:624-661`. */
   def jaccardLocal(truthPred: Seq[(Int, Int)]): (Long, Long, Double) = {

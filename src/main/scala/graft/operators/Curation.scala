@@ -719,6 +719,74 @@ object Curation {
       .select(col(idCol), col(keyCol), col(scoreCol), col("score_norm"))
   }
 
+  /** Exact linear-interpolated quantiles of a numeric column per key
+    * (type-7 / "quantile_cont": at quantile p over m sorted values,
+    * position h = (m-1)·p + 1, result = v_⌊h⌋ + (h-⌊h⌋)·(v_⌊h⌋₊₁ -
+    * v_⌊h⌋)) — the per-source length/quality distribution report that
+    * sizes curation thresholds. EXACT, not approx_percentile: the
+    * summary is a handful of rows, and curation cutoffs chosen from a
+    * sketch drift between runs. The formula is spelled out (rather
+    * than delegated to an engine percentile builtin) so the oracle
+    * replays the identical IEEE sequence.
+    *
+    * Scale shape: NO per-key window (a mega-source would sort in one
+    * task) — within-key rank = globalRank over (key, value) minus
+    * per-key exclusive offsets, the interleaveMix idiom (offsets from
+    * a #keys-bounded driver collect, UTF-8-byte-order sorted to match
+    * the rank's binary string order). The (key, p) → needed-rank spec
+    * is driver-computed (#keys × #ps rows) and BROADCAST into two
+    * joins that pluck only the ⌊h⌋ and ⌊h⌋+1 rows. Rank ties among
+    * equal values are harmless: only VALUES are emitted, and equal
+    * values interpolate to the same result whichever takes the rank.
+    * Output: (keyCol, p, q, m) — one row per key per p. */
+  def quantilesByKey(df: DataFrame, keyCol: String, valCol: String,
+                     ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "quantilesByKey needs at least one quantile")
+    ps.foreach(p => require(p >= 0.0 && p <= 1.0, s"quantile must be in [0,1], got $p"))
+    require(ps.distinct.length == ps.length, "duplicate quantiles")
+    require(df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType,
+      s"quantilesByKey: keyCol '$keyCol' must be string")
+    require(df.schema(valCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"quantilesByKey: valCol '$valCol' must be numeric")
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "quantilesByKey on an empty relation")
+    val keysAsc = counts.keys.toSeq.sortWith { (a, b) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    }
+    val offsets = keysAsc.zip(keysAsc.scanLeft(0L)((acc, k) => acc + counts(k))).toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (k, off)) =>
+      when(col("__k") === k, lit(off)).otherwise(acc)
+    }
+    val ranked = Dedup.pin(
+      globalRank(
+        df.filter(col(valCol).isNotNull)
+          .select(col(keyCol).as("__k"), col(valCol).cast("double").as("__v")),
+        "__g", 0, col("__k"), col("__v"))
+        .select(col("__k"), (col("__g") - offCol).as("__r"), col("__v")))
+    val spec = for { k <- keysAsc; p <- ps } yield {
+      val m = counts(k)
+      val h = (m - 1).toDouble * p + 1.0
+      val lo = math.floor(h)
+      (k, p, m, lo.toLong, math.min(lo.toLong + 1L, m), h - lo)
+    }
+    val specDf = df.sparkSession.createDataFrame(spec)
+      .toDF("__sk", "p", "m", "__lo", "__hi", "__frac")
+    val loRows = ranked.join(broadcast(specDf),
+        ranked("__k") === specDf("__sk") && ranked("__r") === specDf("__lo"))
+      .select(col("__sk"), col("p"), col("m"), col("__hi"), col("__frac"),
+        col("__v").as("__vlo"))
+    broadcast(loRows).join(
+        ranked.select(col("__k").as("__sk"), col("__r").as("__hi"), col("__v").as("__vhi")),
+        Seq("__sk", "__hi"))
+      .select(col("__sk").as(keyCol), col("p"),
+        (col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo"))).as("q"),
+        col("m"))
+  }
+
   /** Hard-negative mining for contrastive training: negatives drawn
     * from the anchor's OWN K-Means cell — semantically close (hard)
     * but never the anchor itself — where negativeSamples draws

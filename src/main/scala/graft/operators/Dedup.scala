@@ -346,6 +346,75 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the ESCALATION path connectedComponents' docstring
+    * names: min-label propagation needs diameter rounds, this needs
+    * O(log² n) regardless of diameter, so adversarial long-path
+    * graphs (linked-page chains, citation paths — not near-dup
+    * cliques) still converge in a handful of shuffles.
+    *
+    * Each round is two grouped aggregations over the edge list:
+    * large-star connects every neighbor LARGER than u to the minimum
+    * of u's neighborhood (emits (v, m) for v ∈ Γ(u), v > u, with
+    * m = min(Γ(u) ∪ {u})); small-star keys each edge by its larger
+    * endpoint and connects the smaller ones to their minimum (emits
+    * (v, m) for v ∈ Γ(u)\{m} plus (u, m)). Edges only ever move
+    * toward component minima; the fixed point is a star per
+    * component rooted at its minimum id. No driver-side graph, no
+    * collect; per-round localCheckpoint cuts the 3^rounds lineage
+    * exactly as the propagation loop does.
+    *
+    * Same contract as connectedComponents: (id, component) for every
+    * id in the pair table, component = the component's minimum id —
+    * the two are interchangeable and the oracle gate runs this one
+    * against the identical SQL closure. */
+  def componentsStar(pairs: DataFrame, id1Col: String = "id1", id2Col: String = "id2",
+                     maxIter: Int = 50): DataFrame = {
+    // read once at the end (no cache needed): the only consumer is
+    // the final left join that restores isolated / self-paired ids
+    val ids = pairs.select(col(id1Col).as("id"))
+      .union(pairs.select(col(id2Col).as("id"))).distinct()
+    var edges = pairs
+      .select(least(col(id1Col), col(id2Col)).as("lo"),
+        greatest(col(id1Col), col(id2Col)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // large-star over the symmetric adjacency
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      // v > u >= m, so (m, v) is already (lo, hi)-canonical
+      val large = sym.join(mins, Seq("u")).filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi")).distinct()
+      // small-star: every edge already keyed by its larger endpoint
+      val mins2 = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val small = large.join(mins2, Seq("hi"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), col("lo").as("hi"))
+        .union(mins2.select(col("m").as("lo"), col("hi")))
+        .distinct()
+      val next = small.localCheckpoint(eager = true)
+      val changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      edges = next
+      done = changed == 0
+      iter += 1
+    }
+    require(done, s"componentsStar did not converge in $maxIter rounds — " +
+      "O(log² n) alternation should never need this many; the edge list is " +
+      "likely growing from upstream duplicate pairs")
+    // fixed point is a star set: every non-root appears as hi exactly
+    // once (the groupBy-min is a safety net, not a semantic step)
+    val stars = edges.groupBy(col("hi")).agg(min(col("lo")).as("component"))
+      .select(col("hi").as("id"), col("component"))
+    ids.join(stars, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Cluster-level near-dup removal: pairs → connected components →
     * keep each cluster's minimum-id representative (plus every doc in
     * no pair at all). The set-correct form of dropNearDuplicates —

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists — the companion surface to
+  * Dedup's component operators (near-dup pair graphs, citation /
+  * link graphs, user-interaction graphs). Everything here is
+  * edge-list relational algebra: joins + grouped aggregations per
+  * round, never a driver-side adjacency structure, so the operators
+  * inherit Spark's shuffle-partitioned scaling directly.
+  */
+object Graph {
+
+  /** PageRank with a FIXED number of power iterations (public
+    * formula, Brin & Page 1998): pr'(v) = (1-d)/N + d · Σ_{u→v}
+    * pr(u)/outdeg(u). Fixed-iteration (not convergence-tested)
+    * because training-data curation uses the ranking, not the exact
+    * stationary point — 3-5 rounds separate hubs from leaves, and a
+    * fixed round count keeps the result a pure function of the
+    * input (the oracle gate unrolls the same rounds in SQL).
+    *
+    * undirected=true symmetrizes the edge list first (each edge
+    * counts in both directions — the natural reading for near-dup /
+    * similarity graphs, where rank measures how centrally a document
+    * sits in its duplicate neighborhood). Directed inputs keep their
+    * orientation: dangling nodes (outdeg 0) contribute nothing and
+    * their mass is NOT redistributed — the simplified public variant,
+    * stated here so the choice is visible; nodes with no in-edges
+    * settle at the teleport floor (1-d)/N.
+    *
+    * Scale shape: per round ONE hash join (edges × current ranks on
+    * src) + ONE grouped sum on dst — the same shuffle pair as a
+    * relational group-by, repeated `iters` times on a CACHED edge
+    * list (registered under Dedup's cache lifecycle). Degrees are
+    * computed once. No collect except the single node count N (one
+    * scalar). sortedFold=true folds each node's contributions in
+    * ascending order (collect_list + sorted sequential fold) —
+    * bit-exact vs DuckDB, correctness gates only; false is the
+    * distributed partial-agg scale path.
+    *
+    * Output: (id, pr, degree) for every node in the edge list. */
+  def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+               iters: Int = 3, damping: Double = 0.85,
+               undirected: Boolean = true, sortedFold: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0, 1), got $damping")
+    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val oriented =
+      if (undirected) base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+      else base
+    val e = Dedup.pin(oriented.distinct())
+    val outDeg = e.groupBy("src").agg(count(lit(1)).cast("long").as("degree"))
+      .withColumnRenamed("src", "id")
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val degs = Dedup.pin(nodes.join(outDeg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree")))
+    val n = degs.count()
+    require(n > 0, "pageRank on an empty edge list")
+    val tele = (1.0 - damping) / n.toDouble
+    var ranks = degs.select(col("id"), lit(1.0 / n.toDouble).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(
+        ranks.join(degs, Seq("id")).filter(col("degree") > 0L)
+          .select(col("id").as("src"), (col("pr") / col("degree")).as("c")),
+        Seq("src"))
+        .select(col("dst").as("id"), col("c"))
+      val sums =
+        if (sortedFold)
+          contribs.groupBy("id").agg(
+            graft.functions.VectorOps.foldSum(array_sort(collect_list(col("c")))).as("s"))
+        else contribs.groupBy("id").agg(sum(col("c")).as("s"))
+      ranks = degs.select(col("id")).join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(tele) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+    }
+    ranks.join(degs, Seq("id"))
+  }
+
+  /** Degree distribution of an edge list: per-node degree plus the
+    * node count at each degree — the one-pass profile that decides
+    * whether a graph op needs a skew guard (a power-law head means
+    * the top hub's adjacency dwarfs the mean; feed maxBucket /
+    * salting decisions from this, don't guess). Two grouped
+    * aggregations, both partial-agg friendly.
+    * Output: (degree, n_nodes) ascending. */
+  def degreeHistogram(edges: DataFrame, srcCol: String = "src",
+                      dstCol: String = "dst",
+                      undirected: Boolean = true): DataFrame = {
+    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val oriented =
+      if (undirected) base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+      else base
+    oriented.distinct()
+      .groupBy("src").agg(count(lit(1)).cast("long").as("degree"))
+      .groupBy("degree").agg(count(lit(1)).cast("long").as("n_nodes"))
+      .orderBy("degree")
+  }
+}

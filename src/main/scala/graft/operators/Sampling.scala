@@ -64,6 +64,39 @@ object Sampling {
     df.filter(hashUnit(col(idCol)) < rateCol)
   }
 
+  /** Weighted sampling WITHOUT replacement, k rows, inclusion odds ∝
+    * weightCol — Efraimidis–Spirakis reservoir keys (public
+    * algorithm, IPL 2006): each row draws key = u^(1/w) with u its
+    * deterministic id-hash uniform; the k LARGEST keys are the
+    * sample. Rerun- and repartition-stable like every sampler here
+    * (the "randomness" is the md5 of the id). The quality-weighted
+    * subset selector: sample 1M docs favoring high quality scores
+    * without the hard cutoff of a top-k, which would take only one
+    * content slice.
+    *
+    * Rows with weight ≤ 0 or NULL are EXCLUDED (zero odds; they can
+    * never be drawn, matching the math rather than erroring a corpus
+    * for one bad row — the count is the caller's audit if needed).
+    * The global top-k rides globalRank (range exchange, np parallel
+    * sorted runs — no single-task corpus sort); the key column is
+    * dropped from the output because pow()'s last ulp is libm-
+    * dependent (the RANK survives any-ulp differences unless two
+    * keys collide to ~2⁻⁵²; the value itself would not hash-match
+    * cross-engine).
+    * Output: (input columns, sample_rank ∈ 1..k). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("sample_rank"),
+      "input already has a 'sample_rank' column")
+    val w = col(weightCol).cast("double")
+    val keyed = df.filter(w > 0.0)
+      .withColumn("__key", pow(hashUnit(col(idCol)), lit(1.0) / w))
+    Curation.globalRank(keyed, "sample_rank", 0, col("__key").desc, col(idCol))
+      .filter(col("sample_rank") <= k)
+      .drop("__key")
+  }
+
   /** Leakage-safe grouped split: the hash point comes from the GROUP
     * key (domain, source, url host, near-dup cluster id), so every
     * row sharing the key lands on the same side. Splitting by row id

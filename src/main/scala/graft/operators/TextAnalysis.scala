@@ -406,6 +406,130 @@ object TextAnalysis {
       .withColumn("tfidf", col("tf") * log(lit(n) / col("df")))
   }
 
+  /** BM25 relevance of every document against a FIXED term list (the
+    * retrieval scorer run corpus-wide — "rank all documents for this
+    * probe query", the data-selection form of BM25, e.g. importance
+    * ranking against a target-domain query). Okapi formula with the
+    * idf in RATIONAL form, idf = (N - df + ½)/(df + ½) — the log-free
+    * variant — because ln is the one libm call whose last ulp differs
+    * across engines (see termFrequencies); rankings agree since ln is
+    * monotone. logIdf=true applies the Lucene-style ln(1 + ·) on top
+    * (the +1 keeps idf positive where raw Robertson idf goes negative
+    * for df > N/2) — same per-term ranking, not oracle-hashed.
+    *
+    * Scale shape: the term list is a PLAN LITERAL, so tf per term is
+    * a rowwise array scan (no explode, no join — the corpus is never
+    * shuffled); df per term and avgdl are ONE k-term-bounded
+    * aggregation crossJoined back as a broadcast single row. Total
+    * cost: two corpus scans, zero shuffles of corpus rows. The
+    * per-term fold runs in the given term order (pass a canonical
+    * order; the oracle mirrors it term by term).
+    * Output: (idCol, dl, bm25). */
+  def bm25Score(df: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                logIdf: Boolean = false): DataFrame = {
+    require(terms.nonEmpty, "bm25Score needs at least one query term")
+    require(terms.distinct.length == terms.length, "duplicate query terms")
+    val toks = tokens(col(textCol))
+    def tfOf(t: String) = size(filter(toks, x => x === lit(t))).cast("long")
+    val withTf = df.select(
+      (col(idCol) +: size(toks).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) => tfOf(t).as(s"__tf$i") }): _*)
+    val statAggs =
+      sum(col("dl")).cast("double").as("__sumdl") +:
+        count(lit(1)).cast("long").as("__n") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0L, 1L).otherwise(0L)).cast("long").as(s"__df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+      .select((col("__n") +: (col("__sumdl") / col("__n")).as("__avgdl") +:
+        terms.indices.map(i => col(s"__df$i"))): _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val termScores = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val dfT = col(s"__df$i")
+      val idfRat = ((col("__n") - dfT).cast("double") + lit(0.5)) /
+        (dfT.cast("double") + lit(0.5))
+      val idf = if (logIdf) log(lit(1.0) + idfRat) else idfRat
+      val tfn = (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("__avgdl"))))
+      idf * tfn
+    }
+    scored.select(col(idCol), col("dl"),
+      termScores.reduceLeft(_ + _).as("bm25"))
+  }
+
+  /** Per-document mean corpus frequency of its n-grams — the count-
+    * based language-model quality proxy (a doc whose n-grams are rare
+    * corpus-wide is gibberish or off-distribution; the integer-exact
+    * stand-in for a perplexity filter, which needs a trained LM).
+    * repetitionStats measures WITHIN-doc repetition; this measures
+    * corpus-typicality.
+    *
+    * Scale shape: explode → n-gram count table (partial-agg, vocab-
+    * sized) → ONE hash join back on the n-gram string → per-doc
+    * integer sums. The count table is aggregated BEFORE the join, so
+    * the join's build side is vocabulary-sized, not corpus-sized.
+    * All sums are exact BIGINT; the one double is sum/count.
+    * Output: (idCol, n_grams, sum_freq, avg_freq — NULL for docs too
+    * short for any n-gram). */
+  def corpusNgramScore(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = df.select(col(idCol),
+      explode(tokenNgrams(tokens(col(textCol)), n)).as("gram"))
+    val counts = grams.groupBy("gram").agg(count(lit(1)).cast("long").as("__cnt"))
+    val perDoc = grams.join(counts, Seq("gram"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).cast("long").as("n_grams"),
+        sum(col("__cnt")).cast("long").as("sum_freq"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("sum_freq"), lit(0L)).as("sum_freq"),
+        (col("sum_freq").cast("double") / col("n_grams")).as("avg_freq"))
+  }
+
+  /** Corpus-frequency line removal — the C4-style boilerplate pass
+    * ("drop any line that occurs in ≥ N documents": nav menus, cookie
+    * banners, footers survive template extraction verbatim, so their
+    * line-level document frequency is huge while real prose lines are
+    * near-unique). Drops every line whose distinct-document count
+    * reaches minDocs and reassembles each document's surviving lines
+    * in original order.
+    *
+    * Scale shape: line explode → distinct-doc count per line (partial
+    * agg; the frequent-line table is tiny by construction — only
+    * lines repeated across ≥ minDocs docs survive the HAVING) → one
+    * anti-join — the corpus shuffles once on the line hash. The
+    * reassembly groups each doc's OWN lines (bounded by doc size,
+    * the chunkByTokens posture). A doc whose every line is
+    * boilerplate comes back as ''.
+    * Output: (idCol, clean_text, n_lines, n_dropped). */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                           minDocs: Int, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (1 would drop every line), got $minDocs")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+    val boiler = lines.groupBy("__line")
+      .agg(count_distinct(col(idCol)).as("__ndocs"))
+      .filter(col("__ndocs") >= minDocs)
+      .select(col("__line"))
+    val rebuilt = lines.join(boiler, Seq("__line"), "left_anti")
+      .groupBy(col(idCol)).agg(
+        array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), sep).as("__clean"),
+        count(lit(1)).cast("long").as("__kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep))).cast("long")
+          .as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Stopword-profile language scores: per language, the fraction of
     * tokens found in its profile word set; prediction = argmax with
     * lexicographic tie-break (array_min over (-score, lang)). */

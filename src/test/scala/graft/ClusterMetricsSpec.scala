@@ -112,6 +112,29 @@ class ClusterMetricsSpec extends AnyFunSuite {
     assert(!r3.isNullAt(0) && r3.getDouble(1) === 100.0)
   }
 
+  test("daviesBouldin: hand-computed value, fold modes agree, vanished cluster excluded") {
+    import spark.implicits._
+    import graft.operators.KMeans
+    // two 1-D clusters: {0, 2} around centroid 1, {10, 12} around 11
+    // S1 = S2 = 1; d(c1, c2) = 10; R = (1+1)/10 = 0.2; DB = 0.2
+    val cents: KMeans.Centroids = Array((1, Array(1.0)), (2, Array(11.0)))
+    val df = Seq((1L, Seq(0.0), 1), (2L, Seq(2.0), 1), (3L, Seq(10.0), 2), (4L, Seq(12.0), 2))
+      .toDF("id", "features", "cluster")
+    val r = ClusterMetrics.daviesBouldin(df, "features", cents, sortedFold = true).head()
+    assert(math.abs(r.getDouble(0) - 0.2) < 1e-15)
+    assert(r.getLong(1) === 2L && r.getLong(2) === 4L)
+    val s = ClusterMetrics.daviesBouldin(df, "features", cents, sortedFold = false).head()
+    assert(math.abs(s.getDouble(0) - 0.2) < 1e-12)
+    // a memberless centroid takes no part (it has no S_i); k_present drops it
+    val cents3: KMeans.Centroids = Array((1, Array(1.0)), (2, Array(11.0)), (3, Array(99.0)))
+    val r3 = ClusterMetrics.daviesBouldin(df, "features", cents3, sortedFold = true).head()
+    assert(math.abs(r3.getDouble(0) - 0.2) < 1e-15 && r3.getLong(1) === 2L)
+    // every point in one cluster -> fewer than 2 survivors -> NULL, not an error
+    val one = Seq((1L, Seq(0.0), 1), (2L, Seq(2.0), 1)).toDF("id", "features", "cluster")
+    assert(ClusterMetrics.daviesBouldin(one, "features", cents, sortedFold = true)
+      .head().isNullAt(0))
+  }
+
   test("purity: majority-vote fraction, 1.0 for perfect clustering") {
     import spark.implicits._
     val pairs = Seq((1, 5), (1, 5), (2, 5), (2, 7), (2, 7), (3, 9))

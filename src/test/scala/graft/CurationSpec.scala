@@ -480,6 +480,30 @@ class CurationSpec extends AnyFunSuite {
     assert(rerun === smallIds)                           // repartition-stable
   }
 
+  test("quantilesByKey: type-7 interpolation, per-key, repartition-stable") {
+    val df = (Seq.tabulate(5)(i => ("a", (i + 1).toLong)) ++
+      Seq.tabulate(4)(i => ("b", (10 * (i + 1)).toLong))).toDF("src", "v")
+    // a: 1..5 -> p0=1, p.5=3, p1=5 ; b: 10,20,30,40 -> p.5: h=2.5 -> 25
+    val got = Curation.quantilesByKey(df, "src", "v", Seq(0.0, 0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got(("a", 0.0)) === ((1.0, 5L)))
+    assert(got(("a", 0.5)) === ((3.0, 5L)))
+    assert(got(("a", 1.0)) === ((5.0, 5L)))
+    assert(got(("b", 0.5)) === ((25.0, 4L)))
+    assert(got(("b", 1.0)) === ((40.0, 4L)))
+    val again = Curation.quantilesByKey(df.repartition(7), "src", "v", Seq(0.0, 0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(again === got)
+    // singleton key: every quantile is the lone value
+    val one = Seq(("c", 7L)).toDF("src", "v")
+    val g1 = Curation.quantilesByKey(one, "src", "v", Seq(0.5))
+      .collect().map(r => (r.getDouble(2), r.getLong(3)))
+    assert(g1 === Array((7.0, 1L)))
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("snapshotDiff reports added/removed/changed deltas only") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "text")
     val cur = Seq((1L, "a"), (2L, "B"), (5L, "e")).toDF("id", "text")

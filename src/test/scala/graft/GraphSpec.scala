@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph}
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRank: star center outranks leaves, ranks sum to 1") {
+    // star: 1 connected to 2,3,4,5 (undirected)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(pr(1L)._2 === 4L)
+    assert(pr(2L)._2 === 1L)
+    val leaves = Seq(2L, 3L, 4L, 5L).map(pr(_)._1)
+    assert(leaves.distinct.size === 1, "symmetric leaves must tie exactly")
+    assert(pr(1L)._1 > leaves.head * 2)
+    // undirected graph has no dangling mass: total rank stays 1
+    assert(math.abs(pr.values.map(_._1).sum - 1.0) < 1e-12)
+  }
+
+  test("pageRank: sortedFold twin matches the distributed path") {
+    val edges = (1L to 40L).map(i => (i, i % 7 + 100L)).toDF("src", "dst")
+    val a = Graph.pageRank(edges, "src", "dst", iters = 3, sortedFold = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRank(edges, "src", "dst", iters = 3, sortedFold = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (id, v) => assert(math.abs(v - b(id)) < 1e-12, s"id $id") }
+    Dedup.releaseCaches()
+  }
+
+  test("pageRank directed: node with no in-edges sits at the teleport floor") {
+    // 1 -> 2 -> 3, directed; node 1 receives nothing
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, "src", "dst", iters = 3, undirected = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - 0.15 / 3.0) < 1e-12)
+    assert(pr(2L) > pr(1L) && pr(3L) > pr(1L))
+    Dedup.releaseCaches()
+  }
+
+  test("pageRank is repartition-stable (sortedFold)") {
+    val edges = (1L to 60L).map(i => (i, (i * 7) % 20 + 1L)).toDF("src", "dst")
+    val a = Graph.pageRank(edges, "src", "dst", iters = 2, sortedFold = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val b = Graph.pageRank(edges.repartition(7), "src", "dst", iters = 2, sortedFold = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(a === b)
+    Dedup.releaseCaches()
+  }
+
+  test("degreeHistogram counts nodes per degree") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("src", "dst")
+    // degrees: 1 -> 3, 2 -> 2, 3 -> 2, 4 -> 1
+    val h = Graph.degreeHistogram(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("componentsStar matches connectedComponents on a long path (diameter test)") {
+    // a 30-node path — diameter 29, the adversarial case for
+    // min-label propagation — plus a separate triangle and an
+    // isolated self-paired id
+    val path = (1L until 30L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val selfPair = Seq((200L, 200L))
+    val pairs = (path ++ tri ++ selfPair).toDF("id1", "id2")
+    val star = Dedup.componentsStar(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val prop = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(star === prop)
+    assert(star.filter(_._1 <= 30L).forall(_._2 === 1L))
+    assert(star.filter(p => p._1 >= 100L && p._1 <= 102L).forall(_._2 === 100L))
+    assert(star.find(_._1 === 200L).get._2 === 200L)
+    Dedup.releaseCaches()
+  }
+
+  test("componentsStar converges in far fewer rounds than the diameter") {
+    // 64-node path: propagation needs ~63 rounds (maxIter would trip
+    // at 50); the star alternation finishes inside the same cap
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = Dedup.componentsStar(pairs, maxIter = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === 64)
+    assert(labels.forall(_._2 === 1L))
+    Dedup.releaseCaches()
+  }
+}

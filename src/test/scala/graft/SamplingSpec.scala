@@ -105,6 +105,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(c2 === Array(1L, 2L))             // only test doc 3 dropped
   }
 
+  test("weightedSample: k rows, dense ranks, weight<=0 excluded, repartition-stable") {
+    val df = (1L to 200L).map(i => (i, if (i <= 5) 0.0 else i.toDouble))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length === 20)
+    assert(got.map(_._2).sorted === (1L to 20L).toArray)
+    assert(got.forall(_._1 > 5L), "zero-weight rows can never be drawn")
+    val again = Sampling.weightedSample(df.repartition(7), "id", "w", k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._2)
+    assert(again === got.sortBy(_._2), "sample must not depend on partitioning")
+    // heavier weights really do tilt the draw: weight 1e6 vs weight 1
+    // on 200 ids — the heavy block (ids 101+) should dominate the top 20
+    val tilted = (1L to 200L).map(i => (i, if (i > 100) 1e6 else 1.0)).toDF("id", "w")
+    val heavy = Sampling.weightedSample(tilted, "id", "w", k = 20)
+      .collect().count(_.getLong(0) > 100L)
+    assert(heavy >= 18, s"expected the heavy block to dominate, got $heavy/20")
+  }
+
   test("stratifiedSample honors per-stratum rates") {
     val kept = Sampling.stratifiedSample(ids, "id", "lang",
       rates = Map("en" -> 1.0), defaultRate = 0.0)

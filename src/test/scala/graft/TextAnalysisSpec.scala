@@ -391,6 +391,62 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(keep(1L) === "Hello World twice")
   }
 
+  test("bm25Score: tf-monotone, zero for term-free docs, logIdf preserves order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark spark spark row row"),
+      (2L, "spark row row row row"),
+      (3L, "table table table table table")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Score(df, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 === 5L)                        // dl = token count
+    assert(got(1L)._2 > got(2L)._2, "higher tf must score higher at equal dl")
+    assert(got(3L)._2 === 0.0, "a doc with no query term scores exactly 0")
+    // log idf reorders nothing (ln is monotone); multi-term sums both terms
+    val logGot = TextAnalysis.bm25Score(df, "doc_id", "text", Seq("spark"), logIdf = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(logGot(1L) > logGot(2L) && logGot(3L) === 0.0)
+    val two = TextAnalysis.bm25Score(df, "doc_id", "text", Seq("spark", "table"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(two(3L) > 0.0, "second term must contribute")
+  }
+
+  test("corpusNgramScore: corpus-frequency means, NULL for too-short docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c"),      // bigrams: "a b", "b c"
+      (2L, "a b d"),      // bigrams: "a b", "b d"
+      (3L, "z")           // too short for any bigram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusNgramScore(df, "doc_id", "text", n = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    // corpus counts: "a b" -> 2, "b c" -> 1, "b d" -> 1
+    assert(got(1L)._1 === 2L && got(1L)._2 === 3L && got(1L)._3 === 1.5)
+    assert(got(2L)._1 === 2L && got(2L)._2 === 3L && got(2L)._3 === 1.5)
+    assert(got(3L)._1 === 0L && got(3L)._2 === 0L && got(3L)._3.isNaN)
+  }
+
+  test("dropBoilerplateLines: frequent lines go, order survives, all-boiler docs empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "unique one\ncommon footer\nunique two"),
+      (2L, "another body\ncommon footer"),
+      (3L, "common footer")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dropBoilerplateLines(df, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === (("unique one\nunique two", 3L, 1L)))
+    assert(got(2L) === (("another body", 2L, 1L)))
+    assert(got(3L) === (("", 1L, 1L)))
+    // a line repeated WITHIN one doc is not boilerplate (distinct-doc count)
+    val within = Seq((1L, "x\nx\nx"), (2L, "y")).toDF("doc_id", "text")
+    val w = TextAnalysis.dropBoilerplateLines(within, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(w(1L) === "x\nx\nx")
+  }
+
   test("fingerprint is the 31-base modular fold of char codes") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     val fp = df.select(TextAnalysis.fingerprint(col("text"))).collect()(0).getLong(0)
