@@ -1259,6 +1259,18 @@ object SparkEntry {
     "q_quantiles" -> ((s, dir) => {
       Curation.quantilesByKey(Tables(s, dir, "documents"), "source", "n_chars",
         Seq(0.5, 0.9, 0.99))
+    }),
+
+    // ── events: per-user lag features (explicit-lag moving stats) ───
+    "q_lag_features" -> ((s, dir) => {
+      Events.lagFeatures(Tables(s, dir, "events"))
+    }),
+
+    // ── graph: label-propagation communities (2 sync rounds) ────────
+    "q_label_prop" -> ((s, dir) => {
+      val pairs = Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.5, parity = true).select("id1", "id2")
+      Graph.labelPropagation(pairs, "id1", "id2", rounds = 2)
     })
   )
 
@@ -3405,6 +3417,41 @@ object SparkEntry {
         |)
         |SELECT s.k AS source, s.p, rl.v + s.frac * (rh.v - rl.v) AS q, s.m AS m
         |FROM spec2 s JOIN r rl ON rl.k = s.k AND rl.r = s.lo
-        |             JOIN r rh ON rh.k = s.k AND rh.r = s.hi""".stripMargin
+        |             JOIN r rh ON rh.k = s.k AND rh.r = s.hi""".stripMargin,
+
+    // explicit lag() columns, never a frame aggregate — see
+    // Events.lagFeatures on the segment-tree FP-order trap
+    "q_lag_features" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |l AS (
+        |  SELECT event_id, user_id, ts_us, value,
+        |         lag(value, 1) OVER w AS prev_value,
+        |         ts_us - lag(ts_us, 1) OVER w AS gap_us,
+        |         lag(value, 2) OVER w AS l2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |)
+        |SELECT event_id, user_id, ts_us, value, prev_value, gap_us,
+        |       (value + prev_value + l2) / 3.0 AS avg3,
+        |       CASE WHEN prev_value IS NOT NULL AND l2 IS NOT NULL
+        |            THEN greatest(value, prev_value, l2) END AS max3
+        |FROM l""".stripMargin,
+
+    "q_label_prop" ->
+      s"""WITH $sqlNearDupEdges,
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |l0 AS (SELECT id, id AS label FROM nodes),
+         |v1 AS (SELECT e.dst AS id, l.label, count(*) AS c
+         |       FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst, l.label),
+         |l1 AS (SELECT id, label FROM (
+         |         SELECT id, label,
+         |                row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+         |         FROM v1) WHERE rn = 1),
+         |v2 AS (SELECT e.dst AS id, l.label, count(*) AS c
+         |       FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst, l.label),
+         |l2 AS (SELECT id, label FROM (
+         |         SELECT id, label,
+         |                row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+         |         FROM v2) WHERE rn = 1)
+         |SELECT id, label FROM l2""".stripMargin
   )
 }

@@ -197,6 +197,40 @@ object Events {
       .select("event_id", "user_id", "event_type", "next_type", "gap_us")
   }
 
+  /** Per-user lag features — the feature-engineering twin of
+    * nextEventLabels (which looks FORWARD for labels; this looks BACK
+    * for model inputs): previous value, exact-µs gap since the
+    * previous event, and 3-event trailing mean/max of `value`. The
+    * moving stats are built from EXPLICIT lag() columns, never a
+    * frame aggregate: (v + l1 + l2) / 3 is a pinned left-assoc IEEE
+    * sequence on both engines, where a windowed avg(… ROWS 2
+    * PRECEDING) is free to re-associate (DuckDB evaluates frame
+    * aggregates over a segment tree) — the same class of cross-engine
+    * FP trap as distributed sums. Stats are NULL until the user has a
+    * full 3-event history (no partial-window fudge: a 1-event "mean"
+    * is a lie to the model).
+    *
+    * One window = one shuffle on user_id; per-user order is (ts_us,
+    * event_id), the sessionize total-order contract.
+    * Output: (event_id, user_id, ts_us, value, prev_value, gap_us,
+    * avg3, max3). */
+  def lagFeatures(df: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    df.select(col("event_id"), col("user_id"),
+        lfloorDiv(col("ts"), 1000L).as("ts_us"), col("value"))
+      .withColumn("prev_value", lag("value", 1).over(byUser))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(byUser))
+      .withColumn("__l2", lag("value", 2).over(byUser))
+      .withColumn("avg3",
+        (col("value") + col("prev_value") + col("__l2")) / lit(3.0))
+      // greatest() skips NULLs on both engines — gate it explicitly so
+      // a 2-event history yields NULL, not a 2-event "max of 3"
+      .withColumn("max3",
+        when(col("prev_value").isNotNull && col("__l2").isNotNull,
+          greatest(col("value"), col("prev_value"), col("__l2"))))
+      .drop("__l2")
+  }
+
   /** Native session_window twin of sessionize (streaming-capable). */
   def sessionWindowAgg(df: DataFrame, tsCol: Column, gap: String): DataFrame =
     df.groupBy(col("user_id"), session_window(tsCol, gap).as("w"))

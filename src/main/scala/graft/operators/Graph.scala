@@ -79,6 +79,52 @@ object Graph {
     ranks.join(degs, Seq("id"))
   }
 
+  /** Label propagation communities (Raghavan et al. 2007, the
+    * synchronous fixed-round variant): every node starts as its own
+    * label; each round it adopts the most frequent label among its
+    * NEIGHBORS, ties broken by the smaller label — both rules exact
+    * integer/ordering decisions, so R rounds are a pure function of
+    * the edge list (the oracle unrolls the same rounds). Communities
+    * differ from connected components on bridge topologies: a thin
+    * bridge between two dense blobs keeps one component but two
+    * labels. Fixed rounds, not convergence: synchronous LPA can
+    * oscillate on bipartite structures, and curation wants a
+    * deterministic result, not a lucky fixed point.
+    *
+    * Scale shape: per round one hash join (edges × labels on src) +
+    * one (dst, label) count + one min_by-struct argmax — the exact
+    * shuffle pattern of pageRank with the sum swapped for a mode.
+    * Nodes with no in-neighbors (directed case) keep their label via
+    * the left join. Output: (id, label) after `rounds` rounds. */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+                       rounds: Int = 2, undirected: Boolean = true): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"rounds must be in [1, 50], got $rounds")
+    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val oriented =
+      if (undirected) base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+      else base
+    val e = Dedup.pin(oriented.distinct())
+    val nodes = Dedup.pin(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = e.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__c"))
+      val winners = votes.groupBy("dst")
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("l"))).as("__b"))
+        .select(col("dst").as("id"), col("__b.l").as("label"))
+      // each round reads the previous labels twice (votes + keep-old)
+      // — checkpoint cuts the 2^rounds lineage, as in the component
+      // loops
+      labels = nodes.join(winners.withColumnRenamed("label", "__new"), Seq("id"), "left")
+        .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+        .select(col("id"), coalesce(col("__new"), col("__old")).as("label"))
+        .localCheckpoint(eager = true)
+    }
+    labels
+  }
+
   /** Degree distribution of an edge list: per-node degree plus the
     * node count at each degree — the one-pass profile that decides
     * whether a graph op needs a skew guard (a power-law head means

@@ -149,6 +149,18 @@ class EventsSpec extends AnyFunSuite {
     assert(got(4L) === ((None, None)))   // user 2's only event
   }
 
+  test("lagFeatures: back-looking lags, NULL until a full 3-event history") {
+    val e = Seq(ev(1, 100, 1, "view", 2.0), ev(2, 160, 1, "click", 4.0),
+      ev(3, 200, 1, "buy", 9.0), ev(4, 150, 2, "view", 5.0))
+    val got = Events.lagFeatures(df(e)).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6)), Option(r.get(7)))).toMap
+    assert(got(1L) === ((None, None, None, None)))          // no history
+    assert(got(2L) === ((Some(2.0), Some(60L * M), None, None))) // 2 events: lags yes, stats no
+    assert(got(3L) === ((Some(4.0), Some(40L * M), Some(5.0), Some(9.0)))) // (9+4+2)/3, max
+    assert(got(4L) === ((None, None, None, None)))          // other user untouched
+  }
+
   test("a gap of exactly the threshold does NOT split (strict >)") {
     val e = Seq(ev(1, 0, 1, "a", 0), ev(2, 1800, 1, "a", 0))
     val got = Events.sessionize(df(e), 1800L * M).collect()

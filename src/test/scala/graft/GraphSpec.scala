@@ -81,6 +81,41 @@ class GraphSpec extends AnyFunSuite {
     Dedup.releaseCaches()
   }
 
+  test("labelPropagation: dense blobs keep distinct labels across a bridge") {
+    // two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10:
+    // one connected component, but LPA holds two communities
+    val tri1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val tri2 = Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = (tri1 ++ tri2 :+ (3L -> 10L)).toDF("src", "dst")
+    // 4 rounds: synchronous LPA churns for the first couple of rounds
+    // on a graph this small before the blob majorities lock in
+    val labs = Graph.labelPropagation(edges, "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(labs(1L) === labs(2L) && labs(2L) === labs(3L))
+    assert(labs(10L) === labs(11L) && labs(11L) === labs(12L))
+    assert(labs(1L) !== labs(10L), "the bridge must not merge the blobs")
+    // components DOES merge them — the two operators answer different questions
+    val comp = Dedup.componentsStar(edges.select(col("src").as("id1"), col("dst").as("id2")))
+      .select("component").distinct().count()
+    assert(comp === 1L)
+    Dedup.releaseCaches()
+  }
+
+  test("labelPropagation ties break to the smaller label, rounds are deterministic") {
+    // node 5 hears labels {1, 2} once each in round 1 -> picks 1
+    val edges = Seq((1L, 5L), (2L, 5L)).toDF("src", "dst")
+    val labs = Graph.labelPropagation(edges, "src", "dst", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs(5L) === 1L)
+    // leaves adopt the hub's label
+    assert(labs(1L) === 5L && labs(2L) === 5L)
+    val again = Graph.labelPropagation(edges.repartition(5), "src", "dst", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === labs)
+    Dedup.releaseCaches()
+  }
+
   test("componentsStar converges in far fewer rounds than the diameter") {
     // 64-node path: propagation needs ~63 rounds (maxIter would trip
     // at 50); the star alternation finishes inside the same cap
