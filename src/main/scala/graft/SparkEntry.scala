@@ -1271,6 +1271,12 @@ object SparkEntry {
       val pairs = Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
         n = 3, h = 16, b = 8, minSim = 0.5, parity = true).select("id1", "id2")
       Graph.labelPropagation(pairs, "id1", "id2", rounds = 2)
+    }),
+
+    // ── text: PMI-lift collocations (phrase mining) ─────────────────
+    "q_collocations" -> ((s, dir) => {
+      TextAnalysis.collocations(Tables(s, dir, "documents"), "text",
+        minCount = 5, topK = 100)
     })
   )
 
@@ -3452,6 +3458,27 @@ object SparkEntry {
          |         SELECT id, label,
          |                row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
          |         FROM v2) WHERE rn = 1)
-         |SELECT id, label FROM l2""".stripMargin
+         |SELECT id, label FROM l2""".stripMargin,
+
+    "q_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |big AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+        |bcall AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+        |          FROM big GROUP BY w1, w2),
+        |nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM bcall),
+        |scored AS (
+        |  SELECT b.w1, b.w2, b.c_ab,
+        |         (CAST(b.c_ab AS DOUBLE) * CAST(nb.n AS DOUBLE))
+        |           / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+        |  FROM bcall b JOIN uc u1 ON u1.w = b.w1 JOIN uc u2 ON u2.w = b.w2
+        |  CROSS JOIN nb WHERE b.c_ab >= 5
+        |)
+        |SELECT w1, w2, c_ab, lift, rank FROM (
+        |  SELECT w1, w2, c_ab, lift,
+        |         CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 100""".stripMargin
   )
 }

@@ -489,6 +489,54 @@ object TextAnalysis {
         (col("sum_freq").cast("double") / col("n_grams")).as("avg_freq"))
   }
 
+  /** Collocation extraction by pointwise-mutual-information LIFT:
+    * lift(w1 w2) = c(w1 w2)·N / (c(w1)·c(w2)) with N the corpus
+    * bigram total — textbook PMI is log2(lift), omitted for the same
+    * libm reason as tfIdf (log is monotone; the RANKING is the
+    * contract). High-lift pairs are multiword expressions ("new
+    * york") — the phrase-mining pass that feeds tokenizer merge rules
+    * and phrase-aware dedup. minCount guards the classic PMI
+    * pathology (two hapaxes adjacent once score N/1).
+    *
+    * Scale shape: ONE tokenized projection is pinned and exploded
+    * twice (unigrams, bigrams) — after that every relation is
+    * vocabulary-sized, not corpus-sized: the count tables join each
+    * other, and the final global top-K is a TakeOrdered over the
+    * aggregated score table (bounded partials per partition, never a
+    * full sort). The lift arithmetic is two exact-integer-valued
+    * double products and one division — bit-stable cross-engine
+    * (counts < 2^53).
+    * Output: (w1, w2, c_ab, lift, rank 1..topK) by lift desc, ties
+    * (w1, w2) asc. */
+  def collocations(df: DataFrame, textCol: String, minCount: Int = 5,
+                   topK: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = Dedup.pin(df.select(tokens(col(textCol)).as("__t")))
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("__c"))
+    val bcAll = Dedup.pin(
+      toks.select(explode(tokenNgrams(col("__t"), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).cast("long").as("c_ab")))
+    val nb = bcAll.agg(sum(col("c_ab")).cast("long").as("__n"))
+    val bc = bcAll.filter(col("c_ab") >= minCount)
+      .select(substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"), col("c_ab"))
+    val scored = bc
+      .join(uni.select(col("w").as("w1"), col("__c").as("__c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("__c").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        ((col("c_ab").cast("double") * col("__n").cast("double"))
+          / (col("__c1").cast("double") * col("__c2").cast("double"))).as("lift"))
+    // TakeOrdered bounds the sort; the ≤ topK survivors then rank in
+    // a single trivial partition
+    scored.orderBy(col("lift").desc, col("w1"), col("w2")).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("lift").desc, col("w1"), col("w2"))).cast("long"))
+  }
+
   /** Corpus-frequency line removal — the C4-style boilerplate pass
     * ("drop any line that occurs in ≥ N documents": nav menus, cookie
     * banners, footers survive template extraction verbatim, so their

@@ -124,4 +124,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the prefix-sum pass must add zero exchanges after the range checkpoint:\n$s")
     Dedup.releaseCaches()
   }
+
+  test("bm25Score: the corpus never shuffles — stats ride a broadcast single row") {
+    // the 100 TB claim of bm25Score: tf per term is a rowwise array
+    // scan against plan literals; df/avgdl is a 1-row aggregate
+    // crossJoined back via broadcast. Corpus-sized exchanges = 0
+    // (the single-row agg's own exchange moves k+2 numbers, and the
+    // per-partition partial rows it gathers are bounded by the
+    // partition count, not the corpus)
+    import graft.operators.TextAnalysis
+    val docs = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = TextAnalysis.bm25Score(docs, "doc_id", "text", Seq("table", "spark"))
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastNestedLoopJoin"),
+      s"the stats row must broadcast, got:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("hashpartitioning(doc_id"),
+      s"bm25Score must not shuffle the corpus:\n$s")
+  }
+
+  test("quantilesByKey: one range exchange for ranking, spec joins broadcast") {
+    import graft.operators.Curation
+    val docs = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = Curation.quantilesByKey(docs, "source", "n_chars", Seq(0.5, 0.9))
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    // the ranked relation is checkpointed inside globalRank, so the
+    // returned plan must show only broadcast joins plucking lo/hi rows
+    // — a SortMergeJoin here would mean the corpus re-shuffles per
+    // quantile
+    assert(!s.contains("SortMergeJoin"),
+      s"quantile plucking must broadcast the tiny spec, not sort-merge:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast plucks, got:\n$s")
+    Dedup.releaseCaches()
+  }
 }

@@ -447,6 +447,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(w(1L) === "x\nx\nx")
   }
 
+  test("collocations: lift arithmetic, minCount guard, rank order") {
+    import spark.implicits._
+    // "x y" appears 3 times and x, y appear ONLY there (c=3 each) —
+    // a tight collocation; "a b" appears 4 times but a, b are
+    // everywhere (c=5 each) — loose
+    val df = Seq(
+      (1L, "x y a b a b"),
+      (2L, "x y a b a b"),
+      (3L, "x y b a")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(df, "text", minCount = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // bigram totals: doc1/2 have 5 bigrams each, doc3 has 3 -> N = 13
+    // lift(x,y) = 3*13/(3*3); lift(a,b) = 4*13/(5*5)
+    val byPair = got.map(t => (t._1, t._2) -> t).toMap
+    assert(byPair(("x", "y"))._4 === 3.0 * 13 / 9)
+    assert(byPair(("a", "b"))._3 === 4L)
+    assert(byPair(("a", "b"))._4 === 4.0 * 13 / 25)
+    assert(byPair(("x", "y"))._5 === 1L, "the tight pair must rank first")
+    // pairs under minCount never appear ("y a" occurs twice)
+    assert(!got.exists(t => t._1 == "y" && t._2 == "a"))
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("fingerprint is the 31-base modular fold of char codes") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     val fp = df.select(TextAnalysis.fingerprint(col("text"))).collect()(0).getLong(0)
