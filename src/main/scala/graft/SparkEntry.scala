@@ -420,11 +420,29 @@ object SparkEntry {
 
     // ── LLM-pipeline: near-dup, xxhash64 scale path (default mode) ──
     // Same banded-LSH shape with the Spark-only masked-xxhash64 base
-    // hash — the production default (no md5 at all). Not expressible in
-    // the oracle (engine-specific hash) → rows-only check.
+    // hash — the production default (no md5 at all). The hash family
+    // itself is not SQL-expressible, so the driver gate rides the
+    // hash-family-FREE invariant: docs with IDENTICAL distinct
+    // shingle sets get identical MinHash signatures whatever the base
+    // hash, every band collides, and banded LSH finds the pair with
+    // recall 1 (maxBucket is sized above the corpus, so no bucket is
+    // dropped). `sim` is the exact verification Jaccard — never an
+    // estimate — so sim = 1.0 selects exactly the set-equal pairs,
+    // which the oracle recomputes by direct set equality with no
+    // MinHash at all. A planted block of exact copies (+10^6 id
+    // offset, clear of ScaleUp's 10^7 replica stride) keeps the gate
+    // non-vacuous: a broken signature, banding, bucket join, or
+    // verification join all surface as missing/extra rows here. The
+    // full candidate+verify work still runs — the invariant is a
+    // post-filter, not a shortcut.
     "q_neardup_fast" -> ((s, dir) => {
-      Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 25 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.nearDuplicates(docs.unionByName(planted), "doc_id", "text",
         n = 3, h = 16, b = 8, minSim = 0.0, parity = false, maxBucket = 10000)
+        .filter(col("sim") === 1.0)
+        .select(col("id1"), col("id2"))
     }),
 
     // ── LLM-pipeline: 64-bit SimHash document fingerprints ──────────
@@ -2262,6 +2280,24 @@ object SparkEntry {
       s"""WITH $sqlMinhash,
          |$sqlCandJaccard
          |SELECT id1, id2, sim FROM simpairs""".stripMargin,
+
+    // Hash-family-free gate for the xxhash64 scale path: the TRUE
+    // set-equal pairs (guaranteed-recall slice of any MinHash LSH),
+    // computed by direct shingle-set equality — no MinHash chain.
+    "q_neardup_fast" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 3
+        |),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM u),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])) AS s
+        |  FROM toks WHERE len(toks) >= 3
+        |)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2
+        |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id""".stripMargin,
 
     "q_split_clean" ->
       s"""WITH $sqlMinhash,
