@@ -88,6 +88,44 @@ class PCASpec extends AnyFunSuite {
     assert(math.abs(cov12) < 1e-8) // projections decorrelated
   }
 
+  // Golden NumPy parity on the reference's other two datasets
+  // (PCA_Plot.ipynb runs the same projection on every clustering
+  // output). Literals computed with numpy.linalg.eigh on the same
+  // parse: center, cov = XᵀX/(n-1), eigenvalues descending, sign =
+  // largest-|entry| positive, project the first two components.
+  private def goldenCheck(path: String, n: Long, lam1: Double, lam2: Double,
+                          probes: Seq[(Long, Double, Double)]): Unit = {
+    val df = GeneIO.readGenes(spark, path)
+    val model = PCA.fit(df, "features", 2)
+    assert(math.abs(model.variances(0) - lam1) < 1e-9, s"λ1 ${model.variances(0)} vs $lam1")
+    assert(math.abs(model.variances(1) - lam2) < 1e-9, s"λ2 ${model.variances(1)} vs $lam2")
+    val out = PCA.project2D(df, "id", "features", "label")
+    assert(out.count() === n)
+    val byId = out.select("id", "pc1", "pc2").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    probes.foreach { case (id, pc1, pc2) =>
+      val (g1, g2) = byId(id)
+      assert(math.abs(g1 - pc1) < 1e-8, s"$path id=$id pc1 $g1 vs $pc1")
+      assert(math.abs(g2 - pc2) < 1e-8, s"$path id=$id pc2 $g2 vs $pc2")
+    }
+  }
+
+  test("golden: cho.txt 2-D projection matches NumPy (λs + probe rows)") {
+    goldenCheck("/root/reference/data/cho.txt", 386,
+      2.718256679993, 1.047730800571,
+      Seq((1L, -0.6459317519, -1.6419131297),
+        (2L, 1.0385699078, -0.7455621805),
+        (386L, -2.5661225706, -0.6022745932)))
+  }
+
+  test("golden: iyer.txt 2-D projection matches NumPy (λs + probe rows)") {
+    goldenCheck("/root/reference/data/iyer.txt", 517,
+      28.846225183588, 5.381117415000,
+      Seq((1L, -2.2045083959, -1.2024312610),
+        (2L, -1.5528722410, -0.7385077832),
+        (517L, 5.7511448430, -0.0982207670)))
+  }
+
   test("project2D: notebook pipeline shape — (id, pc1, pc2, cluster)") {
     val out = PCA.project2D(iris, "id", "features", "label")
     assert(out.columns.toSeq == Seq("id", "pc1", "pc2", "label"))
