@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterMetrics, Curation, Dedup, Events, Graph, KMeans, Multimodal, PCA, Sampling, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{ClusterMetrics, Curation, Dedup, Events, Graph, KMeans, Multimodal, PCA, Sampling, Similarity, TemporalJoins, TextAnalysis, Tokenizer}
 import graft.functions.VectorOps
 import graft.sources.GeneIO
 
@@ -1295,6 +1295,31 @@ object SparkEntry {
     "q_collocations" -> ((s, dir) => {
       TextAnalysis.collocations(Tables(s, dir, "documents"), "text",
         minCount = 5, topK = 100)
+    }),
+
+    // ── tokenizer: BPE pair statistics (round-1 merge candidates) ───
+    "q_bpe_pairs" -> ((s, dir) => {
+      Tokenizer.bpePairStats(Tables(s, dir, "documents"), "text", topK = 200)
+    }),
+
+    // ── tokenizer: BPE merge training, 6 rounds ─────────────────────
+    // One corpus shuffle (word counts); each round is vocab-sized with
+    // a single-row argmax collect — the driver loop the oracle replays
+    // as an unrolled CTE chain (list_reduce = the same greedy fold).
+    "q_bpe_merges" -> ((s, dir) => {
+      Tokenizer.bpeTrain(Tables(s, dir, "documents"), "text", merges = 6)
+    }),
+
+    // ── tokenizer: BPE corpus segmentation with the trained rules ───
+    // Train (vocab-sized loop) then encode (rowwise folds, zero
+    // shuffles); the merge list rides the plan as literals.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val merges = Tokenizer.bpeTrain(docs, "text", merges = 6).collect()
+        .sortBy(_.getLong(0))
+        .map(r => { val Array(l, rr) = r.getString(1).split(" ", 2); (l, rr) })
+        .toSeq
+      Tokenizer.applyBpe(docs, "doc_id", "text", merges)
     })
   )
 
@@ -1367,6 +1392,52 @@ object SparkEntry {
       |         array_to_string(sig[(bi-1)*2+1 : bi*2], ',') AS bucket
       |  FROM ${p}sig CROSS JOIN generate_series(1, 8) t(bi)
       |)""".stripMargin
+
+  /** The BPE greedy left-to-right merge fold as a DuckDB list_reduce —
+    * requires an in-scope relation alias `m` with columns l, r (the
+    * round's merge pair). Identical semantics to Tokenizer.mergeFold:
+    * append each symbol unless the accumulator's last symbol is l and
+    * the incoming one is r, in which case the tail rewrites to the
+    * merged symbol (so a just-merged symbol never re-merges within the
+    * round). */
+  private def sqlBpeFold(listExpr: String): String =
+    s"""list_reduce($listExpr, (acc, x) -> CASE
+       |      WHEN (acc = m.l OR right(acc, len(m.l)+1) = ' ' || m.l) AND x = m.r
+       |      THEN CASE WHEN acc = m.l THEN m.l || x
+       |                ELSE left(acc, len(acc)-len(m.l)-1) || ' ' || m.l || x END
+       |      ELSE acc || ' ' || x END)""".stripMargin
+
+  /** Unrolled BPE training chain over `documents` — the oracle twin of
+    * Tokenizer.bpeTrain: w0 = char-split word vocabulary; then per
+    * round r: p{r} weighted pair counts, m{r} the argmax merge (count
+    * desc, pair asc — the same pair-STRING tie-break as the engine),
+    * w{r} the fold-rewritten vocabulary. */
+  private def sqlBpeChain(rounds: Int): String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT array_to_string([w[i] for i in range(1, len(w)+1)], ' ') AS sym,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY 1
+        |)""".stripMargin
+    val per = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pr AS pair, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, unnest([ss[i] || ' ' || ss[i+1] for i in range(1, len(ss))]) AS pr
+         |        FROM (SELECT string_split(sym, ' ') AS ss, cnt FROM w${r - 1}))
+         |  GROUP BY pr
+         |),
+         |m$r AS (
+         |  SELECT pair, c, split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r
+         |  FROM p$r ORDER BY c DESC, pair LIMIT 1
+         |),
+         |w$r AS (
+         |  SELECT ${sqlBpeFold("string_split(w.sym, ' ')")} AS sym, w.cnt
+         |  FROM w${r - 1} w CROSS JOIN m$r m
+         |)""".stripMargin
+    }
+    (w0 +: per).mkString(",\n")
+  }
 
   private def sqlMinhashOn(src: String): String = sqlSigChainOn(src, "")
 
@@ -3515,6 +3586,42 @@ object SparkEntry {
         |SELECT w1, w2, c_ab, lift, rank FROM (
         |  SELECT w1, w2, c_ab, lift,
         |         CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS BIGINT) AS rank
-        |  FROM scored) WHERE rank <= 100""".stripMargin
+        |  FROM scored) WHERE rank <= 100""".stripMargin,
+
+    "q_bpe_pairs" ->
+      s"""WITH ${sqlBpeChain(0)},
+         |p1 AS (
+         |  SELECT pr AS pair, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, unnest([ss[i] || ' ' || ss[i+1] for i in range(1, len(ss))]) AS pr
+         |        FROM (SELECT string_split(sym, ' ') AS ss, cnt FROM w0))
+         |  GROUP BY pr
+         |)
+         |SELECT pair, pair_count, rank FROM (
+         |  SELECT pair, c AS pair_count,
+         |         CAST(row_number() OVER (ORDER BY c DESC, pair) AS BIGINT) AS rank
+         |  FROM p1) WHERE rank <= 200""".stripMargin,
+
+    "q_bpe_merges" ->
+      s"""WITH ${sqlBpeChain(6)}
+         |${(1 to 6).map(r =>
+             s"SELECT CAST($r AS BIGINT) AS step, pair, c AS pair_count FROM m$r")
+             .mkString("", "\nUNION ALL\n", "")}""".stripMargin,
+
+    "q_bpe_encode" ->
+      s"""WITH ${sqlBpeChain(6)},
+         |d0 AS (
+         |  SELECT doc_id, list_transform(list_filter(string_split(text, ' '), w -> len(w) > 0),
+         |           w -> array_to_string([w[i] for i in range(1, len(w)+1)], ' ')) AS syms
+         |  FROM documents
+         |),
+         |${(1 to 6).map(r =>
+             s"""d$r AS (
+                |  SELECT d.doc_id, list_transform(d.syms, s -> ${sqlBpeFold("string_split(s, ' ')")}) AS syms
+                |  FROM d${r - 1} d CROSS JOIN m$r m
+                |)""".stripMargin).mkString(",\n")}
+         |SELECT doc_id, bpe,
+         |       CASE WHEN bpe = '' THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(len(string_split(bpe, ' ')) AS BIGINT) END AS n_subwords
+         |FROM (SELECT doc_id, array_to_string(syms, ' ') AS bpe FROM d6)""".stripMargin
   )
 }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training — the vocabulary-induction
+  * half of a training-data pipeline (Sennrich et al., "Neural Machine
+  * Translation of Rare Words with Subword Units", ACL'16; no
+  * end-of-word marker, plain character alphabet).
+  *
+  * Scale shape: the corpus is touched ONCE — `wordCounts` is the only
+  * corpus-sized shuffle. Every BPE iteration after that runs on the
+  * word-frequency table (vocabulary-sized: ~10⁵–10⁸ rows at 100 TB,
+  * distributed — never collected), and the only driver-side data per
+  * round is the single argmax merge pair. Each round localCheckpoints
+  * the vocabulary so the plan does not grow with the merge count (the
+  * same lineage-cut idiom as the label-propagation loop).
+  *
+  * Symbols are space-joined inside a word's `sym` string (symbols
+  * never contain spaces — they are concatenations of characters of a
+  * whitespace-split word), and the merge step is a greedy
+  * left-to-right fold over the symbol list: `aggregate` over the
+  * split array, appending each symbol unless the accumulator's last
+  * symbol is `l` and the incoming symbol is `r`, in which case the
+  * tail rewrites to the merged symbol. Replaying the fold left to
+  * right reproduces exactly the reference BPE behavior on repeats
+  * ("a a b a b b" + (a,b) → "a ab ab b" — the merged symbol never
+  * re-merges within the same round). */
+object Tokenizer {
+
+  /** Word-frequency table: (w, cnt). The one corpus-sized shuffle of
+    * the whole training pass; empty tokens (consecutive spaces) are
+    * dropped. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** Character split as a space-joined symbol string: "low" → "l o w". */
+  private def charSeq(w: Column): Column =
+    array_join(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))), " ")
+
+  /** One greedy left-to-right merge pass of pair (l, r) over a symbol
+    * string. Pure plan arithmetic (aggregate HOF) — no UDF. */
+  private def mergeFold(sym: Column, l: String, r: String): Column = {
+    val ss = split(sym, " ")
+    val lLit = lit(l)
+    when(size(ss) <= 1, sym).otherwise(
+      aggregate(slice(ss, lit(2), size(ss) - 1), element_at(ss, 1), (acc, x) =>
+        when((acc === lLit || acc.endsWith(lit(" " + l))) && x === lit(r),
+          when(acc === lLit, lit(l + r))
+            .otherwise(concat(acc.substr(lit(1), length(acc) - lit(l.length + 1)),
+              lit(" " + l + r))))
+          .otherwise(concat(acc, lit(" "), x))))
+  }
+
+  /** Weighted adjacent-pair counts over a (sym, cnt) vocabulary:
+    * (pair = "l r", c = Σ cnt over occurrences). Vocabulary-sized in,
+    * alphabet²-bounded out. */
+  private def pairCounts(vocab: DataFrame): DataFrame = {
+    val ss = split(col("sym"), " ")
+    vocab.select(col("cnt"), explode(
+        when(size(ss) >= 2, transform(sequence(lit(1), size(ss) - 1),
+          i => concat(element_at(ss, i), lit(" "), element_at(ss, i + 1))))
+          .otherwise(typedlit(Seq.empty[String]))).as("pair"))
+      .groupBy("pair").agg(sum(col("cnt")).cast("long").as("c"))
+  }
+
+  /** First-iteration pair statistics — the "what would BPE merge
+    * next" profile, also the standard corpus bigram-of-characters
+    * report. Output: (pair, pair_count, rank 1..topK), ranked by
+    * count desc then pair asc (the pair STRING ordering is the
+    * tie-break contract — identical on both engines by construction).
+    * Global top-K is a bounded TakeOrdered, never a full sort. */
+  def bpePairStats(df: DataFrame, textCol: String, topK: Int = 200): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val vocab = wordCounts(df, textCol)
+      .select(charSeq(col("w")).as("sym"), col("cnt"))
+    pairCounts(vocab)
+      .orderBy(col("c").desc, col("pair")).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("pair"))).cast("long"))
+      .select(col("pair"), col("c").as("pair_count"), col("rank"))
+  }
+
+  /** Train `merges` BPE merge rules. Returns (step 1.., pair = "l r",
+    * pair_count) in merge order; stops early if no pair remains (all
+    * words fused to single symbols). Each round: one vocabulary-sized
+    * grouped sum, a 1-row argmax collect, one fold rewrite, one
+    * eager checkpoint. */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val spark = df.sparkSession
+    var vocab = wordCounts(df, textCol)
+      .select(charSeq(col("w")).as("sym"), col("cnt"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val best = pairCounts(vocab).orderBy(col("c").desc, col("pair")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val c = best(0).getLong(1)
+        val Array(l, r) = pair.split(" ", 2)
+        learned += ((step.toLong, pair, c))
+        vocab = vocab.withColumn("sym", mergeFold(col("sym"), l, r)).localCheckpoint()
+        step += 1
+      }
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    learned.toSeq.toDF("step", "pair", "pair_count")
+  }
+
+  /** Segment a corpus with an ordered merge list (from `bpeTrain`'s
+    * output — k-bounded driver data by construction). Rowwise: every
+    * word char-splits, then each merge rule folds over it in training
+    * order; the document's subwords join into one space-separated
+    * stream. Zero shuffles — scales as corpus/cores. Output:
+    * (idCol, bpe, n_subwords). */
+  def applyBpe(df: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    var syms: Column = transform(words, w => charSeq(w))
+    merges.foreach { case (l, r) =>
+      syms = transform(syms, s => mergeFold(s, l, r))
+    }
+    val bpe = array_join(syms, " ")
+    df.select(col(idCol), bpe.as("bpe"),
+      when(bpe === "", lit(0L))
+        .otherwise(size(split(bpe, " ")).cast("long")).as("n_subwords"))
+  }
+}

@@ -143,6 +143,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bm25Score must not shuffle the corpus:\n$s")
   }
 
+  test("applyBpe: rowwise — zero exchanges, scales as corpus/cores") {
+    import graft.operators.Tokenizer
+    val docs = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = Tokenizer.applyBpe(docs, "doc_id", "text", Seq(("e", "s"), ("t", "h")))
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"),
+      s"BPE segmentation must be a pure rowwise map pass:\n$s")
+  }
+
   test("quantilesByKey: one range exchange for ranking, spec joins broadcast") {
     import graft.operators.Curation
     val docs = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

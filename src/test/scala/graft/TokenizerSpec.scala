@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tokenizer
+
+/** BPE training/segmentation: hand-computed merge sequence on the
+  * classic subword corpus, greedy repeat-fold semantics, tie-break
+  * contract, and encode round-trip. */
+class TokenizerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "low low lower"),
+    (2L, "newest west")
+  ).toDF("doc_id", "text")
+
+  test("wordCounts drops empty tokens and counts occurrences") {
+    val wc = Tokenizer.wordCounts(Seq((1L, "a  b a")).toDF("id", "text"), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wc === Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("bpeTrain learns the hand-computed merge sequence (with ties)") {
+    // hand trace — pair counts are word-frequency weighted:
+    //  r1: {l o:3, o w:3, w e:3, e s:2, s t:2, ...} → tie at 3,
+    //      pair-string asc picks "l o"
+    //  r2: {lo w:3, w e:3, ...} → "lo w"
+    //  r3: {e s:2, s t:2, w e:2, ...} → "e s"
+    //  r4: {es t:2, w es:2, ...} → "es t"
+    //  r5: {w est:2, ...} → "w est"
+    //  r6: all remaining count 1 → asc picks "e r"
+    val got = Tokenizer.bpeTrain(corpus, "text", 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got === Seq(
+      (1L, "l o", 3L), (2L, "lo w", 3L), (3L, "e s", 2L),
+      (4L, "es t", 2L), (5L, "w est", 2L), (6L, "e r", 1L)))
+  }
+
+  test("mergeFold is greedy left-to-right: merged symbols don't re-merge") {
+    // "abab" + (a,b): a b a b → ab ab, never (ab)(ab)→abab in one round
+    val out = Tokenizer.applyBpe(Seq((1L, "abab")).toDF("id", "text"),
+      "id", "text", Seq(("a", "b"))).collect()(0)
+    assert(out.getString(1) === "ab ab")
+    assert(out.getLong(2) === 2L)
+  }
+
+  test("applyBpe applies merges in training order across words") {
+    val merges = Tokenizer.bpeTrain(corpus, "text", 6)
+      .collect().sortBy(_.getLong(0))
+      .map(r => { val Array(l, rr) = r.getString(1).split(" ", 2); (l, rr) }).toSeq
+    val got = Tokenizer.applyBpe(
+      Seq((1L, "low lower newest west"), (2L, ""), (3L, "  ")).toDF("id", "text"),
+      "id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // lower: l o→"lo w e r", lo w→"low e r", e r→"low er"
+    // newest: e s→"n e w es t", es t→"n e w est", w est→"n e west"
+    assert(got(1L) === ("low low er n e west west", 7L))
+    assert(got(2L) === ("", 0L)) // empty text → zero subwords
+    assert(got(3L) === ("", 0L)) // all-space text → zero subwords
+  }
+
+  test("bpePairStats ranks by count desc then pair asc") {
+    val got = Tokenizer.bpePairStats(corpus, "text", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(_._3) === Seq(
+      ("l o", 3L, 1L), ("o w", 3L, 2L), ("w e", 3L, 3L), ("e s", 2L, 4L)))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    // single-char words only → zero pairs from round 1
+    val got = Tokenizer.bpeTrain(Seq((1L, "a b a")).toDF("id", "text"), "text", 5)
+    assert(got.count() === 0L)
+  }
+}
