@@ -445,6 +445,16 @@ object SparkEntry {
         .select(col("id1"), col("id2"))
     }),
 
+    // ── LLM-pipeline: edit-distance-verified near-dup pairs ─────────
+    // Same md5-parity LSH candidates as q_neardup_pairs, verified by
+    // normalized Levenshtein instead of n-gram Jaccard — the
+    // character-churn policy. O(len²) work rides only the bucketed
+    // candidate pair table.
+    "q_edit_neardup" -> ((s, dir) => {
+      Dedup.editNearDup(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.8, parity = true)
+    }),
+
     // ── LLM-pipeline: 64-bit SimHash document fingerprints ──────────
     "q_simhash" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -1295,6 +1305,12 @@ object SparkEntry {
     "q_collocations" -> ((s, dir) => {
       TextAnalysis.collocations(Tables(s, dir, "documents"), "text",
         minCount = 5, topK = 100)
+    }),
+
+    // ── text: per-source distinctive terms (c-TF-IDF lift form) ─────
+    "q_distinct_terms" -> ((s, dir) => {
+      TextAnalysis.distinctiveTerms(Tables(s, dir, "documents"), "source", "text",
+        topK = 10)
     }),
 
     // ── tokenizer: BPE pair statistics (round-1 merge candidates) ───
@@ -2351,6 +2367,24 @@ object SparkEntry {
       s"""WITH $sqlMinhash,
          |$sqlCandJaccard
          |SELECT id1, id2, sim FROM simpairs""".stripMargin,
+
+    "q_edit_neardup" ->
+      s"""WITH $sqlMinhash,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |  FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |),
+         |scored AS (
+         |  SELECT c.id1, c.id2,
+         |         CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS lev,
+         |         CASE WHEN greatest(len(d1.text), len(d2.text)) = 0 THEN 1.0
+         |              ELSE 1.0 - CAST(levenshtein(d1.text, d2.text) AS DOUBLE)
+         |                         / CAST(greatest(len(d1.text), len(d2.text)) AS DOUBLE) END AS edit_sim
+         |  FROM cand c
+         |  JOIN documents d1 ON d1.doc_id = c.id1
+         |  JOIN documents d2 ON d2.doc_id = c.id2
+         |)
+         |SELECT id1, id2, lev, edit_sim FROM scored WHERE edit_sim >= 0.8""".stripMargin,
 
     // Hash-family-free gate for the xxhash64 scale path: the TRUE
     // set-equal pairs (guaranteed-recall slice of any MinHash LSH),
@@ -3587,6 +3621,31 @@ object SparkEntry {
         |  SELECT w1, w2, c_ab, lift,
         |         CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS BIGINT) AS rank
         |  FROM scored) WHERE rank <= 100""".stripMargin,
+
+    "q_distinct_terms" ->
+      """WITH toks AS (
+        |  SELECT source, w AS term
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0
+        |),
+        |tfg AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf_g
+        |        FROM toks GROUP BY 1, 2),
+        |tf AS (SELECT term, CAST(sum(tf_g) AS BIGINT) AS tf FROM tfg GROUP BY term),
+        |tg AS (SELECT source, CAST(sum(tf_g) AS BIGINT) AS tg FROM tfg GROUP BY 1),
+        |t AS (SELECT CAST(sum(tg) AS BIGINT) AS t FROM tg),
+        |scored AS (
+        |  SELECT g.source, g.term, g.tf_g,
+        |         (CAST(g.tf_g AS DOUBLE) * CAST(t.t - tg.tg AS DOUBLE))
+        |           / (CAST(tf.tf - g.tf_g + 1 AS DOUBLE) * CAST(tg.tg AS DOUBLE)) AS lift
+        |  FROM tfg g
+        |  JOIN tf ON tf.term = g.term
+        |  JOIN tg ON tg.source = g.source
+        |  CROSS JOIN t
+        |)
+        |SELECT source, term, tf_g, lift, rank FROM (
+        |  SELECT source, term, tf_g, lift,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY lift DESC, term) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
 
     "q_bpe_pairs" ->
       s"""WITH ${sqlBpeChain(0)},

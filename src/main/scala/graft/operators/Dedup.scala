@@ -237,6 +237,42 @@ object Dedup {
       .filter(col("sim") >= minSim)
   }
 
+  /** Near-duplicate pairs verified by EDIT DISTANCE rather than
+    * n-gram Jaccard — the complementary verification mode: Jaccard on
+    * shingle SETS is blind to how edits are distributed (a single
+    * moved paragraph and fifty scattered typos can score the same),
+    * while normalized Levenshtein measures the literal character
+    * churn, which is what template-diff and typo-class duplicate
+    * policies are written against. Candidates still come from the
+    * banded MinHash LSH (recall rides the surviving shingles);
+    * verification is `levenshtein` on the raw text:
+    * edit_sim = 1 − lev / max(len1, len2), pairs kept at ≥ minSim.
+    *
+    * Scale: Levenshtein is O(len₁·len₂) per CANDIDATE pair, so the
+    * quadratic cost rides the bucketed, skew-capped pair table —
+    * never n². The two text joins are plain hash joins on ids; text
+    * moves only for candidate rows. Output: (id1, id2, lev,
+    * edit_sim). */
+  def editNearDup(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, h: Int = 16, b: Int = 8,
+                  minSim: Double = 0.8, parity: Boolean = false,
+                  maxBucket: Int = Int.MaxValue): DataFrame = {
+    val cand = nearDuplicates(df, idCol, textCol, n, h, b,
+      minSim = 0.0, parity = parity, maxBucket = maxBucket)
+      .select("id1", "id2")
+    val t = df.select(col(idCol), col(textCol))
+    val lev = levenshtein(col("t1"), col("t2")).cast("long")
+    val maxLen = greatest(length(col("t1")), length(col("t2")))
+    cand
+      .join(t.select(col(idCol).as("id1"), col(textCol).as("t1")), "id1")
+      .join(t.select(col(idCol).as("id2"), col(textCol).as("t2")), "id2")
+      .select(col("id1"), col("id2"), lev.as("lev"),
+        when(maxLen === 0, lit(1.0))
+          .otherwise(lit(1.0) - lev.cast("double") / maxLen.cast("double"))
+          .as("edit_sim"))
+      .filter(col("edit_sim") >= minSim)
+  }
+
   /** Winnowing-based near-dup candidates: document pairs sharing at
     * least minShared winnow fingerprints. Detects LOCAL overlap (a
     * long shared passage) that set-level MinHash dilutes away on

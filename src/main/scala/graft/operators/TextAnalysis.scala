@@ -537,6 +537,47 @@ object TextAnalysis {
           .orderBy(col("lift").desc, col("w1"), col("w2"))).cast("long"))
   }
 
+  /** Per-group distinctive terms — the "what characterizes this
+    * source" report (c-TF-IDF in BERTopic's sense, kept in rational
+    * lift form for cross-engine bit-stability):
+    *   lift(w, g) = (tf_wg · (T − T_g)) / ((tf_w − tf_wg + 1) · T_g)
+    * i.e. the term's in-group rate over its rest-of-corpus rate, +1
+    * in the rest-count so terms exclusive to the group score finite
+    * (Laplace smoothing). All four factors are exact integer counts;
+    * the two products stay < 2^53 far past trillion-token corpora, so
+    * the double division is correctly rounded on any engine.
+    *
+    * Scale shape: ONE corpus-sized shuffle builds the (group, term)
+    * count table; everything after is vocabulary-sized — the term
+    * totals join on term, the ~|groups| group totals broadcast, and
+    * the per-group top-K is a window PARTITIONED by group (bounded
+    * partitions; never a global single-partition sort).
+    * Output: (groupCol, term, tf_g, lift, rank 1..topK) by lift desc,
+    * term asc per group — the group column keeps its input name
+    * (naming it "group" would hand a reserved keyword to downstream
+    * SQL). */
+  def distinctiveTerms(df: DataFrame, groupCol: String, textCol: String,
+                       topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = df.select(col(groupCol), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tfg = Dedup.pin(toks.groupBy(groupCol, "term")
+      .agg(count(lit(1)).cast("long").as("tf_g")))
+    val tf = tfg.groupBy("term").agg(sum(col("tf_g")).cast("long").as("__tf"))
+    val tg = tfg.groupBy(groupCol).agg(sum(col("tf_g")).cast("long").as("__tg"))
+    val t = tg.agg(sum(col("__tg")).cast("long").as("__t"))
+    val lift = (col("tf_g").cast("double") * (col("__t") - col("__tg")).cast("double")) /
+      ((col("__tf") - col("tf_g") + 1).cast("double") * col("__tg").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("lift").desc, col("term"))
+    tfg.join(tf, "term")
+      .join(broadcast(tg), groupCol)
+      .crossJoin(broadcast(t))
+      .select(col(groupCol), col("term"), col("tf_g"), lift.as("lift"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Corpus-frequency line removal — the C4-style boilerplate pass
     * ("drop any line that occurs in ≥ N documents": nav menus, cookie
     * banners, footers survive template extraction verbatim, so their

@@ -481,6 +481,25 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getLong(0) === 4L && r.getLong(1) === 3L && r.getDouble(2) === 0.75)
   }
 
+  test("editNearDup: Levenshtein verification on LSH candidates") {
+    // base vs base+" x": one word appended → tiny char churn, high
+    // edit_sim; unrelated text shares no shingles → never a candidate
+    val docs = Seq(
+      (1L, base), (2L, base + " x"), (3L, unrelated)
+    ).toDF("doc_id", "text")
+    try {
+      val got = Dedup.editNearDup(docs, "doc_id", "text", minSim = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.length === 1)
+      val (id1, id2, lev, sim) = got(0)
+      assert((id1, id2) === (1L, 2L))
+      assert(lev === 2L) // " x" appended = 2 insertions
+      assert(sim === 1.0 - 2.0 / (base.length + 2))
+      // tighter threshold rejects the same pair
+      assert(Dedup.editNearDup(docs, "doc_id", "text", minSim = 0.999).count() === 0L)
+    } finally Dedup.releaseCaches()
+  }
+
   test("sigAgreement: 1.0 on identical signatures, 0.0 on disjoint ones") {
     val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L)))
       .toDF("a", "b", "c")

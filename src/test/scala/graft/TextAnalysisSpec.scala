@@ -472,6 +472,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("distinctiveTerms: lift arithmetic, smoothing, per-group rank ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A", "x x y"),
+      (2L, "B", "y y z")
+    ).toDF("doc_id", "src", "text")
+    val got = TextAnalysis.distinctiveTerms(df, "src", "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    // T_A = T_B = 3, T = 6; tf: x=2, y=3, z=1
+    // lift(x,A) = 2*3/(1*3) = 2 (x exclusive to A → rest-count smooths to 1)
+    // lift(y,A) = 1*3/(3*3) = 1/3; lift(y,B) = 2*3/(2*3) = 1; lift(z,B) = 1*3/(1*3) = 1
+    assert(got(("A", "x")) === ((2L, 2.0, 1L)))
+    assert(got(("A", "y")) === ((1L, 1.0 / 3.0, 2L)))
+    // B ties at 1.0 → term asc: y before z
+    assert(got(("B", "y")) === ((2L, 1.0, 1L)))
+    assert(got(("B", "z")) === ((1L, 1.0, 2L)))
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("fingerprint is the 31-base modular fold of char codes") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     val fp = df.select(TextAnalysis.fingerprint(col("text"))).collect()(0).getLong(0)
