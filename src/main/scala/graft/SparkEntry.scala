@@ -1313,6 +1313,21 @@ object SparkEntry {
         topK = 10)
     }),
 
+    // ── text: per-doc lexical concentration (Simpson family) ────────
+    "q_diversity" -> ((s, dir) => {
+      TextAnalysis.lexicalDiversity(Tables(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // ── text: document-frequency stopword report ────────────────────
+    "q_stopwords" -> ((s, dir) => {
+      TextAnalysis.stopwordReport(Tables(s, dir, "documents"), "text", topK = 50)
+    }),
+
+    // ── text: Zipf rank-frequency head profile ──────────────────────
+    "q_zipf" -> ((s, dir) => {
+      TextAnalysis.zipfProfile(Tables(s, dir, "documents"), "text", topN = 100)
+    }),
+
     // ── tokenizer: BPE pair statistics (round-1 merge candidates) ───
     "q_bpe_pairs" -> ((s, dir) => {
       Tokenizer.bpePairStats(Tables(s, dir, "documents"), "text", topK = 200)
@@ -1951,6 +1966,65 @@ object SparkEntry {
         |SELECT term, cnt,
         |       CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS vocab_id
         |FROM counts""".stripMargin,
+
+    "q_diversity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0),
+        |c AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+        |      FROM toks GROUP BY doc_id, t),
+        |a AS (SELECT doc_id,
+        |             CAST(sum(c) AS BIGINT) AS n_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_types,
+        |             CAST(sum(c * c) AS BIGINT) AS sum_sq
+        |      FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       COALESCE(a.n_tokens, 0) AS n_tokens,
+        |       COALESCE(a.n_types, 0) AS n_types,
+        |       COALESCE(a.sum_sq, 0) AS sum_sq,
+        |       CASE WHEN a.n_tokens > 0
+        |            THEN CAST(a.n_tokens * a.n_tokens - a.sum_sq AS DOUBLE)
+        |                   / (a.n_tokens * a.n_tokens) END AS simpson,
+        |       CASE WHEN a.n_tokens > 0
+        |            THEN CAST(a.n_tokens * a.n_tokens AS DOUBLE) / a.sum_sq
+        |            END AS eff_types
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    "q_stopwords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0),
+        |bt AS (SELECT toks.t AS term,
+        |              CAST(count(DISTINCT toks.doc_id) AS BIGINT) AS df,
+        |              CAST(count(*) AS BIGINT) AS cnt
+        |       FROM toks GROUP BY toks.t),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT term, df, cnt,
+        |       CAST(df AS DOUBLE) / n.n AS df_frac,
+        |       CAST(row_number() OVER (ORDER BY df DESC, cnt DESC, term) AS BIGINT)
+        |         AS rank
+        |FROM bt CROSS JOIN n
+        |ORDER BY df DESC, cnt DESC, term LIMIT 50""".stripMargin,
+
+    "q_zipf" ->
+      """WITH toks AS (
+        |  SELECT t FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0),
+        |c AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY t),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c),
+        |h AS (SELECT term, cnt,
+        |             CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+        |             CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |             max(cnt) OVER () AS top
+        |      FROM c)
+        |SELECT rank, term, cnt,
+        |       CAST(cnt AS DOUBLE) / top AS frac_top,
+        |       CAST(cum AS DOUBLE) / tot.t AS cum_frac
+        |FROM h CROSS JOIN tot WHERE rank <= 100""".stripMargin,
 
     "q_chunks" ->
       """WITH t AS (

@@ -578,6 +578,139 @@ object TextAnalysis {
       .filter(col("rank") <= topK)
   }
 
+  /** Per-document lexical CONCENTRATION — the Simpson-index family
+    * that docStats' type-token ratio can't see: TTR treats "a doc
+    * where one word is half the tokens" and "a doc with a flat
+    * distribution" the same whenever type counts agree, while
+    * Σ c_w² (the repeat-collision count) separates them. Reported as
+    * exact integers plus two single-division rationals:
+    *   simpson    = 1 − Σc²/n²   (probability two random tokens differ)
+    *   eff_types  = n²/Σc²       (inverse Simpson — the "effective
+    *                              vocabulary size" under repetition)
+    * Both numerators/denominators are exact longs (n < 2^26 tokens
+    * per doc keeps n² < 2^52), so each output is ONE correctly-
+    * rounded IEEE division — bit-stable cross-engine.
+    *
+    * Scale shape: ZERO shuffle — the per-term counts come from a
+    * rowwise sorted run-length fold (array_sort + aggregate HOF, the
+    * repetitionStats posture), never an explode/groupBy; a 100 TB
+    * corpus scans once with no exchange. Empty tokens (double
+    * spaces) are excluded; a doc with no real tokens reports 0s and
+    * NULL ratios.
+    * Output: (idCol, n_tokens, n_types, sum_sq, simpson, eff_types). */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // fold state over the SORTED token array: (prev token, current
+    // run length, closed-run Σrun², closed-run type count)
+    val folded = aggregate(
+      col("__toks"),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("ssq"), lit(0L).as("types")),
+      (s, t) => {
+        val same = t === s.getField("prev")
+        val closedSq = when(!same, s.getField("run") * s.getField("run"))
+          .otherwise(lit(0L))
+        val closedTy = when(!same && s.getField("run") > 0, lit(1L)).otherwise(lit(0L))
+        struct(t.as("prev"),
+          when(same, s.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          (s.getField("ssq") + closedSq).as("ssq"),
+          (s.getField("types") + closedTy).as("types"))
+      },
+      s => struct(
+        (s.getField("ssq") + s.getField("run") * s.getField("run")).as("ssq"),
+        (s.getField("types") + when(s.getField("run") > 0, 1L).otherwise(0L))
+          .as("types")))
+    df.select(col(idCol),
+        array_sort(filter(tokens(col(textCol)), t => length(t) > 0)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"), folded.as("__f"))
+      .select(col(idCol), col("n_tokens"),
+        col("__f.types").cast("long").as("n_types"),
+        col("__f.ssq").cast("long").as("sum_sq"),
+        when(col("n_tokens") > 0,
+          (col("n_tokens") * col("n_tokens") - col("__f.ssq")).cast("double")
+            / (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"),
+        when(col("n_tokens") > 0,
+          (col("n_tokens") * col("n_tokens")).cast("double")
+            / col("__f.ssq").cast("double")).as("eff_types"))
+  }
+
+  /** Corpus stopword report — every term ranked by DOCUMENT
+    * frequency (buildVocab ranks by occurrence count; df is the
+    * signal stopword induction actually uses: "the" is in ~every
+    * doc, a topical term is frequent in few). Emits the top-K with
+    * both frequencies and the df fraction so a pipeline can cut at
+    * "df_frac ≥ 0.4" instead of a hand list.
+    *
+    * Scale shape: ONE corpus scan, no document id needed — each row
+    * explodes a concat of tagged structs: every token contributes
+    * (term, c=1, d=0) and every per-doc DISTINCT term (rowwise
+    * array_distinct, no shuffle) contributes (term, c=0, d=1); a
+    * single vocab-sized partial agg sums both tags, so df and cnt
+    * come out of one Exchange with no count_distinct double shuffle.
+    * (A doc-id + explode in one select would be WRONG:
+    * monotonically_increasing_id lands in the post-Generate Project
+    * and numbers exploded rows, not documents.) The corpus-sized doc
+    * total rides a 1-row broadcast crossJoin. The final ranking is
+    * TakeOrdered(topK) (distributed O(n log k)); only the ≤ topK
+    * survivors meet the trivial rank window.
+    * Output: (term, df, cnt, df_frac, rank 1..topK) by df desc,
+    * cnt desc, term asc. */
+  def stopwordReport(df: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val tagged = concat(
+      transform(toks, t => struct(t.as("term"), lit(1L).as("c"), lit(0L).as("d"))),
+      transform(array_distinct(toks),
+        t => struct(t.as("term"), lit(0L).as("c"), lit(1L).as("d"))))
+    val byTerm = df.select(explode(tagged).as("e"))
+      .groupBy(col("e.term").as("term")).agg(
+        sum(col("e.d")).cast("long").as("df"),
+        sum(col("e.c")).cast("long").as("cnt"))
+    val nDocs = df.agg(count(lit(1)).cast("long").as("__n"))
+    byTerm.crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"), col("cnt"),
+        (col("df").cast("double") / col("__n").cast("double")).as("df_frac"))
+      .orderBy(col("df").desc, col("cnt").desc, col("term")).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("cnt").desc, col("term"))).cast("long"))
+  }
+
+  /** Zipf rank-frequency profile of the corpus head: the top-N terms
+    * with their occurrence count, the count as a fraction of the #1
+    * term (Zipf's law predicts ≈ 1/rank), and the cumulative share
+    * of ALL corpus tokens — the "how much of the corpus is its top
+    * 100 words" curve that drives vocabulary-size and stopword-cut
+    * decisions. All ratios are single divisions of exact long counts
+    * (the cumulative sum is integer before its one division).
+    *
+    * Scale shape: one explode → vocab-sized term count (partial
+    * agg); the head is TakeOrdered(topN), so the rank / running-sum
+    * windows see only ≤ topN rows (trivial single partition by
+    * construction); the corpus token total rides a 1-row broadcast.
+    * Output: (rank 1..topN, term, cnt, frac_top, cum_frac) by cnt
+    * desc, term asc. */
+  def zipfProfile(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val counts = df.select(explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).cast("long").as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("long").as("__t"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term"))
+    counts.orderBy(col("cnt").desc, col("term")).limit(topN)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("__top", max(col("cnt")).over(ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("__cum", sum(col("cnt")).over(ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)).cast("long"))
+      .select(col("rank"), col("term"), col("cnt"),
+        (col("cnt").cast("double") / col("__top").cast("double")).as("frac_top"),
+        (col("__cum").cast("double") / col("__t").cast("double")).as("cum_frac"))
+  }
+
   /** Corpus-frequency line removal — the C4-style boilerplate pass
     * ("drop any line that occurs in ≥ N documents": nav menus, cookie
     * banners, footers survive template extraction verbatim, so their

@@ -492,6 +492,69 @@ class TextAnalysisSpec extends AnyFunSuite {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("lexicalDiversity: exact Simpson arithmetic, empty docs, filtered blanks") {
+    val df = Seq(
+      (1L, "a a a b"),   // n=4 types=2 ssq=9+1=10
+      (2L, "a  b"),      // double space → blank token filtered: n=2 types=2 ssq=2
+      (3L, "")           // no tokens at all
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) === 4L)
+    assert(got(1L).getLong(2) === 2L)
+    assert(got(1L).getLong(3) === 10L)
+    assert(got(1L).getDouble(4) === (16.0 - 10.0) / 16.0)
+    assert(got(1L).getDouble(5) === 16.0 / 10.0)
+    assert(got(2L).getLong(1) === 2L)
+    assert(got(2L).getLong(3) === 2L)
+    assert(got(2L).getDouble(4) === 0.5)
+    assert(got(3L).getLong(1) === 0L)
+    assert(got(3L).getLong(2) === 0L)
+    assert(got(3L).getLong(3) === 0L)
+    assert(got(3L).isNullAt(4) && got(3L).isNullAt(5))
+  }
+
+  test("lexicalDiversity matches a pure reference on 200 random docs") {
+    val rnd = new scala.util.Random(8L)
+    val docs = (1L to 200L).map { id =>
+      val n = rnd.nextInt(30)
+      id -> (0 until n).map(_ => ('a' + rnd.nextInt(5)).toChar.toString).mkString(" ")
+    }
+    val got = TextAnalysis.lexicalDiversity(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val cs = toks.groupBy(identity).map(_._2.length.toLong)
+      val ref = (toks.length.toLong, cs.size.toLong, cs.map(c => c * c).sum)
+      assert(got(id) === ref, s"doc $id: '$text'")
+    }
+  }
+
+  test("stopwordReport ranks by document frequency then count then term") {
+    val df = Seq((1L, "the cat the"), (2L, "the dog"), (3L, "dog dog"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stopwordReport(df, "text", topK = 10)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // dog: df=2 cnt=3; the: df=2 cnt=3 (tie → term asc); cat: df=1 cnt=1
+    assert(got.toSeq === Seq(
+      ("dog", 2L, 3L, 2.0 / 3.0, 1L),
+      ("the", 2L, 3L, 2.0 / 3.0, 2L),
+      ("cat", 1L, 1L, 1.0 / 3.0, 3L)))
+  }
+
+  test("zipfProfile: head ranks, frac-of-top, cumulative corpus share") {
+    val df = Seq((1L, "the cat the"), (2L, "the dog"), (3L, "dog dog"))
+      .toDF("doc_id", "text")
+    // counts: the=3 dog=3 cat=1, total=7
+    val got = TextAnalysis.zipfProfile(df, "text", topN = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (1L, "dog", 3L, 1.0, 3.0 / 7.0),
+      (2L, "the", 3L, 1.0, 6.0 / 7.0)))
+  }
+
   test("fingerprint is the 31-base modular fold of char codes") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     val fp = df.select(TextAnalysis.fingerprint(col("text"))).collect()(0).getLong(0)
