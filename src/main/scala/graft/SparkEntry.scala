@@ -455,6 +455,21 @@ object SparkEntry {
         n = 3, h = 16, b = 8, minSim = 0.8, parity = true)
     }),
 
+    // ── LLM-pipeline: EXACT Jaccard set-similarity self-join ────────
+    // Prefix-filtered AllPairs over trigram shingle sets (no false
+    // negatives — the exact complement to the MinHash path; the
+    // brute-force oracle catches any missed pair). Planted positives:
+    // every 20th doc re-enters with its first token dropped (shingle
+    // Jaccard stays high), so the gate can't pass vacuously.
+    "q_jaccard_join" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      Dedup.jaccardJoin(docs.unionByName(variants), "doc_id", "text",
+        minSim = 0.6, n = 3)
+    }),
+
     // ── LLM-pipeline: 64-bit SimHash document fingerprints ──────────
     "q_simhash" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -2459,6 +2474,35 @@ object SparkEntry {
          |  JOIN documents d2 ON d2.doc_id = c.id2
          |)
          |SELECT id1, id2, lev, edit_sim FROM scored WHERE edit_sim >= 0.8""".stripMargin,
+
+    // Brute-force twin of the prefix-filtered exact join: the engine
+    // prunes with rarity prefixes + length bounds; the oracle checks
+    // ALL pairs — any missed pair (false negative) hash-fails.
+    "q_jaccard_join" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
+        |  FROM documents WHERE doc_id % 20 = 0
+        |),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(t[i : i + 2], ' ')
+        |                        for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3
+        |),
+        |s2 AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n
+        |       FROM s WHERE len(sh) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        |         a.n AS la, b.n AS lb
+        |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id1, id2, CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
+        |FROM p WHERE inter > 0
+        |  AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.6""".stripMargin,
 
     // Hash-family-free gate for the xxhash64 scale path: the TRUE
     // set-equal pairs (guaranteed-recall slice of any MinHash LSH),

@@ -934,4 +934,102 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
+
+  /** EXACT set-similarity self-join with prefix filtering (the
+    * AllPairs/PPJoin candidate scheme, Bayardo et al. WWW'07): every
+    * pair of documents whose distinct-token Jaccard is ≥ `minSim`,
+    * with NO false negatives — the exact complement to the
+    * probabilistic MinHash path (`nearDuplicates` can miss a true
+    * pair; this cannot, at the cost of exact verification on every
+    * candidate).
+    *
+    * Candidate scheme: rank the vocabulary by rarity (document
+    * frequency asc, term asc — a TOTAL order) and keep, per document,
+    * only the p = |x| − ⌈minSim·|x|⌉ + 1 RAREST tokens (its "prefix").
+    * Any pair with J ≥ minSim has overlap ≥ ⌈minSim·|x|⌉ on both
+    * sides, so it must share a prefix token — joining on prefix
+    * tokens alone finds every qualifying pair. Because prefixes are
+    * the rarest tokens, bucket sizes are small by construction ("the"
+    * is in nobody's prefix); a `maxBucket` cap guards pathological
+    * skew like the LSH path (capped buckets CAN drop true pairs —
+    * leave it at the default for exactness, set it when a skewed
+    * corpus needs the bound). The ⌈·⌉ computations subtract a 1e-9
+    * slack before rounding so an FP product landing one ulp above an
+    * integer can only LENGTHEN a prefix / RELAX the length filter —
+    * never drop a boundary-exact pair (minSim·|x| for |x| < 10⁴ keeps
+    * the true product within 2⁻⁴² of the double, far under the
+    * slack).
+    *
+    * Scale shape: the corpus is scanned once into the cached
+    * (id, distinct-token set) relation; the vocabulary table is
+    * aggregate-sized and ranked by `Curation.globalRank` (range
+    * exchange — no single-partition window); candidates are per-rank
+    * bucket joins (Σ bucket², never n²) on ONLY the prefix tokens;
+    * the exact `array_intersect` verification runs on candidate pairs
+    * alone. Shuffles: term-rank join, per-doc regroup, bucket join,
+    * two verify joins — all on keys, none corpus-crossing.
+    * Intermediates are registered under the releaseCaches()
+    * lifecycle.
+    *
+    * The set domain is `n`-gram shingles for n > 1 (the near-dup
+    * dedup posture — shingle vocabularies are huge, so rarity
+    * prefixes genuinely prune) or distinct non-empty tokens for
+    * n = 1 (token-set similarity; note a tiny shared vocabulary
+    * degrades the filter to ~all-pairs — that is a property of the
+    * corpus, not the algorithm, and exactly why shingles are the
+    * default deployment choice). Docs with an empty set cannot reach
+    * `minSim > 0` with anything and are excluded up front (their
+    * Jaccard is 0/0).
+    * Output: (id1, id2, jaccard) with id1 < id2, one row per
+    * qualifying pair. */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                  minSim: Double, n: Int = 1,
+                  maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0,
+      s"minSim must be in (0, 1], got $minSim")
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val eps = 1e-9
+    val tokSet =
+      if (n <= 1) array_distinct(filter(split(col(textCol), " "),
+        t => length(t) > 0))
+      else shingles(col(textCol), n)
+    val sets = registerCache(
+      df.select(col(idCol), tokSet.as("__toks"))
+        .filter(size(col("__toks")) > 0)
+        .withColumn("__sz", size(col("__toks")).cast("long")))
+    // rarity order: document frequency asc, term asc (total order)
+    val vocab = sets.select(explode(col("__toks")).as("__term"))
+      .groupBy("__term").agg(count(lit(1)).as("__df"))
+    val ranked = Curation.globalRank(vocab, "__rank", 0,
+      col("__df"), col("__term")).select(col("__term"), col("__rank"))
+    // per-doc sorted rank arrays, sliced to the prefix
+    val prefixLen = (col("__sz")
+      - ceil(lit(minSim) * col("__sz") - lit(eps)) + 1L).cast("int")
+    val pfx = sets
+      .select(col(idCol), col("__sz"), explode(col("__toks")).as("__term"))
+      .join(ranked, "__term")
+      .groupBy(col(idCol))
+      .agg(first(col("__sz")).as("__sz"),
+        sort_array(collect_list(col("__rank"))).as("__ranks"))
+      .select(col(idCol), col("__sz"),
+        explode(slice(col("__ranks"), lit(1), prefixLen)).as("__rank"))
+    val pruned = dropOverPopulated(pfx, Seq("__rank"), maxBucket)
+    val a = pruned.select(col(idCol).as("id1"), col("__sz").as("__n1"), col("__rank"))
+    val b = pruned.select(col(idCol).as("id2"), col("__sz").as("__n2"), col("__rank"))
+    val cand = a.join(b, Seq("__rank"))
+      .filter(col("id1") < col("id2"))
+      // length prune: J ≥ τ forces min ≥ τ·max (slack-relaxed)
+      .filter(least(col("__n1"), col("__n2")).cast("double")
+        >= lit(minSim) * greatest(col("__n1"), col("__n2")).cast("double") - lit(eps))
+      .select("id1", "id2").distinct()
+    val s1 = sets.select(col(idCol).as("id1"), col("__toks").as("__t1"), col("__sz").as("__m1"))
+    val s2 = sets.select(col(idCol).as("id2"), col("__toks").as("__t2"), col("__sz").as("__m2"))
+    cand.join(s1, "id1").join(s2, "id2")
+      .withColumn("__inter",
+        size(array_intersect(col("__t1"), col("__t2"))).cast("long"))
+      .withColumn("jaccard", col("__inter").cast("double")
+        / (col("__m1") + col("__m2") - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= lit(minSim))
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
 }

@@ -500,6 +500,77 @@ class DedupSpec extends AnyFunSuite {
     } finally Dedup.releaseCaches()
   }
 
+  test("jaccardJoin matches all-pairs brute force on 120 random docs") {
+    // exactness contract: the prefix filter + length prune must find
+    // EVERY pair with J >= tau — compare against the O(n²) reference
+    val rnd = new scala.util.Random(42L)
+    val docs = (1L to 120L).map { id =>
+      val n = 3 + rnd.nextInt(12)
+      id -> (0 until n).map(_ => ('a' + rnd.nextInt(8)).toChar.toString).mkString(" ")
+    }
+    val expected = (for {
+      (i, ti) <- docs; (j, tj) <- docs if i < j
+      si = ti.split(" ").filter(_.nonEmpty).toSet
+      sj = tj.split(" ").filter(_.nonEmpty).toSet
+      if si.nonEmpty && sj.nonEmpty
+      inter = (si & sj).size
+      jac = inter.toDouble / (si.size + sj.size - inter)
+      if jac >= 0.6
+    } yield (i, j, jac)).toSet
+    try {
+      val got = Dedup.jaccardJoin(docs.toDF("doc_id", "text"), "doc_id", "text",
+          minSim = 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(expected.nonEmpty, "vacuous: random corpus produced no qualifying pairs")
+      assert(got === expected)
+    } finally Dedup.releaseCaches()
+  }
+
+  test("jaccardJoin n=3 matches shingle-set brute force on 80 random docs") {
+    val rnd = new scala.util.Random(7L)
+    val docs = (1L to 80L).map { id =>
+      val m = 5 + rnd.nextInt(10)
+      id -> (0 until m).map(_ => ('a' + rnd.nextInt(4)).toChar.toString).mkString(" ")
+    }
+    def sh(t: String): Set[String] =
+      t.split(" ", -1).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (i, ti) <- docs; (j, tj) <- docs if i < j
+      si = sh(ti); sj = sh(tj) if si.nonEmpty && sj.nonEmpty
+      inter = (si & sj).size
+      jac = inter.toDouble / (si.size + sj.size - inter)
+      if jac >= 0.5
+    } yield (i, j, jac)).toSet
+    try {
+      val got = Dedup.jaccardJoin(docs.toDF("doc_id", "text"), "doc_id", "text",
+          minSim = 0.5, n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(expected.nonEmpty, "vacuous: random corpus produced no qualifying pairs")
+      assert(got === expected)
+    } finally Dedup.releaseCaches()
+  }
+
+  test("jaccardJoin: exact boundary pair survives the FP-slack guards") {
+    // J = 3/5 = 0.6 exactly: sets {a,b,c,d} and {a,b,c,e} share 3 of 5
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    try {
+      val got = Dedup.jaccardJoin(docs, "doc_id", "text", minSim = 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq === Seq((1L, 2L, 0.6)))
+    } finally Dedup.releaseCaches()
+  }
+
+  test("jaccardJoin plan has no cartesian or nested-loop join") {
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    try {
+      val plan = Dedup.jaccardJoin(docs, "doc_id", "text", minSim = 0.5)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally Dedup.releaseCaches()
+  }
+
   test("sigAgreement: 1.0 on identical signatures, 0.0 on disjoint ones") {
     val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L)))
       .toDF("a", "b", "c")
