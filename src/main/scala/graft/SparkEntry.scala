@@ -939,6 +939,51 @@ object SparkEntry {
       Curation.sourceProfile(Tables(s, dir, "documents"), "source", "doc_id", "text")
     }),
 
+    // ── curation: referential-integrity orphan audit ────────────────
+    // Planted: every 100th order re-enters pointing at a customer key
+    // shifted past the dimension's range — those keys (and ONLY
+    // those) must surface with their row counts.
+    "q_fk_orphans" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val planted = orders.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 900000000L)
+      Curation.fkOrphans(orders.unionByName(planted), "o_custkey",
+        Tables(s, dir, "customer"), "c_custkey")
+    }),
+
+    // ── curation: per-column completeness profile ───────────────────
+    // Planted: one row with NULL text/source and one with blank text
+    // and NULL keys, so every counter in the report is exercised.
+    "q_null_profile" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val extra1 = s.range(1).select(lit(999000001L).as("doc_id"),
+        lit(null).cast("string").as("text"), lit("xx").as("lang"),
+        lit(null).cast("string").as("source"), lit(0L).as("n_chars"))
+      val extra2 = s.range(1).select(lit(null).cast("long").as("doc_id"),
+        lit("   ").as("text"), lit(null).cast("string").as("lang"),
+        lit("srcX").as("source"), lit(null).cast("long").as("n_chars"))
+      Curation.nullProfile(docs.unionByName(extra1).unionByName(extra2))
+    }),
+
+    // ── curation: Z-order (Morton) layout index ─────────────────────
+    // The multi-dim clustering key a data-skipping writer sorts by:
+    // exact integer scaling + bit interleave of (partkey, suppkey).
+    "q_zorder" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10L + col("l_linenumber")).as("row_id"),
+        col("l_partkey"), col("l_suppkey"))
+      Curation.zOrderIndex(li, "row_id", "l_partkey", "l_suppkey",
+        bits = 16, nBuckets = 64)
+    }),
+
+    // ── curation: per-source KMV distinct-count sketch ──────────────
+    // k=16 < the 25 distinct texts per source, so every sketch is
+    // full and the (k−1)/u_k estimator path (not the exact fallback)
+    // is what the gate replays.
+    "q_kmv_distinct" -> ((s, dir) => {
+      Curation.kmvDistinct(Tables(s, dir, "documents"), "source", "text", k = 16)
+    }),
+
     // ── curation: deterministic global shuffle + shard assignment ───
     "q_shard" -> ((s, dir) => {
       Curation.shuffleShards(Tables(s, dir, "documents"), "doc_id", nShards = 16)
@@ -1257,6 +1302,16 @@ object SparkEntry {
       val pairs = Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
         n = 3, h = 16, b = 8, minSim = 0.5, parity = true).select("id1", "id2")
       Graph.degreeHistogram(pairs, "id1", "id2")
+    }),
+
+    // ── graph: per-vertex triangles + clustering coefficient ────────
+    // Degree-oriented wedge counting (Suri & Vassilvitskii WWW'11)
+    // over the near-dup graph — near-dup clusters are clique-ish, so
+    // triangles exist and the gate is non-vacuous.
+    "q_triangles" -> ((s, dir) => {
+      val pairs = Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.5, parity = true).select("id1", "id2")
+      Graph.triangleCounts(pairs, "id1", "id2")
     }),
 
     // ── clustering metric: Davies-Bouldin index ─────────────────────
@@ -3081,6 +3136,77 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN mult m USING (source))
         |SELECT doc_id, source, CAST(unnest(range(r)) AS INTEGER) AS epoch FROM reps""".stripMargin,
 
+    "q_fk_orphans" ->
+      """WITH c AS (
+        |  SELECT o_custkey FROM orders
+        |  UNION ALL
+        |  SELECT o_custkey + 900000000 FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM c
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |GROUP BY o_custkey""".stripMargin,
+
+    "q_null_profile" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL SELECT 999000001, NULL, 'xx', NULL, 0
+        |  UNION ALL SELECT NULL, '   ', NULL, 'srcX', NULL
+        |),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+        |SELECT 'doc_id' AS col_name, t.n AS n_rows,
+        |       CAST((SELECT count(*) FROM base WHERE doc_id IS NULL) AS BIGINT) AS n_null,
+        |       CAST(NULL AS BIGINT) AS n_blank FROM t
+        |UNION ALL SELECT 'text', t.n,
+        |       CAST((SELECT count(*) FROM base WHERE text IS NULL) AS BIGINT),
+        |       CAST((SELECT count(*) FROM base WHERE trim(text) = '') AS BIGINT) FROM t
+        |UNION ALL SELECT 'lang', t.n,
+        |       CAST((SELECT count(*) FROM base WHERE lang IS NULL) AS BIGINT),
+        |       CAST((SELECT count(*) FROM base WHERE trim(lang) = '') AS BIGINT) FROM t
+        |UNION ALL SELECT 'source', t.n,
+        |       CAST((SELECT count(*) FROM base WHERE source IS NULL) AS BIGINT),
+        |       CAST((SELECT count(*) FROM base WHERE trim(source) = '') AS BIGINT) FROM t
+        |UNION ALL SELECT 'n_chars', t.n,
+        |       CAST((SELECT count(*) FROM base WHERE n_chars IS NULL) AS BIGINT),
+        |       CAST(NULL AS BIGINT) FROM t""".stripMargin,
+
+    "q_zorder" ->
+      """WITH li AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS row_id, l_partkey, l_suppkey
+        |  FROM lineitem),
+        |b AS (SELECT CAST(min(l_partkey) AS BIGINT) AS minx,
+        |             CAST(max(l_partkey) AS BIGINT) AS maxx,
+        |             CAST(min(l_suppkey) AS BIGINT) AS miny,
+        |             CAST(max(l_suppkey) AS BIGINT) AS maxy FROM li),
+        |s AS (SELECT row_id, l_partkey, l_suppkey,
+        |             ((l_partkey - minx) * 65535) // greatest(1, maxx - minx) AS xi,
+        |             ((l_suppkey - miny) * 65535) // greatest(1, maxy - miny) AS yi
+        |      FROM li CROSS JOIN b),
+        |z AS (SELECT row_id, l_partkey, l_suppkey,
+        |             CAST(list_sum(
+        |               [((xi >> i) & 1) * (1::BIGINT << (2*i))
+        |                + ((yi >> i) & 1) * (1::BIGINT << (2*i+1))
+        |                for i in range(0, 16)]) AS BIGINT) AS zvalue
+        |      FROM s)
+        |SELECT row_id, l_partkey, l_suppkey, zvalue,
+        |       zvalue >> 26 AS zbucket FROM z""".stripMargin,
+
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |         CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, hv,
+        |         row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS nd
+        |  FROM h)
+        |SELECT source,
+        |       CAST(least(nd, 16) AS BIGINT) AS n_sketch,
+        |       CASE WHEN nd >= 16 THEN hv END AS kth_min,
+        |       CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE)
+        |            ELSE CAST(64424509440 AS DOUBLE) / hv END AS est
+        |FROM r WHERE rn = least(nd, 16)""".stripMargin,
+
     "q_source_profile" ->
       """WITH d AS (
         |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
@@ -3494,6 +3620,40 @@ object SparkEntry {
     "q_components_star" ->
       s"""WITH $sqlNearDupReach
          |SELECT id, min(comp) AS component FROM reach GROUP BY id""".stripMargin,
+
+    "q_triangles" ->
+      s"""WITH $sqlNearDupEdges,
+         |undup AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |          FROM edges WHERE src <> dst),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+         |          SELECT a AS id FROM undup UNION ALL SELECT b FROM undup)
+         |        GROUP BY id),
+         |o AS (
+         |  SELECT CASE WHEN da.degree < db.degree
+         |                   OR (da.degree = db.degree AND u.a < u.b)
+         |              THEN u.a ELSE u.b END AS lo,
+         |         CASE WHEN da.degree < db.degree
+         |                   OR (da.degree = db.degree AND u.a < u.b)
+         |              THEN u.b ELSE u.a END AS hi
+         |  FROM undup u
+         |  JOIN deg da ON da.id = u.a
+         |  JOIN deg db ON db.id = u.b),
+         |w AS (SELECT o1.lo, o1.hi AS x, o2.hi AS y
+         |      FROM o o1 JOIN o o2 ON o1.lo = o2.lo AND o1.hi < o2.hi),
+         |closing AS (SELECT lo AS x, hi AS y FROM o
+         |            UNION ALL SELECT hi, lo FROM o),
+         |t AS (SELECT w.lo, w.x, w.y
+         |      FROM w JOIN closing c ON c.x = w.x AND c.y = w.y),
+         |pv AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+         |         SELECT lo AS id FROM t
+         |         UNION ALL SELECT x FROM t
+         |         UNION ALL SELECT y FROM t) GROUP BY id)
+         |SELECT d.id, d.degree,
+         |       COALESCE(pv.triangles, 0) AS triangles,
+         |       CASE WHEN d.degree >= 2
+         |            THEN CAST(COALESCE(pv.triangles, 0) * 2 AS DOUBLE)
+         |                 / (d.degree * (d.degree - 1)) END AS clustering
+         |FROM deg d LEFT JOIN pv USING (id)""".stripMargin,
 
     "q_pagerank" ->
       s"""WITH $sqlNearDupEdges,

@@ -854,4 +854,155 @@ object Curation {
       .agg(count(lit(1)).cast("long").as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Referential-integrity audit: child-side foreign-key values with
+    * no matching parent row, plus how many child rows carry each —
+    * the orphan report a pipeline runs after every ingest/join stage
+    * (a non-empty result means an upstream extractor or a snapshot
+    * race broke a relation). NULL child keys are excluded: a NULL FK
+    * references nothing, it doesn't dangle.
+    *
+    * Scale shape: the child aggregates to distinct (key, count)
+    * FIRST (map-side partial — the fact table never moves wider than
+    * its key column), then ONE anti-join against the parent's
+    * distinct keys; Catalyst broadcasts the parent side when it fits,
+    * and AQE picks a shuffled hash anti-join when it doesn't.
+    * Output: (childKey, n_rows) — one row per orphaned key value. */
+  def fkOrphans(child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .groupBy(col(childKey)).agg(count(lit(1)).cast("long").as("n_rows"))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+
+  /** Per-column completeness audit: for every column, the table's row
+    * count, its NULL count, and (string columns only — NULL
+    * otherwise) its blank count (trims to empty). The one-pass
+    * profile a pipeline asserts invariants against before training
+    * data ships ("text is never blank", "doc_id is never null").
+    *
+    * Scale shape: ONE scan, ONE single-row partial aggregate (2
+    * counters per column + a row count), then a rowwise explode of
+    * that single row into the per-column report — no shuffle wider
+    * than one row.
+    * Output: (col_name, n_rows, n_null, n_blank) in schema order. */
+  def nullProfile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val cs = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(cs.nonEmpty, "nullProfile needs at least one column")
+    val aggs = count(lit(1)).cast("long").as("__n") +: cs.flatMap { c =>
+      val isStr = df.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"__null_$c"),
+        (if (isStr) sum(when(trim(col(c)) === "", 1L).otherwise(0L)).cast("long")
+         else max(lit(null).cast("long"))).as(s"__blank_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cs.map(c => struct(
+          lit(c).as("col_name"),
+          col("__n").as("n_rows"),
+          col(s"__null_$c").as("n_null"),
+          col(s"__blank_$c").as("n_blank"))): _*)).as("r"))
+      .select(col("r.col_name"), col("r.n_rows"), col("r.n_null"), col("r.n_blank"))
+  }
+
+  /** Z-order (Morton) layout index over two integer dimensions — the
+    * multi-column clustering key behind data-skipping layouts: rows
+    * sorted/bucketed by `zvalue` put records close in BOTH dimensions
+    * into the same bucket, so a scan filtering on either column (or a
+    * box on both) prunes most buckets by min/max stats, where a
+    * single-column sort only prunes its leading column. `zbucket` is
+    * the bucket id a writer would use (`nBuckets` a power of two —
+    * the top log₂ bits of the z-value).
+    *
+    * Construction is exact integer arithmetic end to end: each
+    * dimension is affinely mapped onto [0, 2^bits) with INTEGER
+    * division ((x − min)·(2^bits − 1) DIV max(1, max − min) — no FP
+    * anywhere, so cross-engine bit-exact), then the two coordinates'
+    * bits interleave (x in even positions, y in odd). The per-
+    * dimension min/max is the only driver-side state — ONE 4-long
+    * collect, the K-Means-centroid posture; the mapping itself is a
+    * plan literal and the whole operator is a rowwise projection
+    * (zero shuffle — partitioning/sorting by the result is the
+    * caller's write step).
+    *
+    * Input magnitudes: (x − min) · (2^bits − 1) must stay under 2⁶³,
+    * i.e. value RANGE < 2^(63−bits) (~1.4e14 at the default 16 bits)
+    * — loudly guarded, not silently wrong. */
+  def zOrderIndex(df: DataFrame, idCol: String, xCol: String, yCol: String,
+                  bits: Int = 16, nBuckets: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two, got $nBuckets")
+    val bShift = 2 * bits - (31 - Integer.numberOfLeadingZeros(nBuckets))
+    require(bShift >= 0, s"nBuckets=$nBuckets needs more than 2*bits=$bits z-bits")
+    val bounds = df.agg(
+      min(col(xCol).cast("long")), max(col(xCol).cast("long")),
+      min(col(yCol).cast("long")), max(col(yCol).cast("long"))).collect()(0)
+    require(!bounds.anyNull, "zOrderIndex: empty input or all-NULL dimension")
+    val (minX, maxX, minY, maxY) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
+    val top = (1L << bits) - 1L
+    require(math.BigInt(maxX - minX) * top < math.BigInt(Long.MaxValue)
+        && math.BigInt(maxY - minY) * top < math.BigInt(Long.MaxValue),
+      s"zOrderIndex: dimension range too wide for bits=$bits")
+    // DIV = exact integer division (the product can exceed 2^53, so
+    // a double-rounding `/` + floor would be silently wrong)
+    def scaled(c: String, lo: Long, hi: Long) = expr(
+      s"((CAST(`$c` AS BIGINT) - ${lo}L) * ${top}L) DIV ${math.max(1L, hi - lo)}L")
+    val xi = scaled(xCol, minX, maxX)
+    val yi = scaled(yCol, minY, maxY)
+    val z = (0 until bits).map { i =>
+      (shiftright(xi, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(yi, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+    df.select(col(idCol), col(xCol), col(yCol), z.as("zvalue"))
+      .withColumn("zbucket", shiftright(col("zvalue"), bShift))
+  }
+
+  /** Per-key distinct-count estimate via a K-Minimum-Values sketch
+    * (Bar-Yossef et al., RANDOM'02): keep the k smallest 32-bit
+    * hashes of the value per key; if the key has fewer than k
+    * distinct hashes the count is EXACT (the sketch holds every
+    * value), otherwise est = (k−1) / u_k where u_k is the k-th
+    * minimum normalized to (0,1] — the classic unbiased KMV
+    * estimator. Unlike `approx_count_distinct`'s HLL (whose register
+    * layout is engine-private), every piece here is deterministic
+    * PUBLIC arithmetic — md5-derived hashes, an integer k-th minimum,
+    * and ONE final IEEE division of exact longs — so the sketch is
+    * bit-exact reproducible in any engine, mergeable across
+    * snapshots, and oracle-checkable.
+    *
+    * Scale shape: one hash-shuffle dedups (key, hash) pairs with
+    * map-side partial aggregation (the corpus never moves — only
+    * 8-byte hashes); then a BOUNDED k-element partial agg (TopKAgg —
+    * each map task ships ≤ k longs per key, so a billion-row key
+    * costs the same shuffle bytes as a thousand-row key). No windows,
+    * no per-key sorts, no unbounded collect_list.
+    *
+    * 32-bit-prefix collisions merge distinct values identically on
+    * every engine (deterministic, and a < n²/2³³ relative
+    * undercount — irrelevant at sketch precision).
+    * Output: (keyCol, n_sketch ≤ k, kth_min — NULL when the sketch
+    * isn't full, est). */
+  def kmvDistinct(df: DataFrame, keyCol: String, valueCol: String,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, s"sketch size must be >= 2, got $k")
+    val hv = conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val dedup = df.select(col(keyCol), hv.as("__hv")).distinct()
+    // k minima ride TopKAgg's (score desc, id asc) contract with
+    // score = −hash: the result array is ascending by hash
+    val sk = dedup.groupBy(col(keyCol))
+      .agg(graft.functions.TopKAgg.topK(k, col("__hv"),
+        -col("__hv").cast("double")).as("__mins"))
+    sk.select(col(keyCol),
+        size(col("__mins")).cast("long").as("n_sketch"),
+        when(size(col("__mins")) === k,
+          element_at(col("__mins"), k).getField("_1")).as("kth_min"))
+      .withColumn("est",
+        when(col("kth_min").isNull, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toLong * 4294967296L).cast("double")
+            / col("kth_min").cast("double")))
+  }
 }

@@ -145,4 +145,69 @@ object Graph {
       .groupBy("degree").agg(count(lit(1)).cast("long").as("n_nodes"))
       .orderBy("degree")
   }
+
+  /** Per-vertex triangle counts + local clustering coefficient over
+    * an undirected simple graph (self-loops dropped, edges
+    * deduplicated ignoring direction). cc(v) = 2·t(v) / (d(v)·(d(v)−1))
+    * — exact-integer inputs, ONE IEEE division, NULL for degree < 2.
+    *
+    * The n³ trap and its standard fix (Suri & Vassilvitskii, WWW'11
+    * — "degree orientation"): counting wedges at every vertex costs
+    * Σ d(v)², quadratic at a celebrity vertex. Orienting each edge
+    * from its (degree, id)-SMALLER endpoint to the larger makes every
+    * triangle countable exactly once at its lowest-degree corner, and
+    * bounds out-degrees by O(√m) — wedge work falls to Σ d_out(v)² =
+    * O(m^1.5) regardless of skew.
+    *
+    * Scale shape: degrees = one grouped count; orientation is a
+    * rowwise flip after a broadcast-free degree join; wedges = one
+    * self-join of the oriented adjacency on the pivot; closure = one
+    * hash join of wedges against oriented edges; per-vertex counts =
+    * one explode + grouped sum. No windows, no driver-side adjacency,
+    * no cartesian products. The oriented edge list is cached under
+    * Dedup's releaseCaches() lifecycle (it feeds the wedge self-join
+    * twice and the closure probe).
+    *
+    * Output: (id, degree, triangles, clustering) for every vertex of
+    * the simple graph. */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val base = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // canonical undirected edge set: (min, max), dedup
+    val undup = base.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val sym = undup.union(undup.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+    // orient a→b iff (deg(a), a) < (deg(b), b)
+    val withDeg = undup
+      .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
+    val oriented = Dedup.pin(withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("lo"), col("b").as("hi")))
+        .otherwise(struct(col("b").as("lo"), col("a").as("hi"))).as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi")))
+    // wedges at the pivot (lowest-(degree,id) corner of any triangle)
+    val wedges = oriented.select(col("lo"), col("hi").as("x"))
+      .join(oriented.select(col("lo"), col("hi").as("y")), Seq("lo"))
+      .filter(col("x") < col("y"))
+    // closure: the third side in EITHER orientation
+    val closing = oriented.select(col("lo").as("x"), col("hi").as("y"))
+      .union(oriented.select(col("hi").as("x"), col("lo").as("y")))
+    val tris = wedges.join(closing, Seq("x", "y"))
+      .select(col("lo"), col("x"), col("y"))
+    val perVertex = tris
+      .select(explode(array(col("lo"), col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).cast("long").as("triangles"))
+    deg.join(perVertex, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          (col("triangles") * 2L).cast("double")
+            / (col("degree") * (col("degree") - 1L)).cast("double")))
+  }
 }

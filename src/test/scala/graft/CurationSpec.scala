@@ -517,4 +517,97 @@ class CurationSpec extends AnyFunSuite {
     val d2 = Curation.snapshotDiff(o2, c2, "id", Seq("a", "b")).collect()
     assert(d2.length === 1 && d2(0).getString(1) === "changed")
   }
+
+  test("fkOrphans: orphaned keys with counts; NULLs and matched keys excluded") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Curation.fkOrphans(child, "fk", parent, "pk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(9L -> 3L))
+  }
+
+  test("nullProfile counts nulls and blanks per column in one pass") {
+    val df = Seq(
+      (Some(1L), Some("hello"), Some("a")),
+      (Some(2L), Some("   "), None),
+      (None, None, Some("")),
+      (Some(4L), Some(""), Some("b"))
+    ).toDF("id", "text", "tag")
+    val got = Curation.nullProfile(df)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got("id") === ((4L, 1L, -1L)))   // numeric: blank not applicable
+    assert(got("text") === ((4L, 1L, 2L)))  // "   " and "" are blank
+    assert(got("tag") === ((4L, 1L, 1L)))
+    // column subset selection
+    val sub = Curation.nullProfile(df, Seq("tag")).collect()
+    assert(sub.length === 1 && sub(0).getString(0) === "tag")
+  }
+
+  test("zOrderIndex: hand-checked bit interleave at bits=2") {
+    // min=0 max=3 in both dims → xi = x, yi = y exactly
+    val df = Seq((1L, 0L, 0L), (2L, 1L, 2L), (3L, 3L, 3L), (4L, 2L, 1L), (5L, 0L, 3L))
+      .toDF("id", "x", "y")
+    val got = Curation.zOrderIndex(df, "id", "x", "y", bits = 2, nBuckets = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // z = interleave(x even positions, y odd): (1,2)→1+8=9; (3,3)→5+10=15;
+    // (2,1)→4+2=6; (0,3)→0+2+8=10. bucket = z >> 2.
+    assert(got === Map(1L -> ((0L, 0L)), 2L -> ((9L, 2L)), 3L -> ((15L, 3L)),
+      4L -> ((6L, 1L)), 5L -> ((10L, 2L))))
+  }
+
+  test("zOrderIndex: an aligned box maps to a single bucket (data-skipping)") {
+    // 64×64 grid, bits=6 (identity scaling), 16 buckets (z >> 8):
+    // the 8×8 box at the origin has z < 64 → exactly one bucket,
+    // while a row-major layout would spread it across 8 stripes
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x * 64 + y, x, y))
+    val z = Curation.zOrderIndex(grid.toDF("id", "x", "y"), "id", "x", "y",
+      bits = 6, nBuckets = 16)
+    val boxBuckets = z.filter(col("x") < 8 && col("y") < 8)
+      .select("zbucket").distinct().collect().map(_.getLong(0))
+    assert(boxBuckets.toSeq === Seq(0L))
+    // all 16 buckets are used and equally sized (4096 / 16 = 256)
+    val sizes = z.groupBy("zbucket").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sizes.keySet === (0L until 16L).toSet)
+    assert(sizes.values.forall(_ === 256L))
+  }
+
+  test("zOrderIndex guards: range overflow and non-power-of-two buckets") {
+    val df = Seq((1L, 0L, 0L), (2L, Long.MaxValue / 2, 1L)).toDF("id", "x", "y")
+    intercept[IllegalArgumentException] {
+      Curation.zOrderIndex(df, "id", "x", "y", bits = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.zOrderIndex(df, "id", "x", "y", bits = 8, nBuckets = 5)
+    }
+  }
+
+  test("kmvDistinct: exact below k, estimator within bounds above k") {
+    // key "small" has 5 distinct values < k=8 → exact path
+    // key "big" has 500 distinct values → sketch path
+    val rows = (1 to 5).map(i => ("small", s"v$i")) ++
+      (1 to 500).map(i => ("big", s"value-$i")) ++
+      (1 to 50).map(i => ("big", s"value-$i")) // duplicates must not matter
+    val got = Curation.kmvDistinct(rows.toDF("k", "v"), "k", "v", k = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getDouble(3)))).toMap
+    val (smallN, smallKth, smallEst) = got("small")
+    assert(smallN === 5L && smallKth === -1L && smallEst === 5.0)
+    val (bigN, bigKth, bigEst) = got("big")
+    assert(bigN === 8L && bigKth > 0L)
+    // KMV with k=8 has ~38% stddev; deterministic hashes keep this stable
+    assert(bigEst > 150.0 && bigEst < 1500.0, s"est=$bigEst")
+  }
+
+  test("kmvDistinct is invariant to input partitioning") {
+    val rows = (1 to 300).map(i => ("k", s"doc-$i"))
+    val df = rows.toDF("k", "v")
+    val a = Curation.kmvDistinct(df.repartition(1), "k", "v", k = 16).collect()(0)
+    val b = Curation.kmvDistinct(df.repartition(13), "k", "v", k = 16).collect()(0)
+    assert(a.getLong(1) === b.getLong(1))
+    assert(a.getLong(2) === b.getLong(2))
+    assert(a.getDouble(3) === b.getDouble(3))
+  }
 }

@@ -126,4 +126,47 @@ class GraphSpec extends AnyFunSuite {
     assert(labels.forall(_._2 === 1L))
     Dedup.releaseCaches()
   }
+
+  test("triangleCounts: K4 minus an edge, duplicates and self-loops ignored") {
+    // K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3) and (1,2,4).
+    // Noise: a self-loop, a duplicate, and a reversed duplicate.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (2L, 1L), (1L, 2L), (3L, 3L)
+    ).toDF("src", "dst")
+    try {
+      val got = Graph.triangleCounts(edges)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+      assert(got(1L) === ((3L, 2L, 2.0 * 2 / (3 * 2))))
+      assert(got(2L) === ((3L, 2L, 2.0 * 2 / (3 * 2))))
+      assert(got(3L) === ((2L, 1L, 1.0)))
+      assert(got(4L) === ((2L, 1L, 1.0)))
+    } finally Dedup.releaseCaches()
+  }
+
+  test("triangleCounts matches brute force on a 40-node random graph") {
+    val rnd = new scala.util.Random(11L)
+    val edgeSet = (for (a <- 1L to 40L; b <- (a + 1) to 40L if rnd.nextDouble() < 0.15)
+      yield (a, b)).toSet
+    val expected = {
+      val adj = edgeSet.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val nodes = edgeSet.flatMap(e => Seq(e._1, e._2))
+      nodes.map { v =>
+        val nb = adj(v).toSeq
+        val t = (for (i <- nb.indices; j <- (i + 1) until nb.length
+          if edgeSet.contains((math.min(nb(i), nb(j)), math.max(nb(i), nb(j)))))
+          yield 1).size.toLong
+        v -> ((nb.length.toLong, t))
+      }.toMap
+    }
+    try {
+      val got = Graph.triangleCounts(edgeSet.toSeq.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(expected.values.map(_._2).sum > 0, "vacuous: no triangles in random graph")
+      assert(got === expected)
+    } finally Dedup.releaseCaches()
+  }
 }
