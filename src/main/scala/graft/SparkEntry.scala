@@ -1314,6 +1314,15 @@ object SparkEntry {
       Graph.triangleCounts(pairs, "id1", "id2")
     }),
 
+    // ── graph: 2-core of the near-dup graph (bounded peeling) ───────
+    // 3 peel rounds, matching the oracle's unroll; the graph's
+    // triangles guarantee a non-empty core.
+    "q_kcore" -> ((s, dir) => {
+      val pairs = Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.5, parity = true).select("id1", "id2")
+      Graph.kCore(pairs, "id1", "id2", k = 2, rounds = 3)
+    }),
+
     // ── clustering metric: Davies-Bouldin index ─────────────────────
     "q_davies_bouldin" -> ((s, dir) => {
       val cents = cents8(s, dir)
@@ -1326,6 +1335,18 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => {
       TextAnalysis.bm25Score(Tables(s, dir, "documents"), "doc_id", "text",
         terms = Seq("table", "spark", "value"))
+    }),
+
+    // ── retrieval: multi-query BM25 top-k search ────────────────────
+    // Three probe queries ranked corpus-wide in one pass; per-query
+    // top-10 via the bounded TopKAgg partial agg.
+    "q_search_topk" -> ((s, dir) => {
+      TextAnalysis.searchTopK(Tables(s, dir, "documents"), "doc_id", "text",
+        queries = Seq(
+          "q_joins" -> Seq("join", "hash", "merge"),
+          "q_scans" -> Seq("scan", "filter"),
+          "q_streams" -> Seq("stream", "window", "batch")),
+        k = 10)
     }),
 
     // ── LLM-pipeline: corpus-typicality n-gram score ────────────────
@@ -1381,6 +1402,19 @@ object SparkEntry {
     "q_distinct_terms" -> ((s, dir) => {
       TextAnalysis.distinctiveTerms(Tables(s, dir, "documents"), "source", "text",
         topK = 10)
+    }),
+
+    // ── text: Flesch readability profile ────────────────────────────
+    // Punctuation-free corpus → the sentence floor engages on every
+    // row (audited via the raw mark count); words/syllables vary, so
+    // the score is non-degenerate.
+    "q_readability" -> ((s, dir) => {
+      TextAnalysis.readability(Tables(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // ── events: per-user inter-arrival cadence profile ──────────────
+    "q_inter_arrival" -> ((s, dir) => {
+      Events.interArrivalStats(Tables(s, dir, "events"))
     }),
 
     // ── text: per-doc lexical concentration (Simpson family) ────────
@@ -2036,6 +2070,38 @@ object SparkEntry {
         |SELECT term, cnt,
         |       CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS vocab_id
         |FROM counts""".stripMargin,
+
+    "q_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len([x for x in string_split(text, ' ') if len(x) > 0])
+        |           AS BIGINT) AS n_words,
+        |         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |           AS n_sentence_marks,
+        |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |           AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentence_marks, n_syllables,
+        |       greatest(n_sentence_marks, 1) AS n_sentences,
+        |       CASE WHEN n_words > 0 THEN
+        |         206.835
+        |           - 1.015 * (CAST(n_words AS DOUBLE) / greatest(n_sentence_marks, 1))
+        |           - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) END AS flesch
+        |FROM t""".stripMargin,
+
+    "q_inter_arrival" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT user_id, ts_us,
+        |             ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id) AS gap_us
+        |      FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us,
+        |       CASE WHEN count(*) > 1
+        |            THEN CAST(max(ts_us) - min(ts_us) AS DOUBLE) / (count(*) - 1)
+        |            END AS mean_gap_us,
+        |       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        |FROM g GROUP BY user_id""".stripMargin,
 
     "q_diversity" ->
       """WITH toks AS (
@@ -3621,6 +3687,26 @@ object SparkEntry {
       s"""WITH $sqlNearDupReach
          |SELECT id, min(comp) AS component FROM reach GROUP BY id""".stripMargin,
 
+    "q_kcore" ->
+      s"""WITH $sqlNearDupEdges,
+         |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM edges WHERE src <> dst),
+         |s0 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         |d1 AS (SELECT a, count(*) AS c FROM s0 GROUP BY a),
+         |k1 AS (SELECT a FROM d1 WHERE c >= 2),
+         |s1 AS (SELECT s.a, s.b FROM s0 s
+         |       JOIN k1 x ON s.a = x.a JOIN k1 y ON s.b = y.a),
+         |d2 AS (SELECT a, count(*) AS c FROM s1 GROUP BY a),
+         |k2 AS (SELECT a FROM d2 WHERE c >= 2),
+         |s2 AS (SELECT s.a, s.b FROM s1 s
+         |       JOIN k2 x ON s.a = x.a JOIN k2 y ON s.b = y.a),
+         |d3 AS (SELECT a, count(*) AS c FROM s2 GROUP BY a),
+         |k3 AS (SELECT a FROM d3 WHERE c >= 2),
+         |s3 AS (SELECT s.a, s.b FROM s2 s
+         |       JOIN k3 x ON s.a = x.a JOIN k3 y ON s.b = y.a)
+         |SELECT a AS id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM s3 GROUP BY a""".stripMargin,
+
     "q_triangles" ->
       s"""WITH $sqlNearDupEdges,
          |undup AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -3727,6 +3813,44 @@ object SparkEntry {
 
     // op order mirrors bm25Score exactly: rational idf, k1=1.2,
     // b=0.75 (1-b = 0.25 and 0.75 are dyadic — exact doubles)
+    "q_search_topk" -> {
+      // mirrors searchTopK: allTerms order = first appearance across
+      // the three probe queries; per-query score = left-assoc sum
+      val terms = Seq("join", "hash", "merge", "scan", "filter",
+        "stream", "window", "batch")
+      def ts(i: Int): String =
+        s"""(CAST(n - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)
+           |      * ((CAST(tf$i AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+           |         / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE)
+           |            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+           |               * (CAST(dl AS DOUBLE) / avgdl))))""".stripMargin
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(",\n       ")
+      val dfCols = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+        .mkString(",\n       ")
+      def qs(is: Int*): String = is.map(ts).mkString("\n  + ")
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |      $tfCols FROM base),
+         |st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       $dfCols FROM t),
+         |sc AS (
+         |  SELECT doc_id, 'q_joins' AS query_id, ${qs(0, 1, 2)} AS score
+         |  FROM t CROSS JOIN st
+         |  UNION ALL
+         |  SELECT doc_id, 'q_scans', ${qs(3, 4)} FROM t CROSS JOIN st
+         |  UNION ALL
+         |  SELECT doc_id, 'q_streams', ${qs(5, 6, 7)} FROM t CROSS JOIN st),
+         |r AS (SELECT query_id, doc_id, score,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |               ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |      FROM sc WHERE score > 0)
+         |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 10""".stripMargin
+    },
+
     "q_bm25" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |t AS (

@@ -300,6 +300,40 @@ object Events {
       .groupBy("period").agg(count(lit(1)).as("n_active"))
   }
 
+  /** Per-user inter-arrival profile: event count, activity span, mean
+    * gap, and the largest silent gap — the cadence features behind
+    * churn/burst detection and bot filtering (a human's max gap is
+    * hours; a cron job's is its period, exactly).
+    *
+    * Exactness: all times are integer epoch-microseconds; the mean
+    * gap needs NO gap summation at all — consecutive gaps telescope,
+    * so mean = (last − first)/(n − 1), one IEEE division of exact
+    * longs (NULL for single-event users, as is max_gap_us). Only
+    * max_gap_us needs the per-user lag pass; ties on ts break by
+    * event_id (a TOTAL order, so the lag is deterministic).
+    *
+    * Scale shape: ONE window over the user key (the lagFeatures
+    * shuffle) feeding ONE grouped agg on the same key — AQE coalesces
+    * the second exchange away since the partitioning matches. No FP
+    * accumulation anywhere.
+    * Output: (user_id, n_events, span_us, mean_gap_us, max_gap_us). */
+  def interArrivalStats(df: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    df.select(col("user_id"), col("event_id"),
+        lfloorDiv(col("ts"), 1000L).as("ts_us"))
+      .withColumn("__gap", col("ts_us") - lag("ts_us", 1).over(byUser))
+      .groupBy("user_id").agg(
+        count(lit(1)).cast("long").as("n_events"),
+        min("ts_us").as("__first"), max("ts_us").as("__last"),
+        max("__gap").as("max_gap_us"))
+      .select(col("user_id"), col("n_events"),
+        (col("__last") - col("__first")).as("span_us"),
+        when(col("n_events") > 1L,
+          (col("__last") - col("__first")).cast("double")
+            / (col("n_events") - 1L).cast("double")).as("mean_gap_us"),
+        col("max_gap_us"))
+  }
+
   /** JSON props extraction + per-type aggregate: the semi-structured
     * column path (get_json_object stays in codegen). */
   def propsAgg(df: DataFrame): DataFrame =

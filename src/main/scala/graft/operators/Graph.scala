@@ -146,6 +146,61 @@ object Graph {
       .orderBy("degree")
   }
 
+  /** k-core extraction by iterative peeling (Seidman 1983; the
+    * Batagelj-Zaveršnik distributed formulation): repeatedly delete
+    * every vertex whose CURRENT degree is < k until none remains —
+    * the standard "dense sub-community" filter (a near-dup cluster's
+    * 2-core is its genuinely interlinked middle; degree alone
+    * over-keeps stars, components under-split).
+    *
+    * Bounded semantics for cross-engine replay: peel exactly `rounds`
+    * rounds (the oracle unrolls the same count); peeling is monotone
+    * — each round only removes vertices — so reaching the fixpoint
+    * early makes later rounds no-ops, and the early-exit below (via
+    * a 1-scalar surviving-vertex count per round, the K-Means-
+    * convergence posture) changes nothing. With rounds ≥ the peel
+    * depth the result IS the exact k-core.
+    *
+    * Scale shape: per round ONE grouped degree count + TWO semi-joins
+    * of the edge list against the survivor set — the connected-
+    * components shuffle pattern — with a localCheckpoint per round
+    * (the components lesson: round r's plan otherwise nests r join
+    * trees). No windows, no driver-side adjacency; the only collects
+    * are one scalar per round.
+    * Output: (id, core_degree) for every vertex still standing after
+    * `rounds` peels — degree measured within the surviving subgraph. */
+  def kCore(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+            k: Int = 2, rounds: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 50, s"rounds must be in [1, 50], got $rounds")
+    val base = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    var cur = base.union(base.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var prevCount = -1L
+    var r = 0
+    while (r < rounds && prevCount != 0L) {
+      val deg = cur.groupBy("a").agg(count(lit(1)).as("__d"))
+      val keep = deg.filter(col("__d") >= k).select("a")
+      val n = keep.count()
+      if (n == prevCount) {
+        r = rounds // fixpoint: survivors stable, further peels are no-ops
+      } else {
+        prevCount = n
+        cur = cur.join(keep, Seq("a"), "left_semi")
+          .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+          .select("a", "b")
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    cur.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).cast("long").as("core_degree"))
+  }
+
   /** Per-vertex triangle counts + local clustering coefficient over
     * an undirected simple graph (self-loops dropped, edges
     * deduplicated ignoring direction). cc(v) = 2·t(v) / (d(v)·(d(v)−1))

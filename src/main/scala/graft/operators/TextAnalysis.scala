@@ -430,6 +430,18 @@ object TextAnalysis {
                 logIdf: Boolean = false): DataFrame = {
     require(terms.nonEmpty, "bm25Score needs at least one query term")
     require(terms.distinct.length == terms.length, "duplicate query terms")
+    val (scored, termScore) = bm25Scored(df, idCol, textCol, terms, k1, b, logIdf)
+    scored.select(col(idCol), col("dl"),
+      terms.indices.map(termScore).reduceLeft(_ + _).as("bm25"))
+  }
+
+  /** Shared BM25 plumbing: the corpus with rowwise per-term tf
+    * columns + the broadcast (N, avgdl, df_i) stats row, and the
+    * per-term Okapi score builder. Two corpus scans, zero corpus
+    * shuffles — see bm25Score's docstring. */
+  private def bm25Scored(df: DataFrame, idCol: String, textCol: String,
+                         terms: Seq[String], k1: Double, b: Double,
+                         logIdf: Boolean): (DataFrame, Int => Column) = {
     val toks = tokens(col(textCol))
     def tfOf(t: String) = size(filter(toks, x => x === lit(t))).cast("long")
     val withTf = df.select(
@@ -444,7 +456,7 @@ object TextAnalysis {
       .select((col("__n") +: (col("__sumdl") / col("__n")).as("__avgdl") +:
         terms.indices.map(i => col(s"__df$i"))): _*)
     val scored = withTf.crossJoin(broadcast(stats))
-    val termScores = terms.indices.map { i =>
+    val termScore = (i: Int) => {
       val tf = col(s"__tf$i").cast("double")
       val dfT = col(s"__df$i")
       val idfRat = ((col("__n") - dfT).cast("double") + lit(0.5)) /
@@ -454,8 +466,59 @@ object TextAnalysis {
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("__avgdl"))))
       idf * tfn
     }
-    scored.select(col(idCol), col("dl"),
-      termScores.reduceLeft(_ + _).as("bm25"))
+    (scored, termScore)
+  }
+
+  /** Multi-query BM25 retrieval: the top-k documents for EACH query
+    * in a probe set — the "run the eval suite's queries against the
+    * corpus" retrieval step, where bm25Score ranks the corpus for one
+    * query. Queries ship as plan literals (an eval probe set is
+    * k-bounded — the winnowContamination posture), each document's
+    * per-query score is a rowwise left-to-right fold over that
+    * query's terms (deterministic FP order, oracle-mirrorable), and
+    * docs matching NO term (score 0 — every Okapi term contributes
+    * nothing at tf=0) are dropped before ranking.
+    *
+    * Scale shape: everything rowwise until the FINAL per-query top-k,
+    * which is the bounded TopKAgg partial agg — each map task ships
+    * ≤ k (doc, score) pairs per query, so the only shuffle is
+    * O(k · tasks · queries), independent of corpus size. No windows
+    * over the corpus, no posting-list join (the fixed probe set makes
+    * tf a rowwise scan — an inverted index only pays when queries
+    * outnumber corpus scans).
+    *
+    * Ties break to the lowest doc id (TopKAgg's contract = the
+    * oracle's ORDER BY score DESC, id). idCol must be integral (it
+    * rides TopKAgg's long id slot — same contract as topKCosine).
+    * Output: (query_id, rank 1..k, idCol, score). */
+  def searchTopK(df: DataFrame, idCol: String, textCol: String,
+                 queries: Seq[(String, Seq[String])], k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "searchTopK needs at least one query")
+    require(k >= 1, s"k must be >= 1, got $k")
+    queries.foreach { case (qid, ts) =>
+      require(ts.nonEmpty, s"query '$qid' has no terms")
+      require(ts.distinct.length == ts.length, s"query '$qid' has duplicate terms")
+    }
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate query ids")
+    val allTerms = queries.flatMap(_._2).distinct
+    val idx = allTerms.zipWithIndex.toMap
+    val (scored, termScore) = bm25Scored(df, idCol, textCol, allTerms, k1, b,
+      logIdf = false)
+    val perQuery = queries.map { case (qid, ts) =>
+      struct(lit(qid).as("query_id"),
+        ts.map(t => termScore(idx(t))).reduceLeft(_ + _).as("score"))
+    }
+    scored.select(col(idCol), explode(array(perQuery: _*)).as("q"))
+      .select(col(idCol), col("q.query_id").as("query_id"), col("q.score").as("score"))
+      .filter(col("score") > 0.0)
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(k, col(idCol).cast("long"),
+        col("score")).as("__hits"))
+      .select(col("query_id"), posexplode(col("__hits")).as(Seq("__pos", "__hit")))
+      .select(col("query_id"), (col("__pos") + 1L).cast("long").as("rank"),
+        col("__hit._1").as(idCol), col("__hit._2").as("score"))
   }
 
   /** Per-document mean corpus frequency of its n-grams — the count-
@@ -576,6 +639,37 @@ object TextAnalysis {
       .select(col(groupCol), col("term"), col("tf_g"), lift.as("lift"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
+  }
+
+  /** Flesch reading-ease profile: exact word / sentence-mark /
+    * syllable-proxy counts plus the classic 206.835 − 1.015·(W/S) −
+    * 84.6·(Sy/W) score — the readability gate of web-corpus quality
+    * filters. "Syllables" are vowel-group runs ([aeiouy]+, the
+    * standard cheap proxy); sentence count is floored at 1 (a
+    * fragment with no terminal punctuation is one utterance, and the
+    * floor keeps the score total), with the RAW mark count emitted
+    * beside it so the floor is auditable. The score is a fixed
+    * left-to-right expression over exact integers — three FP ops in
+    * deterministic order, bit-stable cross-engine; NULL for
+    * zero-word docs.
+    *
+    * Scale shape: pure rowwise regexp counting in whole-stage
+    * codegen — zero shuffles, zero joins.
+    * Output: (idCol, n_words, n_sentence_marks, n_syllables,
+    * n_sentences, flesch). */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = size(filter(tokens(col(textCol)), t => length(t) > 0)).cast("long")
+    df.select(col(idCol),
+        words.as("n_words"),
+        regexp_count(col(textCol), lit("[.!?]+")).cast("long").as("n_sentence_marks"),
+        regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long").as("n_syllables"))
+      .withColumn("n_sentences", greatest(col("n_sentence_marks"), lit(1L)))
+      .withColumn("flesch", when(col("n_words") > 0L,
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double")
+            / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double")
+            / col("n_words").cast("double"))))
   }
 
   /** Per-document lexical CONCENTRATION — the Simpson-index family

@@ -133,4 +133,47 @@ object CurationStream {
     docs.filter(
       size(array_intersect(WinnowMins.winnowMins(col(textCol), k, w), benchLit)) < minShared)
   }
+
+  final case class KmvSketchRow(key: String, n_sketch: Long,
+                                kth_min: Option[Long], est: Double)
+
+  /** Streaming twin of Curation.kmvDistinct: the per-key K-Minimum-
+    * Values distinct sketch maintained across micro-batches. This is
+    * the property HLL is usually chosen for — and KMV shares it: the
+    * sketch is a bounded MERGEABLE state (the k smallest distinct
+    * hashes), so ingest-time cardinality tracking needs O(k) longs
+    * per key, forever, regardless of stream length. Each batch folds
+    * its hashes into the state and re-emits the key's current
+    * (n_sketch, kth_min, est) — update-mode semantics.
+    *
+    * Exactness contract: after ANY prefix of batches, a key's
+    * emission is bit-identical to batch kmvDistinct over the rows
+    * seen so far — same md5-derived hash, same (k−1)·2³²/kth_min
+    * division (the spec pins this batch-twin equality). Merging is
+    * set-union of minima: arrival order cannot matter. */
+  def kmvDistinct(docs: DataFrame, keyCol: String, valueCol: String,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, s"sketch size must be >= 2, got $k")
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val strEnc = Encoders.STRING
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    implicit val outEnc = Encoders.product[KmvSketchRow]
+    docs
+      .select(col(keyCol).cast("string").as("k"),
+        conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
+          .cast("long").as("hv"))
+      .filter(col("hv").isNotNull)
+      .groupByKey((r: Row) => r.getString(0))(strEnc)
+      .mapGroupsWithState[Array[Long], KmvSketchRow](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Row], state: org.apache.spark.sql.streaming.GroupState[Array[Long]]) =>
+          val cur = state.getOption.getOrElse(Array.empty[Long])
+          val merged = (cur ++ rows.map(_.getLong(1))).distinct.sorted.take(k)
+          state.update(merged)
+          val n = merged.length
+          if (n < k) KmvSketchRow(key, n.toLong, None, n.toDouble)
+          else KmvSketchRow(key, n.toLong, Some(merged.last),
+            ((k - 1).toLong * 4294967296L).toDouble / merged.last.toDouble)
+      }.toDF()
+  }
 }

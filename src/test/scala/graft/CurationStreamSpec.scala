@@ -139,4 +139,38 @@ class CurationStreamSpec extends AnyFunSuite {
       CurationStream.dropContaminated(docs, "text", bench, "btext", maxBenchFps = 1)
     }
   }
+
+  test("kmvDistinct stream state equals the batch sketch over all rows seen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[KeyedDoc]
+    val q = CurationStream.kmvDistinct(source.toDF(), "src", "text", k = 8)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("update").start()
+    // key "big" crosses the k=8 boundary only after the second batch;
+    // key "small" stays exact; duplicate values must not inflate
+    val batch1 = (1 to 6).map(i => KeyedDoc(i.toLong, "big", s"v$i")) ++
+      Seq(KeyedDoc(100, "small", "s1"), KeyedDoc(101, "small", "s2"))
+    val batch2 = (4 to 30).map(i => KeyedDoc(200L + i, "big", s"v$i")) ++
+      Seq(KeyedDoc(300, "small", "s1")) // duplicate value
+    try {
+      source.addData(batch1); q.processAllAvailable()
+      source.addData(batch2); q.processAllAvailable()
+      // final state per key: n_sketch is monotone, then kth_min minimal
+      val rows = spark.table("kmv_out")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) Long.MaxValue else r.getLong(2), r.getDouble(3)))
+      val finalByKey = rows.groupBy(_._1).map { case (k, rs) =>
+        k -> rs.maxBy(r => (r._2, -r._3))
+      }
+      val expected = Curation.kmvDistinct(
+        (batch1 ++ batch2).toDF(), "src", "text", k = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) Long.MaxValue else r.getLong(2), r.getDouble(3)))
+        .map(r => r._1 -> r).toMap
+      assert(finalByKey === expected)
+      assert(expected("big")._2 === 8L) // sketch saturated → estimator path
+      assert(expected("small")._2 === 2L) // exact path, duplicate ignored
+    } finally q.stop()
+  }
 }

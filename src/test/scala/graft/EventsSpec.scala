@@ -161,6 +161,25 @@ class EventsSpec extends AnyFunSuite {
     assert(got(4L) === ((None, None, None, None)))          // other user untouched
   }
 
+  test("interArrivalStats: telescoping mean, max gap, single-event NULLs") {
+    val e = Seq(ev(1, 100, 1, "view", 1.0), ev(2, 160, 1, "click", 1.0),
+      ev(3, 200, 1, "buy", 1.0), ev(4, 500, 2, "view", 1.0))
+    val got = Events.interArrivalStats(df(e)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4))))).toMap
+    // user 1: gaps 60s, 40s → span 100s, mean 50s, max 60s
+    assert(got(1L) === ((3L, 100L * M, Some(50.0 * M), Some(60L * M))))
+    assert(got(2L) === ((1L, 0L, None, None)))
+  }
+
+  test("interArrivalStats breaks ts ties by event_id deterministically") {
+    // two events at the same instant: gap 0 then 10s — max is 10s
+    val e = Seq(ev(5, 100, 7, "a", 0), ev(6, 100, 7, "b", 0), ev(7, 110, 7, "c", 0))
+    val got = Events.interArrivalStats(df(e)).collect()(0)
+    assert(got.getLong(1) === 3L && got.getLong(2) === 10L * M)
+    assert(got.getLong(4) === 10L * M)
+  }
+
   test("a gap of exactly the threshold does NOT split (strict >)") {
     val e = Seq(ev(1, 0, 1, "a", 0), ev(2, 1800, 1, "a", 0))
     val got = Events.sessionize(df(e), 1800L * M).collect()

@@ -127,6 +127,30 @@ class GraphSpec extends AnyFunSuite {
     Dedup.releaseCaches()
   }
 
+  test("kCore peels a tail off a triangle; deep chains need their rounds") {
+    // triangle {1,2,3} + path 3-4-5: the 2-core is exactly the triangle,
+    // but vertex 4 only drops AFTER 5 does — two rounds needed
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2, rounds = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round is not enough: only 5 (degree 1) peels, 4 survives
+    val oneRound = Graph.kCore(edges, k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(oneRound === Set(1L, 2L, 3L, 4L))
+    // k=3: no vertex has 3 neighbors → empty core
+    assert(Graph.kCore(edges, k = 3, rounds = 10).count() === 0L)
+  }
+
+  test("kCore early-exits at the fixpoint with identical results") {
+    // clique K4: already its own 2-core — huge round budget is free
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF("src", "dst")
+    val got = Graph.kCore(k4, k = 2, rounds = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("triangleCounts: K4 minus an edge, duplicates and self-loops ignored") {
     // K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3) and (1,2,4).
     // Noise: a self-loop, a duplicate, and a reversed duplicate.

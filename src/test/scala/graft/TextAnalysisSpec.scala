@@ -555,6 +555,58 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, "the", 3L, 1.0, 6.0 / 7.0)))
   }
 
+  test("readability: exact counts, sentence floor, hand-checked Flesch") {
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),  // 6 words, 2 marks, 6 vowel groups
+      (2L, "no punctuation here"),        // floor engages: 1 sentence
+      (3L, "")                            // zero words → NULL score
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))).toMap
+    val f1 = 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)
+    assert(got(1L) === ((6L, 2L, 6L, 2L, f1)))
+    val f2 = 206.835 - 1.015 * (3.0 / 1.0) - 84.6 * (6.0 / 3.0)
+    assert(got(2L)._2 === 0L)
+    assert(got(2L)._4 === 1L) // floored
+    assert(got(2L)._5 === f2)
+    assert(got(3L)._1 === 0L && got(3L)._5.isNaN)
+  }
+
+  test("searchTopK: per-query ranking, zero-match docs dropped, k bound") {
+    val docs = Seq(
+      (1L, "join join hash table"),   // strong q_joins hit
+      (2L, "hash scan"),              // q_joins (hash) + q_scans (scan)
+      (3L, "the quick fox"),          // matches nothing
+      (4L, "scan scan scan filter")   // strong q_scans hit
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.searchTopK(docs, "doc_id", "text",
+      queries = Seq("q_joins" -> Seq("join", "hash"), "q_scans" -> Seq("scan", "filter")),
+      k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // q_joins: doc 1 (join×2 + hash) over doc 2 (hash only);
+    // q_scans: doc 4 over doc 2; doc 3 appears nowhere
+    assert(got === Set(
+      ("q_joins", 1L, 1L), ("q_joins", 2L, 2L),
+      ("q_scans", 1L, 4L), ("q_scans", 2L, 2L)))
+  }
+
+  test("searchTopK single query agrees with bm25Score ranking") {
+    val docs = Seq(
+      (1L, "spark table value spark"), (2L, "table value"),
+      (3L, "value"), (4L, "spark spark")
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "value")
+    val viaSearch = TextAnalysis.searchTopK(docs, "doc_id", "text",
+      queries = Seq("q" -> terms), k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    val viaScore = TextAnalysis.bm25Score(docs, "doc_id", "text", terms)
+      .filter(col("bm25") > 0).orderBy(col("bm25").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(viaSearch.toSeq === viaScore.toSeq)
+  }
+
   test("fingerprint is the 31-base modular fold of char codes") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     val fp = df.select(TextAnalysis.fingerprint(col("text"))).collect()(0).getLong(0)
