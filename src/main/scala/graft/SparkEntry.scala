@@ -1323,6 +1323,24 @@ object SparkEntry {
       Graph.kCore(pairs, "id1", "id2", k = 2, rounds = 3)
     }),
 
+    // ── graph: degree assortativity of the near-dup graph ───────────
+    "q_assortativity" -> ((s, dir) => {
+      val pairs = Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.5, parity = true).select("id1", "id2")
+      Graph.assortativity(pairs, "id1", "id2")
+    }),
+
+    // ── events: item co-occurrence (users who did A also did B) ─────
+    "q_cooccur" -> ((s, dir) => {
+      Events.coOccurrence(Tables(s, dir, "events"), "user_id", "event_type",
+        minUsers = 2)
+    }),
+
+    // ── events: first-order Markov transition profile ───────────────
+    "q_transitions" -> ((s, dir) => {
+      Events.eventTransitions(Tables(s, dir, "events"))
+    }),
+
     // ── clustering metric: Davies-Bouldin index ─────────────────────
     "q_davies_bouldin" -> ((s, dir) => {
       val cents = cents8(s, dir)
@@ -3686,6 +3704,53 @@ object SparkEntry {
     "q_components_star" ->
       s"""WITH $sqlNearDupReach
          |SELECT id, min(comp) AS component FROM reach GROUP BY id""".stripMargin,
+
+    "q_assortativity" ->
+      s"""WITH $sqlNearDupEdges,
+         |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |      FROM edges WHERE src <> dst),
+         |s AS (SELECT a, b FROM u UNION ALL SELECT b, a FROM u),
+         |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d FROM s GROUP BY a),
+         |j AS (SELECT x.d AS da, y.d AS db FROM s
+         |      JOIN deg x ON x.id = s.a JOIN deg y ON y.id = s.b),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+         |              CAST(sum(da * db) AS BIGINT) AS sxy,
+         |              CAST(sum(da) AS BIGINT) AS sx,
+         |              CAST(sum(db) AS BIGINT) AS sy,
+         |              CAST(sum(da * da) AS BIGINT) AS sxx,
+         |              CAST(sum(db * db) AS BIGINT) AS syy
+         |       FROM j)
+         |SELECT m2 // 2 AS m_edges,
+         |       CASE WHEN m2 > 0
+         |                 AND CAST(m2 * sxx - sx * sx AS DOUBLE) > 0
+         |                 AND CAST(m2 * syy - sy * sy AS DOUBLE) > 0
+         |            THEN CAST(m2 * sxy - sx * sy AS DOUBLE)
+         |                 / sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)
+         |                        * CAST(m2 * syy - sy * sy AS DOUBLE)) END AS r
+         |FROM ag""".stripMargin,
+
+    "q_cooccur" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u, event_type AS i FROM events),
+        |p AS (SELECT a.i AS item1, b.i AS item2
+        |      FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i)
+        |SELECT item1, item2, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY item1, item2 HAVING count(*) >= 2""".stripMargin,
+
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events),
+        |st AS (SELECT event_type,
+        |              lead(event_type) OVER (PARTITION BY user_id
+        |                ORDER BY ts_us, event_id) AS nxt
+        |       FROM e),
+        |pr AS (SELECT event_type AS from_type, nxt AS to_type,
+        |              CAST(count(*) AS BIGINT) AS n
+        |       FROM st WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM pr GROUP BY from_type)
+        |SELECT pr.from_type, pr.to_type, pr.n,
+        |       CAST(pr.n AS DOUBLE) / t.tot AS p
+        |FROM pr JOIN t USING (from_type)""".stripMargin,
 
     "q_kcore" ->
       s"""WITH $sqlNearDupEdges,

@@ -300,6 +300,63 @@ object Events {
       .groupBy("period").agg(count(lit(1)).as("n_active"))
   }
 
+  /** Item co-occurrence ("users who did A also did B"): pairs of
+    * items sharing at least minUsers distinct users — the basket /
+    * co-visitation signal behind related-content retrieval and
+    * behavioral clustering.
+    *
+    * Scale shape: rows reduce to DISTINCT (user, item) first
+    * (map-side partial dedup — multiplicity per user is noise for
+    * co-occurrence), then ONE self-join keyed on user. Work is
+    * Σ_u items_u² — the LSH-bucket shape, bounded by per-user
+    * catalog touch, never items²; a power user with a million items
+    * is the caller's cap concern (filter first), stated loudly here
+    * rather than silently sampled.
+    * Output: (item1 < item2, n_users ≥ minUsers). */
+  def coOccurrence(df: DataFrame, userCol: String, itemCol: String,
+                   minUsers: Int = 1): DataFrame = {
+    require(minUsers >= 1, s"minUsers must be >= 1, got $minUsers")
+    val ui = df.select(col(userCol).as("__u"), col(itemCol).as("__i")).distinct()
+    ui.select(col("__u"), col("__i").as("item1"))
+      .join(ui.select(col("__u"), col("__i").as("item2")), Seq("__u"))
+      .filter(col("item1") < col("item2"))
+      .groupBy("item1", "item2")
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .filter(col("n_users") >= minUsers)
+  }
+
+  /** First-order Markov transition profile of the event stream: for
+    * every (event_type → next event_type) step inside a user's
+    * timeline, the step count and the row-normalized transition
+    * probability — the behavioral fingerprint that funnels sample at
+    * fixed paths and this measures everywhere at once.
+    *
+    * Per-user ordering is (ts_us, event_id) — a TOTAL order, so the
+    * lead is deterministic; a user's last event has no successor and
+    * contributes nothing. p = n/total is ONE division of exact
+    * integer counts.
+    *
+    * Scale shape: one user-key window (the lagFeatures shuffle) →
+    * one grouped count on (from, to) → a type²-bounded join against
+    * per-from totals aggregated from the pair counts themselves (no
+    * second corpus pass).
+    * Output: (from_type, to_type, n, p). */
+  def eventTransitions(df: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val steps = df.select(col("user_id"), col("event_id"),
+        lfloorDiv(col("ts"), 1000L).as("ts_us"), col("event_type"))
+      .withColumn("__next", lead("event_type", 1).over(byUser))
+      .filter(col("__next").isNotNull)
+    val pairs = steps.groupBy(col("event_type").as("from_type"),
+        col("__next").as("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val totals = pairs.groupBy("from_type")
+      .agg(sum(col("n")).cast("long").as("__tot"))
+    pairs.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("__tot").cast("double")).as("p"))
+  }
+
   /** Per-user inter-arrival profile: event count, activity span, mean
     * gap, and the largest silent gap — the cadence features behind
     * churn/burst detection and bot filtering (a human's max gap is

@@ -146,6 +146,50 @@ object Graph {
       .orderBy("degree")
   }
 
+  /** Degree assortativity coefficient (Newman 2002, eq. 4): the
+    * Pearson correlation of the degrees at either end of an edge —
+    * positive for hub-to-hub graphs (social), negative for hub-to-
+    * leaf (near-dup stars, infrastructure). One scalar that says
+    * whether dense cores or star shapes dominate — the triage number
+    * read before choosing between kCore and components.
+    *
+    * Exactness: every sum (Σd_u·d_v, Σd_u, Σd_u² over the symmetric
+    * edge list) is an exact INTEGER — order-free distributed partial
+    * aggs, no FP until the single final Pearson expression (fixed
+    * operand order, engine-identical). NULL when the graph is
+    * degree-regular (zero variance — the coefficient is undefined).
+    *
+    * Scale shape: one grouped degree count, one join of edges
+    * against degrees per endpoint, ONE single-row aggregate. No
+    * windows, no collects.
+    * Output: one row (m_edges, r). */
+  def assortativity(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    val base = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val sym = base.union(base.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).cast("long").as("d"))
+    val agg = sym
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .agg(count(lit(1)).cast("long").as("m2"),
+        sum(col("da") * col("db")).cast("long").as("sxy"),
+        sum(col("da")).cast("long").as("sx"),
+        sum(col("db")).cast("long").as("sy"),
+        sum(col("da") * col("da")).cast("long").as("sxx"),
+        sum(col("db") * col("db")).cast("long").as("syy"))
+    val varX = (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varY = (col("m2") * col("syy") - col("sy") * col("sy")).cast("double")
+    agg.select(expr("m2 DIV 2").as("m_edges"),
+      when(col("m2") > 0L && varX > 0.0 && varY > 0.0,
+        (col("m2") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt(varX * varY)).as("r"))
+  }
+
   /** k-core extraction by iterative peeling (Seidman 1983; the
     * Batagelj-Zaveršnik distributed formulation): repeatedly delete
     * every vertex whose CURRENT degree is < k until none remains —

@@ -161,6 +161,29 @@ class EventsSpec extends AnyFunSuite {
     assert(got(4L) === ((None, None, None, None)))          // other user untouched
   }
 
+  test("coOccurrence: distinct users per pair, multiplicity ignored, threshold") {
+    val e = Seq(
+      ev(1, 10, 1, "a", 0), ev(2, 20, 1, "b", 0), ev(3, 30, 1, "b", 0), // dup a-b user 1
+      ev(4, 10, 2, "a", 0), ev(5, 20, 2, "b", 0), ev(6, 30, 2, "c", 0),
+      ev(7, 10, 3, "a", 0), ev(8, 20, 3, "c", 0))
+    val got = Events.coOccurrence(df(e), "user_id", "event_type", minUsers = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === Map(("a", "b") -> 2L, ("a", "c") -> 2L)) // b-c only user 2
+  }
+
+  test("eventTransitions: ordered steps, last event dropped, exact probabilities") {
+    val e = Seq(
+      ev(1, 10, 1, "view", 0), ev(2, 20, 1, "click", 0), ev(3, 30, 1, "view", 0),
+      ev(4, 10, 2, "view", 0), ev(5, 20, 2, "click", 0), ev(6, 30, 2, "buy", 0))
+    val got = Events.eventTransitions(df(e))
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // from view: ->click ×2 (p=1.0); from click: ->view ×1, ->buy ×1 (p=0.5 each)
+    assert(got === Map(
+      ("view", "click") -> ((2L, 1.0)),
+      ("click", "view") -> ((1L, 0.5)),
+      ("click", "buy") -> ((1L, 0.5))))
+  }
+
   test("interArrivalStats: telescoping mean, max gap, single-event NULLs") {
     val e = Seq(ev(1, 100, 1, "view", 1.0), ev(2, 160, 1, "click", 1.0),
       ev(3, 200, 1, "buy", 1.0), ev(4, 500, 2, "view", 1.0))

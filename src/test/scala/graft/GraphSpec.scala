@@ -127,6 +127,18 @@ class GraphSpec extends AnyFunSuite {
     Dedup.releaseCaches()
   }
 
+  test("assortativity: -1 on a star, NULL on a regular graph, edge count halved") {
+    // star K1,4: every edge joins degree 4 to degree 1 → r = -1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val rs = Graph.assortativity(star).collect()(0)
+    assert(rs.getLong(0) === 4L)
+    assert(math.abs(rs.getDouble(1) - (-1.0)) < 1e-12)
+    // triangle: degree-regular → zero variance → NULL
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val rt = Graph.assortativity(tri).collect()(0)
+    assert(rt.getLong(0) === 3L && rt.isNullAt(1))
+  }
+
   test("kCore peels a tail off a triangle; deep chains need their rounds") {
     // triangle {1,2,3} + path 3-4-5: the 2-core is exactly the triangle,
     // but vertex 4 only drops AFTER 5 does — two rounds needed
