@@ -1341,6 +1341,44 @@ object SparkEntry {
       Events.eventTransitions(Tables(s, dir, "events"))
     }),
 
+    // ── graph: common-neighbor link prediction on the near-dup graph ─
+    "q_link_pred" -> ((s, dir) => {
+      val pairs = Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, b = 8, minSim = 0.5, parity = true).select("id1", "id2")
+      Graph.commonNeighbors(pairs, "id1", "id2", minCommon = 1L)
+    }),
+
+    // ── events: trailing 7-day rolling activity per user ────────────
+    "q_rolling" -> ((s, dir) => {
+      Events.rollingDaily(Tables(s, dir, "events"), windowDays = 7)
+    }),
+
+    // ── events: dense daily grid with zero-filled silent days ───────
+    "q_gap_fill" -> ((s, dir) => {
+      Events.gapFillDaily(Tables(s, dir, "events"))
+    }),
+
+    // ── curation: k-anonymity audit on generalized quasi-identifiers ─
+    "q_kanon" -> ((s, dir) => {
+      val quasi = Tables(s, dir, "customer").select(
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      Curation.kAnonymityAudit(quasi,
+        Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5L)
+    }),
+
+    // ── curation: Bloom-prefiltered exact decontamination ───────────
+    // Probe set = every 23rd doc's text (a stand-in eval set); the
+    // bloom clears the definitely-clean slice without a join, the
+    // might-contain sliver pays the exact verification anti-join.
+    "q_bloom_decontam" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val probe = docs.filter(pmod(col("doc_id"), lit(23L)) === 0L).select(col("text"))
+      Curation.bloomDecontaminate(docs, "text", probe, "text",
+        expectedItems = 4096L, fpp = 0.01)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // ── clustering metric: Davies-Bouldin index ─────────────────────
     "q_davies_bouldin" -> ((s, dir) => {
       val cents = cents8(s, dir)
@@ -3751,6 +3789,57 @@ object SparkEntry {
         |SELECT pr.from_type, pr.to_type, pr.n,
         |       CAST(pr.n AS DOUBLE) / t.tot AS p
         |FROM pr JOIN t USING (from_type)""".stripMargin,
+
+    "q_link_pred" ->
+      s"""WITH $sqlNearDupEdges,
+         |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |      FROM edges WHERE src <> dst),
+         |s AS (SELECT a, b FROM u UNION ALL SELECT b, a FROM u),
+         |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d FROM s GROUP BY a),
+         |w AS (SELECT s1.b AS u2, s2.b AS v2, CAST(count(*) AS BIGINT) AS cn
+         |      FROM s s1 JOIN s s2 ON s1.a = s2.a AND s1.b < s2.b
+         |      GROUP BY 1, 2 HAVING count(*) >= 1),
+         |na AS (SELECT w.* FROM w LEFT JOIN u ON u.a = w.u2 AND u.b = w.v2
+         |       WHERE u.a IS NULL)
+         |SELECT na.u2 AS id1, na.v2 AS id2, na.cn,
+         |       CAST(na.cn AS DOUBLE) / (x.d + y.d - na.cn) AS jaccard
+         |FROM na JOIN deg x ON x.id = na.u2 JOIN deg y ON y.id = na.v2""".stripMargin,
+
+    "q_rolling" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+        |           FROM events),
+        |d AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM e GROUP BY 1, 2)
+        |SELECT user_id, day, n_events,
+        |       CAST(sum(n_events) OVER w AS BIGINT) AS roll_events,
+        |       CAST(count(*) OVER w AS BIGINT) AS roll_days,
+        |       CAST(sum(cents) OVER w AS BIGINT) / 100.0 AS roll_value
+        |FROM d
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |d AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM e GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d
+        |       GROUP BY user_id HAVING max(day) - min(day) < 3660),
+        |g AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM sp)
+        |SELECT g.user_id, g.day, coalesce(d.n_events, 0) AS n_events
+        |FROM g LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day""".stripMargin,
+
+    "q_kanon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |       CAST(count(*) AS BIGINT) AS class_size,
+        |       count(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_bloom_decontam" ->
+      """SELECT d.doc_id, d.source FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents p
+        |                  WHERE p.doc_id % 23 = 0 AND p.text = d.text)""".stripMargin,
 
     "q_kcore" ->
       s"""WITH $sqlNearDupEdges,

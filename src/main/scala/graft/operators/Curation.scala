@@ -1005,4 +1005,82 @@ object Curation {
           .otherwise(lit((k - 1).toLong * 4294967296L).cast("double")
             / col("kth_min").cast("double")))
   }
+
+  /** k-anonymity audit (Sweeney 2002): group rows by their quasi-
+    * identifier tuple and flag every equivalence class smaller than
+    * k — the release-safety check that runs BEFORE pseudonymize
+    * (hashing direct identifiers does nothing if a (nation, segment,
+    * balance-bucket) triple already pins a row to one person).
+    * Callers pre-project the quasi columns, generalizing as needed
+    * (bucket the continuous ones — an exact balance IS an
+    * identifier).
+    *
+    * Scale shape: ONE grouped count on the quasi tuple with map-side
+    * partial agg; output is one row per equivalence class, never per
+    * input row.
+    *
+    * Output: (quasi..., class_size, at_risk). */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
+  }
+
+  /** Bloom-prefiltered EXACT decontamination: drop every corpus row
+    * whose key appears in the probe set (benchmark prompts, eval
+    * answers), with the anti-join accelerated by a Bloom filter over
+    * the probe keys. Blooms have NO false negatives, so rows the
+    * filter clears are clean with certainty and skip the join
+    * entirely; only the might-contain sliver (true hits + the fpp
+    * tail) pays the exact verification anti-join that removes false
+    * positives. The result is bit-identical to a plain anti-join —
+    * the sketch buys the plan, not an approximation.
+    *
+    * Uses Spark's own BloomFilterAggregate / BloomFilterMightContain
+    * (the runtime-row-filtering kernels — codegen'd, xxhash64-keyed).
+    * The filter is built distributed (partial sketches OR-merge),
+    * then ships as ONE plan literal (~1.2 MB per million probe keys
+    * at 1% fpp) — the centroid-matrix posture. The corpus itself
+    * never shuffles: the clean slice is a pure filter, and the
+    * candidate slice entering the join is |hits| + fpp·|corpus|,
+    * which a broadcast join absorbs when the probe side is
+    * broadcast-sized. Probe sets too big to sketch-and-ship (≥ ~1e9
+    * keys) should use the partitioned exact path (ngramContamination)
+    * instead.
+    *
+    * NULL corpus keys are kept: SQL equality never matches NULL, so
+    * a plain anti-join keeps them too (xxhash64 hashes a NULL child
+    * to the seed, so such rows may enter the candidate slice — the
+    * verification join then keeps them, preserving exactness).
+    *
+    * Output: the corpus rows whose key is NOT in the probe set, full
+    * original schema. */
+  def bloomDecontaminate(corpus: DataFrame, corpusKeyCol: String,
+                         probe: DataFrame, probeKeyCol: String,
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.util.sketch.BloomFilter
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val bloomAgg = ColumnGlue.column(new BloomFilterAggregate(
+      ColumnGlue.resolvedExpression(xxhash64(col("__k"))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bytes = probe.select(col(probeKeyCol).as("__k"))
+      .agg(bloomAgg.as("__bf")).head().getAs[Array[Byte]](0)
+    if (bytes == null) return corpus // empty probe set: nothing to drop
+    val might = ColumnGlue.column(new BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      ColumnGlue.resolvedExpression(xxhash64(col(corpusKeyCol)))))
+    val clean = corpus.filter(!might)
+    val verified = corpus.filter(might)
+      .join(probe.select(col(probeKeyCol).as("__pk")).distinct(),
+        col(corpusKeyCol) === col("__pk"), "left_anti")
+    clean.unionByName(verified)
+  }
 }

@@ -399,4 +399,76 @@ object Events {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))
+
+  private val DayNanos = 86400L * 1000000000L
+
+  /** Trailing N-day rolling activity per user: for each ACTIVE
+    * (user, day), the event count that day plus the window count /
+    * active-day count / value sum over the trailing `windowDays`
+    * CALENDAR days — the standard "7-day trailing engagement"
+    * feature. A RANGE frame (not ROWS) makes the frame calendar-
+    * correct across gaps: a user silent for a week contributes a
+    * window covering only its own day.
+    *
+    * Exactness: days are exact integer epoch-day buckets (truncating
+    * division, mirroring the oracle's `//` — see bucketEpoch);
+    * window sums add exact longs (counts) and integer cents (the
+    * fixed-point value trick), so ordering inside the frame can't
+    * perturb anything; ONE final /100.0 per row.
+    *
+    * Scale shape: one grouped daily aggregate (map-side partial agg
+    * collapses the raw events), then ONE window over (user_id, day)
+    * — rows entering the window stage are user-days, not events, so
+    * the sort behind the window is over the already-collapsed
+    * series. No self-joins (the naive trailing-window phrasing is an
+    * O(days²) range self-join).
+    *
+    * Output: (user_id, day, n_events, roll_events, roll_days,
+    * roll_value) — active days only. */
+  def rollingDaily(df: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daily = df.groupBy(col("user_id"),
+        ldiv(col("ts"), DayNanos).as("day"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("__cents"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rangeBetween(-(windowDays - 1L), 0L)
+    daily.select(col("user_id"), col("day"), col("n_events"),
+      sum(col("n_events")).over(w).cast("long").as("roll_events"),
+      count(lit(1)).over(w).cast("long").as("roll_days"),
+      (sum(col("__cents")).over(w).cast("long") / 100.0).as("roll_value"))
+  }
+
+  /** Regularize each user's activity onto a dense daily grid:
+    * zero-fill every silent day between the user's first and last
+    * active day — the resample step before any fixed-step sequence
+    * model (lag matrices, burst detection, cadence autocorrelation)
+    * that treats "no events" as a real observation rather than a
+    * missing row.
+    *
+    * Users whose span reaches `maxSpanDays` are dropped (guarded,
+    * not exploded): one corrupt 1970-epoch row would otherwise
+    * manufacture a 20k-row sequence per user at scale. The oracle
+    * mirrors the same guard.
+    *
+    * Scale shape: daily collapse first (events → user-days), a
+    * per-user span aggregate, ONE bounded sequence-explode (≤
+    * maxSpanDays rows per user, arriving pre-partitioned by user),
+    * and a left join back to the daily counts on the SAME
+    * (user, day) key — AQE coalesces the aligned exchanges. Output
+    * is Σ spans rows, linear in users × span, never events².
+    *
+    * Output: (user_id, day, n_events) — dense per-user grid. */
+  def gapFillDaily(df: DataFrame, maxSpanDays: Int = 3660): DataFrame = {
+    val daily = df.groupBy(col("user_id"),
+        ldiv(col("ts"), DayNanos).as("day"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    val span = daily.groupBy("user_id")
+      .agg(min("day").as("__d0"), max("day").as("__d1"))
+      .filter(col("__d1") - col("__d0") < lit(maxSpanDays.toLong))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
 }

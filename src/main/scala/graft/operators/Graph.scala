@@ -309,4 +309,57 @@ object Graph {
           (col("triangles") * 2L).cast("double")
             / (col("degree") * (col("degree") - 1L)).cast("double")))
   }
+
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg,
+    * CIKM'03): for every NON-adjacent vertex pair (a < b) with at
+    * least `minCommon` shared neighbors, emit the shared-neighbor
+    * count and the neighborhood-Jaccard score cn / (d(a)+d(b)−cn) —
+    * the classic "these two documents aren't linked but sit in the
+    * same duplicate neighborhood" candidate generator (the missing
+    * edges a transitive-closure dedup would add, scored).
+    *
+    * Exactness: cn and both degrees are order-free integer counts;
+    * Jaccard is ONE IEEE division of exact longs, so every row
+    * hash-matches the SQL replay.
+    *
+    * Scale shape: wedges = one self-join of the symmetric adjacency
+    * on the center vertex z (cost Σ d(z)² — the wedge bound shared
+    * with triangleCounts; `maxDegree` drops celebrity centers, the
+    * standard mitigation since a hub's co-membership carries no
+    * signal); adjacency removal = one left-anti join against the
+    * canonical edge set; degree decoration = two hash joins. No
+    * windows, no collects, no cartesian products.
+    *
+    * Output: (id1, id2, cn, jaccard) with id1 < id2, non-adjacent,
+    * cn ≥ minCommon. */
+  def commonNeighbors(edges: DataFrame, srcCol: String = "src",
+                      dstCol: String = "dst", minCommon: Long = 1L,
+                      maxDegree: Long = Long.MaxValue): DataFrame = {
+    val base = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val undup = Dedup.pin(base)
+    val sym = undup.union(undup.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).cast("long").as("d"))
+    val centers =
+      if (maxDegree == Long.MaxValue) sym
+      else sym.join(deg.filter(col("d") <= maxDegree).select(col("id").as("a")), "a")
+    val wedges = centers.select(col("a").as("z"), col("b").as("u"))
+      .join(centers.select(col("a").as("z"), col("b").as("v")), Seq("z"))
+      .filter(col("u") < col("v"))
+    val cn = wedges.groupBy("u", "v")
+      .agg(count(lit(1)).cast("long").as("cn"))
+      .filter(col("cn") >= minCommon)
+    val nonAdj = cn.join(undup,
+      cn("u") === undup("a") && cn("v") === undup("b"), "left_anti")
+    nonAdj
+      .join(deg.select(col("id").as("u"), col("d").as("__du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("__dv")), "v")
+      .select(col("u").as("id1"), col("v").as("id2"), col("cn"),
+        (col("cn").cast("double")
+          / (col("__du") + col("__dv") - col("cn")).cast("double")).as("jaccard"))
+  }
 }
