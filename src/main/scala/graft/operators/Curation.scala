@@ -1067,6 +1067,17 @@ object Curation {
     import org.apache.spark.sql.types.BinaryType
     import org.apache.spark.util.sketch.BloomFilter
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    // xxhash64 is TYPE-sensitive (xxhash64(5: int) != xxhash64(5: long))
+    // while the verification join's implicit-cast equality would still
+    // match — mismatched key types could bloom-miss a truly
+    // contaminated row into the unverified clean branch. Refuse rather
+    // than silently break the "bit-identical to a plain anti-join"
+    // contract; callers cast one side explicitly.
+    require(corpus.schema(corpusKeyCol).dataType == probe.schema(probeKeyCol).dataType,
+      s"corpus.$corpusKeyCol (${corpus.schema(corpusKeyCol).dataType}) and " +
+        s"probe.$probeKeyCol (${probe.schema(probeKeyCol).dataType}) must have " +
+        "the same type — xxhash64 is type-sensitive, so a cross-type bloom " +
+        "probe can miss true contamination; cast one side first")
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
     val bloomAgg = ColumnGlue.column(new BloomFilterAggregate(
       ColumnGlue.resolvedExpression(xxhash64(col("__k"))),
@@ -1078,9 +1089,89 @@ object Curation {
       Literal(bytes, BinaryType),
       ColumnGlue.resolvedExpression(xxhash64(col(corpusKeyCol)))))
     val clean = corpus.filter(!might)
-    val verified = corpus.filter(might)
-      .join(probe.select(col(probeKeyCol).as("__pk")).distinct(),
-        col(corpusKeyCol) === col("__pk"), "left_anti")
+    // dataframe-qualified join refs: bare col("__pk") would be
+    // ambiguous (or resolve wrongly) if the corpus itself carries a
+    // __pk column
+    val candidates = corpus.filter(might)
+    val probeKeys = probe.select(col(probeKeyCol).as("__pk")).distinct()
+    val verified = candidates.join(probeKeys,
+      candidates(corpusKeyCol) === probeKeys("__pk"), "left_anti")
     clean.unionByName(verified)
+  }
+
+  /** Per-document n-gram NOVELTY: the fraction of a document's
+    * distinct token n-grams that appear in no other document — the
+    * "how much genuinely new text does this doc contribute" signal
+    * used to up-weight novel documents (the inverse of
+    * ngramContamination's overlap direction, self-corpus instead of
+    * corpus-vs-probe). 1.0 = all n-grams unique to this doc; 0.0 =
+    * everything it says, some other doc also says.
+    *
+    * Scale shape: distinct (doc, md5-gram) explode → gram doc-
+    * frequency (partial agg, gram-vocab-sized keys, 32-char hashed
+    * grams so shuffle width is constant) → join back on the gram →
+    * per-doc integer counts. The df table is aggregated BEFORE the
+    * join (vocab-sized build side). All counts exact longs; novelty
+    * is one division. Docs too short for any n-gram report 0 grams
+    * with NULL novelty. Output: (idCol, n_grams, n_novel, novelty). */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = Dedup.pin(df.select(col(idCol),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__g"))
+      .select(col(idCol), md5(col("__g")).as("__g")))
+    val gdf = grams.groupBy("__g").agg(count(lit(1)).cast("long").as("__df"))
+    val perDoc = grams.join(gdf, Seq("__g"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).cast("long").as("n_novel"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams").isNotNull,
+          col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+  }
+
+  /** Per-probe n-gram CONTAINMENT against a corpus: |probe's distinct
+    * n-grams present anywhere in the corpus| / |probe's distinct
+    * n-grams| — the eval-contamination SCORE (Lee et al. 2022 /
+    * GPT-3-appendix style): a probe at 1.0 is fully quoted by the
+    * corpus, 0.0 shares nothing. ngramContamination reports WHICH
+    * corpus docs share grams (pairwise); this reports HOW MUCH of
+    * each probe is covered (setwise — the decision number a
+    * "contaminated above τ → drop from eval" rule needs).
+    *
+    * Scale shape: corpus side reduces to DISTINCT md5 grams (vocab-
+    * sized, partial-agg'd before any join); probe side is a distinct
+    * (probe, gram) explode; ONE left-semi-shaped join (left + flag)
+    * on the 32-char gram hash, then per-probe integer counts. The
+    * corpus never joins at row granularity and probe rows are
+    * typically the small side. Probes too short for any n-gram
+    * report 0 grams with NULL containment.
+    * Output: (probeId, n_grams, n_matched, containment). */
+  def containmentScore(corpus: DataFrame, corpusText: String,
+                       probes: DataFrame, probeId: String, probeText: String,
+                       n: Int = 13): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val corpusGrams = corpus
+      .select(explode(array_distinct(Dedup.shingles(col(corpusText), n))).as("__g"))
+      .select(md5(col("__g")).as("__g")).distinct()
+      .withColumn("__hit", lit(1L))
+    val probeGrams = probes.select(col(probeId).as("probe_id"),
+      explode(array_distinct(Dedup.shingles(col(probeText), n))).as("__g"))
+      .select(col("probe_id"), md5(col("__g")).as("__g"))
+    val perProbe = probeGrams.join(corpusGrams, Seq("__g"), "left")
+      .groupBy(col("probe_id")).agg(
+        count(lit(1)).cast("long").as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).cast("long").as("n_matched"))
+    probes.select(col(probeId).as("probe_id")).join(perProbe, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        when(col("n_grams").isNotNull,
+          col("n_matched").cast("double") / col("n_grams").cast("double"))
+          .as("containment"))
   }
 }

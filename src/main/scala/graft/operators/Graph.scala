@@ -72,9 +72,13 @@ object Graph {
           contribs.groupBy("id").agg(
             graft.functions.VectorOps.foldSum(array_sort(collect_list(col("c")))).as("s"))
         else contribs.groupBy("id").agg(sum(col("c")).as("s"))
+      // per-round eager checkpoint (the labelPropagation/kCore
+      // lesson): ranks' lineage otherwise nests one join tree per
+      // round, and iters may legitimately be 50
       ranks = degs.select(col("id")).join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(tele) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .localCheckpoint(eager = true)
     }
     ranks.join(degs, Seq("id"))
   }

@@ -163,4 +163,28 @@ object Sampling {
       .distinct()
     assignment.join(doomed, Seq(idCol), "left_anti")
   }
+
+  /** Group-safe k-fold cross-validation assignment: fold =
+    * ⌊md5-unit(group) · k⌋ (clamped to k−1 at the unit-interval top
+    * edge), so every row sharing the group key — and therefore every
+    * near-duplicate, if the key is a dedup cluster or domain — lands
+    * in the same fold, and holding out fold i is leakage-safe by the
+    * same argument as groupSplit. Folds are the nested generalization
+    * of a single split: equal hash measure each, deterministic,
+    * repartition-stable, and STABLE UNDER k-refinement in the
+    * md5-unit sense (the same group keeps the same unit point; only
+    * the bucket edges move). Null keys hash as one sentinel group.
+    *
+    * Scale shape: rowwise codegen'd expression, zero shuffles, zero
+    * driver state — identical posture to trainTestSplit.
+    * Output: input columns + fold (long in [0, k)). */
+  def kFoldGroups(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(!df.columns.contains("fold"),
+      "input already has a 'fold' column — silently replacing an existing " +
+        "assignment would defeat the contamination-safety contract")
+    val key = coalesce(col(groupCol).cast("string"), lit("\u0000" + "group-null"))
+    df.withColumn("fold",
+      least(floor(unitFromMd5(key) * k), lit(k - 1L)).cast("long"))
+  }
 }

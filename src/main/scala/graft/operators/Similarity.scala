@@ -392,4 +392,32 @@ object Similarity {
       .select(col("probe_id"), col("p._1").as("vec_id"),
         (col("r0") + 1).cast("int").as("rank"), (-col("p._2")).as("adist"))
   }
+
+  /** Recall@k of an approximate ANN result against the exact result —
+    * the eval harness every index deserves before it ships: feed both
+    * relations (same (probe, hit-id) shape, e.g. ivfTopK vs
+    * topKCosine, pqTopK vs topKCosine) and get per-probe overlap.
+    * Recall is |approx ∩ exact| / |exact| — denominator from the
+    * EXACT side, so an approximate index that returns fewer than k
+    * hits (pruned cells) is penalized, not excused.
+    *
+    * Scale shape: both inputs are probe-bounded (≤ probes·k rows) —
+    * one inner join on (probe, id) + one per-probe count, trivially
+    * small next to the searches that produced them. All counts exact
+    * longs; recall is one division.
+    * Output: (probeCol, n_exact, n_hit, recall). */
+  def annRecall(approx: DataFrame, exact: DataFrame,
+                probeCol: String = "probe_id",
+                idCol: String = "vec_id"): DataFrame = {
+    val a = approx.select(col(probeCol), col(idCol))
+    val e = exact.select(col(probeCol), col(idCol))
+    val hits = a.join(e, Seq(probeCol, idCol))
+      .groupBy(col(probeCol)).agg(count(lit(1)).cast("long").as("n_hit"))
+    e.groupBy(col(probeCol)).agg(count(lit(1)).cast("long").as("n_exact"))
+      .join(hits, Seq(probeCol), "left")
+      .select(col(probeCol), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+  }
 }

