@@ -1615,6 +1615,78 @@ object SparkEntry {
         .map(r => { val Array(l, rr) = r.getString(1).split(" ", 2); (l, rr) })
         .toSeq
       Tokenizer.applyBpe(docs, "doc_id", "text", merges)
+    }),
+
+    // ── tokenizer: per-source compression report of the trained BPE ─
+    // THE tokenizer acceptance metric: chars-per-subword by source —
+    // a tokenizer trained on one domain under-compresses the others.
+    // Train replays in the timed region (6 vocab-sized rounds), then
+    // one zero-shuffle rowwise encode + a key-cardinality agg.
+    "q_bpe_compression" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val merges = Tokenizer.bpeTrain(docs, "text", merges = 6).collect()
+        .sortBy(_.getLong(0))
+        .map(r => { val Array(l, rr) = r.getString(1).split(" ", 2); (l, rr) })
+        .toSeq
+      Tokenizer.bpeCompression(docs, "text", "source", merges)
+    }),
+
+    // ── LLM-pipeline: bigram-LM quality scoring (perplexity filter) ─
+    // CCNet-style: train add-1 bigram statistics on the 3/4 reference
+    // slice, score the held-out quarter by mean inverse conditional
+    // probability (the rational perplexity proxy — ln's last ulp is
+    // engine-dependent, IEEE division is not; see bigramLmScore).
+    // Model = two vocab-sized count tables, never a corpus shuffle.
+    "q_lm_score" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      TextAnalysis.bigramLmScore(docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"), col("mean_inv_p"))
+    }),
+
+    // ── LLM-pipeline: per-doc keyword extraction (rational-idf tfidf) ─
+    "q_keywords" -> ((s, dir) => {
+      TextAnalysis.keywords(Tables(s, dir, "documents"), "doc_id", "text", k = 5)
+    }),
+
+    // ── LLM-pipeline: group-safe k-fold cross-validation folds ──────
+    // Folds keyed on source: every doc of a source shares a fold, so
+    // holding out fold i never evals against same-source boilerplate.
+    "q_kfold" -> ((s, dir) => {
+      Sampling.kFoldGroups(Tables(s, dir, "documents"), "source", k = 5)
+        .select(col("doc_id"), col("source"), col("fold"))
+    }),
+
+    // ── LLM-pipeline: per-doc n-gram novelty (3-token grams) ────────
+    // "How much genuinely new text does this doc contribute" — the
+    // up-weighting signal dual to contamination's overlap direction.
+    "q_novelty" -> ((s, dir) => {
+      Curation.ngramNovelty(Tables(s, dir, "documents"), "doc_id", "text", n = 3)
+    }),
+
+    // ── LLM-pipeline: eval-contamination containment score ──────────
+    // Lee-et-al-style setwise coverage: what fraction of each probe
+    // doc's distinct 13-token grams the corpus contains anywhere —
+    // the decision number for a "drop evals above τ" rule, where
+    // ngramContamination reports the pairwise WHO.
+    "q_containment" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Curation.containmentScore(docs.filter(col("doc_id") % 10 =!= 0), "text",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 13)
+    }),
+
+    // ── LLM-pipeline: ANN recall@k eval (IVF vs exact cosine) ───────
+    // The index-quality harness: per-probe overlap of the nprobe=2
+    // IVF result against brute-force cosine, denominator from the
+    // exact side. Both inputs are probe-bounded relations.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.orderBy("vec_id").limit(5)
+      Similarity.annRecall(
+        Similarity.ivfTopK(emb, "vec_id", "embedding",
+          probes, "vec_id", "embedding", cents8(s, dir), nprobe = 2, k = 10),
+        Similarity.topKCosine(emb, "vec_id", "embedding",
+          probes, "vec_id", "embedding", k = 10))
     })
   )
 
@@ -4358,6 +4430,157 @@ object SparkEntry {
          |SELECT doc_id, bpe,
          |       CASE WHEN bpe = '' THEN CAST(0 AS BIGINT)
          |            ELSE CAST(len(string_split(bpe, ' ')) AS BIGINT) END AS n_subwords
-         |FROM (SELECT doc_id, array_to_string(syms, ' ') AS bpe FROM d6)""".stripMargin
+         |FROM (SELECT doc_id, array_to_string(syms, ' ') AS bpe FROM d6)""".stripMargin,
+
+    "q_bpe_compression" ->
+      s"""WITH ${sqlBpeChain(6)},
+         |d0 AS (
+         |  SELECT doc_id, list_transform(list_filter(string_split(text, ' '), w -> len(w) > 0),
+         |           w -> array_to_string([w[i] for i in range(1, len(w)+1)], ' ')) AS syms
+         |  FROM documents
+         |),
+         |${(1 to 6).map(r =>
+             s"""d$r AS (
+                |  SELECT d.doc_id, list_transform(d.syms, s -> ${sqlBpeFold("string_split(s, ' ')")}) AS syms
+                |  FROM d${r - 1} d CROSS JOIN m$r m
+                |)""".stripMargin).mkString(",\n")},
+         |enc AS (
+         |  SELECT doc_id,
+         |         CASE WHEN bpe = '' THEN CAST(0 AS BIGINT)
+         |              ELSE CAST(len(string_split(bpe, ' ')) AS BIGINT) END AS n_subwords
+         |  FROM (SELECT doc_id, array_to_string(syms, ' ') AS bpe FROM d6)
+         |)
+         |SELECT doc.source, count(*) AS n_docs,
+         |       CAST(sum(enc.n_subwords) AS BIGINT) AS n_subwords,
+         |       CAST(sum(len(doc.text)) AS BIGINT) AS n_chars,
+         |       CAST(CAST(sum(len(doc.text)) AS BIGINT) AS DOUBLE)
+         |         / CAST(CAST(sum(enc.n_subwords) AS BIGINT) AS DOUBLE) AS chars_per_subword
+         |FROM documents doc JOIN enc USING (doc_id)
+         |GROUP BY doc.source""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH tr AS (SELECT text FROM documents WHERE doc_id % 4 <> 0),
+        |cand AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        |trt AS (SELECT string_split(text, ' ') AS t FROM tr),
+        |trb AS (SELECT unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS b
+        |        FROM trt),
+        |cb AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c FROM trb GROUP BY 1, 2),
+        |cu AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cu FROM cb GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM tr)),
+        |ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM cand),
+        |cbi AS (SELECT doc_id,
+        |               unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS b
+        |        FROM ct),
+        |sc AS (SELECT x.doc_id,
+        |              (CAST(coalesce(cu.cu, 0) AS DOUBLE) + vv.v) /
+        |              (CAST(coalesce(cb.c, 0) AS DOUBLE) + 1.0) AS inv
+        |       FROM (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM cbi) x
+        |       LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1) CROSS JOIN vv),
+        |per AS (SELECT doc_id, count(*) AS n_bigrams,
+        |               list_reduce(list_sort(list(inv)), (a, b) -> a + b) AS s
+        |        FROM sc GROUP BY 1)
+        |SELECT c.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+        |       per.s / per.n_bigrams AS mean_inv_p
+        |FROM cand c LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    "q_keywords" ->
+      """WITH tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |                  FROM documents) GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |sc AS (SELECT doc_id, term,
+        |              CAST(tf AS DOUBLE) *
+        |                ((nn.n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS score
+        |       FROM tf JOIN dft USING (term) CROSS JOIN nn)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, score FROM (
+        |  SELECT doc_id, term, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM sc)
+        |WHERE rn <= 5""".stripMargin,
+
+    "q_kfold" ->
+      """SELECT doc_id, source,
+        |       least(CAST(floor(CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT)
+        |                        / 4294967296.0 * 5) AS BIGINT), 4) AS fold
+        |FROM documents""".stripMargin,
+
+    "q_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                                   for i in range(1, len(toks)-1)])) AS g
+        |      FROM t WHERE len(toks) >= 3),
+        |gm AS (SELECT doc_id, md5(g) AS g FROM g),
+        |dfreq AS (SELECT g, count(*) AS df FROM gm GROUP BY 1),
+        |per AS (SELECT doc_id, count(*) AS n_grams,
+        |               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |        FROM gm JOIN dfreq USING (g) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+        |       coalesce(per.n_novel, 0) AS n_novel,
+        |       CASE WHEN per.n_grams IS NOT NULL
+        |            THEN CAST(per.n_novel AS DOUBLE) / CAST(per.n_grams AS DOUBLE) END AS novelty
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    "q_containment" ->
+      """WITH corp AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+        |prb AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |ct AS (SELECT string_split(text, ' ') AS toks FROM corp),
+        |cg AS (SELECT DISTINCT md5(g) AS g
+        |       FROM (SELECT unnest([array_to_string(toks[i:i+12], ' ')
+        |                            for i in range(1, len(toks)-11)]) AS g
+        |             FROM ct WHERE len(toks) >= 13)),
+        |pt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM prb),
+        |pg AS (SELECT doc_id,
+        |              unnest(list_distinct([array_to_string(toks[i:i+12], ' ')
+        |                                    for i in range(1, len(toks)-11)])) AS g
+        |       FROM pt WHERE len(toks) >= 13),
+        |pgm AS (SELECT doc_id, md5(g) AS g FROM pg),
+        |per AS (SELECT pgm.doc_id, count(*) AS n_grams,
+        |               CAST(coalesce(sum(CASE WHEN cg.g IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_matched
+        |        FROM pgm LEFT JOIN cg USING (g) GROUP BY 1)
+        |SELECT p.doc_id AS probe_id, coalesce(per.n_grams, 0) AS n_grams,
+        |       coalesce(per.n_matched, 0) AS n_matched,
+        |       CASE WHEN per.n_grams IS NOT NULL
+        |            THEN CAST(per.n_matched AS DOUBLE) / CAST(per.n_grams AS DOUBLE) END AS containment
+        |FROM prb p LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    "q_ann_recall" ->
+      s"""WITH $sqlCents8,
+         |$sqlProbes,
+         |pc AS (
+         |  SELECT vec_id AS probe_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d WHERE vec_id IN (SELECT probe_id FROM pr)) WHERE rn <= 2
+         |),
+         |isc AS (
+         |  SELECT pc.probe_id, a.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM a JOIN pc ON a.cluster = pc.cell
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  JOIN pr ON pr.probe_id = pc.probe_id
+         |  WHERE a.vec_id != pc.probe_id
+         |),
+         |approx AS (SELECT probe_id, vec_id FROM (
+         |  SELECT probe_id, vec_id,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM isc) WHERE rn <= 10),
+         |esc AS (
+         |  SELECT pr.probe_id, e.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM embeddings e CROSS JOIN pr WHERE e.vec_id != pr.probe_id
+         |),
+         |exact AS (SELECT probe_id, vec_id FROM (
+         |  SELECT probe_id, vec_id,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM esc) WHERE rn <= 10),
+         |hits AS (SELECT probe_id, count(*) AS n_hit
+         |         FROM approx JOIN exact USING (probe_id, vec_id) GROUP BY 1)
+         |SELECT x.probe_id, x.n_exact, coalesce(h.n_hit, 0) AS n_hit,
+         |       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(x.n_exact AS DOUBLE) AS recall
+         |FROM (SELECT probe_id, count(*) AS n_exact FROM exact GROUP BY 1) x
+         |LEFT JOIN hits h USING (probe_id)""".stripMargin
   )
 }

@@ -1113,12 +1113,14 @@ object Curation {
     * per-doc integer counts. The df table is aggregated BEFORE the
     * join (vocab-sized build side). All counts exact longs; novelty
     * is one division. Docs too short for any n-gram report 0 grams
-    * with NULL novelty. Output: (idCol, n_grams, n_novel, novelty). */
+    * with NULL novelty. n counts TOKENS (Dedup.shingles — word
+    * n-grams, distinct per doc by construction).
+    * Output: (idCol, n_grams, n_novel, novelty). */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val grams = Dedup.pin(df.select(col(idCol),
-      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__g"))
+      explode(Dedup.shingles(col(textCol), n)).as("__g"))
       .select(col(idCol), md5(col("__g")).as("__g")))
     val gdf = grams.groupBy("__g").agg(count(lit(1)).cast("long").as("__df"))
     val perDoc = grams.join(gdf, Seq("__g"))
@@ -1149,18 +1151,19 @@ object Curation {
     * on the 32-char gram hash, then per-probe integer counts. The
     * corpus never joins at row granularity and probe rows are
     * typically the small side. Probes too short for any n-gram
-    * report 0 grams with NULL containment.
+    * report 0 grams with NULL containment. n counts TOKENS
+    * (Dedup.shingles — word n-grams, distinct per doc).
     * Output: (probeId, n_grams, n_matched, containment). */
   def containmentScore(corpus: DataFrame, corpusText: String,
                        probes: DataFrame, probeId: String, probeText: String,
                        n: Int = 13): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val corpusGrams = corpus
-      .select(explode(array_distinct(Dedup.shingles(col(corpusText), n))).as("__g"))
+      .select(explode(Dedup.shingles(col(corpusText), n)).as("__g"))
       .select(md5(col("__g")).as("__g")).distinct()
       .withColumn("__hit", lit(1L))
     val probeGrams = probes.select(col(probeId).as("probe_id"),
-      explode(array_distinct(Dedup.shingles(col(probeText), n))).as("__g"))
+      explode(Dedup.shingles(col(probeText), n)).as("__g"))
       .select(col("probe_id"), md5(col("__g")).as("__g"))
     val perProbe = probeGrams.join(corpusGrams, Seq("__g"), "left")
       .groupBy(col("probe_id")).agg(

@@ -1046,8 +1046,8 @@ object TextAnalysis {
     def bigrams(df: DataFrame, keep: Column*) = {
       val toks = tokens(col(textCol))
       df.select(keep :+ toks.as("__t"): _*)
-        .select(keep :+ posexplode(slice(col("__t"), lit(1),
-          greatest(size(col("__t")) - 1, lit(0)))).as(Seq("__i", "__w1")): _*)
+        .select(keep ++ Seq(col("__t"), posexplode(slice(col("__t"), lit(1),
+          greatest(size(col("__t")) - 1, lit(0)))).as(Seq("__i", "__w1"))): _*)
         .withColumn("__w2", element_at(col("__t"), col("__i") + 2))
         .drop("__t", "__i")
     }

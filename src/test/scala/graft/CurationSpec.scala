@@ -610,4 +610,34 @@ class CurationSpec extends AnyFunSuite {
     assert(a.getLong(2) === b.getLong(2))
     assert(a.getDouble(3) === b.getDouble(3))
   }
+
+  test("ngramNovelty: distinct-gram doc frequency, hand-checked") {
+    // word 2-grams: d1 {"a b","b c"}; d2 {"a b","b x"}; d3 none
+    val docs = Seq((1L, "a b c"), (2L, "a b x"), (3L, "q")).toDF("doc_id", "text")
+    val got = Curation.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got(1L) === ((2L, 1L, Some(0.5)))) // "b c" unique, "a b" shared
+    assert(got(2L) === ((2L, 1L, Some(0.5)))) // "b x" unique
+    assert(got(3L) === ((0L, 0L, None)))      // too short for any 2-gram
+    // duplicated grams WITHIN one doc count once (shingles are distinct
+    // per doc): "a b a b" slides "a b","b a","a b" → {"a b","b a"}
+    val rep = Curation.ngramNovelty(Seq((1L, "a b a b")).toDF("doc_id", "text"), "doc_id", "text", n = 2)
+      .collect()(0)
+    assert(rep.getLong(1) === 2L && rep.getLong(2) === 2L && rep.getDouble(3) === 1.0)
+  }
+
+  test("containmentScore: probe gram coverage against the corpus") {
+    // corpus "a b c d" word-2-grams: {"a b","b c","c d"}
+    val corpus = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val probes = Seq((1L, "b c d"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
+    val got = Curation.containmentScore(corpus, "text", probes, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got(1L) === ((2L, 2L, Some(1.0)))) // {"b c","c d"} fully covered
+    assert(got(2L) === ((1L, 0L, Some(0.0)))) // {"x y"} not covered
+    assert(got(3L) === ((0L, 0L, None)))      // too short
+  }
 }

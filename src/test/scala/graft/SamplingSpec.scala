@@ -131,4 +131,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(langs == Set("en")) // de rate 0, en rate 1
     assert(kept.count() == ids.filter($"lang" === "en").count())
   }
+
+  test("kFoldGroups: md5-unit bucketing, group-coherent, k-covering") {
+    val df = (1L to 400L).map(i => (i, s"grp${i % 40}")).toDF("id", "g")
+    val folds = Sampling.kFoldGroups(df, "g", 5)
+    // every row of a group lands in the same fold
+    assert(folds.groupBy("g").agg(countDistinct("fold").as("n"))
+      .filter($"n" =!= 1L).count() === 0L)
+    // folds live in [0, 5) and (with 40 groups) all folds occur
+    val seen = folds.select("fold").distinct().as[Long].collect().toSet
+    assert(seen.subsetOf((0L until 5L).toSet) && seen.size >= 3)
+    // the bucket formula is exactly ⌊md5-unit(group)·k⌋ (clamped):
+    // cross-check one group against a hand-computed md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("grp7".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val expected = math.min((java.lang.Long.parseLong(md, 16).toDouble
+      / 4294967296.0 * 5).toLong, 4L)
+    val got = folds.filter($"g" === "grp7").select("fold").distinct()
+      .as[Long].collect()
+    assert(got.toSeq === Seq(expected))
+    // null group keys are one deterministic sentinel group, not dropped
+    val withNull = Seq((1L, null: String), (2L, null: String), (3L, "x"))
+      .toDF("id", "g")
+    val nf = Sampling.kFoldGroups(withNull, "g", 5)
+      .filter($"g".isNull).select("fold").distinct().as[Long].collect()
+    assert(nf.length === 1)
+  }
 }

@@ -208,4 +208,20 @@ class SimilaritySpec extends AnyFunSuite {
       probes, "vec_id", "embedding", k = 10))
     assert(rer.toSeq == exact.toSeq)
   }
+
+  test("annRecall: per-probe overlap with the exact denominator") {
+    val approx = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L))
+      .toDF("probe_id", "vec_id")
+    val exact = Seq((1L, 1L), (1L, 2L), (1L, 9L), (2L, 4L), (2L, 5L), (3L, 7L))
+      .toDF("probe_id", "vec_id")
+    val got = Similarity.annRecall(approx, exact)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((1L, 0L, 0.0))) // probe the index missed entirely
+    // an honest index scores 1.0 against itself
+    val self = Similarity.annRecall(exact, exact).collect().map(_.getDouble(3))
+    assert(self.forall(_ === 1.0))
+  }
 }

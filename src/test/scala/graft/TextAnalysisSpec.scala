@@ -616,4 +616,45 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
     assert(df2.count() === 2)
   }
+
+  test("bigramLmScore: add-1 smoothed conditional counts, hand-checked") {
+    // train: "a b a b" -> bigrams (a,b)x2, (b,a); "a c" -> (a,c)
+    // cb: (a,b)=2 (b,a)=1 (a,c)=1; cu: a=3, b=1; V = |{a,b,c}| = 3
+    val train = Seq((10L, "a b a b"), (11L, "a c")).toDF("doc_id", "text")
+    val cand = Seq((1L, "a b"), (2L, "z z z"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(train, cand, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    // "a b": inv p(b|a) = (3+3)/(2+1) = 2.0
+    assert(got(1L)._1 === 1L && got(1L)._2 === Some(2.0))
+    assert(math.abs(got(1L)._3.get - math.log(0.5)) < 1e-12) // ln p(b|a) = ln ½
+    // "z z z": unseen context — inv = (0+3)/(0+1) = 3.0, twice
+    assert(got(2L)._1 === 2L && got(2L)._2 === Some(3.0))
+    // "x": no bigrams — kept with NULL score
+    assert(got(3L)._1 === 0L && got(3L)._2 === None)
+  }
+
+  test("bigramLmScore ranks an in-distribution doc above shuffled gibberish") {
+    val train = Seq.tabulate(20)(i => (i.toLong, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val cand = Seq((100L, "the quick brown fox"), (101L, "fox the jumps quick"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(train, cand, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(100L) < got(101L)) // lower mean inverse probability = more typical
+  }
+
+  test("keywords: rational-idf tf-idf top-k with (score desc, term) ties") {
+    // N=2. tf d1: a=2 b=1; d2: b=1 c=1. df: a=1 b=2 c=1.
+    // idf a,c = 1.5/1.5 = 1.0; idf b = 0.5/2.5 = 0.2
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.keywords(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getDouble(3))))
+      .toMap
+    assert(got((1L, 1L)) === (("a", 2.0)))
+    assert(got((1L, 2L)) === (("b", 0.2)))
+    assert(got((2L, 1L)) === (("c", 1.0)))
+    assert(got((2L, 2L)) === (("b", 0.2)))
+  }
 }

@@ -75,4 +75,19 @@ class TokenizerSpec extends AnyFunSuite {
     val got = Tokenizer.bpeTrain(Seq((1L, "a b a")).toDF("id", "text"), "text", 5)
     assert(got.count() === 0L)
   }
+
+  test("bpeCompression: per-key chars-per-subword with a trained merge") {
+    // merge (a,b): "ab ab" → 2 subwords/5 chars; "ab" → 1/2; "cd" → 2/2
+    val docs = Seq((1L, "s1", "ab ab"), (2L, "s1", "ab"), (3L, "s2", "cd"))
+      .toDF("id", "src", "text")
+    val got = Tokenizer.bpeCompression(docs, "text", "src", Seq(("a", "b")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("s1") === ((2L, 3L, 7L, 7.0 / 3.0)))
+    assert(got("s2") === ((1L, 2L, 2L, 1.0)))
+    // agrees with applyBpe's n_subwords aggregated by hand
+    val viaApply = Tokenizer.applyBpe(docs, "id", "text", Seq(("a", "b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(viaApply === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
 }
