@@ -41,7 +41,7 @@ object Bench {
     // under test. The fixture is lineage-truncated and survives
     // releaseCaches(), so per-query seconds now measure the operator.
     if (selected.keys.exists(SparkEntry.sharedFixtureQueries))
-      SparkEntry.warmSharedFixtures(spark, sfDir)
+      SparkEntry.warmSharedFixtures(spark, sfDir, selected.keySet)
     // Best-of-N (default 2): the recurring judge/builder friction is
     // single-shot readings swinging 0.5×–2.7× with host load on
     // identical code (BASELINE.md round-8/9 adjudications). Timing
@@ -51,32 +51,58 @@ object Bench {
     // half the slower run's noise). N=1 restores the old behavior.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        // settle the heap between runs: without this, whichever query
-        // follows an allocation-heavy one absorbs its GC debt
-        // (observed 2-4x swings on the same query across runs)
-        System.gc()
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        graft.operators.Dedup.releaseCaches()
-        dt
-      }
-      // per-query progress line: even if the final JSON is lost to a
-      // log tail, every individual time survives in the log body
-      println(s"[bench] $name best=${f3(times.min)} runs=${times.map(f3).mkString("/")}")
-      name -> times.min
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    // Per-query failure isolation (VERDICT r9 item 2): one broken
+    // query must cost ONE row, not the round — round 9 shipped with
+    // ZERO driver bench numbers because a single AnalysisException
+    // aborted the whole suite. "A broken query must not bench fast
+    // and green" still holds: a failure records {"err": ...} instead
+    // of a time and the process exits non-zero at the end, so the
+    // driver still sees red — with 161 timings alongside it.
+    val results: Map[String, Either[String, Double]] = selected.map { case (name, fn) =>
+      val outcome =
+        try {
+          val times = (1 to reps).map { _ =>
+            // settle the heap between runs: without this, whichever query
+            // follows an allocation-heavy one absorbs its GC debt
+            // (observed 2-4x swings on the same query across runs)
+            System.gc()
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            graft.operators.Dedup.releaseCaches()
+            dt
+          }
+          // per-query progress line: even if the final JSON is lost to a
+          // log tail, every individual time survives in the log body
+          println(s"[bench] $name best=${f3(times.min)} runs=${times.map(f3).mkString("/")}")
+          Right(times.min)
+        } catch { case e: Throwable =>
+          graft.operators.Dedup.releaseCaches()
+          val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+          println(s"[bench] $name FAILED $msg")
+          Left(msg)
+        }
+      name -> outcome
     }
     // 3-decimal (millisecond) formatting: full double precision made
     // the one-line JSON ~2x longer and the driver's log tail truncated
     // it mid-line at r7 (43 of 115 queries lost, "parsed": null) —
     // sub-ms digits carry no information at these run times anyway.
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .map {
+        case (k, Right(v)) => "\"" + k + "\":" + f3(v)
+        case (k, Left(err)) => "\"" + k + "\":{\"err\":" + jstr(err) + "}"
+      }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val good = results.values.collect { case Right(v) => v }
+    val total = good.sum
+    val nErr = results.values.count(_.isLeft)
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$nErr}"""
     // Dedicated result file (VERDICT r7 item 2 / r8 item 1): the log
     // tail truncated the one-line JSON two rounds running (61/153
     // per-query entries lost at r8). The file is the durable record;
@@ -84,5 +110,6 @@ object Bench {
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)
     spark.stop()
+    if (nErr > 0) sys.exit(1)
   }
 }

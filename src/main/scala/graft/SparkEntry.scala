@@ -70,15 +70,38 @@ object SparkEntry {
     })
   }
 
-  /** Queries that open with the shared pair chain — Bench warms the
-    * fixture outside the timed region iff one of these is selected. */
-  val sharedFixtureQueries: Set[String] = Set(
+  /** Trained BPE merge rules (6 rounds over documents.text) — shared
+    * by q_bpe_encode / q_bpe_compression. Training is a vocab-sized
+    * driver loop both queries used to replay INSIDE the timed region
+    * (VERDICT r9 item 4 — the same conflation the graph family fixed
+    * with the pair fixture), so the encode benchmarks measured mostly
+    * training. The memo holds the 6 collected merge pairs — driver-
+    * side metadata, not a plan — so warming costs one training run. */
+  private val bpeMergesMemo =
+    scala.collection.mutable.Map.empty[String, Seq[(String, String)]]
+  private def bpeMerges6(s: SparkSession, dir: String): Seq[(String, String)] = synchronized {
+    bpeMergesMemo.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir", {
+      Tokenizer.bpeTrain(Tables(s, dir, "documents"), "text", merges = 6).collect()
+        .sortBy(_.getLong(0))
+        .map(r => { val Array(l, rr) = r.getString(1).split(" ", 2); (l, rr) })
+        .toSeq
+    })
+  }
+
+  /** Queries that open with a shared warmable fixture — Bench warms
+    * the relevant ones outside the timed region iff selected. */
+  private val pairFixtureQueries: Set[String] = Set(
     "q_components", "q_components_star", "q_pagerank", "q_degree_hist",
     "q_triangles", "q_kcore", "q_assortativity", "q_label_prop",
     "q_leakage", "q_split_clean")
+  private val bpeFixtureQueries: Set[String] = Set(
+    "q_bpe_encode", "q_bpe_compression")
+  val sharedFixtureQueries: Set[String] = pairFixtureQueries ++ bpeFixtureQueries
 
-  def warmSharedFixtures(s: SparkSession, dir: String): Unit = {
-    nearDupPairs05(s, dir); ()
+  def warmSharedFixtures(s: SparkSession, dir: String,
+                         selected: Set[String] = sharedFixtureQueries): Unit = {
+    if (selected.exists(pairFixtureQueries)) { nearDupPairs05(s, dir); () }
+    if (selected.exists(bpeFixtureQueries)) { bpeMerges6(s, dir); () }
   }
 
   /** Unique memory-sink names for the streaming queries (a query
@@ -507,6 +530,36 @@ object SparkEntry {
       val q = EventStream.windowedCounts(source.toDF().toDF("ts", "event_type"))
         .writeStream.format("memory").queryName(qn).outputMode("complete").start()
       try ev.grouped(perBatch).foreach { b =>
+        source.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+    }),
+
+    // ── streaming: stateful per-source admission cap, driver-gated ──
+    // The exactly-once STATE path under the hash gate (VERDICT r9
+    // item 7): CurationStream.capPerKey holds one long of
+    // flatMapGroupsWithState state per source (the lifetime admitted
+    // count) across 3 doc_id-sorted micro-batches. With arrival in id
+    // order and orderCol=doc_id resolving within-batch ties, the
+    // admitted set is exactly the batch operator's lowest-n-ids-per-
+    // key contract — so the cross-batch COUNTER state (a quota
+    // filling mid-stream, partially-admitted batches) is what the
+    // DuckDB row_number oracle checks, not just a rowwise map. */
+    "q_stream_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val arrivals = Tables(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+        .as[StreamDoc].collect().sortBy(_.doc_id)
+      val perBatch = math.max(1, (arrivals.length + 2) / 3)
+      val source = MemoryStream[StreamDoc]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val q = streaming.CurationStream
+        .capPerKey(source.toDF(), "source", n = 10, orderCol = Some("doc_id"))
+        .select(col("doc_id"), col("source"))
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try arrivals.grouped(perBatch).foreach { b =>
         source.addData(b.toSeq); q.processAllAvailable()
       } finally q.stop()
       s.table(qn)
@@ -1606,29 +1659,22 @@ object SparkEntry {
     }),
 
     // ── tokenizer: BPE corpus segmentation with the trained rules ───
-    // Train (vocab-sized loop) then encode (rowwise folds, zero
-    // shuffles); the merge list rides the plan as literals.
+    // Encode only (rowwise folds, zero shuffles); the merge rules come
+    // from the shared trained fixture (bpeMerges6 — warmed outside
+    // Bench's timed region) and ride the plan as literals.
     "q_bpe_encode" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val merges = Tokenizer.bpeTrain(docs, "text", merges = 6).collect()
-        .sortBy(_.getLong(0))
-        .map(r => { val Array(l, rr) = r.getString(1).split(" ", 2); (l, rr) })
-        .toSeq
-      Tokenizer.applyBpe(docs, "doc_id", "text", merges)
+      Tokenizer.applyBpe(Tables(s, dir, "documents"), "doc_id", "text",
+        bpeMerges6(s, dir))
     }),
 
     // ── tokenizer: per-source compression report of the trained BPE ─
     // THE tokenizer acceptance metric: chars-per-subword by source —
     // a tokenizer trained on one domain under-compresses the others.
-    // Train replays in the timed region (6 vocab-sized rounds), then
-    // one zero-shuffle rowwise encode + a key-cardinality agg.
+    // One zero-shuffle rowwise encode + a key-cardinality agg over
+    // the shared trained rules (bpeMerges6).
     "q_bpe_compression" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val merges = Tokenizer.bpeTrain(docs, "text", merges = 6).collect()
-        .sortBy(_.getLong(0))
-        .map(r => { val Array(l, rr) = r.getString(1).split(" ", 2); (l, rr) })
-        .toSeq
-      Tokenizer.bpeCompression(docs, "text", "source", merges)
+      Tokenizer.bpeCompression(Tables(s, dir, "documents"), "text", "source",
+        bpeMerges6(s, dir))
     }),
 
     // ── LLM-pipeline: bigram-LM quality scoring (perplexity filter) ─
@@ -3050,6 +3096,12 @@ object SparkEntry {
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket, event_type,
         |       count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin,
 
     "q_incremental" ->
       s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),

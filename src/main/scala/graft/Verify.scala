@@ -11,7 +11,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) — surface as epoch-nano longs
+      // if events.parquet carries TIMESTAMP(NANOS), surface it as epoch-nano
+      // longs (Tables.normalizeEventTs handles the timestamp[us] form)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -22,14 +23,33 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    var nFailed = 0
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Loud failure marker (VERDICT r9 item 3): a thrown query used
+        // to leave NO result dir, so the driver's correctness JSON
+        // simply omitted the row — 15 queries vanished from the r9
+        // gate and every artifact still looked green. Leaving a dir
+        // containing only _ERROR.txt (no parquet) makes the driver's
+        // read fail → the row surfaces red with an err, not absent.
+        nFailed += 1
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        val d = Paths.get(s"$outDir/$name")
+        try {
+          org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+          Files.createDirectories(d)
+          Files.writeString(d.resolve("_ERROR.txt"),
+            s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}\n")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name could not write error marker: ${m.getMessage}")
+        }
       }
       finally operators.Dedup.releaseCaches()
     }
+    if (nFailed > 0)
+      System.err.println(s"[verify] $nFailed of ${selected.size} queries FAILED")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -5,9 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event/time-series aggregates over the events table (ts arrives as
-  * INT64 nanosecond epochs — Parquet TIMESTAMP(NANOS), read with
-  * spark.sql.legacy.parquet.nanosAsLong=true since Spark's timestamp
-  * type is microseconds).
+  * INT64 nanosecond epochs — whatever the Parquet physical type,
+  * Tables.normalizeEventTs re-establishes the epoch-nanos long
+  * contract at the read boundary, so the arithmetic here never
+  * type-dispatches).
   *
   * Oracle-parity strategy: bucket boundaries and session arithmetic
   * stay in exact integer nanoseconds (a 2024 epoch-nano is ~1.7e18 —
