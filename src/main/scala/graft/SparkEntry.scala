@@ -565,6 +565,84 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    // ── streaming: native session_window sessions, driver-gated ────
+    // The WATERMARK-DRIVEN emission path under the hash gate: unlike
+    // q_stream_window (complete mode — state re-emitted every batch)
+    // and q_stream_cap/q_stream_kmv (custom state), session rows in
+    // append mode emit exactly once, when the watermark passes the
+    // session's end — merging session_window state until then. Two
+    // far-future sentinel batches (user −1, +2d/+4d) advance the
+    // watermark past every real session (the watermark used by batch
+    // N is computed from batch N−1, hence TWO nudges); the sentinel's
+    // own never-closed session is filtered out. Boundary semantics
+    // differ from batch sessionize ON PURPOSE: session_window merges
+    // only on strict overlap, so a gap of EXACTLY 30 min starts a new
+    // session here (>= in the oracle's islands) where the batch
+    // operator's strict-> keeps it — both are real product semantics;
+    // the oracle pins this one exactly. Output bounds are
+    // unix_timestamp's second floor; t_end = last event + gap.
+    "q_stream_session" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables(s, dir, "events")
+        .select(col("ts").cast("long"), col("user_id").cast("long"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val perBatch = math.max(1, (ev.length + 2) / 3)
+      val maxTs = ev.last._1
+      val dayNs = 86400L * 1000000000L
+      val source = MemoryStream[(Long, Long)]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val q = EventStream.sessionCounts(source.toDF().toDF("ts", "user_id"),
+          gap = "30 minutes", watermark = "10 minutes")
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try {
+        ev.grouped(perBatch).foreach { b =>
+          source.addData(b.toSeq); q.processAllAvailable()
+        }
+        Seq(2L, 4L).foreach { d =>
+          source.addData(Seq((maxTs + d * dayNs, -1L))); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qn).filter(col("user_id") =!= -1L)
+    }),
+
+    // ── streaming: per-key KMV distinct sketch, driver-gated ────────
+    // The UPDATE-mode state path under the hash gate (q_stream_cap is
+    // append-mode flatMapGroups; this is mapGroupsWithState): each
+    // source's K-Minimum-Values sketch (k=16 longs) folds across 3
+    // micro-batches. The memory sink accumulates one row per (key,
+    // batch) update, so the query selects each key's FINAL state:
+    // within a key the state is totally ordered (n_sketch grows to k,
+    // then kth_min only shrinks — same size below k means the same
+    // set, deduped by distinct()), so (n_sketch desc, kth_min asc)
+    // picks it uniquely. The exactness contract (emission ≡ batch
+    // kmvDistinct over rows seen so far — merging is set-union of
+    // minima, arrival-order-free) makes the batch q_kmv_distinct
+    // oracle apply verbatim.
+    "q_stream_kmv" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val arrivals = Tables(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+        .as[StreamDoc].collect().sortBy(_.doc_id)
+      val perBatch = math.max(1, (arrivals.length + 2) / 3)
+      val source = MemoryStream[StreamDoc]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val q = streaming.CurationStream
+        .kmvDistinct(source.toDF(), "source", "text", k = 16)
+        .writeStream.format("memory").queryName(qn).outputMode("update").start()
+      try arrivals.grouped(perBatch).foreach { b =>
+        source.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("n_sketch").desc, col("kth_min").asc_nulls_last)
+      s.table(qn).distinct()
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("key").as("source"), col("n_sketch"), col("kth_min"), col("est"))
+    }),
+
     // ── LLM-pipeline: cross-corpus overlap audit ────────────────────
     // "Is the new dataset actually new?" — fraction of the batch
     // already present (by content hash) in the corpus, before paying
@@ -1075,6 +1153,17 @@ object SparkEntry {
       Curation.upsampleToMix(Tables(s, dir, "documents"), "source", "doc_id",
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select(col("doc_id"), col("source"), col("epoch"))
+    }),
+
+    // ── curation: temperature-scaled mixture plan (share ∝ n^0.5) ───
+    // The multilingual-sampling rule as a planning table: natural vs
+    // temperature-flattened share per source + the epoch multiplier
+    // to realize it. alpha limited to sqrt-composable values — pow()
+    // is not cross-engine bit-exact; sqrt is. Denominator folds in
+    // UTF-8 key order (the sorted-fold contract), replayed by the
+    // oracle's list_reduce over the same ordered list.
+    "q_temp_mix" -> ((s, dir) => {
+      Curation.temperatureShares(Tables(s, dir, "documents"), "source", alpha = 0.5)
     }),
 
     // ── curation: robust per-source outlier gate (median ± 2·MAD) ───
@@ -3103,6 +3192,45 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn <= 10""".stripMargin,
 
+    // islands with the session_window boundary rule: a gap of exactly
+    // the 30-min threshold STARTS a new session (>=, strict-overlap
+    // merge), unlike q_sessions' batch > semantics; bounds floor to
+    // seconds (unix_timestamp), t_end = last event + gap
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        |s AS (SELECT user_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |              WHEN ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1
+        |              ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (SELECT user_id, ts_us,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM s)
+        |SELECT user_id, min(ts_us) // 1000000 AS t_start,
+        |       (max(ts_us) + 1800000000) // 1000000 AS t_end,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    // identical to q_kmv_distinct's oracle: the stream's final state
+    // IS the batch sketch (set-union merge, arrival-order-free)
+    "q_stream_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |         CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, hv,
+        |         row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS nd
+        |  FROM h)
+        |SELECT source,
+        |       CAST(least(nd, 16) AS BIGINT) AS n_sketch,
+        |       CASE WHEN nd >= 16 THEN hv END AS kth_min,
+        |       CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE)
+        |            ELSE CAST(64424509440 AS DOUBLE) / hv END AS est
+        |FROM r WHERE rn = least(nd, 16)""".stripMargin,
+
     "q_incremental" ->
       s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
          |idx AS (SELECT DISTINCT md5(text) AS h FROM corpus),
@@ -3496,6 +3624,27 @@ object SparkEntry {
         |              THEN 1 ELSE 0 END AS r
         |  FROM documents d LEFT JOIN mult m USING (source))
         |SELECT doc_id, source, CAST(unnest(range(r)) AS INTEGER) AS epoch FROM reps""".stripMargin,
+
+    // Denominator replays the builder's UTF-8-key-ordered left fold:
+    // list_reduce seeds with the first element, the driver seeds with
+    // 0.0 — identical bits since 0.0 + x == x exactly. sqrt and the
+    // divisions are correctly-rounded IEEE on both engines; max is
+    // order-free; epochs' op order (w·tmax)/n matches the plan.
+    "q_temp_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |d AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |             list_reduce(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+        |                         (acc, e) -> acc + e) AS denom
+        |      FROM c),
+        |w AS (SELECT c.source, c.n_docs,
+        |             CAST(c.n_docs AS DOUBLE) / CAST(d.total AS DOUBLE) AS share,
+        |             sqrt(CAST(c.n_docs AS DOUBLE)) / d.denom AS temp_weight
+        |      FROM c CROSS JOIN d),
+        |m AS (SELECT max(CAST(n_docs AS DOUBLE) / temp_weight) AS tmax FROM w)
+        |SELECT source, n_docs, share, temp_weight,
+        |       temp_weight * m.tmax / CAST(n_docs AS DOUBLE) AS epochs
+        |FROM w CROSS JOIN m""".stripMargin,
 
     "q_fk_orphans" ->
       """WITH c AS (

@@ -1177,4 +1177,66 @@ object Curation {
           col("n_matched").cast("double") / col("n_grams").cast("double"))
           .as("containment"))
   }
+
+  /** Temperature-scaled mixture plan (the multilingual-training
+    * sampling rule: target share_i ∝ n_i^alpha): for each source, its
+    * natural share, its temperature-flattened target weight, and the
+    * epoch multiplier upsampleToMix would need to realize that mix —
+    * alpha=1 is proportional (no change), alpha→0 approaches uniform,
+    * alpha=0.5 is the common compromise that keeps head domains from
+    * drowning tail ones. This is the PLANNING table (k rows, one per
+    * source); feed the weights to upsampleToMix / interleaveMix to
+    * materialize the mix.
+    *
+    * Cross-engine exactness without a pow() contract: general pow is
+    * not correctly-rounded in IEEE (libm-dependent — Java and DuckDB
+    * may differ in the last ulp), but sqrt IS, so alpha is restricted
+    * to {1.0, 0.5, 0.25} = 0-2 sqrt applications, each bit-exact on
+    * both engines. The Σ n_j^alpha denominator is an FP sum, so it
+    * folds left-assoc over keys in UTF-8 byte order on the driver and
+    * the oracle replays list_reduce over the same ordered list —
+    * the sorted-fold contract (KMeans.stepSortedFold's trick). All
+    * remaining arithmetic is a fixed op sequence on identical
+    * operands: share = n/total (exact-long operands), weight =
+    * root(n)/denom, epochs = (weight · tmax)/n with tmax =
+    * max_j(n_j/weight_j) — max is order-free.
+    *
+    * Scale shape: ONE distributed count agg (k rows); the k-bounded
+    * collect is the centroid-step posture; weights return to the
+    * plan as a literal CASE chain over the k-row counts relation.
+    * NULL keys are excluded — a mixture is over named sources.
+    * Output: (keyCol, n_docs, share, temp_weight, epochs). */
+  def temperatureShares(df: DataFrame, keyCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    val root: Double => Double = alpha match {
+      case 1.0 => identity
+      case 0.5 => math.sqrt
+      case 0.25 => x => math.sqrt(math.sqrt(x))
+      case a => throw new IllegalArgumentException(
+        s"alpha must be one of 1.0/0.5/0.25 (sqrt-composable — general pow " +
+          s"is not cross-engine bit-exact), got $a")
+    }
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).cast("long").as("n_docs"))
+    val cmap = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(cmap.nonEmpty, "temperatureShares: no non-null keys in input")
+    // UTF-8 byte order = Spark UTF8String / DuckDB binary collation —
+    // the same cross-engine order contract interleaveMix documents
+    val keysAsc = cmap.keys.toSeq.sortWith { (a, b) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    }
+    val total = cmap.values.sum // exact long
+    val denom = keysAsc.foldLeft(0.0)((acc, k) => acc + root(cmap(k).toDouble))
+    val tw = keysAsc.map(k => k -> root(cmap(k).toDouble) / denom).toMap
+    val tmax = tw.map { case (k, w) => cmap(k).toDouble / w }.max
+    val twCol = tw.foldLeft(lit(null).cast("double")) { case (acc, (k, w)) =>
+      when(col(keyCol) === k, lit(w)).otherwise(acc)
+    }
+    counts.select(col(keyCol), col("n_docs"),
+      (col("n_docs").cast("double") / lit(total).cast("double")).as("share"),
+      twCol.as("temp_weight"),
+      (twCol * lit(tmax) / col("n_docs").cast("double")).as("epochs"))
+  }
 }

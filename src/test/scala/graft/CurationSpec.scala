@@ -640,4 +640,43 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) === ((1L, 0L, Some(0.0)))) // {"x y"} not covered
     assert(got(3L) === ((0L, 0L, None)))      // too short
   }
+
+  test("temperatureShares: alpha=0.5 flattens between natural and uniform") {
+    // 90/9/1 split: natural shares 0.9/0.09/0.01
+    val df = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 99).map(i => (i.toLong, "mid")) ++ Seq((100L, "small")))
+      .toDF("doc_id", "source")
+    val got = Curation.temperatureShares(df, "source", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("big")._1 === 90L && got("big")._2 === 0.9)
+    // weights sum to 1 and the head is flattened toward uniform:
+    // natural < temp < uniform for the tail, reverse for the head
+    val wsum = got.values.map(_._3).sum
+    assert(math.abs(wsum - 1.0) < 1e-12)
+    assert(got("big")._3 < 0.9 && got("big")._3 > 1.0 / 3)
+    assert(got("small")._3 > 0.01 && got("small")._3 < 1.0 / 3)
+    // the binding source (largest n/weight) sits at exactly 1 epoch;
+    // everything else upsamples
+    val eps = got.values.map(_._4)
+    assert(math.abs(eps.min - 1.0) < 1e-12)
+    assert(got("small")._4 > got("mid")._4 && got("mid")._4 > got("big")._4)
+  }
+
+  test("temperatureShares: alpha=1.0 is the identity mix (all epochs 1)") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val got = Curation.temperatureShares(df, "source", alpha = 1.0).collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(2)) < 1e-15) // weight == share
+      assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+    }
+  }
+
+  test("temperatureShares: rejects non-sqrt-composable alpha, null keys excluded") {
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("doc_id", "source")
+    intercept[IllegalArgumentException](
+      Curation.temperatureShares(df, "source", alpha = 0.3))
+    val got = Curation.temperatureShares(df, "source", alpha = 0.5).collect()
+    assert(got.length === 1 && got(0).getString(0) === "a")
+  }
 }
