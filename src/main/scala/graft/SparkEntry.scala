@@ -565,6 +565,42 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    // ── streaming: within-watermark exact dedup, driver-gated ──────
+    // The TTL'd dedup state path (dropDuplicatesWithinWatermark)
+    // under the hash gate: every 5th event of each micro-batch is
+    // RE-SENT in the following batch, so the feed carries ~20%
+    // duplicates that only cross-batch state can collapse — append
+    // mode emits each event_id's first arrival exactly once. The
+    // 365-day horizon exceeds the data span, so nothing is late and
+    // no state evicts: the guaranteed-dedup regime, where the output
+    // set is exactly the distinct input (the oracle); shorter
+    // horizons trade state for best-effort, which is a capacity
+    // decision, not a correctness gate.
+    "q_stream_dedup_wm" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id").cast("long"), col("ts").cast("long"), col("event_type"))
+        .as[(Long, Long, String)].collect().sortBy(_._2)
+      val perBatch = math.max(1, (ev.length + 2) / 3)
+      val batches = ev.grouped(perBatch).toSeq
+      val source = MemoryStream[(Long, Long, String)]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val in = source.toDF().toDF("event_id", "ts", "event_type")
+        .withColumn("ets", Events.tsFromNanos(col("ts")))
+      val q = streaming.DedupStream
+        .dropExactDuplicates(in, "ets", Seq("event_id"), watermark = "365 days")
+        .select(col("event_id"), col("event_type"))
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try batches.zipWithIndex.foreach { case (b, i) =>
+        val dupes = if (i == 0) Seq.empty[(Long, Long, String)] else
+          batches(i - 1).zipWithIndex.collect { case (r, j) if j % 5 == 0 => r }.toSeq
+        source.addData(b.toSeq ++ dupes); q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+    }),
+
     // ── streaming: native session_window sessions, driver-gated ────
     // The WATERMARK-DRIVEN emission path under the hash gate: unlike
     // q_stream_window (complete mode — state re-emitted every batch)
@@ -3191,6 +3227,11 @@ object SparkEntry {
         |  SELECT doc_id, source,
         |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn <= 10""".stripMargin,
+
+    // duplicates exist only in the FEED (re-sent rows), so guaranteed
+    // within-watermark dedup must reproduce the distinct base table
+    "q_stream_dedup_wm" ->
+      "SELECT event_id, event_type FROM events",
 
     // islands with the session_window boundary rule: a gap of exactly
     // the 30-min threshold STARTS a new session (>=, strict-overlap
