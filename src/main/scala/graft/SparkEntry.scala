@@ -1202,6 +1202,31 @@ object SparkEntry {
       Curation.temperatureShares(Tables(s, dir, "documents"), "source", alpha = 0.5)
     }),
 
+    // ── text: chi-square bigram collocations (MWE mining) ───────────
+    // The significance twin of q_collocations' PMI lift: log-free
+    // statistic — integer contingency + a fixed IEEE op sequence
+    // (PMI-log/LLR's ln would break cross-engine parity).
+    "q_chi2_collocations" -> ((s, dir) => {
+      TextAnalysis.chiSquareCollocations(Tables(s, dir, "documents"), "text",
+        minCount = 5L, topK = 50)
+    }),
+
+    // ── curation: snapshot token-distribution drift (exact TVD) ─────
+    // v1 = doc_id%2==0 slice, v2 = the rest — the refresh-monitoring
+    // number in exact integer arithmetic (one division at the end).
+    "q_corpus_drift" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Curation.corpusDrift(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "text")
+    }),
+
+    // ── curation: the drift's top movers (exact integer ranking) ────
+    "q_drift_terms" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Curation.corpusDriftTerms(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "text", k = 20)
+    }),
+
     // ── curation: robust per-source outlier gate (median ± 2·MAD) ───
     "q_mad_gate" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
@@ -3665,6 +3690,63 @@ object SparkEntry {
         |              THEN 1 ELSE 0 END AS r
         |  FROM documents d LEFT JOIN mult m USING (source))
         |SELECT doc_id, source, CAST(unnest(range(r)) AS INTEGER) AS epoch FROM reps""".stripMargin,
+
+    // chi2's op order replays the plan exactly: dif in BIGINT then
+    // CAST; numerator ((N*dif)*dif); denominator left-assoc product
+    "q_chi2_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n11 FROM bg GROUP BY 1, 2),
+        |n AS (SELECT CAST(sum(n11) AS BIGINT) AS nt FROM bi),
+        |l AS (SELECT w1, CAST(sum(n11) AS BIGINT) AS n1p FROM bi GROUP BY 1),
+        |r AS (SELECT w2, CAST(sum(n11) AS BIGINT) AS np1 FROM bi GROUP BY 1),
+        |j AS (SELECT bi.w1, bi.w2, bi.n11, l.n1p, r.np1, n.nt,
+        |             CAST(bi.n11 * (n.nt - l.n1p - r.np1 + bi.n11)
+        |                  - (l.n1p - bi.n11) * (r.np1 - bi.n11) AS DOUBLE) AS dif
+        |      FROM bi JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+        |      WHERE bi.n11 >= 5 AND l.n1p < n.nt AND r.np1 < n.nt)
+        |SELECT w1, w2, n11, n1p, np1,
+        |       CAST(nt AS DOUBLE) * dif * dif /
+        |       (CAST(n1p AS DOUBLE) * CAST(nt - n1p AS DOUBLE)
+        |        * CAST(np1 AS DOUBLE) * CAST(nt - np1 AS DOUBLE)) AS chi2
+        |FROM j ORDER BY chi2 DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q_corpus_drift" ->
+      """WITH c1 AS (SELECT unnest(string_split(text, ' ')) AS term
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |g1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM c1 GROUP BY 1),
+        |c2 AS (SELECT unnest(string_split(text, ' ')) AS term
+        |            FROM documents WHERE doc_id % 2 <> 0),
+        |g2 AS (SELECT term, CAST(count(*) AS BIGINT) AS c2 FROM c2 GROUP BY 1),
+        |j AS (SELECT coalesce(g1.c1, 0) AS c1, coalesce(g2.c2, 0) AS c2
+        |      FROM g1 FULL OUTER JOIN g2 USING (term)),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM j)
+        |SELECT n.n1 AS n_tokens_v1, n.n2 AS n_tokens_v2,
+        |       CAST(sum(CASE WHEN j.c1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_v1,
+        |       CAST(sum(CASE WHEN j.c2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_v2,
+        |       CAST(sum(CASE WHEN j.c1 > 0 AND j.c2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS shared_vocab,
+        |       CAST(sum(abs(j.c1 * n.n2 - j.c2 * n.n1)) AS DOUBLE)
+        |         / (2.0 * CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)) AS tvd
+        |FROM j CROSS JOIN n GROUP BY n.n1, n.n2""".stripMargin,
+
+    "q_drift_terms" ->
+      """WITH c1 AS (SELECT unnest(string_split(text, ' ')) AS term
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |g1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM c1 GROUP BY 1),
+        |c2 AS (SELECT unnest(string_split(text, ' ')) AS term
+        |            FROM documents WHERE doc_id % 2 <> 0),
+        |g2 AS (SELECT term, CAST(count(*) AS BIGINT) AS c2 FROM c2 GROUP BY 1),
+        |j AS (SELECT term, coalesce(g1.c1, 0) AS c1, coalesce(g2.c2, 0) AS c2
+        |      FROM g1 FULL OUTER JOIN g2 USING (term)),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM j)
+        |SELECT j.term, j.c1, j.c2,
+        |       abs(j.c1 * n.n2 - j.c2 * n.n1) AS deviation
+        |FROM j CROSS JOIN n
+        |ORDER BY deviation DESC, term LIMIT 20""".stripMargin,
 
     // Denominator replays the builder's UTF-8-key-ordered left fold:
     // list_reduce seeds with the first element, the driver seeds with

@@ -1239,4 +1239,79 @@ object Curation {
       twCol.as("temp_weight"),
       (twCol * lit(tmax) / col("n_docs").cast("double")).as("epochs"))
   }
+
+  /** Shared (term, c1, c2) contrast table behind the corpus-drift
+    * family: per-token counts in each snapshot, full-outer aligned,
+    * absent terms as exact zero. One explode + hash agg per side,
+    * one vocab-sized join — the corpus never joins at row grain. */
+  private def driftCounts(v1: DataFrame, v2: DataFrame, textCol: String): DataFrame = {
+    def cnt(df: DataFrame, as: String) = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as(as))
+    cnt(v1, "__c1").join(cnt(v2, "__c2"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("__c1"), lit(0L)).as("c1"),
+        coalesce(col("__c2"), lit(0L)).as("c2"))
+  }
+
+  /** Token-distribution drift between two corpus snapshots: total
+    * variation distance TVD = ½ Σ_t |c1_t/N1 − c2_t/N2| — the
+    * monitoring number behind "did this refresh change what the
+    * model will read?", plus the vocab overlap counts. Computed in
+    * EXACT INTEGER form: ½ Σ |c1·N2 − c2·N1| / (N1·N2) — the
+    * per-term deviations and their sum are exact longs (integer
+    * addition is order-free, so the distributed sum is bit-stable
+    * where a double Σ|p−q| would not be), with ONE double division
+    * at the end. Long bounds: Σ|c1·N2 − c2·N1| ≤ 2·N1·N2, so both
+    * snapshots are required under 2·10⁹ tokens — beyond that, drift
+    * runs per shard. TVD ∈ [0,1]: 0 = identical distributions, 1 =
+    * disjoint vocabularies.
+    *
+    * Scale shape: two corpus explodes (one per snapshot) into
+    * vocab-sized aggregates, one vocab-sized full-outer join, one
+    * single-row agg. Output (one row): (n_tokens_v1, n_tokens_v2,
+    * vocab_v1, vocab_v2, shared_vocab, tvd). */
+  def corpusDrift(v1: DataFrame, v2: DataFrame, textCol: String): DataFrame = {
+    val counts = driftCounts(v1, v2, textCol)
+    val tot = counts.agg(
+      coalesce(sum(col("c1")), lit(0L)).cast("long"),
+      coalesce(sum(col("c2")), lit(0L)).cast("long")).collect()(0)
+    val (n1, n2) = (tot.getLong(0), tot.getLong(1))
+    require(n1 < 2000000000L && n2 < 2000000000L,
+      s"corpusDrift long arithmetic bounds each snapshot at 2e9 tokens, got $n1/$n2")
+    require(n1 > 0L && n2 > 0L,
+      s"both snapshots need at least one token, got $n1/$n2")
+    counts.agg(
+      lit(n1).as("n_tokens_v1"), lit(n2).as("n_tokens_v2"),
+      sum(when(col("c1") > 0L, 1L).otherwise(0L)).cast("long").as("vocab_v1"),
+      sum(when(col("c2") > 0L, 1L).otherwise(0L)).cast("long").as("vocab_v2"),
+      sum(when(col("c1") > 0L && col("c2") > 0L, 1L).otherwise(0L))
+        .cast("long").as("shared_vocab"),
+      (sum(abs(col("c1") * lit(n2) - col("c2") * lit(n1))).cast("double")
+        / lit(2.0 * n1.toDouble * n2.toDouble)).as("tvd"))
+  }
+
+  /** The drift report's WHO: top-k terms by exact integer deviation
+    * |c1·N2 − c2·N1| (the unnormalized TVD contribution — same
+    * ranking as |p1−p2|, no FP until the reported share columns).
+    * Ordering is (deviation desc, term asc): a total order on exact
+    * longs, so the top-k is deterministic cross-engine. TakeOrdered
+    * top-k, never a global sort.
+    * Output: (term, c1, c2, deviation). */
+  def corpusDriftTerms(v1: DataFrame, v2: DataFrame, textCol: String,
+                       k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = driftCounts(v1, v2, textCol)
+    val tot = counts.agg(
+      coalesce(sum(col("c1")), lit(0L)).cast("long"),
+      coalesce(sum(col("c2")), lit(0L)).cast("long")).collect()(0)
+    val (n1, n2) = (tot.getLong(0), tot.getLong(1))
+    require(n1 < 2000000000L && n2 < 2000000000L,
+      s"corpusDriftTerms long arithmetic bounds each snapshot at 2e9 tokens, got $n1/$n2")
+    counts
+      .select(col("term"), col("c1"), col("c2"),
+        abs(col("c1") * lit(n2) - col("c2") * lit(n1)).as("deviation"))
+      .orderBy(col("deviation").desc, col("term").asc)
+      .limit(k)
+  }
 }

@@ -1106,4 +1106,61 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
+
+  /** Chi-square bigram collocation mining — the SIGNIFICANCE twin of
+    * the PMI-lift `collocations` above (lift ranks association
+    * strength but has the hapax pathology; chi² weighs strength by
+    * evidence mass, promoting frequent-and-associated pairs the way
+    * tokenizer-vocab curation wants). Pearson's chi² on each
+    * bigram's 2×2 contingency table, with the marginals taken over
+    * the BIGRAM population (standard collocation form: n1p = grams
+    * starting with w1, np1 = grams ending with w2).
+    *
+    * chi² is the log-free association statistic ON PURPOSE: PMI and
+    * log-likelihood-ratio need ln (libm, last-ulp engine-dependent),
+    * while chi² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) is integer
+    * counts + a FIXED sequence of IEEE multiply/divide — bit-exact
+    * cross-engine. ad−bc is computed in exact long arithmetic
+    * (|ad| ≤ N², so the guard requires N < 3·10⁹ — beyond that,
+    * shard the corpus or accept double diffs); the chi² value then
+    * uses left-assoc double ops replayed identically by the oracle.
+    * Degenerate marginals (a row/col covering the whole table) carry
+    * no signal and would divide by zero — filtered.
+    *
+    * Scale shape: one corpus explode → one (w1,w2) hash agg; the two
+    * marginal tables aggregate from the PAIR table (vocab-sized, no
+    * second corpus pass); the N scalar is a 1-row collect. Ranking is
+    * TakeOrdered top-k (chi² desc, w1, w2 — a total order), never a
+    * global sort. Output: (w1, w2, n11, n1p, np1, chi2). */
+  def chiSquareCollocations(df: DataFrame, textCol: String,
+                            minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val bi = df.select(explode(tokenNgrams(tokens(col(textCol)), 2)).as("__bg"))
+      .select(split(col("__bg"), " ").getItem(0).as("w1"),
+        split(col("__bg"), " ").getItem(1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("n11"))
+    val nTot = bi.agg(coalesce(sum(col("n11")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+    require(nTot < 3000000000L,
+      s"chi2 long arithmetic bounds the bigram population at 3e9, got $nTot")
+    val left = bi.groupBy("w1").agg(sum(col("n11")).cast("long").as("n1p"))
+    val right = bi.groupBy("w2").agg(sum(col("n11")).cast("long").as("np1"))
+    val a = col("n11")
+    val d = lit(nTot) - col("n1p") - col("np1") + col("n11")
+    val b = col("n1p") - col("n11")
+    val c = col("np1") - col("n11")
+    val dif = (a * d - b * c).cast("double")
+    val den = col("n1p").cast("double") *
+      (lit(nTot) - col("n1p")).cast("double") *
+      col("np1").cast("double") *
+      (lit(nTot) - col("np1")).cast("double")
+    bi.join(left, Seq("w1")).join(right, Seq("w2"))
+      .filter(col("n11") >= minCount &&
+        col("n1p") < nTot && col("np1") < nTot)
+      .select(col("w1"), col("w2"), col("n11"), col("n1p"), col("np1"),
+        (lit(nTot.toDouble) * dif * dif / den).as("chi2"))
+      .orderBy(col("chi2").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
 }

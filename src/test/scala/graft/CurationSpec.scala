@@ -672,6 +672,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusDrift: identical snapshots are 0, disjoint vocabularies are 1") {
+    val a = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val b = Seq((2L, "x y z")).toDF("doc_id", "text")
+    val same = Curation.corpusDrift(a, b, "text").collect()(0)
+    assert(same.getDouble(5) === 0.0 && same.getLong(4) === 3L)
+    val c = Seq((3L, "p q")).toDF("doc_id", "text")
+    val disj = Curation.corpusDrift(a, c, "text").collect()(0)
+    assert(disj.getDouble(5) === 1.0 && disj.getLong(4) === 0L)
+  }
+
+  test("corpusDrift: known half-shift gives exact rational TVD") {
+    // v1 = {x,x}, v2 = {x,y}: |2*2-1*2| + |0*2-1*2| = 2+2 = 4; 4/(2*2*2) = 0.5
+    val v1 = Seq((1L, "x x")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "x y")).toDF("doc_id", "text")
+    val r = Curation.corpusDrift(v1, v2, "text").collect()(0)
+    assert(r.getDouble(5) === 0.5)
+    val movers = Curation.corpusDriftTerms(v1, v2, "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(movers.toSeq === Seq(("x", 2L), ("y", 2L))) // tie broken term asc
+  }
+
   test("temperatureShares: rejects non-sqrt-composable alpha, null keys excluded") {
     val df = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("doc_id", "source")
     intercept[IllegalArgumentException](

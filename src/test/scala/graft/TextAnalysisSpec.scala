@@ -472,6 +472,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("chiSquareCollocations: exact contingency arithmetic and ranking") {
+    import spark.implicits._
+    // same corpus as the lift spec: N=13 bigrams; (x,y) n11=3,
+    // n1p(x)=3, np1(y)=3; (a,b) n11=4, n1p(a)=4, np1(b)=5
+    val df = Seq(
+      (1L, "x y a b a b"),
+      (2L, "x y a b a b"),
+      (3L, "x y b a")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chiSquareCollocations(df, "text", minCount = 3L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // chi2(x,y): a=3 b=0 c=0 d=10, dif=30 → 13*30*30/(3*10*3*10) = 13.0
+    val (n11, n1p, np1, chi2) = got(("x", "y"))
+    assert((n11, n1p, np1) === ((3L, 3L, 3L)))
+    assert(chi2 === 13.0 * 30 * 30 / (3.0 * 10 * 3 * 10))
+    // chi2(a,b): a=4 b=0 c=1 d=8, dif=4·8−0·1=32 → 13·32²/(4·9·5·8)
+    assert(got(("a", "b"))._4 === 13.0 * 32 * 32 / (4.0 * 9 * 5 * 8))
+    assert(got(("x", "y"))._4 > got(("a", "b"))._4,
+      "the exclusive pair must outrank the promiscuous one")
+  }
+
   test("distinctiveTerms: lift arithmetic, smoothing, per-group rank ties") {
     import spark.implicits._
     val df = Seq(
