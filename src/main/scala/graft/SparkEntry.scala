@@ -1211,6 +1211,14 @@ object SparkEntry {
         minCount = 5L, topK = 50)
     }),
 
+    // ── text: vocabulary-budget coverage curve (coverage@k) ─────────
+    // Exact-integer Zipf-head audit: rank via the range-exchange
+    // globalRank, one conditional agg for every k at once.
+    "q_vocab_coverage" -> ((s, dir) => {
+      TextAnalysis.vocabCoverage(Tables(s, dir, "documents"), "text",
+        ks = Seq(100, 1000, 10000))
+    }),
+
     // ── curation: snapshot token-distribution drift (exact TVD) ─────
     // v1 = doc_id%2==0 slice, v2 = the rest — the refresh-monitoring
     // number in exact integer arithmetic (one division at the end).
@@ -3711,6 +3719,21 @@ object SparkEntry {
         |       (CAST(n1p AS DOUBLE) * CAST(nt - n1p AS DOUBLE)
         |        * CAST(np1 AS DOUBLE) * CAST(nt - np1 AS DOUBLE)) AS chi2
         |FROM j ORDER BY chi2 DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |      GROUP BY 1),
+        |r AS (SELECT c.*, row_number() OVER (ORDER BY c DESC, term) AS rank FROM c),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM r)
+        |SELECT CAST(k.k AS BIGINT) AS k,
+        |       CAST(sum(CASE WHEN r.rank <= k.k THEN r.c ELSE 0 END) AS BIGINT)
+        |         AS covered_tokens,
+        |       t.total AS total_tokens,
+        |       CAST(sum(CASE WHEN r.rank <= k.k THEN r.c ELSE 0 END) AS DOUBLE)
+        |         / CAST(t.total AS DOUBLE) AS coverage
+        |FROM r CROSS JOIN (VALUES (100), (1000), (10000)) k(k) CROSS JOIN t
+        |GROUP BY k.k, t.total""".stripMargin,
 
     "q_corpus_drift" ->
       """WITH c1 AS (SELECT unnest(string_split(text, ' ')) AS term

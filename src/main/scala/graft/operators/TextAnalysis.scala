@@ -1136,9 +1136,16 @@ object TextAnalysis {
                             minCount: Long = 5L, topK: Int = 50): DataFrame = {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val bi = df.select(explode(tokenNgrams(tokens(col(textCol)), 2)).as("__bg"))
-      .select(split(col("__bg"), " ").getItem(0).as("w1"),
-        split(col("__bg"), " ").getItem(1).as("w2"))
+    // pairs built as structs directly (element_at over the token
+    // array) — the join-into-a-gram-string-then-resplit form does the
+    // string work twice per bigram for nothing
+    val bi = df.select(tokens(col(textCol)).as("__t"))
+      .select(explode(when(size(col("__t")) >= 2,
+        transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("w1"),
+            element_at(col("__t"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("n11"))
     val nTot = bi.agg(coalesce(sum(col("n11")), lit(0L)).cast("long"))
       .collect()(0).getLong(0)
@@ -1162,5 +1169,42 @@ object TextAnalysis {
         (lit(nTot.toDouble) * dif * dif / den).as("chi2"))
       .orderBy(col("chi2").desc, col("w1").asc, col("w2").asc)
       .limit(topK)
+  }
+
+  /** Vocabulary-budget coverage curve: the fraction of all corpus
+    * token OCCURRENCES covered by the top-k most frequent terms, for
+    * each k — the audit that sizes a tokenizer vocabulary (the Zipf
+    * head covers most of the stream; the curve says where the
+    * marginal term stops paying for its embedding row). Exact
+    * integers end to end: ranking is (count desc, term asc) — a
+    * total order — via the range-exchange globalRank (never a
+    * single-partition Window over the vocabulary), and each
+    * coverage is one conditional long sum with ONE division at
+    * report time.
+    *
+    * Scale shape: one corpus explode → vocab-sized count agg;
+    * globalRank materializes the vocab relation once (its documented
+    * small-relation contract); then ONE aggregate computes every k's
+    * coverage simultaneously (no per-k pass), unpivoted to a row per
+    * k. Output: (k, covered_tokens, total_tokens, coverage). */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be positive, got $ks")
+    require(ks.distinct == ks, s"ks must be distinct, got $ks")
+    val counts = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("__c"))
+    val ranked = Curation.globalRank(counts, "__rank", 0,
+      col("__c").desc, col("term").asc)
+    val row = ranked.agg(
+      sum(col("__c")).cast("long").as("__total"),
+      ks.map(k => sum(when(col("__rank") <= k, col("__c")).otherwise(0L))
+        .cast("long").as(s"__cov$k")): _*)
+    val pairs = array(ks.map(k =>
+      struct(lit(k.toLong).as("k"), col(s"__cov$k").as("cov"))): _*)
+    row.select(explode(pairs).as("__p"), col("__total"))
+      .select(col("__p.k").as("k"), col("__p.cov").as("covered_tokens"),
+        col("__total").as("total_tokens"),
+        (col("__p.cov").cast("double") / col("__total").cast("double"))
+          .as("coverage"))
   }
 }

@@ -472,6 +472,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("vocabCoverage: exact Zipf-head fractions with rank tie-break") {
+    import spark.implicits._
+    // counts: a=4, b=2, c=1, d=1 (ties c/d break by term asc) → total 8
+    val df = Seq((1L, "a a b c"), (2L, "a a b d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(df, "text", ks = Seq(1, 2, 3))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((4L, 8L, 0.5)))
+    assert(got(2L) === ((6L, 8L, 0.75)))
+    assert(got(3L) === ((7L, 8L, 0.875))) // rank 3 = "c" (tie with d, term asc)
+  }
+
   test("chiSquareCollocations: exact contingency arithmetic and ranking") {
     import spark.implicits._
     // same corpus as the lift spec: N=13 bigrams; (x,y) n11=3,
