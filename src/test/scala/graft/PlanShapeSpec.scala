@@ -167,4 +167,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin"), s"expected broadcast plucks, got:\n$s")
     Dedup.releaseCaches()
   }
+
+  test("chiSquareCollocations: top-k is TakeOrdered, never a global sort") {
+    // the ranking claim: the only ordering in the plan is the bounded
+    // TakeOrderedAndProject over the vocab-sized scored relation — a
+    // Sort + GlobalLimit pair would mean the score table single-
+    // partition sorts at 100× vocab
+    import graft.operators.TextAnalysis
+    val docs = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = TextAnalysis.chiSquareCollocations(docs, "text", minCount = 2L, topK = 10)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"expected bounded top-k, got:\n$s")
+    assert(!s.contains("Window"), s"unexpected Window in collocation plan:\n$s")
+  }
+
+  test("vocabCoverage: no Window — rank comes from the range-exchange globalRank") {
+    // the coverage curve must never plan row_number() OVER (ORDER BY)
+    // (a single-partition sort of the vocabulary); after globalRank's
+    // checkpoint the plan is one aggregate + a constant-width explode
+    import graft.operators.TextAnalysis
+    val docs = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = TextAnalysis.vocabCoverage(docs, "text", ks = Seq(10, 100))
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Window"), s"unexpected Window in coverage plan:\n$s")
+  }
+
+  test("corpusDrift: the contrast join is vocab-sized — no corpus-grain join keys") {
+    // both sides aggregate to (term, count) BEFORE the full-outer
+    // join: a join keyed on doc_id anywhere would mean row-grain
+    // corpus movement
+    import graft.operators.Curation
+    val docs = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = Curation.corpusDrift(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0), "text")
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("hashpartitioning(doc_id"),
+      s"drift must join aggregated term counts, never doc-grain rows:\n$s")
+  }
 }
