@@ -565,6 +565,44 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    // ── streaming: chained-stateful WAU (dedup → windowed agg) ──────
+    // The CHAINED stateful pattern under the hash gate — two state
+    // stores in one query (dropDuplicates on (user, window), then the
+    // windowed count), the only multi-operator state topology the
+    // engine uses that wasn't yet driver-gated. Sliding 7-day windows
+    // anchor per day, so each (user, day) feeds 7 anchors — identical
+    // period math to the batch rollingActiveUsers (q_active_users'
+    // oracle applies VERBATIM). Sentinel batches (+30d/+60d, user −1)
+    // drive the watermark past every real window's end; sentinel
+    // windows land ≥30 periods past the last real anchor and are cut
+    // by the period bound, which is exactly the batch operator's
+    // anchor range (last active day + 6).
+    "q_stream_wau" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables(s, dir, "events")
+        .select(col("ts").cast("long"), col("user_id").cast("long"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val perBatch = math.max(1, (ev.length + 2) / 3)
+      val dayNs = 86400L * 1000000000L
+      val maxPeriod = ev.map(_._1 / dayNs).max
+      val source = MemoryStream[(Long, Long)]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val q = EventStream.activeUsers(source.toDF().toDF("ts", "user_id"),
+          widthSeconds = 86400L, windowPeriods = 7, watermark = "1 hour")
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try {
+        ev.grouped(perBatch).foreach { b =>
+          source.addData(b.toSeq); q.processAllAvailable()
+        }
+        Seq(30L, 60L).foreach { d =>
+          source.addData(Seq((ev.last._1 + d * dayNs, -1L))); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qn).filter(col("period") <= maxPeriod + 6L)
+    }),
+
     // ── streaming: within-watermark exact dedup, driver-gated ──────
     // The TTL'd dedup state path (dropDuplicatesWithinWatermark)
     // under the hash gate: every 5th event of each micro-batch is
@@ -1200,6 +1238,29 @@ object SparkEntry {
     // oracle's list_reduce over the same ordered list.
     "q_temp_mix" -> ((s, dir) => {
       Curation.temperatureShares(Tables(s, dir, "documents"), "source", alpha = 0.5)
+    }),
+
+    // ── OLAP: small-quantity orders vs per-part average (Q17 shape) ─
+    // The correlated-scalar-subquery pattern ("rows under 20% of
+    // their own group's average"), decorrelated Catalyst-style into a
+    // per-key aggregate + equi-join — never a per-row re-scan. The
+    // filtered dim broadcasts into both the fact scan and the
+    // aggregate. Exactness: l_quantity is integer-valued (sum exact
+    // in any order), the revenue sum runs in cents (the fixed-point
+    // trick), avg and the 0.2 threshold are single fixed-order IEEE
+    // ops.
+    "q17_smallqty" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val pk = Tables(s, dir, "part").filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey"))
+      val fact = li.join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      val avgq = fact.groupBy(col("l_partkey").as("__pk"))
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      fact.join(avgq, col("l_partkey") === col("__pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(count(lit(1)).cast("long").as("n_small"),
+          (sum(round(col("l_extendedprice") * 100)).cast("double") / 100.0 / 7.0)
+            .as("avg_yearly"))
     }),
 
     // ── text: chi-square bigram collocations (MWE mining) ───────────
@@ -3266,6 +3327,15 @@ object SparkEntry {
     "q_stream_dedup_wm" ->
       "SELECT event_id, event_type FROM events",
 
+    // verbatim q_active_users oracle: the streaming sliding windows
+    // anchor at the same trailing periods the batch explode emits
+    "q_stream_wau" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS p FROM events
+        |),
+        |w AS (SELECT DISTINCT u, p + d AS period FROM active CROSS JOIN range(0, 7) t(d))
+        |SELECT period, count(*) AS n_active FROM w GROUP BY 1""".stripMargin,
+
     // islands with the session_window boundary rule: a gap of exactly
     // the 30-min threshold STARTS a new session (>=, strict-overlap
     // merge), unlike q_sessions' batch > semantics; bounds floor to
@@ -3719,6 +3789,19 @@ object SparkEntry {
         |       (CAST(n1p AS DOUBLE) * CAST(nt - n1p AS DOUBLE)
         |        * CAST(np1 AS DOUBLE) * CAST(nt - np1 AS DOUBLE)) AS chi2
         |FROM j ORDER BY chi2 DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q17_smallqty" ->
+      """WITH f AS (
+        |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#1'),
+        |a AS (SELECT l_partkey AS pk, sum(l_quantity) / count(*) AS avg_qty
+        |      FROM f GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |       CAST(sum(round(f.l_extendedprice * 100)) AS DOUBLE) / 100.0 / 7.0
+        |         AS avg_yearly
+        |FROM f JOIN a ON f.l_partkey = a.pk
+        |WHERE f.l_quantity < 0.2 * a.avg_qty""".stripMargin,
 
     "q_vocab_coverage" ->
       """WITH c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
