@@ -1229,6 +1229,24 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("epoch"))
     }),
 
+    // ── curation: snapshot merge-upsert with provenance actions ─────
+    // The apply side of q_snapshot_diff: current (doc_id%4≠3) merged
+    // with an incoming batch (odd ids, text revised when id%3=0) —
+    // incoming wins collisions, current-only rows are kept, actions
+    // label every row (inserted/updated/unchanged/kept) so
+    // incremental consumers can skip no-ops.
+    "q_merge_upsert" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val current = docs.filter(col("doc_id") % 4 =!= 3)
+        .select(col("doc_id"), col("text"), col("source"))
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(lit("v2 "), col("text")))
+            .otherwise(col("text")).as("text"),
+          col("source"))
+      Curation.mergeSnapshot(current, incoming, "doc_id", Seq("text", "source"))
+    }),
+
     // ── curation: temperature-scaled mixture plan (share ∝ n^0.5) ───
     // The multilingual-sampling rule as a planning table: natural vs
     // temperature-flattened share per source + the epoch multiplier
@@ -1847,6 +1865,14 @@ object SparkEntry {
     // ── events: per-user inter-arrival cadence profile ──────────────
     "q_inter_arrival" -> ((s, dir) => {
       Events.interArrivalStats(Tables(s, dir, "events"))
+    }),
+
+    // ── events: per-type z-score standardization (exact cents form) ─
+    // z = (c·n − Σc)/√(n·Σc² − (Σc)²) — exact long numerators, one
+    // sqrt, one division; the order-dependent FP-moment pitfall of
+    // the textbook (x−μ)/σ never appears.
+    "q_zscore" -> ((s, dir) => {
+      Events.zscoreByKey(Tables(s, dir, "events"), "event_id", "event_type", "value")
     }),
 
     // ── text: per-doc lexical concentration (Simpson family) ────────
@@ -3789,6 +3815,35 @@ object SparkEntry {
         |       (CAST(n1p AS DOUBLE) * CAST(nt - n1p AS DOUBLE)
         |        * CAST(np1 AS DOUBLE) * CAST(nt - np1 AS DOUBLE)) AS chi2
         |FROM j ORDER BY chi2 DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH cur AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 4 <> 3),
+        |inc AS (SELECT doc_id,
+        |               CASE WHEN doc_id % 3 = 0 THEN concat('v2 ', text)
+        |                    ELSE text END AS text,
+        |               source
+        |        FROM documents WHERE doc_id % 2 = 1)
+        |SELECT coalesce(i.doc_id, c.doc_id) AS doc_id,
+        |       coalesce(i.text, c.text) AS text,
+        |       coalesce(i.source, c.source) AS source,
+        |       CASE WHEN c.doc_id IS NULL THEN 'inserted'
+        |            WHEN i.doc_id IS NULL THEN 'kept'
+        |            WHEN c.text <> i.text OR c.source <> i.source THEN 'updated'
+        |            ELSE 'unchanged' END AS action
+        |FROM cur c FULL OUTER JOIN inc i ON c.doc_id = i.doc_id""".stripMargin,
+
+    "q_zscore" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(c) AS BIGINT) AS s,
+        |             CAST(sum(c * c) AS BIGINT) AS ss
+        |      FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       CASE WHEN m.n > 1 AND m.n * m.ss - m.s * m.s > 0
+        |            THEN CAST(e.c * m.n - m.s AS DOUBLE)
+        |                 / sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE)) END AS z
+        |FROM e JOIN m USING (event_type)""".stripMargin,
 
     "q17_smallqty" ->
       """WITH f AS (

@@ -596,6 +596,39 @@ object Curation {
       .select(col(idCol), col("status"))
   }
 
+  /** Apply side of snapshotDiff: materialize the MERGED corpus from a
+    * current table and an incoming batch — incoming rows win on id
+    * collision (upsert), current-only rows survive (no implicit
+    * deletes: removal is a curation decision, not a merge side
+    * effect), and every output row carries its provenance action
+    * (inserted / updated / unchanged), decided by the same content
+    * hash snapshotDiff uses — a re-sent identical row is `unchanged`,
+    * not a spurious update, which is what makes downstream
+    * incremental consumers (dedup indices, embedding caches) able to
+    * skip no-op rows.
+    *
+    * Scale shape: ONE full-outer join on the id (both sides shuffle
+    * once on the same key; AQE broadcasts a small batch side), all
+    * columns resolved via coalesce — no second pass, no window.
+    * Output: valueCols resolved to the winner + (idCol, action). */
+  def mergeSnapshot(current: DataFrame, incoming: DataFrame, idCol: String,
+                    valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "mergeSnapshot needs at least one value column")
+    val cur = current.select(col(idCol) +: lit(1).as("__curp") +:
+      Dedup.contentHash(valueCols.map(col): _*).as("__ch") +:
+      valueCols.map(c => col(c).as(s"__cur_$c")): _*)
+    val inc = incoming.select(col(idCol) +: lit(1).as("__incp") +:
+      Dedup.contentHash(valueCols.map(col): _*).as("__ih") +:
+      valueCols.map(c => col(c).as(s"__inc_$c")): _*)
+    cur.join(inc, Seq(idCol), "full_outer")
+      .select(col(idCol) +:
+        valueCols.map(c => coalesce(col(s"__inc_$c"), col(s"__cur_$c")).as(c)) :+
+        when(col("__curp").isNull, lit("inserted"))
+          .when(col("__incp").isNull, lit("kept"))
+          .when(col("__ch") =!= col("__ih"), lit("updated"))
+          .otherwise(lit("unchanged")).as("action"): _*)
+  }
+
   /** Exact n-gram decontamination — the 13-gram standard of GPT-3
     * appendix C / PaLM-style eval hygiene (public papers): corpus
     * documents sharing at least minShared exact word n-grams with ANY

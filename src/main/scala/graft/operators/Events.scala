@@ -401,6 +401,49 @@ object Events {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))
 
+  /** Per-key z-score standardization of a money-like double column —
+    * the feature-engineering normalizer ("how unusual is this
+    * purchase for its event type"), bit-exact cross-engine where the
+    * textbook (x−μ)/σ is not (distributed FP sums of squares are
+    * order-dependent; so is a two-pass mean-then-variance).
+    *
+    * The exactness trick: work in integer cents c = round(100·x).
+    * Per key, Σc, Σc² and n are EXACT longs (integer addition is
+    * order-free), and the population z-score algebra collapses to
+    * integer numerators: z = (c·n − Σc) / √(n·Σc² − (Σc)²) — two
+    * exact long operands, one correctly-rounded sqrt, one IEEE
+    * division. Degenerate keys (σ = 0 or n = 1) yield NULL, not a
+    * division blow-up. Long bounds: n·Σc² ≤ n²·max(c)² must stay
+    * under 2⁶³ — loudly guarded (≈ 30M rows/key at $1000 values;
+    * shard beyond that).
+    *
+    * Scale shape: one partial-agg shuffle on the key for the moment
+    * table (3 longs per key), broadcast back over the scan — the
+    * corpus never re-shuffles. Output: input id/key/value + z. */
+  def zscoreByKey(df: DataFrame, idCol: String, keyCol: String,
+                  valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val moments = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(cents).cast("long").as("__s"),
+        sum(cents * cents).cast("long").as("__ss"))
+    val guard = moments.agg(max(col("__n")).cast("long"),
+      max(abs(col("__s"))).cast("long"), max(col("__ss")).cast("long")).collect()(0)
+    if (!guard.isNullAt(0)) {
+      val (mn, ms, mss) = (guard.getLong(0), guard.getLong(1), guard.getLong(2))
+      require(mss <= Long.MaxValue / math.max(mn, 1L) && ms <= 3000000000L,
+        s"zscoreByKey long arithmetic overflow risk (n=$mn, |sum|=$ms, sumsq=$mss) — " +
+          "shard the key space or rescale the value column")
+    }
+    val varNum = col("__n") * col("__ss") - col("__s") * col("__s")
+    df.select(col(idCol), col(keyCol), col(valueCol), cents.as("__c"))
+      .join(broadcast(moments), Seq(keyCol))
+      .select(col(idCol), col(keyCol), col(valueCol),
+        when(col("__n") > 1L && varNum > 0L,
+          (col("__c") * col("__n") - col("__s")).cast("double")
+            / sqrt(varNum.cast("double"))).as("z"))
+  }
+
   private val DayNanos = 86400L * 1000000000L
 
   /** Trailing N-day rolling activity per user: for each ACTIVE

@@ -672,6 +672,19 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeSnapshot: incoming wins, current-only kept, actions label no-ops") {
+    val cur = Seq((1L, "old", "s1"), (2L, "same", "s1"), (3L, "solo", "s2"))
+      .toDF("doc_id", "text", "source")
+    val inc = Seq((1L, "new", "s1"), (2L, "same", "s1"), (9L, "fresh", "s3"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.mergeSnapshot(cur, inc, "doc_id", Seq("text", "source"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(3)))).toMap
+    assert(got(1L) === (("new", "updated")))
+    assert(got(2L) === (("same", "unchanged")))
+    assert(got(3L) === (("solo", "kept")))
+    assert(got(9L) === (("fresh", "inserted")))
+  }
+
   test("corpusDrift: identical snapshots are 0, disjoint vocabularies are 1") {
     val a = Seq((1L, "x y z")).toDF("doc_id", "text")
     val b = Seq((2L, "x y z")).toDF("doc_id", "text")

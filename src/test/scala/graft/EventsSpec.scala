@@ -229,4 +229,24 @@ class EventsSpec extends AnyFunSuite {
     assert(got("click") === ((2L, 42L, 10L, 32L)))
     assert(got("view") === ((1L, 7L, 7L, 7L)))
   }
+
+  test("zscoreByKey: exact integer-cents algebra, degenerate keys NULL") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // key a: values 1.00, 2.00, 3.00 → cents 100/200/300, n=3, s=600,
+    // ss=140000 → varNum = 3·140000 − 360000 = 60000
+    // z(1.00) = (100·3 − 600)/√60000 = −300/√60000
+    val in = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 5.0), (5L, "c", 7.0), (6L, "c", 7.0))
+      .toDF("event_id", "event_type", "value")
+    val got = Events.zscoreByKey(in, "event_id", "event_type", "value")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L) === Some(-300.0 / math.sqrt(60000.0)))
+    assert(got(2L) === Some(0.0))
+    assert(got(3L) === Some(300.0 / math.sqrt(60000.0)))
+    assert(got(4L) === None, "n=1 key must yield NULL, not a blow-up")
+    assert(got(5L) === None, "zero-variance key must yield NULL")
+  }
 }
