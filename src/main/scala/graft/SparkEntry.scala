@@ -565,6 +565,37 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    // ── streaming: running per-user totals, driver-gated ────────────
+    // The custom-keyed-state running aggregate (mapGroupsWithState,
+    // two longs per user, exact cents) — EventStream's last ungated
+    // transform. Update-mode sink accumulates one row per (user,
+    // batch); totals only grow, so max n_events (after distinct)
+    // selects each user's final state — the same final-state
+    // selection contract q_stream_kmv uses. Sum order can't matter:
+    // the fold adds exact integer cents.
+    "q_stream_totals" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id").cast("long"), col("user_id").cast("long"), col("value"))
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      val perBatch = math.max(1, (ev.length + 2) / 3)
+      val source = MemoryStream[(Long, Long, Double)]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val q = EventStream.runningUserTotals(
+          source.toDF().toDF("event_id", "user_id", "value"))
+        .writeStream.format("memory").queryName(qn).outputMode("update").start()
+      try ev.grouped(perBatch).foreach { b =>
+        source.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      s.table(qn).distinct()
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("user_id"), col("n_events"), col("sum_cents"))
+    }),
+
     // ── streaming: chained-stateful WAU (dedup → windowed agg) ──────
     // The CHAINED stateful pattern under the hash gate — two state
     // stores in one query (dropDuplicates on (user, window), then the
@@ -3352,6 +3383,11 @@ object SparkEntry {
     // within-watermark dedup must reproduce the distinct base table
     "q_stream_dedup_wm" ->
       "SELECT event_id, event_type FROM events",
+
+    "q_stream_totals" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(round(value * 100)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
 
     // verbatim q_active_users oracle: the streaming sliding windows
     // anchor at the same trailing periods the batch explode emits
