@@ -567,7 +567,7 @@ object Curation {
     require(keyCols.nonEmpty, "keepBestPerKey needs at least one key column")
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"idCol '$idCol' must be numeric — the tie-break negates it")
-    val all = df.columns.map(col)
+    val all = df.columns.toIndexedSeq.map(col)
     df.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(all: _*), struct(col(scoreCol), -col(idCol))).as("__best"))
       .select(col("__best.*"))

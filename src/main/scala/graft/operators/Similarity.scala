@@ -84,7 +84,7 @@ object Similarity {
   /** Signature bucket of one table: b sign bits of dot(x, h_i) as a
     * '0'/'1' string, bit order ascending. */
   private def bucketCol(vec: Column, planes: Array[Array[Double]]): Column =
-    concat(planes.map { h =>
+    concat(planes.toIndexedSeq.map { h =>
       when(VectorOps.dot(vec, typedlit(h.toSeq)) >= 0.0, lit("1")).otherwise(lit("0"))
     }: _*)
 

@@ -51,7 +51,7 @@ object TemporalJoins {
     val leftCols = left.columns
     val l = left.select(col(keyCol), col(leftTsCol).as("__ts"),
       lit(1).as("__side"), lit(Long.MaxValue).as("__tie"),
-      struct(leftCols.filterNot(_ == keyCol).map(col): _*).as("__lrow"))
+      struct(leftCols.toIndexedSeq.filterNot(_ == keyCol).map(col): _*).as("__lrow"))
     val r = right.select(col(keyCol), col(rightTsCol).as("__ts"),
       lit(0).as("__side"), col(rightTieCol).cast("long").as("__tie"),
       struct(valueCols.map(col): _*).as("__vals"))
@@ -61,7 +61,7 @@ object TemporalJoins {
     unioned
       .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(c =>
+      .select(leftCols.toIndexedSeq.map(c =>
         (if (c == keyCol) col(c) else col("__lrow").getField(c)).as(c)) ++
         valueCols.map(c => col("__vals").getField(c).as(c)): _*)
   }
