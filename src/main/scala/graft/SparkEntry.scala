@@ -1260,6 +1260,19 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("epoch"))
     }),
 
+    // ── curation: distribution matching (rejection to a reference) ──
+    // The largest even-id subsample whose length-bin histogram
+    // matches the odd-id slice's — λ = min(s_i/t_i) scales the
+    // reference histogram, per-bin rates keep (t_i·λ)/s_i by id hash.
+    "q_dist_match" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("bin", expr("n_chars DIV 200"))
+      Curation.matchDistribution(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "bin")
+        .select(col("doc_id"), col("bin"))
+    }),
+
     // ── curation: snapshot merge-upsert with provenance actions ─────
     // The apply side of q_snapshot_diff: current (doc_id%4≠3) merged
     // with an incoming batch (odd ids, text revised when id%3=0) —
@@ -3851,6 +3864,24 @@ object SparkEntry {
         |       (CAST(n1p AS DOUBLE) * CAST(nt - n1p AS DOUBLE)
         |        * CAST(np1 AS DOUBLE) * CAST(nt - np1 AS DOUBLE)) AS chi2
         |FROM j ORDER BY chi2 DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q_dist_match" ->
+      """WITH srcd AS (SELECT doc_id, n_chars // 200 AS bin FROM documents
+        |              WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        |refd AS (SELECT n_chars // 200 AS bin FROM documents
+        |         WHERE doc_id % 2 <> 0 AND n_chars IS NOT NULL),
+        |s AS (SELECT bin, CAST(count(*) AS BIGINT) AS sn FROM srcd GROUP BY 1),
+        |t AS (SELECT bin, CAST(count(*) AS BIGINT) AS tn FROM refd GROUP BY 1),
+        |l AS (SELECT min(CAST(coalesce(s.sn, 0) AS DOUBLE) / CAST(t.tn AS DOUBLE)) AS lam
+        |      FROM t LEFT JOIN s USING (bin)),
+        |r AS (SELECT t.bin,
+        |             least(CAST(1.0 AS DOUBLE),
+        |                   CAST(t.tn AS DOUBLE) * l.lam / CAST(s.sn AS DOUBLE)) AS rate
+        |      FROM t JOIN s USING (bin) CROSS JOIN l)
+        |SELECT d.doc_id, d.bin
+        |FROM srcd d JOIN r USING (bin)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 < r.rate""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH cur AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 4 <> 3),

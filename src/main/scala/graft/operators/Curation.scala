@@ -1273,6 +1273,49 @@ object Curation {
       (twCol * lit(tmax) / col("n_docs").cast("double")).as("epochs"))
   }
 
+  /** Distribution matching by deterministic rejection sampling: the
+    * LARGEST subsample of `src` whose binCol distribution exactly
+    * matches `ref`'s (in expectation) — the domain-adaptation /
+    * "make the web slice look like the curated slice" curation move.
+    * With source bin counts s_i and reference counts t_i, the scale
+    * λ = min over reference bins of s_i/t_i is the biggest multiple
+    * of the reference histogram the source can supply; each bin then
+    * keeps rate_i = (t_i·λ)/s_i of its rows by the id-hash rule
+    * (rerun- and repartition-stable, nested across rate changes).
+    * Bins the reference lacks drop entirely (rate 0); a reference
+    * bin the source can't populate at all drives λ to 0 — an honest
+    * "unmatchable", surfaced loudly rather than silently skewed.
+    *
+    * Exactness: s_i/t_i is one IEEE division of exact longs per bin,
+    * min is order-free, rate_i is a fixed (t·λ)/s sequence, and the
+    * acceptance compares the md5 unit hash — all bit-replayable in
+    * SQL. Scale shape: two bin-sized count aggs (k-bounded collect,
+    * the centroid-step posture), rates return as a plan-literal CASE
+    * over the bin column, ONE filter pass over src — no join, no
+    * shuffle. Output: src rows that survive, plus their bin. */
+  def matchDistribution(src: DataFrame, ref: DataFrame, idCol: String,
+                        binCol: String): DataFrame = {
+    def binCounts(df: DataFrame) = df.filter(col(binCol).isNotNull)
+      .groupBy(col(binCol).cast("long").as("__b"))
+      .agg(count(lit(1)).cast("long").as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s = binCounts(src)
+    val t = binCounts(ref)
+    require(t.nonEmpty, "matchDistribution: reference has no binned rows")
+    val lambda = t.keys.map(b => s.getOrElse(b, 0L).toDouble / t(b).toDouble).min
+    require(lambda > 0.0,
+      s"matchDistribution: reference bins ${t.keySet -- s.keySet} are empty in " +
+        "the source — the distribution is unmatchable; widen the bins or trim the reference")
+    val rates = t.keys.map { b =>
+      b -> math.min(1.0, t(b).toDouble * lambda / s(b).toDouble)
+    }.toMap
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (b, r)) =>
+      when(col(binCol).cast("long") === b, lit(r)).otherwise(acc)
+    }
+    src.filter(col(binCol).isNotNull)
+      .filter(Sampling.hashUnit(col(idCol)) < rateCol)
+  }
+
   /** Shared (term, c1, c2) contrast table behind the corpus-drift
     * family: per-token counts in each snapshot, full-outer aligned,
     * absent terms as exact zero. One explode + hash agg per side,

@@ -672,6 +672,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("matchDistribution: binding bin keeps all, surplus bins thin, unmatchable throws") {
+    // src bins: {0: 4 rows, 1: 2 rows}; ref bins: {0: 1, 1: 1}
+    // λ = min(4/1, 2/1) = 2 → rate(bin 0) = 1·2/4 = 0.5, rate(bin 1) = 1·2/2 = 1.0
+    // bin-0 ids chosen so their md5 unit hashes straddle 0.5
+    // (hashUnit: 6→0.088, 9→0.273 keep; 3→0.925, 5→0.894 drop)
+    val src = Seq((3L, 0L), (5L, 0L), (6L, 0L), (9L, 0L), (10L, 1L), (11L, 1L))
+      .toDF("doc_id", "bin")
+    val ref = Seq((100L, 0L), (101L, 1L)).toDF("doc_id", "bin")
+    val got = Curation.matchDistribution(src, ref, "doc_id", "bin")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got === Set(6L, 9L, 10L, 11L),
+      "rate-1.0 bin keeps all; the 0.5-rate bin keeps exactly the under-0.5 hashes")
+    val again = Curation.matchDistribution(src, ref, "doc_id", "bin")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got === again, "id-hash acceptance must be rerun-stable")
+    // a reference bin absent from the source is unmatchable
+    val badRef = Seq((200L, 7L)).toDF("doc_id", "bin")
+    intercept[IllegalArgumentException](
+      Curation.matchDistribution(src, badRef, "doc_id", "bin"))
+  }
+
   test("mergeSnapshot: incoming wins, current-only kept, actions label no-ops") {
     val cur = Seq((1L, "old", "s1"), (2L, "same", "s1"), (3L, "solo", "s2"))
       .toDF("doc_id", "text", "source")
