@@ -168,6 +168,36 @@ class PlanShapeSpec extends AnyFunSuite {
     Dedup.releaseCaches()
   }
 
+  test("zscoreByKey: moment table broadcasts — the corpus never re-shuffles") {
+    // the scale claim: one partial-agg shuffle builds the 3-longs-per-
+    // key moment table; scoring joins it back as a BROADCAST, so a
+    // SortMergeJoin (= a second corpus shuffle) must never appear
+    import graft.operators.Events
+    val ev = TestSpark.spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+    val df = Events.zscoreByKey(ev, "event_id", "event_type", "value")
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast moments, got:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"zscore must not re-shuffle the corpus for the join:\n$s")
+  }
+
+  test("matchDistribution: rates are plan literals — no join in the filter pass") {
+    // the scale claim: per-bin rates return as a CASE literal chain,
+    // so the data-sized work is ONE filter over src — zero joins
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("bin", expr("n_chars DIV 200"))
+    val df = Curation.matchDistribution(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "bin")
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Join"), s"the acceptance pass must be join-free:\n$s")
+  }
+
   test("chiSquareCollocations: top-k is TakeOrdered, never a global sort") {
     // the ranking claim: the only ordering in the plan is the bounded
     // TakeOrderedAndProject over the vocab-sized scored relation — a
