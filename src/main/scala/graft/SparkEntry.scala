@@ -565,6 +565,45 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    // ── streaming: stream-stream attribution join, driver-gated ─────
+    // The last streaming topology under the hash gate: BOTH sides
+    // unbounded (clicks ⋈ purchases on user + a 5-minute event-time
+    // band), watermark-bounded buffer state on each. Inner-join
+    // append emits pairs as both sides arrive; feeding the two
+    // time-sorted feeds in aligned chunks means every match is
+    // present by the final batch — the pair set equals the batch
+    // range join, which is the oracle.
+    "q_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id").cast("long"), col("ts").cast("long"),
+          col("user_id").cast("long"), col("event_type"))
+        .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+      val clicks = ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3))
+      val purchases = ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
+      val nb = 3
+      def chunks(a: Array[(Long, Long, Long)]) = {
+        val per = math.max(1, (a.length + nb - 1) / nb)
+        a.grouped(per).toSeq.padTo(nb, Array.empty[(Long, Long, Long)])
+      }
+      val cSrc = MemoryStream[(Long, Long, Long)]
+      val pSrc = MemoryStream[(Long, Long, Long)]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val q = EventStream.attributionJoin(
+          cSrc.toDF().toDF("event_id", "ts", "user_id"),
+          pSrc.toDF().toDF("event_id", "ts", "user_id"),
+          windowMicros = 300000000L, watermark = "10 minutes")
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try chunks(clicks).zip(chunks(purchases)).foreach { case (cb, pb) =>
+        if (cb.nonEmpty) cSrc.addData(cb.toSeq)
+        if (pb.nonEmpty) pSrc.addData(pb.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+    }),
+
     // ── streaming: running per-user totals, driver-gated ────────────
     // The custom-keyed-state running aggregate (mapGroupsWithState,
     // two longs per user, exact cents) — EventStream's last ungated
@@ -3396,6 +3435,17 @@ object SparkEntry {
     // within-watermark dedup must reproduce the distinct base table
     "q_stream_dedup_wm" ->
       "SELECT event_id, event_type FROM events",
+
+    // the batch range-join pair set: click within [purchase − 5 min,
+    // purchase] on the same user, exact-µs band on both engines
+    "q_stream_join" ->
+      """WITH c AS (SELECT event_id AS c_id, user_id, epoch_us(ts) AS cus
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS pus
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.p_id, c.c_id
+        |FROM c JOIN p USING (user_id)
+        |WHERE c.cus >= p.pus - 300000000 AND c.cus <= p.pus""".stripMargin,
 
     "q_stream_totals" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

@@ -69,6 +69,35 @@ object EventStream {
         col("n_active"))
   }
 
+  /** Stream-stream attribution join: click events matched to the
+    * purchases they precede within `windowMicros` — the streaming
+    * form of the batch range join (TemporalJoins.rangeJoin via
+    * q_range_attrib). Both sides carry watermarks and the join
+    * condition bounds the two event times against each other, which
+    * is exactly what lets Spark evict buffered rows once the
+    * opposite watermark passes their match horizon — state is
+    * arrival-rate × horizon, never stream length. Inner join in
+    * append mode emits each matched pair exactly once, as soon as
+    * both sides have arrived (no watermark wait on output — only
+    * eviction waits). Timestamps are µs-floored by the shared
+    * ingress contract, so an exact-µs SQL oracle replays the pair
+    * set. Output: (p_id, c_id). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      windowMicros: Long = 300000000L,
+                      watermark: String = "10 minutes"): DataFrame = {
+    require(windowMicros > 0, s"windowMicros must be positive, got $windowMicros")
+    val c = clicks.select(col("event_id").as("c_id"), col("user_id"),
+        Events.tsFromNanos(col("ts")).as("c_ets"))
+      .withWatermark("c_ets", watermark)
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id").as("__pu"),
+        Events.tsFromNanos(col("ts")).as("p_ets"))
+      .withWatermark("p_ets", watermark)
+    c.join(p, col("user_id") === col("__pu") &&
+        col("c_ets") >= col("p_ets") - expr(s"INTERVAL $windowMicros MICROSECOND") &&
+        col("c_ets") <= col("p_ets"))
+      .select(col("p_id"), col("c_id"))
+  }
+
   final case class UserRunning(user_id: Long, n_events: Long, sum_cents: Long)
 
   /** Custom keyed state: running per-user totals via
