@@ -1950,6 +1950,18 @@ object SparkEntry {
       Events.interArrivalStats(Tables(s, dir, "events"))
     }),
 
+    // ── events: per-user activity pivot (long → wide) ───────────────
+    // The relational PIVOT with an EXPLICIT value list (open-ended
+    // pivot would scan once just to discover columns — and make the
+    // output schema data-dependent, which no gate could pin). One
+    // hash aggregate; each cell is an exact conditional count.
+    "q_pivot" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count().na.fill(0L)
+    }),
+
     // ── events: per-type z-score standardization (exact cents form) ─
     // z = (c·n − Σc)/√(n·Σc² − (Σc)²) — exact long numerators, one
     // sqrt, one division; the order-dependent FP-moment pitfall of
@@ -3948,6 +3960,15 @@ object SparkEntry {
         |            WHEN c.text <> i.text OR c.source <> i.source THEN 'updated'
         |            ELSE 'unchanged' END AS action
         |FROM cur c FULL OUTER JOIN inc i ON c.doc_id = i.doc_id""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_zscore" ->
       """WITH e AS (SELECT event_id, event_type, value,
