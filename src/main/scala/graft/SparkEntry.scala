@@ -1962,6 +1962,21 @@ object SparkEntry {
         .count().na.fill(0L)
     }),
 
+    // ── OLAP: unpivot (wide → long melt) + per-measure profile ──────
+    // The inverse of q_pivot: lineitem's four value columns melt to
+    // (measure, value) rows — the tidy form feeding generic per-
+    // metric profiling. Cents-exact sums per measure.
+    "q_unpivot" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .groupBy("measure")
+        .agg(count(lit(1)).cast("long").as("n"),
+          (sum(round(col("value") * 100)).cast("double") / 100.0).as("total"))
+    }),
+
     // ── events: per-type z-score standardization (exact cents form) ─
     // z = (c·n − Σc)/√(n·Σc² − (Σc)²) — exact long numerators, one
     // sqrt, one division; the order-dependent FP-moment pitfall of
@@ -3960,6 +3975,16 @@ object SparkEntry {
         |            WHEN c.text <> i.text OR c.source <> i.source THEN 'updated'
         |            ELSE 'unchanged' END AS action
         |FROM cur c FULL OUTER JOIN inc i ON c.doc_id = i.doc_id""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(round(value * 100)) AS DOUBLE) / 100.0 AS total
+        |FROM u GROUP BY 1""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,
