@@ -1919,6 +1919,24 @@ object SparkEntry {
       Events.lagFeatures(Tables(s, dir, "events"))
     }),
 
+    // ── events: funnel conversion-latency percentiles ───────────────
+    // Time-to-convert (first click → first subsequent purchase) as
+    // exact type-7 quantiles — the product-latency twin of q_funnel's
+    // counts, composed from the funnel's first-reach rule and the
+    // range-exchange quantile machinery (no global window).
+    "q_funnel_latency" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("user_id"),
+        col("event_type"), Events.epochMicros(col("ts")).as("ts_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts_us").as("c_t"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_us") > col("c_t"))
+        .groupBy("user_id", "c_t").agg(min("ts_us").as("p_t"))
+      val gaps = p.select(lit("all").as("seg"),
+        (col("p_t") - col("c_t")).cast("double").as("gap_us"))
+      Curation.quantilesByKey(gaps, "seg", "gap_us", Seq(0.5, 0.9, 0.99))
+    }),
+
     // ── graph: label-propagation communities (2 sync rounds) ────────
     "q_label_prop" -> ((s, dir) => {
       val pairs = nearDupPairs05(s, dir).select("id1", "id2")
@@ -4960,6 +4978,32 @@ object SparkEntry {
         |  FROM spec
         |)
         |SELECT s.k AS source, s.p, rl.v + s.frac * (rh.v - rl.v) AS q, s.m AS m
+        |FROM spec2 s JOIN r rl ON rl.k = s.k AND rl.r = s.lo
+        |             JOIN r rh ON rh.k = s.k AND rh.r = s.hi""".stripMargin,
+
+    "q_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |c AS (SELECT user_id, min(ts_us) AS c_t FROM e
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |pp AS (SELECT e.user_id, c.c_t, min(e.ts_us) AS p_t
+        |       FROM e JOIN c USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts_us > c.c_t
+        |       GROUP BY e.user_id, c.c_t),
+        |v AS (SELECT 'all' AS k, CAST(p_t - c_t AS DOUBLE) AS v FROM pp),
+        |r AS (SELECT k, v,
+        |             CAST(row_number() OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS r
+        |      FROM v),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS m FROM v GROUP BY k),
+        |ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |                      CAST(0.99 AS DOUBLE)]) AS p),
+        |spec AS (SELECT k, p, m, CAST(m - 1 AS DOUBLE) * p + 1 AS h
+        |         FROM m CROSS JOIN ps),
+        |spec2 AS (
+        |  SELECT k, p, m, CAST(floor(h) AS BIGINT) AS lo,
+        |         least(CAST(floor(h) AS BIGINT) + 1, m) AS hi, h - floor(h) AS frac
+        |  FROM spec
+        |)
+        |SELECT s.k AS seg, s.p, rl.v + s.frac * (rh.v - rl.v) AS q, s.m AS m
         |FROM spec2 s JOIN r rl ON rl.k = s.k AND rl.r = s.lo
         |             JOIN r rh ON rh.k = s.k AND rh.r = s.hi""".stripMargin,
 
