@@ -1249,6 +1249,10 @@ object Curation {
         s"alpha must be one of 1.0/0.5/0.25 (sqrt-composable — general pow " +
           s"is not cross-engine bit-exact), got $a")
     }
+    require(df.schema(keyCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"temperatureShares: keyCol '$keyCol' must be string (the sorted-fold " +
+        "order contract is UTF-8 bytes; cast numeric keys explicitly)")
     val counts = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).cast("long").as("n_docs"))
     val cmap = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1295,9 +1299,10 @@ object Curation {
     * shuffle. Output: src rows that survive, plus their bin. */
   def matchDistribution(src: DataFrame, ref: DataFrame, idCol: String,
                         binCol: String): DataFrame = {
-    def binCounts(df: DataFrame) = df.filter(col(binCol).isNotNull)
-      .groupBy(col(binCol).cast("long").as("__b"))
-      .agg(count(lit(1)).cast("long").as("__n"))
+    def binCounts(df: DataFrame) = df
+      .select(col(binCol).cast("long").as("__b"))
+      .filter(col("__b").isNotNull) // post-cast: a non-numeric bin must drop, not NPE
+      .groupBy(col("__b")).agg(count(lit(1)).cast("long").as("__n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val s = binCounts(src)
     val t = binCounts(ref)
