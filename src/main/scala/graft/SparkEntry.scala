@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{ClusterMetrics, Curation, Dedup, Events, Graph, KMeans, Multimodal, PCA, Sampling, Similarity, TemporalJoins, TextAnalysis, Tokenizer}
@@ -93,7 +94,7 @@ object SparkEntry {
   private val pairFixtureQueries: Set[String] = Set(
     "q_components", "q_components_star", "q_pagerank", "q_degree_hist",
     "q_triangles", "q_kcore", "q_assortativity", "q_label_prop",
-    "q_leakage", "q_split_clean")
+    "q_leakage", "q_split_clean", "q_bfs_dist")
   private val bpeFixtureQueries: Set[String] = Set(
     "q_bpe_encode", "q_bpe_compression")
   val sharedFixtureQueries: Set[String] = pairFixtureQueries ++ bpeFixtureQueries
@@ -1735,6 +1736,100 @@ object SparkEntry {
           when(col("__g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("rf"),
           when(col("__g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("ls"),
           col("sum_qty"), col("n"))
+    }),
+
+    // ── relational baseline: CUBE over a join (all grouping sets) ───
+    // All four grouping sets of (returnflag, orderpriority) in ONE
+    // pass over the joined fact — Spark expands the sets before the
+    // exchange (one shuffle), and the join key side is the orders dim
+    // projected to two columns. Subtotals labelled via grouping(),
+    // same NULL-safety rationale as q_rollup.
+    "q_cube" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .cube(col("l_returnflag"), col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("__g_rf"),
+          grouping(col("o_orderpriority")).as("__g_pr"))
+        .select(
+          when(col("__g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("rf"),
+          when(col("__g_pr") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("pri"),
+          col("sum_qty"), col("n"))
+    }),
+
+    // ── relational baseline: per-language difficulty deciles ────────
+    // ntile + percent_rank + cume_dist over a PARTITIONED window with
+    // a unique (n_chars, doc_id) order — the curriculum-bucketing
+    // shape as ranking functions (vs q_curriculum's global
+    // range-exchange rank). Unique ordering makes both FP ranks exact
+    // integer ratios, identical cross-engine; tile cast to long
+    // (DuckDB ntile returns BIGINT).
+    "q_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          ntile(10).over(w).cast("long").as("tile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+    }),
+
+    // ── curation: 2-D Pareto frontier (cost/value skyline) ──────────
+    // Per user: event count (cost, minimize) vs exact purchase-value
+    // cents (value, maximize); keep the users no other user beats on
+    // both. Reduce-per-distinct-cost + range-exchange prefix max +
+    // broadcast-back — never the all-pairs NOT EXISTS the oracle runs.
+    "q_pareto" -> ((s, dir) => {
+      val per = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100)).cast("long").as("cents"))
+      Curation.paretoFrontier(per, "n_events", "cents")
+        .select(col("user_id"), col("n_events"), col("cents"))
+    }),
+
+    // ── events: multi-touch linear attribution (exact credit split) ─
+    // Each purchase splits its cents equally over the clicks in its
+    // 24-hour pre-window: per-click credit = p_cents·10^6 DIV n_touch
+    // (floor micro-cents — integer arithmetic, both engines drop the
+    // same remainder; purchase values are prices, so operands stay
+    // non-negative and div == floor-div). Per click: contributing
+    // purchases + total credit. rangeJoin's day grid keeps it
+    // equi-join shaped (each interval touches ≤ 2 buckets); the
+    // per-purchase touch count is a window PARTITIONED by purchase.
+    "q_attrib_linear" -> ((s, dir) => {
+      val base = Tables(s, dir, "events").select(col("event_id"), col("user_id"),
+        Events.epochMicros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      val clicks = base.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts_us")
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          round(col("value") * 100).cast("long").as("p_cents"),
+          (col("ts_us") - 86400000000L).as("lo"), col("ts_us").as("hi"))
+      val touched = TemporalJoins.rangeJoin(clicks, "ts_us", purchases, "lo", "hi",
+        "user_id", bucketWidth = 86400000000L)
+      touched
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("p_id"))))
+        .withColumn("__credit", expr("p_cents * 1000000L div __n"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("__credit")).cast("long").as("credit_ucents"))
+    }),
+
+    // ── graph: multi-source BFS hop distance ────────────────────────
+    // Seeds = every near-dup-graph node with doc id ≡ 0 (mod 7);
+    // dist = min hops from any seed, capped at 4. Level-synchronous
+    // frontier BFS — per hop one frontier×edges join + anti vs the
+    // visited set, never the whole graph; the oracle replays it as a
+    // bounded recursive CTE with min(d) per node.
+    "q_bfs_dist" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      val nodes = pairs.select(col("id1").as("id"))
+        .union(pairs.select(col("id2").as("id"))).distinct()
+      val seeds = nodes.filter(col("id") % 7 === 0)
+      Graph.bfsDistance(edges, seeds, "id", maxHops = 4)
     }),
 
     // ── relational baseline: TPC-H Q1-style aggregation ─────────────
@@ -4566,6 +4661,54 @@ object SparkEntry {
         |       sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        |       CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS pri,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY CUBE (l_returnflag, o_orderpriority)""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT doc_id, lang,
+        |       ntile(10) OVER w AS tile,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin,
+
+    "q_pareto" ->
+      """WITH agg AS (SELECT user_id, count(*) AS n_events,
+        |                    CAST(sum(round(value * 100)) AS BIGINT) AS cents
+        |             FROM events GROUP BY 1)
+        |SELECT a.user_id, a.n_events, a.cents FROM agg a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM agg b
+        |  WHERE b.n_events <= a.n_events AND b.cents >= a.cents
+        |    AND (b.n_events < a.n_events OR b.cents > a.cents))""".stripMargin,
+
+    "q_attrib_linear" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |c AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS p_id, CAST(round(value * 100) AS BIGINT) AS p_cents,
+        |             ts_us - 86400000000 AS lo, ts_us AS hi
+        |      FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT c.event_id, p.p_id, p.p_cents,
+        |             count(*) OVER (PARTITION BY p.p_id) AS n
+        |      FROM c JOIN p ON c.user_id = p.user_id AND c.ts_us BETWEEN p.lo AND p.hi)
+        |SELECT event_id, count(*) AS n_purchases,
+        |       CAST(sum(p_cents * 1000000 // n) AS BIGINT) AS credit_ucents
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "q_bfs_dist" ->
+      s"""WITH RECURSIVE $sqlNearDupEdges,
+         |seeds AS (SELECT DISTINCT src AS id FROM edges WHERE src % 7 = 0),
+         |walk(id, d) AS (
+         |  SELECT id, 0 FROM seeds
+         |  UNION
+         |  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.id WHERE w.d < 4
+         |)
+         |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id""".stripMargin,
 
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

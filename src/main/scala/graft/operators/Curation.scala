@@ -1395,4 +1395,71 @@ object Curation {
       .orderBy(col("deviation").desc, col("term").asc)
       .limit(k)
   }
+
+  /** 2-D Pareto frontier (skyline): keep the rows no other row
+    * dominates, where domination means xCol ≤ mine AND yCol ≥ mine
+    * with at least one strict — i.e. minimize x (cost), maximize y
+    * (value). Exact-equal twins dominate neither direction and are
+    * BOTH kept (matches the NOT EXISTS reading). The curation use is
+    * efficiency frontiers — "which sources / users / configs are not
+    * strictly beaten on both quality and cost by some alternative".
+    *
+    * Both columns must be int/long: frontier membership is decided by
+    * exact comparisons, and an FP y would make "ties the frontier
+    * point" engine-dependent.
+    *
+    * Scale shape — deliberately NOT the textbook all-pairs NOT EXISTS
+    * (O(n²)) and NOT a global unpartitioned window over every row:
+    * (1) reduce to max(y) per distinct x — an ordinary hash aggregate,
+    *     map-side combined; the only full-data shuffle, and the result
+    *     is |distinct x| rows, not |rows|;
+    * (2) on the reduced set, a point survives iff its y strictly
+    *     exceeds every smaller-x point's y — an EXCLUSIVE prefix max
+    *     in x order, computed with the globalRunningSum range-exchange
+    *     pattern (repartitionByRange + per-partition max offsets), so
+    *     no single-partition sort even if distinct-x is large;
+    * (3) surviving (x, ymax) points broadcast-join back to the input,
+    *     keeping every row that ties a frontier point exactly.
+    * At 100 TB the frontier set is tiny (monotone chain over distinct
+    * x), so step 3's broadcast is safe by construction. */
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val intLike = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType)
+    require(intLike(df.schema(xCol).dataType) && intLike(df.schema(yCol).dataType),
+      s"paretoFrontier needs int/long x and y — exact dominance tests only " +
+        s"(got ${df.schema(xCol).dataType.simpleString}/${df.schema(yCol).dataType.simpleString})")
+    val reduced = df.groupBy(col(xCol).cast("long").as("__x"))
+      .agg(max(col(yCol).cast("long")).as("__y"))
+    val np = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = reduced.repartitionByRange(np, col("__x"))
+      .sortWithinPartitions(col("__x")).localCheckpoint()
+    // per-partition y-max, then exclusive running max across
+    // partitions (same pid-column discipline as globalRunningSum)
+    val partMax = sorted.select(spark_partition_id().as("__pid"), col("__y"))
+      .groupBy("__pid").agg(max(col("__y")).as("__m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until np).scanLeft(Long.MinValue)((acc, p) =>
+      math.max(acc, partMax.getOrElse(p, Long.MinValue)))
+    val withPid = sorted.withColumn("__pid", spark_partition_id())
+    val xIdx = withPid.schema.fieldIndex("__x")
+    val yIdx = withPid.schema.fieldIndex("__y")
+    val pidIdx = withPid.schema.fieldIndex("__pid")
+    val outSchema = withPid.schema
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val frontier = withPid.mapPartitions { it =>
+      var cur = -1
+      var acc = Long.MinValue
+      it.flatMap { r =>
+        val pid = r.getInt(pidIdx)
+        if (pid != cur) { cur = pid; acc = offsets(pid) }
+        val y = r.getLong(yIdx)
+        val keep = y > acc // strictly beat every smaller-x point
+        if (y > acc) acc = y
+        if (keep) Some(org.apache.spark.sql.Row(r.getLong(xIdx), y, pid)) else None
+      }
+    }(enc).drop("__pid")
+    df.join(broadcast(frontier),
+      col(xCol).cast("long") === col("__x") && col(yCol).cast("long") === col("__y"))
+      .drop("__x", "__y")
+  }
 }

@@ -366,4 +366,58 @@ object Graph {
         (col("cn").cast("double")
           / (col("__du") + col("__dv") - col("cn")).cast("double")).as("jaccard"))
   }
+
+  /** Multi-source BFS hop distance: for every node reachable from the
+    * seed set within maxHops edges, the MINIMUM number of hops from
+    * any seed (seeds themselves at 0). The curation read: "how far is
+    * each document from a known-bad / known-gold set in the similarity
+    * graph" — contamination blast-radius and label propagation by
+    * distance both reduce to this.
+    *
+    * Classic frontier BFS (the Pregel formulation — Malewicz et al.
+    * 2010), level-synchronous: visited nodes never re-enter the
+    * frontier, so each round costs ONE hash join (frontier × edges on
+    * src) + distinct + ONE left-anti against the visited set — all
+    * key-partitioned shuffles of frontier-sized inputs, never the
+    * whole graph. Every round's frontier is eagerly checkpointed
+    * (the pageRank lesson: otherwise lineage nests one join tree per
+    * hop). maxHops bounds rounds; the loop also exits as soon as a
+    * frontier comes back empty (the isEmpty probe is a driver scalar,
+    * same cost class as pageRank's node count).
+    *
+    * Output: (id, dist) — exact longs, a pure function of (edges,
+    * seeds, maxHops); the oracle replays it as a bounded recursive
+    * CTE with min(d) per node. */
+  def bfsDistance(edges: DataFrame, seeds: DataFrame, seedCol: String,
+                  srcCol: String = "src", dstCol: String = "dst",
+                  maxHops: Int = 4, undirected: Boolean = true): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, s"maxHops must be in [1, 64], got $maxHops")
+    val base = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val oriented =
+      if (undirected) base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+      else base
+    val e = Dedup.pin(oriented.distinct())
+    var dist = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(eager = true)
+    var frontier = dist.select("id")
+    var hop = 1
+    var exhausted = false
+    while (hop <= maxHops && !exhausted) {
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = dist.union(next).localCheckpoint(eager = true)
+        frontier = next.select("id")
+      }
+      hop += 1
+    }
+    dist
+  }
 }

@@ -734,4 +734,37 @@ class CurationSpec extends AnyFunSuite {
     val got = Curation.temperatureShares(df, "source", alpha = 0.5).collect()
     assert(got.length === 1 && got(0).getString(0) === "a")
   }
+
+  test("paretoFrontier matches brute-force dominance on a seeded random set") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.tabulate(200)(i => (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val expected = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, bx, by) =>
+        bx <= x && by >= y && (bx < x || by > y)
+      }
+    }.map(_._1).toSet
+    val df = pts.toDF("id", "x", "y")
+    val got = Curation.paretoFrontier(df, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
+  test("paretoFrontier: exact twins both survive; same-x lower-y is dominated") {
+    val df = Seq(
+      (1L, 10L, 5L), (2L, 10L, 5L), // identical twins
+      (3L, 10L, 4L),                // same x, strictly lower y — out
+      (4L, 9L, 5L),                 // strictly smaller x, equal y — dominates 1 and 2
+      (5L, 20L, 9L)                 // worse x but best y — on the frontier
+    ).toDF("id", "x", "y")
+    val got = Curation.paretoFrontier(df, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // 4 dominates 1,2 (x strictly smaller, y equal); 3 dominated by all of them
+    assert(got === Set(4L, 5L))
+  }
+
+  test("paretoFrontier rejects non-integer columns") {
+    val df = Seq((1L, 1.5, 2L)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException](Curation.paretoFrontier(df, "x", "y"))
+    assert(e.getMessage.contains("int/long"))
+  }
 }

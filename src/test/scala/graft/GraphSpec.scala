@@ -253,4 +253,43 @@ class GraphSpec extends AnyFunSuite {
         s"plan grew with rounds ($shallow lines at iters=1, $deep at 25) — lineage not truncated?")
     } finally Dedup.releaseCaches()
   }
+
+  test("bfsDistance: path graph, single seed, maxHops cap") {
+    // path 1-2-3-4-5-6, seed {1}: dists 0..4; node 6 (5 hops) is
+    // beyond maxHops=4 and must be absent
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    try {
+      val seeds = Seq(1L).toDF("id")
+      val d = Graph.bfsDistance(edges, seeds, "id", maxHops = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    } finally Dedup.releaseCaches()
+  }
+
+  test("bfsDistance: multi-source takes the MIN over seeds; early exit past the diameter") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    try {
+      val seeds = Seq(1L, 6L).toDF("id")
+      // maxHops far beyond the diameter: the empty-frontier exit fires
+      val d = Graph.bfsDistance(edges, seeds, "id", maxHops = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
+    } finally Dedup.releaseCaches()
+  }
+
+  test("bfsDistance: directed edges keep orientation; disconnected nodes never appear") {
+    // 1→2→3 directed plus isolated pair 8-9: from seed {1} only 1,2,3
+    val edges = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    try {
+      val d = Graph.bfsDistance(edges, Seq(1L).toDF("id"), "id",
+        maxHops = 5, undirected = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+      // reversed direction: 3 reaches nothing
+      val d2 = Graph.bfsDistance(edges, Seq(3L).toDF("id"), "id",
+        maxHops = 5, undirected = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(d2 === Map(3L -> 0L))
+    } finally Dedup.releaseCaches()
+  }
 }
