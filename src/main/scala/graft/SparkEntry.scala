@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterMetrics, Curation, Dedup, Events, Graph, KMeans, Multimodal, PCA, Sampling, Similarity, TemporalJoins, TextAnalysis, Tokenizer}
+import graft.operators.{ClusterMetrics, Curation, Dedup, Events, Graph, KMeans, Multimodal, PCA, Sampling, Similarity, Skew, TemporalJoins, TextAnalysis, Tokenizer}
 import graft.functions.VectorOps
 import graft.sources.GeneIO
 import graft.streaming.{DedupStream, EventStream}
@@ -1832,6 +1832,43 @@ object SparkEntry {
       Graph.bfsDistance(edges, seeds, "id", maxHops = 4)
     }),
 
+    // ── retrieval: hybrid sparse+dense reciprocal-rank fusion ───────
+    // Sparse list: global BM25 top-100 (TakeOrdered bounds the sort,
+    // then the ≤100 survivors rank in one trivial partition). Dense
+    // list: per-probe exact cosine top-100 (TopKAgg bounded partial
+    // agg). Fusion: Similarity.rrfFuse — rank-only arithmetic, one
+    // (probe, id) hash join over top-bounded inputs.
+    "q_rrf" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      val sparse = TextAnalysis.bm25Score(docs, "doc_id", "text",
+        terms = Seq("table", "spark", "value"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id").as("id"), col("rank"))
+      val dense = Similarity.topKCosine(emb, "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding", k = 100)
+        .select(col("probe_id"), col("vec_id").as("id"), col("rank"))
+      val sparsePerProbe = dense.select("probe_id").distinct().crossJoin(sparse)
+      Similarity.rrfFuse(sparsePerProbe, dense, "probe_id", "id", topK = 20)
+    }),
+
+    // ── scale lever: salted shuffle join (skew mitigation) ──────────
+    // The manual skew lever driver-gated: events fanned over 8 salts
+    // against a per-user dim, re-aggregated — the oracle runs the
+    // PLAIN join, pinning that salting is a plan-level rewrite with
+    // identical semantics (SkewSpec pins the same equality in-mem).
+    "q_skew_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dim = Tables(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("user_events"))
+      Skew.saltedJoin(ev, dim, "user_id", salts = 8, saltSrc = col("event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_events")).cast("long").as("sum_ue"))
+    }),
+
     // ── relational baseline: TPC-H Q1-style aggregation ─────────────
     "q1_agg" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -2443,6 +2480,44 @@ object SparkEntry {
       |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5)
       |)""".stripMargin
+
+  /** BM25 CTE chain + score expression, shared by q_bm25 and q_rrf
+    * (TextAnalysis.bm25Score twin: k1=1.2, b=0.75, terms
+    * table/spark/value, rational Robertson idf). */
+  private val sqlBm25Ctes =
+    """base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |t AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |         CAST(len(list_filter(toks, x -> x = 'table')) AS BIGINT) AS tf0,
+      |         CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf1,
+      |         CAST(len(list_filter(toks, x -> x = 'value')) AS BIGINT) AS tf2
+      |  FROM base
+      |),
+      |st AS (
+      |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+      |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+      |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      |  FROM t
+      |)""".stripMargin
+
+  private val sqlBm25Expr =
+    """(CAST(n - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)
+      |      * ((CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+      |         / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |               * (CAST(dl AS DOUBLE) / avgdl))))
+      |  + (CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
+      |      * ((CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+      |         / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |               * (CAST(dl AS DOUBLE) / avgdl))))
+      |  + (CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
+      |      * ((CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+      |         / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |               * (CAST(dl AS DOUBLE) / avgdl))))""".stripMargin
 
   /** DuckDB CTEs mirroring Similarity.trainPQ(maxIter=0)/encodePQ:
     * m=4 subspaces of 16 dims, codewords = the 16 lowest-vec_id rows'
@@ -5008,39 +5083,52 @@ object SparkEntry {
     },
 
     "q_bm25" ->
-      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |t AS (
-        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-        |         CAST(len(list_filter(toks, x -> x = 'table')) AS BIGINT) AS tf0,
-        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf1,
-        |         CAST(len(list_filter(toks, x -> x = 'value')) AS BIGINT) AS tf2
-        |  FROM base
-        |),
-        |st AS (
-        |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-        |         CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
-        |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-        |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
-        |  FROM t
-        |)
-        |SELECT doc_id, dl,
-        |    (CAST(n - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)
-        |      * ((CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
-        |         / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE)
-        |            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
-        |               * (CAST(dl AS DOUBLE) / avgdl))))
-        |  + (CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
-        |      * ((CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
-        |         / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE)
-        |            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
-        |               * (CAST(dl AS DOUBLE) / avgdl))))
-        |  + (CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
-        |      * ((CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
-        |         / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE)
-        |            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
-        |               * (CAST(dl AS DOUBLE) / avgdl)))) AS bm25
-        |FROM t CROSS JOIN st""".stripMargin,
+      s"""WITH $sqlBm25Ctes
+         |SELECT doc_id, dl,
+         |    $sqlBm25Expr AS bm25
+         |FROM t CROSS JOIN st""".stripMargin,
+
+    "q_rrf" ->
+      s"""WITH $sqlBm25Ctes,
+         |bm AS (SELECT doc_id, $sqlBm25Expr AS bm25 FROM t CROSS JOIN st),
+         |sp AS (SELECT id, srank FROM (
+         |         SELECT doc_id AS id,
+         |                CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS srank
+         |         FROM bm) WHERE srank <= 100),
+         |$sqlProbes,
+         |ds AS (
+         |  SELECT pr.probe_id, e.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM embeddings e CROSS JOIN pr WHERE e.vec_id != pr.probe_id
+         |),
+         |dn AS (SELECT probe_id, id, drank FROM (
+         |         SELECT probe_id, vec_id AS id,
+         |                CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS BIGINT) AS drank
+         |         FROM ds) WHERE drank <= 100),
+         |spp AS (SELECT pr.probe_id, sp.id, sp.srank FROM pr CROSS JOIN sp),
+         |j AS (
+         |  SELECT coalesce(spp.probe_id, dn.probe_id) AS probe_id,
+         |         coalesce(spp.id, dn.id) AS id, spp.srank, dn.drank
+         |  FROM spp FULL OUTER JOIN dn
+         |    ON spp.probe_id = dn.probe_id AND spp.id = dn.id
+         |),
+         |sc AS (
+         |  SELECT probe_id, id,
+         |         coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(srank AS DOUBLE)), 0)
+         |           + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(drank AS DOUBLE)), 0) AS rrf
+         |  FROM j
+         |)
+         |SELECT probe_id, id, rrf, rank FROM (
+         |  SELECT probe_id, id, rrf,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, id) AS BIGINT) AS rank
+         |  FROM sc) WHERE rank <= 20""".stripMargin,
+
+    "q_skew_join" ->
+      """WITH dim AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |       CAST(sum(d.user_events) AS BIGINT) AS sum_ue
+        |FROM events e JOIN dim d USING (user_id)
+        |GROUP BY 1""".stripMargin,
 
     "q_ngram_quality" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

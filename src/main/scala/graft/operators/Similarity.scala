@@ -420,4 +420,44 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_exact").cast("double")).as("recall"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * of two ranked retrieval lists — the standard hybrid-search merge
+    * (sparse lexical list + dense embedding list) whose only inputs
+    * are RANKS, so engines that disagree in score scale still fuse
+    * identically. Each list contributes 1/(kConst + rank) for items
+    * it ranked (items missing from a list contribute 0 from it);
+    * fused = sum of contributions; output = per-query top-k by
+    * (fused DESC, id ASC).
+    *
+    * Determinism: contributions are doubles computed from exact
+    * integer ranks — bit-identical cross-engine; equal fused scores
+    * (e.g. permuted rank pairs — FP addition is commutative) break
+    * by id. kConst=60 is the paper's constant.
+    *
+    * Scale shape: ONE full-outer hash join on (query, id) — both
+    * lists are already top-bounded by their producers, so the join
+    * input is O(queries · k), not corpus-sized — then a window
+    * PARTITIONED by query over ≤ 2k rows per query. The corpus never
+    * enters this operator.
+    *
+    * Inputs: DataFrames with (qidCol, idCol, rankCol) where rank is
+    * 1-based within each qid. Output: (qidCol, idCol, rrf, rank). */
+  def rrfFuse(a: DataFrame, b: DataFrame, qidCol: String, idCol: String,
+              rankCol: String = "rank", kConst: Int = 60,
+              topK: Int = 20): DataFrame = {
+    require(kConst >= 1, s"kConst must be >= 1, got $kConst")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val aa = a.select(col(qidCol), col(idCol), col(rankCol).cast("long").as("__ra"))
+    val bb = b.select(col(qidCol), col(idCol), col(rankCol).cast("long").as("__rb"))
+    val fused = aa.join(bb, Seq(qidCol, idCol), "full_outer")
+      .select(col(qidCol), col(idCol),
+        (coalesce(lit(1.0) / (lit(kConst.toDouble) + col("__ra").cast("double")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kConst.toDouble) + col("__rb").cast("double")), lit(0.0)))
+          .as("rrf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("rrf").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
 }

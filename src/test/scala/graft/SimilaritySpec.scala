@@ -224,4 +224,32 @@ class SimilaritySpec extends AnyFunSuite {
     val self = Similarity.annRecall(exact, exact).collect().map(_.getDouble(3))
     assert(self.forall(_ === 1.0))
   }
+
+  test("rrfFuse: both-list items outrank single-list items; missing side contributes 0") {
+    // query 1: item 10 ranked 1 in BOTH lists; item 20 ranked 2 only
+    // in A; item 30 ranked 2 only in B
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("q", "id", "rank")
+    val b = Seq((1L, 10L, 1L), (1L, 30L, 2L)).toDF("q", "id", "rank")
+    val got = Similarity.rrfFuse(a, b, "q", "id", topK = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._3)
+    assert(got.map(_._1).toSeq === Seq(10L, 20L, 30L))
+    assert(got(0)._2 === 2.0 / 61.0)
+    assert(got(1)._2 === 1.0 / 62.0) // A-only: B contributes exactly 0
+    // 20 and 30 tie on score (same single-list rank) — id breaks it
+    assert(got(1)._2 === got(2)._2 && got(1)._1 < got(2)._1)
+  }
+
+  test("rrfFuse: topK truncates per query independently") {
+    val a = (1 to 30).map(i => (1L, i.toLong, i.toLong)) ++
+      (1 to 3).map(i => (2L, i.toLong, i.toLong))
+    val df = a.toDF("q", "id", "rank")
+    val empty = Seq.empty[(Long, Long, Long)].toDF("q", "id", "rank")
+    val got = Similarity.rrfFuse(df, empty, "q", "id", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.count(_._1 == 1L) === 5)
+    assert(got.count(_._1 == 2L) === 3)
+    // single-list fusion preserves the list's own order
+    assert(got.filter(_._1 == 1L).map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
