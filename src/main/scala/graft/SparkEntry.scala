@@ -94,7 +94,7 @@ object SparkEntry {
   private val pairFixtureQueries: Set[String] = Set(
     "q_components", "q_components_star", "q_pagerank", "q_degree_hist",
     "q_triangles", "q_kcore", "q_assortativity", "q_label_prop",
-    "q_leakage", "q_split_clean", "q_bfs_dist")
+    "q_leakage", "q_split_clean", "q_bfs_dist", "q_sssp")
   private val bpeFixtureQueries: Set[String] = Set(
     "q_bpe_encode", "q_bpe_compression")
   val sharedFixtureQueries: Set[String] = pairFixtureQueries ++ bpeFixtureQueries
@@ -1867,6 +1867,31 @@ object SparkEntry {
       Skew.saltedJoin(ev, dim, "user_id", salts = 8, saltSrc = col("event_id"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("user_events")).cast("long").as("sum_ue"))
+    }),
+
+    // ── graph: hop-bounded weighted shortest paths ──────────────────
+    // Same seeds as q_bfs_dist but edges weighted by dissimilarity
+    // (round((1-sim)·1000)+1 — exact longs), maxHops=4 Bellman-Ford
+    // rounds; the oracle enumerates ≤4-hop paths recursively and
+    // takes min(cost). dist(v) = cheapest ≤4-edge path from any seed.
+    "q_sssp" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select(col("id1"), col("id2"),
+        (round((lit(1.0) - col("sim")) * 1000).cast("long") + 1L).as("w"))
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"), col("w"))
+      val nodes = pairs.select(col("id1").as("id"))
+        .union(pairs.select(col("id2").as("id"))).distinct()
+      val seeds = nodes.filter(col("id") % 7 === 0)
+      Graph.ssspBounded(edges, seeds, "id", maxHops = 4)
+    }),
+
+    // ── curation: greedy k-center coreset selection (Gonzalez) ──────
+    // 8 maximally-diverse exemplars from the first-100 embedding pool,
+    // with the covering-radius sequence; the oracle replays the greedy
+    // loop as a recursive CTE over the pairwise distance matrix.
+    "q_kcenter" -> ((s, dir) => {
+      val pool = Tables(s, dir, "embeddings").filter(col("vec_id") < 100)
+      Similarity.kCenterGreedy(pool, "vec_id", "embedding", k = 8)
+        .withColumnRenamed("id", "vec_id")
     }),
 
     // ── relational baseline: TPC-H Q1-style aggregation ─────────────
@@ -5129,6 +5154,54 @@ object SparkEntry {
         |       CAST(sum(d.user_events) AS BIGINT) AS sum_ue
         |FROM events e JOIN dim d USING (user_id)
         |GROUP BY 1""".stripMargin,
+
+    "q_sssp" ->
+      s"""WITH RECURSIVE $sqlNearDupEdges,
+         |wpairs AS (SELECT id1, id2, CAST(round((1 - sim) * 1000) AS BIGINT) + 1 AS w
+         |           FROM simpairs WHERE sim >= 0.5),
+         |wedges AS (
+         |  SELECT id1 AS src, id2 AS dst, w FROM wpairs
+         |  UNION
+         |  SELECT id2 AS src, id1 AS dst, w FROM wpairs
+         |),
+         |sseeds AS (SELECT DISTINCT src AS id FROM wedges WHERE src % 7 = 0),
+         |walk(id, cost, hops) AS (
+         |  SELECT id, CAST(0 AS BIGINT), 0 FROM sseeds
+         |  UNION
+         |  SELECT e.dst, wk.cost + e.w, wk.hops + 1
+         |  FROM walk wk JOIN wedges e ON e.src = wk.id WHERE wk.hops < 4
+         |)
+         |SELECT id, min(cost) AS dist FROM walk GROUP BY id""".stripMargin,
+
+    "q_kcenter" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100
+        |),
+        |dm AS (
+        |  SELECT a.id AS a, b.id AS b,
+        |         list_sum(list_transform(list_zip(a.v, b.v),
+        |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+        |  FROM pts a CROSS JOIN pts b WHERE a.id != b.id
+        |),
+        |walk(it, sel) AS (
+        |  SELECT 0, [(SELECT min(id) FROM pts)]
+        |  UNION ALL
+        |  SELECT it + 1, list_append(sel, (
+        |    SELECT a FROM dm
+        |    WHERE list_contains(sel, b) AND NOT list_contains(sel, a)
+        |    GROUP BY a ORDER BY min(d) DESC, a LIMIT 1))
+        |  FROM walk WHERE it < 7
+        |),
+        |fin AS (SELECT sel FROM walk WHERE it = 7),
+        |ord AS (SELECT CAST(i - 1 AS BIGINT) AS step, sel[i] AS vec_id, sel
+        |        FROM fin, LATERAL (SELECT unnest(generate_series(1, len(sel))) AS i))
+        |SELECT step, vec_id,
+        |       CASE WHEN step = 0 THEN CAST(0 AS DOUBLE)
+        |            ELSE (SELECT min(d) FROM dm
+        |                  WHERE dm.a = ord.vec_id
+        |                    AND list_contains(ord.sel[1:CAST(step AS INTEGER)], dm.b))
+        |       END AS radius
+        |FROM ord""".stripMargin,
 
     "q_ngram_quality" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -420,4 +420,47 @@ object Graph {
     }
     dist
   }
+
+  /** Hop-bounded single/multi-source shortest paths over NON-NEGATIVE
+    * integer edge weights — Bellman-Ford relaxation (the classic
+    * distributed formulation: Lynch, Distributed Algorithms §4;
+    * weights as longs so every cost is exact). After round h, dist(v)
+    * is the minimum cost over paths of ≤ h edges — so maxHops is a
+    * semantic parameter (bounded-horizon distance), not just a
+    * safety cap, and the oracle's path-enumerating recursive CTE with
+    * the same hop bound computes the identical function.
+    *
+    * Scale shape: per round ONE hash join (current dists × edges on
+    * src) + ONE min-aggregate on dst — the pageRank shuffle pair with
+    * sum→min — on a pinned edge list, dists checkpointed per round.
+    * Unlike bfsDistance there is no frontier shrink (a cheaper path
+    * can re-improve an already-reached node), so each round joins the
+    * full reached set; maxHops bounds total work.
+    *
+    * Output: (id, dist) for every node reachable within maxHops. */
+  def ssspBounded(edges: DataFrame, seeds: DataFrame, seedCol: String,
+                  srcCol: String = "src", dstCol: String = "dst",
+                  wCol: String = "w", maxHops: Int = 4,
+                  undirected: Boolean = true): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, s"maxHops must be in [1, 64], got $maxHops")
+    val base = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+    val oriented =
+      if (undirected) base.union(
+        base.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      else base
+    val e = Dedup.pin(oriented.distinct())
+    var dist = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist.join(e, dist("id") === e("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+    }
+    dist
+  }
 }

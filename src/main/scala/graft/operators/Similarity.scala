@@ -460,4 +460,57 @@ object Similarity {
     fused.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985, the classic
+    * 2-approximation for max-min facility placement): seed with the
+    * lowest id, then k-1 times add the point FARTHEST (max min
+    * squared distance, ties to the lower id) from the selected set.
+    * The training-data read: pick k maximally-diverse exemplars from
+    * a candidate pool — coverage-maximizing sampling, the opposite
+    * pole from keep-best dedup.
+    *
+    * Exactness: distances are the same SqDistExpr doubles the K-Means
+    * family hash-matches against DuckDB; min-over-selected and argmax
+    * are order-independent / id-tie-broken, so the selected SEQUENCE
+    * is a pure function of the pool and the oracle replays it with a
+    * recursive CTE over a pairwise distance matrix.
+    *
+    * Scale shape: the running min-dist column updates INCREMENTALLY —
+    * each round one map-only pass computing sqDist against the single
+    * newly-selected vector (a plan literal) + a TakeOrdered(1) argmax;
+    * never a pairwise matrix, never a re-scan over all k selected.
+    * O(k · n) distance evaluations total, k driver collects of one
+    * row each. The pool is the caller's pre-sampled candidate set
+    * (coreset selection runs on a pool, not the raw corpus).
+    *
+    * Output: (step 0..k-1 in selection order, id, radius) where
+    * radius is the point's min-dist at selection time (the Gonzalez
+    * covering-radius sequence; 0.0 for the seed). */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val cand = df.select(col(idCol).cast("long").as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v"))
+    val seed = cand.orderBy(col("id")).limit(1).collect()
+    require(seed.nonEmpty, "kCenterGreedy on an empty pool")
+    val seedId = seed(0).getLong(0)
+    var picked = Vector((0L, seedId, 0.0))
+    var state = cand.filter(col("id") =!= seedId)
+      .withColumn("mind",
+        VectorOps.sqDist(col("v"), typedlit(seed(0).getSeq[Double](1))))
+      .localCheckpoint(eager = true)
+    var step = 1
+    while (step < k && !state.isEmpty) {
+      val next = state.orderBy(col("mind").desc, col("id")).limit(1).collect()(0)
+      picked :+= ((step.toLong, next.getLong(0), next.getDouble(2)))
+      state = state.filter(col("id") =!= next.getLong(0))
+        .withColumn("mind", least(col("mind"),
+          VectorOps.sqDist(col("v"), typedlit(next.getSeq[Double](1)))))
+        .localCheckpoint(eager = true)
+      step += 1
+    }
+    picked.toDF("step", "id", "radius")
+  }
 }

@@ -292,4 +292,39 @@ class GraphSpec extends AnyFunSuite {
       assert(d2 === Map(3L -> 0L))
     } finally Dedup.releaseCaches()
   }
+
+  test("ssspBounded: a cheap 2-hop path beats an expensive direct edge") {
+    // 1-3 costs 10 direct, but 1-2-3 costs 2+3=5
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L)).toDF("src", "dst", "w")
+    try {
+      val d = Graph.ssspBounded(edges, Seq(1L).toDF("id"), "id", maxHops = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(d === Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+    } finally Dedup.releaseCaches()
+  }
+
+  test("ssspBounded: maxHops is semantic — the horizon truncates cheaper long paths") {
+    // chain of four 1-cost edges vs a direct 10-cost edge: with
+    // maxHops=2 only the direct edge (and 2-hop prefix) is visible
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L),
+      (1L, 5L, 10L)).toDF("src", "dst", "w")
+    try {
+      val h2 = Graph.ssspBounded(edges, Seq(1L).toDF("id"), "id", maxHops = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(h2(5L) === 10L && h2(3L) === 2L)
+      val h4 = Graph.ssspBounded(edges, Seq(1L).toDF("id"), "id", maxHops = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(h4(5L) === 4L, "4 hops unlock the cheap chain")
+    } finally Dedup.releaseCaches()
+  }
+
+  test("ssspBounded: multi-source min and directed orientation") {
+    val edges = Seq((1L, 2L, 5L), (3L, 2L, 1L)).toDF("src", "dst", "w")
+    try {
+      val d = Graph.ssspBounded(edges, Seq(1L, 3L).toDF("id"), "id",
+        maxHops = 3, undirected = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(d === Map(1L -> 0L, 3L -> 0L, 2L -> 1L)) // 3's edge wins
+    } finally Dedup.releaseCaches()
+  }
 }

@@ -252,4 +252,27 @@ class SimilaritySpec extends AnyFunSuite {
     // single-list fusion preserves the list's own order
     assert(got.filter(_._1 == 1L).map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("kCenterGreedy picks extremes first on a line; radius sequence is non-increasing") {
+    // points on a line at 0, 1, 2, 10, 11, 20
+    val pts = Seq((0L, 0.0), (1L, 1.0), (2L, 2.0), (3L, 10.0), (4L, 11.0), (5L, 20.0))
+      .map { case (id, x) => (id, Seq(x)) }
+    val df = pts.toDF("vid", "vec")
+    val got = Similarity.kCenterGreedy(df, "vid", "vec", k = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // seed = id 0 (x=0); farthest = 20 (d²=400); then 10 (min(100,100)=100)
+    assert(got.map(_._2).toSeq === Seq(0L, 5L, 3L))
+    assert(got.map(_._3).toSeq === Seq(0.0, 400.0, 100.0))
+    // extending the selection never increases the covering radius
+    val radii = Similarity.kCenterGreedy(df, "vid", "vec", k = 6)
+      .orderBy("step").collect().map(_.getDouble(2)).drop(1)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("kCenterGreedy: k larger than the pool stops at pool size") {
+    val df = Seq((7L, Seq(1.0)), (9L, Seq(5.0))).toDF("vid", "vec")
+    val got = Similarity.kCenterGreedy(df, "vid", "vec", k = 10).collect()
+    assert(got.length === 2)
+  }
 }
