@@ -1894,6 +1894,22 @@ object SparkEntry {
         .withColumnRenamed("id", "vec_id")
     }),
 
+    // ── retrieval: MMR-diversified top-k (λ=0.5) ────────────────────
+    // Dense top-20 for the lowest-id probe re-ranked by Maximal
+    // Marginal Relevance down to 5 — the diversity-aware slate; the
+    // oracle replays the greedy loop as a recursive CTE over the
+    // candidate pairwise-cosine matrix.
+    "q_mmr" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probe = emb.orderBy("vec_id").limit(1)
+      val cands = Similarity.topKCosine(emb, "vec_id", "embedding",
+        probe, "vec_id", "embedding", k = 20)
+        .select(col("vec_id"), col("sim"))
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      Similarity.mmrSelect(cands, "vec_id", "embedding", "sim", k = 5)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
     // ── relational baseline: TPC-H Q1-style aggregation ─────────────
     "q1_agg" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -5202,6 +5218,47 @@ object SparkEntry {
         |                    AND list_contains(ord.sel[1:CAST(step AS INTEGER)], dm.b))
         |       END AS radius
         |FROM ord""".stripMargin,
+
+    "q_mmr" ->
+      s"""WITH RECURSIVE mp AS (
+         |  SELECT vec_id AS pid, embedding::DOUBLE[] AS pv FROM embeddings
+         |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+         |),
+         |scd AS (
+         |  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "mp.pv")} AS rel
+         |  FROM embeddings e CROSS JOIN mp WHERE e.vec_id != mp.pid
+         |),
+         |cand AS (SELECT id, v, rel FROM (
+         |           SELECT id, v, rel, row_number() OVER (ORDER BY rel DESC, id) AS rn
+         |           FROM scd) WHERE rn <= 20),
+         |cm AS (
+         |  SELECT a.id AS a, b.id AS b, ${sqlCosine("a.v", "b.v")} AS s
+         |  FROM cand a CROSS JOIN cand b WHERE a.id != b.id
+         |),
+         |walk(it, sel) AS (
+         |  SELECT 0, [(SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1)]
+         |  UNION ALL
+         |  SELECT it + 1, list_append(sel, (
+         |    SELECT c.id FROM cand c
+         |    WHERE NOT list_contains(sel, c.id)
+         |    ORDER BY 0.5 * c.rel - 0.5 * (SELECT max(s) FROM cm
+         |                                  WHERE cm.a = c.id AND list_contains(sel, cm.b)) DESC,
+         |             c.id
+         |    LIMIT 1))
+         |  FROM walk WHERE it < 4
+         |),
+         |fin AS (SELECT sel FROM walk WHERE it = 4),
+         |ord AS (SELECT CAST(i - 1 AS BIGINT) AS step, sel[i] AS vec_id, sel
+         |        FROM fin, LATERAL (SELECT unnest(generate_series(1, len(sel))) AS i))
+         |SELECT step, vec_id,
+         |       CASE WHEN step = 0 THEN (SELECT rel FROM cand WHERE cand.id = ord.vec_id)
+         |            ELSE 0.5 * (SELECT rel FROM cand WHERE cand.id = ord.vec_id)
+         |               - 0.5 * (SELECT max(s) FROM cm
+         |                        WHERE cm.a = ord.vec_id
+         |                          AND list_contains(ord.sel[1:CAST(step AS INTEGER)], cm.b))
+         |       END AS score
+         |FROM ord""".stripMargin,
 
     "q_ngram_quality" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -513,4 +513,58 @@ object Similarity {
     }
     picked.toDF("step", "id", "radius")
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): from a scored candidate set, greedily select k
+    * items maximizing λ·relevance − (1−λ)·max-similarity-to-selected
+    * — the diversity-aware top-k that keeps a near-duplicate of an
+    * already-picked result from wasting a slot. First pick = argmax
+    * relevance; ties always break to the lower id.
+    *
+    * Determinism: rel comes from the caller (e.g. topKCosine's sim —
+    * already cross-engine bit-exact), pairwise sims are
+    * VectorOps.cosine doubles, and max-over-selected is
+    * order-independent, so the selected SEQUENCE is a pure function
+    * of the candidates; the oracle replays the loop as a recursive
+    * CTE. Use a λ exactly representable in binary (0.5, 0.25, 0.75)
+    * if bit-parity with a replaying oracle matters.
+    *
+    * Scale shape: same incremental discipline as kCenterGreedy —
+    * the max-sim column updates against ONE new plan-literal vector
+    * per round (map-only pass + TakeOrdered(1)); no pairwise matrix.
+    * Candidates are top-bounded by the producing retrieval stage, so
+    * n is small by construction; k driver collects of one row.
+    *
+    * Output: (step 0..k-1 in selection order, id, score) — score is
+    * rel for the seed pick, the MMR objective thereafter. */
+  def mmrSelect(cand: DataFrame, idCol: String, vecCol: String,
+                relCol: String, k: Int, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1], got $lambda")
+    val sp = cand.sparkSession
+    import sp.implicits._
+    val c = cand.select(col(idCol).cast("long").as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v"), col(relCol).cast("double").as("rel"))
+    val first = c.orderBy(col("rel").desc, col("id")).limit(1).collect()
+    require(first.nonEmpty, "mmrSelect on an empty candidate set")
+    var picked = Vector((0L, first(0).getLong(0), first(0).getDouble(2)))
+    var state = c.filter(col("id") =!= first(0).getLong(0))
+      .withColumn("maxsim",
+        VectorOps.cosine(col("v"), typedlit(first(0).getSeq[Double](1))))
+      .localCheckpoint(eager = true)
+    var step = 1
+    while (step < k && !state.isEmpty) {
+      val next = state
+        .withColumn("score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("maxsim"))
+        .orderBy(col("score").desc, col("id")).limit(1).collect()(0)
+      picked :+= ((step.toLong, next.getLong(0), next.getDouble(4)))
+      state = state.filter(col("id") =!= next.getLong(0))
+        .withColumn("maxsim", greatest(col("maxsim"),
+          VectorOps.cosine(col("v"), typedlit(next.getSeq[Double](1)))))
+        .localCheckpoint(eager = true)
+      step += 1
+    }
+    picked.toDF("step", "id", "score")
+  }
 }

@@ -275,4 +275,33 @@ class SimilaritySpec extends AnyFunSuite {
     val got = Similarity.kCenterGreedy(df, "vid", "vec", k = 10).collect()
     assert(got.length === 2)
   }
+
+  test("mmrSelect skips a near-duplicate of an already-picked result") {
+    // 1 and 2 nearly identical (both high rel); 3 orthogonal-ish,
+    // lower rel. Pure relevance picks (1, 2); MMR picks (1, 3).
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.01), 0.95),
+      (2L, Seq(1.0, 0.0, 0.02), 0.94),
+      (3L, Seq(0.0, 1.0, 0.0), 0.60)
+    ).toDF("vid", "vec", "rel")
+    val got = Similarity.mmrSelect(df, "vid", "vec", "rel", k = 2)
+      .orderBy("step").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).toSeq === Seq(1L, 3L))
+    // λ=1 degenerates to pure relevance order
+    val pure = Similarity.mmrSelect(df, "vid", "vec", "rel", k = 3, lambda = 1.0)
+      .orderBy("step").collect().map(_.getLong(1))
+    assert(pure.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("mmrSelect: seed score is rel, later scores are the MMR objective") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), 0.9),
+      (2L, Seq(0.0, 1.0), 0.5)
+    ).toDF("vid", "vec", "rel")
+    val got = Similarity.mmrSelect(df, "vid", "vec", "rel", k = 2)
+      .orderBy("step").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got(0) === ((1L, 0.9)))
+    // cos((1,0),(0,1)) = 0 → score = 0.5·0.5 − 0.5·0 = 0.25
+    assert(got(1) === ((2L, 0.25)))
+  }
 }
