@@ -536,6 +536,29 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    // ── streaming: watermarked HOPPING counts, driver-gated ─────────
+    // Overlapping-window state under the hash gate: each event lands
+    // in 4 windows (1 h width / 15 min slide), folded across 3
+    // time-ordered micro-batches in complete mode — the sliding twin
+    // of q_stream_window, checked against the batch hopping oracle.
+    "q_stream_hop" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables(s, dir, "events")
+        .select(col("ts").cast("long"), col("event_type"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val perBatch = math.max(1, (ev.length + 2) / 3)
+      val source = MemoryStream[(Long, String)]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val q = EventStream.hoppingCounts(source.toDF().toDF("ts", "event_type"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete").start()
+      try ev.grouped(perBatch).foreach { b =>
+        source.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+    }),
+
     // ── streaming: stateful per-source admission cap, driver-gated ──
     // The exactly-once STATE path under the hash gate (VERDICT r9
     // item 7): CurationStream.capPerKey holds one long of
@@ -2110,6 +2133,37 @@ object SparkEntry {
       Curation.quantilesByKey(gaps, "seg", "gap_us", Seq(0.5, 0.9, 0.99))
     }),
 
+    // ── events: hopping-window aggregate (1 h windows every 15 min) ─
+    // Overlapping trend view: one bounded ×4 explode + one hash agg —
+    // never a range join of events × windows.
+    "q_hopping" -> ((s, dir) => {
+      Events.hoppingByType(Tables(s, dir, "events"),
+        widthSeconds = 3600L, stepSeconds = 900L)
+    }),
+
+    // ── events: top consecutive event-type trigram sequences ────────
+    // Sequence mining over user timelines (the n=3 extension of
+    // q_transitions): support-ranked full paths, stable tie-break.
+    "q_type_seqs" -> ((s, dir) => {
+      Events.typeSequences(Tables(s, dir, "events"), n = 3, topK = 50)
+    }),
+
+    // ── events: calendar seasonality heatmap (isodow × hour) ────────
+    // Pure integer calendar arithmetic on the µs epoch — 168 cells
+    // from one map-side-combined aggregate.
+    "q_seasonality" -> ((s, dir) => {
+      Events.calendarProfile(Tables(s, dir, "events"))
+    }),
+
+    // ── curation: robust (median/IQR) per-type value scaling ────────
+    // The outlier-insensitive twin of q_zscore, on the exact type-7
+    // quantile machinery; corpus never shuffles (broadcast quartiles).
+    "q_robust_scale" -> ((s, dir) => {
+      Curation.robustScale(
+        Tables(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        "event_id", "event_type", "value")
+    }),
+
     // ── graph: label-propagation communities (2 sync rounds) ────────
     "q_label_prop" -> ((s, dir) => {
       val pairs = nearDupPairs05(s, dir).select("id1", "id2")
@@ -3680,6 +3734,16 @@ object SparkEntry {
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket, event_type,
         |       count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the batch hopping oracle minus the value sum — the streaming
+    // window() slide produces the identical step-aligned start set
+    "q_stream_hop" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+        |f AS (SELECT (t - ((t % 900000000) + 900000000) % 900000000) // 900000000
+        |             AS fd, event_type FROM e),
+        |x AS (SELECT unnest(generate_series(fd - 3, fd)) AS w, event_type FROM f)
+        |SELECT w * 900 AS bucket, event_type, count(*) AS n
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     "q_stream_cap" ->
       """SELECT doc_id, source FROM (
@@ -5367,6 +5431,67 @@ object SparkEntry {
         |SELECT s.k AS seg, s.p, rl.v + s.frac * (rh.v - rl.v) AS q, s.m AS m
         |FROM spec2 s JOIN r rl ON rl.k = s.k AND rl.r = s.lo
         |             JOIN r rh ON rh.k = s.k AND rh.r = s.hi""".stripMargin,
+
+    // floor-div of the µs epoch by the 900 s step (pmod form, exact
+    // for pre-1970), then the 4 consecutive step-aligned starts
+    "q_hopping" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
+        |f AS (SELECT (t - ((t % 900000000) + 900000000) % 900000000) // 900000000
+        |             AS fd, event_type, value FROM e),
+        |x AS (SELECT unnest(generate_series(fd - 3, fd)) AS w, event_type, value
+        |      FROM f)
+        |SELECT w * 900 AS bucket, event_type, count(*) AS n,
+        |       sum(round(value * 100)) / 100.0 AS sum_value
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q_type_seqs" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events),
+        |l AS (SELECT event_type,
+        |             lead(event_type, 1) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id) AS t1,
+        |             lead(event_type, 2) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id) AS t2
+        |      FROM e)
+        |SELECT event_type || ' > ' || t1 || ' > ' || t2 AS seq,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM l WHERE t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, seq LIMIT 50""".stripMargin,
+
+    "q_seasonality" ->
+      """SELECT isodow(ts) AS isodow, hour(ts) AS hour, count(*) AS n,
+        |       sum(round(value * 100)) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the q_quantiles type-7 machinery at p ∈ {.25, .5, .75} pivoted
+    // to (q1, med, q3), then r = (x − med) / (q3 − q1)
+    "q_robust_scale" ->
+      """WITH v AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS v FROM events
+        |           WHERE value IS NOT NULL),
+        |r AS (SELECT k, v,
+        |             CAST(row_number() OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS r
+        |      FROM v),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS m FROM v GROUP BY k),
+        |ps AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                      CAST(0.75 AS DOUBLE)]) AS p),
+        |spec AS (SELECT k, p, m, CAST(m - 1 AS DOUBLE) * p + 1 AS h
+        |         FROM m CROSS JOIN ps),
+        |spec2 AS (
+        |  SELECT k, p, m, CAST(floor(h) AS BIGINT) AS lo,
+        |         least(CAST(floor(h) AS BIGINT) + 1, m) AS hi, h - floor(h) AS frac
+        |  FROM spec
+        |),
+        |q AS (SELECT s.k, s.p, rl.v + s.frac * (rh.v - rl.v) AS q
+        |      FROM spec2 s JOIN r rl ON rl.k = s.k AND rl.r = s.lo
+        |                   JOIN r rh ON rh.k = s.k AND rh.r = s.hi),
+        |st AS (SELECT k, max(CASE WHEN p = 0.25 THEN q END) AS q1,
+        |              max(CASE WHEN p = 0.5  THEN q END) AS med,
+        |              max(CASE WHEN p = 0.75 THEN q END) AS q3
+        |       FROM q GROUP BY k)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       CASE WHEN st.q3 > st.q1
+        |            THEN (e.value - st.med) / (st.q3 - st.q1) END AS r
+        |FROM events e JOIN st ON st.k = e.event_type""".stripMargin,
 
     // explicit lag() columns, never a frame aggregate — see
     // Events.lagFeatures on the segment-tree FP-order trap

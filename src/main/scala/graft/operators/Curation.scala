@@ -820,6 +820,39 @@ object Curation {
         col("m"))
   }
 
+  /** Robust per-key standardization: r = (x − median) / IQR — the
+    * outlier-insensitive twin of Events.zscoreByKey (one fat-tailed
+    * whale moves a mean/σ z-score arbitrarily; the median and
+    * quartiles ignore it), the normalizer of choice before
+    * quality-score thresholding on heavy-tailed web data.
+    *
+    * Exactness: the three quartiles come from quantilesByKey's exact
+    * type-7 machinery (the identical IEEE interpolation the oracle
+    * replays), and r is two subtractions + one division in a pinned
+    * order — every row hash-matches the SQL replay. Degenerate keys
+    * (IQR = 0 — over half the key's mass on one value) yield NULL
+    * rather than a division blow-up.
+    *
+    * Scale shape: quantilesByKey's range-exchange rank (no per-key
+    * window — a mega-key would sort in one task) produces a
+    * #keys-sized quartile table, pivoted and BROADCAST back over the
+    * scan — the corpus itself never shuffles.
+    * Output: (idCol, keyCol, valCol, r). */
+  def robustScale(df: DataFrame, idCol: String, keyCol: String,
+                  valCol: String): DataFrame = {
+    val qs = quantilesByKey(df.select(col(keyCol), col(valCol)),
+      keyCol, valCol, Seq(0.25, 0.5, 0.75))
+    val stats = qs.groupBy(col(keyCol)).agg(
+      max(when(col("p") === 0.25, col("q"))).as("__q1"),
+      max(when(col("p") === 0.5, col("q"))).as("__med"),
+      max(when(col("p") === 0.75, col("q"))).as("__q3"))
+    df.select(col(idCol), col(keyCol), col(valCol))
+      .join(broadcast(stats), Seq(keyCol))
+      .select(col(idCol), col(keyCol), col(valCol),
+        when(col("__q3") > col("__q1"),
+          (col(valCol) - col("__med")) / (col("__q3") - col("__q1"))).as("r"))
+  }
+
   /** Hard-negative mining for contrastive training: negatives drawn
     * from the anchor's OWN K-Means cell — semantically close (hard)
     * but never the anchor itself — where negativeSamples draws

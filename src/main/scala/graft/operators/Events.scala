@@ -482,6 +482,106 @@ object Events {
       (sum(col("__cents")).over(w).cast("long") / 100.0).as("roll_value"))
   }
 
+  /** Hopping (overlapping tumbling) window aggregate per event type:
+    * windows of `widthSeconds` sliding every `stepSeconds` (width must
+    * be a step multiple), each event contributing to exactly
+    * width/step windows — the smoothed trend view tumblingByType
+    * cannot give (a spike on a tumbling boundary splits across two
+    * buckets; hopping sees it whole in every covering window).
+    *
+    * Exactness: window starts are exact integers — FLOOR-divide the
+    * µs epoch by the step and take the `r = width/step` consecutive
+    * starts ending there (start = (fd−i)·step, i ∈ [0, r)); every
+    * start is ≡ 0 (mod step) and covers the event, both engines
+    * agree bit-for-bit including pre-1970 (floor, not truncate).
+    * Value sums use the fixed-point cents trick (one /100.0 per
+    * output row).
+    *
+    * Scale shape: ONE bounded explode (×r, a constant ≤ 64 — loudly
+    * guarded since it multiplies rows) feeding ONE hash aggregate
+    * with map-side partial agg. No self-joins, no windows, no range
+    * joins — the naive phrasing (events × window table) is a range
+    * join that rescans the corpus per window.
+    *
+    * Output: (bucket epoch-seconds window START, event_type, n,
+    * sum_value). */
+  def hoppingByType(df: DataFrame, widthSeconds: Long, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    require(widthSeconds % stepSeconds == 0,
+      s"width ($widthSeconds s) must be a multiple of step ($stepSeconds s)")
+    val r = widthSeconds / stepSeconds
+    require(r >= 1 && r <= 64,
+      s"width/step = $r multiplies every row — keep it in [1, 64]")
+    val stepUs = stepSeconds * 1000000L
+    val fd = lfloorDiv(epochMicros(col("ts")), stepUs)
+    df.select(col("event_type"), col("value"),
+        explode(sequence(fd - lit(r - 1L), fd)).as("__w"))
+      .groupBy((col("__w") * stepSeconds).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
+  }
+
+  /** Top event-type n-gram sequences: the most common length-n runs
+    * of CONSECUTIVE event types inside a user's timeline — the
+    * sequence-mining read of the stream (eventTransitions is the
+    * n=2 marginal; this surfaces whole paths like
+    * "view > click > purchase" with exact support counts).
+    *
+    * Per-user order is (ts_us, event_id) — the sessionize total-order
+    * contract, so every lead is deterministic; a run must be fully
+    * inside one user's timeline (the last n−1 events of each user
+    * anchor nothing). Ranking is (support desc, seq asc) — a total
+    * order, so the top-k cut is stable cross-engine.
+    *
+    * Scale shape: ONE user-key window carrying n−1 leads (n is a
+    * small constant), one hash aggregate on the type-path string
+    * (type^n-bounded), then TakeOrderedAndProject for the k-row head
+    * — never a global sort of the corpus.
+    * Output: (seq "a > b > c", n). */
+  def typeSequences(df: DataFrame, n: Int = 3, topK: Int = 50): DataFrame = {
+    require(n >= 2 && n <= 5, s"sequence length must be in [2, 5], got $n")
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val base = df.select(col("user_id"), col("event_id"),
+      lfloorDiv(col("ts"), 1000L).as("ts_us"), col("event_type"))
+    val withLeads = (1 until n).foldLeft(base) { (d, i) =>
+      d.withColumn(s"__t$i", lead("event_type", i).over(byUser))
+    }
+    // lead(n−1) non-null implies every shorter lead is non-null (the
+    // intermediate rows exist), so one filter gates the full run
+    val parts = col("event_type") +: (1 until n).map(i => col(s"__t$i"))
+    withLeads.filter(col(s"__t${n - 1}").isNotNull)
+      .select(concat_ws(" > ", parts: _*).as("seq"))
+      .groupBy("seq").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("seq"))
+      .limit(topK)
+  }
+
+  /** Calendar seasonality profile: event count + exact value sum per
+    * (ISO day-of-week, hour-of-day) cell — the 7×24 activity heatmap
+    * behind load forecasting and bot detection (humans have a diurnal
+    * cycle; a crawler is flat).
+    *
+    * Exactness: both coordinates are pure integer arithmetic on the
+    * µs epoch — epoch day 0 (1970-01-01) was a Thursday, so
+    * isodow = pmod(day + 3, 7) + 1 lands Monday=1..Sunday=7 exactly
+    * like the oracle's isodow(); hour = pmod(epoch-hours, 24). FLOOR
+    * division + pmod keeps pre-1970 instants on the same cell both
+    * engines. Value sums are exact cents.
+    *
+    * Scale shape: ONE hash aggregate over the scan onto at most 168
+    * cells — map-side partials collapse everything before the
+    * exchange. Output: (isodow 1-7, hour 0-23, n, sum_value). */
+  def calendarProfile(df: DataFrame): DataFrame = {
+    val us = epochMicros(col("ts"))
+    val day = lfloorDiv(us, 86400000000L)
+    df.groupBy(
+        (pmod(day + lit(3L), lit(7L)) + 1L).as("isodow"),
+        pmod(lfloorDiv(us, 3600000000L), lit(24L)).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
+  }
+
   /** Regularize each user's activity onto a dense daily grid:
     * zero-fill every silent day between the user's first and last
     * active day — the resample step before any fixed-step sequence

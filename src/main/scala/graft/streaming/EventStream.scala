@@ -31,6 +31,22 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(unix_timestamp(col("w.start")).as("bucket"), col("event_type"), col("n"))
 
+  /** Watermarked HOPPING counts per event type — windowedCounts with
+    * overlap: window() with a slide shorter than the width assigns
+    * each event to width/slide windows (the same start set as the
+    * batch Events.hoppingByType: starts ≡ 0 mod slide covering the
+    * event), and the watermark evicts each window's state once its
+    * end passes — state is windows-in-horizon × types, not stream
+    * length. */
+  def hoppingCounts(events: DataFrame, width: String = "1 hour",
+                    step: String = "15 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events.withColumn("ets", Events.tsFromNanos(col("ts")))
+      .withWatermark("ets", watermark)
+      .groupBy(window(col("ets"), width, step).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("bucket"), col("event_type"), col("n"))
+
   /** Watermarked session windows per user (native session_window —
     * gap-based, merging as events arrive). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",

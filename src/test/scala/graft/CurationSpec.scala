@@ -767,4 +767,18 @@ class CurationSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Curation.paretoFrontier(df, "x", "y"))
     assert(e.getMessage.contains("int/long"))
   }
+
+  test("robustScale: (x − median)/IQR per key; degenerate IQR yields NULL") {
+    // key a: 1..5 → q1=2, med=3, q3=4, IQR=2 → r(5.0) = 1.0, r(3.0) = 0.0
+    // key b: constant → IQR=0 → NULL
+    val in = (1L to 5L).map(i => (i, "a", i.toDouble)) ++
+      Seq((6L, "b", 7.0), (7L, "b", 7.0), (8L, "b", 7.0))
+    val got = Curation.robustScale(in.toDF("id", "k", "v"), "id", "k", "v")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(3L) === Some(0.0))
+    assert(got(5L) === Some(1.0))
+    assert(got(1L) === Some(-1.0))
+    assert(got(6L) === None, "zero-IQR key must yield NULL, not a blow-up")
+  }
 }

@@ -81,6 +81,28 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got === Seq((1L, 1L), (1L, 2L)))
   }
 
+  test("hoppingCounts assigns each event to width/step windows and matches the batch twin") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Events
+    val evs = Seq(
+      Ev(1, 1000 * G, 1, "click", 0, "{}"),
+      Ev(2, 1900 * G, 2, "click", 0, "{}"), // fd=2: the band shifted one step
+      Ev(3, 5000 * G, 1, "view", 0, "{}"))
+    val got = runToMemory("hop")(df =>
+        EventStream.hoppingCounts(df, width = "1 hour", step = "15 minutes"))(
+        Seq(evs.take(2), evs.drop(2)))
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Events.hoppingByType(
+        spark.createDataFrame(evs).toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        widthSeconds = 3600L, stepSeconds = 900L)
+      .select(col("bucket"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === batch)
+    // t=1000 s → starts {−1800,−900,0,900}; t=1900 s → {−900,0,900,1800}
+    assert(got((0L, "click")) === 2L && got((-1800L, "click")) === 1L &&
+      got((1800L, "click")) === 1L)
+  }
+
   test("runningUserTotals keeps exact per-user state across batches") {
     val b1 = Seq(Ev(1, 0, 1, "a", 1.25, "{}"), Ev(2, 1, 2, "a", 2.00, "{}"))
     val b2 = Seq(Ev(3, 2, 1, "a", 0.75, "{}"))

@@ -249,4 +249,66 @@ class EventsSpec extends AnyFunSuite {
     assert(got(4L) === None, "n=1 key must yield NULL, not a blow-up")
     assert(got(5L) === None, "zero-variance key must yield NULL")
   }
+
+  test("hoppingByType: each event lands in exactly width/step windows") {
+    // width 3600, step 900 → 4 covering windows per event
+    // t=1000 s, fd=floor(1000/900)=1 → starts (1−3..1)·900 = {−1800,−900,0,900}
+    val e = Seq(ev(1, 1000, 1, "click", 1.10))
+    val got = Events.hoppingByType(df(e), 3600, 900)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set(-1800L, -900L, 0L, 900L))
+    assert(got.values.toSet === Set((1L, 1.10)))
+  }
+
+  test("hoppingByType with width == step degenerates to tumblingByType") {
+    val e = Seq(ev(1, 10, 1, "click", 1.10), ev(2, 3700, 1, "view", 2.20),
+      ev(3, 3800, 2, "view", 0.30))
+    val hop = Events.hoppingByType(df(e), 3600, 3600)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val tum = Events.tumblingByType(df(e), 3600)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(hop === tum)
+  }
+
+  test("hoppingByType rejects non-multiple and row-multiplying widths") {
+    intercept[IllegalArgumentException](Events.hoppingByType(df(Nil), 3600, 700))
+    intercept[IllegalArgumentException](Events.hoppingByType(df(Nil), 65000, 1000))
+  }
+
+  test("typeSequences: consecutive runs per user, support-ranked, stable ties") {
+    val e = Seq(
+      ev(1, 10, 1, "a", 0), ev(2, 20, 1, "b", 0), ev(3, 30, 1, "c", 0),
+      ev(4, 40, 1, "b", 0), // u1: a>b>c, b>c>b
+      ev(5, 10, 2, "a", 0), ev(6, 20, 2, "b", 0), ev(7, 30, 2, "c", 0), // u2: a>b>c
+      ev(8, 10, 3, "z", 0), ev(9, 20, 3, "z", 0)) // too short for a trigram
+    val got = Events.typeSequences(df(e), n = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.head === (("a > b > c", 2L)))
+    assert(got.toSet === Set(("a > b > c", 2L), ("b > c > b", 1L)))
+  }
+
+  test("typeSequences ranks ties by sequence string ascending") {
+    val e = Seq(ev(1, 10, 1, "b", 0), ev(2, 20, 1, "a", 0),
+      ev(3, 10, 2, "a", 0), ev(4, 20, 2, "b", 0))
+    val got = Events.typeSequences(df(e), n = 2, topK = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("a > b", 1L)), "tie at n=1 must cut by seq asc")
+  }
+
+  test("calendarProfile: epoch day 0 is Thursday, hours and cents exact") {
+    // 1970-01-01 00:30 UTC → isodow 4 (Thu), hour 0
+    // 1970-01-04 23:30 UTC → isodow 7 (Sun), hour 23
+    val e = Seq(ev(1, 1800, 1, "click", 1.10),
+      ev(2, 3 * 86400 + 23 * 3600 + 1800, 1, "view", 2.23))
+    val got = Events.calendarProfile(df(e))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got === Map((4L, 0L) -> ((1L, 1.10)), (7L, 23L) -> ((1L, 2.23))))
+  }
+
+  test("calendarProfile handles pre-1970 instants (floor + pmod, never negative cells)") {
+    val e = Seq(ev(1, -3600, 1, "click", 1.0)) // 1969-12-31 23:00 UTC, a Wednesday
+    val got = Events.calendarProfile(df(e))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((3L, 23L)))
+  }
 }
