@@ -94,7 +94,8 @@ object SparkEntry {
   private val pairFixtureQueries: Set[String] = Set(
     "q_components", "q_components_star", "q_pagerank", "q_degree_hist",
     "q_triangles", "q_kcore", "q_assortativity", "q_label_prop",
-    "q_leakage", "q_split_clean", "q_bfs_dist", "q_sssp")
+    "q_leakage", "q_split_clean", "q_bfs_dist", "q_sssp",
+    "q_ppr", "q_comp_sizes")
   private val bpeFixtureQueries: Set[String] = Set(
     "q_bpe_encode", "q_bpe_compression")
   val sharedFixtureQueries: Set[String] = pairFixtureQueries ++ bpeFixtureQueries
@@ -1982,6 +1983,27 @@ object SparkEntry {
       Graph.triangleCounts(pairs, "id1", "id2")
     }),
 
+    // ── graph: personalized PageRank from the 5 lowest node ids ─────
+    // Teleport restricted to the seed set (Haveliwala'02) — proximity
+    // mass, not global centrality; sortedFold for the bit-exact gate.
+    "q_ppr" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      val nodes = pairs.select(col("id1").as("id"))
+        .union(pairs.select(col("id2").as("id"))).distinct()
+      Graph.personalizedPageRank(pairs, nodes.orderBy("id").limit(5), "id",
+        "id1", "id2", iters = 3, sortedFold = true)
+    }),
+
+    // ── graph: duplicate-cluster size histogram ─────────────────────
+    // The "how big are my dup clusters" curation summary: component
+    // sizes, then components per size — two tiny aggs on q_components.
+    "q_comp_sizes" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      Dedup.connectedComponents(pairs)
+        .groupBy("component").agg(count(lit(1)).cast("long").as("size"))
+        .groupBy("size").agg(count(lit(1)).cast("long").as("n_components"))
+    }),
+
     // ── graph: 2-core of the near-dup graph (bounded peeling) ───────
     // 3 peel rounds, matching the oracle's unroll; the graph's
     // triangles guarantee a non-empty core.
@@ -2153,6 +2175,39 @@ object SparkEntry {
     // from one map-side-combined aggregate.
     "q_seasonality" -> ((s, dir) => {
       Events.calendarProfile(Tables(s, dir, "events"))
+    }),
+
+    // ── events: entry/exit type profile (landing → abandonment) ─────
+    // One window pass (first+last over the total order), user-grain
+    // distinct, type²-bounded count.
+    "q_entry_exit" -> ((s, dir) => {
+      Events.entryExitProfile(Tables(s, dir, "events"))
+    }),
+
+    // ── events: per-user burstiness (Fano factor of daily counts) ───
+    // Exact integer dispersion: (n·Σc² − (Σc)²)/(n·Σc), one division.
+    "q_burstiness" -> ((s, dir) => {
+      Events.burstiness(Tables(s, dir, "events"))
+    }),
+
+    // ── events: per-user type diversity (Gini-Simpson, log-free) ────
+    // (n² − Σc²)/n² and n²/Σc² — exact-long divisions; Shannon
+    // entropy deliberately avoided (Spark log() is StrictMath, 1 ulp
+    // off DuckDB's libm ln — measured at x=74).
+    "q_type_diversity" -> ((s, dir) => {
+      Events.typeDiversity(Tables(s, dir, "events"))
+    }),
+
+    // ── events: inactivity / churn flags vs the corpus anchor day ───
+    "q_churn" -> ((s, dir) => {
+      Events.inactivity(Tables(s, dir, "events"), churnDays = 7)
+    }),
+
+    // ── text: pairwise source-similarity cosine (corpus mixture) ────
+    // Exact long dot/norms over (source, term) counts; vocab-sized
+    // self-join bounded by df(term) ≤ |sources|.
+    "q_source_sim" -> ((s, dir) => {
+      TextAnalysis.sourceSimilarity(Tables(s, dir, "documents"), "source", "text")
     }),
 
     // ── curation: robust (median/IQR) per-type value scaling ────────
@@ -3609,6 +3664,14 @@ object SparkEntry {
     "q_components" ->
       s"""WITH $sqlNearDupReach
          |SELECT id, min(comp) AS component FROM reach GROUP BY id""".stripMargin,
+
+    "q_comp_sizes" ->
+      s"""WITH $sqlNearDupReach,
+         |c AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+         |       FROM c GROUP BY 1)
+         |SELECT size, CAST(count(*) AS BIGINT) AS n_components
+         |FROM sz GROUP BY 1""".stripMargin,
 
     "q_cluster_dedup" ->
       s"""WITH $sqlNearDupReach,
@@ -5110,6 +5173,51 @@ object SparkEntry {
          |)
          |SELECT r3.id, r3.pr, d.degree FROM r3 JOIN deg d ON d.id = r3.id""".stripMargin,
 
+    // the q_pagerank unroll with the teleport restricted to the 5
+    // lowest node ids: s(v) = 1/5 on seeds else 0, pr0 = s, and the
+    // per-node teleport term 0.15·s(v) — same sorted-fold exactness
+    "q_ppr" ->
+      s"""WITH $sqlNearDupEdges,
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+         |        FROM edges GROUP BY src),
+         |sd AS (SELECT id FROM deg ORDER BY id LIMIT 5),
+         |sv AS (SELECT deg.id, deg.degree,
+         |              CASE WHEN sd.id IS NOT NULL
+         |                   THEN CAST(1 AS DOUBLE) / 5 ELSE CAST(0 AS DOUBLE) END AS s
+         |       FROM deg LEFT JOIN sd ON sd.id = deg.id),
+         |r0 AS (SELECT id, s AS pr FROM sv),
+         |r1 AS (
+         |  SELECT sv.id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * sv.s
+         |           + CAST(0.85 AS DOUBLE) * coalesce(m.s, CAST(0 AS DOUBLE)) AS pr
+         |  FROM sv LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |           list_reduce(list_sort(list(r.pr / d.degree)), (acc, x) -> acc + x) AS s
+         |    FROM edges e JOIN r0 r ON r.id = e.src JOIN deg d ON d.id = e.src
+         |    GROUP BY e.dst) m ON m.id = sv.id
+         |),
+         |r2 AS (
+         |  SELECT sv.id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * sv.s
+         |           + CAST(0.85 AS DOUBLE) * coalesce(m.s, CAST(0 AS DOUBLE)) AS pr
+         |  FROM sv LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |           list_reduce(list_sort(list(r.pr / d.degree)), (acc, x) -> acc + x) AS s
+         |    FROM edges e JOIN r1 r ON r.id = e.src JOIN deg d ON d.id = e.src
+         |    GROUP BY e.dst) m ON m.id = sv.id
+         |),
+         |r3 AS (
+         |  SELECT sv.id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * sv.s
+         |           + CAST(0.85 AS DOUBLE) * coalesce(m.s, CAST(0 AS DOUBLE)) AS pr
+         |  FROM sv LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |           list_reduce(list_sort(list(r.pr / d.degree)), (acc, x) -> acc + x) AS s
+         |    FROM edges e JOIN r2 r ON r.id = e.src JOIN deg d ON d.id = e.src
+         |    GROUP BY e.dst) m ON m.id = sv.id
+         |)
+         |SELECT r3.id, r3.pr, d.degree FROM r3 JOIN deg d ON d.id = r3.id""".stripMargin,
+
     "q_degree_hist" ->
       s"""WITH $sqlNearDupEdges,
          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
@@ -5431,6 +5539,77 @@ object SparkEntry {
         |SELECT s.k AS seg, s.p, rl.v + s.frac * (rh.v - rl.v) AS q, s.m AS m
         |FROM spec2 s JOIN r rl ON rl.k = s.k AND rl.r = s.lo
         |             JOIN r rh ON rh.k = s.k AND rh.r = s.hi""".stripMargin,
+
+    "q_entry_exit" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events),
+        |r AS (SELECT user_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id) AS ra,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY ts_us DESC, event_id DESC) AS rd
+        |      FROM e),
+        |u AS (SELECT a.user_id, a.event_type AS entry_type, d.event_type AS exit_type
+        |      FROM (SELECT user_id, event_type FROM r WHERE ra = 1) a
+        |      JOIN (SELECT user_id, event_type FROM r WHERE rd = 1) d
+        |        USING (user_id))
+        |SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
+    // exact-integer Fano factor: (n·Σc² − (Σc)²)/(n·Σc), truncating
+    // day buckets (the bucketEpoch // convention)
+    "q_burstiness" ->
+      """WITH d AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |                  CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS days_active,
+        |             CAST(sum(c) AS BIGINT) AS n_events,
+        |             CAST(sum(c * c) AS BIGINT) AS ss
+        |      FROM d GROUP BY 1)
+        |SELECT user_id, days_active, n_events,
+        |       CAST(n_events AS DOUBLE) / CAST(days_active AS DOUBLE) AS mean_daily,
+        |       CASE WHEN days_active > 1 THEN
+        |         CAST(days_active * ss - n_events * n_events AS DOUBLE)
+        |           / CAST(days_active * n_events AS DOUBLE) END AS fano
+        |FROM a""".stripMargin,
+
+    // log-free diversity: exact-long numerators, one division each
+    "q_type_diversity" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |             CAST(count(*) AS BIGINT) AS n_types,
+        |             CAST(sum(c * c) AS BIGINT) AS ss
+        |      FROM c GROUP BY 1)
+        |SELECT user_id, n_events, n_types,
+        |       CAST(n_events * n_events - ss AS DOUBLE)
+        |         / CAST(n_events * n_events AS DOUBLE) AS simpson,
+        |       CAST(n_events * n_events AS DOUBLE) / CAST(ss AS DOUBLE) AS eff_types
+        |FROM a""".stripMargin,
+
+    "q_churn" ->
+      """WITH l AS (SELECT user_id, max(epoch_ns(ts) // 86400000000000) AS last_day
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT max(last_day) AS amax FROM l)
+        |SELECT l.user_id, l.last_day, a.amax - l.last_day AS days_inactive,
+        |       CAST(a.amax - l.last_day >= 7 AS INTEGER) AS churned
+        |FROM l CROSS JOIN a""".stripMargin,
+
+    "q_source_sim" ->
+      """WITH tf AS (
+        |  SELECT source AS k, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT k, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+        |d AS (SELECT a.k AS source1, b.k AS source2,
+        |             CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |      FROM tf a JOIN tf b ON a.term = b.term AND a.k < b.k
+        |      GROUP BY 1, 2)
+        |SELECT d.source1, d.source2, d.dot,
+        |       CAST(d.dot AS DOUBLE)
+        |         / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))) AS cosine
+        |FROM d JOIN n n1 ON n1.k = d.source1
+        |       JOIN n n2 ON n2.k = d.source2""".stripMargin,
 
     // floor-div of the µs epoch by the 900 s step (pmod form, exact
     // for pre-1970), then the 4 consecutive step-aligned starts

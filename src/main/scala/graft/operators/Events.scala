@@ -392,6 +392,114 @@ object Events {
         col("max_gap_us"))
   }
 
+  /** Entry/exit profile: for each (first event type, last event type)
+    * pair, how many users START their recorded timeline with the one
+    * and END with the other — the landing/abandonment fingerprint
+    * behind onboarding and churn analysis ("users who enter on view
+    * and leave on cart_abandon").
+    *
+    * First/last are over the sessionize total order (ts_us,
+    * event_id) — deterministic under ties. ONE window pass carries
+    * both analytics (first/last over an unbounded frame of the same
+    * ordering — one sort), then a distinct to user grain and a
+    * type²-bounded count.
+    * Output: (entry_type, exit_type, n_users). */
+  def entryExitProfile(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.select(col("user_id"), lfloorDiv(col("ts"), 1000L).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .select(col("user_id"),
+        first("event_type").over(w).as("entry_type"),
+        last("event_type").over(w).as("exit_type"))
+      .distinct()
+      .groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
+
+  /** Per-user burstiness: the Fano factor (variance-to-mean ratio) of
+    * the user's DAILY event counts — the dispersion axis
+    * interArrivalStats' max-gap misses: a metronomic cron job scores
+    * ≈ 0 (counts hug their mean), a binge-and-silence human scores
+    * ≫ 1. The bot-detection companion to calendarProfile.
+    *
+    * Exactness: daily counts are exact longs (truncating day buckets,
+    * bucketEpoch's oracle convention), and the population
+    * variance/mean collapses to integer numerators:
+    * fano = (n·Σc² − (Σc)²) / (n·Σc) — exact long operands, ONE IEEE
+    * division. Single-active-day users yield NULL (dispersion of one
+    * observation is not 0 evidence, it's no evidence).
+    *
+    * Scale shape: one (user, day) hash agg collapses events, one
+    * user-keyed agg of three longs — no windows, no FP accumulation.
+    * Output: (user_id, days_active, n_events, mean_daily, fano). */
+  def burstiness(df: DataFrame): DataFrame = {
+    val daily = df.groupBy(col("user_id"), ldiv(col("ts"), DayNanos).as("day"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    daily.groupBy("user_id").agg(
+        count(lit(1)).cast("long").as("days_active"),
+        sum(col("c")).cast("long").as("n_events"),
+        sum(col("c") * col("c")).cast("long").as("__ss"))
+      .select(col("user_id"), col("days_active"), col("n_events"),
+        (col("n_events").cast("double") / col("days_active").cast("double")).as("mean_daily"),
+        when(col("days_active") > 1L,
+          (col("days_active") * col("__ss") - col("n_events") * col("n_events")).cast("double")
+            / (col("days_active") * col("n_events")).cast("double")).as("fano"))
+  }
+
+  /** Per-user behavioral diversity: Gini-Simpson index of the user's
+    * event-type distribution — the diversity axis of the cadence
+    * features (burstiness measures WHEN activity clumps; this
+    * measures WHAT it spreads over: a single-action bot scores 0, an
+    * organic user samples the whole type alphabet).
+    *
+    * Simpson, not Shannon, ON PURPOSE — the repo's log-free doctrine
+    * (see chiSquareCollocations / tfIdf: ln is libm, last-ulp
+    * engine-dependent — Spark's log() is StrictMath.log, which
+    * differs from DuckDB's libm ln by 1 ulp at e.g. x=74, measured):
+    * D = 1 − Σp² = (n² − Σc²)/n² and the effective type count
+    * n²/Σc² are DIVISIONS OF EXACT LONGS — bit-exact on any engine,
+    * and rank users identically to entropy for this purpose.
+    * Single-type users land on exactly 0 (eff_types exactly 1).
+    *
+    * Scale shape: one (user, type) hash agg collapses the corpus,
+    * one user-keyed agg of two exact longs — no lists, no FP
+    * accumulation anywhere.
+    * Output: (user_id, n_events, n_types, simpson, eff_types). */
+  def typeDiversity(df: DataFrame): DataFrame = {
+    val c = df.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    c.groupBy("user_id").agg(
+        sum(col("c")).cast("long").as("n_events"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(col("c") * col("c")).cast("long").as("__ss"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        ((col("n_events") * col("n_events") - col("__ss")).cast("double")
+          / (col("n_events") * col("n_events")).cast("double")).as("simpson"),
+        ((col("n_events") * col("n_events")).cast("double")
+          / col("__ss").cast("double")).as("eff_types"))
+  }
+
+  /** Per-user inactivity / churn flags: days since the user's last
+    * event, anchored at the CORPUS's own last active day (a pure
+    * function of the input — no wall clock, so the oracle replays it
+    * and reruns are stable). churned = inactive ≥ churnDays, emitted
+    * as 0/1 int.
+    *
+    * Scale shape: one user-keyed max agg, then a 1-row broadcast of
+    * the corpus anchor over it — no second corpus pass, no windows.
+    * Output: (user_id, last_day, days_inactive, churned). */
+  def inactivity(df: DataFrame, churnDays: Int = 7): DataFrame = {
+    require(churnDays >= 1, s"churnDays must be positive, got $churnDays")
+    val lastDays = df.groupBy(col("user_id"))
+      .agg(max(ldiv(col("ts"), DayNanos)).as("last_day"))
+    val anchor = lastDays.agg(max(col("last_day")).as("__amax"))
+    lastDays.crossJoin(broadcast(anchor))
+      .select(col("user_id"), col("last_day"),
+        (col("__amax") - col("last_day")).as("days_inactive"),
+        (col("__amax") - col("last_day") >= churnDays.toLong).cast("int").as("churned"))
+  }
+
   /** JSON props extraction + per-type aggregate: the semi-structured
     * column path (get_json_object stays in codegen). */
   def propsAgg(df: DataFrame): DataFrame =

@@ -40,11 +40,11 @@ object Graph {
     * distributed partial-agg scale path.
     *
     * Output: (id, pr, degree) for every node in the edge list. */
-  def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-               iters: Int = 3, damping: Double = 0.85,
-               undirected: Boolean = true, sortedFold: Boolean = false): DataFrame = {
-    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
-    require(damping > 0.0 && damping < 1.0, s"damping must be in (0, 1), got $damping")
+  /** Shared rank-iteration prep: dedup'd (optionally symmetrized)
+    * edge list + per-node out-degrees, both pinned — the opening
+    * moves of pageRank and personalizedPageRank. */
+  private def rankPrep(edges: DataFrame, srcCol: String, dstCol: String,
+                       undirected: Boolean): (DataFrame, DataFrame) = {
     val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
     val oriented =
@@ -57,6 +57,15 @@ object Graph {
       .union(e.select(col("dst").as("id"))).distinct()
     val degs = Dedup.pin(nodes.join(outDeg, Seq("id"), "left")
       .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree")))
+    (e, degs)
+  }
+
+  def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+               iters: Int = 3, damping: Double = 0.85,
+               undirected: Boolean = true, sortedFold: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0, 1), got $damping")
+    val (e, degs) = rankPrep(edges, srcCol, dstCol, undirected)
     val n = degs.count()
     require(n > 0, "pageRank on an empty edge list")
     val tele = (1.0 - damping) / n.toDouble
@@ -78,6 +87,64 @@ object Graph {
       ranks = degs.select(col("id")).join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(tele) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .localCheckpoint(eager = true)
+    }
+    ranks.join(degs, Seq("id"))
+  }
+
+  /** Personalized PageRank (Haveliwala 2002 / Jeh & Widom 2003's
+    * topic-sensitive teleport): identical power iteration to
+    * pageRank, but teleport mass lands ONLY on the seed set — so rank
+    * measures proximity to the seeds rather than global centrality.
+    * The curation read: "which documents sit near the known-gold (or
+    * known-bad) set in the similarity graph", with multi-hop mass
+    * where bfsDistance gives only hop counts.
+    *
+    * pr'(v) = (1−d)·s(v) + d·Σ_{u→v} pr(u)/outdeg(u), with
+    * s(v) = 1/|S| for seeds and 0 elsewhere; pr₀ = s. Same simplified
+    * public variant as pageRank (dangling mass not redistributed —
+    * with the teleport restricted to seeds, non-seed sinks simply
+    * absorb less), same fixed-iteration determinism contract.
+    *
+    * Scale shape: pageRank's per-round join+agg pair exactly, plus a
+    * ONE-TIME broadcast left-join of the seed list (probe-sized) onto
+    * the node table. sortedFold as in pageRank: bit-exact oracle
+    * twin vs distributed partial-agg scale path.
+    *
+    * Output: (id, pr, degree) for every node of the edge list. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, seedCol: String,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           iters: Int = 3, damping: Double = 0.85,
+                           undirected: Boolean = true,
+                           sortedFold: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0, 1), got $damping")
+    val (e, degs) = rankPrep(edges, srcCol, dstCol, undirected)
+    // seeds restricted to nodes actually in the graph — teleporting to
+    // an absent node would silently leak (1−d)/|S| of mass nowhere
+    val seedIds = seeds.select(col(seedCol).as("id")).distinct()
+      .join(degs.select("id"), Seq("id"))
+    val nS = seedIds.count()
+    require(nS > 0, "personalizedPageRank needs at least one seed present in the graph")
+    val sv = Dedup.pin(degs
+      .join(broadcast(seedIds.withColumn("__s0", lit(1.0 / nS.toDouble))), Seq("id"), "left")
+      .select(col("id"), col("degree"), coalesce(col("__s0"), lit(0.0)).as("__s")))
+    var ranks = sv.select(col("id"), col("__s").as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(
+        ranks.join(sv.select("id", "degree"), Seq("id")).filter(col("degree") > 0L)
+          .select(col("id").as("src"), (col("pr") / col("degree")).as("c")),
+        Seq("src"))
+        .select(col("dst").as("id"), col("c"))
+      val sums =
+        if (sortedFold)
+          contribs.groupBy("id").agg(
+            graft.functions.VectorOps.foldSum(array_sort(collect_list(col("c")))).as("s"))
+        else contribs.groupBy("id").agg(sum(col("c")).as("s"))
+      ranks = sv.select(col("id"), col("__s")).join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) * col("__s")
+            + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
         .localCheckpoint(eager = true)
     }
     ranks.join(degs, Seq("id"))

@@ -619,6 +619,44 @@ object TextAnalysis {
     * term asc per group — the group column keeps its input name
     * (naming it "group" would hand a reserved keyword to downstream
     * SQL). */
+  /** Pairwise source similarity: cosine over each source's exact
+    * term-frequency vector — the corpus-mixture diagnostic ("are my
+    * two web crawls really different distributions, or the same feed
+    * twice?") that corpusDrift answers for two SNAPSHOTS and this
+    * answers for every source pair at once.
+    *
+    * Exactness: dot products and squared norms are sums of exact long
+    * products (integer addition is order-free), so the only FP is
+    * dot/(√n1·√n2) — two correctly-rounded sqrts and one division in
+    * pinned order; every row hash-matches the SQL replay. Overflow
+    * honest bound: Σ tf² per source < 2^63 holds past 10^9
+    * occurrences of a single term per source.
+    *
+    * Scale shape: ONE corpus-sized shuffle builds the (source, term)
+    * count table (pinned — it feeds three consumers); the self-join
+    * on term costs Σ_term df(term)² ≤ vocab·|sources|² — vocab-sized,
+    * NEVER corpus² (df per term is bounded by the source count, the
+    * reason this join can't explode the way a doc-grain self-join
+    * would). Norms are a |sources|-sized broadcast.
+    * Output: (source1 < source2, dot, cosine). */
+  def sourceSimilarity(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val tf = Dedup.pin(
+      df.select(col(keyCol).as("k"), explode(tokens(col(textCol))).as("term"))
+        .groupBy("k", "term").agg(count(lit(1)).cast("long").as("tf")))
+    val norms = tf.groupBy("k").agg(sum(col("tf") * col("tf")).cast("long").as("n2"))
+    val dots = tf.select(col("k").as("k1"), col("term"), col("tf").as("tf1"))
+      .join(tf.select(col("k").as("k2"), col("term"), col("tf").as("tf2")), Seq("term"))
+      .filter(col("k1") < col("k2"))
+      .groupBy("k1", "k2").agg(sum(col("tf1") * col("tf2")).cast("long").as("dot"))
+    dots
+      .join(broadcast(norms.select(col("k").as("k1"), col("n2").as("__n1"))), Seq("k1"))
+      .join(broadcast(norms.select(col("k").as("k2"), col("n2").as("__n2"))), Seq("k2"))
+      .select(col("k1").as("source1"), col("k2").as("source2"), col("dot"),
+        (col("dot").cast("double")
+          / (sqrt(col("__n1").cast("double")) * sqrt(col("__n2").cast("double"))))
+          .as("cosine"))
+  }
+
   def distinctiveTerms(df: DataFrame, groupCol: String, textCol: String,
                        topK: Int = 10): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")

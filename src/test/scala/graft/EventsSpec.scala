@@ -305,6 +305,61 @@ class EventsSpec extends AnyFunSuite {
     assert(got === Map((4L, 0L) -> ((1L, 1.10)), (7L, 23L) -> ((1L, 2.23))))
   }
 
+  test("entryExitProfile: first/last per user under the tie-broken total order") {
+    val e = Seq(
+      ev(1, 10, 1, "view", 0), ev(2, 20, 1, "click", 0), ev(3, 30, 1, "buy", 0),
+      ev(4, 10, 2, "view", 0),                      // single event: entry == exit
+      ev(5, 40, 3, "click", 0), ev(6, 40, 3, "view", 0)) // tie: event_id orders
+    val got = Events.entryExitProfile(df(e))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("view", "buy") -> 1L, ("view", "view") -> 1L,
+      ("click", "view") -> 1L))
+  }
+
+  test("burstiness: exact Fano factor; single-day users NULL") {
+    val D = 86400L
+    val e = Seq(
+      // u1: days 0,1,2 → counts 1,1,1 → fano 0 (metronome)
+      ev(1, 0, 1, "a", 0), ev(2, D, 1, "a", 0), ev(3, 2 * D, 1, "a", 0),
+      // u2: days 0,1 → counts 4,1: fano = (2·17 − 25)/(2·5) = 0.9 (burst)
+      ev(4, 0, 2, "a", 0), ev(5, 1, 2, "a", 0), ev(6, 2, 2, "a", 0),
+      ev(7, 3, 2, "a", 0), ev(8, D, 2, "a", 0),
+      // u3: one day only
+      ev(9, 0, 3, "a", 0))
+    val got = Events.burstiness(df(e)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(1L) === ((3L, 3L, 1.0, Some(0.0))))
+    assert(got(2L) === ((2L, 5L, 2.5, Some(0.9))))
+    assert(got(3L) === ((1L, 1L, 1.0, None)))
+  }
+
+  test("typeDiversity: exact Gini-Simpson; single-type users at exactly 0") {
+    val e = Seq(
+      // u1: 2×a + 2×b → n=4, Σc²=8 → simpson = (16−8)/16 = 0.5, eff = 2.0
+      ev(1, 0, 1, "a", 0), ev(2, 1, 1, "a", 0), ev(3, 2, 1, "b", 0), ev(4, 3, 1, "b", 0),
+      // u2: 3×a → simpson exactly 0, eff exactly 1
+      ev(5, 0, 2, "a", 0), ev(6, 1, 2, "a", 0), ev(7, 2, 2, "a", 0))
+    val got = Events.typeDiversity(df(e)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) === ((4L, 2L, 0.5, 2.0)))
+    assert(got(2L) === ((3L, 1L, 0.0, 1.0)))
+  }
+
+  test("inactivity: anchored at the corpus max day, churn flag at the threshold") {
+    val D = 86400L
+    val e = Seq(
+      ev(1, 20 * D, 1, "a", 0),             // the anchor user (day 20)
+      ev(2, 13 * D, 2, "a", 0),             // 7 days inactive → churned
+      ev(3, 14 * D, 3, "a", 0),             // 6 days inactive → not churned
+      ev(4, 2 * D, 2, "a", 0))              // earlier activity: max wins
+    val got = Events.inactivity(df(e), churnDays = 7).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(got(1L) === ((20L, 0L, 0)))
+    assert(got(2L) === ((13L, 7L, 1)))
+    assert(got(3L) === ((14L, 6L, 0)))
+  }
+
   test("calendarProfile handles pre-1970 instants (floor + pmod, never negative cells)") {
     val e = Seq(ev(1, -3600, 1, "click", 1.0)) // 1969-12-31 23:00 UTC, a Wednesday
     val got = Events.calendarProfile(df(e))

@@ -327,4 +327,48 @@ class GraphSpec extends AnyFunSuite {
       assert(d === Map(1L -> 0L, 3L -> 0L, 2L -> 1L)) // 3's edge wins
     } finally Dedup.releaseCaches()
   }
+
+  test("personalizedPageRank: mass concentrates near the seed, not the hub") {
+    // barbell: seed-side triangle {1,2,3} — bridge — hub-side star at 10
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L)).toDF("src", "dst")
+    try {
+      val pr = Graph.personalizedPageRank(edges, Seq(1L).toDF("id"), "id",
+        iters = 3).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(pr(1L) > pr(10L), "seed must outrank the distant hub")
+      assert(pr(2L) > pr(11L), "seed neighbor must outrank a distant leaf")
+      // global pageRank ranks the 5-degree hub first — the teleport
+      // restriction is what flips the ordering
+      val global = Graph.pageRank(edges, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(global(10L) > global(1L))
+    } finally Dedup.releaseCaches()
+  }
+
+  test("personalizedPageRank: sortedFold twin matches; seeds outside the graph rejected") {
+    val edges = (1L to 40L).map(i => (i, i % 7 + 100L)).toDF("src", "dst")
+    val seeds = Seq(100L, 101L).toDF("id")
+    try {
+      val a = Graph.personalizedPageRank(edges, seeds, "id", sortedFold = false)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val b = Graph.personalizedPageRank(edges, seeds, "id", sortedFold = true)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(a.keySet === b.keySet)
+      a.foreach { case (id, v) => assert(math.abs(v - b(id)) < 1e-12, s"id $id") }
+      intercept[IllegalArgumentException] {
+        Graph.personalizedPageRank(edges, Seq(9999L).toDF("id"), "id")
+      }
+    } finally Dedup.releaseCaches()
+  }
+
+  test("personalizedPageRank: non-seed with no in-edges sits at 0 (no global teleport)") {
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    try {
+      val pr = Graph.personalizedPageRank(edges, Seq(1L).toDF("id"), "id",
+        undirected = false, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(pr(3L) === 0.0, "teleport mass must not leak to non-seeds")
+      assert(pr(1L) === (1.0 - 0.85) * 1.0, "(1-d)·s for the seed with no in-edges")
+    } finally Dedup.releaseCaches()
+  }
 }

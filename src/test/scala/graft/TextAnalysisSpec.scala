@@ -691,4 +691,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got((2L, 1L)) === (("c", 1.0)))
     assert(got((2L, 2L)) === (("b", 0.2)))
   }
+
+  test("sourceSimilarity: exact long dot/norms, canonical pair order") {
+    // s1: a a b → tf {a:2, b:1}, n² = 5
+    // s2: a b b → tf {a:1, b:2}, n² = 5; dot = 2+2 = 4, cos = 4/5
+    // s3: c     → disjoint from both: no rows (dot would be 0)
+    val docs = Seq(("s1", "a a b"), ("s2", "a b b"), ("s3", "c"))
+      .toDF("source", "text")
+    val got = TextAnalysis.sourceSimilarity(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    try {
+      assert(got.keySet === Set(("s1", "s2")), "disjoint pairs emit nothing")
+      assert(got(("s1", "s2"))._1 === 4L)
+      assert(got(("s1", "s2"))._2 === 4.0 / (math.sqrt(5.0) * math.sqrt(5.0)))
+    } finally graft.operators.Dedup.releaseCaches()
+  }
 }
