@@ -2203,6 +2203,27 @@ object SparkEntry {
       Events.inactivity(Tables(s, dir, "events"), churnDays = 7)
     }),
 
+    // ── relational: explicit GROUPING SETS (the cube/rollup sibling) ─
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .groupingSets(Seq(Seq(col("source")), Seq(col("lang"))),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          grouping(col("source")).as("__gs"), grouping(col("lang")).as("__gl"))
+        .select(
+          when(col("__gs") === 1, lit("ALL")).otherwise(col("source")).as("source"),
+          when(col("__gl") === 1, lit("ALL")).otherwise(col("lang")).as("lang"),
+          col("n"), col("sum_chars"))
+    }),
+
+    // ── dedup: MinHash estimate-vs-exact calibration audit ──────────
+    // |est − exact| per candidate pair — the sketch-accuracy twin of
+    // q_ann_recall, on the md5-parity signature chain.
+    "q_minhash_calib" -> ((s, dir) => {
+      Dedup.minhashCalibration(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, b = 8, parity = true)
+    }),
+
     // ── text: pairwise source-similarity cosine (corpus mixture) ────
     // Exact long dot/norms over (source, term) counts; vocab-sized
     // self-join bounded by df(term) ≤ |sources|.
@@ -5594,6 +5615,36 @@ object SparkEntry {
         |SELECT l.user_id, l.last_day, a.amax - l.last_day AS days_inactive,
         |       CAST(a.amax - l.last_day >= 7 AS INTEGER) AS churned
         |FROM l CROSS JOIN a""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+        |       CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY GROUPING SETS ((source), (lang))""".stripMargin,
+
+    // est = agreeing signature positions / h; exact = the simpairs
+    // shingle Jaccard — both divisions of exact ints
+    "q_minhash_calib" ->
+      s"""WITH $sqlMinhash,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |  FROM bb x JOIN bb y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |),
+         |ee AS (
+         |  SELECT c.id1, c.id2,
+         |         CAST(list_sum(list_transform(list_zip(g1.sig, g2.sig),
+         |              q -> CASE WHEN q[1] = q[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+         |           / CAST(len(g1.sig) AS DOUBLE) AS est,
+         |         CAST(len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) /
+         |         CAST(len(s1.sh) + len(s2.sh)
+         |              - len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) AS jac
+         |  FROM cand c
+         |  JOIN sig g1 ON g1.doc_id = c.id1 JOIN sig g2 ON g2.doc_id = c.id2
+         |  JOIN sh s1 ON s1.doc_id = c.id1 JOIN sh s2 ON s2.doc_id = c.id2
+         |)
+         |SELECT id1, id2, est, jac, abs(est - jac) AS abs_err FROM ee""".stripMargin,
 
     "q_source_sim" ->
       """WITH tf AS (

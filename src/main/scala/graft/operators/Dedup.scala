@@ -615,6 +615,42 @@ object Dedup {
     aggregate(zip_with(s1, s2, (a, b) => when(a === b, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / size(s1).cast("double")
 
+  /** MinHash calibration audit: for every LSH candidate pair, the
+    * signature-agreement ESTIMATE of Jaccard next to the EXACT
+    * shingle Jaccard, plus the absolute error — the sketch-accuracy
+    * companion to Similarity's ANN recall audit (q_ann_recall): the
+    * near-dup pipeline's recall/precision rides on |est − exact|
+    * staying within the 1/√h binomial band, and this measures it on
+    * the corpus itself rather than trusting the textbook variance.
+    *
+    * Exactness: est is (agreeing positions)/h and exact is the
+    * integer-set Jaccard — both single divisions of exact ints, so
+    * every row (and the abs of their difference) hash-matches the
+    * SQL replay.
+    *
+    * Scale shape: identical to nearDuplicates — the cached signature
+    * table feeds the banded self-join and both verification joins;
+    * est adds one h-length rowwise zip per CANDIDATE, nothing
+    * corpus-sized. Output: (id1, id2, est, jac, abs_err). */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, h: Int = 16, b: Int = 8,
+                         parity: Boolean = false,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(h % b == 0, s"h=$h must be divisible by b=$b")
+    val sigs = registerCache(sigTable(df, idCol, textCol, n, h, parity)
+      .select(col(idCol).as("id"), col("sh"), col("sig")))
+    val buckets = sigs
+      .select(col("id"), explode(bandBuckets(col("sig"), b, h / b)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    candidatePairs(buckets, "id", maxBucket)
+      .join(sigs.select(col("id").as("id1"), col("sh").as("sh1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("id").as("id2"), col("sh").as("sh2"), col("sig").as("sig2")), "id2")
+      .select(col("id1"), col("id2"),
+        sigAgreement(col("sig1"), col("sig2")).as("est"),
+        jaccardSim(col("sh1"), col("sh2")).as("jac"))
+      .withColumn("abs_err", abs(col("est") - col("jac")))
+  }
+
   /** Drop batch docs that near-duplicate any INDEXED corpus doc: band
     * both signature sets, equi-join on (band, bucket) — batch side ×
     * index side only, never batch-internal — then verify candidates

@@ -579,4 +579,23 @@ class DedupSpec extends AnyFunSuite {
     val r = df.collect()(0)
     assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 0.0)
   }
+
+  test("minhashCalibration: exact copies have est = jac = 1, err = 0; est stays in [0,1]") {
+    val docs = Seq((1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
+      .toDF("doc_id", "text")
+    try {
+      val got = Dedup.minhashCalibration(docs, "doc_id", "text", parity = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val (est, jac, err) = got((1L, 2L))
+      assert(est === 1.0 && jac === 1.0 && err === 0.0)
+      got.values.foreach { case (e, j, a) =>
+        assert(e >= 0.0 && e <= 1.0 && j >= 0.0 && j <= 1.0)
+        assert(a === math.abs(e - j))
+      }
+      // the near-dup pair must surface as a candidate with high agreement
+      assert(got.contains((1L, 3L)) || got.contains((2L, 3L)),
+        "planted near-dup must be an LSH candidate")
+    } finally Dedup.releaseCaches()
+  }
 }
