@@ -537,6 +537,36 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    // ── streaming: NEAR-dup admission via band-bucket state ─────────
+    // The streaming MinHash gate: one long of occupancy state per LSH
+    // bucket; a doc is admitted iff ALL its bands are first-ever
+    // occupants (shares no bucket with any earlier doc). The
+    // all-bands-fresh fold over the sink is the q_stream_kmv
+    // final-state-selection convention; the cross-batch BUCKET state
+    // is what the doc_id-order oracle checks.
+    "q_stream_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val arrivals = Tables(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+        .as[StreamDoc].collect().sortBy(_.doc_id)
+      val perBatch = math.max(1, (arrivals.length + 2) / 3)
+      val source = MemoryStream[StreamDoc]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val q = streaming.DedupStream
+        .bandOccupancy(source.toDF(), "doc_id", "text", parity = true)
+        .toDF()
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try arrivals.grouped(perBatch).foreach { b =>
+        source.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn).groupBy("doc_id")
+        .agg(sum(col("fresh")).as("__f"), count(lit(1)).as("__b"))
+        .filter(col("__f") === col("__b"))
+        .select(col("doc_id"))
+    }),
+
     // ── streaming: watermarked HOPPING counts, driver-gated ─────────
     // Overlapping-window state under the hash gate: each event lands
     // in 4 windows (1 h width / 15 min slide), folded across 3
@@ -3818,6 +3848,17 @@ object SparkEntry {
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket, event_type,
         |       count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // a doc is admitted iff no band bucket is shared with a LOWER
+    // doc_id (the feed's arrival order) — sig-bearing docs only
+    "q_stream_neardup" ->
+      s"""WITH $sqlMinhash,
+         |coll AS (
+         |  SELECT DISTINCT y.doc_id
+         |  FROM bb x JOIN bb y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |)
+         |SELECT s.doc_id FROM sig s ANTI JOIN coll c ON s.doc_id = c.doc_id""".stripMargin,
 
     // the batch hopping oracle minus the value sum — the streaming
     // window() slide produces the identical step-aligned start set

@@ -57,4 +57,53 @@ object DedupStream {
     * hashes (exactIndex's contract). */
   def dropSeenExact(stream: DataFrame, index: DataFrame, keyCols: Seq[String]): DataFrame =
     Dedup.dropSeenExact(stream, index, keyCols)
+
+  final case class BandFresh(doc_id: Long, band: Int, fresh: Int)
+
+  /** Streaming near-dup admission state: LSH band-bucket OCCUPANCY.
+    * Each arriving document's signature explodes to its B (band,
+    * bucket) rows (stateless rowwise compute — the minhashBuckets
+    * chain), then one flatMapGroupsWithState per bucket keeps the
+    * lifetime minimum doc_id seen: a band row is `fresh` = 1 iff its
+    * document is the FIRST EVER occupant of that bucket (arrival
+    * order; within a micro-batch the lowest doc_id claims it, the
+    * capPerKey determinism convention). A document is then ADMITTED
+    * iff ALL its bands are fresh — i.e. it shares no bucket with any
+    * earlier document, the streaming form of the batch candidate
+    * rule (bb self-join on doc_id order). Too-short docs emit no
+    * band rows and are the caller's pass-through, mirroring
+    * dropSeenNearDup.
+    *
+    * State per bucket is ONE long — memory is O(distinct buckets
+    * seen), the same asymptotics as the batch index it replaces, and
+    * the decision is incremental: no rescan of the accumulated
+    * corpus per batch. The all-bands-fresh fold is a stateless
+    * per-doc aggregate over the sink (all B rows of a doc emit in
+    * its arrival batch), kept outside the stateful plan — the
+    * q_stream_kmv final-state-selection convention. */
+  def bandOccupancy(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, h: Int = 16, b: Int = 8,
+                    parity: Boolean = false): org.apache.spark.sql.Dataset[BandFresh] = {
+    require(h % b == 0, s"h=$h must be divisible by b=$b")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val bands = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(Dedup.bandBuckets(
+          Dedup.minhashSignatureOf(col(textCol), n, h, parity), b, h / b)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    implicit val outEnc = Encoders.product[BandFresh]
+    implicit val stateEnc = Encoders.scalaLong
+    bands.groupByKey((r: Row) => (r.getInt(1), r.getString(2)))
+      .flatMapGroupsWithState[Long, BandFresh](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[Row], state: GroupState[Long]) =>
+          val ids = rows.map(_.getLong(0)).toArray.sorted
+          val prior = state.getOption
+          state.update(math.min(prior.getOrElse(Long.MaxValue), ids.head))
+          ids.iterator.zipWithIndex.map { case (d, i) =>
+            BandFresh(d, key._1, if (prior.isEmpty && i == 0) 1 else 0)
+          }
+      }
+  }
 }

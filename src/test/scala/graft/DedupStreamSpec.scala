@@ -107,4 +107,31 @@ class DedupStreamSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("bandOccupancy: bucket state persists across batches; lowest id claims in-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = a + " slightly changed tail here"   // near-dup of a: shares buckets
+    val c = "completely different content with nothing shared at all whatsoever"
+    val source = MemoryStream[Doc]
+    val q = DedupStream.bandOccupancy(source.toDF(), "doc_id", "text")
+      .toDF().writeStream.format("memory").queryName("occ_out")
+      .outputMode("append").start()
+    try {
+      source.addData(Seq(Doc(2, t(0), a), Doc(1, t(0), a))) // same batch: id 1 claims
+      q.processAllAvailable()
+      source.addData(Seq(Doc(3, t(1), b), Doc(4, t(1), c))) // batch 2: b collides, c fresh
+      q.processAllAvailable()
+      val fresh = spark.table("occ_out").groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.sum("fresh").as("f"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("b"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      def admitted(id: Long) = fresh(id)._1 == fresh(id)._2
+      assert(admitted(1L), "in-batch lowest id claims every bucket")
+      assert(!admitted(2L), "identical twin in the same batch is rejected")
+      assert(!admitted(3L), "cross-batch near-dup must hit occupied buckets")
+      assert(admitted(4L), "unrelated doc occupies only fresh buckets")
+    } finally q.stop()
+  }
 }
