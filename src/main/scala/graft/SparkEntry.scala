@@ -2233,6 +2233,22 @@ object SparkEntry {
       Events.inactivity(Tables(s, dir, "events"), churnDays = 7)
     }),
 
+    // ── curation: exact one-pass Pearson correlation per key ────────
+    // Six long moments + decimal(38,0) final algebra (HUGEINT twin in
+    // the oracle) — bit-exact where two-pass FP corr is not.
+    "q_corr" -> ((s, dir) => {
+      Curation.pearsonByKey(Tables(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_discount")
+    }),
+
+    // ── text: inverted-index head (bounded posting lists) ───────────
+    // TopKAgg (score = −id) ships ≤ maxPostings pairs per term per
+    // task — hot stopword terms never materialize corpus-sized lists.
+    "q_inverted" -> ((s, dir) => {
+      TextAnalysis.invertedIndex(Tables(s, dir, "documents"), "doc_id", "text",
+        maxPostings = 100)
+    }),
+
     // ── relational: explicit GROUPING SETS (the cube/rollup sibling) ─
     "q_grouping_sets" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -5656,6 +5672,36 @@ object SparkEntry {
         |SELECT l.user_id, l.last_day, a.amax - l.last_day AS days_inactive,
         |       CAST(a.amax - l.last_day >= 7 AS INTEGER) AS churned
         |FROM l CROSS JOIN a""".stripMargin,
+
+    // moments in BIGINT, cross terms in HUGEINT (the decimal(38,0)
+    // twin), one rounding per operand at the DOUBLE cast
+    "q_corr" ->
+      """WITH c AS (SELECT l_returnflag AS k,
+        |                  CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |                  CAST(round(l_discount * 100) AS BIGINT) AS y
+        |           FROM lineitem),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx,
+        |             CAST(sum(y * y) AS BIGINT) AS syy,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM c GROUP BY k)
+        |SELECT k AS l_returnflag, n,
+        |       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+        |             AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+        |       THEN CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |            / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+        |                         - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+        |               * sqrt(CAST(CAST(n AS HUGEINT) * syy
+        |                           - CAST(sy AS HUGEINT) * sy AS DOUBLE))) END AS r
+        |FROM m""".stripMargin,
+
+    "q_inverted" ->
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |       (list_sort(list(doc_id)))[1:100] AS postings
+        |FROM t GROUP BY term""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,

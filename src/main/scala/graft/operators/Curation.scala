@@ -820,6 +820,49 @@ object Curation {
         col("m"))
   }
 
+  /** Exact one-pass Pearson correlation per key — the feature-
+    * redundancy / drift-vs-metric diagnostic ("is discount actually
+    * coupled to quantity inside each return class"), bit-exact where
+    * a textbook two-pass corr is not (distributed FP moment sums are
+    * order-dependent).
+    *
+    * The zscoreByKey fixed-point idiom, two-variable form: work in
+    * integer units x = round(xScale·X), y = round(yScale·Y); per key
+    * the six moments (n, Σx, Σy, Σx², Σy², Σxy) are EXACT longs, and
+    * r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) has exact
+    * integer operands. The cross terms (n·Σx², Σx·Σy, …) can exceed
+    * 2⁶³ long before the double math cares, so the FINAL algebra runs
+    * in decimal(38,0) — exact integers to 38 digits, mirrored by the
+    * oracle's HUGEINT — with ONE rounding per operand at the cast to
+    * double. Degenerate keys (either variance 0, or n = 1) yield
+    * NULL. Long-moment bound: Σx² needs max(|x|)²·n < 2⁶³ — holds to
+    * ~90 billion rows/key at |x| ≤ 10⁴ units; the decimal stage has
+    * 38 digits of headroom above that.
+    *
+    * Scale shape: ONE map-side-combined hash aggregate over the scan
+    * (six longs per key), then rowwise algebra on the #keys-sized
+    * result. No second pass, no windows.
+    * Output: (keyCol, n, r). */
+  def pearsonByKey(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+                   xScale: Int = 100, yScale: Int = 100): DataFrame = {
+    require(xScale > 0 && yScale > 0, "scales must be positive")
+    val x = round(col(xCol) * xScale).cast("long")
+    val y = round(col(yCol) * yScale).cast("long")
+    val m = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(x).cast("long").as("__sx"), sum(y).cast("long").as("__sy"),
+      sum(x * x).cast("long").as("__sxx"), sum(y * y).cast("long").as("__syy"),
+      sum(x * y).cast("long").as("__sxy"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val covN = dec(col("n")) * dec(col("__sxy")) - dec(col("__sx")) * dec(col("__sy"))
+    val vxN = dec(col("n")) * dec(col("__sxx")) - dec(col("__sx")) * dec(col("__sx"))
+    val vyN = dec(col("n")) * dec(col("__syy")) - dec(col("__sy")) * dec(col("__sy"))
+    m.select(col(keyCol), col("n"),
+      when(vxN > 0 && vyN > 0,
+        covN.cast("double")
+          / (sqrt(vxN.cast("double")) * sqrt(vyN.cast("double")))).as("r"))
+  }
+
   /** Robust per-key standardization: r = (x − median) / IQR — the
     * outlier-insensitive twin of Events.zscoreByKey (one fat-tailed
     * whale moves a mean/σ z-score arbitrarily; the median and

@@ -619,6 +619,34 @@ object TextAnalysis {
     * term asc per group — the group column keeps its input name
     * (naming it "group" would hand a reserved keyword to downstream
     * SQL). */
+  /** Inverted index head: for every term, its document frequency and
+    * the first `maxPostings` posting doc_ids in ascending order — the
+    * retrieval-index build step (BM25 here queries without a
+    * materialized index; real serving wants the posting lists on
+    * disk).
+    *
+    * Scale shape — the point of this operator: posting heads come
+    * from the BOUNDED TopKAgg partial aggregate (score = −id, so
+    * "top" = lowest ids), NEVER array_sort(collect_list(...)): a
+    * stopword's full posting list is corpus-sized, and collect_list
+    * would materialize it per hot term in one task. TopKAgg ships at
+    * most maxPostings pairs per term per map task — the hot-term
+    * shuffle is O(maxPostings · tasks), independent of df. df itself
+    * is the exact full count, aggregated alongside.
+    * Output: (term, df, postings array<long> ascending). */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 100): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be positive, got $maxPostings")
+    val t = df.select(col(idCol).cast("long").as("__id"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    t.groupBy("term").agg(
+        count(lit(1)).cast("long").as("df"),
+        graft.functions.TopKAgg.topK(maxPostings, col("__id"),
+          negate(col("__id").cast("double"))).as("__top"))
+      .select(col("term"), col("df"),
+        transform(col("__top"), p => p.getField("_1")).as("postings"))
+  }
+
   /** Pairwise source similarity: cosine over each source's exact
     * term-frequency vector — the corpus-mixture diagnostic ("are my
     * two web crawls really different distributions, or the same feed

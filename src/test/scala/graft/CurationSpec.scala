@@ -768,6 +768,23 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("int/long"))
   }
 
+  test("pearsonByKey: exact ±1 on linear keys, NULL on degenerate ones") {
+    val in = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),   // y = 2x → r = 1
+      ("b", 1.0, 3.0), ("b", 2.0, 2.0), ("b", 3.0, 1.0),   // y = 4−x → r = −1
+      ("c", 1.0, 5.0), ("c", 2.0, 5.0),                    // var(y) = 0 → NULL
+      ("d", 7.0, 7.0)                                      // n = 1 → NULL
+    ).toDF("k", "x", "y")
+    val got = Curation.pearsonByKey(in, "k", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // ±1 up to one ulp of the sqrt round-trip ((√v)² ≈ v)
+    assert(math.abs(got("a").get - 1.0) < 1e-14)
+    assert(math.abs(got("b").get + 1.0) < 1e-14)
+    assert(got("c") === None)
+    assert(got("d") === None)
+  }
+
   test("robustScale: (x − median)/IQR per key; degenerate IQR yields NULL") {
     // key a: 1..5 → q1=2, med=3, q3=4, IQR=2 → r(5.0) = 1.0, r(3.0) = 0.0
     // key b: constant → IQR=0 → NULL

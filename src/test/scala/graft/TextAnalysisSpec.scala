@@ -692,6 +692,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got((2L, 2L)) === (("b", 0.2)))
   }
 
+  test("invertedIndex: exact df, ascending bounded postings, per-doc dedup") {
+    val docs = Seq((3L, "a b a"), (1L, "a c"), (2L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, "doc_id", "text", maxPostings = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(got("a") === ((3L, Seq(1L, 2L))), "df counts all docs; postings cap at 2, lowest ids")
+    assert(got("b") === ((1L, Seq(3L))))
+    assert(got("c") === ((1L, Seq(1L))))
+  }
+
   test("sourceSimilarity: exact long dot/norms, canonical pair order") {
     // s1: a a b → tf {a:2, b:1}, n² = 5
     // s2: a b b → tf {a:1, b:2}, n² = 5; dot = 2+2 = 4, cos = 4/5
