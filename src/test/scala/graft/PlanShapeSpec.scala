@@ -236,4 +236,69 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("hashpartitioning(doc_id"),
       s"drift must join aggregated term counts, never doc-grain rows:\n$s")
   }
+
+  test("hoppingByType: one bounded explode + one hash agg — no range join, no Window") {
+    // the naive phrasing (events × window table on a time-band
+    // predicate) plans a range join that rescans the corpus per
+    // window; the explode form is a single Generate feeding one
+    // aggregate
+    val df = SparkEntry.queries("q_hopping")(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Window"), s"unexpected Window:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"hopping must not plan a range join:\n$s")
+    assert(s.contains("Generate"), s"expected the bounded sequence explode:\n$s")
+  }
+
+  test("typeSequences: top-k is TakeOrdered, never a global sort") {
+    val df = SparkEntry.queries("q_type_seqs")(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"the k-row head must be TakeOrdered:\n$s")
+    assert(!s.contains("rangepartitioning"),
+      s"no global sort may precede the head:\n$s")
+  }
+
+  test("robustScale: quartile table broadcasts — the corpus never re-shuffles") {
+    val df = SparkEntry.queries("q_robust_scale")(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastExchange"),
+      s"the pivoted quartile table must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"joining the corpus by sort-merge means it re-shuffled:\n$s")
+    Dedup.releaseCaches()
+  }
+
+  test("sourceSimilarity: no cartesian; norms ride broadcasts") {
+    import graft.operators.TextAnalysis
+    val docs = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = TextAnalysis.sourceSimilarity(docs, "source", "text")
+    try {
+      val s = df.queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"the pair table must come from the term-keyed join:\n$s")
+      assert(s.contains("BroadcastExchange"), s"norms must broadcast:\n$s")
+    } finally Dedup.releaseCaches()
+  }
+
+  test("pearsonByKey: one aggregate over the scan — no second pass, no Window") {
+    val df = SparkEntry.queries("q_corr")(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Window"), s"unexpected Window:\n$s")
+    // AdaptiveSparkPlanExec hides its input from collect — count scans
+    // in the rendered plan instead
+    assert("FileScan".r.findAllIn(s).size == 1,
+      s"the six moments must come from ONE corpus pass:\n$s")
+    assert(s.contains("partial_count"),
+      s"map-side partial aggregation must precede the exchange:\n$s")
+  }
+
+  test("invertedIndex: posting heads are the bounded TopKAgg — no sort of exploded terms") {
+    val df = SparkEntry.queries("q_inverted")(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("ObjectHashAggregate") || s.contains("SortAggregate"),
+      s"expected the typed TopKAgg aggregate:\n$s")
+    assert(!s.contains("rangepartitioning"),
+      s"no global sort may appear — ordering is inside the bounded agg:\n$s")
+  }
 }
