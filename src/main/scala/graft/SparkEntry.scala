@@ -95,7 +95,7 @@ object SparkEntry {
     "q_components", "q_components_star", "q_pagerank", "q_degree_hist",
     "q_triangles", "q_kcore", "q_assortativity", "q_label_prop",
     "q_leakage", "q_split_clean", "q_bfs_dist", "q_sssp",
-    "q_ppr", "q_comp_sizes")
+    "q_ppr", "q_comp_sizes", "q_closeness")
   private val bpeFixtureQueries: Set[String] = Set(
     "q_bpe_encode", "q_bpe_compression")
   val sharedFixtureQueries: Set[String] = pairFixtureQueries ++ bpeFixtureQueries
@@ -1884,6 +1884,17 @@ object SparkEntry {
         .union(pairs.select(col("id2").as("id"))).distinct()
       val seeds = nodes.filter(col("id") % 7 === 0)
       Graph.bfsDistance(edges, seeds, "id", maxHops = 4)
+    }),
+
+    // ── graph: landmark closeness centrality (5-seed panel) ─────────
+    // Per-seed BFS distances carried through the frontier; closeness
+    // = n_reached / sum_dist, one division of exact longs.
+    "q_closeness" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      val nodes = pairs.select(col("id1").as("id"))
+        .union(pairs.select(col("id2").as("id"))).distinct()
+      Graph.closenessBounded(edges, nodes.orderBy("id").limit(5), "id", maxHops = 4)
     }),
 
     // ── retrieval: hybrid sparse+dense reciprocal-rank fusion ───────
@@ -5030,6 +5041,25 @@ object SparkEntry {
          |  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.id WHERE w.d < 4
          |)
          |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id""".stripMargin,
+
+    // per-seed walk (seed carried through the recursion), min per
+    // (id, seed), then the exact-long closeness fold
+    "q_closeness" ->
+      s"""WITH RECURSIVE $sqlNearDupEdges,
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |sd AS (SELECT id FROM nodes ORDER BY id LIMIT 5),
+         |walk(id, seed, d) AS (
+         |  SELECT id, id, 0 FROM sd
+         |  UNION
+         |  SELECT e.dst, w.seed, w.d + 1
+         |  FROM walk w JOIN edges e ON e.src = w.id WHERE w.d < 4
+         |),
+         |md AS (SELECT id, seed, min(d) AS d FROM walk GROUP BY 1, 2)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_reached,
+         |       CAST(sum(d) AS BIGINT) AS sum_dist,
+         |       CASE WHEN sum(d) > 0
+         |            THEN CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) END AS closeness
+         |FROM md GROUP BY id""".stripMargin,
 
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

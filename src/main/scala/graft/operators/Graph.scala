@@ -488,6 +488,71 @@ object Graph {
     dist
   }
 
+  /** Hop-bounded closeness centrality against a seed PANEL: for every
+    * node, how many of the seeds it reaches within maxHops and the
+    * total hop distance to them — closeness = n_reached / sum_dist,
+    * the landmark-based centrality estimate (Cohen et al.'s landmark
+    * idea: exact closeness needs all-pairs distances, O(n·m); a
+    * fixed seed panel prices every node's "how central am I" at
+    * |seeds| BFS sweeps, the standard approximation at graph scale).
+    *
+    * bfsDistance collapses the seed set to ONE wavefront (min over
+    * seeds); this carries the (node, seed) pair through the frontier,
+    * so each seed's distance survives separately — per-round state is
+    * |nodes| × |seeds| rows, which is why the panel stays small and
+    * is loudly bounded. Exactness: distances are exact hop longs;
+    * closeness is ONE division of exact longs. A node reaching no
+    * seed emits nothing; a seed's self-row (dist 0) counts in
+    * n_reached but not sum_dist; nodes whose only reached seed is
+    * themselves (sum_dist = 0) yield NULL closeness.
+    *
+    * Scale shape: bfsDistance's per-round join + distinct + anti-join
+    * on (id, seed) keys, frontier checkpointed each round; one final
+    * hash agg. Output: (id, n_reached, sum_dist, closeness). */
+  def closenessBounded(edges: DataFrame, seeds: DataFrame, seedCol: String,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       maxHops: Int = 4, undirected: Boolean = true,
+                       maxSeeds: Int = 64): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, s"maxHops must be in [1, 64], got $maxHops")
+    val base = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val oriented =
+      if (undirected) base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+      else base
+    val e = Dedup.pin(oriented.distinct())
+    val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .localCheckpoint(eager = true)
+    val nSeeds = seedIds.count()
+    require(nSeeds >= 1 && nSeeds <= maxSeeds,
+      s"seed panel is $nSeeds — it multiplies frontier state; keep it in [1, $maxSeeds]")
+    var dist = seedIds.select(col("id"), col("id").as("seed"))
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(eager = true)
+    var frontier = dist.select("id", "seed")
+    var hop = 1
+    var exhausted = false
+    while (hop <= maxHops && !exhausted) {
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id"), col("seed")).distinct()
+        .join(dist.select("id", "seed"), Seq("id", "seed"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = dist.union(next).localCheckpoint(eager = true)
+        frontier = next.select("id", "seed")
+      }
+      hop += 1
+    }
+    dist.groupBy("id").agg(
+        count(lit(1)).cast("long").as("n_reached"),
+        sum(col("dist")).cast("long").as("sum_dist"))
+      .select(col("id"), col("n_reached"), col("sum_dist"),
+        when(col("sum_dist") > 0L,
+          col("n_reached").cast("double") / col("sum_dist").cast("double")).as("closeness"))
+  }
+
   /** Hop-bounded single/multi-source shortest paths over NON-NEGATIVE
     * integer edge weights — Bellman-Ford relaxation (the classic
     * distributed formulation: Lynch, Distributed Algorithms §4;

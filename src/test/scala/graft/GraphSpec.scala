@@ -328,6 +328,40 @@ class GraphSpec extends AnyFunSuite {
     } finally Dedup.releaseCaches()
   }
 
+  test("closenessBounded: per-seed distances survive separately; exact closeness") {
+    // path 1—2—3—4 with seeds {1, 4}: node 2 reaches 1 at d=1 and 4
+    // at d=2 → n=2, sum=3, closeness 2/3. bfsDistance would collapse
+    // to min(d)=1 and lose the panel structure.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    try {
+      val got = Graph.closenessBounded(edges, Seq(1L, 4L).toDF("id"), "id",
+        maxHops = 4).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      assert(got(2L) === ((2L, 3L, Some(2.0 / 3.0))))
+      assert(got(3L) === ((2L, 3L, Some(2.0 / 3.0))))
+      assert(got(1L) === ((2L, 3L, Some(2.0 / 3.0)))) // self at 0 + far seed at 3
+      assert(got(4L) === ((2L, 3L, Some(2.0 / 3.0))))
+    } finally Dedup.releaseCaches()
+  }
+
+  test("closenessBounded: horizon truncates; unreachable nodes absent; seed-only NULL") {
+    // two components: {1,2} with seed 1, isolated seed 9
+    val edges = Seq((1L, 2L), (8L, 9L)).toDF("src", "dst")
+    try {
+      val got = Graph.closenessBounded(edges, Seq(1L, 9L).toDF("id"), "id",
+        maxHops = 1).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      assert(got(1L) === ((1L, 0L, None)), "only its own seed row: NULL closeness")
+      assert(got(2L) === ((1L, 1L, Some(1.0))))
+      assert(got(8L) === ((1L, 1L, Some(1.0))))
+      intercept[IllegalArgumentException] {
+        Graph.closenessBounded(edges, (1L to 100L).toDF("id"), "id", maxSeeds = 10)
+      }
+    } finally Dedup.releaseCaches()
+  }
+
   test("personalizedPageRank: mass concentrates near the seed, not the hub") {
     // barbell: seed-side triangle {1,2,3} — bridge — hub-side star at 10
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L),
