@@ -2244,6 +2244,22 @@ object SparkEntry {
       Events.inactivity(Tables(s, dir, "events"), churnDays = 7)
     }),
 
+    // ── OLAP: TPC-H Q6 forecasting-revenue (the pushdown showcase) ──
+    // All three predicates reach the parquet scan (PushedFilters —
+    // plan-pinned); revenue = Σ cents(ep)·cents(disc) exact
+    // integer-valued doubles, ONE /10000.0.
+    "q6_revenue" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val ts = li.schema("l_shipdate").dataType
+      li.filter(col("l_shipdate") >= lit("1995-01-01").cast(ts)
+          && col("l_shipdate") < lit("1996-01-01").cast(ts)
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg((sum(round(col("l_extendedprice") * 100) * round(col("l_discount") * 100))
+            / 10000.0).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // ── curation: exact one-pass Pearson correlation per key ────────
     // Six long moments + decimal(38,0) final algebra (HUGEINT twin in
     // the oracle) — bit-exact where two-pass FP corr is not.
@@ -5702,6 +5718,16 @@ object SparkEntry {
         |SELECT l.user_id, l.last_day, a.amax - l.last_day AS days_inactive,
         |       CAST(a.amax - l.last_day >= 7 AS INTEGER) AS churned
         |FROM l CROSS JOIN a""".stripMargin,
+
+    "q6_revenue" ->
+      """SELECT sum(round(l_extendedprice * 100) * round(l_discount * 100))
+        |         / 10000.0 AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     // moments in BIGINT, cross terms in HUGEINT (the decimal(38,0)
     // twin), one rounding per operand at the DOUBLE cast

@@ -293,6 +293,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"map-side partial aggregation must precede the exchange:\n$s")
   }
 
+  test("q6_revenue: all predicates push to the parquet scan, columns pruned to 4") {
+    val df = SparkEntry.queries("q6_revenue")(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    // shipdate/discount/quantity must appear in PushedFilters, and the
+    // scan must not read the other 7 lineitem columns
+    assert(s.contains("PushedFilters: [") && !s.contains("PushedFilters: []"),
+      s"predicates must reach the scan:\n$s")
+    assert(s.contains("l_shipdate") && s.contains("l_discount"),
+      s"range predicates missing from the scan node:\n$s")
+    assert(!s.contains("l_orderkey") && !s.contains("l_returnflag"),
+      s"untouched columns must be pruned from ReadSchema:\n$s")
+  }
+
   test("invertedIndex: posting heads are the bounded TopKAgg — no sort of exploded terms") {
     val df = SparkEntry.queries("q_inverted")(spark, "/root/testdata/sf0.001")
     val s = df.queryExecution.executedPlan.toString
