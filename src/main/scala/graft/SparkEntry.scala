@@ -2218,6 +2218,41 @@ object SparkEntry {
       Events.calendarProfile(Tables(s, dir, "events"))
     }),
 
+    // ── events: cumulative user-growth curve ────────────────────────
+    // New users per first-active day + running total — the prefix sum
+    // rides globalRunningSum's range exchange (day-grain input), never
+    // a single-partition global window.
+    "q_growth" -> ((s, dir) => {
+      val nu = Tables(s, dir, "events")
+        .groupBy(col("user_id")).agg(min(Events.dayBucket(col("ts"))).as("day"))
+        .groupBy("day").agg(count(lit(1)).cast("long").as("new_users"))
+      Curation.globalRunningSum(nu, "new_users", "cum_users", 0, col("day"))
+        .select(col("day"), col("new_users"), col("cum_users"))
+    }),
+
+    // ── embeddings: snapshot drift over the shared centroid cells ───
+    // The corpusDrift idea in embedding space: both halves assign to
+    // the FIXED cents8 cells; per-cell share gap is a rational of
+    // exact longs (|na·Tb − nb·Ta| / (Ta·Tb)) — no FP fractions.
+    "q_embed_drift" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = cents8(s, dir)
+      def cellCounts(half: DataFrame, out: String) =
+        KMeans.assign(half, "embedding", cents)
+          .groupBy("cluster").agg(count(lit(1)).cast("long").as(out))
+      val j = cellCounts(emb.filter(col("vec_id") % 2 === 0), "na")
+        .join(cellCounts(emb.filter(col("vec_id") % 2 =!= 0), "nb"),
+          Seq("cluster"), "full_outer")
+        .select(col("cluster"), coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("nb"), lit(0L)).as("nb"))
+      val tot = j.agg(sum(col("na")).cast("long").as("__ta"),
+        sum(col("nb")).cast("long").as("__tb"))
+      j.crossJoin(broadcast(tot))
+        .select(col("cluster"), col("na"), col("nb"),
+          (abs(col("na") * col("__tb") - col("nb") * col("__ta")).cast("double")
+            / (col("__ta") * col("__tb")).cast("double")).as("share_gap"))
+    }),
+
     // ── events: entry/exit type profile (landing → abandonment) ─────
     // One window pass (first+last over the total order), user-grain
     // distinct, type²-bounded count.
@@ -5663,6 +5698,28 @@ object SparkEntry {
         |SELECT s.k AS seg, s.p, rl.v + s.frac * (rh.v - rl.v) AS q, s.m AS m
         |FROM spec2 s JOIN r rl ON rl.k = s.k AND rl.r = s.lo
         |             JOIN r rh ON rh.k = s.k AND rh.r = s.hi""".stripMargin,
+
+    "q_growth" ->
+      """WITH f AS (SELECT user_id, min(epoch_ns(ts) // 86400000000000) AS day
+        |           FROM events GROUP BY 1),
+        |n AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+        |SELECT day, new_users,
+        |       CAST(sum(new_users) OVER (ORDER BY day
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM n""".stripMargin,
+
+    "q_embed_drift" ->
+      s"""WITH $sqlCents8,
+         |g AS (SELECT cluster,
+         |             CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS na,
+         |             CAST(count(*) FILTER (WHERE vec_id % 2 <> 0) AS BIGINT) AS nb
+         |      FROM a GROUP BY 1),
+         |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+         |             CAST(sum(nb) AS BIGINT) AS tb FROM g)
+         |SELECT g.cluster, g.na, g.nb,
+         |       CAST(abs(g.na * t.tb - g.nb * t.ta) AS DOUBLE)
+         |         / CAST(t.ta * t.tb AS DOUBLE) AS share_gap
+         |FROM g CROSS JOIN t""".stripMargin,
 
     "q_entry_exit" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type

@@ -42,6 +42,11 @@ object Events {
     * cross-engine temporal comparisons (see sessionize). */
   def epochMicros(ns: Column): Column = lfloorDiv(ns, 1000L)
 
+  /** Epoch-day bucket from an epoch-nano long — TRUNCATING division
+    * (bucketEpoch's oracle convention: DuckDB's integer `//`
+    * truncates). The day key behind burstiness/rollingDaily/growth. */
+  def dayBucket(ns: Column): Column = ldiv(ns, 86400L * 1000000000L)
+
   /** Tumbling bucket start in epoch SECONDS from an epoch-nano long —
     * exact integer division, bit-exact cross-engine. Deliberately
     * TRUNCATING (not flooring): the oracle buckets with DuckDB's `//`,
