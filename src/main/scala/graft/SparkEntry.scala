@@ -297,6 +297,28 @@ object SparkEntry {
         emb.orderBy("vec_id").limit(5), "vec_id", "embedding", k = 10)
     }),
 
+    // ── ML: k-NN majority-vote label prediction (embedding audit) ───
+    // 20 probes classified by their 10 exact-cosine neighbors' labels;
+    // the `correct` flag against each probe's own label makes this the
+    // "do labels cluster in this space" audit in one query.
+    "q_knn_label" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.orderBy("vec_id").limit(20)
+      Similarity.knnPredict(emb, "vec_id", "embedding", "label", probes, k = 10)
+        .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+          col("label").as("true_label"))), Seq("probe_id"))
+        .withColumn("correct", (col("pred_label") === col("true_label")).cast("int"))
+    }),
+
+    // ── ML: signed random projection (±1 JL sketch, 64 → 8 dims) ────
+    // Rowwise DotExpr dots against md5-derived plan-literal sign
+    // vectors — no side input, no shuffle, oracle regenerates the
+    // matrix bit-for-bit.
+    "q_rand_proj" -> ((s, dir) => {
+      Similarity.randomProjection(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", inDim = 64, outDim = 8)
+    }),
+
     // ── LLM-pipeline: product-quantization encode (m=4 × k=16) ──────
     // Codebooks in the oracle-checkable maxIter=0 configuration
     // (codewords = the 16 lowest-vec_id rows' subvectors, FirstK);
@@ -1871,6 +1893,53 @@ object SparkEntry {
           sum(col("__credit")).cast("long").as("credit_ucents"))
     }),
 
+    // ── events: position-based (U-shaped) attribution ───────────────
+    // Same day-grid range join as q_attrib_linear, different credit
+    // rule: first and last touch get 40% each, the middles split the
+    // remaining 20% equally (n=1 → all, n=2 → 50/50). All integer
+    // µcents with floor div — both engines drop the same remainder.
+    "q_attrib_position" -> ((s, dir) => {
+      val base = Tables(s, dir, "events").select(col("event_id"), col("user_id"),
+        Events.epochMicros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      val clicks = base.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts_us")
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          round(col("value") * 100).cast("long").as("p_cents"),
+          (col("ts_us") - 86400000000L).as("lo"), col("ts_us").as("hi"))
+      val touched = TemporalJoins.rangeJoin(clicks, "ts_us", purchases, "lo", "hi",
+        "user_id", bucketWidth = 86400000000L)
+      val byP = Window.partitionBy(col("p_id"))
+      touched
+        .withColumn("__n", count(lit(1)).over(byP))
+        .withColumn("__pos", row_number().over(
+          byP.orderBy(col("ts_us"), col("event_id"))))
+        .withColumn("__credit",
+          when(col("__n") === 1, expr("p_cents * 1000000L"))
+            .when(col("__n") === 2, expr("p_cents * 1000000L div 2"))
+            .when(col("__pos") === 1 || col("__pos") === col("__n"),
+              expr("p_cents * 400000L"))
+            .otherwise(expr("p_cents * 200000L div (__n - 2)")))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("__credit")).cast("long").as("credit_ucents"))
+    }),
+
+    // ── events: SCD Type-2 validity intervals per user ──────────────
+    // The warehouse dimension shape for point-in-time joins: one row
+    // per run of consecutive identical event types, half-open µs
+    // intervals, NULL valid_to on the current run.
+    "q_scd2" -> ((s, dir) => {
+      Events.scd2Intervals(Tables(s, dir, "events"))
+    }),
+
+    // ── events: L28 engagement-depth histogram ──────────────────────
+    // Distinct active days per user in the trailing 28-day window
+    // anchored at the corpus' last active day, histogrammed.
+    "q_engagement" -> ((s, dir) => {
+      Events.engagementHistogram(Tables(s, dir, "events"), windowDays = 28)
+    }),
+
     // ── graph: multi-source BFS hop distance ────────────────────────
     // Seeds = every near-dup-graph node with doc id ≡ 0 (mod 7);
     // dist = min hops from any seed, capped at 4. Level-synchronous
@@ -2007,6 +2076,19 @@ object SparkEntry {
       val pairs = nearDupPairs05(s, dir).select("id1", "id2")
       Graph.pageRank(pairs, "id1", "id2", iters = 3, damping = 0.85,
         undirected = true, sortedFold = true)
+    }),
+
+    // ── graph: HITS hubs & authorities on the purchase bipartite ────
+    // Directed customer→part edges from orders ⋈ lineitem (ids
+    // remapped to disjoint ranges: cust·2, part·2+1); 2 mutual-
+    // reinforcement rounds, unnormalized (rank-invariant), sorted-fold
+    // parity like q_pagerank.
+    "q_hits" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      Graph.hits(e, "src", "dst", iters = 2, sortedFold = true)
     }),
 
     // ── graph: degree histogram of the near-dup graph ───────────────
@@ -2477,6 +2559,26 @@ object SparkEntry {
     // ── LLM-pipeline: per-doc keyword extraction (rational-idf tfidf) ─
     "q_keywords" -> ((s, dir) => {
       TextAnalysis.keywords(Tables(s, dir, "documents"), "doc_id", "text", k = 5)
+    }),
+
+    // ── LLM-pipeline: hashing-trick sparse features (COO form) ──────
+    // Vocabulary-free fixed-width vectorizer: md5 bucket + signed
+    // second hash, one hash-agg on (doc, bucket). The linear-
+    // classifier feature path that needs no vocab build at 100 TB.
+    "q_feat_hash" -> ((s, dir) => {
+      TextAnalysis.featureHash(Tables(s, dir, "documents"), "doc_id", "text",
+        dim = 64)
+    }),
+
+    // ── LLM-pipeline: exact heavy hitters, bounded-state candidates ─
+    // All tokens with frequency > n/100 via Misra-Gries candidates
+    // (≤ 100 counters per task, never a vocabulary-sized shuffle) +
+    // one exact verification pass — output equals the oracle's plain
+    // HAVING threshold, deterministically, though MG state is not.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      Curation.heavyHitters(toks, "term", k = 100)
     }),
 
     // ── LLM-pipeline: group-safe k-fold cross-validation folds ──────
@@ -3537,6 +3639,43 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
          |  FROM s)
          |WHERE rn <= 10""".stripMargin,
+
+    "q_knn_label" ->
+      s"""WITH pr AS (
+         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv, label AS tl
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 20)
+         |),
+         |s AS (
+         |  SELECT pr.probe_id, e.vec_id, e.label,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM embeddings e CROSS JOIN pr WHERE e.vec_id != pr.probe_id
+         |),
+         |t AS (SELECT probe_id, label FROM (
+         |        SELECT probe_id, label,
+         |               row_number() OVER (PARTITION BY probe_id
+         |                                  ORDER BY sim DESC, vec_id) AS rn
+         |        FROM s) WHERE rn <= 10),
+         |v AS (SELECT probe_id, label, CAST(count(*) AS BIGINT) AS votes
+         |      FROM t GROUP BY 1, 2),
+         |w AS (SELECT probe_id, label AS pred_label, votes,
+         |             row_number() OVER (PARTITION BY probe_id
+         |                                ORDER BY votes DESC, label) AS rn
+         |      FROM v)
+         |SELECT w.probe_id, w.pred_label, w.votes, pr.tl AS true_label,
+         |       CAST(CASE WHEN w.pred_label = pr.tl THEN 1 ELSE 0 END AS INT) AS correct
+         |FROM w JOIN pr ON w.probe_id = pr.probe_id WHERE w.rn = 1""".stripMargin,
+
+    "q_rand_proj" -> {
+      val dims = (1 to 8).map { j =>
+        val arr = (1 to 64).map(i =>
+          if (Similarity.projSign(j, i) > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]")
+        s"list_sum(list_transform(list_zip(embedding::DOUBLE[], $arr), q -> q[1]*q[2]))"
+      }.mkString(",\n       ")
+      s"""SELECT vec_id,
+         |      [$dims] AS proj
+         |FROM embeddings""".stripMargin
+    },
 
     "q_pq_encode" ->
       s"""WITH $sqlPqCodes
@@ -5083,6 +5222,55 @@ object SparkEntry {
         |       CAST(sum(p_cents * 1000000 // n) AS BIGINT) AS credit_ucents
         |FROM t GROUP BY 1""".stripMargin,
 
+    "q_attrib_position" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |c AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS p_id, CAST(round(value * 100) AS BIGINT) AS p_cents,
+        |             ts_us - 86400000000 AS lo, ts_us AS hi
+        |      FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT c.event_id, c.ts_us, p.p_id, p.p_cents,
+        |             count(*) OVER (PARTITION BY p.p_id) AS n,
+        |             row_number() OVER (PARTITION BY p.p_id ORDER BY c.ts_us, c.event_id) AS pos
+        |      FROM c JOIN p ON c.user_id = p.user_id AND c.ts_us BETWEEN p.lo AND p.hi),
+        |cr AS (SELECT event_id,
+        |              CASE WHEN n = 1 THEN p_cents * 1000000
+        |                   WHEN n = 2 THEN p_cents * 1000000 // 2
+        |                   WHEN pos = 1 OR pos = n THEN p_cents * 400000
+        |                   ELSE p_cents * 200000 // (n - 2) END AS credit
+        |       FROM t)
+        |SELECT event_id, count(*) AS n_purchases,
+        |       CAST(sum(credit) AS BIGINT) AS credit_ucents
+        |FROM cr GROUP BY 1""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |r AS (SELECT user_id, event_id, ts_us, event_type,
+        |             CASE WHEN lag(event_type) OVER w IS NULL
+        |                    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |v AS (SELECT user_id, event_type, ts_us,
+        |             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |      FROM r),
+        |runs AS (SELECT user_id, version, min(event_type) AS event_type,
+        |                min(ts_us) AS valid_from_us,
+        |                CAST(count(*) AS BIGINT) AS n_events
+        |         FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, event_type, valid_from_us,
+        |       lead(valid_from_us) OVER w2 AS valid_to_us, n_events,
+        |       CAST(CASE WHEN lead(valid_from_us) OVER w2 IS NULL THEN 1 ELSE 0 END AS INT)
+        |         AS is_current
+        |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY version)""".stripMargin,
+
+    "q_engagement" ->
+      """WITH ud AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |            FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS dmax FROM ud),
+        |act AS (SELECT user_id, CAST(count(*) AS BIGINT) AS days_active
+        |        FROM ud CROSS JOIN mx WHERE day > dmax - 28 GROUP BY 1)
+        |SELECT days_active, CAST(count(*) AS BIGINT) AS n_users
+        |FROM act GROUP BY 1""".stripMargin,
+
     "q_bfs_dist" ->
       s"""WITH RECURSIVE $sqlNearDupEdges,
          |seeds AS (SELECT DISTINCT src AS id FROM edges WHERE src % 7 = 0),
@@ -6107,6 +6295,47 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
         |  FROM sc)
         |WHERE rn <= 5""".stripMargin,
+
+    "q_feat_hash" ->
+      """WITH t AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |             CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 64 AS bucket,
+        |             1 - 2 * (CAST(concat('0x', substr(h, 9, 1)) AS BIGINT) % 2) AS sign
+        |      FROM t)
+        |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS key FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+        |SELECT key, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(count(*) AS DOUBLE) / CAST(n.n AS DOUBLE) AS share
+        |FROM t CROSS JOIN n GROUP BY key, n.n HAVING count(*) * 100 > n.n""".stripMargin,
+
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |           WHERE o_custkey * 2 <> l_partkey * 2 + 1),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |a1s AS (SELECT e.dst AS id,
+        |               list_reduce(list_sort(list(CAST(1 AS DOUBLE))), (x, y) -> x + y) AS s
+        |        FROM e GROUP BY e.dst),
+        |a1 AS (SELECT n.id, coalesce(a1s.s, CAST(0 AS DOUBLE)) AS auth
+        |       FROM nodes n LEFT JOIN a1s ON a1s.id = n.id),
+        |h1s AS (SELECT e.src AS id, list_reduce(list_sort(list(a.auth)), (x, y) -> x + y) AS s
+        |        FROM e JOIN a1 a ON a.id = e.dst GROUP BY e.src),
+        |h1 AS (SELECT n.id, coalesce(h1s.s, CAST(0 AS DOUBLE)) AS hub
+        |       FROM nodes n LEFT JOIN h1s ON h1s.id = n.id),
+        |a2s AS (SELECT e.dst AS id, list_reduce(list_sort(list(h.hub)), (x, y) -> x + y) AS s
+        |        FROM e JOIN h1 h ON h.id = e.src GROUP BY e.dst),
+        |a2 AS (SELECT n.id, coalesce(a2s.s, CAST(0 AS DOUBLE)) AS auth
+        |       FROM nodes n LEFT JOIN a2s ON a2s.id = n.id),
+        |h2s AS (SELECT e.src AS id, list_reduce(list_sort(list(a.auth)), (x, y) -> x + y) AS s
+        |        FROM e JOIN a2 a ON a.id = e.dst GROUP BY e.src),
+        |h2 AS (SELECT n.id, coalesce(h2s.s, CAST(0 AS DOUBLE)) AS hub
+        |       FROM nodes n LEFT JOIN h2s ON h2s.id = n.id)
+        |SELECT a2.id, a2.auth, h2.hub FROM a2 JOIN h2 ON h2.id = a2.id""".stripMargin,
 
     "q_kfold" ->
       """SELECT doc_id, source,

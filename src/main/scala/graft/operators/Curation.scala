@@ -1538,4 +1538,34 @@ object Curation {
       col(xCol).cast("long") === col("__x") && col(yCol).cast("long") === col("__y"))
       .drop("__x", "__y")
   }
+
+  /** Exact heavy hitters with bounded-state candidate generation: all
+    * keys whose frequency exceeds n/k, found WITHOUT a vocabulary-
+    * sized shuffle. Pass 1 is one Misra-Gries aggregate (≤ k counters
+    * per task, mergeable — functions/MisraGriesAgg) that yields a
+    * guaranteed SUPERSET of the true > n/k keys plus the exact total
+    * n; pass 2 re-scans with the ≤ k candidates as a plan-literal IN
+    * filter and counts exactly, so MG's under-estimates and false
+    * positives never reach the output — the result is the exact
+    * `HAVING count(*)·k > n` set, deterministic under any
+    * partitioning even though MG's intermediate state is not.
+    *
+    * The driver-side collect is ≤ k strings + one long (the
+    * k-bounded-collect house rule). Two corpus scans, zero corpus
+    * shuffles: pass 1 ships k counters per task, pass 2's groupBy
+    * aggregates ≤ k distinct keys.
+    * Output: (key, cnt, share) — share = cnt/n of exact longs. */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 10000, s"k must be in [2, 10000], got $k")
+    val keyed = df.select(col(keyCol).cast("string").as("key"))
+    val row = keyed.agg(
+      graft.functions.MisraGriesAgg.mgCandidates(k, col("key")).as("__cand"),
+      count(col("key")).as("__n")).collect()(0)
+    val cand = row.getSeq[String](0)
+    val n = row.getLong(1)
+    keyed.filter(col("key").isin(cand: _*))
+      .groupBy("key").agg(count(lit(1)).cast("long").as("cnt"))
+      .filter(col("cnt") * lit(k.toLong) > lit(n))
+      .withColumn("share", col("cnt").cast("double") / lit(n).cast("double"))
+  }
 }

@@ -728,4 +728,77 @@ object Events {
       .select(col("user_id"), col("day"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
+
+  /** SCD Type-2 build from the event stream: collapse each user's
+    * timeline into validity intervals of their CURRENT event_type —
+    * one row per run of consecutive identical types, [valid_from,
+    * valid_to) half-open in exact µs, valid_to NULL on the open
+    * (current) run. The dimension-table shape a warehouse keeps for
+    * "what was this user's state at time t" point-in-time joins
+    * (Kimball's type-2 slowly-changing dimension, built here from the
+    * raw change log in one pass).
+    *
+    * Runs via the gaps-and-islands idiom sessionize uses: a change
+    * flag against lag(type), running-sum to a version number, one
+    * hash-agg per (user, version), then lead(valid_from) closes each
+    * interval. All three windows/aggs partition on user_id — ONE
+    * shuffle key end-to-end, and the version window is over the
+    * runs relation (rows = runs, not events). Per-user order is
+    * (ts_us, event_id), the sessionize total-order contract.
+    *
+    * Output: (user_id, version, event_type, valid_from_us,
+    * valid_to_us, n_events, is_current). */
+  def scd2Intervals(df: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    val base = df.select(col("user_id"), col("event_id"),
+      lfloorDiv(col("ts"), 1000L).as("ts_us"), col("event_type"))
+    base
+      .withColumn("__prev", lag("event_type", 1).over(byUser))
+      .withColumn("__chg",
+        when(col("__prev").isNull || col("__prev") =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("version", sum("__chg").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .groupBy(col("user_id"), col("version"))
+      // event_type is constant within a run; min() is just the
+      // agg-shaped way to carry it through the groupBy
+      .agg(min("event_type").as("event_type"),
+        min("ts_us").as("valid_from_us"),
+        count(lit(1)).cast("long").as("n_events"))
+      .withColumn("valid_to_us", lead("valid_from_us", 1).over(byVersion))
+      .withColumn("is_current", col("valid_to_us").isNull.cast("int"))
+      .select("user_id", "version", "event_type", "valid_from_us",
+        "valid_to_us", "n_events", "is_current")
+  }
+
+  /** L28-style engagement histogram: how many distinct days each user
+    * was active in the trailing `windowDays`-day window ending at the
+    * corpus' last active day (inclusive), then the user-count per
+    * activity level — the engagement-depth curve (casual vs power
+    * users) growth teams read weekly, and the mixture signal a
+    * curation pipeline uses to weight per-user event streams.
+    *
+    * Exactness: days are the ldiv truncating day-bucket convention
+    * (burstiness/gapFillDaily's key); the anchor is a 1-row broadcast
+    * like inactivity's. Only users active inside the window appear
+    * (days_active ≥ 1): the zero bucket would need a universe
+    * definition the event log alone doesn't carry.
+    *
+    * Scale shape: events collapse map-side to (user, day) rows, the
+    * 1-row anchor broadcasts, then two hash aggregates (user-sized,
+    * then ≤ windowDays rows). Never a count-distinct over raw events.
+    * Output: (days_active, n_users). */
+  def engagementHistogram(df: DataFrame, windowDays: Int = 28): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays must be in [1, 366], got $windowDays")
+    val userDays = df.groupBy(col("user_id"),
+        ldiv(col("ts"), DayNanos).as("day"))
+      .agg(count(lit(1)).as("__n"))
+    val anchor = userDays.agg(max(col("day")).as("__dmax"))
+    userDays.crossJoin(broadcast(anchor))
+      .filter(col("day") > col("__dmax") - lit(windowDays.toLong))
+      .groupBy("user_id").agg(count(lit(1)).cast("long").as("days_active"))
+      .groupBy("days_active").agg(count(lit(1)).cast("long").as("n_users"))
+  }
 }

@@ -595,4 +595,55 @@ object Graph {
     }
     dist
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) with a fixed number of
+    * mutual-reinforcement rounds on a DIRECTED edge list: per round,
+    * auth'(v) = Σ_{u→v} hub(u) then hub'(u) = Σ_{u→v} auth'(v) —
+    * the bipartite-taste dual of pageRank (a good hub points at good
+    * authorities; on a customer→product graph, hub = breadth of
+    * taste, authority = breadth of appeal). Scores are UNNORMALIZED:
+    * the per-round L1/L2 normalizer is a rank-invariant global
+    * scalar, and computing it exactly would mean folding every node's
+    * score into one row — the one shape this file never ships.
+    * Magnitudes stay bounded (≈ degree^iters) for the fixed small
+    * round counts this is for.
+    *
+    * Scale shape: per round TWO hash join + grouped-sum pairs over
+    * the pinned edge list — pageRank's exact shuffle shape, twice.
+    * Scores re-anchor on the node list each round (left join,
+    * coalesce 0 — sourceless/sinkless nodes hold exact 0.0, and
+    * adding their 0.0 contributions is an IEEE no-op, so the
+    * sortedFold parity contract survives). localCheckpoint per round
+    * kills the nested-lineage blowup. sortedFold as in pageRank:
+    * true = bit-exact oracle twin, false = partial-agg scale path.
+    *
+    * Output: (id, auth, hub) for every node. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2, sortedFold: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val e = Dedup.pin(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    val nodes = Dedup.pin(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    def foldedSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (sortedFold)
+        graft.functions.VectorOps.foldSum(array_sort(collect_list(c)))
+      else sum(c)
+    var hubs = nodes.select(col("id"), lit(1.0).as("hub"))
+    var auths = nodes.select(col("id"), lit(0.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val aSums = e.join(hubs.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(foldedSum(col("hub")).as("s"))
+      auths = nodes.join(aSums, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("auth"))
+        .localCheckpoint(eager = true)
+      val hSums = e.join(auths.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(foldedSum(col("auth")).as("s"))
+      hubs = nodes.join(hSums, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("hub"))
+        .localCheckpoint(eager = true)
+    }
+    auths.join(hubs, Seq("id"))
+  }
 }

@@ -567,4 +567,67 @@ object Similarity {
     }
     picked.toDF("step", "id", "score")
   }
+
+  /** k-NN label prediction: classify each probe by majority vote among
+    * its k exact-cosine nearest labeled neighbors (Cover & Hart 1967,
+    * the zero-training baseline every embedding-quality audit starts
+    * from — "do the labels cluster in this embedding space at all").
+    * Vote = plain neighbor COUNT per label (exact longs, not
+    * sim-weighted doubles — the tie-break story stays integer);
+    * winner = (votes desc, label asc), a total order.
+    *
+    * Scale shape: topKCosine's bounded partial agg (probes broadcast,
+    * ≤ k pairs per probe per task), then the probes×k neighbor table —
+    * tiny — joins the corpus' (id, label) projection and two
+    * probe-sized aggregates finish it. The corpus is scanned once,
+    * never shuffled. Output: (probe_id, pred_label, votes). */
+  def knnPredict(corpus: DataFrame, idCol: String, vecCol: String,
+                 labelCol: String, probes: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = topKCosine(corpus, idCol, vecCol, probes, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(labelCol).as("__lbl"))
+    val votes = top.join(labels, Seq("vec_id"))
+      .groupBy(col("probe_id"), col("__lbl").as("label"))
+      .agg(count(lit(1)).cast("long").as("votes"))
+    votes
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("votes").desc, col("label"))))
+      .filter(col("__rn") === 1)
+      .select(col("probe_id"), col("label").as("pred_label"), col("votes"))
+  }
+
+  /** Signed random projection (Achlioptas 2003's database-friendly
+    * ±1 Johnson-Lindenstrauss matrix): project each embedding onto
+    * outDim pseudo-random ±1 directions — the cheap dimensionality
+    * cut before clustering or coarse ANN when PCA's data-dependent
+    * fit is overkill. Signs are md5-derived plan literals
+    * (planeCoord's determinism contract: hash of "rp:j:i" parity), so
+    * the matrix ships inside the plan — no side input, no shuffle,
+    * and the oracle regenerates it bit-for-bit.
+    *
+    * Rowwise codegen only: outDim native DotExpr dots against
+    * literal sign vectors per row. No 1/√outDim scaling — keeping
+    * coordinates as exact ±1 sums preserves the bit-parity contract;
+    * distances scale uniformly, which no downstream rank cares about.
+    * Output: (id, proj array<double>). */
+  def projSign(j: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$i".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       inDim: Int, outDim: Int): DataFrame = {
+    require(inDim >= 1 && inDim <= 4096, s"inDim must be in [1, 4096], got $inDim")
+    require(outDim >= 1 && outDim <= inDim,
+      s"outDim must be in [1, inDim], got $outDim")
+    val v = VectorOps.toDouble(col(vecCol))
+    val comps = (0 until outDim).map { j =>
+      val signs = (0 until inDim).map(i => projSign(j + 1, i + 1))
+      VectorOps.dot(v, typedlit(signs))
+    }
+    df.select(col(idCol), array(comps: _*).as("proj"))
+  }
 }

@@ -1273,4 +1273,38 @@ object TextAnalysis {
         (col("__p.cov").cast("double") / col("__total").cast("double"))
           .as("coverage"))
   }
+
+  /** Hashing-trick vectorizer (Weinberger et al. 2009's feature
+    * hashing): map each token to one of `dim` buckets by hash and
+    * accumulate a SIGNED count — the fixed-width sparse features a
+    * linear quality classifier trains on without ever materializing
+    * a vocabulary (the property that matters at 100 TB: no vocab
+    * build, no term→id join, no OOV path — new terms land in
+    * existing buckets by construction).
+    *
+    * Bucket = first 8 md5 hex chars mod dim; sign = parity of the
+    * 9th hex char (the unbiased ±1 second hash that makes bucket
+    * collisions cancel in expectation — the paper's trick). Both are
+    * exact integer arithmetic on the md5 the oracle shares, per the
+    * Sampling.unitFromMd5 contract.
+    *
+    * Scale shape: rowwise explode → ONE hash aggregate on (doc,
+    * bucket) — output ≤ min(tokens, dim) rows per doc, map-side
+    * partials collapse repeats. Empty-token guard: split(" ") on ""
+    * yields [""], a real token here like everywhere else in this
+    * file (the md5 of "" is defined on both engines).
+    * Output: (id, bucket, weight) — the sparse COO form. */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+                  dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 20), s"dim must be in [2, 2^20], got $dim")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), md5(col("__t")).as("__h"))
+      .select(col(idCol),
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(dim.toLong)).as("bucket"),
+        (lit(1L) - lit(2L) * pmod(conv(substring(col("__h"), 9, 1), 16, 10)
+          .cast("long"), lit(2L))).as("__sign"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__sign")).cast("long").as("weight"))
+  }
 }

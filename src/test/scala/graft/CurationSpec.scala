@@ -798,4 +798,34 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1L) === Some(-1.0))
     assert(got(6L) === None, "zero-IQR key must yield NULL, not a blow-up")
   }
+
+  test("heavyHitters equals the exact HAVING set, under any partitioning") {
+    // Zipf-ish: "h0" ×400, "h1" ×150, 450 singletons → with k=10 the
+    // threshold is n/10 = 100: exactly {h0, h1} qualify
+    val rows = Seq.fill(400)("h0") ++ Seq.fill(150)("h1") ++
+      (1 to 450).map(i => s"rare$i")
+    val n = rows.length.toLong
+    val expect = Map("h0" -> 400L, "h1" -> 150L)
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("key").repartition(parts)
+      val got = Curation.heavyHitters(df, "key", k = 10)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got.view.mapValues(_._1).toMap === expect, s"parts=$parts")
+      assert(got("h0")._2 === 400.0 / n)
+    }
+  }
+
+  test("heavyHitters: adversarial order (heavy key last) still survives MG") {
+    // heavy key arrives AFTER k distinct fillers have claimed every
+    // counter — the decrement path must still let it in
+    val rows = (1 to 60).map(i => s"f$i") ++ Seq.fill(80)("heavy")
+    val got = Curation.heavyHitters(rows.toDF("key").repartition(1), "key", k = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("heavy" -> 80L)) // 80 > 140/4 = 35; fillers are 1 < 35
+  }
+
+  test("heavyHitters: nothing over threshold yields an empty result, not a crash") {
+    val rows = (1 to 50).map(i => s"u$i")
+    assert(Curation.heavyHitters(rows.toDF("key"), "key", k = 10).count() === 0L)
+  }
 }

@@ -366,4 +366,36 @@ class EventsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === Seq((3L, 23L)))
   }
+
+  test("scd2Intervals: runs collapse, intervals tile, exactly one open row per user") {
+    val e = Seq(
+      ev(1, 0, 1, "free", 0), ev(2, 10, 1, "free", 0),   // run 1: two events
+      ev(3, 20, 1, "pro", 0),                            // run 2
+      ev(4, 30, 1, "free", 0),                           // run 3: back to free = NEW run
+      ev(5, 5, 2, "pro", 0))                             // user 2: single open run
+    val got = Events.scd2Intervals(df(e)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+          r.getLong(5), r.getInt(6))).toMap
+    assert(got((1L, 1L)) === (("free", 0L, 20L * M, 2L, 0)))
+    assert(got((1L, 2L)) === (("pro", 20L * M, 30L * M, 1L, 0)))
+    assert(got((1L, 3L)) === (("free", 30L * M, -1L, 1L, 1)))
+    assert(got((2L, 1L)) === (("pro", 5L * M, -1L, 1L, 1)))
+    // intervals tile: every close equals the next open (checked above
+    // pairwise) and open rows are exactly one per user
+    assert(got.count(_._2._5 == 1) === 2)
+  }
+
+  test("engagementHistogram: trailing window cuts by the anchor day, per-day dedup") {
+    val D = 86400L
+    val e = Seq(
+      ev(1, 29 * D, 1, "a", 0), ev(2, 29 * D + 5, 1, "a", 0), // u1 day 29 ×2 → 1 day
+      ev(3, 28 * D, 1, "a", 0),                               // u1 day 28 → 2 days
+      ev(4, 29 * D, 2, "a", 0),                               // u2: 1 day
+      ev(5, 1 * D, 3, "a", 0))                                // u3: day 1 < 29-28+1 → outside
+    val got = Events.engagementHistogram(df(e), windowDays = 28).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // window = days (2, 29] — u3's day 1 excluded entirely
+    assert(got === Map(2L -> 1L, 1L -> 1L))
+  }
 }

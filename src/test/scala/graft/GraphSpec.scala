@@ -405,4 +405,31 @@ class GraphSpec extends AnyFunSuite {
       assert(pr(1L) === (1.0 - 0.85) * 1.0, "(1-d)·s for the seed with no in-edges")
     } finally Dedup.releaseCaches()
   }
+
+  test("hits: 2-round mutual reinforcement on a bipartite graph, by hand") {
+    // 1→a(=10), 1→b(=11), 2→b. a1: a=1, b=2. h1: u1=1+2=3, u2=2.
+    // a2: a=3, b=3+2=5. h2: u1=3+5=8, u2=5.
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 11L)).toDF("src", "dst")
+    try {
+      for (sorted <- Seq(true, false)) {
+        val got = Graph.hits(edges, "src", "dst", iters = 2, sortedFold = sorted)
+          .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+        assert(got(10L) === ((3.0, 0.0)), s"sortedFold=$sorted")
+        assert(got(11L) === ((5.0, 0.0)), s"sortedFold=$sorted")
+        assert(got(1L) === ((0.0, 8.0)), s"sortedFold=$sorted")
+        assert(got(2L) === ((0.0, 5.0)), s"sortedFold=$sorted")
+      }
+    } finally Dedup.releaseCaches()
+  }
+
+  test("hits: duplicate and self-loop edges are dropped before iterating") {
+    val edges = Seq((1L, 2L), (1L, 2L), (3L, 3L), (3L, 2L)).toDF("src", "dst")
+    try {
+      val got = Graph.hits(edges, "src", "dst", iters = 1)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      // auth(2) = hub0(1) + hub0(3) = 2 (dup edge counted once)
+      assert(got(2L) === ((2.0, 0.0)))
+      assert(got(3L)._1 === 0.0, "self-loop must not make 3 an authority")
+    } finally Dedup.releaseCaches()
+  }
 }

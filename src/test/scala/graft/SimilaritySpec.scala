@@ -304,4 +304,44 @@ class SimilaritySpec extends AnyFunSuite {
     // cos((1,0),(0,1)) = 0 → score = 0.5·0.5 − 0.5·0 = 0.25
     assert(got(1) === ((2L, 0.25)))
   }
+
+  test("knnPredict: majority vote among k nearest, label-asc tie-break") {
+    // probe 0 at (1,0); two label-1 neighbors near it, one label-2
+    // slightly nearer but outvoted at k=3
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0), 9),
+      (1L, Seq(0.99, 0.1), 2),
+      (2L, Seq(0.9, 0.2), 1),
+      (3L, Seq(0.9, 0.25), 1),
+      (4L, Seq(-1.0, 0.0), 3) // far: outside k=3
+    ).toDF("vec_id", "embedding", "label")
+    val probes = corpus.filter($"vec_id" === 0L)
+    val got = Similarity.knnPredict(corpus, "vec_id", "embedding", "label",
+      probes, k = 3).collect()
+    assert(got.length === 1)
+    assert(got(0).getInt(1) === 1)  // 2 votes for label 1 beat 1 for label 2
+    assert(got(0).getLong(2) === 2L)
+    // 1-vs-1 tie at k=2 → smallest label wins
+    val tied = Similarity.knnPredict(corpus, "vec_id", "embedding", "label",
+      probes, k = 2).collect()
+    assert(tied(0).getInt(1) === 1)
+    assert(tied(0).getLong(2) === 1L)
+  }
+
+  test("randomProjection: signs are ±1, deterministic, and linear in the input") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(2.0, 0.0, 0.0, 0.0)),  // 2× row 1 → every coord doubles
+      (3L, Seq(0.0, 0.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(df, "vec_id", "embedding",
+      inDim = 4, outDim = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // e_1 input reads out column 1 of the sign matrix: all ±1
+    assert(got(1L).forall(v => v == 1.0 || v == -1.0))
+    assert(got(2L) === got(1L).map(_ * 2.0))
+    assert(got(3L).forall(_ == 0.0))
+    // matches the driver-side sign function exactly
+    assert(got(1L) === (1 to 3).map(j => Similarity.projSign(j, 1)))
+  }
 }

@@ -716,4 +716,35 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got(("s1", "s2"))._2 === 4.0 / (math.sqrt(5.0) * math.sqrt(5.0)))
     } finally graft.operators.Dedup.releaseCaches()
   }
+
+  test("featureHash: same token always lands in the same signed bucket; repeats add") {
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.featureHash(df, "doc_id", "text", dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keys.forall { case (_, b) => b >= 0 && b < 64 })
+    // token determinism: "a" maps identically in both docs; doc 1 has
+    // it twice so its weight is exactly 2× doc 2's
+    val aBuckets1 = got.filter { case ((d, _), w) => d == 1L && math.abs(w) == 2 }
+    assert(aBuckets1.size === 1)
+    val ((_, aB), aW) = aBuckets1.head
+    assert(got((2L, aB)) === aW / 2)
+    // per-doc total |weight| ≤ token count and parity matches: every
+    // token contributes exactly ±1
+    assert(got.collect { case ((d, _), w) if d == 1L => math.abs(w) }.sum <= 3)
+  }
+
+  test("featureHash: colliding tokens cancel or add by the sign hash (sum invariant)") {
+    // Σ weight over all buckets of a doc = (#positive-sign tokens −
+    // #negative-sign tokens) — recompute from md5 directly
+    val toks = Seq("x", "y", "z", "w", "v")
+    val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val exp = toks.map { t =>
+      val h = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      1L - 2L * (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2)
+    }.sum
+    val got = TextAnalysis.featureHash(df, "doc_id", "text", dim = 8).collect()
+      .map(_.getLong(2)).sum
+    assert(got === exp)
+  }
 }
