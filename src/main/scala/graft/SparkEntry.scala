@@ -1767,6 +1767,51 @@ object SparkEntry {
             .as("revenue"))
     }),
 
+    // ── relational baseline: TPC-H Q4-style EXISTS semi-join ────────
+    // Orders placed in 1995Q1 that still had a line shipping after
+    // Feb, counted per priority. The EXISTS shape compiles to a LEFT
+    // SEMI hash join on o_orderkey — lineitem is filtered BEFORE the
+    // join (predicate reaches its scan) and never duplicates order
+    // rows, so no distinct is needed on either side.
+    "q4_semi" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val dt = o.schema("o_orderdate").dataType
+      val li = Tables(s, dir, "lineitem")
+      val lateLines = li
+        .filter(col("l_shipdate") > lit("1995-02-01").cast(li.schema("l_shipdate").dataType))
+        .select(col("l_orderkey"))
+      o.filter(col("o_orderdate") >= lit("1995-01-01").cast(dt)
+          && col("o_orderdate") < lit("1995-04-01").cast(dt))
+        .join(lateLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("order_count"))
+    }),
+
+    // ── relational baseline: TPC-H Q10-style top returned-revenue ───
+    // The scale-right plan order: aggregate the R-flagged revenue per
+    // customer FIRST (map-side combine on compact keys), take the
+    // top 20 on the exact integer cent sum (TakeOrderedAndProject),
+    // and only THEN join the 20-row head to `customer` for names —
+    // the name join broadcasts 20 rows instead of shuffling the
+    // customer dimension.
+    "q10_returns" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val top = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("l_extendedprice") * 100)
+            * (lit(100L) - round(col("l_discount") * 100))).cast("long")
+            .as("rev_ucents"),
+          count(lit(1)).cast("long").as("n_items"))
+        .orderBy(col("rev_ucents").desc, col("o_custkey")).limit(20)
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .join(broadcast(top), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          (col("rev_ucents") / 10000.0).as("revenue"), col("n_items"))
+    }),
+
     // ── documents: per-source corpus profile (source column) ────────
     "q_source_stats" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -2568,6 +2613,14 @@ object SparkEntry {
     "q_feat_hash" -> ((s, dir) => {
       TextAnalysis.featureHash(Tables(s, dir, "documents"), "doc_id", "text",
         dim = 64)
+    }),
+
+    // ── LLM-pipeline: Gini concentration of the char budget ─────────
+    // One number for "is the corpus' character mass spread or locked
+    // in a few giant documents" — exact rank formula over ONE range
+    // exchange, never a single-partition sort.
+    "q_gini" -> ((s, dir) => {
+      Curation.giniConcentration(Tables(s, dir, "documents"), "doc_id", "n_chars")
     }),
 
     // ── LLM-pipeline: exact heavy hitters, bounded-state candidates ─
@@ -5311,6 +5364,30 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    "q4_semi" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > TIMESTAMP '1995-02-01')
+        |GROUP BY 1""".stripMargin,
+
+    "q10_returns" ->
+      """WITH rev AS (
+        |  SELECT o.o_custkey,
+        |         CAST(sum(round(l_extendedprice * 100) * (100 - round(l_discount * 100)))
+        |              AS BIGINT) AS rev_ucents,
+        |         CAST(count(*) AS BIGINT) AS n_items
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |  GROUP BY 1
+        |),
+        |top AS (SELECT * FROM rev ORDER BY rev_ucents DESC, o_custkey LIMIT 20)
+        |SELECT c.c_custkey, c.c_name, t.rev_ucents / 10000.0 AS revenue, t.n_items
+        |FROM top t JOIN customer c ON c.c_custkey = t.o_custkey""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
@@ -6305,6 +6382,17 @@ object SparkEntry {
         |      FROM t)
         |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_gini" ->
+      """WITH r AS (SELECT n_chars,
+        |                  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+        |           FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(n_chars) AS BIGINT) AS total,
+        |       2.0 * CAST(sum(rk * n_chars) AS BIGINT)
+        |           / CAST(CAST(count(*) AS BIGINT) * CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+        |         - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gini
+        |FROM r""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS key FROM documents),

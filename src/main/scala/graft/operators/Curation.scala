@@ -1568,4 +1568,32 @@ object Curation {
       .filter(col("cnt") * lit(k.toLong) > lit(n))
       .withColumn("share", col("cnt").cast("double") / lit(n).cast("double"))
   }
+
+  /** Gini coefficient of a non-negative integer measure — the
+    * corpus-concentration audit in one number ("is the token budget
+    * spread across documents or locked in a few giants"), 0 = uniform,
+    * →1 = one row holds everything. Exact rank formula on the
+    * ascending sort: G = 2·Σᵢ i·xᵢ / (n·Σxᵢ) − (n+1)/n, every sum an
+    * exact long (ties: any rank assignment within an equal-x run
+    * yields the same Σ i·xᵢ, so the (val, id) tie-break is for
+    * engine-identical plans, not for the value).
+    *
+    * Scale shape: ONE range exchange (globalRank's contract — never a
+    * single-partition window sort) + one 3-term hash aggregate to a
+    * single row. Long-overflow headroom: Σ i·xᵢ ≤ n·max(x)·n — fine
+    * to ~10⁹ rows of document-sized counts; beyond that, shard by a
+    * coarse split and combine, like the prefix-sum note. Output: one
+    * row (n_rows, total, gini). */
+  def giniConcentration(df: DataFrame, idCol: String, valCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(valCol).cast("long").as("__x"))
+    globalRank(base, "__r", 0, col("__x").asc, col("__id").asc)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("__x")).cast("long").as("total"),
+        sum(col("__r") * col("__x")).cast("long").as("__s"))
+      .select(col("n_rows"), col("total"),
+        (lit(2.0) * col("__s").cast("double")
+            / (col("n_rows") * col("total")).cast("double")
+          - (col("n_rows") + lit(1L)).cast("double") / col("n_rows").cast("double"))
+          .as("gini"))
+  }
 }

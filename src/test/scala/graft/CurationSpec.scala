@@ -828,4 +828,18 @@ class CurationSpec extends AnyFunSuite {
     val rows = (1 to 50).map(i => s"u$i")
     assert(Curation.heavyHitters(rows.toDF("key"), "key", k = 10).count() === 0L)
   }
+
+  test("giniConcentration: uniform is 0, one-holder is (n-1)/n, partitioning-stable") {
+    val uniform = (1L to 8L).map(i => (i, 100L)).toDF("id", "v")
+    val u = Curation.giniConcentration(uniform, "id", "v").collect()(0)
+    assert(u.getLong(0) === 8L && u.getLong(1) === 800L)
+    assert(u.getDouble(2) === 0.0)
+    // all mass on one row of n=4: G = 2·4T/(4T) − 5/4 = 3/4
+    val onep = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 60L)).toDF("id", "v")
+    for (parts <- Seq(1, 3)) {
+      val g = Curation.giniConcentration(onep.repartition(parts), "id", "v")
+        .collect()(0)
+      assert(g.getDouble(2) === 0.75, s"parts=$parts")
+    }
+  }
 }

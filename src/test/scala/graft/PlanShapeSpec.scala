@@ -314,4 +314,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("rangepartitioning"),
       s"no global sort may appear — ordering is inside the bounded agg:\n$s")
   }
+
+  test("q4_semi: the EXISTS compiles to a LeftSemi join, date filter pushed to the scan") {
+    val df = SparkEntry.queries("q4_semi")(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("LeftSemi"),
+      s"EXISTS must become a semi join (no row duplication, no distinct):\n$s")
+    assert(s.contains("PushedFilters: [") && s.contains("o_orderdate"),
+      s"the order-date range must reach the orders scan:\n$s")
+  }
+
+  test("q10_returns: top-20 cut is TakeOrderedAndProject; the name join broadcasts the head") {
+    val df = SparkEntry.queries("q10_returns")(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"the 20-row head must be a bounded TakeOrdered, not a global sort + limit:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"customer names must join against the broadcast 20-row head:\n$s")
+  }
+
+  test("q_feat_hash / q_rand_proj: rowwise passes — at most one exchange, none respectively") {
+    val fh = SparkEntry.queries("q_feat_hash")(spark, "/root/testdata/sf0.001")
+    val sFh = fh.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(sFh).size <= 1,
+      s"featureHash is explode + ONE (doc, bucket) hash agg:\n$sFh")
+    val rp = SparkEntry.queries("q_rand_proj")(spark, "/root/testdata/sf0.001")
+    val sRp = rp.queryExecution.executedPlan.toString
+    assert(!sRp.contains("Exchange"),
+      s"randomProjection is a pure rowwise projection — no shuffle:\n$sRp")
+  }
 }
