@@ -1812,6 +1812,58 @@ object SparkEntry {
           (col("rev_ucents") / 10000.0).as("revenue"), col("n_items"))
     }),
 
+    // ── relational baseline: TPC-H Q13-style customer distribution ──
+    // LEFT OUTER join so order-less customers keep a row, count of
+    // the NULLABLE order key per customer (0 for them), then the
+    // histogram — the two-level aggregate over an outer join.
+    "q13_custdist" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_custkey"))
+      val o = Tables(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).cast("long").as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).cast("long").as("custdist"))
+    }),
+
+    // ── relational baseline: TPC-H Q22-style dormant rich customers ─
+    // Scalar-subquery threshold (positive-balance mean) done as an
+    // EXACT integer compare — cents·n > Σcents, no FP mean — then a
+    // LEFT ANTI join against RECENT orders ("no order since 2000")
+    // and a broadcast-nation rollup; the date filter reaches the
+    // orders scan before the anti join.
+    "q22_noorders" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("__cents"))
+      val thr = c.filter(col("__cents") > 0L)
+        .agg(sum(col("__cents")).as("__sum"), count(lit(1)).as("__cnt"))
+      val rich = c.crossJoin(broadcast(thr))
+        .filter(col("__cents") * col("__cnt") > col("__sum"))
+      val o = Tables(s, dir, "orders")
+      val recent = o.filter(col("o_orderdate")
+          >= lit("2000-01-01").cast(o.schema("o_orderdate").dataType))
+        .select(col("o_custkey"))
+      rich.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).cast("long").as("numcust"),
+          (sum(col("__cents")) / 100.0).as("totacctbal"))
+    }),
+
+    // ── LLM-pipeline: one-pass filter-funnel audit ──────────────────
+    // Survivor counts for each prefix of the length → token-count →
+    // type-token-ratio cascade in ONE corpus scan (per-stage counts
+    // would re-scan per stage); ratio compares are exact integer
+    // cross-multiplications.
+    "q_curation_funnel" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Curation.filterFunnel(Tables(s, dir, "documents"), Seq(
+        "len" -> (col("n_chars") >= 200),
+        "tokens" -> (size(toks) >= 30),
+        "ttr" -> (size(array_distinct(toks)) * 10 >= size(toks) * 3)))
+    }),
+
     // ── documents: per-source corpus profile (source column) ────────
     "q_source_stats" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -5387,6 +5439,52 @@ object SparkEntry {
         |top AS (SELECT * FROM rev ORDER BY rev_ucents DESC, o_custkey LIMIT 20)
         |SELECT c.c_custkey, c.c_name, t.rev_ucents / 10000.0 AS revenue, t.n_items
         |FROM top t JOIN customer c ON c.c_custkey = t.o_custkey""".stripMargin,
+
+    "q13_custdist" ->
+      """WITH per AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1
+        |)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM per GROUP BY 1""".stripMargin,
+
+    "q22_noorders" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        |      FROM c WHERE cents > 0),
+        |rich AS (SELECT c.* FROM c CROSS JOIN t WHERE c.cents * t.n > t.s),
+        |no AS (SELECT r.* FROM rich r
+        |       WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                         WHERE o.o_custkey = r.c_custkey
+        |                           AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(cents) AS BIGINT) / 100.0 AS totacctbal
+        |FROM no JOIN nation ON n_nationkey = c_nationkey GROUP BY 1""".stripMargin,
+
+    "q_curation_funnel" ->
+      """WITH f AS (
+        |  SELECT n_chars >= 200 AS s1,
+        |         n_chars >= 200 AND len(string_split(text, ' ')) >= 30 AS s2,
+        |         n_chars >= 200 AND len(string_split(text, ' ')) >= 30
+        |           AND len(list_distinct(string_split(text, ' '))) * 10
+        |               >= len(string_split(text, ' ')) * 3 AS s3
+        |  FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |             CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |             CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |             CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |      FROM f)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'len' AS label, n0 AS n_in, n1 AS n_out,
+        |       CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) AS kept FROM a
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'tokens', n1, n2,
+        |       CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM a
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'ttr', n2, n3,
+        |       CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) FROM a""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

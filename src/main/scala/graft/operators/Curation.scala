@@ -1596,4 +1596,40 @@ object Curation {
           - (col("n_rows") + lit(1L)).cast("double") / col("n_rows").cast("double"))
           .as("gini"))
   }
+
+  /** Filter-funnel audit: how many rows survive each PREFIX of a
+    * filter cascade — the one-pass report a curation pipeline prints
+    * before committing to a recipe ("200k docs → 120k past length →
+    * 90k past lang → 70k past quality"), where running each stage as
+    * its own count would re-scan the corpus per stage.
+    *
+    * Stages compose by AND: survivors of stage i are rows passing
+    * stages 1..i (a funnel, not independent marginals — the
+    * marginal-vs-joint distinction that makes per-stage counts
+    * non-additive). ONE aggregate pass: each stage is a conditional
+    * long sum over the cumulative conjunction; null predicate values
+    * count as fail (`<=> true`).
+    *
+    * Output: one row per stage (stage 1-based, label, n_in, n_out,
+    * kept double) via a bounded literal-array explode. */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty && stages.size <= 32,
+      s"stages must be 1..32, got ${stages.size}")
+    val cum = stages.scanLeft(lit(true)) { case (acc, (_, p)) => acc && (p <=> true) }
+      .drop(1)
+    val row = df.agg(
+      count(lit(1)).cast("long").as("__n0"),
+      cum.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).cast("long").as(s"__n${i + 1}")
+      }: _*)
+    val pairs = array(stages.indices.map { i =>
+      struct(lit(i + 1L).as("stage"), lit(stages(i)._1).as("label"),
+        col(s"__n$i").as("n_in"), col(s"__n${i + 1}").as("n_out"))
+    }: _*)
+    row.select(explode(pairs).as("__p"))
+      .select(col("__p.stage").as("stage"), col("__p.label").as("label"),
+        col("__p.n_in").as("n_in"), col("__p.n_out").as("n_out"),
+        (col("__p.n_out").cast("double") / col("__p.n_in").cast("double"))
+          .as("kept"))
+  }
 }

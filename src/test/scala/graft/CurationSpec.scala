@@ -829,6 +829,19 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.heavyHitters(rows.toDF("key"), "key", k = 10).count() === 0L)
   }
 
+  test("filterFunnel: stages compose by AND; NULL predicate counts as fail") {
+    val df = Seq(
+      (1L, Some(10L)), (2L, Some(5L)), (3L, Some(1L)), (4L, None)
+    ).toDF("id", "v")
+    val got = Curation.filterFunnel(df, Seq(
+      "nonneg" -> (col("v") >= 1L),       // NULL row fails here, not errors
+      "big" -> (col("v") >= 5L)))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) === (("nonneg", 4L, 3L, 0.75)))
+    assert(got(2L) === (("big", 3L, 2L, 2.0 / 3.0)))
+  }
+
   test("giniConcentration: uniform is 0, one-holder is (n-1)/n, partitioning-stable") {
     val uniform = (1L to 8L).map(i => (i, 100L)).toDF("id", "v")
     val u = Curation.giniConcentration(uniform, "id", "v").collect()(0)

@@ -333,6 +333,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"customer names must join against the broadcast 20-row head:\n$s")
   }
 
+  test("q22_noorders: NOT EXISTS is a LeftAnti join on date-filtered orders") {
+    val df = SparkEntry.queries("q22_noorders")(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("LeftAnti"),
+      s"NOT EXISTS must become an anti join:\n$s")
+    assert(s.contains("PushedFilters: [") && s.contains("o_orderdate"),
+      s"the recency cutoff must reach the orders scan, not post-filter the join:\n$s")
+  }
+
+  test("q_curation_funnel: one corpus scan feeds every funnel stage") {
+    val df = SparkEntry.queries("q_curation_funnel")(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(s).size == 1,
+      s"all survivor counts must come from ONE pass:\n$s")
+  }
+
   test("q_feat_hash / q_rand_proj: rowwise passes — at most one exchange, none respectively") {
     val fh = SparkEntry.queries("q_feat_hash")(spark, "/root/testdata/sf0.001")
     val sFh = fh.queryExecution.executedPlan.toString
