@@ -2022,6 +2022,15 @@ object SparkEntry {
           sum(col("__credit")).cast("long").as("credit_ucents"))
     }),
 
+    // ── events: Kaplan-Meier time-to-conversion survival curve ──────
+    // Exact-arithmetic KM estimator over day-grain durations; users
+    // who never purchase are censored at the corpus horizon, not
+    // dropped. All folds run on the ≤ maxDays day table, never the
+    // corpus.
+    "q_survival" -> ((s, dir) => {
+      Events.kaplanMeier(Tables(s, dir, "events"), convType = "purchase")
+    }),
+
     // ── events: SCD Type-2 validity intervals per user ──────────────
     // The warehouse dimension shape for point-in-time joins: one row
     // per run of consecutive identical event types, half-open µs
@@ -5346,6 +5355,34 @@ object SparkEntry {
         |SELECT event_id, count(*) AS n_purchases,
         |       CAST(sum(credit) AS BIGINT) AS credit_ucents
         |FROM cr GROUP BY 1""".stripMargin,
+
+    "q_survival" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |per AS (SELECT user_id, min(us) AS t0,
+        |               min(CASE WHEN event_type = 'purchase' THEN us END) AS tc
+        |        FROM e GROUP BY 1),
+        |mx AS (SELECT max(us) AS amax FROM e),
+        |dur AS (SELECT CASE WHEN tc IS NOT NULL THEN (tc - t0) // 86400000000
+        |                    ELSE (amax - t0) // 86400000000 END AS day,
+        |               CAST(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS ev
+        |        FROM per CROSS JOIN mx),
+        |durf AS (SELECT * FROM dur WHERE day < 3660),
+        |days AS (SELECT day, CAST(sum(ev) AS BIGINT) AS n_event,
+        |                CAST(count(*) AS BIGINT) AS n_total
+        |         FROM durf GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM durf),
+        |risky AS (SELECT day, n_event,
+        |                 nn.n - CAST(sum(n_total) OVER (ORDER BY day
+        |                   ROWS UNBOUNDED PRECEDING) AS BIGINT) + n_total AS n_risk
+        |          FROM days CROSS JOIN nn),
+        |fs AS (SELECT list_sort(list({'day': day,
+        |                 'f': 1.0 - CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE)})) AS fs
+        |       FROM risky WHERE n_event > 0)
+        |SELECT r.day, r.n_event, r.n_risk,
+        |       list_reduce(list_prepend(1.0,
+        |         list_transform(list_filter(fs.fs, x -> x.day <= r.day), x -> x.f)),
+        |         (a, b) -> a * b) AS survival
+        |FROM risky r CROSS JOIN fs WHERE r.n_event > 0""".stripMargin,
 
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),

@@ -772,6 +772,73 @@ object Events {
         "valid_to_us", "n_events", "is_current")
   }
 
+  /** Kaplan-Meier conversion-survival curve (Kaplan & Meier 1958):
+    * S(d) = Π_{dᵢ ≤ d} (1 − eᵢ/nᵢ) over event days, where eᵢ =
+    * conversions at day dᵢ and nᵢ = the at-risk set (users whose
+    * observed duration ≥ dᵢ) — "what fraction of users are still
+    * unconverted d days after their first event", with users who
+    * never convert correctly CENSORED at the corpus horizon rather
+    * than dropped (dropping them is the classic retention-analysis
+    * bias this estimator exists to fix).
+    *
+    * Duration = days from the user's first event to their first
+    * `convType` event; censor time = days to the global max
+    * timestamp (one-row broadcast anchor, like inactivity's). Users
+    * at/over `maxDays` are dropped loudly-documented, mirroring
+    * gapFillDaily's span guard.
+    *
+    * Exactness: eᵢ/nᵢ are exact longs; each prefix product is the
+    * identical left-assoc IEEE chain on both engines — the day-grain
+    * factor list ships as ONE sorted array and every output row
+    * folds its own prefix (O(days²) multiplies, days ≤ maxDays —
+    * driver-bounded, corpus-independent).
+    *
+    * Scale shape: events collapse to per-user (t0, tc) in one agg;
+    * durations collapse to the DAY-GRAIN table (≤ maxDays rows);
+    * the only windows/folds run on that bounded table, never the
+    * corpus. Output: (day, n_event, n_risk, survival), event days
+    * only. */
+  def kaplanMeier(df: DataFrame, convType: String = "purchase",
+                  maxDays: Int = 3660): DataFrame = {
+    require(maxDays >= 1 && maxDays <= 36600,
+      s"maxDays must be in [1, 36600], got $maxDays")
+    val us = epochMicros(col("ts"))
+    val per = df.groupBy(col("user_id")).agg(
+      min(us).as("__t0"),
+      min(when(col("event_type") === convType, us)).as("__tc"))
+    val anchor = df.agg(max(us).as("__amax"))
+    val durations = per.crossJoin(broadcast(anchor)).select(
+      when(col("__tc").isNotNull,
+        lfloorDiv(col("__tc") - col("__t0"), 86400000000L))
+        .otherwise(lfloorDiv(col("__amax") - col("__t0"), 86400000000L)).as("day"),
+      col("__tc").isNotNull.cast("long").as("__ev"))
+      .filter(col("day") < lit(maxDays.toLong))
+    // day-grain collapse: ≤ maxDays rows from here on
+    val days = durations.groupBy(col("day"))
+      .agg(sum(col("__ev")).cast("long").as("n_event"),
+        count(lit(1)).cast("long").as("__n_total"))
+    // at-risk set by reverse cumulative count — a window over the
+    // BOUNDED day-grain relation (≤ maxDays rows), not the corpus
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risky = days
+      .withColumn("__cum", sum(col("__n_total")).over(w))
+      .crossJoin(broadcast(durations.agg(count(lit(1)).cast("long").as("__N"))))
+      .withColumn("n_risk", col("__N") - col("__cum") + col("__n_total"))
+    // one sorted factor array (day asc) shipped to every event-day
+    // row; each row folds its own prefix — identical left-assoc
+    // chains cross-engine
+    val factors = risky.filter(col("n_event") > 0L)
+      .agg(array_sort(collect_list(struct(col("day"), (lit(1.0) -
+        col("n_event").cast("double") / col("n_risk").cast("double"))
+        .as("f")))).as("__fs"))
+    risky.filter(col("n_event") > 0L)
+      .crossJoin(broadcast(factors))
+      .select(col("day"), col("n_event"), col("n_risk"),
+        aggregate(filter(col("__fs"), x => x("day") <= col("day")),
+          lit(1.0), (acc, x) => acc * x("f")).as("survival"))
+  }
+
   /** L28-style engagement histogram: how many distinct days each user
     * was active in the trailing `windowDays`-day window ending at the
     * corpus' last active day (inclusive), then the user-count per

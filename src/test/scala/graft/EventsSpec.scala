@@ -386,6 +386,31 @@ class EventsSpec extends AnyFunSuite {
     assert(got.count(_._2._5 == 1) === 2)
   }
 
+  test("kaplanMeier: censoring enters the risk set, survival is the prefix product") {
+    val D = 86400L
+    val e = Seq(
+      ev(1, 0, 1, "view", 0), ev(2, D, 1, "purchase", 0),      // u1 converts day 1
+      ev(3, 0, 2, "view", 0), ev(4, 3 * D, 2, "purchase", 0),  // u2 converts day 3
+      ev(5, 0, 3, "view", 0),                                  // u3 censored at horizon
+      ev(6, 0, 4, "view", 0), ev(7, 2 * D, 4, "view", 0))      // u4 censored at horizon
+    // horizon = day 3 (u2's purchase). durations: 1(ev), 3(ev), 3(c), 3(c)
+    // day 1: e=1, n=4 → S = 3/4. day 3: e=1, n=3 → S = 3/4 · 2/3 = 1/2
+    val got = Events.kaplanMeier(df(e)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(1L -> ((1L, 4L, 0.75)), 3L -> ((1L, 3L, 0.5))))
+  }
+
+  test("kaplanMeier: with no censoring S drops to 0 at the last event day") {
+    val D = 86400L
+    val e = Seq(
+      ev(1, 0, 1, "view", 0), ev(2, D, 1, "purchase", 0),
+      ev(3, 0, 2, "view", 0), ev(4, 2 * D, 2, "purchase", 0))
+    val got = Events.kaplanMeier(df(e)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) === 0.5)
+    assert(got(2L) === 0.0)
+  }
+
   test("engagementHistogram: trailing window cuts by the anchor day, per-day dedup") {
     val D = 86400L
     val e = Seq(
