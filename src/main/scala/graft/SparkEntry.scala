@@ -310,6 +310,16 @@ object SparkEntry {
         .withColumn("correct", (col("pred_label") === col("true_label")).cast("int"))
     }),
 
+    // ── ML: contrastive triplet mining (hard negatives) ─────────────
+    // (anchor, nearest same-label, nearest different-label) rows from
+    // the exact cosine top-50 — the triplet-loss training feed with
+    // negatives mined hard, not sampled.
+    "q_triplets" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.mineTriplets(emb, "vec_id", "embedding", "label",
+        emb.orderBy("vec_id").limit(10), k = 50)
+    }),
+
     // ── ML: signed random projection (±1 JL sketch, 64 → 8 dims) ────
     // Rowwise DotExpr dots against md5-derived plan-literal sign
     // vectors — no side input, no shuffle, oracle regenerates the
@@ -2022,6 +2032,22 @@ object SparkEntry {
           sum(col("__credit")).cast("long").as("credit_ucents"))
     }),
 
+    // ── events: A/B experiment lift readout ─────────────────────────
+    // Arms = the leakage-safe md5 2-fold on user_id (kFoldGroups —
+    // repartition-stable, cross-engine exact); per-arm user counts,
+    // converters, conversion rate. The experiment-analysis readout
+    // with zero rng state.
+    "q_ab_lift" -> ((s, dir) => {
+      val per = Tables(s, dir, "events").groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("long")).as("__conv"))
+      Sampling.kFoldGroups(per, "user_id", k = 2)
+        .groupBy(col("fold").as("arm"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum(col("__conv")).cast("long").as("n_conv"),
+          (sum(col("__conv")).cast("double") / count(lit(1)).cast("double"))
+            .as("rate"))
+    }),
+
     // ── events: Kaplan-Meier time-to-conversion survival curve ──────
     // Exact-arithmetic KM estimator over day-grain durations; users
     // who never purchase are censored at the corpus horizon, not
@@ -2665,6 +2691,15 @@ object SparkEntry {
     // ── LLM-pipeline: per-doc keyword extraction (rational-idf tfidf) ─
     "q_keywords" -> ((s, dir) => {
       TextAnalysis.keywords(Tables(s, dir, "documents"), "doc_id", "text", k = 5)
+    }),
+
+    // ── LLM-pipeline: keyword-in-context concordance ────────────────
+    // Every "spark" occurrence with 3 tokens of context — the
+    // corpus-inspection view behind filter-rule debugging. Rowwise
+    // posexplode + bounded slices, no shuffle.
+    "q_kwic" -> ((s, dir) => {
+      TextAnalysis.kwic(Tables(s, dir, "documents"), "doc_id", "text",
+        term = "spark", window = 3)
     }),
 
     // ── LLM-pipeline: hashing-trick sparse features (COO form) ──────
@@ -3778,6 +3813,30 @@ object SparkEntry {
          |SELECT w.probe_id, w.pred_label, w.votes, pr.tl AS true_label,
          |       CAST(CASE WHEN w.pred_label = pr.tl THEN 1 ELSE 0 END AS INT) AS correct
          |FROM w JOIN pr ON w.probe_id = pr.probe_id WHERE w.rn = 1""".stripMargin,
+
+    "q_triplets" ->
+      s"""WITH pr AS (
+         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv, label AS pl
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)
+         |),
+         |s AS (
+         |  SELECT pr.probe_id, pr.pl, e.vec_id, e.label,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM embeddings e CROSS JOIN pr WHERE e.vec_id != pr.probe_id
+         |),
+         |t AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |                                   ORDER BY sim DESC, vec_id) AS rn
+         |      FROM s),
+         |k AS (SELECT * FROM t WHERE rn <= 50),
+         |pos AS (SELECT probe_id, vec_id AS pos_id, sim AS pos_sim,
+         |               row_number() OVER (PARTITION BY probe_id ORDER BY rn) AS r2
+         |        FROM k WHERE label = pl),
+         |neg AS (SELECT probe_id, vec_id AS neg_id, sim AS neg_sim,
+         |               row_number() OVER (PARTITION BY probe_id ORDER BY rn) AS r2
+         |        FROM k WHERE label <> pl)
+         |SELECT p.probe_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
+         |FROM pos p JOIN neg n ON p.probe_id = n.probe_id
+         |WHERE p.r2 = 1 AND n.r2 = 1""".stripMargin,
 
     "q_rand_proj" -> {
       val dims = (1 to 8).map { j =>
@@ -5355,6 +5414,32 @@ object SparkEntry {
         |SELECT event_id, count(*) AS n_purchases,
         |       CAST(sum(credit) AS BIGINT) AS credit_ucents
         |FROM cr GROUP BY 1""".stripMargin,
+
+    "q_ab_lift" ->
+      """WITH per AS (SELECT user_id,
+        |                    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |             FROM events GROUP BY 1),
+        |a AS (SELECT least(CAST(floor(
+        |               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |               / 4294967296.0 * 2) AS BIGINT), 1) AS arm,
+        |             conv
+        |      FROM per)
+        |SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(conv) AS BIGINT) AS n_conv,
+        |       CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rate
+        |FROM a GROUP BY 1""".stripMargin,
+
+    "q_kwic" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p AS (SELECT doc_id, l,
+        |             unnest([{'p': i, 't': l[i]} for i in range(1, len(l) + 1)]) AS x
+        |      FROM t)
+        |SELECT doc_id, CAST(x.p AS BIGINT) AS pos,
+        |       coalesce(array_to_string(l[greatest(x.p - 3, 1):x.p - 1], ' '), '')
+        |         AS left_ctx,
+        |       coalesce(array_to_string(l[x.p + 1:least(x.p + 3, len(l))], ' '), '')
+        |         AS right_ctx
+        |FROM p WHERE x.t = 'spark'""".stripMargin,
 
     "q_survival" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),

@@ -618,6 +618,42 @@ object Similarity {
     if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
   }
 
+  /** Contrastive triplet mining: for each probe, the nearest
+    * SAME-label neighbor (positive) and the nearest DIFFERENT-label
+    * neighbor (hard negative) from its exact cosine top-k — the
+    * (anchor, positive, negative) rows a triplet/InfoNCE embedding
+    * trainer consumes, with the negative mined hard (closest
+    * impostor) rather than sampled at random. Probes with no
+    * same-label (or no different-label) row inside top-k are DROPPED
+    * — a random-positive fallback would silently train on noise.
+    *
+    * Scale shape: topKCosine's bounded partial agg (probes
+    * broadcast), then the probes×k neighbor table joins the corpus
+    * (id, label) projection and two probe-keyed row_number picks
+    * over probe-sized relations. Output: (probe_id, pos_id, pos_sim,
+    * neg_id, neg_sim). */
+  def mineTriplets(corpus: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, probes: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = topKCosine(corpus, idCol, vecCol, probes, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(labelCol).as("__nl"))
+    val probeLabels = probes.select(col(idCol).cast("long").as("probe_id"),
+      col(labelCol).as("__pl"))
+    val scored = top.join(labels, Seq("vec_id"))
+      .join(broadcast(probeLabels), Seq("probe_id"))
+    def pick(sameLabel: Boolean, idAs: String, simAs: String) = {
+      val side = scored.filter(if (sameLabel) col("__nl") === col("__pl")
+        else col("__nl") =!= col("__pl"))
+      side.withColumn("__rn", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("rank"))))
+        .filter(col("__rn") === 1)
+        .select(col("probe_id"), col("vec_id").as(idAs), col("sim").as(simAs))
+    }
+    pick(sameLabel = true, "pos_id", "pos_sim")
+      .join(pick(sameLabel = false, "neg_id", "neg_sim"), Seq("probe_id"))
+  }
+
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
                        inDim: Int, outDim: Int): DataFrame = {
     require(inDim >= 1 && inDim <= 4096, s"inDim must be in [1, 4096], got $inDim")

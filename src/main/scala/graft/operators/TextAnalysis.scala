@@ -1294,6 +1294,32 @@ object TextAnalysis {
     * yields [""], a real token here like everywhere else in this
     * file (the md5 of "" is defined on both engines).
     * Output: (id, bucket, weight) — the sparse COO form. */
+  /** Keyword-in-context concordance (the corpus-inspection KWIC
+    * view): every occurrence of `term` with its `window` tokens of
+    * left/right context — what a curation engineer actually reads
+    * when deciding whether a filter rule or a near-dup cluster is
+    * behaving ("show me how this token is used").
+    *
+    * Rowwise only: one posexplode over the token array (kept
+    * alongside, so context slicing needs no self-join), a codegen
+    * filter on the term, and two bounded `slice`s — no shuffle, no
+    * window. Positions are 1-based (the oracle's list-comprehension
+    * convention). Output: (id, pos, left_ctx, right_ctx). */
+  def kwic(df: DataFrame, idCol: String, textCol: String,
+           term: String, window: Int = 3): DataFrame = {
+    require(window >= 1 && window <= 50, s"window must be in [1, 50], got $window")
+    df.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), col("__ts"), posexplode(col("__ts")).as(Seq("__p0", "__t")))
+      .filter(col("__t") === term)
+      .withColumn("pos", (col("__p0") + 1).cast("long"))
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", slice(col("__ts"),
+          greatest(col("pos") - window, lit(1)),
+          col("pos") - greatest(col("pos") - window, lit(1)))).as("left_ctx"),
+        concat_ws(" ", slice(col("__ts"), col("pos") + 1, lit(window)))
+          .as("right_ctx"))
+  }
+
   def featureHash(df: DataFrame, idCol: String, textCol: String,
                   dim: Int = 64): DataFrame = {
     require(dim >= 2 && dim <= (1 << 20), s"dim must be in [2, 2^20], got $dim")

@@ -328,6 +328,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tied(0).getLong(2) === 1L)
   }
 
+  test("mineTriplets: nearest same-label positive, nearest impostor negative") {
+    // probe 0 (label 1): nearest overall is 1 (label 2, the impostor),
+    // nearest same-label is 2
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0), 1),
+      (1L, Seq(0.99, 0.1), 2),
+      (2L, Seq(0.9, 0.2), 1),
+      (3L, Seq(0.0, 1.0), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val probes = corpus.filter($"vec_id" === 0L)
+    val got = Similarity.mineTriplets(corpus, "vec_id", "embedding", "label",
+      probes, k = 3).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(1) === 2L, "positive = nearest same-label")
+    assert(got(0).getLong(3) === 1L, "negative = nearest different-label")
+    assert(got(0).getDouble(4) > got(0).getDouble(2),
+      "this fixture's negative is harder (closer) than the positive")
+    // a probe whose label appears nowhere in top-k drops out
+    val loner = corpus.filter($"vec_id" === 0L)
+      .withColumn("label", org.apache.spark.sql.functions.lit(9))
+    assert(Similarity.mineTriplets(corpus.filter($"vec_id" =!= 0L)
+      .unionByName(loner), "vec_id", "embedding", "label", loner, k = 3)
+      .count() === 0L)
+  }
+
   test("randomProjection: signs are ±1, deterministic, and linear in the input") {
     val df = Seq(
       (1L, Seq(1.0, 0.0, 0.0, 0.0)),

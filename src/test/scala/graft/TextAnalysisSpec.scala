@@ -733,6 +733,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.collect { case ((d, _), w) if d == 1L => math.abs(w) }.sum <= 3)
   }
 
+  test("kwic: contexts truncate at document boundaries, every occurrence emits") {
+    val df = Seq((1L, "spark a b c spark"), (2L, "x spark y")).toDF("doc_id", "text")
+    val got = TextAnalysis.kwic(df, "doc_id", "text", term = "spark", window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3)))).toMap
+    assert(got((1L, 1L)) === (("", "a b")))      // doc start: empty left
+    assert(got((1L, 5L)) === (("b c", "")))      // doc end: empty right
+    assert(got((2L, 2L)) === (("x", "y")))
+    assert(got.size === 3)
+  }
+
   test("featureHash: colliding tokens cancel or add by the sign hash (sum invariant)") {
     // Σ weight over all buckets of a doc = (#positive-sign tokens −
     // #negative-sign tokens) — recompute from md5 directly
