@@ -2048,6 +2048,24 @@ object SparkEntry {
             .as("rate"))
     }),
 
+    // ── events: Poisson-bootstrap CI on the A/B conversion rates ────
+    // 100 deterministic replicates (weight = Poisson(1) of md5(id:r),
+    // thresholds shipped as plan literals — exp() never runs in
+    // either engine), discrete 2.5/97.5 rank CI per arm. One bounded
+    // ×100 explode over the per-user relation.
+    "q_ab_bootstrap" -> ((s, dir) => {
+      val per = Tables(s, dir, "events").groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("long")).as("__conv"))
+      val armed = Sampling.kFoldGroups(per, "user_id", k = 2)
+      Sampling.bootstrapConversionCI(armed, "user_id", "fold", "__conv", b = 100)
+    }),
+
+    // ── events: hot-key skew report (the saltedJoin sizing input) ───
+    "q_skew_report" -> ((s, dir) => {
+      Skew.skewReport(Tables(s, dir, "events"), "user_id",
+        topK = 20, targetRows = 1000L)
+    }),
+
     // ── events: Kaplan-Meier time-to-conversion survival curve ──────
     // Exact-arithmetic KM estimator over day-grain durations; users
     // who never purchase are censored at the corpus horizon, not
@@ -5428,6 +5446,47 @@ object SparkEntry {
         |       CAST(sum(conv) AS BIGINT) AS n_conv,
         |       CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rate
         |FROM a GROUP BY 1""".stripMargin,
+
+    "q_ab_bootstrap" -> {
+      val caseArms = Sampling.poisson1Cum.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+      s"""WITH per AS (SELECT user_id,
+         |                    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         |                    least(CAST(floor(
+         |                      CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |                      / 4294967296.0 * 2) AS BIGINT), 1) AS arm
+         |             FROM events GROUP BY 1),
+         |rep AS (SELECT arm, conv, user_id, unnest(range(1, 101)) AS b FROM per),
+         |wts AS (SELECT arm, b, conv, CASE $caseArms ELSE 8 END AS w
+         |        FROM (SELECT arm, b, conv,
+         |                CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR), ':',
+         |                     CAST(b AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+         |              FROM rep)),
+         |rates AS (SELECT arm, b, CAST(sum(w * conv) AS BIGINT) AS num,
+         |                 CAST(sum(w) AS BIGINT) AS den
+         |          FROM wts GROUP BY 1, 2),
+         |rr AS (SELECT arm, b, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS rate
+         |       FROM rates WHERE den > 0),
+         |rk AS (SELECT arm, rate,
+         |              row_number() OVER (PARTITION BY arm ORDER BY rate, b) AS rn
+         |       FROM rr),
+         |ci AS (SELECT arm, min(CASE WHEN rn = 3 THEN rate END) AS ci_lo,
+         |              min(CASE WHEN rn = 98 THEN rate END) AS ci_hi
+         |       FROM rk GROUP BY 1),
+         |pt AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+         |              CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rate
+         |       FROM per GROUP BY 1)
+         |SELECT pt.arm, pt.n_units, pt.rate, ci.ci_lo, ci.ci_hi
+         |FROM pt JOIN ci ON pt.arm = ci.arm""".stripMargin
+    },
+
+    "q_skew_report" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT key, cnt, CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+        |       CAST((cnt + 999) // 1000 AS BIGINT) AS salt
+        |FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
 
     "q_kwic" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -187,4 +187,72 @@ object Sampling {
     df.withColumn("fold",
       least(floor(unitFromMd5(key) * k), lit(k - 1L)).cast("long"))
   }
+
+  /** Cumulative Poisson(1) CDF thresholds, computed once DRIVER-side
+    * and shipped as plan literals — the engines never evaluate exp()
+    * (the Spark-vs-DuckDB libm divergence the codebase bans); both
+    * receive the identical double constants, the planeCoord contract.
+    * P(X ≤ 7) ≈ 1 − 1e-5; the tail collapses onto weight 8. */
+  private[graft] val poisson1Cum: IndexedSeq[Double] = {
+    var fact = 1.0
+    var cum = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      cum += math.exp(-1.0) / fact
+      cum
+    }
+  }
+
+  /** Poisson(1) draw from a md5 unit point via inverse CDF — the
+    * deterministic multiplicity of one unit in one bootstrap
+    * replicate (Poisson bootstrap, Chamandy et al. 2012: at large n
+    * the multinomial resample factorizes into independent Poisson(1)
+    * weights, which is what makes the bootstrap map-side at scale). */
+  def poissonFromUnit(u: Column): Column =
+    poisson1Cum.zipWithIndex.reverse.foldLeft(lit(8L): Column) {
+      case (acc, (c, k)) => when(u < lit(c), lit(k.toLong)).otherwise(acc)
+    }
+
+  /** Percentile bootstrap CI for a per-arm conversion rate, fully
+    * deterministic: a unit's weight in replicate r is
+    * Poisson(1)(md5-unit of "id:r") — no rng state, repartition-
+    * stable, reproduced by the oracle bit-for-bit. Point rate + the
+    * discrete [2.5%, 97.5%]-style CI from `b` replicates (rank
+    * ceil(0.025·b) and its mirror on the (rate, replicate)-sorted
+    * replicate rates).
+    *
+    * Scale shape: ONE bounded ×b generator explode over the
+    * unit-grain relation (b ≤ 200 — hoppingByType's bounded-explode
+    * posture), an (arm, replicate) hash agg of exact longs, then
+    * rank picks over the arms×b-row table. The input should already
+    * be one row per unit (user).
+    * Output: (arm, n_units, rate, ci_lo, ci_hi). */
+  def bootstrapConversionCI(df: DataFrame, idCol: String, armCol: String,
+                            convCol: String, b: Int = 100): DataFrame = {
+    require(b >= 10 && b <= 200, s"b must be in [10, 200], got $b")
+    val loRank = math.max((b * 25 + 999) / 1000, 1)
+    val hiRank = b + 1 - loRank
+    val rep = df.select(col(armCol).as("arm"), col(convCol).cast("long").as("__c"),
+        col(idCol).cast("string").as("__id"))
+      .withColumn("__b", explode(sequence(lit(1), lit(b))))
+      .withColumn("__w", poissonFromUnit(unitFromMd5(
+        concat(col("__id"), lit(":"), col("__b").cast("string")))))
+    val rates = rep.groupBy(col("arm"), col("__b"))
+      .agg(sum(col("__w") * col("__c")).cast("long").as("__num"),
+        sum(col("__w")).cast("long").as("__den"))
+      .filter(col("__den") > 0L)
+      .select(col("arm"), col("__b"),
+        (col("__num").cast("double") / col("__den").cast("double")).as("__rate"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("arm").orderBy(col("__rate"), col("__b"))
+    val ci = rates.withColumn("__rn", row_number().over(w))
+      .groupBy(col("arm"))
+      .agg(min(when(col("__rn") === loRank, col("__rate"))).as("ci_lo"),
+        min(when(col("__rn") === hiRank, col("__rate"))).as("ci_hi"))
+    val point = df.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).cast("long").as("n_units"),
+        (sum(col(convCol).cast("long")).cast("double")
+          / count(lit(1)).cast("double")).as("rate"))
+    point.join(ci, Seq("arm"))
+  }
 }

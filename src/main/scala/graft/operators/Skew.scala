@@ -32,4 +32,30 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(keyCol, "__salt")).drop("__salt")
   }
+
+  /** Hot-key report — the diagnostic that DECIDES whether saltedJoin
+    * (or a broadcast, or an AQE hint) is needed: the topK heaviest
+    * keys with their corpus share and the salt factor that would
+    * spread each to ≈ `targetRows` rows per salted task-key
+    * (integer ceil, exact). The number an engineer reads before
+    * picking `salts`.
+    *
+    * Scale shape: one key-grain hash agg (map-side combined), a
+    * 1-row total broadcast, TakeOrderedAndProject for the head —
+    * never a global sort. Output: (key, cnt, share, salt). */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 20,
+                 targetRows: Long = 100000L): DataFrame = {
+    require(topK >= 1 && topK <= 10000, s"topK must be in [1, 10000], got $topK")
+    require(targetRows >= 1, s"targetRows must be positive, got $targetRows")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("long").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"),
+        (col("cnt").cast("double") / col("__total").cast("double")).as("share"),
+        // `div`, not `/`: Spark's / on longs is DOUBLE division
+        call_function("div", col("cnt") + lit(targetRows - 1), lit(targetRows))
+          .as("salt"))
+      .orderBy(col("cnt").desc, col("key")).limit(topK)
+  }
 }

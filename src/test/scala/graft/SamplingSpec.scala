@@ -157,4 +157,35 @@ class SamplingSpec extends AnyFunSuite {
       .filter($"g".isNull).select("fold").distinct().as[Long].collect()
     assert(nf.length === 1)
   }
+
+  test("poissonFromUnit: inverse CDF brackets, mean ≈ 1 over a unit grid") {
+    val us = (0 until 1000).map(i => (i + 0.5) / 1000.0)
+    val got = us.toDF("u")
+      .select(Sampling.poissonFromUnit(col("u")).as("k")).as[Long].collect()
+    assert(got.min === 0L)
+    // P(X=0) = e^-1 ≈ 0.368: the low grid points map to 0
+    assert(got.count(_ == 0L) === 368)
+    // grid mean of an inverse-CDF draw approximates E[X] = 1
+    val mean = got.sum.toDouble / got.length
+    assert(mean > 0.95 && mean < 1.05, s"grid mean $mean")
+    assert(got.max <= 8L)
+  }
+
+  test("bootstrapConversionCI: CI brackets the rate, stable under repartitioning") {
+    val per = (1L to 400L).map(i => (i, i % 2, if (i % 5 == 0) 1L else 0L))
+      .toDF("id", "arm", "conv")
+    val a = Sampling.bootstrapConversionCI(per, "id", "arm", "conv", b = 100)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val b2 = Sampling.bootstrapConversionCI(per.repartition(7), "id", "arm", "conv",
+      b = 100).collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(a === b2, "bootstrap must not depend on partitioning")
+    a.foreach { case (arm, (n, rate, lo, hi)) =>
+      assert(n === 200L, s"arm $arm")
+      assert(rate === 0.2)
+      assert(lo <= rate && rate <= hi, s"arm $arm: [$lo, $hi] vs $rate")
+      assert(hi - lo < 0.2, s"arm $arm: CI implausibly wide [$lo, $hi]")
+    }
+  }
 }

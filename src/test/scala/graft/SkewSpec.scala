@@ -32,4 +32,14 @@ class SkewSpec extends AnyFunSuite {
     assert(saltCounts.keySet.size == 8) // every salt bucket hit
     assert(saltCounts.values.max < 1000L * 3 / 8) // no bucket dominates
   }
+
+  test("skewReport: exact counts, shares, ceil salt factors, topK cut") {
+    val rows = Seq.fill(25)("hot") ++ Seq.fill(10)("warm") ++ Seq.fill(5)("cold")
+    val got = Skew.skewReport(rows.toDF("k"), "k", topK = 2, targetRows = 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.keySet === Set("hot", "warm"), "topK=2 keeps the two heaviest")
+    assert(got("hot") === ((25L, 0.625, 3L)))  // ceil(25/10) = 3
+    assert(got("warm") === ((10L, 0.25, 1L)))  // exactly 10/10 → 1, not 2
+  }
 }
