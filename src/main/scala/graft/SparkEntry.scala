@@ -2066,6 +2066,33 @@ object SparkEntry {
         topK = 20, targetRows = 1000L)
     }),
 
+    // ── events: per-type value cume_dist, mega-key-safe ─────────────
+    // The oracle uses the engine's own cume_dist window; the Spark
+    // side is the (key, value)-grain decomposition that never funnels
+    // a key's rows through one task — same number, scale-safe plan.
+    "q_cume_dist" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      Curation.cumeDistByKey(ev, "event_type", "cents")
+        .select("event_id", "event_type", "cents", "cd")
+    }),
+
+    // ── events: lag-1 autocorrelation of the daily activity series ──
+    // Day-grain collapse first; the lag pairs and the exact six-moment
+    // Pearson (q_corr's machinery) run on the bounded day table.
+    "q_autocorr" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(Events.dayBucket(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val pairs = daily
+        .withColumn("__prev", lag("cnt", 1).over(Window.orderBy(col("day"))))
+        .filter(col("__prev").isNotNull)
+        .withColumn("__series", lit("lag1"))
+      Curation.pearsonByKey(pairs, "__series", "cnt", "__prev",
+          xScale = 1, yScale = 1)
+        .select(col("__series").as("series"), col("n"), col("r"))
+    }),
+
     // ── events: Kaplan-Meier time-to-conversion survival curve ──────
     // Exact-arithmetic KM estimator over day-grain durations; users
     // who never purchase are censored at the corpus horizon, not
@@ -5479,6 +5506,36 @@ object SparkEntry {
          |SELECT pt.arm, pt.n_units, pt.rate, ci.ci_lo, ci.ci_hi
          |FROM pt JOIN ci ON pt.arm = ci.arm""".stripMargin
     },
+
+    "q_cume_dist" ->
+      """SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |       cume_dist() OVER (PARTITION BY event_type
+        |                         ORDER BY CAST(round(value * 100) AS BIGINT)) AS cd
+        |FROM events""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1),
+        |p AS (SELECT cnt, lag(cnt) OVER (ORDER BY day) AS prev FROM d),
+        |c AS (SELECT CAST(round(cnt * 1) AS BIGINT) AS x,
+        |             CAST(round(prev * 1) AS BIGINT) AS y
+        |      FROM p WHERE prev IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx,
+        |             CAST(sum(y * y) AS BIGINT) AS syy,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM c)
+        |SELECT 'lag1' AS series, n,
+        |       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+        |             AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+        |       THEN CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |            / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+        |                         - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+        |               * sqrt(CAST(CAST(n AS HUGEINT) * syy
+        |                           - CAST(sy AS HUGEINT) * sy AS DOUBLE))) END AS r
+        |FROM m""".stripMargin,
 
     "q_skew_report" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS cnt

@@ -1597,6 +1597,32 @@ object Curation {
           .as("gini"))
   }
 
+  /** Cumulative distribution (cume_dist) per key WITHOUT the per-key
+    * window over raw rows: a built-in `cume_dist() OVER (PARTITION BY
+    * key ORDER BY val)` funnels every row of a key through one task —
+    * the mega-key trap quantileNormalize documents. This decomposes
+    * to the (key, value)-GRAIN table: one hash agg of counts, two
+    * windows over that bounded relation (distinct values per key,
+    * e.g. price points, not rows), and one compact-key hash join back
+    * over the scan. cd = (rows ≤ this value) / (rows in key) — two
+    * exact longs, one division, matching the engines' own cume_dist
+    * definition bit-for-bit.
+    *
+    * Output: input columns + cd. */
+  def cumeDistByKey(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(valCol))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val cum = Window.partitionBy(keyCol).orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(keyCol)
+    val cds = counts
+      .withColumn("__cum", sum(col("__c")).over(cum))
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .select(col(keyCol), col(valCol),
+        (col("__cum").cast("double") / col("__n").cast("double")).as("cd"))
+    df.join(cds, Seq(keyCol, valCol))
+  }
+
   /** Filter-funnel audit: how many rows survive each PREFIX of a
     * filter cascade — the one-pass report a curation pipeline prints
     * before committing to a recipe ("200k docs → 120k past length →

@@ -829,6 +829,27 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.heavyHitters(rows.toDF("key"), "key", k = 10).count() === 0L)
   }
 
+  test("cumeDistByKey matches the engine's own cume_dist window, per key") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 5L)
+    ).toDF("id", "k", "v")
+    val got = Curation.cumeDistByKey(df, "k", "v")
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    // key a: v=10 → 2/4, v=20 → 3/4, v=30 → 4/4; key b singleton → 1
+    assert(got(1L) === 0.5 && got(2L) === 0.5)
+    assert(got(3L) === 0.75)
+    assert(got(4L) === 1.0)
+    assert(got(5L) === 1.0)
+    // parity with the built-in window (the definition being decomposed)
+    val builtin = df.withColumn("cd", org.apache.spark.sql.functions.cume_dist()
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ours = Curation.cumeDistByKey(df, "k", "v")
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(builtin === ours)
+  }
+
   test("filterFunnel: stages compose by AND; NULL predicate counts as fail") {
     val df = Seq(
       (1L, Some(10L)), (2L, Some(5L)), (3L, Some(1L)), (4L, None)
