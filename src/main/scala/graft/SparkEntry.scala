@@ -1822,6 +1822,50 @@ object SparkEntry {
           (col("rev_ucents") / 10000.0).as("revenue"), col("n_items"))
     }),
 
+    // ── relational baseline: TPC-H Q14-style promo revenue share ───
+    // Conditional-sum ratio over one month of lineitem ⋈ part; both
+    // revenue sums exact integer µcents, ONE double division each at
+    // the end. The date range reaches the lineitem scan.
+    "q14_promo" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val dt = li.schema("l_shipdate").dataType
+      val rev = round(col("l_extendedprice") * 100) *
+        (lit(100L) - round(col("l_discount") * 100))
+      li.filter(col("l_shipdate") >= lit("1995-09-01").cast(dt)
+          && col("l_shipdate") < lit("1995-10-01").cast(dt))
+        .join(Tables(s, dir, "part").select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L)))
+            .cast("long").as("promo_ucents"),
+          sum(rev).cast("long").as("total_ucents"))
+        .select(col("promo_ucents"), col("total_ucents"),
+          (lit(100.0) * col("promo_ucents").cast("double")
+            / col("total_ucents").cast("double")).as("promo_share"))
+    }),
+
+    // ── relational baseline: TPC-H Q19-style disjunctive predicates ─
+    // OR of three (brand, size-range, quantity-range) conjunctions
+    // across the lineitem ⋈ part join — the predicate shape that
+    // exercises CNF extraction (the shared l_quantity/p_size bounds
+    // can still prune) without hand-flattening.
+    "q19_disjunct" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val rev = round(col("l_extendedprice") * 100) *
+        (lit(100L) - round(col("l_discount") * 100))
+      li.join(Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#19" && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30)))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          (sum(rev) / 10000.0).as("revenue"))
+    }),
+
     // ── relational baseline: TPC-H Q13-style customer distribution ──
     // LEFT OUTER join so order-less customers keep a row, count of
     // the NULLABLE order key per customer (0 for them), then the
@@ -5677,6 +5721,33 @@ object SparkEntry {
         |top AS (SELECT * FROM rev ORDER BY rev_ucents DESC, o_custkey LIMIT 20)
         |SELECT c.c_custkey, c.c_name, t.rev_ucents / 10000.0 AS revenue, t.n_items
         |FROM top t JOIN customer c ON c.c_custkey = t.o_custkey""".stripMargin,
+
+    "q14_promo" ->
+      """WITH r AS (
+        |  SELECT p.p_type,
+        |         round(l_extendedprice * 100) * (100 - round(l_discount * 100)) AS rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+        |    AND l.l_shipdate < TIMESTAMP '1995-10-01'
+        |)
+        |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+        |         AS promo_ucents,
+        |       CAST(sum(rev) AS BIGINT) AS total_ucents,
+        |       100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+        |         / CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE) AS promo_share
+        |FROM r""".stripMargin,
+
+    "q19_disjunct" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |       sum(round(l_extendedprice * 100) * (100 - round(l_discount * 100)))
+        |         / 10000.0 AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q13_custdist" ->
       """WITH per AS (
