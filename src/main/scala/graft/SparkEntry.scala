@@ -2137,6 +2137,37 @@ object SparkEntry {
         .select(col("__series").as("series"), col("n"), col("r"))
     }),
 
+    // ── streaming: SCD current-state via mapGroupsWithState ────────
+    // The incremental twin of q_scd2's OPEN row: per-user run state
+    // folded across 3 micro-batches; the sink's latest row per user
+    // must equal the batch operator's is_current row exactly (the
+    // oracle is the batch SCD SQL filtered to the open run).
+    "q_stream_scd" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id").cast("long"), col("ts").cast("long"),
+          col("user_id").cast("long"), col("event_type"))
+        .as[(Long, Long, Long, String)].collect()
+        .sortBy(e => (Math.floorDiv(e._2, 1000L), e._1))
+      val perBatch = math.max(1, (ev.length + 2) / 3)
+      val source = MemoryStream[(Long, Long, Long, String)]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val q = EventStream.scdCurrentState(
+          source.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+        .writeStream.format("memory").queryName(qn).outputMode("update").start()
+      try ev.grouped(perBatch).foreach { b =>
+        source.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("version").desc, col("n_events").desc)
+      s.table(qn).distinct()
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from_us"), col("n_events"))
+    }),
+
     // ── events: Kaplan-Meier time-to-conversion survival curve ──────
     // Exact-arithmetic KM estimator over day-grain durations; users
     // who never purchase are censored at the corpus horizon, not
@@ -5503,6 +5534,26 @@ object SparkEntry {
         |SELECT event_id, count(*) AS n_purchases,
         |       CAST(sum(credit) AS BIGINT) AS credit_ucents
         |FROM cr GROUP BY 1""".stripMargin,
+
+    "q_stream_scd" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |r AS (SELECT user_id, event_id, ts_us, event_type,
+        |             CASE WHEN lag(event_type) OVER w IS NULL
+        |                    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |v AS (SELECT user_id, event_type, ts_us,
+        |             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |      FROM r),
+        |runs AS (SELECT user_id, version, min(event_type) AS event_type,
+        |                min(ts_us) AS valid_from_us,
+        |                CAST(count(*) AS BIGINT) AS n_events
+        |         FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, event_type, valid_from_us, n_events
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY version DESC) AS rn
+        |      FROM runs)
+        |WHERE rn = 1""".stripMargin,
 
     "q_ab_lift" ->
       """WITH per AS (SELECT user_id,

@@ -137,6 +137,53 @@ object EventStream {
       }
   }
 
+  final case class UserScd(user_id: Long, version: Long, event_type: String,
+                           valid_from_us: Long, n_events: Long)
+
+  /** Streaming SCD current-state: the incremental twin of
+    * Events.scd2Intervals' OPEN row — per user, the current
+    * event-type run (version, type, valid_from, run length) folded
+    * across micro-batches with mapGroupsWithState. The warehouse
+    * pattern: the batch operator backfills the full type-2 history;
+    * this keeps the "state as of now" row hot without rescanning.
+    *
+    * State per key is one small case class (two longs, a string, two
+    * more longs) — O(users) memory. In-batch arrival order is made
+    * deterministic by sorting each group's rows on the batch contract
+    * (µs-floored ts, event_id) — the same total order the batch
+    * operator's window uses; cross-batch order is the source's
+    * responsibility (event feeds are near-ordered; a watermark-backed
+    * variant would buffer stragglers).
+    *
+    * Update-mode emission: one row per (user, batch-with-activity);
+    * the sink's latest row per user (max version, then max n_events —
+    * both monotone) IS the current state and equals the batch
+    * operator's is_current row exactly (spec + driver-gated). */
+  def scdCurrentState(events: DataFrame): Dataset[UserScd] = {
+    implicit val longEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[UserScd]
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("long"), col("event_type"))
+      .groupByKey((r: Row) => r.getLong(0))(longEnc)
+      .mapGroupsWithState[UserScd, UserScd](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Row], state: GroupState[UserScd]) =>
+          var cur = state.getOption.getOrElse(UserScd(user, 0L, null, 0L, 0L))
+          rows.toSeq
+            .sortBy(r => (Math.floorDiv(r.getLong(2), 1000L), r.getLong(1)))
+            .foreach { r =>
+              val tsUs = Math.floorDiv(r.getLong(2), 1000L)
+              val typ = r.getString(3)
+              cur =
+                if (cur.version == 0L || cur.event_type != typ)
+                  UserScd(user, cur.version + 1, typ, tsUs, 1L)
+                else cur.copy(n_events = cur.n_events + 1)
+            }
+          state.update(cur)
+          cur
+      }
+  }
+
   /** Batch = streaming consistency contract: the streaming plans above
     * run unchanged on a batch DataFrame (no watermark semantics in
     * batch). Used by tests to pin output equality. */

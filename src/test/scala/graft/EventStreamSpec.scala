@@ -114,4 +114,33 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got(1L) === ((2L, 200L))) // 1.25 + 0.75 = 2.00 → 200 cents
     assert(got(2L) === ((1L, 200L)))
   }
+
+  test("scdCurrentState: runs fold across batches and match the batch open row") {
+    import spark.implicits._
+    // u1: free, free | batch cut | pro, free — current = (v3, free, 1 event)
+    // u2: pro | (nothing)          — current = (v1, pro, 1 event)
+    val b1 = Seq(Ev(1, 10 * G, 1, "free", 0, "{}"), Ev(2, 20 * G, 1, "free", 0, "{}"),
+      Ev(5, 5 * G, 2, "pro", 0, "{}"))
+    val b2 = Seq(Ev(3, 30 * G, 1, "pro", 0, "{}"), Ev(4, 40 * G, 1, "free", 0, "{}"))
+    val rows = runToMemory("scd", mode = "update")(
+        df => EventStream.scdCurrentState(df).toDF())(Seq(b1, b2))
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    // latest per user = max version
+    val cur = rows.groupBy(_._1._1).view
+      .mapValues(m => m.maxBy(_._1._2)).toMap
+    assert(cur(1L)._1._2 === 3L)
+    assert(cur(1L)._2 === (("free", 40L * 1000000L, 1L)))
+    assert(cur(2L)._1._2 === 1L)
+    assert(cur(2L)._2 === (("pro", 5L * 1000000L, 1L)))
+    // equals the batch operator's open row
+    val batch = graft.operators.Events.scd2Intervals(
+        (b1 ++ b2).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .filter(org.apache.spark.sql.functions.col("is_current") === 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getLong(5)))).toMap
+    cur.foreach { case (u, ((_, v), (t, from, n))) =>
+      assert(batch(u) === ((v, t, from, n)), s"user $u")
+    }
+  }
 }
