@@ -2110,6 +2110,29 @@ object SparkEntry {
         topK = 20, targetRows = 1000L)
     }),
 
+    // ── events: per-event session-relative features ─────────────────
+    // Session id + ordinal position + exact-µs offset from session
+    // start — the sequence-model inputs the per-session rollup drops.
+    // Three windows, ONE shuffle key (user_id).
+    "q_session_features" -> ((s, dir) => {
+      Events.sessionFeatures(Tables(s, dir, "events"), gapMicros = 1800000000L)
+    }),
+
+    // ── events: daily activity spike detection (robust z) ───────────
+    // Day-grain counts per type scored by the median/IQR robust
+    // scaler; |r| > 2 flags spike/crater days (the partial first and
+    // last corpus days are the planted positives). Day table is
+    // bounded — the quantile machinery never touches raw events.
+    "q_spike_days" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), Events.dayBucket(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      Curation.robustScale(daily, "day", "event_type", "cnt")
+        .filter(abs(col("r")) > 2.0)
+        .select(col("event_type"), col("day"), col("cnt").cast("long").as("cnt"),
+          col("r"))
+    }),
+
     // ── events: per-type value cume_dist, mega-key-safe ─────────────
     // The oracle uses the engine's own cume_dist window; the Spark
     // side is the (key, value)-grain decomposition that never funnels
@@ -5601,6 +5624,50 @@ object SparkEntry {
          |SELECT pt.arm, pt.n_units, pt.rate, ci.ci_lo, ci.ci_hi
          |FROM pt JOIN ci ON pt.arm = ci.arm""".stripMargin
     },
+
+    "q_session_features" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |s1 AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |                      WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |                      ELSE 0 END AS nw
+        |       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s2 AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |       FROM s1)
+        |SELECT event_id, user_id, session_id, event_type,
+        |       CAST(row_number() OVER (PARTITION BY user_id, session_id
+        |                               ORDER BY ts_us, event_id) AS BIGINT) AS pos_in_session,
+        |       ts_us - min(ts_us) OVER (PARTITION BY user_id, session_id) AS t_since_start_us
+        |FROM s2""".stripMargin,
+
+    "q_spike_days" ->
+      """WITH d AS (SELECT event_type AS k, epoch_ns(ts) // 86400000000000 AS day,
+        |                  CAST(count(*) AS DOUBLE) AS v
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT k, v, CAST(row_number() OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS r
+        |      FROM d),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS m FROM d GROUP BY k),
+        |ps AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                      CAST(0.75 AS DOUBLE)]) AS p),
+        |spec AS (SELECT k, p, m, CAST(m - 1 AS DOUBLE) * p + 1 AS h
+        |         FROM m CROSS JOIN ps),
+        |spec2 AS (
+        |  SELECT k, p, m, CAST(floor(h) AS BIGINT) AS lo,
+        |         least(CAST(floor(h) AS BIGINT) + 1, m) AS hi, h - floor(h) AS frac
+        |  FROM spec
+        |),
+        |q AS (SELECT s.k, s.p, rl.v + s.frac * (rh.v - rl.v) AS q
+        |      FROM spec2 s JOIN r rl ON rl.k = s.k AND rl.r = s.lo
+        |                   JOIN r rh ON rh.k = s.k AND rh.r = s.hi),
+        |st AS (SELECT k, max(CASE WHEN p = 0.25 THEN q END) AS q1,
+        |              max(CASE WHEN p = 0.5  THEN q END) AS med,
+        |              max(CASE WHEN p = 0.75 THEN q END) AS q3
+        |       FROM q GROUP BY k),
+        |sc AS (SELECT d.k AS event_type, d.day, CAST(d.v AS BIGINT) AS cnt,
+        |              CASE WHEN st.q3 > st.q1
+        |                   THEN (d.v - st.med) / (st.q3 - st.q1) END AS r
+        |       FROM d JOIN st ON st.k = d.k)
+        |SELECT event_type, day, cnt, r FROM sc WHERE abs(r) > 2.0""".stripMargin,
 
     "q_cume_dist" ->
       """SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,

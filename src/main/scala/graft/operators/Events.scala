@@ -186,6 +186,37 @@ object Events {
         (max("ts_us") - min("ts_us")).as("duration_us"))
   }
 
+  /** Per-event session-relative features — the sequence-model inputs
+    * sessionize's per-SESSION rollup drops: each event's session id,
+    * ordinal position inside its session, and exact-µs offset from
+    * the session start ("how deep into the visit was this click").
+    * Same gaps-and-islands session definition as sessionize, same
+    * (ts_us, event_id) total-order contract.
+    *
+    * Scale shape: three window passes ALL partitioned by user_id (the
+    * session windows subpartition it) — one shuffle key end-to-end,
+    * output one row per event. Output: (event_id, user_id,
+    * session_id, event_type, pos_in_session, t_since_start_us). */
+  def sessionFeatures(df: DataFrame, gapMicros: Long): DataFrame = {
+    require(gapMicros > 0, s"gapMicros must be positive, got $gapMicros")
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val base = df.select(col("user_id"), col("event_id"),
+        lfloorDiv(col("ts"), 1000L).as("ts_us"), col("event_type"))
+      .withColumn("__new",
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) > gapMicros, 1)
+          .when(lag("ts_us", 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum("__new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts_us", "event_id")
+    base
+      .withColumn("pos_in_session", row_number().over(bySession).cast("long"))
+      .withColumn("t_since_start_us", col("ts_us")
+        - min("ts_us").over(Window.partitionBy("user_id", "session_id")))
+      .select("event_id", "user_id", "session_id", "event_type",
+        "pos_in_session", "t_since_start_us")
+  }
+
   /** Next-event label generation — the (event, next-event) training
     * pairs a next-action / sequential-recommendation model consumes:
     * for each event, the same user's NEXT event type and the exact-µs

@@ -386,6 +386,21 @@ class EventsSpec extends AnyFunSuite {
     assert(got.count(_._2._5 == 1) === 2)
   }
 
+  test("sessionFeatures: positions restart and offsets re-anchor at the session break") {
+    val e = Seq(
+      ev(1, 0, 1, "view", 0), ev(2, 10, 1, "click", 0),     // session 1
+      ev(3, 4000, 1, "view", 0), ev(4, 4005, 1, "buy", 0),  // gap > 1800 s → session 2
+      ev(5, 7, 2, "view", 0))                               // other user
+    val got = Events.sessionFeatures(df(e), gapMicros = 1800L * M)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) === ((1L, 1L, 0L)))
+    assert(got(2L) === ((1L, 2L, 10L * M)))
+    assert(got(3L) === ((2L, 1L, 0L)), "offset re-anchors at the new session")
+    assert(got(4L) === ((2L, 2L, 5L * M)))
+    assert(got(5L) === ((1L, 1L, 0L)))
+  }
+
   test("kaplanMeier: censoring enters the risk set, survival is the prefix product") {
     val D = 86400L
     val e = Seq(
