@@ -153,9 +153,15 @@ object Tokenizer {
     merges.foreach { case (l, r) =>
       syms = transform(syms, s => mergeFold(s, l, r))
     }
-    val bpe = array_join(syms, " ")
-    val nTok = when(bpe === "", lit(0L))
-      .otherwise(size(split(bpe, " ")).cast("long"))
+    // count straight off the per-word symbol strings: Σ_w |split(w)| —
+    // same value as size(split(array_join(...))) (words are non-empty
+    // and symbols never contain spaces; an empty doc collapses to an
+    // empty fold = 0) but evaluates the 6-round merge chain ONCE and
+    // never builds the doc-sized joined string this report doesn't
+    // output (the old form ran the chain twice per row: once in the
+    // empty-guard, once in the count)
+    val nTok = aggregate(syms, lit(0L),
+      (a, s) => a + size(split(s, " ")).cast("long"))
     df.select(col(keyCol), nTok.as("__t"),
       length(col(textCol)).cast("long").as("__c"))
       .groupBy(col(keyCol)).agg(
