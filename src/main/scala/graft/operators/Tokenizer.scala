@@ -129,6 +129,12 @@ object Tokenizer {
       syms = transform(syms, s => mergeFold(s, l, r))
     }
     val bpe = array_join(syms, " ")
+    // count via re-split of the joined string ON PURPOSE: here the
+    // chain result IS projected (bpe), so codegen subexpression
+    // elimination shares one evaluation across all three references —
+    // measured 5.5 s vs 10.0 s for the per-word-aggregate form at
+    // sf0.1. bpeCompression is the opposite case (string not
+    // projected) and counts off the symbol strings instead.
     df.select(col(idCol), bpe.as("bpe"),
       when(bpe === "", lit(0L))
         .otherwise(size(split(bpe, " ")).cast("long")).as("n_subwords"))
