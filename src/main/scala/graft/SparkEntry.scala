@@ -2110,6 +2110,33 @@ object SparkEntry {
         topK = 20, targetRows = 1000L)
     }),
 
+    // ── events: per-type daily activity trend (exact OLS) ───────────
+    // Slope + intercept of count-per-day vs the epoch-day index; five
+    // exact long moments, decimal(38) normal equations, one double
+    // division per output.
+    "q_trend" -> ((s, dir) => {
+      Events.dailyTrend(Tables(s, dir, "events"))
+    }),
+
+    // ── LLM-pipeline: schema-evolution-tolerant corpus union ────────
+    // Two "generations" of documents (v1 narrow, v2 with lang +
+    // n_chars) united BY NAME with null fill, then a per-source
+    // completeness audit — the ingest shape a positional union
+    // silently corrupts.
+    "q_union_evolved" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("source"))
+      val v2 = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("source"), col("lang"),
+          col("n_chars"))
+      Curation.unionEvolved(Seq(v1, v2))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          count(col("lang")).cast("long").as("n_with_lang"),
+          sum(coalesce(col("n_chars"), lit(0L))).cast("long").as("sum_chars_v2"))
+    }),
+
     // ── events: per-event session-relative features ─────────────────
     // Session id + ordinal position + exact-µs offset from session
     // start — the sequence-model inputs the per-session rollup drops.
@@ -5624,6 +5651,40 @@ object SparkEntry {
          |SELECT pt.arm, pt.n_units, pt.rate, ci.ci_lo, ci.ci_hi
          |FROM pt JOIN ci ON pt.arm = ci.arm""".stripMargin
     },
+
+    "q_trend" ->
+      """WITH d AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |             CAST(sum(day) AS BIGINT) AS sx, CAST(sum(cnt) AS BIGINT) AS sy,
+        |             CAST(sum(day * day) AS BIGINT) AS sxx,
+        |             CAST(sum(day * cnt) AS BIGINT) AS sxy
+        |      FROM d GROUP BY 1),
+        |nd AS (SELECT event_type, n_days, sx, sy,
+        |              CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |              CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+        |       FROM m)
+        |SELECT event_type, n_days,
+        |       CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+        |       CASE WHEN den > 0 THEN
+        |         (CAST(sy AS DOUBLE)
+        |          - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |         / CAST(n_days AS DOUBLE) END AS intercept
+        |FROM nd""".stripMargin,
+
+    "q_union_evolved" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, source, NULL AS lang, NULL AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, source, lang, n_chars
+        |  FROM documents WHERE doc_id % 2 = 1
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(lang) AS BIGINT) AS n_with_lang,
+        |       CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars_v2
+        |FROM u GROUP BY 1""".stripMargin,
 
     "q_session_features" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),

@@ -1597,6 +1597,21 @@ object Curation {
           .as("gini"))
   }
 
+  /** Schema-evolution-tolerant union: positionally-different
+    * generations of the same logical table united BY NAME, columns
+    * missing from older generations null-filled — the ingest shape
+    * when a corpus accretes fields over time (v1 crawls lack the
+    * lang/quality columns v3 added) and a plain `union` would
+    * silently pair mismatched columns by position (the classic
+    * corruption: text under source). Plan-only wrapper over
+    * unionByName(allowMissingColumns) so the policy has ONE audited
+    * home; zero execution cost (no shuffle — union is a plan node).
+    */
+  def unionEvolved(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionEvolved needs at least one input")
+    dfs.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
   /** Cumulative distribution (cume_dist) per key WITHOUT the per-key
     * window over raw rows: a built-in `cume_dist() OVER (PARTITION BY
     * key ORDER BY val)` funnels every row of a key through one task —

@@ -760,6 +760,39 @@ object Events {
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
 
+  /** Per-type daily activity trend: exact OLS slope + intercept of
+    * count-per-day against the epoch-day index — "is this event
+    * stream growing, and how fast per day" as one number per type,
+    * with the same exactness contract as Curation.pearsonByKey: the
+    * five moments (n, Σx, Σy, Σx², Σxy) are exact longs, the
+    * normal-equation numerators run in decimal(38,0) (mirrored by
+    * the oracle's HUGEINT), and each output takes ONE double division
+    * (intercept: the pinned (Σy − (num/den)·Σx)/n order). Degenerate
+    * types (single day) yield NULL.
+    *
+    * Scale shape: day-grain collapse (map-side combined), then a
+    * five-moment agg to a #types-sized result. No windows, no second
+    * pass. Output: (event_type, n_days, slope, intercept). */
+  def dailyTrend(df: DataFrame): DataFrame = {
+    val daily = df.groupBy(col("event_type"), dayBucket(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val m = daily.groupBy("event_type").agg(
+      count(lit(1)).cast("long").as("n_days"),
+      sum(col("day")).cast("long").as("__sx"),
+      sum(col("cnt")).cast("long").as("__sy"),
+      sum(col("day") * col("day")).cast("long").as("__sxx"),
+      sum(col("day") * col("cnt")).cast("long").as("__sxy"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val num = dec(col("n_days")) * dec(col("__sxy")) - dec(col("__sx")) * dec(col("__sy"))
+    val den = dec(col("n_days")) * dec(col("__sxx")) - dec(col("__sx")) * dec(col("__sx"))
+    m.select(col("event_type"), col("n_days"),
+      when(den > 0, num.cast("double") / den.cast("double")).as("slope"),
+      when(den > 0,
+        (col("__sy").cast("double")
+          - (num.cast("double") / den.cast("double")) * col("__sx").cast("double"))
+          / col("n_days").cast("double")).as("intercept"))
+  }
+
   /** SCD Type-2 build from the event stream: collapse each user's
     * timeline into validity intervals of their CURRENT event_type —
     * one row per run of consecutive identical types, [valid_from,

@@ -829,6 +829,19 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.heavyHitters(rows.toDF("key"), "key", k = 10).count() === 0L)
   }
 
+  test("unionEvolved: by-name alignment with null fill — never positional pairing") {
+    val v1 = Seq((1L, "t1", "s1")).toDF("id", "text", "source")
+    // v2 declares columns in a DIFFERENT position order + one new col
+    val v2 = Seq(("s2", 2L, "en", "t2")).toDF("source", "id", "lang", "text")
+    val got = Curation.unionEvolved(Seq(v1, v2)).collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        ((r.getString(r.fieldIndex("text")), r.getString(r.fieldIndex("source")),
+          Option(r.getString(r.fieldIndex("lang")))))).toMap
+    assert(got(1L) === (("t1", "s1", None)), "old generation: new column null-filled")
+    assert(got(2L) === (("t2", "s2", Some("en"))),
+      "by-name alignment must survive positional reordering")
+  }
+
   test("cumeDistByKey matches the engine's own cume_dist window, per key") {
     val df = Seq(
       (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 20L), (4L, "a", 30L),

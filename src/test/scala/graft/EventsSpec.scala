@@ -386,6 +386,21 @@ class EventsSpec extends AnyFunSuite {
     assert(got.count(_._2._5 == 1) === 2)
   }
 
+  test("dailyTrend: exact OLS on a hand-built ramp; single-day type yields NULL") {
+    val D = 86400L
+    // type a: counts 1, 2, 3 on days 0, 1, 2 → slope 1, intercept 1
+    val e = Seq(ev(1, 0, 1, "a", 0),
+      ev(2, D, 1, "a", 0), ev(3, D + 1, 2, "a", 0),
+      ev(4, 2 * D, 1, "a", 0), ev(5, 2 * D + 1, 2, "a", 0), ev(6, 2 * D + 2, 3, "a", 0),
+      ev(7, 5 * D, 9, "b", 0)) // one day only
+    val got = Events.dailyTrend(df(e)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got("a") === ((3L, Some(1.0), Some(1.0))))
+    assert(got("b") === ((1L, None, None)), "den = 0 must yield NULL, not NaN")
+  }
+
   test("sessionFeatures: positions restart and offsets re-anchor at the session break") {
     val e = Seq(
       ev(1, 0, 1, "view", 0), ev(2, 10, 1, "click", 0),     // session 1
