@@ -297,6 +297,38 @@ object SparkEntry {
         emb.orderBy("vec_id").limit(5), "vec_id", "embedding", k = 10)
     }),
 
+    // ── ML: filtered vector search (metadata predicate + top-k) ─────
+    // The modern ANN shape: exact cosine top-k restricted to rows
+    // passing a metadata filter — the filter prunes BEFORE scoring,
+    // so the corpus pass only reads qualifying vectors.
+    "q_ann_filtered" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.topKCosine(emb.filter(col("label") % 2 === 0),
+        "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding", k = 10)
+    }),
+
+    // ── recsys: market-basket item-pair cosine ──────────────────────
+    // Items co-purchased in the same order, cosine-normalized by the
+    // item marginals — the item-item collaborative-filtering table.
+    // coOccurrence's per-basket self-join is bounded by basket size;
+    // the head is a TakeOrdered on (support desc, pair).
+    "q_basket_pairs" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val pairs = Events.coOccurrence(li, "l_orderkey", "l_partkey", minUsers = 1)
+        .withColumnRenamed("n_users", "n_baskets")
+      val items = li.distinct()
+        .groupBy(col("l_partkey").as("__i"))
+        .agg(count(lit(1)).cast("long").as("__ni"))
+      pairs
+        .join(items.select(col("__i").as("item1"), col("__ni").as("__n1")), Seq("item1"))
+        .join(items.select(col("__i").as("item2"), col("__ni").as("__n2")), Seq("item2"))
+        .withColumn("cosine", col("n_baskets").cast("double")
+          / sqrt((col("__n1") * col("__n2")).cast("double")))
+        .orderBy(col("n_baskets").desc, col("item1"), col("item2")).limit(50)
+        .select("item1", "item2", "n_baskets", "cosine")
+    }),
+
     // ── ML: k-NN majority-vote label prediction (embedding audit) ───
     // 20 probes classified by their 10 exact-cosine neighbors' labels;
     // the `correct` flag against each probe's own label makes this the
@@ -3958,6 +3990,34 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
          |  FROM s)
          |WHERE rn <= 10""".stripMargin,
+
+    "q_ann_filtered" ->
+      s"""WITH $sqlProbes,
+         |s AS (
+         |  SELECT pr.probe_id, e.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM embeddings e CROSS JOIN pr
+         |  WHERE e.vec_id != pr.probe_id AND e.label % 2 = 0
+         |)
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 10""".stripMargin,
+
+    "q_basket_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS item1, c.l_partkey AS item2,
+        |             CAST(count(*) AS BIGINT) AS n_baskets
+        |      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+        |                       AND a.l_partkey < c.l_partkey
+        |      GROUP BY 1, 2),
+        |it AS (SELECT l_partkey AS i, CAST(count(*) AS BIGINT) AS ni FROM b GROUP BY 1)
+        |SELECT p.item1, p.item2, p.n_baskets,
+        |       CAST(p.n_baskets AS DOUBLE)
+        |         / sqrt(CAST(i1.ni * i2.ni AS DOUBLE)) AS cosine
+        |FROM p JOIN it i1 ON i1.i = p.item1 JOIN it i2 ON i2.i = p.item2
+        |ORDER BY p.n_baskets DESC, p.item1, p.item2 LIMIT 50""".stripMargin,
 
     "q_knn_label" ->
       s"""WITH pr AS (
