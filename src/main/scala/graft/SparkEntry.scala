@@ -2142,6 +2142,26 @@ object SparkEntry {
         topK = 20, targetRows = 1000L)
     }),
 
+    // ── events: interval-overlap join (sessions × purchase windows) ─
+    // True interval×interval join — how many 1-hour pre-purchase
+    // windows intersect each session. Grid equi-join with the
+    // first-overlap-bucket dedup (exactly one row per pair, no
+    // distinct); the oracle is the direct theta join.
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val sessions = Events.sessionize(ev, gapMicros = 1800000000L)
+        .select(col("user_id"), col("session_id"),
+          col("t_start_us"), col("t_end_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          (Events.epochMicros(col("ts")) - 3600000000L).as("w_lo"),
+          Events.epochMicros(col("ts")).as("w_hi"))
+      TemporalJoins.intervalOverlapJoin(sessions, "t_start_us", "t_end_us",
+          purchases, "w_lo", "w_hi", "user_id", bucketWidth = 86400000000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).cast("long").as("n_purchase_windows"))
+    }),
+
     // ── events: per-type daily activity trend (exact OLS) ───────────
     // Slope + intercept of count-per-day vs the epoch-day index; five
     // exact long moments, decimal(38) normal equations, one double
@@ -5711,6 +5731,25 @@ object SparkEntry {
          |SELECT pt.arm, pt.n_units, pt.rate, ci.ci_lo, ci.ci_hi
          |FROM pt JOIN ci ON pt.arm = ci.arm""".stripMargin
     },
+
+    "q_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |s1 AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |                      WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |                      ELSE 0 END AS nw
+        |       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s2 AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                    ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        |       FROM s1),
+        |ses AS (SELECT user_id, session_id, min(ts_us) AS t_start_us,
+        |               max(ts_us) AS t_end_us
+        |        FROM s2 GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts_us - 3600000000 AS w_lo, ts_us AS w_hi
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.session_id, CAST(count(*) AS BIGINT) AS n_purchase_windows
+        |FROM ses s JOIN p ON p.user_id = s.user_id
+        |                 AND s.t_start_us <= p.w_hi AND p.w_lo <= s.t_end_us
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_trend" ->
       """WITH d AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,

@@ -106,4 +106,45 @@ object TemporalJoins {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__b")
   }
+
+  /** Interval×interval OVERLAP join on a shared key: pairs where
+    * [lo1, hi1] ∩ [lo2, hi2] ≠ ∅ (closed bounds, exact longs) — the
+    * sessions×campaigns / downtime×deploys shape that a point-in-
+    * interval join can't express. Same grid trick as rangeJoin, both
+    * sides exploded to their covering buckets and equi-joined on
+    * (key, bucket) — plus the EXACTLY-ONCE dedup: an overlapping
+    * pair shares every bucket in the overlap, so the match is kept
+    * only in the FIRST bucket both intervals cover
+    * (max(bucket(lo1), bucket(lo2))) — one row per pair without a
+    * distinct over the pair table. NULL/inverted/over-wide intervals
+    * hit rangeJoin's same loud guard semantics (dropped / error).
+    *
+    * Scale shape: equi-join planned (never a nested-loop range
+    * theta-join), replication = interval span / bucketWidth per
+    * side. Output: left columns + right columns. */
+  def intervalOverlapJoin(left: DataFrame, lo1Col: String, hi1Col: String,
+                          right: DataFrame, lo2Col: String, hi2Col: String,
+                          keyCol: String, bucketWidth: Long,
+                          maxBucketsPerInterval: Int = 100000): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
+    def bucket(c: Column): Column = Events.lfloorDiv(c, bucketWidth)
+    def exploded(df: DataFrame, loCol: String, hiCol: String, side: String) = {
+      val span = bucket(col(hiCol)) - bucket(col(loCol))
+      df.filter(col(loCol).isNotNull && col(hiCol).isNotNull)
+        .filter(coalesce(
+          assert_true(span >= 0 && span < maxBucketsPerInterval,
+            lit(s"intervalOverlapJoin: a $side interval is inverted (lo > hi) or " +
+              s"spans >= $maxBucketsPerInterval buckets at bucketWidth=$bucketWidth " +
+              "— wrong unit or sentinel bound?")),
+          lit(true)))
+        .withColumn("__b", explode(sequence(bucket(col(loCol)), bucket(col(hiCol)))))
+    }
+    exploded(left, lo1Col, hi1Col, "left")
+      .join(exploded(right, lo2Col, hi2Col, "right"), Seq(keyCol, "__b"))
+      .filter(col(lo1Col) <= col(hi2Col) && col(lo2Col) <= col(hi1Col))
+      .filter(col("__b") === greatest(bucket(col(lo1Col)), bucket(col(lo2Col))))
+      .drop("__b")
+  }
 }

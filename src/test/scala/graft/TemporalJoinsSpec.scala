@@ -108,4 +108,44 @@ class TemporalJoinsSpec extends AnyFunSuite {
       .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(got.toSeq == expect.toSeq && expect.nonEmpty)
   }
+
+  test("intervalOverlapJoin: exactly-once pairs, closed bounds, equi-join plan") {
+    // multi-bucket overlap (the dedup case), endpoint touch, disjoint
+    val left = Seq(
+      (1L, 1L, 0L, 250L),     // spans buckets 0-2 at width 100
+      (2L, 1L, 500L, 600L),   // touches right's lo at 600
+      (3L, 1L, 900L, 950L),   // disjoint
+      (4L, 2L, 0L, 100L)      // other key: never matches key-1 rows
+    ).toDF("l_id", "key", "lo1", "hi1")
+    val right = Seq(
+      (10L, 1L, 100L, 400L),  // overlaps l1 across buckets 1-2
+      (11L, 1L, 600L, 700L),  // touches l2 exactly at 600
+      (12L, 1L, 1000L, 1100L)
+    ).toDF("r_id", "key", "lo2", "hi2")
+    val j = TemporalJoins.intervalOverlapJoin(left, "lo1", "hi1",
+      right, "lo2", "hi2", "key", bucketWidth = 100L)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan)
+    val got = j.select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((1L, 10L), (2L, 11L)),
+      "shared-bucket pair must appear exactly once; closed bounds include the touch")
+    // brute-force parity on a random fixture
+    val rnd = new scala.util.Random(7)
+    val l2 = (1 to 150).map { i =>
+      val lo = rnd.nextInt(5000).toLong
+      (i.toLong, (i % 4).toLong, lo, lo + rnd.nextInt(900).toLong)
+    }.toDF("l_id", "key", "lo1", "hi1")
+    val r2 = (1 to 150).map { i =>
+      val lo = rnd.nextInt(5000).toLong
+      (i.toLong, (i % 4).toLong, lo, lo + rnd.nextInt(900).toLong)
+    }.toDF("r_id", "key", "lo2", "hi2")
+    val fast = TemporalJoins.intervalOverlapJoin(l2, "lo1", "hi1",
+        r2, "lo2", "hi2", "key", bucketWidth = 250L)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val brute = l2.join(r2, "key")
+      .filter(col("lo1") <= col("hi2") && col("lo2") <= col("hi1"))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(fast.toSeq === brute.toSeq && brute.nonEmpty)
+  }
 }
