@@ -2432,6 +2432,19 @@ object SparkEntry {
         undirected = true, sortedFold = true)
     }),
 
+    // ── graph: semi-supervised label completion over near-dups ──────
+    // Docs with id ≡ 0 (mod 3) keep their lang as clamped seeds; the
+    // rest inherit the neighborhood mode over 2 rounds — metadata
+    // in-fill on the premise that near-duplicates share it. Nodes
+    // that never see a labeled neighbor stay NULL (visibly
+    // un-inferred).
+    "q_label_complete" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      val seeds = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("lang"))
+      Graph.labelComplete(pairs, "id1", "id2", seeds, "doc_id", "lang", rounds = 2)
+    }),
+
     // ── graph: HITS hubs & authorities on the purchase bipartite ────
     // Directed customer→part edges from orders ⋈ lineitem (ids
     // remapped to disjoint ranges: cust·2, part·2+1); 2 mutual-
@@ -7085,6 +7098,38 @@ object SparkEntry {
         |SELECT key, CAST(count(*) AS BIGINT) AS cnt,
         |       CAST(count(*) AS DOUBLE) / CAST(n.n AS DOUBLE) AS share
         |FROM t CROSS JOIN n GROUP BY key, n.n HAVING count(*) * 100 > n.n""".stripMargin,
+
+    "q_label_complete" ->
+      s"""WITH $sqlNearDupEdges,
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |sd AS (SELECT doc_id AS id, lang AS seed FROM documents WHERE doc_id % 3 = 0),
+         |l0 AS (SELECT n.id, sd.seed AS label,
+         |              CAST(CASE WHEN sd.seed IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         |                AS is_seed
+         |       FROM nodes n LEFT JOIN sd ON sd.id = n.id),
+         |v1 AS (SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS c
+         |       FROM edges e JOIN l0 l ON l.id = e.src
+         |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
+         |w1 AS (SELECT dst AS id, label FROM (
+         |         SELECT dst, label,
+         |                row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+         |         FROM v1) WHERE rn = 1),
+         |l1 AS (SELECT l.id,
+         |              CASE WHEN l.is_seed = 1 THEN l.label
+         |                   ELSE coalesce(w.label, l.label) END AS label, l.is_seed
+         |       FROM l0 l LEFT JOIN w1 w ON w.id = l.id),
+         |v2 AS (SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS c
+         |       FROM edges e JOIN l1 l ON l.id = e.src
+         |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
+         |w2 AS (SELECT dst AS id, label FROM (
+         |         SELECT dst, label,
+         |                row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+         |         FROM v2) WHERE rn = 1),
+         |l2 AS (SELECT l.id,
+         |              CASE WHEN l.is_seed = 1 THEN l.label
+         |                   ELSE coalesce(w.label, l.label) END AS label, l.is_seed
+         |       FROM l1 l LEFT JOIN w2 w ON w.id = l.id)
+         |SELECT id, label, is_seed FROM l2""".stripMargin,
 
     "q_hits" ->
       """WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst

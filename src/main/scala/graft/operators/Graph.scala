@@ -196,6 +196,61 @@ object Graph {
     labels
   }
 
+  /** Semi-supervised label completion (clamped-seed label
+    * propagation, Zhu & Ghahramani 2002's discrete cousin): known
+    * labels stay FIXED, unlabeled nodes take the mode of their
+    * neighbors' current labels each synchronous round — the curation
+    * move that in-fills missing metadata (lang, source class,
+    * quality tier) across a near-duplicate graph, on the premise
+    * that near-dups share it. Differs from labelPropagation (the
+    * unsupervised community detector) in both the seed clamp and the
+    * null-start: only seed-derived labels ever propagate, so every
+    * inferred label traces to ground truth ≤ rounds hops away.
+    *
+    * Determinism: mode tie-break = (count desc, label asc) via the
+    * same min-struct fold as labelPropagation; integer counting
+    * only, no FP. Nodes that never see a labeled neighbor keep NULL
+    * (visibly un-inferred, not defaulted).
+    *
+    * Scale shape: per round ONE join (edges × labeled nodes) + one
+    * grouped count + one mode pick — labelPropagation's exact
+    * shuffle shape; localCheckpoint per round cuts the doubling
+    * lineage. Output: (id, label, is_seed). */
+  def labelComplete(edges: DataFrame, srcCol: String, dstCol: String,
+                    seeds: DataFrame, idCol: String, labelCol: String,
+                    rounds: Int = 2, undirected: Boolean = true): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"rounds must be in [1, 50], got $rounds")
+    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val oriented =
+      if (undirected) base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+      else base
+    val e = Dedup.pin(oriented.distinct())
+    val nodes = Dedup.pin(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    val sd = seeds.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("string").as("__seed"))
+    var labels = nodes.join(sd, Seq("id"), "left")
+      .select(col("id"), col("__seed").as("label"),
+        col("__seed").isNotNull.cast("int").as("is_seed"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val votes = e.join(labels.filter(col("label").isNotNull)
+          .select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__c"))
+      val winners = votes.groupBy("dst")
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("l"))).as("__b"))
+        .select(col("dst").as("id"), col("__b.l").as("__new"))
+      labels = labels.join(winners, Seq("id"), "left")
+        .select(col("id"),
+          when(col("is_seed") === 1, col("label"))
+            .otherwise(coalesce(col("__new"), col("label"))).as("label"),
+          col("is_seed"))
+        .localCheckpoint(eager = true)
+    }
+    labels
+  }
+
   /** Degree distribution of an edge list: per-node degree plus the
     * node count at each degree — the one-pass profile that decides
     * whether a graph op needs a skew guard (a power-law head means

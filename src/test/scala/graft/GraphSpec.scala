@@ -406,6 +406,37 @@ class GraphSpec extends AnyFunSuite {
     } finally Dedup.releaseCaches()
   }
 
+  test("labelComplete: seeds clamp, labels reach 2 hops, unreached stay NULL") {
+    // chain 1—2—3 plus isolated pair 8—9; seed: 1=en, 8 stays unseeded
+    val edges = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val seeds = Seq((1L, "en"), (4L, "de")).toDF("id", "lang") // 4 not in graph
+    try {
+      val got = Graph.labelComplete(edges, "src", "dst", seeds, "id", "lang",
+        rounds = 2).collect()
+        .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getInt(2)))).toMap
+      assert(got(1L) === ((Some("en"), 1)))
+      assert(got(2L) === ((Some("en"), 0)), "1 hop after round 1")
+      assert(got(3L) === ((Some("en"), 0)), "2 hops after round 2")
+      assert(got(8L) === ((None, 0)), "no labeled neighbor ever: visibly NULL")
+      assert(got(9L) === ((None, 0)))
+    } finally Dedup.releaseCaches()
+  }
+
+  test("labelComplete: mode vote with (count desc, label asc) tie-break; seed never flips") {
+    // node 5 has two 'a' neighbors and one 'b' → a; node 6 ties a/b → a
+    val edges = Seq((1L, 5L), (2L, 5L), (3L, 5L), (1L, 6L), (3L, 6L),
+      (1L, 4L)).toDF("src", "dst")
+    val seeds = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "z")).toDF("id", "l")
+    try {
+      val got = Graph.labelComplete(edges, "src", "dst", seeds, "id", "l",
+        rounds = 1).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got(5L) === Some("a"))
+      assert(got(6L) === Some("a"), "tie must break to the smallest label")
+      assert(got(4L) === Some("z"), "a seed keeps its label against any vote")
+    } finally Dedup.releaseCaches()
+  }
+
   test("hits: 2-round mutual reinforcement on a bipartite graph, by hand") {
     // 1→a(=10), 1→b(=11), 2→b. a1: a=1, b=2. h1: u1=1+2=3, u2=2.
     // a2: a=3, b=3+2=5. h2: u1=3+5=8, u2=5.
