@@ -2946,6 +2946,23 @@ object SparkEntry {
         dim = 64)
     }),
 
+    // ── LLM-pipeline: per-source top-5 docs, window-free ────────────
+    // TopKAgg bounded partial agg instead of the per-key window sort:
+    // each task ships ≤ 5 (id, score) pairs per source. Score =
+    // n_chars (exact ints in double), tie → lowest doc_id.
+    "q_top_per_key" -> ((s, dir) => {
+      Curation.topKPerKey(Tables(s, dir, "documents"), "source", "doc_id",
+        "n_chars", k = 5)
+    }),
+
+    // ── events: time-decayed popularity (polynomial kernel) ─────────
+    // Recency-weighted per-type activity; 1/(1+age) instead of exp()
+    // ON PURPOSE (cross-engine ulp), sorted-fold sum over the bounded
+    // day grain.
+    "q_decayed_pop" -> ((s, dir) => {
+      Events.decayedPopularity(Tables(s, dir, "events"))
+    }),
+
     // ── LLM-pipeline: Gini concentration of the char budget ─────────
     // One number for "is the corpus' character mass spread or locked
     // in a few giant documents" — exact rank formula over ONE range
@@ -7080,6 +7097,27 @@ object SparkEntry {
         |      FROM t)
         |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_top_per_key" ->
+      """SELECT source, CAST(doc_id AS BIGINT) AS id, CAST(rn AS BIGINT) AS rank,
+        |       CAST(n_chars AS DOUBLE) AS score
+        |FROM (SELECT source, doc_id, n_chars,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 5""".stripMargin,
+
+    "q_decayed_pop" ->
+      """WITH d AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS dmax FROM d),
+        |w AS (SELECT event_type,
+        |             CAST(cnt AS DOUBLE) / (1.0 + CAST(mx.dmax - day AS DOUBLE)) AS w
+        |      FROM d CROSS JOIN mx)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |       list_reduce(list_sort(list(w)), (a, b) -> a + b) AS decayed_score
+        |FROM w GROUP BY 1""".stripMargin,
 
     "q_gini" ->
       """WITH r AS (SELECT n_chars,

@@ -1612,6 +1612,27 @@ object Curation {
     dfs.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** Per-key top-k rows WITHOUT a window sort: the k best (score
+    * desc, id asc) ids per key via TopKAgg's bounded partial
+    * aggregation — each map task ships at most k pairs per key, so
+    * "top 5 documents per domain" on a 100 TB corpus shuffles
+    * O(k·keys·tasks), where the `row_number() OVER (PARTITION BY
+    * key ORDER BY score)` idiom shuffles EVERY row to its key's
+    * partition and sorts there (the capPerKey window family is for
+    * when the full per-key ordering is genuinely needed). keepBest-
+    * PerKey is the k=1 special case via max_by; this is its general
+    * form. Output: (keyCol, id, rank 1..k, score). */
+  def topKPerKey(df: DataFrame, keyCol: String, idCol: String,
+                 scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    df.groupBy(col(keyCol))
+      .agg(graft.functions.TopKAgg.topK(k, col(idCol).cast("long"),
+        col(scoreCol).cast("double")).as("__top"))
+      .select(col(keyCol), posexplode(col("__top")).as(Seq("__r0", "__p")))
+      .select(col(keyCol), col("__p._1").as("id"),
+        (col("__r0") + 1).cast("long").as("rank"), col("__p._2").as("score"))
+  }
+
   /** Cumulative distribution (cume_dist) per key WITHOUT the per-key
     * window over raw rows: a built-in `cume_dist() OVER (PARTITION BY
     * key ORDER BY val)` funnels every row of a key through one task —

@@ -760,6 +760,29 @@ object Events {
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
 
+  /** Time-decayed popularity: per event type, Σ_days count(d) /
+    * (1 + age_days(d)) — recency-weighted activity with a POLYNOMIAL
+    * kernel chosen deliberately over the textbook exponential one:
+    * exp() diverges by an ulp between Spark's StrictMath and DuckDB's
+    * libm (the typeDiversity finding), while 1/(1+age) is one IEEE
+    * division per day cell. The per-type sum folds the ≤span day
+    * weights in sorted order (foldSum contract) — bit-exact
+    * cross-engine and O(days) per type, since events collapsed to the
+    * day grain first. Age anchors on the corpus' last day (1-row
+    * broadcast). Output: (event_type, n_days, decayed_score). */
+  def decayedPopularity(df: DataFrame): DataFrame = {
+    val daily = df.groupBy(col("event_type"), dayBucket(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val anchor = daily.agg(max(col("day")).as("__dmax"))
+    daily.crossJoin(broadcast(anchor))
+      .withColumn("__w", col("cnt").cast("double")
+        / (lit(1.0) + (col("__dmax") - col("day")).cast("double")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        graft.functions.VectorOps.foldSum(array_sort(collect_list(col("__w"))))
+          .as("decayed_score"))
+  }
+
   /** Per-type daily activity trend: exact OLS slope + intercept of
     * count-per-day against the epoch-day index — "is this event
     * stream growing, and how fast per day" as one number per type,

@@ -829,6 +829,24 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.heavyHitters(rows.toDF("key"), "key", k = 10).count() === 0L)
   }
 
+  test("topKPerKey equals the window twin, without planning a Window") {
+    val df = (1L to 30L).map(i => (i, s"k${i % 3}", (i * 7 % 13).toDouble))
+      .toDF("id", "k", "s")
+    val fast = Curation.topKPerKey(df, "k", "id", "s", k = 4)
+    val got = fast.collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    val twin = df.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")
+          .orderBy(col("s").desc, col("id"))))
+      .filter(col("rn") <= 4).collect()
+      .map(r => (r.getString(1), r.getInt(3).toLong) -> ((r.getLong(0), r.getDouble(2))))
+      .toMap
+    assert(got === twin)
+    assert(!fast.queryExecution.executedPlan.toString.contains("Window"),
+      "the point: a bounded partial agg, never a per-key window sort")
+  }
+
   test("unionEvolved: by-name alignment with null fill — never positional pairing") {
     val v1 = Seq((1L, "t1", "s1")).toDF("id", "text", "source")
     // v2 declares columns in a DIFFERENT position order + one new col

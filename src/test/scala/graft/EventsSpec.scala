@@ -386,6 +386,20 @@ class EventsSpec extends AnyFunSuite {
     assert(got.count(_._2._5 == 1) === 2)
   }
 
+  test("decayedPopularity: polynomial kernel, anchor on the last day, by hand") {
+    val D = 86400L
+    // type a: 2 events on day 2 (age 0), 1 on day 0 (age 2)
+    // → 2/1 + 1/3; type b: 3 events on day 1 (age 1) → 3/2
+    val e = Seq(ev(1, 2 * D, 1, "a", 0), ev(2, 2 * D + 1, 2, "a", 0),
+      ev(3, 0, 1, "a", 0),
+      ev(4, D, 1, "b", 0), ev(5, D + 1, 2, "b", 0), ev(6, D + 2, 3, "b", 0))
+    val got = Events.decayedPopularity(df(e)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("a")._1 === 2L)
+    assert(got("a")._2 === (1.0 / 3.0 + 2.0)) // sorted fold: small first
+    assert(got("b") === ((1L, 1.5)))
+  }
+
   test("dailyTrend: exact OLS on a hand-built ramp; single-day type yields NULL") {
     val D = 86400L
     // type a: counts 1, 2, 3 on days 0, 1, 2 → slope 1, intercept 1
