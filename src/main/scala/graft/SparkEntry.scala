@@ -2946,6 +2946,26 @@ object SparkEntry {
         dim = 64)
     }),
 
+    // ── events: per-type value winsorization (p05/p95 clip) ─────────
+    // Outlier treatment that KEEPS every row: whale purchases count
+    // at the ceiling. Exact type-7 quantiles broadcast back; corpus
+    // never shuffles.
+    "q_winsorize" -> ((s, dir) => {
+      Curation.winsorizeByKey(
+        Tables(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_id", "event_type", "value")
+    }),
+
+    // ── LLM-pipeline: Heaps-law vocabulary growth curve ─────────────
+    // Distinct types after the first c docs per checkpoint — the
+    // V(n) curve that sizes vocabularies; one vocab-sized first-seen
+    // table, every checkpoint in ONE aggregate.
+    "q_heaps" -> ((s, dir) => {
+      TextAnalysis.vocabGrowth(Tables(s, dir, "documents"), "doc_id", "text",
+        checkpoints = Seq(500L, 1000L, 2000L, 4000L))
+    }),
+
     // ── LLM-pipeline: per-source top-5 docs, window-free ────────────
     // TopKAgg bounded partial agg instead of the per-key window sort:
     // each task ships ≤ 5 (id, score) pairs per source. Score =
@@ -7097,6 +7117,53 @@ object SparkEntry {
         |      FROM t)
         |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH v AS (SELECT event_type AS k, event_id, CAST(value AS DOUBLE) AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT k, v,
+        |             CAST(row_number() OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS r
+        |      FROM v),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS m FROM v GROUP BY k),
+        |ps AS (SELECT unnest([CAST(0.05 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS p),
+        |spec AS (SELECT k, p, m, CAST(m - 1 AS DOUBLE) * p + 1 AS h
+        |         FROM m CROSS JOIN ps),
+        |spec2 AS (
+        |  SELECT k, p, m, CAST(floor(h) AS BIGINT) AS lo,
+        |         least(CAST(floor(h) AS BIGINT) + 1, m) AS hi, h - floor(h) AS frac
+        |  FROM spec
+        |),
+        |q AS (SELECT s.k, s.p, rl.v + s.frac * (rh.v - rl.v) AS q
+        |      FROM spec2 s JOIN r rl ON rl.k = s.k AND rl.r = s.lo
+        |                   JOIN r rh ON rh.k = s.k AND rh.r = s.hi),
+        |st AS (SELECT k, max(CASE WHEN p = 0.05 THEN q END) AS qlo,
+        |              max(CASE WHEN p = 0.95 THEN q END) AS qhi
+        |       FROM q GROUP BY k)
+        |SELECT e.event_id, e.k AS event_type, e.v AS value,
+        |       least(greatest(e.v, st.qlo), st.qhi) AS clipped
+        |FROM v e JOIN st ON st.k = e.k""".stripMargin,
+
+    "q_heaps" ->
+      """WITH fs AS (SELECT t, CAST(min(doc_id) AS BIGINT) AS first FROM
+        |            (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        |             FROM documents) GROUP BY 1),
+        |v AS (SELECT CAST(sum(CASE WHEN first <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS v500,
+        |             CAST(sum(CASE WHEN first <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS v1000,
+        |             CAST(sum(CASE WHEN first <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS v2000,
+        |             CAST(sum(CASE WHEN first <= 4000 THEN 1 ELSE 0 END) AS BIGINT) AS v4000
+        |      FROM fs),
+        |d AS (SELECT CAST(sum(CASE WHEN doc_id <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS d500,
+        |             CAST(sum(CASE WHEN doc_id <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS d1000,
+        |             CAST(sum(CASE WHEN doc_id <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS d2000,
+        |             CAST(sum(CASE WHEN doc_id <= 4000 THEN 1 ELSE 0 END) AS BIGINT) AS d4000
+        |      FROM documents)
+        |SELECT CAST(500 AS BIGINT) AS checkpoint, d500 AS n_docs, v500 AS vocab FROM v CROSS JOIN d
+        |UNION ALL
+        |SELECT 1000, d1000, v1000 FROM v CROSS JOIN d
+        |UNION ALL
+        |SELECT 2000, d2000, v2000 FROM v CROSS JOIN d
+        |UNION ALL
+        |SELECT 4000, d4000, v4000 FROM v CROSS JOIN d""".stripMargin,
 
     "q_top_per_key" ->
       """SELECT source, CAST(doc_id AS BIGINT) AS id, CAST(rn AS BIGINT) AS rank,

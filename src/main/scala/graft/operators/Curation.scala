@@ -1612,6 +1612,33 @@ object Curation {
     dfs.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** Per-key winsorization: clip a value column to its key's
+    * [pLo, pHi] exact type-7 quantiles — the outlier treatment that
+    * KEEPS every row (robustScale rescales, filterByQuantile drops;
+    * winsorizing caps: a whale purchase still counts, at the p95
+    * ceiling) before any mean-based metric a heavy tail would own.
+    *
+    * Exactness: quantilesByKey's machinery (the identical IEEE
+    * interpolation the oracle replays), then one least/greatest pair
+    * per row — hash-exact. Scale shape: the quantile table is
+    * #keys-sized and BROADCAST back over the scan; the corpus never
+    * shuffles. Output: input columns + clipped. */
+  def winsorizeByKey(df: DataFrame, idCol: String, keyCol: String,
+                     valCol: String, pLo: Double = 0.05,
+                     pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val qs = quantilesByKey(df.select(col(keyCol), col(valCol)),
+      keyCol, valCol, Seq(pLo, pHi))
+    val stats = qs.groupBy(col(keyCol)).agg(
+      max(when(col("p") === pLo, col("q"))).as("__lo"),
+      max(when(col("p") === pHi, col("q"))).as("__hi"))
+    df.select(col(idCol), col(keyCol), col(valCol))
+      .join(broadcast(stats), Seq(keyCol))
+      .select(col(idCol), col(keyCol), col(valCol),
+        least(greatest(col(valCol), col("__lo")), col("__hi")).as("clipped"))
+  }
+
   /** Per-key top-k rows WITHOUT a window sort: the k best (score
     * desc, id asc) ids per key via TopKAgg's bounded partial
     * aggregation — each map task ships at most k pairs per key, so

@@ -1274,6 +1274,42 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** Heaps-law vocabulary growth curve: distinct-type count after the
+    * first c documents (by id order) for each checkpoint c — the
+    * empirical V(n) ≈ K·n^β curve that sizes a tokenizer vocabulary
+    * and detects corpus staleness (a flattening curve means new docs
+    * stop contributing types). Exact integers end to end: a term
+    * enters the vocabulary at its MINIMUM doc id, so V(c) is one
+    * conditional count over the vocab-sized first-seen table — no
+    * per-checkpoint corpus pass.
+    *
+    * Scale shape: one explode → vocab-sized (term, min doc) agg, one
+    * doc-count agg, then ONE aggregate computes every checkpoint
+    * simultaneously, unpivoted (vocabCoverage's pattern). Output:
+    * (checkpoint, n_docs, vocab). */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints == checkpoints.sorted &&
+      checkpoints.distinct == checkpoints,
+      s"checkpoints must be sorted and distinct, got $checkpoints")
+    val firstSeen = df
+      .select(col(idCol).cast("long").as("__id"),
+        explode(array_distinct(tokens(col(textCol)))).as("__t"))
+      .groupBy(col("__t")).agg(min(col("__id")).as("__first"))
+    val vSums = checkpoints.map(c =>
+      sum(when(col("__first") <= c, 1L).otherwise(0L)).cast("long").as(s"__v$c"))
+    val row = firstSeen.agg(vSums.head, vSums.tail: _*)
+    val dSums = checkpoints.map(c =>
+      sum(when(col(idCol) <= c, 1L).otherwise(0L)).cast("long").as(s"__d$c"))
+    val docs = df.agg(dSums.head, dSums.tail: _*)
+    val pairs = array(checkpoints.map(c =>
+      struct(lit(c).as("checkpoint"), col(s"__d$c").as("n_docs"),
+        col(s"__v$c").as("vocab"))): _*)
+    row.crossJoin(docs).select(explode(pairs).as("__p"))
+      .select(col("__p.checkpoint").as("checkpoint"),
+        col("__p.n_docs").as("n_docs"), col("__p.vocab").as("vocab"))
+  }
+
   /** Hashing-trick vectorizer (Weinberger et al. 2009's feature
     * hashing): map each token to one of `dim` buckets by hash and
     * accumulate a SIGNED count — the fixed-width sparse features a

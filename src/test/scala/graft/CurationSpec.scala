@@ -829,6 +829,24 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.heavyHitters(rows.toDF("key"), "key", k = 10).count() === 0L)
   }
 
+  test("winsorizeByKey: interior rows unchanged, tails clipped to the quantiles") {
+    // key a: 1..20 → p05 = 1.95, p95 = 19.05 (type-7); 1 → 1.95, 20 → 19.05
+    val in = (1L to 20L).map(i => (i, "a", i.toDouble))
+    val got = Curation.winsorizeByKey(in.toDF("id", "k", "v"), "id", "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // replicate the type-7 arithmetic exactly: h = (n−1)p + 1,
+    // q = v_lo + (h − ⌊h⌋)(v_hi − v_lo) — 19·0.05 is not exact in IEEE
+    def q7(p: Double): Double = {
+      val h = 19.0 * p + 1.0
+      val lo = math.floor(h)
+      lo + (h - lo) * 1.0 // values are 1..20, so v_lo = lo and v_hi − v_lo = 1
+    }
+    assert(got(1L) === q7(0.05))
+    assert(got(20L) === q7(0.95))
+    assert(got(10L) === 10.0, "interior values pass through untouched")
+    assert(got.size === 20, "winsorizing keeps every row")
+  }
+
   test("topKPerKey equals the window twin, without planning a Window") {
     val df = (1L to 30L).map(i => (i, s"k${i % 3}", (i * 7 % 13).toDouble))
       .toDF("id", "k", "s")

@@ -733,6 +733,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.collect { case ((d, _), w) if d == 1L => math.abs(w) }.sum <= 3)
   }
 
+  test("vocabGrowth: types enter at their first doc; checkpoints count prefixes") {
+    val df = Seq((1L, "a b"), (2L, "b c"), (5L, "d"), (9L, "a e f"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(df, "doc_id", "text", Seq(2L, 5L, 10L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(2L) === ((2L, 3L)))  // docs 1,2 → {a,b,c}
+    assert(got(5L) === ((3L, 4L)))  // +doc 5 → {a,b,c,d}
+    assert(got(10L) === ((4L, 6L))) // +doc 9 → {a,b,c,d,e,f}
+  }
+
   test("kwic: contexts truncate at document boundaries, every occurrence emits") {
     val df = Seq((1L, "spark a b c spark"), (2L, "x spark y")).toDF("doc_id", "text")
     val got = TextAnalysis.kwic(df, "doc_id", "text", term = "spark", window = 2)
