@@ -2957,6 +2957,15 @@ object SparkEntry {
         "event_id", "event_type", "value")
     }),
 
+    // ── LLM-pipeline: LSH parameter-sweep candidate budget ──────────
+    // The (b, r) tuning table: bucket counts + candidate-pair join
+    // cost per band config, measured on the real corpus (md5 parity
+    // mode so the oracle replays the signature chain bit-for-bit).
+    "q_lsh_budget" -> ((s, dir) => {
+      Dedup.lshBudget(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, h = 16, bs = Seq(4, 8, 16), parity = true)
+    }),
+
     // ── LLM-pipeline: Heaps-law vocabulary growth curve ─────────────
     // Distinct types after the first c docs per checkpoint — the
     // V(n) curve that sizes vocabularies; one vocab-sized first-seen
@@ -7142,6 +7151,23 @@ object SparkEntry {
         |SELECT e.event_id, e.k AS event_type, e.v AS value,
         |       least(greatest(e.v, st.qlo), st.qhi) AS clipped
         |FROM v e JOIN st ON st.k = e.k""".stripMargin,
+
+    "q_lsh_budget" ->
+      s"""WITH $sqlMinhash,
+         |cfg AS (SELECT unnest([4, 8, 16]) AS b),
+         |bands AS (
+         |  SELECT CAST(c.b AS BIGINT) AS b, CAST(16 // c.b AS BIGINT) AS r,
+         |         t.bi AS band,
+         |         array_to_string(s.sig[(t.bi-1)*(16//c.b)+1 : t.bi*(16//c.b)], ',')
+         |           AS bucket
+         |  FROM sig s CROSS JOIN cfg c CROSS JOIN generate_series(1, 16) t(bi)
+         |  WHERE t.bi <= c.b
+         |),
+         |occ AS (SELECT b, r, band, bucket, CAST(count(*) AS BIGINT) AS m
+         |        FROM bands GROUP BY 1, 2, 3, 4)
+         |SELECT b, r, CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_candidates
+         |FROM occ GROUP BY 1, 2""".stripMargin,
 
     "q_heaps" ->
       """WITH fs AS (SELECT t, CAST(min(doc_id) AS BIGINT) AS first FROM

@@ -153,6 +153,41 @@ object Dedup {
       .select(col(idCol), col("sh"),
         graft.functions.MinHashSig.minhashSig(col("sh"), h, parity).as("sig"))
 
+  /** LSH parameter-sweep budget: for each band count b (rows per band
+    * r = h/b), the bucket count and the candidate-pair JOIN COST
+    * Σ_buckets m(m−1)/2 — with multiplicity across bands, because
+    * that is what the bucket join actually pays. The tuning table an
+    * engineer reads before picking (b, r): more bands = higher recall
+    * at Jaccard^r per band but a bigger candidate bill; this measures
+    * the bill on the real corpus instead of assuming uniform buckets
+    * (boilerplate-heavy corpora are far from uniform — exactly when
+    * the sweep matters).
+    *
+    * Scale shape: ONE signature pass (the native MinHashSig kernel),
+    * a bounded ×Σb band explode, one (config, band, bucket) count,
+    * one config-sized rollup. All exact longs; m(m−1) is even so the
+    * halving div is exact. Output: (b, r, n_buckets, n_candidates). */
+  def lshBudget(df: DataFrame, idCol: String, textCol: String,
+                n: Int, h: Int, bs: Seq[Int],
+                parity: Boolean = false): DataFrame = {
+    require(bs.nonEmpty && bs.distinct == bs, s"band counts must be distinct: $bs")
+    bs.foreach(b => require(b >= 1 && h % b == 0,
+      s"every band count must divide h=$h, got $b"))
+    val sigs = sigTable(df, idCol, textCol, n, h, parity)
+    val exploded = bs.map { b =>
+      sigs.select(lit(b.toLong).as("b"), lit((h / b).toLong).as("r"),
+        explode(bandBuckets(col("sig"), b, h / b)).as("bb"))
+    }.reduceLeft(_ unionByName _)
+    exploded
+      .groupBy(col("b"), col("r"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("__m"))
+      .groupBy(col("b"), col("r"))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum(call_function("div", col("__m") * (col("__m") - 1L), lit(2L)))
+          .cast("long").as("n_candidates"))
+  }
+
   /** (id, band, bucket) table: B rows per document. */
   def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
                      n: Int, h: Int, b: Int, parity: Boolean = false): DataFrame = {

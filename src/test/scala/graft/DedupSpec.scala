@@ -598,4 +598,33 @@ class DedupSpec extends AnyFunSuite {
         "planted near-dup must be an LSH candidate")
     } finally Dedup.releaseCaches()
   }
+
+  test("lshBudget: per-config pair bill equals the bucket-table recount") {
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      val base = if (i % 4 == 0) "the quick brown fox jumps over the lazy dog again"
+      else s"unique text body number $i with its own words ${i * 7} and ${i * 13}"
+      (i, base)
+    }.toDF("doc_id", "text")
+    try {
+      val got = Dedup.lshBudget(docs, "doc_id", "text", n = 3, h = 16,
+        bs = Seq(4, 8), parity = true)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // recount each config straight off the public bucket table
+      for (b <- Seq(4, 8)) {
+        val occ = Dedup.minhashBuckets(docs, "doc_id", "text", n = 3, h = 16,
+          b = b, parity = true)
+          .groupBy("band", "bucket").count()
+          .collect().map(_.getLong(2))
+        val (r, nb, cand) = got(b.toLong)
+        assert(r === (16 / b).toLong)
+        assert(nb === occ.length.toLong, s"b=$b")
+        assert(cand === occ.map(m => m * (m - 1) / 2).sum, s"b=$b")
+      }
+      // identical docs (every 4th) share every bucket: the bill is
+      // at least C(10,2) per band config
+      assert(got(4L)._3 >= 45L && got(8L)._3 >= 45L)
+    } finally Dedup.releaseCaches()
+  }
 }
