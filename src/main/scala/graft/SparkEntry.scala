@@ -975,6 +975,24 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash(Dedup.tokens(col("text"))).as("fp"))
     }),
 
+    // ── extension surface: SQL-TEXT kernels under the hash gate ─────
+    // The same fingerprint + a native vector dot, written as a SQL
+    // string through GraftExtensions (spark.sql.extensions) — pins
+    // that the SQL-registered kernels resolve to the identical
+    // Catalyst trees as the Column API (q_simhash is the Column twin)
+    // in the driver gate, not just in specs.
+    "q_sql_kernels" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      Tables(s, dir, "documents").createOrReplaceTempView("graft_docs_v")
+      Tables(s, dir, "embeddings").createOrReplaceTempView("graft_emb_v")
+      s.sql("""
+        SELECT d.doc_id,
+               simhash64(split(d.text, ' ')) AS fp,
+               vec_dot(CAST(e.embedding AS ARRAY<DOUBLE>),
+                       CAST(e.embedding AS ARRAY<DOUBLE>)) AS self_dot
+        FROM graft_docs_v d JOIN graft_emb_v e ON e.vec_id = d.doc_id % 500""")
+    }),
+
     // ── LLM-pipeline: SimHash near-dup via banded Hamming LSH ───────
     // Pigeonhole: ≤3 differing bits over 4 bands ⇒ one band matches
     // exactly, so the band join has perfect recall at the threshold.
@@ -4671,6 +4689,13 @@ object SparkEntry {
     "q_simhash" ->
       s"""WITH $sqlSimhashFp
          |SELECT doc_id, fp FROM fpt""".stripMargin,
+
+    "q_sql_kernels" ->
+      s"""WITH $sqlSimhashFp
+         |SELECT f.doc_id, f.fp,
+         |       list_sum(list_transform(list_zip(e.embedding::DOUBLE[], e.embedding::DOUBLE[]),
+         |                               q -> q[1]*q[2])) AS self_dot
+         |FROM fpt f JOIN embeddings e ON e.vec_id = f.doc_id % 500""".stripMargin,
 
     "q_simhash_neardup" ->
       s"""WITH $sqlSimhashFp,
