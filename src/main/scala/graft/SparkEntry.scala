@@ -1339,6 +1339,20 @@ object SparkEntry {
         Seq("view", "click", "purchase"), windowMicros = 3600000000L)
     }),
 
+    // ── events: funnel window-sensitivity sweep ─────────────────────
+    // The same time-bounded funnel at 1 h / 6 h / 24 h step windows
+    // in one result — the tuning table that shows how much measured
+    // "conversion" is an artifact of the window choice (the funnel
+    // sibling of q_lsh_budget's parameter sweep). Three per-user
+    // window passes, each funnelCountsWithin's linear shape.
+    "q_funnel_sweep" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      Seq(3600000000L, 21600000000L, 86400000000L).map { w =>
+        Events.funnelCountsWithin(ev, Seq("view", "click", "purchase"), w)
+          .withColumn("window_s", lit(w / 1000000L))
+      }.reduceLeft(_ unionByName _)
+    }),
+
     // ── LLM-pipeline: JSON props extraction + per-type aggregate ────
     "q_events_props" -> ((s, dir) => {
       Events.propsAgg(Tables(s, dir, "events"))
@@ -3532,6 +3546,38 @@ object SparkEntry {
         |SELECT CAST(2 AS INTEGER), 'click', count(*) FROM s2
         |UNION ALL
         |SELECT CAST(3 AS INTEGER), 'purchase', count(*) FROM s3""".stripMargin,
+
+    "q_funnel_sweep" -> {
+      val windows = Seq(3600000000L, 21600000000L, 86400000000L)
+      val ctes = windows.zipWithIndex.map { case (w, i) =>
+        s"""w${i}s2 AS (
+           |  SELECT e.user_id, min(e.ts_us) AS t
+           |  FROM e JOIN s1 ON e.user_id = s1.user_id
+           |  WHERE e.event_type = 'click' AND e.ts_us > s1.t AND e.ts_us - s1.t <= $w
+           |  GROUP BY 1
+           |),
+           |w${i}s3 AS (
+           |  SELECT e.user_id, min(e.ts_us) AS t
+           |  FROM e JOIN w${i}s2 ON e.user_id = w${i}s2.user_id
+           |  WHERE e.event_type = 'purchase' AND e.ts_us > w${i}s2.t
+           |    AND e.ts_us - w${i}s2.t <= $w
+           |  GROUP BY 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      val selects = windows.zipWithIndex.map { case (w, i) =>
+        val ws = w / 1000000L
+        s"""SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type,
+           |       count(*) AS n_users, CAST($ws AS BIGINT) AS window_s FROM s1
+           |UNION ALL
+           |SELECT CAST(2 AS INTEGER), 'click', count(*), CAST($ws AS BIGINT) FROM w${i}s2
+           |UNION ALL
+           |SELECT CAST(3 AS INTEGER), 'purchase', count(*), CAST($ws AS BIGINT) FROM w${i}s3""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         |s1 AS (SELECT user_id, min(ts_us) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+         |$ctes
+         |$selects""".stripMargin
+    },
 
     "q_funnel_within" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
