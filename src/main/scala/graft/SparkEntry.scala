@@ -297,6 +297,51 @@ object SparkEntry {
         emb.orderBy("vec_id").limit(5), "vec_id", "embedding", k = 10)
     }),
 
+    // ── ML: two-NN distance-ratio quantiles (geometry audit) ────────
+    // Per probe the d2/d1 nearest-neighbor distance ratio (the Facco
+    // et al. two-NN statistic, log-free form): ratios hugging 1 mean
+    // high intrinsic dimension — distances concentrate and ANN recall
+    // degrades. Quartiles over 100 probes via the exact type-7
+    // machinery; TopKAgg (score = −sqdist) bounds the per-task state.
+    "q_twonn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.orderBy("vec_id").limit(100)
+      val scored = emb
+        .select(col("vec_id").cast("long").as("__id"),
+          VectorOps.toDouble(col("embedding")).as("__v"))
+        .crossJoin(broadcast(probes.select(col("vec_id").cast("long").as("probe_id"),
+          VectorOps.toDouble(col("embedding")).as("__pv"))))
+        .filter(col("__id") =!= col("probe_id"))
+        .select(col("probe_id"), col("__id"),
+          (-VectorOps.sqDist(col("__v"), col("__pv"))).as("__ns"))
+      val mu = scored.groupBy("probe_id")
+        .agg(graft.functions.TopKAgg.topK(2, col("__id"), col("__ns")).as("__top"))
+        .select(col("probe_id"), posexplode(col("__top")).as(Seq("__r0", "__p")))
+        .select(col("probe_id"), (col("__r0") + 1).as("__rn"),
+          sqrt(-col("__p._2")).as("__d"))
+        .groupBy("probe_id")
+        .agg(max(when(col("__rn") === 1, col("__d"))).as("__d1"),
+          max(when(col("__rn") === 2, col("__d"))).as("__d2"))
+        .filter(col("__d1") > 0.0)
+        .select(lit("all").as("__k"), (col("__d2") / col("__d1")).as("mu"))
+      Curation.quantilesByKey(mu, "__k", "mu", Seq(0.25, 0.5, 0.75))
+        .select(col("p"), col("q"))
+    }),
+
+    // ── ML: hubness histogram (curse-of-dimensionality audit) ───────
+    // How many probes' top-10 lists each point appears in, then the
+    // point-count per occurrence level — a heavy hub tail means
+    // similarity lists collapse onto a few points (Radovanović et
+    // al.), the failure mode LSH/IVF budgets must plan for.
+    "q_hubness" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.orderBy("vec_id").limit(100)
+      Similarity.topKCosine(emb, "vec_id", "embedding",
+          probes, "vec_id", "embedding", k = 10)
+        .groupBy(col("vec_id")).agg(count(lit(1)).cast("long").as("n_lists"))
+        .groupBy(col("n_lists")).agg(count(lit(1)).cast("long").as("n_points"))
+    }),
+
     // ── ML: filtered vector search (metadata predicate + top-k) ─────
     // The modern ANN shape: exact cosine top-k restricted to rows
     // passing a metadata filter — the filter prunes BEFORE scoring,
@@ -4133,6 +4178,48 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
          |  FROM s)
          |WHERE rn <= 10""".stripMargin,
+
+    "q_twonn" ->
+      """WITH pr AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+        |            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 100)),
+        |d AS (SELECT pr.probe_id, e.vec_id,
+        |             sqrt(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], pr.pv),
+        |                                          p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |      FROM embeddings e CROSS JOIN pr WHERE e.vec_id != pr.probe_id),
+        |r AS (SELECT probe_id, dist,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY dist, vec_id) AS rn
+        |      FROM d),
+        |mus AS (SELECT a.probe_id, b.dist / a.dist AS mu
+        |        FROM r a JOIN r b ON b.probe_id = a.probe_id AND a.rn = 1 AND b.rn = 2
+        |        WHERE a.dist > 0),
+        |rr AS (SELECT mu, CAST(row_number() OVER (ORDER BY mu) AS BIGINT) AS r FROM mus),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM mus),
+        |ps AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                      CAST(0.75 AS DOUBLE)]) AS p),
+        |spec AS (SELECT p, m, CAST(m - 1 AS DOUBLE) * p + 1 AS h FROM mm CROSS JOIN ps),
+        |spec2 AS (SELECT p, m, CAST(floor(h) AS BIGINT) AS lo,
+        |                 least(CAST(floor(h) AS BIGINT) + 1, m) AS hi,
+        |                 h - floor(h) AS frac
+        |          FROM spec)
+        |SELECT s.p, rl.mu + s.frac * (rh.mu - rl.mu) AS q
+        |FROM spec2 s JOIN rr rl ON rl.r = s.lo JOIN rr rh ON rh.r = s.hi""".stripMargin,
+
+    "q_hubness" ->
+      """WITH pr AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+        |            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 100)),
+        |s AS (
+        |  SELECT pr.probe_id, e.vec_id,
+        |         list_sum(list_transform(list_zip(e.embedding::DOUBLE[], pr.pv), q -> q[1]*q[2]))
+        |          / (sqrt(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), q -> q[1]*q[2])))
+        |             * sqrt(list_sum(list_transform(list_zip(pr.pv, pr.pv), q -> q[1]*q[2])))) AS sim
+        |  FROM embeddings e CROSS JOIN pr WHERE e.vec_id != pr.probe_id
+        |),
+        |t AS (SELECT vec_id FROM (
+        |        SELECT vec_id, row_number() OVER (PARTITION BY probe_id
+        |                                          ORDER BY sim DESC, vec_id) AS rn
+        |        FROM s) WHERE rn <= 10),
+        |occ AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_lists FROM t GROUP BY 1)
+        |SELECT n_lists, CAST(count(*) AS BIGINT) AS n_points FROM occ GROUP BY 1""".stripMargin,
 
     "q_ann_filtered" ->
       s"""WITH $sqlProbes,
