@@ -3034,6 +3034,15 @@ object SparkEntry {
         "event_id", "event_type", "value")
     }),
 
+    // ── LLM-pipeline: split-balance χ² audit ────────────────────────
+    // Is the deterministic md5 split accidentally correlated with
+    // source? Exact contingency table (zero cells materialized),
+    // pinned expected-count arithmetic, sorted-fold term sum.
+    "q_split_chi2" -> ((s, dir) => {
+      Sampling.splitBalanceChi2(Tables(s, dir, "documents"), "doc_id", "source",
+        testFrac = 0.2)
+    }),
+
     // ── LLM-pipeline: LSH parameter-sweep candidate budget ──────────
     // The (b, r) tuning table: bucket counts + candidate-pair join
     // cost per band config, measured on the real corpus (md5 parity
@@ -7309,6 +7318,32 @@ object SparkEntry {
         |SELECT e.event_id, e.k AS event_type, e.v AS value,
         |       least(greatest(e.v, st.qlo), st.qhi) AS clipped
         |FROM v e JOIN st ON st.k = e.k""".stripMargin,
+
+    "q_split_chi2" ->
+      """WITH a AS (SELECT source AS g,
+        |                  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |                            AS BIGINT) / 4294967296.0 < 0.2
+        |                       THEN 'test' ELSE 'train' END AS split
+        |           FROM documents),
+        |cell AS (SELECT g, split, CAST(count(*) AS BIGINT) AS o FROM a GROUP BY 1, 2),
+        |gt AS (SELECT g, CAST(sum(o) AS BIGINT) AS ng FROM cell GROUP BY 1),
+        |st AS (SELECT split, CAST(sum(o) AS BIGINT) AS ns FROM cell GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cell),
+        |grid AS (SELECT gt.g, st.split, gt.ng, st.ns, coalesce(cell.o, 0) AS o
+        |         FROM gt CROSS JOIN st
+        |         LEFT JOIN cell ON cell.g = gt.g AND cell.split = st.split),
+        |terms AS (
+        |  SELECT (CAST(o AS DOUBLE)
+        |          - CAST(ng AS DOUBLE) * CAST(ns AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |         * (CAST(o AS DOUBLE)
+        |            - CAST(ng AS DOUBLE) * CAST(ns AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |         / (CAST(ng AS DOUBLE) * CAST(ns AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS t
+        |  FROM grid CROSS JOIN nn)
+        |SELECT nn.n AS n_rows, g2.k AS n_groups, g2.k - 1 AS dof, ch.chi2
+        |FROM nn
+        |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS k FROM gt) g2
+        |CROSS JOIN (SELECT list_reduce(list_sort(list(t)), (x, y) -> x + y) AS chi2
+        |            FROM terms) ch""".stripMargin,
 
     "q_lsh_budget" ->
       s"""WITH $sqlMinhash,

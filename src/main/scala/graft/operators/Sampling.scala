@@ -188,6 +188,50 @@ object Sampling {
       least(floor(unitFromMd5(key) * k), lit(k - 1L)).cast("long"))
   }
 
+  /** Split-balance χ² audit: the Pearson chi-square statistic of the
+    * group × split contingency table under the deterministic md5
+    * split — the statistical QA that the hash assignment is not
+    * accidentally correlated with a grouping column (a skewed id
+    * scheme CAN correlate: ids handed out per source in ranges would
+    * bias any id-hash split, and this is the query that catches it).
+    * Compare chi2 against the χ²(dof) critical value offline; the
+    * engine reports the exact statistic, not a p-value (no incomplete
+    * gamma in either engine's portable surface).
+    *
+    * Exactness: observed counts and marginals are exact longs;
+    * expected counts and terms are the pinned (ng·ns)/n and
+    * (o−e)²/e IEEE sequences; the term sum folds sorted
+    * (foldSum contract) over the groups×2-sized term table. ZERO
+    * cells are materialized via the marginal grid (a group with no
+    * test rows still contributes its expected mass — the textbook
+    * statistic, not the present-cells-only shortcut).
+    *
+    * Scale shape: one (group, split) hash agg over the scan, then
+    * everything is #groups-sized. Output: one row (n_rows, n_groups,
+    * dof, chi2). */
+  def splitBalanceChi2(df: DataFrame, idCol: String, groupCol: String,
+                       testFrac: Double): DataFrame = {
+    val a = trainTestSplit(df.select(col(idCol), col(groupCol)), idCol, testFrac)
+    val cell = a.groupBy(col(groupCol).as("g"), col("split"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val gTot = cell.groupBy("g").agg(sum("o").cast("long").as("ng"))
+    val sTot = cell.groupBy("split").agg(sum("o").cast("long").as("ns"))
+    val nTot = cell.agg(sum("o").cast("long").as("n"))
+    val grid = gTot.crossJoin(sTot)
+      .join(cell, Seq("g", "split"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(nTot))
+    val e = col("ng").cast("double") * col("ns").cast("double") / col("n").cast("double")
+    val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+    grid.select(col("n"), col("g"), term.as("__t"))
+      .groupBy(col("n"))
+      .agg(countDistinct(col("g")).cast("long").as("n_groups"),
+        graft.functions.VectorOps.foldSum(array_sort(collect_list(col("__t"))))
+          .as("chi2"))
+      .select(col("n").as("n_rows"), col("n_groups"),
+        (col("n_groups") - 1L).as("dof"), col("chi2"))
+  }
+
   /** Cumulative Poisson(1) CDF thresholds, computed once DRIVER-side
     * and shipped as plan literals — the engines never evaluate exp()
     * (the Spark-vs-DuckDB libm divergence the codebase bans); both

@@ -158,6 +158,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(nf.length === 1)
   }
 
+  test("splitBalanceChi2 equals a driver-side recomputation, zero cells included") {
+    val df = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("id", "g")
+    val row = Sampling.splitBalanceChi2(df, "id", "g", testFrac = 0.2).collect()(0)
+    assert(row.getLong(0) === 300L)
+    assert(row.getLong(1) === 3L && row.getLong(2) === 2L)
+    // recompute from the same deterministic assignment
+    val cells = Sampling.trainTestSplit(df, "id", 0.2)
+      .groupBy("g", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val gs = Seq("s0", "s1", "s2"); val sides = Seq("test", "train")
+    val ng = gs.map(g => g -> sides.map(s => cells.getOrElse((g, s), 0L)).sum).toMap
+    val ns = sides.map(s => s -> gs.map(g => cells.getOrElse((g, s), 0L)).sum).toMap
+    val n = 300.0
+    val terms = for (g <- gs; s <- sides) yield {
+      val e = ng(g).toDouble * ns(s).toDouble / n
+      val o = cells.getOrElse((g, s), 0L).toDouble
+      (o - e) * (o - e) / e
+    }
+    val expected = terms.sorted.foldLeft(0.0)(_ + _)
+    assert(row.getDouble(3) === expected)
+  }
+
   test("poissonFromUnit: inverse CDF brackets, mean ≈ 1 over a unit grid") {
     val us = (0 until 1000).map(i => (i + 0.5) / 1000.0)
     val got = us.toDF("u")
