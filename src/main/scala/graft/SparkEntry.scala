@@ -2316,6 +2316,41 @@ object SparkEntry {
         .select(col("__series").as("series"), col("n"), col("r"))
     }),
 
+    // ── streaming: funnel state machine, batch-parity gated ─────────
+    // Per-user furthest-step state folded across 3 micro-batches; the
+    // sink's final steps aggregate to counts that must equal the
+    // BATCH funnel exactly (the oracle is q_funnel's SQL verbatim).
+    "q_stream_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val steps = Seq("view", "click", "purchase")
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+          col("ts").cast("long"), col("event_type"))
+        .as[(Long, Long, Long, String)].collect()
+        .sortBy(e => (Math.floorDiv(e._3, 1000L), e._2))
+      val perBatch = math.max(1, (ev.length + 2) / 3)
+      val source = MemoryStream[(Long, Long, Long, String)]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val q = EventStream.funnelProgress(
+          source.toDF().toDF("user_id", "event_id", "ts", "event_type"), steps)
+        .writeStream.format("memory").queryName(qn).outputMode("update").start()
+      try ev.grouped(perBatch).foreach { b =>
+        source.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val fin = s.table(qn).groupBy("user_id").agg(max("step").as("__step"))
+      val sums = steps.indices.map(i =>
+        sum(when(col("__step") >= i + 1, 1L).otherwise(0L)).as(s"__n${i + 1}"))
+      fin.agg(sums.head, sums.tail: _*)
+        .select(explode(array(steps.zipWithIndex.map { case (t, i) =>
+          struct(lit(i + 1).cast("int").as("step"), lit(t).as("event_type"),
+            col(s"__n${i + 1}").cast("long").as("n_users"))
+        }: _*)).as("__p"))
+        .select(col("__p.step").as("step"), col("__p.event_type").as("event_type"),
+          col("__p.n_users").as("n_users"))
+    }),
+
     // ── streaming: SCD current-state via mapGroupsWithState ────────
     // The incremental twin of q_scd2's OPEN row: per-user run state
     // folded across 3 micro-batches; the sink's latest row per user
@@ -5890,6 +5925,28 @@ object SparkEntry {
         |SELECT event_id, count(*) AS n_purchases,
         |       CAST(sum(credit) AS BIGINT) AS credit_ucents
         |FROM cr GROUP BY 1""".stripMargin,
+
+    // the BATCH funnel oracle, verbatim — stream/batch parity
+    "q_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > s1.t
+        |  GROUP BY 1
+        |),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), 'purchase', count(*) FROM s3""".stripMargin,
 
     "q_stream_scd" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),

@@ -137,6 +137,46 @@ object EventStream {
       }
   }
 
+  final case class UserFunnel(user_id: Long, step: Int)
+
+  /** Streaming funnel state machine: per user the furthest ordered
+    * step reached, folded incrementally — the greedy in-order scan
+    * ("first occurrence of the next step strictly after the current
+    * step's time") computes exactly the batch funnel's min-time chain
+    * when events arrive in time order, so the sink's final per-user
+    * step aggregates to the SAME counts as Events.funnelCounts (the
+    * driver gate replays the batch funnel SQL verbatim as the
+    * oracle). State is two scalars per user; in-batch order is the
+    * (µs-floored ts, event_id) batch contract, like scdCurrentState.
+    */
+  def funnelProgress(events: DataFrame, steps: Seq[String]): Dataset[UserFunnel] = {
+    require(steps.nonEmpty && steps.size <= 8,
+      s"steps must be 1..8, got ${steps.size}")
+    implicit val longEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[UserFunnel]
+    implicit val stEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("long"), col("event_type"))
+      .groupByKey((r: Row) => r.getLong(0))(longEnc)
+      .mapGroupsWithState[(Int, Long), UserFunnel](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Row], state: GroupState[(Int, Long)]) =>
+          var (cur, lastTs) = state.getOption.getOrElse((0, Long.MinValue))
+          rows.toSeq
+            .sortBy(r => (Math.floorDiv(r.getLong(2), 1000L), r.getLong(1)))
+            .foreach { r =>
+              val tsUs = Math.floorDiv(r.getLong(2), 1000L)
+              if (cur < steps.length && r.getString(3) == steps(cur)
+                  && (cur == 0 || tsUs > lastTs)) {
+                cur += 1
+                lastTs = tsUs
+              }
+            }
+          state.update((cur, lastTs))
+          UserFunnel(user, cur)
+      }
+  }
+
   final case class UserScd(user_id: Long, version: Long, event_type: String,
                            valid_from_us: Long, n_events: Long)
 

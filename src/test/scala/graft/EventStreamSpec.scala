@@ -115,6 +115,33 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got(2L) === ((1L, 200L)))
   }
 
+  test("funnelProgress: cross-batch progression matches the batch funnel") {
+    import spark.implicits._
+    // u1: view | batch cut | click, purchase → step 3 (progress spans batches)
+    // u2: click first (ignored), view → step 1
+    // u3: view+click same µs → click can NOT advance (strict >)
+    val b1 = Seq(Ev(1, 10 * G, 1, "view", 0, "{}"),
+      Ev(5, 4 * G, 2, "click", 0, "{}"), Ev(6, 8 * G, 2, "view", 0, "{}"),
+      Ev(7, 3 * G, 3, "view", 0, "{}"), Ev(8, 3 * G, 3, "click", 0, "{}"))
+    val b2 = Seq(Ev(2, 20 * G, 1, "click", 0, "{}"),
+      Ev(3, 30 * G, 1, "purchase", 0, "{}"))
+    val rows = runToMemory("fp", mode = "update")(df =>
+        graft.streaming.EventStream.funnelProgress(df,
+          Seq("view", "click", "purchase")).toDF())(Seq(b1, b2))
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(rows(1L) === 3)
+    assert(rows(2L) === 1, "click before the first view must not count")
+    assert(rows(3L) === 1, "same-µs click cannot advance past the view (strict >)")
+    // equals the batch operator's counts
+    val batch = graft.operators.Events.funnelCounts(
+        (b1 ++ b2).toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val streamCounts = (1 to 3).map(k => k -> rows.values.count(_ >= k).toLong).toMap
+    assert(batch === streamCounts)
+  }
+
   test("scdCurrentState: runs fold across batches and match the batch open row") {
     import spark.implicits._
     // u1: free, free | batch cut | pro, free — current = (v3, free, 1 event)
