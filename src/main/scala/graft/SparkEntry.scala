@@ -3069,6 +3069,24 @@ object SparkEntry {
         "event_id", "event_type", "value")
     }),
 
+    // ── LLM-pipeline: near-dup similarity threshold sweep ───────────
+    // Surviving pair counts at each Jaccard cutoff over the shared
+    // pair fixture — the "how aggressive is this dedup recipe" dial,
+    // read next to q_lsh_budget's candidate bill. One pass, all
+    // thresholds in one aggregate.
+    "q_threshold_sweep" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir)
+      val ts = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      val sums = ts.map(t =>
+        sum(when(col("sim") >= t, 1L).otherwise(0L)).cast("long")
+          .as(s"__n${(t * 10).toInt}"))
+      pairs.agg(sums.head, sums.tail: _*)
+        .select(explode(array(ts.map(t =>
+          struct(lit(t).as("min_sim"),
+            col(s"__n${(t * 10).toInt}").as("n_pairs"))): _*)).as("__p"))
+        .select(col("__p.min_sim").as("min_sim"), col("__p.n_pairs").as("n_pairs"))
+    }),
+
     // ── LLM-pipeline: split-balance χ² audit ────────────────────────
     // Is the deterministic md5 split accidentally correlated with
     // source? Exact contingency table (zero cells materialized),
@@ -7375,6 +7393,16 @@ object SparkEntry {
         |SELECT e.event_id, e.k AS event_type, e.v AS value,
         |       least(greatest(e.v, st.qlo), st.qhi) AS clipped
         |FROM v e JOIN st ON st.k = e.k""".stripMargin,
+
+    "q_threshold_sweep" ->
+      s"""WITH $sqlMinhash,
+         |$sqlCandJaccard
+         |SELECT CAST(t AS DOUBLE) / 10.0 AS min_sim,
+         |       CAST(sum(CASE WHEN sim >= CAST(t AS DOUBLE) / 10.0 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_pairs
+         |FROM simpairs CROSS JOIN generate_series(5, 9) g(t)
+         |WHERE sim >= 0.5
+         |GROUP BY 1""".stripMargin,
 
     "q_split_chi2" ->
       """WITH a AS (SELECT source AS g,
