@@ -1356,6 +1356,22 @@ object SparkEntry {
         valueCols = Seq("p_event_id", "p_ts_us", "p_value"), rightTieCol = "p_event_id")
     }),
 
+    // ── temporal: FORWARD as-of join (next purchase at/after click) ─
+    // The label-lookahead dual of q_asof: same one-shuffle union
+    // trick traversed descending. Ties resolve to the lowest purchase
+    // event id; clicks with no later purchase keep nulls.
+    "q_asof_fwd" -> ((s, dir) => {
+      val base = Tables(s, dir, "events").select(col("event_id"), col("user_id"),
+        Events.epochMicros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      val clicks = base.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_ts_us"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      TemporalJoins.asofJoinForward(clicks, purchases, "user_id", "ts_us", "p_ts_us",
+        valueCols = Seq("p_event_id", "p_ts_us", "p_value"), rightTieCol = "p_event_id")
+    }),
+
     // ── temporal: range join (clicks inside 5-min pre-purchase window)
     // Point-in-interval WITHOUT the nested-loop cross product: both
     // sides bucket to a 5-min grid, the join is equi on (user, bucket),
@@ -3706,6 +3722,23 @@ object SparkEntry {
         |SELECT CAST(2 AS INTEGER), 'click', count(*) FROM s2
         |UNION ALL
         |SELECT CAST(3 AS INTEGER), 'purchase', count(*) FROM s3""".stripMargin,
+
+    // forward as-of: the oracle is the DIRECT theta join + first-row
+    // pick — an independent statement of the semantics (the engine's
+    // descending union trick must reproduce it)
+    "q_asof_fwd" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_us AS p_ts_us, event_id AS p_event_id, value AS p_value
+        |      FROM e WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.ts_us, p.p_event_id, p.p_ts_us, p.p_value,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |                            ORDER BY p.p_ts_us, p.p_event_id) AS rn
+        |  FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.p_ts_us >= c.ts_us
+        |)
+        |SELECT event_id, user_id, ts_us, p_event_id, p_ts_us, p_value
+        |FROM j WHERE rn = 1""".stripMargin,
 
     "q_asof" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),

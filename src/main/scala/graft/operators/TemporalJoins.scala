@@ -66,6 +66,48 @@ object TemporalJoins {
         valueCols.map(c => col("__vals").getField(c).as(c)): _*)
   }
 
+  /** FORWARD inclusive as-of join: for each left row, attach
+    * `valueCols` from the right row with the SMALLEST rightTs ≥
+    * leftTs for the same key — the label-lookahead join ("the next
+    * purchase at or after this impression") that backward as-of
+    * cannot express and that a naive theta join plans as a nested
+    * loop. Ties on rightTs resolve to the FIRST right row in
+    * (ts, tieCol asc) order; left rows with no later right row get
+    * nulls.
+    *
+    * Same one-shuffle union trick as asofJoin, traversed DESCENDING:
+    * the running-last carry walks from the future toward the past, so
+    * "last right row seen" IS the nearest following one. At equal
+    * timestamps right rows order before left rows (inclusive), and
+    * within a right-side ts group the tie column descends so the
+    * tie-asc winner is carried last. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      leftTsCol: String, rightTsCol: String,
+                      valueCols: Seq[String], rightTieCol: String): DataFrame = {
+    val tieField = right.schema.find(_.name.equalsIgnoreCase(rightTieCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"rightTieCol '$rightTieCol' not found in ${right.columns.mkString(", ")}"))
+    require(tieField.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"rightTieCol '$rightTieCol' must be numeric, got ${tieField.dataType}")
+    val leftCols = left.columns
+    val l = left.select(col(keyCol), col(leftTsCol).as("__ts"),
+      lit(1).as("__side"), lit(Long.MinValue).as("__tie"),
+      struct(leftCols.toIndexedSeq.filterNot(_ == keyCol).map(col): _*).as("__lrow"))
+    val r = right.select(col(keyCol), col(rightTsCol).as("__ts"),
+      lit(0).as("__side"), col(rightTieCol).cast("long").as("__tie"),
+      struct(valueCols.map(col): _*).as("__vals"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__ts").desc, col("__side"), col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.toIndexedSeq.map(c =>
+        (if (c == keyCol) col(c) else col("__lrow").getField(c)).as(c)) ++
+        valueCols.map(c => col("__vals").getField(c).as(c)): _*)
+  }
+
   /** Point-in-interval range join on a shared key: returns
     * point-row ⋈ interval-row pairs where lo ≤ pt ≤ hi (all long
     * columns). bucketWidth trades replication for selectivity: each

@@ -109,6 +109,25 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got.toSeq == expect.toSeq && expect.nonEmpty)
   }
 
+  test("asofJoinForward: nearest following row, inclusive ties, nulls past the end") {
+    val left = Seq((1L, 1L, 10L), (2L, 1L, 25L), (3L, 1L, 100L), (4L, 2L, 5L))
+      .toDF("l_id", "key", "ts")
+    val right = Seq(
+      (11L, 1L, 25L, 1.0),  // equal ts: inclusive match for l2
+      (12L, 1L, 25L, 2.0),  // tie at 25 → lowest r_id (11) wins
+      (13L, 1L, 50L, 3.0)
+    ).toDF("r_id", "key", "rts", "v")
+    val got = TemporalJoins.asofJoinForward(left, right, "key", "ts", "rts",
+      valueCols = Seq("r_id", "v"), rightTieCol = "r_id")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
+    assert(got(1L) === ((11L, 1.0)), "next row strictly after 10 is the 25 pair, tie → 11")
+    assert(got(2L) === ((11L, 1.0)), "equal timestamp is inclusive")
+    assert(got(3L) === ((-1L, -1.0)), "no later right row → nulls")
+    assert(got(4L) === ((-1L, -1.0)), "other key never matches")
+  }
+
   test("intervalOverlapJoin: exactly-once pairs, closed bounds, equi-join plan") {
     // multi-bucket overlap (the dedup case), endpoint touch, disjoint
     val left = Seq(
