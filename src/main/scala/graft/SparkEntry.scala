@@ -3085,6 +3085,22 @@ object SparkEntry {
         "event_id", "event_type", "value")
     }),
 
+    // ── LLM-pipeline: cross-source duplication matrix ───────────────
+    // Which sources near-duplicate into which (unordered source
+    // pairs, diagonal = within-source dup pressure) — the syndication
+    // map that decides per-source dedup policy. Pair fixture + two
+    // compact-key joins.
+    "q_dup_matrix" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id1"), col("source").as("__s1")), "id1")
+        .join(src.select(col("doc_id").as("id2"), col("source").as("__s2")), "id2")
+        .groupBy(least(col("__s1"), col("__s2")).as("source_a"),
+          greatest(col("__s1"), col("__s2")).as("source_b"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+    }),
+
     // ── LLM-pipeline: near-dup similarity threshold sweep ───────────
     // Surviving pair counts at each Jaccard cutoff over the shared
     // pair fixture — the "how aggressive is this dedup recipe" dial,
@@ -7426,6 +7442,17 @@ object SparkEntry {
         |SELECT e.event_id, e.k AS event_type, e.v AS value,
         |       least(greatest(e.v, st.qlo), st.qhi) AS clipped
         |FROM v e JOIN st ON st.k = e.k""".stripMargin,
+
+    "q_dup_matrix" ->
+      s"""WITH $sqlMinhash,
+         |$sqlCandJaccard,
+         |pr AS (SELECT id1, id2 FROM simpairs WHERE sim >= 0.5)
+         |SELECT least(d1.source, d2.source) AS source_a,
+         |       greatest(d1.source, d2.source) AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pr JOIN documents d1 ON d1.doc_id = pr.id1
+         |        JOIN documents d2 ON d2.doc_id = pr.id2
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_threshold_sweep" ->
       s"""WITH $sqlMinhash,
