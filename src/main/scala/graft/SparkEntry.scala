@@ -281,6 +281,43 @@ object SparkEntry {
           array_join(col("member_ids"), ",").as("members"))
     }),
 
+    // ── op 9+14: centroid interchange-format sink, ORACLE-gated ─────
+    // Renders GeneIO.centroidLines — the reference's on-disk centroid
+    // byte format (KMeans.java:516-526: cid\tv1..vd\tid1|id2|…|\t-n) —
+    // over a FirstK(4) clustering of exact INTEGER-VALUED features
+    // (n_chars, token count), so every vector component formats
+    // identically in both engines ("157.0") and the byte format is
+    // hash-gated, not just spec-gated (VERDICT r10 item 4). One row
+    // per centroid line.
+    "q_centroid_format" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(
+        col("doc_id"),
+        array(col("n_chars").cast("double"),
+          size(split(col("text"), " ")).cast("double")).as("fv"))
+      val cents = KMeans.initCentroids(docs, "doc_id", "fv", FirstK(4))
+      val assigned = KMeans.assign(docs, "fv", cents)
+      val memb = GeneIO.membership(assigned, "doc_id", "cluster")
+      import s.implicits._
+      GeneIO.centroidLines(cents, memb).toDF("line")
+    }),
+
+    // ── op 12: k-means‖ init (Bahmani VLDB'12), driver rows-gate ────
+    // The oversampling coin compares an md5 unit against l·d²/cost
+    // where cost is a DISTRIBUTED FP sum — partial-agg order makes the
+    // acceptance set non-replayable in SQL (documented; KMeansSpec
+    // pins the full candidate sequence bit-for-bit at fixed local
+    // partitioning). This row puts the final chosen k centroids under
+    // the driver's rows-only check so the §2 sub-feature has a gate
+    // row at all (VERDICT r10 item 6). No oracleSql by design.
+    "q_kmeans_parallel" -> ((s, dir) => {
+      val cents = KMeans.initCentroids(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", KMeans.Parallel(4, seed = 42L, rounds = 3))
+      import s.implicits._
+      cents.toSeq.flatMap { case (cid, v) =>
+        v.zipWithIndex.map { case (x, i) => (cid, i + 1, x) }
+      }.toDF("cluster", "pos", "val")
+    }),
+
     // ── op 17: PCA — the distributed covariance stage ───────────────
     // (i, j, cov) upper triangle via the sorted-fold parity twin; the
     // scale path is PCA.moments (one GramAgg pass), equality pinned in
@@ -400,10 +437,15 @@ object SparkEntry {
     // ── ML: signed random projection (±1 JL sketch, 64 → 8 dims) ────
     // Rowwise DotExpr dots against md5-derived plan-literal sign
     // vectors — no side input, no shuffle, oracle regenerates the
-    // matrix bit-for-bit.
+    // matrix bit-for-bit. The 8 components are emitted as SCALAR
+    // double columns (not array<double>): the driver's comparator
+    // sorts cells with pandas, which cannot hash array values
+    // (CORRECTNESS_r10 q_rand_proj err).
     "q_rand_proj" -> ((s, dir) => {
-      Similarity.randomProjection(Tables(s, dir, "embeddings"),
+      val r = Similarity.randomProjection(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", inDim = 64, outDim = 8)
+      r.select(col("vec_id") +:
+        (0 until 8).map(j => element_at(col("proj"), j + 1).as(s"proj_$j")): _*)
     }),
 
     // ── LLM-pipeline: product-quantization encode (m=4 × k=16) ──────
@@ -2883,9 +2925,15 @@ object SparkEntry {
     // ── text: inverted-index head (bounded posting lists) ───────────
     // TopKAgg (score = −id) ships ≤ maxPostings pairs per term per
     // task — hot stopword terms never materialize corpus-sized lists.
+    // Postings render as a comma string (the q_pq_encode convention):
+    // the driver's pandas comparator cannot hash array cells
+    // (CORRECTNESS_r10 q_inverted err).
     "q_inverted" -> ((s, dir) => {
       TextAnalysis.invertedIndex(Tables(s, dir, "documents"), "doc_id", "text",
-        maxPostings = 100)
+          maxPostings = 100)
+        .select(col("term"), col("df"),
+          array_join(transform(col("postings"), p => p.cast("string")), ",")
+            .as("postings"))
     }),
 
     // ── relational: explicit GROUPING SETS (the cube/rollup sibling) ─
@@ -4414,10 +4462,10 @@ object SparkEntry {
         val arr = (1 to 64).map(i =>
           if (Similarity.projSign(j, i) > 0) "1.0" else "-1.0")
           .mkString("[", ", ", "]")
-        s"list_sum(list_transform(list_zip(embedding::DOUBLE[], $arr), q -> q[1]*q[2]))"
+        s"list_sum(list_transform(list_zip(embedding::DOUBLE[], $arr), q -> q[1]*q[2])) AS proj_${j - 1}"
       }.mkString(",\n       ")
       s"""SELECT vec_id,
-         |      [$dims] AS proj
+         |       $dims
          |FROM embeddings""".stripMargin
     },
 
@@ -5144,6 +5192,40 @@ object SparkEntry {
          |SELECT cluster, count(*) AS n,
          |       string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS members
          |FROM a GROUP BY cluster""".stripMargin,
+
+    // Replays the reference centroid byte format end-to-end: FirstK(4)
+    // seeds renumbered in doc_id order, exact-integer argmin assign
+    // (tie -> lowest cid), sorted '|'-joined membership, '-n' count
+    // suffix. All vector components are integer-valued doubles, so
+    // CAST(v AS VARCHAR) == Java Double.toString ("157.0") on both
+    // engines — the byte format itself is under the hash gate.
+    "q_centroid_format" ->
+      """WITH f AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS v1,
+        |                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS v2
+        |           FROM documents),
+        |c AS (SELECT row_number() OVER (ORDER BY doc_id) AS cid, v1, v2
+        |      FROM (SELECT * FROM f ORDER BY doc_id LIMIT 4)),
+        |d AS (SELECT f.doc_id, c.cid,
+        |             (f.v1 - c.v1) * (f.v1 - c.v1)
+        |             + (f.v2 - c.v2) * (f.v2 - c.v2) AS dist
+        |      FROM f CROSS JOIN c),
+        |a AS (SELECT doc_id, cid
+        |      FROM (SELECT doc_id, cid,
+        |                   row_number() OVER (PARTITION BY doc_id
+        |                                      ORDER BY dist, cid) AS rn
+        |            FROM d)
+        |      WHERE rn = 1),
+        |m AS (SELECT cid,
+        |             string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id)
+        |               || '|' AS ids,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM a GROUP BY cid)
+        |SELECT CAST(c.cid AS VARCHAR) || chr(9)
+        |       || CAST(c.v1 AS VARCHAR) || chr(9) || CAST(c.v2 AS VARCHAR)
+        |       || CASE WHEN m.cid IS NULL THEN ''
+        |               ELSE chr(9) || m.ids || chr(9) || '-' || CAST(m.n AS VARCHAR)
+        |          END AS line
+        |FROM c LEFT JOIN m ON m.cid = c.cid""".stripMargin,
 
     "q_pca_cov" ->
       """WITH x AS (
@@ -6070,10 +6152,14 @@ object SparkEntry {
          |rr AS (SELECT arm, b, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS rate
          |       FROM rates WHERE den > 0),
          |rk AS (SELECT arm, rate,
-         |              row_number() OVER (PARTITION BY arm ORDER BY rate, b) AS rn
+         |              row_number() OVER (PARTITION BY arm ORDER BY rate, b) AS rn,
+         |              count(*) OVER (PARTITION BY arm) AS bn
          |       FROM rr),
-         |ci AS (SELECT arm, min(CASE WHEN rn = 3 THEN rate END) AS ci_lo,
-         |              min(CASE WHEN rn = 98 THEN rate END) AS ci_hi
+         |ci AS (SELECT arm,
+         |              min(CASE WHEN rn = greatest((bn * 25 + 999) // 1000, 1)
+         |                  THEN rate END) AS ci_lo,
+         |              min(CASE WHEN rn = bn + 1 - greatest((bn * 25 + 999) // 1000, 1)
+         |                  THEN rate END) AS ci_hi
          |       FROM rk GROUP BY 1),
          |pt AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
          |              CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rate
@@ -6179,10 +6265,14 @@ object SparkEntry {
         |       FROM d JOIN st ON st.k = d.k)
         |SELECT event_type, day, cnt, r FROM sc WHERE abs(r) > 2.0""".stripMargin,
 
+    // NULLS FIRST pins DuckDB to Spark's ASC-window default, so a
+    // NULL-valued row (cumeDistByKey keeps them, null-safe join)
+    // would get the same cd = nulls_in_key / rows_in_key both sides.
     "q_cume_dist" ->
       """SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
         |       cume_dist() OVER (PARTITION BY event_type
-        |                         ORDER BY CAST(round(value * 100) AS BIGINT)) AS cd
+        |                         ORDER BY CAST(round(value * 100) AS BIGINT)
+        |                           NULLS FIRST) AS cd
         |FROM events""".stripMargin,
 
     "q_autocorr" ->
@@ -7113,7 +7203,8 @@ object SparkEntry {
       """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
         |           FROM documents)
         |SELECT term, CAST(count(*) AS BIGINT) AS df,
-        |       (list_sort(list(doc_id)))[1:100] AS postings
+        |       array_to_string(list_transform((list_sort(list(doc_id)))[1:100],
+        |                                      v -> CAST(v AS VARCHAR)), ',') AS postings
         |FROM t GROUP BY term""".stripMargin,
 
     "q_grouping_sets" ->
@@ -7484,9 +7575,11 @@ object SparkEntry {
         |            - CAST(ng AS DOUBLE) * CAST(ns AS DOUBLE) / CAST(nn.n AS DOUBLE))
         |         / (CAST(ng AS DOUBLE) * CAST(ns AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS t
         |  FROM grid CROSS JOIN nn)
-        |SELECT nn.n AS n_rows, g2.k AS n_groups, g2.k - 1 AS dof, ch.chi2
+        |SELECT nn.n AS n_rows, g2.k AS n_groups,
+        |       (g2.k - 1) * (s2.k - 1) AS dof, ch.chi2
         |FROM nn
         |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS k FROM gt) g2
+        |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS k FROM st) s2
         |CROSS JOIN (SELECT list_reduce(list_sort(list(t)), (x, y) -> x + y) AS chi2
         |            FROM terms) ch""".stripMargin,
 

@@ -1669,7 +1669,11 @@ object Curation {
     * e.g. price points, not rows), and one compact-key hash join back
     * over the scan. cd = (rows ≤ this value) / (rows in key) — two
     * exact longs, one division, matching the engines' own cume_dist
-    * definition bit-for-bit.
+    * definition bit-for-bit. NULL keys/values follow the engine
+    * window default (ASC = NULLS FIRST): a NULL value group gets
+    * cd = nulls_in_key / rows_in_key, and the join back is
+    * null-safe (<=>) so no input row silently disappears (ADVICE
+    * r10 — the previous plain equi-join dropped NULL-valued rows).
     *
     * Output: input columns + cd. */
   def cumeDistByKey(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
@@ -1681,9 +1685,10 @@ object Curation {
     val cds = counts
       .withColumn("__cum", sum(col("__c")).over(cum))
       .withColumn("__n", sum(col("__c")).over(whole))
-      .select(col(keyCol), col(valCol),
+      .select(col(keyCol).as("__cd_k"), col(valCol).as("__cd_v"),
         (col("__cum").cast("double") / col("__n").cast("double")).as("cd"))
-    df.join(cds, Seq(keyCol, valCol))
+    df.join(cds, col(keyCol) <=> col("__cd_k") && col(valCol) <=> col("__cd_v"))
+      .drop("__cd_k", "__cd_v")
   }
 
   /** Filter-funnel audit: how many rows survive each PREFIX of a

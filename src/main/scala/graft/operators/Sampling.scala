@@ -223,13 +223,18 @@ object Sampling {
       .crossJoin(broadcast(nTot))
     val e = col("ng").cast("double") * col("ns").cast("double") / col("n").cast("double")
     val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
-    grid.select(col("n"), col("g"), term.as("__t"))
+    // dof of a g×s table is (g−1)(s−1): when only one split level
+    // materializes (extreme testFrac / tiny input) dof is 0, not
+    // g−1 — the offline chi2-vs-critical-value comparison the
+    // docstring prescribes needs the true dof (ADVICE r10).
+    grid.select(col("n"), col("g"), col("split"), term.as("__t"))
       .groupBy(col("n"))
       .agg(countDistinct(col("g")).cast("long").as("n_groups"),
+        countDistinct(col("split")).cast("long").as("__n_splits"),
         graft.functions.VectorOps.foldSum(array_sort(collect_list(col("__t"))))
           .as("chi2"))
       .select(col("n").as("n_rows"), col("n_groups"),
-        (col("n_groups") - 1L).as("dof"), col("chi2"))
+        ((col("n_groups") - 1L) * (col("__n_splits") - 1L)).as("dof"), col("chi2"))
   }
 
   /** Cumulative Poisson(1) CDF thresholds, computed once DRIVER-side
@@ -261,9 +266,12 @@ object Sampling {
     * deterministic: a unit's weight in replicate r is
     * Poisson(1)(md5-unit of "id:r") — no rng state, repartition-
     * stable, reproduced by the oracle bit-for-bit. Point rate + the
-    * discrete [2.5%, 97.5%]-style CI from `b` replicates (rank
-    * ceil(0.025·b) and its mirror on the (rate, replicate)-sorted
-    * replicate rates).
+    * discrete [2.5%, 97.5%]-style CI from the SURVIVING replicates
+    * (rank ceil(0.025·b') and its mirror on the (rate, replicate)-
+    * sorted replicate rates, where b' = replicates whose resampled
+    * arm weight is non-zero — for a tiny arm a Poisson resample can
+    * drop every unit, and ranking against the nominal b would leave
+    * ci_hi silently NULL; ADVICE r10).
     *
     * Scale shape: ONE bounded ×b generator explode over the
     * unit-grain relation (b ≤ 200 — hoppingByType's bounded-explode
@@ -274,8 +282,6 @@ object Sampling {
   def bootstrapConversionCI(df: DataFrame, idCol: String, armCol: String,
                             convCol: String, b: Int = 100): DataFrame = {
     require(b >= 10 && b <= 200, s"b must be in [10, 200], got $b")
-    val loRank = math.max((b * 25 + 999) / 1000, 1)
-    val hiRank = b + 1 - loRank
     val rep = df.select(col(armCol).as("arm"), col(convCol).cast("long").as("__c"),
         col(idCol).cast("string").as("__id"))
       .withColumn("__b", explode(sequence(lit(1), lit(b))))
@@ -289,7 +295,15 @@ object Sampling {
         (col("__num").cast("double") / col("__den").cast("double")).as("__rate"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("arm").orderBy(col("__rate"), col("__b"))
-    val ci = rates.withColumn("__rn", row_number().over(w))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("arm")
+    // rank cutoffs from the per-arm surviving count b' (exact long
+    // arithmetic: ceil(b'/40) = (b'*25+999) div 1000)
+    val loRank = greatest(
+      ((col("__bn") * 25L + 999L) / lit(1000L)).cast("long"), lit(1L))
+    val hiRank = col("__bn") + 1L - loRank
+    val ci = rates
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__bn", count(lit(1)).over(wn).cast("long"))
       .groupBy(col("arm"))
       .agg(min(when(col("__rn") === loRank, col("__rate"))).as("ci_lo"),
         min(when(col("__rn") === hiRank, col("__rate"))).as("ci_hi"))

@@ -884,7 +884,8 @@ class CurationSpec extends AnyFunSuite {
       (5L, "b", 5L)
     ).toDF("id", "k", "v")
     val got = Curation.cumeDistByKey(df, "k", "v")
-      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+      .select("id", "cd")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // key a: v=10 → 2/4, v=20 → 3/4, v=30 → 4/4; key b singleton → 1
     assert(got(1L) === 0.5 && got(2L) === 0.5)
     assert(got(3L) === 0.75)
@@ -893,10 +894,35 @@ class CurationSpec extends AnyFunSuite {
     // parity with the built-in window (the definition being decomposed)
     val builtin = df.withColumn("cd", org.apache.spark.sql.functions.cume_dist()
         .over(org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v")))
-      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
-    val ours = Curation.cumeDistByKey(df, "k", "v")
-      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
-    assert(builtin === ours)
+      .select("id", "cd")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(builtin === got)
+  }
+
+  test("cumeDistByKey keeps NULL-valued rows (null-safe join; ASC = NULLS FIRST)") {
+    // ADVICE r10: the old plain equi-join silently DROPPED rows whose
+    // value (or key) was NULL. Contract now: NULLs order first (the
+    // Spark window default), so cd(null) = nulls_in_key / rows_in_key,
+    // and every input row survives.
+    val df = Seq(
+      (1L, Some("a"), Some(10L)), (2L, Some("a"), None), (3L, Some("a"), Some(20L)),
+      (4L, None, Some(7L))
+    ).toDF("id", "k", "v")
+    val out = Curation.cumeDistByKey(df, "k", "v")
+    assert(out.count() === 4L, "no input row may disappear")
+    val got = out.select("id", "cd")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // key a: NULL first → 1/3; v=10 → 2/3; v=20 → 3/3. NULL key: 1/1.
+    assert(got(2L) === 1.0 / 3.0)
+    assert(got(1L) === 2.0 / 3.0)
+    assert(got(3L) === 1.0)
+    assert(got(4L) === 1.0)
+    // parity with the built-in window on the same nullable input
+    val builtin = df.withColumn("cd", org.apache.spark.sql.functions.cume_dist()
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v")))
+      .select("id", "cd")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(builtin === got)
   }
 
   test("filterFunnel: stages compose by AND; NULL predicate counts as fail") {

@@ -210,4 +210,32 @@ class SamplingSpec extends AnyFunSuite {
       assert(hi - lo < 0.2, s"arm $arm: CI implausibly wide [$lo, $hi]")
     }
   }
+
+  test("bootstrapConversionCI: a 1-unit arm (dropped replicates) still gets both bounds") {
+    // ADVICE r10: a single-unit arm loses ~37% of its replicates to
+    // zero Poisson weight; ranking against the NOMINAL b left ci_hi
+    // silently NULL. The cutoffs now come from the surviving count.
+    val per = ((1L to 50L).map(i => (i, "big", if (i % 5 == 0) 1L else 0L))
+      :+ ((999L, "tiny", 1L))).toDF("id", "arm", "conv")
+    val rows = Sampling.bootstrapConversionCI(per, "id", "arm", "conv", b = 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val tiny = rows("tiny")
+    assert(!tiny.isNullAt(3) && !tiny.isNullAt(4),
+      "both CI bounds must materialize even when replicates drop")
+    // every surviving replicate of the all-converting unit has rate 1
+    assert(tiny.getDouble(3) === 1.0 && tiny.getDouble(4) === 1.0)
+    val big = rows("big")
+    assert(!big.isNullAt(3) && !big.isNullAt(4))
+    assert(big.getDouble(3) <= big.getDouble(2) && big.getDouble(2) <= big.getDouble(4))
+  }
+
+  test("splitBalanceChi2: dof is (g-1)(s-1) — zero when one split level materializes") {
+    // ADVICE r10: with an extreme testFrac only 'train' materializes;
+    // the true dof of the g×1 table is 0 (and chi2 is 0), not g−1.
+    val df = (1L to 60L).map(i => (i, s"s${i % 3}")).toDF("id", "g")
+    val row = Sampling.splitBalanceChi2(df, "id", "g", testFrac = 1e-12).collect()(0)
+    assert(row.getLong(1) === 3L, "three groups")
+    assert(row.getLong(2) === 0L, "g×1 table has zero degrees of freedom")
+    assert(row.getDouble(3) === 0.0, "observed == expected when s=1")
+  }
 }
