@@ -1,0 +1,529 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ClusterMetrics, Curation, Dedup, Events, Graph, KMeans, Multimodal, PCA, Sampling, Similarity, Skew, TemporalJoins, TextAnalysis, Tokenizer}
+import graft.functions.VectorOps
+import graft.sources.GeneIO
+import graft.streaming.{DedupStream, EventStream}
+import graft.EntryHelpers._
+
+/** Graph analytics over the shared near-dup edge fixture: traversals, centralities, components, link prediction.
+  *
+  * One slice of the driver contract, split out of the former
+  * monolithic SparkEntry maps (VERDICT r10 item 7) purely for
+  * compile-time and review tractability — SparkEntry.queries /
+  * .oracleSql concatenate the slices; entry text is unchanged. */
+private[graft] object EntryGraph {
+
+  import KMeans.{FirstK, ExplicitIds}
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── graph: multi-source BFS hop distance ────────────────────────
+    // Seeds = every near-dup-graph node with doc id ≡ 0 (mod 7);
+    // dist = min hops from any seed, capped at 4. Level-synchronous
+    // frontier BFS — per hop one frontier×edges join + anti vs the
+    // visited set, never the whole graph; the oracle replays it as a
+    // bounded recursive CTE with min(d) per node.
+    "q_bfs_dist" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      val nodes = pairs.select(col("id1").as("id"))
+        .union(pairs.select(col("id2").as("id"))).distinct()
+      val seeds = nodes.filter(col("id") % 7 === 0)
+      Graph.bfsDistance(edges, seeds, "id", maxHops = 4)
+    }),
+
+
+    // ── graph: landmark closeness centrality (5-seed panel) ─────────
+    // Per-seed BFS distances carried through the frontier; closeness
+    // = n_reached / sum_dist, one division of exact longs.
+    "q_closeness" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      val nodes = pairs.select(col("id1").as("id"))
+        .union(pairs.select(col("id2").as("id"))).distinct()
+      Graph.closenessBounded(edges, nodes.orderBy("id").limit(5), "id", maxHops = 4)
+    }),
+
+
+    // ── graph: hop-bounded weighted shortest paths ──────────────────
+    // Same seeds as q_bfs_dist but edges weighted by dissimilarity
+    // (round((1-sim)·1000)+1 — exact longs), maxHops=4 Bellman-Ford
+    // rounds; the oracle enumerates ≤4-hop paths recursively and
+    // takes min(cost). dist(v) = cheapest ≤4-edge path from any seed.
+    "q_sssp" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select(col("id1"), col("id2"),
+        (round((lit(1.0) - col("sim")) * 1000).cast("long") + 1L).as("w"))
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"), col("w"))
+      val nodes = pairs.select(col("id1").as("id"))
+        .union(pairs.select(col("id2").as("id"))).distinct()
+      val seeds = nodes.filter(col("id") % 7 === 0)
+      Graph.ssspBounded(edges, seeds, "id", maxHops = 4)
+    }),
+
+
+    // ── graph: PageRank (3 fixed rounds) on the near-dup graph ──────
+    // Rank = how centrally a doc sits in its duplicate neighborhood;
+    // sorted-fold contributions for the bit-exact gate.
+    "q_pagerank" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      Graph.pageRank(pairs, "id1", "id2", iters = 3, damping = 0.85,
+        undirected = true, sortedFold = true)
+    }),
+
+
+    // ── graph: semi-supervised label completion over near-dups ──────
+    // Docs with id ≡ 0 (mod 3) keep their lang as clamped seeds; the
+    // rest inherit the neighborhood mode over 2 rounds — metadata
+    // in-fill on the premise that near-duplicates share it. Nodes
+    // that never see a labeled neighbor stay NULL (visibly
+    // un-inferred).
+    "q_label_complete" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      val seeds = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("lang"))
+      Graph.labelComplete(pairs, "id1", "id2", seeds, "doc_id", "lang", rounds = 2)
+    }),
+
+
+    // ── graph: HITS hubs & authorities on the purchase bipartite ────
+    // Directed customer→part edges from orders ⋈ lineitem (ids
+    // remapped to disjoint ranges: cust·2, part·2+1); 2 mutual-
+    // reinforcement rounds, unnormalized (rank-invariant), sorted-fold
+    // parity like q_pagerank.
+    "q_hits" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      Graph.hits(e, "src", "dst", iters = 2, sortedFold = true)
+    }),
+
+
+    // ── graph: degree histogram of the near-dup graph ───────────────
+    "q_degree_hist" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      Graph.degreeHistogram(pairs, "id1", "id2")
+    }),
+
+
+    // ── graph: per-vertex triangles + clustering coefficient ────────
+    // Degree-oriented wedge counting (Suri & Vassilvitskii WWW'11)
+    // over the near-dup graph — near-dup clusters are clique-ish, so
+    // triangles exist and the gate is non-vacuous.
+    "q_triangles" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      Graph.triangleCounts(pairs, "id1", "id2")
+    }),
+
+
+    // ── graph: personalized PageRank from the 5 lowest node ids ─────
+    // Teleport restricted to the seed set (Haveliwala'02) — proximity
+    // mass, not global centrality; sortedFold for the bit-exact gate.
+    "q_ppr" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      val nodes = pairs.select(col("id1").as("id"))
+        .union(pairs.select(col("id2").as("id"))).distinct()
+      Graph.personalizedPageRank(pairs, nodes.orderBy("id").limit(5), "id",
+        "id1", "id2", iters = 3, sortedFold = true)
+    }),
+
+
+    // ── graph: duplicate-cluster size histogram ─────────────────────
+    // The "how big are my dup clusters" curation summary: component
+    // sizes, then components per size — two tiny aggs on q_components.
+    "q_comp_sizes" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      Dedup.connectedComponents(pairs)
+        .groupBy("component").agg(count(lit(1)).cast("long").as("size"))
+        .groupBy("size").agg(count(lit(1)).cast("long").as("n_components"))
+    }),
+
+
+    // ── graph: 2-core of the near-dup graph (bounded peeling) ───────
+    // 3 peel rounds, matching the oracle's unroll; the graph's
+    // triangles guarantee a non-empty core.
+    "q_kcore" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      Graph.kCore(pairs, "id1", "id2", k = 2, rounds = 3)
+    }),
+
+
+    // ── graph: degree assortativity of the near-dup graph ───────────
+    "q_assortativity" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      Graph.assortativity(pairs, "id1", "id2")
+    }),
+
+
+    // ── events: item co-occurrence (users who did A also did B) ─────
+    "q_cooccur" -> ((s, dir) => {
+      Events.coOccurrence(Tables(s, dir, "events"), "user_id", "event_type",
+        minUsers = 2)
+    }),
+
+
+    // ── graph: common-neighbor link prediction on the winnow graph ──
+    // Edge source = winnow fingerprint-sharing pairs (the q_winnow_
+    // pairs relation), NOT the minhash near-dup graph: verified
+    // near-dup clusters are cliques by construction (every pair over
+    // the sim threshold IS an edge), so they have no non-adjacent
+    // pairs with common neighbors and the gate was vacuous (ADVICE
+    // r8: 0 rows both sides). Fingerprint co-occurrence is not
+    // transitive, so this graph has genuine open wedges — 18k+
+    // scored candidate rows at the sf0.01 gate.
+    "q_link_pred" -> ((s, dir) => {
+      val pairs = Dedup.winnowNearDup(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, minShared = 10, maxDocsPerFp = 100).select("id1", "id2")
+      Graph.commonNeighbors(pairs, "id1", "id2", minCommon = 1L)
+    }),
+
+
+    // ── graph: label-propagation communities (2 sync rounds) ────────
+    "q_label_prop" -> ((s, dir) => {
+      val pairs = nearDupPairs05(s, dir).select("id1", "id2")
+      Graph.labelPropagation(pairs, "id1", "id2", rounds = 2)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_comp_sizes" ->
+      s"""WITH $sqlNearDupReach,
+         |c AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+         |       FROM c GROUP BY 1)
+         |SELECT size, CAST(count(*) AS BIGINT) AS n_components
+         |FROM sz GROUP BY 1""".stripMargin,
+
+
+    "q_bfs_dist" ->
+      s"""WITH RECURSIVE $sqlNearDupEdges,
+         |seeds AS (SELECT DISTINCT src AS id FROM edges WHERE src % 7 = 0),
+         |walk(id, d) AS (
+         |  SELECT id, 0 FROM seeds
+         |  UNION
+         |  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.id WHERE w.d < 4
+         |)
+         |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id""".stripMargin,
+
+
+    // per-seed walk (seed carried through the recursion), min per
+    // (id, seed), then the exact-long closeness fold
+    "q_closeness" ->
+      s"""WITH RECURSIVE $sqlNearDupEdges,
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |sd AS (SELECT id FROM nodes ORDER BY id LIMIT 5),
+         |walk(id, seed, d) AS (
+         |  SELECT id, id, 0 FROM sd
+         |  UNION
+         |  SELECT e.dst, w.seed, w.d + 1
+         |  FROM walk w JOIN edges e ON e.src = w.id WHERE w.d < 4
+         |),
+         |md AS (SELECT id, seed, min(d) AS d FROM walk GROUP BY 1, 2)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_reached,
+         |       CAST(sum(d) AS BIGINT) AS sum_dist,
+         |       CASE WHEN sum(d) > 0
+         |            THEN CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) END AS closeness
+         |FROM md GROUP BY id""".stripMargin,
+
+
+    "q_assortativity" ->
+      s"""WITH $sqlNearDupEdges,
+         |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |      FROM edges WHERE src <> dst),
+         |s AS (SELECT a, b FROM u UNION ALL SELECT b, a FROM u),
+         |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d FROM s GROUP BY a),
+         |j AS (SELECT x.d AS da, y.d AS db FROM s
+         |      JOIN deg x ON x.id = s.a JOIN deg y ON y.id = s.b),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+         |              CAST(sum(da * db) AS BIGINT) AS sxy,
+         |              CAST(sum(da) AS BIGINT) AS sx,
+         |              CAST(sum(db) AS BIGINT) AS sy,
+         |              CAST(sum(da * da) AS BIGINT) AS sxx,
+         |              CAST(sum(db * db) AS BIGINT) AS syy
+         |       FROM j)
+         |SELECT m2 // 2 AS m_edges,
+         |       CASE WHEN m2 > 0
+         |                 AND CAST(m2 * sxx - sx * sx AS DOUBLE) > 0
+         |                 AND CAST(m2 * syy - sy * sy AS DOUBLE) > 0
+         |            THEN CAST(m2 * sxy - sx * sy AS DOUBLE)
+         |                 / sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)
+         |                        * CAST(m2 * syy - sy * sy AS DOUBLE)) END AS r
+         |FROM ag""".stripMargin,
+
+
+    "q_cooccur" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u, event_type AS i FROM events),
+        |p AS (SELECT a.i AS item1, b.i AS item2
+        |      FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i)
+        |SELECT item1, item2, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY item1, item2 HAVING count(*) >= 2""".stripMargin,
+
+
+    "q_link_pred" ->
+      s"""WITH $sqlWinnowMins,
+         |fp0 AS (SELECT doc_id, unnest(list_distinct(mins)) AS f FROM mins),
+         |hot AS (SELECT f FROM fp0 GROUP BY f HAVING count(*) > 100),
+         |fp AS (SELECT * FROM fp0 WHERE f NOT IN (SELECT f FROM hot)),
+         |edges AS (SELECT x.doc_id AS src, y.doc_id AS dst
+         |          FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 10),
+         |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |      FROM edges WHERE src <> dst),
+         |s AS (SELECT a, b FROM u UNION ALL SELECT b, a FROM u),
+         |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d FROM s GROUP BY a),
+         |w AS (SELECT s1.b AS u2, s2.b AS v2, CAST(count(*) AS BIGINT) AS cn
+         |      FROM s s1 JOIN s s2 ON s1.a = s2.a AND s1.b < s2.b
+         |      GROUP BY 1, 2 HAVING count(*) >= 1),
+         |na AS (SELECT w.* FROM w LEFT JOIN u ON u.a = w.u2 AND u.b = w.v2
+         |       WHERE u.a IS NULL)
+         |SELECT na.u2 AS id1, na.v2 AS id2, na.cn,
+         |       CAST(na.cn AS DOUBLE) / (x.d + y.d - na.cn) AS jaccard
+         |FROM na JOIN deg x ON x.id = na.u2 JOIN deg y ON y.id = na.v2""".stripMargin,
+
+
+    "q_kcore" ->
+      s"""WITH $sqlNearDupEdges,
+         |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM edges WHERE src <> dst),
+         |s0 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         |d1 AS (SELECT a, count(*) AS c FROM s0 GROUP BY a),
+         |k1 AS (SELECT a FROM d1 WHERE c >= 2),
+         |s1 AS (SELECT s.a, s.b FROM s0 s
+         |       JOIN k1 x ON s.a = x.a JOIN k1 y ON s.b = y.a),
+         |d2 AS (SELECT a, count(*) AS c FROM s1 GROUP BY a),
+         |k2 AS (SELECT a FROM d2 WHERE c >= 2),
+         |s2 AS (SELECT s.a, s.b FROM s1 s
+         |       JOIN k2 x ON s.a = x.a JOIN k2 y ON s.b = y.a),
+         |d3 AS (SELECT a, count(*) AS c FROM s2 GROUP BY a),
+         |k3 AS (SELECT a FROM d3 WHERE c >= 2),
+         |s3 AS (SELECT s.a, s.b FROM s2 s
+         |       JOIN k3 x ON s.a = x.a JOIN k3 y ON s.b = y.a)
+         |SELECT a AS id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM s3 GROUP BY a""".stripMargin,
+
+
+    "q_triangles" ->
+      s"""WITH $sqlNearDupEdges,
+         |undup AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |          FROM edges WHERE src <> dst),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+         |          SELECT a AS id FROM undup UNION ALL SELECT b FROM undup)
+         |        GROUP BY id),
+         |o AS (
+         |  SELECT CASE WHEN da.degree < db.degree
+         |                   OR (da.degree = db.degree AND u.a < u.b)
+         |              THEN u.a ELSE u.b END AS lo,
+         |         CASE WHEN da.degree < db.degree
+         |                   OR (da.degree = db.degree AND u.a < u.b)
+         |              THEN u.b ELSE u.a END AS hi
+         |  FROM undup u
+         |  JOIN deg da ON da.id = u.a
+         |  JOIN deg db ON db.id = u.b),
+         |w AS (SELECT o1.lo, o1.hi AS x, o2.hi AS y
+         |      FROM o o1 JOIN o o2 ON o1.lo = o2.lo AND o1.hi < o2.hi),
+         |closing AS (SELECT lo AS x, hi AS y FROM o
+         |            UNION ALL SELECT hi, lo FROM o),
+         |t AS (SELECT w.lo, w.x, w.y
+         |      FROM w JOIN closing c ON c.x = w.x AND c.y = w.y),
+         |pv AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+         |         SELECT lo AS id FROM t
+         |         UNION ALL SELECT x FROM t
+         |         UNION ALL SELECT y FROM t) GROUP BY id)
+         |SELECT d.id, d.degree,
+         |       COALESCE(pv.triangles, 0) AS triangles,
+         |       CASE WHEN d.degree >= 2
+         |            THEN CAST(COALESCE(pv.triangles, 0) * 2 AS DOUBLE)
+         |                 / (d.degree * (d.degree - 1)) END AS clustering
+         |FROM deg d LEFT JOIN pv USING (id)""".stripMargin,
+
+
+    "q_pagerank" ->
+      s"""WITH $sqlNearDupEdges,
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+         |        FROM edges GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |r0 AS (SELECT id, CAST(1 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS pr
+         |       FROM deg CROSS JOIN nn),
+         |r1 AS (
+         |  SELECT e.dst AS id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+         |           + CAST(0.85 AS DOUBLE) *
+         |             list_reduce(list_sort(list(r.pr / d.degree)), (acc, x) -> acc + x) AS pr
+         |  FROM edges e JOIN r0 r ON r.id = e.src JOIN deg d ON d.id = e.src
+         |  CROSS JOIN nn GROUP BY e.dst, nn.n
+         |),
+         |r2 AS (
+         |  SELECT e.dst AS id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+         |           + CAST(0.85 AS DOUBLE) *
+         |             list_reduce(list_sort(list(r.pr / d.degree)), (acc, x) -> acc + x) AS pr
+         |  FROM edges e JOIN r1 r ON r.id = e.src JOIN deg d ON d.id = e.src
+         |  CROSS JOIN nn GROUP BY e.dst, nn.n
+         |),
+         |r3 AS (
+         |  SELECT e.dst AS id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+         |           + CAST(0.85 AS DOUBLE) *
+         |             list_reduce(list_sort(list(r.pr / d.degree)), (acc, x) -> acc + x) AS pr
+         |  FROM edges e JOIN r2 r ON r.id = e.src JOIN deg d ON d.id = e.src
+         |  CROSS JOIN nn GROUP BY e.dst, nn.n
+         |)
+         |SELECT r3.id, r3.pr, d.degree FROM r3 JOIN deg d ON d.id = r3.id""".stripMargin,
+
+
+    // the q_pagerank unroll with the teleport restricted to the 5
+    // lowest node ids: s(v) = 1/5 on seeds else 0, pr0 = s, and the
+    // per-node teleport term 0.15·s(v) — same sorted-fold exactness
+    "q_ppr" ->
+      s"""WITH $sqlNearDupEdges,
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+         |        FROM edges GROUP BY src),
+         |sd AS (SELECT id FROM deg ORDER BY id LIMIT 5),
+         |sv AS (SELECT deg.id, deg.degree,
+         |              CASE WHEN sd.id IS NOT NULL
+         |                   THEN CAST(1 AS DOUBLE) / 5 ELSE CAST(0 AS DOUBLE) END AS s
+         |       FROM deg LEFT JOIN sd ON sd.id = deg.id),
+         |r0 AS (SELECT id, s AS pr FROM sv),
+         |r1 AS (
+         |  SELECT sv.id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * sv.s
+         |           + CAST(0.85 AS DOUBLE) * coalesce(m.s, CAST(0 AS DOUBLE)) AS pr
+         |  FROM sv LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |           list_reduce(list_sort(list(r.pr / d.degree)), (acc, x) -> acc + x) AS s
+         |    FROM edges e JOIN r0 r ON r.id = e.src JOIN deg d ON d.id = e.src
+         |    GROUP BY e.dst) m ON m.id = sv.id
+         |),
+         |r2 AS (
+         |  SELECT sv.id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * sv.s
+         |           + CAST(0.85 AS DOUBLE) * coalesce(m.s, CAST(0 AS DOUBLE)) AS pr
+         |  FROM sv LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |           list_reduce(list_sort(list(r.pr / d.degree)), (acc, x) -> acc + x) AS s
+         |    FROM edges e JOIN r1 r ON r.id = e.src JOIN deg d ON d.id = e.src
+         |    GROUP BY e.dst) m ON m.id = sv.id
+         |),
+         |r3 AS (
+         |  SELECT sv.id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * sv.s
+         |           + CAST(0.85 AS DOUBLE) * coalesce(m.s, CAST(0 AS DOUBLE)) AS pr
+         |  FROM sv LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |           list_reduce(list_sort(list(r.pr / d.degree)), (acc, x) -> acc + x) AS s
+         |    FROM edges e JOIN r2 r ON r.id = e.src JOIN deg d ON d.id = e.src
+         |    GROUP BY e.dst) m ON m.id = sv.id
+         |)
+         |SELECT r3.id, r3.pr, d.degree FROM r3 JOIN deg d ON d.id = r3.id""".stripMargin,
+
+
+    "q_degree_hist" ->
+      s"""WITH $sqlNearDupEdges,
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+         |        FROM edges GROUP BY src)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM deg GROUP BY degree""".stripMargin,
+
+
+    "q_sssp" ->
+      s"""WITH RECURSIVE $sqlNearDupEdges,
+         |wpairs AS (SELECT id1, id2, CAST(round((1 - sim) * 1000) AS BIGINT) + 1 AS w
+         |           FROM simpairs WHERE sim >= 0.5),
+         |wedges AS (
+         |  SELECT id1 AS src, id2 AS dst, w FROM wpairs
+         |  UNION
+         |  SELECT id2 AS src, id1 AS dst, w FROM wpairs
+         |),
+         |sseeds AS (SELECT DISTINCT src AS id FROM wedges WHERE src % 7 = 0),
+         |walk(id, cost, hops) AS (
+         |  SELECT id, CAST(0 AS BIGINT), 0 FROM sseeds
+         |  UNION
+         |  SELECT e.dst, wk.cost + e.w, wk.hops + 1
+         |  FROM walk wk JOIN wedges e ON e.src = wk.id WHERE wk.hops < 4
+         |)
+         |SELECT id, min(cost) AS dist FROM walk GROUP BY id""".stripMargin,
+
+
+    "q_label_prop" ->
+      s"""WITH $sqlNearDupEdges,
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |l0 AS (SELECT id, id AS label FROM nodes),
+         |v1 AS (SELECT e.dst AS id, l.label, count(*) AS c
+         |       FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst, l.label),
+         |l1 AS (SELECT id, label FROM (
+         |         SELECT id, label,
+         |                row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+         |         FROM v1) WHERE rn = 1),
+         |v2 AS (SELECT e.dst AS id, l.label, count(*) AS c
+         |       FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst, l.label),
+         |l2 AS (SELECT id, label FROM (
+         |         SELECT id, label,
+         |                row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+         |         FROM v2) WHERE rn = 1)
+         |SELECT id, label FROM l2""".stripMargin,
+
+
+    "q_label_complete" ->
+      s"""WITH $sqlNearDupEdges,
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |sd AS (SELECT doc_id AS id, lang AS seed FROM documents WHERE doc_id % 3 = 0),
+         |l0 AS (SELECT n.id, sd.seed AS label,
+         |              CAST(CASE WHEN sd.seed IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         |                AS is_seed
+         |       FROM nodes n LEFT JOIN sd ON sd.id = n.id),
+         |v1 AS (SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS c
+         |       FROM edges e JOIN l0 l ON l.id = e.src
+         |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
+         |w1 AS (SELECT dst AS id, label FROM (
+         |         SELECT dst, label,
+         |                row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+         |         FROM v1) WHERE rn = 1),
+         |l1 AS (SELECT l.id,
+         |              CASE WHEN l.is_seed = 1 THEN l.label
+         |                   ELSE coalesce(w.label, l.label) END AS label, l.is_seed
+         |       FROM l0 l LEFT JOIN w1 w ON w.id = l.id),
+         |v2 AS (SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS c
+         |       FROM edges e JOIN l1 l ON l.id = e.src
+         |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
+         |w2 AS (SELECT dst AS id, label FROM (
+         |         SELECT dst, label,
+         |                row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+         |         FROM v2) WHERE rn = 1),
+         |l2 AS (SELECT l.id,
+         |              CASE WHEN l.is_seed = 1 THEN l.label
+         |                   ELSE coalesce(w.label, l.label) END AS label, l.is_seed
+         |       FROM l1 l LEFT JOIN w2 w ON w.id = l.id)
+         |SELECT id, label, is_seed FROM l2""".stripMargin,
+
+
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |           WHERE o_custkey * 2 <> l_partkey * 2 + 1),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |a1s AS (SELECT e.dst AS id,
+        |               list_reduce(list_sort(list(CAST(1 AS DOUBLE))), (x, y) -> x + y) AS s
+        |        FROM e GROUP BY e.dst),
+        |a1 AS (SELECT n.id, coalesce(a1s.s, CAST(0 AS DOUBLE)) AS auth
+        |       FROM nodes n LEFT JOIN a1s ON a1s.id = n.id),
+        |h1s AS (SELECT e.src AS id, list_reduce(list_sort(list(a.auth)), (x, y) -> x + y) AS s
+        |        FROM e JOIN a1 a ON a.id = e.dst GROUP BY e.src),
+        |h1 AS (SELECT n.id, coalesce(h1s.s, CAST(0 AS DOUBLE)) AS hub
+        |       FROM nodes n LEFT JOIN h1s ON h1s.id = n.id),
+        |a2s AS (SELECT e.dst AS id, list_reduce(list_sort(list(h.hub)), (x, y) -> x + y) AS s
+        |        FROM e JOIN h1 h ON h.id = e.src GROUP BY e.dst),
+        |a2 AS (SELECT n.id, coalesce(a2s.s, CAST(0 AS DOUBLE)) AS auth
+        |       FROM nodes n LEFT JOIN a2s ON a2s.id = n.id),
+        |h2s AS (SELECT e.src AS id, list_reduce(list_sort(list(a.auth)), (x, y) -> x + y) AS s
+        |        FROM e JOIN a2 a ON a.id = e.dst GROUP BY e.src),
+        |h2 AS (SELECT n.id, coalesce(h2s.s, CAST(0 AS DOUBLE)) AS hub
+        |       FROM nodes n LEFT JOIN h2s ON h2s.id = n.id)
+        |SELECT a2.id, a2.auth, h2.hub FROM a2 JOIN h2 ON h2.id = a2.id""".stripMargin,
+  )
+}

@@ -1,0 +1,948 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ClusterMetrics, Curation, Dedup, Events, Graph, KMeans, Multimodal, PCA, Sampling, Similarity, Skew, TemporalJoins, TextAnalysis, Tokenizer}
+import graft.functions.VectorOps
+import graft.sources.GeneIO
+import graft.streaming.{DedupStream, EventStream}
+import graft.EntryHelpers._
+
+/** Embedding / vector-search queries: exact and approximate top-k (LSH, IVF, PQ), quantization, projections, mining, geometry audits.
+  *
+  * One slice of the driver contract, split out of the former
+  * monolithic SparkEntry maps (VERDICT r10 item 7) purely for
+  * compile-time and review tractability — SparkEntry.queries /
+  * .oracleSql concatenate the slices; entry text is unchanged. */
+private[graft] object EntryVector {
+
+  import KMeans.{FirstK, ExplicitIds}
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── LLM-pipeline: exact cosine top-k (TopKAgg partial-agg path) ─
+    "q_topk_cosine" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.topKCosine(emb, "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding", k = 10)
+    }),
+
+
+    // ── ML: two-NN distance-ratio quantiles (geometry audit) ────────
+    // Per probe the d2/d1 nearest-neighbor distance ratio (the Facco
+    // et al. two-NN statistic, log-free form): ratios hugging 1 mean
+    // high intrinsic dimension — distances concentrate and ANN recall
+    // degrades. Quartiles over 100 probes via the exact type-7
+    // machinery; TopKAgg (score = −sqdist) bounds the per-task state.
+    "q_twonn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.orderBy("vec_id").limit(100)
+      val scored = emb
+        .select(col("vec_id").cast("long").as("__id"),
+          VectorOps.toDouble(col("embedding")).as("__v"))
+        .crossJoin(broadcast(probes.select(col("vec_id").cast("long").as("probe_id"),
+          VectorOps.toDouble(col("embedding")).as("__pv"))))
+        .filter(col("__id") =!= col("probe_id"))
+        .select(col("probe_id"), col("__id"),
+          (-VectorOps.sqDist(col("__v"), col("__pv"))).as("__ns"))
+      val mu = scored.groupBy("probe_id")
+        .agg(graft.functions.TopKAgg.topK(2, col("__id"), col("__ns")).as("__top"))
+        .select(col("probe_id"), posexplode(col("__top")).as(Seq("__r0", "__p")))
+        .select(col("probe_id"), (col("__r0") + 1).as("__rn"),
+          sqrt(-col("__p._2")).as("__d"))
+        .groupBy("probe_id")
+        .agg(max(when(col("__rn") === 1, col("__d"))).as("__d1"),
+          max(when(col("__rn") === 2, col("__d"))).as("__d2"))
+        .filter(col("__d1") > 0.0)
+        .select(lit("all").as("__k"), (col("__d2") / col("__d1")).as("mu"))
+      Curation.quantilesByKey(mu, "__k", "mu", Seq(0.25, 0.5, 0.75))
+        .select(col("p"), col("q"))
+    }),
+
+
+    // ── ML: hubness histogram (curse-of-dimensionality audit) ───────
+    // How many probes' top-10 lists each point appears in, then the
+    // point-count per occurrence level — a heavy hub tail means
+    // similarity lists collapse onto a few points (Radovanović et
+    // al.), the failure mode LSH/IVF budgets must plan for.
+    "q_hubness" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.orderBy("vec_id").limit(100)
+      Similarity.topKCosine(emb, "vec_id", "embedding",
+          probes, "vec_id", "embedding", k = 10)
+        .groupBy(col("vec_id")).agg(count(lit(1)).cast("long").as("n_lists"))
+        .groupBy(col("n_lists")).agg(count(lit(1)).cast("long").as("n_points"))
+    }),
+
+
+    // ── ML: filtered vector search (metadata predicate + top-k) ─────
+    // The modern ANN shape: exact cosine top-k restricted to rows
+    // passing a metadata filter — the filter prunes BEFORE scoring,
+    // so the corpus pass only reads qualifying vectors.
+    "q_ann_filtered" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.topKCosine(emb.filter(col("label") % 2 === 0),
+        "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding", k = 10)
+    }),
+
+
+    // ── recsys: market-basket item-pair cosine ──────────────────────
+    // Items co-purchased in the same order, cosine-normalized by the
+    // item marginals — the item-item collaborative-filtering table.
+    // coOccurrence's per-basket self-join is bounded by basket size;
+    // the head is a TakeOrdered on (support desc, pair).
+    "q_basket_pairs" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val pairs = Events.coOccurrence(li, "l_orderkey", "l_partkey", minUsers = 1)
+        .withColumnRenamed("n_users", "n_baskets")
+      val items = li.distinct()
+        .groupBy(col("l_partkey").as("__i"))
+        .agg(count(lit(1)).cast("long").as("__ni"))
+      pairs
+        .join(items.select(col("__i").as("item1"), col("__ni").as("__n1")), Seq("item1"))
+        .join(items.select(col("__i").as("item2"), col("__ni").as("__n2")), Seq("item2"))
+        .withColumn("cosine", col("n_baskets").cast("double")
+          / sqrt((col("__n1") * col("__n2")).cast("double")))
+        .orderBy(col("n_baskets").desc, col("item1"), col("item2")).limit(50)
+        .select("item1", "item2", "n_baskets", "cosine")
+    }),
+
+
+    // ── ML: k-NN majority-vote label prediction (embedding audit) ───
+    // 20 probes classified by their 10 exact-cosine neighbors' labels;
+    // the `correct` flag against each probe's own label makes this the
+    // "do labels cluster in this space" audit in one query.
+    "q_knn_label" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.orderBy("vec_id").limit(20)
+      Similarity.knnPredict(emb, "vec_id", "embedding", "label", probes, k = 10)
+        .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+          col("label").as("true_label"))), Seq("probe_id"))
+        .withColumn("correct", (col("pred_label") === col("true_label")).cast("int"))
+    }),
+
+
+    // ── ML: contrastive triplet mining (hard negatives) ─────────────
+    // (anchor, nearest same-label, nearest different-label) rows from
+    // the exact cosine top-50 — the triplet-loss training feed with
+    // negatives mined hard, not sampled.
+    "q_triplets" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.mineTriplets(emb, "vec_id", "embedding", "label",
+        emb.orderBy("vec_id").limit(10), k = 50)
+    }),
+
+
+    // ── ML: signed random projection (±1 JL sketch, 64 → 8 dims) ────
+    // Rowwise DotExpr dots against md5-derived plan-literal sign
+    // vectors — no side input, no shuffle, oracle regenerates the
+    // matrix bit-for-bit. The 8 components are emitted as SCALAR
+    // double columns (not array<double>): the driver's comparator
+    // sorts cells with pandas, which cannot hash array values
+    // (CORRECTNESS_r10 q_rand_proj err).
+    "q_rand_proj" -> ((s, dir) => {
+      val r = Similarity.randomProjection(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", inDim = 64, outDim = 8)
+      r.select(col("vec_id") +:
+        (0 until 8).map(j => element_at(col("proj"), j + 1).as(s"proj_$j")): _*)
+    }),
+
+
+    // ── LLM-pipeline: product-quantization encode (m=4 × k=16) ──────
+    // Codebooks in the oracle-checkable maxIter=0 configuration
+    // (codewords = the 16 lowest-vec_id rows' subvectors, FirstK);
+    // training parity itself is q_kmeans_fit2's job. The encode is
+    // the K-Means argmin per subspace — rowwise, no shuffle.
+    "q_pq_encode" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      Similarity.encodePQ(emb, "embedding", model)
+        .select(col("vec_id"),
+          array_join(transform(col("codes"), c => c.cast("string")), ",").as("codes"))
+    }),
+
+
+    // ── LLM-pipeline: PQ asymmetric-distance top-k over codes ───────
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      val codes = Similarity.encodePQ(emb, "embedding", model).select("vec_id", "codes")
+      Similarity.pqTopK(codes, "vec_id", "codes",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding", model, k = 10)
+    }),
+
+
+    // ── LLM-pipeline: PQ shortlist + exact re-rank ──────────────────
+    // ADC picks 50 candidates per probe from codes alone; only those
+    // 250 rows touch the float table for the exact final top-10.
+    "q_pq_rerank" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      val codes = Similarity.encodePQ(emb, "embedding", model).select("vec_id", "codes")
+      Similarity.pqTopKRerank(emb, "vec_id", "embedding",
+        codes, "vec_id", "codes",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        model, k = 10, shortlist = 50)
+    }),
+
+
+    // ── LLM-pipeline: IVF-PQ top-k (cells prune, codes rank) ────────
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        cents8(s, dir), model, nprobe = 2, k = 10)
+    }),
+
+
+    // ── LLM-pipeline: int8 embedding quantization ───────────────────
+    // The 4×-smaller storage form for billion-vector corpora; codes
+    // emitted as a comma-joined string so the compare hashes scalars.
+    "q_quantize" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          VectorOps.quantizeInt8(VectorOps.toDouble(col("embedding"))).as("q"))
+        .select(col("vec_id"),
+          array_join(transform(col("q.codes"), c => c.cast("string")), ",").as("codes"),
+          col("q.lo").as("lo"), col("q.hi").as("hi"))
+    }),
+
+
+    // ── LLM-pipeline: random-hyperplane LSH index buckets ───────────
+    "q_ann_buckets" -> ((s, dir) => {
+      Similarity.lshBuckets(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        tables = 8, bits = 4, d = 64)
+    }),
+
+
+    // ── LLM-pipeline: full ANN top-k via LSH bucket candidates ──────
+    // Candidates = corpus vectors sharing ANY of the probe's 8
+    // table-buckets, then exact cosine rank among candidates only —
+    // the complete sublinear query path (index build + bucket join +
+    // verify), not just the index table.
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.annTopK(emb, "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        k = 10, tables = 8, bits = 4, d = 64)
+    }),
+
+
+    // ── LLM-pipeline: IVF ANN with K-Means coarse quantizer ─────────
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        cents8(s, dir), nprobe = 2, k = 10)
+    }),
+
+
+    // ── LLM-pipeline: per-group embedding centroids ─────────────────
+    // ORACLE TWIN (sorted-fold, the q_centroid_update convention): a
+    // distributed VectorMeanAgg sum is partition-order-dependent in
+    // the last ulp, so the gated query pins the fold order by sorting
+    // each (label, pos) group's values before summing — bit-equal to
+    // DuckDB's list_reduce(list_sort(...)). The SCALE path is
+    // Similarity.groupCentroids (d+1 doubles per group per task),
+    // equality pinned in SimilaritySpec.
+    "q_group_centroids" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p0", "v")))
+        .select(col("label"), (col("p0") + 1).cast("int").as("pos"),
+          col("v").cast("double").as("v"))
+        .groupBy("label", "pos")
+        // count(col), not count(*): collect_list silently drops NULL
+        // elements, so the divisor must be the non-null count or a
+        // null-carrying group's mean silently shifts
+        .agg(count(col("v")).cast("long").as("n"),
+          (VectorOps.foldSum(sort_array(collect_list(col("v")))) / count(col("v"))).as("val"))
+        .select(col("label"), col("n"), col("pos"), col("val"))
+    }),
+
+
+    // ── curation: distribution matching (rejection to a reference) ──
+    // The largest even-id subsample whose length-bin histogram
+    // matches the odd-id slice's — λ = min(s_i/t_i) scales the
+    // reference histogram, per-bin rates keep (t_i·λ)/s_i by id hash.
+    "q_dist_match" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("bin", expr("n_chars DIV 200"))
+      Curation.matchDistribution(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "bin")
+        .select(col("doc_id"), col("bin"))
+    }),
+
+
+    // ── curation: deterministic negative sampling (contrastive) ─────
+    // 3 negatives per doc via rank + md5 modular shift — never the
+    // anchor, reproducible, replayed exactly by the oracle.
+    "q_negatives" -> ((s, dir) => {
+      Curation.negativeSamples(Tables(s, dir, "documents"), "doc_id", k = 3, seed = 42L)
+    }),
+
+
+    // ── curation: hard negatives from the anchor's K-Means cell ─────
+    "q_hard_negatives" -> ((s, dir) => {
+      Curation.hardNegatives(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        cents8(s, dir), k = 2, seed = 42L)
+    }),
+
+
+    // ── retrieval: hybrid sparse+dense reciprocal-rank fusion ───────
+    // Sparse list: global BM25 top-100 (TakeOrdered bounds the sort,
+    // then the ≤100 survivors rank in one trivial partition). Dense
+    // list: per-probe exact cosine top-100 (TopKAgg bounded partial
+    // agg). Fusion: Similarity.rrfFuse — rank-only arithmetic, one
+    // (probe, id) hash join over top-bounded inputs.
+    "q_rrf" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      val sparse = TextAnalysis.bm25Score(docs, "doc_id", "text",
+        terms = Seq("table", "spark", "value"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id").as("id"), col("rank"))
+      val dense = Similarity.topKCosine(emb, "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding", k = 100)
+        .select(col("probe_id"), col("vec_id").as("id"), col("rank"))
+      val sparsePerProbe = dense.select("probe_id").distinct().crossJoin(sparse)
+      Similarity.rrfFuse(sparsePerProbe, dense, "probe_id", "id", topK = 20)
+    }),
+
+
+    // ── curation: greedy k-center coreset selection (Gonzalez) ──────
+    // 8 maximally-diverse exemplars from the first-100 embedding pool,
+    // with the covering-radius sequence; the oracle replays the greedy
+    // loop as a recursive CTE over the pairwise distance matrix.
+    "q_kcenter" -> ((s, dir) => {
+      val pool = Tables(s, dir, "embeddings").filter(col("vec_id") < 100)
+      Similarity.kCenterGreedy(pool, "vec_id", "embedding", k = 8)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
+
+    // ── retrieval: MMR-diversified top-k (λ=0.5) ────────────────────
+    // Dense top-20 for the lowest-id probe re-ranked by Maximal
+    // Marginal Relevance down to 5 — the diversity-aware slate; the
+    // oracle replays the greedy loop as a recursive CTE over the
+    // candidate pairwise-cosine matrix.
+    "q_mmr" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probe = emb.orderBy("vec_id").limit(1)
+      val cands = Similarity.topKCosine(emb, "vec_id", "embedding",
+        probe, "vec_id", "embedding", k = 20)
+        .select(col("vec_id"), col("sim"))
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      Similarity.mmrSelect(cands, "vec_id", "embedding", "sim", k = 5)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
+
+    // ── embeddings: snapshot drift over the shared centroid cells ───
+    // The corpusDrift idea in embedding space: both halves assign to
+    // the FIXED cents8 cells; per-cell share gap is a rational of
+    // exact longs (|na·Tb − nb·Ta| / (Ta·Tb)) — no FP fractions.
+    "q_embed_drift" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = cents8(s, dir)
+      def cellCounts(half: DataFrame, out: String) =
+        KMeans.assign(half, "embedding", cents)
+          .groupBy("cluster").agg(count(lit(1)).cast("long").as(out))
+      val j = cellCounts(emb.filter(col("vec_id") % 2 === 0), "na")
+        .join(cellCounts(emb.filter(col("vec_id") % 2 =!= 0), "nb"),
+          Seq("cluster"), "full_outer")
+        .select(col("cluster"), coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("nb"), lit(0L)).as("nb"))
+      val tot = j.agg(sum(col("na")).cast("long").as("__ta"),
+        sum(col("nb")).cast("long").as("__tb"))
+      j.crossJoin(broadcast(tot))
+        .select(col("cluster"), col("na"), col("nb"),
+          (abs(col("na") * col("__tb") - col("nb") * col("__ta")).cast("double")
+            / (col("__ta") * col("__tb")).cast("double")).as("share_gap"))
+    }),
+
+
+    // ── LLM-pipeline: hashing-trick sparse features (COO form) ──────
+    // Vocabulary-free fixed-width vectorizer: md5 bucket + signed
+    // second hash, one hash-agg on (doc, bucket). The linear-
+    // classifier feature path that needs no vocab build at 100 TB.
+    "q_feat_hash" -> ((s, dir) => {
+      TextAnalysis.featureHash(Tables(s, dir, "documents"), "doc_id", "text",
+        dim = 64)
+    }),
+
+
+    // ── LLM-pipeline: per-doc n-gram novelty (3-token grams) ────────
+    // "How much genuinely new text does this doc contribute" — the
+    // up-weighting signal dual to contamination's overlap direction.
+    "q_novelty" -> ((s, dir) => {
+      Curation.ngramNovelty(Tables(s, dir, "documents"), "doc_id", "text", n = 3)
+    }),
+
+
+    // ── LLM-pipeline: ANN recall@k eval (IVF vs exact cosine) ───────
+    // The index-quality harness: per-probe overlap of the nprobe=2
+    // IVF result against brute-force cosine, denominator from the
+    // exact side. Both inputs are probe-bounded relations.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.orderBy("vec_id").limit(5)
+      Similarity.annRecall(
+        Similarity.ivfTopK(emb, "vec_id", "embedding",
+          probes, "vec_id", "embedding", cents8(s, dir), nprobe = 2, k = 10),
+        Similarity.topKCosine(emb, "vec_id", "embedding",
+          probes, "vec_id", "embedding", k = 10))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_topk_cosine" ->
+      s"""WITH $sqlProbes,
+         |s AS (
+         |  SELECT pr.probe_id, e.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM embeddings e CROSS JOIN pr WHERE e.vec_id != pr.probe_id
+         |)
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 10""".stripMargin,
+
+
+    "q_twonn" ->
+      """WITH pr AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+        |            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 100)),
+        |d AS (SELECT pr.probe_id, e.vec_id,
+        |             sqrt(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], pr.pv),
+        |                                          p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |      FROM embeddings e CROSS JOIN pr WHERE e.vec_id != pr.probe_id),
+        |r AS (SELECT probe_id, dist,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY dist, vec_id) AS rn
+        |      FROM d),
+        |mus AS (SELECT a.probe_id, b.dist / a.dist AS mu
+        |        FROM r a JOIN r b ON b.probe_id = a.probe_id AND a.rn = 1 AND b.rn = 2
+        |        WHERE a.dist > 0),
+        |rr AS (SELECT mu, CAST(row_number() OVER (ORDER BY mu) AS BIGINT) AS r FROM mus),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM mus),
+        |ps AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                      CAST(0.75 AS DOUBLE)]) AS p),
+        |spec AS (SELECT p, m, CAST(m - 1 AS DOUBLE) * p + 1 AS h FROM mm CROSS JOIN ps),
+        |spec2 AS (SELECT p, m, CAST(floor(h) AS BIGINT) AS lo,
+        |                 least(CAST(floor(h) AS BIGINT) + 1, m) AS hi,
+        |                 h - floor(h) AS frac
+        |          FROM spec)
+        |SELECT s.p, rl.mu + s.frac * (rh.mu - rl.mu) AS q
+        |FROM spec2 s JOIN rr rl ON rl.r = s.lo JOIN rr rh ON rh.r = s.hi""".stripMargin,
+
+
+    "q_hubness" ->
+      """WITH pr AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+        |            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 100)),
+        |s AS (
+        |  SELECT pr.probe_id, e.vec_id,
+        |         list_sum(list_transform(list_zip(e.embedding::DOUBLE[], pr.pv), q -> q[1]*q[2]))
+        |          / (sqrt(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), q -> q[1]*q[2])))
+        |             * sqrt(list_sum(list_transform(list_zip(pr.pv, pr.pv), q -> q[1]*q[2])))) AS sim
+        |  FROM embeddings e CROSS JOIN pr WHERE e.vec_id != pr.probe_id
+        |),
+        |t AS (SELECT vec_id FROM (
+        |        SELECT vec_id, row_number() OVER (PARTITION BY probe_id
+        |                                          ORDER BY sim DESC, vec_id) AS rn
+        |        FROM s) WHERE rn <= 10),
+        |occ AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_lists FROM t GROUP BY 1)
+        |SELECT n_lists, CAST(count(*) AS BIGINT) AS n_points FROM occ GROUP BY 1""".stripMargin,
+
+
+    "q_ann_filtered" ->
+      s"""WITH $sqlProbes,
+         |s AS (
+         |  SELECT pr.probe_id, e.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM embeddings e CROSS JOIN pr
+         |  WHERE e.vec_id != pr.probe_id AND e.label % 2 = 0
+         |)
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 10""".stripMargin,
+
+
+    "q_basket_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS item1, c.l_partkey AS item2,
+        |             CAST(count(*) AS BIGINT) AS n_baskets
+        |      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+        |                       AND a.l_partkey < c.l_partkey
+        |      GROUP BY 1, 2),
+        |it AS (SELECT l_partkey AS i, CAST(count(*) AS BIGINT) AS ni FROM b GROUP BY 1)
+        |SELECT p.item1, p.item2, p.n_baskets,
+        |       CAST(p.n_baskets AS DOUBLE)
+        |         / sqrt(CAST(i1.ni * i2.ni AS DOUBLE)) AS cosine
+        |FROM p JOIN it i1 ON i1.i = p.item1 JOIN it i2 ON i2.i = p.item2
+        |ORDER BY p.n_baskets DESC, p.item1, p.item2 LIMIT 50""".stripMargin,
+
+
+    "q_knn_label" ->
+      s"""WITH pr AS (
+         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv, label AS tl
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 20)
+         |),
+         |s AS (
+         |  SELECT pr.probe_id, e.vec_id, e.label,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM embeddings e CROSS JOIN pr WHERE e.vec_id != pr.probe_id
+         |),
+         |t AS (SELECT probe_id, label FROM (
+         |        SELECT probe_id, label,
+         |               row_number() OVER (PARTITION BY probe_id
+         |                                  ORDER BY sim DESC, vec_id) AS rn
+         |        FROM s) WHERE rn <= 10),
+         |v AS (SELECT probe_id, label, CAST(count(*) AS BIGINT) AS votes
+         |      FROM t GROUP BY 1, 2),
+         |w AS (SELECT probe_id, label AS pred_label, votes,
+         |             row_number() OVER (PARTITION BY probe_id
+         |                                ORDER BY votes DESC, label) AS rn
+         |      FROM v)
+         |SELECT w.probe_id, w.pred_label, w.votes, pr.tl AS true_label,
+         |       CAST(CASE WHEN w.pred_label = pr.tl THEN 1 ELSE 0 END AS INT) AS correct
+         |FROM w JOIN pr ON w.probe_id = pr.probe_id WHERE w.rn = 1""".stripMargin,
+
+
+    "q_triplets" ->
+      s"""WITH pr AS (
+         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv, label AS pl
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)
+         |),
+         |s AS (
+         |  SELECT pr.probe_id, pr.pl, e.vec_id, e.label,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM embeddings e CROSS JOIN pr WHERE e.vec_id != pr.probe_id
+         |),
+         |t AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |                                   ORDER BY sim DESC, vec_id) AS rn
+         |      FROM s),
+         |k AS (SELECT * FROM t WHERE rn <= 50),
+         |pos AS (SELECT probe_id, vec_id AS pos_id, sim AS pos_sim,
+         |               row_number() OVER (PARTITION BY probe_id ORDER BY rn) AS r2
+         |        FROM k WHERE label = pl),
+         |neg AS (SELECT probe_id, vec_id AS neg_id, sim AS neg_sim,
+         |               row_number() OVER (PARTITION BY probe_id ORDER BY rn) AS r2
+         |        FROM k WHERE label <> pl)
+         |SELECT p.probe_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
+         |FROM pos p JOIN neg n ON p.probe_id = n.probe_id
+         |WHERE p.r2 = 1 AND n.r2 = 1""".stripMargin,
+
+
+    "q_rand_proj" -> {
+      val dims = (1 to 8).map { j =>
+        val arr = (1 to 64).map(i =>
+          if (Similarity.projSign(j, i) > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]")
+        s"list_sum(list_transform(list_zip(embedding::DOUBLE[], $arr), q -> q[1]*q[2])) AS proj_${j - 1}"
+      }.mkString(",\n       ")
+      s"""SELECT vec_id,
+         |       $dims
+         |FROM embeddings""".stripMargin
+    },
+
+
+    "q_pq_encode" ->
+      s"""WITH $sqlPqCodes
+         |SELECT vec_id, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY j) AS codes
+         |FROM pqa GROUP BY vec_id""".stripMargin,
+
+
+    "q_pq_topk" ->
+      s"""WITH $sqlPqCodes,
+         |$sqlProbes,
+         |$sqlPqAdc
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, adist FROM (
+         |  SELECT probe_id, vec_id, adist,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+         |  FROM ad WHERE vec_id != probe_id)
+         |WHERE rn <= 10""".stripMargin,
+
+
+    "q_pq_rerank" ->
+      s"""WITH $sqlPqCodes,
+         |$sqlProbes,
+         |$sqlPqAdc,
+         |sl AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+         |    FROM ad WHERE vec_id != probe_id) WHERE rn <= 50
+         |),
+         |ex AS (
+         |  SELECT sl.probe_id, sl.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+         |          JOIN pr ON pr.probe_id = sl.probe_id
+         |)
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM ex) WHERE rn <= 10""".stripMargin,
+
+
+    "q_ivfpq_topk" ->
+      s"""WITH $sqlCents8,
+         |$sqlPqCodes,
+         |$sqlProbes,
+         |pc AS (
+         |  SELECT vec_id AS probe_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d WHERE vec_id IN (SELECT probe_id FROM pr)) WHERE rn <= 2
+         |),
+         |pt AS (
+         |  SELECT pr.probe_id, cb.j, cb.cid,
+         |         list_sum(list_transform(list_zip(pr.pv[cb.j*16+1 : cb.j*16+16], cb.cw),
+         |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS sd
+         |  FROM pr CROSS JOIN cb
+         |),
+         |candq AS (
+         |  SELECT DISTINCT pc.probe_id, a.vec_id
+         |  FROM a JOIN pc ON a.cluster = pc.cell
+         |  WHERE a.vec_id != pc.probe_id
+         |),
+         |adq AS (
+         |  SELECT candq.probe_id, candq.vec_id, list_sum(list(pt.sd ORDER BY q.j)) AS adist
+         |  FROM candq JOIN pqa q ON q.vec_id = candq.vec_id
+         |             JOIN pt ON pt.probe_id = candq.probe_id AND pt.j = q.j AND pt.cid = q.cid
+         |  GROUP BY 1, 2
+         |)
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, adist FROM (
+         |  SELECT probe_id, vec_id, adist,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+         |  FROM adq) WHERE rn <= 10""".stripMargin,
+
+
+    "q_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e)
+        |SELECT vec_id,
+        |       array_to_string(list_transform(v, x ->
+        |         CAST(CASE WHEN hi = lo THEN 0
+        |                   ELSE floor((x - lo) * 255.0 / (hi - lo) + 0.5)
+        |              END AS INTEGER)), ',') AS codes,
+        |       lo, hi
+        |FROM mm""".stripMargin,
+
+
+    "q_ann_buckets" ->
+      s"""WITH $sqlAnnIndex
+         |SELECT vec_id, tbl, bucket FROM bk""".stripMargin,
+
+
+    "q_ann_topk" ->
+      s"""WITH $sqlAnnIndex,
+         |$sqlProbes,
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id
+         |  FROM bk c JOIN bk p ON c.tbl = p.tbl AND c.bucket = p.bucket
+         |  WHERE p.vec_id IN (SELECT probe_id FROM pr) AND c.vec_id != p.vec_id
+         |),
+         |s AS (
+         |  SELECT cand.probe_id, cand.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM cand
+         |  JOIN embeddings e ON e.vec_id = cand.vec_id
+         |  JOIN pr ON pr.probe_id = cand.probe_id
+         |)
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 10""".stripMargin,
+
+
+    "q_ivf_topk" ->
+      s"""WITH $sqlCents8,
+         |$sqlProbes,
+         |pc AS (
+         |  SELECT vec_id AS probe_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d WHERE vec_id IN (SELECT probe_id FROM pr)) WHERE rn <= 2
+         |),
+         |s AS (
+         |  SELECT pc.probe_id, a.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM a JOIN pc ON a.cluster = pc.cell
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  JOIN pr ON pr.probe_id = pc.probe_id
+         |  WHERE a.vec_id != pc.probe_id
+         |)
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 10""".stripMargin,
+
+
+    "q_group_centroids" ->
+      """WITH x AS (
+        |  SELECT label,
+        |         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |)
+        |SELECT label,
+        |       CAST(count(v) AS BIGINT) AS n, pos,
+        |       list_reduce(list_sort(list(v)), (acc, e) -> acc + e) / count(v) AS val
+        |FROM x WHERE v IS NOT NULL GROUP BY label, pos""".stripMargin,
+
+
+    "q_dist_match" ->
+      """WITH srcd AS (SELECT doc_id, n_chars // 200 AS bin FROM documents
+        |              WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        |refd AS (SELECT n_chars // 200 AS bin FROM documents
+        |         WHERE doc_id % 2 <> 0 AND n_chars IS NOT NULL),
+        |s AS (SELECT bin, CAST(count(*) AS BIGINT) AS sn FROM srcd GROUP BY 1),
+        |t AS (SELECT bin, CAST(count(*) AS BIGINT) AS tn FROM refd GROUP BY 1),
+        |l AS (SELECT min(CAST(coalesce(s.sn, 0) AS DOUBLE) / CAST(t.tn AS DOUBLE)) AS lam
+        |      FROM t LEFT JOIN s USING (bin)),
+        |r AS (SELECT t.bin,
+        |             least(CAST(1.0 AS DOUBLE),
+        |                   CAST(t.tn AS DOUBLE) * l.lam / CAST(s.sn AS DOUBLE)) AS rate
+        |      FROM t JOIN s USING (bin) CROSS JOIN l)
+        |SELECT d.doc_id, d.bin
+        |FROM srcd d JOIN r USING (bin)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 < r.rate""".stripMargin,
+
+
+    "q_negatives" ->
+      """WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk FROM documents),
+        |t AS (SELECT count(*) AS n FROM documents),
+        |x AS (
+        |  SELECT r.doc_id, CAST(j AS INTEGER) AS j,
+        |         (rk - 1 + 1 + CAST(concat('0x', substr(md5('42:' || r.doc_id || ':' || j), 1, 8)) AS BIGINT)
+        |                       % (t.n - 1)) % t.n + 1 AS nr
+        |  FROM r CROSS JOIN t CROSS JOIN generate_series(1, 3) s(j)
+        |)
+        |SELECT x.doc_id, x.j, r2.doc_id AS neg_id
+        |FROM x JOIN r r2 ON r2.rk = x.nr""".stripMargin,
+
+
+    "q_hard_negatives" ->
+      s"""WITH $sqlCents8,
+         |r AS (SELECT vec_id, cluster,
+         |             row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rk,
+         |             count(*) OVER (PARTITION BY cluster) AS m
+         |      FROM a),
+         |x AS (
+         |  SELECT vec_id, cluster, CAST(j AS INTEGER) AS j,
+         |         (rk - 1 + 1 + CAST(concat('0x', substr(md5('42:' || vec_id || ':' || j), 1, 8)) AS BIGINT)
+         |                       % (m - 1)) % m + 1 AS nr
+         |  FROM r CROSS JOIN generate_series(1, 2) s(j)
+         |  WHERE m >= 2
+         |)
+         |SELECT x.vec_id, x.cluster, x.j, r2.vec_id AS neg_id
+         |FROM x JOIN r r2 ON r2.cluster = x.cluster AND r2.rk = x.nr""".stripMargin,
+
+
+    "q_rrf" ->
+      s"""WITH $sqlBm25Ctes,
+         |bm AS (SELECT doc_id, $sqlBm25Expr AS bm25 FROM t CROSS JOIN st),
+         |sp AS (SELECT id, srank FROM (
+         |         SELECT doc_id AS id,
+         |                CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS srank
+         |         FROM bm) WHERE srank <= 100),
+         |$sqlProbes,
+         |ds AS (
+         |  SELECT pr.probe_id, e.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM embeddings e CROSS JOIN pr WHERE e.vec_id != pr.probe_id
+         |),
+         |dn AS (SELECT probe_id, id, drank FROM (
+         |         SELECT probe_id, vec_id AS id,
+         |                CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS BIGINT) AS drank
+         |         FROM ds) WHERE drank <= 100),
+         |spp AS (SELECT pr.probe_id, sp.id, sp.srank FROM pr CROSS JOIN sp),
+         |j AS (
+         |  SELECT coalesce(spp.probe_id, dn.probe_id) AS probe_id,
+         |         coalesce(spp.id, dn.id) AS id, spp.srank, dn.drank
+         |  FROM spp FULL OUTER JOIN dn
+         |    ON spp.probe_id = dn.probe_id AND spp.id = dn.id
+         |),
+         |sc AS (
+         |  SELECT probe_id, id,
+         |         coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(srank AS DOUBLE)), 0)
+         |           + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(drank AS DOUBLE)), 0) AS rrf
+         |  FROM j
+         |)
+         |SELECT probe_id, id, rrf, rank FROM (
+         |  SELECT probe_id, id, rrf,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, id) AS BIGINT) AS rank
+         |  FROM sc) WHERE rank <= 20""".stripMargin,
+
+
+    "q_kcenter" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100
+        |),
+        |dm AS (
+        |  SELECT a.id AS a, b.id AS b,
+        |         list_sum(list_transform(list_zip(a.v, b.v),
+        |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+        |  FROM pts a CROSS JOIN pts b WHERE a.id != b.id
+        |),
+        |walk(it, sel) AS (
+        |  SELECT 0, [(SELECT min(id) FROM pts)]
+        |  UNION ALL
+        |  SELECT it + 1, list_append(sel, (
+        |    SELECT a FROM dm
+        |    WHERE list_contains(sel, b) AND NOT list_contains(sel, a)
+        |    GROUP BY a ORDER BY min(d) DESC, a LIMIT 1))
+        |  FROM walk WHERE it < 7
+        |),
+        |fin AS (SELECT sel FROM walk WHERE it = 7),
+        |ord AS (SELECT CAST(i - 1 AS BIGINT) AS step, sel[i] AS vec_id, sel
+        |        FROM fin, LATERAL (SELECT unnest(generate_series(1, len(sel))) AS i))
+        |SELECT step, vec_id,
+        |       CASE WHEN step = 0 THEN CAST(0 AS DOUBLE)
+        |            ELSE (SELECT min(d) FROM dm
+        |                  WHERE dm.a = ord.vec_id
+        |                    AND list_contains(ord.sel[1:CAST(step AS INTEGER)], dm.b))
+        |       END AS radius
+        |FROM ord""".stripMargin,
+
+
+    "q_mmr" ->
+      s"""WITH RECURSIVE mp AS (
+         |  SELECT vec_id AS pid, embedding::DOUBLE[] AS pv FROM embeddings
+         |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+         |),
+         |scd AS (
+         |  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "mp.pv")} AS rel
+         |  FROM embeddings e CROSS JOIN mp WHERE e.vec_id != mp.pid
+         |),
+         |cand AS (SELECT id, v, rel FROM (
+         |           SELECT id, v, rel, row_number() OVER (ORDER BY rel DESC, id) AS rn
+         |           FROM scd) WHERE rn <= 20),
+         |cm AS (
+         |  SELECT a.id AS a, b.id AS b, ${sqlCosine("a.v", "b.v")} AS s
+         |  FROM cand a CROSS JOIN cand b WHERE a.id != b.id
+         |),
+         |walk(it, sel) AS (
+         |  SELECT 0, [(SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1)]
+         |  UNION ALL
+         |  SELECT it + 1, list_append(sel, (
+         |    SELECT c.id FROM cand c
+         |    WHERE NOT list_contains(sel, c.id)
+         |    ORDER BY 0.5 * c.rel - 0.5 * (SELECT max(s) FROM cm
+         |                                  WHERE cm.a = c.id AND list_contains(sel, cm.b)) DESC,
+         |             c.id
+         |    LIMIT 1))
+         |  FROM walk WHERE it < 4
+         |),
+         |fin AS (SELECT sel FROM walk WHERE it = 4),
+         |ord AS (SELECT CAST(i - 1 AS BIGINT) AS step, sel[i] AS vec_id, sel
+         |        FROM fin, LATERAL (SELECT unnest(generate_series(1, len(sel))) AS i))
+         |SELECT step, vec_id,
+         |       CASE WHEN step = 0 THEN (SELECT rel FROM cand WHERE cand.id = ord.vec_id)
+         |            ELSE 0.5 * (SELECT rel FROM cand WHERE cand.id = ord.vec_id)
+         |               - 0.5 * (SELECT max(s) FROM cm
+         |                        WHERE cm.a = ord.vec_id
+         |                          AND list_contains(ord.sel[1:CAST(step AS INTEGER)], cm.b))
+         |       END AS score
+         |FROM ord""".stripMargin,
+
+
+    "q_embed_drift" ->
+      s"""WITH $sqlCents8,
+         |g AS (SELECT cluster,
+         |             CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS na,
+         |             CAST(count(*) FILTER (WHERE vec_id % 2 <> 0) AS BIGINT) AS nb
+         |      FROM a GROUP BY 1),
+         |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+         |             CAST(sum(nb) AS BIGINT) AS tb FROM g)
+         |SELECT g.cluster, g.na, g.nb,
+         |       CAST(abs(g.na * t.tb - g.nb * t.ta) AS DOUBLE)
+         |         / CAST(t.ta * t.tb AS DOUBLE) AS share_gap
+         |FROM g CROSS JOIN t""".stripMargin,
+
+
+    "q_feat_hash" ->
+      """WITH t AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |             CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 64 AS bucket,
+        |             1 - 2 * (CAST(concat('0x', substr(h, 9, 1)) AS BIGINT) % 2) AS sign
+        |      FROM t)
+        |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+
+    "q_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                                   for i in range(1, len(toks)-1)])) AS g
+        |      FROM t WHERE len(toks) >= 3),
+        |gm AS (SELECT doc_id, md5(g) AS g FROM g),
+        |dfreq AS (SELECT g, count(*) AS df FROM gm GROUP BY 1),
+        |per AS (SELECT doc_id, count(*) AS n_grams,
+        |               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |        FROM gm JOIN dfreq USING (g) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+        |       coalesce(per.n_novel, 0) AS n_novel,
+        |       CASE WHEN per.n_grams IS NOT NULL
+        |            THEN CAST(per.n_novel AS DOUBLE) / CAST(per.n_grams AS DOUBLE) END AS novelty
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+
+
+    "q_ann_recall" ->
+      s"""WITH $sqlCents8,
+         |$sqlProbes,
+         |pc AS (
+         |  SELECT vec_id AS probe_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d WHERE vec_id IN (SELECT probe_id FROM pr)) WHERE rn <= 2
+         |),
+         |isc AS (
+         |  SELECT pc.probe_id, a.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM a JOIN pc ON a.cluster = pc.cell
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  JOIN pr ON pr.probe_id = pc.probe_id
+         |  WHERE a.vec_id != pc.probe_id
+         |),
+         |approx AS (SELECT probe_id, vec_id FROM (
+         |  SELECT probe_id, vec_id,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM isc) WHERE rn <= 10),
+         |esc AS (
+         |  SELECT pr.probe_id, e.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM embeddings e CROSS JOIN pr WHERE e.vec_id != pr.probe_id
+         |),
+         |exact AS (SELECT probe_id, vec_id FROM (
+         |  SELECT probe_id, vec_id,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM esc) WHERE rn <= 10),
+         |hits AS (SELECT probe_id, count(*) AS n_hit
+         |         FROM approx JOIN exact USING (probe_id, vec_id) GROUP BY 1)
+         |SELECT x.probe_id, x.n_exact, coalesce(h.n_hit, 0) AS n_hit,
+         |       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(x.n_exact AS DOUBLE) AS recall
+         |FROM (SELECT probe_id, count(*) AS n_exact FROM exact GROUP BY 1) x
+         |LEFT JOIN hits h USING (probe_id)""".stripMargin,
+  )
+}
