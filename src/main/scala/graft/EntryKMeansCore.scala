@@ -207,17 +207,19 @@ private[graft] object EntryKMeansCore {
     }),
 
 
-    // ── op 12: k-means‖ init (Bahmani VLDB'12), driver rows-gate ────
-    // The oversampling coin compares an md5 unit against l·d²/cost
-    // where cost is a DISTRIBUTED FP sum — partial-agg order makes the
-    // acceptance set non-replayable in SQL (documented; KMeansSpec
-    // pins the full candidate sequence bit-for-bit at fixed local
-    // partitioning). This row puts the final chosen k centroids under
-    // the driver's rows-only check so the §2 sub-feature has a gate
-    // row at all (VERDICT r10 item 6). No oracleSql by design.
+    // ── op 12: k-means‖ init (Bahmani VLDB'12), HASH-gated ──────────
+    // sortedCost = true pins each round's cost(C) to the sorted-fold
+    // contract, so the oversampling coin (md5 unit vs l·d²/cost), the
+    // candidate insertion order, the assignment weights and the
+    // driver-side weighted-++ race are ALL bit-deterministic and the
+    // oracle unrolls the full chain in SQL (VERDICT r10 item 6
+    // upgraded from the planned rows-only gate). The default
+    // partial-agg cost stays the scale path; KMeansSpec pins the two
+    // modes against each other.
     "q_kmeans_parallel" -> ((s, dir) => {
       val cents = KMeans.initCentroids(Tables(s, dir, "embeddings"),
-        "vec_id", "embedding", KMeans.Parallel(4, seed = 42L, rounds = 3))
+        "vec_id", "embedding",
+        KMeans.Parallel(4, seed = 42L, rounds = 3, sortedCost = true))
       import s.implicits._
       cents.toSeq.flatMap { case (cid, v) =>
         v.zipWithIndex.map { case (x, i) => (cid, i + 1, x) }
@@ -243,7 +245,74 @@ private[graft] object EntryKMeansCore {
     }),
   )
 
+  // ── q_kmeans_parallel oracle: the full k-means‖ chain unrolled ──
+  // Index-ordered sequential d² (the sqlCents8 convention, bit-exact
+  // vs VectorOps.sqDist) and the md5 unit both engines share.
+  private def sqlSqd(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), q -> (q[1]-q[2])*(q[1]-q[2])))"
+  private def sqlU(arg: String): String =
+    s"(CAST(concat('0x', substr(md5($arg), 1, 8)) AS BIGINT) / 4294967296.0)"
+
+  /** Replays Parallel(4, seed=42, rounds=3, sortedCost=true) on
+    * embeddings end-to-end: seed pick, three oversampling rounds
+    * (coin u < least(1, 8·d²/cost), cost = sorted-fold sum — the
+    * bit-deterministic parity mode), candidate renumbering in
+    * (round, id) insertion order, assignment-count weights
+    * (greatest(n,1)), then the driver-side weighted k-means++ race
+    * (-ln(u)/w seed, -ln(u)/(w·d²) rounds, d²=0 excluded, ties by
+    * id). Output = 4 chosen centroids as (cluster, pos, val). */
+  private val sqlKmeansParallel: String = {
+    val sampleRounds = (1 to 3).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT p.id, p.f,
+         |        (SELECT min(${sqlSqd("p.f", "c.f")}) FROM c${r - 1} c) AS d2
+         | FROM pts p),
+         |cost$r AS (SELECT list_reduce(list_sort(list(d2)), (x, y) -> x + y) AS cost
+         |    FROM d$r),
+         |a$r AS (SELECT d.id, d.f, $r AS rnd FROM d$r d, cost$r
+         | WHERE ${sqlU(s"'42:$r:' || d.id")} < least(1.0, 8.0 * d.d2 / cost)
+         |   AND d.id NOT IN (SELECT id FROM c${r - 1})),
+         |c$r AS MATERIALIZED (SELECT * FROM c${r - 1} UNION ALL SELECT * FROM a$r),""".stripMargin
+    }.mkString("\n")
+    val localRounds = (1 to 3).map { r =>
+      s"""p${r + 1} AS (SELECT wt.id, wt.f, wt.w,
+         |        (SELECT min(${sqlSqd("wt.f", "c.f")}) FROM ch$r c) AS d2
+         | FROM wt WHERE wt.id NOT IN (SELECT id FROM ch$r)),
+         |l${r + 1} AS MATERIALIZED (SELECT id, f FROM p${r + 1} WHERE d2 > 0
+         | ORDER BY -ln(${sqlU(s"'42:local:$r:' || id")}) / (w * d2), id LIMIT 1),
+         |ch${r + 1} AS MATERIALIZED (SELECT * FROM ch$r UNION ALL SELECT id, f FROM l${r + 1}),""".stripMargin
+    }.mkString("\n")
+    s"""WITH pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS f FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT id, f, 0 AS rnd FROM pts
+       | ORDER BY ${sqlU("'42:0:' || id")}, id LIMIT 1),
+       |$sampleRounds
+       |cands AS MATERIALIZED (SELECT id, f,
+       |                 CAST(row_number() OVER (ORDER BY rnd, id) AS INTEGER) AS cid
+       |          FROM c3),
+       |asg AS (SELECT id, cid FROM (
+       |          SELECT p.id, c.cid,
+       |                 row_number() OVER (PARTITION BY p.id
+       |                                    ORDER BY ${sqlSqd("p.f", "c.f")}, c.cid) AS rn
+       |          FROM pts p CROSS JOIN cands c) WHERE rn = 1),
+       |wt AS MATERIALIZED (SELECT c.id, c.f, c.cid, greatest(coalesce(a.n, 0), 1) AS w
+       |       FROM cands c LEFT JOIN (SELECT cid, CAST(count(*) AS BIGINT) AS n
+       |                               FROM asg GROUP BY cid) a USING (cid)),
+       |l1 AS MATERIALIZED (SELECT id, f FROM wt
+       | ORDER BY -ln(${sqlU("'42:local:0:' || id")}) / w, id LIMIT 1),
+       |ch1 AS MATERIALIZED (SELECT id, f FROM l1),
+       |$localRounds
+       |sel AS (SELECT 1 AS cluster, f AS v FROM l1
+       |        UNION ALL SELECT 2, f FROM l2
+       |        UNION ALL SELECT 3, f FROM l3
+       |        UNION ALL SELECT 4, f FROM l4)
+       |SELECT CAST(cluster AS INTEGER) AS cluster,
+       |       CAST(generate_subscripts(v, 1) AS INTEGER) AS pos,
+       |       unnest(v) AS val
+       |FROM sel""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_kmeans_parallel" -> sqlKmeansParallel,
+
 
     "q_scan_project" ->
       "SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dims FROM embeddings",

@@ -77,8 +77,17 @@ object KMeans {
     * by cost(C) — a distributed FP sum whose last-ulp value depends
     * on partition order, so a coin EXACTLY at the boundary could in
     * principle flip across different partitionings (~2⁻⁵⁰ per
-    * point·round). Same-partitioning reruns are exactly stable. */
-  final case class Parallel(k: Int, seed: Long, rounds: Int = 5, l: Int = 0) extends Init
+    * point·round). Same-partitioning reruns are exactly stable.
+    *
+    * sortedCost = true computes each round's cost(C) with the
+    * sorted-fold contract (foldSum over array_sort(collect_list)) —
+    * bit-deterministic under ANY partitioning, which makes the whole
+    * init (candidate set AND final k) oracle-replayable in SQL
+    * (q_kmeans_parallel). The fold funnels the per-point d² column
+    * through one task, so it is the PARITY mode; the default
+    * partial-agg sum is the 100 TB scale path. */
+  final case class Parallel(k: Int, seed: Long, rounds: Int = 5, l: Int = 0,
+                            sortedCost: Boolean = false) extends Init
 
   /** Fit telemetry (op 16): iteration count matches the reference's
     * printed job count (`KMeans.java:283`); costHistory is the WCSS
@@ -230,7 +239,7 @@ object KMeans {
           }
           chosen.zipWithIndex.map { case ((_, v), i) => (i + 1) -> v }.toArray
         } finally { cached.unpersist(); () }
-      case Parallel(k, seed, rounds, l0) =>
+      case Parallel(k, seed, rounds, l0, sortedCost) =>
         val lFactor = if (l0 > 0) l0 else 2 * k
         require(rounds >= 1, s"k-means parallel needs rounds >= 1, got $rounds")
         val cached = proj.cache()
@@ -247,7 +256,12 @@ object KMeans {
             val soFar: Centroids = cands.zipWithIndex
               .map { case ((_, v), i) => (i + 1) -> v }.toArray
             val d2 = minSqDistColumn(soFar, col("f"))
-            val cost = cached.select(sum(d2).as("c")).head().getDouble(0)
+            // parity mode: partial-agg-order-free cost (see Parallel doc)
+            val cost =
+              if (sortedCost)
+                cached.select(VectorOps.foldSum(array_sort(collect_list(d2))).as("c"))
+                  .head().getDouble(0)
+              else cached.select(sum(d2).as("c")).head().getDouble(0)
             if (cost <= 0.0) exhausted = true // every point IS a candidate
             else {
               val u = Sampling.unitFromMd5(concat(lit(s"$seed:$round:"), col("id")))

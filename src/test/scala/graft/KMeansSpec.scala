@@ -184,6 +184,28 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("Parallel init, sortedCost parity mode: partitioning-independent, agrees with default") {
+    val blobs = for {
+      (bx, by) <- Seq((0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0))
+      i <- 0 until 8
+    } yield (bx + i * 0.1, by + i * 0.1)
+    val df = blobs.zipWithIndex
+      .map { case ((x, y), id) => (id.toLong + 1, Seq(x, y)) }
+      .toDF("id", "features")
+    val sorted1 = KMeans.initCentroids(df, "id", "features",
+      Parallel(4, seed = 42, rounds = 3, sortedCost = true))
+    // the point of the mode: bit-identical under ANY partitioning —
+    // the default's partial-agg cost sum cannot promise this
+    val sorted2 = KMeans.initCentroids(df.repartition(7), "id", "features",
+      Parallel(4, seed = 42, rounds = 3, sortedCost = true))
+    assert(sorted1.map(_._2.toSeq).toSeq == sorted2.map(_._2.toSeq).toSeq)
+    // on a small input both cost paths compute the same double (the
+    // boundary-coin divergence is a ~2^-50 event), so the chains agree
+    val default = KMeans.initCentroids(df, "id", "features",
+      Parallel(4, seed = 42, rounds = 3))
+    assert(sorted1.map(_._2.toSeq).toSeq == default.map(_._2.toSeq).toSeq)
+  }
+
   test("fit: SSE is non-increasing across iterations (Lloyd invariant)") {
     val df = tiny.select($"id", $"features".cast("array<double>").as("features")).cache()
     var cents = KMeans.initCentroids(df, "id", "features", ExplicitIds(Seq(1L, 2L)))
