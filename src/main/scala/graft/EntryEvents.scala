@@ -251,9 +251,15 @@ private[graft] object EntryEvents {
     // The oracle uses the engine's own cume_dist window; the Spark
     // side is the (key, value)-grain decomposition that never funnels
     // a key's rows through one task — same number, scale-safe plan.
+    // ~1% of values are deterministically NULLed (event_id % 97) so
+    // the NULL contract — rows survive the null-safe join, NULLs
+    // order first, cd(null) = nulls_in_key / rows_in_key — is under
+    // the hash gate, not just CurationSpec (the driver fixture itself
+    // carries no NULL values).
     "q_cume_dist" -> ((s, dir) => {
       val ev = Tables(s, dir, "events").select(col("event_id"), col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
+        when(col("event_id") % 97 === 0, lit(null))
+          .otherwise(round(col("value") * 100).cast("long")).as("cents"))
       Curation.cumeDistByKey(ev, "event_type", "cents")
         .select("event_id", "event_type", "cents", "cd")
     }),
@@ -742,15 +748,18 @@ private[graft] object EntryEvents {
         |SELECT event_type, day, cnt, r FROM sc WHERE abs(r) > 2.0""".stripMargin,
 
 
-    // NULLS FIRST pins DuckDB to Spark's ASC-window default, so a
-    // NULL-valued row (cumeDistByKey keeps them, null-safe join)
-    // would get the same cd = nulls_in_key / rows_in_key both sides.
+    // NULLS FIRST pins DuckDB to Spark's ASC-window default: the
+    // injected NULL rows (event_id % 97, mirroring the Spark side)
+    // get cd = nulls_in_key / rows_in_key on both engines.
     "q_cume_dist" ->
-      """SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      """WITH e AS (SELECT event_id, event_type,
+        |                  CASE WHEN event_id % 97 = 0 THEN NULL
+        |                       ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+        |           FROM events)
+        |SELECT event_id, event_type, cents,
         |       cume_dist() OVER (PARTITION BY event_type
-        |                         ORDER BY CAST(round(value * 100) AS BIGINT)
-        |                           NULLS FIRST) AS cd
-        |FROM events""".stripMargin,
+        |                         ORDER BY cents NULLS FIRST) AS cd
+        |FROM e""".stripMargin,
 
 
     "q_autocorr" ->
