@@ -784,6 +784,13 @@ object Curation {
     val counts = df.filter(col(valCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // loud contract, not an NPE three lines later in the byte sort:
+    // the offset arithmetic and the join-back in robustScale /
+    // winsorizeByKey key on the string value, so a NULL key has no
+    // defined rank space here — callers must bucket NULLs first
+    require(!counts.contains(null),
+      s"quantilesByKey: keyCol '$keyCol' contains NULL keys — map them to a " +
+        "sentinel bucket before calling (the per-key rank space needs a value)")
     require(counts.nonEmpty, "quantilesByKey on an empty relation")
     val keysAsc = counts.keys.toSeq.sortWith { (a, b) =>
       java.util.Arrays.compareUnsigned(

@@ -580,8 +580,13 @@ object Events {
           "shard the key space or rescale the value column")
     }
     val varNum = col("__n") * col("__ss") - col("__s") * col("__s")
+    // null-safe key join: the moments table already carries the NULL
+    // key's group (groupBy keeps it), so a NULL-keyed row must get
+    // its z from that group, not silently vanish (the cumeDistByKey
+    // defect class, ADVICE r10)
     df.select(col(idCol), col(keyCol), col(valueCol), cents.as("__c"))
-      .join(broadcast(moments), Seq(keyCol))
+      .join(broadcast(moments.select(col(keyCol).as("__zk"),
+        col("__n"), col("__s"), col("__ss"))), col(keyCol) <=> col("__zk"))
       .select(col(idCol), col(keyCol), col(valueCol),
         when(col("__n") > 1L && varNum > 0L,
           (col("__c") * col("__n") - col("__s")).cast("double")

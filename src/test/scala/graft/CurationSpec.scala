@@ -501,6 +501,15 @@ class CurationSpec extends AnyFunSuite {
     val g1 = Curation.quantilesByKey(one, "src", "v", Seq(0.5))
       .collect().map(r => (r.getDouble(2), r.getLong(3)))
     assert(g1 === Array((7.0, 1L)))
+    // NULL keys refuse LOUDLY with the contract named — previously an
+    // opaque NPE in the key byte-sort (robustScale/winsorizeByKey
+    // join back on the string key, so NULL has no rank space)
+    val withNull = Seq((Some("c"), 7L), (None, 9L))
+      .toDF("src", "v")
+    val err = intercept[IllegalArgumentException] {
+      Curation.quantilesByKey(withNull, "src", "v", Seq(0.5))
+    }
+    assert(err.getMessage.contains("NULL keys"))
     graft.operators.Dedup.releaseCaches()
   }
 

@@ -250,6 +250,25 @@ class EventsSpec extends AnyFunSuite {
     assert(got(5L) === None, "zero-variance key must yield NULL")
   }
 
+  test("zscoreByKey: NULL-keyed rows survive and form their own group") {
+    // the cumeDistByKey defect class (ADVICE r10): a plain equi-join
+    // back on the group key silently DROPPED rows whose key is NULL;
+    // the join is now null-safe and the NULL key is a real group
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val in = Seq((1L, Some("a"), 1.0), (2L, Some("a"), 3.0),
+      (3L, None, 10.0), (4L, None, 20.0), (5L, None, 30.0))
+      .toDF("event_id", "event_type", "value")
+    val out = Events.zscoreByKey(in, "event_id", "event_type", "value")
+    assert(out.count() === 5L, "no input row may disappear")
+    val got = out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // NULL group: cents 1000/2000/3000, varNum = 3·14000000 − 36000000
+    assert(got(3L) === Some(-3000.0 / math.sqrt(6000000.0)))
+    assert(got(4L) === Some(0.0))
+    assert(got(5L) === Some(3000.0 / math.sqrt(6000000.0)))
+  }
+
   test("hoppingByType: each event lands in exactly width/step windows") {
     // width 3600, step 900 → 4 covering windows per event
     // t=1000 s, fd=floor(1000/900)=1 → starts (1−3..1)·900 = {−1800,−900,0,900}
