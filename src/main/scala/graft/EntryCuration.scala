@@ -323,6 +323,18 @@ private[graft] object EntryCuration {
     }),
 
 
+    // ── sampling: weighted k PER KEY via bounded partial agg ────────
+    // The per-domain weighted twin: A-ES exponential race −ln(u)/w,
+    // k smallest per source, shipped through TopKAgg (≤ k pairs per
+    // key per task — never a per-key window sort). Rank-only output
+    // (the weightedSample libm convention).
+    "q_weighted_key_sample" -> ((s, dir) => {
+      Sampling.weightedSampleKPerKey(
+        Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"), col("source")),
+        "source", "doc_id", "n_chars", k = 5)
+    }),
+
+
     // ── LLM-pipeline: split-balance χ² audit ────────────────────────
     // Is the deterministic md5 split accidentally correlated with
     // source? Exact contingency table (zero cells materialized),
@@ -845,6 +857,22 @@ private[graft] object EntryCuration {
         |      FROM keyed)
         |SELECT doc_id, n_chars, source, sample_rank FROM r
         |WHERE sample_rank <= 100""".stripMargin,
+
+    // same rank-not-priority convention: −ln(u)/w is replayed, ranked
+    // per source, and the priority value discarded; u = (md5+1)/2^32
+    // keeps ln away from 0 on both engines
+    "q_weighted_key_sample" ->
+      """WITH base AS (
+        |  SELECT source, doc_id AS id, CAST(n_chars AS DOUBLE) AS w,
+        |         (CAST(concat('0x', substr(md5('42:' || doc_id), 1, 8)) AS BIGINT) + 1)
+        |           / 4294967296.0 AS u
+        |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+        |),
+        |r AS (SELECT source, id,
+        |             CAST(row_number() OVER (PARTITION BY source
+        |                                     ORDER BY -ln(u) / w, id) AS BIGINT) AS rank
+        |      FROM base)
+        |SELECT source, id, rank FROM r WHERE rank <= 5""".stripMargin,
 
 
     "q_split_chi2" ->

@@ -97,6 +97,47 @@ object Sampling {
       .drop("__key")
   }
 
+  /** Weighted k-per-key sample WITHOUT a per-key window sort —
+    * Efraimidis-Spirakis (IPL 2006, public paper) A-ES reservoir
+    * sampling, the weighted twin of Curation.sampleKPerKey: each row
+    * races with key −ln(u)/w and the k smallest race keys per group
+    * win — inclusion odds ∝ weight, without replacement ("keep 100
+    * docs per domain, favoring high quality" without a hard top-k
+    * content slice). u = (md5(seed:id)+1)/2³² ∈ (0, 1], shifted off
+    * zero because Spark's log returns NULL at 0 where DuckDB returns
+    * −inf — the one cross-engine hazard; the +1 scaling is exact in
+    * both engines (≤ 2³² fits a double).
+    *
+    * Scale shape: the race rides TopKAgg's bounded partial
+    * aggregation — each map task ships ≤ k (id, priority) pairs per
+    * key, so a mega-key never funnels its rows through one task (the
+    * window-sort trap sampleKPerKey accepts; use this form when keys
+    * can be corpus-sized). Rows with weight ≤ 0 or NULL are excluded
+    * (zero odds — the weightedSample contract). The priority itself
+    * is ln()/w — libm-dependent in the last ulp — so the output
+    * carries the RANK, not the priority (the weightedSample
+    * convention: ranks survive any-ulp differences unless two md5
+    * units collide to ~2⁻⁵²).
+    * Output: (keyCol, id, rank ∈ 1..k). */
+  def weightedSampleKPerKey(df: DataFrame, keyCol: String, idCol: String,
+                            weightCol: String, k: Int,
+                            seed: Long = 42L): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    val w = col(weightCol).cast("double")
+    val uPos = (conv(substring(md5(concat(lit(s"$seed:"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + lit(1.0)) /
+      lit(4294967296.0)
+    // TopKAgg keeps the k LARGEST scores (ties → lowest id); the A-ES
+    // winner MINIMIZES −ln(u)/w, so score = ln(u)/w (≤ 0)
+    df.filter(w > 0.0)
+      .groupBy(col(keyCol))
+      .agg(graft.functions.TopKAgg.topK(k, col(idCol).cast("long"),
+        log(uPos) / w).as("__top"))
+      .select(col(keyCol), posexplode(col("__top")).as(Seq("__r0", "__p")))
+      .select(col(keyCol), col("__p._1").as("id"),
+        (col("__r0") + 1).cast("long").as("rank"))
+  }
+
   /** Leakage-safe grouped split: the hash point comes from the GROUP
     * key (domain, source, url host, near-dup cluster id), so every
     * row sharing the key lands on the same side. Splitting by row id

@@ -229,6 +229,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(big.getDouble(3) <= big.getDouble(2) && big.getDouble(2) <= big.getDouble(4))
   }
 
+  test("weightedSampleKPerKey: A-ES race matches a driver recomputation; no Window planned") {
+    val rows = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd", (i % 7 + 1).toDouble))
+    val df = rows.toDF("id", "k", "w")
+    val got = Sampling.weightedSampleKPerKey(df, "k", "id", "w", k = 3, seed = 42L)
+    // local twin of the exponential race (same md5 unit, same Math.log)
+    def unit(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"42:$id".getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
+    }
+    val expected = rows.groupBy(_._2).flatMap { case (key, rs) =>
+      rs.map { case (id, _, w) => (id, -math.log(unit(id)) / w) }
+        .sortBy { case (id, p) => (p, id) }.take(3).zipWithIndex
+        .map { case ((id, _), i) => (key, id, (i + 1).toLong) }
+    }.toSet
+    assert(got.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet === expected)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "the point: a bounded partial agg, never a per-key window sort")
+    val again = Sampling.weightedSampleKPerKey(df.repartition(7), "k", "id", "w", 3, 42L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === expected, "repartition-stable")
+    // zero/NULL weights are excluded, never sampled
+    val withZero = (rows :+ ((99L, "even", 0.0))).toDF("id", "k", "w")
+    val ids = Sampling.weightedSampleKPerKey(withZero, "k", "id", "w", 100, 42L)
+      .select("id").as[Long].collect().toSet
+    assert(!ids.contains(99L) && ids.size === 40)
+  }
+
   test("splitBalanceChi2: dof is (g-1)(s-1) — zero when one split level materializes") {
     // ADVICE r10: with an extreme testFrac only 'train' materializes;
     // the true dof of the g×1 table is 0 (and chi2 is 0), not g−1.
