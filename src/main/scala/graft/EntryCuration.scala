@@ -203,6 +203,26 @@ private[graft] object EntryCuration {
     }),
 
 
+    // ── sources: JSONL corpus interchange round trip, hash-gated ────
+    // Write ALL of documents as JSONL (the standard LLM training-data
+    // exchange format), read it back schema'd, and gate the parsed
+    // table — text via md5, the byte-for-byte escaping proof —
+    // against the ORIGINAL parquet in DuckDB: the whole
+    // escape/serialize/parse path sits under the hash gate. One
+    // rowwise to_json projection + one splittable text scan; the only
+    // shuffle is the fixed 4-shard repartition.
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        Integer.toHexString(dir.hashCode)
+      graft.sources.DocIO.writeJsonl(docs, tmp, shards = 4)
+      graft.sources.DocIO.readJsonl(s, tmp, docs.schema)
+        .filter(col("_corrupt_record").isNull)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+    }),
+
+
     // ── curation: stable pseudonymization of user ids ───────────────
     // Salted md5 replacement — joins/group-bys on the pseudonym still
     // work; rowwise, no shuffle.
@@ -665,6 +685,13 @@ private[graft] object EntryCuration {
         |       md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
         |       CAST(floor(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |                  / 4294967296.0 * 16) AS INTEGER) AS shard
+        |FROM documents""".stripMargin,
+
+    // the oracle reads the ORIGINAL parquet — equality proves the
+    // JSONL serialize/escape/parse chain is byte-lossless (text is
+    // compared via md5 on both engines, UTF-8 bytes each)
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents""".stripMargin,
 
 

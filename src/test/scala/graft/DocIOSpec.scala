@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.DocIO
+
+/** JSONL corpus interchange: byte-lossless round trip for hostile
+  * text, NULL field handling, corrupt-line capture, shard count. */
+class DocIOSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_dociotest_$tag").toString
+
+  test("JSONL round trip is byte-lossless for hostile text and NULLs") {
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, Some("plain ascii"), Some("en")),
+      (2L, Some("quotes \" and \\ backslash"), Some("de")),
+      (3L, Some("newline\nand\ttab and \r return"), None), // null source
+      (4L, Some("unicode é中文 and emoji 😀"), Some("zh")),
+      (5L, Some("control  chars"), Some("en")),
+      (6L, None, Some("fr")) // null text
+    ).toDF("doc_id", "text", "source")
+    val path = tmpDir("roundtrip")
+    DocIO.writeJsonl(hostile, path, shards = 2)
+    val back = DocIO.readJsonl(spark, path, hostile.schema)
+    assert(DocIO.ingestAudit(back) === ((6L, 0L)))
+    val got = back.filter(col("_corrupt_record").isNull)
+      .select("doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    val want = hostile.collect().map(r => r.getLong(0) ->
+      ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(got === want, "every byte, quote, control char and NULL must survive")
+    // shard count respected
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("part-")).toSeq
+    assert(files.size === 2, s"asked for 2 shards, got ${files.map(_.getName)}")
+  }
+
+  test("corrupt lines cost one audit row each, never the ingest") {
+    import spark.implicits._
+    val good = Seq((1L, "ok"), (2L, "also ok")).toDF("doc_id", "text")
+    val path = tmpDir("corrupt")
+    DocIO.writeJsonl(good, path)
+    // poison the directory with a malformed line
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "part-poison.txt"),
+      "{\"doc_id\": 3, \"text\": unterminated\n")
+    val back = DocIO.readJsonl(spark, path, good.schema)
+    val (clean, corrupt) = DocIO.ingestAudit(back)
+    assert(clean === 2L && corrupt === 1L)
+    val bad = back.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length === 1)
+    assert(bad(0).getAs[String]("_corrupt_record").contains("unterminated"),
+      "the raw offending line must be preserved for the audit")
+    // the corruptCol name must not collide with a data column
+    intercept[IllegalArgumentException] {
+      DocIO.readJsonl(spark, path,
+        good.schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+    }
+  }
+}
