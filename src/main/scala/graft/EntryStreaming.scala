@@ -220,6 +220,34 @@ private[graft] object EntryStreaming {
     // selects each user's final state — the same final-state
     // selection contract q_stream_kmv uses. Sum order can't matter:
     // the fold adds exact integer cents.
+    // ── streaming: FILE-SOURCE JSONL ingest ─────────────────────────
+    // The one non-MemoryStream source row: DocIO-written shards
+    // stream in at one file per micro-batch (maxFilesPerTrigger = 1,
+    // so the 4 shards drive 4 real file-discovery triggers — the
+    // production ingest topology, a watched landing directory), and
+    // the complete-mode per-source aggregate must equal the batch
+    // GROUP BY over the original parquet — the oracle replays it
+    // verbatim, so file streaming sits under the HASH gate.
+    "q_stream_jsonl" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_jsonl_" +
+        Integer.toHexString(dir.hashCode)
+      graft.sources.DocIO.writeJsonl(docs, tmp, shards = 4)
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val agg = s.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(tmp)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).select("source", "n_docs", "sum_chars")
+    }),
+
+
     "q_stream_totals" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
@@ -469,6 +497,13 @@ private[graft] object EntryStreaming {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the batch twin of the file-source ingest: streaming's final
+    // complete-mode state must equal this GROUP BY exactly
+    "q_stream_jsonl" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q_stream_dedup" ->
       """WITH idx AS (SELECT DISTINCT md5(text) AS h FROM documents
