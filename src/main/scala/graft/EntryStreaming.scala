@@ -248,6 +248,44 @@ private[graft] object EntryStreaming {
     }),
 
 
+    // ── streaming: checkpointed FILE SINK (exactly-once JSONL out) ──
+    // The output half of the ingest story: a MemoryStream of document
+    // rows lands in an append-mode json file sink across 3 micro-
+    // batches with a checkpoint; the batch read-back goes through the
+    // sink's _spark_metadata commit log (only committed files are
+    // visible — the exactly-once contract), and must equal the plain
+    // projection of the source table, which the oracle replays. The
+    // sink+checkpoint dirs are wiped per call: offsets in a stale
+    // checkpoint pin to a prior MemoryStream instance and would
+    // replay nothing.
+    "q_stream_filesink" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("source"), col("n_chars").cast("long"))
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_filesink_" +
+        Integer.toHexString(dir.hashCode)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val source = MemoryStream[(Long, String, Long)]
+      val q = source.toDF().toDF("doc_id", "source", "n_chars")
+        .writeStream.format("json")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/chk")
+        .outputMode("append").start()
+      val perBatch = math.max(1, (docs.length + 2) / 3)
+      try docs.grouped(perBatch).foreach { b =>
+        source.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      s.read.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("n_chars", LongType))))
+        .json(s"$base/out")
+    }),
+
+
     "q_stream_totals" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
@@ -497,6 +535,10 @@ private[graft] object EntryStreaming {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the file sink's committed output must be exactly the projection
+    "q_stream_filesink" ->
+      """SELECT doc_id, source, n_chars FROM documents""".stripMargin,
 
     // the batch twin of the file-source ingest: streaming's final
     // complete-mode state must equal this GROUP BY exactly
