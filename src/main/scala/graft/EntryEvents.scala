@@ -676,7 +676,7 @@ private[graft] object EntryEvents {
          |              CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rate
          |       FROM per GROUP BY 1)
          |SELECT pt.arm, pt.n_units, pt.rate, ci.ci_lo, ci.ci_hi
-         |FROM pt JOIN ci ON pt.arm = ci.arm""".stripMargin
+         |FROM pt LEFT JOIN ci ON pt.arm = ci.arm""".stripMargin
     },
 
 

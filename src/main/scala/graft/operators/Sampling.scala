@@ -112,8 +112,10 @@ object Sampling {
     * aggregation — each map task ships ≤ k (id, priority) pairs per
     * key, so a mega-key never funnels its rows through one task (the
     * window-sort trap sampleKPerKey accepts; use this form when keys
-    * can be corpus-sized). Rows with weight ≤ 0 or NULL are excluded
-    * (zero odds — the weightedSample contract). The priority itself
+    * can be corpus-sized). Rows with weight ≤ 0, NULL, or NaN are
+    * excluded (zero odds — the weightedSample contract; NaN needs its
+    * own guard because Spark's ordering ranks NaN ABOVE any number,
+    * so `w > 0.0` alone would let it through). The priority itself
     * is ln()/w — libm-dependent in the last ulp — so the output
     * carries the RANK, not the priority (the weightedSample
     * convention: ranks survive any-ulp differences unless two md5
@@ -124,18 +126,18 @@ object Sampling {
                             seed: Long = 42L): DataFrame = {
     require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
     val w = col(weightCol).cast("double")
-    val uPos = (conv(substring(md5(concat(lit(s"$seed:"),
-        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + lit(1.0)) /
-      lit(4294967296.0)
-    // TopKAgg keeps the k LARGEST scores (ties → lowest id); the A-ES
-    // winner MINIMIZES −ln(u)/w, so score = ln(u)/w (≤ 0)
-    df.filter(w > 0.0)
-      .groupBy(col(keyCol))
-      .agg(graft.functions.TopKAgg.topK(k, col(idCol).cast("long"),
-        log(uPos) / w).as("__top"))
-      .select(col(keyCol), posexplode(col("__top")).as(Seq("__r0", "__p")))
-      .select(col(keyCol), col("__p._1").as("id"),
-        (col("__r0") + 1).cast("long").as("rank"))
+    // (m+1)/2^32 ∈ (0, 1] via the shared unit contract — the +ulp
+    // shift is exact (m+1 ≤ 2^32 fits a double) and keeps ln away
+    // from 0, where Spark returns NULL and DuckDB -inf
+    val uPos = unitFromMd5(concat(lit(s"$seed:"), col(idCol).cast("string"))) +
+      lit(1.0 / 4294967296.0)
+    // topKPerKey keeps the k LARGEST scores (ties → lowest id); the
+    // A-ES winner MINIMIZES −ln(u)/w, so score = ln(u)/w (≤ 0)
+    Curation.topKPerKey(
+        df.filter(w > 0.0 && !isnan(w))
+          .select(col(keyCol), col(idCol), (log(uPos) / w).as("__score")),
+        keyCol, idCol, "__score", k)
+      .drop("score")
   }
 
   /** Leakage-safe grouped split: the hash point comes from the GROUP
@@ -352,6 +354,10 @@ object Sampling {
       .agg(count(lit(1)).cast("long").as("n_units"),
         (sum(col(convCol).cast("long")).cast("double")
           / count(lit(1)).cast("double")).as("rate"))
-    point.join(ci, Seq("arm"))
+    // LEFT join: if every replicate of an arm resampled to zero weight
+    // (probability e^-(n·b) — real for a 1-unit arm at small b), the
+    // arm must still surface with its point rate and NULL CI bounds,
+    // not vanish from the report (the silent-drop class again)
+    point.join(ci, Seq("arm"), "left")
   }
 }

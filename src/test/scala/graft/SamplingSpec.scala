@@ -211,6 +211,23 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrapConversionCI: an arm losing ALL replicates keeps its point row, NULL CI") {
+    // id 49320 is a pinned md5 fixture: all 10 of its Poisson(1)
+    // draws for b = 10 are zero (P ≈ e^-10 — found by search, stable
+    // forever because the coin is md5("id:r")). The arm must surface
+    // with its point rate and NULL bounds, not vanish (left join).
+    val per = ((1L to 20L).map(i => (i, "big", i % 2))
+      :+ ((49320L, "doomed", 1L))).toDF("id", "arm", "conv")
+    val rows = Sampling.bootstrapConversionCI(per, "id", "arm", "conv", b = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val doomed = rows("doomed")
+    assert(doomed.getLong(1) === 1L && doomed.getDouble(2) === 1.0,
+      "point stats must survive")
+    assert(doomed.isNullAt(3) && doomed.isNullAt(4),
+      "no surviving replicate -> NULL CI bounds, not a missing arm")
+    assert(!rows("big").isNullAt(3) && !rows("big").isNullAt(4))
+  }
+
   test("bootstrapConversionCI: a 1-unit arm (dropped replicates) still gets both bounds") {
     // ADVICE r10: a single-unit arm loses ~37% of its replicates to
     // zero Poisson weight; ranking against the NOMINAL b left ci_hi
@@ -253,11 +270,14 @@ class SamplingSpec extends AnyFunSuite {
     val again = Sampling.weightedSampleKPerKey(df.repartition(7), "k", "id", "w", 3, 42L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(again === expected, "repartition-stable")
-    // zero/NULL weights are excluded, never sampled
-    val withZero = (rows :+ ((99L, "even", 0.0))).toDF("id", "k", "w")
+    // zero/NULL/NaN weights are excluded, never sampled (NaN needs
+    // its own guard: Spark orders NaN above any number, so a plain
+    // w > 0.0 filter would admit it)
+    val withZero = (rows :+ ((99L, "even", 0.0))
+      :+ ((98L, "even", Double.NaN))).toDF("id", "k", "w")
     val ids = Sampling.weightedSampleKPerKey(withZero, "k", "id", "w", 100, 42L)
       .select("id").as[Long].collect().toSet
-    assert(!ids.contains(99L) && ids.size === 40)
+    assert(!ids.contains(99L) && !ids.contains(98L) && ids.size === 40)
   }
 
   test("splitBalanceChi2: dof is (g-1)(s-1) — zero when one split level materializes") {
