@@ -40,6 +40,35 @@ class DocIOSpec extends AnyFunSuite {
     assert(files.size === 2, s"asked for 2 shards, got ${files.map(_.getName)}")
   }
 
+  test("JSONL round trip survives 300 fuzzed unicode strings (seeded)") {
+    import spark.implicits._
+    // seeded fuzz over the full valid-scalar-value space: ASCII,
+    // controls, BMP (surrogates excluded — an unpaired surrogate is
+    // not valid UTF-8 and no real corpus line contains one), and
+    // supplementary planes via proper pairs. One batched round trip.
+    val rnd = new scala.util.Random(20260814L)
+    def fuzzChar(): String = rnd.nextInt(4) match {
+      case 0 => (32 + rnd.nextInt(95)).toChar.toString // printable ascii
+      case 1 => rnd.nextInt(32).toChar.toString        // control chars
+      case 2 =>                                         // BMP, no surrogates
+        var c = 0; do c = rnd.nextInt(0xFFFF) while (c >= 0xD800 && c <= 0xDFFF)
+        c.toChar.toString
+      case 3 => new String(Character.toChars(0x10000 + rnd.nextInt(0x10000)))
+    }
+    val docs = (1L to 300L).map(i =>
+      (i, (0 until rnd.nextInt(40)).map(_ => fuzzChar()).mkString))
+    val df = docs.toDF("doc_id", "text")
+    val path = tmpDir("fuzz")
+    DocIO.writeJsonl(df, path, shards = 3)
+    val back = DocIO.readJsonl(spark, path, df.schema)
+    assert(DocIO.ingestAudit(back) === ((300L, 0L)), "no line may parse corrupt")
+    val got = back.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === text, s"doc $id must round-trip byte-identically")
+    }
+  }
+
   test("corrupt lines cost one audit row each, never the ingest") {
     import spark.implicits._
     val good = Seq((1L, "ok"), (2L, "also ok")).toDF("doc_id", "text")
