@@ -203,6 +203,23 @@ private[graft] object EntryCuration {
     }),
 
 
+    // ── sources: CSV metadata-table round trip, hash-gated ──────────
+    // The flat-table interchange twin of q_jsonl_roundtrip: customer
+    // (strings + a double money column) written as headered CSV and
+    // read back schema'd must hash-equal the original parquet — the
+    // quoting and the double format/parse round trip both sit under
+    // the gate. Splittable by construction (no multiLine).
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        Integer.toHexString(dir.hashCode)
+      graft.sources.DocIO.writeCsv(cust, tmp, shards = 4)
+      graft.sources.DocIO.readCsv(s, tmp, cust.schema)
+        .filter(col("_corrupt_record").isNull)
+        .select(cust.columns.map(col).toSeq: _*)
+    }),
+
+
     // ── sources: JSONL corpus interchange round trip, hash-gated ────
     // Write ALL of documents as JSONL (the standard LLM training-data
     // exchange format), read it back schema'd, and gate the parsed
@@ -686,6 +703,12 @@ private[graft] object EntryCuration {
         |       CAST(floor(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |                  / 4294967296.0 * 16) AS INTEGER) AS shard
         |FROM documents""".stripMargin,
+
+    // the oracle reads the ORIGINAL parquet — CSV equality proves the
+    // quote/format/parse chain is lossless for the flat table
+    "q_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
 
     // the oracle reads the ORIGINAL parquet — equality proves the
     // JSONL serialize/escape/parse chain is byte-lossless (text is

@@ -55,6 +55,38 @@ object DocIO {
       .json(path)
   }
 
+  /** CSV metadata-table writer (header + RFC-4180 quoting). CSV is
+    * for FLAT tables — ids, labels, metrics, partition manifests:
+    * multiLine stays OFF, so a row never crosses a line boundary and
+    * the scan stays SPLITTABLE (the 100 TB posture; corpus text with
+    * embedded newlines belongs in JSONL above, where escaping keeps
+    * every record one line by construction). NULL is written as \N
+    * (the classic dump convention) so it round-trips distinguishably
+    * from the empty string — CSV's default "" encoding for both is
+    * lossy. */
+  def writeCsv(df: DataFrame, path: String, shards: Int = 0): Unit = {
+    require(shards >= 0, s"shards must be >= 0, got $shards")
+    val sharded = if (shards > 0) df.repartition(shards) else df
+    sharded.write.mode("overwrite")
+      .option("header", "true").option("nullValue", "\\N")
+      .csv(path)
+  }
+
+  /** Schema'd CSV read with the writeCsv conventions (header, \N for
+    * NULL) and the same PERMISSIVE corrupt-line capture contract as
+    * readJsonl. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              corruptCol: String = "_corrupt_record"): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already contains '$corruptCol' — pick another corruptCol name")
+    spark.read
+      .schema(schema.add(corruptCol, StringType))
+      .option("header", "true").option("nullValue", "\\N")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(path)
+  }
+
   /** Ingest audit: (clean, corrupt) line counts in one pass. The
     * parsed frame is cached for the scan: Spark refuses a raw-JSON
     * read whose pushed projection is ONLY the corrupt column

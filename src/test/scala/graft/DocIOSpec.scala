@@ -69,6 +69,33 @@ class DocIOSpec extends AnyFunSuite {
     }
   }
 
+  test("CSV round trip: quoting, doubles, and NULL-vs-empty disambiguation") {
+    import spark.implicits._
+    val flat = Seq(
+      (1L, Some("plain"), Some(12.34)),
+      (2L, Some("comma, inside"), Some(-0.5)),
+      (3L, Some("quote \" and 'apos'"), Some(1.0e-7)),
+      (4L, Some(""), Some(9.999999999999e12)), // EMPTY string, not null
+      (5L, None, None) // genuine NULLs
+    ).toDF("id", "s", "v")
+    val path = tmpDir("csv")
+    DocIO.writeCsv(flat, path, shards = 2)
+    val back = DocIO.readCsv(spark, path, flat.schema)
+    assert(DocIO.ingestAudit(back) === ((5L, 0L)))
+    val got = back.filter(col("_corrupt_record").isNull)
+      .select("id", "s", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val want = flat.collect().map(r => r.getLong(0) ->
+      ((Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(got === want,
+      "commas, quotes, doubles, empty string and NULL must all round-trip")
+    assert(got(4L)._1 === Some(""), "empty string must NOT collapse to NULL")
+    assert(got(5L)._1 === None, "NULL must NOT become a string")
+  }
+
   test("corrupt lines cost one audit row each, never the ingest") {
     import spark.implicits._
     val good = Seq((1L, "ok"), (2L, "also ok")).toDF("doc_id", "text")
