@@ -63,12 +63,36 @@ object DocIO {
     * every record one line by construction). NULL is written as \N
     * (the classic dump convention) so it round-trips distinguishably
     * from the empty string — CSV's default "" encoding for both is
-    * lossy. */
+    * lossy.
+    *
+    * Embedded line breaks FAIL the write (ADVICE r11): the writer
+    * would quote them per RFC-4180, but readCsv keeps multiLine off
+    * (splittability), so such data writes cleanly and reads back
+    * corrupt — a silent round-trip break. The guard is a rowwise
+    * codegen'd rlike inside the write projection (no extra scan);
+    * strip or escape line breaks upstream, or use JSONL. */
   def writeCsv(df: DataFrame, path: String, shards: Int = 0): Unit = {
     require(shards >= 0, s"shards must be >= 0, got $shards")
-    val sharded = if (shards > 0) df.repartition(shards) else df
+    val guarded = df.select(df.schema.fields.map { f =>
+      if (f.dataType == StringType)
+        // the literal 2-char string \N is indistinguishable from NULL
+        // under the dump convention — same silent-round-trip class
+        when(col(f.name).rlike("[\n\r]") || col(f.name) === "\\N", raise_error(concat(
+            lit(s"writeCsv: string column '${f.name}' holds an embedded line " +
+              "break or the literal \\N — readCsv (multiLine off, \\N = NULL) " +
+              "cannot round-trip it; strip/escape upstream or use writeJsonl"),
+            lit(" (value: "), substring(col(f.name), 1, 80), lit(")"))))
+          .otherwise(col(f.name)).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+    val sharded = if (shards > 0) guarded.repartition(shards) else guarded
+    // the writer's whitespace trim defaults to ON (unlike the reader's
+    // parse side) and silently eats leading/trailing spaces — found by
+    // the round-trip fuzz; pinned off for losslessness
     sharded.write.mode("overwrite")
       .option("header", "true").option("nullValue", "\\N")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
   }
 

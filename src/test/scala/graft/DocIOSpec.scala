@@ -118,4 +118,66 @@ class DocIOSpec extends AnyFunSuite {
         good.schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
     }
   }
+
+  test("CSV round trip survives 300 fuzzed unicode strings (seeded)") {
+    import spark.implicits._
+    // Seeded fuzz over the valid-scalar space MINUS the two write-time
+    // rejections (line breaks, the literal \N) — the CSV twin of the
+    // JSONL fuzz above: commas, quotes, backslashes, controls, BMP,
+    // supplementary planes, leading/trailing whitespace, empty
+    // strings, and NULLs must all round-trip through the headered
+    // splittable format.
+    val rnd = new scala.util.Random(20260814L)
+    def fuzzChar(): String = rnd.nextInt(6) match {
+      case 0 => (32 + rnd.nextInt(95)).toChar.toString // printable ascii
+      case 1 => Seq(",", "\"", "\\", " ", "\t")(rnd.nextInt(5)) // CSV-hostile
+      case 2 => // control chars, minus CR/LF (rejected at write)
+        var c = 0; do c = rnd.nextInt(32) while (c == 10 || c == 13)
+        c.toChar.toString
+      case 3 => // BMP, no surrogates
+        var c = 0; do c = rnd.nextInt(0xFFFF) while (c >= 0xD800 && c <= 0xDFFF)
+        c.toChar.toString
+      case _ => new String(Character.toChars(0x10000 + rnd.nextInt(0x10000)))
+    }
+    def fuzzVal(): Option[String] =
+      if (rnd.nextInt(10) == 0) None // NULL field
+      else {
+        val s = (0 until rnd.nextInt(40)).map(_ => fuzzChar()).mkString
+        if (s == "\\N") Some(s + "_") else Some(s)
+      }
+    val docs = (1L to 300L).map(i => (i, fuzzVal()))
+    val df = docs.toDF("doc_id", "text")
+    val path = tmpDir("csvfuzz")
+    DocIO.writeCsv(df, path, shards = 3)
+    val back = DocIO.readCsv(spark, path, df.schema)
+    assert(DocIO.ingestAudit(back) === ((300L, 0L)), "no line may parse corrupt")
+    val got = back.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === text, s"row $id must round-trip exactly")
+    }
+  }
+
+  test("writeCsv fails fast on embedded line breaks and the literal \\N (ADVICE r11)") {
+    import spark.implicits._
+    def writeFails(rows: Seq[(Long, String)]): Unit = {
+      val path = tmpDir("csvguard")
+      val e = intercept[Throwable] {
+        DocIO.writeCsv(rows.toDF("id", "s"), path)
+      }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+      assert(msgs.contains("cannot round-trip"),
+        s"want the writeCsv guard message, got: $msgs")
+    }
+    writeFails(Seq((1L, "ok"), (2L, "broken\nline")))
+    writeFails(Seq((1L, "carriage\rreturn")))
+    writeFails(Seq((1L, "\\N")))
+    // NULLs and newline-free text still write fine
+    val path = tmpDir("csvok")
+    DocIO.writeCsv(Seq((1L, Some("fine")), (2L, None)).toDF("id", "s"), path)
+    val back = DocIO.readCsv(spark,
+      path, Seq((1L, Option("x"))).toDF("id", "s").schema)
+    assert(DocIO.ingestAudit(back) === ((2L, 0L)))
+  }
 }
