@@ -64,9 +64,16 @@ object Bench {
     // of a time and the process exits non-zero at the end, so the
     // driver still sees red — with 161 timings alongside it.
     val results: Map[String, Either[String, Double]] = selected.map { case (name, fn) =>
+      // Streaming rows run ONCE (VERDICT r11 item 2): they time the
+      // MemoryStream micro-batch RIG (feed replay + processAllAvailable
+      // barriers — deterministic machinery, not plan work), so the
+      // best-of-N noise statistic buys nothing there and the second
+      // rep just doubled the suite's largest fixed cost (~63 s of the
+      // r11 total). Batch rows keep best-of-N.
+      val qReps = if (name.startsWith("q_stream_")) 1 else reps
       val outcome =
         try {
-          val times = (1 to reps).map { _ =>
+          val times = (1 to qReps).map { _ =>
             // settle the heap between runs: without this, whichever query
             // follows an allocation-heavy one absorbs its GC debt
             // (observed 2-4x swings on the same query across runs)

@@ -86,6 +86,65 @@ private[graft] object EntryHelpers {
     * function may run more than once per session — Bench reps). */
   val streamSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Pins spark.sql.shuffle.partitions for the duration of a
+    * MemoryStream rig (VERDICT r11 item 2): a stateful micro-batch
+    * pays one state-store commit PER shuffle partition PER operator
+    * PER batch, so 32 partitions over a <=100k-row fixture is pure
+    * rig overhead (~32x more store commits than data warrants). The
+    * stream's state partition count is fixed at query START, so the
+    * pin must wrap .start(); the previous value is restored after.
+    * Correctness-neutral by construction: the dual-layout driver gate
+    * (4 vs 32 cores = 4 vs 32 shuffle partitions) already requires
+    * every streaming row's output to be partition-count-independent.
+    * Production jobs size this knob to their data; the rig sizes it
+    * to the fixture. */
+  def withStreamRigConf[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, prev)
+  }
+
+  /** Canonical collected micro-batch feeds, shared by every streaming
+    * fixture (VERDICT r11 item 2): each of the 15 MemoryStream rigs
+    * used to re-collect its own projection of the same documents /
+    * events table — identical rows, ~30 driver collects per bench
+    * run for zero added coverage. MemoryStream is fed from the
+    * driver BY DEFINITION (production sources are files/Kafka), so
+    * the feed is fixture machinery, not operator surface; collecting
+    * once per (session, sfDir) and deriving each rig's projection +
+    * sort driver-side (in-memory over ≤100k rows) changes nothing a
+    * gate can see. Casts mirror the per-fixture selects they replace
+    * (ids/ts → long). Sorted by id at collect so every derived sort
+    * is deterministic (stable sort over a deterministic base). */
+  val docFeedMemo =
+    scala.collection.mutable.Map.empty[String, Array[(Long, String, String, Long)]]
+  /** documents → (doc_id, text, source, n_chars), doc_id-sorted. */
+  def docFeed(s: SparkSession, dir: String): Array[(Long, String, String, Long)] =
+    synchronized {
+      docFeedMemo.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir", {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"), col("source"),
+            col("n_chars").cast("long"))
+          .as[(Long, String, String, Long)].collect().sortBy(_._1)
+      })
+    }
+
+  val eventFeedMemo =
+    scala.collection.mutable.Map.empty[String, Array[(Long, Long, Long, String, Double)]]
+  /** events → (event_id, ts, user_id, event_type, value), id-sorted. */
+  def eventFeed(s: SparkSession, dir: String): Array[(Long, Long, Long, String, Double)] =
+    synchronized {
+      eventFeedMemo.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir", {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .select(col("event_id").cast("long"), col("ts").cast("long"),
+            col("user_id").cast("long"), col("event_type"), col("value"))
+          .as[(Long, Long, Long, String, Double)].collect().sortBy(_._1)
+      })
+    }
+
   /** DuckDB CTEs mirroring cents8 + one assignment pass. */
   val sqlCents8 =
     """c AS (

@@ -227,6 +227,27 @@ private[graft] object EntryKMeansCore {
     }),
 
 
+    // ── op 12 SCALE PATH: k-means‖ with the default partial-agg cost
+    // (sortedCost = false — VERDICT r11 item 1: bench the path a
+    // cluster runs, where each round's cost(C) is one map-side-
+    // combined sum, not a single-task sorted fold). SAME oracle as
+    // q_kmeans_parallel: cost only feeds the oversampling threshold
+    // p = l·d²/cost, the admitted candidates are exact data points,
+    // and a ~1e-13-relative cost difference flips an admission only
+    // if some point's p lands within it of its md5 unit (≈4e-8 over
+    // every draw) — so the default-cost output is bit-identical to
+    // the parity mode's, which KMeansSpec pins directly.
+    "q_kmeans_par_fast" -> ((s, dir) => {
+      val cents = KMeans.initCentroids(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding",
+        KMeans.Parallel(4, seed = 42L, rounds = 3, sortedCost = false))
+      import s.implicits._
+      cents.toSeq.flatMap { case (cid, v) =>
+        v.zipWithIndex.map { case (x, i) => (cid, i + 1, x) }
+      }.toDF("cluster", "pos", "val")
+    }),
+
+
     // ── op 17: PCA — the distributed covariance stage ───────────────
     // (i, j, cov) upper triangle via the sorted-fold parity twin; the
     // scale path is PCA.moments (one GramAgg pass), equality pinned in
@@ -234,6 +255,25 @@ private[graft] object EntryKMeansCore {
     // eigendecomposition is not SQL-expressible.
     "q_pca_cov" -> ((s, dir) => {
       PCA.covarianceSortedFold(Tables(s, dir, "embeddings"), "embedding")
+    }),
+
+
+    // ── op 17 SCALE PATH: PCA.moments (one GramAgg pass) ────────────
+    // The shipping covariance path under its own bench row (VERDICT
+    // r11 item 1 — the headline number a 100×-scale reader sees must
+    // be this one, not the O(rows·d²) posexplode parity twin above).
+    // Partial-agg sums are partition-order-dependent, so the gate
+    // quantizes to an exact INTEGER 1e-4 grid (values are O(0.1),
+    // summation noise is O(1e-12) — eleven orders below the grid;
+    // integer output also sidesteps -0.0 vs 0.0 hash hazards on the
+    // near-zero off-diagonals). Same (i, j) triangle as q_pca_cov.
+    "q_pca_moments" -> ((s, dir) => {
+      val m = PCA.moments(Tables(s, dir, "embeddings"), "embedding")
+      import s.implicits._
+      val d = m.mean.length
+      (for { i <- 0 until d; j <- i until d }
+        yield (i + 1, j + 1, math.round(m.cov(i)(j) * 10000.0)))
+        .toDF("i", "j", "cov4")
     }),
 
 
@@ -312,6 +352,10 @@ private[graft] object EntryKMeansCore {
 
   val oracleSql: Map[String, String] = Map(
     "q_kmeans_parallel" -> sqlKmeansParallel,
+    // the default-cost scale path admits the same candidates (cost
+    // only feeds the threshold; see the query's doc comment), so the
+    // parity unroll applies verbatim
+    "q_kmeans_par_fast" -> sqlKmeansParallel,
 
 
     "q_scan_project" ->
@@ -470,6 +514,21 @@ private[graft] object EntryKMeansCore {
         |)
         |SELECT i, j, list_reduce(list_sort(list(p)), (acc, e) -> acc + e) / (count(*) - 1) AS cov
         |FROM pr GROUP BY 1, 2""".stripMargin,
+
+
+    // scale-path twin: covar_samp on the exact-integer 1e-4 grid (the
+    // quantization argument lives on the Spark side's doc comment)
+    "q_pca_moments" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |)
+        |SELECT a.i AS i, b.i AS j,
+        |       CAST(round(covar_samp(a.v, b.v) * 10000) AS BIGINT) AS cov4
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2""".stripMargin,
 
 
     "q_jaccard" ->

@@ -15,7 +15,13 @@ import graft.EntryHelpers._
   * One slice of the driver contract, split out of the former
   * monolithic SparkEntry maps (VERDICT r10 item 7) purely for
   * compile-time and review tractability — SparkEntry.queries /
-  * .oracleSql concatenate the slices; entry text is unchanged. */
+  * .oracleSql concatenate the slices; entry text is unchanged.
+  *
+  * All fixtures draw their micro-batch rows from the SHARED collected
+  * feeds (EntryHelpers.docFeed / eventFeed — VERDICT r11 item 2): one
+  * driver collect per table per session instead of one per rig per
+  * rep. Each rig derives its own projection + sort driver-side; the
+  * rows fed are byte-identical to the per-rig collects they replace. */
 private[graft] object EntryStreaming {
 
   import KMeans.{FirstK, ExplicitIds}
@@ -36,15 +42,14 @@ private[graft] object EntryStreaming {
     // collect here is the micro-batch FIXTURE (MemoryStream is fed
     // from the driver by definition — production sources are
     // files/Kafka); the operator under test never collects.
-    "q_stream_dedup" -> ((s, dir) => {
+    "q_stream_dedup" -> ((s, dir) => withStreamRigConf(s) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val docs = Tables(s, dir, "documents")
       val index = Dedup.exactIndex(docs.filter(col("doc_id") % 4 =!= 0), Seq("text"))
-      val arrivals = docs.filter(col("doc_id") % 4 === 0)
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
-        .as[StreamDoc].collect().sortBy(_.doc_id)
+      val arrivals = docFeed(s, dir).filter(_._1 % 4 == 0)
+        .map { case (id, text, source, _) => StreamDoc(id, text, source) }
       val perBatch = math.max(1, (arrivals.length + 2) / 3)
       val source = MemoryStream[StreamDoc]
       val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
@@ -67,13 +72,11 @@ private[graft] object EntryStreaming {
     // complete-mode memory sink then holds exactly the batch
     // aggregate, making the stream's windowed STATE (not just a
     // rowwise map) hash-checkable against DuckDB.
-    "q_stream_window" -> ((s, dir) => {
+    "q_stream_window" -> ((s, dir) => withStreamRigConf(s) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val ev = Tables(s, dir, "events")
-        .select(col("ts").cast("long"), col("event_type"))
-        .as[(Long, String)].collect().sortBy(_._1)
+      val ev = eventFeed(s, dir).map(e => (e._2, e._4)).sortBy(_._1)
       val perBatch = math.max(1, (ev.length + 2) / 3)
       val source = MemoryStream[(Long, String)]
       val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
@@ -93,13 +96,12 @@ private[graft] object EntryStreaming {
     // all-bands-fresh fold over the sink is the q_stream_kmv
     // final-state-selection convention; the cross-batch BUCKET state
     // is what the doc_id-order oracle checks.
-    "q_stream_neardup" -> ((s, dir) => {
+    "q_stream_neardup" -> ((s, dir) => withStreamRigConf(s) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val arrivals = Tables(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
-        .as[StreamDoc].collect().sortBy(_.doc_id)
+      val arrivals = docFeed(s, dir)
+        .map { case (id, text, source, _) => StreamDoc(id, text, source) }
       val perBatch = math.max(1, (arrivals.length + 2) / 3)
       val source = MemoryStream[StreamDoc]
       val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
@@ -122,13 +124,11 @@ private[graft] object EntryStreaming {
     // in 4 windows (1 h width / 15 min slide), folded across 3
     // time-ordered micro-batches in complete mode — the sliding twin
     // of q_stream_window, checked against the batch hopping oracle.
-    "q_stream_hop" -> ((s, dir) => {
+    "q_stream_hop" -> ((s, dir) => withStreamRigConf(s) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val ev = Tables(s, dir, "events")
-        .select(col("ts").cast("long"), col("event_type"))
-        .as[(Long, String)].collect().sortBy(_._1)
+      val ev = eventFeed(s, dir).map(e => (e._2, e._4)).sortBy(_._1)
       val perBatch = math.max(1, (ev.length + 2) / 3)
       val source = MemoryStream[(Long, String)]
       val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
@@ -151,13 +151,12 @@ private[graft] object EntryStreaming {
     // key contract — so the cross-batch COUNTER state (a quota
     // filling mid-stream, partially-admitted batches) is what the
     // DuckDB row_number oracle checks, not just a rowwise map. */
-    "q_stream_cap" -> ((s, dir) => {
+    "q_stream_cap" -> ((s, dir) => withStreamRigConf(s) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val arrivals = Tables(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
-        .as[StreamDoc].collect().sortBy(_.doc_id)
+      val arrivals = docFeed(s, dir)
+        .map { case (id, text, source, _) => StreamDoc(id, text, source) }
       val perBatch = math.max(1, (arrivals.length + 2) / 3)
       val source = MemoryStream[StreamDoc]
       val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
@@ -180,17 +179,17 @@ private[graft] object EntryStreaming {
     // time-sorted feeds in aligned chunks means every match is
     // present by the final batch — the pair set equals the batch
     // range join, which is the oracle.
-    "q_stream_join" -> ((s, dir) => {
+    "q_stream_join" -> ((s, dir) => withStreamRigConf(s) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val ev = Tables(s, dir, "events")
-        .select(col("event_id").cast("long"), col("ts").cast("long"),
-          col("user_id").cast("long"), col("event_type"))
-        .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+      val ev = eventFeed(s, dir).map(e => (e._1, e._2, e._3, e._4)).sortBy(_._2)
       val clicks = ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3))
       val purchases = ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
-      val nb = 3
+      // 2 batches (VERDICT r11 item 2): both-sides-buffered matching
+      // across a batch boundary is fully exercised with one boundary;
+      // the third batch only re-paid the rig's per-batch state cost
+      val nb = 2
       def chunks(a: Array[(Long, Long, Long)]) = {
         val per = math.max(1, (a.length + nb - 1) / nb)
         a.grouped(per).toSeq.padTo(nb, Array.empty[(Long, Long, Long)])
@@ -228,7 +227,7 @@ private[graft] object EntryStreaming {
     // the complete-mode per-source aggregate must equal the batch
     // GROUP BY over the original parquet — the oracle replays it
     // verbatim, so file streaming sits under the HASH gate.
-    "q_stream_jsonl" -> ((s, dir) => {
+    "q_stream_jsonl" -> ((s, dir) => withStreamRigConf(s) {
       val docs = Tables(s, dir, "documents")
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_jsonl_" +
         Integer.toHexString(dir.hashCode)
@@ -258,13 +257,11 @@ private[graft] object EntryStreaming {
     // sink+checkpoint dirs are wiped per call: offsets in a stale
     // checkpoint pin to a prior MemoryStream instance and would
     // replay nothing.
-    "q_stream_filesink" -> ((s, dir) => {
+    "q_stream_filesink" -> ((s, dir) => withStreamRigConf(s) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id").cast("long"), col("source"), col("n_chars").cast("long"))
-        .as[(Long, String, Long)].collect().sortBy(_._1)
+      val docs = docFeed(s, dir).map(d => (d._1, d._3, d._4))
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_filesink_" +
         Integer.toHexString(dir.hashCode)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
@@ -286,13 +283,11 @@ private[graft] object EntryStreaming {
     }),
 
 
-    "q_stream_totals" -> ((s, dir) => {
+    "q_stream_totals" -> ((s, dir) => withStreamRigConf(s) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val ev = Tables(s, dir, "events")
-        .select(col("event_id").cast("long"), col("user_id").cast("long"), col("value"))
-        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      val ev = eventFeed(s, dir).map(e => (e._1, e._3, e._5))
       val perBatch = math.max(1, (ev.length + 2) / 3)
       val source = MemoryStream[(Long, Long, Double)]
       val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
@@ -322,14 +317,14 @@ private[graft] object EntryStreaming {
     // windows land ≥30 periods past the last real anchor and are cut
     // by the period bound, which is exactly the batch operator's
     // anchor range (last active day + 6).
-    "q_stream_wau" -> ((s, dir) => {
+    "q_stream_wau" -> ((s, dir) => withStreamRigConf(s) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val ev = Tables(s, dir, "events")
-        .select(col("ts").cast("long"), col("user_id").cast("long"))
-        .as[(Long, Long)].collect().sortBy(_._1)
-      val perBatch = math.max(1, (ev.length + 2) / 3)
+      val ev = eventFeed(s, dir).map(e => (e._2, e._3)).sortBy(_._1)
+      // 2 real batches (+2 sentinels — VERDICT r11 item 2): chained
+      // dedup+window state folds across one boundary either way
+      val perBatch = math.max(1, (ev.length + 1) / 2)
       val dayNs = 86400L * 1000000000L
       val maxPeriod = ev.map(_._1 / dayNs).max
       val source = MemoryStream[(Long, Long)]
@@ -360,13 +355,11 @@ private[graft] object EntryStreaming {
     // set is exactly the distinct input (the oracle); shorter
     // horizons trade state for best-effort, which is a capacity
     // decision, not a correctness gate.
-    "q_stream_dedup_wm" -> ((s, dir) => {
+    "q_stream_dedup_wm" -> ((s, dir) => withStreamRigConf(s) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val ev = Tables(s, dir, "events")
-        .select(col("event_id").cast("long"), col("ts").cast("long"), col("event_type"))
-        .as[(Long, Long, String)].collect().sortBy(_._2)
+      val ev = eventFeed(s, dir).map(e => (e._1, e._2, e._4)).sortBy(_._2)
       val perBatch = math.max(1, (ev.length + 2) / 3)
       val batches = ev.grouped(perBatch).toSeq
       val source = MemoryStream[(Long, Long, String)]
@@ -402,13 +395,11 @@ private[graft] object EntryStreaming {
     // operator's strict-> keeps it — both are real product semantics;
     // the oracle pins this one exactly. Output bounds are
     // unix_timestamp's second floor; t_end = last event + gap.
-    "q_stream_session" -> ((s, dir) => {
+    "q_stream_session" -> ((s, dir) => withStreamRigConf(s) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val ev = Tables(s, dir, "events")
-        .select(col("ts").cast("long"), col("user_id").cast("long"))
-        .as[(Long, Long)].collect().sortBy(_._1)
+      val ev = eventFeed(s, dir).map(e => (e._2, e._3)).sortBy(_._1)
       val perBatch = math.max(1, (ev.length + 2) / 3)
       val maxTs = ev.last._1
       val dayNs = 86400L * 1000000000L
@@ -442,13 +433,12 @@ private[graft] object EntryStreaming {
     // kmvDistinct over rows seen so far — merging is set-union of
     // minima, arrival-order-free) makes the batch q_kmv_distinct
     // oracle apply verbatim.
-    "q_stream_kmv" -> ((s, dir) => {
+    "q_stream_kmv" -> ((s, dir) => withStreamRigConf(s) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val arrivals = Tables(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
-        .as[StreamDoc].collect().sortBy(_.doc_id)
+      val arrivals = docFeed(s, dir)
+        .map { case (id, text, source, _) => StreamDoc(id, text, source) }
       val perBatch = math.max(1, (arrivals.length + 2) / 3)
       val source = MemoryStream[StreamDoc]
       val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
@@ -470,15 +460,12 @@ private[graft] object EntryStreaming {
     // Per-user furthest-step state folded across 3 micro-batches; the
     // sink's final steps aggregate to counts that must equal the
     // BATCH funnel exactly (the oracle is q_funnel's SQL verbatim).
-    "q_stream_funnel" -> ((s, dir) => {
+    "q_stream_funnel" -> ((s, dir) => withStreamRigConf(s) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val steps = Seq("view", "click", "purchase")
-      val ev = Tables(s, dir, "events")
-        .select(col("user_id").cast("long"), col("event_id").cast("long"),
-          col("ts").cast("long"), col("event_type"))
-        .as[(Long, Long, Long, String)].collect()
+      val ev = eventFeed(s, dir).map(e => (e._3, e._1, e._2, e._4))
         .sortBy(e => (Math.floorDiv(e._3, 1000L), e._2))
       val perBatch = math.max(1, (ev.length + 2) / 3)
       val source = MemoryStream[(Long, Long, Long, String)]
@@ -507,14 +494,11 @@ private[graft] object EntryStreaming {
     // folded across 3 micro-batches; the sink's latest row per user
     // must equal the batch operator's is_current row exactly (the
     // oracle is the batch SCD SQL filtered to the open run).
-    "q_stream_scd" -> ((s, dir) => {
+    "q_stream_scd" -> ((s, dir) => withStreamRigConf(s) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val ev = Tables(s, dir, "events")
-        .select(col("event_id").cast("long"), col("ts").cast("long"),
-          col("user_id").cast("long"), col("event_type"))
-        .as[(Long, Long, Long, String)].collect()
+      val ev = eventFeed(s, dir).map(e => (e._1, e._2, e._3, e._4))
         .sortBy(e => (Math.floorDiv(e._2, 1000L), e._1))
       val perBatch = math.max(1, (ev.length + 2) / 3)
       val source = MemoryStream[(Long, Long, Long, String)]
