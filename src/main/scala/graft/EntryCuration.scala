@@ -20,6 +20,57 @@ private[graft] object EntryCuration {
 
   import KMeans.{FirstK, ExplicitIds}
 
+  /** The q_corpus_e2e chain up to the packed table — shared by the
+    * driver query and PlanShapeSpec (which pins its join/window
+    * shapes without paying the output write). Stages and their
+    * standalone gates: JSONL landing + permissive ingest
+    * (q_jsonl_roundtrip), exact dedup (q_dedup_kept), near-dup
+    * cluster keep-best (q_cluster_best, with q_pipeline's maxBucket
+    * skew cap), quality gate (q_quality/q_pipeline), PII scrub
+    * (q_scrub), token-budget packing (q_pack). */
+  private[graft] def corpusE2ePacked(s: SparkSession, dir: String,
+                                     base: String): DataFrame = {
+    import graft.sources.DocIO
+    // raw crawl: constant contact-info plant (see q_corpus_e2e doc)
+    val raw = Tables(s, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact user@example.com or https://ex.com/d/x tel 555-0100-321"))
+        .as("text"),
+      col("source"), col("n_chars"))
+    DocIO.writeJsonl(raw, s"$base/landing", shards = 4)
+    // one malformed line: the permissive capture path must cost ONE
+    // audit row, not the run (and a silently-parsed poison row would
+    // poison the hash downstream)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/landing", "part-poison.txt"),
+      "{\"doc_id\": -1, \"text\": unterminated\n")
+    val parsed = DocIO.readJsonl(s, s"$base/landing", raw.schema)
+    val (nClean, nCorrupt) = DocIO.ingestAudit(parsed)
+    require(nCorrupt == 1L && nClean > 0L,
+      s"ingest audit: want (clean>0, corrupt=1), got ($nClean, $nCorrupt)")
+    val clean = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    // exact dedup, pinned: the deduped table feeds the near-dup
+    // signature build, the component-member join, AND the untouched
+    // anti-join — unpinned, the json scan + window would run 3×
+    val exact = Dedup.pin(Dedup.dropExactDuplicates(clean, "doc_id", Seq("text")))
+    // near-dup clusters keep the LONGEST copy; md5-parity chain with
+    // q_pipeline's maxBucket=50 skew cap (the oracle replays the cap)
+    val best = Dedup.dropNearDupClustersKeepBest(exact, "doc_id", "text",
+      scoreCol = "n_chars", n = 3, h = 16, b = 8, minSim = 0.5,
+      parity = true, maxBucket = 50)
+    // quality gate (same fused scorer + threshold as q_pipeline)
+    val gated = TextAnalysis.curationScores(best, "text", LangProfiles)
+      .filter(col("quality") >= 0.75)
+    // PII scrub; the packer tokenizes the REDACTED text
+    val scrubbed = TextAnalysis.scrubPii(gated, "doc_id", "text")
+      .join(gated.select("doc_id", "source"), Seq("doc_id"))
+    Curation.packByTokenBudget(
+        scrubbed.select(col("doc_id"), col("source"), col("clean_text")),
+        "source", "doc_id", "clean_text", budget = 512L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── curation: deterministic training-order interleave ───────────
@@ -103,6 +154,31 @@ private[graft] object EntryCuration {
           cut.select(col("doc_id"), col("n_chars"), col("cum_tokens")),
           "n_chars", "doc_id", nShards = 4)
         .select(col("doc_id"), col("cum_tokens"), col("curriculum_rank"), col("shard"))
+    }),
+
+
+    // ── capstone 3: the END-TO-END corpus run (VERDICT r11 item 3) ──
+    // What a user of this library actually executes, as ONE gated
+    // composition: land the raw crawl as sharded JSONL → schema'd
+    // PERMISSIVE ingest + corrupt-line audit (a planted poison line
+    // proves the capture path — a broken ingest surfaces as a crash
+    // or a NULL-id row in the hash) → exact dedup → near-dup cluster
+    // dedup keeping each cluster's longest copy → quality gate → PII
+    // scrub → per-source token-budget packing → sharded JSONL out,
+    // read BACK so the gate hashes what landed on disk. The raw text
+    // carries a constant planted contact string (constant, so exact-
+    // dup structure survives; per-doc plants would make every text
+    // unique and let a broken dedup pass vacuously) that the scrub
+    // stage must redact — token counts downstream see the redacted
+    // text, so the oracle replays the whole chain end to end.
+    "q_corpus_e2e" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_corpus_e2e_" +
+        Integer.toHexString(dir.hashCode)
+      val packed = corpusE2ePacked(s, dir, base)
+      graft.sources.DocIO.writeJsonl(packed, s"$base/out", shards = 4)
+      graft.sources.DocIO.readJsonl(s, s"$base/out", packed.schema)
+        .filter(col("_corrupt_record").isNull)
+        .select("doc_id", "source", "n_tokens", "shard")
     }),
 
 
@@ -562,6 +638,103 @@ private[graft] object EntryCuration {
          |            THEN 'test' ELSE 'train' END AS split
          |FROM ex
          |WHERE doc_id NOT IN (SELECT doc_id FROM nd)""".stripMargin,
+
+
+    // the full corpus run replayed stage by stage: plant → exact dedup
+    // → capped minhash LSH → component closure → keep-best → quality
+    // gate → scrub → pack (each fragment is its standalone gate's SQL)
+    "q_corpus_e2e" ->
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT doc_id,
+         |         text || ' contact user@example.com or https://ex.com/d/x tel 555-0100-321' AS text,
+         |         source, n_chars
+         |  FROM documents
+         |),
+         |ex AS (
+         |  SELECT doc_id, text, source, n_chars FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM raw)
+         |  WHERE rn = 1
+         |),
+         |${sqlMinhashOn("ex")},
+         |bbh AS (SELECT band, bucket FROM bb GROUP BY 1, 2 HAVING count(*) > 50),
+         |bbc AS (SELECT bb.* FROM bb ANTI JOIN bbh USING (band, bucket)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |  FROM bbc x JOIN bbc y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |),
+         |simpairs AS (
+         |  SELECT c.id1, c.id2,
+         |         CAST(len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) /
+         |         CAST(len(s1.sh) + len(s2.sh) - len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) AS sim
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.id1
+         |  JOIN sh s2 ON s2.doc_id = c.id2
+         |),
+         |pairs AS (SELECT id1, id2 FROM simpairs WHERE sim >= 0.5),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION
+         |  SELECT id2 AS a, id1 AS b FROM pairs
+         |),
+         |reach(id, comp) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+         |),
+         |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |bst AS (
+         |  SELECT doc_id FROM (
+         |    SELECT e.doc_id,
+         |           row_number() OVER (PARTITION BY c.component
+         |                              ORDER BY e.n_chars DESC, e.doc_id) AS rn
+         |    FROM ex e JOIN comp c ON e.doc_id = c.id)
+         |  WHERE rn = 1
+         |),
+         |kept AS (
+         |  SELECT * FROM ex
+         |  WHERE doc_id IN (SELECT doc_id FROM bst)
+         |     OR doc_id NOT IN (SELECT id FROM comp)
+         |),
+         |qr AS (
+         |  SELECT doc_id,
+         |         CAST(len(qtoks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(qtoks, t -> list_contains(sw, t))) AS DOUBLE)
+         |           / CAST(len(qtoks) AS DOUBLE) AS stop_token_ratio,
+         |         CAST(len(list_distinct(qtoks)) AS DOUBLE)
+         |           / CAST(len(qtoks) AS DOUBLE) AS type_token_ratio
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS qtoks,
+         |               ['the', 'a', 'and', 'of', 'to', 'in'] AS sw
+         |        FROM kept)
+         |),
+         |good AS (
+         |  SELECT doc_id FROM qr
+         |  WHERE (CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN 0.25 ELSE 0.0 END
+         |         + CASE WHEN stop_token_ratio > 0.05 THEN 0.25 ELSE 0.0 END
+         |         + CASE WHEN type_token_ratio > 0.2 THEN 0.25 ELSE 0.0 END
+         |         + CASE WHEN type_token_ratio < 0.95 THEN 0.25 ELSE 0.0 END) >= 0.75
+         |),
+         |g AS (SELECT k.doc_id, k.source, k.text FROM kept k JOIN good USING (doc_id)),
+         |sc1 AS (SELECT doc_id, source,
+         |               regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS no_url
+         |        FROM g),
+         |sc2 AS (SELECT doc_id, source,
+         |               regexp_replace(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |                              '<EMAIL>', 'g') AS no_email
+         |        FROM sc1),
+         |sc3 AS (SELECT doc_id, source,
+         |               regexp_replace(no_email, '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUM>', 'g') AS clean
+         |        FROM sc2),
+         |tk AS (SELECT doc_id, source,
+         |              CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens
+         |       FROM sc3),
+         |cm AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+         |  FROM tk)
+         |SELECT doc_id, source, n_tokens, CAST(cum // 512 AS BIGINT) AS shard
+         |FROM cm""".stripMargin,
 
 
     "q_split" ->

@@ -359,4 +359,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!sRp.contains("Exchange"),
       s"randomProjection is a pure rowwise projection — no shuffle:\n$sRp")
   }
+
+  test("q_corpus_e2e: no cartesian, every window partitioned, landing scanned once") {
+    // the capstone composition must inherit each stage's scale shape:
+    // joins stay keyed (LSH buckets / component ids / doc ids — never
+    // a cartesian), every ranking/prefix window is partitioned (hash
+    // groups / components / sources — no single-partition corpus
+    // sort), and the landing JSONL feeds the chain through the pinned
+    // exact-dedup intermediate, not one re-parse per consumer
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_e2e_planshape").toString
+    val df = EntryCuration.corpusE2ePacked(spark, "/root/testdata/sf0.001", base)
+    try {
+      val s = df.queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"capstone plan contains an unkeyed join:\n$s")
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.nonEmpty, "expected the dedup/pack windows in the plan")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned Window in the capstone — one task holds the corpus at scale"))
+      // every consumer reads the pinned exact-dedup intermediate: no
+      // raw landing-JSONL relation outside a cache, and across ALL
+      // distinct cache builders the landing files are parsed exactly
+      // once (the q_pipeline counting — InMemoryRelation's toString
+      // inlines its child, so string-counting FileScans overcounts)
+      val opt = df.queryExecution.optimizedPlan
+      val rawScans = opt.collect {
+        case r: LogicalRelation if r.relation.toString.contains("landing") => r
+      }
+      assert(rawScans.isEmpty,
+        s"landing JSONL parsed outside the pinned intermediate: $rawScans")
+      val imrs = opt.collect { case m: InMemoryRelation => m }
+      assert(imrs.nonEmpty, "expected the pinned exact-dedup intermediate")
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+          : org.apache.spark.sql.execution.SparkPlan = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case other => other
+      }
+      val builders = imrs.map(_.cacheBuilder)
+        .groupBy(System.identityHashCode(_)).values.map(_.head)
+      val innerScans = builders.toSeq.flatMap(b => unwrap(b.cachedPlan).collect {
+        case sc: FileSourceScanExec
+          if sc.relation.location.rootPaths.mkString(",").contains("landing") => sc
+      })
+      assert(innerScans.size == 1,
+        s"landing JSONL should be parsed exactly once across all caches, found ${innerScans.size}")
+    } finally Dedup.releaseCaches()
+  }
 }
