@@ -245,6 +245,31 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: PERSISTED IVF index maintenance (build→append→
+    // serve — VERDICT r11 item 5). Two-thirds of the corpus is the
+    // initial build; the rest arrives as an incremental append signed
+    // by the index's STORED quantizer (appendIvfIndex rejects drift
+    // by construction); the query then serves through the freshness
+    // gate (quantizer fingerprint + row-count check) and must return
+    // EXACTLY what the in-memory ivfTopK computes over the full
+    // corpus — the oracle is q_ivf_topk's SQL verbatim, so a lost
+    // append row, a double-written partition, or a drifted cell
+    // assignment all surface as a hash mismatch.
+    "q_ivf_refresh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_refresh_" +
+        Integer.toHexString(dir.hashCode)
+      val cents = cents8(s, dir)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", cents, path)
+      Similarity.appendIvfIndex(s, emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", path)
+      Similarity.ivfTopKIndexed(s, path,
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        cents, nprobe = 2, k = 10)
+    }),
+
+
     // ── LLM-pipeline: per-group embedding centroids ─────────────────
     // ORACLE TWIN (sorted-fold, the q_centroid_update convention): a
     // distributed VectorMeanAgg sum is partition-order-dependent in
@@ -404,6 +429,32 @@ private[graft] object EntryVector {
           probes, "vec_id", "embedding", k = 10))
     }),
   )
+
+  /** q_ivf_topk's replay, shared with q_ivf_refresh (same probes,
+    * cents, nprobe, k — the maintained index must serve the same
+    * result as the in-memory scan). */
+  private val sqlIvfTopK: String =
+    s"""WITH $sqlCents8,
+         |$sqlProbes,
+         |pc AS (
+         |  SELECT vec_id AS probe_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d WHERE vec_id IN (SELECT probe_id FROM pr)) WHERE rn <= 2
+         |),
+         |s AS (
+         |  SELECT pc.probe_id, a.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM a JOIN pc ON a.cluster = pc.cell
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  JOIN pr ON pr.probe_id = pc.probe_id
+         |  WHERE a.vec_id != pc.probe_id
+         |)
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -670,28 +721,11 @@ private[graft] object EntryVector {
          |WHERE rn <= 10""".stripMargin,
 
 
-    "q_ivf_topk" ->
-      s"""WITH $sqlCents8,
-         |$sqlProbes,
-         |pc AS (
-         |  SELECT vec_id AS probe_id, cid AS cell FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM d WHERE vec_id IN (SELECT probe_id FROM pr)) WHERE rn <= 2
-         |),
-         |s AS (
-         |  SELECT pc.probe_id, a.vec_id,
-         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
-         |  FROM a JOIN pc ON a.cluster = pc.cell
-         |  JOIN embeddings e ON e.vec_id = a.vec_id
-         |  JOIN pr ON pr.probe_id = pc.probe_id
-         |  WHERE a.vec_id != pc.probe_id
-         |)
-         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
-         |  SELECT probe_id, vec_id, sim,
-         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
-         |  FROM s)
-         |WHERE rn <= 10""".stripMargin,
+    "q_ivf_topk" -> sqlIvfTopK,
+    // the maintained (build+append) index must serve the identical
+    // result — the freshness story is gate-shared with q_ivf_topk
+    "q_ivf_refresh" -> sqlIvfTopK,
+
 
 
     "q_group_centroids" ->

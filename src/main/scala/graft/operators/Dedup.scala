@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -643,6 +643,88 @@ object Dedup {
                    n: Int = 3, h: Int = 16, parity: Boolean = false): DataFrame =
     sigTable(corpus, idCol, textCol, n, h, parity)
       .select(col(idCol).as("id"), col("sig"))
+
+  // ── Persisted MinHash index + freshness contract (VERDICT r11 item 5)
+  //
+  // Signatures are only comparable under the SAME hash family: an
+  // index built with different (n, h, parity) silently estimates
+  // garbage agreement against a batch signed with today's params —
+  // every band join plausible, every verdict wrong. The persisted
+  // form therefore pins (n, h, parity) and the row count in a one-row
+  // parquet meta written after the data; readMinhashIndex refuses a
+  // family mismatch or a row-count drift, and appendMinhashIndex
+  // signs new batches with the STORED family. Layout: `path/data/`
+  // (the (id, sig) parquet) + `path/_graft_index_meta/`.
+
+  private val MinhashMetaVersion = 1
+
+  private def writeMinhashMeta(spark: SparkSession, path: String, rows: Long,
+                               n: Int, h: Int, parity: Boolean): Unit = {
+    import spark.implicits._
+    Seq((MinhashMetaVersion, rows, n, h, parity))
+      .toDF("version", "rows", "n", "h", "parity")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_index_meta")
+  }
+
+  private def readMinhashMeta(spark: SparkSession, path: String)
+      : (Long, Int, Int, Boolean) = {
+    val m =
+      try spark.read.parquet(s"$path/_graft_index_meta").head()
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"$path is not a graft MinHash index (no _graft_index_meta): ${e.getMessage}") }
+    require(m.getInt(0) == MinhashMetaVersion,
+      s"MinHash index format version ${m.getInt(0)} != $MinhashMetaVersion — rebuild")
+    (m.getLong(1), m.getInt(2), m.getInt(3), m.getBoolean(4))
+  }
+
+  /** Persist the near-dup index: minhashIndex written as parquet plus
+    * the hash-family + row-count meta. One signature row (h longs)
+    * per shingle-able doc — O(corpus) rows of a few dozen bytes. */
+  def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        path: String, n: Int = 3, h: Int = 16,
+                        parity: Boolean = false): Unit = {
+    minhashIndex(corpus, idCol, textCol, n, h, parity)
+      .write.mode("overwrite").parquet(s"$path/data")
+    val spark = corpus.sparkSession
+    writeMinhashMeta(spark, path, spark.read.parquet(s"$path/data").count(),
+      n, h, parity)
+  }
+
+  /** Read a persisted near-dup index for dropSeenNearDup, refusing a
+    * hash-family mismatch (silently-garbage agreement) or a row-count
+    * drift (partial append). The row check is a parquet-footer count
+    * — metadata-only I/O; verifyRows=false skips it on hot paths. */
+  def readMinhashIndex(spark: SparkSession, path: String,
+                       n: Int = 3, h: Int = 16, parity: Boolean = false,
+                       verifyRows: Boolean = true): DataFrame = {
+    val (rows, in, ih, ip) = readMinhashMeta(spark, path)
+    require(in == n && ih == h && ip == parity,
+      s"stale MinHash index at $path: built under family (n=$in, h=$ih, " +
+        s"parity=$ip) but queried as (n=$n, h=$h, parity=$parity) — " +
+        "signatures are not comparable across families; rebuild or match params")
+    val data = spark.read.parquet(s"$path/data")
+    if (verifyRows) {
+      val actual = data.count()
+      require(actual == rows,
+        s"stale MinHash index at $path: meta records $rows rows, index holds " +
+          s"$actual — partial append or concurrent write; rebuild")
+    }
+    data
+  }
+
+  /** Append a new admitted batch to a persisted near-dup index,
+    * signing it with the index's own STORED hash family (the caller
+    * cannot drift the family — that requires a rebuild). Meta row
+    * count refreshes after the append, so a crash between the steps
+    * leaves a DETECTABLY stale index, never a silently short one. */
+  def appendMinhashIndex(spark: SparkSession, batch: DataFrame,
+                         idCol: String, textCol: String, path: String): Unit = {
+    val (_, n, h, parity) = readMinhashMeta(spark, path)
+    minhashIndex(batch, idCol, textCol, n, h, parity)
+      .write.mode("append").parquet(s"$path/data")
+    writeMinhashMeta(spark, path, spark.read.parquet(s"$path/data").count(),
+      n, h, parity)
+  }
 
   /** MinHash estimate of Jaccard: the fraction of agreeing signature
     * positions (unbiased, variance 1/h). */

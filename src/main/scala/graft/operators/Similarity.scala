@@ -141,30 +141,133 @@ object Similarity {
       .map { case (cid, c) => (KMeans.euclideanLocal(v, c), cid) }
       .sortBy(identity).take(nprobe).map(_._2).toSeq
 
+  // ── Persisted-index freshness contract (VERDICT r11 item 5) ──────
+  //
+  // A served index is only as good as its provenance: querying with a
+  // DIFFERENT centroid set than the one the index was assigned under
+  // silently probes the wrong cells (every result plausible, none
+  // correct), and a half-finished append serves a partial corpus.
+  // Every index directory therefore carries a one-row parquet meta
+  // (`_graft_index_meta/`: format version, row count, quantizer
+  // fingerprint, and the quantizer itself) written AFTER the data —
+  // ivfTopKIndexed refuses a quantizer-mismatched index and a
+  // row-count-drifted one, and appendIvfIndex assigns new batches
+  // with the STORED quantizer, so the index can never drift from its
+  // build. Single-writer discipline is the caller's (standard for
+  // bulk-built serving indexes); the meta is the detector, not a
+  // lock.
+
+  private val IvfMetaVersion = 1
+
+  /** Order- and formatting-independent digest of a centroid set: md5
+    * over (cid, IEEE-754 bits) in cid order — exact doubles, no
+    * string formatting. */
+  private[operators] def centsFingerprint(cents: KMeans.Centroids): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    cents.sortBy(_._1).foreach { case (cid, v) =>
+      buf.clear(); buf.putInt(cid); buf.putInt(v.length)
+      md.update(buf.array(), 0, 8)
+      v.foreach { x =>
+        buf.clear(); buf.putLong(java.lang.Double.doubleToLongBits(x))
+        md.update(buf.array(), 0, 8)
+      }
+    }
+    md.digest().map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  private def writeIvfMeta(spark: SparkSession, path: String, rows: Long,
+                           cents: KMeans.Centroids): Unit = {
+    import spark.implicits._
+    Seq((IvfMetaVersion, rows, centsFingerprint(cents),
+        cents.sortBy(_._1).toSeq.map { case (cid, v) => (cid, v.toSeq) }))
+      .toDF("version", "rows", "fingerprint", "cents")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_index_meta")
+  }
+
+  private def readIvfMeta(spark: SparkSession, path: String)
+      : (Long, String, KMeans.Centroids) = {
+    val meta =
+      try spark.read.parquet(s"$path/_graft_index_meta").head()
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"$path is not a graft IVF index (no _graft_index_meta — built " +
+          s"before the freshness contract, or not an index): ${e.getMessage}") }
+    require(meta.getInt(0) == IvfMetaVersion,
+      s"IVF index format version ${meta.getInt(0)} != $IvfMetaVersion — rebuild")
+    val cents: KMeans.Centroids = meta.getSeq[org.apache.spark.sql.Row](3)
+      .map(c => c.getInt(0) -> c.getSeq[Double](1).toArray).toArray
+    (meta.getLong(1), meta.getString(2), cents)
+  }
+
   /** Persist the IVF index: corpus assigned to its nearest centroid
     * once, written PARTITIONED BY cell — the production form of the
     * "index build". At 100 TB each cell is a parquet partition
     * directory, so a query touching nprobe cells reads nprobe/k of
     * the corpus from disk (static partition pruning — see
     * ivfTopKIndexed), not a full scan. Norms are precomputed into the
-    * index so queries never re-fold them. */
+    * index so queries never re-fold them. Writes the freshness meta
+    * (row count + quantizer) after the data. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    cents: KMeans.Centroids, path: String): Unit =
+                    cents: KMeans.Centroids, path: String): Unit = {
     KMeans.assign(
       corpus.select(col(idCol).cast("long").as("id"), VectorOps.toDouble(col(vecCol)).as("v")),
       "v", cents, outCol = "cell")
       .withColumn("n", VectorOps.norm2(col("v")))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+    val spark = corpus.sparkSession
+    writeIvfMeta(spark, path, spark.read.parquet(path).count(), cents)
+  }
+
+  /** Incremental index maintenance: assign a new batch with the
+    * index's own STORED quantizer (the caller cannot drift the cell
+    * geometry by passing fresher centroids — that requires a rebuild)
+    * and append it to the cell partitions; the meta row count is
+    * refreshed after the append, so a crash between the two steps
+    * leaves a DETECTABLY stale index (ivfTopKIndexed's row check),
+    * never a silently short one. Batch-vs-corpus dedup is upstream's
+    * job (dropSeenExact) — the index serves whatever was admitted. */
+  def appendIvfIndex(spark: SparkSession, batch: DataFrame,
+                     idCol: String, vecCol: String, path: String): Unit = {
+    val (_, _, cents) = readIvfMeta(spark, path)
+    KMeans.assign(
+      batch.select(col(idCol).cast("long").as("id"), VectorOps.toDouble(col(vecCol)).as("v")),
+      "v", cents, outCol = "cell")
+      .withColumn("n", VectorOps.norm2(col("v")))
+      .write.partitionBy("cell").mode("append").parquet(path)
+    writeIvfMeta(spark, path, spark.read.parquet(path).count(), cents)
+  }
 
   /** IVF top-k against a PERSISTED index: probe cells are computed
     * driver-side from the (local, tiny) centroid set, then pushed as a
     * literal `cell IN (...)` predicate — Parquet partition pruning
     * skips every other cell's files entirely. The scan-side plan is
     * identical to ivfTopK from the join onward, so results match the
-    * in-memory path bit-for-bit. */
+    * in-memory path bit-for-bit.
+    *
+    * Freshness (VERDICT r11 item 5): refuses to serve when (a) the
+    * passed quantizer's fingerprint differs from the one the index
+    * was built/appended under — wrong-cell probes would return
+    * plausible garbage — or (b) the index's actual row count drifted
+    * from the meta (partial append, manual file surgery). The row
+    * check is a parquet-footer count — metadata-only I/O, no data
+    * read; skip it on hot serving paths via verifyRows=false once an
+    * external writer discipline guarantees it. */
   def ivfTopKIndexed(spark: SparkSession, indexPath: String,
                      probes: DataFrame, probeIdCol: String, probeVecCol: String,
-                     cents: KMeans.Centroids, nprobe: Int, k: Int): DataFrame = {
+                     cents: KMeans.Centroids, nprobe: Int, k: Int,
+                     verifyRows: Boolean = true): DataFrame = {
+    val (metaRows, fp, _) = readIvfMeta(spark, indexPath)
+    require(fp == centsFingerprint(cents),
+      s"stale IVF index at $indexPath: the quantizer passed to the query does " +
+        "not match the one the index was built/appended with — probing the " +
+        "wrong cells returns silently wrong neighbors; rebuild the index or " +
+        "query with its own centroids")
+    if (verifyRows) {
+      val actual = spark.read.parquet(indexPath).count()
+      require(actual == metaRows,
+        s"stale IVF index at $indexPath: meta records $metaRows rows, index " +
+          s"holds $actual — partial append or concurrent write; rebuild")
+    }
     val probeRows = probes
       .select(col(probeIdCol).cast("long").as("probe_id"),
         VectorOps.toDouble(col(probeVecCol)).as("pv"))

@@ -473,6 +473,56 @@ class DedupSpec extends AnyFunSuite {
     } finally Dedup.releaseCaches()
   }
 
+  test("persisted MinHash index: append serves like a rebuild; family mismatch and row drift refuse") {
+    val corpus = Seq((1L, base), (3L, nearDup)).toDF("doc_id", "text")
+    val late = Seq((5L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq(
+      (8L, base + " x"),        // near-dup of the BUILT half
+      (9L, unrelated + " y"),   // near-dup of the APPENDED half
+      (12L, "a fresh sentence with entirely novel tokens nothing shares")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    try {
+      // coalesce(1): one row-carrying file per write, so the drift
+      // test below cannot accidentally delete an empty part file
+      Dedup.writeMinhashIndex(corpus.coalesce(1), "doc_id", "text", dir)
+      Dedup.appendMinhashIndex(spark, late.coalesce(1), "doc_id", "text", dir)
+      val idx = Dedup.readMinhashIndex(spark, dir)
+      val admitted = Dedup.dropSeenNearDup(batch, idx, "doc_id", "text", minAgree = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      // 9L dropped ONLY if the appended rows actually joined the index
+      assert(admitted === Set(12L))
+      // drop the operator caches before the drift checks: a cached
+      // index relation would serve the stale pre-delete count (the
+      // freshness check reads storage, and Spark's cache matches the
+      // same-path scan plan)
+      Dedup.releaseCaches()
+      // family mismatch: signatures across (n, h, parity) families are
+      // not comparable — must refuse, not estimate garbage
+      val e1 = intercept[IllegalArgumentException] {
+        Dedup.readMinhashIndex(spark, dir, n = 4)
+      }
+      assert(e1.getMessage.contains("family"))
+      // row drift behind the meta's back must refuse (largest part
+      // file — small test relations leave empty part files whose
+      // deletion would not change the count)
+      val victim = new java.io.File(s"$dir/data").listFiles()
+        .filter(_.getName.endsWith(".parquet")).maxBy(_.length())
+      assert(victim.delete())
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.readMinhashIndex(spark, dir)
+      }
+      assert(e2.getMessage.contains("rows"))
+    } finally {
+      Dedup.releaseCaches()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("overlapStats counts batch rows whose content hash exists in the corpus") {
     val a = Seq((1L, base), (2L, base), (3L, unrelated)).toDF("doc_id", "text")
     val b = Seq((4L, base), (5L, base), (6L, nearDup), (7L, unrelated)).toDF("doc_id", "text")

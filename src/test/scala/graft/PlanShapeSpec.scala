@@ -360,6 +360,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"randomProjection is a pure rowwise projection — no shuffle:\n$sRp")
   }
 
+  test("saltedJoin: __salt is a shuffle key on BOTH sides — the hot key actually spreads") {
+    // the COVERAGE.md skew-posture pin: AQE's runtime skew split
+    // handles one side's oversized partitions; a both-sides-hot key
+    // needs the salt IN the partitioning, which only holds if the
+    // join keys are (key, __salt) end to end. Broadcast disabled for
+    // the assertion — at test scale the dim side would broadcast and
+    // no exchange would exist to inspect (at which point salting is
+    // moot anyway: broadcast beats salting whenever it fits).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_skew_join")(spark, "/root/testdata/sf0.001")
+      val s = df.queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"salted join degenerated to an unkeyed join:\n$s")
+      val saltedParts = "hashpartitioning\\([^)]*__salt".r.findAllIn(s).size
+      assert(saltedParts >= 2,
+        s"__salt must partition BOTH join sides, found $saltedParts exchange(s):\n$s")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Dedup.releaseCaches()
+    }
+  }
+
   test("q_corpus_e2e: no cartesian, every window partitioned, landing scanned once") {
     // the capstone composition must inherit each stage's scale shape:
     // joins stay keyed (LSH buckets / component ids / doc ids — never

@@ -144,6 +144,61 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF index freshness: append serves like a full build; stale quantizer and row drift refuse") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val probes = emb.orderBy("vec_id").limit(3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_fresh").toString
+    try {
+      // build on 2/3, append the rest — must equal the full-corpus scan
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", cents, dir)
+      Similarity.appendIvfIndex(spark, emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", dir)
+      val a = Similarity.ivfTopKIndexed(spark, dir, probes, "vec_id", "embedding",
+          cents, nprobe = 2, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val b = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          probes, "vec_id", "embedding", cents, nprobe = 2, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(a == b && a.nonEmpty, "maintained index must serve the full-build answer")
+      // a DIFFERENT quantizer (one centroid nudged) must be refused —
+      // wrong-cell probes would return plausible garbage
+      val drifted: KMeans.Centroids = cents.map { case (cid, v) =>
+        if (cid == 1) cid -> v.map(_ + 0.5) else cid -> v }
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.ivfTopKIndexed(spark, dir, probes, "vec_id", "embedding",
+          drifted, nprobe = 2, k = 5)
+      }
+      assert(e1.getMessage.contains("quantizer"))
+      // row drift (a lost/extra file) must be refused: delete one
+      // data file behind the meta's back
+      val victim = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("cell=")).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet")).maxBy(_.length())
+      assert(victim.delete())
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.ivfTopKIndexed(spark, dir, probes, "vec_id", "embedding",
+          cents, nprobe = 2, k = 5)
+      }
+      assert(e2.getMessage.contains("rows"))
+      // a meta-less directory is not served
+      val bare = java.nio.file.Files.createTempDirectory("ivf_bare").toString
+      emb.limit(1).write.mode("overwrite").parquet(s"$bare/whatever")
+      val e3 = intercept[IllegalArgumentException] {
+        Similarity.ivfTopKIndexed(spark, bare, probes, "vec_id", "embedding",
+          cents, nprobe = 2, k = 5)
+      }
+      assert(e3.getMessage.contains("_graft_index_meta"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("PQ: codes in range, deterministic retrain, clustered probe recalls its cluster") {
     val rnd = new scala.util.Random(7)
     def near(c: Array[Double]) = c.map(_ + rnd.nextGaussian() * 0.05).toSeq
