@@ -59,9 +59,11 @@ private[graft] object EntryCuration {
     val best = Dedup.dropNearDupClustersKeepBest(exact, "doc_id", "text",
       scoreCol = "n_chars", n = 3, h = 16, b = 8, minSim = 0.5,
       parity = true, maxBucket = 50)
-    // quality gate (same fused scorer + threshold as q_pipeline)
-    val gated = TextAnalysis.curationScores(best, "text", LangProfiles)
-      .filter(col("quality") >= 0.75)
+    // quality gate (same fused scorer + threshold as q_pipeline),
+    // pinned: scrubPii and the source join-back both consume it —
+    // unpinned, the keep-best aggregation + scorer would run twice
+    val gated = Dedup.pin(TextAnalysis.curationScores(best, "text", LangProfiles)
+      .filter(col("quality") >= 0.75))
     // PII scrub; the packer tokenizes the REDACTED text
     val scrubbed = TextAnalysis.scrubPii(gated, "doc_id", "text")
       .join(gated.select("doc_id", "source"), Seq("doc_id"))

@@ -116,13 +116,16 @@ private[graft] object EntryHelpers {
     * sort driver-side (in-memory over ≤100k rows) changes nothing a
     * gate can see. Casts mirror the per-fixture selects they replace
     * (ids/ts → long). Sorted by id at collect so every derived sort
-    * is deterministic (stable sort over a deterministic base). */
+    * is deterministic (stable sort over a deterministic base).
+    * Keyed by sfDir ALONE (review r12): the rows depend only on the
+    * data directory, so a second session (the dual-layout gate) must
+    * reuse the collect, not duplicate the arrays per session. */
   val docFeedMemo =
     scala.collection.mutable.Map.empty[String, Array[(Long, String, String, Long)]]
   /** documents → (doc_id, text, source, n_chars), doc_id-sorted. */
   def docFeed(s: SparkSession, dir: String): Array[(Long, String, String, Long)] =
     synchronized {
-      docFeedMemo.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir", {
+      docFeedMemo.getOrElseUpdate(dir, {
         import s.implicits._
         Tables(s, dir, "documents")
           .select(col("doc_id").cast("long"), col("text"), col("source"),
@@ -136,7 +139,7 @@ private[graft] object EntryHelpers {
   /** events → (event_id, ts, user_id, event_type, value), id-sorted. */
   def eventFeed(s: SparkSession, dir: String): Array[(Long, Long, Long, String, Double)] =
     synchronized {
-      eventFeedMemo.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir", {
+      eventFeedMemo.getOrElseUpdate(dir, {
         import s.implicits._
         Tables(s, dir, "events")
           .select(col("event_id").cast("long"), col("ts").cast("long"),

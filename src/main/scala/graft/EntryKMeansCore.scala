@@ -266,13 +266,17 @@ private[graft] object EntryKMeansCore {
     // quantizes to an exact INTEGER 1e-4 grid (values are O(0.1),
     // summation noise is O(1e-12) — eleven orders below the grid;
     // integer output also sidesteps -0.0 vs 0.0 hash hazards on the
-    // near-zero off-diagonals). Same (i, j) triangle as q_pca_cov.
+    // near-zero off-diagonals). floor(x·10⁴ + 0.5), NOT math.round:
+    // the same half-up-toward-+inf rule is replayable verbatim in
+    // DuckDB, where round() is half-away-from-zero and would disagree
+    // on negative half-boundary values (review r12). Same (i, j)
+    // triangle as q_pca_cov.
     "q_pca_moments" -> ((s, dir) => {
       val m = PCA.moments(Tables(s, dir, "embeddings"), "embedding")
       import s.implicits._
       val d = m.mean.length
       (for { i <- 0 until d; j <- i until d }
-        yield (i + 1, j + 1, math.round(m.cov(i)(j) * 10000.0)))
+        yield (i + 1, j + 1, math.floor(m.cov(i)(j) * 10000.0 + 0.5).toLong))
         .toDF("i", "j", "cov4")
     }),
 
@@ -516,8 +520,9 @@ private[graft] object EntryKMeansCore {
         |FROM pr GROUP BY 1, 2""".stripMargin,
 
 
-    // scale-path twin: covar_samp on the exact-integer 1e-4 grid (the
-    // quantization argument lives on the Spark side's doc comment)
+    // scale-path twin: covar_samp on the exact-integer 1e-4 grid —
+    // floor(x·10⁴ + 0.5) mirrors the Spark side exactly (see the
+    // query's doc comment for the rounding-rule rationale)
     "q_pca_moments" ->
       """WITH x AS (
         |  SELECT vec_id,
@@ -526,7 +531,7 @@ private[graft] object EntryKMeansCore {
         |  FROM embeddings
         |)
         |SELECT a.i AS i, b.i AS j,
-        |       CAST(round(covar_samp(a.v, b.v) * 10000) AS BIGINT) AS cov4
+        |       CAST(floor(covar_samp(a.v, b.v) * 10000 + 0.5) AS BIGINT) AS cov4
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
 

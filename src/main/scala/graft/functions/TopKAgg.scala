@@ -68,4 +68,28 @@ object TopKAgg {
   /** `groupBy(probe).agg(topK(k, id, score))` — long id, double score. */
   def topK(k: Int, id: Column, score: Column): Column =
     udaf(new TopKAgg(k)).apply(id, score)
+
+  /** Precondition for every operator that funnels an id through the
+    * (long, double) race: a string/UUID id would cast("long") to NULL
+    * and degrade SILENTLY (ADVICE r11), and a fractional float id
+    * would truncate and alias. Accepted: the integral types and
+    * scale-0 decimals — the exact-long-cast family (a surrogate
+    * DECIMAL(38,0) id is a common warehouse shape; values beyond the
+    * long range are the caller's contract). Driver-side schema check,
+    * zero runtime cost. */
+  def requireLongCastableId(df: org.apache.spark.sql.DataFrame,
+                            idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(ok,
+      s"$op needs a long-castable id column (TopKAgg race pairs are " +
+        s"(long, double)); '$idCol' is ${dt.simpleString} — string/UUID ids " +
+        "cast to NULL and fractional ids truncate, both silently; hash to a " +
+        "long (xxhash64) or use an integral surrogate id")
+  }
 }

@@ -1659,14 +1659,7 @@ object Curation {
   def topKPerKey(df: DataFrame, keyCol: String, idCol: String,
                  scoreCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
-    // TopKAgg races (long id, double score) pairs; a string/UUID id
-    // would cast("long") to NULL and degrade silently (ADVICE r11).
-    require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-        .contains(df.schema(idCol).dataType),
-      s"topKPerKey needs an integral id column (TopKAgg race pairs are " +
-        s"(long, double)); '$idCol' is ${df.schema(idCol).dataType.simpleString} — " +
-        "hash it to a long (xxhash64) or use a numeric surrogate id")
+    graft.functions.TopKAgg.requireLongCastableId(df, idCol, "Curation.topKPerKey")
     df.groupBy(col(keyCol))
       .agg(graft.functions.TopKAgg.topK(k, col(idCol).cast("long"),
         col(scoreCol).cast("double")).as("__top"))

@@ -668,10 +668,13 @@ object Dedup {
 
   private def readMinhashMeta(spark: SparkSession, path: String)
       : (Long, Int, Int, Boolean) = {
+    // AnalysisException only — transient storage errors surface as
+    // themselves, never as a "rebuild" diagnosis (review r12)
     val m =
       try spark.read.parquet(s"$path/_graft_index_meta").head()
-      catch { case e: Exception => throw new IllegalArgumentException(
-        s"$path is not a graft MinHash index (no _graft_index_meta): ${e.getMessage}") }
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$path is not a graft MinHash index (no _graft_index_meta): ${e.getMessage}") }
     require(m.getInt(0) == MinhashMetaVersion,
       s"MinHash index format version ${m.getInt(0)} != $MinhashMetaVersion — rebuild")
     (m.getLong(1), m.getInt(2), m.getInt(3), m.getBoolean(4))
@@ -719,11 +722,17 @@ object Dedup {
     * leaves a DETECTABLY stale index, never a silently short one. */
   def appendMinhashIndex(spark: SparkSession, batch: DataFrame,
                          idCol: String, textCol: String, path: String): Unit = {
-    val (_, n, h, parity) = readMinhashMeta(spark, path)
-    minhashIndex(batch, idCol, textCol, n, h, parity)
-      .write.mode("append").parquet(s"$path/data")
-    writeMinhashMeta(spark, path, spark.read.parquet(s"$path/data").count(),
-      n, h, parity)
+    val (prevRows, n, h, parity) = readMinhashMeta(spark, path)
+    // meta rows = prev + batch (O(batch) — a full-index recount per
+    // append would cost more than the append at 100 TB; review r12).
+    // Crash-detectability survives: the meta writes AFTER the data,
+    // so a crash between the steps leaves actual > meta, which the
+    // read-side footer count refuses.
+    val sigs = minhashIndex(batch, idCol, textCol, n, h, parity).cache()
+    try {
+      sigs.write.mode("append").parquet(s"$path/data")
+      writeMinhashMeta(spark, path, prevRows + sigs.count(), n, h, parity)
+    } finally { sigs.unpersist(); () }
   }
 
   /** MinHash estimate of Jaccard: the fraction of agreeing signature

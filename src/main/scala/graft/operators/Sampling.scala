@@ -125,16 +125,8 @@ object Sampling {
                             weightCol: String, k: Int,
                             seed: Long = 42L): DataFrame = {
     require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
-    // The race rides TopKAgg's (long id, double priority) pairs, so a
-    // string/UUID id would silently cast to NULL (ADVICE r11) — fail
-    // loudly here; hash string ids to a long (xxhash64) or keep a
-    // numeric surrogate id to use this sampler.
-    require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-        .contains(df.schema(idCol).dataType),
-      s"weightedSampleKPerKey needs an integral id column (TopKAgg race pairs " +
-        s"are (long, double)); '$idCol' is ${df.schema(idCol).dataType.simpleString} — " +
-        "hash it to a long or use a numeric surrogate id")
+    graft.functions.TopKAgg.requireLongCastableId(df, idCol,
+      "Sampling.weightedSampleKPerKey")
     val w = col(weightCol).cast("double")
     // (m+1)/2^32 ∈ (0, 1] via the shared unit contract — the +ulp
     // shift is exact (m+1 ≤ 2^32 fits a double) and keeps ln away

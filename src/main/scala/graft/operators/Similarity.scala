@@ -46,6 +46,8 @@ object Similarity {
   def topKCosine(corpus: DataFrame, idCol: String, vecCol: String,
                  probes: DataFrame, probeIdCol: String, probeVecCol: String,
                  k: Int): DataFrame = {
+    TopKAgg.requireLongCastableId(corpus, idCol, "Similarity.topKCosine")
+    TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.topKCosine")
     val scored = corpus
       .select(col(idCol).cast("long").as("__id"), VectorOps.toDouble(col(vecCol)).as("__v"))
       .withColumn("__n", VectorOps.norm2(col("__v")))
@@ -91,6 +93,7 @@ object Similarity {
   /** (id, table, bucket) index table: L rows per corpus vector. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
                  tables: Int, bits: Int, d: Int): DataFrame = {
+    TopKAgg.requireLongCastableId(df, idCol, "Similarity.lshBuckets")
     val planes = hyperplanes(tables, bits, d)
     val v = VectorOps.toDouble(col(vecCol))
     df.select(col(idCol).cast("long").as(idCol),
@@ -187,11 +190,15 @@ object Similarity {
 
   private def readIvfMeta(spark: SparkSession, path: String)
       : (Long, String, KMeans.Centroids) = {
+    // AnalysisException only (path missing / not parquet): a transient
+    // storage or permission error must surface as ITSELF, not as a
+    // "rebuild the index" diagnosis (review r12)
     val meta =
       try spark.read.parquet(s"$path/_graft_index_meta").head()
-      catch { case e: Exception => throw new IllegalArgumentException(
-        s"$path is not a graft IVF index (no _graft_index_meta — built " +
-          s"before the freshness contract, or not an index): ${e.getMessage}") }
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$path is not a graft IVF index (no _graft_index_meta — built " +
+            s"before the freshness contract, or not an index): ${e.getMessage}") }
     require(meta.getInt(0) == IvfMetaVersion,
       s"IVF index format version ${meta.getInt(0)} != $IvfMetaVersion — rebuild")
     val cents: KMeans.Centroids = meta.getSeq[org.apache.spark.sql.Row](3)
@@ -209,6 +216,7 @@ object Similarity {
     * (row count + quantizer) after the data. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     cents: KMeans.Centroids, path: String): Unit = {
+    TopKAgg.requireLongCastableId(corpus, idCol, "Similarity.buildIvfIndex")
     KMeans.assign(
       corpus.select(col(idCol).cast("long").as("id"), VectorOps.toDouble(col(vecCol)).as("v")),
       "v", cents, outCol = "cell")
@@ -228,13 +236,20 @@ object Similarity {
     * job (dropSeenExact) — the index serves whatever was admitted. */
   def appendIvfIndex(spark: SparkSession, batch: DataFrame,
                      idCol: String, vecCol: String, path: String): Unit = {
-    val (_, _, cents) = readIvfMeta(spark, path)
-    KMeans.assign(
+    TopKAgg.requireLongCastableId(batch, idCol, "Similarity.appendIvfIndex")
+    val (prevRows, _, cents) = readIvfMeta(spark, path)
+    // meta rows = prev + batch (O(batch), not a full-index recount —
+    // review r12); a crash between data and meta leaves actual > meta,
+    // which ivfTopKIndexed's row check refuses
+    val assigned = KMeans.assign(
       batch.select(col(idCol).cast("long").as("id"), VectorOps.toDouble(col(vecCol)).as("v")),
       "v", cents, outCol = "cell")
       .withColumn("n", VectorOps.norm2(col("v")))
-      .write.partitionBy("cell").mode("append").parquet(path)
-    writeIvfMeta(spark, path, spark.read.parquet(path).count(), cents)
+      .cache()
+    try {
+      assigned.write.partitionBy("cell").mode("append").parquet(path)
+      writeIvfMeta(spark, path, prevRows + assigned.count(), cents)
+    } finally { assigned.unpersist(); () }
   }
 
   /** IVF top-k against a PERSISTED index: probe cells are computed
@@ -256,6 +271,7 @@ object Similarity {
                      probes: DataFrame, probeIdCol: String, probeVecCol: String,
                      cents: KMeans.Centroids, nprobe: Int, k: Int,
                      verifyRows: Boolean = true): DataFrame = {
+    TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.ivfTopKIndexed")
     val (metaRows, fp, _) = readIvfMeta(spark, indexPath)
     require(fp == centsFingerprint(cents),
       s"stale IVF index at $indexPath: the quantizer passed to the query does " +
@@ -296,6 +312,8 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               probes: DataFrame, probeIdCol: String, probeVecCol: String,
               cents: KMeans.Centroids, nprobe: Int, k: Int): DataFrame = {
+    TopKAgg.requireLongCastableId(corpus, idCol, "Similarity.ivfTopK")
+    TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.ivfTopK")
     val cell = KMeans.assign(
       corpus.select(col(idCol).cast("long").as("__id"), VectorOps.toDouble(col(vecCol)).as("__v")),
       "__v", cents, outCol = "cell")
@@ -394,6 +412,8 @@ object Similarity {
   def pqTopK(codes: DataFrame, idCol: String, codesCol: String,
              probes: DataFrame, probeIdCol: String, probeVecCol: String,
              model: PQModel, k: Int): DataFrame = {
+    TopKAgg.requireLongCastableId(codes, idCol, "Similarity.pqTopK")
+    TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.pqTopK")
     val spark = probes.sparkSession
     import spark.implicits._
     val pr = probes.select(col(probeIdCol).cast("long").as("probe_id"),
@@ -465,6 +485,8 @@ object Similarity {
                 probes: DataFrame, probeIdCol: String, probeVecCol: String,
                 cents: KMeans.Centroids, model: PQModel,
                 nprobe: Int, k: Int): DataFrame = {
+    TopKAgg.requireLongCastableId(corpus, idCol, "Similarity.ivfPqTopK")
+    TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.ivfPqTopK")
     val spark = probes.sparkSession
     import spark.implicits._
     // index build (in production: persisted once, partitioned by cell)
@@ -592,6 +614,7 @@ object Similarity {
   def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
                     k: Int): DataFrame = {
     require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
+    TopKAgg.requireLongCastableId(df, idCol, "Similarity.kCenterGreedy")
     val sp = df.sparkSession
     import sp.implicits._
     val cand = df.select(col(idCol).cast("long").as("id"),
@@ -644,6 +667,7 @@ object Similarity {
                 relCol: String, k: Int, lambda: Double = 0.5): DataFrame = {
     require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1], got $lambda")
+    TopKAgg.requireLongCastableId(cand, idCol, "Similarity.mmrSelect")
     val sp = cand.sparkSession
     import sp.implicits._
     val c = cand.select(col(idCol).cast("long").as("id"),

@@ -494,6 +494,7 @@ object TextAnalysis {
   def searchTopK(df: DataFrame, idCol: String, textCol: String,
                  queries: Seq[(String, Seq[String])], k: Int = 10,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    graft.functions.TopKAgg.requireLongCastableId(df, idCol, "TextAnalysis.searchTopK")
     require(queries.nonEmpty, "searchTopK needs at least one query")
     require(k >= 1, s"k must be >= 1, got $k")
     queries.foreach { case (qid, ts) =>
@@ -637,6 +638,7 @@ object TextAnalysis {
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
                     maxPostings: Int = 100): DataFrame = {
     require(maxPostings >= 1, s"maxPostings must be positive, got $maxPostings")
+    graft.functions.TopKAgg.requireLongCastableId(df, idCol, "TextAnalysis.invertedIndex")
     val t = df.select(col(idCol).cast("long").as("__id"),
       explode(array_distinct(tokens(col(textCol)))).as("term"))
     t.groupBy("term").agg(

@@ -874,12 +874,12 @@ class CurationSpec extends AnyFunSuite {
       "the point: a bounded partial agg, never a per-key window sort")
   }
 
-  test("topKPerKey rejects non-integral id columns loudly (ADVICE r11)") {
+  test("topKPerKey rejects non-long-castable id columns loudly (ADVICE r11)") {
     val df = Seq(("uuid-1", "k", 1.0)).toDF("id", "k", "s")
     val e = intercept[IllegalArgumentException] {
       Curation.topKPerKey(df, "k", "id", "s", k = 2)
     }
-    assert(e.getMessage.contains("integral id column"))
+    assert(e.getMessage.contains("long-castable id column"))
   }
 
   test("unionEvolved: by-name alignment with null fill — never positional pairing") {

@@ -416,21 +416,43 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(rawScans.isEmpty,
         s"landing JSONL parsed outside the pinned intermediate: $rawScans")
       val imrs = opt.collect { case m: InMemoryRelation => m }
-      assert(imrs.nonEmpty, "expected the pinned exact-dedup intermediate")
+      assert(imrs.nonEmpty, "expected the pinned intermediates")
       def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
           : org.apache.spark.sql.execution.SparkPlan = p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           a.inputPlan
         case other => other
       }
-      val builders = imrs.map(_.cacheBuilder)
-        .groupBy(System.identityHashCode(_)).values.map(_.head)
-      val innerScans = builders.toSeq.flatMap(b => unwrap(b.cachedPlan).collect {
+      // caches NEST here (the quality-gate pin reads the exact-dedup
+      // pin, which holds the landing scan) — walk builders
+      // TRANSITIVELY: each builder's cachedPlan may reference further
+      // caches via InMemoryTableScanExec
+      // (CachedRDDBuilder / InMemoryTableScanExec are private[sql], so
+      // the walk stores the cached PLANS keyed by builder identity and
+      // reaches nested relations via the public `relation` accessor)
+      val seenPlans = scala.collection.mutable.Map.empty[
+        Int, org.apache.spark.sql.execution.SparkPlan]
+      def visit(rel: InMemoryRelation): Unit = {
+        val b = rel.cacheBuilder
+        val k = System.identityHashCode(b)
+        if (!seenPlans.contains(k)) {
+          seenPlans(k) = b.cachedPlan
+          unwrap(b.cachedPlan).collect {
+            case t if t.getClass.getSimpleName == "InMemoryTableScanExec" =>
+              t.getClass.getMethod("relation").invoke(t).asInstanceOf[InMemoryRelation]
+          }.foreach(visit)
+        }
+      }
+      imrs.foreach(visit)
+      val innerScans = seenPlans.values.toSeq.flatMap(p => unwrap(p).collect {
         case sc: FileSourceScanExec
           if sc.relation.location.rootPaths.mkString(",").contains("landing") => sc
       })
       assert(innerScans.size == 1,
         s"landing JSONL should be parsed exactly once across all caches, found ${innerScans.size}")
-    } finally Dedup.releaseCaches()
+    } finally {
+      Dedup.releaseCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
   }
 }

@@ -280,14 +280,14 @@ class SamplingSpec extends AnyFunSuite {
     assert(!ids.contains(99L) && !ids.contains(98L) && ids.size === 40)
   }
 
-  test("weightedSampleKPerKey rejects non-integral id columns loudly (ADVICE r11)") {
+  test("weightedSampleKPerKey rejects non-long-castable id columns loudly (ADVICE r11)") {
     // string/UUID doc ids would silently cast("long") to NULL in the
     // TopKAgg race — the degradation must be an error, not a NULL id
     val df = Seq(("doc-a", "k", 1.0), ("doc-b", "k", 2.0)).toDF("id", "k", "w")
     val e = intercept[IllegalArgumentException] {
       Sampling.weightedSampleKPerKey(df, "k", "id", "w", k = 1)
     }
-    assert(e.getMessage.contains("integral id column"))
+    assert(e.getMessage.contains("long-castable id column"))
   }
 
   test("splitBalanceChi2: dof is (g-1)(s-1) — zero when one split level materializes") {
