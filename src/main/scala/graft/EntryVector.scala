@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterMetrics, Curation, Dedup, Events, Graph, KMeans, Multimodal, PCA, Sampling, Similarity, Skew, TemporalJoins, TextAnalysis, Tokenizer}
+import graft.operators.{Classifier, ClusterMetrics, Curation, Dedup, Events, Graph, KMeans, Multimodal, PCA, Sampling, Similarity, Skew, TemporalJoins, TextAnalysis, Tokenizer}
 import graft.functions.VectorOps
 import graft.sources.GeneIO
 import graft.streaming.{DedupStream, EventStream}
@@ -407,6 +407,41 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: trained quality classifier (logistic reg) ─────
+    // Batch-GD logistic regression over standardized hashed-text
+    // features — the fastText/CCNet-style model-based filter. The
+    // label is an exact integer predicate on token composition
+    // (technical-term count beats filler count), so both engines
+    // derive it bit-identically and the trainer must REDISCOVER it
+    // through 64 signed hash buckets (~95% accuracy at 8 iterations).
+    // Weights are quantized to the exact-integer 1e-4 grid (the
+    // q_pca_moments contract: every step is continuous arithmetic —
+    // no ordering/tie decisions — so cross-engine noise is O(1e-12),
+    // eight orders below the grid). pos 0..63 = weights, 64 = bias.
+    "q_lr_train" -> ((s, dir) => {
+      val m = lrModel(s, dir)._2
+      import s.implicits._
+      def q4(x: Double): Long = math.floor(x * 10000.0 + 0.5).toLong
+      (m.weights.toSeq.zipWithIndex.map { case (w, i) => (i, q4(w)) }
+        :+ ((64, q4(m.bias))))
+        .toDF("pos", "w4")
+    }),
+
+
+    // ── LLM-pipeline: classifier scoring + admission gate ───────────
+    // σ(b + w·z) per doc from the q_lr_train model, quantized to the
+    // 1e-4 grid; `admitted` derives from the QUANTIZED score so the
+    // flag is exactly reproducible. The scoring side is a zero-shuffle
+    // map projection (weights are plan literals).
+    "q_lr_score" -> ((s, dir) => {
+      val (z, m) = lrModel(s, dir)
+      Classifier.scoreLogReg(z, "z", m, "score")
+        .select(col("doc_id"),
+          floor(col("score") * 10000.0 + 0.5).cast("long").as("score4"))
+        .withColumn("admitted", col("score4") >= 5000)
+    }),
+
+
     // ── LLM-pipeline: per-doc n-gram novelty (3-token grams) ────────
     // "How much genuinely new text does this doc contribute" — the
     // up-weighting signal dual to contamination's overlap direction.
@@ -429,6 +464,78 @@ private[graft] object EntryVector {
           probes, "vec_id", "embedding", k = 10))
     }),
   )
+
+  /** Shared pipeline for q_lr_train / q_lr_score: hashed features
+    * (dim 64) + exact token-composition label → z-score → 8 GD
+    * iterations at lr 1.0. Returns the standardized feature table
+    * (doc_id, z, y) and the trained model. The label predicate is
+    * exact integer arithmetic on token counts so both engines agree
+    * bit-for-bit on y. */
+  private def lrModel(s: SparkSession, dir: String)
+      : (DataFrame, Classifier.LogRegModel) = {
+    val docs = Tables(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    def cnt(t: String) =
+      size(filter(toks, e => e === lit(t)))
+    val labeled = Classifier.hashedFeatures(docs, "doc_id", "text", dim = 64)
+      .join(docs.select(col("doc_id"),
+        ((cnt("join") + cnt("key")) > (cnt("the") + cnt("a")))
+          .cast("int").as("y")), Seq("doc_id"))
+    val st = Classifier.fitStandardizer(labeled, "features")
+    val z = labeled.select(col("doc_id"),
+      Classifier.standardizeColumn(col("features"), st).as("z"), col("y"))
+    (z, Classifier.trainLogReg(z, "z", "y", iters = 8, lr = 1.0))
+  }
+
+  /** The q_lr_train chain unrolled for DuckDB: hashed signed-md5
+    * features (q_feat_hash's scheme, densified over a 64-position
+    * grid), z-scored with sd = sqrt(max(E[x²]−E[x]², 0)) (constant
+    * dims → 1), then 8 unrolled full-batch GD iterations at lr 1.0 —
+    * the same σ form, the same update arithmetic (·1.0 is exact).
+    * Every intermediate is MATERIALIZED: the chain is a DAG, and
+    * un-materialized CTE inlining re-evaluates it exponentially. */
+  private val sqlLrChain: String = {
+    val iters = (1 to 8).map { r =>
+      s"""m$r AS MATERIALIZED (SELECT x.doc_id, max(x.y) AS y,
+         |  1.0/(1.0 + exp(-(sum(w.w * x.v) + (SELECT b FROM b${r - 1})))) AS p
+         |  FROM x JOIN w${r - 1} w USING (pos) GROUP BY x.doc_id),
+         |g$r AS MATERIALIZED (SELECT x.pos, avg((m.p - m.y) * x.v) AS g
+         |  FROM m$r m JOIN x USING (doc_id) GROUP BY x.pos),
+         |w$r AS MATERIALIZED (SELECT w.pos, w.w - 1.0 * g.g AS w
+         |  FROM w${r - 1} w JOIN g$r g USING (pos)),
+         |b$r AS MATERIALIZED (SELECT (SELECT b FROM b${r - 1})
+         |  - 1.0 * (SELECT avg(p - y) FROM m$r) AS b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+       |           FROM documents),
+       |sgn AS (SELECT doc_id,
+       |             CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 64 AS pos,
+       |             1 - 2 * (CAST(concat('0x', substr(h, 9, 1)) AS BIGINT) % 2) AS sign
+       |      FROM tok),
+       |coo AS (SELECT doc_id, pos, CAST(sum(sign) AS DOUBLE) AS v
+       |        FROM sgn GROUP BY 1, 2),
+       |lab AS MATERIALIZED (SELECT doc_id,
+       |        CAST(len(list_filter(ts, e -> e = 'join'))
+       |             + len(list_filter(ts, e -> e = 'key'))
+       |           > len(list_filter(ts, e -> e = 'the'))
+       |             + len(list_filter(ts, e -> e = 'a')) AS INTEGER) AS y
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+       |raw AS (SELECT l.doc_id, g.pos, coalesce(coo.v, 0.0) AS v, l.y
+       |        FROM lab l CROSS JOIN (SELECT unnest(range(64)) AS pos) g
+       |        LEFT JOIN coo ON coo.doc_id = l.doc_id AND coo.pos = g.pos),
+       |st AS MATERIALIZED (SELECT pos, avg(v) AS mu,
+       |         CASE WHEN sqrt(greatest(avg(v*v) - avg(v)*avg(v), 0.0)) > 0.0
+       |              THEN sqrt(greatest(avg(v*v) - avg(v)*avg(v), 0.0))
+       |              ELSE 1.0 END AS sd
+       |      FROM raw GROUP BY pos),
+       |x AS MATERIALIZED (SELECT raw.doc_id, raw.pos,
+       |       (raw.v - st.mu) / st.sd AS v, raw.y
+       |     FROM raw JOIN st USING (pos)),
+       |w0 AS MATERIALIZED (SELECT CAST(unnest(range(64)) AS INTEGER) AS pos,
+       |       0.0 AS w),
+       |b0 AS MATERIALIZED (SELECT 0.0 AS b),
+       |$iters""".stripMargin
+  }
 
   /** q_ivf_topk's replay, shared with q_ivf_refresh (same probes,
     * cents, nprobe, k — the maintained index must serve the same
@@ -922,6 +1029,29 @@ private[graft] object EntryVector {
         |      FROM t)
         |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+
+    // 8 unrolled GD iterations (sqlLrChain); weights on the exact-
+    // integer 1e-4 grid. pos 64 = bias.
+    "q_lr_train" ->
+      s"""$sqlLrChain
+         |SELECT CAST(pos AS INTEGER) AS pos,
+         |       CAST(floor(w * 10000 + 0.5) AS BIGINT) AS w4 FROM w8
+         |UNION ALL
+         |SELECT CAST(64 AS INTEGER), CAST(floor(b * 10000 + 0.5) AS BIGINT)
+         |FROM b8""".stripMargin,
+
+
+    // Final-model scoring over the same chain; `admitted` derives
+    // from the quantized score, never the raw double.
+    "q_lr_score" ->
+      s"""$sqlLrChain,
+         |mf AS (SELECT x.doc_id,
+         |         1.0/(1.0 + exp(-(sum(w.w * x.v) + (SELECT b FROM b8)))) AS p
+         |       FROM x JOIN w8 w USING (pos) GROUP BY x.doc_id)
+         |SELECT doc_id, CAST(floor(p * 10000 + 0.5) AS BIGINT) AS score4,
+         |       CAST(floor(p * 10000 + 0.5) AS BIGINT) >= 5000 AS admitted
+         |FROM mf""".stripMargin,
 
 
     "q_novelty" ->

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorMeanAgg, VectorOps}
+
+/** Model-based quality/selection classifier: batch-gradient-descent
+  * logistic regression over dense double-vector features, trained the
+  * same way the k-means loop runs (`KMeans.fit`) — coefficients live
+  * on the DRIVER and enter every plan as a literal array, and each
+  * iteration is ONE distributed aggregation whose partial state is a
+  * (d+2)-double vector per task.
+  *
+  * This is the "train a small linear filter, score the corpus" path
+  * of an LLM data pipeline (the fastText/CCNet-style quality
+  * classifier): `TextAnalysis.featureHash` provides vocabulary-free
+  * features at any corpus size, `fitStandardizer`+`standardizeColumn`
+  * condition them, `trainLogReg` fits, `scoreColumn` filters.
+  *
+  * 100 TB posture:
+  *  - training is `iters` passes over the data, each a single
+  *    partial-aggregated mean (`VectorMeanAgg`): every task ships
+  *    exactly d+2 doubles — gradient, bias slot, loss — per pass,
+  *    independent of row count (the same property as the k-means
+  *    centroid update, reference combiner `KMeans.java:128-144`);
+  *  - no weight broadcast variable to manage: coefficients are plan
+  *    literals (the `KMeans.centLit` pattern, reference op 3), so
+  *    scoring is a zero-shuffle map-only projection;
+  *  - driver state is O(d), never O(rows);
+  *  - features stay inside whole-stage codegen (HOF transforms, no
+  *    Scala UDFs).
+  */
+object Classifier {
+
+  /** Per-dimension location/scale for z-scoring a vector column.
+    * `scale` holds 1.0 (not 0) for constant dimensions so the
+    * transform is total; a constant dim then standardizes to exactly
+    * 0.0 and is invisible to the trainer. */
+  final case class Standardizer(mean: Array[Double], scale: Array[Double]) {
+    require(mean.length == scale.length,
+      s"mean/scale dim mismatch: ${mean.length} vs ${scale.length}")
+    def dim: Int = mean.length
+  }
+
+  /** Trained model. `lossHistory(t)` = mean log-loss measured with the
+    * weights of iteration t (before that iteration's update), so a
+    * healthy run is non-increasing. */
+  final case class LogRegModel(weights: Array[Double], bias: Double,
+                               lossHistory: Seq[Double]) {
+    def dim: Int = weights.length
+  }
+
+  /** Per-dimension mean and population std in ONE pass: a single
+    * `VectorMeanAgg` over `concat(x, x²)` gives E[x] and E[x²]
+    * together (2d doubles of partial state per task), and
+    * sd = sqrt(max(E[x²] − E[x]², 0)) on the driver. The max(·, 0)
+    * clamps FP-negative variance of constant dims to exact 0, which
+    * then maps to scale = 1. */
+  def fitStandardizer(df: DataFrame, featCol: String): Standardizer = {
+    val x = VectorOps.toDouble(col(featCol))
+    val m = df.select(
+        VectorMeanAgg.vecMean(concat(x, transform(x, e => e * e))).as("m"))
+      .head().getSeq[Double](0).toArray
+    require(m.length % 2 == 0, s"standardizer pass returned odd length ${m.length}")
+    val d = m.length / 2
+    val mean = java.util.Arrays.copyOfRange(m, 0, d)
+    val scale = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val v = math.sqrt(math.max(m(d + i) - mean(i) * mean(i), 0.0))
+      scale(i) = if (v > 0.0) v else 1.0
+      i += 1
+    }
+    Standardizer(mean, scale)
+  }
+
+  /** z = (x − mean) / scale, element-wise against the fitted literals.
+    * Division (not multiply-by-reciprocal) so the arithmetic is the
+    * exact same IEEE operation the oracle SQL replays. */
+  def standardizeColumn(feat: Column, st: Standardizer): Column = {
+    val muLit = typedlit(st.mean.toSeq)
+    val sdLit = typedlit(st.scale.toSeq)
+    zip_with(zip_with(VectorOps.toDouble(feat), muLit, (e, m) => e - m),
+      sdLit, (c, s) => c / s)
+  }
+
+  /** σ(bias + w·x) as a codegen'd column; weights enter as a plan
+    * literal (no broadcast variable, no UDF). */
+  def scoreColumn(feat: Column, model: LogRegModel): Column = {
+    val margin = lit(model.bias) +
+      VectorOps.dot(VectorOps.toDouble(feat), typedlit(model.weights.toSeq))
+    lit(1.0) / (lit(1.0) + exp(-margin))
+  }
+
+  /** Adds σ(bias + w·x) under `outCol`. */
+  def scoreLogReg(df: DataFrame, featCol: String, model: LogRegModel,
+                  outCol: String = "score"): DataFrame =
+    df.withColumn(outCol, scoreColumn(col(featCol), model))
+
+  /** Full-batch gradient-descent logistic regression.
+    *
+    * Per iteration, one job: with current (w, b) as plan literals,
+    * compute per row p = σ(b + w·x), resid = p − y, and aggregate the
+    * MEAN of the (d+2)-vector `[resid·x₁ … resid·x_d, resid, loss]` —
+    * gradient, bias gradient, and mean log-loss in the same pass.
+    * Update w ← w − lr·(∇ + l2·w), b ← b − lr·∇b on the driver.
+    *
+    * Labels must be 0/1 (checked on the first pass: loss is NaN-free
+    * only then, and a loud require guards the returned history).
+    * Input is cached for the duration of the loop and unpersisted on
+    * exit — `iters` passes over an uncached upstream would re-run the
+    * feature pipeline every time. */
+  def trainLogReg(df: DataFrame, featCol: String, labelCol: String,
+                  iters: Int, lr: Double, l2: Double = 0.0): LogRegModel = {
+    require(iters >= 1 && iters <= 1000, s"iters must be in [1, 1000], got $iters")
+    require(lr > 0.0 && lr.isFinite, s"lr must be positive and finite, got $lr")
+    require(l2 >= 0.0 && l2.isFinite, s"l2 must be >= 0 and finite, got $l2")
+    val data = df.select(VectorOps.toDouble(col(featCol)).as("__x"),
+      col(labelCol).cast("double").as("__y")).cache()
+    try {
+      val first = data.limit(1).select(size(col("__x"))).head()
+      val d = first.getInt(0)
+      require(d >= 1, s"feature column '$featCol' has dimension $d")
+      var w = new Array[Double](d)
+      var b = 0.0
+      val losses = Seq.newBuilder[Double]
+      var t = 0
+      while (t < iters) {
+        val wLit = typedlit(w.toSeq)
+        // p via the same σ form the oracle replays: 1/(1+exp(−m))
+        val scored = data.select(col("__x"), col("__y"),
+            (lit(1.0) / (lit(1.0) +
+              exp(-(lit(b) + VectorOps.dot(col("__x"), wLit))))).as("__p"))
+          .select(col("__x"), col("__y"), (col("__p") - col("__y")).as("__r"),
+            // numerically-stable mean log-loss (diagnostic only, not
+            // part of the gradient): −[y·ln p + (1−y)·ln(1−p)]
+            (-(col("__y") * log(greatest(col("__p"), lit(1e-300))) +
+              (lit(1.0) - col("__y")) *
+                log(greatest(lit(1.0) - col("__p"), lit(1e-300))))).as("__l"))
+        val g = scored.select(VectorMeanAgg.vecMean(
+            concat(transform(col("__x"), e => e * col("__r")),
+              array(col("__r"), col("__l")))).as("g"))
+          .head().getSeq[Double](0).toArray
+        require(g.length == d + 2,
+          s"ragged feature vectors: expected dim $d, gradient pass saw ${g.length - 2}")
+        require(!g.exists(_.isNaN),
+          s"NaN in gradient at iteration $t — labels must be 0/1 and features finite")
+        var i = 0
+        while (i < d) { w(i) -= lr * (g(i) + l2 * w(i)); i += 1 }
+        b -= lr * g(d)
+        losses += g(d + 1)
+        t += 1
+      }
+      LogRegModel(w, b, losses.result())
+    } finally { data.unpersist(); () }
+  }
+
+  /** Vocabulary-free dense features for text: the hashing trick
+    * (`TextAnalysis.featureHash`, signed md5 buckets) densified to a
+    * fixed-width `array<double>`. Rows whose text produced no tokens
+    * keep an all-zero vector (LEFT join back to the id spine).
+    * Per-doc state is bounded by min(dim, distinct tokens). */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+                     dim: Int = 64): DataFrame = {
+    val coo = TextAnalysis.featureHash(df, idCol, textCol, dim)
+    val maps = coo.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("weight"))))
+        .as("__m"))
+    df.select(col(idCol)).join(maps, Seq(idCol), "left")
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("__m"), i), lit(0L)).cast("double"))
+          .as("features"))
+  }
+}

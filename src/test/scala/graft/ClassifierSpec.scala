@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Classifier
+
+/** Logistic-regression trainer: driver-replay parity, convergence,
+  * standardizer contracts, loud guards. */
+class ClassifierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Small separable fixture: y = 1 iff x1 > x2 (deterministic values,
+  // no randomness — the specs replay the math on the driver).
+  private lazy val toy = (1 to 40).map { i =>
+    val x1 = (i % 7).toDouble
+    val x2 = ((i * 3) % 5).toDouble
+    (i.toLong, Array(x1, x2), if (x1 > x2) 1 else 0)
+  }.toDF("id", "x", "y")
+
+  test("trainLogReg matches an exact driver-side replay of the same GD") {
+    val rows = toy.select("x", "y").collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getInt(1).toDouble))
+    val iters = 5; val lr = 0.3
+    var w = Array(0.0, 0.0); var b = 0.0
+    for (_ <- 1 to iters) {
+      val contribs = rows.map { case (x, y) =>
+        val p = 1.0 / (1.0 + math.exp(-(b + x.zip(w).map { case (a, c) => a * c }.sum)))
+        (x.map(_ * (p - y)), p - y)
+      }
+      val n = rows.length
+      val g = Array(contribs.map(_._1(0)).sum / n, contribs.map(_._1(1)).sum / n)
+      val gb = contribs.map(_._2).sum / n
+      w = Array(w(0) - lr * g(0), w(1) - lr * g(1)); b -= lr * gb
+    }
+    val m = Classifier.trainLogReg(toy, "x", "y", iters, lr)
+    // distributed partial-agg vs driver loop: same continuous math,
+    // only summation order differs — agreement to ~1e-12 is the claim
+    // the 1e-4 oracle grid rests on
+    assert(math.abs(m.bias - b) < 1e-9, s"bias ${m.bias} vs replay $b")
+    m.weights.zip(w).foreach { case (got, exp) =>
+      assert(math.abs(got - exp) < 1e-9, s"weight $got vs replay $exp")
+    }
+    assert(m.lossHistory.size == iters)
+  }
+
+  test("loss history is non-increasing and the model separates the toy data") {
+    val m = Classifier.trainLogReg(toy, "x", "y", iters = 30, lr = 0.5)
+    m.lossHistory.sliding(2).foreach { case Seq(a, bb) =>
+      assert(bb <= a + 1e-12, s"loss increased: $a -> $bb")
+    }
+    val scored = Classifier.scoreLogReg(toy, "x", m)
+    val acc = scored.select(avg(((col("score") >= 0.5) === (col("y") === 1))
+      .cast("double"))).head().getDouble(0)
+    assert(acc >= 0.9, s"separable toy data should score >=0.9, got $acc")
+  }
+
+  test("fitStandardizer: mean/std per dim; constant dims get scale 1 and z=0") {
+    val df = Seq(
+      (Array(1.0, 5.0, 2.0)), (Array(3.0, 5.0, 4.0)), (Array(5.0, 5.0, 6.0))
+    ).toDF("x")
+    val st = Classifier.fitStandardizer(df, "x")
+    assert(st.mean.toSeq == Seq(3.0, 5.0, 4.0))
+    assert(math.abs(st.scale(0) - math.sqrt(8.0 / 3.0)) < 1e-12)
+    assert(st.scale(1) == 1.0) // constant dim: population sd 0 -> 1
+    val z = df.select(Classifier.standardizeColumn(col("x"), st).as("z"))
+      .collect().map(_.getSeq[Double](0))
+    assert(z.forall(_(1) == 0.0), "constant dim must standardize to exactly 0")
+    assert(math.abs(z.map(_(0)).sum) < 1e-12) // centered
+  }
+
+  test("hashedFeatures: fixed width, empty-text rows keep a zero vector") {
+    val docs = Seq((1L, "join key the"), (2L, ""), (3L, "join join")).toDF("id", "text")
+    val f = Classifier.hashedFeatures(docs, "id", "text", dim = 16)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(f.length == 3 && f.forall(_._2.length == 16))
+    assert(f(2)._2.map(math.abs).sum > 0.0, "tokens must land in buckets")
+    // doc 2's text "" still tokenizes to [""] -> one bucket; the row
+    // survives the LEFT join either way
+    assert(f(1)._1 == 2L)
+  }
+
+  test("guards: bad iters/lr, dim-0 features, NaN-producing labels fail loudly") {
+    intercept[IllegalArgumentException] {
+      Classifier.trainLogReg(toy, "x", "y", iters = 0, lr = 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.trainLogReg(toy, "x", "y", iters = 5, lr = -1.0)
+    }
+    val empty = Seq((1L, Array.empty[Double], 0)).toDF("id", "x", "y")
+    intercept[IllegalArgumentException] {
+      Classifier.trainLogReg(empty, "x", "y", iters = 1, lr = 0.1)
+    }
+    val ragged = Seq((1L, Array(1.0, 2.0), 0), (2L, Array(1.0), 1)).toDF("id", "x", "y")
+    val e = intercept[Exception] {
+      Classifier.trainLogReg(ragged, "x", "y", iters = 1, lr = 0.1)
+    }
+    assert(e.getMessage != null && e.getMessage.toLowerCase.contains("ragged"))
+  }
+
+  test("training plan: gradient is ONE partial-aggregated job, scoring is map-only") {
+    // scoring adds no exchange: the model is a plan literal
+    val m = Classifier.LogRegModel(Array(0.5, -0.25), 0.1, Nil)
+    val scorePlan = Classifier.scoreLogReg(toy, "x", m)
+      .queryExecution.executedPlan.toString
+    assert(!scorePlan.contains("Exchange"),
+      s"scoring must be a zero-shuffle projection:\n$scorePlan")
+    // the gradient aggregation runs partial (map-side) before the
+    // exchange — the d+2-doubles-per-task shuffle contract
+    val grad = toy.select(graft.functions.VectorMeanAgg.vecMean(
+      concat(col("x"), array(lit(1.0)))).as("g"))
+    val gplan = grad.queryExecution.executedPlan.toString
+    assert(gplan.contains("ObjectHashAggregate") || gplan.contains("SortAggregate"),
+      s"expected an aggregate exec:\n$gplan")
+    assert(gplan.contains("partial_"),
+      s"gradient must partial-aggregate before the exchange:\n$gplan")
+  }
+}
