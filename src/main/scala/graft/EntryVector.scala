@@ -442,6 +442,28 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: classifier evaluation (confusion + AUC) ───────
+    // Held-model quality report over the q_lr_score outputs: exact
+    // integer confusion counts at the 0.5 admission threshold, plus
+    // tie-corrected ROC-AUC on the 1e-6 grid — computed as an exact
+    // integer fraction from average-rank sums over the QUANTIZED
+    // score (10⁴ grid), so both engines agree bit-for-bit: every
+    // input to the AUC arithmetic is an integer, division is
+    // integral. One row out.
+    "q_lr_eval" -> ((s, dir) => {
+      val (z, m) = lrModel(s, dir)
+      val sc = Classifier.scoreLogReg(z, "z", m, "score")
+        .select(col("y"),
+          floor(col("score") * 10000.0 + 0.5).cast("long").as("s4"))
+      val conf = Classifier.confusion(
+        sc.withColumn("pred", col("s4") >= 5000), "y", "pred")
+      val auc = Classifier.rocAucParts(sc, "y", "s4")
+      conf.crossJoin(auc)
+        .select(col("tp"), col("fp"), col("tn"), col("fn"),
+          expr("(auc_num * 1000000) div auc_den").as("auc6"))
+    }),
+
+
     // ── LLM-pipeline: per-doc n-gram novelty (3-token grams) ────────
     // "How much genuinely new text does this doc contribute" — the
     // up-weighting signal dual to contamination's overlap direction.
@@ -1052,6 +1074,35 @@ private[graft] object EntryVector {
          |SELECT doc_id, CAST(floor(p * 10000 + 0.5) AS BIGINT) AS score4,
          |       CAST(floor(p * 10000 + 0.5) AS BIGINT) >= 5000 AS admitted
          |FROM mf""".stripMargin,
+
+
+    // Confusion at the 0.5 threshold + tie-corrected Mann-Whitney AUC
+    // from integer rank sums over the quantized score; `//` replays
+    // Spark's integral `div` (both operands nonnegative here, so
+    // truncation direction cannot differ).
+    "q_lr_eval" ->
+      s"""$sqlLrChain,
+         |sc AS MATERIALIZED (SELECT x.doc_id, max(x.y) AS y,
+         |       CAST(floor((1.0/(1.0 + exp(-(sum(w.w * x.v)
+         |         + (SELECT b FROM b8))))) * 10000 + 0.5) AS BIGINT) AS s4
+         |     FROM x JOIN w8 w USING (pos) GROUP BY x.doc_id),
+         |conf AS (SELECT
+         |    sum(CASE WHEN s4 >= 5000 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+         |    sum(CASE WHEN s4 >= 5000 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+         |    sum(CASE WHEN s4 < 5000 AND y = 0 THEN 1 ELSE 0 END) AS tn,
+         |    sum(CASE WHEN s4 < 5000 AND y = 1 THEN 1 ELSE 0 END) AS fn
+         |  FROM sc),
+         |per AS (SELECT s4, count(*) AS c, sum(y) AS p FROM sc GROUP BY s4),
+         |cum AS (SELECT c, p,
+         |    sum(c) OVER (ORDER BY s4 ROWS UNBOUNDED PRECEDING) - c AS cb
+         |  FROM per),
+         |ag AS (SELECT sum(p * (2 * cb + c + 1)) AS r2, sum(p) AS pp,
+         |    sum(c) AS n FROM cum)
+         |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |       CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+         |       CAST(((r2 - pp * (pp + 1)) * 1000000)
+         |         // (2 * pp * (n - pp)) AS BIGINT) AS auc6
+         |FROM conf, ag""".stripMargin,
 
 
     "q_novelty" ->

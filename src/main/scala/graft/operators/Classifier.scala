@@ -156,6 +156,62 @@ object Classifier {
     } finally { data.unpersist(); () }
   }
 
+  /** Binary confusion counts in one pass: tp/fp/tn/fn as a single
+    * aggregated row (predicate sums — one partial-agg job, four longs
+    * of shuffle per task). `predCol` must be boolean, `labelCol` 0/1.
+    * Derived ratios are left to the caller so the counts stay exact
+    * integers (the oracle-friendly form). */
+  def confusion(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val y = col(labelCol).cast("int")
+    val p = col(predCol)
+    def n(c: Column) = sum(c.cast("long"))
+    df.agg(
+      n(p && y === 1).as("tp"), n(p && y === 0).as("fp"),
+      n(!p && y === 0).as("tn"), n(!p && y === 1).as("fn"))
+  }
+
+  /** Tie-corrected ROC-AUC (Mann-Whitney) as an EXACT integer
+    * fraction: returns one row `(auc_num, auc_den)` with
+    * AUC = auc_num / auc_den, where
+    * auc_num = 2·Σ(avg rank of positives) − P(P+1) and auc_den = 2PN.
+    *
+    * Shape, built for scale:
+    *  1. `groupBy(score)` — one partial-aggregated shuffle whose
+    *     output is the DISTINCT-score relation (c_s rows, p_s
+    *     positives per score); for a quantized score grid (the
+    *     recommended contract, e.g. `floor(score·10⁴+0.5)`) that is
+    *     ≤ grid-size rows regardless of corpus size;
+    *  2. an exact integer prefix sum over that relation ordered by
+    *     score (`Curation.globalRunningSum` — range exchange, never a
+    *     corpus-wide single-task window);
+    *  3. 2·Σ avg-rank of positives = Σ_s p_s·(2·C_s + c_s + 1) with
+    *     C_s = count below s — summed in decimal(38,0) so rank sums
+    *     (O(n²) magnitude) cannot overflow a long at any corpus size.
+    *
+    * Ties get average ranks (the standard correction): ties within a
+    * score contribute exactly ½, so the fraction is reproducible on
+    * any engine from integer arithmetic alone. Requires both classes
+    * present (P=0 or N=0 has no ROC; the caller sees auc_den=0 and
+    * must treat it as undefined — kept in-band so the result stays a
+    * plan, not a driver action). */
+  def rocAucParts(df: DataFrame, labelCol: String, scoreCol: String,
+                  numPartitions: Int = 0): DataFrame = {
+    val perScore = df.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__c"),
+        sum(col(labelCol).cast("long")).as("__p"))
+    val cum = Curation.globalRunningSum(perScore, "__c", "__cum",
+      numPartitions, col("__s"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def d(c: Column) = c.cast(dec)
+    cum.agg(
+        sum(d(col("__p")) * (lit(2) * d(col("__cum") - col("__c"))
+          + d(col("__c")) + lit(1))).as("__r2"),
+        d(sum(col("__p"))).as("__P"), d(sum(col("__c"))).as("__n"))
+      .select(
+        (col("__r2") - col("__P") * (col("__P") + lit(1))).as("auc_num"),
+        (lit(2) * col("__P") * (col("__n") - col("__P"))).as("auc_den"))
+  }
+
   /** Vocabulary-free dense features for text: the hashing trick
     * (`TextAnalysis.featureHash`, signed md5 buckets) densified to a
     * fixed-width `array<double>`. Rows whose text produced no tokens

@@ -99,6 +99,37 @@ class ClassifierSpec extends AnyFunSuite {
     assert(e.getMessage != null && e.getMessage.toLowerCase.contains("ragged"))
   }
 
+  test("confusion: exact counts on a hand-checkable fixture") {
+    val df = Seq(
+      (1, true), (1, true), (1, false),            // 2 tp, 1 fn
+      (0, true), (0, false), (0, false), (0, false) // 1 fp, 3 tn
+    ).toDF("y", "pred")
+    val r = Classifier.confusion(df, "y", "pred").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 1L, 3L, 1L)))
+  }
+
+  test("rocAucParts matches brute-force pairwise AUC, including ties") {
+    // scores with deliberate ties across and within classes
+    val rows = Seq((1, 9L), (1, 7L), (1, 7L), (1, 3L),
+      (0, 7L), (0, 3L), (0, 2L), (0, 2L), (0, 1L))
+    val pos = rows.filter(_._1 == 1).map(_._2)
+    val neg = rows.filter(_._1 == 0).map(_._2)
+    val brute = (for { p <- pos; n <- neg } yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (pos.size * neg.size)
+    val parts = Classifier.rocAucParts(rows.toDF("y", "s"), "y", "s").head()
+    val num = parts.getDecimal(0).longValueExact()
+    val den = parts.getDecimal(1).longValueExact()
+    assert(den == 2L * pos.size * neg.size)
+    assert(num.toDouble / den == brute, s"$num/$den vs brute $brute")
+  }
+
+  test("rocAucParts: a single-class input surfaces auc_den = 0 in-band") {
+    val onlyPos = Seq((1, 5L), (1, 3L)).toDF("y", "s")
+    val r = Classifier.rocAucParts(onlyPos, "y", "s").head()
+    assert(r.getDecimal(1).longValueExact() == 0L)
+  }
+
   test("training plan: gradient is ONE partial-aggregated job, scoring is map-only") {
     // scoring adds no exchange: the model is a plan literal
     val m = Classifier.LogRegModel(Array(0.5, -0.25), 0.1, Nil)
