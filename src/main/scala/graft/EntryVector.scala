@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Classifier, ClusterMetrics, Curation, Dedup, Events, Graph, KMeans, Multimodal, PCA, Sampling, Similarity, Skew, TemporalJoins, TextAnalysis, Tokenizer}
+import graft.operators.{Classifier, ClusterMetrics, Curation, Dedup, Events, Graph, KMeans, Multimodal, NaiveBayes, PCA, Sampling, Similarity, Skew, TemporalJoins, TextAnalysis, Tokenizer}
 import graft.functions.VectorOps
 import graft.sources.GeneIO
 import graft.streaming.{DedupStream, EventStream}
@@ -464,6 +464,34 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: Naive Bayes trainer (one-pass, count-based) ───
+    // The OTHER classic corpus-filter model: multinomial NB with
+    // add-1 smoothing on the same exact-integer label as q_lr_train.
+    // Training is one groupBy(token) pass; the emitted model is the
+    // per-token class counts (exact integers) plus the binary
+    // log-odds on the 1e-4 grid (continuous arithmetic only — the
+    // q_pca_moments contract).
+    "q_nb_train" -> ((s, dir) => {
+      val m = nbModel(s, dir)
+      m.weights.select(col("token"), col("c1"), col("c0"),
+        floor(col("w") * 10000.0 + 0.5).cast("long").as("w4"))
+    }),
+
+
+    // ── LLM-pipeline: Naive Bayes scoring (weight-table join) ───────
+    // Per-doc log-odds via the LEFT join against the vocab-sized
+    // weight table + one partial-agg sum — the no-plan-literal-
+    // ceiling scoring shape (a 100M-token vocab works where an array
+    // literal would not). `pred` derives from the QUANTIZED score.
+    "q_nb_score" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      NaiveBayes.scoreLogOdds(docs, "doc_id", "text", nbModel(s, dir))
+        .select(col("doc_id"),
+          floor(col("logOdds") * 10000.0 + 0.5).cast("long").as("score4"))
+        .withColumn("pred", col("score4") > 0)
+    }),
+
+
     // ── LLM-pipeline: per-doc n-gram novelty (3-token grams) ────────
     // "How much genuinely new text does this doc contribute" — the
     // up-weighting signal dual to contamination's overlap direction.
@@ -508,6 +536,50 @@ private[graft] object EntryVector {
       Classifier.standardizeColumn(col("features"), st).as("z"), col("y"))
     (z, Classifier.trainLogReg(z, "z", "y", iters = 8, lr = 1.0))
   }
+
+  /** Shared trainer for q_nb_train / q_nb_score: multinomial NB with
+    * alpha=1 on the q_lr_train label (exact integer predicate —
+    * bit-identical on both engines). */
+  private def nbModel(s: SparkSession, dir: String): NaiveBayes.NBModel = {
+    val docs = Tables(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    def cnt(t: String) = size(filter(toks, e => e === lit(t)))
+    NaiveBayes.trainMultinomial(
+      docs.select(col("doc_id"), col("text"),
+        ((cnt("join") + cnt("key")) > (cnt("the") + cnt("a")))
+          .cast("int").as("y")),
+      "doc_id", "text", "y", alpha = 1.0)
+  }
+
+  /** The NB count/label chain shared by both q_nb oracle rows:
+    * per-(doc, token) tf, the exact label, per-token class counts,
+    * and the smoothing totals. The w formula's association matches
+    * the Spark side exactly: (ln(c1+α) − ln(T1+αV)) − (ln(c0+α) −
+    * ln(T0+αV)) — FP subtraction is not associative, and the 1e-4
+    * grid only absorbs noise if both engines run the SAME expression
+    * tree. */
+  private val sqlNbChain: String =
+    """ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |lab AS MATERIALIZED (SELECT doc_id,
+      |        CAST(len(list_filter(toks, e -> e = 'join'))
+      |             + len(list_filter(toks, e -> e = 'key'))
+      |           > len(list_filter(toks, e -> e = 'the'))
+      |             + len(list_filter(toks, e -> e = 'a')) AS INTEGER) AS y
+      |      FROM ts),
+      |tfc AS MATERIALIZED (SELECT doc_id, token, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(toks) AS token FROM ts)
+      |       GROUP BY 1, 2),
+      |pt AS MATERIALIZED (SELECT token,
+      |        sum(CASE WHEN l.y = 1 THEN tf ELSE 0 END) AS c1,
+      |        sum(CASE WHEN l.y = 0 THEN tf ELSE 0 END) AS c0
+      |      FROM tfc JOIN lab l USING (doc_id) GROUP BY token),
+      |tot AS MATERIALIZED (SELECT CAST(sum(c1) AS DOUBLE) AS t1,
+      |        CAST(sum(c0) AS DOUBLE) AS t0,
+      |        CAST(count(*) AS DOUBLE) AS v FROM pt),
+      |wt AS MATERIALIZED (SELECT token, c1, c0,
+      |        (ln(CAST(c1 AS DOUBLE) + 1.0) - ln(t1 + 1.0 * v))
+      |      - (ln(CAST(c0 AS DOUBLE) + 1.0) - ln(t0 + 1.0 * v)) AS w
+      |      FROM pt, tot)""".stripMargin
 
   /** The q_lr_train chain unrolled for DuckDB: hashed signed-md5
     * features (q_feat_hash's scheme, densified over a 64-position
@@ -1074,6 +1146,31 @@ private[graft] object EntryVector {
          |SELECT doc_id, CAST(floor(p * 10000 + 0.5) AS BIGINT) AS score4,
          |       CAST(floor(p * 10000 + 0.5) AS BIGINT) >= 5000 AS admitted
          |FROM mf""".stripMargin,
+
+
+    // One-pass multinomial NB: exact per-token class counts + the
+    // add-1 log-odds on the 1e-4 grid (association matched to the
+    // Spark expression tree — see sqlNbChain).
+    "q_nb_train" ->
+      s"""WITH $sqlNbChain
+         |SELECT token, CAST(c1 AS BIGINT) AS c1, CAST(c0 AS BIGINT) AS c0,
+         |       CAST(floor(w * 10000 + 0.5) AS BIGINT) AS w4
+         |FROM wt""".stripMargin,
+
+
+    // Per-doc NB log-odds + prior; `pred` derives from the quantized
+    // score, never the raw double.
+    "q_nb_score" ->
+      s"""WITH $sqlNbChain,
+         |pri AS (SELECT ln(CAST(sum(y) AS DOUBLE))
+         |             - ln(CAST(sum(1 - y) AS DOUBLE)) AS bias FROM lab),
+         |sc AS (SELECT tfc.doc_id,
+         |         sum(tfc.tf * wt.w) + (SELECT bias FROM pri) AS s
+         |       FROM tfc JOIN wt USING (token) GROUP BY tfc.doc_id)
+         |SELECT doc_id,
+         |       CAST(floor(s * 10000 + 0.5) AS BIGINT) AS score4,
+         |       CAST(floor(s * 10000 + 0.5) AS BIGINT) > 0 AS pred
+         |FROM sc""".stripMargin,
 
 
     // Confusion at the 0.5 threshold + tie-corrected Mann-Whitney AUC

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes for binary text classification — the
+  * one-pass count-based trainer that complements `Classifier`'s
+  * iterative GD logistic regression (the other classic corpus-filter
+  * model, cf. the fastText/CCNet quality-classifier family).
+  *
+  * Training is ONE aggregation pass: per-(token, class) term counts,
+  * reduced to per-token binary log-odds under add-α (Laplace)
+  * smoothing:
+  *
+  *   w(t)  = ln(c₁(t)+α) − ln(T₁+αV) − ln(c₀(t)+α) + ln(T₀+αV)
+  *   bias  = ln(n₁) − ln(n₀)                       (doc-count prior)
+  *   oovW  = ln(T₀+αV) − ln(T₁+αV)                 (both counts 0)
+  *
+  * with c_c(t) = occurrences of t in class c, T_c = total tokens in
+  * class c, V = training vocabulary size, n_c = docs in class c.
+  * A document's log-odds score is Σ_t tf(t)·w(t) + oovW·tf(oov) +
+  * bias; positive means class 1.
+  *
+  * 100 TB posture — deliberately the OTHER shape from `Classifier`:
+  *  - the model is a vocab-sized TABLE, not driver state: training is
+  *    one `groupBy(token)` partial-agg shuffle whose output is V rows,
+  *    and the driver holds exactly four scalars (T₁, T₀, V, bias);
+  *  - scoring joins the per-(doc, token) tf relation against the
+  *    weight table — broadcast when the vocabulary fits (the common
+  *    case; Spark's auto-broadcast threshold decides), a plain token
+  *    equi-join otherwise — then one partial-agg per-doc sum. No
+  *    plan-literal ceiling: a 100M-token vocabulary works where an
+  *    array literal would not;
+  *  - out-of-vocabulary tokens at scoring time take the smoothed
+  *    zero-count odds `oovW` via a LEFT join + coalesce, so serving
+  *    a corpus the model never saw is total, not an error.
+  *
+  * All counts are exact integers; the log arithmetic is continuous
+  * (no ordering/tie decisions), which is the contract that lets
+  * oracle rows compare on a quantized grid. */
+object NaiveBayes {
+
+  /** Trained model: `weights` = (token, c1, c0, w) — per-token class
+    * counts and binary log-odds; scalars are the four driver-held
+    * values. `alpha` and the totals travel with the model so scoring
+    * is self-contained. */
+  final case class NBModel(weights: DataFrame, bias: Double, oovW: Double,
+                           vocabSize: Long, alpha: Double)
+
+  /** Per-(doc, token) term frequencies from a whitespace-tokenized
+    * text column — the shared front half of train and score. One
+    * narrow explode + one partial-agg groupBy. */
+  def termFreqs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** One-pass trainer. `labelCol` must be 0/1 (checked against the
+    * collected doc counts: a third value would make n0+n1 disagree
+    * with the total). Returns the weight table un-materialized; the
+    * caller decides caching (scoring both classes of query against
+    * one model should `.cache()` it). */
+  def trainMultinomial(df: DataFrame, idCol: String, textCol: String,
+                       labelCol: String, alpha: Double = 1.0): NBModel = {
+    require(alpha > 0.0 && alpha.isFinite, s"alpha must be positive, got $alpha")
+    val y = col(labelCol).cast("int")
+    val docCounts = df.groupBy(y.as("y")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(docCounts.keySet.subsetOf(Set(0, 1)),
+      s"labels must be 0/1, saw classes ${docCounts.keySet.toSeq.sorted.mkString(",")}")
+    val (n1, n0) = (docCounts.getOrElse(1, 0L), docCounts.getOrElse(0, 0L))
+    require(n1 > 0 && n0 > 0,
+      s"both classes must be present to train: n1=$n1 n0=$n0")
+
+    val tf = termFreqs(df, idCol, textCol)
+      .join(df.select(col(idCol), y.as("__y")), Seq(idCol))
+    // ONE shuffle to vocab-sized output: per-token counts in each class
+    val perToken = tf.groupBy(col("token"))
+      .agg(sum(when(col("__y") === 1, col("tf")).otherwise(0L)).as("c1"),
+        sum(when(col("__y") === 0, col("tf")).otherwise(0L)).as("c0"))
+      .localCheckpoint() // pin: totals job + weight plan see one scan
+    val totals = perToken.agg(sum("c1"), sum("c0"), count(lit(1))).head()
+    val (t1, t0, v) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    val (d1, d0) = (t1 + alpha * v, t0 + alpha * v)
+    val weights = perToken.withColumn("w",
+      log(col("c1") + alpha) - log(lit(d1))
+        - (log(col("c0") + alpha) - log(lit(d0))))
+    NBModel(weights, bias = math.log(n1.toDouble) - math.log(n0.toDouble),
+      oovW = math.log(d0) - math.log(d1), vocabSize = v, alpha = alpha)
+  }
+
+  /** Per-doc binary log-odds: Σ tf·w over the weight-table join
+    * (LEFT, so unseen tokens take the smoothed `oovW`), plus the
+    * prior. Output: (idCol, logOdds). Positive ⇒ class 1. */
+  def scoreLogOdds(df: DataFrame, idCol: String, textCol: String,
+                   model: NBModel): DataFrame =
+    termFreqs(df, idCol, textCol)
+      .join(model.weights.select(col("token"), col("w")), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg((sum(col("tf") * coalesce(col("w"), lit(model.oovW)))
+        + lit(model.bias)).as("logOdds"))
+}

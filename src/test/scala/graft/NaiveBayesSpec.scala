@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.NaiveBayes
+
+/** Multinomial NB: exact count parity, smoothed log-odds replay, OOV
+  * handling, loud guards, plan shape. */
+class NaiveBayesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 4 docs, vocab {spam ham eggs}: class 1 says "spam", class 0 says
+  // "ham" — hand-countable everything.
+  private lazy val toy = Seq(
+    (1L, "spam spam eggs", 1),
+    (2L, "spam", 1),
+    (3L, "ham ham eggs", 0),
+    (4L, "ham eggs", 0)
+  ).toDF("id", "text", "y")
+
+  test("trainMultinomial: per-token class counts and totals are exact") {
+    val m = NaiveBayes.trainMultinomial(toy, "id", "text", "y")
+    val w = m.weights.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(w == Map("spam" -> ((3L, 0L)), "ham" -> ((0L, 3L)),
+      "eggs" -> ((1L, 2L))))
+    assert(m.vocabSize == 3L)
+    assert(m.bias == 0.0) // 2 docs each side: ln(2) - ln(2)
+  }
+
+  test("log-odds match a driver-side replay of the smoothed formula") {
+    val m = NaiveBayes.trainMultinomial(toy, "id", "text", "y", alpha = 1.0)
+    // T1 = 4 tokens in class 1, T0 = 5 in class 0, V = 3
+    val (d1, d0) = (4.0 + 3.0, 5.0 + 3.0)
+    def expW(c1: Long, c0: Long): Double =
+      (math.log(c1 + 1.0) - math.log(d1)) - (math.log(c0 + 1.0) - math.log(d0))
+    val got = m.weights.collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(got("spam") - expW(3, 0)) < 1e-12)
+    assert(math.abs(got("eggs") - expW(1, 2)) < 1e-12)
+    assert(math.abs(m.oovW - (math.log(d0) - math.log(d1))) < 1e-12)
+  }
+
+  test("scoreLogOdds separates the training fixture; OOV takes oovW") {
+    val m = NaiveBayes.trainMultinomial(toy, "id", "text", "y")
+    val scores = NaiveBayes.scoreLogOdds(toy, "id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > 0 && scores(2L) > 0, s"class-1 docs must score > 0: $scores")
+    assert(scores(3L) < 0 && scores(4L) < 0, s"class-0 docs must score < 0: $scores")
+    // a doc of ONLY unseen tokens scores exactly 2*oovW + bias
+    val held = Seq((9L, "unseen tokens")).toDF("id", "text")
+    val s9 = NaiveBayes.scoreLogOdds(held, "id", "text", m).head().getDouble(1)
+    assert(math.abs(s9 - (2.0 * m.oovW + m.bias)) < 1e-12,
+      s"OOV-only doc: $s9 vs ${2.0 * m.oovW + m.bias}")
+  }
+
+  test("guards: single-class, non-binary labels, bad alpha fail loudly") {
+    intercept[IllegalArgumentException] {
+      NaiveBayes.trainMultinomial(toy.filter(col("y") === 1), "id", "text", "y")
+    }
+    intercept[IllegalArgumentException] {
+      NaiveBayes.trainMultinomial(
+        toy.withColumn("y", col("y") * 2), "id", "text", "y")
+    }
+    intercept[IllegalArgumentException] {
+      NaiveBayes.trainMultinomial(toy, "id", "text", "y", alpha = 0.0)
+    }
+  }
+
+  test("plan shape: tf and per-token passes partial-aggregate; scoring join is not a cartesian") {
+    val tfPlan = NaiveBayes.termFreqs(toy, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(tfPlan.contains("partial_"),
+      s"termFreqs must map-side combine before the exchange:\n$tfPlan")
+    val m = NaiveBayes.trainMultinomial(toy, "id", "text", "y")
+    val scorePlan = NaiveBayes.scoreLogOdds(toy, "id", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!scorePlan.contains("CartesianProduct")
+      && !scorePlan.contains("BroadcastNestedLoopJoin"),
+      s"scoring must stay an equi-join:\n$scorePlan")
+  }
+}
