@@ -464,6 +464,31 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: held-out classifier evaluation (no leakage) ───
+    // The full supervised workflow: contamination-safe 80/20 split
+    // (`Sampling.trainTestSplit` — the exact md5-unit predicate the
+    // oracle replays), standardizer FIT ON TRAIN ONLY, 8 GD
+    // iterations over train, then confusion + AUC on the unseen test
+    // side. The honest generalization number beside q_lr_eval's
+    // in-sample one.
+    "q_lr_holdout" -> ((s, dir) => {
+      val sp = Sampling.trainTestSplit(lrLabeled(s, dir), "doc_id", 0.2)
+      val train = sp.filter(col("split") === "train")
+      val st = Classifier.fitStandardizer(train, "features")
+      def z(df: DataFrame) = df.select(col("doc_id"),
+        Classifier.standardizeColumn(col("features"), st).as("z"), col("y"))
+      val m = Classifier.trainLogReg(z(train), "z", "y", iters = 8, lr = 1.0)
+      val sc = Classifier.scoreLogReg(
+          z(sp.filter(col("split") === "test")), "z", m, "score")
+        .select(col("y"),
+          floor(col("score") * 10000.0 + 0.5).cast("long").as("s4"))
+      Classifier.confusion(sc.withColumn("pred", col("s4") >= 5000), "y", "pred")
+        .crossJoin(Classifier.rocAucParts(sc, "y", "s4"))
+        .select(col("tp"), col("fp"), col("tn"), col("fn"),
+          expr("(auc_num * 1000000) div auc_den").as("auc6"))
+    }),
+
+
     // ── LLM-pipeline: Naive Bayes trainer (one-pass, count-based) ───
     // The OTHER classic corpus-filter model: multinomial NB with
     // add-1 smoothing on the same exact-integer label as q_lr_train.
@@ -515,22 +540,28 @@ private[graft] object EntryVector {
     }),
   )
 
-  /** Shared pipeline for q_lr_train / q_lr_score: hashed features
-    * (dim 64) + exact token-composition label → z-score → 8 GD
-    * iterations at lr 1.0. Returns the standardized feature table
-    * (doc_id, z, y) and the trained model. The label predicate is
-    * exact integer arithmetic on token counts so both engines agree
-    * bit-for-bit on y. */
-  private def lrModel(s: SparkSession, dir: String)
-      : (DataFrame, Classifier.LogRegModel) = {
+  /** Hashed features (dim 64) + the exact token-composition label
+    * shared by every classifier row: the predicate is exact integer
+    * arithmetic on token counts, so both engines agree bit-for-bit
+    * on y and the trainers must REDISCOVER it through the 64 signed
+    * hash buckets. */
+  private def lrLabeled(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val toks = split(col("text"), " ")
     def cnt(t: String) =
       size(filter(toks, e => e === lit(t)))
-    val labeled = Classifier.hashedFeatures(docs, "doc_id", "text", dim = 64)
+    Classifier.hashedFeatures(docs, "doc_id", "text", dim = 64)
       .join(docs.select(col("doc_id"),
         ((cnt("join") + cnt("key")) > (cnt("the") + cnt("a")))
           .cast("int").as("y")), Seq("doc_id"))
+  }
+
+  /** Shared pipeline for q_lr_train / q_lr_score: labeled features →
+    * z-score → 8 GD iterations at lr 1.0. Returns the standardized
+    * feature table (doc_id, z, y) and the trained model. */
+  private def lrModel(s: SparkSession, dir: String)
+      : (DataFrame, Classifier.LogRegModel) = {
+    val labeled = lrLabeled(s, dir)
     val st = Classifier.fitStandardizer(labeled, "features")
     val z = labeled.select(col("doc_id"),
       Classifier.standardizeColumn(col("features"), st).as("z"), col("y"))
@@ -587,22 +618,44 @@ private[graft] object EntryVector {
     * dims → 1), then 8 unrolled full-batch GD iterations at lr 1.0 —
     * the same σ form, the same update arithmetic (·1.0 is exact).
     * Every intermediate is MATERIALIZED: the chain is a DAG, and
-    * un-materialized CTE inlining re-evaluates it exponentially. */
-  private val sqlLrChain: String = {
+    * un-materialized CTE inlining re-evaluates it exponentially.
+    *
+    * With `holdout = true` the chain becomes the leakage-free
+    * supervised workflow: an `spl` CTE replays
+    * `Sampling.trainTestSplit` (md5-unit hash < 0.2 ⇒ test), the
+    * standardizer is fit on TRAIN rows only, and every GD pass
+    * averages over `xt` (the train slice of the standardized table) —
+    * the full table `x` stays available for scoring the test side. */
+  private def sqlLrChainFor(holdout: Boolean): String = {
+    val trainRel = if (holdout) "xt" else "x"
     val iters = (1 to 8).map { r =>
       s"""m$r AS MATERIALIZED (SELECT x.doc_id, max(x.y) AS y,
          |  1.0/(1.0 + exp(-(sum(w.w * x.v) + (SELECT b FROM b${r - 1})))) AS p
-         |  FROM x JOIN w${r - 1} w USING (pos) GROUP BY x.doc_id),
+         |  FROM $trainRel x JOIN w${r - 1} w USING (pos) GROUP BY x.doc_id),
          |g$r AS MATERIALIZED (SELECT x.pos, avg((m.p - m.y) * x.v) AS g
-         |  FROM m$r m JOIN x USING (doc_id) GROUP BY x.pos),
+         |  FROM m$r m JOIN $trainRel x USING (doc_id) GROUP BY x.pos),
          |w$r AS MATERIALIZED (SELECT w.pos, w.w - 1.0 * g.g AS w
          |  FROM w${r - 1} w JOIN g$r g USING (pos)),
          |b$r AS MATERIALIZED (SELECT (SELECT b FROM b${r - 1})
          |  - 1.0 * (SELECT avg(p - y) FROM m$r) AS b)""".stripMargin
     }.mkString(",\n")
+    val spl = if (!holdout) "" else
+      """spl AS MATERIALIZED (SELECT doc_id,
+        |        CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |                  AS BIGINT) / 4294967296.0 < 0.2
+        |             THEN 'test' ELSE 'train' END AS split
+        |      FROM documents),
+        |""".stripMargin
+    val stFrom = if (holdout)
+      "FROM raw, spl WHERE raw.doc_id = spl.doc_id AND spl.split = 'train'"
+    else "FROM raw"
+    val xt = if (!holdout) "" else
+      """xt AS MATERIALIZED (SELECT x.doc_id, x.pos, x.v, x.y
+        |     FROM x, spl WHERE x.doc_id = spl.doc_id AND spl.split = 'train'),
+        |""".stripMargin
     s"""WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
        |           FROM documents),
-       |sgn AS (SELECT doc_id,
+       |${spl}sgn AS (SELECT doc_id,
        |             CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 64 AS pos,
        |             1 - 2 * (CAST(concat('0x', substr(h, 9, 1)) AS BIGINT) % 2) AS sign
        |      FROM tok),
@@ -621,15 +674,41 @@ private[graft] object EntryVector {
        |         CASE WHEN sqrt(greatest(avg(v*v) - avg(v)*avg(v), 0.0)) > 0.0
        |              THEN sqrt(greatest(avg(v*v) - avg(v)*avg(v), 0.0))
        |              ELSE 1.0 END AS sd
-       |      FROM raw GROUP BY pos),
+       |      $stFrom GROUP BY pos),
        |x AS MATERIALIZED (SELECT raw.doc_id, raw.pos,
        |       (raw.v - st.mu) / st.sd AS v, raw.y
        |     FROM raw JOIN st USING (pos)),
-       |w0 AS MATERIALIZED (SELECT CAST(unnest(range(64)) AS INTEGER) AS pos,
+       |${xt}w0 AS MATERIALIZED (SELECT CAST(unnest(range(64)) AS INTEGER) AS pos,
        |       0.0 AS w),
        |b0 AS MATERIALIZED (SELECT 0.0 AS b),
        |$iters""".stripMargin
   }
+
+  private val sqlLrChain: String = sqlLrChainFor(holdout = false)
+
+  /** Confusion + tie-corrected AUC over a `(doc_id, y, s4)` relation
+    * `scDef` — the shared tail of q_lr_eval / q_lr_holdout. `//`
+    * replays Spark's integral `div` (both operands nonnegative, so
+    * truncation direction cannot differ). */
+  private def sqlEvalTail(scDef: String): String =
+    s"""sc AS MATERIALIZED ($scDef),
+       |conf AS (SELECT
+       |    sum(CASE WHEN s4 >= 5000 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+       |    sum(CASE WHEN s4 >= 5000 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+       |    sum(CASE WHEN s4 < 5000 AND y = 0 THEN 1 ELSE 0 END) AS tn,
+       |    sum(CASE WHEN s4 < 5000 AND y = 1 THEN 1 ELSE 0 END) AS fn
+       |  FROM sc),
+       |per AS (SELECT s4, count(*) AS c, sum(y) AS p FROM sc GROUP BY s4),
+       |cum AS (SELECT c, p,
+       |    sum(c) OVER (ORDER BY s4 ROWS UNBOUNDED PRECEDING) - c AS cb
+       |  FROM per),
+       |ag AS (SELECT sum(p * (2 * cb + c + 1)) AS r2, sum(p) AS pp,
+       |    sum(c) AS n FROM cum)
+       |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |       CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+       |       CAST(((r2 - pp * (pp + 1)) * 1000000)
+       |         // (2 * pp * (n - pp)) AS BIGINT) AS auc6
+       |FROM conf, ag""".stripMargin
 
   /** q_ivf_topk's replay, shared with q_ivf_refresh (same probes,
     * cents, nprobe, k — the maintained index must serve the same
@@ -1174,32 +1253,29 @@ private[graft] object EntryVector {
 
 
     // Confusion at the 0.5 threshold + tie-corrected Mann-Whitney AUC
-    // from integer rank sums over the quantized score; `//` replays
-    // Spark's integral `div` (both operands nonnegative here, so
-    // truncation direction cannot differ).
+    // from integer rank sums over the quantized score (sqlEvalTail).
     "q_lr_eval" ->
       s"""$sqlLrChain,
-         |sc AS MATERIALIZED (SELECT x.doc_id, max(x.y) AS y,
-         |       CAST(floor((1.0/(1.0 + exp(-(sum(w.w * x.v)
-         |         + (SELECT b FROM b8))))) * 10000 + 0.5) AS BIGINT) AS s4
-         |     FROM x JOIN w8 w USING (pos) GROUP BY x.doc_id),
-         |conf AS (SELECT
-         |    sum(CASE WHEN s4 >= 5000 AND y = 1 THEN 1 ELSE 0 END) AS tp,
-         |    sum(CASE WHEN s4 >= 5000 AND y = 0 THEN 1 ELSE 0 END) AS fp,
-         |    sum(CASE WHEN s4 < 5000 AND y = 0 THEN 1 ELSE 0 END) AS tn,
-         |    sum(CASE WHEN s4 < 5000 AND y = 1 THEN 1 ELSE 0 END) AS fn
-         |  FROM sc),
-         |per AS (SELECT s4, count(*) AS c, sum(y) AS p FROM sc GROUP BY s4),
-         |cum AS (SELECT c, p,
-         |    sum(c) OVER (ORDER BY s4 ROWS UNBOUNDED PRECEDING) - c AS cb
-         |  FROM per),
-         |ag AS (SELECT sum(p * (2 * cb + c + 1)) AS r2, sum(p) AS pp,
-         |    sum(c) AS n FROM cum)
-         |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
-         |       CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
-         |       CAST(((r2 - pp * (pp + 1)) * 1000000)
-         |         // (2 * pp * (n - pp)) AS BIGINT) AS auc6
-         |FROM conf, ag""".stripMargin,
+         |${sqlEvalTail(
+        """SELECT x.doc_id, max(x.y) AS y,
+          |       CAST(floor((1.0/(1.0 + exp(-(sum(w.w * x.v)
+          |         + (SELECT b FROM b8))))) * 10000 + 0.5) AS BIGINT) AS s4
+          |     FROM x JOIN w8 w USING (pos) GROUP BY x.doc_id""".stripMargin)}""".stripMargin,
+
+
+    // The leakage-free supervised workflow end to end: split → fit
+    // standardizer on train → 8 GD iterations on train → score and
+    // evaluate the UNSEEN test side (confusion + AUC, sqlEvalTail).
+    "q_lr_holdout" ->
+      s"""${sqlLrChainFor(holdout = true)},
+         |${sqlEvalTail(
+        """SELECT x.doc_id, max(x.y) AS y,
+          |       CAST(floor((1.0/(1.0 + exp(-(sum(w.w * x.v)
+          |         + (SELECT b FROM b8))))) * 10000 + 0.5) AS BIGINT) AS s4
+          |     FROM x, spl, w8 w
+          |     WHERE x.doc_id = spl.doc_id AND spl.split = 'test'
+          |       AND x.pos = w.pos
+          |     GROUP BY x.doc_id""".stripMargin)}""".stripMargin,
 
 
     "q_novelty" ->
