@@ -464,6 +464,21 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: classifier calibration (reliability bins) ─────
+    // Ten score-decile bins over the quantized q_lr_score output,
+    // each an exact-integer triple (n, positives, score-sum) — the
+    // audit that says whether σ-scores can be thresholded as
+    // probabilities (the CCNet-style pipelines cut on calibrated
+    // quality scores). Pure integer arithmetic end to end.
+    "q_lr_calibration" -> ((s, dir) => {
+      val (z, m) = lrModel(s, dir)
+      val sc = Classifier.scoreLogReg(z, "z", m, "score")
+        .select(col("y"),
+          floor(col("score") * 10000.0 + 0.5).cast("long").as("s4"))
+      Classifier.calibrationBins(sc, "y", "s4", binWidth = 1000L, numBins = 10)
+    }),
+
+
     // ── LLM-pipeline: held-out classifier evaluation (no leakage) ───
     // The full supervised workflow: contamination-safe 80/20 split
     // (`Sampling.trainTestSplit` — the exact md5-unit predicate the
@@ -1261,6 +1276,21 @@ private[graft] object EntryVector {
           |       CAST(floor((1.0/(1.0 + exp(-(sum(w.w * x.v)
           |         + (SELECT b FROM b8))))) * 10000 + 0.5) AS BIGINT) AS s4
           |     FROM x JOIN w8 w USING (pos) GROUP BY x.doc_id""".stripMargin)}""".stripMargin,
+
+
+    // Ten reliability bins over the quantized score, exact integers
+    // only; `//` replays Spark's integral div on nonnegative scores.
+    "q_lr_calibration" ->
+      s"""$sqlLrChain,
+         |sc AS MATERIALIZED (SELECT x.doc_id, max(x.y) AS y,
+         |       CAST(floor((1.0/(1.0 + exp(-(sum(w.w * x.v)
+         |         + (SELECT b FROM b8))))) * 10000 + 0.5) AS BIGINT) AS s4
+         |     FROM x JOIN w8 w USING (pos) GROUP BY x.doc_id)
+         |SELECT CAST(least(s4 // 1000, 9) AS INTEGER) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(y) AS BIGINT) AS pos,
+         |       CAST(sum(s4) AS BIGINT) AS scoreSum
+         |FROM sc GROUP BY 1""".stripMargin,
 
 
     // The leakage-free supervised workflow end to end: split → fit

@@ -212,6 +212,26 @@ object Classifier {
         (lit(2) * col("__P") * (col("__n") - col("__P"))).as("auc_den"))
   }
 
+  /** Reliability (calibration) bins over a QUANTIZED integer score
+    * column: bin k covers scores [k·binWidth, (k+1)·binWidth), the
+    * top edge clamped into the last bin, and each bin reports exact
+    * integers only — row count, positive count, and the score sum
+    * (observed rate = pos/n and mean predicted score = scoreSum/
+    * (n·grid) are left to the caller, keeping the result
+    * engine-exact). One partial-agg groupBy; output is ≤ numBins
+    * rows regardless of corpus size. Integral `div` keeps the bin
+    * arithmetic out of FP. */
+  def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
+                      binWidth: Long, numBins: Int): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    require(numBins >= 1, s"numBins must be >= 1, got $numBins")
+    df.groupBy(least(expr(s"$scoreCol div $binWidth"), lit(numBins - 1L))
+        .cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("pos"),
+        sum(col(scoreCol)).as("scoreSum"))
+  }
+
   /** Vocabulary-free dense features for text: the hashing trick
     * (`TextAnalysis.featureHash`, signed md5 buckets) densified to a
     * fixed-width `array<double>`. Rows whose text produced no tokens

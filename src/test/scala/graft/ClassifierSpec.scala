@@ -124,6 +124,22 @@ class ClassifierSpec extends AnyFunSuite {
     assert(num.toDouble / den == brute, s"$num/$den vs brute $brute")
   }
 
+  test("calibrationBins: exact counts, top edge clamps into the last bin") {
+    val df = Seq(
+      (1, 50L), (0, 999L),   // bin 0
+      (1, 8500L),            // bin 8
+      (1, 9999L), (1, 10000L) // bin 9 (10000 clamps)
+    ).toDF("y", "s4")
+    val bins = Classifier.calibrationBins(df, "y", "s4", 1000L, 10)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(bins == Map(0 -> ((2L, 1L, 1049L)), 8 -> ((1L, 1L, 8500L)),
+      9 -> ((2L, 2L, 19999L))))
+    intercept[IllegalArgumentException] {
+      Classifier.calibrationBins(df, "y", "s4", 0L, 10)
+    }
+  }
+
   test("rocAucParts: a single-class input surfaces auc_den = 0 in-band") {
     val onlyPos = Seq((1, 5L), (1, 3L)).toDF("y", "s")
     val r = Classifier.rocAucParts(onlyPos, "y", "s").head()
