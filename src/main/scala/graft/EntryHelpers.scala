@@ -74,12 +74,32 @@ private[graft] object EntryHelpers {
     "q_ppr", "q_comp_sizes", "q_closeness")
   val bpeFixtureQueries: Set[String] = Set(
     "q_bpe_encode", "q_bpe_compression")
-  val sharedFixtureQueries: Set[String] = pairFixtureQueries ++ bpeFixtureQueries
+  // Trained-model fixtures: q_lr_train / q_nb_train / q_lr_holdout
+  // are deliberately NOT listed — they are the rows that time
+  // training. The name sets live HERE (not in EntryVector) because
+  // this val participates in object initialization: a val initializer
+  // reaching into EntryVector would force EntryVector's init while
+  // THIS object is mid-init, and EntryVector's oracle-SQL vals would
+  // capture this object's still-null sqlCents8/sqlProbes fragments
+  // (the EntryVector defs called in warmSharedFixtures below are
+  // runtime calls — safe).
+  val lrFixtureQueries: Set[String] =
+    Set("q_lr_score", "q_lr_eval", "q_lr_calibration")
+  val nbFixtureQueries: Set[String] = Set("q_nb_score")
+  val sharedFixtureQueries: Set[String] =
+    pairFixtureQueries ++ bpeFixtureQueries ++
+      lrFixtureQueries ++ nbFixtureQueries
 
   def warmSharedFixtures(s: SparkSession, dir: String,
                          selected: Set[String] = sharedFixtureQueries): Unit = {
     if (selected.exists(pairFixtureQueries)) { nearDupPairs05(s, dir); () }
     if (selected.exists(bpeFixtureQueries)) { bpeMerges6(s, dir); () }
+    if (selected.exists(lrFixtureQueries)) {
+      EntryVector.lrModelShared(s, dir); ()
+    }
+    if (selected.exists(nbFixtureQueries)) {
+      EntryVector.nbModelShared(s, dir); ()
+    }
   }
 
   /** Unique memory-sink names for the streaming queries (a query

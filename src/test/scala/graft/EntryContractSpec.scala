@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants over the full query/oracle maps —
+  * cheap string-level checks that catch wiring regressions before
+  * the (slow) external oracle gate does. */
+class EntryContractSpec extends AnyFunSuite {
+
+  // Touch EntryHelpers FIRST: its sharedFixtureQueries val once
+  // forced EntryVector's init mid-way through EntryHelpers' own init,
+  // baking this object's still-null SQL fragments into EntryVector's
+  // oracle strings. If this suite runs before any other entry-map
+  // consumer, this ordering reproduces that cycle; the null-token
+  // check below is the tripwire either way.
+  private val fixtures = EntryHelpers.sharedFixtureQueries
+
+  /** Rows gated on row-count only (no SQL-expressible oracle). */
+  private val rowsOnly = Set("q_hits_fast")
+
+  test("every query has an oracle (or is a declared rows-only twin)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == rowsOnly,
+      s"queries without oracle SQL: ${(missing -- rowsOnly).toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every oracle entry has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracle entries without a query: ${orphans.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("no oracle SQL carries a null-interpolated fragment") {
+    // a Scala `null` reaching string interpolation renders as the
+    // lowercase token `null`; the SQL itself only ever uses NULL —
+    // an object-initialization cycle between the entry objects
+    // produced exactly this (14 ANN rows failed the sf0.1 gate with
+    // `syntax error at or near "null"`)
+    val nullTok = "\\bnull\\b".r
+    val infected = SparkEntry.oracleSql.collect {
+      case (name, sql) if nullTok.findFirstIn(sql).isDefined => name
+    }
+    assert(infected.isEmpty,
+      s"oracle SQL with a lowercase null token (init-order cycle?): " +
+        s"${infected.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("oracle SQL is well-formed at the string level") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, s"$name: empty oracle SQL")
+      assert(sql.toUpperCase.contains("SELECT"), s"$name: no SELECT in oracle SQL")
+    }
+    assert(fixtures.subsetOf(SparkEntry.queries.keySet),
+      "warmable fixture names must all be real queries")
+  }
+}
