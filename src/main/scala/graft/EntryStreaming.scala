@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ClusterMetrics, Curation, Dedup, Events, Graph, KMeans, Multimodal, PCA, Sampling, Similarity, Skew, TemporalJoins, TextAnalysis, Tokenizer}
+import graft.operators.{Classifier, ClusterMetrics, Curation, Dedup, Events, Graph, KMeans, Multimodal, PCA, Sampling, Similarity, Skew, TemporalJoins, TextAnalysis, Tokenizer}
 import graft.functions.VectorOps
 import graft.sources.GeneIO
 import graft.streaming.{DedupStream, EventStream}
@@ -164,6 +164,44 @@ private[graft] object EntryStreaming {
         .capPerKey(source.toDF(), "source", n = 10, orderCol = Some("doc_id"))
         .select(col("doc_id"), col("source"))
         .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try arrivals.grouped(perBatch).foreach { b =>
+        source.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+    }),
+
+
+    // ── streaming: model-based admission filter, driver-gated ───────
+    // Online corpus filtering with the TRAINED quality classifier
+    // (q_lr_train's model, shared fixture): arriving docs are scored
+    // and admitted inside one stateless map — rowwise hashed features
+    // (`Classifier.hashedFeaturesRowwise`, bit-equal to the batch
+    // builder: integer ±1 bucket sums), standardizer and weights as
+    // plan literals, quantized admission predicate. Zero state, zero
+    // shuffle, append mode: batch boundaries cannot perturb the
+    // admitted set, so the oracle is the batch chain's scores
+    // filtered to the arriving slice. THE production shape for
+    // filter-at-ingest at any scale.
+    "q_stream_score" -> ((s, dir) => withStreamRigConf(s) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val (_, st, m) = EntryVector.lrModelShared(s, dir)
+      val arrivals = docFeed(s, dir).filter(_._1 % 4 == 0)
+        .map { case (id, text, source, _) => StreamDoc(id, text, source) }
+      val perBatch = math.max(1, (arrivals.length + 2) / 3)
+      val source = MemoryStream[StreamDoc]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val scored = source.toDF().select(col("doc_id"),
+          Classifier.scoreColumn(
+            Classifier.standardizeColumn(
+              Classifier.hashedFeaturesRowwise(col("text"), dim = 64), st), m)
+            .as("score"))
+        .select(col("doc_id"),
+          floor(col("score") * 10000.0 + 0.5).cast("long").as("score4"))
+        .filter(col("score4") >= 5000)
+      val q = scored.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
       try arrivals.grouped(perBatch).foreach { b =>
         source.addData(b.toSeq); q.processAllAvailable()
       } finally q.stop()
@@ -536,6 +574,21 @@ private[graft] object EntryStreaming {
         |             WHERE doc_id % 4 <> 0),
         |b AS (SELECT * FROM documents WHERE doc_id % 4 = 0)
         |SELECT doc_id, source FROM b ANTI JOIN idx ON md5(b.text) = idx.h""".stripMargin,
+
+
+    // the stateless streaming filter admits exactly the batch chain's
+    // >= 0.5 quantized scores over the arriving slice (EntryVector's
+    // full 8-iteration GD replay; rowwise features are integer-sum
+    // bit-equal to the batch builder)
+    "q_stream_score" ->
+      s"""${EntryVector.sqlLrChain},
+         |mf AS (SELECT x.doc_id,
+         |         1.0/(1.0 + exp(-(sum(w.w * x.v) + (SELECT b FROM b8)))) AS p
+         |       FROM x JOIN w8 w USING (pos) GROUP BY x.doc_id)
+         |SELECT doc_id, CAST(floor(p * 10000 + 0.5) AS BIGINT) AS score4
+         |FROM mf
+         |WHERE doc_id % 4 = 0
+         |  AND CAST(floor(p * 10000 + 0.5) AS BIGINT) >= 5000""".stripMargin,
 
 
     "q_stream_window" ->

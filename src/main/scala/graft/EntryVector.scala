@@ -419,7 +419,7 @@ private[graft] object EntryVector {
     // no ordering/tie decisions — so cross-engine noise is O(1e-12),
     // eight orders below the grid). pos 0..63 = weights, 64 = bias.
     "q_lr_train" -> ((s, dir) => {
-      val m = lrModel(s, dir)._2
+      val m = lrModel(s, dir)._3
       import s.implicits._
       def q4(x: Double): Long = math.floor(x * 10000.0 + 0.5).toLong
       (m.weights.toSeq.zipWithIndex.map { case (w, i) => (i, q4(w)) }
@@ -434,7 +434,7 @@ private[graft] object EntryVector {
     // flag is exactly reproducible. The scoring side is a zero-shuffle
     // map projection (weights are plan literals).
     "q_lr_score" -> ((s, dir) => {
-      val (z, m) = lrModelShared(s, dir)
+      val (z, _, m) = lrModelShared(s, dir)
       Classifier.scoreLogReg(z, "z", m, "score")
         .select(col("doc_id"),
           floor(col("score") * 10000.0 + 0.5).cast("long").as("score4"))
@@ -451,7 +451,7 @@ private[graft] object EntryVector {
     // input to the AUC arithmetic is an integer, division is
     // integral. One row out.
     "q_lr_eval" -> ((s, dir) => {
-      val (z, m) = lrModelShared(s, dir)
+      val (z, _, m) = lrModelShared(s, dir)
       val sc = Classifier.scoreLogReg(z, "z", m, "score")
         .select(col("y"),
           floor(col("score") * 10000.0 + 0.5).cast("long").as("s4"))
@@ -471,7 +471,7 @@ private[graft] object EntryVector {
     // probabilities (the CCNet-style pipelines cut on calibrated
     // quality scores). Pure integer arithmetic end to end.
     "q_lr_calibration" -> ((s, dir) => {
-      val (z, m) = lrModelShared(s, dir)
+      val (z, _, m) = lrModelShared(s, dir)
       val sc = Classifier.scoreLogReg(z, "z", m, "score")
         .select(col("y"),
           floor(col("score") * 10000.0 + 0.5).cast("long").as("s4"))
@@ -580,25 +580,26 @@ private[graft] object EntryVector {
     * training run inside every downstream timed region benches the
     * trainer, not the operator under test). */
   private def lrModel(s: SparkSession, dir: String)
-      : (DataFrame, Classifier.LogRegModel) = {
+      : (DataFrame, Classifier.Standardizer, Classifier.LogRegModel) = {
     val labeled = lrLabeled(s, dir)
     val st = Classifier.fitStandardizer(labeled, "features")
     val z = labeled.select(col("doc_id"),
       Classifier.standardizeColumn(col("features"), st).as("z"), col("y"))
-    (z, Classifier.trainLogReg(z, "z", "y", iters = 8, lr = 1.0))
+    (z, st, Classifier.trainLogReg(z, "z", "y", iters = 8, lr = 1.0))
   }
 
-  private val lrModelMemo =
-    scala.collection.mutable.Map.empty[String, (DataFrame, Classifier.LogRegModel)]
+  private val lrModelMemo = scala.collection.mutable.Map
+    .empty[String, (DataFrame, Classifier.Standardizer, Classifier.LogRegModel)]
   private[graft] def lrModelShared(s: SparkSession, dir: String)
-      : (DataFrame, Classifier.LogRegModel) = synchronized {
-    lrModelMemo.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir", {
-      val (z, m) = lrModel(s, dir)
-      val zp = z.persist()
-      zp.count() // materialize eagerly so no scoring row absorbs the build
-      (zp, m)
-    })
-  }
+      : (DataFrame, Classifier.Standardizer, Classifier.LogRegModel) =
+    synchronized {
+      lrModelMemo.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir", {
+        val (z, st, m) = lrModel(s, dir)
+        val zp = z.persist()
+        zp.count() // materialize eagerly so no scoring row absorbs the build
+        (zp, st, m)
+      })
+    }
 
   private val nbModelMemo =
     scala.collection.mutable.Map.empty[String, NaiveBayes.NBModel]
@@ -727,7 +728,11 @@ private[graft] object EntryVector {
        |$iters""".stripMargin
   }
 
-  private val sqlLrChain: String = sqlLrChainFor(holdout = false)
+  // private[graft]: EntryStreaming's q_stream_score oracle replays
+  // the same chain (acyclic reference — EntryStreaming → EntryVector
+  // → EntryHelpers; nothing points back, so object init is safe, and
+  // EntryContractSpec's null-token tripwire guards the invariant)
+  private[graft] val sqlLrChain: String = sqlLrChainFor(holdout = false)
 
   /** Confusion + tie-corrected AUC over a `(doc_id, y, s4)` relation
     * `scDef` — the shared tail of q_lr_eval / q_lr_holdout. `//`

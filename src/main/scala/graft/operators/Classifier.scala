@@ -249,4 +249,28 @@ object Classifier {
           i => coalesce(element_at(col("__m"), i), lit(0L)).cast("double"))
           .as("features"))
   }
+
+  /** Rowwise twin of `hashedFeatures`: the same signed-md5 bucket
+    * vector built entirely INSIDE one row (token fold per dimension —
+    * O(dim·tokens) per row, all codegen, no explode/groupBy/join).
+    * Bucket weights are exact integer sums of ±1, so the fold order
+    * cannot change the result: bit-equal to the shuffled builder
+    * (pinned in ClassifierSpec). This is the ONLINE shape — zero
+    * state, zero shuffle — that lets a Structured Streaming filter
+    * score arriving docs with a trained model as a pure map. */
+  def hashedFeaturesRowwise(text: Column, dim: Int = 64): Column = {
+    require(dim >= 2 && dim <= (1 << 20), s"dim must be in [2, 2^20], got $dim")
+    val perTok = transform(split(text, " "), t => {
+      val h = md5(t)
+      struct(
+        pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(dim.toLong))
+          .as("b"),
+        (lit(1L) - lit(2L) * pmod(conv(substring(h, 9, 1), 16, 10)
+          .cast("long"), lit(2L))).as("s"))
+    })
+    transform(sequence(lit(0L), lit(dim - 1L)), i =>
+      aggregate(perTok, lit(0L),
+        (acc, e) => acc + when(e("b") === i, e("s")).otherwise(0L))
+        .cast("double"))
+  }
 }

@@ -146,6 +146,28 @@ class ClassifierSpec extends AnyFunSuite {
     assert(r.getDecimal(1).longValueExact() == 0L)
   }
 
+  test("hashedFeaturesRowwise is bit-equal to the shuffled builder and plans as a pure map") {
+    val docs = Seq((1L, "join key the a key"), (2L, ""), (3L, "x y z x"),
+      (4L, "join join join"), (5L, "solo")).toDF("id", "text")
+    val batch = Classifier.hashedFeatures(docs, "id", "text", dim = 16)
+      .orderBy("id").collect().map(_.getSeq[Double](1))
+    val row = docs.select(col("id"),
+        Classifier.hashedFeaturesRowwise(col("text"), dim = 16).as("features"))
+      .orderBy("id").collect().map(_.getSeq[Double](1))
+    assert(batch.length == row.length)
+    batch.zip(row).foreach { case (b, r) =>
+      assert(b == r, s"rowwise features diverge: $b vs $r")
+    }
+    // the online-filter claim: scoring with rowwise features is one
+    // shuffle-free projection
+    val m = Classifier.LogRegModel(Array.fill(16)(0.1), 0.0, Nil)
+    val plan = docs.select(Classifier.scoreColumn(
+        Classifier.hashedFeaturesRowwise(col("text"), 16), m).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"rowwise scoring must be a zero-shuffle map:\n$plan")
+  }
+
   test("training plan: gradient is ONE partial-aggregated job, scoring is map-only") {
     // scoring adds no exchange: the model is a plan literal
     val m = Classifier.LogRegModel(Array(0.5, -0.25), 0.1, Nil)
