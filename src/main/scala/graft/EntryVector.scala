@@ -532,6 +532,57 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: persisted-model serving (train once, load,
+    // score) ────────────────────────────────────────────────────────
+    // The q_ivf_refresh pattern for the classifier: persist the
+    // trained model + standardizer as a versioned one-row parquet
+    // artifact, load it back (loud refusals on version/dim/finite
+    // drift), and serve the corpus THROUGH THE LOADED ARTIFACT.
+    // Doubles round-trip bit-exactly through parquet, so the oracle
+    // is q_lr_score's replay verbatim — any loss of fidelity in the
+    // save/load path would hash-mismatch.
+    "q_lr_persist" -> ((s, dir) => {
+      val (_, st, m) = lrModelShared(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lr_model_" +
+        Integer.toHexString(dir.hashCode)
+      Classifier.saveLogReg(s, path, st, m)
+      val (lst, lm) = Classifier.loadLogReg(s, path)
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"),
+          Classifier.scoreColumn(
+            Classifier.standardizeColumn(
+              Classifier.hashedFeaturesRowwise(col("text"), dim = 64), lst), lm)
+            .as("score"))
+        .select(col("doc_id"),
+          floor(col("score") * 10000.0 + 0.5).cast("long").as("score4"))
+        .withColumn("admitted", col("score4") >= 5000)
+    }),
+
+
+    // ── LLM-pipeline: NB evaluation (confusion + AUC) ───────────────
+    // The same exact-integer eval harness as q_lr_eval, over the NB
+    // log-odds scores (threshold 0 instead of σ's 0.5): confusion
+    // counts plus tie-corrected Mann-Whitney AUC from rank sums on
+    // the quantized grid — head-to-head model comparison is just two
+    // one-row reports sharing one metric definition.
+    "q_nb_eval" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      def cnt(t: String) = size(filter(toks, e => e === lit(t)))
+      val labeled = docs.select(col("doc_id"),
+        ((cnt("join") + cnt("key")) > (cnt("the") + cnt("a")))
+          .cast("int").as("y"))
+      val sc = NaiveBayes.scoreLogOdds(docs, "doc_id", "text", nbModelShared(s, dir))
+        .join(labeled, Seq("doc_id"))
+        .select(col("y"),
+          floor(col("logOdds") * 10000.0 + 0.5).cast("long").as("s4"))
+      Classifier.confusion(sc.withColumn("pred", col("s4") > 0), "y", "pred")
+        .crossJoin(Classifier.rocAucParts(sc, "y", "s4"))
+        .select(col("tp"), col("fp"), col("tn"), col("fn"),
+          expr("(auc_num * 1000000) div auc_den").as("auc6"))
+    }),
+
+
     // ── LLM-pipeline: per-doc n-gram novelty (3-token grams) ────────
     // "How much genuinely new text does this doc contribute" — the
     // up-weighting signal dual to contamination's overlap direction.
@@ -738,13 +789,14 @@ private[graft] object EntryVector {
     * `scDef` — the shared tail of q_lr_eval / q_lr_holdout. `//`
     * replays Spark's integral `div` (both operands nonnegative, so
     * truncation direction cannot differ). */
-  private def sqlEvalTail(scDef: String): String =
+  private def sqlEvalTail(scDef: String,
+                          admit: String = "s4 >= 5000"): String =
     s"""sc AS MATERIALIZED ($scDef),
        |conf AS (SELECT
-       |    sum(CASE WHEN s4 >= 5000 AND y = 1 THEN 1 ELSE 0 END) AS tp,
-       |    sum(CASE WHEN s4 >= 5000 AND y = 0 THEN 1 ELSE 0 END) AS fp,
-       |    sum(CASE WHEN s4 < 5000 AND y = 0 THEN 1 ELSE 0 END) AS tn,
-       |    sum(CASE WHEN s4 < 5000 AND y = 1 THEN 1 ELSE 0 END) AS fn
+       |    sum(CASE WHEN ($admit) AND y = 1 THEN 1 ELSE 0 END) AS tp,
+       |    sum(CASE WHEN ($admit) AND y = 0 THEN 1 ELSE 0 END) AS fp,
+       |    sum(CASE WHEN NOT ($admit) AND y = 0 THEN 1 ELSE 0 END) AS tn,
+       |    sum(CASE WHEN NOT ($admit) AND y = 1 THEN 1 ELSE 0 END) AS fn
        |  FROM sc),
        |per AS (SELECT s4, count(*) AS c, sum(y) AS p FROM sc GROUP BY s4),
        |cum AS (SELECT c, p,
@@ -1273,6 +1325,33 @@ private[graft] object EntryVector {
          |SELECT doc_id, CAST(floor(p * 10000 + 0.5) AS BIGINT) AS score4,
          |       CAST(floor(p * 10000 + 0.5) AS BIGINT) >= 5000 AS admitted
          |FROM mf""".stripMargin,
+
+
+    // Serving through the persisted artifact must reproduce
+    // q_lr_score exactly (bit-exact double round-trip through
+    // parquet) — the oracle is that replay verbatim.
+    "q_lr_persist" ->
+      s"""$sqlLrChain,
+         |mf AS (SELECT x.doc_id,
+         |         1.0/(1.0 + exp(-(sum(w.w * x.v) + (SELECT b FROM b8)))) AS p
+         |       FROM x JOIN w8 w USING (pos) GROUP BY x.doc_id)
+         |SELECT doc_id, CAST(floor(p * 10000 + 0.5) AS BIGINT) AS score4,
+         |       CAST(floor(p * 10000 + 0.5) AS BIGINT) >= 5000 AS admitted
+         |FROM mf""".stripMargin,
+
+
+    // NB head-to-head eval: the q_lr_eval harness over NB log-odds
+    // (admission threshold 0 on the quantized grid).
+    "q_nb_eval" ->
+      s"""WITH $sqlNbChain,
+         |pri AS (SELECT ln(CAST(sum(y) AS DOUBLE))
+         |             - ln(CAST(sum(1 - y) AS DOUBLE)) AS bias FROM lab),
+         |${sqlEvalTail(
+        """SELECT tfc.doc_id, max(l.y) AS y,
+          |         CAST(floor((sum(tfc.tf * wt.w) + (SELECT bias FROM pri))
+          |           * 10000 + 0.5) AS BIGINT) AS s4
+          |       FROM tfc JOIN wt USING (token) JOIN lab l USING (doc_id)
+          |       GROUP BY tfc.doc_id""".stripMargin, admit = "s4 > 0")}""".stripMargin,
 
 
     // One-pass multinomial NB: exact per-token class counts + the

@@ -212,6 +212,53 @@ object Classifier {
         (lit(2) * col("__P") * (col("__n") - col("__P"))).as("auc_den"))
   }
 
+  /** Model artifact format version; bumped on any schema change so a
+    * loader can refuse an artifact it does not understand instead of
+    * silently mis-scoring. */
+  val ModelFormatVersion = 1
+
+  /** Persists standardizer + model as ONE parquet row — the
+    * train-once / serve-anywhere artifact (the `buildIvfIndex` meta
+    * pattern: version + self-describing payload, loud refusals on
+    * drift at load). Doubles round-trip bit-exactly through parquet,
+    * so a loaded model scores identically to the in-memory one. */
+  def saveLogReg(spark: org.apache.spark.sql.SparkSession, path: String,
+                 st: Standardizer, model: LogRegModel): Unit = {
+    require(st.dim == model.dim,
+      s"standardizer dim ${st.dim} != model dim ${model.dim}")
+    import spark.implicits._
+    Seq((ModelFormatVersion, model.weights.toSeq, model.bias,
+        st.mean.toSeq, st.scale.toSeq, model.lossHistory))
+      .toDF("version", "weights", "bias", "mean", "scale", "loss_history")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Loads a `saveLogReg` artifact, refusing loudly on: wrong row
+    * count (corrupt/partial write), unknown format version, ragged
+    * dimensions, or non-finite parameters. */
+  def loadLogReg(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Standardizer, LogRegModel) = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.length == 1,
+      s"model artifact at $path has ${rows.length} rows, expected exactly 1")
+    val r = rows(0)
+    val version = r.getAs[Int]("version")
+    require(version == ModelFormatVersion,
+      s"model artifact version $version at $path; this build reads $ModelFormatVersion")
+    val w = r.getAs[scala.collection.Seq[Double]]("weights").toArray
+    val mean = r.getAs[scala.collection.Seq[Double]]("mean").toArray
+    val scale = r.getAs[scala.collection.Seq[Double]]("scale").toArray
+    require(w.length == mean.length && w.length == scale.length && w.nonEmpty,
+      s"ragged model artifact at $path: dims ${w.length}/${mean.length}/${scale.length}")
+    val bias = r.getAs[Double]("bias")
+    require((w :+ bias).forall(v => !v.isNaN && !v.isInfinite)
+        && mean.forall(v => !v.isNaN && !v.isInfinite)
+        && scale.forall(v => v > 0.0 && !v.isInfinite),
+      s"non-finite or non-positive-scale parameters in model artifact at $path")
+    (Standardizer(mean, scale),
+      LogRegModel(w, bias, r.getAs[scala.collection.Seq[Double]]("loss_history").toSeq))
+  }
+
   /** Reliability (calibration) bins over a QUANTIZED integer score
     * column: bin k covers scores [k·binWidth, (k+1)·binWidth), the
     * top edge clamped into the last bin, and each bin reports exact

@@ -168,6 +168,39 @@ class ClassifierSpec extends AnyFunSuite {
       s"rowwise scoring must be a zero-shuffle map:\n$plan")
   }
 
+  test("saveLogReg/loadLogReg: bit-exact round trip; drifted artifacts refused") {
+    val st = Classifier.Standardizer(Array(1.5, -2.25), Array(0.5, 3.0))
+    val m = Classifier.LogRegModel(Array(0.125, -7.75), 0.0625, Seq(0.7, 0.6))
+    val path = java.nio.file.Files.createTempDirectory("lr_model_").toString + "/m"
+    Classifier.saveLogReg(spark, path, st, m)
+    val (lst, lm) = Classifier.loadLogReg(spark, path)
+    // exact: doubles survive parquet bit-for-bit
+    assert(lst.mean.toSeq == st.mean.toSeq && lst.scale.toSeq == st.scale.toSeq)
+    assert(lm.weights.toSeq == m.weights.toSeq && lm.bias == m.bias)
+    assert(lm.lossHistory == m.lossHistory)
+    // version drift refused
+    val vPath = path + "_v"
+    spark.read.parquet(path).withColumn("version", lit(99))
+      .write.parquet(vPath)
+    val e1 = intercept[IllegalArgumentException] {
+      Classifier.loadLogReg(spark, vPath)
+    }
+    assert(e1.getMessage.contains("version"))
+    // corrupt (two-row) artifact refused
+    val dPath = path + "_d"
+    spark.read.parquet(path).union(spark.read.parquet(path))
+      .write.parquet(dPath)
+    val e2 = intercept[IllegalArgumentException] {
+      Classifier.loadLogReg(spark, dPath)
+    }
+    assert(e2.getMessage.contains("rows"))
+    // mismatched dims refused at save
+    intercept[IllegalArgumentException] {
+      Classifier.saveLogReg(spark, path + "_x",
+        Classifier.Standardizer(Array(0.0), Array(1.0)), m)
+    }
+  }
+
   test("training plan: gradient is ONE partial-aggregated job, scoring is map-only") {
     // scoring adds no exchange: the model is a plan literal
     val m = Classifier.LogRegModel(Array(0.5, -0.25), 0.1, Nil)
