@@ -315,9 +315,17 @@ object Classifier {
         (lit(1L) - lit(2L) * pmod(conv(substring(h, 9, 1), 16, 10)
           .cast("long"), lit(2L))).as("s"))
     })
-    transform(sequence(lit(0L), lit(dim - 1L)), i =>
-      aggregate(perTok, lit(0L),
-        (acc, e) => acc + when(e("b") === i, e("s")).otherwise(0L))
-        .cast("double"))
+    // ONE aggregate pass with an array accumulator: `perTok` is the
+    // aggregate's input operand, so the md5 chain runs once per
+    // token. (The per-dimension formulation — transform over
+    // sequence(0, dim) with an inner aggregate — re-evaluates the
+    // whole md5 array per OUTPUT dimension: higher-order-function
+    // lambdas get no common-subexpression elimination, and that
+    // shape benched 64× slower.)
+    aggregate(perTok,
+      array_repeat(lit(0L), dim),
+      (acc, e) => transform(acc,
+        (v, i) => when(i.cast("long") === e("b"), v + e("s")).otherwise(v)),
+      acc => transform(acc, v => v.cast("double")))
   }
 }
