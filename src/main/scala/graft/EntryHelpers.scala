@@ -84,8 +84,9 @@ private[graft] object EntryHelpers {
   // (the EntryVector defs called in warmSharedFixtures below are
   // runtime calls — safe).
   val lrFixtureQueries: Set[String] =
-    Set("q_lr_score", "q_lr_eval", "q_lr_calibration")
-  val nbFixtureQueries: Set[String] = Set("q_nb_score")
+    Set("q_lr_score", "q_lr_eval", "q_lr_calibration", "q_lr_persist",
+      "q_stream_score")
+  val nbFixtureQueries: Set[String] = Set("q_nb_score", "q_nb_eval")
   val sharedFixtureQueries: Set[String] =
     pairFixtureQueries ++ bpeFixtureQueries ++
       lrFixtureQueries ++ nbFixtureQueries

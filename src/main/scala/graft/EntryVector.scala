@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -455,12 +455,7 @@ private[graft] object EntryVector {
       val sc = Classifier.scoreLogReg(z, "z", m, "score")
         .select(col("y"),
           floor(col("score") * 10000.0 + 0.5).cast("long").as("s4"))
-      val conf = Classifier.confusion(
-        sc.withColumn("pred", col("s4") >= 5000), "y", "pred")
-      val auc = Classifier.rocAucParts(sc, "y", "s4")
-      conf.crossJoin(auc)
-        .select(col("tp"), col("fp"), col("tn"), col("fn"),
-          expr("(auc_num * 1000000) div auc_den").as("auc6"))
+      evalReport(sc, col("s4") >= 5000)
     }),
 
 
@@ -497,10 +492,7 @@ private[graft] object EntryVector {
           z(sp.filter(col("split") === "test")), "z", m, "score")
         .select(col("y"),
           floor(col("score") * 10000.0 + 0.5).cast("long").as("s4"))
-      Classifier.confusion(sc.withColumn("pred", col("s4") >= 5000), "y", "pred")
-        .crossJoin(Classifier.rocAucParts(sc, "y", "s4"))
-        .select(col("tp"), col("fp"), col("tn"), col("fn"),
-          expr("(auc_num * 1000000) div auc_den").as("auc6"))
+      evalReport(sc, col("s4") >= 5000)
     }),
 
 
@@ -543,8 +535,11 @@ private[graft] object EntryVector {
     // save/load path would hash-mismatch.
     "q_lr_persist" -> ((s, dir) => {
       val (_, st, m) = lrModelShared(s, dir)
+      // session-unique path: concurrent gate layouts (4- and 32-core
+      // runs) on one host must not race each other's overwrite
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_lr_model_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" +
+        Integer.toHexString(System.identityHashCode(s))
       Classifier.saveLogReg(s, path, st, m)
       val (lst, lm) = Classifier.loadLogReg(s, path)
       val docs = Tables(s, dir, "documents")
@@ -566,20 +561,13 @@ private[graft] object EntryVector {
     // the quantized grid — head-to-head model comparison is just two
     // one-row reports sharing one metric definition.
     "q_nb_eval" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val toks = split(col("text"), " ")
-      def cnt(t: String) = size(filter(toks, e => e === lit(t)))
-      val labeled = docs.select(col("doc_id"),
-        ((cnt("join") + cnt("key")) > (cnt("the") + cnt("a")))
-          .cast("int").as("y"))
-      val sc = NaiveBayes.scoreLogOdds(docs, "doc_id", "text", nbModelShared(s, dir))
-        .join(labeled, Seq("doc_id"))
+      val labeled = labeledDocs(s, dir)
+      val sc = NaiveBayes.scoreLogOdds(labeled, "doc_id", "text",
+          nbModelShared(s, dir))
+        .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
         .select(col("y"),
           floor(col("logOdds") * 10000.0 + 0.5).cast("long").as("s4"))
-      Classifier.confusion(sc.withColumn("pred", col("s4") > 0), "y", "pred")
-        .crossJoin(Classifier.rocAucParts(sc, "y", "s4"))
-        .select(col("tp"), col("fp"), col("tn"), col("fn"),
-          expr("(auc_num * 1000000) div auc_den").as("auc6"))
+      evalReport(sc, col("s4") > 0)
     }),
 
 
@@ -606,20 +594,36 @@ private[graft] object EntryVector {
     }),
   )
 
-  /** Hashed features (dim 64) + the exact token-composition label
-    * shared by every classifier row: the predicate is exact integer
-    * arithmetic on token counts, so both engines agree bit-for-bit
-    * on y and the trainers must REDISCOVER it through the 64 signed
-    * hash buckets. */
-  private def lrLabeled(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+  /** THE classifier family's ground truth, defined once: documents
+    * with the exact token-composition label (technical-term count
+    * beats filler count) — exact integer arithmetic on token counts,
+    * so both engines agree bit-for-bit on y and every trainer must
+    * REDISCOVER the predicate from its own features. Columns:
+    * (doc_id, text, y). */
+  private def labeledDocs(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
-    def cnt(t: String) =
-      size(filter(toks, e => e === lit(t)))
-    Classifier.hashedFeatures(docs, "doc_id", "text", dim = 64)
-      .join(docs.select(col("doc_id"),
-        ((cnt("join") + cnt("key")) > (cnt("the") + cnt("a")))
-          .cast("int").as("y")), Seq("doc_id"))
+    def cnt(t: String) = size(filter(toks, e => e === lit(t)))
+    Tables(s, dir, "documents").select(col("doc_id"), col("text"),
+      ((cnt("join") + cnt("key")) > (cnt("the") + cnt("a")))
+        .cast("int").as("y"))
+  }
+
+  /** The one metric definition every eval row shares: confusion at
+    * `admit` over a (y, s4) relation + tie-corrected AUC on the 1e-6
+    * grid from integer rank sums. Editing this edits q_lr_eval,
+    * q_lr_holdout, and q_nb_eval together — the sharing is
+    * structural, not copy-synced. */
+  private def evalReport(sc: DataFrame, admit: Column): DataFrame =
+    Classifier.confusion(sc.withColumn("pred", admit), "y", "pred")
+      .crossJoin(Classifier.rocAucParts(sc, "y", "s4"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        expr("(auc_num * 1000000) div auc_den").as("auc6"))
+
+  /** Hashed features (dim 64) joined to the shared label. */
+  private def lrLabeled(s: SparkSession, dir: String): DataFrame = {
+    val labeled = labeledDocs(s, dir)
+    Classifier.hashedFeatures(labeled, "doc_id", "text", dim = 64)
+      .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
   }
 
   /** Full training pipeline for q_lr_train: labeled features →
@@ -666,16 +670,9 @@ private[graft] object EntryVector {
   /** Shared trainer for q_nb_train / q_nb_score: multinomial NB with
     * alpha=1 on the q_lr_train label (exact integer predicate —
     * bit-identical on both engines). */
-  private def nbModel(s: SparkSession, dir: String): NaiveBayes.NBModel = {
-    val docs = Tables(s, dir, "documents")
-    val toks = split(col("text"), " ")
-    def cnt(t: String) = size(filter(toks, e => e === lit(t)))
-    NaiveBayes.trainMultinomial(
-      docs.select(col("doc_id"), col("text"),
-        ((cnt("join") + cnt("key")) > (cnt("the") + cnt("a")))
-          .cast("int").as("y")),
+  private def nbModel(s: SparkSession, dir: String): NaiveBayes.NBModel =
+    NaiveBayes.trainMultinomial(labeledDocs(s, dir),
       "doc_id", "text", "y", alpha = 1.0)
-  }
 
   /** The NB count/label chain shared by both q_nb oracle rows:
     * per-(doc, token) tf, the exact label, per-token class counts,
@@ -1348,9 +1345,11 @@ private[graft] object EntryVector {
          |             - ln(CAST(sum(1 - y) AS DOUBLE)) AS bias FROM lab),
          |${sqlEvalTail(
         """SELECT tfc.doc_id, max(l.y) AS y,
-          |         CAST(floor((sum(tfc.tf * wt.w) + (SELECT bias FROM pri))
+          |         CAST(floor((sum(tfc.tf * coalesce(wt.w,
+          |             (SELECT ln(t0 + 1.0 * v) - ln(t1 + 1.0 * v) FROM tot)))
+          |           + (SELECT bias FROM pri))
           |           * 10000 + 0.5) AS BIGINT) AS s4
-          |       FROM tfc JOIN wt USING (token) JOIN lab l USING (doc_id)
+          |       FROM tfc LEFT JOIN wt USING (token) JOIN lab l USING (doc_id)
           |       GROUP BY tfc.doc_id""".stripMargin, admit = "s4 > 0")}""".stripMargin,
 
 
@@ -1366,13 +1365,20 @@ private[graft] object EntryVector {
 
     // Per-doc NB log-odds + prior; `pred` derives from the quantized
     // score, never the raw double.
+    // LEFT JOIN + the smoothed zero-count odds for unmatched tokens —
+    // structurally the same total function as scoreLogOdds (today's
+    // corpus has no OOV tokens, but the oracle must not silently rely
+    // on that: a future holdout twin scoring unseen text would
+    // otherwise diverge).
     "q_nb_score" ->
       s"""WITH $sqlNbChain,
          |pri AS (SELECT ln(CAST(sum(y) AS DOUBLE))
          |             - ln(CAST(sum(1 - y) AS DOUBLE)) AS bias FROM lab),
+         |oov AS (SELECT ln(t0 + 1.0 * v) - ln(t1 + 1.0 * v) AS w FROM tot),
          |sc AS (SELECT tfc.doc_id,
-         |         sum(tfc.tf * wt.w) + (SELECT bias FROM pri) AS s
-         |       FROM tfc JOIN wt USING (token) GROUP BY tfc.doc_id)
+         |         sum(tfc.tf * coalesce(wt.w, (SELECT w FROM oov)))
+         |           + (SELECT bias FROM pri) AS s
+         |       FROM tfc LEFT JOIN wt USING (token) GROUP BY tfc.doc_id)
          |SELECT doc_id,
          |       CAST(floor(s * 10000 + 0.5) AS BIGINT) AS score4,
          |       CAST(floor(s * 10000 + 0.5) AS BIGINT) > 0 AS pred

@@ -119,8 +119,12 @@ object Classifier {
     val data = df.select(VectorOps.toDouble(col(featCol)).as("__x"),
       col(labelCol).cast("double").as("__y")).cache()
     try {
-      val first = data.limit(1).select(size(col("__x"))).head()
-      val d = first.getInt(0)
+      val first = data.limit(1).select(size(col("__x"))).collect().headOption
+      require(first.isDefined,
+        s"trainLogReg: empty training input (0 rows) — nothing to fit")
+      require(!first.get.isNullAt(0),
+        s"trainLogReg: NULL in feature column '$featCol' on the first row")
+      val d = first.get.getInt(0)
       require(d >= 1, s"feature column '$featCol' has dimension $d")
       var w = new Array[Double](d)
       var b = 0.0
@@ -260,19 +264,26 @@ object Classifier {
   }
 
   /** Reliability (calibration) bins over a QUANTIZED integer score
-    * column: bin k covers scores [k·binWidth, (k+1)·binWidth), the
-    * top edge clamped into the last bin, and each bin reports exact
-    * integers only — row count, positive count, and the score sum
-    * (observed rate = pos/n and mean predicted score = scoreSum/
-    * (n·grid) are left to the caller, keeping the result
-    * engine-exact). One partial-agg groupBy; output is ≤ numBins
-    * rows regardless of corpus size. Integral `div` keeps the bin
-    * arithmetic out of FP. */
+    * column: bin k covers scores [k·binWidth, (k+1)·binWidth), BOTH
+    * edges clamped into the boundary bins (scores below 0 land in
+    * bin 0, scores at/above numBins·binWidth in the last bin), and
+    * each bin reports exact integers only — row count, positive
+    * count, and the score sum (observed rate = pos/n and mean
+    * predicted score = scoreSum/(n·grid) are left to the caller,
+    * keeping the result engine-exact). Binning is FLOOR division —
+    * `(s − pmod(s, w)) / w` is exact integer arithmetic and matches
+    * SQL's `//` for negative scores too (a truncating `div` would
+    * silently fold (−w, 0) into bin 0's interior). One partial-agg
+    * groupBy; output is ≤ numBins rows regardless of corpus size. */
   def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
                       binWidth: Long, numBins: Int): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
     require(numBins >= 1, s"numBins must be >= 1, got $numBins")
-    df.groupBy(least(expr(s"$scoreCol div $binWidth"), lit(numBins - 1L))
+    // integral div on an exact multiple (s − pmod ≡ 0 mod w) = floor
+    // division, all in integer arithmetic
+    val floorDiv =
+      expr(s"($scoreCol - pmod($scoreCol, $binWidth)) div $binWidth")
+    df.groupBy(least(greatest(floorDiv, lit(0L)), lit(numBins - 1L))
         .cast("int").as("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col(labelCol).cast("long")).as("pos"),

@@ -65,7 +65,11 @@ object NaiveBayes {
     require(alpha > 0.0 && alpha.isFinite, s"alpha must be positive, got $alpha")
     val y = col(labelCol).cast("int")
     val docCounts = df.groupBy(y.as("y")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"label column '$labelCol' contains NULLs — labels must be 0/1")
+        r.getInt(0) -> r.getLong(1)
+      }.toMap
     require(docCounts.keySet.subsetOf(Set(0, 1)),
       s"labels must be 0/1, saw classes ${docCounts.keySet.toSeq.sorted.mkString(",")}")
     val (n1, n0) = (docCounts.getOrElse(1, 0L), docCounts.getOrElse(0, 0L))

@@ -124,7 +124,7 @@ class ClassifierSpec extends AnyFunSuite {
     assert(num.toDouble / den == brute, s"$num/$den vs brute $brute")
   }
 
-  test("calibrationBins: exact counts, top edge clamps into the last bin") {
+  test("calibrationBins: exact counts, both edges clamp, floor semantics for negatives") {
     val df = Seq(
       (1, 50L), (0, 999L),   // bin 0
       (1, 8500L),            // bin 8
@@ -135,6 +135,16 @@ class ClassifierSpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(bins == Map(0 -> ((2L, 1L, 1049L)), 8 -> ((1L, 1L, 8500L)),
       9 -> ((2L, 2L, 19999L))))
+    // negative scores (NB log-odds): floor division, not truncation —
+    // (-w, 0) belongs below bin 0 and clamps into it EXPLICITLY, the
+    // same edge rule as the top; a truncating div would silently file
+    // -500 inside [0, 1000)'s interior as if it were nonnegative
+    val neg = Seq((0, -500L), (0, -1500L), (1, 500L)).toDF("y", "s4")
+    val nb = Classifier.calibrationBins(neg, "y", "s4", 1000L, 10)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(nb == Map(0 -> ((3L, 1L, -1500L))),
+      s"negative scores must clamp into bin 0 via floor semantics: $nb")
     intercept[IllegalArgumentException] {
       Classifier.calibrationBins(df, "y", "s4", 0L, 10)
     }
