@@ -87,9 +87,10 @@ private[graft] object EntryHelpers {
     Set("q_lr_score", "q_lr_eval", "q_lr_calibration", "q_lr_persist",
       "q_stream_score")
   val nbFixtureQueries: Set[String] = Set("q_nb_score", "q_nb_eval")
+  val nbMcFixtureQueries: Set[String] = Set("q_nb_classes", "q_nb_predict")
   val sharedFixtureQueries: Set[String] =
     pairFixtureQueries ++ bpeFixtureQueries ++
-      lrFixtureQueries ++ nbFixtureQueries
+      lrFixtureQueries ++ nbFixtureQueries ++ nbMcFixtureQueries
 
   def warmSharedFixtures(s: SparkSession, dir: String,
                          selected: Set[String] = sharedFixtureQueries): Unit = {
@@ -100,6 +101,9 @@ private[graft] object EntryHelpers {
     }
     if (selected.exists(nbFixtureQueries)) {
       EntryVector.nbModelShared(s, dir); ()
+    }
+    if (selected.exists(nbMcFixtureQueries)) {
+      EntryVector.nbMcModelShared(s, dir); ()
     }
   }
 

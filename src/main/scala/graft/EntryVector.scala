@@ -571,6 +571,44 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: multiclass NB (predict source from text) ──────
+    // The multiclass task on this corpus: which source does a doc's
+    // text come from. One groupBy(token, class) pass to a dense
+    // vocab×classes weight table; per-(doc, class) log-posteriors,
+    // quantized. NO argmax here — emitting every class's score keeps
+    // the gate free of cross-class FP comparisons (the decision row
+    // below derives from these integers). Honesty note: the synthetic
+    // corpus's sources share one token distribution, so the model's
+    // lift over the 1/|classes| prior is small — these rows gate the
+    // operator's mechanics and exactness, not model quality (the
+    // binary family above is where the label is genuinely learnable).
+    "q_nb_classes" -> ((s, dir) => {
+      val m = nbMcModelShared(s, dir)
+      NaiveBayes.scoreMulticlass(Tables(s, dir, "documents"),
+          "doc_id", "text", m)
+        .select(col("doc_id"), col("cls"),
+          floor(col("score") * 10000.0 + 0.5).cast("long").as("score4"))
+    }),
+
+
+    // ── LLM-pipeline: multiclass NB decision (exact argmax) ─────────
+    // The predicted class per doc: argmax over the QUANTIZED scores
+    // (integer comparison, lowest class name on ties) — bit-exact on
+    // both engines by construction.
+    "q_nb_predict" -> ((s, dir) => {
+      val m = nbMcModelShared(s, dir)
+      val sc = NaiveBayes.scoreMulticlass(Tables(s, dir, "documents"),
+          "doc_id", "text", m)
+        .select(col("doc_id"), col("cls"),
+          floor(col("score") * 10000.0 + 0.5).cast("long").as("score4"))
+      sc.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score4").desc, col("cls"))))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("cls").as("predicted"))
+    }),
+
+
     // ── LLM-pipeline: per-doc n-gram novelty (3-token grams) ────────
     // "How much genuinely new text does this doc contribute" — the
     // up-weighting signal dual to contamination's overlap direction.
@@ -667,6 +705,18 @@ private[graft] object EntryVector {
     })
   }
 
+  private val nbMcModelMemo =
+    scala.collection.mutable.Map.empty[String, NaiveBayes.NBMulticlassModel]
+  private[graft] def nbMcModelShared(s: SparkSession, dir: String)
+      : NaiveBayes.NBMulticlassModel = synchronized {
+    nbMcModelMemo.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir", {
+      val m = NaiveBayes.trainMulticlass(Tables(s, dir, "documents"),
+        "doc_id", "text", "source", alpha = 1.0)
+      m.weights.persist().count()
+      m
+    })
+  }
+
   /** Shared trainer for q_nb_train / q_nb_score: multinomial NB with
     * alpha=1 on the q_lr_train label (exact integer predicate —
     * bit-identical on both engines). */
@@ -703,6 +753,46 @@ private[graft] object EntryVector {
       |        (ln(CAST(c1 AS DOUBLE) + 1.0) - ln(t1 + 1.0 * v))
       |      - (ln(CAST(c0 AS DOUBLE) + 1.0) - ln(t0 + 1.0 * v)) AS w
       |      FROM pt, tot)""".stripMargin
+
+  /** Multiclass NB replay: dense vocab×classes counts, per-class
+    * smoothing totals, weights/priors with the same expression trees
+    * as `NaiveBayes.trainMulticlass`/`scoreMulticlass`, per-(doc,
+    * class) scores on the 1e-4 grid. The LEFT JOIN + per-class
+    * zero-count fallback mirrors scoreMulticlass' total function even
+    * though the in-corpus gate never exercises OOV. */
+  private val sqlNbMcChain: String =
+    """ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tfc AS MATERIALIZED (SELECT doc_id, token, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(toks) AS token FROM ts)
+      |       GROUP BY 1, 2),
+      |cls AS MATERIALIZED (SELECT DISTINCT source AS cls FROM documents),
+      |dc AS MATERIALIZED (SELECT source AS cls, count(*) AS n
+      |      FROM documents GROUP BY 1),
+      |ptc AS MATERIALIZED (SELECT tfc.token, d.source AS cls,
+      |        sum(tfc.tf) AS c
+      |      FROM tfc JOIN documents d USING (doc_id) GROUP BY 1, 2),
+      |dense AS MATERIALIZED (SELECT v.token, c.cls,
+      |        coalesce(p.c, 0) AS c
+      |      FROM (SELECT DISTINCT token FROM ptc) v
+      |      CROSS JOIN cls c
+      |      LEFT JOIN ptc p ON p.token = v.token AND p.cls = c.cls),
+      |tot AS MATERIALIZED (SELECT cls, CAST(sum(c) AS DOUBLE) AS t,
+      |        CAST(count(*) AS DOUBLE) AS v FROM dense GROUP BY cls),
+      |wt AS MATERIALIZED (SELECT dense.token, dense.cls,
+      |        ln(CAST(dense.c AS DOUBLE) + 1.0) - ln(tot.t + 1.0 * tot.v) AS w
+      |      FROM dense JOIN tot ON dense.cls = tot.cls),
+      |pri AS MATERIALIZED (SELECT dc.cls,
+      |        ln(CAST(dc.n AS DOUBLE))
+      |      - ln(CAST((SELECT sum(n) FROM dc) AS DOUBLE)) AS p FROM dc),
+      |s0 AS MATERIALIZED (SELECT tfc.doc_id, c.cls,
+      |        sum(tfc.tf * coalesce(w.w, ln(1.0) - ln(t.t + 1.0 * t.v))) AS s
+      |      FROM tfc CROSS JOIN cls c
+      |      LEFT JOIN wt w ON w.token = tfc.token AND w.cls = c.cls
+      |      JOIN tot t ON t.cls = c.cls
+      |      GROUP BY 1, 2),
+      |mcsc AS MATERIALIZED (SELECT s0.doc_id, s0.cls,
+      |        CAST(floor((s0.s + pri.p) * 10000 + 0.5) AS BIGINT) AS score4
+      |      FROM s0 JOIN pri ON pri.cls = s0.cls)""".stripMargin
 
   /** The q_lr_train chain unrolled for DuckDB: hashed signed-md5
     * features (q_feat_hash's scheme, densified over a 64-position
@@ -1383,6 +1473,23 @@ private[graft] object EntryVector {
          |       CAST(floor(s * 10000 + 0.5) AS BIGINT) AS score4,
          |       CAST(floor(s * 10000 + 0.5) AS BIGINT) > 0 AS pred
          |FROM sc""".stripMargin,
+
+
+    // Per-(doc, class) multiclass NB log-posteriors on the 1e-4 grid.
+    "q_nb_classes" ->
+      s"""WITH $sqlNbMcChain
+         |SELECT doc_id, cls, score4 FROM mcsc""".stripMargin,
+
+
+    // Exact argmax over the quantized scores: integer comparison,
+    // lowest class name on ties — bit-exact on both engines.
+    "q_nb_predict" ->
+      s"""WITH $sqlNbMcChain
+         |SELECT doc_id, cls AS predicted FROM (
+         |  SELECT doc_id, cls,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY score4 DESC, cls) AS rn
+         |  FROM mcsc) WHERE rn = 1""".stripMargin,
 
 
     // Confusion at the 0.5 threshold + tie-corrected Mann-Whitney AUC

@@ -103,4 +103,91 @@ object NaiveBayes {
       .groupBy(col(idCol))
       .agg((sum(col("tf") * coalesce(col("w"), lit(model.oovW)))
         + lit(model.bias)).as("logOdds"))
+
+  /** Multiclass model: `weights` = (token, cls, w) with
+    * w = ln(c(t,cls)+α) − ln(T_cls+αV); per-class scalars (prior =
+    * ln n_cls − ln N, oovW = ln α − ln(T_cls+αV)) are driver-held —
+    * O(classes) state, the model table stays vocab×classes. */
+  final case class NBMulticlassModel(weights: DataFrame,
+                                     classes: Seq[String],
+                                     priors: Map[String, Double],
+                                     oovW: Map[String, Double],
+                                     alpha: Double)
+
+  /** One-pass multiclass trainer over a string class column: ONE
+    * groupBy(token, class) partial agg to the model table, one tiny
+    * per-class doc/token-count collect (O(classes) rows). The weight
+    * table is DENSE over vocab×classes (zero counts included via the
+    * class cross join) so scoring needs no per-class OOV fallback for
+    * in-vocabulary tokens — only fully-unseen tokens take `oovW`. */
+  def trainMulticlass(df: DataFrame, idCol: String, textCol: String,
+                      classCol: String, alpha: Double = 1.0)
+      : NBMulticlassModel = {
+    require(alpha > 0.0 && alpha.isFinite, s"alpha must be positive, got $alpha")
+    val docCounts = df.groupBy(col(classCol).cast("string").as("cls"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"class column '$classCol' contains NULLs")
+        r.getString(0) -> r.getLong(1)
+      }.toMap
+    require(docCounts.size >= 2,
+      s"need >= 2 classes to train, saw ${docCounts.size}")
+    val classes = docCounts.keys.toSeq.sorted
+    val n = docCounts.values.sum
+
+    val tf = termFreqs(df, idCol, textCol)
+      .join(df.select(col(idCol), col(classCol).cast("string").as("__c")),
+        Seq(idCol))
+    val perTokCls = tf.groupBy(col("token"), col("__c").as("cls"))
+      .agg(sum(col("tf")).as("c"))
+    // densify over vocab × classes so every in-vocab (token, cls)
+    // carries a smoothed weight even at count 0
+    val sp = df.sparkSession
+    import sp.implicits._
+    val dense = perTokCls.select(col("token")).distinct()
+      .crossJoin(classes.toDF("cls"))
+      .join(perTokCls, Seq("token", "cls"), "left")
+      .select(col("token"), col("cls"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint() // pin: the totals job + weight plan share one scan
+    val totals = dense.groupBy(col("cls")).agg(sum(col("c")).as("t"),
+        count(lit(1)).as("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val denomByCls = typedlit(classes.map { c =>
+      val (t, v) = totals(c); c -> (t + alpha * v)
+    }.toMap)
+    val weights = dense.withColumn("w",
+      log(col("c") + alpha) - log(element_at(denomByCls, col("cls"))))
+    NBMulticlassModel(weights, classes,
+      priors = classes.map(c =>
+        c -> (math.log(docCounts(c).toDouble) - math.log(n.toDouble))).toMap,
+      oovW = classes.map { c =>
+        val (t, v) = totals(c); c -> (math.log(alpha) - math.log(t + alpha * v))
+      }.toMap,
+      alpha = alpha)
+  }
+
+  /** Per-(doc, class) scores: prior_c + Σ tf·w(t, c), with unseen
+    * tokens taking the per-class smoothed `oovW`. One tf build, one
+    * small cross join against the class list, one LEFT equi-join on
+    * (token, cls) against the model table, one per-(doc, cls) partial
+    * agg. Output: (idCol, cls, score). Argmax is the caller's move —
+    * typically on QUANTIZED scores so the decision is exact. */
+  def scoreMulticlass(df: DataFrame, idCol: String, textCol: String,
+                      model: NBMulticlassModel): DataFrame = {
+    val priorByCls = typedlit(model.priors)
+    val oovByCls = typedlit(model.oovW)
+    val sp = df.sparkSession
+    import sp.implicits._
+    termFreqs(df, idCol, textCol)
+      .crossJoin(model.classes.toDF("cls"))
+      .join(model.weights.select(col("token"), col("cls"), col("w")),
+        Seq("token", "cls"), "left")
+      .groupBy(col(idCol), col("cls"))
+      .agg((sum(col("tf") *
+          coalesce(col("w"), element_at(oovByCls, col("cls"))))
+        + element_at(priorByCls, col("cls"))).as("score"))
+  }
 }

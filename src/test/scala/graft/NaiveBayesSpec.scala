@@ -56,6 +56,44 @@ class NaiveBayesSpec extends AnyFunSuite {
       s"OOV-only doc: $s9 vs ${2.0 * m.oovW + m.bias}")
   }
 
+  test("trainMulticlass: dense counts, per-class smoothing, score replay") {
+    val docs = Seq(
+      (1L, "spam spam eggs", "a"),
+      (2L, "spam", "a"),
+      (3L, "ham ham eggs", "b"),
+      (4L, "ham eggs", "b"),
+      (5L, "eggs", "c")
+    ).toDF("id", "text", "src")
+    val m = NaiveBayes.trainMulticlass(docs, "id", "text", "src")
+    assert(m.classes == Seq("a", "b", "c"))
+    val w = m.weights.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // dense: every (token, class) pair exists, zeros included
+    assert(w.size == 9 && w(("spam", "a")) == 3L && w(("spam", "b")) == 0L
+      && w(("eggs", "c")) == 1L && w(("ham", "c")) == 0L)
+    // replay one weight + prior + oov by hand: class a has T=4 tokens,
+    // V=3 vocab → w(spam|a) = ln(3+1) − ln(4+3)
+    val wa = m.weights.filter(col("token") === "spam" && col("cls") === "a")
+      .head().getDouble(3)
+    assert(math.abs(wa - (math.log(4.0) - math.log(7.0))) < 1e-12)
+    assert(math.abs(m.priors("c") - (math.log(1.0) - math.log(5.0))) < 1e-12)
+    assert(math.abs(m.oovW("a") - (math.log(1.0) - math.log(4.0 + 3.0))) < 1e-12)
+    // scoring: class-a doc scores highest for class a
+    val sc = NaiveBayes.scoreMulticlass(docs, "id", "text", m)
+      .filter(col("id") === 2L).collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(sc("a") > sc("b") && sc("a") > sc("c"),
+      s"'spam' doc must score class a highest: $sc")
+    // guards
+    intercept[IllegalArgumentException] {
+      NaiveBayes.trainMulticlass(docs.filter(col("src") === "a"),
+        "id", "text", "src")
+    }
+    intercept[IllegalArgumentException] {
+      NaiveBayes.trainMulticlass(docs, "id", "text", "src", alpha = 0.0)
+    }
+  }
+
   test("guards: single-class, non-binary labels, bad alpha fail loudly") {
     intercept[IllegalArgumentException] {
       NaiveBayes.trainMultinomial(toy.filter(col("y") === 1), "id", "text", "y")
