@@ -174,8 +174,12 @@ private[graft] object EntryCuration {
     // stage must redact — token counts downstream see the redacted
     // text, so the oracle replays the whole chain end to end.
     "q_corpus_e2e" -> ((s, dir) => {
+      // session-unique path (the q_lr_persist convention — ADVICE
+      // r12): concurrent gate layouts on one host must not race each
+      // other's landing/output directories
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_corpus_e2e_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" +
+        Integer.toHexString(System.identityHashCode(s))
       val packed = corpusE2ePacked(s, dir, base)
       graft.sources.DocIO.writeJsonl(packed, s"$base/out", shards = 4)
       graft.sources.DocIO.readJsonl(s, s"$base/out", packed.schema)

@@ -108,11 +108,20 @@ private[graft] object EntryGraph {
     // The path a cluster runs (VERDICT r11 item 1): each mutual-
     // reinforcement round is a map-side-combined sum, not the
     // single-task sorted fold the parity row above pays for its
-    // bit-exact oracle. Scores are partial-agg-order-dependent in the
-    // last ulps and magnitudes reach ~1e6 (unnormalized), so no
-    // quantization grid is safely clear of the noise — rows-gated
-    // (the driver's weaker check); GraphSpec pins both modes to the
-    // same hand-computed scores.
+    // bit-exact oracle. FULL hash gate (VERDICT r12 item 1), and here
+    // is why it is safe despite the unordered partial agg: hub₀ = 1.0
+    // and every round is a pure SUM over a deduped integer-keyed edge
+    // set, so by induction every score is an EXACT INTEGER stored in
+    // a double (auth₁ = indegree, and each later round sums exact
+    // integers). IEEE addition of integers is exact whenever every
+    // partial sum stays below 2^53 — true by eight orders at any
+    // gate scale (max score ~1e6·|E| would still fit at sf100) — and
+    // exact additions are associative, so the aggregation ORDER
+    // cannot change a single bit. The earlier "last-ulp noise" worry
+    // applied to non-integer scores (normalized HITS would have it);
+    // this unnormalized 2-round form has none, which GraphSpec pins
+    // (integrality + bit-equality of both modes on the live
+    // relation). Oracle: the q_hits replay with plain sums.
     "q_hits_fast" -> ((s, dir) => {
       val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
@@ -539,6 +548,34 @@ private[graft] object EntryGraph {
         |a2 AS (SELECT n.id, coalesce(a2s.s, CAST(0 AS DOUBLE)) AS auth
         |       FROM nodes n LEFT JOIN a2s ON a2s.id = n.id),
         |h2s AS (SELECT e.src AS id, list_reduce(list_sort(list(a.auth)), (x, y) -> x + y) AS s
+        |        FROM e JOIN a2 a ON a.id = e.dst GROUP BY e.src),
+        |h2 AS (SELECT n.id, coalesce(h2s.s, CAST(0 AS DOUBLE)) AS hub
+        |       FROM nodes n LEFT JOIN h2s ON h2s.id = n.id)
+        |SELECT a2.id, a2.auth, h2.hub FROM a2 JOIN h2 ON h2.id = a2.id""".stripMargin,
+
+
+    // q_hits's replay with PLAIN sums in place of the sorted folds —
+    // legitimate as a hash gate because every score is an exact
+    // integer (see the q_hits_fast entry comment): exact additions
+    // are associative, so fold order is irrelevant on both engines.
+    "q_hits_fast" ->
+      """WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |           WHERE o_custkey * 2 <> l_partkey * 2 + 1),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |a1s AS (SELECT e.dst AS id, sum(CAST(1 AS DOUBLE)) AS s
+        |        FROM e GROUP BY e.dst),
+        |a1 AS (SELECT n.id, coalesce(a1s.s, CAST(0 AS DOUBLE)) AS auth
+        |       FROM nodes n LEFT JOIN a1s ON a1s.id = n.id),
+        |h1s AS (SELECT e.src AS id, sum(a.auth) AS s
+        |        FROM e JOIN a1 a ON a.id = e.dst GROUP BY e.src),
+        |h1 AS (SELECT n.id, coalesce(h1s.s, CAST(0 AS DOUBLE)) AS hub
+        |       FROM nodes n LEFT JOIN h1s ON h1s.id = n.id),
+        |a2s AS (SELECT e.dst AS id, sum(h.hub) AS s
+        |        FROM e JOIN h1 h ON h.id = e.src GROUP BY e.dst),
+        |a2 AS (SELECT n.id, coalesce(a2s.s, CAST(0 AS DOUBLE)) AS auth
+        |       FROM nodes n LEFT JOIN a2s ON a2s.id = n.id),
+        |h2s AS (SELECT e.src AS id, sum(a.auth) AS s
         |        FROM e JOIN a2 a ON a.id = e.dst GROUP BY e.src),
         |h2 AS (SELECT n.id, coalesce(h2s.s, CAST(0 AS DOUBLE)) AS hub
         |       FROM nodes n LEFT JOIN h2s ON h2s.id = n.id)

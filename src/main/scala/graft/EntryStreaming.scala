@@ -209,6 +209,57 @@ private[graft] object EntryStreaming {
     }),
 
 
+    // ── streaming: NB model serving via stream-static join ──────────
+    // THE OTHER serving shape at 100 TB (VERDICT r12 item 6): where
+    // q_stream_score ships the LR model as plan literals (zero
+    // shuffle, bounded by literal size), NB's model is a vocab-sized
+    // weight TABLE — no plan-literal ceiling — served to the stream
+    // through a stream-static equi-join (broadcast when the vocab
+    // fits; Spark's threshold decides). Per-(doc, token) tfs are
+    // built ROWWISE (array_distinct + a filter count per token — no
+    // second streaming aggregation, which Spark disallows), so the
+    // per-doc score summands are the IDENTICAL tf·w products the
+    // batch scorer sums, merely in a different order — absorbed by
+    // the 1e-4 grid exactly as the batch gate's own partial-agg
+    // order already is. One streaming groupBy(doc_id) in complete
+    // mode makes the final scored table hash-checkable; production
+    // serving bounds that state with a watermark or scores per
+    // micro-batch via foreachBatch (each doc arrives whole).
+    "q_stream_nb" -> ((s, dir) => withStreamRigConf(s) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val m = EntryVector.nbModelShared(s, dir)
+      val arrivals = docFeed(s, dir).filter(_._1 % 4 == 0)
+        .map { case (id, text, source, _) => StreamDoc(id, text, source) }
+      val perBatch = math.max(1, (arrivals.length + 2) / 3)
+      val source = MemoryStream[StreamDoc]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val toks = split(col("text"), " ")
+      val scored = source.toDF()
+        .select(col("doc_id"), explode(
+          transform(array_distinct(toks), t => struct(
+            t.as("token"),
+            size(filter(toks, e => e === t)).cast("long").as("tf"))))
+          .as("__te"))
+        .select(col("doc_id"), col("__te.token").as("token"),
+          col("__te.tf").as("tf"))
+        .join(m.weights.select(col("token"), col("w")), Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg((sum(col("tf") * coalesce(col("w"), lit(m.oovW)))
+          + lit(m.bias)).as("logOdds"))
+        .select(col("doc_id"),
+          floor(col("logOdds") * 10000.0 + 0.5).cast("long").as("score4"))
+        .withColumn("pred", col("score4") > 0)
+      val q = scored.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try arrivals.grouped(perBatch).foreach { b =>
+        source.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+    }),
+
+
     // ── streaming: stream-stream attribution join, driver-gated ─────
     // The last streaming topology under the hash gate: BOTH sides
     // unbounded (clicks ⋈ purchases on user + a 5-minute event-time
@@ -589,6 +640,23 @@ private[graft] object EntryStreaming {
          |FROM mf
          |WHERE doc_id % 4 = 0
          |  AND CAST(floor(p * 10000 + 0.5) AS BIGINT) >= 5000""".stripMargin,
+
+
+    // the stream-static NB serving join reproduces the batch scorer
+    // over the arriving slice: q_nb_score's replay + the slice filter
+    "q_stream_nb" ->
+      s"""WITH ${EntryVector.sqlNbChain},
+         |pri AS (SELECT ln(CAST(sum(y) AS DOUBLE))
+         |             - ln(CAST(sum(1 - y) AS DOUBLE)) AS bias FROM lab),
+         |oov AS (SELECT ln(t0 + 1.0 * v) - ln(t1 + 1.0 * v) AS w FROM tot),
+         |sc AS (SELECT tfc.doc_id,
+         |         sum(tfc.tf * coalesce(wt.w, (SELECT w FROM oov)))
+         |           + (SELECT bias FROM pri) AS s
+         |       FROM tfc LEFT JOIN wt USING (token) GROUP BY tfc.doc_id)
+         |SELECT doc_id,
+         |       CAST(floor(s * 10000 + 0.5) AS BIGINT) AS score4,
+         |       CAST(floor(s * 10000 + 0.5) AS BIGINT) > 0 AS pred
+         |FROM sc WHERE doc_id % 4 = 0""".stripMargin,
 
 
     "q_stream_window" ->

@@ -257,8 +257,13 @@ private[graft] object EntryVector {
     // assignment all surface as a hash mismatch.
     "q_ivf_refresh" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
+      // session-unique path (the q_lr_persist convention — ADVICE
+      // r12): concurrent gate layouts (4- and 32-core runs) on one
+      // host must not interleave build/overwrite/append/serve on one
+      // index directory
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_refresh_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" +
+        Integer.toHexString(System.identityHashCode(s))
       val cents = cents8(s, dir)
       Similarity.buildIvfIndex(emb.filter(col("vec_id") % 3 =!= 0),
         "vec_id", "embedding", cents, path)
@@ -609,6 +614,62 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: persisted NB model serving (train, save, load,
+    // score) ────────────────────────────────────────────────────────
+    // The q_lr_persist symmetry for the TABLE-shaped model (VERDICT
+    // r12 item 2): the vocab-sized weight table + the four driver
+    // scalars land as a versioned parquet artifact (meta row written
+    // LAST as the commit marker, carrying the weight row count so a
+    // partial write is refused at load), and the corpus is scored
+    // THROUGH THE LOADED artifact. Doubles round-trip bit-exactly
+    // through parquet, so the oracle is q_nb_score's replay verbatim
+    // — any fidelity loss in save/load hash-mismatches.
+    "q_nb_persist" -> ((s, dir) => {
+      val m = nbModelShared(s, dir)
+      // session-unique path: concurrent gate layouts on one host
+      // must not race each other's overwrite (the q_lr_persist rule)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_nb_model_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        Integer.toHexString(System.identityHashCode(s))
+      NaiveBayes.saveNB(s, path, m)
+      val lm = NaiveBayes.loadNB(s, path)
+      NaiveBayes.scoreLogOdds(Tables(s, dir, "documents"), "doc_id", "text", lm)
+        .select(col("doc_id"),
+          floor(col("logOdds") * 10000.0 + 0.5).cast("long").as("score4"))
+        .withColumn("pred", col("score4") > 0)
+    }),
+
+
+    // ── LLM-pipeline: held-out multiclass evaluation (no leakage) ───
+    // The q_lr_holdout twin for the multiclass family (VERDICT r12
+    // item 3): contamination-safe 80/20 split by doc_id, multiclass
+    // NB trained on the train side ONLY (vocabulary, priors, and
+    // smoothing totals all see no test doc), then the full per-class
+    // confusion matrix over the unseen test side — exact integer
+    // counts of (actual source, predicted source). The test side is
+    // where the per-class OOV fallback is genuinely exercised: test
+    // docs carry tokens absent from the train vocabulary.
+    "q_nb_holdout" -> ((s, dir) => {
+      val sp = Sampling.trainTestSplit(Tables(s, dir, "documents"),
+        "doc_id", 0.2)
+      val m = NaiveBayes.trainMulticlass(sp.filter(col("split") === "train"),
+        "doc_id", "text", "source", alpha = 1.0)
+      val test = sp.filter(col("split") === "test")
+      val sc = NaiveBayes.scoreMulticlass(test, "doc_id", "text", m)
+        .select(col("doc_id"), col("cls"),
+          floor(col("score") * 10000.0 + 0.5).cast("long").as("score4"))
+      sc.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score4").desc, col("cls"))))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("cls").as("predicted"))
+        .join(test.select(col("doc_id"), col("source").as("actual")),
+          Seq("doc_id"))
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).cast("long").as("n"))
+    }),
+
+
     // ── LLM-pipeline: per-doc n-gram novelty (3-token grams) ────────
     // "How much genuinely new text does this doc contribute" — the
     // up-weighting signal dual to contamination's overlap direction.
@@ -681,41 +742,37 @@ private[graft] object EntryVector {
     (z, st, Classifier.trainLogReg(z, "z", "y", iters = 8, lr = 1.0))
   }
 
-  private val lrModelMemo = scala.collection.mutable.Map
-    .empty[String, (DataFrame, Classifier.Standardizer, Classifier.LogRegModel)]
+  // Session-object-keyed memos (EntryHelpers.SessionMemo — ADVICE
+  // r12: identityHashCode keys can collide after a GC'd session).
+  private val lrModelMemo =
+    new SessionMemo[(DataFrame, Classifier.Standardizer, Classifier.LogRegModel)]
   private[graft] def lrModelShared(s: SparkSession, dir: String)
       : (DataFrame, Classifier.Standardizer, Classifier.LogRegModel) =
-    synchronized {
-      lrModelMemo.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir", {
-        val (z, st, m) = lrModel(s, dir)
-        val zp = z.persist()
-        zp.count() // materialize eagerly so no scoring row absorbs the build
-        (zp, st, m)
-      })
+    lrModelMemo.getOrElseUpdate(s, dir) {
+      val (z, st, m) = lrModel(s, dir)
+      val zp = z.persist()
+      zp.count() // materialize eagerly so no scoring row absorbs the build
+      (zp, st, m)
     }
 
-  private val nbModelMemo =
-    scala.collection.mutable.Map.empty[String, NaiveBayes.NBModel]
+  private val nbModelMemo = new SessionMemo[NaiveBayes.NBModel]
   private[graft] def nbModelShared(s: SparkSession, dir: String)
-      : NaiveBayes.NBModel = synchronized {
-    nbModelMemo.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir", {
+      : NaiveBayes.NBModel =
+    nbModelMemo.getOrElseUpdate(s, dir) {
       val m = nbModel(s, dir)
       m.weights.persist().count()
       m
-    })
-  }
+    }
 
-  private val nbMcModelMemo =
-    scala.collection.mutable.Map.empty[String, NaiveBayes.NBMulticlassModel]
+  private val nbMcModelMemo = new SessionMemo[NaiveBayes.NBMulticlassModel]
   private[graft] def nbMcModelShared(s: SparkSession, dir: String)
-      : NaiveBayes.NBMulticlassModel = synchronized {
-    nbMcModelMemo.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir", {
+      : NaiveBayes.NBMulticlassModel =
+    nbMcModelMemo.getOrElseUpdate(s, dir) {
       val m = NaiveBayes.trainMulticlass(Tables(s, dir, "documents"),
         "doc_id", "text", "source", alpha = 1.0)
       m.weights.persist().count()
       m
-    })
-  }
+    }
 
   /** Shared trainer for q_nb_train / q_nb_score: multinomial NB with
     * alpha=1 on the q_lr_train label (exact integer predicate —
@@ -731,7 +788,9 @@ private[graft] object EntryVector {
     * ln(T0+αV)) — FP subtraction is not associative, and the 1e-4
     * grid only absorbs noise if both engines run the SAME expression
     * tree. */
-  private val sqlNbChain: String =
+  // private[graft]: EntryStreaming's q_stream_nb oracle replays the
+  // same chain (the sqlLrChain convention — acyclic reference).
+  private[graft] val sqlNbChain: String =
     """ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |lab AS MATERIALIZED (SELECT doc_id,
       |        CAST(len(list_filter(toks, e -> e = 'join'))
@@ -759,18 +818,40 @@ private[graft] object EntryVector {
     * as `NaiveBayes.trainMulticlass`/`scoreMulticlass`, per-(doc,
     * class) scores on the 1e-4 grid. The LEFT JOIN + per-class
     * zero-count fallback mirrors scoreMulticlass' total function even
-    * though the in-corpus gate never exercises OOV. */
-  private val sqlNbMcChain: String =
-    """ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |tfc AS MATERIALIZED (SELECT doc_id, token, count(*) AS tf
+    * though the in-corpus gate never exercises OOV.
+    *
+    * With `holdout = true` the chain becomes the leakage-free
+    * multiclass workflow (q_nb_holdout): an `spl` CTE replays
+    * `Sampling.trainTestSplit` (md5-unit hash < 0.2 ⇒ test, the
+    * sqlLrChainFor predicate verbatim); classes, priors, vocabulary,
+    * and smoothing totals are all built from TRAIN docs only; and
+    * the scoring relation `mcsc` covers the TEST slice — where the
+    * per-class OOV fallback is genuinely exercised (test tokens
+    * absent from the train vocabulary take ln(α) − ln(T+αV)). */
+  private def sqlNbMcChainFor(holdout: Boolean): String = {
+    val spl = if (!holdout) "" else
+      """spl AS MATERIALIZED (SELECT doc_id,
+        |        CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |                  AS BIGINT) / 4294967296.0 < 0.2
+        |             THEN 'test' ELSE 'train' END AS split
+        |      FROM documents),
+        |trd AS MATERIALIZED (SELECT d.doc_id, d.source FROM documents d
+        |      JOIN spl USING (doc_id) WHERE spl.split = 'train'),
+        |""".stripMargin
+    val trainDocs = if (holdout) "trd" else "documents"
+    val scoreSrc = if (holdout)
+      "tfc JOIN spl ON spl.doc_id = tfc.doc_id AND spl.split = 'test'"
+    else "tfc"
+    s"""ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |${spl}tfc AS MATERIALIZED (SELECT doc_id, token, count(*) AS tf
       |       FROM (SELECT doc_id, unnest(toks) AS token FROM ts)
       |       GROUP BY 1, 2),
-      |cls AS MATERIALIZED (SELECT DISTINCT source AS cls FROM documents),
+      |cls AS MATERIALIZED (SELECT DISTINCT source AS cls FROM $trainDocs),
       |dc AS MATERIALIZED (SELECT source AS cls, count(*) AS n
-      |      FROM documents GROUP BY 1),
+      |      FROM $trainDocs GROUP BY 1),
       |ptc AS MATERIALIZED (SELECT tfc.token, d.source AS cls,
       |        sum(tfc.tf) AS c
-      |      FROM tfc JOIN documents d USING (doc_id) GROUP BY 1, 2),
+      |      FROM tfc JOIN $trainDocs d USING (doc_id) GROUP BY 1, 2),
       |dense AS MATERIALIZED (SELECT v.token, c.cls,
       |        coalesce(p.c, 0) AS c
       |      FROM (SELECT DISTINCT token FROM ptc) v
@@ -786,13 +867,16 @@ private[graft] object EntryVector {
       |      - ln(CAST((SELECT sum(n) FROM dc) AS DOUBLE)) AS p FROM dc),
       |s0 AS MATERIALIZED (SELECT tfc.doc_id, c.cls,
       |        sum(tfc.tf * coalesce(w.w, ln(1.0) - ln(t.t + 1.0 * t.v))) AS s
-      |      FROM tfc CROSS JOIN cls c
+      |      FROM $scoreSrc CROSS JOIN cls c
       |      LEFT JOIN wt w ON w.token = tfc.token AND w.cls = c.cls
       |      JOIN tot t ON t.cls = c.cls
       |      GROUP BY 1, 2),
       |mcsc AS MATERIALIZED (SELECT s0.doc_id, s0.cls,
       |        CAST(floor((s0.s + pri.p) * 10000 + 0.5) AS BIGINT) AS score4
       |      FROM s0 JOIN pri ON pri.cls = s0.cls)""".stripMargin
+  }
+
+  private val sqlNbMcChain: String = sqlNbMcChainFor(holdout = false)
 
   /** The q_lr_train chain unrolled for DuckDB: hashed signed-md5
     * features (q_feat_hash's scheme, densified over a 64-position
@@ -1490,6 +1574,41 @@ private[graft] object EntryVector {
          |         row_number() OVER (PARTITION BY doc_id
          |           ORDER BY score4 DESC, cls) AS rn
          |  FROM mcsc) WHERE rn = 1""".stripMargin,
+
+
+    // Serving through the persisted artifact must reproduce
+    // q_nb_score exactly (bit-exact double round-trip through
+    // parquet) — the oracle is that replay verbatim.
+    "q_nb_persist" ->
+      s"""WITH $sqlNbChain,
+         |pri AS (SELECT ln(CAST(sum(y) AS DOUBLE))
+         |             - ln(CAST(sum(1 - y) AS DOUBLE)) AS bias FROM lab),
+         |oov AS (SELECT ln(t0 + 1.0 * v) - ln(t1 + 1.0 * v) AS w FROM tot),
+         |sc AS (SELECT tfc.doc_id,
+         |         sum(tfc.tf * coalesce(wt.w, (SELECT w FROM oov)))
+         |           + (SELECT bias FROM pri) AS s
+         |       FROM tfc LEFT JOIN wt USING (token) GROUP BY tfc.doc_id)
+         |SELECT doc_id,
+         |       CAST(floor(s * 10000 + 0.5) AS BIGINT) AS score4,
+         |       CAST(floor(s * 10000 + 0.5) AS BIGINT) > 0 AS pred
+         |FROM sc""".stripMargin,
+
+
+    // The leakage-free multiclass workflow end to end: split → train
+    // the dense vocab×classes model on train docs only → score the
+    // unseen test slice (real OOV) → exact-integer per-class
+    // confusion counts from the quantized argmax.
+    "q_nb_holdout" ->
+      s"""WITH ${sqlNbMcChainFor(holdout = true)}
+         |SELECT t.source AS actual, p.predicted,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT doc_id, cls AS predicted FROM (
+         |        SELECT doc_id, cls,
+         |               row_number() OVER (PARTITION BY doc_id
+         |                 ORDER BY score4 DESC, cls) AS rn
+         |        FROM mcsc) WHERE rn = 1) p
+         |JOIN documents t ON t.doc_id = p.doc_id
+         |GROUP BY 1, 2""".stripMargin,
 
 
     // Confusion at the 0.5 threshold + tie-corrected Mann-Whitney AUC

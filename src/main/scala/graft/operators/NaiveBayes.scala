@@ -104,6 +104,67 @@ object NaiveBayes {
       .agg((sum(col("tf") * coalesce(col("w"), lit(model.oovW)))
         + lit(model.bias)).as("logOdds"))
 
+  /** Model artifact format version; bumped on any schema change so a
+    * loader can refuse an artifact it does not understand instead of
+    * silently mis-scoring. Independent of `Classifier`'s version —
+    * the formats evolve separately. */
+  val ModelFormatVersion = 1
+
+  /** Persists an `NBModel` as a versioned parquet artifact — the
+    * `Classifier.saveLogReg` symmetry for the TABLE-shaped model
+    * (VERDICT r12 item 2). The weight table (vocab-sized — too big
+    * for a one-row array at 100 TB vocabularies) lands under
+    * `weights/`; the four driver scalars land as ONE meta row under
+    * `meta/`, WRITTEN LAST so it doubles as the commit marker, and
+    * carrying the weight row count so a partial/corrupt weights
+    * write is refused at load instead of silently under-scoring.
+    * Doubles round-trip bit-exactly through parquet, so a loaded
+    * model scores identically to the in-memory one. */
+  def saveNB(spark: org.apache.spark.sql.SparkSession, path: String,
+             model: NBModel): Unit = {
+    import spark.implicits._
+    model.weights.select(col("token"), col("c1"), col("c0"), col("w"))
+      .write.mode("overwrite").parquet(s"$path/weights")
+    Seq((ModelFormatVersion, model.bias, model.oovW, model.vocabSize,
+        model.alpha))
+      .toDF("version", "bias", "oov_w", "vocab_size", "alpha")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Loads a `saveNB` artifact, refusing loudly on: wrong meta row
+    * count (corrupt/partial write), unknown format version, missing
+    * weight columns, a weight row count that disagrees with the meta
+    * (lost/duplicated partitions), or non-finite scalars. The row
+    * count check is one bounded job over the vocab-sized relation —
+    * the freshness contract, not a corpus scan. */
+  def loadNB(spark: org.apache.spark.sql.SparkSession, path: String): NBModel = {
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.length == 1,
+      s"NB model meta at $path has ${metaRows.length} rows, expected exactly 1")
+    val r = metaRows(0)
+    val version = r.getAs[Int]("version")
+    require(version == ModelFormatVersion,
+      s"NB model artifact version $version at $path; this build reads $ModelFormatVersion")
+    val (bias, oovW) = (r.getAs[Double]("bias"), r.getAs[Double]("oov_w"))
+    val vocab = r.getAs[Long]("vocab_size")
+    val alpha = r.getAs[Double]("alpha")
+    require(!bias.isNaN && !bias.isInfinite && !oovW.isNaN && !oovW.isInfinite,
+      s"non-finite bias/oovW in NB model artifact at $path")
+    require(vocab >= 1, s"NB model artifact at $path declares vocab_size $vocab")
+    require(alpha > 0.0 && alpha.isFinite,
+      s"NB model artifact at $path has alpha $alpha, must be positive finite")
+    val w = spark.read.parquet(s"$path/weights")
+    Seq("token", "c1", "c0", "w").foreach(c =>
+      require(w.columns.contains(c),
+        s"NB weights at $path are missing column '$c' — refusing to serve"))
+    val n = w.count()
+    require(n == vocab,
+      s"NB weights at $path have $n rows but the meta row says $vocab — " +
+        "partial or duplicated write, refusing to serve")
+    NBModel(w.select(col("token"), col("c1"), col("c0"), col("w")),
+      bias, oovW, vocab, alpha)
+  }
+
   /** Multiclass model: `weights` = (token, cls, w) with
     * w = ln(c(t,cls)+α) − ln(T_cls+αV); per-class scalars (prior =
     * ln n_cls − ln N, oovW = ln α − ln(T_cls+αV)) are driver-held —

@@ -148,6 +148,13 @@ class ClassifierSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Classifier.calibrationBins(df, "y", "s4", 0L, 10)
     }
+    // column names that need backticks resolve (ADVICE r12: the old
+    // expr()-interpolated floor division broke on them)
+    val odd = df.withColumnRenamed("s4", "score col.v")
+    val ob = Classifier.calibrationBins(odd, "y", "score col.v", 1000L, 10)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ob == bins, s"odd column name must bin identically: $ob")
   }
 
   test("rocAucParts: a single-class input surfaces auc_den = 0 in-band") {
@@ -157,8 +164,13 @@ class ClassifierSpec extends AnyFunSuite {
   }
 
   test("hashedFeaturesRowwise is bit-equal to the shuffled builder and plans as a pure map") {
+    // NULL text included (ADVICE r12): both builders must yield the
+    // all-zero vector — the batch LEFT join zero-fills, and the
+    // rowwise coalesce-to-empty-tokens must agree, or a streaming
+    // admission filter silently drops what the batch scorer scores
     val docs = Seq((1L, "join key the a key"), (2L, ""), (3L, "x y z x"),
-      (4L, "join join join"), (5L, "solo")).toDF("id", "text")
+      (4L, "join join join"), (5L, "solo"), (6L, null.asInstanceOf[String]))
+      .toDF("id", "text")
     val batch = Classifier.hashedFeatures(docs, "id", "text", dim = 16)
       .orderBy("id").collect().map(_.getSeq[Double](1))
     val row = docs.select(col("id"),
@@ -176,6 +188,12 @@ class ClassifierSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"rowwise scoring must be a zero-shuffle map:\n$plan")
+    // the dense per-token accumulator is O(dim·tokens) per row, so
+    // the rowwise builder refuses dims past 4096 (VERDICT r12) —
+    // wide feature spaces belong on hashedFeatures' COO path
+    intercept[IllegalArgumentException] {
+      Classifier.hashedFeaturesRowwise(col("text"), dim = 8192)
+    }
   }
 
   test("saveLogReg/loadLogReg: bit-exact round trip; drifted artifacts refused") {

@@ -15,8 +15,10 @@ class EntryContractSpec extends AnyFunSuite {
   // check below is the tripwire either way.
   private val fixtures = EntryHelpers.sharedFixtureQueries
 
-  /** Rows gated on row-count only (no SQL-expressible oracle). */
-  private val rowsOnly = Set("q_hits_fast")
+  /** Rows gated on row-count only (no SQL-expressible oracle).
+    * Empty since r13: q_hits_fast gained a full hash oracle (its
+    * unnormalized scores are exact integers — see EntryGraph). */
+  private val rowsOnly = Set.empty[String]
 
   test("every query has an oracle (or is a declared rows-only twin)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -463,4 +463,29 @@ class GraphSpec extends AnyFunSuite {
       assert(got(3L)._1 === 0.0, "self-loop must not make 3 an authority")
     } finally Dedup.releaseCaches()
   }
+
+  test("hits: unnormalized scores are exact integers, so the fast mode is bit-equal to the sorted fold") {
+    // the q_hits_fast hash-gate theorem (VERDICT r12 item 1), pinned
+    // on a skewed many-partition bipartite: hub0 = 1.0 and every
+    // round is a pure sum over a deduped integer-keyed edge set, so
+    // by induction every score is an exact integer in a double —
+    // IEEE addition of integers below 2^53 is exact and therefore
+    // associative, and the partial-agg ORDER cannot move one bit.
+    val edges = spark.range(0, 4000).toDF("i").repartition(13)
+      .select((col("i") % 37 * 2).as("src"),
+        (col("i") * 31 % 101 * 2 + 1).as("dst"))
+    try {
+      def scores(sorted: Boolean) =
+        Graph.hits(edges, "src", "dst", iters = 2, sortedFold = sorted)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+          .sortBy(_._1)
+      val fast = scores(sorted = false)
+      assert(fast.toSeq == scores(sorted = true).toSeq,
+        "fast-mode scores must be bit-identical to the sorted-fold parity mode")
+      fast.foreach { case (id, a, h) =>
+        assert(a == math.rint(a) && h == math.rint(h),
+          s"node $id: non-integer score ($a, $h) — the hash-gate premise broke")
+      }
+    } finally Dedup.releaseCaches()
+  }
 }

@@ -107,6 +107,42 @@ class NaiveBayesSpec extends AnyFunSuite {
     }
   }
 
+  test("saveNB/loadNB: bit-exact round trip; drifted artifacts refused") {
+    val m = NaiveBayes.trainMultinomial(toy, "id", "text", "y")
+    val path = java.nio.file.Files.createTempDirectory("nb_model_").toString + "/m"
+    NaiveBayes.saveNB(spark, path, m)
+    val lm = NaiveBayes.loadNB(spark, path)
+    // scalars survive parquet bit-for-bit
+    assert(lm.bias == m.bias && lm.oovW == m.oovW
+      && lm.vocabSize == m.vocabSize && lm.alpha == m.alpha)
+    // serving through the loaded table scores bit-identically
+    val orig = NaiveBayes.scoreLogOdds(toy, "id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = NaiveBayes.scoreLogOdds(toy, "id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == orig, s"loaded model must score bit-identically: $got vs $orig")
+    // version drift refused
+    val vPath = path + "_v"
+    spark.read.parquet(s"$path/weights").write.parquet(s"$vPath/weights")
+    spark.read.parquet(s"$path/meta").withColumn("version", lit(99))
+      .write.parquet(s"$vPath/meta")
+    val e1 = intercept[IllegalArgumentException] { NaiveBayes.loadNB(spark, vPath) }
+    assert(e1.getMessage.contains("version"))
+    // weight/meta row-count disagreement (lost partition) refused
+    val pPath = path + "_p"
+    spark.read.parquet(s"$path/weights").limit(1).write.parquet(s"$pPath/weights")
+    spark.read.parquet(s"$path/meta").write.parquet(s"$pPath/meta")
+    val e2 = intercept[IllegalArgumentException] { NaiveBayes.loadNB(spark, pPath) }
+    assert(e2.getMessage.contains("rows"))
+    // corrupt (two-row) meta refused
+    val dPath = path + "_d"
+    spark.read.parquet(s"$path/weights").write.parquet(s"$dPath/weights")
+    spark.read.parquet(s"$path/meta").union(spark.read.parquet(s"$path/meta"))
+      .write.parquet(s"$dPath/meta")
+    val e3 = intercept[IllegalArgumentException] { NaiveBayes.loadNB(spark, dPath) }
+    assert(e3.getMessage.contains("rows"))
+  }
+
   test("plan shape: tf and per-token passes partial-aggregate; scoring join is not a cartesian") {
     val tfPlan = NaiveBayes.termFreqs(toy, "id", "text")
       .queryExecution.executedPlan.toString
