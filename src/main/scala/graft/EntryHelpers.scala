@@ -114,7 +114,8 @@ private[graft] object EntryHelpers {
   // times its own training run (split-scoped, not the shared model)
   val nbFixtureQueries: Set[String] =
     Set("q_nb_score", "q_nb_eval", "q_nb_persist", "q_stream_nb")
-  val nbMcFixtureQueries: Set[String] = Set("q_nb_classes", "q_nb_predict")
+  val nbMcFixtureQueries: Set[String] =
+    Set("q_nb_classes", "q_nb_predict", "q_nbmc_persist")
   val sharedFixtureQueries: Set[String] =
     pairFixtureQueries ++ bpeFixtureQueries ++
       lrFixtureQueries ++ nbFixtureQueries ++ nbMcFixtureQueries

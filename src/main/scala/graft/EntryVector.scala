@@ -640,6 +640,26 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: persisted MULTICLASS model serving ────────────
+    // The third and last persistence shape: the dense vocab×classes
+    // weight table + per-class scalar vectors land as a versioned
+    // artifact (saveNBMulticlass — meta commit row carries the dense
+    // row-count expectation), and per-(doc, class) posteriors are
+    // served through the loaded model. Oracle = q_nb_classes verbatim.
+    "q_nbmc_persist" -> ((s, dir) => {
+      val m = nbMcModelShared(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_nbmc_model_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        Integer.toHexString(System.identityHashCode(s))
+      NaiveBayes.saveNBMulticlass(s, path, m)
+      val lm = NaiveBayes.loadNBMulticlass(s, path)
+      NaiveBayes.scoreMulticlass(Tables(s, dir, "documents"),
+          "doc_id", "text", lm)
+        .select(col("doc_id"), col("cls"),
+          floor(col("score") * 10000.0 + 0.5).cast("long").as("score4"))
+    }),
+
+
     // ── LLM-pipeline: held-out multiclass evaluation (no leakage) ───
     // The q_lr_holdout twin for the multiclass family (VERDICT r12
     // item 3): contamination-safe 80/20 split by doc_id, multiclass
@@ -1561,6 +1581,14 @@ private[graft] object EntryVector {
 
     // Per-(doc, class) multiclass NB log-posteriors on the 1e-4 grid.
     "q_nb_classes" ->
+      s"""WITH $sqlNbMcChain
+         |SELECT doc_id, cls, score4 FROM mcsc""".stripMargin,
+
+
+    // Serving through the persisted multiclass artifact must
+    // reproduce q_nb_classes exactly (bit-exact double round-trip) —
+    // the oracle is that replay verbatim.
+    "q_nbmc_persist" ->
       s"""WITH $sqlNbMcChain
          |SELECT doc_id, cls, score4 FROM mcsc""".stripMargin,
 

@@ -230,6 +230,70 @@ object NaiveBayes {
       alpha = alpha)
   }
 
+  /** Persists an `NBMulticlassModel` — the multiclass symmetry of
+    * `saveNB`: the dense vocab×classes weight table under `weights/`,
+    * and ONE meta row (version, alpha, the sorted class list, the
+    * per-class priors and OOV weights aligned to it, and the expected
+    * weight row count) under `meta/`, written LAST as the commit
+    * marker. */
+  def saveNBMulticlass(spark: org.apache.spark.sql.SparkSession, path: String,
+                       model: NBMulticlassModel): Unit = {
+    import spark.implicits._
+    val w = model.weights.select(col("token"), col("cls"), col("c"), col("w"))
+    w.write.mode("overwrite").parquet(s"$path/weights")
+    val n = spark.read.parquet(s"$path/weights").count()
+    Seq((ModelFormatVersion, model.alpha, model.classes,
+        model.classes.map(model.priors), model.classes.map(model.oovW), n))
+      .toDF("version", "alpha", "classes", "priors", "oovs", "n_weights")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Loads a `saveNBMulticlass` artifact with the same loud-refusal
+    * contract as `loadNB`: meta row count, format version, class-list
+    * integrity (non-empty, sorted, distinct — the argmax tie-break
+    * depends on it), prior/oov alignment, finite scalars, and a
+    * weight row count that must equal the meta's dense
+    * vocab×classes expectation (a lost or duplicated partition is
+    * refused, not silently mis-scored). */
+  def loadNBMulticlass(spark: org.apache.spark.sql.SparkSession, path: String)
+      : NBMulticlassModel = {
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.length == 1,
+      s"NB multiclass meta at $path has ${metaRows.length} rows, expected exactly 1")
+    val r = metaRows(0)
+    val version = r.getAs[Int]("version")
+    require(version == ModelFormatVersion,
+      s"NB multiclass artifact version $version at $path; this build reads $ModelFormatVersion")
+    val alpha = r.getAs[Double]("alpha")
+    require(alpha > 0.0 && alpha.isFinite,
+      s"NB multiclass artifact at $path has alpha $alpha, must be positive finite")
+    val classes = r.getAs[scala.collection.Seq[String]]("classes").toSeq
+    require(classes.nonEmpty && classes == classes.distinct.sorted,
+      s"NB multiclass artifact at $path has a corrupt class list (must be " +
+        s"non-empty, sorted, distinct): $classes")
+    val priors = r.getAs[scala.collection.Seq[Double]]("priors").toSeq
+    val oovs = r.getAs[scala.collection.Seq[Double]]("oovs").toSeq
+    require(priors.length == classes.length && oovs.length == classes.length,
+      s"NB multiclass artifact at $path: priors/oovs misaligned with classes " +
+        s"(${priors.length}/${oovs.length} vs ${classes.length})")
+    require((priors ++ oovs).forall(v => !v.isNaN && !v.isInfinite),
+      s"non-finite priors/oovs in NB multiclass artifact at $path")
+    val nWeights = r.getAs[Long]("n_weights")
+    require(nWeights >= classes.length,
+      s"NB multiclass artifact at $path declares $nWeights weight rows")
+    val w = spark.read.parquet(s"$path/weights")
+    Seq("token", "cls", "c", "w").foreach(c =>
+      require(w.columns.contains(c),
+        s"NB multiclass weights at $path are missing column '$c' — refusing to serve"))
+    val n = w.count()
+    require(n == nWeights,
+      s"NB multiclass weights at $path have $n rows but the meta row says " +
+        s"$nWeights — partial or duplicated write, refusing to serve")
+    NBMulticlassModel(w.select(col("token"), col("cls"), col("c"), col("w")),
+      classes, priors = classes.zip(priors).toMap,
+      oovW = classes.zip(oovs).toMap, alpha = alpha)
+  }
+
   /** Per-(doc, class) scores: prior_c + Σ tf·w(t, c), with unseen
     * tokens taking the per-class smoothed `oovW`. One tf build, one
     * small cross join against the class list, one LEFT equi-join on

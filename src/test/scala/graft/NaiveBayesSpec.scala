@@ -143,6 +143,77 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("rows"))
   }
 
+  test("saveNBMulticlass/loadNBMulticlass: bit-exact round trip; drifted artifacts refused") {
+    val docs = Seq(
+      (1L, "spam spam eggs", "a"), (2L, "spam", "a"),
+      (3L, "ham ham eggs", "b"), (4L, "ham eggs", "b"),
+      (5L, "eggs", "c")
+    ).toDF("id", "text", "src")
+    val m = NaiveBayes.trainMulticlass(docs, "id", "text", "src")
+    val path = java.nio.file.Files.createTempDirectory("nbmc_model_").toString + "/m"
+    NaiveBayes.saveNBMulticlass(spark, path, m)
+    val lm = NaiveBayes.loadNBMulticlass(spark, path)
+    assert(lm.classes == m.classes && lm.alpha == m.alpha)
+    assert(lm.priors == m.priors && lm.oovW == m.oovW)
+    val orig = NaiveBayes.scoreMulticlass(docs, "id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val got = NaiveBayes.scoreMulticlass(docs, "id", "text", lm)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got == orig, "loaded multiclass model must score bit-identically")
+    // lost-partition refusal: weight rows disagree with the meta
+    val pPath = path + "_p"
+    spark.read.parquet(s"$path/weights").limit(2).write.parquet(s"$pPath/weights")
+    spark.read.parquet(s"$path/meta").write.parquet(s"$pPath/meta")
+    val e1 = intercept[IllegalArgumentException] {
+      NaiveBayes.loadNBMulticlass(spark, pPath)
+    }
+    assert(e1.getMessage.contains("rows"))
+    // corrupt class list (unsorted) refused — argmax tie-break depends on it
+    val cPath = path + "_c"
+    spark.read.parquet(s"$path/weights").write.parquet(s"$cPath/weights")
+    spark.read.parquet(s"$path/meta")
+      .withColumn("classes", reverse(col("classes")))
+      .write.parquet(s"$cPath/meta")
+    val e2 = intercept[IllegalArgumentException] {
+      NaiveBayes.loadNBMulticlass(spark, cPath)
+    }
+    assert(e2.getMessage.contains("class list"))
+  }
+
+  test("foreachBatch serving: per-micro-batch scoring equals whole-corpus batch scoring") {
+    // The BOUNDED-STATE production variant of q_stream_nb's
+    // complete-mode gate rig: each arriving micro-batch is scored
+    // with the batch scorer inside foreachBatch (docs arrive whole,
+    // so per-batch scoring is exact) and appended to a sink — zero
+    // cross-batch streaming state, works at any corpus size. The
+    // claim under test: the union of per-batch scores is the
+    // whole-corpus batch scoring, bit for bit.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val m = NaiveBayes.trainMultinomial(toy, "id", "text", "y")
+    m.weights.persist().count()
+    try {
+      val expected = NaiveBayes.scoreLogOdds(toy, "id", "text", m)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val sink = scala.collection.mutable.Map.empty[Long, Double]
+      val source = MemoryStream[(Long, String)]
+      val q = source.toDF().toDF("id", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          NaiveBayes.scoreLogOdds(batch, "id", "text", m).collect()
+            .foreach(r => sink.synchronized {
+              sink(r.getLong(0)) = r.getDouble(1); ()
+            })
+        }
+        .start()
+      try Seq(Seq((1L, "spam spam eggs"), (2L, "spam")),
+        Seq((3L, "ham ham eggs")), Seq((4L, "ham eggs"))).foreach { b =>
+        source.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      assert(sink.toMap == expected,
+        s"per-batch scores must equal the batch scorer: $sink vs $expected")
+    } finally { m.weights.unpersist(); () }
+  }
+
   test("plan shape: tf and per-token passes partial-aggregate; scoring join is not a cartesian") {
     val tfPlan = NaiveBayes.termFreqs(toy, "id", "text")
       .queryExecution.executedPlan.toString

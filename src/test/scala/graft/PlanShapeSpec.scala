@@ -384,6 +384,36 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_nb_persist: serving reads the LOADED artifact; the weight join stays keyed") {
+    val df = SparkEntry.queries("q_nb_persist")(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"NB serving must stay a token equi-join:\n$s")
+    assert(s.contains("graft_nb_model_"),
+      s"scores must come from the persisted weight table, not the in-memory model:\n$s")
+  }
+
+  test("q_nb_holdout: the only unkeyed fan-out is the deliberate class-list cross join") {
+    // scoreMulticlass crossJoins the tiny class list by design (every
+    // doc scores every class); everything else — the (token, cls)
+    // model join, the actual-label join, the argmax window — must
+    // stay keyed/partitioned. The training side's own dense cross
+    // join is behind a localCheckpoint and cannot appear here.
+    val df = SparkEntry.queries("q_nb_holdout")(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"),
+      s"holdout plan contains a cartesian product:\n$s")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(s).size
+    assert(bnlj <= 1,
+      s"only the class-list fan-out may be nested-loop, found $bnlj:\n$s")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the argmax window in the plan")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "unpartitioned Window in the holdout — one task holds the corpus at scale"))
+  }
+
   test("q_corpus_e2e: no cartesian, every window partitioned, landing scanned once") {
     // the capstone composition must inherit each stage's scale shape:
     // joins stay keyed (LSH buckets / component ids / doc ids — never
