@@ -293,8 +293,10 @@ private[graft] object EntryCuration {
     // the gate. Splittable by construction (no multiLine).
     "q_csv_roundtrip" -> ((s, dir) => {
       val cust = Tables(s, dir, "customer")
+      // session-unique (the q_lr_persist convention, extended r13)
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" +
+        Integer.toHexString(System.identityHashCode(s))
       graft.sources.DocIO.writeCsv(cust, tmp, shards = 4)
       graft.sources.DocIO.readCsv(s, tmp, cust.schema)
         .filter(col("_corrupt_record").isNull)
@@ -312,8 +314,10 @@ private[graft] object EntryCuration {
     // shuffle is the fixed 4-shard repartition.
     "q_jsonl_roundtrip" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // session-unique (the q_lr_persist convention, extended r13)
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" +
+        Integer.toHexString(System.identityHashCode(s))
       graft.sources.DocIO.writeJsonl(docs, tmp, shards = 4)
       graft.sources.DocIO.readJsonl(s, tmp, docs.schema)
         .filter(col("_corrupt_record").isNull)

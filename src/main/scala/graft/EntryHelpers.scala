@@ -97,7 +97,7 @@ private[graft] object EntryHelpers {
     "q_leakage", "q_split_clean", "q_bfs_dist", "q_sssp",
     "q_ppr", "q_comp_sizes", "q_closeness")
   val bpeFixtureQueries: Set[String] = Set(
-    "q_bpe_encode", "q_bpe_compression")
+    "q_bpe_encode", "q_bpe_compression", "q_bpe_persist")
   // Trained-model fixtures: q_lr_train / q_nb_train / q_lr_holdout
   // are deliberately NOT listed — they are the rows that time
   // training. The name sets live HERE (not in EntryVector) because

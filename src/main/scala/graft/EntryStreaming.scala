@@ -318,8 +318,12 @@ private[graft] object EntryStreaming {
     // verbatim, so file streaming sits under the HASH gate.
     "q_stream_jsonl" -> ((s, dir) => withStreamRigConf(s) {
       val docs = Tables(s, dir, "documents")
+      // session-unique (the q_lr_persist convention, extended r13):
+      // concurrent gate layouts must not overwrite each other's shards
+      // mid-scan
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_jsonl_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" +
+        Integer.toHexString(System.identityHashCode(s))
       graft.sources.DocIO.writeJsonl(docs, tmp, shards = 4)
       val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
       val agg = s.readStream
@@ -352,7 +356,8 @@ private[graft] object EntryStreaming {
       implicit val sqlCtx = s.sqlContext
       val docs = docFeed(s, dir).map(d => (d._1, d._3, d._4))
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_filesink_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" +
+        Integer.toHexString(System.identityHashCode(s))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
       val source = MemoryStream[(Long, String, Long)]
       val q = source.toDF().toDF("doc_id", "source", "n_chars")

@@ -320,6 +320,27 @@ private[graft] object EntryText {
     }),
 
 
+    // ── tokenizer: persisted-rules segmentation (freeze → load →
+    // encode) ─────────────────────────────────────────────────────────
+    // The tokenizer artifact — "train once, tokenize everywhere":
+    // token counting, packing, and budget cuts all drift silently if
+    // any consumer segments with different rules, so the merge list
+    // is frozen as a versioned parquet artifact (ordered steps + a
+    // meta commit row; loud refusals on version / count / step-order
+    // drift) and the corpus is encoded THROUGH THE LOADED rules.
+    // Oracle = q_bpe_encode's replay verbatim: a reordered, gappy, or
+    // partially-written artifact segments differently and
+    // hash-mismatches.
+    "q_bpe_persist" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bpe_rules_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        Integer.toHexString(System.identityHashCode(s))
+      Tokenizer.saveBpe(s, path, bpeMerges6(s, dir))
+      Tokenizer.applyBpe(Tables(s, dir, "documents"), "doc_id", "text",
+        Tokenizer.loadBpe(s, path))
+    }),
+
+
     // ── tokenizer: per-source compression report of the trained BPE ─
     // THE tokenizer acceptance metric: chars-per-subword by source —
     // a tokenizer trained on one domain under-compresses the others.
@@ -370,6 +391,27 @@ private[graft] object EntryText {
         checkpoints = Seq(500L, 1000L, 2000L, 4000L))
     }),
   )
+
+  /** The 6-round BPE train + corpus-encode replay, shared verbatim by
+    * q_bpe_encode (trained rules) and q_bpe_persist (rules through
+    * the save/load round trip — bit-identical by the artifact
+    * contract). */
+  private val sqlBpeEncode: String =
+    s"""WITH ${sqlBpeChain(6)},
+       |d0 AS (
+       |  SELECT doc_id, list_transform(list_filter(string_split(text, ' '), w -> len(w) > 0),
+       |           w -> array_to_string([w[i] for i in range(1, len(w)+1)], ' ')) AS syms
+       |  FROM documents
+       |),
+       |${(1 to 6).map(r =>
+           s"""d$r AS (
+              |  SELECT d.doc_id, list_transform(d.syms, s -> ${sqlBpeFold("string_split(s, ' ')")}) AS syms
+              |  FROM d${r - 1} d CROSS JOIN m$r m
+              |)""".stripMargin).mkString(",\n")}
+       |SELECT doc_id, bpe,
+       |       CASE WHEN bpe = '' THEN CAST(0 AS BIGINT)
+       |            ELSE CAST(len(string_split(bpe, ' ')) AS BIGINT) END AS n_subwords
+       |FROM (SELECT doc_id, array_to_string(syms, ' ') AS bpe FROM d6)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -1023,22 +1065,13 @@ private[graft] object EntryText {
              .mkString("", "\nUNION ALL\n", "")}""".stripMargin,
 
 
-    "q_bpe_encode" ->
-      s"""WITH ${sqlBpeChain(6)},
-         |d0 AS (
-         |  SELECT doc_id, list_transform(list_filter(string_split(text, ' '), w -> len(w) > 0),
-         |           w -> array_to_string([w[i] for i in range(1, len(w)+1)], ' ')) AS syms
-         |  FROM documents
-         |),
-         |${(1 to 6).map(r =>
-             s"""d$r AS (
-                |  SELECT d.doc_id, list_transform(d.syms, s -> ${sqlBpeFold("string_split(s, ' ')")}) AS syms
-                |  FROM d${r - 1} d CROSS JOIN m$r m
-                |)""".stripMargin).mkString(",\n")}
-         |SELECT doc_id, bpe,
-         |       CASE WHEN bpe = '' THEN CAST(0 AS BIGINT)
-         |            ELSE CAST(len(string_split(bpe, ' ')) AS BIGINT) END AS n_subwords
-         |FROM (SELECT doc_id, array_to_string(syms, ' ') AS bpe FROM d6)""".stripMargin,
+    "q_bpe_encode" -> sqlBpeEncode,
+
+
+    // encoding through the persisted rules must reproduce the
+    // trained-rules encode exactly — the oracle is that replay
+    // verbatim
+    "q_bpe_persist" -> sqlBpeEncode,
 
 
     "q_bpe_compression" ->

@@ -115,6 +115,67 @@ object Tokenizer {
     learned.toSeq.toDF("step", "pair", "pair_count")
   }
 
+  /** Tokenizer artifact format version; bumped on any schema change
+    * so a loader refuses an artifact it does not understand. */
+  val MergesFormatVersion = 1
+
+  /** Persists an ordered BPE merge list as a versioned parquet
+    * artifact — "train once, tokenize everywhere": every downstream
+    * consumer (token counting, packing, budget cuts) must segment
+    * with the SAME frozen rules or its token accounting silently
+    * drifts from the model's. Rules land under `merges/` with their
+    * 1-based training step; ONE meta row (version + merge count)
+    * lands LAST under `meta/` as the commit marker. */
+  def saveBpe(spark: org.apache.spark.sql.SparkSession, path: String,
+              merges: Seq[(String, String)]): Unit = {
+    require(merges.nonEmpty, "saveBpe: empty merge list — nothing to persist")
+    merges.foreach { case (l, r) =>
+      require(l.nonEmpty && r.nonEmpty && !l.contains(" ") && !r.contains(" "),
+        s"saveBpe: malformed merge pair ('$l', '$r') — symbols are " +
+          "non-empty and never contain spaces")
+    }
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i + 1L, l, r) }
+      .toDF("step", "l", "r")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/merges")
+    Seq((MergesFormatVersion, merges.length.toLong))
+      .toDF("version", "n_merges")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Loads a `saveBpe` artifact, refusing loudly on: wrong meta row
+    * count, unknown version, a merge row count that disagrees with
+    * the meta, steps that are not exactly 1..n (the fold ORDER is the
+    * tokenizer — a reordered or gappy artifact segments differently),
+    * or malformed symbols. Returns the rules in training order, ready
+    * for `applyBpe`. */
+  def loadBpe(spark: org.apache.spark.sql.SparkSession, path: String)
+      : Seq[(String, String)] = {
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.length == 1,
+      s"BPE meta at $path has ${metaRows.length} rows, expected exactly 1")
+    val version = metaRows(0).getAs[Int]("version")
+    require(version == MergesFormatVersion,
+      s"BPE artifact version $version at $path; this build reads $MergesFormatVersion")
+    val n = metaRows(0).getAs[Long]("n_merges")
+    val rows = spark.read.parquet(s"$path/merges").collect()
+    require(rows.length.toLong == n,
+      s"BPE merges at $path have ${rows.length} rows but the meta row says $n — " +
+        "partial or duplicated write, refusing to serve")
+    val ordered = rows.map(r =>
+        (r.getAs[Long]("step"), r.getAs[String]("l"), r.getAs[String]("r")))
+      .sortBy(_._1)
+    require(ordered.map(_._1).toSeq == (1L to n).toSeq,
+      s"BPE merges at $path have corrupt steps ${ordered.map(_._1).mkString(",")} — " +
+        "the fold order IS the tokenizer, refusing to serve")
+    ordered.foreach { case (step, l, r) =>
+      require(l != null && r != null && l.nonEmpty && r.nonEmpty
+          && !l.contains(" ") && !r.contains(" "),
+        s"BPE merges at $path: malformed pair at step $step")
+    }
+    ordered.map { case (_, l, r) => (l, r) }.toSeq
+  }
+
   /** Segment a corpus with an ordered merge list (from `bpeTrain`'s
     * output — k-bounded driver data by construction). Rowwise: every
     * word char-splits, then each merge rule folds over it in training

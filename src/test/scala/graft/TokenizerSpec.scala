@@ -90,4 +90,44 @@ class TokenizerSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(viaApply === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("saveBpe/loadBpe: ordered round trip; drifted artifacts refused") {
+    val merges = Seq(("a", "b"), ("ab", "c"), ("x", "y"))
+    val path = java.nio.file.Files.createTempDirectory("bpe_rules_").toString + "/m"
+    Tokenizer.saveBpe(spark, path, merges)
+    assert(Tokenizer.loadBpe(spark, path) == merges,
+      "rules must round-trip in training order")
+    // segmentation through the loaded rules is identical
+    val docs = Seq((1L, "abc xy b")).toDF("id", "text")
+    val direct = Tokenizer.applyBpe(docs, "id", "text", merges).head()
+    val loaded = Tokenizer.applyBpe(docs, "id", "text",
+      Tokenizer.loadBpe(spark, path)).head()
+    assert(direct == loaded)
+    // version drift refused
+    val vPath = path + "_v"
+    spark.read.parquet(s"$path/merges").write.parquet(s"$vPath/merges")
+    spark.read.parquet(s"$path/meta").withColumn("version", lit(99))
+      .write.parquet(s"$vPath/meta")
+    val e1 = intercept[IllegalArgumentException] { Tokenizer.loadBpe(spark, vPath) }
+    assert(e1.getMessage.contains("version"))
+    // lost merge row refused (count disagrees with meta)
+    val pPath = path + "_p"
+    spark.read.parquet(s"$path/merges").limit(2).write.parquet(s"$pPath/merges")
+    spark.read.parquet(s"$path/meta").write.parquet(s"$pPath/meta")
+    val e2 = intercept[IllegalArgumentException] { Tokenizer.loadBpe(spark, pPath) }
+    assert(e2.getMessage.contains("rows"))
+    // gappy steps refused — the fold order IS the tokenizer (steps
+    // {1,3} with n_merges=2 pass the count check, fail the 1..n check)
+    val gPath = path + "_g"
+    spark.read.parquet(s"$path/merges").filter(col("step") =!= 2L)
+      .write.parquet(s"$gPath/merges")
+    spark.read.parquet(s"$path/meta")
+      .withColumn("n_merges", lit(2L)).write.parquet(s"$gPath/meta")
+    val e3 = intercept[IllegalArgumentException] { Tokenizer.loadBpe(spark, gPath) }
+    assert(e3.getMessage.contains("steps"))
+    // malformed pair refused at save
+    intercept[IllegalArgumentException] {
+      Tokenizer.saveBpe(spark, path + "_x", Seq(("a b", "c")))
+    }
+  }
 }
