@@ -177,6 +177,28 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: PQ codebooks persisted (freeze → load → ADC) ──
+    // The codebook is the tokenizer of the vector world: codes
+    // written by a different codebook are silently garbage at ADC
+    // time, so it freezes as a versioned artifact (m·k codeword rows
+    // + a meta commit row; loud refusals on geometry / row-count /
+    // codeword-id drift) and BOTH encode and ADC serve through the
+    // loaded model. Oracle = q_pq_topk verbatim.
+    "q_pq_persist" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_model_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        Integer.toHexString(System.identityHashCode(s))
+      Similarity.savePQ(s, path, model)
+      val lm = Similarity.loadPQ(s, path)
+      val codes = Similarity.encodePQ(emb, "embedding", lm).select("vec_id", "codes")
+      Similarity.pqTopK(codes, "vec_id", "codes",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding", lm, k = 10)
+    }),
+
+
     // ── LLM-pipeline: PQ shortlist + exact re-rank ──────────────────
     // ADC picks 50 candidates per probe from codes alone; only those
     // 250 rows touch the float table for the exact final top-10.
@@ -1188,6 +1210,20 @@ private[graft] object EntryVector {
 
 
     "q_pq_topk" ->
+      s"""WITH $sqlPqCodes,
+         |$sqlProbes,
+         |$sqlPqAdc
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, adist FROM (
+         |  SELECT probe_id, vec_id, adist,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+         |  FROM ad WHERE vec_id != probe_id)
+         |WHERE rn <= 10""".stripMargin,
+
+
+    // encode + ADC through the persisted codebook must reproduce
+    // q_pq_topk exactly (bit-exact double round-trip) — the oracle is
+    // that replay verbatim.
+    "q_pq_persist" ->
       s"""WITH $sqlPqCodes,
          |$sqlProbes,
          |$sqlPqAdc

@@ -351,6 +351,72 @@ object Similarity {
     val dsub: Int = d / m
   }
 
+  /** PQ codebook artifact format version; bumped on any schema change
+    * so a loader refuses an artifact it does not understand. */
+  val PQFormatVersion = 1
+
+  /** Persists PQ codebooks as a versioned parquet artifact — "train
+    * once, encode everywhere": codes written by a DIFFERENT codebook
+    * are silently garbage at ADC time, so the codebook must freeze
+    * with the index it encodes. m·k rows (subspace, codeword id,
+    * codeword) land under `codebooks/`; ONE meta row (version, d, m,
+    * k) lands LAST under `meta/` as the commit marker. */
+  def savePQ(spark: SparkSession, path: String, model: PQModel): Unit = {
+    import spark.implicits._
+    model.codebooks.zipWithIndex
+      .flatMap { case (book, j) =>
+        book.map { case (cid, cw) => (j, cid, cw.toSeq) }
+      }
+      .toDF("j", "cid", "cw")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((PQFormatVersion, model.d, model.m, model.k))
+      .toDF("version", "d", "m", "k")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Loads a `savePQ` artifact, refusing loudly on: wrong meta row
+    * count, unknown version, inconsistent geometry (d not divisible
+    * by m, k out of byte range), a codebook row count that disagrees
+    * with m·k, per-subspace codeword ids that are not exactly 1..k
+    * (the code column stores these ids — a renumbered artifact
+    * decodes wrong), ragged codeword widths, or non-finite values. */
+  def loadPQ(spark: SparkSession, path: String): PQModel = {
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.length == 1,
+      s"PQ meta at $path has ${metaRows.length} rows, expected exactly 1")
+    val mr = metaRows(0)
+    val version = mr.getAs[Int]("version")
+    require(version == PQFormatVersion,
+      s"PQ artifact version $version at $path; this build reads $PQFormatVersion")
+    val (d, m, k) = (mr.getAs[Int]("d"), mr.getAs[Int]("m"), mr.getAs[Int]("k"))
+    require(m >= 1 && d >= m && d % m == 0,
+      s"PQ artifact at $path has inconsistent geometry d=$d m=$m")
+    require(k >= 1 && k <= 256, s"PQ artifact at $path has k=$k")
+    val dsub = d / m
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+    require(rows.length == m * k,
+      s"PQ codebooks at $path have ${rows.length} rows, meta says ${m * k} — " +
+        "partial or duplicated write, refusing to serve")
+    val byJ = rows.map(r => (r.getAs[Int]("j"), r.getAs[Int]("cid"),
+        r.getAs[scala.collection.Seq[Double]]("cw").toArray))
+      .groupBy(_._1)
+    require(byJ.keySet == (0 until m).toSet,
+      s"PQ codebooks at $path cover subspaces ${byJ.keySet.toSeq.sorted}, expected 0..${m - 1}")
+    val books = (0 until m).map { j =>
+      val book = byJ(j).sortBy(_._2).map { case (_, cid, cw) => (cid, cw) }
+      require(book.map(_._1).toSeq == (1 to k).toSeq,
+        s"PQ codebooks at $path, subspace $j: codeword ids are not exactly 1..$k")
+      book.foreach { case (cid, cw) =>
+        require(cw.length == dsub,
+          s"PQ codebooks at $path, subspace $j codeword $cid: width ${cw.length} != $dsub")
+        require(cw.forall(v => !v.isNaN && !v.isInfinite),
+          s"non-finite codeword in PQ artifact at $path (subspace $j, cid $cid)")
+      }
+      book: KMeans.Centroids
+    }
+    PQModel(d, m, k, books)
+  }
+
   /** Train PQ codebooks: the d dims split into m contiguous
     * subspaces, each clustered independently by our own K-Means
     * (deterministic FirstK init ⇒ reproducible codebooks; maxIter=0

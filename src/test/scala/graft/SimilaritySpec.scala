@@ -424,4 +424,46 @@ class SimilaritySpec extends AnyFunSuite {
     // matches the driver-side sign function exactly
     assert(got(1L) === (1 to 3).map(j => Similarity.projSign(j, 1)))
   }
+
+  test("savePQ/loadPQ: bit-exact round trip; drifted artifacts refused") {
+    val emb = (1L to 20L).map(i =>
+      (i, (0 until 8).map(p => (i * 7 + p * 3 % 11).toDouble / 4.0)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.trainPQ(emb, "vec_id", "embedding", d = 8, m = 2,
+      k = 4, maxIter = 0)
+    val path = java.nio.file.Files.createTempDirectory("pq_model_").toString + "/m"
+    Similarity.savePQ(spark, path, m)
+    val lm = Similarity.loadPQ(spark, path)
+    assert(lm.d == m.d && lm.m == m.m && lm.k == m.k)
+    assert(lm.codebooks.map(_.toSeq.map { case (c, w) => (c, w.toSeq) }) ==
+      m.codebooks.map(_.toSeq.map { case (c, w) => (c, w.toSeq) }),
+      "codebooks must round-trip bit-exactly")
+    // encoding through the loaded model is identical
+    val a = Similarity.encodePQ(emb, "embedding", m).select("vec_id", "codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = Similarity.encodePQ(emb, "embedding", lm).select("vec_id", "codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b)
+    // lost codeword row refused
+    val pPath = path + "_p"
+    spark.read.parquet(s"$path/codebooks").limit(7)
+      .write.parquet(s"$pPath/codebooks")
+    spark.read.parquet(s"$path/meta").write.parquet(s"$pPath/meta")
+    val e1 = intercept[IllegalArgumentException] { Similarity.loadPQ(spark, pPath) }
+    assert(e1.getMessage.contains("rows"))
+    // renumbered codeword ids refused — codes store these ids
+    val cPath = path + "_c"
+    spark.read.parquet(s"$path/codebooks")
+      .withColumn("cid", col("cid") + 1).write.parquet(s"$cPath/codebooks")
+    spark.read.parquet(s"$path/meta").write.parquet(s"$cPath/meta")
+    val e2 = intercept[IllegalArgumentException] { Similarity.loadPQ(spark, cPath) }
+    assert(e2.getMessage.contains("codeword ids"))
+    // version drift refused
+    val vPath = path + "_v"
+    spark.read.parquet(s"$path/codebooks").write.parquet(s"$vPath/codebooks")
+    spark.read.parquet(s"$path/meta").withColumn("version", lit(99))
+      .write.parquet(s"$vPath/meta")
+    val e3 = intercept[IllegalArgumentException] { Similarity.loadPQ(spark, vPath) }
+    assert(e3.getMessage.contains("version"))
+  }
 }
