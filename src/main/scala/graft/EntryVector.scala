@@ -225,6 +225,33 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: PERSISTED IVF-PQ serving (the full disk stack)
+    // The production billion-vector shape end to end: the codebook is
+    // frozen and LOADED (savePQ/loadPQ), the (id, codes) table lands
+    // partitioned by coarse cell (buildIvfPqIndex — floats never
+    // stored), and the query prunes to nprobe cell partitions and
+    // ranks on codes via broadcast ADC tables. Both provenances
+    // (coarse quantizer + codebook fingerprints) gate the serve.
+    // Oracle = q_ivfpq_topk verbatim: a drifted codebook, a lost
+    // partition, or wrong-cell pruning all hash-mismatch.
+    "q_ivfpq_persist" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        Integer.toHexString(System.identityHashCode(s))
+      Similarity.savePQ(s, s"$base/pq", model)
+      val lm = Similarity.loadPQ(s, s"$base/pq")
+      val cents = cents8(s, dir)
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, lm,
+        s"$base/index")
+      Similarity.ivfPqTopKIndexed(s, s"$base/index",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        cents, lm, nprobe = 2, k = 10)
+    }),
+
+
     // ── LLM-pipeline: int8 embedding quantization ───────────────────
     // The 4×-smaller storage form for billion-vector corpora; codes
     // emitted as a comma-joined string so the compare hashes scalars.
@@ -1049,6 +1076,41 @@ private[graft] object EntryVector {
          |  FROM s)
          |WHERE rn <= 10""".stripMargin
 
+  /** The in-memory IVF-PQ replay, shared verbatim by q_ivfpq_topk and
+    * q_ivfpq_persist (disk-resident index + loaded codebook must
+    * serve bit-identically). */
+  private val sqlIvfPqTopK: String =
+    s"""WITH $sqlCents8,
+       |$sqlPqCodes,
+       |$sqlProbes,
+       |pc AS (
+       |  SELECT vec_id AS probe_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d WHERE vec_id IN (SELECT probe_id FROM pr)) WHERE rn <= 2
+       |),
+       |pt AS (
+       |  SELECT pr.probe_id, cb.j, cb.cid,
+       |         list_sum(list_transform(list_zip(pr.pv[cb.j*16+1 : cb.j*16+16], cb.cw),
+       |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS sd
+       |  FROM pr CROSS JOIN cb
+       |),
+       |candq AS (
+       |  SELECT DISTINCT pc.probe_id, a.vec_id
+       |  FROM a JOIN pc ON a.cluster = pc.cell
+       |  WHERE a.vec_id != pc.probe_id
+       |),
+       |adq AS (
+       |  SELECT candq.probe_id, candq.vec_id, list_sum(list(pt.sd ORDER BY q.j)) AS adist
+       |  FROM candq JOIN pqa q ON q.vec_id = candq.vec_id
+       |             JOIN pt ON pt.probe_id = candq.probe_id AND pt.j = q.j AND pt.cid = q.cid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, adist FROM (
+       |  SELECT probe_id, vec_id, adist,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+       |  FROM adq) WHERE rn <= 10""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q_topk_cosine" ->
@@ -1256,37 +1318,13 @@ private[graft] object EntryVector {
          |  FROM ex) WHERE rn <= 10""".stripMargin,
 
 
-    "q_ivfpq_topk" ->
-      s"""WITH $sqlCents8,
-         |$sqlPqCodes,
-         |$sqlProbes,
-         |pc AS (
-         |  SELECT vec_id AS probe_id, cid AS cell FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM d WHERE vec_id IN (SELECT probe_id FROM pr)) WHERE rn <= 2
-         |),
-         |pt AS (
-         |  SELECT pr.probe_id, cb.j, cb.cid,
-         |         list_sum(list_transform(list_zip(pr.pv[cb.j*16+1 : cb.j*16+16], cb.cw),
-         |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS sd
-         |  FROM pr CROSS JOIN cb
-         |),
-         |candq AS (
-         |  SELECT DISTINCT pc.probe_id, a.vec_id
-         |  FROM a JOIN pc ON a.cluster = pc.cell
-         |  WHERE a.vec_id != pc.probe_id
-         |),
-         |adq AS (
-         |  SELECT candq.probe_id, candq.vec_id, list_sum(list(pt.sd ORDER BY q.j)) AS adist
-         |  FROM candq JOIN pqa q ON q.vec_id = candq.vec_id
-         |             JOIN pt ON pt.probe_id = candq.probe_id AND pt.j = q.j AND pt.cid = q.cid
-         |  GROUP BY 1, 2
-         |)
-         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, adist FROM (
-         |  SELECT probe_id, vec_id, adist,
-         |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
-         |  FROM adq) WHERE rn <= 10""".stripMargin,
+    "q_ivfpq_topk" -> sqlIvfPqTopK,
+
+
+    // serving through the persisted code table AND the loaded
+    // codebook must reproduce the in-memory IVF-PQ search exactly —
+    // the oracle is that replay verbatim.
+    "q_ivfpq_persist" -> sqlIvfPqTopK,
 
 
     "q_quantize" ->

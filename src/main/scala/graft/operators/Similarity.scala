@@ -584,6 +584,125 @@ object Similarity {
         (col("r0") + 1).cast("int").as("rank"), (-col("p._2")).as("adist"))
   }
 
+  // ── Persisted IVF-PQ index (the full production serving stack) ───
+
+  private val IvfPqMetaVersion = 1
+
+  /** Order-independent digest of a PQ codebook set: md5 over
+    * (j, cid, dsub, IEEE-754 bits) in (j, cid) order — the provenance
+    * that binds persisted CODES to the codebook that wrote them. */
+  private[operators] def pqFingerprint(model: PQModel): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    model.codebooks.zipWithIndex.foreach { case (book, j) =>
+      book.sortBy(_._1).foreach { case (cid, cw) =>
+        buf.clear(); buf.putInt(j); buf.putInt(cid)
+        md.update(buf.array(), 0, 8)
+        cw.foreach { x =>
+          buf.clear(); buf.putLong(java.lang.Double.doubleToLongBits(x))
+          md.update(buf.array(), 0, 8)
+        }
+      }
+    }
+    md.digest().map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Persist the IVF-PQ index — the form that actually serves
+    * billions of vectors from disk: each row is (id, m small-int
+    * codes), written PARTITIONED BY coarse cell, so a query reads
+    * nprobe/#cells of an already-32×-compressed table and the floats
+    * are never stored in the index at all. The meta row carries BOTH
+    * provenances (coarse-quantizer fingerprint + centroids, PQ
+    * codebook fingerprint) written AFTER the data: codes decoded
+    * under a drifted codebook, or cells probed under a drifted
+    * quantizer, are silently-plausible garbage — the serve refuses
+    * both. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      cents: KMeans.Centroids, model: PQModel,
+                      path: String): Unit = {
+    TopKAgg.requireLongCastableId(corpus, idCol, "Similarity.buildIvfPqIndex")
+    encodePQ(
+      KMeans.assign(
+        corpus.select(col(idCol).cast("long").as("id"),
+          VectorOps.toDouble(col(vecCol)).as("__v")),
+        "__v", cents, outCol = "cell"),
+      "__v", model, outCol = "codes")
+      .select("id", "codes", "cell")
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((IvfPqMetaVersion, spark.read.parquet(path).count(),
+        centsFingerprint(cents),
+        cents.sortBy(_._1).toSeq.map { case (cid, v) => (cid, v.toSeq) },
+        pqFingerprint(model)))
+      .toDF("version", "rows", "fingerprint", "cents", "pq_fingerprint")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_ivfpq_meta")
+  }
+
+  /** IVF-PQ top-k against a PERSISTED index: probe cells rank
+    * driver-side against the meta's stored centroids, prune the scan
+    * to `cell IN (...)` parquet partitions, and rank entirely on the
+    * stored codes via broadcast ADC tables — identical arithmetic to
+    * `ivfPqTopK`, so results match the in-memory path bit-for-bit.
+    * Refuses to serve when the passed quantizer or codebook
+    * fingerprint differs from what the index was built under, or
+    * (verifyRows) when the footer row count drifted from the meta. */
+  def ivfPqTopKIndexed(spark: SparkSession, indexPath: String,
+                       probes: DataFrame, probeIdCol: String,
+                       probeVecCol: String, cents: KMeans.Centroids,
+                       model: PQModel, nprobe: Int, k: Int,
+                       verifyRows: Boolean = true): DataFrame = {
+    TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.ivfPqTopKIndexed")
+    val meta =
+      try spark.read.parquet(s"$indexPath/_graft_ivfpq_meta").head()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$indexPath is not a graft IVF-PQ index (no _graft_ivfpq_meta): " +
+            e.getMessage) }
+    require(meta.getAs[Int]("version") == IvfPqMetaVersion,
+      s"IVF-PQ index format version ${meta.getAs[Int]("version")} != " +
+        s"$IvfPqMetaVersion — rebuild")
+    require(meta.getAs[String]("fingerprint") == centsFingerprint(cents),
+      s"stale IVF-PQ index at $indexPath: the coarse quantizer passed to the " +
+        "query does not match the one the index was built with — probing the " +
+        "wrong cells returns silently wrong neighbors; rebuild or query with " +
+        "the index's own centroids")
+    require(meta.getAs[String]("pq_fingerprint") == pqFingerprint(model),
+      s"stale IVF-PQ index at $indexPath: the PQ codebook passed to the query " +
+        "does not match the one the codes were written with — ADC over " +
+        "foreign codes is silently wrong; rebuild or load the paired codebook")
+    if (verifyRows) {
+      val actual = spark.read.parquet(indexPath).count()
+      require(actual == meta.getAs[Long]("rows"),
+        s"stale IVF-PQ index at $indexPath: meta records " +
+          s"${meta.getAs[Long]("rows")} rows, index holds $actual — partial " +
+          "write or concurrent writer; rebuild")
+    }
+    val pr = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+      VectorOps.toDouble(col(probeVecCol)).as("__pv")).collect()
+    require(pr.length <= 10000, s"probes must be small (got ${pr.length}) — they broadcast")
+    val probeCells: Seq[(Long, Int, Seq[Seq[Double]])] = pr.toSeq.flatMap { r =>
+      val pv = r.getSeq[Double](1).toArray
+      val tbl = adcTable(pv, model)
+      nearestCells(pv, cents, nprobe).map(c => (r.getLong(0), c, tbl))
+    }
+    val cells = probeCells.map(_._2).distinct
+    import spark.implicits._
+    val pc = probeCells.toDF("probe_id", "cell", "__tbl")
+    spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells: _*)) // static partition pruning
+      .join(broadcast(pc), "cell")
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id").as("__id"),
+        VectorOps.foldSum(zip_with(col("codes"), col("__tbl"),
+          (c, t) => element_at(t, c))).as("__d"))
+      .groupBy("probe_id")
+      .agg(TopKAgg.topK(k, col("__id"), -col("__d")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))
+      .select(col("probe_id"), col("p._1").as("vec_id"),
+        (col("r0") + 1).cast("int").as("rank"), (-col("p._2")).as("adist"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact result —
     * the eval harness every index deserves before it ships: feed both
     * relations (same (probe, hit-id) shape, e.g. ivfTopK vs

@@ -425,6 +425,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1L) === (1 to 3).map(j => Similarity.projSign(j, 1)))
   }
 
+  test("IVF-PQ persisted index: serves the in-memory answer with pruned partitions; drift refused") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+      m = 4, k = 16, maxIter = 0)
+    val probes = emb.orderBy("vec_id").limit(3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString + "/i"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model, dir)
+    val indexed = Similarity.ivfPqTopKIndexed(spark, dir,
+      probes, "vec_id", "embedding", cents, model, nprobe = 2, k = 5)
+    val a = indexed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val b = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", cents, model, nprobe = 2, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(a == b && a.nonEmpty,
+      "persisted IVF-PQ must serve the in-memory answer bit-for-bit")
+    // the cell IN (...) predicate reaches the scan as a static
+    // partition filter — the disk-side nprobe/#cells claim
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected partition filters on cell in:\n$plan")
+    // drifted coarse quantizer refused
+    val driftedC: KMeans.Centroids = cents.map { case (cid, v) =>
+      if (cid == 1) cid -> v.map(_ + 0.5) else cid -> v }
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(spark, dir, probes, "vec_id", "embedding",
+        driftedC, model, nprobe = 2, k = 5)
+    }
+    assert(e1.getMessage.contains("coarse quantizer"))
+    // drifted codebook refused — ADC over foreign codes is garbage
+    val driftedM = model.copy(codebooks = model.codebooks.map(_.map {
+      case (cid, cw) => (cid, cw.map(_ + 0.25)) }))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(spark, dir, probes, "vec_id", "embedding",
+        cents, driftedM, nprobe = 2, k = 5)
+    }
+    assert(e2.getMessage.contains("codebook"))
+    // a non-index directory refuses with the meta diagnosis
+    val bare = java.nio.file.Files.createTempDirectory("ivfpq_bare").toString
+    emb.limit(3).write.mode("overwrite").parquet(bare)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(spark, bare, probes, "vec_id", "embedding",
+        cents, model, nprobe = 2, k = 5)
+    }
+    assert(e3.getMessage.contains("_graft_ivfpq_meta"))
+  }
+
   test("savePQ/loadPQ: bit-exact round trip; drifted artifacts refused") {
     val emb = (1L to 20L).map(i =>
       (i, (0 until 8).map(p => (i * 7 + p * 3 % 11).toDouble / 4.0)))
