@@ -105,6 +105,28 @@ private[graft] object EntryText {
     }),
 
 
+    // ── LLM-pipeline: Count-Min sketch heavy-hitter estimates ───────
+    // The bounded-memory frequency primitive beside the KMV distinct
+    // sketch: a depth×width counter table (md5 buckets — public,
+    // deterministic, engine-replayable) built in ONE partial-agg
+    // pass, then point estimates for the exact top-20 terms. Emits
+    // (term, exact_n, cms_n) so the gate checks BOTH the estimates'
+    // exact values and (by construction, cms_n ≥ exact_n — the CMS
+    // upper-bound guarantee) the sketch's contract against ground
+    // truth. Table size is depth×width regardless of corpus size or
+    // cardinality; merging shards is elementwise addition.
+    "q_cms_topk" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      val cms = Curation.cmsTable(toks, "token", depth = 4, width = 512)
+      val top = TextAnalysis.topTerms(docs, "text", 20)
+        .select(col("term"), col("cnt").as("exact_n"))
+      Curation.cmsEstimate(cms, top, "term", depth = 4, width = 512)
+        .join(top, Seq("term"))
+        .select(col("term"), col("exact_n"), col("cms_n"))
+    }),
+
+
     // ── LLM-pipeline: sliding-window chunking by token budget ───────
     // 32-token chunks, 8-token overlap (stride 24); docs ≤ 32 tokens
     // stay one chunk. Rowwise generator, no shuffle.
@@ -525,6 +547,35 @@ private[graft] object EntryText {
         |      SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |    GROUP BY 1))
         |WHERE rn <= 20""".stripMargin,
+
+
+    // CMS replay: same md5 row-hash ("i:token" prefix mod width),
+    // same depth×width counter table, min-of-rows estimate — all
+    // exact integers end to end
+    "q_cms_topk" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |cmst AS (
+        |  SELECT t.i AS row,
+        |         CAST(concat('0x', substr(md5(t.i || ':' || token), 1, 8))
+        |           AS BIGINT) % 512 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM tok CROSS JOIN range(0, 4) t(i) GROUP BY 1, 2),
+        |topt AS (SELECT term, cnt FROM (
+        |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rn FROM (
+        |    SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |    GROUP BY 1))
+        |  WHERE rn <= 20),
+        |est AS (
+        |  SELECT topt.term, min(coalesce(cmst.n, 0)) AS cms_n
+        |  FROM topt CROSS JOIN range(0, 4) t(i)
+        |  LEFT JOIN cmst ON cmst.row = t.i
+        |    AND cmst.bucket = CAST(concat('0x', substr(md5(t.i || ':' || topt.term), 1, 8))
+        |                        AS BIGINT) % 512
+        |  GROUP BY 1)
+        |SELECT topt.term, topt.cnt AS exact_n, est.cms_n
+        |FROM topt JOIN est USING (term)""".stripMargin,
 
 
     "q_term_freq" ->

@@ -1122,6 +1122,66 @@ object Curation {
             / col("kth_min").cast("double")))
   }
 
+  /** Count-Min sketch counter table (Cormode & Muthukrishnan '05):
+    * `depth` independent md5-derived hash rows over `width` buckets;
+    * counter(i, b) = exact occurrences of values hashing to b under
+    * row i's hash. The bounded-memory frequency primitive: the table
+    * is ≤ depth×width rows REGARDLESS of corpus size or cardinality,
+    * mergeable across shards/snapshots by elementwise addition (the
+    * counts are plain sums), and — unlike library sketches with
+    * engine-private layouts — every piece is deterministic public
+    * arithmetic (md5 prefix, mod, integer sums), so the table and
+    * every estimate off it are bit-exact reproducible in any engine
+    * and oracle-checkable.
+    *
+    * Scale shape: ONE pass — a depth-way rowwise expansion (array
+    * literal of (row, bucket) structs, codegen) into a partial-agg
+    * groupBy whose output is the depth×width table; shuffle bytes are
+    * bounded by depth×width per task, independent of rows. */
+  def cmsTable(df: DataFrame, valueCol: String,
+               depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+    require(width >= 2 && width <= (1 << 20), s"width must be in [2, 2^20], got $width")
+    val v = col(valueCol).cast("string")
+    val rb = transform(sequence(lit(0), lit(depth - 1)), i =>
+      struct(i.cast("int").as("row"),
+        pmod(conv(substring(md5(concat(i.cast("string"), lit(":"), v)), 1, 8),
+            16, 10).cast("long"),
+          lit(width.toLong)).cast("int").as("bucket")))
+    df.select(explode(rb).as("__rb"))
+      .groupBy(col("__rb.row").as("row"), col("__rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-query estimates off a `cmsTable`: est(x) = min over rows i
+    * of counter(i, h_i(x)) — the classic CMS upper bound (est ≥ true
+    * count always; ≤ true + εN with probability 1−δ for
+    * width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉). `items` must use the SAME
+    * (depth, width) the table was built with — counters under a
+    * different geometry estimate garbage, so pass them explicitly.
+    * Exact integer arithmetic end to end (hash, lookup, min).
+    *
+    * Scale shape: items expand depth-way rowwise, LEFT-join the
+    * (≤ depth×width row) counter table — broadcast by size — missing
+    * counters read 0, then one per-item partial-agg min. */
+  def cmsEstimate(cms: DataFrame, items: DataFrame, itemCol: String,
+                  depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+    require(width >= 2 && width <= (1 << 20), s"width must be in [2, 2^20], got $width")
+    val v = col(itemCol).cast("string")
+    val rb = transform(sequence(lit(0), lit(depth - 1)), i =>
+      struct(i.cast("int").as("row"),
+        pmod(conv(substring(md5(concat(i.cast("string"), lit(":"), v)), 1, 8),
+            16, 10).cast("long"),
+          lit(width.toLong)).cast("int").as("bucket")))
+    items.select(col(itemCol), explode(rb).as("__rb"))
+      .select(col(itemCol), col("__rb.row").as("row"),
+        col("__rb.bucket").as("bucket"))
+      .join(cms, Seq("row", "bucket"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_n"))
+  }
+
   /** k-anonymity audit (Sweeney 2002): group rows by their quasi-
     * identifier tuple and flag every equivalence class smaller than
     * k — the release-safety check that runs BEFORE pseudonymize

@@ -968,4 +968,37 @@ class CurationSpec extends AnyFunSuite {
       assert(g.getDouble(2) === 0.75, s"parts=$parts")
     }
   }
+
+  test("cmsTable/cmsEstimate: upper bound always, exact without collisions, tables merge by addition") {
+    val vals = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val items = Seq("a", "b", "c", "zz_unseen").toDF("v")
+    val exact = Map("a" -> 5L, "b" -> 3L, "c" -> 1L, "zz_unseen" -> 0L)
+    // wide table: 3 distinct values in 512 buckets × 4 rows — a
+    // collision in EVERY row is (3²/512)⁴-improbable; estimates exact
+    val wide = Curation.cmsTable(vals, "v", depth = 4, width = 512)
+    val estW = Curation.cmsEstimate(wide, items, "v", depth = 4, width = 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estW == exact, s"no-collision estimates must be exact: $estW")
+    // width=2 forces collisions: still NEVER an underestimate (the
+    // CMS contract the gate relies on)
+    val tight = Curation.cmsTable(vals, "v", depth = 2, width = 2)
+    val estT = Curation.cmsEstimate(tight, items, "v", depth = 2, width = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (v, n) =>
+      assert(estT(v) >= n, s"CMS underestimated $v: ${estT(v)} < $n")
+    }
+    // mergeability: table(a ∪ b) == elementwise sum of the two tables
+    val (ha, hb) = (vals.filter(col("id") % 2 === 0), vals.filter(col("id") % 2 =!= 0))
+    val summed = Curation.cmsTable(ha, "v", 4, 512)
+      .unionAll(Curation.cmsTable(hb, "v", 4, 512))
+      .groupBy("row", "bucket").agg(sum("n").as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val whole = wide.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(summed == whole, "shard tables must merge to the whole-corpus table")
+    // geometry guards
+    intercept[IllegalArgumentException] { Curation.cmsTable(vals, "v", 0, 512) }
+    intercept[IllegalArgumentException] { Curation.cmsEstimate(wide, items, "v", 4, 1) }
+  }
 }
