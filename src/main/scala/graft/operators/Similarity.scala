@@ -369,17 +369,25 @@ object Similarity {
       }
       .toDF("j", "cid", "cw")
       .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    Seq((PQFormatVersion, model.d, model.m, model.k))
-      .toDF("version", "d", "m", "k")
+    // n_rows = what actually LANDED (read-back count, the commit-row
+    // convention): a Lloyd-trained book can legitimately hold < k
+    // codewords (vanished cluster), so the load-time drift check must
+    // compare against the written count, not m·k
+    val n = spark.read.parquet(s"$path/codebooks").count()
+    Seq((PQFormatVersion, model.d, model.m, model.k, n))
+      .toDF("version", "d", "m", "k", "n_rows")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Loads a `savePQ` artifact, refusing loudly on: wrong meta row
     * count, unknown version, inconsistent geometry (d not divisible
     * by m, k out of byte range), a codebook row count that disagrees
-    * with m·k, per-subspace codeword ids that are not exactly 1..k
-    * (the code column stores these ids — a renumbered artifact
-    * decodes wrong), ragged codeword widths, or non-finite values. */
+    * with the meta's written count, per-subspace codeword ids that
+    * are not contiguous 1..size (the code column stores these ids and
+    * the ADC table indexes them positionally — a renumbered or gappy
+    * artifact decodes wrong; size may be < k for a Lloyd-trained book
+    * with a vanished cluster), ragged codeword widths, or non-finite
+    * values. */
   def loadPQ(spark: SparkSession, path: String): PQModel = {
     val metaRows = spark.read.parquet(s"$path/meta").collect()
     require(metaRows.length == 1,
@@ -393,9 +401,10 @@ object Similarity {
       s"PQ artifact at $path has inconsistent geometry d=$d m=$m")
     require(k >= 1 && k <= 256, s"PQ artifact at $path has k=$k")
     val dsub = d / m
+    val nRows = mr.getAs[Long]("n_rows")
     val rows = spark.read.parquet(s"$path/codebooks").collect()
-    require(rows.length == m * k,
-      s"PQ codebooks at $path have ${rows.length} rows, meta says ${m * k} — " +
+    require(rows.length.toLong == nRows,
+      s"PQ codebooks at $path have ${rows.length} rows, meta says $nRows — " +
         "partial or duplicated write, refusing to serve")
     val byJ = rows.map(r => (r.getAs[Int]("j"), r.getAs[Int]("cid"),
         r.getAs[scala.collection.Seq[Double]]("cw").toArray))
@@ -404,8 +413,14 @@ object Similarity {
       s"PQ codebooks at $path cover subspaces ${byJ.keySet.toSeq.sorted}, expected 0..${m - 1}")
     val books = (0 until m).map { j =>
       val book = byJ(j).sortBy(_._2).map { case (_, cid, cw) => (cid, cw) }
-      require(book.map(_._1).toSeq == (1 to k).toSeq,
-        s"PQ codebooks at $path, subspace $j: codeword ids are not exactly 1..$k")
+      // contiguity 1..size (≤ k), not 1..k exactly: a Lloyd-trained
+      // book may hold fewer codewords (vanished cluster); codes index
+      // the cid-ordered ADC table positionally, so GAPS are the
+      // corruption that mis-decodes, and size ≤ k is the geometry cap
+      require(book.length <= k
+          && book.map(_._1).toSeq == (1 to book.length).toSeq,
+        s"PQ codebooks at $path, subspace $j: codeword ids " +
+          s"${book.map(_._1).mkString(",")} are not contiguous 1..size≤$k")
       book.foreach { case (cid, cw) =>
         require(cw.length == dsub,
           s"PQ codebooks at $path, subspace $j codeword $cid: width ${cw.length} != $dsub")
