@@ -177,9 +177,7 @@ private[graft] object EntryCuration {
       // session-unique path (the q_lr_persist convention — ADVICE
       // r12): concurrent gate layouts on one host must not race each
       // other's landing/output directories
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_corpus_e2e_" +
-        Integer.toHexString(dir.hashCode) + "_" +
-        Integer.toHexString(System.identityHashCode(s))
+      val base = sessionTmpDir(s, "corpus_e2e", dir)
       val packed = corpusE2ePacked(s, dir, base)
       graft.sources.DocIO.writeJsonl(packed, s"$base/out", shards = 4)
       graft.sources.DocIO.readJsonl(s, s"$base/out", packed.schema)
@@ -294,9 +292,7 @@ private[graft] object EntryCuration {
     "q_csv_roundtrip" -> ((s, dir) => {
       val cust = Tables(s, dir, "customer")
       // session-unique (the q_lr_persist convention, extended r13)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-        Integer.toHexString(dir.hashCode) + "_" +
-        Integer.toHexString(System.identityHashCode(s))
+      val tmp = sessionTmpDir(s, "csv", dir)
       graft.sources.DocIO.writeCsv(cust, tmp, shards = 4)
       graft.sources.DocIO.readCsv(s, tmp, cust.schema)
         .filter(col("_corrupt_record").isNull)
@@ -315,9 +311,7 @@ private[graft] object EntryCuration {
     "q_jsonl_roundtrip" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       // session-unique (the q_lr_persist convention, extended r13)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
-        Integer.toHexString(dir.hashCode) + "_" +
-        Integer.toHexString(System.identityHashCode(s))
+      val tmp = sessionTmpDir(s, "jsonl", dir)
       graft.sources.DocIO.writeJsonl(docs, tmp, shards = 4)
       graft.sources.DocIO.readJsonl(s, tmp, docs.schema)
         .filter(col("_corrupt_record").isNull)

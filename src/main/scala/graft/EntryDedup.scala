@@ -123,6 +123,33 @@ private[graft] object EntryDedup {
     }),
 
 
+    // ── LLM-pipeline: PERSISTED MinHash index (build → append → load
+    // → serve — VERDICT r13 item 3, the last persistence artifact
+    // without a gate row). Two-thirds of the admitted corpus is the
+    // initial writeMinhashIndex; the rest arrives as an
+    // appendMinhashIndex batch signed with the index's own STORED
+    // hash family; the new batch is then deduped through
+    // readMinhashIndex (freshness gate: family match + row count) —
+    // and must admit EXACTLY what the in-memory minhashIndex over the
+    // full corpus admits, which is what the oracle replays: a lost
+    // append row, a family drift, or a signature fidelity loss in the
+    // parquet round trip all surface as a hash mismatch.
+    "q_minhash_persist" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+      val path = sessionTmpDir(s, "minhash_idx", dir)
+      Dedup.writeMinhashIndex(corpus.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", path, n = 3, h = 16, parity = true)
+      Dedup.appendMinhashIndex(s, corpus.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", path)
+      val idx = Dedup.readMinhashIndex(s, path, n = 3, h = 16, parity = true)
+      Dedup.dropSeenNearDup(batch, idx, "doc_id", "text", n = 3, h = 16, b = 8,
+        minAgree = 0.5, parity = true, maxBucket = 100)
+        .select(col("doc_id"), col("source"))
+    }),
+
+
     // ── LLM-pipeline: cross-corpus overlap audit ────────────────────
     // "Is the new dataset actually new?" — fraction of the batch
     // already present (by content hash) in the corpus, before paying
@@ -716,6 +743,32 @@ private[graft] object EntryDedup {
          |),
          |doomed AS (SELECT DISTINCT bid FROM agr WHERE agree >= 0.5)
          |SELECT doc_id, source FROM b1 ANTI JOIN doomed ON b1.doc_id = doomed.bid""".stripMargin,
+
+
+    // q_incremental's near-dup stage with NO exact pre-filter: the
+    // persisted build+append+load index must serve exactly what the
+    // in-memory full-corpus signature table serves.
+    "q_minhash_persist" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+         |b0 AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+         |${sqlSigChainOn("corpus", "c")},
+         |${sqlSigChainOn("b0", "b")},
+         |hot AS (SELECT band, bucket FROM cbb GROUP BY 1, 2 HAVING count(*) > 100),
+         |cbbc AS (SELECT cbb.* FROM cbb ANTI JOIN hot USING (band, bucket)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS bid, y.doc_id AS cid
+         |  FROM bbb x JOIN cbbc y USING (band, bucket)
+         |),
+         |agr AS (
+         |  SELECT cand.bid,
+         |         CAST(list_sum(list_transform(list_zip(bs.sig, cs.sig),
+         |                       p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+         |           / 16.0 AS agree
+         |  FROM cand JOIN bsig bs ON bs.doc_id = cand.bid
+         |            JOIN csig cs ON cs.doc_id = cand.cid
+         |),
+         |doomed AS (SELECT DISTINCT bid FROM agr WHERE agree >= 0.5)
+         |SELECT doc_id, source FROM b0 ANTI JOIN doomed ON b0.doc_id = doomed.bid""".stripMargin,
 
 
     "q_simhash" ->

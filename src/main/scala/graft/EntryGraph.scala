@@ -114,14 +114,24 @@ private[graft] object EntryGraph {
     // set, so by induction every score is an EXACT INTEGER stored in
     // a double (auth₁ = indegree, and each later round sums exact
     // integers). IEEE addition of integers is exact whenever every
-    // partial sum stays below 2^53 — true by eight orders at any
-    // gate scale (max score ~1e6·|E| would still fit at sf100) — and
-    // exact additions are associative, so the aggregation ORDER
-    // cannot change a single bit. The earlier "last-ulp noise" worry
-    // applied to non-integer scores (normalized HITS would have it);
-    // this unnormalized 2-round form has none, which GraphSpec pins
-    // (integrality + bit-equality of both modes on the live
-    // relation). Oracle: the q_hits replay with plain sums.
+    // partial sum stays below 2^53, and partial sums of non-negative
+    // integers are bounded by the final score, so exactness reduces
+    // to max score < 2^53 ≈ 9.0·10¹⁵. Margin, honestly (ADVICE r13):
+    // max auth₂ ≤ indeg_max²·outdeg_max. On this near-uniform
+    // TPC-H-ish bipartite at sf100 (|E| ≈ 6·10⁸ deduped, indeg ~10²,
+    // outdeg ~10²) that is ~10⁶ — ten orders of headroom — but the
+    // ADVERSARIAL worst case at the same edge count (complete
+    // bipartite 1.5·10⁷ customers × 40 parts) reaches n²·m ≈ 9·10¹⁵,
+    // i.e. 2^53 exactly: the bound is a property of THIS graph's
+    // degree distribution, not of the operator. GraphSpec therefore
+    // PINS max|score| < 2^53 on the live relation (alongside
+    // integrality + bit-equality of both modes), so the premise is
+    // checked where it is relied on, not assumed from arithmetic.
+    // Exact additions are associative, so the aggregation ORDER
+    // cannot change a single bit; the earlier "last-ulp noise" worry
+    // applied to non-integer scores (normalized HITS would have it) —
+    // this unnormalized 2-round form has none.
+    // Oracle: the q_hits replay with plain sums.
     "q_hits_fast" -> ((s, dir) => {
       val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))

@@ -321,9 +321,7 @@ private[graft] object EntryStreaming {
       // session-unique (the q_lr_persist convention, extended r13):
       // concurrent gate layouts must not overwrite each other's shards
       // mid-scan
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_jsonl_" +
-        Integer.toHexString(dir.hashCode) + "_" +
-        Integer.toHexString(System.identityHashCode(s))
+      val tmp = sessionTmpDir(s, "stream_jsonl", dir)
       graft.sources.DocIO.writeJsonl(docs, tmp, shards = 4)
       val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
       val agg = s.readStream
@@ -355,9 +353,7 @@ private[graft] object EntryStreaming {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val docs = docFeed(s, dir).map(d => (d._1, d._3, d._4))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_filesink_" +
-        Integer.toHexString(dir.hashCode) + "_" +
-        Integer.toHexString(System.identityHashCode(s))
+      val base = sessionTmpDir(s, "stream_filesink", dir)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
       val source = MemoryStream[(Long, String, Long)]
       val q = source.toDF().toDF("doc_id", "source", "n_chars")
@@ -547,6 +543,43 @@ private[graft] object EntryStreaming {
       s.table(qn).distinct()
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .select(col("key").as("source"), col("n_sketch"), col("kth_min"), col("est"))
+    }),
+
+
+    // ── streaming: Count-Min heavy-hitter counters, driver-gated ────
+    // The q_stream_kmv symmetry for the OTHER bounded sketch (VERDICT
+    // r13 item 5): CMS merge IS elementwise addition of exact integer
+    // counters, so the batch cmsTable plan — a rowwise depth-way
+    // expansion into one grouped count — runs UNCHANGED over the
+    // stream; its entire state is the ≤ depth×width counter table
+    // (bounded whatever the stream length), and the complete-mode
+    // emission after batch N equals the batch table over everything
+    // fed so far, arrival-split-free by commutativity of integer
+    // addition. The gate then serves point estimates for the exact
+    // top-20 terms THROUGH the streamed counters: the oracle is
+    // q_cms_topk's replay verbatim, so a dropped micro-batch, a
+    // double-counted row, or any counter drift hash-mismatches.
+    "q_stream_cms" -> ((s, dir) => withStreamRigConf(s) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val arrivals = docFeed(s, dir)
+        .map { case (id, text, source, _) => StreamDoc(id, text, source) }
+      val perBatch = math.max(1, (arrivals.length + 2) / 3)
+      val source = MemoryStream[StreamDoc]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val toks = source.toDF().select(explode(split(col("text"), " ")).as("token"))
+      val q = Curation.cmsTable(toks, "token", depth = 4, width = 512)
+        .writeStream.format("memory").queryName(qn).outputMode("complete").start()
+      try arrivals.grouped(perBatch).foreach { b =>
+        source.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val docs = Tables(s, dir, "documents")
+      val top = TextAnalysis.topTerms(docs, "text", 20)
+        .select(col("term"), col("cnt").as("exact_n"))
+      Curation.cmsEstimate(s.table(qn), top, "term", depth = 4, width = 512)
+        .join(top, Seq("term"))
+        .select(col("term"), col("exact_n"), col("cms_n"))
     }),
 
 
@@ -773,6 +806,35 @@ private[graft] object EntryStreaming {
         |       CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE)
         |            ELSE CAST(64424509440 AS DOUBLE) / hv END AS est
         |FROM r WHERE rn = least(nd, 16)""".stripMargin,
+
+
+    // identical to q_cms_topk's oracle: the stream's final counter
+    // table IS the batch table (elementwise integer addition,
+    // arrival-split-free)
+    "q_stream_cms" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |cmst AS (
+        |  SELECT t.i AS row,
+        |         CAST(concat('0x', substr(md5(t.i || ':' || token), 1, 8))
+        |           AS BIGINT) % 512 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM tok CROSS JOIN range(0, 4) t(i) GROUP BY 1, 2),
+        |topt AS (SELECT term, cnt FROM (
+        |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rn FROM (
+        |    SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |    GROUP BY 1))
+        |  WHERE rn <= 20),
+        |est AS (
+        |  SELECT topt.term, min(coalesce(cmst.n, 0)) AS cms_n
+        |  FROM topt CROSS JOIN range(0, 4) t(i)
+        |  LEFT JOIN cmst ON cmst.row = t.i
+        |    AND cmst.bucket = CAST(concat('0x', substr(md5(t.i || ':' || topt.term), 1, 8))
+        |                        AS BIGINT) % 512
+        |  GROUP BY 1)
+        |SELECT topt.term, topt.cnt AS exact_n, est.cms_n
+        |FROM topt JOIN est USING (term)""".stripMargin,
 
 
     // the BATCH funnel oracle, verbatim — stream/batch parity

@@ -354,9 +354,7 @@ private[graft] object EntryText {
     // partially-written artifact segments differently and
     // hash-mismatches.
     "q_bpe_persist" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bpe_rules_" +
-        Integer.toHexString(dir.hashCode) + "_" +
-        Integer.toHexString(System.identityHashCode(s))
+      val path = sessionTmpDir(s, "bpe_rules", dir)
       Tokenizer.saveBpe(s, path, bpeMerges6(s, dir))
       Tokenizer.applyBpe(Tables(s, dir, "documents"), "doc_id", "text",
         Tokenizer.loadBpe(s, path))

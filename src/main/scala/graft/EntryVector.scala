@@ -188,9 +188,7 @@ private[graft] object EntryVector {
       val emb = Tables(s, dir, "embeddings")
       val model = Similarity.trainPQ(emb, "vec_id", "embedding",
         d = 64, m = 4, k = 16, maxIter = 0)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_model_" +
-        Integer.toHexString(dir.hashCode) + "_" +
-        Integer.toHexString(System.identityHashCode(s))
+      val path = sessionTmpDir(s, "pq_model", dir)
       Similarity.savePQ(s, path, model)
       val lm = Similarity.loadPQ(s, path)
       val codes = Similarity.encodePQ(emb, "embedding", lm).select("vec_id", "codes")
@@ -238,14 +236,42 @@ private[graft] object EntryVector {
       val emb = Tables(s, dir, "embeddings")
       val model = Similarity.trainPQ(emb, "vec_id", "embedding",
         d = 64, m = 4, k = 16, maxIter = 0)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
-        Integer.toHexString(dir.hashCode) + "_" +
-        Integer.toHexString(System.identityHashCode(s))
+      val base = sessionTmpDir(s, "ivfpq", dir)
       Similarity.savePQ(s, s"$base/pq", model)
       val lm = Similarity.loadPQ(s, s"$base/pq")
       val cents = cents8(s, dir)
       Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, lm,
         s"$base/index")
+      Similarity.ivfPqTopKIndexed(s, s"$base/index",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        cents, lm, nprobe = 2, k = 10)
+    }),
+
+
+    // ── LLM-pipeline: PERSISTED IVF-PQ index maintenance (build →
+    // append → serve — VERDICT r13 item 2, the q_ivf_refresh symmetry
+    // for the code table). Two-thirds of the corpus is the initial
+    // build; the rest arrives as an incremental append assigned under
+    // the index's STORED coarse centroids and encoded under the SAME
+    // frozen codebook (appendIvfPqIndex refuses a drifted one by
+    // fingerprint — without append, a growing corpus forces a full
+    // rebuild per ingest batch). The serve must return EXACTLY what
+    // the in-memory IVF-PQ search computes over the full corpus: the
+    // oracle is q_ivfpq_topk's SQL verbatim, so a lost append row, a
+    // double-written cell partition, or a drifted assignment all
+    // surface as a hash mismatch.
+    "q_ivfpq_refresh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      val base = sessionTmpDir(s, "ivfpq_refresh", dir)
+      Similarity.savePQ(s, s"$base/pq", model)
+      val lm = Similarity.loadPQ(s, s"$base/pq")
+      val cents = cents8(s, dir)
+      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", cents, lm, s"$base/index")
+      Similarity.appendIvfPqIndex(s, emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", lm, s"$base/index")
       Similarity.ivfPqTopKIndexed(s, s"$base/index",
         emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
         cents, lm, nprobe = 2, k = 10)
@@ -310,9 +336,7 @@ private[graft] object EntryVector {
       // r12): concurrent gate layouts (4- and 32-core runs) on one
       // host must not interleave build/overwrite/append/serve on one
       // index directory
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_refresh_" +
-        Integer.toHexString(dir.hashCode) + "_" +
-        Integer.toHexString(System.identityHashCode(s))
+      val path = sessionTmpDir(s, "ivf_refresh", dir)
       val cents = cents8(s, dir)
       Similarity.buildIvfIndex(emb.filter(col("vec_id") % 3 =!= 0),
         "vec_id", "embedding", cents, path)
@@ -591,9 +615,7 @@ private[graft] object EntryVector {
       val (_, st, m) = lrModelShared(s, dir)
       // session-unique path: concurrent gate layouts (4- and 32-core
       // runs) on one host must not race each other's overwrite
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lr_model_" +
-        Integer.toHexString(dir.hashCode) + "_" +
-        Integer.toHexString(System.identityHashCode(s))
+      val path = sessionTmpDir(s, "lr_model", dir)
       Classifier.saveLogReg(s, path, st, m)
       val (lst, lm) = Classifier.loadLogReg(s, path)
       val docs = Tables(s, dir, "documents")
@@ -677,9 +699,7 @@ private[graft] object EntryVector {
       val m = nbModelShared(s, dir)
       // session-unique path: concurrent gate layouts on one host
       // must not race each other's overwrite (the q_lr_persist rule)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_nb_model_" +
-        Integer.toHexString(dir.hashCode) + "_" +
-        Integer.toHexString(System.identityHashCode(s))
+      val path = sessionTmpDir(s, "nb_model", dir)
       NaiveBayes.saveNB(s, path, m)
       val lm = NaiveBayes.loadNB(s, path)
       NaiveBayes.scoreLogOdds(Tables(s, dir, "documents"), "doc_id", "text", lm)
@@ -697,9 +717,7 @@ private[graft] object EntryVector {
     // served through the loaded model. Oracle = q_nb_classes verbatim.
     "q_nbmc_persist" -> ((s, dir) => {
       val m = nbMcModelShared(s, dir)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_nbmc_model_" +
-        Integer.toHexString(dir.hashCode) + "_" +
-        Integer.toHexString(System.identityHashCode(s))
+      val path = sessionTmpDir(s, "nbmc_model", dir)
       NaiveBayes.saveNBMulticlass(s, path, m)
       val lm = NaiveBayes.loadNBMulticlass(s, path)
       NaiveBayes.scoreMulticlass(Tables(s, dir, "documents"),
@@ -1325,6 +1343,11 @@ private[graft] object EntryVector {
     // codebook must reproduce the in-memory IVF-PQ search exactly —
     // the oracle is that replay verbatim.
     "q_ivfpq_persist" -> sqlIvfPqTopK,
+
+
+    // build + append + serve ≡ one in-memory search over the full
+    // corpus — the same replay, verbatim (VERDICT r13 item 2).
+    "q_ivfpq_refresh" -> sqlIvfPqTopK,
 
 
     "q_quantize" ->

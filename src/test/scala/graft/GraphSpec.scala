@@ -485,7 +485,34 @@ class GraphSpec extends AnyFunSuite {
       fast.foreach { case (id, a, h) =>
         assert(a == math.rint(a) && h == math.rint(h),
           s"node $id: non-integer score ($a, $h) — the hash-gate premise broke")
+        // the 2^53 half of the premise (ADVICE r13): exactness of the
+        // integer additions needs every partial sum below 2^53, and
+        // partial sums of non-negative terms are bounded by the final
+        // score — so pin max|score| < 2^53 on the live relation rather
+        // than trusting margin arithmetic in a comment
+        assert(math.abs(a) < 9.007199254740992e15 &&
+            math.abs(h) < 9.007199254740992e15,
+          s"node $id: score ($a, $h) at or beyond 2^53 — integer addition " +
+            "is no longer exact and the hash gate premise breaks")
       }
+    } finally Dedup.releaseCaches()
+  }
+
+  test("q_hits_fast live relation: every score is an exact integer below 2^53") {
+    // the premise check on the GATED query's own edge relation
+    // (orders ⋈ lineitem at sf0.001) — the 2^53 bound is a property
+    // of the graph's degree distribution, not of the operator
+    // (EntryGraph's q_hits_fast comment derives why), so it is pinned
+    // where it is relied on
+    val got = SparkEntry.queries("q_hits_fast")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    try got.foreach { case (id, a, h) =>
+      assert(a == math.rint(a) && h == math.rint(h),
+        s"node $id: non-integer score ($a, $h)")
+      assert(math.abs(a) < 9.007199254740992e15 &&
+          math.abs(h) < 9.007199254740992e15,
+        s"node $id: score ($a, $h) at or beyond 2^53")
     } finally Dedup.releaseCaches()
   }
 }

@@ -141,6 +141,14 @@ class NaiveBayesSpec extends AnyFunSuite {
       .write.parquet(s"$dPath/meta")
     val e3 = intercept[IllegalArgumentException] { NaiveBayes.loadNB(spark, dPath) }
     assert(e3.getMessage.contains("rows"))
+    // ADVICE r13 (landed-count commit-row convention): a model whose
+    // semantic vocabSize disagrees with its weights relation saves
+    // fine and must LOAD fine — the drift check compares the count
+    // the saver read back after the write, never the semantic field
+    val oPath = path + "_o"
+    NaiveBayes.saveNB(spark, oPath, m.copy(vocabSize = m.vocabSize + 5))
+    assert(NaiveBayes.loadNB(spark, oPath).vocabSize == m.vocabSize + 5,
+      "vocabSize is a semantic field, not the row-drift expectation")
   }
 
   test("saveNBMulticlass/loadNBMulticlass: bit-exact round trip; drifted artifacts refused") {

@@ -474,6 +474,116 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e3.getMessage.contains("_graft_ivfpq_meta"))
   }
 
+  test("appendIvfPqIndex: build+append serves the full-corpus answer; drifted codebook refused") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+      m = 4, k = 16, maxIter = 0)
+    val probes = emb.orderBy("vec_id").limit(3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString + "/i"
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", cents, model, dir)
+    Similarity.appendIvfPqIndex(spark, emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", model, dir)
+    val a = Similarity.ivfPqTopKIndexed(spark, dir,
+        probes, "vec_id", "embedding", cents, model, nprobe = 2, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val b = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", cents, model, nprobe = 2, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(a == b && a.nonEmpty,
+      "build+append must serve the full-corpus in-memory answer bit-for-bit")
+    // an append under a drifted codebook is refused — mixed-codebook
+    // codes are silently wrong at ADC time
+    val driftedM = model.copy(codebooks = model.codebooks.map(_.map {
+      case (cid, cw) => (cid, cw.map(_ + 0.25)) }))
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndex(spark, emb.limit(3),
+        "vec_id", "embedding", driftedM, dir)
+    }
+    assert(e1.getMessage.contains("codebook"))
+    // a row-count drift after manual surgery is refused at serve time
+    emb.limit(1)
+      .select(col("vec_id").cast("long").as("id"),
+        typedlit(Seq(1, 1, 1, 1)).as("codes"), lit(1).as("cell"))
+      .write.partitionBy("cell").mode("append").parquet(dir)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(spark, dir, probes, "vec_id", "embedding",
+        cents, model, nprobe = 2, k = 5)
+    }
+    assert(e2.getMessage.contains("rows"))
+  }
+
+  test("ivfPqTopKIndexed ships one ADC table per probe: two broadcast joins, cells carry no tables") {
+    // VERDICT r13 item 1 pin: the (probe, cell) pruning pairs and the
+    // per-probe m×k ADC tables broadcast as SEPARATE relations — the
+    // old single fat relation duplicated each table nprobe times
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+      m = 4, k = 16, maxIter = 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_bc").toString + "/i"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model, dir)
+    val q = Similarity.ivfPqTopKIndexed(spark, dir,
+      emb.orderBy("vec_id").limit(3), "vec_id", "embedding",
+      cents, model, nprobe = 2, k = 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 2,
+      s"expected exactly two broadcast joins (cells, then tables):\n$plan")
+    // the join that carries __tbl keys on probe_id, not on cell
+    assert(plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("probe_id")),
+      s"expected the ADC-table join keyed on probe_id:\n$plan")
+  }
+
+  test("buildIvfPqIndex under partitionOverwriteMode=dynamic: a rebuild leaves no stale cells") {
+    // ADVICE r13 (medium): with a dynamic session conf, overwrite +
+    // partitionBy replaces only the cells present in the new build —
+    // a rebuild whose quantizer maps everything into fewer cells
+    // would leave the other cells' files encoded under the OLD
+    // codebook behind a fresh meta. The writer forces static
+    // semantics, so the rebuild must fully replace the index.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+        m = 4, k = 16, maxIter = 0)
+      val cents8 = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+      // FirstK(2) assigns every vector to cells {1, 2} — a rebuild
+      // with it must erase cells 3..8 from the FirstK(8) build
+      val cents2 = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(2))
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq_dyn").toString + "/i"
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents8, model, dir)
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents2, model, dir)
+      val idx = spark.read.parquet(dir)
+      assert(idx.count() == emb.count(),
+        "a rebuild must fully replace the index, not merge into it")
+      val cellsLeft = idx.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(cellsLeft.subsetOf(Set(1, 2)),
+        s"stale cells survived the rebuild: $cellsLeft")
+      // and the probe path over the rebuilt index matches in-memory
+      val probes = emb.orderBy("vec_id").limit(3)
+      val a = Similarity.ivfPqTopKIndexed(spark, dir, probes,
+          "vec_id", "embedding", cents2, model, nprobe = 1, k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val b = Similarity.ivfPqTopK(emb, "vec_id", "embedding", probes,
+          "vec_id", "embedding", cents2, model, nprobe = 1, k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(a == b && a.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   test("savePQ/loadPQ: bit-exact round trip; drifted artifacts refused") {
     val emb = (1L to 20L).map(i =>
       (i, (0 until 8).map(p => (i * 7 + p * 3 % 11).toDouble / 4.0)))
