@@ -296,17 +296,24 @@ object Similarity {
       .select(col(probeIdCol).cast("long").as("probe_id"),
         VectorOps.toDouble(col(probeVecCol)).as("pv"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // two broadcast relations (the ivfPqTopKIndexed shape, VERDICT
+    // r13 item 1): (probe, cell) pruning pairs and ONE d-vector per
+    // probe joined on probe_id — folding the vector into the cell
+    // relation would ship it nprobe times per probe
     val probeCells = probeRows.flatMap { case (pid, v) =>
-      nearestCells(v, cents, nprobe).map(c => (pid, c, v.toSeq))
+      nearestCells(v, cents, nprobe).map(c => (pid, c))
     }
     val cells = probeCells.map(_._2).distinct.toSeq
     import spark.implicits._
-    val pc = probeCells.toSeq.toDF("probe_id", "cell", "__pv")
+    val pc = probeCells.toSeq.toDF("probe_id", "cell")
+    val pv = probeRows.toSeq.map { case (pid, v) => (pid, v.toSeq) }
+      .toDF("probe_id", "__pv")
       .withColumn("__pn", VectorOps.norm2(col("__pv")))
     val idx = spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells: _*)) // static partition pruning
     val scored = idx.join(broadcast(pc), "cell")
       .filter(col("id") =!= col("probe_id"))
+      .join(broadcast(pv), "probe_id")
       .select(col("probe_id"), col("id").as("__id"),
         VectorOps.cosineWithNorms(col("v"), col("__pv"), col("n"), col("__pn"))
           .as("__sim"))
@@ -326,17 +333,23 @@ object Similarity {
       corpus.select(col(idCol).cast("long").as("__id"), VectorOps.toDouble(col(vecCol)).as("__v")),
       "__v", cents, outCol = "cell")
       .withColumn("__n", VectorOps.norm2(col("__v")))
-    // nprobe nearest cells per probe: rank centroids by (sqDist, cid)
-    val probeCells = probes
-      .select(col(probeIdCol).cast("long").as("probe_id"), VectorOps.toDouble(col(probeVecCol)).as("__pv"))
-      .select(col("probe_id"), col("__pv"),
+    // nprobe nearest cells per probe: rank centroids by (sqDist, cid).
+    // Two broadcast relations (VERDICT r13 item 1): the (probe, cell)
+    // pairs and ONE d-vector per probe joined on probe_id — carrying
+    // __pv on the cell relation would ship it nprobe times per probe.
+    val pvecs = probes
+      .select(col(probeIdCol).cast("long").as("probe_id"),
+        VectorOps.toDouble(col(probeVecCol)).as("__pv"))
+      .withColumn("__pn", VectorOps.norm2(col("__pv")))
+    val probeCells = pvecs
+      .select(col("probe_id"),
         explode(slice(array_sort(transform(typedlit(cents.sortBy(_._1).map { case (cid, v) => (cid, v.toSeq) }.toSeq),
           c => struct(VectorOps.sqDist(col("__pv"), c.getField("_2")).as("d"),
             c.getField("_1").as("cid")))), 1, nprobe)).as("pc"))
-      .select(col("probe_id"), col("__pv"), col("pc.cid").as("cell"))
-      .withColumn("__pn", VectorOps.norm2(col("__pv")))
+      .select(col("probe_id"), col("pc.cid").as("cell"))
     val scored = cell.join(broadcast(probeCells), "cell")
       .filter(col("__id") =!= col("probe_id"))
+      .join(broadcast(pvecs), "probe_id")
       .select(col("probe_id"), col("__id"),
         VectorOps.cosineWithNorms(col("__v"), col("__pv"), col("__n"), col("__pn"))
           .as("__sim"))
