@@ -278,6 +278,23 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: IVF-PQ shortlist + exact re-rank ──────────────
+    // The COMPLETE billion-vector query recipe: cells prune, ADC over
+    // codes picks 50 candidates per probe (floats never read), and
+    // only those 250 rows touch the float table for the exact final
+    // top-10 — the q_pq_rerank pattern composed with the IVF pruning
+    // stage, which is what a production IVF-PQ deployment actually
+    // answers queries with.
+    "q_ivfpq_rerank" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      Similarity.ivfPqTopKRerank(emb, "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        cents8(s, dir), model, nprobe = 2, k = 10, shortlist = 50)
+    }),
+
+
     // ── LLM-pipeline: int8 embedding quantization ───────────────────
     // The 4×-smaller storage form for billion-vector corpora; codes
     // emitted as a comma-joined string so the compare hashes scalars.
@@ -1094,11 +1111,11 @@ private[graft] object EntryVector {
          |  FROM s)
          |WHERE rn <= 10""".stripMargin
 
-  /** The in-memory IVF-PQ replay, shared verbatim by q_ivfpq_topk and
-    * q_ivfpq_persist (disk-resident index + loaded codebook must
-    * serve bit-identically). */
-  private val sqlIvfPqTopK: String =
-    s"""WITH $sqlCents8,
+  /** The in-memory IVF-PQ CTE chain (probe cells, ADC tables,
+    * candidates, summed approximate distances) shared by the topk,
+    * persist, refresh, and rerank oracles. */
+  private val sqlIvfPqAdcCtes: String =
+    s"""$sqlCents8,
        |$sqlPqCodes,
        |$sqlProbes,
        |pc AS (
@@ -1123,7 +1140,13 @@ private[graft] object EntryVector {
        |  FROM candq JOIN pqa q ON q.vec_id = candq.vec_id
        |             JOIN pt ON pt.probe_id = candq.probe_id AND pt.j = q.j AND pt.cid = q.cid
        |  GROUP BY 1, 2
-       |)
+       |)""".stripMargin
+
+  /** The in-memory IVF-PQ replay, shared verbatim by q_ivfpq_topk,
+    * q_ivfpq_persist, and q_ivfpq_refresh (disk-resident index +
+    * loaded codebook must serve bit-identically). */
+  private val sqlIvfPqTopK: String =
+    s"""WITH $sqlIvfPqAdcCtes
        |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, adist FROM (
        |  SELECT probe_id, vec_id, adist,
        |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
@@ -1348,6 +1371,28 @@ private[graft] object EntryVector {
     // build + append + serve ≡ one in-memory search over the full
     // corpus — the same replay, verbatim (VERDICT r13 item 2).
     "q_ivfpq_refresh" -> sqlIvfPqTopK,
+
+
+    // the ADC chain's 50-candidate shortlist re-ranked by exact
+    // cosine — the q_pq_rerank pattern over the IVF-PQ candidates
+    "q_ivfpq_rerank" ->
+      s"""WITH $sqlIvfPqAdcCtes,
+         |isl AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+         |    FROM adq) WHERE rn <= 50
+         |),
+         |iex AS (
+         |  SELECT isl.probe_id, isl.vec_id,
+         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+         |  FROM isl JOIN embeddings e ON e.vec_id = isl.vec_id
+         |           JOIN pr ON pr.probe_id = isl.probe_id
+         |)
+         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM iex) WHERE rn <= 10""".stripMargin,
 
 
     "q_quantize" ->

@@ -278,7 +278,8 @@ object Similarity {
   def ivfTopKIndexed(spark: SparkSession, indexPath: String,
                      probes: DataFrame, probeIdCol: String, probeVecCol: String,
                      cents: KMeans.Centroids, nprobe: Int, k: Int,
-                     verifyRows: Boolean = true): DataFrame = {
+                     verifyRows: Boolean = true,
+                     maxProbes: Int = 10000): DataFrame = {
     TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.ivfTopKIndexed")
     val (metaRows, fp, _) = readIvfMeta(spark, indexPath)
     require(fp == centsFingerprint(cents),
@@ -296,6 +297,15 @@ object Similarity {
       .select(col(probeIdCol).cast("long").as("probe_id"),
         VectorOps.toDouble(col(probeVecCol)).as("pv"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // probe budget (the requireProbeBudget convention for the float
+    // path): probes collect to the driver and broadcast one d-vector
+    // each — the guard makes "probes must be small" a stated,
+    // overridable byte budget instead of an implicit OOM
+    require(probeRows.length <= maxProbes,
+      s"Similarity.ivfTopKIndexed: ${probeRows.length} probes exceed " +
+        s"maxProbes=$maxProbes — probes collect to the driver and broadcast " +
+        "at ~d*8 bytes each; raise maxProbes if the broadcast budget " +
+        "allows, or batch the probe set")
     // two broadcast relations (the ivfPqTopKIndexed shape, VERDICT
     // r13 item 1): (probe, cell) pruning pairs and ONE d-vector per
     // probe joined on probe_id — folding the vector into the cell
@@ -581,15 +591,30 @@ object Similarity {
   def pqTopKRerank(corpus: DataFrame, idCol: String, vecCol: String,
                    codes: DataFrame, codesIdCol: String, codesCol: String,
                    probes: DataFrame, probeIdCol: String, probeVecCol: String,
-                   model: PQModel, k: Int, shortlist: Int): DataFrame = {
+                   model: PQModel, k: Int, shortlist: Int,
+                   maxProbes: Int = 10000): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val short = pqTopK(codes, codesIdCol, codesCol,
-      probes, probeIdCol, probeVecCol, model, shortlist)
+      probes, probeIdCol, probeVecCol, model, shortlist, maxProbes)
       .select(col("probe_id"), col("vec_id"))
+    exactRerank(corpus, idCol, vecCol, probes, probeIdCol, probeVecCol,
+      short, k)
+  }
+
+  /** Exact cosine re-rank of a candidate shortlist — the generic back
+    * half of every approximate-then-exact recipe (shared by
+    * pqTopKRerank and ivfPqTopKRerank): ONLY the shortlist rows
+    * (probes × shortlist — thousands, not the corpus) join the float
+    * table, so the exact math runs on a vanishing fraction of the
+    * data. `cands` must carry (probe_id, vec_id). Output matches
+    * topKCosine's shape: (probe_id, vec_id, rank, sim). */
+  def exactRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                  probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                  cands: DataFrame, k: Int): DataFrame = {
     val pv = probes.select(col(probeIdCol).cast("long").as("probe_id"),
       VectorOps.toDouble(col(probeVecCol)).as("__pv"))
       .withColumn("__pn", VectorOps.norm2(col("__pv")))
-    val scored = short
+    val scored = cands.select(col("probe_id"), col("vec_id"))
       .join(corpus.select(col(idCol).cast("long").as("vec_id"),
         VectorOps.toDouble(col(vecCol)).as("__v")), "vec_id")
       .join(broadcast(pv), "probe_id")
@@ -601,6 +626,28 @@ object Similarity {
       .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))
       .select(col("probe_id"), col("p._1").as("vec_id"),
         (col("r0") + 1).cast("int").as("rank"), col("p._2").as("sim"))
+  }
+
+  /** IVF-PQ shortlist + exact float re-rank — the COMPLETE
+    * billion-vector query recipe (what a production serving stack
+    * actually answers queries with): coarse cells prune the scan to
+    * nprobe/#cells, ADC over codes ranks a `shortlist` of candidates
+    * per probe without reading a single float, and ONLY those
+    * probes × shortlist rows join the float table for the exact final
+    * top-k — recall approaches brute force as shortlist/k grows while
+    * the exact math never touches the corpus. Output: topKCosine's
+    * shape, (probe_id, vec_id, rank, sim). */
+  def ivfPqTopKRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                      probes: DataFrame, probeIdCol: String,
+                      probeVecCol: String, cents: KMeans.Centroids,
+                      model: PQModel, nprobe: Int, k: Int, shortlist: Int,
+                      maxProbes: Int = 10000): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val short = ivfPqTopK(corpus, idCol, vecCol,
+      probes, probeIdCol, probeVecCol, cents, model, nprobe, shortlist,
+      maxProbes).select(col("probe_id"), col("vec_id"))
+    exactRerank(corpus, idCol, vecCol, probes, probeIdCol, probeVecCol,
+      short, k)
   }
 
   /** IVF-PQ top-k — the composition that actually indexes billions
