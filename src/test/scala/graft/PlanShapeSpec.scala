@@ -393,6 +393,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scores must come from the persisted weight table, not the in-memory model:\n$s")
   }
 
+  test("q_minhash_persist: the index side reads the PERSISTED artifact, batch-internal pairs never form") {
+    // the r14 gate row's two structural claims: (a) the near-dup
+    // decision joins the LOADED parquet index (not a re-derived
+    // in-memory signature chain — the artifact path must appear in a
+    // scan), and (b) the join is banded/keyed — no cartesian anywhere
+    val df = SparkEntry.queries("q_minhash_persist")(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    try {
+      assert(s.contains("graft_minhash_idx_"),
+        s"the near-dup decision must read the persisted index:\n$s")
+      assert(!s.contains("CartesianProduct"),
+        s"banded join must stay keyed:\n$s")
+    } finally Dedup.releaseCaches()
+  }
+
+  test("q_ivfpq_rerank: shortlist from codes, exact math only on the shortlist join") {
+    // the recipe's structural claims: no cartesian (candidates come
+    // from the cell join, the re-rank joins on vec_id/probe_id), and
+    // the float-side join is keyed — the corpus is never crossed with
+    // the probe set at the exact stage
+    val df = SparkEntry.queries("q_ivfpq_rerank")(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    try assert(!s.contains("CartesianProduct"),
+      s"IVF-PQ rerank must stay keyed end to end:\n$s")
+    finally Dedup.releaseCaches()
+  }
+
   test("q_nb_holdout: the only unkeyed fan-out is the deliberate class-list cross join") {
     // scoreMulticlass crossJoins the tiny class list by design (every
     // doc scores every class); everything else — the (token, cls)
