@@ -105,8 +105,12 @@ private[graft] object EntryHelpers {
         cleanupHookInstalled = true
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
           tmpDirRegistry.synchronized(tmpDirRegistry.toSeq).foreach { d =>
+            // best-effort PER DIR (review r14): any exception —
+            // IllegalArgumentException for a path that is a plain
+            // file, not just IOException — must not abort deletion of
+            // the remaining registered dirs
             try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
-            catch { case _: java.io.IOException => () }
+            catch { case _: Exception => () }
           }))
       }
     }

@@ -112,8 +112,16 @@ object NaiveBayes {
   // loader's drift check compares against (ADVICE r13; vocab_size is
   // the model's semantic value, which an out-of-band-constructed
   // NBModel may legitimately disagree with). v1 artifacts are refused
-  // loudly, the contract versioning exists for.
+  // loudly, the contract versioning exists for. BINARY format only:
+  // the multiclass artifact schema did not change, so it keeps its
+  // own constant below — one format's evolution must not spuriously
+  // invalidate the other's existing artifacts (review r14).
   val ModelFormatVersion = 2
+
+  /** Multiclass artifact format version — independent of the binary
+    * `ModelFormatVersion` (the formats evolve separately; multiclass
+    * has carried its landed `n_weights` count since it shipped). */
+  val MulticlassFormatVersion = 1
 
   /** Persists an `NBModel` as a versioned parquet artifact — the
     * `Classifier.saveLogReg` symmetry for the TABLE-shaped model
@@ -255,7 +263,7 @@ object NaiveBayes {
     val w = model.weights.select(col("token"), col("cls"), col("c"), col("w"))
     w.write.mode("overwrite").parquet(s"$path/weights")
     val n = spark.read.parquet(s"$path/weights").count()
-    Seq((ModelFormatVersion, model.alpha, model.classes,
+    Seq((MulticlassFormatVersion, model.alpha, model.classes,
         model.classes.map(model.priors), model.classes.map(model.oovW), n))
       .toDF("version", "alpha", "classes", "priors", "oovs", "n_weights")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -275,8 +283,8 @@ object NaiveBayes {
       s"NB multiclass meta at $path has ${metaRows.length} rows, expected exactly 1")
     val r = metaRows(0)
     val version = r.getAs[Int]("version")
-    require(version == ModelFormatVersion,
-      s"NB multiclass artifact version $version at $path; this build reads $ModelFormatVersion")
+    require(version == MulticlassFormatVersion,
+      s"NB multiclass artifact version $version at $path; this build reads $MulticlassFormatVersion")
     val alpha = r.getAs[Double]("alpha")
     require(alpha > 0.0 && alpha.isFinite,
       s"NB multiclass artifact at $path has alpha $alpha, must be positive finite")

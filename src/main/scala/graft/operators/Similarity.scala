@@ -293,19 +293,13 @@ object Similarity {
         s"stale IVF index at $indexPath: meta records $metaRows rows, index " +
           s"holds $actual — partial append or concurrent write; rebuild")
     }
+    requireProbeBudget(probes, maxProbes,
+      (if (cents.nonEmpty) cents.head._2.length else 0) * 8L,
+      "Similarity.ivfTopKIndexed")
     val probeRows = probes
       .select(col(probeIdCol).cast("long").as("probe_id"),
         VectorOps.toDouble(col(probeVecCol)).as("pv"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-    // probe budget (the requireProbeBudget convention for the float
-    // path): probes collect to the driver and broadcast one d-vector
-    // each — the guard makes "probes must be small" a stated,
-    // overridable byte budget instead of an implicit OOM
-    require(probeRows.length <= maxProbes,
-      s"Similarity.ivfTopKIndexed: ${probeRows.length} probes exceed " +
-        s"maxProbes=$maxProbes — probes collect to the driver and broadcast " +
-        "at ~d*8 bytes each; raise maxProbes if the broadcast budget " +
-        "allows, or batch the probe set")
     // two broadcast relations (the ivfPqTopKIndexed shape, VERDICT
     // r13 item 1): (probe, cell) pruning pairs and ONE d-vector per
     // probe joined on probe_id — folding the vector into the cell
@@ -534,23 +528,32 @@ object Similarity {
       }.toSeq
     }
 
-  /** Probe-count guard shared by the ADC paths: probes collect to the
-    * driver and broadcast ONE m×k table plus the d-vector each —
-    * ≈ (m·k + d)·8 bytes per probe, independent of nprobe since the
-    * table joins per probe_id, never per (probe, cell). The budget is
-    * therefore a broadcast-size decision, not a semantic limit:
+  /** Probe-count guard shared by the probe-collecting paths: probes
+    * collect to the driver and broadcast `perProbeBytes` each (the
+    * ADC paths: ONE m×k table plus the d-vector ≈ (m·k + d)·8 bytes,
+    * independent of nprobe since the table joins per probe_id, never
+    * per (probe, cell); the float IVF path: just the d-vector). The
+    * budget is a broadcast-size decision, not a semantic limit:
     * callers with small tables or a generous driver raise maxProbes
     * explicitly (at m=16, k=256 a probe costs ~33 KiB — 10k probes
-    * ≈ 330 MiB, the conservative default ceiling). */
-  private def requireProbeBudget(n: Int, maxProbes: Int, model: PQModel,
-                                 where: String): Unit = {
-    val perProbe = (model.m.toLong * model.k + model.d) * 8L
+    * ≈ 330 MiB, the conservative default ceiling).
+    *
+    * Counted BEFORE the collect (review r14): a guard that fires
+    * after collect() cannot prevent the driver blowup it prices.
+    * limit(maxProbes+1) bounds the count job itself, so an
+    * over-budget probe set costs one cheap scan, never an OOM. */
+  private def requireProbeBudget(probes: DataFrame, maxProbes: Int,
+                                 perProbeBytes: Long, where: String): Unit = {
+    val n = probes.limit(maxProbes + 1).count()
     require(n <= maxProbes,
-      s"$where: $n probes exceed maxProbes=$maxProbes — probes collect to " +
-        s"the driver and broadcast at ~$perProbe bytes each " +
-        s"(~${perProbe * n >> 20} MiB total here); raise maxProbes if the " +
-        "broadcast budget allows, or batch the probe set")
+      s"$where: probe set exceeds maxProbes=$maxProbes — probes collect to " +
+        s"the driver and broadcast at ~$perProbeBytes bytes each " +
+        s"(~${perProbeBytes * maxProbes >> 20} MiB at the cap); raise " +
+        "maxProbes if the broadcast budget allows, or batch the probe set")
   }
+
+  private def pqProbeBytes(model: PQModel): Long =
+    (model.m.toLong * model.k + model.d) * 8L
 
   def pqTopK(codes: DataFrame, idCol: String, codesCol: String,
              probes: DataFrame, probeIdCol: String, probeVecCol: String,
@@ -559,9 +562,9 @@ object Similarity {
     TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.pqTopK")
     val spark = probes.sparkSession
     import spark.implicits._
+    requireProbeBudget(probes, maxProbes, pqProbeBytes(model), "Similarity.pqTopK")
     val pr = probes.select(col(probeIdCol).cast("long").as("probe_id"),
       VectorOps.toDouble(col(probeVecCol)).as("__pv")).collect()
-    requireProbeBudget(pr.length, maxProbes, model, "Similarity.pqTopK")
     val tables: Seq[(Long, Seq[Seq[Double]])] = pr.toSeq.map { r =>
       (r.getLong(0), adcTable(r.getSeq[Double](1).toArray, model))
     }
@@ -677,9 +680,9 @@ object Similarity {
         "__v", cents, outCol = "__cell"),
       "__v", model, outCol = "__c")
       .select("__id", "__cell", "__c")
+    requireProbeBudget(probes, maxProbes, pqProbeBytes(model), "Similarity.ivfPqTopK")
     val pr = probes.select(col(probeIdCol).cast("long").as("probe_id"),
       VectorOps.toDouble(col(probeVecCol)).as("__pv")).collect()
-    requireProbeBudget(pr.length, maxProbes, model, "Similarity.ivfPqTopK")
     // two broadcast relations (VERDICT r13 item 1): (probe, cell)
     // pairs — probes × nprobe ints — and ONE m×k ADC table per probe.
     // Folding the table into the cell relation would ship it nprobe
@@ -858,9 +861,10 @@ object Similarity {
         s"stale IVF-PQ index at $indexPath: meta records $metaRows rows, " +
           s"index holds $actual — partial write or concurrent writer; rebuild")
     }
+    requireProbeBudget(probes, maxProbes, pqProbeBytes(model),
+      "Similarity.ivfPqTopKIndexed")
     val pr = probes.select(col(probeIdCol).cast("long").as("probe_id"),
       VectorOps.toDouble(col(probeVecCol)).as("__pv")).collect()
-    requireProbeBudget(pr.length, maxProbes, model, "Similarity.ivfPqTopKIndexed")
     // two broadcast relations (VERDICT r13 item 1): the (probe, cell)
     // pruning pairs — probes × nprobe ints — and ONE m×k ADC table
     // per probe, attached by a second broadcast join on probe_id

@@ -30,7 +30,14 @@ object PqTrainBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = graft.Tables(spark, sfDir, "embeddings")
-    emb.count() // warm the page cache + JIT outside both timed regions
+    // warm-up must READ THE DATA: a parquet count() scans only
+    // footers (empty required schema), leaving the embedding pages
+    // cold for whichever variant runs first (review r14). Summing a
+    // derived value forces every embedding byte through the page
+    // cache + decoder once, so BOTH variants below measure the
+    // warm-cache regime — the only one a single process can compare
+    // fairly (a cold cache exists once per file per boot).
+    emb.agg(sum(size(col("embedding")))).collect()
 
     // the pre-r14 shape, replicated for the measurement only: every
     // sub-fit plans straight over the source, so each of its Lloyd
@@ -53,8 +60,9 @@ object PqTrainBench {
         s"(m=$m k=$k maxIter=$maxIter, $sfDir)")
       r
     }
-    // alternate the order across the two reps so neither variant
-    // always pays the colder cache
+    // alternate the order so neither variant systematically follows
+    // the other's JIT/GC shadow; the page cache is warm for all four
+    // runs (see the warm-up above)
     val a1 = time("uncached")(uncached())
     val b1 = time("cached")(
       Similarity.trainPQ(emb, "vec_id", "embedding", 64, m, k, maxIter))

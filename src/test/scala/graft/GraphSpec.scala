@@ -504,15 +504,17 @@ class GraphSpec extends AnyFunSuite {
     // of the graph's degree distribution, not of the operator
     // (EntryGraph's q_hits_fast comment derives why), so it is pinned
     // where it is relied on
-    val got = SparkEntry.queries("q_hits_fast")(spark, "/root/testdata/sf0.001")
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
-    assert(got.nonEmpty)
-    try got.foreach { case (id, a, h) =>
-      assert(a == math.rint(a) && h == math.rint(h),
-        s"node $id: non-integer score ($a, $h)")
-      assert(math.abs(a) < 9.007199254740992e15 &&
-          math.abs(h) < 9.007199254740992e15,
-        s"node $id: score ($a, $h) at or beyond 2^53")
+    try {
+      val got = SparkEntry.queries("q_hits_fast")(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(got.nonEmpty)
+      got.foreach { case (id, a, h) =>
+        assert(a == math.rint(a) && h == math.rint(h),
+          s"node $id: non-integer score ($a, $h)")
+        assert(math.abs(a) < 9.007199254740992e15 &&
+            math.abs(h) < 9.007199254740992e15,
+          s"node $id: score ($a, $h) at or beyond 2^53")
+      }
     } finally Dedup.releaseCaches()
   }
 }
