@@ -481,8 +481,13 @@ class SimilaritySpec extends AnyFunSuite {
       m = 4, k = 16, maxIter = 0)
     val probes = emb.orderBy("vec_id").limit(3)
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString + "/i"
-    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 3 =!= 0),
+    // TWO sequential appends: the second reads the meta row the first
+    // wrote, so the accumulated prev+batch count chain is exercised,
+    // not just the build→append edge
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 3 === 1),
       "vec_id", "embedding", cents, model, dir)
+    Similarity.appendIvfPqIndex(spark, emb.filter(col("vec_id") % 3 === 2),
+      "vec_id", "embedding", model, dir)
     Similarity.appendIvfPqIndex(spark, emb.filter(col("vec_id") % 3 === 0),
       "vec_id", "embedding", model, dir)
     val a = Similarity.ivfPqTopKIndexed(spark, dir,
