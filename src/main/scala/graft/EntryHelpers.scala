@@ -44,6 +44,13 @@ private[graft] object EntryHelpers {
     def getOrElseUpdate(s: SparkSession, key: String)(build: => T): T =
       synchronized {
         sweepLocked()
+        // refuse the INCOMING session too (review r14): memoizing a
+        // value built against a stopped session would re-insert the
+        // very pin the sweep just removed, and it would live until
+        // some later access happens to sweep again
+        require(!isDead(s),
+          "SessionMemo access with a stopped SparkSession — the caller is " +
+            "computing against a dead session")
         var per = m.get(s)
         if (per == null) {
           per = scala.collection.mutable.Map.empty[String, T]

@@ -234,6 +234,28 @@ object Similarity {
     writeIvfMeta(spark, path, spark.read.parquet(path).count(), cents)
   }
 
+  /** Optional append guard (review r14): a RETRIED batch that had
+    * actually committed re-appends cleanly — data holds each row
+    * twice, the meta counts both, every fingerprint matches — and the
+    * index then silently serves duplicate candidates (a vec_id can
+    * occupy two top-k slots, evicting a genuine neighbor). The
+    * default contract keeps dedup upstream (dropSeenExact — the
+    * cheaper, batch-level place); `requireNewIds = true` buys the
+    * audit at the cost of one column-pruned scan of the index's id
+    * column per append (a semi-join probe, not a full-width read). */
+  private def requireIdsNotIndexed(spark: SparkSession, batch: DataFrame,
+                                   idCol: String, path: String,
+                                   where: String): Unit = {
+    val dups = spark.read.parquet(path).select(col("id"))
+      .join(batch.select(col(idCol).cast("long").as("id")).distinct(), "id")
+      .limit(1).count()
+    require(dups == 0L,
+      s"$where: the batch carries ids already present in the index at " +
+        s"$path — appending would silently serve duplicate rows past every " +
+        "freshness gate (a retried-but-committed batch?); dedup upstream " +
+        "or rebuild")
+  }
+
   /** Incremental index maintenance: assign a new batch with the
     * index's own STORED quantizer (the caller cannot drift the cell
     * geometry by passing fresher centroids — that requires a rebuild)
@@ -243,9 +265,12 @@ object Similarity {
     * never a silently short one. Batch-vs-corpus dedup is upstream's
     * job (dropSeenExact) — the index serves whatever was admitted. */
   def appendIvfIndex(spark: SparkSession, batch: DataFrame,
-                     idCol: String, vecCol: String, path: String): Unit = {
+                     idCol: String, vecCol: String, path: String,
+                     requireNewIds: Boolean = false): Unit = {
     TopKAgg.requireLongCastableId(batch, idCol, "Similarity.appendIvfIndex")
     val (prevRows, _, cents) = readIvfMeta(spark, path)
+    if (requireNewIds) requireIdsNotIndexed(spark, batch, idCol, path,
+      "Similarity.appendIvfIndex")
     // meta rows = prev + batch (O(batch), not a full-index recount —
     // review r12); a crash between data and meta leaves actual > meta,
     // which ivfTopKIndexed's row check refuses
@@ -293,10 +318,10 @@ object Similarity {
         s"stale IVF index at $indexPath: meta records $metaRows rows, index " +
           s"holds $actual — partial append or concurrent write; rebuild")
     }
-    requireProbeBudget(probes, maxProbes,
+    val pinned = boundedProbes(probes, maxProbes,
       (if (cents.nonEmpty) cents.head._2.length else 0) * 8L,
       "Similarity.ivfTopKIndexed")
-    val probeRows = probes
+    val probeRows = pinned
       .select(col(probeIdCol).cast("long").as("probe_id"),
         VectorOps.toDouble(col(probeVecCol)).as("pv"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
@@ -341,10 +366,15 @@ object Similarity {
     // Two broadcast relations (VERDICT r13 item 1): the (probe, cell)
     // pairs and ONE d-vector per probe joined on probe_id — carrying
     // __pv on the cell relation would ship it nprobe times per probe.
+    // Both derive from ONE eagerly-checkpointed instantiation (review
+    // r14): two independent evaluations of a nondeterministic probes
+    // plan could prune cells under one probe set and score vectors
+    // from another — silently wrong neighbors, no error.
     val pvecs = probes
       .select(col(probeIdCol).cast("long").as("probe_id"),
         VectorOps.toDouble(col(probeVecCol)).as("__pv"))
       .withColumn("__pn", VectorOps.norm2(col("__pv")))
+      .localCheckpoint()
     val probeCells = pvecs
       .select(col("probe_id"),
         explode(slice(array_sort(transform(typedlit(cents.sortBy(_._1).map { case (cid, v) => (cid, v.toSeq) }.toSeq),
@@ -538,18 +568,26 @@ object Similarity {
     * explicitly (at m=16, k=256 a probe costs ~33 KiB — 10k probes
     * ≈ 330 MiB, the conservative default ceiling).
     *
-    * Counted BEFORE the collect (review r14): a guard that fires
-    * after collect() cannot prevent the driver blowup it prices.
-    * limit(maxProbes+1) bounds the count job itself, so an
-    * over-budget probe set costs one cheap scan, never an OOM. */
-  private def requireProbeBudget(probes: DataFrame, maxProbes: Int,
-                                 perProbeBytes: Long, where: String): Unit = {
-    val n = probes.limit(maxProbes + 1).count()
+    * Enforced by ONE bounded materialization (review r14, twice):
+    * `limit(maxProbes+1)` caps what can ever materialize — so an
+    * over-budget probe set costs one bounded scan, never a driver
+    * OOM — and the eager localCheckpoint PINS the instantiation: the
+    * budget count, the driver collect, and every broadcast built
+    * from the returned relation all read the same checkpointed rows,
+    * so a nondeterministic probes plan (repartition+limit without
+    * ordering, a view over changing files) cannot diverge between
+    * stages, and the probe subplan is evaluated exactly once however
+    * many stages consume it. */
+  private def boundedProbes(probes: DataFrame, maxProbes: Int,
+                            perProbeBytes: Long, where: String): DataFrame = {
+    val pinned = probes.limit(maxProbes + 1).localCheckpoint()
+    val n = pinned.count() // counts the checkpointed rows — no re-eval
     require(n <= maxProbes,
       s"$where: probe set exceeds maxProbes=$maxProbes — probes collect to " +
         s"the driver and broadcast at ~$perProbeBytes bytes each " +
         s"(~${perProbeBytes * maxProbes >> 20} MiB at the cap); raise " +
         "maxProbes if the broadcast budget allows, or batch the probe set")
+    pinned
   }
 
   private def pqProbeBytes(model: PQModel): Long =
@@ -562,8 +600,9 @@ object Similarity {
     TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.pqTopK")
     val spark = probes.sparkSession
     import spark.implicits._
-    requireProbeBudget(probes, maxProbes, pqProbeBytes(model), "Similarity.pqTopK")
-    val pr = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+    val pinned = boundedProbes(probes, maxProbes, pqProbeBytes(model),
+      "Similarity.pqTopK")
+    val pr = pinned.select(col(probeIdCol).cast("long").as("probe_id"),
       VectorOps.toDouble(col(probeVecCol)).as("__pv")).collect()
     val tables: Seq[(Long, Seq[Seq[Double]])] = pr.toSeq.map { r =>
       (r.getLong(0), adcTable(r.getSeq[Double](1).toArray, model))
@@ -597,10 +636,15 @@ object Similarity {
                    model: PQModel, k: Int, shortlist: Int,
                    maxProbes: Int = 10000): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    // ONE probe instantiation feeds both stages (review r14): a
+    // nondeterministic probes plan evaluated separately per stage
+    // would re-rank a shortlist against vectors that never produced
+    // it — silently wrong final top-k
+    val pinned = probes.localCheckpoint()
     val short = pqTopK(codes, codesIdCol, codesCol,
-      probes, probeIdCol, probeVecCol, model, shortlist, maxProbes)
+      pinned, probeIdCol, probeVecCol, model, shortlist, maxProbes)
       .select(col("probe_id"), col("vec_id"))
-    exactRerank(corpus, idCol, vecCol, probes, probeIdCol, probeVecCol,
+    exactRerank(corpus, idCol, vecCol, pinned, probeIdCol, probeVecCol,
       short, k)
   }
 
@@ -646,10 +690,13 @@ object Similarity {
                       model: PQModel, nprobe: Int, k: Int, shortlist: Int,
                       maxProbes: Int = 10000): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    // ONE probe instantiation feeds both stages (review r14) — see
+    // pqTopKRerank
+    val pinned = probes.localCheckpoint()
     val short = ivfPqTopK(corpus, idCol, vecCol,
-      probes, probeIdCol, probeVecCol, cents, model, nprobe, shortlist,
+      pinned, probeIdCol, probeVecCol, cents, model, nprobe, shortlist,
       maxProbes).select(col("probe_id"), col("vec_id"))
-    exactRerank(corpus, idCol, vecCol, probes, probeIdCol, probeVecCol,
+    exactRerank(corpus, idCol, vecCol, pinned, probeIdCol, probeVecCol,
       short, k)
   }
 
@@ -680,8 +727,9 @@ object Similarity {
         "__v", cents, outCol = "__cell"),
       "__v", model, outCol = "__c")
       .select("__id", "__cell", "__c")
-    requireProbeBudget(probes, maxProbes, pqProbeBytes(model), "Similarity.ivfPqTopK")
-    val pr = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+    val pinned = boundedProbes(probes, maxProbes, pqProbeBytes(model),
+      "Similarity.ivfPqTopK")
+    val pr = pinned.select(col(probeIdCol).cast("long").as("probe_id"),
       VectorOps.toDouble(col(probeVecCol)).as("__pv")).collect()
     // two broadcast relations (VERDICT r13 item 1): (probe, cell)
     // pairs — probes × nprobe ints — and ONE m×k ADC table per probe.
@@ -805,12 +853,17 @@ object Similarity {
     * a full recount); the meta writes AFTER the data, so a crash
     * between the steps leaves actual > meta, which the serve-side row
     * check refuses — detectably stale, never silently short. Without
-    * this, a growing corpus forces a full rebuild per ingest batch. */
+    * this, a growing corpus forces a full rebuild per ingest batch.
+    * Batch-vs-index dedup is upstream's job (dropSeenExact — the
+    * appendIvfIndex contract); `requireNewIds = true` audits it here
+    * at the cost of one id-column scan (see requireIdsNotIndexed). */
   def appendIvfPqIndex(spark: SparkSession, batch: DataFrame,
                        idCol: String, vecCol: String, model: PQModel,
-                       path: String): Unit = {
+                       path: String, requireNewIds: Boolean = false): Unit = {
     TopKAgg.requireLongCastableId(batch, idCol, "Similarity.appendIvfPqIndex")
     val (prevRows, _, cents, pqFp) = readIvfPqMeta(spark, path)
+    if (requireNewIds) requireIdsNotIndexed(spark, batch, idCol, path,
+      "Similarity.appendIvfPqIndex")
     require(pqFp == pqFingerprint(model),
       s"stale IVF-PQ index at $path: the PQ codebook passed to the append " +
         "does not match the one the index's codes were written with — " +
@@ -861,9 +914,9 @@ object Similarity {
         s"stale IVF-PQ index at $indexPath: meta records $metaRows rows, " +
           s"index holds $actual — partial write or concurrent writer; rebuild")
     }
-    requireProbeBudget(probes, maxProbes, pqProbeBytes(model),
+    val pinned = boundedProbes(probes, maxProbes, pqProbeBytes(model),
       "Similarity.ivfPqTopKIndexed")
-    val pr = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+    val pr = pinned.select(col(probeIdCol).cast("long").as("probe_id"),
       VectorOps.toDouble(col(probeVecCol)).as("__pv")).collect()
     // two broadcast relations (VERDICT r13 item 1): the (probe, cell)
     // pruning pairs — probes × nprobe ints — and ONE m×k ADC table
@@ -871,7 +924,7 @@ object Similarity {
     // AFTER the cell join has already cut the corpus to probed cells.
     // The old shape carried the table once per (probe, cell) — an
     // nprobe-fold broadcast inflation that reached GBs at the
-    // supported ceiling; this one is what requireProbeBudget prices.
+    // supported ceiling; this one is what boundedProbes prices.
     val probeCells: Seq[(Long, Int)] = pr.toSeq.flatMap { r =>
       val pv = r.getSeq[Double](1).toArray
       nearestCells(pv, cents, nprobe).map(c => (r.getLong(0), c))

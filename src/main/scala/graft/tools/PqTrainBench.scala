@@ -17,6 +17,8 @@ import graft.functions.VectorOps
   * Prints one line per variant; BASELINE.md records the result. */
 object PqTrainBench {
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: runMain graft.tools.PqTrainBench <sfDir> [m] [k] [maxIter]")
     val sfDir = args(0)
     val m = if (args.length > 1) args(1).toInt else 8
     val k = if (args.length > 2) args(2).toInt else 16

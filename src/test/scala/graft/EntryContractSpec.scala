@@ -82,6 +82,13 @@ class EntryContractSpec extends AnyFunSuite {
     assert(!memo.holds(spark), "dead session entry must be dropped")
     assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
       "dead session's cached fixture must be unpersisted")
+    // accessing the memo WITH a dead session refuses (review r14):
+    // memoizing a value built against it would re-insert the very pin
+    // the sweep just removed
+    intercept[IllegalArgumentException] {
+      memo.getOrElseUpdate(spark, "fixture")(Seq((9L, "x")).toDF("id", "v"))
+    }
+    assert(!memo.holds(spark), "a refused access must not insert")
     // and a fresh entry for a (newly) live session works again
     dead -= spark
     val again = memo.getOrElseUpdate(spark, "fixture")(

@@ -509,6 +509,18 @@ class SimilaritySpec extends AnyFunSuite {
         "vec_id", "embedding", driftedM, dir)
     }
     assert(e1.getMessage.contains("codebook"))
+    // requireNewIds audits a retried-but-committed batch (review
+    // r14): re-appending already-indexed ids refuses (and writes
+    // nothing — the guard precedes the write)...
+    val eDup = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndex(spark, emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", model, dir, requireNewIds = true)
+    }
+    assert(eDup.getMessage.contains("already present"))
+    // ...while genuinely-new ids pass the same audit
+    Similarity.appendIvfPqIndex(spark,
+      emb.limit(3).select((col("vec_id") + 500000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", model, dir, requireNewIds = true)
     // a row-count drift after manual surgery is refused at serve time
     emb.limit(1)
       .select(col("vec_id").cast("long").as("id"),
