@@ -72,15 +72,21 @@ private[graft] object EntryHelpers {
         if (k != null && isDead(k)) {
           // best-effort unpersist: with the context genuinely stopped
           // the blocks died with the executors and the call may throw;
-          // removing the entry is what releases the references either way
-          e.getValue.values.foreach {
-            case ds: org.apache.spark.sql.Dataset[_] =>
-              try { ds.unpersist(); () } catch { case _: Exception => () }
-            case _ => ()
-          }
+          // removing the entry is what releases the references either way.
+          // Values may be tuples/case classes CONTAINING persisted
+          // Datasets (lrModelMemo's (DataFrame, Standardizer, model),
+          // the NB models' weight tables — ADVICE r14), so recurse
+          // through Product structure, not just direct Dataset values.
+          e.getValue.values.foreach(unpersistValue)
           it.remove()
         }
       }
+    }
+    private def unpersistValue(v: Any): Unit = v match {
+      case ds: org.apache.spark.sql.Dataset[_] =>
+        try { ds.unpersist(); () } catch { case _: Exception => () }
+      case p: Product => p.productIterator.foreach(unpersistValue)
+      case _ => ()
     }
   }
 
@@ -100,28 +106,55 @@ private[graft] object EntryHelpers {
     * file-round-trip queries, registered for recursive deletion at JVM
     * exit (ADVICE r13: the old dirs were never cleaned up and
     * accumulated across sessions — and since the suffix is a fresh
-    * UUID per session, no other process can be reading them). */
-  private val tmpDirRegistry = scala.collection.mutable.Set.empty[String]
+    * UUID per session, no other process can be reading them).
+    *
+    * Stopped-session sweep (VERDICT r14 item 5): JVM-exit-only
+    * cleanup lets a long-lived service JVM running many sessions
+    * accumulate per-session index/artifact dirs indefinitely, so each
+    * dir also records its owning session (weakly — the registry must
+    * not keep a dead session reachable) and
+    * `sweepStoppedSessionTmpDirs()` deletes every dir whose owner is
+    * stopped or already GC'd. It runs on every sessionTmpDir call —
+    * the same access-time discipline as SessionMemo's sweep — and is
+    * callable directly for explicit eviction. */
+  private val tmpDirRegistry = scala.collection.mutable.Map
+    .empty[String, java.lang.ref.WeakReference[SparkSession]]
   private var cleanupHookInstalled = false
   def sessionTmpDir(s: SparkSession, family: String, dir: String): String = {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_${family}_" +
       Integer.toHexString(dir.hashCode) + "_" + sessionTag(s)
     tmpDirRegistry.synchronized {
-      tmpDirRegistry += p
+      sweepLockedTmpDirs(sess => sess.sparkContext.isStopped)
+      tmpDirRegistry(p) = new java.lang.ref.WeakReference(s)
       if (!cleanupHookInstalled) {
         cleanupHookInstalled = true
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          tmpDirRegistry.synchronized(tmpDirRegistry.toSeq).foreach { d =>
-            // best-effort PER DIR (review r14): any exception —
-            // IllegalArgumentException for a path that is a plain
-            // file, not just IOException — must not abort deletion of
-            // the remaining registered dirs
-            try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
-            catch { case _: Exception => () }
-          }))
+          tmpDirRegistry.synchronized(tmpDirRegistry.keys.toSeq)
+            .foreach(deleteTmpDir)))
       }
     }
     p
+  }
+  /** Delete every registered temp dir whose owning session satisfies
+    * `isDead` (or was GC'd). The predicate is a seam for tests only —
+    * a real context stop is JVM-global under sbt's shared session. */
+  def sweepStoppedSessionTmpDirs(
+      isDead: SparkSession => Boolean = s => s.sparkContext.isStopped): Unit =
+    tmpDirRegistry.synchronized { sweepLockedTmpDirs(isDead) }
+  private def sweepLockedTmpDirs(isDead: SparkSession => Boolean): Unit =
+    tmpDirRegistry.filterInPlace { (d, ref) =>
+      val owner = ref.get()
+      val dead = owner == null || isDead(owner)
+      if (dead) deleteTmpDir(d)
+      !dead
+    }
+  private def deleteTmpDir(d: String): Unit = {
+    // best-effort PER DIR (review r14): any exception —
+    // IllegalArgumentException for a path that is a plain file, not
+    // just IOException — must not abort deletion of the remaining
+    // registered dirs
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    catch { case _: Exception => () }
   }
 
   /** Shared fixed-centroid set for the oracle-checked K-Means queries:

@@ -234,15 +234,17 @@ object Similarity {
     writeIvfMeta(spark, path, spark.read.parquet(path).count(), cents)
   }
 
-  /** Optional append guard (review r14): a RETRIED batch that had
-    * actually committed re-appends cleanly — data holds each row
-    * twice, the meta counts both, every fingerprint matches — and the
-    * index then silently serves duplicate candidates (a vec_id can
-    * occupy two top-k slots, evicting a genuine neighbor). The
-    * default contract keeps dedup upstream (dropSeenExact — the
-    * cheaper, batch-level place); `requireNewIds = true` buys the
-    * audit at the cost of one column-pruned scan of the index's id
-    * column per append (a semi-join probe, not a full-width read). */
+  /** Append id audit (review r14; default ON since r15 — VERDICT r14
+    * item 3): a RETRIED batch that had actually committed re-appends
+    * cleanly — data holds each row twice, the meta counts both, every
+    * fingerprint matches — and the index then silently serves
+    * duplicate candidates (a vec_id can occupy two top-k slots,
+    * evicting a genuine neighbor). That footgun is armed by exactly
+    * the jobs most likely to retry (ingest), so the audit defaults on:
+    * one column-pruned scan of the index's id column per append (a
+    * batch-sized semi-join probe, not a full-width read). Pipelines
+    * that already dedup upstream (dropSeenExact) and own their retry
+    * discipline opt out with `requireNewIds = false`. */
   private def requireIdsNotIndexed(spark: SparkSession, batch: DataFrame,
                                    idCol: String, path: String,
                                    where: String): Unit = {
@@ -262,11 +264,13 @@ object Similarity {
     * and append it to the cell partitions; the meta row count is
     * refreshed after the append, so a crash between the two steps
     * leaves a DETECTABLY stale index (ivfTopKIndexed's row check),
-    * never a silently short one. Batch-vs-corpus dedup is upstream's
-    * job (dropSeenExact) — the index serves whatever was admitted. */
+    * never a silently short one. The duplicate-id audit defaults ON
+    * (requireIdsNotIndexed — a retried batch double-appends cleanly
+    * otherwise); pipelines that dedup upstream (dropSeenExact) opt
+    * out with requireNewIds = false. */
   def appendIvfIndex(spark: SparkSession, batch: DataFrame,
                      idCol: String, vecCol: String, path: String,
-                     requireNewIds: Boolean = false): Unit = {
+                     requireNewIds: Boolean = true): Unit = {
     TopKAgg.requireLongCastableId(batch, idCol, "Similarity.appendIvfIndex")
     val (prevRows, _, cents) = readIvfMeta(spark, path)
     if (requireNewIds) requireIdsNotIndexed(spark, batch, idCol, path,
@@ -321,23 +325,25 @@ object Similarity {
     val pinned = boundedProbes(probes, maxProbes,
       (if (cents.nonEmpty) cents.head._2.length else 0) * 8L,
       "Similarity.ivfTopKIndexed")
-    val probeRows = pinned
-      .select(col(probeIdCol).cast("long").as("probe_id"),
-        VectorOps.toDouble(col(probeVecCol)).as("pv"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     // two broadcast relations (the ivfPqTopKIndexed shape, VERDICT
-    // r13 item 1): (probe, cell) pruning pairs and ONE d-vector per
-    // probe joined on probe_id — folding the vector into the cell
-    // relation would ship it nprobe times per probe
+    // r13 item 1): (probe, cell) pruning pairs — ranked driver-side
+    // from the pinned collect — and ONE d-vector per probe joined on
+    // probe_id (folding the vector into the cell relation would ship
+    // it nprobe times per probe). The vector relation reads the
+    // pinned checkpoint, not a driver-side re-embedding of the
+    // collected rows into the plan.
+    val pv = pinned
+      .select(col(probeIdCol).cast("long").as("probe_id"),
+        VectorOps.toDouble(col(probeVecCol)).as("__pv"))
+      .withColumn("__pn", VectorOps.norm2(col("__pv")))
+    val probeRows = pv.select(col("probe_id"), col("__pv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     val probeCells = probeRows.flatMap { case (pid, v) =>
       nearestCells(v, cents, nprobe).map(c => (pid, c))
     }
     val cells = probeCells.map(_._2).distinct.toSeq
     import spark.implicits._
     val pc = probeCells.toSeq.toDF("probe_id", "cell")
-    val pv = probeRows.toSeq.map { case (pid, v) => (pid, v.toSeq) }
-      .toDF("probe_id", "__pv")
-      .withColumn("__pn", VectorOps.norm2(col("__pv")))
     val idx = spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells: _*)) // static partition pruning
     val scored = idx.join(broadcast(pc), "cell")
@@ -355,7 +361,8 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               probes: DataFrame, probeIdCol: String, probeVecCol: String,
-              cents: KMeans.Centroids, nprobe: Int, k: Int): DataFrame = {
+              cents: KMeans.Centroids, nprobe: Int, k: Int,
+              maxProbes: Int = 10000): DataFrame = {
     TopKAgg.requireLongCastableId(corpus, idCol, "Similarity.ivfTopK")
     TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.ivfTopK")
     val cell = KMeans.assign(
@@ -366,15 +373,20 @@ object Similarity {
     // Two broadcast relations (VERDICT r13 item 1): the (probe, cell)
     // pairs and ONE d-vector per probe joined on probe_id — carrying
     // __pv on the cell relation would ship it nprobe times per probe.
-    // Both derive from ONE eagerly-checkpointed instantiation (review
-    // r14): two independent evaluations of a nondeterministic probes
-    // plan could prune cells under one probe set and score vectors
-    // from another — silently wrong neighbors, no error.
-    val pvecs = probes
-      .select(col(probeIdCol).cast("long").as("probe_id"),
-        VectorOps.toDouble(col(probeVecCol)).as("__pv"))
-      .withColumn("__pn", VectorOps.norm2(col("__pv")))
-      .localCheckpoint()
+    // Both derive from ONE bounded, eagerly-checkpointed instantiation
+    // (review r14 + ADVICE r14): two independent evaluations of a
+    // nondeterministic probes plan could prune cells under one probe
+    // set and score vectors from another — silently wrong neighbors,
+    // no error — and the force-broadcast of an unbounded probe set
+    // was the one sibling path without the per-probe byte budget.
+    val pvecs = boundedProbes(
+      probes
+        .select(col(probeIdCol).cast("long").as("probe_id"),
+          VectorOps.toDouble(col(probeVecCol)).as("__pv"))
+        .withColumn("__pn", VectorOps.norm2(col("__pv"))),
+      maxProbes,
+      (if (cents.nonEmpty) cents.head._2.length else 0) * 8L,
+      "Similarity.ivfTopK")
     val probeCells = pvecs
       .select(col("probe_id"),
         explode(slice(array_sort(transform(typedlit(cents.sortBy(_._1).map { case (cid, v) => (cid, v.toSeq) }.toSeq),
@@ -534,39 +546,58 @@ object Similarity {
     df.withColumn(outCol, codes)
   }
 
-  /** Asymmetric-distance (ADC) top-k over PQ codes: each probe
-    * precomputes its m×k table of squared sub-distances to every
-    * codeword DRIVER-side (m·k·dsub flops — constants, the centroid-
-    * step posture), and a candidate's approximate squared distance is
-    * then Σ_j table(j)(code_j) — an O(m) array lookup per corpus row
-    * that never touches the original floats. The table set broadcasts
-    * (probes × m×k doubles); the scan is rowwise codegen over the
-    * 32×-smaller code column; ranking reuses the TopKAgg partial-agg
-    * path (≤k rows per probe leave each task). Ties break on the
-    * lowest vec_id. Self-matches excluded, like topKCosine. Output:
-    * (probe_id, vec_id, rank, adist); re-rank the head with exact
-    * floats when exactness matters — the standard PQ recipe. */
-  /** One probe's m×k table of squared sub-distances to every
-    * codeword — the driver-side precompute both ADC paths share. */
-  private def adcTable(pv: Array[Double], model: PQModel): Seq[Seq[Double]] =
-    (0 until model.m).map { j =>
-      val off = j * model.dsub
-      model.codebooks(j).sortBy(_._1).map { case (_, cw) =>
-        var s = 0.0; var i = 0
-        while (i < cw.length) { val dd = pv(off + i) - cw(i); s += dd * dd; i += 1 }
-        s
-      }.toSeq
-    }
+  /** Asymmetric-distance (ADC) top-k over PQ codes: a candidate's
+    * approximate squared distance to a probe is Σ_j sqDist(probe's
+    * j-th subvector, codeword code_j) — computed EXECUTOR-side per
+    * row from the probe's broadcast d-vector and ONE literal codebook
+    * embedded in the plan (VERDICT r14 item 2). Nothing probe-scaled
+    * is ever built on the driver: the old shape precomputed each
+    * probe's m×k sub-distance table in a single-threaded driver loop
+    * and broadcast probes × m·k doubles (~330 MiB at the priced
+    * ceiling); now the broadcast is the d-vector alone (probes × d
+    * doubles — 5 MiB for 10k probes at d=64) and the codebook ships
+    * once, probe-count-independent, as m·k·dsub plan-literal doubles.
+    * The trade is per-pair flops: m sqDists of dsub dims (= d
+    * mult-adds) instead of m table lookups — the same arithmetic the
+    * table build amortized, re-run per pair. At corpus scale the scan
+    * is I/O-bound on the 32×-compressed code column and the codebook
+    * is cache-resident, so the flop increase is noise next to the
+    * removed driver/broadcast ceiling; ranking still reuses the
+    * TopKAgg partial-agg path (≤k rows per probe leave each task).
+    * Ties break on the lowest vec_id; self-matches excluded, like
+    * topKCosine. Output: (probe_id, vec_id, rank, adist); re-rank the
+    * head with exact floats when exactness matters — the standard PQ
+    * recipe. */
+  /** The m×k×dsub literal codebook (cid-ordered per subspace) — the
+    * probe-count-independent plan payload every ADC expression
+    * shares. */
+  private def codebookLit(model: PQModel): Column =
+    typedlit(model.codebooks.map(_.sortBy(_._1).map(_._2.toSeq).toSeq).toSeq)
 
-  /** Probe-count guard shared by the probe-collecting paths: probes
-    * collect to the driver and broadcast `perProbeBytes` each (the
-    * ADC paths: ONE m×k table plus the d-vector ≈ (m·k + d)·8 bytes,
-    * independent of nprobe since the table joins per probe_id, never
-    * per (probe, cell); the float IVF path: just the d-vector). The
-    * budget is a broadcast-size decision, not a semantic limit:
-    * callers with small tables or a generous driver raise maxProbes
-    * explicitly (at m=16, k=256 a probe costs ~33 KiB — 10k probes
-    * ≈ 330 MiB, the conservative default ceiling).
+  /** Per-row ADC distance: Σ_j sqDist(slice_j(pv), codebook(j)(c_j)),
+    * j ascending — the same sequential fold (and bit-identical
+    * doubles) as the retired driver-side table's Σ_j table(j)(c_j),
+    * so every oracle hash is unchanged. */
+  private def adcDist(codes: Column, pv: Column, model: PQModel): Column = {
+    val books = codebookLit(model)
+    VectorOps.foldSum(transform(codes, (c, j) =>
+      VectorOps.sqDist(
+        slice(pv, j * lit(model.dsub) + lit(1), lit(model.dsub)),
+        element_at(element_at(books, j + lit(1)), c))))
+  }
+
+  /** Probe-count guard shared by the probe paths: every path
+    * broadcasts `perProbeBytes` per probe — since the executor-side
+    * ADC rewrite (VERDICT r14 item 2) that is the d-vector alone,
+    * d·8 bytes, for PQ and float paths alike (the m×k tables no
+    * longer exist anywhere; the codebook is a probe-count-independent
+    * plan literal) — and the IVF paths additionally collect the
+    * probe vectors driver-side to rank cells for partition pruning.
+    * The budget is a broadcast/collect-size decision, not a semantic
+    * limit: at d=64 a probe costs 512 bytes, so the 10k default is
+    * ~5 MiB — callers with a generous driver raise maxProbes
+    * explicitly, and batching the probe set is always sound (the
+    * serve is per-probe-independent).
     *
     * Enforced by ONE bounded materialization (review r14, twice):
     * `limit(maxProbes+1)` caps what can ever materialize — so an
@@ -590,30 +621,34 @@ object Similarity {
     pinned
   }
 
-  private def pqProbeBytes(model: PQModel): Long =
-    (model.m.toLong * model.k + model.d) * 8L
+  private def pqProbeBytes(model: PQModel): Long = model.d * 8L
 
   def pqTopK(codes: DataFrame, idCol: String, codesCol: String,
              probes: DataFrame, probeIdCol: String, probeVecCol: String,
              model: PQModel, k: Int, maxProbes: Int = 10000): DataFrame = {
-    TopKAgg.requireLongCastableId(codes, idCol, "Similarity.pqTopK")
-    TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.pqTopK")
-    val spark = probes.sparkSession
-    import spark.implicits._
     val pinned = boundedProbes(probes, maxProbes, pqProbeBytes(model),
       "Similarity.pqTopK")
-    val pr = pinned.select(col(probeIdCol).cast("long").as("probe_id"),
-      VectorOps.toDouble(col(probeVecCol)).as("__pv")).collect()
-    val tables: Seq[(Long, Seq[Seq[Double]])] = pr.toSeq.map { r =>
-      (r.getLong(0), adcTable(r.getSeq[Double](1).toArray, model))
-    }
-    val tdf = tables.toDF("probe_id", "__tbl")
+    pqTopKPinned(codes, idCol, codesCol, pinned, probeIdCol, probeVecCol,
+      model, k)
+  }
+
+  /** pqTopK past the probe pin — `probes` MUST already be the bounded,
+    * checkpointed relation boundedProbes returned (the rerank entries
+    * pin ONCE and feed both stages; re-pinning here would checkpoint
+    * the probe plan twice — VERDICT r14 item 1). */
+  private def pqTopKPinned(codes: DataFrame, idCol: String, codesCol: String,
+                           probes: DataFrame, probeIdCol: String,
+                           probeVecCol: String, model: PQModel,
+                           k: Int): DataFrame = {
+    TopKAgg.requireLongCastableId(codes, idCol, "Similarity.pqTopK")
+    TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.pqTopK")
+    val pv = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+      VectorOps.toDouble(col(probeVecCol)).as("__pv"))
     codes.select(col(idCol).cast("long").as("__id"), col(codesCol).as("__c"))
-      .crossJoin(broadcast(tdf))
+      .crossJoin(broadcast(pv))
       .filter(col("__id") =!= col("probe_id"))
       .select(col("probe_id"), col("__id"),
-        VectorOps.foldSum(zip_with(col("__c"), col("__tbl"),
-          (c, t) => element_at(t, c))).as("__d"))
+        adcDist(col("__c"), col("__pv"), model).as("__d"))
       .groupBy("probe_id")
       .agg(TopKAgg.topK(k, col("__id"), -col("__d")).as("top"))
       .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))
@@ -636,13 +671,19 @@ object Similarity {
                    model: PQModel, k: Int, shortlist: Int,
                    maxProbes: Int = 10000): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
-    // ONE probe instantiation feeds both stages (review r14): a
-    // nondeterministic probes plan evaluated separately per stage
-    // would re-rank a shortlist against vectors that never produced
-    // it — silently wrong final top-k
-    val pinned = probes.localCheckpoint()
-    val short = pqTopK(codes, codesIdCol, codesCol,
-      pinned, probeIdCol, probeVecCol, model, shortlist, maxProbes)
+    // ONE bounded probe instantiation feeds both stages (review r14 +
+    // VERDICT r14 item 1): a nondeterministic probes plan evaluated
+    // separately per stage would re-rank a shortlist against vectors
+    // that never produced it — silently wrong final top-k — and
+    // pinning BEFORE the budget guard (the old shape) materialized an
+    // over-budget probe set fully to block storage before refusing
+    // it, then checkpointed the plan a second time inside pqTopK.
+    // boundedProbes limits first, checkpoints once; both stages read
+    // the same pinned rows.
+    val pinned = boundedProbes(probes, maxProbes, pqProbeBytes(model),
+      "Similarity.pqTopKRerank")
+    val short = pqTopKPinned(codes, codesIdCol, codesCol,
+      pinned, probeIdCol, probeVecCol, model, shortlist)
       .select(col("probe_id"), col("vec_id"))
     exactRerank(corpus, idCol, vecCol, pinned, probeIdCol, probeVecCol,
       short, k)
@@ -690,12 +731,13 @@ object Similarity {
                       model: PQModel, nprobe: Int, k: Int, shortlist: Int,
                       maxProbes: Int = 10000): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
-    // ONE probe instantiation feeds both stages (review r14) — see
-    // pqTopKRerank
-    val pinned = probes.localCheckpoint()
-    val short = ivfPqTopK(corpus, idCol, vecCol,
-      pinned, probeIdCol, probeVecCol, cents, model, nprobe, shortlist,
-      maxProbes).select(col("probe_id"), col("vec_id"))
+    // ONE bounded probe instantiation feeds both stages (review r14 +
+    // VERDICT r14 item 1) — see pqTopKRerank
+    val pinned = boundedProbes(probes, maxProbes, pqProbeBytes(model),
+      "Similarity.ivfPqTopKRerank")
+    val short = ivfPqTopKPinned(corpus, idCol, vecCol,
+      pinned, probeIdCol, probeVecCol, cents, model, nprobe, shortlist)
+      .select(col("probe_id"), col("vec_id"))
     exactRerank(corpus, idCol, vecCol, pinned, probeIdCol, probeVecCol,
       short, k)
   }
@@ -715,6 +757,19 @@ object Similarity {
                 probes: DataFrame, probeIdCol: String, probeVecCol: String,
                 cents: KMeans.Centroids, model: PQModel,
                 nprobe: Int, k: Int, maxProbes: Int = 10000): DataFrame = {
+    val pinned = boundedProbes(probes, maxProbes, pqProbeBytes(model),
+      "Similarity.ivfPqTopK")
+    ivfPqTopKPinned(corpus, idCol, vecCol, pinned, probeIdCol, probeVecCol,
+      cents, model, nprobe, k)
+  }
+
+  /** ivfPqTopK past the probe pin — `probes` MUST already be the
+    * bounded, checkpointed relation boundedProbes returned (see
+    * pqTopKPinned). */
+  private def ivfPqTopKPinned(corpus: DataFrame, idCol: String, vecCol: String,
+                              probes: DataFrame, probeIdCol: String,
+                              probeVecCol: String, cents: KMeans.Centroids,
+                              model: PQModel, nprobe: Int, k: Int): DataFrame = {
     TopKAgg.requireLongCastableId(corpus, idCol, "Similarity.ivfPqTopK")
     TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.ivfPqTopK")
     val spark = probes.sparkSession
@@ -727,29 +782,26 @@ object Similarity {
         "__v", cents, outCol = "__cell"),
       "__v", model, outCol = "__c")
       .select("__id", "__cell", "__c")
-    val pinned = boundedProbes(probes, maxProbes, pqProbeBytes(model),
-      "Similarity.ivfPqTopK")
-    val pr = pinned.select(col(probeIdCol).cast("long").as("probe_id"),
-      VectorOps.toDouble(col(probeVecCol)).as("__pv")).collect()
     // two broadcast relations (VERDICT r13 item 1): (probe, cell)
-    // pairs — probes × nprobe ints — and ONE m×k ADC table per probe.
-    // Folding the table into the cell relation would ship it nprobe
-    // times per probe, a broadcast that reaches GBs at the supported
-    // ceiling (k=256, large m, wide nprobe).
+    // pairs — probes × nprobe ints, ranked driver-side from the
+    // pinned collect (the same collect the budget prices) — and ONE
+    // d-vector per probe joined on probe_id after the cell join has
+    // pruned the corpus; the ADC arithmetic runs per row from the
+    // plan-literal codebook (VERDICT r14 item 2 — nothing m×k-scaled
+    // is built on the driver or broadcast).
+    val pvecs = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+      VectorOps.toDouble(col(probeVecCol)).as("__pv"))
+    val pr = pvecs.collect()
     val probeCells: Seq[(Long, Int)] = pr.toSeq.flatMap { r =>
       val pv = r.getSeq[Double](1).toArray
       nearestCells(pv, cents, nprobe).map(c => (r.getLong(0), c))
     }
     val pc = probeCells.toDF("probe_id", "__cell")
-    val pt = pr.toSeq.map(r =>
-        (r.getLong(0), adcTable(r.getSeq[Double](1).toArray, model)))
-      .toDF("probe_id", "__tbl")
     indexed.join(broadcast(pc), "__cell")
       .filter(col("__id") =!= col("probe_id"))
-      .join(broadcast(pt), "probe_id")
+      .join(broadcast(pvecs), "probe_id")
       .select(col("probe_id"), col("__id"),
-        VectorOps.foldSum(zip_with(col("__c"), col("__tbl"),
-          (c, t) => element_at(t, c))).as("__d"))
+        adcDist(col("__c"), col("__pv"), model).as("__d"))
       .groupBy("probe_id")
       .agg(TopKAgg.topK(k, col("__id"), -col("__d")).as("top"))
       .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))
@@ -854,21 +906,24 @@ object Similarity {
     * between the steps leaves actual > meta, which the serve-side row
     * check refuses — detectably stale, never silently short. Without
     * this, a growing corpus forces a full rebuild per ingest batch.
-    * Batch-vs-index dedup is upstream's job (dropSeenExact — the
-    * appendIvfIndex contract); `requireNewIds = true` audits it here
-    * at the cost of one id-column scan (see requireIdsNotIndexed). */
+    * The duplicate-id audit defaults ON (one id-column scan per
+    * append — see requireIdsNotIndexed); pipelines that dedup
+    * upstream (dropSeenExact) opt out with requireNewIds = false. */
   def appendIvfPqIndex(spark: SparkSession, batch: DataFrame,
                        idCol: String, vecCol: String, model: PQModel,
-                       path: String, requireNewIds: Boolean = false): Unit = {
+                       path: String, requireNewIds: Boolean = true): Unit = {
     TopKAgg.requireLongCastableId(batch, idCol, "Similarity.appendIvfPqIndex")
     val (prevRows, _, cents, pqFp) = readIvfPqMeta(spark, path)
-    if (requireNewIds) requireIdsNotIndexed(spark, batch, idCol, path,
-      "Similarity.appendIvfPqIndex")
+    // fingerprint first (driver-local), THEN the dup audit (one
+    // id-column scan) — a drifted codebook must surface as itself,
+    // not as whatever the audit happens to hit first
     require(pqFp == pqFingerprint(model),
       s"stale IVF-PQ index at $path: the PQ codebook passed to the append " +
         "does not match the one the index's codes were written with — " +
         "mixed-codebook codes are silently wrong at ADC time; rebuild the " +
         "index or load its paired codebook")
+    if (requireNewIds) requireIdsNotIndexed(spark, batch, idCol, path,
+      "Similarity.appendIvfPqIndex")
     val assigned = encodePQ(
       KMeans.assign(
         batch.select(col(idCol).cast("long").as("id"),
@@ -881,6 +936,80 @@ object Similarity {
       assigned.write.partitionBy("cell").mode("append").parquet(path)
       writeIvfPqMeta(spark, path, prevRows + assigned.count(), cents, model)
     } finally { assigned.unpersist(); () }
+  }
+
+  // ── Index compaction (VERDICT r14 item 4) ────────────────────────
+
+  /** Shared write-aside + swap compaction for the cell-partitioned
+    * indexes. The live index is never read-and-overwritten in place
+    * (Spark cannot do that safely — overwrite deletes the source
+    * mid-read); instead the compacted copy lands in a sibling
+    * directory, is row-count-verified against the meta, and swaps in
+    * via two renames — metadata operations on any hierarchical
+    * filesystem, so the swap cost is independent of index size, and
+    * a crash mid-swap leaves either the old or the new directory
+    * intact under a detectable name, never a half-deleted mix. */
+  private def compactPartitionedIndex(spark: SparkSession, path: String,
+                                      metaSubdir: String, metaRows: Long,
+                                      where: String): Unit = {
+    val actual = spark.read.parquet(path).count()
+    require(actual == metaRows,
+      s"$where: index at $path holds $actual rows but its meta records " +
+        s"$metaRows — partial append or concurrent writer; compacting now " +
+        "would bless the corruption. Rebuild instead")
+    val tmp = s"${path}__compacting"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // one shuffle keyed on cell puts every cell's rows in exactly one
+    // task, so partitionBy emits exactly one file per cell (cells are
+    // sized by the coarse quantizer's k; for cells past a comfortable
+    // file size, set spark.sql.files.maxRecordsPerFile and accept >1)
+    spark.read.parquet(path).repartition(col("cell"))
+      .write.option("partitionOverwriteMode", "static")
+      .partitionBy("cell").mode("overwrite").parquet(tmp)
+    // meta copied VERBATIM — compaction changes file layout, nothing
+    // else: fingerprints, stored quantizer, and row count all survive
+    // byte-for-byte, so the serve result is hash-identical
+    spark.read.parquet(s"$path/$metaSubdir")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$metaSubdir")
+    val copied = spark.read.parquet(tmp).count()
+    require(copied == metaRows,
+      s"$where: compacted copy at $tmp holds $copied rows, expected " +
+        s"$metaRows — refusing the swap; the live index is untouched")
+    val live = new org.apache.hadoop.fs.Path(path)
+    val side = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(s"${path}__precompact")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"$where: could not move $path aside")
+    require(fs.rename(side, live),
+      s"$where: could not move the compacted copy into place — the " +
+        s"original index is preserved at $old; restore it by renaming back")
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Compact a persisted IVF index in place: every appendIvfIndex
+    * lands ≥1 new parquet file per touched cell, so N ingest batches
+    * leave N files/cell — the classic small-file collapse at 100 TB
+    * ingest cadence (per-file footer reads and task-scheduling
+    * overhead start to dominate the pruned scan). Rewrites each cell
+    * to one file; provenance (meta, fingerprints, quantizer) and the
+    * serve result are byte-identical. Refuses an index whose actual
+    * row count already drifted from its meta. Single-writer
+    * discipline is the caller's, as for append. */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit = {
+    val (metaRows, _, _) = readIvfMeta(spark, path)
+    compactPartitionedIndex(spark, path, "_graft_index_meta", metaRows,
+      "Similarity.compactIvfIndex")
+  }
+
+  /** Compact a persisted IVF-PQ index in place — see compactIvfIndex;
+    * identical contract over the code table's layout. */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit = {
+    val (metaRows, _, _, _) = readIvfPqMeta(spark, path)
+    compactPartitionedIndex(spark, path, "_graft_ivfpq_meta", metaRows,
+      "Similarity.compactIvfPqIndex")
   }
 
   /** IVF-PQ top-k against a PERSISTED index: probe cells rank
@@ -916,15 +1045,16 @@ object Similarity {
     }
     val pinned = boundedProbes(probes, maxProbes, pqProbeBytes(model),
       "Similarity.ivfPqTopKIndexed")
-    val pr = pinned.select(col(probeIdCol).cast("long").as("probe_id"),
-      VectorOps.toDouble(col(probeVecCol)).as("__pv")).collect()
     // two broadcast relations (VERDICT r13 item 1): the (probe, cell)
-    // pruning pairs — probes × nprobe ints — and ONE m×k ADC table
-    // per probe, attached by a second broadcast join on probe_id
-    // AFTER the cell join has already cut the corpus to probed cells.
-    // The old shape carried the table once per (probe, cell) — an
-    // nprobe-fold broadcast inflation that reached GBs at the
-    // supported ceiling; this one is what boundedProbes prices.
+    // pruning pairs — probes × nprobe ints, ranked driver-side from
+    // the pinned collect — and ONE d-vector per probe joined on
+    // probe_id AFTER the cell join has already cut the scan to probed
+    // cells; ADC runs per row from the plan-literal codebook (VERDICT
+    // r14 item 2), so nothing m×k-scaled is driver-built or broadcast
+    // and the probe broadcast is exactly what boundedProbes prices.
+    val pvecs = pinned.select(col(probeIdCol).cast("long").as("probe_id"),
+      VectorOps.toDouble(col(probeVecCol)).as("__pv"))
+    val pr = pvecs.collect()
     val probeCells: Seq[(Long, Int)] = pr.toSeq.flatMap { r =>
       val pv = r.getSeq[Double](1).toArray
       nearestCells(pv, cents, nprobe).map(c => (r.getLong(0), c))
@@ -932,17 +1062,13 @@ object Similarity {
     val cells = probeCells.map(_._2).distinct
     import spark.implicits._
     val pc = probeCells.toDF("probe_id", "cell")
-    val pt = pr.toSeq.map(r =>
-        (r.getLong(0), adcTable(r.getSeq[Double](1).toArray, model)))
-      .toDF("probe_id", "__tbl")
     spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells: _*)) // static partition pruning
       .join(broadcast(pc), "cell")
       .filter(col("id") =!= col("probe_id"))
-      .join(broadcast(pt), "probe_id")
+      .join(broadcast(pvecs), "probe_id")
       .select(col("probe_id"), col("id").as("__id"),
-        VectorOps.foldSum(zip_with(col("codes"), col("__tbl"),
-          (c, t) => element_at(t, c))).as("__d"))
+        adcDist(col("codes"), col("__pv"), model).as("__d"))
       .groupBy("probe_id")
       .agg(TopKAgg.topK(k, col("__id"), -col("__d")).as("top"))
       .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))

@@ -523,6 +523,55 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("appendMinhashIndex default dup audit; compactMinhashIndex: one data file, identical reads") {
+    // VERDICT r14 items 3 + 4 for the MinHash index: a retried batch
+    // refuses to double-append by DEFAULT, and N appends' small files
+    // compact to one via write-aside + swap with the meta verbatim
+    val corpus = Seq((1L, base), (3L, nearDup)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_cmp").toString
+    try {
+      Dedup.writeMinhashIndex(corpus.coalesce(1), "doc_id", "text", dir)
+      Dedup.appendMinhashIndex(spark,
+        Seq((5L, unrelated)).toDF("doc_id", "text"), "doc_id", "text", dir)
+      // default-on audit: re-appending an indexed id refuses loudly
+      val eDup = intercept[IllegalArgumentException] {
+        Dedup.appendMinhashIndex(spark,
+          Seq((5L, unrelated)).toDF("doc_id", "text"), "doc_id", "text", dir)
+      }
+      assert(eDup.getMessage.contains("already present"))
+      // pipelines that own their retry discipline opt out explicitly
+      Dedup.appendMinhashIndex(spark,
+        Seq((7L, base + " z")).toDF("doc_id", "text"), "doc_id", "text", dir,
+        requireNewIds = false)
+      def readSet() = Dedup.readMinhashIndex(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).mkString(","))).toSet
+      val before = readSet()
+      assert(new java.io.File(s"$dir/data").listFiles()
+        .count(_.getName.endsWith(".parquet")) > 1,
+        "appends should have left multiple data files")
+      Dedup.compactMinhashIndex(spark, dir)
+      assert(new java.io.File(s"$dir/data").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 1,
+        "compaction must leave exactly one data file")
+      assert(readSet() == before && before.size == 4,
+        "compaction must not change the index contents")
+      assert(!new java.io.File(s"${dir}__compacting").exists
+        && !new java.io.File(s"${dir}__precompact").exists)
+      // the copied meta still enforces the family contract
+      val e = intercept[IllegalArgumentException] {
+        Dedup.readMinhashIndex(spark, dir, n = 4)
+      }
+      assert(e.getMessage.contains("family"))
+    } finally {
+      Dedup.releaseCaches()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("overlapStats counts batch rows whose content hash exists in the corpus") {
     val a = Seq((1L, base), (2L, base), (3L, unrelated)).toDF("doc_id", "text")
     val b = Seq((4L, base), (5L, base), (6L, nearDup), (7L, unrelated)).toDF("doc_id", "text")

@@ -95,4 +95,54 @@ class EntryContractSpec extends AnyFunSuite {
       Seq((3L, "c")).toDF("id", "v"))
     assert(memo.holds(spark) && again.count() == 1L)
   }
+
+  test("SessionMemo sweep unpersists Datasets nested inside Product values") {
+    // ADVICE r14: the model memos hold tuples / case classes whose
+    // FIELDS are persisted DataFrames (lrModelMemo's (DataFrame,
+    // Standardizer, model), the NB weight tables) — a sweep that only
+    // matches direct Dataset values leaks those blocks on eviction
+    val spark = TestSpark.spark
+    val dead = scala.collection.mutable.Set.empty[org.apache.spark.sql.SparkSession]
+    val memo = new EntryHelpers.SessionMemo[
+      (org.apache.spark.sql.DataFrame, (String, org.apache.spark.sql.DataFrame))](
+      isDead = dead.contains)
+    import spark.implicits._
+    val (a, (_, b)) = memo.getOrElseUpdate(spark, "m") {
+      val x = Seq((1L, "a")).toDF("id", "v").persist()
+      val y = Seq((2L, "b")).toDF("id", "v").persist()
+      x.count(); y.count()
+      (x, ("model", y))
+    }
+    assert(a.storageLevel.useMemory && b.storageLevel.useMemory)
+    dead += spark
+    memo.evictStopped()
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "tuple-direct cached DataFrame must be unpersisted on eviction")
+    assert(b.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "NESTED cached DataFrame (inside a Product field) must be unpersisted")
+  }
+
+  test("stopped-session temp dirs are swept, live sessions' dirs survive") {
+    // VERDICT r14 item 5: JVM-exit-only cleanup accumulates
+    // per-session artifact dirs forever in a long-lived service JVM.
+    // The deadness predicate is the same test seam as SessionMemo's —
+    // a real .stop() would kill sbt's shared context.
+    val spark = TestSpark.spark
+    val s2 = spark.newSession() // distinct session object → distinct UUID tag
+    val liveDir = new java.io.File(
+      EntryHelpers.sessionTmpDir(spark, "sweepspec", "live"))
+    val deadDir = new java.io.File(
+      EntryHelpers.sessionTmpDir(s2, "sweepspec", "dead"))
+    liveDir.mkdirs(); deadDir.mkdirs()
+    assert(liveDir.isDirectory && deadDir.isDirectory)
+    assert(liveDir.getPath != deadDir.getPath,
+      "per-session tags must give distinct dirs")
+    EntryHelpers.sweepStoppedSessionTmpDirs(isDead = _ eq s2)
+    assert(!deadDir.exists, "the stopped session's dir must be deleted")
+    assert(liveDir.isDirectory, "a live session's dir must survive the sweep")
+    // a re-registered dir for a live session still lands at the same
+    // path (the registry sweep must not have evicted the live entry)
+    assert(EntryHelpers.sessionTmpDir(spark, "sweepspec", "live")
+      == liveDir.getPath)
+  }
 }

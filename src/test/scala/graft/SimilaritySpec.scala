@@ -509,18 +509,19 @@ class SimilaritySpec extends AnyFunSuite {
         "vec_id", "embedding", driftedM, dir)
     }
     assert(e1.getMessage.contains("codebook"))
-    // requireNewIds audits a retried-but-committed batch (review
-    // r14): re-appending already-indexed ids refuses (and writes
-    // nothing — the guard precedes the write)...
+    // the duplicate-id audit is ON BY DEFAULT (VERDICT r14 item 3):
+    // a retried-but-committed batch re-appending already-indexed ids
+    // refuses loudly (and writes nothing — the guard precedes the
+    // write) with no opt-in required...
     val eDup = intercept[IllegalArgumentException] {
       Similarity.appendIvfPqIndex(spark, emb.filter(col("vec_id") % 3 === 0),
-        "vec_id", "embedding", model, dir, requireNewIds = true)
+        "vec_id", "embedding", model, dir)
     }
     assert(eDup.getMessage.contains("already present"))
-    // ...while genuinely-new ids pass the same audit
+    // ...while genuinely-new ids pass the same default audit
     Similarity.appendIvfPqIndex(spark,
       emb.limit(3).select((col("vec_id") + 500000L).as("vec_id"), col("embedding")),
-      "vec_id", "embedding", model, dir, requireNewIds = true)
+      "vec_id", "embedding", model, dir)
     // a row-count drift after manual surgery is refused at serve time
     emb.limit(1)
       .select(col("vec_id").cast("long").as("id"),
@@ -533,10 +534,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("rows"))
   }
 
-  test("ivfPqTopKIndexed ships one ADC table per probe: two broadcast joins, cells carry no tables") {
-    // VERDICT r13 item 1 pin: the (probe, cell) pruning pairs and the
-    // per-probe m×k ADC tables broadcast as SEPARATE relations — the
-    // old single fat relation duplicated each table nprobe times
+  test("ivfPqTopKIndexed broadcasts one d-vector per probe: two broadcast joins, no driver-built tables") {
+    // VERDICT r13 item 1 + r14 item 2 pin: the (probe, cell) pruning
+    // pairs and ONE d-vector per probe broadcast as SEPARATE
+    // relations (the vector join keyed on probe_id, after the cell
+    // join pruned the scan), and NOTHING m×k-scaled exists in the
+    // plan — ADC arithmetic runs per row from the plan-literal
+    // codebook, so the probe broadcast is d·8 bytes per probe,
+    // probe-count-independent of m and k
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
     val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
@@ -548,11 +553,124 @@ class SimilaritySpec extends AnyFunSuite {
       cents, model, nprobe = 2, k = 5)
     val plan = q.queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(plan).length == 2,
-      s"expected exactly two broadcast joins (cells, then tables):\n$plan")
-    // the join that carries __tbl keys on probe_id, not on cell
+      s"expected exactly two broadcast joins (cells, then probe vectors):\n$plan")
+    // the join that carries __pv keys on probe_id, not on cell
     assert(plan.linesIterator.exists(l =>
         l.contains("BroadcastHashJoin") && l.contains("probe_id")),
-      s"expected the ADC-table join keyed on probe_id:\n$plan")
+      s"expected the probe-vector join keyed on probe_id:\n$plan")
+    // the retired driver-side ADC tables must not reappear
+    assert(!plan.contains("__tbl"),
+      s"driver-built ADC tables leaked back into the plan:\n$plan")
+  }
+
+  test("rerank entries bound probes BEFORE pinning; one checkpoint feeds both stages") {
+    // VERDICT r14 item 1: the old shape localCheckpoint'ed the RAW
+    // probes relation and only then hit boundedProbes' guard inside
+    // the shortlist stage — an over-budget probe set materialized
+    // fully to block storage before being refused, and the probe plan
+    // checkpointed twice. Now the limit precedes the (single)
+    // checkpoint, so at most maxProbes+1 rows can ever materialize,
+    // and both stages read the same pinned RDD.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+      m = 4, k = 16, maxIter = 0)
+    val codes = Similarity.encodePQ(emb, "embedding", model).select("vec_id", "codes")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val probes = emb.orderBy("vec_id").limit(5)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqTopKRerank(emb, "vec_id", "embedding", codes, "vec_id",
+        "codes", probes, "vec_id", "embedding", model, k = 2, shortlist = 3,
+        maxProbes = 4)
+    }
+    assert(e1.getMessage.contains("maxProbes"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKRerank(emb, "vec_id", "embedding", probes,
+        "vec_id", "embedding", cents, model, nprobe = 2, k = 2,
+        shortlist = 3, maxProbes = 4)
+    }
+    assert(e2.getMessage.contains("maxProbes"))
+    for (df <- Seq(
+        Similarity.pqTopKRerank(emb, "vec_id", "embedding", codes, "vec_id",
+          "codes", probes, "vec_id", "embedding", model, k = 3, shortlist = 10),
+        Similarity.ivfPqTopKRerank(emb, "vec_id", "embedding", probes,
+          "vec_id", "embedding", cents, model, nprobe = 2, k = 3,
+          shortlist = 10))) {
+      // the ONLY checkpointed RDD in the plan is the pinned probe
+      // relation, and the shortlist + rerank stages share one instance
+      val rdds = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }
+      assert(rdds.nonEmpty && rdds.distinct.size == 1,
+        s"both stages must read ONE checkpointed probe relation, got RDD ids $rdds")
+      assert(df.select("probe_id").distinct().count() == 5)
+    }
+  }
+
+  test("compactIvfPqIndex / compactIvfIndex: one file per cell, serve identical, provenance preserved") {
+    // VERDICT r14 item 4: N ingest batches leave ≥N files per touched
+    // cell — compaction rewrites to one file per cell via write-aside
+    // + swap, byte-preserving meta and serve results
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+      m = 4, k = 16, maxIter = 0)
+    val probes = emb.orderBy("vec_id").limit(3)
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    def cellFiles(dir: String): Map[String, Int] =
+      new java.io.File(dir).listFiles.filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles.count(_.getName.endsWith(".parquet")))
+        .toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_cmp").toString + "/i"
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", cents, model, dir)
+    Similarity.appendIvfPqIndex(spark, emb.filter(col("vec_id") % 3 === 2),
+      "vec_id", "embedding", model, dir)
+    Similarity.appendIvfPqIndex(spark, emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", model, dir)
+    def serve() = asSet(Similarity.ivfPqTopKIndexed(spark, dir, probes,
+      "vec_id", "embedding", cents, model, nprobe = 2, k = 5))
+    val before = serve()
+    assert(cellFiles(dir).values.exists(_ > 1),
+      "appends should have left more than one file in at least one cell")
+    Similarity.compactIvfPqIndex(spark, dir)
+    val files = cellFiles(dir)
+    assert(files.nonEmpty && files.values.forall(_ == 1),
+      s"expected exactly one file per cell after compaction, got $files")
+    assert(serve() == before && before.nonEmpty,
+      "compaction must not change the serve result")
+    assert(!new java.io.File(s"${dir}__compacting").exists
+      && !new java.io.File(s"${dir}__precompact").exists,
+      "compaction must clean up its working directories")
+    // the verbatim meta still accepts maintenance: a post-compaction
+    // append under the same codebook works (fingerprints survived)
+    Similarity.appendIvfPqIndex(spark,
+      emb.limit(2).select((col("vec_id") + 900000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", model, dir)
+
+    // the float IVF index compacts under the same contract
+    val fdir = java.nio.file.Files.createTempDirectory("ivf_cmp").toString + "/i"
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", cents, fdir)
+    Similarity.appendIvfIndex(spark, emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", fdir)
+    def fserve() = asSet(Similarity.ivfTopKIndexed(spark, fdir, probes,
+      "vec_id", "embedding", cents, nprobe = 2, k = 5))
+    val fBefore = fserve()
+    Similarity.compactIvfIndex(spark, fdir)
+    assert(cellFiles(fdir).values.forall(_ == 1))
+    assert(fserve() == fBefore && fBefore.nonEmpty)
+    // an index whose actual rows drifted from its meta REFUSES to
+    // compact — compacting a partial append would bless the corruption
+    val victim = new java.io.File(fdir).listFiles
+      .filter(_.getName.startsWith("cell=")).head.listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val e = intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, fdir)
+    }
+    assert(e.getMessage.contains("partial append"))
   }
 
   test("buildIvfPqIndex under partitionOverwriteMode=dynamic: a rebuild leaves no stale cells") {
