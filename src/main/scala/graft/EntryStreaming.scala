@@ -583,6 +583,51 @@ private[graft] object EntryStreaming {
     }),
 
 
+    // ── streaming: ANN serving from a persisted IVF-PQ index ────────
+    // The last trained artifact not yet served from a stream (VERDICT
+    // r14 item 7): probe vectors arrive as 3 MemoryStream
+    // micro-batches and are scored stream-static against the
+    // persisted IVF-PQ index — nprobe cell ranking ROWWISE from the
+    // plan-literal coarse centroids (a streaming relation cannot
+    // offer the batch path's driver collect), stream-static equi-join
+    // on cell, per-candidate ADC from the plan-literal codebook, ONE
+    // complete-mode top-k aggregation (state = probes·k rows). The
+    // fed probes are q_ivfpq_topk's 5, so the oracle is its SQL
+    // verbatim: a wrong rowwise cell pick, a dropped micro-batch, or
+    // cross-batch top-k state loss all hash-mismatch against the
+    // batch serve. (The probe collect here is the MemoryStream
+    // FIXTURE; the serving topology itself never collects — see
+    // Similarity.ivfPqTopKStream for the 100 TB posture.)
+    "q_stream_ann" -> ((s, dir) => withStreamRigConf(s) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      val cents = cents8(s, dir)
+      val base = sessionTmpDir(s, "stream_ann", dir)
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model,
+        s"$base/index")
+      val arrivals = emb.orderBy("vec_id").limit(5)
+        .select(col("vec_id").cast("long"),
+          VectorOps.toDouble(col("embedding")))
+        .as[(Long, Seq[Double])].collect()
+        .map { case (id, v) => StreamProbe(id, v) }
+      val source = MemoryStream[StreamProbe]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val scored = Similarity.ivfPqTopKStream(s, s"$base/index",
+        source.toDF(), "vec_id", "embedding", cents, model,
+        nprobe = 2, k = 10)
+      val q = scored.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try arrivals.grouped(2).foreach { b =>
+        source.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+    }),
+
+
     // ── streaming: funnel state machine, batch-parity gated ─────────
     // Per-user furthest-step state folded across 3 micro-batches; the
     // sink's final steps aggregate to counts that must equal the
@@ -646,6 +691,10 @@ private[graft] object EntryStreaming {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the streamed IVF-PQ serve must equal the batch serve over the
+    // same probes: q_ivfpq_topk's replay verbatim
+    "q_stream_ann" -> EntryVector.sqlIvfPqTopK,
 
     // the file sink's committed output must be exactly the projection
     "q_stream_filesink" ->

@@ -1143,9 +1143,11 @@ private[graft] object EntryVector {
        |)""".stripMargin
 
   /** The in-memory IVF-PQ replay, shared verbatim by q_ivfpq_topk,
-    * q_ivfpq_persist, and q_ivfpq_refresh (disk-resident index +
-    * loaded codebook must serve bit-identically). */
-  private val sqlIvfPqTopK: String =
+    * q_ivfpq_persist, q_ivfpq_refresh (disk-resident index + loaded
+    * codebook must serve bit-identically), and — private[graft], same
+    * acyclic-reference pattern as sqlLrChain — EntryStreaming's
+    * q_stream_ann (the streamed serve must equal the batch serve). */
+  private[graft] val sqlIvfPqTopK: String =
     s"""WITH $sqlIvfPqAdcCtes
        |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, adist FROM (
        |  SELECT probe_id, vec_id, adist,

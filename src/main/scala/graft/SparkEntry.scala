@@ -13,6 +13,10 @@ import graft.streaming.{DedupStream, EventStream}
   * driver-gated streaming queries (top-level for encoder derivation). */
 final case class StreamDoc(doc_id: Long, text: String, source: String)
 
+/** Probe-vector row for the streaming ANN-serving fixture
+  * (q_stream_ann — top-level for encoder derivation). */
+final case class StreamProbe(vec_id: Long, embedding: Seq[Double])
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Oracle-parity rules used throughout (DuckDB hashes exact values):

@@ -1076,6 +1076,91 @@ object Similarity {
         (col("r0") + 1).cast("int").as("rank"), (-col("p._2")).as("adist"))
   }
 
+  /** IVF-PQ serving of a STREAMING probe relation against a persisted
+    * index — the continuous-query twin of `ivfPqTopKIndexed` (VERDICT
+    * r14 item 7), for probe vectors arriving from Kafka/files rather
+    * than sitting in a table. The batch path ranks probe cells
+    * driver-side from a collect a streaming relation cannot offer, so
+    * here the nprobe cell ranking runs ROWWISE on the stream from a
+    * plan-literal centroid set: per probe, sort the (dist, cid) pairs
+    * ascending and keep nprobe — dist computed as sqrt(sqDist), the
+    * bit-identical sequential fold `nearestCells`/`euclideanLocal`
+    * uses, and array_sort over the (d, cid) struct is exactly its
+    * (dist asc, cid asc) order, so cell selection matches the batch
+    * serve bit for bit. Candidates then arrive through a
+    * stream-static equi-join on `cell` against the index scan, ADC
+    * runs per candidate row from the plan-literal codebook (identical
+    * arithmetic to every other PQ path), and ONE streaming
+    * aggregation keeps the per-probe top-k — run in COMPLETE output
+    * mode; state is one k-slot buffer per probe ever seen (probes·k
+    * rows), no watermark needed because the serve is
+    * per-probe-independent.
+    *
+    * Scale shape: the streaming side never collects and never
+    * broadcasts — `boundedProbes`' driver budget does not apply
+    * because nothing probe-sized leaves the executors; per-probe cost
+    * is the same nprobe-cells candidate scan as the batch serve. The
+    * static index side is re-planned per micro-batch WITHOUT cell
+    * pruning (the probed cells live in stream rows, so no static
+    * `cell IN (...)` predicate exists to push down) — the right trade
+    * when the index is RAM/cache-resident, which is the
+    * latency-serving deployment this topology exists for; at
+    * cold-storage corpus scale, production instead serves each
+    * micro-batch through `foreachBatch` → `ivfPqTopKIndexed` and
+    * keeps the cell-pruned scan (each batch's probes are a bounded
+    * batch relation, so the batch path applies verbatim). Freshness
+    * gates (both fingerprints + row count) are the indexed serve's,
+    * checked once at plan-build time.
+    *
+    * Output per completed trigger: (probe_id, vec_id, rank, adist) —
+    * the batch serve's columns, so the completed sink table equals
+    * `ivfPqTopKIndexed` over the fed probes row for row. */
+  def ivfPqTopKStream(spark: SparkSession, indexPath: String,
+                      probes: DataFrame, probeIdCol: String,
+                      probeVecCol: String, cents: KMeans.Centroids,
+                      model: PQModel, nprobe: Int, k: Int,
+                      verifyRows: Boolean = true): DataFrame = {
+    val (metaRows, fp, _, pqFp) = readIvfPqMeta(spark, indexPath)
+    require(fp == centsFingerprint(cents),
+      s"stale IVF-PQ index at $indexPath: the coarse quantizer passed to the " +
+        "query does not match the one the index was built with — probing the " +
+        "wrong cells returns silently wrong neighbors; rebuild or query with " +
+        "the index's own centroids")
+    require(pqFp == pqFingerprint(model),
+      s"stale IVF-PQ index at $indexPath: the PQ codebook passed to the query " +
+        "does not match the one the codes were written with — ADC over " +
+        "foreign codes is silently wrong; rebuild or load the paired codebook")
+    if (verifyRows) {
+      val actual = spark.read.parquet(indexPath).count()
+      require(actual == metaRows,
+        s"stale IVF-PQ index at $indexPath: meta records $metaRows rows, " +
+          s"index holds $actual — partial write or concurrent writer; rebuild")
+    }
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"Similarity.ivfPqTopKStream: nprobe=$nprobe outside 1..${cents.length}")
+    val centsL = typedlit(
+      cents.sortBy(_._1).toSeq.map { case (cid, v) => (cid, v.toSeq) })
+    val rankedCells = slice(array_sort(transform(centsL, c => struct(
+      sqrt(VectorOps.sqDist(col("__pv"), c.getField("_2"))).as("d"),
+      c.getField("_1").as("cid")))), 1, nprobe)
+    val probed = probes
+      .select(col(probeIdCol).cast("long").as("probe_id"),
+        VectorOps.toDouble(col(probeVecCol)).as("__pv"))
+      .select(col("probe_id"), col("__pv"),
+        explode(rankedCells).as("__pc"))
+      .select(col("probe_id"), col("__pv"), col("__pc.cid").as("cell"))
+    val idx = spark.read.parquet(indexPath).select("id", "cell", "codes")
+    probed.join(idx, Seq("cell"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id").as("__id"),
+        adcDist(col("codes"), col("__pv"), model).as("__d"))
+      .groupBy("probe_id")
+      .agg(TopKAgg.topK(k, col("__id"), -col("__d")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r0", "p")))
+      .select(col("probe_id"), col("p._1").as("vec_id"),
+        (col("r0") + 1).cast("int").as("rank"), (-col("p._2")).as("adist"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact result —
     * the eval harness every index deserves before it ships: feed both
     * relations (same (probe, hit-id) shape, e.g. ivfTopK vs

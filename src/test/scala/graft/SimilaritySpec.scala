@@ -534,6 +534,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("rows"))
   }
 
+  test("ivfPqTopKStream: streamed probes serve the batch indexed answer bit-for-bit") {
+    // VERDICT r14 item 7: the rowwise plan-literal cell ranking + the
+    // stream-static join + one complete-mode top-k must equal
+    // ivfPqTopKIndexed over the same probes exactly — including
+    // across a micro-batch boundary (2 batches) and including adist
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+      m = 4, k = 16, maxIter = 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_str").toString + "/i"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model, dir)
+    val probeRows = emb.orderBy("vec_id").limit(4)
+      .select(col("vec_id").cast("long"),
+        graft.functions.VectorOps.toDouble(col("embedding")))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => StreamProbe(id, v) }
+    val source = MemoryStream[StreamProbe]
+    val scored = Similarity.ivfPqTopKStream(spark, dir, source.toDF(),
+      "vec_id", "embedding", cents, model, nprobe = 2, k = 5)
+    val q = scored.writeStream.format("memory").queryName("ivfpq_stream_t")
+      .outputMode("complete").start()
+    try probeRows.grouped(2).foreach { b =>
+      source.addData(b.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ivfpq_stream_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val want = Similarity.ivfPqTopKIndexed(spark, dir,
+        emb.orderBy("vec_id").limit(4), "vec_id", "embedding",
+        cents, model, nprobe = 2, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == want && got.nonEmpty,
+      "the streamed IVF-PQ serve must equal the batch indexed serve bit-for-bit")
+    // a drifted coarse quantizer is refused at plan-build time, same
+    // gate as the batch serve
+    val driftedC: KMeans.Centroids = cents.map { case (cid, v) =>
+      if (cid == 1) cid -> v.map(_ + 0.5) else cid -> v }
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKStream(spark, dir, source.toDF(),
+        "vec_id", "embedding", driftedC, model, nprobe = 2, k = 5)
+    }
+    assert(e.getMessage.contains("coarse quantizer"))
+  }
+
   test("ivfPqTopKIndexed broadcasts one d-vector per probe: two broadcast joins, no driver-built tables") {
     // VERDICT r13 item 1 + r14 item 2 pin: the (probe, cell) pruning
     // pairs and ONE d-vector per probe broadcast as SEPARATE
