@@ -1,16 +1,18 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftglue.ColumnGlue
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
-/** Native Catalyst expressions for the two hot dense-vector folds —
-  * squared Euclidean distance and dot product — bit-identical to the
-  * zip_with/aggregate HOF forms in VectorOps (kept there as twins,
-  * pinned in VectorOpsSpec) but one primitive double loop per row.
+/** Native Catalyst expressions for the hot dense-vector folds —
+  * squared Euclidean distance, dot product, and the PQ pair (ADC
+  * distance over codes + encode) — bit-identical to the HOF forms
+  * they replace (kept as twins: VectorOps for the folds, pinned in
+  * VectorOpsSpec; Similarity.adcDistHof/encodePQHof for PQ, pinned
+  * in PqEncodeSpec) but one primitive double loop per row.
   *
   * Why Expressions: the HOF form materializes the zipped product
   * array, then folds it with per-element lambda dispatch — an array
@@ -79,6 +81,81 @@ case class DotExpr(left: Expression, right: Expression) extends VectorFold {
     copy(left = l, right = r)
 }
 
+/** ADC distance over PQ codes — the native form of
+  * foldSum(transform(codes, (c, j) => sqDist(slice_j(pv),
+  * codeword(j, c)))), with the codebook embedded dense and
+  * CID-INDEXED (see the layout note on the kernels below). `books` /
+  * `present` are Vectors for sane case-class equality; the codegen
+  * path references the primitive arrays directly. */
+case class AdcDistExpr(left: Expression, right: Expression,
+                       books: Vector[Double], present: Vector[Boolean],
+                       m: Int, k: Int, dsub: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "pq_adc_dist"
+  override def inputTypes: Seq[ColumnGlue.AbstractType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  @transient private lazy val booksArr: Array[Double] = books.toArray
+  @transient private lazy val presentArr: Array[Boolean] = present.toArray
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (c, p) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (!VectorKernels.adcValid(c, p, presentArr, m, k, dsub)) null
+    else VectorKernels.adc(c, p, booksArr, m, k, dsub)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("adcBooks", booksArr, "double[]")
+    val presentRef = ctx.addReferenceObj("adcPresent", presentArr, "boolean[]")
+    nullSafeCodeGen(ctx, ev, (c, p) =>
+      s"""
+         |if (!graft.functions.VectorKernels.adcValid($c, $p, $presentRef, $m, $k, $dsub)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorKernels.adc($c, $p, $booksRef, $m, $k, $dsub);
+         |}
+       """.stripMargin)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDistExpr =
+    copy(left = l, right = r)
+}
+
+/** PQ encode — the native form of array(assignColumn(codebook_0,
+  * slice_0(pv)), ..., assignColumn(codebook_{m-1}, slice_{m-1}(pv))):
+  * one primitive pass emitting all m 1-based codes, same distances,
+  * same lowest-cid tie-break. */
+case class PqEncodeExpr(child: Expression,
+                        books: Vector[Double], present: Vector[Boolean],
+                        m: Int, k: Int, dsub: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "pq_encode"
+  override def inputTypes: Seq[ColumnGlue.AbstractType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  @transient private lazy val booksArr: Array[Double] = books.toArray
+  @transient private lazy val presentArr: Array[Boolean] = present.toArray
+  override def nullSafeEval(a: Any): Any = {
+    val p = a.asInstanceOf[ArrayData]
+    if (!VectorKernels.pqEncodeValid(p, m, dsub)) null
+    else VectorKernels.pqEncode(p, booksArr, presentArr, m, k, dsub)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", booksArr, "double[]")
+    val presentRef = ctx.addReferenceObj("pqPresent", presentArr, "boolean[]")
+    nullSafeCodeGen(ctx, ev, p =>
+      s"""
+         |if (!graft.functions.VectorKernels.pqEncodeValid($p, $m, $dsub)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorKernels.pqEncode($p, $booksRef, $presentRef, $m, $k, $dsub);
+         |  if (${ev.value} == null) { ${ev.isNull} = true; }
+         |}
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
 object VectorKernels {
 
   def sqDistCol(a: Column, b: Column): Column =
@@ -123,5 +200,142 @@ object VectorKernels {
       i += 1
     }
     acc
+  }
+
+  // ── PQ kernels (ADC distance + encode) ───────────────────────────
+  //
+  // Same rationale as the folds above, but the stakes are higher: ADC
+  // sits in the innermost loop of every PQ/IVF-PQ serve (one call per
+  // (probe, candidate) pair) and encode in every index build (one per
+  // corpus row), and the HOF forms they replace (transform + slice +
+  // element_at per subspace) are evaluated OUTSIDE whole-stage codegen
+  // with per-subspace array allocations — measured 16× slower per pair
+  // than the plain float fold at the sf10 stress. The kernels run the
+  // SAME arithmetic in the SAME order (per-subspace sequential sqDist
+  // fold, subspaces ascending, one left-to-right add chain from 0.0),
+  // so results are bit-equal to the HOF twins kept in Similarity.
+  //
+  // Codebook layout (built once per plan by Similarity.denseBooks):
+  // dense cid-indexed arrays — books((j·k + (c-1))·dsub + i) is
+  // codeword c of subspace j, present(j·k + c - 1) says whether cid c
+  // exists. Lookup is BY CID, not by position: a Lloyd-trained
+  // codebook can lose empty cells (KMeans.fit keepEmpty=false), and a
+  // positional lookup against a sparse cid set silently reads the
+  // WRONG codeword for every code above a vanished cid.
+
+  def adcCol(codes: Column, pv: Column, books: Array[Double],
+             present: Array[Boolean], m: Int, k: Int, dsub: Int): Column =
+    ColumnGlue.column(AdcDistExpr(ColumnGlue.expression(codes),
+      ColumnGlue.expression(pv), books.toVector, present.toVector, m, k, dsub))
+
+  def pqEncodeCol(pv: Column, books: Array[Double], present: Array[Boolean],
+                  m: Int, k: Int, dsub: Int): Column =
+    ColumnGlue.column(PqEncodeExpr(ColumnGlue.expression(pv),
+      books.toVector, present.toVector, m, k, dsub))
+
+  /** ADC validity. A vanished/absent cid, a probe vector too short
+    * for the used subspaces, or a null code/probe element nulls the
+    * distance — matching the HOF twin (null codeword slot → null
+    * sqDist term). A code OUTSIDE 1..k or more codes than subspaces
+    * also nulls here, where the HOF twin's ANSI element_at throws —
+    * the kernel is deliberately the gentler contract (corrupt codes
+    * surface as dropped candidates, pinned in PqEncodeSpec). */
+  def adcValid(codes: ArrayData, pv: ArrayData, present: Array[Boolean],
+               m: Int, k: Int, dsub: Int): Boolean = {
+    val n = codes.numElements()
+    if (n > m || pv.numElements() < n * dsub) return false
+    var j = 0
+    while (j < n) {
+      if (codes.isNullAt(j)) return false
+      val c = codes.getInt(j)
+      if (c < 1 || c > k || !present(j * k + c - 1)) return false
+      j += 1
+    }
+    var i = 0
+    val used = n * dsub
+    while (i < used) {
+      if (pv.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** ADC distance — call only after adcValid. Identical add chain to
+    * foldSum(transform(codes, j => sqDist(slice_j(pv), codeword))):
+    * per-subspace sequential folds, then one ascending-j sum. */
+  def adc(codes: ArrayData, pv: ArrayData, books: Array[Double],
+          m: Int, k: Int, dsub: Int): Double = {
+    val n = codes.numElements()
+    var total = 0.0
+    var j = 0
+    while (j < n) {
+      val base = (j * k + codes.getInt(j) - 1) * dsub
+      val off = j * dsub
+      var acc = 0.0
+      var i = 0
+      while (i < dsub) {
+        val d = pv.getDouble(off + i) - books(base + i)
+        acc = acc + d * d
+        i += 1
+      }
+      total = total + acc
+      j += 1
+    }
+    total
+  }
+
+  /** Encode validity: vector long enough for all m subspaces and no
+    * null element in the used range (the HOF argmin's sqDist nulls on
+    * either; extra trailing elements are ignored, as slice ignores
+    * them). */
+  def pqEncodeValid(pv: ArrayData, m: Int, dsub: Int): Boolean = {
+    if (pv.numElements() < m * dsub) return false
+    var i = 0
+    val used = m * dsub
+    while (i < used) {
+      if (pv.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** PQ encode — call only after pqEncodeValid. Per subspace, the
+    * 1-based cid of the nearest PRESENT codeword; ties break to the
+    * lowest cid, exactly like assignColumn's array_min over
+    * struct(dist, cid) (strict-improvement compare in ascending cid
+    * order; java.lang.Double.compare matches Spark's double ordering
+    * here because squared distances are never -0.0). Returns null when
+    * some subspace has no codeword at all (an impossible fit output,
+    * but a constructible model). */
+  def pqEncode(pv: ArrayData, books: Array[Double], present: Array[Boolean],
+               m: Int, k: Int, dsub: Int): ArrayData = {
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val off = j * dsub
+      var best = Double.NaN
+      var bestC = -1
+      var c = 1
+      while (c <= k) {
+        if (present(j * k + c - 1)) {
+          val base = (j * k + c - 1) * dsub
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) {
+            val d = pv.getDouble(off + i) - books(base + i)
+            acc = acc + d * d
+            i += 1
+          }
+          if (bestC == -1 || java.lang.Double.compare(acc, best) < 0) {
+            best = acc; bestC = c
+          }
+        }
+        c += 1
+      }
+      if (bestC == -1) return null
+      codes(j) = bestC
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
   }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TopKAgg, VectorOps}
+import graft.functions.{TopKAgg, VectorKernels, VectorOps}
 
 /** Similarity search over an embedding column (array<float|double>):
   * exact brute-force cosine top-k as the correctness baseline, plus
@@ -533,12 +533,53 @@ object Similarity {
     } finally { proj.unpersist(); () }
   }
 
+  /** Dense cid-indexed codebook arrays for the native PQ kernels:
+    * books((j·k + c−1)·dsub + i) is codeword c of subspace j,
+    * present(j·k + c−1) says whether cid c exists (a Lloyd fit with
+    * keepEmpty=false can lose empty cells). Lookup is BY CID — the
+    * retired position-indexed literal read the WRONG codeword for
+    * every code above a vanished cid (review r15; gate models train
+    * at maxIter=0 where cids are always contiguous, so no oracle row
+    * ever hit it — sf10-stress models did). Vanished slots stay NaN
+    * and are never read: a code referencing one nulls the row via
+    * `present`, matching element_at's null on the HOF twin. */
+  private def denseBooks(model: PQModel): (Array[Double], Array[Boolean]) = {
+    val books = Array.fill(model.m * model.k * model.dsub)(Double.NaN)
+    val present = new Array[Boolean](model.m * model.k)
+    for (j <- 0 until model.m; (cid, cw) <- model.codebooks(j)) {
+      require(cid >= 1 && cid <= model.k,
+        s"PQ codeword id $cid outside 1..${model.k} in subspace $j")
+      require(cw.length == model.dsub,
+        s"PQ codeword $cid of subspace $j has ${cw.length} dims, want ${model.dsub}")
+      require(!present(j * model.k + cid - 1),
+        s"duplicate PQ codeword id $cid in subspace $j")
+      present(j * model.k + cid - 1) = true
+      System.arraycopy(cw, 0, books, (j * model.k + cid - 1) * model.dsub,
+        model.dsub)
+    }
+    (books, present)
+  }
+
   /** Encode vectors to PQ codes: per subspace, the nearest-codeword
-    * id (1-based) — an array<int> of length m. The same codegen'd
-    * argmin expression as the K-Means assignment, per subspace:
-    * rowwise, no shuffle, no UDF. */
+    * id (1-based) — an array<int> of length m. One native primitive
+    * pass per row (PqEncodeExpr — whole-stage-codegen'd, no per-
+    * subspace slice/argmin allocations): same distances and the same
+    * lowest-cid tie-break as the assignColumn form, kept below as the
+    * bit-pinned twin. Rowwise, no shuffle, no UDF. */
   def encodePQ(df: DataFrame, vecCol: String, model: PQModel,
                outCol: String = "codes"): DataFrame = {
+    val (books, present) = denseBooks(model)
+    df.withColumn(outCol, VectorKernels.pqEncodeCol(
+      VectorOps.toDouble(col(vecCol)), books, present,
+      model.m, model.k, model.dsub))
+  }
+
+  /** The HOF twin of encodePQ (spec-only): the original per-subspace
+    * assignColumn argmin chain. Bit-equal codes on well-formed input
+    * — PqEncodeSpec pins it, including on vanished-cid codebooks. */
+  private[graft] def encodePQHof(df: DataFrame, vecCol: String,
+                                     model: PQModel,
+                                     outCol: String = "codes"): DataFrame = {
     val v = VectorOps.toDouble(col(vecCol))
     val codes = array((0 until model.m).map { j =>
       KMeans.assignColumn(model.codebooks(j), slice(v, j * model.dsub + 1, model.dsub))
@@ -568,17 +609,46 @@ object Similarity {
     * topKCosine. Output: (probe_id, vec_id, rank, adist); re-rank the
     * head with exact floats when exactness matters — the standard PQ
     * recipe. */
-  /** The m×k×dsub literal codebook (cid-ordered per subspace) — the
-    * probe-count-independent plan payload every ADC expression
-    * shares. */
-  private def codebookLit(model: PQModel): Column =
-    typedlit(model.codebooks.map(_.sortBy(_._1).map(_._2.toSeq).toSeq).toSeq)
+  /** The m×k literal codebook for the HOF twin — DENSE and
+    * CID-INDEXED: position c of subspace j holds codeword cid c, or
+    * null where the cid vanished in training, so element_at(…, c) is
+    * a cid lookup, never a positional one (review r15 — the previous
+    * sortBy+position literal read the wrong codeword for every code
+    * above a vanished cid). */
+  private[graft] def codebookLit(model: PQModel): Column = {
+    val dense: Seq[Seq[Seq[Double]]] = (0 until model.m).map { j =>
+      val byCid = model.codebooks(j).map { case (c, w) => c -> w.toSeq }.toMap
+      (1 to model.k).map(c => byCid.getOrElse(c, null)): Seq[Seq[Double]]
+    }
+    typedlit(dense)
+  }
 
   /** Per-row ADC distance: Σ_j sqDist(slice_j(pv), codebook(j)(c_j)),
-    * j ascending — the same sequential fold (and bit-identical
-    * doubles) as the retired driver-side table's Σ_j table(j)(c_j),
-    * so every oracle hash is unchanged. */
+    * j ascending — one native primitive loop per row (AdcDistExpr),
+    * the same sequential fold (and bit-identical doubles) as both the
+    * HOF twin below and the retired driver-side table's
+    * Σ_j table(j)(c_j), so every oracle hash is unchanged. Native
+    * because this is the innermost loop of every PQ serve — the HOF
+    * chain (transform + slice + element_at per subspace) evaluated
+    * outside whole-stage codegen at ~16× the cost per candidate
+    * (sf10 stress, BASELINE round-15). */
   private def adcDist(codes: Column, pv: Column, model: PQModel): Column = {
+    val (books, present) = denseBooks(model)
+    VectorKernels.adcCol(codes, pv, books, present,
+      model.m, model.k, model.dsub)
+  }
+
+  /** Spec-visible alias of the native adcDist (PqEncodeSpec pins it
+    * against the HOF twin below). */
+  private[graft] def adcDistNative(codes: Column, pv: Column,
+                                   model: PQModel): Column =
+    adcDist(codes, pv, model)
+
+  /** The HOF twin of adcDist (spec-only) — bit-pinned against the
+    * native kernel in PqEncodeSpec, including on vanished-cid
+    * codebooks and malformed inputs. */
+  private[graft] def adcDistHof(codes: Column, pv: Column,
+                                    model: PQModel): Column = {
     val books = codebookLit(model)
     VectorOps.foldSum(transform(codes, (c, j) =>
       VectorOps.sqDist(

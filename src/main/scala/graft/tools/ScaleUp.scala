@@ -104,17 +104,27 @@ object ScaleUp {
     }, "documents")
 
     out(replicated("embeddings") { (df, r) =>
-      val d = shift("embeddings")(df, r, "vec_id")
-      if (r == 0) d
-      else {
-        // deterministic ±1 sign pattern per (replica, position):
-        // an isometry inside the replica, decorrelating across them
-        val signs = Array.tabulate(64) { j =>
-          if (math.sin((r * 64 + j + 1) * 12.9898) >= 0) 1.0f else -1.0f
-        }.toSeq
-        d.withColumn("embedding",
-          zip_with(col("embedding"), typedlit(signs), (x, s) => x * s))
-      }
+      if (r == 0) checkKeys(df, "embeddings", Seq("vec_id"))
+      embeddingsReplica(df, r)
     }, "embeddings")
+  }
+
+  /** Replica r of an embeddings table: vec_id shifts by r·10⁷ and the
+    * vectors multiply by a deterministic per-(replica, position) ±1
+    * sign pattern — an isometry inside the replica (all within-replica
+    * dot products, norms, and cosines unchanged), decorrelating across
+    * replicas (expected cross-replica cosine ≈ 0). Shared with
+    * AnnStress, which scales ONLY this table. Key-collision checking
+    * (vec_id < 10⁷) is the caller's, as in write(). */
+  def embeddingsReplica(df: DataFrame, r: Int): DataFrame = {
+    val d = df.withColumn("vec_id", col("vec_id") + lit(r * KeyShift))
+    if (r == 0) d
+    else {
+      val signs = Array.tabulate(64) { j =>
+        if (math.sin((r * 64 + j + 1) * 12.9898) >= 0) 1.0f else -1.0f
+      }.toSeq
+      d.withColumn("embedding",
+        zip_with(col("embedding"), typedlit(signs), (x, s) => x * s))
+    }
   }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{KMeans, Similarity}
+import graft.functions.VectorOps
+
+/** Bit-parity pins for the native PQ kernels (PqEncodeExpr /
+  * AdcDistExpr) against their HOF twins, plus the cid-indexed
+  * codebook-lookup contract (review r15): a Lloyd-trained codebook
+  * can lose empty cells (KMeans.fit keepEmpty=false), and the retired
+  * position-indexed literal read the WRONG codeword for every code
+  * above a vanished cid. Gate models train at maxIter=0 (cids always
+  * contiguous), so these pins are the only guard for trained models. */
+class PqEncodeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("native encode == HOF encode, bit for bit (contiguous gate model)") {
+    val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+      m = 4, k = 16, maxIter = 0)
+    val a = Similarity.encodePQ(emb, "embedding", model)
+      .select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = Similarity.encodePQHof(emb, "embedding", model)
+      .select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("native ADC == HOF ADC, bit for bit, through the serve") {
+    val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+      m = 4, k = 16, maxIter = 0)
+    val codes = Similarity.encodePQ(emb, "embedding", model)
+      .select("vec_id", "codes")
+    val pv = VectorOps.toDouble(
+      typedlit(emb.orderBy("vec_id").limit(1).collect()(0)
+        .getSeq[Float](1).map(_.toDouble)))
+    val hof = codes.select($"vec_id",
+      Similarity.adcDistHof($"codes", pv, model).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nat = codes.select($"vec_id",
+      Similarity.adcDistNative($"codes", pv, model).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nat.nonEmpty && nat.keySet == hof.keySet)
+    nat.foreach { case (id, d) =>
+      assert(java.lang.Double.doubleToLongBits(d) ==
+        java.lang.Double.doubleToLongBits(hof(id)),
+        s"ADC mismatch for vec $id: native $d vs HOF ${hof(id)}")
+    }
+  }
+
+  test("vanished-cid codebook: lookup is by cid, and native == HOF") {
+    // k=4 with cid 3 vanished: codes referencing cid 4 must read
+    // codeword 4, not the 3rd list position (the retired positional
+    // literal returned codeword 4 for code 3 and null for code 4)
+    val books: IndexedSeq[KMeans.Centroids] = IndexedSeq(
+      Array(1 -> Array(0.0, 0.0), 2 -> Array(10.0, 0.0),
+        4 -> Array(0.0, 10.0)),
+      Array(1 -> Array(1.0, 1.0), 2 -> Array(-5.0, 2.0),
+        4 -> Array(7.0, -3.0)))
+    val model = Similarity.PQModel(d = 4, m = 2, k = 4, codebooks = books)
+    val rows = Seq(
+      (1L, Seq(0.1, 0.2, 1.0, 1.1)),   // nearest: cid 1 / cid 1
+      (2L, Seq(0.5, 9.0, 6.5, -2.5)),  // nearest: cid 4 / cid 4
+      (3L, Seq(9.5, 0.5, -4.5, 2.2))   // nearest: cid 2 / cid 2
+    ).toDF("vec_id", "v")
+    val nat = Similarity.encodePQ(rows, "v", model)
+      .select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val hof = Similarity.encodePQHof(rows, "v", model)
+      .select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(nat == hof)
+    assert(nat(2L) == Seq(4, 4), s"expected cid 4 picked, got ${nat(2L)}")
+    // ADC against code 4 must use codeword 4's values
+    val probe = VectorOps.toDouble(typedlit(Seq(0.0, 10.0, 7.0, -3.0)))
+    val coded = Seq((2L, Seq(4, 4))).toDF("vec_id", "codes")
+    val dN = coded.select(
+      Similarity.adcDistNative($"codes", probe, model).as("d"))
+      .collect()(0).getDouble(0)
+    val dH = coded.select(
+      Similarity.adcDistHof($"codes", probe, model).as("d"))
+      .collect()(0).getDouble(0)
+    assert(dN == 0.0 && dH == 0.0,
+      s"probe equal to codeword 4|4 must be at ADC distance 0, got $dN / $dH")
+    // a code referencing the vanished cid nulls on BOTH paths
+    val bad = Seq((9L, Seq(3, 1))).toDF("vec_id", "codes")
+    assert(bad.select(Similarity.adcDistNative($"codes", probe, model))
+      .collect()(0).isNullAt(0))
+    assert(bad.select(Similarity.adcDistHof($"codes", probe, model))
+      .collect()(0).isNullAt(0))
+  }
+
+  test("malformed inputs: native nulls; HOF throws under ANSI element_at") {
+    val books: IndexedSeq[KMeans.Centroids] = IndexedSeq(
+      Array(1 -> Array(0.0, 0.0), 2 -> Array(1.0, 1.0)),
+      Array(1 -> Array(2.0, 2.0), 2 -> Array(3.0, 3.0)))
+    val model = Similarity.PQModel(d = 4, m = 2, k = 2, codebooks = books)
+    val probe = VectorOps.toDouble(typedlit(Seq(0.0, 0.0, 2.0, 2.0)))
+    // out-of-range code, code 0, too many codes: the native kernel
+    // NULLS (adcValid); the HOF twin THROWS under ANSI element_at —
+    // the kernel is strictly gentler, so pin native-only here
+    val cases = Seq(
+      (1L, Seq(0, 1)),   // code below 1
+      (2L, Seq(1, 3)),   // code above k
+      (3L, Seq(1, 1, 1)) // more codes than subspaces
+    ).toDF("vec_id", "codes")
+    val n = cases.select($"vec_id",
+      Similarity.adcDistNative($"codes", probe, model).as("d")).collect()
+    assert(n.forall(_.isNullAt(1)))
+    intercept[Exception] {
+      cases.select($"vec_id",
+        Similarity.adcDistHof($"codes", probe, model).as("d")).collect()
+    }
+    // a too-short vector nulls the encode on both paths
+    val short = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "v")
+    assert(Similarity.encodePQ(short, "v", model)
+      .select($"codes").collect()(0).isNullAt(0))
+  }
+}

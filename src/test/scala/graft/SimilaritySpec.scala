@@ -534,6 +534,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("rows"))
   }
 
+  test("foreachBatch ANN serving: per-micro-batch ivfPqTopKIndexed equals the batch serve") {
+    // the documented cold-storage-scale streaming deployment
+    // (ivfPqTopKStream's Scaladoc): each micro-batch's probes are a
+    // bounded BATCH relation, so the cell-pruned indexed serve
+    // applies verbatim inside foreachBatch — the union of per-batch
+    // results must equal one batch serve over all fed probes, because
+    // the serve is per-probe-independent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+      m = 4, k = 16, maxIter = 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_feb").toString + "/i"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model, dir)
+    val probeRows = emb.orderBy("vec_id").limit(4)
+      .select(col("vec_id").cast("long"),
+        graft.functions.VectorOps.toDouble(col("embedding")))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => StreamProbe(id, v) }
+    val source = MemoryStream[StreamProbe]
+    val acc = scala.collection.mutable.Set.empty[(Long, Long, Int, Double)]
+    val q = source.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc ++= Similarity.ivfPqTopKIndexed(spark, dir, batch,
+            "vec_id", "embedding", cents, model, nprobe = 2, k = 5)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        ()
+      }.start()
+    try probeRows.grouped(2).foreach { b =>
+      source.addData(b.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val want = Similarity.ivfPqTopKIndexed(spark, dir,
+        emb.orderBy("vec_id").limit(4), "vec_id", "embedding",
+        cents, model, nprobe = 2, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(acc.toSet == want && acc.nonEmpty,
+      "foreachBatch per-micro-batch serves must union to the batch serve")
+  }
+
   test("ivfPqTopKStream: streamed probes serve the batch indexed answer bit-for-bit") {
     // VERDICT r14 item 7: the rowwise plan-literal cell ranking + the
     // stream-static join + one complete-mode top-k must equal
