@@ -156,6 +156,82 @@ case class PqEncodeExpr(child: Expression,
     copy(child = c)
 }
 
+/** Nearest-centroid id — the native form of array_min over
+  * transform(centLit, struct(sqDist, cid)).getField("cid"). `cids`
+  * must be ascending (KMeans sorts); a malformed vector (length ≠ d
+  * or a null element) yields the LOWEST cid, exactly as the HOF's
+  * struct min does when every dist field is null (nulls-first struct
+  * ordering) — pinned in KMeansSpec. Empty centroid set → null. */
+case class NearestCentroidExpr(child: Expression, cids: Vector[Int],
+                               cents: Vector[Double], d: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "nearest_centroid"
+  override def inputTypes: Seq[ColumnGlue.AbstractType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  @transient private lazy val centsArr: Array[Double] = cents.toArray
+  @transient private lazy val cidsArr: Array[Int] = cids.toArray
+  override def nullSafeEval(a: Any): Any = {
+    val pv = a.asInstanceOf[ArrayData]
+    if (cids.isEmpty) null
+    else if (!VectorKernels.centValid(pv, d)) Integer.valueOf(cidsArr(0))
+    else Integer.valueOf(
+      cidsArr(VectorKernels.nearestCentroid(pv, centsArr, d)))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ncCents", centsArr, "double[]")
+    val cidsRef = ctx.addReferenceObj("ncCids", cidsArr, "int[]")
+    nullSafeCodeGen(ctx, ev, p =>
+      if (cids.isEmpty) s"${ev.isNull} = true;"
+      else
+        s"""
+           |if (!graft.functions.VectorKernels.centValid($p, $d)) {
+           |  ${ev.value} = $cidsRef[0];
+           |} else {
+           |  ${ev.value} = $cidsRef[graft.functions.VectorKernels.nearestCentroid($p, $centsRef, $d)];
+           |}
+         """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroidExpr =
+    copy(child = c)
+}
+
+/** Squared distance to the nearest centroid — the native form of
+  * array_min over transform(centLit, sqDist). A malformed vector
+  * nulls (array_min skips null elements; all null → null); empty
+  * centroid set → null. */
+case class MinSqDistToSetExpr(child: Expression, cents: Vector[Double], d: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "min_sqdist_to_set"
+  override def inputTypes: Seq[ColumnGlue.AbstractType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  @transient private lazy val centsArr: Array[Double] = cents.toArray
+  override def nullSafeEval(a: Any): Any = {
+    val pv = a.asInstanceOf[ArrayData]
+    if (cents.isEmpty || !VectorKernels.centValid(pv, d)) null
+    else java.lang.Double.valueOf(
+      VectorKernels.minSqDistToSet(pv, centsArr, d))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("msdCents", centsArr, "double[]")
+    nullSafeCodeGen(ctx, ev, p =>
+      if (cents.isEmpty) s"${ev.isNull} = true;"
+      else
+        s"""
+           |if (!graft.functions.VectorKernels.centValid($p, $d)) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = graft.functions.VectorKernels.minSqDistToSet($p, $centsRef, $d);
+           |}
+         """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): MinSqDistToSetExpr =
+    copy(child = c)
+}
+
 object VectorKernels {
 
   def sqDistCol(a: Column, b: Column): Column =
@@ -282,6 +358,91 @@ object VectorKernels {
       j += 1
     }
     total
+  }
+
+  // ── K-Means assignment kernels ────────────────────────────────────
+  //
+  // Native forms of assignColumn / minSqDistColumn (array_min over
+  // transform(centLit, struct(sqDist, cid))) — the innermost loop of
+  // every Lloyd pass, every IVF index build, SemDeDup's cell
+  // partition, and the K-Means cost rows. Same selection contract:
+  // centroids visited in ascending-cid order, strict-improvement
+  // compare (java.lang.Double.compare — matches Spark's double
+  // ordering: squared distances are never -0.0, NaN sorts largest),
+  // so ties break to the lowest cid bit-identically to the struct
+  // min. Centroids embed flat (idx·d + i), cids as a parallel array —
+  // cids are arbitrary ints (k-means++ seeds use row ids), NOT 1..k.
+
+  def nearestCentroidCol(pv: Column, cids: Array[Int], cents: Array[Double],
+                         d: Int): Column =
+    ColumnGlue.column(NearestCentroidExpr(ColumnGlue.expression(pv),
+      cids.toVector, cents.toVector, d))
+
+  def minSqDistToSetCol(pv: Column, cents: Array[Double], d: Int): Column =
+    ColumnGlue.column(MinSqDistToSetExpr(ColumnGlue.expression(pv),
+      cents.toVector, d))
+
+  /** The HOF sqDist nulls on a length mismatch or a null element;
+    * with one uniform centroid dim that is all-or-nothing per row. */
+  def centValid(pv: ArrayData, d: Int): Boolean = {
+    if (pv.numElements() != d) return false
+    var i = 0
+    while (i < d) {
+      if (pv.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Index (ascending-cid position, NOT the cid) of the nearest
+    * centroid — call only after centValid and with n ≥ 1 centroids. */
+  def nearestCentroid(pv: ArrayData, cents: Array[Double], d: Int): Int = {
+    val n = cents.length / d
+    var best = Double.NaN
+    var bestIdx = -1
+    var c = 0
+    while (c < n) {
+      val base = c * d
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val x = pv.getDouble(i) - cents(base + i)
+        acc = acc + x * x
+        i += 1
+      }
+      if (bestIdx == -1 || java.lang.Double.compare(acc, best) < 0) {
+        best = acc; bestIdx = c
+      }
+      c += 1
+    }
+    bestIdx
+  }
+
+  /** Squared distance to the nearest centroid — call only after
+    * centValid and with n ≥ 1 centroids. Same loop as above; the
+    * returned value is one of the exact per-centroid sqDists (a
+    * selection, not a re-fold) — bit-identical to array_min over the
+    * HOF distances. */
+  def minSqDistToSet(pv: ArrayData, cents: Array[Double], d: Int): Double = {
+    val n = cents.length / d
+    var best = Double.NaN
+    var first = true
+    var c = 0
+    while (c < n) {
+      val base = c * d
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val x = pv.getDouble(i) - cents(base + i)
+        acc = acc + x * x
+        i += 1
+      }
+      if (first || java.lang.Double.compare(acc, best) < 0) {
+        best = acc; first = false
+      }
+      c += 1
+    }
+    best
   }
 
   /** Encode validity: vector long enough for all m subspaces and no

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{VectorMeanAgg, VectorOps}
+import graft.functions.{VectorKernels, VectorMeanAgg, VectorOps}
 
 /** Spark-native Lloyd's K-Means — the reference engine's entire reason
   * to exist (`KMeans.java` in rohitseb/K-Means-Hadoop), re-expressed
@@ -107,17 +107,52 @@ object KMeans {
   private[operators] def centLit(cents: Centroids): Column =
     typedlit(cents.sortBy(_._1).map { case (cid, v) => (cid, v.toSeq) }.toSeq)
 
-  /** Nearest-centroid id for a feature column (array<double>).
-    * `array_min` over struct(dist, cid) = argmin with deterministic
-    * lowest-id tie-break. Whole-stage-codegen'd; no UDF, no shuffle. */
-  def assignColumn(cents: Centroids, feat: Column): Column =
+  /** Flat ascending-cid centroid arrays for the native kernels;
+    * requires one uniform dimensionality (every real centroid set
+    * has one — seeds are rows of one table). */
+  private def flatCents(cents: Centroids): (Array[Int], Array[Double], Int) = {
+    val sorted = cents.sortBy(_._1)
+    val d = sorted.head._2.length
+    val flat = new Array[Double](sorted.length * d)
+    sorted.zipWithIndex.foreach { case ((_, v), i) =>
+      require(v.length == d,
+        s"centroid dims differ: ${v.length} vs $d — one uniform d required")
+      System.arraycopy(v, 0, flat, i * d, d)
+    }
+    (sorted.map(_._1), flat, d)
+  }
+
+  /** Nearest-centroid id for a feature column (array<double>): one
+    * native primitive argmin per row (NearestCentroidExpr) with the
+    * deterministic lowest-id tie-break — bit-equal to the array_min-
+    * over-struct(dist, cid) HOF kept below as the spec-pinned twin,
+    * but inside whole-stage codegen with zero per-row allocations
+    * (the HOF chain sat outside codegen — the same 16× per-row cost
+    * the PQ kernels removed, here in every Lloyd pass). No UDF, no
+    * shuffle. */
+  def assignColumn(cents: Centroids, feat: Column): Column = {
+    if (cents.isEmpty) return assignColumnHof(cents, feat)
+    val (cids, flat, d) = flatCents(cents)
+    VectorKernels.nearestCentroidCol(feat, cids, flat, d)
+  }
+
+  /** The HOF twin of assignColumn (spec-pinned in KMeansSpec). */
+  private[graft] def assignColumnHof(cents: Centroids, feat: Column): Column =
     array_min(transform(centLit(cents), c =>
       struct(
         VectorOps.sqDist(feat, c.getField("_2")).as("dist"),
         c.getField("_1").as("cid")))).getField("cid")
 
-  /** Squared distance to the nearest centroid (per-row cost term). */
-  def minSqDistColumn(cents: Centroids, feat: Column): Column =
+  /** Squared distance to the nearest centroid (per-row cost term) —
+    * native selection kernel, array_min-of-sqDists twin below. */
+  def minSqDistColumn(cents: Centroids, feat: Column): Column = {
+    if (cents.isEmpty) return minSqDistColumnHof(cents, feat)
+    val (_, flat, d) = flatCents(cents)
+    VectorKernels.minSqDistToSetCol(feat, flat, d)
+  }
+
+  /** The HOF twin of minSqDistColumn (spec-pinned in KMeansSpec). */
+  private[graft] def minSqDistColumnHof(cents: Centroids, feat: Column): Column =
     array_min(transform(centLit(cents), c =>
       VectorOps.sqDist(feat, c.getField("_2"))))
 

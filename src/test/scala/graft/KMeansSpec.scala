@@ -221,4 +221,55 @@ class KMeansSpec extends AnyFunSuite {
     }
     df.unpersist()
   }
+
+  test("native assign/minSqDist kernels == HOF twins, bit for bit") {
+    // review r15: assignColumn/minSqDistColumn moved to native
+    // primitive kernels (NearestCentroidExpr/MinSqDistToSetExpr) —
+    // every Lloyd pass, IVF build, SemDeDup cell and cost row rides
+    // them, so the selection must match the array_min-over-struct HOF
+    // exactly, including ties (lowest cid) and arbitrary cid values
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val feats = graft.functions.VectorOps.toDouble(col("embedding"))
+    // non-contiguous, non-1-based cids: k-means++ seeds use row ids
+    val cents: KMeans.Centroids =
+      KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+        .map { case (cid, v) => (cid * 37 + 5, v) }
+    val a = emb.select(col("vec_id"),
+        KMeans.assignColumn(cents, feats).as("c"),
+        KMeans.minSqDistColumn(cents, feats).as("d")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val b = emb.select(col("vec_id"),
+        KMeans.assignColumnHof(cents, feats).as("c"),
+        KMeans.minSqDistColumnHof(cents, feats).as("d")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(a.nonEmpty && a.keySet == b.keySet)
+    a.foreach { case (id, (c, d)) =>
+      assert(c == b(id)._1, s"assign mismatch for $id: $c vs ${b(id)._1}")
+      assert(java.lang.Double.doubleToLongBits(d) ==
+        java.lang.Double.doubleToLongBits(b(id)._2),
+        s"minSqDist mismatch for $id: $d vs ${b(id)._2}")
+    }
+    // equidistant tie → lowest cid on both paths
+    import spark.implicits._
+    val tie = Seq((1L, Seq(0.0, 0.0))).toDF("id", "v")
+    val tieCents: KMeans.Centroids =
+      Array(7 -> Array(1.0, 0.0), 3 -> Array(-1.0, 0.0))
+    assert(tie.select(KMeans.assignColumn(tieCents, col("v")))
+      .collect()(0).getInt(0) == 3)
+    assert(tie.select(KMeans.assignColumnHof(tieCents, col("v")))
+      .collect()(0).getInt(0) == 3)
+    // malformed vector (wrong length): HOF's struct min sees all-null
+    // dists → lowest cid; the kernel mirrors; minSqDist nulls on both
+    val bad = Seq((1L, Seq(0.0, 0.0, 0.0))).toDF("id", "v")
+    val hofC = bad.select(KMeans.assignColumnHof(tieCents, col("v")))
+      .collect()(0)
+    val natC = bad.select(KMeans.assignColumn(tieCents, col("v")))
+      .collect()(0)
+    assert(natC.getInt(0) == 3 && hofC.getInt(0) == natC.getInt(0))
+    assert(bad.select(KMeans.minSqDistColumn(tieCents, col("v")))
+      .collect()(0).isNullAt(0))
+    assert(bad.select(KMeans.minSqDistColumnHof(tieCents, col("v")))
+      .collect()(0).isNullAt(0))
+  }
 }
