@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.columnar.InMemoryRelation
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, KMeans, Similarity}
 
 /** Plan-shape pins for the scale claims that .explain would show a
   * human: the capstone pipeline must read the corpus parquet exactly
@@ -92,6 +92,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(shuffles.length <= 1,
       s"pqTopK should shuffle only the bounded top-k partials, found ${shuffles.length}:\n$s")
+  }
+
+  test("native kernels run inside whole-stage codegen (no HOF eval in the hot path)") {
+    // review r15: the PQ/assignment kernels exist to keep the
+    // innermost per-row loops inside codegen — pin that the physical
+    // plan shows them under a codegen stage (operators inside
+    // WholeStageCodegen print with a "*(n)" prefix) and that the HOF
+    // chain they replaced is gone from these plans
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val assignPlan = KMeans.assign(emb, "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(assignPlan.matches("(?s).*\\*\\(\\d+\\) Project \\[.*nearest_centroid.*"),
+      s"assignColumn must run as nearest_centroid inside codegen:\n$assignPlan")
+    val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+      m = 4, k = 16, maxIter = 0)
+    val encodePlan = Similarity.encodePQ(emb, "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(encodePlan.matches("(?s).*\\*\\(\\d+\\) Project \\[.*pq_encode.*"),
+      s"encodePQ must run as pq_encode inside codegen:\n$encodePlan")
+    val adcPlan = SparkEntry.queries("q_pq_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(adcPlan.contains("pq_adc_dist") && !adcPlan.contains("transform("),
+      s"the ADC serve must score via pq_adc_dist with no HOF transform:\n$adcPlan")
   }
 
   test("semanticNearDup: no cartesian product — the pair join is keyed on the cluster id") {
