@@ -30,19 +30,19 @@ import graft.functions.{TopKAgg, VectorOps}
   *     a different question) on a probe subsample, via annRecall.
   *
   * Usage: runMain graft.tools.AnnStress <srcSfDir> <workDir>
-  *          [replicas=100] [nProbes=1000] [recallProbes=100]
+  *          [replicas=100] [nProbes=1000] [recallProbes=100] [kCells=64]
   * Prints one [annstress] line per measurement. */
 object AnnStress {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: runMain graft.tools.AnnStress <srcSfDir> <workDir> " +
-        "[replicas] [nProbes] [recallProbes]")
+        "[replicas] [nProbes] [recallProbes] [kCells]")
     val srcDir = args(0)
     val workDir = args(1)
     val replicas = if (args.length > 2) args(2).toInt else 100
     val nProbes = if (args.length > 3) args(3).toInt else 1000
     val recallProbes = if (args.length > 4) args(4).toInt else 100
-    val kCells = 64
+    val kCells = if (args.length > 5) args(5).toInt else 64
     val m = 8
     val kCodes = 256
     val k = 10
