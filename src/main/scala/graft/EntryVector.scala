@@ -295,6 +295,31 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: shortlist + re-rank from the PERSISTED index ──
+    // The at-rest production query path (review r15): the in-memory
+    // rerank above re-assigns and re-encodes the corpus inside every
+    // query (57 s/query at the 1M-vector stress); this one shortlists
+    // from the STORED cell-partitioned codes — no assignment, no
+    // encode — and touches floats only for the probes × shortlist
+    // exact re-rank rows. Must return exactly what the in-memory
+    // recipe returns: oracle = q_ivfpq_rerank's SQL verbatim, so a
+    // stale partition, a drifted codebook, or a shortlist divergence
+    // all hash-mismatch.
+    "q_ivfpq_rerank_idx" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      val cents = cents8(s, dir)
+      val base = sessionTmpDir(s, "ivfpq_rr", dir)
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model,
+        s"$base/index")
+      Similarity.ivfPqTopKIndexedRerank(s, s"$base/index",
+        emb, "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        cents, model, nprobe = 2, k = 10, shortlist = 50)
+    }),
+
+
     // ── LLM-pipeline: int8 embedding quantization ───────────────────
     // The 4×-smaller storage form for billion-vector corpora; codes
     // emitted as a comma-joined string so the compare hashes scalars.
@@ -1154,6 +1179,28 @@ private[graft] object EntryVector {
        |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
        |  FROM adq) WHERE rn <= 10""".stripMargin
 
+  /** The IVF-PQ shortlist + exact-cosine re-rank replay, shared by
+    * q_ivfpq_rerank (in-memory) and q_ivfpq_rerank_idx (served from
+    * the persisted code table — must shortlist identically). */
+  private val sqlIvfPqRerank: String =
+    s"""WITH $sqlIvfPqAdcCtes,
+       |isl AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+       |    FROM adq) WHERE rn <= 50
+       |),
+       |iex AS (
+       |  SELECT isl.probe_id, isl.vec_id,
+       |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+       |  FROM isl JOIN embeddings e ON e.vec_id = isl.vec_id
+       |           JOIN pr ON pr.probe_id = isl.probe_id
+       |)
+       |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+       |  SELECT probe_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM iex) WHERE rn <= 10""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q_topk_cosine" ->
@@ -1376,25 +1423,12 @@ private[graft] object EntryVector {
 
 
     // the ADC chain's 50-candidate shortlist re-ranked by exact
-    // cosine — the q_pq_rerank pattern over the IVF-PQ candidates
-    "q_ivfpq_rerank" ->
-      s"""WITH $sqlIvfPqAdcCtes,
-         |isl AS (
-         |  SELECT probe_id, vec_id FROM (
-         |    SELECT probe_id, vec_id,
-         |           row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
-         |    FROM adq) WHERE rn <= 50
-         |),
-         |iex AS (
-         |  SELECT isl.probe_id, isl.vec_id,
-         |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
-         |  FROM isl JOIN embeddings e ON e.vec_id = isl.vec_id
-         |           JOIN pr ON pr.probe_id = isl.probe_id
-         |)
-         |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
-         |  SELECT probe_id, vec_id, sim,
-         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
-         |  FROM iex) WHERE rn <= 10""".stripMargin,
+    // cosine — the q_pq_rerank pattern over the IVF-PQ candidates;
+    // shared verbatim by the persisted-index serve (q_ivfpq_rerank_idx
+    // — the stored codes must shortlist exactly what the in-memory
+    // encode does)
+    "q_ivfpq_rerank" -> sqlIvfPqRerank,
+    "q_ivfpq_rerank_idx" -> sqlIvfPqRerank,
 
 
     "q_quantize" ->

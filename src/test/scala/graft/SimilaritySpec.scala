@@ -534,6 +534,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("rows"))
   }
 
+  test("ivfPqTopKIndexedRerank: stored-code shortlist + float re-rank equals the in-memory recipe") {
+    // review r15: the at-rest production query path — shortlist from
+    // the persisted cell-partitioned codes (no assignment/encode in
+    // the query), exact-cosine re-rank touching only probes×shortlist
+    // float rows — must return exactly what the in-memory
+    // ivfPqTopKRerank computes over the same corpus and model
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+      m = 4, k = 16, maxIter = 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_irr").toString + "/i"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model, dir)
+    val probes = emb.orderBy("vec_id").limit(3)
+    val a = Similarity.ivfPqTopKIndexedRerank(spark, dir,
+        emb, "vec_id", "embedding", probes, "vec_id", "embedding",
+        cents, model, nprobe = 2, k = 5, shortlist = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val b = Similarity.ivfPqTopKRerank(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", cents, model,
+        nprobe = 2, k = 5, shortlist = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(a == b && a.nonEmpty,
+      "the persisted-index rerank must equal the in-memory rerank bit-for-bit")
+    // the same freshness gate as the indexed serve
+    val driftedM = model.copy(codebooks = model.codebooks.map(_.map {
+      case (cid, cw) => (cid, cw.map(_ + 0.25)) }))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexedRerank(spark, dir,
+        emb, "vec_id", "embedding", probes, "vec_id", "embedding",
+        cents, driftedM, nprobe = 2, k = 5, shortlist = 20)
+    }
+    assert(e.getMessage.contains("codebook"))
+  }
+
   test("foreachBatch ANN serving: per-micro-batch ivfPqTopKIndexed equals the batch serve") {
     // the documented cold-storage-scale streaming deployment
     // (ivfPqTopKStream's Scaladoc): each micro-batch's probes are a
