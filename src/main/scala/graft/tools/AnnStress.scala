@@ -168,6 +168,17 @@ object AnnStress {
             .join(broadcast(rpIds), "probe_id"), exactCos)
         .agg(avg(col("recall"))).collect()(0).getDouble(0)
       println(f"[annstress] recall@$k rerank sl=$shortlist%-4d vs cos $rec%8.4f")
+      // the same query from the PERSISTED index (no assignment or
+      // encode at query time — the production serving path); results
+      // must match the in-memory recipe bit for bit, so only the
+      // wall-clock is news here
+      def serveRerankIdx(): DataFrame =
+        Similarity.ivfPqTopKIndexedRerank(spark, indexPath,
+          emb, "vec_id", "embedding", probes, "vec_id", "embedding",
+          cents, model, nprobe = 16, k = k, shortlist = shortlist,
+          maxProbes = nProbes)
+      time(s"rerank-idx nprobe=16 sl=$shortlist") { serveRerankIdx().count() }
+      time(s"rerank-idx sl=$shortlist rep2") { serveRerankIdx().count() }
     }
     spark.stop()
   }
