@@ -158,10 +158,17 @@ case class PqEncodeExpr(child: Expression,
 
 /** Nearest-centroid id — the native form of array_min over
   * transform(centLit, struct(sqDist, cid)).getField("cid"). `cids`
-  * must be ascending (KMeans sorts); a malformed vector (length ≠ d
-  * or a null element) yields the LOWEST cid, exactly as the HOF's
-  * struct min does when every dist field is null (nulls-first struct
-  * ordering) — pinned in KMeansSpec. Empty centroid set → null. */
+  * must be ascending (KMeans sorts); a malformed vector (length ≠ d,
+  * a null element, or the NULL vector itself) yields the LOWEST cid,
+  * exactly as the HOF's struct min does when every dist field is
+  * null (nulls-first struct ordering) — pinned in KMeansSpec,
+  * including the NULL-input case (review r15: the usual
+  * nullSafeEval short-circuit would return NULL instead, silently
+  * routing null-embedding rows into the never-probed
+  * __HIVE_DEFAULT_PARTITION__ cell of every partitioned index
+  * instead of cell cids(0) as every pre-kernel release did — so this
+  * expression handles the null child itself). Empty centroid set →
+  * null. */
 case class NearestCentroidExpr(child: Expression, cids: Vector[Int],
                                cents: Vector[Double], d: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -169,29 +176,40 @@ case class NearestCentroidExpr(child: Expression, cids: Vector[Int],
   override def inputTypes: Seq[ColumnGlue.AbstractType] =
     Seq(ArrayType(DoubleType))
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = true
+  override def nullable: Boolean = cids.isEmpty
   @transient private lazy val centsArr: Array[Double] = cents.toArray
   @transient private lazy val cidsArr: Array[Int] = cids.toArray
-  override def nullSafeEval(a: Any): Any = {
-    val pv = a.asInstanceOf[ArrayData]
-    if (cids.isEmpty) null
-    else if (!VectorKernels.centValid(pv, d)) Integer.valueOf(cidsArr(0))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    if (cids.isEmpty) return null
+    val v = child.eval(input)
+    if (v == null) return Integer.valueOf(cidsArr(0))
+    val pv = v.asInstanceOf[ArrayData]
+    if (!VectorKernels.centValid(pv, d)) Integer.valueOf(cidsArr(0))
     else Integer.valueOf(
       cidsArr(VectorKernels.nearestCentroid(pv, centsArr, d)))
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    if (cids.isEmpty) {
+      return ev.copy(code =
+        code"""
+          ${childGen.code}
+          boolean ${ev.isNull} = true;
+          int ${ev.value} = -1;""")
+    }
     val centsRef = ctx.addReferenceObj("ncCents", centsArr, "double[]")
     val cidsRef = ctx.addReferenceObj("ncCids", cidsArr, "int[]")
-    nullSafeCodeGen(ctx, ev, p =>
-      if (cids.isEmpty) s"${ev.isNull} = true;"
-      else
-        s"""
-           |if (!graft.functions.VectorKernels.centValid($p, $d)) {
-           |  ${ev.value} = $cidsRef[0];
-           |} else {
-           |  ${ev.value} = $cidsRef[graft.functions.VectorKernels.nearestCentroid($p, $centsRef, $d)];
-           |}
-         """.stripMargin)
+    ev.copy(
+      code =
+        code"""
+          ${childGen.code}
+          int ${ev.value} = $cidsRef[0];
+          if (!${childGen.isNull} && graft.functions.VectorKernels.centValid(${childGen.value}, $d)) {
+            ${ev.value} = $cidsRef[graft.functions.VectorKernels.nearestCentroid(${childGen.value}, $centsRef, $d)];
+          }""",
+      isNull = FalseLiteral)
   }
   override protected def withNewChildInternal(c: Expression): NearestCentroidExpr =
     copy(child = c)
@@ -446,9 +464,13 @@ object VectorKernels {
   }
 
   /** Encode validity: vector long enough for all m subspaces and no
-    * null element in the used range (the HOF argmin's sqDist nulls on
-    * either; extra trailing elements are ignored, as slice ignores
-    * them). */
+    * null element in the used range; extra trailing elements are
+    * ignored, as slice ignores them. The HOF twin enforces the same
+    * gate explicitly (encodePQHof's `when(valid, …)` — review r15:
+    * without it the per-subspace argmin would fabricate the lowest
+    * cid for a truncated slice instead of nulling, because
+    * assignColumn's malformed-vector convention is lowest-cid, and
+    * garbage codes would be silently indexed). */
   def pqEncodeValid(pv: ArrayData, m: Int, dsub: Int): Boolean = {
     if (pv.numElements() < m * dsub) return false
     var i = 0

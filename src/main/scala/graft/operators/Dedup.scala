@@ -730,22 +730,20 @@ object Dedup {
                          idCol: String, textCol: String, path: String,
                          requireNewIds: Boolean = true): Unit = {
     val (prevRows, n, h, parity) = readMinhashMeta(spark, path)
-    if (requireNewIds) {
-      val dups = spark.read.parquet(s"$path/data").select(col("id"))
-        .join(batch.select(col(idCol).as("id")).distinct(), "id")
-        .limit(1).count()
-      require(dups == 0L,
-        s"Dedup.appendMinhashIndex: the batch carries ids already present " +
-          s"in the index at $path — appending would silently double-sign " +
-          "them past every freshness gate (a retried-but-committed batch?); " +
-          "dedup upstream or rebuild")
-    }
+    // pin ONE instantiation of the batch: the audit and the signing
+    // write must see the same rows, or a nondeterministic batch plan
+    // can pass the audit with one id set and sign another — the
+    // shared contract documented on Similarity.requireIdsNotIndexed
+    val src = batch.select(col(idCol), col(textCol)).localCheckpoint()
+    if (requireNewIds) Similarity.requireIdsNotIndexed(spark,
+      src.select(col(idCol).as("id")), s"$path/data",
+      "Dedup.appendMinhashIndex", "double-sign them")
     // meta rows = prev + batch (O(batch) — a full-index recount per
     // append would cost more than the append at 100 TB; review r12).
     // Crash-detectability survives: the meta writes AFTER the data,
     // so a crash between the steps leaves actual > meta, which the
     // read-side footer count refuses.
-    val sigs = minhashIndex(batch, idCol, textCol, n, h, parity).cache()
+    val sigs = minhashIndex(src, idCol, textCol, n, h, parity).cache()
     try {
       sigs.write.mode("append").parquet(s"$path/data")
       writeMinhashMeta(spark, path, prevRows + sigs.count(), n, h, parity)
@@ -759,8 +757,10 @@ object Dedup {
     * files (size numFiles so each lands near your FS's comfortable
     * file size; 1 fits the signature table's few-dozen-bytes-per-row
     * shape up to hundreds of millions of docs) via the same
-    * write-aside + rename swap as Similarity.compactIvfIndex: the
-    * live index is never read-and-overwritten in place, the copy is
+    * write-aside + rename swap protocol as the IVF/IVF-PQ compactors
+    * (Similarity.compactIndexRoot — ONE implementation of the
+    * crash-window-sensitive swap, review r15): the live index is
+    * never read-and-overwritten in place, the copy is
     * row-count-verified before the swap, and the meta (hash family +
     * row count) is copied verbatim, so reads serve byte-identically.
     * Refuses an index whose actual row count drifted from its meta.
@@ -769,36 +769,10 @@ object Dedup {
                           numFiles: Int = 1): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val (metaRows, _, _, _) = readMinhashMeta(spark, path)
-    val actual = spark.read.parquet(s"$path/data").count()
-    require(actual == metaRows,
-      s"Dedup.compactMinhashIndex: index at $path holds $actual rows but " +
-        s"its meta records $metaRows — partial append or concurrent " +
-        "writer; compacting now would bless the corruption. Rebuild instead")
-    val tmp = s"${path}__compacting"
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    spark.read.parquet(s"$path/data").repartition(numFiles)
-      .write.mode("overwrite").parquet(s"$tmp/data")
-    spark.read.parquet(s"$path/_graft_index_meta")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_graft_index_meta")
-    val copied = spark.read.parquet(s"$tmp/data").count()
-    require(copied == metaRows,
-      s"Dedup.compactMinhashIndex: compacted copy at $tmp holds $copied " +
-        s"rows, expected $metaRows — refusing the swap; the live index is " +
-        "untouched")
-    val live = new org.apache.hadoop.fs.Path(path)
-    val side = new org.apache.hadoop.fs.Path(tmp)
-    val old = new org.apache.hadoop.fs.Path(s"${path}__precompact")
-    fs.delete(old, true)
-    require(fs.rename(live, old),
-      s"Dedup.compactMinhashIndex: could not move $path aside")
-    require(fs.rename(side, live),
-      s"Dedup.compactMinhashIndex: could not move the compacted copy into " +
-        s"place — the original index is preserved at $old; restore it by " +
-        "renaming back")
-    fs.delete(old, true)
-    ()
+    Similarity.compactIndexRoot(spark, path, "data", "_graft_index_meta",
+      metaRows, "Dedup.compactMinhashIndex") { (df, dest) =>
+      df.repartition(numFiles).write.mode("overwrite").parquet(dest)
+    }
   }
 
   /** MinHash estimate of Jaccard: the fraction of agreeing signature

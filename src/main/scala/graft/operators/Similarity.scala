@@ -244,16 +244,27 @@ object Similarity {
     * one column-pruned scan of the index's id column per append (a
     * batch-sized semi-join probe, not a full-width read). Pipelines
     * that already dedup upstream (dropSeenExact) and own their retry
-    * discipline opt out with `requireNewIds = false`. */
-  private def requireIdsNotIndexed(spark: SparkSession, batch: DataFrame,
-                                   idCol: String, path: String,
-                                   where: String): Unit = {
-    val dups = spark.read.parquet(path).select(col("id"))
-      .join(batch.select(col(idCol).cast("long").as("id")).distinct(), "id")
+    * discipline opt out with `requireNewIds = false`.
+    *
+    * `batchIds` must be ONE PINNED instantiation of the batch's id
+    * column (review r15): auditing one evaluation of a
+    * nondeterministic batch plan (sample(), an unordered limit, a
+    * directory re-read racing an upstream writer) and then writing
+    * another would let already-indexed ids through the exact check
+    * built to refuse them — the append entries localCheckpoint the
+    * batch once and feed the same relation to the audit, the write,
+    * and the meta count. Shared with Dedup.appendMinhashIndex, so a
+    * hardening here reaches every appendable index. */
+  private[operators] def requireIdsNotIndexed(spark: SparkSession,
+                                              batchIds: DataFrame,
+                                              dataPath: String, where: String,
+                                              consequence: String): Unit = {
+    val dups = spark.read.parquet(dataPath).select(col("id"))
+      .join(batchIds.select(col("id")).distinct(), "id")
       .limit(1).count()
     require(dups == 0L,
       s"$where: the batch carries ids already present in the index at " +
-        s"$path — appending would silently serve duplicate rows past every " +
+        s"$dataPath — appending would silently $consequence past every " +
         "freshness gate (a retried-but-committed batch?); dedup upstream " +
         "or rebuild")
   }
@@ -273,20 +284,19 @@ object Similarity {
                      requireNewIds: Boolean = true): Unit = {
     TopKAgg.requireLongCastableId(batch, idCol, "Similarity.appendIvfIndex")
     val (prevRows, _, cents) = readIvfMeta(spark, path)
-    if (requireNewIds) requireIdsNotIndexed(spark, batch, idCol, path,
-      "Similarity.appendIvfIndex")
+    // pin ONE instantiation of the batch: the audit, the write, and
+    // the meta count must see the same rows (see requireIdsNotIndexed)
+    val src = batch.select(col(idCol).cast("long").as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v")).localCheckpoint()
+    if (requireNewIds) requireIdsNotIndexed(spark, src, path,
+      "Similarity.appendIvfIndex", "serve duplicate rows")
     // meta rows = prev + batch (O(batch), not a full-index recount —
     // review r12); a crash between data and meta leaves actual > meta,
     // which ivfTopKIndexed's row check refuses
-    val assigned = KMeans.assign(
-      batch.select(col(idCol).cast("long").as("id"), VectorOps.toDouble(col(vecCol)).as("v")),
-      "v", cents, outCol = "cell")
+    val assigned = KMeans.assign(src, "v", cents, outCol = "cell")
       .withColumn("n", VectorOps.norm2(col("v")))
-      .cache()
-    try {
-      assigned.write.partitionBy("cell").mode("append").parquet(path)
-      writeIvfMeta(spark, path, prevRows + assigned.count(), cents)
-    } finally { assigned.unpersist(); () }
+    assigned.write.partitionBy("cell").mode("append").parquet(path)
+    writeIvfMeta(spark, path, prevRows + src.count(), cents)
   }
 
   /** IVF top-k against a PERSISTED index: probe cells are computed
@@ -540,11 +550,19 @@ object Similarity {
     * retired position-indexed literal read the WRONG codeword for
     * every code above a vanished cid (review r15; gate models train
     * at maxIter=0 where cids are always contiguous, so no oracle row
-    * ever hit it — sf10-stress models did). Vanished slots stay NaN
-    * and are never read: a code referencing one nulls the row via
-    * `present`, matching element_at's null on the HOF twin. */
+    * ever hit it — sf10-stress models did). Vanished slots hold 0.0
+    * and are never read — a code referencing one nulls the row via
+    * `present`, matching element_at's null on the HOF twin. NOT NaN
+    * (review r15): the kernel expressions embed `books` as a Vector
+    * for case-class equality, and Scala boxed-double equality is
+    * numeric (NaN != NaN), so NaN slots would make every
+    * vanished-cid expression unequal even to a copy of itself —
+    * silently defeating plan canonicalization and subexpression
+    * reuse for exactly the Lloyd-trained models the cid-indexed
+    * layout exists for. `present` keeps 0.0-filled-absent distinct
+    * from a genuine zero codeword. */
   private def denseBooks(model: PQModel): (Array[Double], Array[Boolean]) = {
-    val books = Array.fill(model.m * model.k * model.dsub)(Double.NaN)
+    val books = new Array[Double](model.m * model.k * model.dsub)
     val present = new Array[Boolean](model.m * model.k)
     for (j <- 0 until model.m; (cid, cw) <- model.codebooks(j)) {
       require(cid >= 1 && cid <= model.k,
@@ -584,7 +602,19 @@ object Similarity {
     val codes = array((0 until model.m).map { j =>
       KMeans.assignColumn(model.codebooks(j), slice(v, j * model.dsub + 1, model.dsub))
     }: _*)
-    df.withColumn(outCol, codes)
+    // null the whole encode when the vector cannot fill all m
+    // subspaces or carries a null element in the used range — the
+    // native kernel's pqEncodeValid contract. Without this gate the
+    // per-subspace argmin would FABRICATE the lowest cid for a
+    // truncated or null-holed slice (assignColumn's malformed-vector
+    // convention, right for centroid assignment, wrong here: garbage
+    // codes would be silently indexed), and the twin would diverge
+    // from the native path exactly where parity matters (review r15;
+    // PqEncodeSpec pins both paths null).
+    val used = model.m * model.dsub
+    val valid = (size(v) >= lit(used)) &&
+      forall(slice(v, 1, used), x => x.isNotNull)
+    df.withColumn(outCol, when(valid, codes))
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: a candidate's
@@ -992,37 +1022,45 @@ object Similarity {
         "does not match the one the index's codes were written with — " +
         "mixed-codebook codes are silently wrong at ADC time; rebuild the " +
         "index or load its paired codebook")
-    if (requireNewIds) requireIdsNotIndexed(spark, batch, idCol, path,
-      "Similarity.appendIvfPqIndex")
+    // pin ONE instantiation of the batch: the audit, the write, and
+    // the meta count must see the same rows (see requireIdsNotIndexed)
+    val src = batch.select(col(idCol).cast("long").as("id"),
+      VectorOps.toDouble(col(vecCol)).as("__v")).localCheckpoint()
+    if (requireNewIds) requireIdsNotIndexed(spark, src, path,
+      "Similarity.appendIvfPqIndex", "serve duplicate rows")
     val assigned = encodePQ(
-      KMeans.assign(
-        batch.select(col(idCol).cast("long").as("id"),
-          VectorOps.toDouble(col(vecCol)).as("__v")),
-        "__v", cents, outCol = "cell"),
+      KMeans.assign(src, "__v", cents, outCol = "cell"),
       "__v", model, outCol = "codes")
       .select("id", "codes", "cell")
-      .cache()
-    try {
-      assigned.write.partitionBy("cell").mode("append").parquet(path)
-      writeIvfPqMeta(spark, path, prevRows + assigned.count(), cents, model)
-    } finally { assigned.unpersist(); () }
+    assigned.write.partitionBy("cell").mode("append").parquet(path)
+    writeIvfPqMeta(spark, path, prevRows + src.count(), cents, model)
   }
 
   // ── Index compaction (VERDICT r14 item 4) ────────────────────────
 
-  /** Shared write-aside + swap compaction for the cell-partitioned
-    * indexes. The live index is never read-and-overwritten in place
-    * (Spark cannot do that safely — overwrite deletes the source
-    * mid-read); instead the compacted copy lands in a sibling
-    * directory, is row-count-verified against the meta, and swaps in
-    * via two renames — metadata operations on any hierarchical
+  /** Shared write-aside + swap compaction protocol for every
+    * appendable index — the cell-partitioned IVF/IVF-PQ tables
+    * (`dataSub = ""`) AND Dedup's MinHash signature table
+    * (`dataSub = "data"`), so the crash-window-sensitive swap
+    * ordering lives in exactly one place (review r15). The live
+    * index is never read-and-overwritten in place (Spark cannot do
+    * that safely — overwrite deletes the source mid-read); instead
+    * `rewrite` lands the compacted copy in a sibling directory, the
+    * meta is copied VERBATIM (compaction changes file layout, nothing
+    * else: fingerprints, stored provenance, and row count all survive
+    * byte-for-byte, so reads serve hash-identically), the copy is
+    * row-count-verified against the meta, and the root swaps in via
+    * two renames — metadata operations on any hierarchical
     * filesystem, so the swap cost is independent of index size, and
     * a crash mid-swap leaves either the old or the new directory
     * intact under a detectable name, never a half-deleted mix. */
-  private def compactPartitionedIndex(spark: SparkSession, path: String,
-                                      metaSubdir: String, metaRows: Long,
-                                      where: String): Unit = {
-    val actual = spark.read.parquet(path).count()
+  private[operators] def compactIndexRoot(spark: SparkSession, path: String,
+                                          dataSub: String, metaSubdir: String,
+                                          metaRows: Long, where: String)(
+      rewrite: (DataFrame, String) => Unit): Unit = {
+    def data(root: String): String =
+      if (dataSub.isEmpty) root else s"$root/$dataSub"
+    val actual = spark.read.parquet(data(path)).count()
     require(actual == metaRows,
       s"$where: index at $path holds $actual rows but its meta records " +
         s"$metaRows — partial append or concurrent writer; compacting now " +
@@ -1031,19 +1069,10 @@ object Similarity {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    // one shuffle keyed on cell puts every cell's rows in exactly one
-    // task, so partitionBy emits exactly one file per cell (cells are
-    // sized by the coarse quantizer's k; for cells past a comfortable
-    // file size, set spark.sql.files.maxRecordsPerFile and accept >1)
-    spark.read.parquet(path).repartition(col("cell"))
-      .write.option("partitionOverwriteMode", "static")
-      .partitionBy("cell").mode("overwrite").parquet(tmp)
-    // meta copied VERBATIM — compaction changes file layout, nothing
-    // else: fingerprints, stored quantizer, and row count all survive
-    // byte-for-byte, so the serve result is hash-identical
+    rewrite(spark.read.parquet(data(path)), data(tmp))
     spark.read.parquet(s"$path/$metaSubdir")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$metaSubdir")
-    val copied = spark.read.parquet(tmp).count()
+    val copied = spark.read.parquet(data(tmp)).count()
     require(copied == metaRows,
       s"$where: compacted copy at $tmp holds $copied rows, expected " +
         s"$metaRows — refusing the swap; the live index is untouched")
@@ -1058,6 +1087,21 @@ object Similarity {
     fs.delete(old, true)
     ()
   }
+
+  /** The cell-partitioned instantiation of compactIndexRoot: one
+    * shuffle keyed on cell puts every cell's rows in exactly one
+    * task, so partitionBy emits exactly one file per cell (cells are
+    * sized by the coarse quantizer's k; for cells past a comfortable
+    * file size, set spark.sql.files.maxRecordsPerFile and accept >1). */
+  private def compactPartitionedIndex(spark: SparkSession, path: String,
+                                      metaSubdir: String, metaRows: Long,
+                                      where: String): Unit =
+    compactIndexRoot(spark, path, "", metaSubdir, metaRows, where) {
+      (df, dest) =>
+        df.repartition(col("cell"))
+          .write.option("partitionOverwriteMode", "static")
+          .partitionBy("cell").mode("overwrite").parquet(dest)
+    }
 
   /** Compact a persisted IVF index in place: every appendIvfIndex
     * lands ≥1 new parquet file per touched cell, so N ingest batches
@@ -1247,6 +1291,13 @@ object Similarity {
                       probeVecCol: String, cents: KMeans.Centroids,
                       model: PQModel, nprobe: Int, k: Int,
                       verifyRows: Boolean = true): DataFrame = {
+    // same loud refusal as every batch sibling (review r15): without
+    // it a non-long-castable probe id casts to NULL, the self-match
+    // filter then drops every candidate row for that probe, and the
+    // sink is silently incomplete instead of erroring. Schema-only
+    // check, so it is streaming-safe.
+    TopKAgg.requireLongCastableId(probes, probeIdCol,
+      "Similarity.ivfPqTopKStream")
     requireFreshIvfPqIndex(spark, indexPath, cents, model, verifyRows)
     require(nprobe >= 1 && nprobe <= cents.length,
       s"Similarity.ivfPqTopKStream: nprobe=$nprobe outside 1..${cents.length}")

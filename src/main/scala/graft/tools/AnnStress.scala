@@ -62,8 +62,18 @@ object AnnStress {
       r
     }
 
-    // 1. embeddings-only scale-up (the one table this stress reads)
+    // 1. embeddings-only scale-up (the one table this stress reads).
+    // Key-collision check first, as ScaleUp.write does (review r15):
+    // replica r shifts vec_id by r·KeyShift, which silently collides
+    // if the source already carries shifted ids (e.g. pointing this
+    // at a ScaleUp output) — duplicate vec_ids would corrupt every
+    // recall and serve number recorded from this run.
     val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val mxRow = src.agg(max(col("vec_id"))).collect()(0)
+    if (!mxRow.isNullAt(0)) require(mxRow.getLong(0) < ScaleUp.KeyShift,
+      s"embeddings.vec_id max ${mxRow.getLong(0)} >= shift " +
+        s"${ScaleUp.KeyShift} — replicas would collide; stress from the " +
+        "original source, not a ScaleUp output")
     time(s"scaleup x$replicas") {
       (0 until replicas).map(r => ScaleUp.embeddingsReplica(src, r))
         .reduce(_.unionAll(_))

@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  private val KeyShift = 10000000L
+  private[tools] val KeyShift = 10000000L
 
   def main(args: Array[String]): Unit = {
     val src = args(0)

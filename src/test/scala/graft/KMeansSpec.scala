@@ -271,5 +271,24 @@ class KMeansSpec extends AnyFunSuite {
       .collect()(0).isNullAt(0))
     assert(bad.select(KMeans.minSqDistColumnHof(tieCents, col("v")))
       .collect()(0).isNullAt(0))
+    // NULL vector (review r15): the HOF's struct min sees all-null
+    // dists → lowest cid, so the kernel must NOT take the usual
+    // nullSafeEval short-circuit to NULL — a NULL assignment would
+    // route the row into the never-probed __HIVE_DEFAULT_PARTITION__
+    // cell of every partitioned index instead of cell cids(0).
+    // minSqDist nulls on both (array_min skips nulls; all null → null)
+    val nul = Seq((1L, null: Seq[Double])).toDF("id", "v")
+    val hofN = nul.select(KMeans.assignColumnHof(tieCents, col("v")))
+      .collect()(0)
+    val natN = nul.select(KMeans.assignColumn(tieCents, col("v")))
+      .collect()(0)
+    assert(!natN.isNullAt(0) && natN.getInt(0) == 3,
+      s"native assign on NULL vector: ${natN}")
+    assert(!hofN.isNullAt(0) && hofN.getInt(0) == natN.getInt(0),
+      s"HOF assign on NULL vector: ${hofN}")
+    assert(nul.select(KMeans.minSqDistColumn(tieCents, col("v")))
+      .collect()(0).isNullAt(0))
+    assert(nul.select(KMeans.minSqDistColumnHof(tieCents, col("v")))
+      .collect()(0).isNullAt(0))
   }
 }

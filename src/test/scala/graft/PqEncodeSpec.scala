@@ -117,9 +117,51 @@ class PqEncodeSpec extends AnyFunSuite {
       cases.select($"vec_id",
         Similarity.adcDistHof($"codes", probe, model).as("d")).collect()
     }
-    // a too-short vector nulls the encode on both paths
+    // a too-short vector nulls the encode on BOTH paths (review r15:
+    // without encodePQHof's validity gate, the HOF would emit a real
+    // code for the full subspace and FABRICATE the lowest cid for the
+    // truncated one — [1, 1] here — silently indexing garbage codes)
     val short = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "v")
     assert(Similarity.encodePQ(short, "v", model)
       .select($"codes").collect()(0).isNullAt(0))
+    assert(Similarity.encodePQHof(short, "v", model)
+      .select($"codes").collect()(0).isNullAt(0))
+    // ... and so does the NULL vector itself
+    val nul = Seq((2L, null: Seq[Double])).toDF("vec_id", "v")
+    assert(Similarity.encodePQ(nul, "v", model)
+      .select($"codes").collect()(0).isNullAt(0))
+    assert(Similarity.encodePQHof(nul, "v", model)
+      .select($"codes").collect()(0).isNullAt(0))
+  }
+
+  test("vanished-cid kernel expressions stay canonicalization-equal") {
+    // review r15: denseBooks used to fill absent-cid slots with NaN,
+    // and Scala boxed-double equality is numeric (NaN != NaN) — so a
+    // vanished-cid AdcDistExpr/PqEncodeExpr compared unequal even to
+    // an identical copy of itself, silently defeating plan
+    // canonicalization and subexpression reuse for every Lloyd-trained
+    // model that lost a cell. Absent slots now hold 0.0 (never read —
+    // `present` gates every lookup), restoring case-class equality.
+    val books: IndexedSeq[KMeans.Centroids] = IndexedSeq(
+      Array(1 -> Array(0.0, 0.0), 2 -> Array(10.0, 0.0),
+        4 -> Array(0.0, 10.0)),
+      Array(1 -> Array(1.0, 1.0), 2 -> Array(-5.0, 2.0),
+        4 -> Array(7.0, -3.0)))
+    val model = Similarity.PQModel(d = 4, m = 2, k = 4, codebooks = books)
+    val probe = VectorOps.toDouble(typedlit(Seq(0.0, 10.0, 7.0, -3.0)))
+    // compare at the level that matters: canonicalized analyzed plans
+    // (TreeNode equality is structural, so a NaN books field poisoned
+    // it — two runs of the same query compared unequal)
+    val dfc = Seq((1L, Seq(1, 1))).toDF("vec_id", "codes")
+    def adcPlan() = dfc.select(
+        Similarity.adcDistNative($"codes", probe, model).as("d"))
+      .queryExecution.analyzed.canonicalized
+    assert(adcPlan() == adcPlan(),
+      "two identical vanished-cid ADC plans must canonicalize equal")
+    val df = Seq((1L, Seq(0.1, 0.2, 1.0, 1.1))).toDF("vec_id", "v")
+    def encPlan() = Similarity.encodePQ(df, "v", model)
+      .queryExecution.analyzed.canonicalized
+    assert(encPlan() == encPlan(),
+      "two identical vanished-cid encode plans must canonicalize equal")
   }
 }

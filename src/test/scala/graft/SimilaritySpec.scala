@@ -658,6 +658,17 @@ class SimilaritySpec extends AnyFunSuite {
         "vec_id", "embedding", driftedC, model, nprobe = 2, k = 5)
     }
     assert(e.getMessage.contains("coarse quantizer"))
+    // a non-long-castable probe id refuses at plan-build time, same
+    // as every batch sibling (review r15: without the guard a string
+    // id casts to NULL, the self-match filter drops every candidate
+    // row, and the sink is silently incomplete instead of loud)
+    val eId = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKStream(spark, dir,
+        source.toDF().select(col("vec_id").cast("string").as("vec_id"),
+          col("embedding")),
+        "vec_id", "embedding", cents, model, nprobe = 2, k = 5)
+    }
+    assert(eId.getMessage.contains("long-castable"))
   }
 
   test("ivfPqTopKIndexed broadcasts one d-vector per probe: two broadcast joins, no driver-built tables") {
@@ -886,4 +897,48 @@ class SimilaritySpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException] { Similarity.loadPQ(spark, vPath) }
     assert(e3.getMessage.contains("version"))
   }
+
+  test("append pins ONE batch instantiation: a nondeterministic batch " +
+    "cannot pass the audit with one id set and write another") {
+    // review r15: the dup-id audit and the write used to evaluate the
+    // batch plan independently — a batch whose re-evaluation yields
+    // different rows (sample(), an unordered limit, a directory
+    // re-read racing an upstream writer) could show only-new ids to
+    // the audit and then append already-indexed ones. The append now
+    // localCheckpoints the batch once; audit, write, and meta count
+    // all read that pin. This batch returns FRESH ids on its first
+    // evaluation and ALREADY-INDEXED ids on every later one — without
+    // the pin, the index ends up silently holding duplicate ids.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+      m = 4, k = 16, maxIter = 0)
+    val dir =
+      java.nio.file.Files.createTempDirectory("ivfpq_volatile").toString + "/i"
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", cents, model, dir)
+    val fresh = emb.filter(col("vec_id") % 3 === 2).orderBy("vec_id").limit(5)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    val indexed = emb.filter(col("vec_id") % 3 === 1).orderBy("vec_id").limit(5)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    VolatileBatch.evals.set(0)
+    val batch = spark.sparkContext.parallelize(Seq(0), 1)
+      .mapPartitions { _ =>
+        val e = VolatileBatch.evals.getAndIncrement()
+        (if (e == 0) fresh else indexed).iterator
+      }.toDF("vec_id", "embedding")
+    Similarity.appendIvfPqIndex(spark, batch, "vec_id", "embedding", model, dir)
+    val ids = spark.read.parquet(dir).select("id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length,
+      "the index must never hold duplicate ids after an audited append")
+    assert(fresh.map(_._1).toSet.subsetOf(ids.toSet),
+      "the audited (first) instantiation is the one that must land")
+  }
+}
+
+/** Evaluation counter for the nondeterministic-batch append spec —
+  * object-level so the task closure and the driver share it under
+  * local mode's single JVM. */
+object VolatileBatch {
+  val evals = new java.util.concurrent.atomic.AtomicInteger(0)
 }
