@@ -277,14 +277,17 @@ private[graft] object EntryGraph {
          |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d FROM s GROUP BY a),
          |j AS (SELECT x.d AS da, y.d AS db FROM s
          |      JOIN deg x ON x.id = s.a JOIN deg y ON y.id = s.b),
-         |ag AS (SELECT CAST(count(*) AS BIGINT) AS m2,
-         |              CAST(sum(da * db) AS BIGINT) AS sxy,
-         |              CAST(sum(da) AS BIGINT) AS sx,
-         |              CAST(sum(db) AS BIGINT) AS sy,
-         |              CAST(sum(da * da) AS BIGINT) AS sxx,
-         |              CAST(sum(db * db) AS BIGINT) AS syy
+         |-- HUGEINT mirrors the engine's decimal(38,0) exact-integer
+         |-- path (review r15): BIGINT products/cross-terms overflow at
+         |-- realistic graph scale (DuckDB errors, Spark wrapped)
+         |ag AS (SELECT CAST(count(*) AS HUGEINT) AS m2,
+         |              CAST(sum(CAST(da AS HUGEINT) * db) AS HUGEINT) AS sxy,
+         |              CAST(sum(CAST(da AS HUGEINT)) AS HUGEINT) AS sx,
+         |              CAST(sum(CAST(db AS HUGEINT)) AS HUGEINT) AS sy,
+         |              CAST(sum(CAST(da AS HUGEINT) * da) AS HUGEINT) AS sxx,
+         |              CAST(sum(CAST(db AS HUGEINT) * db) AS HUGEINT) AS syy
          |       FROM j)
-         |SELECT m2 // 2 AS m_edges,
+         |SELECT CAST(m2 // 2 AS BIGINT) AS m_edges,
          |       CASE WHEN m2 > 0
          |                 AND CAST(m2 * sxx - sx * sx AS DOUBLE) > 0
          |                 AND CAST(m2 * syy - sy * sy AS DOUBLE) > 0

@@ -573,7 +573,12 @@ object Events {
         sum(cents * cents).cast("long").as("__ss"))
     val guard = moments.agg(max(col("__n")).cast("long"),
       max(abs(col("__s"))).cast("long"), max(col("__ss")).cast("long")).collect()(0)
-    if (!guard.isNullAt(0)) {
+    // all three maxima null-checked (review r15): with a non-empty df
+    // whose value column is entirely NULL, __n is populated but __s /
+    // __ss are NULL in every group — the guard has nothing to check
+    // (no sums ⇒ nothing to overflow; z comes out NULL row-wise), and
+    // getLong on the NULL maxima would NPE at the driver instead
+    if (!guard.isNullAt(0) && !guard.isNullAt(1) && !guard.isNullAt(2)) {
       val (mn, ms, mss) = (guard.getLong(0), guard.getLong(1), guard.getLong(2))
       require(mss <= Long.MaxValue / math.max(mn, 1L) && ms <= 3000000000L,
         s"zscoreByKey long arithmetic overflow risk (n=$mn, |sum|=$ms, sumsq=$mss) — " +
@@ -696,10 +701,14 @@ object Events {
     val withLeads = (1 until n).foldLeft(base) { (d, i) =>
       d.withColumn(s"__t$i", lead("event_type", i).over(byUser))
     }
-    // lead(n−1) non-null implies every shorter lead is non-null (the
-    // intermediate rows exist), so one filter gates the full run
+    // every part must be non-null, not just the last lead (review
+    // r15): lead(n−1) non-null proves the intermediate ROWS exist,
+    // but a NULL event_type VALUE on one of them passed the old gate
+    // and concat_ws silently dropped it — counting a corrupted
+    // shorter path as an n-gram and conflating it with genuine
+    // (n−1)-grams downstream
     val parts = col("event_type") +: (1 until n).map(i => col(s"__t$i"))
-    withLeads.filter(col(s"__t${n - 1}").isNotNull)
+    withLeads.filter(parts.map(_.isNotNull).reduce(_ && _))
       .select(concat_ws(" > ", parts: _*).as("seq"))
       .groupBy("seq").agg(count(lit(1)).cast("long").as("n"))
       .orderBy(col("n").desc, col("seq"))
@@ -910,12 +919,19 @@ object Events {
       .agg(sum(col("__ev")).cast("long").as("n_event"),
         count(lit(1)).cast("long").as("__n_total"))
     // at-risk set by reverse cumulative count — a window over the
-    // BOUNDED day-grain relation (≤ maxDays rows), not the corpus
+    // BOUNDED day-grain relation (≤ maxDays rows), not the corpus.
+    // __N (total subjects) is Σ __n_total over the SAME bounded
+    // relation (review r15: it was previously a second aggregate over
+    // `durations`, silently re-running the corpus-scale per-user
+    // groupBy + crossJoin just to count rows the day-grain table
+    // already holds)
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTotal = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val risky = days
       .withColumn("__cum", sum(col("__n_total")).over(w))
-      .crossJoin(broadcast(durations.agg(count(lit(1)).cast("long").as("__N"))))
+      .withColumn("__N", sum(col("__n_total")).over(wTotal))
       .withColumn("n_risk", col("__N") - col("__cum") + col("__n_total"))
     // one sorted factor array (day asc) shipped to every event-day
     // row; each row folds its own prefix — identical left-assoc

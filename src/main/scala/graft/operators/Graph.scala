@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over edge lists — the companion surface to
@@ -40,17 +40,42 @@ object Graph {
     * distributed partial-agg scale path.
     *
     * Output: (id, pr, degree) for every node in the edge list. */
+  /** Shared edge prologue: named endpoints, self-loops dropped,
+    * optionally symmetrized, dedup'd — UNPINNED (callers that read
+    * the list more than once pin it). `castLong` aligns endpoint
+    * types with long-keyed seed relations (the bfsDistance-family
+    * convention). One implementation (review r15): six operators
+    * used to inline drifting copies of this block, and the drift is
+    * exactly what produced labelComplete's seed-cast-without-
+    * edge-cast silent no-op. */
+  private def edgeList(edges: DataFrame, srcCol: String, dstCol: String,
+                       undirected: Boolean,
+                       castLong: Boolean = false): DataFrame = {
+    if (castLong) {
+      // loud, not silent: a string/UUID endpoint would cast to NULL
+      // and the self-loop filter would then drop every edge — an
+      // EMPTY graph with no error (review r15); hash non-numeric ids
+      // to longs upstream
+      graft.functions.TopKAgg.requireLongCastableId(edges, srcCol, "Graph")
+      graft.functions.TopKAgg.requireLongCastableId(edges, dstCol, "Graph")
+    }
+    val (s, d) =
+      if (castLong) (col(srcCol).cast("long"), col(dstCol).cast("long"))
+      else (col(srcCol), col(dstCol))
+    val base = edges.select(s.as("src"), d.as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val oriented =
+      if (undirected) base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+      else base
+    oriented.distinct()
+  }
+
   /** Shared rank-iteration prep: dedup'd (optionally symmetrized)
     * edge list + per-node out-degrees, both pinned — the opening
     * moves of pageRank and personalizedPageRank. */
   private def rankPrep(edges: DataFrame, srcCol: String, dstCol: String,
                        undirected: Boolean): (DataFrame, DataFrame) = {
-    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val oriented =
-      if (undirected) base.union(base.select(col("dst").as("src"), col("src").as("dst")))
-      else base
-    val e = Dedup.pin(oriented.distinct())
+    val e = Dedup.pin(edgeList(edges, srcCol, dstCol, undirected))
     val outDeg = e.groupBy("src").agg(count(lit(1)).cast("long").as("degree"))
       .withColumnRenamed("src", "id")
     val nodes = e.select(col("src").as("id"))
@@ -170,12 +195,7 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
                        rounds: Int = 2, undirected: Boolean = true): DataFrame = {
     require(rounds >= 1 && rounds <= 50, s"rounds must be in [1, 50], got $rounds")
-    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val oriented =
-      if (undirected) base.union(base.select(col("dst").as("src"), col("src").as("dst")))
-      else base
-    val e = Dedup.pin(oriented.distinct())
+    val e = Dedup.pin(edgeList(edges, srcCol, dstCol, undirected))
     val nodes = Dedup.pin(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
     var labels = nodes.select(col("id"), col("id").as("label"))
@@ -220,12 +240,15 @@ object Graph {
                     seeds: DataFrame, idCol: String, labelCol: String,
                     rounds: Int = 2, undirected: Boolean = true): DataFrame = {
     require(rounds >= 1 && rounds <= 50, s"rounds must be in [1, 50], got $rounds")
-    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val oriented =
-      if (undirected) base.union(base.select(col("dst").as("src"), col("src").as("dst")))
-      else base
-    val e = Dedup.pin(oriented.distinct())
+    graft.functions.TopKAgg.requireLongCastableId(seeds, idCol,
+      "Graph.labelComplete")
+    // castLong on BOTH edges and seeds (review r15): seeds were cast
+    // to long while edge endpoints kept their source type, so an
+    // id-type mismatch could make every seed join miss and the
+    // operator return all-NULL labels with no error — the
+    // bfsDistance-family convention is one long id domain throughout
+    val e = Dedup.pin(edgeList(edges, srcCol, dstCol, undirected,
+      castLong = true))
     val nodes = Dedup.pin(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
     val sd = seeds.select(col(idCol).cast("long").as("id"),
@@ -261,13 +284,18 @@ object Graph {
   def degreeHistogram(edges: DataFrame, srcCol: String = "src",
                       dstCol: String = "dst",
                       undirected: Boolean = true): DataFrame = {
-    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val oriented =
-      if (undirected) base.union(base.select(col("dst").as("src"), col("src").as("dst")))
-      else base
-    oriented.distinct()
-      .groupBy("src").agg(count(lit(1)).cast("long").as("degree"))
+    val e = edgeList(edges, srcCol, dstCol, undirected)
+    // anchor on the full node set so pure sinks count at degree 0
+    // (review r15: grouping the out-endpoint alone silently dropped
+    // zero-out-degree nodes in the directed case, under-reporting
+    // node count to exactly the skew decisions this profile feeds;
+    // in undirected mode symmetrization makes this a no-op)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val deg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+    nodes.join(deg, Seq("id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).cast("long").as("n_nodes"))
       .orderBy("degree")
   }
@@ -282,7 +310,13 @@ object Graph {
     * Exactness: every sum (Σd_u·d_v, Σd_u, Σd_u² over the symmetric
     * edge list) is an exact INTEGER — order-free distributed partial
     * aggs, no FP until the single final Pearson expression (fixed
-    * operand order, engine-identical). NULL when the graph is
+    * operand order, engine-identical). The product sums and the
+    * normal-equation cross terms run in decimal(38,0), the repo's
+    * exact-integer convention (dailyTrend, pearsonByKey): raw long
+    * arithmetic silently WRAPS at realistic graph scale (review r15
+    * — m2·Σd² passes Long.MaxValue near 1e8 symmetric rows with a
+    * 1e5-degree hub, and Spark wraps where the DuckDB oracle errors,
+    * a silent cross-engine divergence). NULL when the graph is
     * degree-regular (zero variance — the coefficient is undefined).
     *
     * Scale shape: one grouped degree count, one join of edges
@@ -299,20 +333,21 @@ object Graph {
     val sym = base.union(base.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("id"))
       .agg(count(lit(1)).cast("long").as("d"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
     val agg = sym
       .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
       .agg(count(lit(1)).cast("long").as("m2"),
-        sum(col("da") * col("db")).cast("long").as("sxy"),
-        sum(col("da")).cast("long").as("sx"),
-        sum(col("db")).cast("long").as("sy"),
-        sum(col("da") * col("da")).cast("long").as("sxx"),
-        sum(col("db") * col("db")).cast("long").as("syy"))
-    val varX = (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val varY = (col("m2") * col("syy") - col("sy") * col("sy")).cast("double")
+        sum(dec(col("da")) * dec(col("db"))).as("sxy"),
+        sum(dec(col("da"))).as("sx"),
+        sum(dec(col("db"))).as("sy"),
+        sum(dec(col("da")) * dec(col("da"))).as("sxx"),
+        sum(dec(col("db")) * dec(col("db"))).as("syy"))
+    val varX = (dec(col("m2")) * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varY = (dec(col("m2")) * col("syy") - col("sy") * col("sy")).cast("double")
     agg.select(expr("m2 DIV 2").as("m_edges"),
       when(col("m2") > 0L && varX > 0.0 && varY > 0.0,
-        (col("m2") * col("sxy") - col("sx") * col("sy")).cast("double")
+        (dec(col("m2")) * col("sxy") - col("sx") * col("sy")).cast("double")
           / sqrt(varX * varY)).as("r"))
   }
 
@@ -514,13 +549,10 @@ object Graph {
                   srcCol: String = "src", dstCol: String = "dst",
                   maxHops: Int = 4, undirected: Boolean = true): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64, s"maxHops must be in [1, 64], got $maxHops")
-    val base = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val oriented =
-      if (undirected) base.union(base.select(col("dst").as("src"), col("src").as("dst")))
-      else base
-    val e = Dedup.pin(oriented.distinct())
+    graft.functions.TopKAgg.requireLongCastableId(seeds, seedCol,
+      "Graph.bfsDistance")
+    val e = Dedup.pin(edgeList(edges, srcCol, dstCol, undirected,
+      castLong = true))
     var dist = seeds.select(col(seedCol).cast("long").as("id")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(eager = true)
@@ -569,13 +601,10 @@ object Graph {
                        maxHops: Int = 4, undirected: Boolean = true,
                        maxSeeds: Int = 64): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64, s"maxHops must be in [1, 64], got $maxHops")
-    val base = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val oriented =
-      if (undirected) base.union(base.select(col("dst").as("src"), col("src").as("dst")))
-      else base
-    val e = Dedup.pin(oriented.distinct())
+    graft.functions.TopKAgg.requireLongCastableId(seeds, seedCol,
+      "Graph.closenessBounded")
+    val e = Dedup.pin(edgeList(edges, srcCol, dstCol, undirected,
+      castLong = true))
     val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
       .localCheckpoint(eager = true)
     val nSeeds = seedIds.count()
@@ -638,6 +667,25 @@ object Graph {
         base.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       else base
     val e = Dedup.pin(oriented.distinct())
+    // the NON-NEGATIVE weight contract is CHECKED, not just
+    // documented (review r15): with a negative weight, dist(v) after
+    // h rounds keeps decreasing as maxHops grows and stops meaning
+    // "shortest path"; a NULL weight makes dist + w NULL and the
+    // edge silently vanishes from min(). One aggregate over the
+    // already-pinned edge list — the same loud-refusal posture as
+    // every other data contract in this file.
+    val wRow = e.agg(count(lit(1)).as("__n"), count(col("w")).as("__nw"),
+      min(col("w")).as("__mn")).head()
+    if (wRow.getLong(0) > 0L) {
+      require(wRow.getLong(1) == wRow.getLong(0),
+        s"ssspBounded: ${wRow.getLong(0) - wRow.getLong(1)} edges have NULL " +
+          s"'$wCol' — they would silently drop from every path; filter or " +
+          "default them explicitly")
+      require(wRow.getLong(2) >= 0L,
+        s"ssspBounded: negative edge weight ${wRow.getLong(2)} in '$wCol' — " +
+          "bounded Bellman-Ford distances are only shortest paths under " +
+          "non-negative weights")
+    }
     var dist = seeds.select(col(seedCol).cast("long").as("id")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(eager = true)
@@ -676,28 +724,32 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 2, sortedFold: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
-    val e = Dedup.pin(edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct())
+    val e = Dedup.pin(edgeList(edges, srcCol, dstCol, undirected = false,
+      castLong = true))
     val nodes = Dedup.pin(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
     def foldedSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       if (sortedFold)
         graft.functions.VectorOps.foldSum(array_sort(collect_list(c)))
       else sum(c)
-    var hubs = nodes.select(col("id"), lit(1.0).as("hub"))
-    var auths = nodes.select(col("id"), lit(0.0).as("auth"))
-    for (_ <- 1 to iters) {
-      val aSums = e.join(hubs.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(foldedSum(col("hub")).as("s"))
-      auths = nodes.join(aSums, Seq("id"), "left")
-        .select(col("id"), coalesce(col("s"), lit(0.0)).as("auth"))
-        .localCheckpoint(eager = true)
-      val hSums = e.join(auths.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(foldedSum(col("auth")).as("s"))
-      hubs = nodes.join(hSums, Seq("id"), "left")
-        .select(col("id"), coalesce(col("s"), lit(0.0)).as("hub"))
-        .localCheckpoint(eager = true)
+    // auths is DERIVED from hubs at the top of every round — HITS has
+    // no meaningful initial auth vector, so none is seeded (review
+    // r15: the old lit(0.0) auth init was dead, overwritten before
+    // first read); the fold makes that structural
+    val init = nodes.select(col("id"), lit(1.0).as("hub"))
+    val (auths, hubs) = (1 to iters).foldLeft((init, init)) {
+      case ((_, hubsPrev), _) =>
+        val aSums = e.join(hubsPrev.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(foldedSum(col("hub")).as("s"))
+        val a = nodes.join(aSums, Seq("id"), "left")
+          .select(col("id"), coalesce(col("s"), lit(0.0)).as("auth"))
+          .localCheckpoint(eager = true)
+        val hSums = e.join(a.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(foldedSum(col("auth")).as("s"))
+        val h = nodes.join(hSums, Seq("id"), "left")
+          .select(col("id"), coalesce(col("s"), lit(0.0)).as("hub"))
+          .localCheckpoint(eager = true)
+        (a, h)
     }
     auths.join(hubs, Seq("id"))
   }

@@ -36,7 +36,15 @@ object TemporalJoins {
     * The right row's values travel as ONE struct, so a matched row is
     * atomic: a NULL inside one value column never tears the output by
     * falling back to an older row's value for just that column (which
-    * per-column ignoreNulls carry would do). */
+    * per-column ignoreNulls carry would do).
+    *
+    * NULL timestamps (review r15): a right row with NULL rightTs is
+    * EXCLUDED — under the ascending window order it sorted nulls-
+    * first, i.e. "before all time", and its values attached to every
+    * left row lacking a real prior match (the forward variant's
+    * descending order hid the same row instead — inconsistent). A
+    * left row with NULL leftTs stays in the output with NULL values:
+    * "latest right row at or before NULL" has no defined answer. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTsCol: String, rightTsCol: String,
                valueCols: Seq[String], rightTieCol: String): DataFrame = {
@@ -55,6 +63,7 @@ object TemporalJoins {
     val r = right.select(col(keyCol), col(rightTsCol).as("__ts"),
       lit(0).as("__side"), col(rightTieCol).cast("long").as("__tie"),
       struct(valueCols.map(col): _*).as("__vals"))
+      .filter(col("__ts").isNotNull)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -63,7 +72,8 @@ object TemporalJoins {
       .filter(col("__side") === 1)
       .select(leftCols.toIndexedSeq.map(c =>
         (if (c == keyCol) col(c) else col("__lrow").getField(c)).as(c)) ++
-        valueCols.map(c => col("__vals").getField(c).as(c)): _*)
+        valueCols.map(c =>
+          when(col("__ts").isNotNull, col("__vals").getField(c)).as(c)): _*)
   }
 
   /** FORWARD inclusive as-of join: for each left row, attach
@@ -80,7 +90,13 @@ object TemporalJoins {
     * "last right row seen" IS the nearest following one. At equal
     * timestamps right rows order before left rows (inclusive), and
     * within a right-side ts group the tie column descends so the
-    * tie-asc winner is carried last. */
+    * tie-asc winner is carried last.
+    *
+    * NULL timestamps excluded/nulled exactly as in asofJoin (review
+    * r15) — here the descending order put a NULL-ts right row at the
+    * END where it matched nothing, and a NULL-ts LEFT row after it
+    * picked up the carry of the ENTIRE right timeline (the
+    * smallest-ts row) instead of the NULL match it should get. */
   def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
                       leftTsCol: String, rightTsCol: String,
                       valueCols: Seq[String], rightTieCol: String): DataFrame = {
@@ -96,6 +112,7 @@ object TemporalJoins {
     val r = right.select(col(keyCol), col(rightTsCol).as("__ts"),
       lit(0).as("__side"), col(rightTieCol).cast("long").as("__tie"),
       struct(valueCols.map(col): _*).as("__vals"))
+      .filter(col("__ts").isNotNull)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCol)
       .orderBy(col("__ts").desc, col("__side"), col("__tie").desc)
@@ -105,7 +122,8 @@ object TemporalJoins {
       .filter(col("__side") === 1)
       .select(leftCols.toIndexedSeq.map(c =>
         (if (c == keyCol) col(c) else col("__lrow").getField(c)).as(c)) ++
-        valueCols.map(c => col("__vals").getField(c).as(c)): _*)
+        valueCols.map(c =>
+          when(col("__ts").isNotNull, col("__vals").getField(c)).as(c)): _*)
   }
 
   /** Point-in-interval range join on a shared key: returns

@@ -306,6 +306,36 @@ class EventsSpec extends AnyFunSuite {
     assert(got.toSet === Set(("a > b > c", 2L), ("b > c > b", 1L)))
   }
 
+  test("typeSequences: a NULL type inside a run disqualifies it (review r15)") {
+    // u1's timeline is [a, NULL, c]: the last lead is non-null so the
+    // old gate passed the run, and concat_ws silently dropped the
+    // NULL — counting a fake "a > c" 2-path as a trigram
+    val rows = Seq(
+      (1L, 10L * G, 1L, Some("a"), 0.0, "{}"),
+      (2L, 20L * G, 1L, None: Option[String], 0.0, "{}"),
+      (3L, 30L * G, 1L, Some("c"), 0.0, "{}"),
+      (4L, 10L * G, 2L, Some("a"), 0.0, "{}"),
+      (5L, 20L * G, 2L, Some("b"), 0.0, "{}"),
+      (6L, 30L * G, 2L, Some("c"), 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.typeSequences(rows, n = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSet == Set(("a > b > c", 1L)),
+      s"the NULL-holed run must not be counted; got ${got.toSeq}")
+  }
+
+  test("zscoreByKey: an all-NULL value column yields NULL z, not a driver NPE (review r15)") {
+    val rows = Seq(
+      (1L, "a", None: Option[Double]),
+      (2L, "a", None: Option[Double]),
+      (3L, "b", None: Option[Double]))
+      .toDF("event_id", "event_type", "value")
+    val out = Events.zscoreByKey(rows, "event_id", "event_type", "value")
+      .collect()
+    assert(out.length == 3 && out.forall(_.isNullAt(3)),
+      "NULL sums have nothing to overflow — z must come out NULL row-wise")
+  }
+
   test("typeSequences ranks ties by sequence string ascending") {
     val e = Seq(ev(1, 10, 1, "b", 0), ev(2, 20, 1, "a", 0),
       ev(3, 10, 2, "a", 0), ev(4, 20, 2, "b", 0))

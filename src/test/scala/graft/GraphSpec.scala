@@ -517,4 +517,70 @@ class GraphSpec extends AnyFunSuite {
       }
     } finally Dedup.releaseCaches()
   }
+
+  test("assortativity survives a hub whose cross terms overflow long (review r15)") {
+    // star with 100k leaves: hub degree 1e5, so m2·Σd² ≈ 2e20 —
+    // past Long.MaxValue. The old raw-long arithmetic silently
+    // WRAPPED here (garbage r, where the DuckDB oracle errors); the
+    // decimal(38,0) path must return the star's exact r = −1.
+    val n = 100000L
+    val edges = spark.range(2L, n + 2L).select(lit(1L).as("src"), col("id").as("dst"))
+    val row = Graph.assortativity(edges, "src", "dst").collect()(0)
+    assert(row.getLong(0) == n, s"m_edges: ${row.getLong(0)}")
+    val r = row.getDouble(1)
+    assert(math.abs(r + 1.0) < 1e-12,
+      s"a star graph is perfectly disassortative; got r = $r (long wrap?)")
+  }
+
+  test("degreeHistogram (directed) counts pure sinks at degree 0 (review r15)") {
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val got = Graph.degreeHistogram(edges, "src", "dst", undirected = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 2L),
+      s"node 2 (only in-edges) must appear at degree 0; got $got")
+    // undirected mode is unchanged: symmetrization leaves no sinks
+    val und = Graph.degreeHistogram(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(und == Map(1L -> 2L, 2L -> 1L), s"undirected: $und")
+  }
+
+  test("long-id operators refuse non-castable ids loudly (review r15)") {
+    // labelComplete used to cast seeds long but NOT edge endpoints —
+    // a string-id graph joined nothing and returned all-NULL labels
+    // with no error; now the whole long-id family refuses up front
+    val sEdges = Seq(("a", "b")).toDF("src", "dst")
+    val sSeeds = Seq(("a", "en")).toDF("doc_id", "lang")
+    val lSeeds = Seq(Tuple1(1L)).toDF("id")
+    val e1 = intercept[IllegalArgumentException] {
+      Graph.labelComplete(sEdges, "src", "dst", sSeeds, "doc_id", "lang")
+    }
+    assert(e1.getMessage.contains("long-castable"))
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.bfsDistance(sEdges, lSeeds, "id")
+    }
+    assert(e2.getMessage.contains("long-castable"))
+    val e3 = intercept[IllegalArgumentException] {
+      Graph.hits(sEdges, "src", "dst")
+    }
+    assert(e3.getMessage.contains("long-castable"))
+  }
+
+  test("ssspBounded refuses negative and NULL weights loudly (review r15)") {
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val neg = Seq((1L, 2L, 5L), (2L, 3L, -5L)).toDF("src", "dst", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      Graph.ssspBounded(neg, seeds, "id", maxHops = 2)
+    }
+    assert(e1.getMessage.contains("negative"))
+    val nul = Seq((1L, 2L, Some(5L)), (2L, 3L, None)).toDF("src", "dst", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.ssspBounded(nul, seeds, "id", maxHops = 2)
+    }
+    assert(e2.getMessage.contains("NULL"))
+    // the valid case still computes bounded shortest paths
+    val ok = Seq((1L, 2L, 5L), (2L, 3L, 7L)).toDF("src", "dst", "w")
+    val d = Graph.ssspBounded(ok, seeds, "id", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 5L, 3L -> 12L), s"got $d")
+  }
 }

@@ -167,4 +167,30 @@ class TemporalJoinsSpec extends AnyFunSuite {
       .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(fast.toSeq === brute.toSeq && brute.nonEmpty)
   }
+
+  test("asofJoin/asofJoinForward: NULL timestamps match nothing (review r15)") {
+    // a NULL-ts right row sorted "before all time" under the backward
+    // window order, so its values attached to every left row lacking
+    // a real prior match; a NULL-ts left row under the forward
+    // (descending) order picked up the whole timeline's carry. Both
+    // must be NULL matches.
+    val left = Seq((101L, 1L, Some(50L)), (102L, 1L, None: Option[Long]))
+      .toDF("l_id", "user_id", "ts_us")
+    val right = Seq((1L, None: Option[Long], 99.0), (1L, Some(100L), 5.0))
+      .toDF("user_id", "p_ts_us", "price")
+    val back = TemporalJoins.asofJoin(left, right, "user_id",
+        "ts_us", "p_ts_us", Seq("price"), "p_ts_us")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(back == Map(101L -> None, 102L -> None),
+      s"backward: no right row at or before ts=50 (the NULL-ts row is " +
+        s"not 'before all time'); got $back")
+    val fwd = TemporalJoins.asofJoinForward(left, right, "user_id",
+        "ts_us", "p_ts_us", Seq("price"), "p_ts_us")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(fwd == Map(101L -> Some(5.0), 102L -> None),
+      s"forward: ts=50 matches the ts=100 row; the NULL-ts left row " +
+        s"matches nothing; got $fwd")
+  }
 }
