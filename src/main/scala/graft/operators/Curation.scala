@@ -229,11 +229,7 @@ object Curation {
     // disagrees for supplementary characters vs U+E000..U+FFFF.
     val counts = kept.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val keysAsc = counts.keys.toSeq.sortWith { (a, b) =>
-      java.util.Arrays.compareUnsigned(
-        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
-    }
+    val keysAsc = utf8SortedKeys(counts.keys)
     val offsets = keysAsc.zip(keysAsc.scanLeft(0L)((acc, k) => acc + counts(k))).toMap
     val offCol = offsets.foldLeft(lit(0L)) { case (acc, (k, off)) =>
       when(col(keyCol) === k, lit(off)).otherwise(acc)
@@ -299,9 +295,33 @@ object Curation {
     * engine-specific). One window + one hash-agg, both partitioned by
     * the key: no global sort, skew bounded by the largest source
     * (same posture as capPerKey; cap pathological sources first). */
+  /** Driver-side keys in UTF-8 BYTE order — the load-bearing
+    * cross-engine contract (it must match Spark's UTF8String binary
+    * comparison and DuckDB's binary collation; Scala's String.sorted
+    * is UTF-16 code-unit order, which disagrees for supplementary
+    * characters vs U+E000..U+FFFF). ONE implementation shared by
+    * interleaveMix / quantilesByKey / temperatureShares (review r15:
+    * three verbatim copies risked silent desynchronization of a
+    * contract the oracle hashes ride on). */
+  private def utf8SortedKeys(keys: Iterable[String]): Seq[String] =
+    keys.toSeq.sortWith { (a, b) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    }
+
   def sourceProfile(df: DataFrame, keyCol: String, idCol: String, textCol: String,
                     percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     percentiles.foreach(p => require(p > 0.0 && p <= 1.0, s"percentile must be in (0,1], got $p"))
+    // labels round to whole percents — refuse configs whose labels
+    // collide (review r15: 0.005 and 0.01 both label p1_tokens, and
+    // the aggregate would emit two identically-named columns that
+    // fail AMBIGUOUS_REFERENCE downstream while the two quantiles
+    // become indistinguishable)
+    val pctLabels = percentiles.map(p => s"p${(p * 100).round}_tokens")
+    require(pctLabels.distinct.size == pctLabels.size,
+      s"percentile labels collide after rounding: ${pctLabels.mkString(", ")} — " +
+        "use percentiles at least one percent apart")
     val w = Window.partitionBy(col(keyCol))
     // NULLS FIRST made explicit on BOTH engines: Spark's ascending
     // default is nulls-first but DuckDB's is nulls-LAST, and a silent
@@ -312,9 +332,9 @@ object Curation {
         size(split(col(textCol), " ")).cast("long").as("n"))
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("cnt", count(lit(1)).over(w))
-    val pctCols = percentiles.map(p =>
+    val pctCols = percentiles.zip(pctLabels).map { case (p, lbl) =>
       max(when(col("rn") <= ceil(lit(p) * col("cnt")).cast("long"), col("n")))
-        .as(s"p${(p * 100).round}_tokens"))
+        .as(lbl) }
     val aggs = sum(col("n")).cast("long").as("total_tokens") +: pctCols
     ranked.groupBy(col(keyCol))
       .agg(max(col("cnt")).cast("long").as("n_docs"), aggs: _*)
@@ -792,11 +812,7 @@ object Curation {
       s"quantilesByKey: keyCol '$keyCol' contains NULL keys — map them to a " +
         "sentinel bucket before calling (the per-key rank space needs a value)")
     require(counts.nonEmpty, "quantilesByKey on an empty relation")
-    val keysAsc = counts.keys.toSeq.sortWith { (a, b) =>
-      java.util.Arrays.compareUnsigned(
-        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
-    }
+    val keysAsc = utf8SortedKeys(counts.keys)
     val offsets = keysAsc.zip(keysAsc.scanLeft(0L)((acc, k) => acc + counts(k))).toMap
     val offCol = offsets.foldLeft(lit(0L)) { case (acc, (k, off)) =>
       when(col("__k") === k, lit(off)).otherwise(acc)
@@ -1059,8 +1075,13 @@ object Curation {
     val (minX, maxX, minY, maxY) =
       (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
     val top = (1L << bits) - 1L
-    require(math.BigInt(maxX - minX) * top < math.BigInt(Long.MaxValue)
-        && math.BigInt(maxY - minY) * top < math.BigInt(Long.MaxValue),
+    // ranges in BigInt BEFORE subtracting (review r15): maxX − minX
+    // itself wraps for a dimension spanning more than Long.MaxValue
+    // (e.g. ±6e18), which made this guard pass trivially and pushed
+    // the overflow into the engine-side scaled() arithmetic — exactly
+    // the silent wrongness the guard exists to refuse
+    require((math.BigInt(maxX) - math.BigInt(minX)) * top < math.BigInt(Long.MaxValue)
+        && (math.BigInt(maxY) - math.BigInt(minY)) * top < math.BigInt(Long.MaxValue),
       s"zOrderIndex: dimension range too wide for bits=$bits")
     // DIV = exact integer division (the product can exceed 2^53, so
     // a double-rounding `/` + floor would be silently wrong)
@@ -1402,11 +1423,7 @@ object Curation {
     require(cmap.nonEmpty, "temperatureShares: no non-null keys in input")
     // UTF-8 byte order = Spark UTF8String / DuckDB binary collation —
     // the same cross-engine order contract interleaveMix documents
-    val keysAsc = cmap.keys.toSeq.sortWith { (a, b) =>
-      java.util.Arrays.compareUnsigned(
-        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
-    }
+    val keysAsc = utf8SortedKeys(cmap.keys)
     val total = cmap.values.sum // exact long
     val denom = keysAsc.foldLeft(0.0)((acc, k) => acc + root(cmap(k).toDouble))
     val tw = keysAsc.map(k => k -> root(cmap(k).toDouble) / denom).toMap

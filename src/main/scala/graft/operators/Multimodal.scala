@@ -83,6 +83,12 @@ object Multimodal {
     * slice runs on the real binary column. */
   def frameSample(df: DataFrame, idCol: String, contentCol: String,
                   frameBytes: Int, maxFrames: Int = Int.MaxValue): DataFrame = {
+    // loud, like every sibling's parameter require (review r15): 0
+    // died mid-job on an ANSI cast of floor(Infinity); a negative
+    // value routed EVERY payload to the empty-array branch — an empty
+    // result with no error
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
     val n = length(col(contentCol))
     val nFrames = least(floor((n + frameBytes - 1) / frameBytes.toDouble).cast("int"),
       lit(maxFrames))
@@ -102,6 +108,10 @@ object Multimodal {
     * oracle reproduces every double bitwise. Output embeddings feed
     * the Similarity operators directly. */
   def featureExtract(df: DataFrame, idCol: String, contentCol: String, d: Int): DataFrame = {
+    // d <= 0 would NOT produce an empty embedding: sequence(1, 0)
+    // descends to [1, 0] (review r15 — the pitfall this file already
+    // guards in frameSample), silently emitting 2-element vectors
+    require(d >= 1, s"embedding dimension d must be >= 1, got $d")
     val base = md5(col(contentCol))
     df.select(col(idCol),
       transform(sequence(lit(1), lit(d)), j =>
@@ -113,6 +123,11 @@ object Multimodal {
     * (id, px: array<long> downsampled, meta with width/height/n_bytes
     * recomputed). */
   def resizeByStride(df: DataFrame, idCol: String, contentCol: String, stride: Int): DataFrame = {
+    // stride = 0 divides into Infinity and dies on the ANSI int cast
+    // mid-job; a negative stride makes the sample-count sequence
+    // DESCEND and element_at walk backwards — wrong-length px arrays
+    // with no error (review r15)
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     val bs = byteValues(col(contentCol))
     df.select(col(idCol), bs.as("__px"))
       .select(col(idCol),

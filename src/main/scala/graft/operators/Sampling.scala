@@ -90,7 +90,11 @@ object Sampling {
     require(!df.columns.contains("sample_rank"),
       "input already has a 'sample_rank' column")
     val w = col(weightCol).cast("double")
-    val keyed = df.filter(w > 0.0)
+    // !isnan as in weightedSampleKPerKey (review r15): NaN > 0.0 is
+    // TRUE under Spark's ordering, and pow(u, 1/NaN) = NaN sorts
+    // above every real key — NaN-weighted rows would hijack ranks
+    // 1..m and silently displace legitimate rows from the sample
+    val keyed = df.filter(w > 0.0 && !isnan(w))
       .withColumn("__key", pow(hashUnit(col(idCol)), lit(1.0) / w))
     Curation.globalRank(keyed, "sample_rank", 0, col("__key").desc, col(idCol))
       .filter(col("sample_rank") <= k)
@@ -262,8 +266,16 @@ object Sampling {
     val gTot = cell.groupBy("g").agg(sum("o").cast("long").as("ng"))
     val sTot = cell.groupBy("split").agg(sum("o").cast("long").as("ns"))
     val nTot = cell.agg(sum("o").cast("long").as("n"))
+    // null-SAFE grid join (review r15): groupBy keeps a NULL-group
+    // row, but a plain equality join never matches it — the null
+    // group's observed counts read 0 while its expected mass stays
+    // positive, inflating chi2 with spurious terms
+    val cellR = cell.select(col("g").as("__cg"), col("split").as("__cs"),
+      col("o"))
     val grid = gTot.crossJoin(sTot)
-      .join(cell, Seq("g", "split"), "left")
+      .join(cellR, col("g") <=> col("__cg") && col("split") <=> col("__cs"),
+        "left")
+      .drop("__cg", "__cs")
       .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(nTot))
     val e = col("ng").cast("double") * col("ns").cast("double") / col("n").cast("double")
@@ -272,10 +284,13 @@ object Sampling {
     // materializes (extreme testFrac / tiny input) dof is 0, not
     // g−1 — the offline chi2-vs-critical-value comparison the
     // docstring prescribes needs the true dof (ADVICE r10).
+    // struct() wrap so a NULL group counts as a level (countDistinct
+    // skips bare NULLs — n_groups and dof would disagree with the
+    // terms actually summed into chi2; review r15)
     grid.select(col("n"), col("g"), col("split"), term.as("__t"))
       .groupBy(col("n"))
-      .agg(countDistinct(col("g")).cast("long").as("n_groups"),
-        countDistinct(col("split")).cast("long").as("__n_splits"),
+      .agg(countDistinct(struct(col("g"))).cast("long").as("n_groups"),
+        countDistinct(struct(col("split"))).cast("long").as("__n_splits"),
         graft.functions.VectorOps.foldSum(array_sort(collect_list(col("__t"))))
           .as("chi2"))
       .select(col("n").as("n_rows"), col("n_groups"),

@@ -154,7 +154,13 @@ object TextAnalysis {
     val stride = (maxTokens - overlap).toLong
     val toks = tokens(col(textCol))
     val n = size(toks).cast("long")
-    val starts = sequence(lit(1L), greatest(lit(1L), n - overlap.toLong), lit(stride))
+    // NULL text ⇒ NO chunks (review r15): without the gate,
+    // greatest/least skip the NULL operand and posexplode emitted one
+    // garbage chunk per NULL-text doc — chunk_text NULL with
+    // n_tokens = maxTokens, a full phantom budget in any downstream
+    // token-sum packer
+    val starts = when(toks.isNotNull,
+      sequence(lit(1L), greatest(lit(1L), n - overlap.toLong), lit(stride)))
     df.select(col(idCol), n.as("__n"),
         posexplode(transform(starts,
           s => array_join(slice(toks, s, lit(maxTokens)), " "))))
@@ -261,11 +267,16 @@ object TextAnalysis {
               vocab: DataFrame, termCol: String = "term"): DataFrame = {
     val v = broadcast(vocab.select(col(termCol).as("__term")).distinct()
       .withColumn("__in", lit(1)))
-    df.select(col(idCol), explode(tokens(col(textCol))).as("__term"))
+    val per = df.select(col(idCol), explode(tokens(col(textCol))).as("__term"))
       .join(v, Seq("__term"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         sum(when(col("__in").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
+    // join back to the full id set (the corpusNgramScore /
+    // containmentScore convention — review r15): explode emits no
+    // rows for a NULL/empty text, and without this the doc silently
+    // vanished from the output instead of carrying NULL stats
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }

@@ -591,6 +591,24 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Curation.zOrderIndex(df, "id", "x", "y", bits = 8, nBuckets = 5)
     }
+    // a range wider than Long.MaxValue used to WRAP inside the guard
+    // itself (maxX − minX in long), letting the over-wide dimension
+    // through to engine-side overflow (review r15)
+    val wide = Seq((1L, -6000000000000000000L, 0L),
+      (2L, 6000000000000000000L, 1L)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Curation.zOrderIndex(wide, "id", "x", "y", bits = 16)
+    }
+    assert(e.getMessage.contains("too wide"))
+  }
+
+  test("sourceProfile refuses colliding percentile labels (review r15)") {
+    val df = Seq((1L, "s1", "a b c")).toDF("doc_id", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.sourceProfile(df, "source", "doc_id", "text",
+        percentiles = Seq(0.005, 0.01))
+    }
+    assert(e.getMessage.contains("collide"))
   }
 
   test("kmvDistinct: exact below k, estimator within bounds above k") {

@@ -164,4 +164,21 @@ class MultimodalSpec extends AnyFunSuite {
       assert(meta.getAs[Int]("height") == (expect.length + 15) / 16)
     }
   }
+
+  test("parameter contracts refuse loudly (review r15)") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("id", "content")
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample(df, "id", "content", frameBytes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample(df, "id", "content", frameBytes = -4)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeByStride(df, "id", "content", stride = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.featureExtract(df, "id", "content", d = 0)
+    }
+  }
 }

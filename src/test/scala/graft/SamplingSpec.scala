@@ -299,4 +299,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(row.getLong(2) === 0L, "g×1 table has zero degrees of freedom")
     assert(row.getDouble(3) === 0.0, "observed == expected when s=1")
   }
+
+  test("weightedSample excludes NaN weights (review r15)") {
+    // NaN > 0.0 is TRUE under Spark's ordering and pow(u, 1/NaN)
+    // sorts above every real key — a NaN-weighted row would hijack
+    // rank 1 and displace a legitimate row
+    val df = Seq((1L, 1.0), (2L, Double.NaN), (3L, 2.0), (4L, 0.5))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!got.contains(2L), s"NaN-weighted row sampled: $got")
+    assert(got == Set(1L, 3L, 4L))
+  }
+
+  test("splitBalanceChi2 counts a NULL group as a real group (review r15)") {
+    // the old equality grid join dropped the NULL group's observed
+    // counts (inflating chi2) while countDistinct excluded it from
+    // dof — statistic and dof disagreed with the table actually built
+    val rows = (1L to 40L).map(i =>
+      (i, if (i % 4 == 0) None else Some(s"g${i % 2}")))
+    val df = rows.toDF("id", "grp")
+    val out = Sampling.splitBalanceChi2(df, "id", "grp", testFrac = 0.5)
+      .collect()(0)
+    assert(out.getLong(1) == 3L,
+      s"groups {null, g0, g1} must count 3; got ${out.getLong(1)}")
+    val chi2 = out.getDouble(3)
+    assert(!chi2.isNaN && chi2 >= 0.0 && chi2 < 40.0,
+      s"chi2 must be a sane statistic over the true 3x2 table, got $chi2")
+  }
 }

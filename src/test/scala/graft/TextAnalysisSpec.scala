@@ -768,4 +768,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(_.getLong(2)).sum
     assert(got === exp)
   }
+
+  test("chunkByTokens: a NULL text yields zero chunks, not a phantom full-budget one (review r15)") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a b c")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkByTokens(df, "doc_id", "text", maxTokens = 2)
+      .collect()
+    assert(rows.forall(_.getLong(0) == 1L),
+      "the NULL-text doc must emit no chunk rows")
+    assert(rows.map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSet ==
+      Set((0L, "a b", 2L), (1L, "c", 1L)))
+  }
+
+  test("oovRate keeps token-less docs with NULL stats (review r15)") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("x y")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val vocab = Seq(Tuple1("x")).toDF("term")
+    val got = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toMap
+    assert(got.keySet == Set(1L, 2L),
+      "the NULL-text doc must stay in the output instead of vanishing")
+    assert(got(1L).contains((2L, 1L)) && got(2L).isEmpty)
+  }
 }
