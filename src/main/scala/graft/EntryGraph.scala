@@ -278,8 +278,13 @@ private[graft] object EntryGraph {
          |j AS (SELECT x.d AS da, y.d AS db FROM s
          |      JOIN deg x ON x.id = s.a JOIN deg y ON y.id = s.b),
          |-- HUGEINT mirrors the engine's decimal(38,0) exact-integer
-         |-- path (review r15): BIGINT products/cross-terms overflow at
-         |-- realistic graph scale (DuckDB errors, Spark wrapped)
+         |-- path (review r15): BIGINT products overflow at realistic
+         |-- graph scale (DuckDB errors, Spark wrapped). The CROSS
+         |-- terms run in DOUBLE after the exact sums on BOTH engines
+         |-- (ADVICE r15): HUGEINT reaches ~1.7e38 where decimal(38,0)
+         |-- stops at 1e38-1, so exact-integer cross terms would
+         |-- diverge in that band — sums-then-double is engine-
+         |-- identical IEEE arithmetic
          |ag AS (SELECT CAST(count(*) AS HUGEINT) AS m2,
          |              CAST(sum(CAST(da AS HUGEINT) * db) AS HUGEINT) AS sxy,
          |              CAST(sum(CAST(da AS HUGEINT)) AS HUGEINT) AS sx,
@@ -289,11 +294,16 @@ private[graft] object EntryGraph {
          |       FROM j)
          |SELECT CAST(m2 // 2 AS BIGINT) AS m_edges,
          |       CASE WHEN m2 > 0
-         |                 AND CAST(m2 * sxx - sx * sx AS DOUBLE) > 0
-         |                 AND CAST(m2 * syy - sy * sy AS DOUBLE) > 0
-         |            THEN CAST(m2 * sxy - sx * sy AS DOUBLE)
-         |                 / sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)
-         |                        * CAST(m2 * syy - sy * sy AS DOUBLE)) END AS r
+         |                 AND CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+         |                 AND CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+         |                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+         |            THEN (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |                 / sqrt((CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |                        * (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+         |                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r
          |FROM ag""".stripMargin,
 
 

@@ -730,24 +730,40 @@ object Dedup {
                          idCol: String, textCol: String, path: String,
                          requireNewIds: Boolean = true): Unit = {
     val (prevRows, n, h, parity) = readMinhashMeta(spark, path)
-    // pin ONE instantiation of the batch: the audit and the signing
-    // write must see the same rows, or a nondeterministic batch plan
-    // can pass the audit with one id set and sign another — the
-    // shared contract documented on Similarity.requireIdsNotIndexed
-    val src = batch.select(col(idCol), col(textCol)).localCheckpoint()
-    if (requireNewIds) Similarity.requireIdsNotIndexed(spark,
-      src.select(col(idCol).as("id")), s"$path/data",
-      "Dedup.appendMinhashIndex", "double-sign them")
-    // meta rows = prev + batch (O(batch) — a full-index recount per
-    // append would cost more than the append at 100 TB; review r12).
-    // Crash-detectability survives: the meta writes AFTER the data,
-    // so a crash between the steps leaves actual > meta, which the
-    // read-side footer count refuses.
-    val sigs = minhashIndex(src, idCol, textCol, n, h, parity).cache()
+    // pin ONE instantiation of the batch — but only when the audit
+    // runs (ADVICE r15): the pin exists so the audit and the signing
+    // write see the same rows (a nondeterministic batch plan could
+    // pass the audit with one id set and sign another — the shared
+    // contract documented on Similarity.requireIdsNotIndexed). With
+    // requireNewIds = false there is exactly one consumer chain and
+    // the cached `sigs` below already pins what the write and the
+    // meta count read, so the opt-out path pays no extra
+    // materialization — the performance property callers opted out
+    // for.
+    val src = if (requireNewIds)
+      batch.select(col(idCol), col(textCol)).localCheckpoint()
+    else batch.select(col(idCol), col(textCol))
     try {
-      sigs.write.mode("append").parquet(s"$path/data")
-      writeMinhashMeta(spark, path, prevRows + sigs.count(), n, h, parity)
-    } finally { sigs.unpersist(); () }
+      if (requireNewIds) Similarity.requireIdsNotIndexed(spark,
+        src.select(col(idCol).as("id")), s"$path/data",
+        "Dedup.appendMinhashIndex", "double-sign them")
+      // meta rows = prev + batch (O(batch) — a full-index recount per
+      // append would cost more than the append at 100 TB; review r12).
+      // Crash-detectability survives: the meta writes AFTER the data,
+      // so a crash between the steps leaves actual > meta, which the
+      // read-side footer count refuses.
+      val sigs = minhashIndex(src, idCol, textCol, n, h, parity).cache()
+      try {
+        sigs.write.mode("append").parquet(s"$path/data")
+        writeMinhashMeta(spark, path, prevRows + sigs.count(), n, h, parity)
+      } finally { sigs.unpersist(); () }
+    } finally {
+      // explicit checkpoint-block release (ADVICE r15): Dataset
+      // .unpersist cannot free them, and the ContextCleaner leaks one
+      // batch of storage per append until GC; no-op on the un-pinned
+      // opt-out path
+      org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(src)
+    }
   }
 
   /** Compact a persisted MinHash index in place: every

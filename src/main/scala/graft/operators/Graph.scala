@@ -310,14 +310,21 @@ object Graph {
     * Exactness: every sum (Σd_u·d_v, Σd_u, Σd_u² over the symmetric
     * edge list) is an exact INTEGER — order-free distributed partial
     * aggs, no FP until the single final Pearson expression (fixed
-    * operand order, engine-identical). The product sums and the
-    * normal-equation cross terms run in decimal(38,0), the repo's
-    * exact-integer convention (dailyTrend, pearsonByKey): raw long
-    * arithmetic silently WRAPS at realistic graph scale (review r15
-    * — m2·Σd² passes Long.MaxValue near 1e8 symmetric rows with a
-    * 1e5-degree hub, and Spark wraps where the DuckDB oracle errors,
-    * a silent cross-engine divergence). NULL when the graph is
-    * degree-regular (zero variance — the coefficient is undefined).
+    * operand order, engine-identical). The product sums run in
+    * decimal(38,0), the repo's exact-integer convention (dailyTrend,
+    * pearsonByKey): raw long arithmetic silently WRAPS at realistic
+    * graph scale (review r15 — Σd_u·d_v passes Long.MaxValue near
+    * 1e8 symmetric rows with a 1e5-degree hub, and Spark wraps where
+    * the DuckDB oracle errors, a silent cross-engine divergence).
+    * The normal-equation CROSS terms (m2·Σd², Σd·Σd) square once
+    * more on top of the 38-digit sums, so they run in DOUBLE after
+    * the exact sums — on both engines, identical operand order —
+    * which moves the overflow bound from the sums' PRODUCTS (past 38
+    * digits in the band where DuckDB's HUGEINT still computes but
+    * Spark's decimal(38,0) errors/nulls — ADVICE r15) to the sums
+    * themselves, with double's ±inf semantics engine-identical
+    * beyond 1e308. NULL when the graph is degree-regular (zero
+    * variance — the coefficient is undefined).
     *
     * Scale shape: one grouped degree count, one join of edges
     * against degrees per endpoint, ONE single-row aggregate. No
@@ -343,11 +350,12 @@ object Graph {
         sum(dec(col("db"))).as("sy"),
         sum(dec(col("da")) * dec(col("da"))).as("sxx"),
         sum(dec(col("db")) * dec(col("db"))).as("syy"))
-    val varX = (dec(col("m2")) * col("sxx") - col("sx") * col("sx")).cast("double")
-    val varY = (dec(col("m2")) * col("syy") - col("sy") * col("sy")).cast("double")
+    def dbl(c: Column) = c.cast("double")
+    val varX = dbl(col("m2")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val varY = dbl(col("m2")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
     agg.select(expr("m2 DIV 2").as("m_edges"),
       when(col("m2") > 0L && varX > 0.0 && varY > 0.0,
-        (dec(col("m2")) * col("sxy") - col("sx") * col("sy")).cast("double")
+        (dbl(col("m2")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")))
           / sqrt(varX * varY)).as("r"))
   }
 

@@ -288,15 +288,23 @@ object Similarity {
     // the meta count must see the same rows (see requireIdsNotIndexed)
     val src = batch.select(col(idCol).cast("long").as("id"),
       VectorOps.toDouble(col(vecCol)).as("v")).localCheckpoint()
-    if (requireNewIds) requireIdsNotIndexed(spark, src, path,
-      "Similarity.appendIvfIndex", "serve duplicate rows")
-    // meta rows = prev + batch (O(batch), not a full-index recount —
-    // review r12); a crash between data and meta leaves actual > meta,
-    // which ivfTopKIndexed's row check refuses
-    val assigned = KMeans.assign(src, "v", cents, outCol = "cell")
-      .withColumn("n", VectorOps.norm2(col("v")))
-    assigned.write.partitionBy("cell").mode("append").parquet(path)
-    writeIvfMeta(spark, path, prevRows + src.count(), cents)
+    // explicit block release after the meta write (ADVICE r15):
+    // Dataset.unpersist cannot free checkpoint blocks, and waiting on
+    // the ContextCleaner leaks one batch of storage per append in a
+    // long-lived ingest driver
+    try {
+      if (requireNewIds) requireIdsNotIndexed(spark, src, path,
+        "Similarity.appendIvfIndex", "serve duplicate rows")
+      // meta rows = prev + batch (O(batch), not a full-index recount —
+      // review r12); a crash between data and meta leaves actual > meta,
+      // which ivfTopKIndexed's row check refuses
+      val assigned = KMeans.assign(src, "v", cents, outCol = "cell")
+        .withColumn("n", VectorOps.norm2(col("v")))
+      assigned.write.partitionBy("cell").mode("append").parquet(path)
+      writeIvfMeta(spark, path, prevRows + src.count(), cents)
+    } finally {
+      org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(src)
+    }
   }
 
   /** IVF top-k against a PERSISTED index: probe cells are computed
@@ -1026,14 +1034,20 @@ object Similarity {
     // the meta count must see the same rows (see requireIdsNotIndexed)
     val src = batch.select(col(idCol).cast("long").as("id"),
       VectorOps.toDouble(col(vecCol)).as("__v")).localCheckpoint()
-    if (requireNewIds) requireIdsNotIndexed(spark, src, path,
-      "Similarity.appendIvfPqIndex", "serve duplicate rows")
-    val assigned = encodePQ(
-      KMeans.assign(src, "__v", cents, outCol = "cell"),
-      "__v", model, outCol = "codes")
-      .select("id", "codes", "cell")
-    assigned.write.partitionBy("cell").mode("append").parquet(path)
-    writeIvfPqMeta(spark, path, prevRows + src.count(), cents, model)
+    // explicit block release after the meta write (ADVICE r15) — see
+    // appendIvfIndex
+    try {
+      if (requireNewIds) requireIdsNotIndexed(spark, src, path,
+        "Similarity.appendIvfPqIndex", "serve duplicate rows")
+      val assigned = encodePQ(
+        KMeans.assign(src, "__v", cents, outCol = "cell"),
+        "__v", model, outCol = "codes")
+        .select("id", "codes", "cell")
+      assigned.write.partitionBy("cell").mode("append").parquet(path)
+      writeIvfPqMeta(spark, path, prevRows + src.count(), cents, model)
+    } finally {
+      org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(src)
+    }
   }
 
   // ── Index compaction (VERDICT r14 item 4) ────────────────────────

@@ -272,11 +272,15 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         sum(when(col("__in").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
-    // join back to the full id set (the corpusNgramScore /
+    // join back to the full DISTINCT id set (the corpusNgramScore /
     // containmentScore convention — review r15): explode emits no
     // rows for a NULL/empty text, and without this the doc silently
-    // vanished from the output instead of carrying NULL stats
-    df.select(col(idCol)).join(per, Seq(idCol), "left")
+    // vanished from the output instead of carrying NULL stats.
+    // DISTINCT because the output grain is one row per distinct id
+    // (what the plain groupBy always produced) — a bare anchor would
+    // emit the merged id-level stats once PER INPUT ROW for
+    // duplicate-id inputs (ADVICE r15)
+    df.select(col(idCol)).distinct().join(per, Seq(idCol), "left")
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
@@ -557,7 +561,9 @@ object TextAnalysis {
       .groupBy(col(idCol)).agg(
         count(lit(1)).cast("long").as("n_grams"),
         sum(col("__cnt")).cast("long").as("sum_freq"))
-    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    // distinct anchor: one output row per distinct id even for
+    // duplicate-id inputs (ADVICE r15 — see oovRate)
+    df.select(col(idCol)).distinct().join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("sum_freq"), lit(0L)).as("sum_freq"),
@@ -1144,7 +1150,9 @@ object TextAnalysis {
       .select(col(idCol),
         ((coalesce(col("__cu"), lit(0L)).cast("double") + lit(addK * v)) /
           (coalesce(col("__cb"), lit(0L)).cast("double") + lit(addK))).as("__inv"))
-    candidates.select(col(idCol)).join(
+    // distinct anchor: one output row per distinct id even for
+    // duplicate-id inputs (ADVICE r15 — see oovRate)
+    candidates.select(col(idCol)).distinct().join(
       scoredBigrams.groupBy(col(idCol)).agg(
         count(lit(1)).cast("long").as("n_bigrams"),
         graft.functions.VectorOps.foldSum(

@@ -27,6 +27,24 @@ object ColumnGlue {
   def resolvedExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Free the storage blocks behind a `localCheckpoint()`'d frame.
+    * Dataset.unpersist only uncaches CacheManager entries; a local
+    * checkpoint's blocks live on the LogicalRDD's backing RDD and are
+    * otherwise released only when the ContextCleaner GCs the RDD
+    * reference — storage pressure in a long-lived ingest driver doing
+    * many pinned appends (ADVICE r15). No-op on frames that are not
+    * checkpoint-backed, so callers can release unconditionally. */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df match {
+      case d: org.apache.spark.sql.classic.Dataset[_] =>
+        d.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(false); ()
+          case _ => ()
+        }
+      case _ => ()
+    }
+
   /** Register a temp function on a LIVE session (sessionState is
     * private[sql]); config-driven deployments use GraftExtensions via
     * spark.sql.extensions instead. */
