@@ -143,6 +143,11 @@ private[graft] object EntryDedup {
         "doc_id", "text", path, n = 3, h = 16, parity = true)
       Dedup.appendMinhashIndex(s, corpus.filter(col("doc_id") % 3 === 0),
         "doc_id", "text", path)
+      // compaction under the hash gate (VERDICT r15 item 5): the
+      // write-aside + rename swap must serve byte-identically — a
+      // lost row, a doubled row, or meta drift through the swap all
+      // hash-mismatch here
+      Dedup.compactMinhashIndex(s, path)
       val idx = Dedup.readMinhashIndex(s, path, n = 3, h = 16, parity = true)
       Dedup.dropSeenNearDup(batch, idx, "doc_id", "text", n = 3, h = 16, b = 8,
         minAgree = 0.5, parity = true, maxBucket = 100)

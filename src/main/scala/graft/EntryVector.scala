@@ -272,6 +272,10 @@ private[graft] object EntryVector {
         "vec_id", "embedding", cents, lm, s"$base/index")
       Similarity.appendIvfPqIndex(s, emb.filter(col("vec_id") % 3 === 0),
         "vec_id", "embedding", lm, s"$base/index")
+      // compaction under the hash gate (VERDICT r15 item 5): build →
+      // append → COMPACT → serve; the swap protocol now sits under
+      // the DuckDB hash like every other lifecycle step
+      Similarity.compactIvfPqIndex(s, s"$base/index")
       Similarity.ivfPqTopKIndexed(s, s"$base/index",
         emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
         cents, lm, nprobe = 2, k = 10)
@@ -311,6 +315,71 @@ private[graft] object EntryVector {
         d = 64, m = 4, k = 16, maxIter = 0)
       val cents = cents8(s, dir)
       val base = sessionTmpDir(s, "ivfpq_rr", dir)
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model,
+        s"$base/index")
+      Similarity.ivfPqTopKIndexedRerank(s, s"$base/index",
+        emb, "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        cents, model, nprobe = 2, k = 10, shortlist = 50)
+    }),
+
+
+    // ── LLM-pipeline: RESIDUAL IVF-PQ (IVF-ADC proper — VERDICT r15
+    // item 1). Codebooks train on x − c(x) (the coarse-cell residual,
+    // Jégou et al. TPAMI'11), codes quantize residuals, and each
+    // probe ADCs with q − c(cell) per probed cell — the 8-byte budget
+    // then covers within-cell variance, the recall lever raw mode
+    // leaves on the table. maxIter=0 keeps it oracle-checkable:
+    // residual codewords = the 16 lowest-vec_id rows' RESIDUAL
+    // subvectors. The oracle replays the subtraction end to end.
+    "q_ivfpq_residual" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = cents8(s, dir)
+      val model = Similarity.trainPQResidual(emb, "vec_id", "embedding",
+        d = 64, cents, m = 4, k = 16, maxIter = 0)
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        cents, model, nprobe = 2, k = 10)
+    }),
+
+
+    // ── LLM-pipeline: residual IVF-PQ full persisted lifecycle ──────
+    // savePQ/loadPQ round-trips the v2 artifact (residual provenance
+    // included), build takes 2/3 of the corpus, append the rest under
+    // the frozen residual codebook, COMPACT swaps the layout
+    // (VERDICT r15 item 5), and the serve must equal the in-memory
+    // residual search over the full corpus — oracle =
+    // q_ivfpq_residual verbatim, so a lost append row, a drifted
+    // residual convention, or a swap corruption all hash-mismatch.
+    "q_ivfpq_res_refresh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = cents8(s, dir)
+      val model = Similarity.trainPQResidual(emb, "vec_id", "embedding",
+        d = 64, cents, m = 4, k = 16, maxIter = 0)
+      val base = sessionTmpDir(s, "ivfpq_res", dir)
+      Similarity.savePQ(s, s"$base/pq", model)
+      val lm = Similarity.loadPQ(s, s"$base/pq")
+      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", cents, lm, s"$base/index")
+      Similarity.appendIvfPqIndex(s, emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", lm, s"$base/index")
+      Similarity.compactIvfPqIndex(s, s"$base/index")
+      Similarity.ivfPqTopKIndexed(s, s"$base/index",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        cents, lm, nprobe = 2, k = 10)
+    }),
+
+
+    // ── LLM-pipeline: residual shortlist + exact re-rank from the
+    // persisted index — the production query path in residual mode:
+    // stored residual codes shortlist 50 candidates per probe, only
+    // those rows touch the float table for the exact final top-10.
+    "q_ivfpq_res_rerank" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = cents8(s, dir)
+      val model = Similarity.trainPQResidual(emb, "vec_id", "embedding",
+        d = 64, cents, m = 4, k = 16, maxIter = 0)
+      val base = sessionTmpDir(s, "ivfpq_res_rr", dir)
       Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model,
         s"$base/index")
       Similarity.ivfPqTopKIndexedRerank(s, s"$base/index",
@@ -1179,6 +1248,112 @@ private[graft] object EntryVector {
        |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
        |  FROM adq) WHERE rn <= 10""".stripMargin
 
+  /** The RESIDUAL IVF-PQ CTE chain (VERDICT r15 item 1): residual
+    * vectors x − c(x) per corpus row (rv), residual codebooks =
+    * the 16 lowest-vec_id rows' residual subvectors (cbr — trainPQ
+    * maxIter=0/FirstK over the residual relation), residual codes
+    * (pqar), probe cells (pc — ranked on RAW query-to-centroid
+    * distance, exactly like raw mode), per-(probe, cell) QUERY
+    * residuals q − c(cell) (prr), per-(probe, cell) ADC sub-distance
+    * tables over the residual codebooks (ptr), cell-pruned candidates
+    * carrying their cell (candr — each vector lives in exactly one
+    * cell, so the (probe, cand) pair's ADC uses the candidate's own
+    * cell's query residual), and the summed approximate distances
+    * (adr). All subtractions are the same IEEE a − b the engine's
+    * CellResidualExpr / driver-side probeCellsDF compute. */
+  private val sqlIvfPqResCtes: String =
+    s"""$sqlCents8,
+       |$sqlProbes,
+       |rv AS (
+       |  SELECT e.vec_id, a.cluster AS cell,
+       |         list_transform(list_zip(e.embedding::DOUBLE[], c.cvec),
+       |                        p -> p[1] - p[2]) AS r
+       |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+       |                    JOIN c ON c.cid = a.cluster
+       |),
+       |cbr AS (
+       |  SELECT t.j, CAST(row_number() OVER (PARTITION BY t.j ORDER BY f.vec_id) AS INTEGER) AS cid,
+       |         (f.r)[t.j*16+1 : t.j*16+16] AS cw
+       |  FROM (SELECT * FROM rv ORDER BY vec_id LIMIT 16) f CROSS JOIN range(0, 4) t(j)
+       |),
+       |subr AS (
+       |  SELECT rv.vec_id, rv.cell, t.j, (rv.r)[t.j*16+1 : t.j*16+16] AS sv
+       |  FROM rv CROSS JOIN range(0, 4) t(j)
+       |),
+       |dpqr AS (
+       |  SELECT s.vec_id, s.j, cb.cid,
+       |         list_sum(list_transform(list_zip(s.sv, cb.cw), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+       |  FROM subr s JOIN cbr cb ON cb.j = s.j
+       |),
+       |pqar AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT vec_id, j, cid,
+       |           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+       |    FROM dpqr) WHERE rn = 1
+       |),
+       |pc AS (
+       |  SELECT vec_id AS probe_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d WHERE vec_id IN (SELECT probe_id FROM pr)) WHERE rn <= 2
+       |),
+       |prr AS (
+       |  SELECT pr.probe_id, pc.cell,
+       |         list_transform(list_zip(pr.pv, c.cvec), p -> p[1] - p[2]) AS pvr
+       |  FROM pr JOIN pc ON pc.probe_id = pr.probe_id
+       |          JOIN c ON c.cid = pc.cell
+       |),
+       |ptr AS (
+       |  SELECT prr.probe_id, prr.cell, cb.j, cb.cid,
+       |         list_sum(list_transform(list_zip(prr.pvr[cb.j*16+1 : cb.j*16+16], cb.cw),
+       |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS sd
+       |  FROM prr CROSS JOIN cbr cb
+       |),
+       |candr AS (
+       |  SELECT pc.probe_id, rv.vec_id, rv.cell
+       |  FROM rv JOIN pc ON rv.cell = pc.cell
+       |  WHERE rv.vec_id != pc.probe_id
+       |),
+       |adr AS (
+       |  SELECT candr.probe_id, candr.vec_id, list_sum(list(ptr.sd ORDER BY q.j)) AS adist
+       |  FROM candr JOIN pqar q ON q.vec_id = candr.vec_id
+       |             JOIN ptr ON ptr.probe_id = candr.probe_id AND ptr.cell = candr.cell
+       |                      AND ptr.j = q.j AND ptr.cid = q.cid
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  /** The residual IVF-PQ top-k replay, shared by q_ivfpq_residual
+    * (in-memory) and q_ivfpq_res_refresh (persisted round trip +
+    * append + compact must serve bit-identically). */
+  private val sqlIvfPqResidual: String =
+    s"""WITH $sqlIvfPqResCtes
+       |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, adist FROM (
+       |  SELECT probe_id, vec_id, adist,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+       |  FROM adr) WHERE rn <= 10""".stripMargin
+
+  /** The residual shortlist + exact-cosine re-rank replay
+    * (q_ivfpq_res_rerank): residual ADC shortlists 50, exact cosine
+    * ranks the final 10 — the sqlIvfPqRerank pattern over adr. */
+  private val sqlIvfPqResRerank: String =
+    s"""WITH $sqlIvfPqResCtes,
+       |rsl AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+       |    FROM adr) WHERE rn <= 50
+       |),
+       |rex AS (
+       |  SELECT rsl.probe_id, rsl.vec_id,
+       |         ${sqlCosine("e.embedding::DOUBLE[]", "pr.pv")} AS sim
+       |  FROM rsl JOIN embeddings e ON e.vec_id = rsl.vec_id
+       |           JOIN pr ON pr.probe_id = rsl.probe_id
+       |)
+       |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+       |  SELECT probe_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM rex) WHERE rn <= 10""".stripMargin
+
   /** The IVF-PQ shortlist + exact-cosine re-rank replay, shared by
     * q_ivfpq_rerank (in-memory) and q_ivfpq_rerank_idx (served from
     * the persisted code table — must shortlist identically). */
@@ -1429,6 +1604,15 @@ private[graft] object EntryVector {
     // encode does)
     "q_ivfpq_rerank" -> sqlIvfPqRerank,
     "q_ivfpq_rerank_idx" -> sqlIvfPqRerank,
+
+
+    // residual IVF-PQ (IVF-ADC proper — VERDICT r15 item 1): the
+    // oracle replays the x − c(x) / q − c(cell) subtractions end to
+    // end; the persisted row (savePQ v2 round trip + build + append +
+    // compact) must serve exactly the in-memory residual search
+    "q_ivfpq_residual" -> sqlIvfPqResidual,
+    "q_ivfpq_res_refresh" -> sqlIvfPqResidual,
+    "q_ivfpq_res_rerank" -> sqlIvfPqResRerank,
 
 
     "q_quantize" ->

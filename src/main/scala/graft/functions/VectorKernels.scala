@@ -215,6 +215,56 @@ case class NearestCentroidExpr(child: Expression, cids: Vector[Int],
     copy(child = c)
 }
 
+/** Residual against an assigned coarse cell — vec − centroid(cell),
+  * the IVF-ADC subtraction (Jégou, Douze & Schmid, TPAMI 2011): in
+  * residual PQ mode every stored code quantizes x − c(x) and every
+  * probe ADCs with q − c(cell), so this expression sits once per
+  * corpus row at index build and once per (probe, cell) pair at
+  * stream serve. Native for the same reason as the PQ pair: the HOF
+  * form (zip_with over an element_at into a map literal) allocates
+  * per row outside whole-stage codegen. `cids` ascending (KMeans
+  * sorts), looked up by binary search — cids are arbitrary ints
+  * (k-means++ seeds use row ids), so no dense array by cid.
+  *
+  * Null contract: null vec, null cell, a cell id not in the set, or
+  * a malformed vec (length ≠ d / null element) nulls the result —
+  * encodePQ then nulls the codes, exactly as a malformed raw vector
+  * does (the HOF twin diverges on malformed input only: zip_with
+  * pads, this nulls — the kernels' documented gentler contract). */
+case class CellResidualExpr(left: Expression, right: Expression,
+                            cids: Vector[Int], cents: Vector[Double], d: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "cell_residual"
+  override def inputTypes: Seq[ColumnGlue.AbstractType] =
+    Seq(ArrayType(DoubleType), IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  @transient private lazy val cidsArr: Array[Int] = cids.toArray
+  @transient private lazy val centsArr: Array[Double] = cents.toArray
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val idx = java.util.Arrays.binarySearch(cidsArr, b.asInstanceOf[Int])
+    if (idx < 0 || !VectorKernels.centValid(v, d)) null
+    else VectorKernels.cellResidual(v, centsArr, idx * d, d)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("crCids", cidsArr, "int[]")
+    val centsRef = ctx.addReferenceObj("crCents", centsArr, "double[]")
+    val idx = ctx.freshName("crIdx")
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"""
+         |int $idx = java.util.Arrays.binarySearch($cidsRef, $c);
+         |if ($idx < 0 || !graft.functions.VectorKernels.centValid($v, $d)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorKernels.cellResidual($v, $centsRef, $idx * $d, $d);
+         |}
+       """.stripMargin)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CellResidualExpr =
+    copy(left = l, right = r)
+}
+
 /** Squared distance to the nearest centroid — the native form of
   * array_min over transform(centLit, sqDist). A malformed vector
   * nulls (array_min skips null elements; all null → null); empty
@@ -399,6 +449,25 @@ object VectorKernels {
   def minSqDistToSetCol(pv: Column, cents: Array[Double], d: Int): Column =
     ColumnGlue.column(MinSqDistToSetExpr(ColumnGlue.expression(pv),
       cents.toVector, d))
+
+  def cellResidualCol(v: Column, cell: Column, cids: Array[Int],
+                      cents: Array[Double], d: Int): Column =
+    ColumnGlue.column(CellResidualExpr(ColumnGlue.expression(v),
+      ColumnGlue.expression(cell), cids.toVector, cents.toVector, d))
+
+  /** vec − centroid — call only after centValid; `base` is the
+    * centroid's flat offset (ascending-cid position · d). Plain IEEE
+    * subtraction per element, bit-identical to the HOF zip_with twin
+    * and to the oracle's list_transform(list_zip(...), p->p[1]-p[2]). */
+  def cellResidual(v: ArrayData, cents: Array[Double], base: Int, d: Int): ArrayData = {
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      out(i) = v.getDouble(i) - cents(base + i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** The HOF sqDist nulls on a length mismatch or a null element;
     * with one uniform centroid dim that is all-or-nothing per row. */

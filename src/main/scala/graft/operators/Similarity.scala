@@ -430,15 +430,91 @@ object Similarity {
     * dims each; codeword ids are 1-based (KMeans renumbering). The
     * standard compression for billion-vector corpora: d float32s
     * become m small ints — 32× at d=64, m=8 — and queries run on the
-    * codes (pqTopK), touching floats only for an optional re-rank. */
+    * codes (pqTopK), touching floats only for an optional re-rank.
+    *
+    * `residualTo`: None = codebooks quantize RAW vectors; Some(fp) =
+    * codebooks quantize coarse-cell RESIDUALS x − c(x) (IVF-ADC
+    * proper — Jégou, Douze & Schmid, TPAMI 2011: the 8-byte budget
+    * then covers within-cell variance instead of the whole-space
+    * spread, the classic recall jump at identical serve cost; the 1M
+    * stress showed raw-mode quantization loss IS the recall ceiling,
+    * VERDICT r15 item 1). The value is the COARSE QUANTIZER'S
+    * fingerprint (centsFingerprint) — residuals against one centroid
+    * set are garbage under another, so the mode carries its own
+    * provenance: build/serve refuse a quantizer whose fingerprint
+    * differs, pqFingerprint covers the field (a raw and a residual
+    * model can never alias), and savePQ persists it. Residual mode is
+    * IVF-only by construction (flat pqTopK has no coarse cell to
+    * subtract — those entries refuse a residual model loudly). */
   final case class PQModel(d: Int, m: Int, k: Int,
-                           codebooks: IndexedSeq[KMeans.Centroids]) {
+                           codebooks: IndexedSeq[KMeans.Centroids],
+                           residualTo: Option[String] = None) {
     val dsub: Int = d / m
+    def residual: Boolean = residualTo.isDefined
+  }
+
+  /** Loud shared refusal for the flat-PQ entries (no coarse cell to
+    * subtract) and any path where residual codes would be silently
+    * mis-decoded. */
+  private def requireRawModel(model: PQModel, where: String): Unit =
+    require(!model.residual,
+      s"$where: this entry has no coarse quantizer, but the PQ codebook is " +
+        "residual-mode (trained on x − c(x)) — decoding raw vectors under " +
+        "it is silently wrong; use the ivfPq* entries or train a raw codebook")
+
+  /** Residual-mode provenance gate: the codebook's stored coarse-
+    * quantizer fingerprint must match the quantizer actually used for
+    * cell assignment — residuals against a drifted centroid set are
+    * silently-plausible garbage at ADC time. No-op for raw models. */
+  private def requireResidualMatch(model: PQModel, cents: KMeans.Centroids,
+                                   where: String): Unit =
+    model.residualTo.foreach { rt =>
+      require(rt == centsFingerprint(cents),
+        s"$where: residual PQ codebook was trained against a different " +
+          "coarse quantizer than the one passed — residuals are relative to " +
+          "the training quantizer's cells; rebuild the codebook or pass its " +
+          "paired centroids")
+    }
+
+  /** (ascending cids, flat centroid array, d) — the kernel-layout
+    * form of a centroid set (KMeans.flatCents is private there). */
+  private def flatCentsLocal(cents: KMeans.Centroids): (Array[Int], Array[Double], Int) = {
+    val sorted = cents.sortBy(_._1)
+    val d = sorted.head._2.length
+    val flat = new Array[Double](sorted.length * d)
+    sorted.zipWithIndex.foreach { case ((_, v), i) =>
+      require(v.length == d,
+        s"centroid dims differ: ${v.length} vs $d — one uniform d required")
+      System.arraycopy(v, 0, flat, i * d, d)
+    }
+    (sorted.map(_._1), flat, d)
+  }
+
+  /** vec − centroid(cell) as a native column (CellResidualExpr); the
+    * HOF twin below is spec-pinned bit-equal on valid input. */
+  private def cellResidualCol(v: Column, cell: Column,
+                              cents: KMeans.Centroids): Column = {
+    val (cids, flat, d) = flatCentsLocal(cents)
+    VectorKernels.cellResidualCol(v, cell, cids, flat, d)
+  }
+
+  /** The HOF twin of cellResidualCol (spec-only): zip_with over a
+    * cid-keyed map literal. Diverges from the kernel only on
+    * MALFORMED input (zip_with pads a length mismatch with nulls
+    * where the kernel nulls the row — the kernels' documented gentler
+    * contract), pinned in PqEncodeSpec. */
+  private[graft] def cellResidualHof(v: Column, cell: Column,
+                                     cents: KMeans.Centroids): Column = {
+    val m = typedlit(cents.map { case (cid, w) => cid -> w.toSeq }.toMap)
+    zip_with(v, element_at(m, cell), (a, b) => a - b)
   }
 
   /** PQ codebook artifact format version; bumped on any schema change
-    * so a loader refuses an artifact it does not understand. */
-  val PQFormatVersion = 1
+    * so a loader refuses an artifact it does not understand.
+    * v2 (r16): + residual_to — the coarse-quantizer fingerprint for
+    * residual-mode codebooks (NULL for raw mode); a v1 loader must
+    * not serve residual codes as raw, so the version gates it. */
+  val PQFormatVersion = 2
 
   /** Persists PQ codebooks as a versioned parquet artifact — "train
     * once, encode everywhere": codes written by a DIFFERENT codebook
@@ -459,8 +535,9 @@ object Similarity {
     // codewords (vanished cluster), so the load-time drift check must
     // compare against the written count, not m·k
     val n = spark.read.parquet(s"$path/codebooks").count()
-    Seq((PQFormatVersion, model.d, model.m, model.k, n))
-      .toDF("version", "d", "m", "k", "n_rows")
+    Seq((PQFormatVersion, model.d, model.m, model.k, n,
+        model.residualTo.orNull))
+      .toDF("version", "d", "m", "k", "n_rows", "residual_to")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -514,7 +591,7 @@ object Similarity {
       }
       book: KMeans.Centroids
     }
-    PQModel(d, m, k, books)
+    PQModel(d, m, k, books, Option(mr.getAs[String]("residual_to")))
   }
 
   /** Train PQ codebooks: the d dims split into m contiguous
@@ -527,7 +604,39 @@ object Similarity {
     * exactly as IVF trains its coarse quantizer) and encode the full
     * corpus with the result. */
   def trainPQ(corpus: DataFrame, idCol: String, vecCol: String, d: Int,
-              m: Int = 8, k: Int = 16, maxIter: Int = 10): PQModel = {
+              m: Int = 8, k: Int = 16, maxIter: Int = 10): PQModel =
+    trainPQCore(corpus
+      .select(col(idCol), VectorOps.toDouble(col(vecCol)).as("__v")),
+      idCol, d, m, k, maxIter, residualTo = None)
+
+  /** Residual-mode PQ training (IVF-ADC proper — VERDICT r15 item 1):
+    * each training vector is replaced by its residual against its
+    * nearest COARSE cell, x − c(x), before the per-subspace fits, so
+    * the codebooks spend their budget on within-cell variance — the
+    * recall lever the 1M-vector stress showed raw mode leaves on the
+    * table. The returned model carries the quantizer's fingerprint
+    * (residualTo); every build/serve path refuses a different
+    * quantizer. Cost = trainPQ + one assignment pass over the (same,
+    * sample-sized) training input — assignment and subtraction are
+    * both native rowwise kernels riding the one cached scan. */
+  def trainPQResidual(corpus: DataFrame, idCol: String, vecCol: String,
+                      d: Int, cents: KMeans.Centroids,
+                      m: Int = 8, k: Int = 16, maxIter: Int = 10): PQModel = {
+    val assigned = KMeans.assign(
+      corpus.select(col(idCol), VectorOps.toDouble(col(vecCol)).as("__raw")),
+      "__raw", cents, outCol = "__cell")
+    trainPQCore(assigned
+      .select(col(idCol),
+        cellResidualCol(col("__raw"), col("__cell"), cents).as("__v")),
+      idCol, d, m, k, maxIter,
+      residualTo = Some(centsFingerprint(cents)))
+  }
+
+  /** Shared train core: `proj` must be (idCol, __v: array<double>) —
+    * raw vectors or residuals, the fits cannot tell. */
+  private def trainPQCore(proj0: DataFrame, idCol: String, d: Int, m: Int,
+                          k: Int, maxIter: Int,
+                          residualTo: Option[String]): PQModel = {
     require(m >= 1 && d % m == 0, s"d=$d must divide into m=$m subspaces")
     require(k >= 1 && k <= 256, s"k=$k must fit an unsigned byte, got $k")
     val dsub = d / m
@@ -540,14 +649,13 @@ object Similarity {
     // relation is sample-sized, not corpus-sized. Results are
     // bit-identical: caching changes where bytes come from, not what
     // any fit computes.
-    val proj = corpus
-      .select(col(idCol), VectorOps.toDouble(col(vecCol)).as("__v")).persist()
+    val proj = proj0.persist()
     try {
       val books = (0 until m).map { j =>
         val sub = proj.select(col(idCol), slice(col("__v"), j * dsub + 1, dsub).as("__sub"))
         KMeans.fit(sub, idCol, "__sub", KMeans.FirstK(k), maxIter).centroids
       }
-      PQModel(d, m, k, books)
+      PQModel(d, m, k, books, residualTo)
     } finally { proj.unpersist(); () }
   }
 
@@ -624,6 +732,24 @@ object Similarity {
       forall(slice(v, 1, used), x => x.isNotNull)
     df.withColumn(outCol, when(valid, codes))
   }
+
+  /** Index-side encode — the ONE place build/append/in-memory-serve
+    * decide what the codes quantize: the raw vector (raw model) or
+    * the residual against the row's assigned coarse cell (residual
+    * model — `cellCol` must be the assignment under `cents`, and the
+    * model must have been trained against exactly that quantizer;
+    * refused otherwise). Both are rowwise native kernels, no shuffle. */
+  private def encodeForIndex(df: DataFrame, vecCol: String, cellCol: String,
+                             cents: KMeans.Centroids, model: PQModel,
+                             outCol: String): DataFrame =
+    if (!model.residual) encodePQ(df, vecCol, model, outCol)
+    else {
+      requireResidualMatch(model, cents, "Similarity.encodeForIndex")
+      encodePQ(
+        df.withColumn("__cr",
+          cellResidualCol(VectorOps.toDouble(col(vecCol)), col(cellCol), cents)),
+        "__cr", model, outCol).drop("__cr")
+    }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: a candidate's
     * approximate squared distance to a probe is Σ_j sqDist(probe's
@@ -731,6 +857,58 @@ object Similarity {
 
   private def pqProbeBytes(model: PQModel): Long = model.d * 8L
 
+  /** Residual mode broadcasts one query residual per (probe, probed
+    * cell) instead of one d-vector per probe — nprobe+1 d-vectors per
+    * probe (the +1 is the raw vector, still collected for cell
+    * ranking), priced into the same boundedProbes budget: at d=64,
+    * nprobe=16 a probe costs ~8.7 KiB, so the 10k default is ~85 MiB
+    * — still a broadcast-size decision, not a semantic limit. */
+  private def ivfPqProbeBytes(model: PQModel, nprobe: Int): Long =
+    if (model.residual) model.d.toLong * 8L * (nprobe + 1L)
+    else model.d * 8L
+
+  /** The (probe, probed-cell) pruning relation for the IVF-PQ serves,
+    * built driver-side from the pinned probe collect (`pr` rows are
+    * (probe_id: long, pv: seq<double>)). Raw mode: (probe_id,
+    * cellCol) int pairs — probes × nprobe ints; the probe d-vector
+    * joins separately on probe_id. Residual mode: the relation ALSO
+    * carries the per-(probe, cell) QUERY RESIDUAL q − c(cell) as
+    * `__pv` (the IVF-ADC probe-side subtraction — a candidate found
+    * through cell c stores codes for x − c, so its ADC must use
+    * q − c; the same IEEE a−b the index side and the oracle compute),
+    * and the raw-vector join is skipped. A probe whose length differs
+    * from the centroid dim gets an EMPTY residual — ADC then nulls
+    * every candidate distance (adcValid: pv too short), the same
+    * no-results outcome the raw path reaches via adcValid on the
+    * mismatched raw vector. */
+  private def probeCellsDF(spark: SparkSession,
+                           pr: Array[org.apache.spark.sql.Row],
+                           cents: KMeans.Centroids, nprobe: Int,
+                           model: PQModel, cellCol: String)
+      : (DataFrame, Seq[Int]) = {
+    import spark.implicits._
+    if (!model.residual) {
+      val pairs = pr.toSeq.flatMap { r =>
+        val pv = r.getSeq[Double](1).toArray
+        nearestCells(pv, cents, nprobe).map(c => (r.getLong(0), c))
+      }
+      (pairs.toDF("probe_id", cellCol), pairs.map(_._2).distinct)
+    } else {
+      val centMap = cents.map { case (cid, v) => cid -> v }.toMap
+      val triples = pr.toSeq.flatMap { r =>
+        val pv = r.getSeq[Double](1).toArray
+        nearestCells(pv, cents, nprobe).map { c =>
+          val cw = centMap(c)
+          val res: Seq[Double] =
+            if (pv.length == cw.length) Seq.tabulate(pv.length)(i => pv(i) - cw(i))
+            else Seq.empty
+          (r.getLong(0), c, res)
+        }
+      }
+      (triples.toDF("probe_id", cellCol, "__pv"), triples.map(_._2).distinct)
+    }
+  }
+
   def pqTopK(codes: DataFrame, idCol: String, codesCol: String,
              probes: DataFrame, probeIdCol: String, probeVecCol: String,
              model: PQModel, k: Int, maxProbes: Int = 10000): DataFrame = {
@@ -748,6 +926,7 @@ object Similarity {
                            probes: DataFrame, probeIdCol: String,
                            probeVecCol: String, model: PQModel,
                            k: Int): DataFrame = {
+    requireRawModel(model, "Similarity.pqTopK")
     TopKAgg.requireLongCastableId(codes, idCol, "Similarity.pqTopK")
     TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.pqTopK")
     val pv = probes.select(col(probeIdCol).cast("long").as("probe_id"),
@@ -841,7 +1020,7 @@ object Similarity {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     // ONE bounded probe instantiation feeds both stages (review r14 +
     // VERDICT r14 item 1) — see pqTopKRerank
-    val pinned = boundedProbes(probes, maxProbes, pqProbeBytes(model),
+    val pinned = boundedProbes(probes, maxProbes, ivfPqProbeBytes(model, nprobe),
       "Similarity.ivfPqTopKRerank")
     val short = ivfPqTopKPinned(corpus, idCol, vecCol,
       pinned, probeIdCol, probeVecCol, cents, model, nprobe, shortlist)
@@ -865,7 +1044,7 @@ object Similarity {
                 probes: DataFrame, probeIdCol: String, probeVecCol: String,
                 cents: KMeans.Centroids, model: PQModel,
                 nprobe: Int, k: Int, maxProbes: Int = 10000): DataFrame = {
-    val pinned = boundedProbes(probes, maxProbes, pqProbeBytes(model),
+    val pinned = boundedProbes(probes, maxProbes, ivfPqProbeBytes(model, nprobe),
       "Similarity.ivfPqTopK")
     ivfPqTopKPinned(corpus, idCol, vecCol, pinned, probeIdCol, probeVecCol,
       cents, model, nprobe, k)
@@ -881,14 +1060,14 @@ object Similarity {
     TopKAgg.requireLongCastableId(corpus, idCol, "Similarity.ivfPqTopK")
     TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.ivfPqTopK")
     val spark = probes.sparkSession
-    import spark.implicits._
-    // index build (in production: persisted once, partitioned by cell)
-    val indexed = encodePQ(
+    // index build (in production: persisted once, partitioned by
+    // cell); residual models encode x − c(x) here (encodeForIndex)
+    val indexed = encodeForIndex(
       KMeans.assign(
         corpus.select(col(idCol).cast("long").as("__id"),
           VectorOps.toDouble(col(vecCol)).as("__v")),
         "__v", cents, outCol = "__cell"),
-      "__v", model, outCol = "__c")
+      "__v", "__cell", cents, model, outCol = "__c")
       .select("__id", "__cell", "__c")
     // two broadcast relations (VERDICT r13 item 1): (probe, cell)
     // pairs — probes × nprobe ints, ranked driver-side from the
@@ -896,18 +1075,18 @@ object Similarity {
     // d-vector per probe joined on probe_id after the cell join has
     // pruned the corpus; the ADC arithmetic runs per row from the
     // plan-literal codebook (VERDICT r14 item 2 — nothing m×k-scaled
-    // is built on the driver or broadcast).
+    // is built on the driver or broadcast). Residual mode folds the
+    // per-(probe, cell) query residual INTO the pruning relation
+    // (probeCellsDF) and skips the raw-vector join.
     val pvecs = probes.select(col(probeIdCol).cast("long").as("probe_id"),
       VectorOps.toDouble(col(probeVecCol)).as("__pv"))
     val pr = pvecs.collect()
-    val probeCells: Seq[(Long, Int)] = pr.toSeq.flatMap { r =>
-      val pv = r.getSeq[Double](1).toArray
-      nearestCells(pv, cents, nprobe).map(c => (r.getLong(0), c))
-    }
-    val pc = probeCells.toDF("probe_id", "__cell")
-    indexed.join(broadcast(pc), "__cell")
+    val (pc, _) = probeCellsDF(spark, pr, cents, nprobe, model, "__cell")
+    val cand = indexed.join(broadcast(pc), "__cell")
       .filter(col("__id") =!= col("probe_id"))
-      .join(broadcast(pvecs), "probe_id")
+    val withPv = if (model.residual) cand
+      else cand.join(broadcast(pvecs), "probe_id")
+    withPv
       .select(col("probe_id"), col("__id"),
         adcDist(col("__c"), col("__pv"), model).as("__d"))
       .groupBy("probe_id")
@@ -922,9 +1101,13 @@ object Similarity {
   private val IvfPqMetaVersion = 1
 
   /** Order-independent digest of a PQ codebook set: md5 over
-    * (j, cid, dsub, IEEE-754 bits) in (j, cid) order — the provenance
-    * that binds persisted CODES to the codebook that wrote them. */
-  private[operators] def pqFingerprint(model: PQModel): String = {
+    * (j, cid, dsub, IEEE-754 bits) in (j, cid) order, plus the
+    * residual mode and its coarse-quantizer fingerprint — the
+    * provenance that binds persisted CODES to the codebook AND the
+    * subtraction convention that wrote them (a raw and a residual
+    * model must never fingerprint-equal: their codes mean different
+    * things at ADC time). */
+  private[graft] def pqFingerprint(model: PQModel): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(8)
     model.codebooks.zipWithIndex.foreach { case (book, j) =>
@@ -936,6 +1119,10 @@ object Similarity {
           md.update(buf.array(), 0, 8)
         }
       }
+    }
+    model.residualTo.foreach { rt =>
+      md.update("residual:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(rt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     md.digest().map(b => f"${b & 0xff}%02x").mkString
   }
@@ -985,12 +1172,12 @@ object Similarity {
                       cents: KMeans.Centroids, model: PQModel,
                       path: String): Unit = {
     TopKAgg.requireLongCastableId(corpus, idCol, "Similarity.buildIvfPqIndex")
-    encodePQ(
+    encodeForIndex(
       KMeans.assign(
         corpus.select(col(idCol).cast("long").as("id"),
           VectorOps.toDouble(col(vecCol)).as("__v")),
         "__v", cents, outCol = "cell"),
-      "__v", model, outCol = "codes")
+      "__v", "cell", cents, model, outCol = "codes")
       .select("id", "codes", "cell")
       // static overwrite FORCED per-write (ADVICE r13): under a
       // dynamic session conf a rebuild would keep stale cells encoded
@@ -1039,9 +1226,9 @@ object Similarity {
     try {
       if (requireNewIds) requireIdsNotIndexed(spark, src, path,
         "Similarity.appendIvfPqIndex", "serve duplicate rows")
-      val assigned = encodePQ(
+      val assigned = encodeForIndex(
         KMeans.assign(src, "__v", cents, outCol = "cell"),
-        "__v", model, outCol = "codes")
+        "__v", "cell", cents, model, outCol = "codes")
         .select("id", "codes", "cell")
       assigned.write.partitionBy("cell").mode("append").parquet(path)
       writeIvfPqMeta(spark, path, prevRows + src.count(), cents, model)
@@ -1165,6 +1352,17 @@ object Similarity {
       s"stale IVF-PQ index at $indexPath: the PQ codebook passed to the query " +
         "does not match the one the codes were written with — ADC over " +
         "foreign codes is silently wrong; rebuild or load the paired codebook")
+    // belt-and-braces for hand-assembled metas: a residual codebook's
+    // stored quantizer fingerprint must be the index's own (build
+    // enforces this transitively through encodeForIndex + the two
+    // checks above, but a forged meta should fail HERE, with the
+    // residual diagnosis, not downstream as wrong neighbors)
+    model.residualTo.foreach { rt =>
+      require(rt == fp,
+        s"stale IVF-PQ index at $indexPath: the residual PQ codebook is " +
+          "paired with a different coarse quantizer than the index's — " +
+          "query residuals would subtract the wrong centroids; rebuild")
+    }
     if (verifyRows) {
       val actual = spark.read.parquet(indexPath).count()
       require(actual == metaRows,
@@ -1181,7 +1379,7 @@ object Similarity {
                        maxProbes: Int = 10000): DataFrame = {
     TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.ivfPqTopKIndexed")
     requireFreshIvfPqIndex(spark, indexPath, cents, model, verifyRows)
-    val pinned = boundedProbes(probes, maxProbes, pqProbeBytes(model),
+    val pinned = boundedProbes(probes, maxProbes, ivfPqProbeBytes(model, nprobe),
       "Similarity.ivfPqTopKIndexed")
     ivfPqTopKIndexedPinned(spark, indexPath, pinned, probeIdCol, probeVecCol,
       cents, model, nprobe, k)
@@ -1205,18 +1403,17 @@ object Similarity {
     val pvecs = pinned.select(col(probeIdCol).cast("long").as("probe_id"),
       VectorOps.toDouble(col(probeVecCol)).as("__pv"))
     val pr = pvecs.collect()
-    val probeCells: Seq[(Long, Int)] = pr.toSeq.flatMap { r =>
-      val pv = r.getSeq[Double](1).toArray
-      nearestCells(pv, cents, nprobe).map(c => (r.getLong(0), c))
-    }
-    val cells = probeCells.map(_._2).distinct
-    import spark.implicits._
-    val pc = probeCells.toDF("probe_id", "cell")
-    spark.read.parquet(indexPath)
+    // residual mode: the pruning relation carries the per-(probe,
+    // cell) query residual and the raw-vector join is skipped — see
+    // probeCellsDF
+    val (pc, cells) = probeCellsDF(spark, pr, cents, nprobe, model, "cell")
+    val cand = spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells: _*)) // static partition pruning
       .join(broadcast(pc), "cell")
       .filter(col("id") =!= col("probe_id"))
-      .join(broadcast(pvecs), "probe_id")
+    val withPv = if (model.residual) cand
+      else cand.join(broadcast(pvecs), "probe_id")
+    withPv
       .select(col("probe_id"), col("id").as("__id"),
         adcDist(col("codes"), col("__pv"), model).as("__d"))
       .groupBy("probe_id")
@@ -1252,7 +1449,7 @@ object Similarity {
     TopKAgg.requireLongCastableId(probes, probeIdCol,
       "Similarity.ivfPqTopKIndexedRerank")
     requireFreshIvfPqIndex(spark, indexPath, cents, model, verifyRows)
-    val pinned = boundedProbes(probes, maxProbes, pqProbeBytes(model),
+    val pinned = boundedProbes(probes, maxProbes, ivfPqProbeBytes(model, nprobe),
       "Similarity.ivfPqTopKIndexedRerank")
     val short = ivfPqTopKIndexedPinned(spark, indexPath, pinned,
       probeIdCol, probeVecCol, cents, model, nprobe, shortlist)
@@ -1320,12 +1517,23 @@ object Similarity {
     val rankedCells = slice(array_sort(transform(centsL, c => struct(
       sqrt(VectorOps.sqDist(col("__pv"), c.getField("_2"))).as("d"),
       c.getField("_1").as("cid")))), 1, nprobe)
-    val probed = probes
+    val exploded = probes
       .select(col(probeIdCol).cast("long").as("probe_id"),
         VectorOps.toDouble(col(probeVecCol)).as("__pv"))
       .select(col("probe_id"), col("__pv"),
         explode(rankedCells).as("__pc"))
       .select(col("probe_id"), col("__pv"), col("__pc.cid").as("cell"))
+    // residual mode: replace the probe vector with the per-(probe,
+    // cell) query residual q − c(cell) BEFORE the index join — one
+    // native subtraction per (probe, cell) row, probes × nprobe of
+    // them, never per candidate; bit-identical doubles to the batch
+    // serve's driver-side subtraction (IEEE a − b is deterministic
+    // everywhere), so the completed sink still equals ivfPqTopKIndexed
+    // over the fed probes row for row.
+    val probed = if (!model.residual) exploded
+      else exploded.select(col("probe_id"),
+        cellResidualCol(col("__pv"), col("cell"), cents).as("__pv"),
+        col("cell"))
     val idx = spark.read.parquet(indexPath).select("id", "cell", "codes")
     probed.join(idx, Seq("cell"))
       .filter(col("id") =!= col("probe_id"))

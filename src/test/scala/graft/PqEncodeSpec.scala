@@ -164,4 +164,134 @@ class PqEncodeSpec extends AnyFunSuite {
     assert(encPlan() == encPlan(),
       "two identical vanished-cid encode plans must canonicalize equal")
   }
+
+  // ── Residual PQ (IVF-ADC proper — VERDICT r15 item 1) ────────────
+
+  test("cellResidual kernel == HOF twin bit-for-bit on valid input; nulls on malformed") {
+    val cents: KMeans.Centroids = Array(
+      1 -> Array(1.0, 2.0, 3.0), 3 -> Array(-0.5, 0.25, 7.0),
+      7 -> Array(0.0, 0.0, 0.125))
+    val rows = Seq(
+      (1L, Seq(0.3, 0.7, -2.5), 1), (2L, Seq(10.0, -1.0, 0.5), 3),
+      (3L, Seq(0.1, 0.2, 0.3), 7), (4L, Seq(-4.0, 5.5, 6.25), 1))
+    val df = rows.toDF("id", "v", "cell")
+    def collectRes(c: org.apache.spark.sql.Column) =
+      df.select($"id", c.as("r")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val nat = collectRes(graft.functions.VectorKernels.cellResidualCol(
+      $"v", $"cell", cents.map(_._1).sorted,
+      cents.sortBy(_._1).flatMap(_._2), 3))
+    val hof = collectRes(Similarity.cellResidualHof($"v", $"cell", cents))
+    assert(nat.nonEmpty && nat.keySet == hof.keySet)
+    nat.foreach { case (id, r) =>
+      assert(r.map(java.lang.Double.doubleToLongBits) ==
+        hof(id).map(java.lang.Double.doubleToLongBits),
+        s"residual mismatch for row $id: $r vs ${hof(id)}")
+    }
+    // malformed: wrong length, a null element, a null vector, a null
+    // cell, and an unknown cell id all NULL the kernel result (the
+    // HOF twin diverges only on the length mismatch — zip_with pads —
+    // the kernels' documented gentler contract)
+    val bad = Seq(
+      (1L, Seq(1.0, 2.0), 1),            // too short
+      (2L, null: Seq[Double], 1),        // null vector
+      (3L, Seq(1.0, 2.0, 3.0), 99))      // unknown cell
+      .toDF("id", "v", "cell")
+      .union(Seq((4L, Seq(1.0), 1)).toDF("id", "v", "cell")
+        .select($"id", array(lit(1.0), lit(null).cast("double"), lit(3.0)).as("v"), $"cell"))
+      .union(Seq((5L, Seq(1.0, 2.0, 3.0), 1)).toDF("id", "v", "cell")
+        .select($"id", $"v", lit(null).cast("int").as("cell")))
+    val got = bad.select($"id", graft.functions.VectorKernels.cellResidualCol(
+      $"v", $"cell", cents.map(_._1).sorted,
+      cents.sortBy(_._1).flatMap(_._2), 3).as("r")).collect()
+    got.foreach(r => assert(r.isNullAt(1),
+      s"malformed row ${r.getLong(0)} must null the residual"))
+  }
+
+  test("residual-vs-raw parity at nprobe=all on a lossless corpus") {
+    // 16-vector corpus, k=16, FirstK, maxIter=0: every vector is its
+    // own codeword, so quantization is lossless in BOTH modes —
+    // raw-mode adist IS the exact squared distance bit-for-bit, and
+    // residual-mode adist is (q−c)−(x−c) summed, equal up to FP
+    // cancellation (NOT bit-equal — (a−c)−(b−c) ≠ a−b in floats).
+    // With nprobe = all cells nothing is pruned, so the two modes
+    // must return the SAME neighbors in the SAME order, and residual
+    // distances must sit within 1e-9 relative of raw's exact ones.
+    val corpus = emb.orderBy("vec_id").limit(16).cache()
+    try {
+      val cents = KMeans.initCentroids(corpus, "vec_id", "embedding",
+        KMeans.FirstK(4))
+      val raw = Similarity.trainPQ(corpus, "vec_id", "embedding", d = 64,
+        m = 4, k = 16, maxIter = 0)
+      val res = Similarity.trainPQResidual(corpus, "vec_id", "embedding",
+        d = 64, cents, m = 4, k = 16, maxIter = 0)
+      assert(res.residualTo.isDefined && !raw.residual)
+      val probes = corpus.orderBy("vec_id").limit(3)
+      def serve(m: Similarity.PQModel) =
+        Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+          probes, "vec_id", "embedding", cents, m, nprobe = 4, k = 15)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3)))
+          .toMap
+      val a = serve(raw)
+      val b = serve(res)
+      assert(a.nonEmpty && a.keySet == b.keySet)
+      a.foreach { case (key, (idRaw, dRaw)) =>
+        val (idRes, dRes) = b(key)
+        assert(idRaw == idRes,
+          s"neighbor order diverged at $key: raw $idRaw vs residual $idRes")
+        assert(math.abs(dRes - dRaw) <= 1e-9 * math.max(dRaw, 1.0),
+          s"residual adist $dRes too far from exact $dRaw at $key")
+      }
+    } finally { corpus.unpersist(); () }
+  }
+
+  test("residual provenance refusals: flat pqTopK, drifted quantizer, mixed-mode append") {
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding",
+      KMeans.FirstK(4))
+    val res = Similarity.trainPQResidual(emb, "vec_id", "embedding",
+      d = 64, cents, m = 4, k = 16, maxIter = 0)
+    val probes = emb.orderBy("vec_id").limit(2)
+    // flat PQ has no coarse cell to subtract — refuse loudly
+    val codes = Similarity.encodePQ(emb, "embedding",
+      Similarity.trainPQ(emb, "vec_id", "embedding", d = 64, m = 4,
+        k = 16, maxIter = 0)).select("vec_id", "codes")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(codes, "vec_id", "codes", probes, "vec_id",
+        "embedding", res, k = 5)
+    }
+    assert(e1.getMessage.contains("residual"))
+    // building under a DIFFERENT quantizer than the codebook's —
+    // residuals would subtract the wrong centroids
+    val drifted: KMeans.Centroids = cents.map { case (cid, v) =>
+      if (cid == 1) cid -> v.map(_ + 0.25) else cid -> v }
+    val dir = java.nio.file.Files.createTempDirectory("pqres").toString
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", drifted, res,
+        s"$dir/bad")
+    }
+    assert(e2.getMessage.contains("different"))
+    // a raw model can never serve (or append to) a residual index:
+    // the fingerprint covers the mode, so the mixed-mode append is
+    // refused as a codebook mismatch
+    Similarity.buildIvfPqIndex(emb.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", cents, res, s"$dir/idx")
+    val rawSameBooks = res.copy(residualTo = None)
+    assert(Similarity.pqFingerprint(rawSameBooks) !=
+      Similarity.pqFingerprint(res),
+      "raw and residual models with identical books must never alias")
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndex(spark, emb.filter($"vec_id" % 2 =!= 0),
+        "vec_id", "embedding", rawSameBooks, s"$dir/idx")
+    }
+    assert(e3.getMessage.contains("does not match"))
+    // savePQ/loadPQ round-trips the residual provenance (v2 artifact)
+    // — fingerprint equality covers books + mode + quantizer binding
+    // bit-exactly (Centroids are Arrays, so == would be reference eq)
+    Similarity.savePQ(spark, s"$dir/pq", res)
+    val loaded = Similarity.loadPQ(spark, s"$dir/pq")
+    assert(loaded.residualTo == res.residualTo &&
+      Similarity.pqFingerprint(loaded) == Similarity.pqFingerprint(res),
+      "v2 artifact must round-trip residualTo bit-exactly")
+  }
 }
