@@ -26,6 +26,31 @@ object Bench {
     // iteration order decides which query that is (BENCH_r03's
     // q_text_stats vs r2's — same query, 5× apart).
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Host-speed canary (VERDICT r15 item 7): a fixed CPU-bound
+    // checksum loop, no Spark, timed once per run and recorded in the
+    // JSON — cross-boot host-speed shifts (three rounds of judge/
+    // builder re-adjudication: 249.6 vs 279.2 s on identical code)
+    // become arithmetic instead of essays: compare suite seconds
+    // AFTER normalizing by canary_sec. 1e9 xorshift64 steps, single-
+    // threaded — deterministic work, pure ALU, no allocation; the
+    // final value is consumed so the JIT cannot dead-code the loop.
+    // Run twice, keep the min (the first run absorbs JIT).
+    val canarySec = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0L
+        while (i < 1000000000L) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        if (x == 0L) println("[bench] canary checksum degenerate")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val s = math.min(run(), run())
+      println(s"[bench] host_canary_sec=${"%.3f".formatLocal(java.util.Locale.ROOT, s)}")
+      s
+    }
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b: iterate on specific queries
     // without paying the full suite (driver runs leave it unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -118,7 +143,7 @@ object Bench {
       case (n, Right(v)) if n.startsWith("q_stream_") => v }.sum
     val batchSec = total - streamSec
     val nErr = results.values.count(_.isLeft)
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","batch_sec":${f3(batchSec)},"streaming_sec":${f3(streamSec)},"queries":$qs,"sf":"$sfDir","errors":$nErr}"""
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","batch_sec":${f3(batchSec)},"streaming_sec":${f3(streamSec)},"canary_sec":${f3(canarySec)},"queries":$qs,"sf":"$sfDir","errors":$nErr}"""
     // Dedicated result file (VERDICT r7 item 2 / r8 item 1): the log
     // tail truncated the one-line JSON two rounds running (61/153
     // per-query entries lost at r8). The file is the durable record;

@@ -671,6 +671,63 @@ class SimilaritySpec extends AnyFunSuite {
     assert(eId.getMessage.contains("long-castable"))
   }
 
+  test("streaming ingest: foreachBatch appendIvfPqIndex maintains the index; a retried batch is refused") {
+    // VERDICT r15 item 4 — the ingest dual of the streaming serve:
+    // vectors arriving as a stream append to the persisted index via
+    // foreachBatch → appendIvfPqIndex (default-on duplicate audit),
+    // and after three micro-batches the serve must equal one batch
+    // build of the union — a lost batch, a double-applied batch, or
+    // a drifted assignment all diverge here. A RETRIED batch that
+    // had actually committed is refused by the audit, not silently
+    // double-indexed.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+      m = 4, k = 16, maxIter = 0)
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_ing").toString
+    val dir = s"$base/i"
+    Similarity.buildIvfPqIndex(emb.filter($"vec_id" % 4 === 0),
+      "vec_id", "embedding", cents, model, dir)
+    def rows(rem: Int) = emb.filter($"vec_id" % 4 === rem)
+      .select(col("vec_id").cast("long"),
+        graft.functions.VectorOps.toDouble(col("embedding")))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => StreamProbe(id, v) }
+    val source = MemoryStream[StreamProbe]
+    val q = source.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendIvfPqIndex(spark, batch, "vec_id", "embedding",
+          model, dir)
+      }
+      .start()
+    // one micro-batch per remainder class — processAllAvailable
+    // between feeds pins the batch boundary
+    try (1 to 3).foreach { r =>
+      source.addData(rows(r).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val full = s"$base/full"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model, full)
+    val probes = emb.orderBy("vec_id").limit(4)
+    def serve(p: String) = Similarity.ivfPqTopKIndexed(spark, p, probes,
+        "vec_id", "embedding", cents, model, nprobe = 2, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(serve(dir) == serve(full) && serve(dir).nonEmpty,
+      "three foreachBatch appends must serve exactly the batch build of the union")
+    // the retry: batch 1 already committed — the default-on audit
+    // refuses it instead of double-indexing its buckets
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndex(spark,
+        rows(1).toSeq.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", model, dir)
+    }
+    assert(e.getMessage.contains("already present"),
+      s"retried batch must be refused with the duplicate diagnosis: ${e.getMessage}")
+  }
+
   test("ivfPqTopKStream in residual mode equals the batch indexed serve bit-for-bit") {
     // the streaming probe-side residual (CellResidualExpr per
     // (probe, cell) row) must produce the same doubles the batch
