@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer training — the OTHER production tokenizer
+  * family (Kudo, "Subword Regularization", ACL'18; the SentencePiece
+  * unigram model), complementing BPE: instead of greedy merge rules,
+  * a VOCABULARY of scored pieces, and segmentation = the
+  * highest-probability piece sequence (Viterbi over the word's
+  * substring lattice).
+  *
+  * This is the hard-EM (Viterbi-EM) variant of Kudo's trainer, chosen
+  * for exact cross-engine replayability: the E-step segments every
+  * distinct word with the CURRENT piece probabilities (Viterbi, not
+  * lattice posteriors), the M-step recounts pieces from those hard
+  * segmentations, and pruning keeps the top `vocabSize` pieces (plus
+  * every corpus character, so coverage never breaks). All counts are
+  * exact longs; the only doubles are p = c/T (one IEEE division) and
+  * the Viterbi prefix products (left-to-right, deterministic), so the
+  * DuckDB oracle replays training end to end via a chained-CTE DP —
+  * the sqlLrChainFor pattern.
+  *
+  * Scale shape: the corpus is touched ONCE (Tokenizer.wordCounts — the
+  * only corpus-sized shuffle in training); everything after runs on
+  * the distinct-WORD table (vocabulary-sized: ~10⁵–10⁸ rows at 100 TB,
+  * distributed — never collected). Viterbi is a relational DP over
+  * word positions: round j joins the live (word, prefix) frontier
+  * against the broadcast piece vocab — maxWordLen bounded rounds of
+  * word-table-sized joins, one eager checkpoint each (the bpeTrain
+  * lineage idiom). The MODEL (vocabSize-bounded) is the only
+  * driver-resident data, exactly like K-Means centroids and PQ
+  * codebooks. Encoding joins the corpus's distinct words to their
+  * segmentation once (word-dictionary hash join) and reassembles per
+  * document — one token-stream shuffle; token/char counts per doc are
+  * exact longs. */
+object UnigramTokenizer {
+
+  /** The trained model: (piece, count) with p = count/total — bounded
+    * by vocabSize + alphabet, driver-resident like a codebook.
+    * Canonical order (count desc, piece asc) for a deterministic
+    * artifact. */
+  final case class UnigramModel(pieces: Seq[(String, Long)]) {
+    require(pieces.nonEmpty, "empty unigram vocabulary")
+    pieces.foreach { case (p, c) =>
+      require(p.nonEmpty && !p.contains(" "),
+        s"malformed piece '$p' — pieces are non-empty and never contain spaces")
+      require(c >= 1L, s"piece '$p' carries count $c — counts are >= 1")
+    }
+    require(pieces.map(_._1).distinct.length == pieces.length,
+      "duplicate pieces in unigram vocabulary")
+    val total: Long = pieces.map(_._2).sum
+  }
+
+  /** Marker piece for words with no lattice path under the frozen
+    * vocabulary (a character unseen at training time). */
+  val Unk = "<unk>"
+
+  private def vocabDF(spark: SparkSession, model: UnigramModel): DataFrame = {
+    import spark.implicits._
+    // p computed driver-side: c.toDouble / total.toDouble — the same
+    // IEEE division the oracle's CAST(c AS DOUBLE)/CAST(T AS DOUBLE)
+    // performs, so Viterbi prefix products are bit-identical
+    model.pieces.map { case (p, c) =>
+      (p, c.toDouble / model.total.toDouble)
+    }.toDF("piece", "p")
+  }
+
+  /** Seed piece counts: every substring of length 1..maxPieceLen of
+    * every distinct word, weighted by word frequency — Kudo's seed
+    * (all frequent substrings), exact integer counts. Input is the
+    * (w, cnt) word table; output is substring-space-sized (bounded by
+    * words × len × maxPieceLen), distributed. */
+  private[operators] def seedCounts(words: DataFrame, maxPieceLen: Int): DataFrame = {
+    val subs = flatten(transform(sequence(lit(1), least(length(col("w")), lit(maxPieceLen))),
+      l => transform(sequence(lit(1), length(col("w")) - l + 1),
+        i => col("w").substr(i, l))))
+    words.select(col("cnt"), explode(subs).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).cast("long").as("c"))
+  }
+
+  /** Prune a (piece, c) count table to the working vocabulary: the
+    * top `vocabSize` pieces by (c desc, piece asc), PLUS every corpus
+    * character not already kept, at coalesce(its count, 1) — coverage
+    * can never break (any word segments through characters), and the
+    * floor only engages for characters the Viterbi segmentations
+    * stopped using. One bounded TakeOrdered + one alphabet-sized
+    * left join. */
+  private def pruneVocab(counts: DataFrame, chars: DataFrame,
+                         vocabSize: Int): DataFrame = {
+    val top = counts.orderBy(col("c").desc, col("piece")).limit(vocabSize)
+    val charRows = chars.join(top.select(col("piece")), Seq("piece"), "left_anti")
+      .join(counts, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("c"), lit(1L)).as("c"))
+    top.unionByName(charRows)
+  }
+
+  /** Viterbi segmentation of a distinct-word table under a piece
+    * vocabulary: per word, the piece sequence maximizing the product
+    * of piece probabilities (prefix products left-to-right); ties
+    * break to fewer pieces, then the lexicographically smaller piece
+    * string — a total, engine-replayable order. Relational DP: round
+    * j extends every surviving prefix of length i in [j−L, j) by the
+    * piece substring(w, i+1, j−i), keeps the best row per (word,
+    * position) — so the frontier never exceeds the word table's size
+    * — and eagerly checkpoints (the bpeTrain lineage idiom). Words
+    * with NO path (an unseen character) fall back to one `Unk` piece.
+    * Output: (w, pieces, np). */
+  private[operators] def segmentWords(words: DataFrame, vocab: DataFrame,
+                                      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val spark = words.sparkSession
+    val w = words.select(col("w")).distinct().localCheckpoint()
+    val mxRow = w.agg(max(length(col("w")))).collect()(0)
+    if (mxRow.isNullAt(0)) return w.select(col("w"),
+      lit("").as("pieces"), lit(0L).as("np"))
+    val maxLen = mxRow.getInt(0)
+    require(maxLen <= maxWordLen,
+      s"UnigramTokenizer: a word of length $maxLen exceeds maxWordLen=" +
+        s"$maxWordLen — the Viterbi lattice is bounded by design; raise " +
+        "maxWordLen or pre-split pathological tokens upstream")
+    val v = broadcast(vocab.select(col("piece"), col("p")))
+    val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // dps(i): best prefix of length i per word — (w, prob, np, pieces)
+    val dps = scala.collection.mutable.Map[Int, DataFrame](
+      0 -> w.select(col("w"), lit(1.0).as("prob"), lit(0L).as("np"),
+        lit("").as("pieces")))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+      .orderBy(col("prob").desc, col("np"), col("pieces"))
+    for (j <- 1 to maxLen) {
+      val cands = (math.max(0, j - maxPieceLen) until j).flatMap { i =>
+        dps.get(i).map { dp =>
+          dp.filter(length(col("w")) >= j)
+            .select(col("w"), col("prob"), col("np"), col("pieces"),
+              col("w").substr(i + 1, j - i).as("piece"))
+        }
+      }
+      if (cands.nonEmpty) {
+        val extended = cands.reduce(_ unionByName _)
+          .join(v, "piece")
+          .select(col("w"), (col("prob") * col("p")).as("prob"),
+            (col("np") + 1L).as("np"),
+            when(col("pieces") === "", col("piece"))
+              .otherwise(concat(col("pieces"), lit(" "), col("piece")))
+              .as("pieces"))
+        val best = extended
+          .withColumn("__rn", row_number().over(win))
+          .filter(col("__rn") === 1).drop("__rn")
+          .localCheckpoint()
+        dps(j) = best
+        bests += best.filter(length(col("w")) === j)
+          .select(col("w"), col("pieces"), col("np"))
+      }
+    }
+    val segmented =
+      if (bests.isEmpty) w.select(col("w"), lit("").as("pieces"), lit(0L).as("np"))
+        .limit(0)
+      else bests.reduce(_ unionByName _)
+    // UNK fallback: a word with no lattice path segments to one <unk>
+    val unk = w.join(segmented.select(col("w")), Seq("w"), "left_anti")
+      .select(col("w"), lit(Unk).as("pieces"), lit(1L).as("np"))
+    segmented.unionByName(unk)
+  }
+
+  /** Train a unigram-LM vocabulary: seed with all frequent substrings
+    * (top 4·vocabSize + characters), then `rounds` hard-EM rounds —
+    * Viterbi-segment every distinct word, recount pieces from the
+    * segmentations, prune to vocabSize + characters. Returns the
+    * model (vocabSize-bounded driver data, like bpeTrain's merges). */
+  def train(df: DataFrame, textCol: String, vocabSize: Int,
+            rounds: Int = 1, maxPieceLen: Int = 4,
+            maxWordLen: Int = 32): UnigramModel = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(rounds >= 1 && rounds <= 10, s"rounds must be in [1, 10], got $rounds")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val spark = df.sparkSession
+    val words = Tokenizer.wordCounts(df, textCol).localCheckpoint()
+    val chars = words.select(explode(split(col("w"), "")).as("piece"))
+      .filter(length(col("piece")) === 1).distinct().localCheckpoint()
+    def collectModel(vocab: DataFrame): UnigramModel =
+      UnigramModel(vocab.orderBy(col("c").desc, col("piece")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // seed keeps 4·vocabSize pieces (Kudo seeds several times the
+    // target and lets EM + pruning pick) + characters
+    var model = collectModel(pruneVocab(
+      seedCounts(words, maxPieceLen), chars, vocabSize * 4))
+    (1 to rounds).foreach { _ =>
+      val seg = segmentWords(words, vocabDF(spark, model),
+        maxPieceLen, maxWordLen)
+      val recount = seg.filter(col("pieces") =!= Unk)
+        .join(words, "w")
+        .select(col("cnt"), explode(split(col("pieces"), " ")).as("piece"))
+        .groupBy("piece").agg(sum(col("cnt")).cast("long").as("c"))
+      model = collectModel(pruneVocab(recount, chars, vocabSize))
+    }
+    model
+  }
+
+  /** Segment a corpus with a frozen model: the corpus's distinct
+    * words Viterbi-segment ONCE (word-dictionary-sized DP), then one
+    * hash join maps every word occurrence to its pieces and one
+    * grouped reassembly rebuilds the per-document stream in word
+    * order. Unknown-character words become one `Unk` piece. Output:
+    * (idCol, unigram, n_pieces) — empty docs carry ("", 0). */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             model: UnigramModel, maxPieceLen: Int = 4,
+             maxWordLen: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val tokens = df.select(col(idCol),
+      posexplode(filter(split(col(textCol), " "), w => length(w) > 0))
+        .as(Seq("__pos", "w")))
+    val seg = segmentWords(tokens.select(col("w")).distinct(),
+      vocabDF(spark, model), maxPieceLen, maxWordLen)
+    val perDoc = tokens.join(seg, "w")
+      .groupBy(col(idCol)).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("pieces")))),
+          s => s.getField("pieces")), " ").as("unigram"),
+        sum(col("np")).cast("long").as("n_pieces"))
+    // distinct anchor: empty/NULL-text docs keep a row (the oovRate
+    // convention), one row per distinct id
+    df.select(col(idCol)).distinct().join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("unigram"), lit("")).as("unigram"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
+  /** Unigram artifact format version; bumped on any schema change so
+    * a loader refuses an artifact it does not understand. */
+  val UnigramFormatVersion = 1
+
+  /** Persists a unigram vocabulary as a versioned parquet artifact —
+    * the saveBpe discipline: pieces land under `pieces/`; ONE meta
+    * row (version, piece count, total) lands LAST as the commit
+    * marker. Segmentation is a pure function of the (piece, count)
+    * SET, so no ordering is stored; load returns canonical order. */
+  def saveUnigram(spark: SparkSession, path: String, model: UnigramModel): Unit = {
+    import spark.implicits._
+    model.pieces.toDF("piece", "c")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/pieces")
+    Seq((UnigramFormatVersion, model.pieces.length.toLong, model.total))
+      .toDF("version", "n_pieces", "total")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Loads a `saveUnigram` artifact, refusing loudly on: wrong meta
+    * row count, unknown version, a piece row count or total that
+    * disagrees with the meta (partial/duplicated write), duplicate or
+    * malformed pieces, or non-positive counts — a drifted vocabulary
+    * segments DIFFERENTLY, silently corrupting every downstream token
+    * count. */
+  def loadUnigram(spark: SparkSession, path: String): UnigramModel = {
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.length == 1,
+      s"unigram meta at $path has ${metaRows.length} rows, expected exactly 1")
+    val version = metaRows(0).getAs[Int]("version")
+    require(version == UnigramFormatVersion,
+      s"unigram artifact version $version at $path; this build reads " +
+        s"$UnigramFormatVersion")
+    val n = metaRows(0).getAs[Long]("n_pieces")
+    val total = metaRows(0).getAs[Long]("total")
+    val rows = spark.read.parquet(s"$path/pieces").collect()
+    require(rows.length.toLong == n,
+      s"unigram pieces at $path have ${rows.length} rows but the meta says " +
+        s"$n — partial or duplicated write, refusing to serve")
+    val model = UnigramModel(rows
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("c")))
+      .sortBy { case (p, c) => (-c, p) }.toSeq)
+    require(model.total == total,
+      s"unigram pieces at $path sum to ${model.total} but the meta says " +
+        s"$total — corrupt artifact, refusing to serve")
+    model
+  }
+}

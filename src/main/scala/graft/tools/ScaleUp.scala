@@ -95,18 +95,80 @@ object ScaleUp {
     out(replicated("events")(shift("events")(_, _, "event_id", "user_id")), "events")
 
     out(replicated("documents") { (df, r) =>
-      val d = shift("documents")(df, r, "doc_id")
-      if (r == 0) d
-      else d.withColumn("text",
-        array_join(transform(split(col("text"), " "),
-          t => concat(lit(s"r$r"), t)), " "))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+      if (r == 0) checkKeys(df, "documents", Seq("doc_id"))
+      documentsReplica(df, r)
     }, "documents")
 
     out(replicated("embeddings") { (df, r) =>
       if (r == 0) checkKeys(df, "embeddings", Seq("vec_id"))
       embeddingsReplica(df, r)
     }, "embeddings")
+  }
+
+  /** Replica r of a documents table: doc_id shifts by r·10⁷ and every
+    * token gets a per-replica prefix — every shingle becomes
+    * replica-unique (zero cross-replica MinHash/winnow collisions)
+    * while within-replica near-dup structure is preserved verbatim.
+    * Shared with DedupStress, which scales ONLY this table.
+    * Key-collision checking (doc_id < 10⁷) is the caller's. */
+  def documentsReplica(df: DataFrame, r: Int): DataFrame = {
+    val d = df.withColumn("doc_id", col("doc_id") + lit(r * KeyShift))
+    if (r == 0) d
+    else d.withColumn("text",
+      array_join(transform(split(col("text"), " "),
+        t => concat(lit(s"r$r"), t)), " "))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** Planted-neighborhood embeddings corpus (VERDICT r15 item 2):
+    * `clusters` Gaussian neighborhoods of n/clusters members each —
+    * member = center + σ·noise — so ANN recall has a MEANINGFUL
+    * target (a member's true neighbors are its cluster siblings)
+    * instead of the distance-concentration floor the sign-isometry
+    * replicas produce on near-random geometry (stress recall 0.07 at
+    * r15 needed an adjudication essay; on a planted corpus it is a
+    * regression-detectable number).
+    *
+    * Determinism without layout dependence: centers are a driver-
+    * built table (center_j = 4·sin((c·64+j+1)·12.9898) — the repo's
+    * sin-hash idiom, values in [-4, 4]); per-(vec, dim) noise is
+    * Box-Muller over two 32-bit uniforms cut from ONE md5 of
+    * (vec_id, dim) — the established md5-determinism pattern
+    * (hyperplanes, splits), so the corpus is a pure function of
+    * (n, clusters, sigma), identical at any partitioning, no RNG
+    * state anywhere. Geometry: E‖c_a − c_b‖ ≈ 32 between centers vs
+    * ≈ σ·√128 within a cluster — σ=2 puts siblings at ~16, centers
+    * at ~32: separated but not trivially (codebooks must resolve
+    * within-cluster structure, which is exactly what residual PQ is
+    * for). Schema matches the driver's embeddings table:
+    * (vec_id long, embedding array<float>, label int = cluster % 10). */
+  def plantedEmbeddings(spark: SparkSession, n: Long, clusters: Int,
+                        sigma: Double): DataFrame = {
+    require(n > 0 && clusters > 0 && clusters <= n,
+      s"need 0 < clusters=$clusters <= n=$n")
+    require(sigma > 0.0, s"sigma must be positive, got $sigma")
+    import spark.implicits._
+    val centers = (0 until clusters).map { c =>
+      (c, Seq.tabulate(64)(j => 4.0 * math.sin((c * 64 + j + 1) * 12.9898)))
+    }.toDF("__cluster", "__center")
+    val noise = transform(sequence(lit(0), lit(63)), j => {
+      val h = md5(concat_ws("_", col("vec_id"), j, lit("planted")))
+      // (0, 1] for u1 (log-safe), [0, 1) for u2 — both exact integer
+      // / 2^32 arithmetic, engine-independent
+      val u1 = (conv(substring(h, 1, 8), 16, 10).cast("long") + 1.0) /
+        lit(4294967296.0)
+      val u2 = conv(substring(h, 9, 8), 16, 10).cast("long") /
+        lit(4294967296.0)
+      sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+    })
+    spark.range(n)
+      .select(col("id").as("vec_id"),
+        (col("id") % clusters).cast("int").as("__cluster"))
+      .join(broadcast(centers), "__cluster")
+      .select(col("vec_id"),
+        zip_with(col("__center"), noise,
+          (c, g) => (c + lit(sigma) * g).cast("float")).as("embedding"),
+        (col("__cluster") % 10).cast("int").as("label"))
   }
 
   /** Replica r of an embeddings table: vec_id shifts by r·10⁷ and the

@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.UnigramTokenizer
+
+/** Unigram-LM tokenizer (Kudo ACL'18, hard-EM variant): hand-computed
+  * seed counts, one EM round, Viterbi segmentation with the (prob,
+  * fewer-pieces, lexicographic) tie-break, UNK fallback, bounded-
+  * lattice refusal, and the artifact round trip with its refusals. */
+class UnigramTokenizerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("train: hand-checked seed + one hard-EM round") {
+    // corpus: "aa" ×3, "ab" ×1.
+    // seed (substrings weighted by word count): a=7, aa=3, ab=1, b=1;
+    // T=12. Viterbi under seed: "aa" → [a a] (49/144 ≈ 0.340 beats
+    // [aa] 0.25 — two frequent singles outscore one mid piece);
+    // "ab" → [ab] (1/12 beats 7/144). Recount: a=6 (from the three
+    // "aa"), ab=1; char b fell out of use → kept at the count-1
+    // coverage floor. Canonical order (c desc, piece asc).
+    val docs = Seq((1L, "aa aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    val model = UnigramTokenizer.train(docs, "text", vocabSize = 10,
+      rounds = 1, maxPieceLen = 4, maxWordLen = 8)
+    assert(model.pieces == Seq(("a", 6L), ("ab", 1L), ("b", 1L)),
+      s"got ${model.pieces}")
+    assert(model.total == 8L)
+  }
+
+  test("encode: per-doc reassembly in word order; empty docs kept; UNK fallback") {
+    val train = Seq((1L, "aa aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    val model = UnigramTokenizer.train(train, "text", vocabSize = 10,
+      rounds = 1, maxPieceLen = 4, maxWordLen = 8)
+    // under the trained model (a=6/8, ab=1/8, b=1/8):
+    // "aa" → [a a] (0.5625); "ab" → [ab] (0.125 beats 0.09375);
+    // "xz" carries unseen chars → one <unk>; "" keeps its row
+    val docs = Seq((1L, "aa ab"), (2L, "xz aa"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = UnigramTokenizer.encode(docs, "doc_id", "text", model,
+      maxPieceLen = 4, maxWordLen = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("a a ab", 3L)), s"got ${got(1L)}")
+    assert(got(2L) == ((s"${UnigramTokenizer.Unk} a a", 3L)), s"got ${got(2L)}")
+    assert(got(3L) == (("", 0L)))
+    assert(got(4L) == (("", 0L)))
+    assert(got.size == 4)
+  }
+
+  test("Viterbi tie-breaks: equal probability resolves to fewer pieces, then lexicographic") {
+    // vocab where "cd" and "c","d" tie exactly: p(cd) = p(c)·p(d)
+    // requires counts c_cd·T = c_c·c_d — use c=4, d=4, cd=1, x=7 →
+    // T=16: p(cd)=1/16, p(c)p(d)=(4/16)(4/16)=1/16. EXACT in doubles
+    // (powers of two). Fewer pieces wins → "cd".
+    val model = UnigramTokenizer.UnigramModel(
+      Seq(("x", 7L), ("c", 4L), ("d", 4L), ("cd", 1L)))
+    val docs = Seq((1L, "cd")).toDF("doc_id", "text")
+    val got = UnigramTokenizer.encode(docs, "doc_id", "text", model,
+      maxPieceLen = 4, maxWordLen = 8).collect()(0)
+    assert(got.getString(1) == "cd" && got.getLong(2) == 1L,
+      s"np tie must break to fewer pieces: ${got.getString(1)}")
+    // equal prob AND equal piece count: lexicographically smaller
+    // pieces string wins — "ac" vs segmentations of "aca" with
+    // p(a)=p(c): [a ca] vs [ac a] have equal prob and np → "a ca"
+    val m2 = UnigramTokenizer.UnigramModel(
+      Seq(("a", 4L), ("c", 4L), ("ac", 2L), ("ca", 2L), ("z", 4L)))
+    val d2 = Seq((1L, "aca")).toDF("doc_id", "text")
+    val g2 = UnigramTokenizer.encode(d2, "doc_id", "text", m2,
+      maxPieceLen = 4, maxWordLen = 8).collect()(0)
+    assert(g2.getString(1) == "a ca",
+      s"lexicographic tie-break: ${g2.getString(1)}")
+  }
+
+  test("bounded lattice: a word past maxWordLen refuses loudly") {
+    val model = UnigramTokenizer.UnigramModel(Seq(("a", 1L)))
+    val docs = Seq((1L, "a" * 20)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      UnigramTokenizer.encode(docs, "doc_id", "text", model,
+        maxPieceLen = 4, maxWordLen = 8).collect()
+    }
+    assert(e.getMessage.contains("maxWordLen"))
+  }
+
+  test("saveUnigram/loadUnigram: canonical round trip; drifted artifacts refused") {
+    val train = Seq((1L, "aa aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    val model = UnigramTokenizer.train(train, "text", vocabSize = 10,
+      rounds = 1, maxPieceLen = 4, maxWordLen = 8)
+    val path = java.nio.file.Files.createTempDirectory("unigram").toString + "/v"
+    UnigramTokenizer.saveUnigram(spark, path, model)
+    val loaded = UnigramTokenizer.loadUnigram(spark, path)
+    assert(loaded.pieces == model.pieces && loaded.total == model.total)
+    // wrong version refused
+    val vPath = path + "_v"
+    spark.read.parquet(s"$path/pieces").write.parquet(s"$vPath/pieces")
+    spark.read.parquet(s"$path/meta")
+      .withColumn("version", lit(99)).write.parquet(s"$vPath/meta")
+    val e1 = intercept[IllegalArgumentException] {
+      UnigramTokenizer.loadUnigram(spark, vPath) }
+    assert(e1.getMessage.contains("version"))
+    // partial pieces write refused (row count vs meta)
+    val pPath = path + "_p"
+    spark.read.parquet(s"$path/pieces").limit(1).write.parquet(s"$pPath/pieces")
+    spark.read.parquet(s"$path/meta").write.parquet(s"$pPath/meta")
+    val e2 = intercept[IllegalArgumentException] {
+      UnigramTokenizer.loadUnigram(spark, pPath) }
+    assert(e2.getMessage.contains("rows"))
+    // a count-drifted artifact refused (total vs meta) — a drifted
+    // probability table segments DIFFERENTLY, silently
+    val tPath = path + "_t"
+    spark.read.parquet(s"$path/pieces")
+      .withColumn("c", col("c") + 1L).write.parquet(s"$tPath/pieces")
+    spark.read.parquet(s"$path/meta").write.parquet(s"$tPath/meta")
+    val e3 = intercept[IllegalArgumentException] {
+      UnigramTokenizer.loadUnigram(spark, tPath) }
+    assert(e3.getMessage.contains("total") || e3.getMessage.contains("sum"))
+    // malformed model refused at construction
+    intercept[IllegalArgumentException] {
+      UnigramTokenizer.UnigramModel(Seq(("a b", 1L)))
+    }
+    intercept[IllegalArgumentException] {
+      UnigramTokenizer.UnigramModel(Seq(("a", 0L)))
+    }
+    intercept[IllegalArgumentException] {
+      UnigramTokenizer.UnigramModel(Seq(("a", 1L), ("a", 2L)))
+    }
+  }
+}
