@@ -213,6 +213,20 @@ private[graft] object EntryHelpers {
         .toSeq
     }
 
+  /** The gate unigram-LM vocabulary (vocabSize=60, rounds=1, L=4,
+    * maxWordLen=16) — the bpeMerges6 convention: encode rows time
+    * ENCODING, not training; q_unigram_train is the row that times
+    * training. The memo holds the collected model — driver-side
+    * metadata (vocabSize-bounded), not a plan. */
+  val unigramModelMemo =
+    new SessionMemo[graft.operators.UnigramTokenizer.UnigramModel]
+  def unigramModel60(s: SparkSession, dir: String)
+      : graft.operators.UnigramTokenizer.UnigramModel =
+    unigramModelMemo.getOrElseUpdate(s, dir) {
+      graft.operators.UnigramTokenizer.train(Tables(s, dir, "documents"),
+        "text", vocabSize = 60, rounds = 1, maxPieceLen = 4, maxWordLen = 16)
+    }
+
   /** Queries that open with a shared warmable fixture — Bench warms
     * the relevant ones outside the timed region iff selected. */
   val pairFixtureQueries: Set[String] = Set(
@@ -222,6 +236,9 @@ private[graft] object EntryHelpers {
     "q_ppr", "q_comp_sizes", "q_closeness")
   val bpeFixtureQueries: Set[String] = Set(
     "q_bpe_encode", "q_bpe_compression", "q_bpe_persist")
+  // q_unigram_train is deliberately NOT listed — it times training
+  val unigramFixtureQueries: Set[String] =
+    Set("q_unigram_encode", "q_unigram_persist")
   // Trained-model fixtures: q_lr_train / q_nb_train / q_lr_holdout
   // are deliberately NOT listed — they are the rows that time
   // training. The name sets live HERE (not in EntryVector) because
@@ -241,13 +258,14 @@ private[graft] object EntryHelpers {
   val nbMcFixtureQueries: Set[String] =
     Set("q_nb_classes", "q_nb_predict", "q_nbmc_persist")
   val sharedFixtureQueries: Set[String] =
-    pairFixtureQueries ++ bpeFixtureQueries ++
+    pairFixtureQueries ++ bpeFixtureQueries ++ unigramFixtureQueries ++
       lrFixtureQueries ++ nbFixtureQueries ++ nbMcFixtureQueries
 
   def warmSharedFixtures(s: SparkSession, dir: String,
                          selected: Set[String] = sharedFixtureQueries): Unit = {
     if (selected.exists(pairFixtureQueries)) { nearDupPairs05(s, dir); () }
     if (selected.exists(bpeFixtureQueries)) { bpeMerges6(s, dir); () }
+    if (selected.exists(unigramFixtureQueries)) { unigramModel60(s, dir); () }
     if (selected.exists(lrFixtureQueries)) {
       EntryVector.lrModelShared(s, dir); ()
     }

@@ -397,11 +397,8 @@ private[graft] object EntryText {
     // probabilities are the frozen model's c/T — so the oracle's DP
     // replay is bit-identical.
     "q_unigram_encode" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val model = UnigramTokenizer.train(docs, "text",
-        vocabSize = 60, rounds = 1, maxPieceLen = 4, maxWordLen = 16)
-      UnigramTokenizer.encode(docs, "doc_id", "text", model,
-        maxPieceLen = 4, maxWordLen = 16)
+      UnigramTokenizer.encode(Tables(s, dir, "documents"), "doc_id", "text",
+        unigramModel60(s, dir), maxPieceLen = 4, maxWordLen = 16)
     }),
 
 
@@ -413,12 +410,9 @@ private[graft] object EntryText {
     // = q_unigram_encode verbatim: any artifact fidelity loss
     // segments differently and hash-mismatches.
     "q_unigram_persist" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val model = UnigramTokenizer.train(docs, "text",
-        vocabSize = 60, rounds = 1, maxPieceLen = 4, maxWordLen = 16)
       val path = sessionTmpDir(s, "unigram_vocab", dir)
-      UnigramTokenizer.saveUnigram(s, path, model)
-      UnigramTokenizer.encode(docs, "doc_id", "text",
+      UnigramTokenizer.saveUnigram(s, path, unigramModel60(s, dir))
+      UnigramTokenizer.encode(Tables(s, dir, "documents"), "doc_id", "text",
         UnigramTokenizer.loadUnigram(s, path),
         maxPieceLen = 4, maxWordLen = 16)
     }),
