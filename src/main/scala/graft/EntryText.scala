@@ -398,7 +398,7 @@ private[graft] object EntryText {
     // replay is bit-identical.
     "q_unigram_encode" -> ((s, dir) => {
       UnigramTokenizer.encode(Tables(s, dir, "documents"), "doc_id", "text",
-        unigramModel60(s, dir), maxPieceLen = 4, maxWordLen = 16)
+        unigramModel60(s, dir), maxWordLen = 16)
     }),
 
 
@@ -413,8 +413,7 @@ private[graft] object EntryText {
       val path = sessionTmpDir(s, "unigram_vocab", dir)
       UnigramTokenizer.saveUnigram(s, path, unigramModel60(s, dir))
       UnigramTokenizer.encode(Tables(s, dir, "documents"), "doc_id", "text",
-        UnigramTokenizer.loadUnigram(s, path),
-        maxPieceLen = 4, maxWordLen = 16)
+        UnigramTokenizer.loadUnigram(s, path), maxWordLen = 16)
     }),
 
 

@@ -50,6 +50,10 @@ object UnigramTokenizer {
     require(pieces.map(_._1).distinct.length == pieces.length,
       "duplicate pieces in unigram vocabulary")
     val total: Long = pieces.map(_._2).sum
+    /** The Viterbi lattice window this model needs — its own longest
+      * piece; anything wider wastes DP rounds, anything narrower
+      * silently never uses the long pieces. */
+    val maxPieceLen: Int = pieces.map(_._1.length).max
   }
 
   /** Marker piece for words with no lattice path under the frozen
@@ -103,7 +107,11 @@ object UnigramTokenizer {
     * j extends every surviving prefix of length i in [j−L, j) by the
     * piece substring(w, i+1, j−i), keeps the best row per (word,
     * position) — so the frontier never exceeds the word table's size
-    * — and eagerly checkpoints (the bpeTrain lineage idiom). Words
+    * — and eagerly checkpoints (the bpeTrain lineage idiom). Per-round
+    * cost: one broadcast join against the vocab + ONE keyed exchange
+    * (the best-per-word window) over the ≤L-way-extended frontier —
+    * maxWordLen rounds of word-table-sized shuffles, never
+    * corpus-sized. Words
     * with NO path (an unseen character) fall back to one `Unk` piece.
     * Output: (w, pieces, np). */
   private[operators] def segmentWords(words: DataFrame, vocab: DataFrame,
@@ -185,7 +193,7 @@ object UnigramTokenizer {
       seedCounts(words, maxPieceLen), chars, vocabSize * 4))
     (1 to rounds).foreach { _ =>
       val seg = segmentWords(words, vocabDF(spark, model),
-        maxPieceLen, maxWordLen)
+        model.maxPieceLen, maxWordLen)
       val recount = seg.filter(col("pieces") =!= Unk)
         .join(words, "w")
         .select(col("cnt"), explode(split(col("pieces"), " ")).as("piece"))
@@ -199,17 +207,20 @@ object UnigramTokenizer {
     * words Viterbi-segment ONCE (word-dictionary-sized DP), then one
     * hash join maps every word occurrence to its pieces and one
     * grouped reassembly rebuilds the per-document stream in word
-    * order. Unknown-character words become one `Unk` piece. Output:
-    * (idCol, unigram, n_pieces) — empty docs carry ("", 0). */
+    * order. The lattice window derives from the MODEL's own longest
+    * piece — a caller-supplied window that undershot it would
+    * silently never use the longer pieces, segmenting differently
+    * than the trainer did (review r16). Unknown-character words
+    * become one `Unk` piece. Output: (idCol, unigram, n_pieces) —
+    * empty docs carry ("", 0). */
   def encode(df: DataFrame, idCol: String, textCol: String,
-             model: UnigramModel, maxPieceLen: Int = 4,
-             maxWordLen: Int = 32): DataFrame = {
+             model: UnigramModel, maxWordLen: Int = 32): DataFrame = {
     val spark = df.sparkSession
     val tokens = df.select(col(idCol),
       posexplode(filter(split(col(textCol), " "), w => length(w) > 0))
         .as(Seq("__pos", "w")))
     val seg = segmentWords(tokens.select(col("w")).distinct(),
-      vocabDF(spark, model), maxPieceLen, maxWordLen)
+      vocabDF(spark, model), model.maxPieceLen, maxWordLen)
     val perDoc = tokens.join(seg, "w")
       .groupBy(col(idCol)).agg(
         array_join(transform(

@@ -728,6 +728,50 @@ class SimilaritySpec extends AnyFunSuite {
       s"retried batch must be refused with the duplicate diagnosis: ${e.getMessage}")
   }
 
+  test("residual indexed serve: in-memory parity, partition pruning intact, no raw-vector join") {
+    // the residual rewrite must not cost the disk-side shape: the
+    // cell IN (...) predicate still reaches the scan as a static
+    // partition filter, and the serve carries the per-(probe, cell)
+    // residual INSIDE the pruning broadcast instead of adding a
+    // second probe-vector join
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val model = Similarity.trainPQResidual(emb, "vec_id", "embedding",
+      d = 64, cents, m = 4, k = 16, maxIter = 0)
+    val probes = emb.orderBy("vec_id").limit(3)
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_resp").toString
+    val dir = s"$base/i"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model, dir)
+    val modelRaw = Similarity.trainPQ(emb, "vec_id", "embedding",
+      d = 64, m = 4, k = 16, maxIter = 0)
+    val dirRaw = s"$base/raw"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, modelRaw, dirRaw)
+    val indexed = Similarity.ivfPqTopKIndexed(spark, dir, probes,
+      "vec_id", "embedding", cents, model, nprobe = 2, k = 5)
+    val direct = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      probes, "vec_id", "embedding", cents, model, nprobe = 2, k = 5)
+    val a = indexed.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val b = direct.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(a == b && a.nonEmpty,
+      "persisted residual IVF-PQ must serve the in-memory answer bit-for-bit")
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected partition filters on cell in:\n$plan")
+    // exactly ONE broadcast hash join feeds the serve in residual
+    // mode (the pruning relation carrying the residuals); raw mode
+    // runs two (cell pruning pairs + the probe-vector join). AQE
+    // prints Final + Initial plan sections — count the FINAL only.
+    def joins(p: String) =
+      "BroadcastHashJoin".r.findAllIn(p.split("== Initial Plan ==")(0)).length
+    assert(joins(plan) == 1,
+      s"residual serve should join only the pruning relation, got ${joins(plan)}:\n$plan")
+    val rawPlan = Similarity.ivfPqTopKIndexed(spark, dirRaw, probes,
+      "vec_id", "embedding", cents, modelRaw, nprobe = 2, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(joins(rawPlan) == 2,
+      s"raw serve joins pruning pairs + probe vectors, got ${joins(rawPlan)}:\n$rawPlan")
+  }
+
   test("ivfPqTopKStream in residual mode equals the batch indexed serve bit-for-bit") {
     // the streaming probe-side residual (CellResidualExpr per
     // (probe, cell) row) must produce the same doubles the batch

@@ -38,8 +38,7 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     // "xz" carries unseen chars → one <unk>; "" keeps its row
     val docs = Seq((1L, "aa ab"), (2L, "xz aa"), (3L, ""),
       (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
-    val got = UnigramTokenizer.encode(docs, "doc_id", "text", model,
-      maxPieceLen = 4, maxWordLen = 8)
+    val got = UnigramTokenizer.encode(docs, "doc_id", "text", model, maxWordLen = 8)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(got(1L) == (("a a ab", 3L)), s"got ${got(1L)}")
     assert(got(2L) == ((s"${UnigramTokenizer.Unk} a a", 3L)), s"got ${got(2L)}")
@@ -56,8 +55,7 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     val model = UnigramTokenizer.UnigramModel(
       Seq(("x", 7L), ("c", 4L), ("d", 4L), ("cd", 1L)))
     val docs = Seq((1L, "cd")).toDF("doc_id", "text")
-    val got = UnigramTokenizer.encode(docs, "doc_id", "text", model,
-      maxPieceLen = 4, maxWordLen = 8).collect()(0)
+    val got = UnigramTokenizer.encode(docs, "doc_id", "text", model, maxWordLen = 8).collect()(0)
     assert(got.getString(1) == "cd" && got.getLong(2) == 1L,
       s"np tie must break to fewer pieces: ${got.getString(1)}")
     // equal prob AND equal piece count: lexicographically smaller
@@ -66,8 +64,7 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     val m2 = UnigramTokenizer.UnigramModel(
       Seq(("a", 4L), ("c", 4L), ("ac", 2L), ("ca", 2L), ("z", 4L)))
     val d2 = Seq((1L, "aca")).toDF("doc_id", "text")
-    val g2 = UnigramTokenizer.encode(d2, "doc_id", "text", m2,
-      maxPieceLen = 4, maxWordLen = 8).collect()(0)
+    val g2 = UnigramTokenizer.encode(d2, "doc_id", "text", m2, maxWordLen = 8).collect()(0)
     assert(g2.getString(1) == "a ca",
       s"lexicographic tie-break: ${g2.getString(1)}")
   }
@@ -76,8 +73,7 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     val model = UnigramTokenizer.UnigramModel(Seq(("a", 1L)))
     val docs = Seq((1L, "a" * 20)).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
-      UnigramTokenizer.encode(docs, "doc_id", "text", model,
-        maxPieceLen = 4, maxWordLen = 8).collect()
+      UnigramTokenizer.encode(docs, "doc_id", "text", model, maxWordLen = 8).collect()
     }
     assert(e.getMessage.contains("maxWordLen"))
   }
