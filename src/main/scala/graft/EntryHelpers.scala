@@ -238,7 +238,7 @@ private[graft] object EntryHelpers {
     "q_bpe_encode", "q_bpe_compression", "q_bpe_persist")
   // q_unigram_train is deliberately NOT listed — it times training
   val unigramFixtureQueries: Set[String] =
-    Set("q_unigram_encode", "q_unigram_persist")
+    Set("q_unigram_encode", "q_unigram_persist", "q_unigram_compression")
   // Trained-model fixtures: q_lr_train / q_nb_train / q_lr_holdout
   // are deliberately NOT listed — they are the rows that time
   // training. The name sets live HERE (not in EntryVector) because

@@ -417,6 +417,18 @@ private[graft] object EntryText {
     }),
 
 
+    // ── tokenizer: per-source compression report of the trained
+    // unigram vocabulary — the q_bpe_compression twin for the second
+    // tokenizer family: chars-per-piece by source, THE acceptance
+    // metric before an expensive training run. One dictionary
+    // segmentation + one key-cardinality aggregate over the shared
+    // trained fixture.
+    "q_unigram_compression" -> ((s, dir) => {
+      UnigramTokenizer.compression(Tables(s, dir, "documents"), "text",
+        "source", unigramModel60(s, dir), maxWordLen = 16)
+    }),
+
+
     // ── LLM-pipeline: bigram-LM quality scoring (perplexity filter) ─
     // CCNet-style: train add-1 bigram statistics on the 3/4 reference
     // slice, score the held-out quarter by mean inverse conditional
@@ -1305,6 +1317,37 @@ private[graft] object EntryText {
     // trained-model encode exactly — the oracle is that replay
     // verbatim
     "q_unigram_persist" -> sqlUnigramEncode,
+
+
+    // per-source compression of the trained unigram vocabulary — the
+    // encode chain's piece counts rolled up by source
+    "q_unigram_compression" ->
+      s"""WITH $sqlUnigramTrainCtes,
+         |${sqlUnigramDp("ub", "up1")},
+         |ufin AS MATERIALIZED (
+         |  SELECT w, pieces, np FROM ubseg
+         |  UNION ALL
+         |  SELECT w, '<unk>' AS pieces, CAST(1 AS BIGINT) AS np
+         |  FROM uwc ANTI JOIN ubseg USING (w)
+         |),
+         |wtok AS (
+         |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w
+         |  FROM documents
+         |),
+         |psum AS (
+         |  SELECT source, CAST(sum(f.np) AS BIGINT) AS n_pieces
+         |  FROM wtok JOIN ufin f USING (w) GROUP BY 1
+         |),
+         |ubase AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len(text)) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY 1
+         |)
+         |SELECT b.source, b.n_docs,
+         |       CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces, b.n_chars,
+         |       CAST(b.n_chars AS DOUBLE)
+         |         / CAST(coalesce(p.n_pieces, 0) AS DOUBLE) AS chars_per_piece
+         |FROM ubase b LEFT JOIN psum p USING (source)""".stripMargin,
 
 
     "q_bpe_compression" ->

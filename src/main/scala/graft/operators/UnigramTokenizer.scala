@@ -235,6 +235,37 @@ object UnigramTokenizer {
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
   }
 
+  /** Tokenizer-quality report: per keyCol (source, lang, domain) the
+    * corpus compression a trained unigram vocabulary achieves — the
+    * bpeCompression twin for the second tokenizer family, and THE
+    * acceptance metric before an expensive training run (a vocabulary
+    * trained on one domain under-compresses the others).
+    *
+    * Scale shape: the distinct-word dictionary Viterbi-segments once,
+    * then one hash join maps occurrences to piece counts and ONE
+    * key-cardinality aggregation sums them — integer sums, one
+    * division. Docs with no tokens still count in n_docs/n_chars.
+    * Output: (keyCol, n_docs, n_pieces, n_chars, chars_per_piece). */
+  def compression(df: DataFrame, textCol: String, keyCol: String,
+                  model: UnigramModel, maxWordLen: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val words = df.select(col(keyCol).as("__k"),
+      explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("w"))
+    val seg = segmentWords(words.select(col("w")).distinct(),
+      vocabDF(spark, model), model.maxPieceLen, maxWordLen)
+    val pieces = words.join(seg, "w")
+      .groupBy(col("__k")).agg(sum(col("np")).cast("long").as("n_pieces"))
+    df.groupBy(col(keyCol).as("__k")).agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(length(col(textCol)).cast("long")).cast("long").as("n_chars"))
+      .join(pieces, Seq("__k"), "left")
+      .select(col("__k").as(keyCol), col("n_docs"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"), col("n_chars"),
+        (col("n_chars").cast("double") /
+          coalesce(col("n_pieces"), lit(0L)).cast("double"))
+          .as("chars_per_piece"))
+  }
+
   /** Unigram artifact format version; bumped on any schema change so
     * a loader refuses an artifact it does not understand. */
   val UnigramFormatVersion = 1
