@@ -752,11 +752,27 @@ object Dedup {
       // Crash-detectability survives: the meta writes AFTER the data,
       // so a crash between the steps leaves actual > meta, which the
       // read-side footer count refuses.
-      val sigs = minhashIndex(src, idCol, textCol, n, h, parity).cache()
+      //
+      // The signature table pins differently per path (review r16):
+      // with the audit, `src` is already checkpointed, so a lost
+      // cached sigs partition recomputes DETERMINISTICALLY from the
+      // pinned batch and cache() suffices; without the audit nothing
+      // upstream is pinned, and cache() is best-effort — a lost
+      // partition between the write and the meta count would recount
+      // a NONDETERMINISTIC batch plan differently than it wrote,
+      // permanently poisoning the index (the read-side footer check
+      // refuses it forever). localCheckpoint pins the one signing
+      // materialization both consumers read; it is the signing pass
+      // the cache was already paying, not an extra scan of the batch.
+      val sigs0 = minhashIndex(src, idCol, textCol, n, h, parity)
+      val sigs = if (requireNewIds) sigs0.cache() else sigs0.localCheckpoint()
       try {
         sigs.write.mode("append").parquet(s"$path/data")
         writeMinhashMeta(spark, path, prevRows + sigs.count(), n, h, parity)
-      } finally { sigs.unpersist(); () }
+      } finally {
+        sigs.unpersist()
+        org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(sigs)
+      }
     } finally {
       // explicit checkpoint-block release (ADVICE r15): Dataset
       // .unpersist cannot free them, and the ContextCleaner leaks one

@@ -110,7 +110,7 @@ object KMeans {
   /** Flat ascending-cid centroid arrays for the native kernels;
     * requires one uniform dimensionality (every real centroid set
     * has one — seeds are rows of one table). */
-  private def flatCents(cents: Centroids): (Array[Int], Array[Double], Int) = {
+  private[operators] def flatCents(cents: Centroids): (Array[Int], Array[Double], Int) = {
     val sorted = cents.sortBy(_._1)
     val d = sorted.head._2.length
     val flat = new Array[Double](sorted.length * d)

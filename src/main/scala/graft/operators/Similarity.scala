@@ -476,25 +476,11 @@ object Similarity {
           "paired centroids")
     }
 
-  /** (ascending cids, flat centroid array, d) — the kernel-layout
-    * form of a centroid set (KMeans.flatCents is private there). */
-  private def flatCentsLocal(cents: KMeans.Centroids): (Array[Int], Array[Double], Int) = {
-    val sorted = cents.sortBy(_._1)
-    val d = sorted.head._2.length
-    val flat = new Array[Double](sorted.length * d)
-    sorted.zipWithIndex.foreach { case ((_, v), i) =>
-      require(v.length == d,
-        s"centroid dims differ: ${v.length} vs $d — one uniform d required")
-      System.arraycopy(v, 0, flat, i * d, d)
-    }
-    (sorted.map(_._1), flat, d)
-  }
-
   /** vec − centroid(cell) as a native column (CellResidualExpr); the
     * HOF twin below is spec-pinned bit-equal on valid input. */
   private def cellResidualCol(v: Column, cell: Column,
                               cents: KMeans.Centroids): Column = {
-    val (cids, flat, d) = flatCentsLocal(cents)
+    val (cids, flat, d) = KMeans.flatCents(cents)
     VectorKernels.cellResidualCol(v, cell, cids, flat, d)
   }
 
@@ -702,6 +688,18 @@ object Similarity {
     * bit-pinned twin. Rowwise, no shuffle, no UDF. */
   def encodePQ(df: DataFrame, vecCol: String, model: PQModel,
                outCol: String = "codes"): DataFrame = {
+    // the public encode entry takes RAW vectors — quantizing them
+    // under residual codebooks is silently meaningless (review r16);
+    // residual encodes go through the IVF-PQ build/append/serve
+    // entries, which subtract the coarse cell first (encodeForIndex)
+    requireRawModel(model, "Similarity.encodePQ")
+    encodePQUnchecked(df, vecCol, model, outCol)
+  }
+
+  /** encodePQ past the mode guard — for encodeForIndex, whose input
+    * column already IS the residual the codebooks were trained on. */
+  private def encodePQUnchecked(df: DataFrame, vecCol: String, model: PQModel,
+                                outCol: String): DataFrame = {
     val (books, present) = denseBooks(model)
     df.withColumn(outCol, VectorKernels.pqEncodeCol(
       VectorOps.toDouble(col(vecCol)), books, present,
@@ -745,7 +743,7 @@ object Similarity {
     if (!model.residual) encodePQ(df, vecCol, model, outCol)
     else {
       requireResidualMatch(model, cents, "Similarity.encodeForIndex")
-      encodePQ(
+      encodePQUnchecked(
         df.withColumn("__cr",
           cellResidualCol(VectorOps.toDouble(col(vecCol)), col(cellCol), cents)),
         "__cr", model, outCol).drop("__cr")

@@ -49,6 +49,11 @@ object UnigramTokenizer {
     }
     require(pieces.map(_._1).distinct.length == pieces.length,
       "duplicate pieces in unigram vocabulary")
+    require(!pieces.exists(_._1 == Unk),
+      s"'$Unk' is the reserved no-path marker and cannot be a vocabulary " +
+        "piece — a corpus containing the literal token segments through " +
+        "its characters (pruneVocab filters the sentinel from every count " +
+        "table), so encode output stays unambiguous")
     val total: Long = pieces.map(_._2).sum
     /** The Viterbi lattice window this model needs — its own longest
       * piece; anything wider wastes DP rounds, anything narrower
@@ -90,8 +95,15 @@ object UnigramTokenizer {
     * floor only engages for characters the Viterbi segmentations
     * stopped using. One bounded TakeOrdered + one alphabet-sized
     * left join. */
-  private def pruneVocab(counts: DataFrame, chars: DataFrame,
+  private def pruneVocab(counts0: DataFrame, chars: DataFrame,
                          vocabSize: Int): DataFrame = {
+    // the sentinel is OUT-OF-BAND by construction (review r16): a
+    // corpus literally containing '<unk>' would otherwise seed it as
+    // a 5-char piece (maxPieceLen >= 5), the recount filter would
+    // then misread genuine segmentations as no-path fallbacks, and
+    // encode output would be ambiguous — such words segment through
+    // their characters instead
+    val counts = counts0.filter(col("piece") =!= lit(Unk))
     val top = counts.orderBy(col("c").desc, col("piece")).limit(vocabSize)
     val charRows = chars.join(top.select(col("piece")), Seq("piece"), "left_anti")
       .join(counts, Seq("piece"), "left")
@@ -166,7 +178,20 @@ object UnigramTokenizer {
     // UNK fallback: a word with no lattice path segments to one <unk>
     val unk = w.join(segmented.select(col("w")), Seq("w"), "left_anti")
       .select(col("w"), lit(Unk).as("pieces"), lit(1L).as("np"))
-    segmented.unionByName(unk)
+    // pin the FINAL segmentation once, then free every per-round DP
+    // frame (review r16 — the same checkpoint-storage discipline the
+    // index appends got from ADVICE r15: Dataset.unpersist cannot
+    // release checkpoint blocks, and up to maxWordLen frames per call
+    // would otherwise sit on executors until the ContextCleaner GCs
+    // them). Order matters: the final union reads the frames lazily,
+    // so it must materialize BEFORE they are released — a released
+    // local checkpoint cannot recompute. What remains pinned is ONE
+    // word-dictionary-sized frame (the result the caller consumes).
+    val seg = segmented.unionByName(unk).localCheckpoint(eager = true)
+    org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(w)
+    dps.valuesIterator.foreach(
+      org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(_))
+    seg
   }
 
   /** Train a unigram-LM vocabulary: seed with all frequent substrings
@@ -199,7 +224,14 @@ object UnigramTokenizer {
         .select(col("cnt"), explode(split(col("pieces"), " ")).as("piece"))
         .groupBy("piece").agg(sum(col("cnt")).cast("long").as("c"))
       model = collectModel(pruneVocab(recount, chars, vocabSize))
+      // the round's segmentation is fully consumed by the collect
+      // above — free its pinned frame now (review r16)
+      org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(seg)
     }
+    // nothing lazy escapes train (the model is driver data) — free
+    // the corpus-derived pins too
+    org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(words)
+    org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(chars)
     model
   }
 

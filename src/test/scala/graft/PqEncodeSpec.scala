@@ -261,6 +261,12 @@ class PqEncodeSpec extends AnyFunSuite {
         "embedding", res, k = 5)
     }
     assert(e1.getMessage.contains("residual"))
+    // the public encode entry takes RAW vectors — a residual model
+    // would silently quantize garbage (review r16)
+    val e0 = intercept[IllegalArgumentException] {
+      Similarity.encodePQ(emb, "embedding", res)
+    }
+    assert(e0.getMessage.contains("residual"))
     // building under a DIFFERENT quantizer than the codebook's —
     // residuals would subtract the wrong centroids
     val drifted: KMeans.Centroids = cents.map { case (cid, v) =>

@@ -69,6 +69,30 @@ class UnigramTokenizerSpec extends AnyFunSuite {
       s"lexicographic tie-break: ${g2.getString(1)}")
   }
 
+  test("the '<unk>' sentinel is out-of-band: a corpus containing it literally never mints it as a piece") {
+    // review r16: with maxPieceLen >= 5 the literal token '<unk>'
+    // would otherwise seed the 5-char substring '<unk>' as a piece —
+    // the recount filter would then misread genuine segmentations as
+    // no-path fallbacks and encode output would be ambiguous. The
+    // sentinel is filtered from every count table; the literal word
+    // segments through its characters, and a model constructed WITH
+    // the sentinel refuses.
+    val docs = Seq((1L, "<unk> <unk> data")).toDF("doc_id", "text")
+    val model = UnigramTokenizer.train(docs, "text", vocabSize = 40,
+      rounds = 1, maxPieceLen = 5, maxWordLen = 8)
+    assert(!model.pieces.exists(_._1 == UnigramTokenizer.Unk),
+      s"sentinel minted as a piece: ${model.pieces}")
+    val got = UnigramTokenizer.encode(docs, "doc_id", "text", model,
+      maxWordLen = 8).collect()(0)
+    // the literal word segments through real pieces — n_pieces counts
+    // them, and no per-word fallback marker appears
+    assert(got.getLong(2) > 3L,
+      s"literal '<unk>' words must segment through pieces: ${got.getString(1)}")
+    intercept[IllegalArgumentException] {
+      UnigramTokenizer.UnigramModel(Seq((UnigramTokenizer.Unk, 1L)))
+    }
+  }
+
   test("bounded lattice: a word past maxWordLen refuses loudly") {
     val model = UnigramTokenizer.UnigramModel(Seq(("a", 1L)))
     val docs = Seq((1L, "a" * 20)).toDF("doc_id", "text")
