@@ -389,6 +389,29 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: OPQ rotate-then-quantize plumbing (Ge et al.
+    // CVPR'13). The LEARNED rotation trains via driver-side Procrustes
+    // SVD (engine-only, like PCA's eigendecomposition — spec'd with a
+    // hand case + an MSE-improvement pin, measured in AnnStress); this
+    // row hash-gates the SERVE PLUMBING with a deterministic
+    // md5-derived permutation+sign rotation (orthogonal by
+    // construction, replayable in SQL like q_rand_proj's matrix):
+    // corpus and probes rotate through the SAME rotateVectors path a
+    // learned R uses, codebooks train in rotated space, ADC ranks
+    // rotated codes — mixed-space bugs, a wrong column order, or a
+    // sign slip all hash-mismatch.
+    "q_opq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val rot = opqTestRotation(64)
+      val re = Similarity.rotateVectors(emb, "vec_id", "embedding", rot, "r")
+      val model = Similarity.trainPQ(re, "vec_id", "r",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      val codes = Similarity.encodePQ(re, "r", model).select("vec_id", "codes")
+      Similarity.pqTopK(codes, "vec_id", "codes",
+        re.orderBy("vec_id").limit(5), "vec_id", "r", model, k = 10)
+    }),
+
+
     // ── LLM-pipeline: int8 embedding quantization ───────────────────
     // The 4×-smaller storage form for billion-vector corpora; codes
     // emitted as a comma-joined string so the compare hashes scalars.
@@ -1248,6 +1271,33 @@ private[graft] object EntryVector {
        |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
        |  FROM adq) WHERE rn <= 10""".stripMargin
 
+  /** The q_opq_topk test rotation: a deterministic md5-derived
+    * permutation + sign flip — orthogonal by construction (every row
+    * and column carries exactly one ±1), cheap to replay in SQL, and
+    * it flows through the SAME rotateVectors/rotateCol path a learned
+    * OPQ rotation uses. (perm(j), sign(j)): y_j = sign_j · x_perm(j).
+    * The dot kernel reproduces it bitwise: 0.0-weighted terms
+    * contribute exact +0.0 to the fold, so the sum IS ±x_perm(j). */
+  private[graft] def opqPermSign(d: Int): IndexedSeq[(Int, Double)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(i: Int): String = {
+      md.reset()
+      md.digest(s"opq_$i".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val hs = (0 until d).map(i => i -> hex(i))
+    val perm = hs.sortBy(_._2).map(_._1) // md5-ordered permutation
+    (0 until d).map { j =>
+      (perm(j), if ((Integer.parseInt(hs(j)._2.substring(8, 9), 16) & 1) == 0) 1.0 else -1.0)
+    }
+  }
+
+  private[graft] def opqTestRotation(d: Int): Array[Array[Double]] = {
+    val ps = opqPermSign(d)
+    val r = Array.fill(d, d)(0.0)
+    ps.zipWithIndex.foreach { case ((p, s), j) => r(p)(j) = s }
+    r
+  }
+
   /** The RESIDUAL IVF-PQ CTE chain (VERDICT r15 item 1): residual
     * vectors x − c(x) per corpus row (rv), residual codebooks =
     * the 16 lowest-vec_id rows' residual subvectors (cbr — trainPQ
@@ -1353,6 +1403,61 @@ private[graft] object EntryVector {
        |  SELECT probe_id, vec_id, sim,
        |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
        |  FROM rex) WHERE rn <= 10""".stripMargin
+
+  /** The OPQ rotate-then-quantize replay: the md5 permutation+sign
+    * rotation as a 64-element literal list (generated from the same
+    * opqPermSign the engine's rotation matrix is built from — the
+    * q_rand_proj pattern), then the standard PQ train/encode/ADC
+    * chain entirely in rotated space. */
+  private val sqlOpqTopK: String = {
+    val terms = opqPermSign(64).map { case (p, s) =>
+      s"CAST(${if (s > 0) "1" else "-1"} AS DOUBLE) * e.v[${p + 1}]"
+    }.mkString(", ")
+    s"""WITH re AS MATERIALIZED (
+       |  SELECT vec_id, [$terms] AS r
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+       |),
+       |cbo AS (
+       |  SELECT t.j, CAST(row_number() OVER (PARTITION BY t.j ORDER BY f.vec_id) AS INTEGER) AS cid,
+       |         (f.r)[t.j*16+1 : t.j*16+16] AS cw
+       |  FROM (SELECT * FROM re ORDER BY vec_id LIMIT 16) f CROSS JOIN range(0, 4) t(j)
+       |),
+       |subo AS (
+       |  SELECT re.vec_id, t.j, (re.r)[t.j*16+1 : t.j*16+16] AS sv
+       |  FROM re CROSS JOIN range(0, 4) t(j)
+       |),
+       |dpo AS (
+       |  SELECT s.vec_id, s.j, cb.cid,
+       |         list_sum(list_transform(list_zip(s.sv, cb.cw), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+       |  FROM subo s JOIN cbo cb ON cb.j = s.j
+       |),
+       |pqo AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT vec_id, j, cid,
+       |           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+       |    FROM dpo) WHERE rn = 1
+       |),
+       |pro AS (
+       |  SELECT vec_id AS probe_id, r AS pv
+       |  FROM re WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+       |),
+       |pto AS (
+       |  SELECT pro.probe_id, cb.j, cb.cid,
+       |         list_sum(list_transform(list_zip(pro.pv[cb.j*16+1 : cb.j*16+16], cb.cw),
+       |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS sd
+       |  FROM pro CROSS JOIN cbo cb
+       |),
+       |ado AS (
+       |  SELECT pto.probe_id, a.vec_id, list_sum(list(pto.sd ORDER BY a.j)) AS adist
+       |  FROM pqo a JOIN pto ON pto.j = a.j AND pto.cid = a.cid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, adist FROM (
+       |  SELECT probe_id, vec_id, adist,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+       |  FROM ado WHERE vec_id != probe_id)
+       |WHERE rn <= 10""".stripMargin
+  }
 
   /** The IVF-PQ shortlist + exact-cosine re-rank replay, shared by
     * q_ivfpq_rerank (in-memory) and q_ivfpq_rerank_idx (served from
@@ -1613,6 +1718,13 @@ private[graft] object EntryVector {
     "q_ivfpq_residual" -> sqlIvfPqResidual,
     "q_ivfpq_res_refresh" -> sqlIvfPqResidual,
     "q_ivfpq_res_rerank" -> sqlIvfPqResRerank,
+
+
+    // OPQ rotate-then-quantize (Ge et al. CVPR'13): the serve
+    // plumbing under a deterministic orthogonal test rotation — the
+    // learned-R trainer is engine-only (driver-side Procrustes SVD,
+    // like PCA's eigendecomposition) and spec/stress-gated
+    "q_opq_topk" -> sqlOpqTopK,
 
 
     "q_quantize" ->

@@ -645,6 +645,155 @@ object Similarity {
     } finally { proj.unpersist(); () }
   }
 
+  // ── OPQ: optimized product quantization (Ge, He, Ke & Sun,
+  // CVPR 2013 — the non-parametric alternating variant) ────────────
+  //
+  // PQ's subspaces are arbitrary coordinate blocks; when the data's
+  // variance is spread across blocks unevenly (or correlated across
+  // them), the 8-byte budget is misallocated. OPQ learns an
+  // ORTHOGONAL rotation R so that quantizing y = x·R distributes the
+  // error optimally, then the ENTIRE existing stack (IVF coarse
+  // quantizer, residual encoding, ADC, persisted indexes, reranks)
+  // runs verbatim on the rotated space — OPQ composes as a pure
+  // preprocessing step, not a parallel serve path. Orthogonality
+  // means exact L2/cosine geometry is UNCHANGED (distances are
+  // rotation-invariant), so ground truth, recall math, and the exact
+  // re-rank all carry over untouched; only quantization quality
+  // improves.
+  //
+  // Alternating minimization (OPQ-NP): fix R → train/encode PQ on
+  // x·R; fix codes → the optimal R is the orthogonal Procrustes
+  // solution argmin_R ||X·R − Q||_F = U·Vᵀ from the SVD of XᵀQ.
+  // Distributed pieces: the rotate is d native dot kernels per row;
+  // XᵀQ comes from ONE GramAgg pass over concat(x, q) (the d×d cross
+  // block of the 2d×2d Gram's upper triangle — d(2d+1) doubles per
+  // task, no new aggregator); the SVD runs driver-side on the d×d
+  // cross-moment via PCA.eigSym (SVD(M) from eig(MᵀM), 64³ flops).
+  // Everything is deterministic: Jacobi sweeps are fixed-order, the
+  // init is I, and sign canonicalization is eigSym's.
+
+  /** The learned rotation + the codebooks trained in rotated space.
+    * `rotation` is row-major with the ROW-VECTOR convention:
+    * y_j = Σ_i x_i · R[i][j] (apply with rotateVectors). */
+  final case class OPQModel(rotation: Array[Array[Double]], pq: PQModel)
+
+  /** y = x·R as a column: d native dot kernels against R's literal
+    * columns — rowwise, codegen'd, no shuffle. */
+  def rotateCol(v: Column, rotation: Array[Array[Double]]): Column = {
+    val d = rotation.length
+    rotation.foreach(row => require(row.length == d,
+      s"rotation must be square, got a ${row.length}-wide row in d=$d"))
+    array((0 until d).map { j =>
+      VectorKernels.dotCol(v,
+        typedlit((0 until d).map(i => rotation(i)(j)): Seq[Double]))
+    }: _*)
+  }
+
+  /** Rotate an embedding column in place: (idCol, outCol = x·R).
+    * Build inputs AND probes must rotate with the SAME R — mixed
+    // spaces are silently wrong, so production freezes R next to the
+    * codebook it was trained with (persistOpq below). */
+  def rotateVectors(df: DataFrame, idCol: String, vecCol: String,
+                    rotation: Array[Array[Double]],
+                    outCol: String = "rotated"): DataFrame =
+    df.select(col(idCol),
+      rotateCol(VectorOps.toDouble(col(vecCol)), rotation).as(outCol))
+
+  /** PQ reconstruction (training-side only): codes → the
+    * concatenation of their codewords. Null for null/corrupt codes —
+    * the training pass filters those rows out of the cross-moment. */
+  private def decodeCol(codes: Column, model: PQModel): Column =
+    flatten(transform(codes, (c, j) =>
+      element_at(element_at(codebookLit(model), j + lit(1)), c)))
+
+  /** XᵀQ (d×d, uncentered) via ONE GramAgg pass over concat(x, q):
+    * the cross block of the 2d-Gram's upper triangle. Rows where
+    * either side is null are skipped (GramAgg's null contract). */
+  private def crossGram(df: DataFrame, aCol: String, bCol: String,
+                        d: Int): Array[Array[Double]] = {
+    val agg = org.apache.spark.sql.functions.udaf(new PCA.GramAgg)
+    val r = df.select(concat(col(aCol), col(bCol)).as("__xy"))
+      .filter(size(col("__xy")) === 2 * d)
+      .agg(agg(col("__xy")).as("g")).head().getStruct(0)
+    val prods = r.getSeq[Double](1).toArray
+    val n = r.getLong(2)
+    require(n > 0, "crossGram: no valid rows — every reconstruction was null")
+    val dd = 2 * d
+    def idx(i: Int, j: Int): Int = i * dd - i * (i - 1) / 2 + (j - i)
+    Array.tabulate(d, d)((a, b) => prods(idx(a, d + b)))
+  }
+
+  /** Orthogonal Procrustes: R = U·Vᵀ from SVD(M), computed as
+    * eig(MᵀM) → V, σ = √λ, U = M·V·Σ⁻¹ (driver-side, d×d). Refuses a
+    * rank-deficient cross-moment loudly — a degenerate sample has no
+    * unique rotation and silently completing one would make training
+    * layout-dependent. */
+  private[graft] def procrustes(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = m.length
+    val mtm = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += m(k)(i) * m(k)(j); k += 1 }; s
+    }
+    val (lambda, vRows) = PCA.eigSym(mtm)
+    val sigma = lambda.map(l => math.sqrt(math.max(l, 0.0)))
+    require(sigma(0) > 0.0 && sigma(d - 1) > 1e-12 * sigma(0),
+      "Procrustes: rank-deficient cross-moment (σ_min/σ_max < 1e-12) — " +
+        "the sample does not span the space; train on a larger/more " +
+        "varied sample")
+    // u_k = M·v_k / σ_k ; R[i][j] = Σ_k u_k(i) · v_k(j)
+    val u = Array.tabulate(d, d) { (k, i) =>
+      var s = 0.0; var t = 0
+      while (t < d) { s += m(i)(t) * vRows(k)(t); t += 1 }
+      s / sigma(k)
+    }
+    Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += u(k)(i) * vRows(k)(j); k += 1 }; s
+    }
+  }
+
+  /** Train an OPQ rotation + codebooks by alternating minimization —
+    * `iters` rounds of (train PQ in the current rotated space →
+    * reconstruct → Procrustes-update R), then a final PQ fit under
+    * the final R. Like every trainer here, feed a SAMPLE; encode the
+    * corpus with the result (rotateVectors → the existing build
+    * entries — IVF/residual compose on top unchanged). Cost per
+    * round: one trainPQ (m sub-fits on the cached sample), one
+    * rowwise encode+decode, one GramAgg pass, one driver-side d×d
+    * SVD. */
+  def trainOpq(corpus: DataFrame, idCol: String, vecCol: String, d: Int,
+               m: Int = 8, k: Int = 16, iters: Int = 3,
+               pqMaxIter: Int = 3): OPQModel = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val x = corpus.select(col(idCol),
+      VectorOps.toDouble(col(vecCol)).as("__x")).persist()
+    try {
+      var rot = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+      (1 to iters).foreach { _ =>
+        val y = x.withColumn("__y", rotateCol(col("__x"), rot))
+        val pq = trainPQ(y, idCol, "__y", d, m, k, pqMaxIter)
+        val rec = encodePQ(y, "__y", pq, "__c")
+          .withColumn("__q", decodeCol(col("__c"), pq))
+          .filter(col("__q").isNotNull)
+        rot = procrustes(crossGram(rec, "__x", "__q", d))
+      }
+      val yF = x.withColumn("__y", rotateCol(col("__x"), rot))
+      OPQModel(rot, trainPQ(yF, idCol, "__y", d, m, k, pqMaxIter))
+    } finally { x.unpersist(); () }
+  }
+
+  /** Mean squared quantization error of a PQ model over a (possibly
+    * rotated) vector column — the number OPQ minimizes; exposed so
+    * callers (and the spec) can verify the rotation actually paid. */
+  def quantizationMse(df: DataFrame, vecCol: String, model: PQModel): Double = {
+    val v = VectorOps.toDouble(col(vecCol))
+    val rec = encodePQ(df.select(v.as("__v")), "__v", model, "__c")
+      .withColumn("__q", decodeCol(col("__c"), model))
+      .filter(col("__q").isNotNull)
+    rec.select(avg(VectorOps.sqDist(col("__v"), col("__q"))).as("mse"))
+      .head().getDouble(0)
+  }
+
   /** Dense cid-indexed codebook arrays for the native PQ kernels:
     * books((j·k + c−1)·dsub + i) is codeword c of subspace j,
     * present(j·k + c−1) says whether cid c exists (a Lloyd fit with

@@ -84,10 +84,12 @@ object AnnStress {
     // 1. corpus
     if (srcSpec.startsWith("planted:")) {
       val parts = srcSpec.stripPrefix("planted:").split(":")
-      require(parts.length == 3, "planted:N:CLUSTERS:SIGMA")
+      require(parts.length == 3 || parts.length == 4,
+        "planted:N:CLUSTERS:SIGMA[:ANISO]")
       val (pn, pc, ps) = (parts(0).toLong, parts(1).toInt, parts(2).toDouble)
-      time(s"plant n=$pn c=$pc sigma=$ps") {
-        ScaleUp.plantedEmbeddings(spark, pn, pc, ps)
+      val pa = if (parts.length == 4) parts(3).toDouble else 1.0
+      time(s"plant n=$pn c=$pc sigma=$ps aniso=$pa") {
+        ScaleUp.plantedEmbeddings(spark, pn, pc, ps, pa)
           .write.mode("overwrite").parquet(s"$workDir/embeddings")
       }
     } else {
@@ -128,6 +130,31 @@ object AnnStress {
       Similarity.trainPQResidual(sample, "vec_id", "embedding", d = 64,
         cents, m = m, k = kCodes, maxIter = 3)
     }
+    // OPQ mode (round 16): learn the rotation on the sample, rotate
+    // the corpus ONCE (written next to it — at 100 TB this is the
+    // one extra corpus pass OPQ costs), then train a fresh coarse
+    // quantizer + RESIDUAL codebooks in rotated space — OPQ+residual
+    // is the production combo, both levers stacked. Exact L2/cosine
+    // ground truth is rotation-INVARIANT (R is orthogonal), so the
+    // raw-space baselines grade the rotated serves directly.
+    val opq = time("train OPQ rotation (sample)") {
+      Similarity.trainOpq(sample, "vec_id", "embedding", d = 64,
+        m = m, k = kCodes, iters = 3, pqMaxIter = 2)
+    }
+    time("rotate corpus (one pass)") {
+      Similarity.rotateVectors(emb, "vec_id", "embedding", opq.rotation,
+        "embedding").write.mode("overwrite").parquet(s"$workDir/embeddings_opq")
+    }
+    val embO = spark.read.parquet(s"$workDir/embeddings_opq")
+    val sampleO = embO.filter(col("vec_id") % 7 === 0)
+    val centsO = time("train coarse rotated (sample)") {
+      KMeans.fit(sampleO, "vec_id", "embedding",
+        KMeans.FirstK(kCells), maxIter = 5).centroids
+    }
+    val modelOpq = time("train PQ opq+residual (sample)") {
+      Similarity.trainPQResidual(sampleO, "vec_id", "embedding", d = 64,
+        centsO, m = m, k = kCodes, maxIter = 3)
+    }
 
     // probe panel + recall ground truths, shared by both modes
     val probes = emb.orderBy("vec_id").limit(nProbes).localCheckpoint()
@@ -159,16 +186,21 @@ object AnnStress {
             .join(broadcast(rpIds), "probe_id"), truth)
         .agg(avg(col("recall"))).collect()(0).getDouble(0)
 
+    val probesO = embO.orderBy("vec_id").limit(nProbes).localCheckpoint()
+
     // 3.–6. per mode: build, serve, recall, rerank
-    Seq(("raw", modelRaw), ("residual", modelRes)).foreach { case (mode, model) =>
+    Seq(("raw", emb, probes, cents, modelRaw),
+        ("residual", emb, probes, cents, modelRes),
+        ("opq_res", embO, probesO, centsO, modelOpq))
+      .foreach { case (mode, corpus, prb, cts, model) =>
       val indexPath = s"$workDir/index_$mode"
       time(s"[$mode] build index (full corpus)") {
-        Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model,
+        Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", cts, model,
           indexPath)
       }
       def serveIndexed(nprobe: Int): DataFrame =
-        Similarity.ivfPqTopKIndexed(spark, indexPath, probes,
-          "vec_id", "embedding", cents, model, nprobe = nprobe, k = k,
+        Similarity.ivfPqTopKIndexed(spark, indexPath, prb,
+          "vec_id", "embedding", cts, model, nprobe = nprobe, k = k,
           maxProbes = nProbes)
       Seq(4, 16).foreach { np =>
         // second rep re-times the warm path (plans are rebuilt; only
@@ -193,8 +225,8 @@ object AnnStress {
       Seq(50, 200).foreach { shortlist =>
         def serveRerankIdx(): DataFrame =
           Similarity.ivfPqTopKIndexedRerank(spark, indexPath,
-            emb, "vec_id", "embedding", probes, "vec_id", "embedding",
-            cents, model, nprobe = 16, k = k, shortlist = shortlist,
+            corpus, "vec_id", "embedding", prb, "vec_id", "embedding",
+            cts, model, nprobe = 16, k = k, shortlist = shortlist,
             maxProbes = nProbes)
         time(s"[$mode] rerank-idx np=16 sl=$shortlist") {
           serveRerankIdx().count()

@@ -143,14 +143,22 @@ object ScaleUp {
     * for). Schema matches the driver's embeddings table:
     * (vec_id long, embedding array<float>, label int = cluster % 10). */
   def plantedEmbeddings(spark: SparkSession, n: Long, clusters: Int,
-                        sigma: Double): DataFrame = {
+                        sigma: Double, aniso: Double = 1.0): DataFrame = {
     require(n > 0 && clusters > 0 && clusters <= n,
       s"need 0 < clusters=$clusters <= n=$n")
     require(sigma > 0.0, s"sigma must be positive, got $sigma")
+    require(aniso >= 1.0, s"aniso must be >= 1 (1 = isotropic), got $aniso")
     import spark.implicits._
     val centers = (0 until clusters).map { c =>
       (c, Seq.tabulate(64)(j => 4.0 * math.sin((c * 64 + j + 1) * 12.9898)))
     }.toDF("__cluster", "__center")
+    // per-dim noise scale: σ_j ramps linearly σ → aniso·σ across the
+    // dims (aniso = 1 keeps the isotropic corpus). Isotropic Gaussian
+    // noise is rotation-invariant — OPQ has structurally nothing to
+    // exploit there (measured: +5% at 100k); the anisotropic ramp is
+    // the regime where subspace variance allocation (Ge et al.'s
+    // lever) matters, without changing centers or ground-truth
+    // neighbors' identity scale.
     val noise = transform(sequence(lit(0), lit(63)), j => {
       val h = md5(concat_ws("_", col("vec_id"), j, lit("planted")))
       // (0, 1] for u1 (log-safe), [0, 1) for u2 — both exact integer
@@ -159,7 +167,8 @@ object ScaleUp {
         lit(4294967296.0)
       val u2 = conv(substring(h, 9, 8), 16, 10).cast("long") /
         lit(4294967296.0)
-      sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+      val g = sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+      (lit(1.0) + lit(aniso - 1.0) * j.cast("double") / lit(63.0)) * g
     })
     spark.range(n)
       .select(col("id").as("vec_id"),
