@@ -782,6 +782,75 @@ object Similarity {
     } finally { x.unpersist(); () }
   }
 
+  /** OPQ trained against the FULL IVF-ADC reconstruction (rotation +
+    * coarse quantizer + residual codebooks, all in rotated space) —
+    * the production combo. `trainOpq` above optimizes the PLAIN-PQ
+    * objective; stacked on residual encoding that objective is
+    * misaligned (measured at the 1M anisotropic stress: opq+residual
+    * served BELOW residual-only), because the residual stack already
+    * removes the cell-mean structure the raw rotation chases. Here
+    * each alternation reconstructs x̂ = c(y) + decode(codes(y − c(y)))
+    * in rotated space and Procrustes-fits R against THAT — the
+    * objective the serve actually pays. Returns the frozen triple;
+    * rotate the corpus/probes with `rotation`, then every existing
+    * build/serve entry applies verbatim with `cents`/`pq`. */
+  final case class OpqIvfModel(rotation: Array[Array[Double]],
+                               cents: KMeans.Centroids, pq: PQModel)
+
+  def trainOpqIvf(corpus: DataFrame, idCol: String, vecCol: String, d: Int,
+                  kCells: Int, m: Int = 8, k: Int = 16, iters: Int = 3,
+                  lloydIter: Int = 5, pqMaxIter: Int = 3): OpqIvfModel = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val x = corpus.select(col(idCol),
+      VectorOps.toDouble(col(vecCol)).as("__x")).persist()
+    try {
+      var rot = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+      def fitSpace(r: Array[Array[Double]]): (DataFrame, KMeans.Centroids, PQModel) = {
+        val y = x.withColumn("__y", rotateCol(col("__x"), r))
+        val cents = KMeans.fit(y.select(col(idCol), col("__y")),
+          idCol, "__y", KMeans.FirstK(kCells), lloydIter).centroids
+        val pq = trainPQResidual(y, idCol, "__y", d, cents, m, k, pqMaxIter)
+        (y, cents, pq)
+      }
+      (1 to iters).foreach { _ =>
+        val (y, cents, pq) = fitSpace(rot)
+        // full-stack reconstruction in rotated space:
+        // x̂ = c(y) + decode(encode(y − c(y)))
+        val centMap = typedlit(
+          cents.map { case (cid, v) => cid -> v.toSeq }.toMap)
+        val assigned = KMeans.assign(y, "__y", cents, outCol = "__cell")
+          .withColumn("__r", cellResidualCol(col("__y"), col("__cell"), cents))
+        val rec = encodePQUnchecked(assigned, "__r", pq, "__c")
+          .withColumn("__q",
+            zip_with(decodeCol(col("__c"), pq),
+              element_at(centMap, col("__cell")), (a, b) => a + b))
+          .filter(col("__q").isNotNull)
+        rot = procrustes(crossGram(rec, "__x", "__q", d))
+      }
+      val (_, cents, pq) = fitSpace(rot)
+      OpqIvfModel(rot, cents, pq)
+    } finally { x.unpersist(); () }
+  }
+
+  /** Mean squared FULL-STACK reconstruction error (coarse + residual
+    * codes) of a (cents, pq) pair over a vector column — the
+    * objective trainOpqIvf minimizes. */
+  def ivfPqReconstructionMse(df: DataFrame, vecCol: String,
+                             cents: KMeans.Centroids, model: PQModel): Double = {
+    val v = VectorOps.toDouble(col(vecCol))
+    val centMap = typedlit(cents.map { case (cid, w) => cid -> w.toSeq }.toMap)
+    val assigned = KMeans.assign(df.select(v.as("__v")), "__v", cents,
+      outCol = "__cell")
+      .withColumn("__r", cellResidualCol(col("__v"), col("__cell"), cents))
+    encodePQUnchecked(assigned, "__r", model, "__c")
+      .withColumn("__q",
+        zip_with(decodeCol(col("__c"), model),
+          element_at(centMap, col("__cell")), (a, b) => a + b))
+      .filter(col("__q").isNotNull)
+      .select(avg(VectorOps.sqDist(col("__v"), col("__q"))).as("mse"))
+      .head().getDouble(0)
+  }
+
   /** Mean squared quantization error of a PQ model over a (possibly
     * rotated) vector column — the number OPQ minimizes; exposed so
     * callers (and the spec) can verify the rotation actually paid. */

@@ -137,24 +137,18 @@ object AnnStress {
     // is the production combo, both levers stacked. Exact L2/cosine
     // ground truth is rotation-INVARIANT (R is orthogonal), so the
     // raw-space baselines grade the rotated serves directly.
-    val opq = time("train OPQ rotation (sample)") {
-      Similarity.trainOpq(sample, "vec_id", "embedding", d = 64,
-        m = m, k = kCodes, iters = 3, pqMaxIter = 2)
+    val opqIvf = time("train OPQ-IVF (sample)") {
+      Similarity.trainOpqIvf(sample, "vec_id", "embedding", d = 64,
+        kCells = kCells, m = m, k = kCodes, iters = 3, lloydIter = 5,
+        pqMaxIter = 2)
     }
     time("rotate corpus (one pass)") {
-      Similarity.rotateVectors(emb, "vec_id", "embedding", opq.rotation,
+      Similarity.rotateVectors(emb, "vec_id", "embedding", opqIvf.rotation,
         "embedding").write.mode("overwrite").parquet(s"$workDir/embeddings_opq")
     }
     val embO = spark.read.parquet(s"$workDir/embeddings_opq")
-    val sampleO = embO.filter(col("vec_id") % 7 === 0)
-    val centsO = time("train coarse rotated (sample)") {
-      KMeans.fit(sampleO, "vec_id", "embedding",
-        KMeans.FirstK(kCells), maxIter = 5).centroids
-    }
-    val modelOpq = time("train PQ opq+residual (sample)") {
-      Similarity.trainPQResidual(sampleO, "vec_id", "embedding", d = 64,
-        centsO, m = m, k = kCodes, maxIter = 3)
-    }
+    val centsO = opqIvf.cents
+    val modelOpq = opqIvf.pq
 
     // probe panel + recall ground truths, shared by both modes
     val probes = emb.orderBy("vec_id").limit(nProbes).localCheckpoint()

@@ -82,6 +82,37 @@ class OpqSpec extends AnyFunSuite {
       f"OPQ must not lose to unrotated PQ: $mseOpq%.6f vs $mseIdentity%.6f")
   }
 
+  test("trainOpqIvf: the full-stack (coarse + residual) reconstruction never loses to unrotated") {
+    // the production objective: x̂ = c(y) + decode(codes(y − c(y))).
+    // trainOpq's raw-PQ objective is misaligned with the residual
+    // serve (measured at the 1M stress); this trainer alternates
+    // against the served reconstruction itself.
+    val model = Similarity.trainOpqIvf(emb, "vec_id", "embedding", d = 64,
+      kCells = 8, m = 8, k = 16, iters = 3, lloydIter = 3, pqMaxIter = 2)
+    val rr = matmulT(model.rotation)
+    (0 until 64).foreach { i =>
+      (0 until 64).foreach { j =>
+        val want = if (i == j) 1.0 else 0.0
+        assert(math.abs(rr(i)(j) - want) < 1e-9, s"RRᵀ[$i][$j] = ${rr(i)(j)}")
+      }
+    }
+    // unrotated baseline with the identical training recipe
+    val cents0f = KMeans.fit(emb, "vec_id", "embedding",
+      KMeans.FirstK(8), maxIter = 3).centroids
+    val pq0 = Similarity.trainPQResidual(emb, "vec_id", "embedding",
+      d = 64, cents0f, m = 8, k = 16, maxIter = 2)
+    val raw = emb.select(graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+    val mse0 = Similarity.ivfPqReconstructionMse(raw, "v", cents0f, pq0)
+    val rotated = Similarity.rotateVectors(emb, "vec_id", "embedding",
+      model.rotation, "r")
+    val mse1 = Similarity.ivfPqReconstructionMse(rotated, "r",
+      model.cents, model.pq)
+    info(f"full-stack reconstruction MSE: unrotated $mse0%.6f vs OPQ-IVF " +
+      f"$mse1%.6f (ratio ${mse1 / mse0}%.4f)")
+    assert(mse1 <= mse0 * 1.0001,
+      f"OPQ-IVF must not lose to the unrotated residual stack: $mse1%.6f vs $mse0%.6f")
+  }
+
   test("rotation invariance: exact squared distances survive the rotation bit-near") {
     // m=8 (dsub=8, 16 codewords spanning 8 dims) keeps the
     // reconstruction full-rank at this tiny corpus; m=4's 16
