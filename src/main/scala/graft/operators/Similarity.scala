@@ -499,7 +499,12 @@ object Similarity {
     * so a loader refuses an artifact it does not understand.
     * v2 (r16): + residual_to — the coarse-quantizer fingerprint for
     * residual-mode codebooks (NULL for raw mode); a v1 loader must
-    * not serve residual codes as raw, so the version gates it. */
+    * not serve residual codes as raw, so the version gates it. The
+    * asymmetry matters (ADVICE r16): THIS loader still accepts v1 —
+    * a v1 artifact is safely interpretable as residual_to = NULL
+    * (raw mode is all v1 could express), so refusing it would strand
+    * every pre-v2 codebook for no safety gain; only unknown/newer
+    * versions refuse. */
   val PQFormatVersion = 2
 
   /** Persists PQ codebooks as a versioned parquet artifact — "train
@@ -542,8 +547,9 @@ object Similarity {
       s"PQ meta at $path has ${metaRows.length} rows, expected exactly 1")
     val mr = metaRows(0)
     val version = mr.getAs[Int]("version")
-    require(version == PQFormatVersion,
-      s"PQ artifact version $version at $path; this build reads $PQFormatVersion")
+    require(version >= 1 && version <= PQFormatVersion,
+      s"PQ artifact version $version at $path; this build reads up to " +
+        s"$PQFormatVersion")
     val (d, m, k) = (mr.getAs[Int]("d"), mr.getAs[Int]("m"), mr.getAs[Int]("k"))
     require(m >= 1 && d >= m && d % m == 0,
       s"PQ artifact at $path has inconsistent geometry d=$d m=$m")
@@ -577,7 +583,10 @@ object Similarity {
       }
       book: KMeans.Centroids
     }
-    PQModel(d, m, k, books, Option(mr.getAs[String]("residual_to")))
+    // v1 predates the residual_to column; raw mode is all it could
+    // express, so the absent column reads as None (ADVICE r16)
+    PQModel(d, m, k, books,
+      if (version >= 2) Option(mr.getAs[String]("residual_to")) else None)
   }
 
   /** Train PQ codebooks: the d dims split into m contiguous
@@ -691,8 +700,11 @@ object Similarity {
 
   /** Rotate an embedding column in place: (idCol, outCol = x·R).
     * Build inputs AND probes must rotate with the SAME R — mixed
-    // spaces are silently wrong, so production freezes R next to the
-    * codebook it was trained with (persistOpq below). */
+    * spaces are silently wrong, so production freezes R next to the
+    * codebook it was trained with (saveOpq / saveOpqIvf below) and
+    * the persisted IVF-PQ index meta carries the rotation's
+    * fingerprint, so an unrotated (or differently-rotated) serve
+    * refuses instead of returning plausible garbage. */
   def rotateVectors(df: DataFrame, idCol: String, vecCol: String,
                     rotation: Array[Array[Double]],
                     outCol: String = "rotated"): DataFrame =

@@ -131,8 +131,16 @@ object UnigramTokenizer {
     val spark = words.sparkSession
     val w = words.select(col("w")).distinct().localCheckpoint()
     val mxRow = w.agg(max(length(col("w")))).collect()(0)
-    if (mxRow.isNullAt(0)) return w.select(col("w"),
-      lit("").as("pieces"), lit(0L).as("np"))
+    if (mxRow.isNullAt(0)) {
+      // empty word table: materialize the (empty) result and release
+      // w's checkpoint blocks before returning — the early return
+      // previously skipped the release block below and leaked one
+      // pinned frame per empty call (ADVICE r16)
+      val empty = w.select(col("w"), lit("").as("pieces"), lit(0L).as("np"))
+        .localCheckpoint(eager = true)
+      org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(w)
+      return empty
+    }
     val maxLen = mxRow.getInt(0)
     require(maxLen <= maxWordLen,
       s"UnigramTokenizer: a word of length $maxLen exceeds maxWordLen=" +
@@ -244,7 +252,19 @@ object UnigramTokenizer {
     * silently never use the longer pieces, segmenting differently
     * than the trainer did (review r16). Unknown-character words
     * become one `Unk` piece. Output: (idCol, unigram, n_pieces) —
-    * empty docs carry ("", 0). */
+    * empty docs carry ("", 0).
+    *
+    * Storage note (ADVICE r16): the returned plan reads segmentWords'
+    * eagerly pinned word-dictionary frame, so each call keeps ONE
+    * dictionary-sized checkpoint alive until the returned DataFrame
+    * is GC'd and the ContextCleaner releases it. This is the designed
+    * trade: the result must stay lazily recomputable (Verify/Bench
+    * write it to parquet without a second materialization), and
+    * eagerly materializing a CORPUS-sized result to free a
+    * DICTIONARY-sized pin would invert the sizes. Long-lived drivers
+    * that encode many corpora should consume each result promptly and
+    * drop the reference (train itself releases every pin before
+    * returning — the model is driver data, nothing lazy escapes). */
   def encode(df: DataFrame, idCol: String, textCol: String,
              model: UnigramModel, maxWordLen: Int = 32): DataFrame = {
     val spark = df.sparkSession
@@ -277,7 +297,9 @@ object UnigramTokenizer {
     * then one hash join maps occurrences to piece counts and ONE
     * key-cardinality aggregation sums them — integer sums, one
     * division. Docs with no tokens still count in n_docs/n_chars.
-    * Output: (keyCol, n_docs, n_pieces, n_chars, chars_per_piece). */
+    * Output: (keyCol, n_docs, n_pieces, n_chars, chars_per_piece).
+    * Same storage note as encode: the lazy result pins one
+    * dictionary-sized segmentation checkpoint until GC'd. */
   def compression(df: DataFrame, textCol: String, keyCol: String,
                   model: UnigramModel, maxWordLen: Int = 32): DataFrame = {
     val spark = df.sparkSession

@@ -1036,6 +1036,19 @@ class SimilaritySpec extends AnyFunSuite {
       .write.parquet(s"$vPath/meta")
     val e3 = intercept[IllegalArgumentException] { Similarity.loadPQ(spark, vPath) }
     assert(e3.getMessage.contains("version"))
+    // a v1 artifact (no residual_to column) still loads, as raw mode
+    // (ADVICE r16): v1 could only express raw codebooks, so the
+    // loader defaults residualTo to None instead of stranding every
+    // pre-v2 artifact
+    val v1Path = path + "_v1"
+    spark.read.parquet(s"$path/codebooks").write.parquet(s"$v1Path/codebooks")
+    spark.read.parquet(s"$path/meta")
+      .withColumn("version", lit(1)).drop("residual_to")
+      .write.parquet(s"$v1Path/meta")
+    val lv1 = Similarity.loadPQ(spark, v1Path)
+    assert(!lv1.residual, "a v1 artifact must load as raw mode")
+    assert(lv1.codebooks.map(_.toSeq.map { case (c, w) => (c, w.toSeq) }) ==
+      m.codebooks.map(_.toSeq.map { case (c, w) => (c, w.toSeq) }))
   }
 
   test("append pins ONE batch instantiation: a nondeterministic batch " +
