@@ -155,6 +155,41 @@ private[graft] object EntryDedup {
     }),
 
 
+    // ── LLM-pipeline: MinHash index DELETION (VERDICT r16 item 2) ──
+    // The takedown lifecycle for the near-dup index: tombstone-delete
+    // a third of the indexed corpus (deleted docs stop VETOING batch
+    // docs immediately — 'masked' phase), compact (tombstoned
+    // signatures drop physically), re-append half the deleted docs
+    // (legal re-admission), dedup again ('final' phase). The oracle
+    // replays both phases against the respective surviving index
+    // sides; a leaky mask, a compaction dropping the wrong rows, or a
+    // failed re-append all hash-mismatch.
+    "q_minhash_delete" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+      val path = sessionTmpDir(s, "minhash_del", dir)
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", path,
+        n = 3, h = 16, parity = true)
+      Dedup.deleteFromMinhashIndex(s,
+        corpus.filter(col("doc_id") % 3 === 1).select("doc_id"), "doc_id", path)
+      def serve() = Dedup.dropSeenNearDup(batch,
+          Dedup.readMinhashIndex(s, path, n = 3, h = 16, parity = true),
+          "doc_id", "text", n = 3, h = 16, b = 8,
+          minAgree = 0.5, parity = true, maxBucket = 100)
+        .select(col("doc_id"), col("source"))
+      // pin the masked verdicts BEFORE compact swaps the data files —
+      // batch-sized, driver-bounded
+      val masked = serve().withColumn("phase", lit("masked"))
+        .localCheckpoint(eager = true)
+      Dedup.compactMinhashIndex(s, path)
+      Dedup.appendMinhashIndex(s, corpus.filter(col("doc_id") % 6 === 1),
+        "doc_id", "text", path)
+      masked.unionByName(serve().withColumn("phase", lit("final")))
+        .select("phase", "doc_id", "source")
+    }),
+
+
     // ── LLM-pipeline: cross-corpus overlap audit ────────────────────
     // "Is the new dataset actually new?" — fraction of the batch
     // already present (by content hash) in the corpus, before paying
@@ -774,6 +809,54 @@ private[graft] object EntryDedup {
          |),
          |doomed AS (SELECT DISTINCT bid FROM agr WHERE agree >= 0.5)
          |SELECT doc_id, source FROM b0 ANTI JOIN doomed ON b0.doc_id = doomed.bid""".stripMargin,
+
+
+    // the delete lifecycle: masked phase dedups against the corpus
+    // minus the deleted third (doc_id % 3 = 1); final phase (post-
+    // compact + re-append of the % 6 = 1 half) against the corpus
+    // minus doc_id % 6 = 4 — both replayed as independent index sides
+    "q_minhash_delete" ->
+      s"""WITH corpus1 AS (SELECT * FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 3 <> 1),
+         |corpus2 AS (SELECT * FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 6 <> 4),
+         |b0 AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+         |${sqlSigChainOn("corpus1", "m")},
+         |${sqlSigChainOn("corpus2", "f")},
+         |${sqlSigChainOn("b0", "b")},
+         |mhot AS (SELECT band, bucket FROM mbb GROUP BY 1, 2 HAVING count(*) > 100),
+         |mbbc AS (SELECT mbb.* FROM mbb ANTI JOIN mhot USING (band, bucket)),
+         |mcand AS (
+         |  SELECT DISTINCT x.doc_id AS bid, y.doc_id AS cid
+         |  FROM bbb x JOIN mbbc y USING (band, bucket)
+         |),
+         |magr AS (
+         |  SELECT mcand.bid,
+         |         CAST(list_sum(list_transform(list_zip(bs.sig, cs.sig),
+         |                       p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+         |           / 16.0 AS agree
+         |  FROM mcand JOIN bsig bs ON bs.doc_id = mcand.bid
+         |             JOIN msig cs ON cs.doc_id = mcand.cid
+         |),
+         |mdoomed AS (SELECT DISTINCT bid FROM magr WHERE agree >= 0.5),
+         |fhot AS (SELECT band, bucket FROM fbb GROUP BY 1, 2 HAVING count(*) > 100),
+         |fbbc AS (SELECT fbb.* FROM fbb ANTI JOIN fhot USING (band, bucket)),
+         |fcand AS (
+         |  SELECT DISTINCT x.doc_id AS bid, y.doc_id AS cid
+         |  FROM bbb x JOIN fbbc y USING (band, bucket)
+         |),
+         |fagr AS (
+         |  SELECT fcand.bid,
+         |         CAST(list_sum(list_transform(list_zip(bs.sig, cs.sig),
+         |                       p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+         |           / 16.0 AS agree
+         |  FROM fcand JOIN bsig bs ON bs.doc_id = fcand.bid
+         |             JOIN fsig cs ON cs.doc_id = fcand.cid
+         |),
+         |fdoomed AS (SELECT DISTINCT bid FROM fagr WHERE agree >= 0.5)
+         |SELECT 'masked' AS phase, doc_id, source
+         |FROM b0 ANTI JOIN mdoomed ON b0.doc_id = mdoomed.bid
+         |UNION ALL
+         |SELECT 'final' AS phase, doc_id, source
+         |FROM b0 ANTI JOIN fdoomed ON b0.doc_id = fdoomed.bid""".stripMargin,
 
 
     "q_simhash" ->

@@ -429,6 +429,27 @@ private[graft] object EntryText {
     }),
 
 
+    // ── tokenizer: unigram byte-fallback encode (VERDICT r16 item 3
+    // — SentencePiece --byte_fallback). The vocabulary trains on the
+    // ascii corpus; the ENCODED corpus injects 'é' after every 'q'
+    // (replace(text, 'q', 'qé')) — a character training never saw.
+    // Without fallback those words would collapse to '<unk>'; with it
+    // they segment through characters, the unseen 'é' through its
+    // UTF-8 bytes <0xC3> <0xA9>, and every fully-covered word encodes
+    // EXACTLY as q_unigram_encode does. The oracle replays training,
+    // the mixed-corpus Viterbi DP, and the byte expansion end to end.
+    // Model = the shared trained fixture flagged byteFallback (the
+    // flag changes no training arithmetic at maxPieceLen=4 — the
+    // byte-piece shape needs 6 chars — so the train replay is
+    // q_unigram_train's verbatim).
+    "q_unigram_fallback" -> ((s, dir) => {
+      val model = unigramModel60(s, dir).copy(byteFallback = true)
+      val mixed = Tables(s, dir, "documents")
+        .select(col("doc_id"), regexp_replace(col("text"), "q", "qé").as("text"))
+      UnigramTokenizer.encode(mixed, "doc_id", "text", model, maxWordLen = 16)
+    }),
+
+
     // ── LLM-pipeline: bigram-LM quality scoring (perplexity filter) ─
     // CCNet-style: train add-1 bigram statistics on the 3/4 reference
     // slice, score the held-out quarter by mean inverse conditional
@@ -487,8 +508,13 @@ private[graft] object EntryText {
   /** The Viterbi DP chain: `tag`0..`tag`N one CTE per prefix length,
     * each extending the last UniPieceLen frontiers by the connecting
     * substring joined against `probCte`(piece, p), keeping the best
-    * row per word; `tag`seg collects each word's full-length row. */
-  private def sqlUnigramDp(tag: String, probCte: String): String = {
+    * row per word; `tag`seg collects each word's full-length row.
+    * `wordCte` is the (w, ...) distinct-word relation the lattice
+    * runs over — uwc (the training corpus) by default; the fallback
+    * gate segments a DIFFERENT corpus's words under the trained
+    * vocabulary. */
+  private def sqlUnigramDp(tag: String, probCte: String,
+                           wordCte: String = "uwc"): String = {
     val chain = (1 to UniMaxLen).map { j =>
       val cands = (math.max(0, j - UniPieceLen) until j).map { i =>
         s"""      SELECT d.w, d.prob * p.p AS prob, d.np + 1 AS np,
@@ -509,7 +535,7 @@ private[graft] object EntryText {
     val seg = (1 to UniMaxLen)
       .map(j => s"  SELECT w, pieces, np FROM $tag$j WHERE len(w) = $j")
       .mkString("\n  UNION ALL\n")
-    s"""${tag}0 AS MATERIALIZED (SELECT w, CAST(1.0 AS DOUBLE) AS prob, CAST(0 AS BIGINT) AS np, '' AS pieces FROM uwc),
+    s"""${tag}0 AS MATERIALIZED (SELECT w, CAST(1.0 AS DOUBLE) AS prob, CAST(0 AS BIGINT) AS np, '' AS pieces FROM $wordCte),
        |$chain,
        |${tag}seg AS MATERIALIZED (
        |$seg
@@ -589,6 +615,66 @@ private[graft] object EntryText {
        |       CAST(coalesce(e.n_pieces, 0) AS BIGINT) AS n_pieces
        |FROM (SELECT DISTINCT doc_id FROM documents) d
        |LEFT JOIN uenc e ON e.doc_id = d.doc_id""".stripMargin
+
+  /** The byte-fallback encode replay (q_unigram_fallback): the shared
+    * train chain builds uv1/up1 over the ASCII corpus; the MIXED
+    * corpus ('é' injected after every 'q') tokenizes into its own
+    * word table, Viterbi-segments under the trained vocabulary, and
+    * the no-path words (every 'é'-carrier) expand per character —
+    * covered chars as pieces, 'é' as its UTF-8 bytes via
+    * hex(encode(ch)), the same uppercase-hex convention Spark's
+    * hex() emits. */
+  private val sqlUnigramFallback: String =
+    s"""WITH $sqlUnigramTrainCtes,
+       |mixd AS MATERIALIZED (
+       |  SELECT doc_id, replace(text, 'q', 'qé') AS text FROM documents
+       |),
+       |ewc AS MATERIALIZED (
+       |  SELECT t AS w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM mixd)
+       |  WHERE len(t) > 0 GROUP BY 1
+       |),
+       |${sqlUnigramDp("uf", "up1", "ewc")},
+       |uvch AS (SELECT piece FROM uv1 WHERE len(piece) = 1),
+       |ufbc AS (
+       |  SELECT nw.w, CAST(i.i AS INTEGER) AS pos,
+       |         substr(nw.w, CAST(i.i AS INTEGER), 1) AS ch
+       |  FROM (SELECT w FROM ewc ANTI JOIN ufseg USING (w)) nw
+       |       CROSS JOIN range(1, ${UniMaxLen + 1}) i(i)
+       |  WHERE i.i <= len(nw.w)
+       |),
+       |ufbp AS (
+       |  SELECT c.w, c.pos,
+       |         CASE WHEN v.piece IS NOT NULL THEN [c.ch]
+       |              ELSE list_transform(range(1, len(hex(encode(c.ch)))//2 + 1),
+       |                     b -> '<0x' || substr(hex(encode(c.ch)), CAST(b*2-1 AS INTEGER), 2) || '>')
+       |         END AS pl
+       |  FROM ufbc c LEFT JOIN uvch v ON v.piece = c.ch
+       |),
+       |ufb AS (
+       |  SELECT w, flatten(list(pl ORDER BY pos)) AS pls FROM ufbp GROUP BY w
+       |),
+       |uffin AS MATERIALIZED (
+       |  SELECT w, pieces, np FROM ufseg
+       |  UNION ALL
+       |  SELECT w, array_to_string(pls, ' ') AS pieces,
+       |         CAST(len(pls) AS BIGINT) AS np
+       |  FROM ufb
+       |),
+       |uftok AS (
+       |  SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS w
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+       |        FROM mixd)
+       |),
+       |ufenc AS (
+       |  SELECT uftok.doc_id, string_agg(f.pieces, ' ' ORDER BY uftok.pos) AS unigram,
+       |         CAST(sum(f.np) AS BIGINT) AS n_pieces
+       |  FROM uftok JOIN uffin f ON f.w = uftok.w GROUP BY 1
+       |)
+       |SELECT d.doc_id, coalesce(e.unigram, '') AS unigram,
+       |       CAST(coalesce(e.n_pieces, 0) AS BIGINT) AS n_pieces
+       |FROM (SELECT DISTINCT doc_id FROM mixd) d
+       |LEFT JOIN ufenc e ON e.doc_id = d.doc_id""".stripMargin
 
   /** The 6-round BPE train + corpus-encode replay, shared verbatim by
     * q_bpe_encode (trained rules) and q_bpe_persist (rules through
@@ -1311,6 +1397,7 @@ private[graft] object EntryText {
 
 
     "q_unigram_encode" -> sqlUnigramEncode,
+    "q_unigram_fallback" -> sqlUnigramFallback,
 
 
     // encoding through the persisted vocabulary must reproduce the

@@ -412,6 +412,78 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: OPQ persisted lifecycle (VERDICT r16 item 1) ──
+    // The rotation freezes with its quantizer and codebooks
+    // (saveOpqIvf), LOADS (loadOpqIvf — fingerprint battery), the
+    // index builds ROTATED (rotation provenance in the meta), appends
+    // and compacts under it, and serves RAW probes through the
+    // rotated entry. The deterministic md5 perm+sign rotation keeps
+    // it oracle-replayable (the q_opq_topk convention); cents =
+    // FirstK(8) in ROTATED space so the oracle regenerates them from
+    // the rotated relation. A lost append row, a swap corruption, a
+    // drifted rotation, or probes rotated with the wrong matrix all
+    // hash-mismatch.
+    "q_opq_refresh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val rot = opqTestRotation(64)
+      val re = Similarity.rotateVectors(emb, "vec_id", "embedding", rot, "r")
+      val cents = KMeans.initCentroids(re, "vec_id", "r", FirstK(8))
+      val pq = Similarity.trainPQ(re, "vec_id", "r", d = 64, m = 4, k = 16,
+        maxIter = 0)
+      val base = sessionTmpDir(s, "opq_refresh", dir)
+      Similarity.saveOpqIvf(s, s"$base/opq",
+        Similarity.OpqIvfModel(rot, cents, pq))
+      val lm = Similarity.loadOpqIvf(s, s"$base/opq")
+      Similarity.buildIvfPqIndexRotated(emb.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", lm, s"$base/index")
+      Similarity.appendIvfPqIndexRotated(s, emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", lm, s"$base/index")
+      Similarity.compactIvfPqIndex(s, s"$base/index")
+      Similarity.ivfPqTopKIndexedRotated(s, s"$base/index",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        lm, nprobe = 2, k = 10)
+    }),
+
+
+    // ── LLM-pipeline: IVF-PQ index DELETION (VERDICT r16 item 2) ────
+    // The takedown lifecycle a 100 TB training-data pipeline is
+    // legally forced to run, without the full rebuild it used to
+    // cost: tombstone-delete a seventh of the corpus (the serve masks
+    // it IMMEDIATELY — 'masked' phase), compact (the rows drop
+    // physically into a fresh generation, tombstones clear), then
+    // RE-APPEND half the deleted ids (legal re-admission) and serve
+    // again ('final' phase). The oracle replays both candidate sets;
+    // a no-op delete, a leaky mask, a compaction that dropped the
+    // wrong rows, or a failed re-append all hash-mismatch.
+    "q_ivfpq_delete" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      val cents = cents8(s, dir)
+      val base = sessionTmpDir(s, "ivfpq_del", dir)
+      val idx = s"$base/index"
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model, idx)
+      Similarity.deleteFromIvfPqIndex(s,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id", idx)
+      // pin the masked serve BEFORE the compact retires its
+      // generation — 50 rows, driver-bounded
+      val masked = Similarity.ivfPqTopKIndexed(s, idx,
+          emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+          cents, model, nprobe = 2, k = 10)
+        .withColumn("phase", lit("masked"))
+        .localCheckpoint(eager = true)
+      Similarity.compactIvfPqIndex(s, idx)
+      Similarity.appendIvfPqIndex(s, emb.filter(col("vec_id") % 14 === 3),
+        "vec_id", "embedding", model, idx)
+      val fin = Similarity.ivfPqTopKIndexed(s, idx,
+          emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+          cents, model, nprobe = 2, k = 10)
+        .withColumn("phase", lit("final"))
+      masked.unionByName(fin)
+        .select("phase", "probe_id", "vec_id", "rank", "adist")
+    }),
+
+
     // ── LLM-pipeline: int8 embedding quantization ───────────────────
     // The 4×-smaller storage form for billion-vector corpora; codes
     // emitted as a comma-joined string so the compare hashes scalars.
@@ -1404,16 +1476,17 @@ private[graft] object EntryVector {
        |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
        |  FROM rex) WHERE rn <= 10""".stripMargin
 
-  /** The OPQ rotate-then-quantize replay: the md5 permutation+sign
+  /** Shared rotated-space base CTEs: the md5 permutation+sign
     * rotation as a 64-element literal list (generated from the same
     * opqPermSign the engine's rotation matrix is built from — the
-    * q_rand_proj pattern), then the standard PQ train/encode/ADC
-    * chain entirely in rotated space. */
-  private val sqlOpqTopK: String = {
+    * q_rand_proj pattern), then PQ train/encode and the rotated
+    * probes — everything the flat (q_opq_topk) and persisted-IVF
+    * (q_opq_refresh) replays both need. */
+  private val sqlOpqBaseCtes: String = {
     val terms = opqPermSign(64).map { case (p, s) =>
       s"CAST(${if (s > 0) "1" else "-1"} AS DOUBLE) * e.v[${p + 1}]"
     }.mkString(", ")
-    s"""WITH re AS MATERIALIZED (
+    s"""re AS MATERIALIZED (
        |  SELECT vec_id, [$terms] AS r
        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
        |),
@@ -1446,7 +1519,14 @@ private[graft] object EntryVector {
        |         list_sum(list_transform(list_zip(pro.pv[cb.j*16+1 : cb.j*16+16], cb.cw),
        |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS sd
        |  FROM pro CROSS JOIN cbo cb
-       |),
+       |)""".stripMargin
+  }
+
+  /** The OPQ rotate-then-quantize replay: the standard PQ
+    * train/encode/ADC chain entirely in rotated space, flat (no IVF
+    * pruning — every candidate ADCs against every probe). */
+  private val sqlOpqTopK: String =
+    s"""WITH $sqlOpqBaseCtes,
        |ado AS (
        |  SELECT pto.probe_id, a.vec_id, list_sum(list(pto.sd ORDER BY a.j)) AS adist
        |  FROM pqo a JOIN pto ON pto.j = a.j AND pto.cid = a.cid
@@ -1457,7 +1537,73 @@ private[graft] object EntryVector {
        |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
        |  FROM ado WHERE vec_id != probe_id)
        |WHERE rn <= 10""".stripMargin
-  }
+
+  /** The rotated PERSISTED-IVF replay (q_opq_refresh — VERDICT r16
+    * item 1): coarse cells = the 8 lowest-vec_id ROTATED rows (FirstK
+    * in rotated space), assignment and probe-cell ranking both on
+    * rotated vectors, candidates pruned to each probe's 2 nearest
+    * cells, ADC over the rotated codes — the full rotated lifecycle's
+    * serve (save/load artifact + build + append + compact are
+    * hash-invisible when correct, and any drift in them breaks this). */
+  private val sqlOpqRefresh: String =
+    s"""WITH $sqlOpqBaseCtes,
+       |co AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+       |         r AS cvec
+       |  FROM (SELECT * FROM re ORDER BY vec_id LIMIT 8)
+       |),
+       |dco AS (
+       |  SELECT e.vec_id, c.cid,
+       |         list_sum(list_transform(list_zip(e.r, c.cvec),
+       |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+       |  FROM re e CROSS JOIN co c
+       |),
+       |aco AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dco) WHERE rn = 1
+       |),
+       |pco AS (
+       |  SELECT vec_id AS probe_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dco WHERE vec_id IN (SELECT probe_id FROM pro)) WHERE rn <= 2
+       |),
+       |cando AS (
+       |  SELECT DISTINCT pco.probe_id, a.vec_id
+       |  FROM aco a JOIN pco ON a.cell = pco.cell
+       |  WHERE a.vec_id != pco.probe_id
+       |),
+       |adivo AS (
+       |  SELECT cando.probe_id, cando.vec_id, list_sum(list(pto.sd ORDER BY q.j)) AS adist
+       |  FROM cando JOIN pqo q ON q.vec_id = cando.vec_id
+       |             JOIN pto ON pto.probe_id = cando.probe_id AND pto.j = q.j AND pto.cid = q.cid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, adist FROM (
+       |  SELECT probe_id, vec_id, adist,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+       |  FROM adivo) WHERE rn <= 10""".stripMargin
+
+  /** The delete-lifecycle replay (q_ivfpq_delete — VERDICT r16 item
+    * 2): the in-memory IVF-PQ chain with candidates filtered to the
+    * SURVIVORS of each phase. Masked phase (post-delete, pre-compact)
+    * = everything but vec_id % 7 = 3; final phase (post-compact +
+    * re-append of the % 14 = 3 half) = everything but vec_id % 14 =
+    * 10. Model and quantizer are frozen from the FULL corpus before
+    * the deletes, so only the candidate set moves. */
+  private val sqlIvfPqDelete: String =
+    s"""WITH $sqlIvfPqAdcCtes
+       |SELECT 'masked' AS phase, probe_id, vec_id, CAST(rn AS INTEGER) AS rank, adist FROM (
+       |  SELECT probe_id, vec_id, adist,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+       |  FROM adq WHERE vec_id % 7 != 3) WHERE rn <= 10
+       |UNION ALL
+       |SELECT 'final' AS phase, probe_id, vec_id, CAST(rn AS INTEGER) AS rank, adist FROM (
+       |  SELECT probe_id, vec_id, adist,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+       |  FROM adq WHERE vec_id % 14 != 10) WHERE rn <= 10""".stripMargin
 
   /** The IVF-PQ shortlist + exact-cosine re-rank replay, shared by
     * q_ivfpq_rerank (in-memory) and q_ivfpq_rerank_idx (served from
@@ -1725,6 +1871,8 @@ private[graft] object EntryVector {
     // learned-R trainer is engine-only (driver-side Procrustes SVD,
     // like PCA's eigendecomposition) and spec/stress-gated
     "q_opq_topk" -> sqlOpqTopK,
+    "q_opq_refresh" -> sqlOpqRefresh,
+    "q_ivfpq_delete" -> sqlIvfPqDelete,
 
 
     "q_quantize" ->

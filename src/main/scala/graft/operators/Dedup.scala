@@ -656,18 +656,26 @@ object Dedup {
   // signs new batches with the STORED family. Layout: `path/data/`
   // (the (id, sig) parquet) + `path/_graft_index_meta/`.
 
-  private val MinhashMetaVersion = 1
+  private val MinhashMetaVersion = 2
+
+  /** Decoded MinHash index meta; v1 (no deletes) reads as deleted = 0
+    * — the tolerant-read convention (ADVICE r16). */
+  private[operators] final case class MinhashMeta(version: Int, rows: Long,
+                                                  deleted: Long, n: Int,
+                                                  h: Int, parity: Boolean) {
+    def live: Long = rows - deleted
+  }
 
   private def writeMinhashMeta(spark: SparkSession, path: String, rows: Long,
-                               n: Int, h: Int, parity: Boolean): Unit = {
+                               deleted: Long, n: Int, h: Int,
+                               parity: Boolean): Unit = {
     import spark.implicits._
-    Seq((MinhashMetaVersion, rows, n, h, parity))
-      .toDF("version", "rows", "n", "h", "parity")
+    Seq((MinhashMetaVersion, rows, deleted, n, h, parity))
+      .toDF("version", "rows", "deleted", "n", "h", "parity")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_index_meta")
   }
 
-  private def readMinhashMeta(spark: SparkSession, path: String)
-      : (Long, Int, Int, Boolean) = {
+  private def readMinhashMeta(spark: SparkSession, path: String): MinhashMeta = {
     // AnalysisException only — transient storage errors surface as
     // themselves, never as a "rebuild" diagnosis (review r12)
     val m =
@@ -675,9 +683,13 @@ object Dedup {
       catch { case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(
           s"$path is not a graft MinHash index (no _graft_index_meta): ${e.getMessage}") }
-    require(m.getInt(0) == MinhashMetaVersion,
-      s"MinHash index format version ${m.getInt(0)} != $MinhashMetaVersion — rebuild")
-    (m.getLong(1), m.getInt(2), m.getInt(3), m.getBoolean(4))
+    val version = m.getAs[Int]("version")
+    require(version >= 1 && version <= MinhashMetaVersion,
+      s"MinHash index format version $version at $path; this build reads up " +
+        s"to $MinhashMetaVersion — rebuild")
+    MinhashMeta(version, m.getAs[Long]("rows"),
+      if (version >= 2) m.getAs[Long]("deleted") else 0L,
+      m.getAs[Int]("n"), m.getAs[Int]("h"), m.getAs[Boolean]("parity"))
   }
 
   /** Persist the near-dup index: minhashIndex written as parquet plus
@@ -689,30 +701,92 @@ object Dedup {
     minhashIndex(corpus, idCol, textCol, n, h, parity)
       .write.mode("overwrite").parquet(s"$path/data")
     val spark = corpus.sparkSession
+    // stale tombstones from a previous index at this root must not
+    // mask the fresh build's rows
+    val conf = spark.sessionState.newHadoopConf()
+    val tomb = new org.apache.hadoop.fs.Path(minhashTombDir(path))
+    tomb.getFileSystem(conf).delete(tomb, true)
     writeMinhashMeta(spark, path, spark.read.parquet(s"$path/data").count(),
-      n, h, parity)
+      deleted = 0L, n, h, parity)
+    Similarity.refreshIndexPath(spark, path)
+  }
+
+  private def minhashTombDir(path: String): String = s"$path/_tomb"
+
+  /** Tombstoned ids (native id type — MinHash ids are the caller's
+    * column, not necessarily long), None when none were written
+    * (existence-checked — no logged read failures on the common
+    * no-deletes path). */
+  private def minhashTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(minhashTombDir(path))
+    if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      Some(spark.read.parquet(minhashTombDir(path)).select(col("id")))
+    else None
+  }
+
+  private def minhashTombCount(spark: SparkSession, path: String): Long =
+    minhashTombstones(spark, path).map(_.count()).getOrElse(0L)
+
+  /** Tombstone-delete ids from a persisted MinHash index — the
+    * takedown mutation (VERDICT r16 item 2) for the near-dup
+    * signature table: O(takedown) tombstone append, the read surface
+    * anti-joins the set (so a deleted doc stops vetoing batch docs
+    * immediately), and the next compact drops the rows physically.
+    * Idempotent; meta (deleted = prev + newly-tombstoned) writes
+    * AFTER the tombstone data, so a crash is detectably stale. */
+  def deleteFromMinhashIndex(spark: SparkSession, ids: DataFrame,
+                             idCol: String, path: String): Unit = {
+    val meta = readMinhashMeta(spark, path)
+    val existing = minhashTombstones(spark, path)
+    val doomed0 = ids.select(col(idCol).as("id")).distinct()
+      .join(spark.read.parquet(s"$path/data").select(col("id")), "id")
+    val doomed = existing.fold(doomed0)(t =>
+      doomed0.join(t, Seq("id"), "left_anti")).localCheckpoint()
+    try {
+      val nNew = doomed.count()
+      if (nNew > 0) {
+        doomed.write.mode("append").parquet(minhashTombDir(path))
+        writeMinhashMeta(spark, path, meta.rows, meta.deleted + nNew,
+          meta.n, meta.h, meta.parity)
+        Similarity.refreshIndexPath(spark, path)
+      }
+    } finally {
+      org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(doomed)
+    }
   }
 
   /** Read a persisted near-dup index for dropSeenNearDup, refusing a
-    * hash-family mismatch (silently-garbage agreement) or a row-count
-    * drift (partial append). The row check is a parquet-footer count
-    * — metadata-only I/O; verifyRows=false skips it on hot paths. */
+    * hash-family mismatch (silently-garbage agreement), a row-count
+    * drift (partial append), or a tombstone-count drift (interrupted
+    * delete). Tombstoned rows are masked out (one anti-join against
+    * the takedown-sized set), so every consumer — dedup, calibration
+    * — sees only live signatures. The row checks are parquet-footer
+    * counts — metadata-only I/O; verifyRows=false skips them on hot
+    * paths. */
   def readMinhashIndex(spark: SparkSession, path: String,
                        n: Int = 3, h: Int = 16, parity: Boolean = false,
                        verifyRows: Boolean = true): DataFrame = {
-    val (rows, in, ih, ip) = readMinhashMeta(spark, path)
-    require(in == n && ih == h && ip == parity,
-      s"stale MinHash index at $path: built under family (n=$in, h=$ih, " +
-        s"parity=$ip) but queried as (n=$n, h=$h, parity=$parity) — " +
-        "signatures are not comparable across families; rebuild or match params")
+    val meta = readMinhashMeta(spark, path)
+    require(meta.n == n && meta.h == h && meta.parity == parity,
+      s"stale MinHash index at $path: built under family (n=${meta.n}, " +
+        s"h=${meta.h}, parity=${meta.parity}) but queried as (n=$n, h=$h, " +
+        s"parity=$parity) — signatures are not comparable across families; " +
+        "rebuild or match params")
     val data = spark.read.parquet(s"$path/data")
     if (verifyRows) {
       val actual = data.count()
-      require(actual == rows,
-        s"stale MinHash index at $path: meta records $rows rows, index holds " +
-          s"$actual — partial append or concurrent write; rebuild")
+      require(actual == meta.rows,
+        s"stale MinHash index at $path: meta records ${meta.rows} rows, " +
+          s"index holds $actual — partial append or concurrent write; rebuild")
+      val tombs = minhashTombCount(spark, path)
+      require(tombs == meta.deleted,
+        s"stale MinHash index at $path: meta records ${meta.deleted} " +
+          s"tombstones, index holds $tombs — interrupted delete; re-run it")
     }
-    data
+    if (meta.deleted > 0)
+      data.join(broadcast(minhashTombstones(spark, path).get), Seq("id"),
+        "left_anti")
+    else data
   }
 
   /** Append a new admitted batch to a persisted near-dup index,
@@ -729,7 +803,21 @@ object Dedup {
   def appendMinhashIndex(spark: SparkSession, batch: DataFrame,
                          idCol: String, textCol: String, path: String,
                          requireNewIds: Boolean = true): Unit = {
-    val (prevRows, n, h, parity) = readMinhashMeta(spark, path)
+    val meta = readMinhashMeta(spark, path)
+    val (n, h, parity) = (meta.n, meta.h, meta.parity)
+    // a batch id in the TOMBSTONE set refuses loudly and first (r17
+    // deletes — see Similarity.requireNotTombstoned): re-appending
+    // before the compact would leave the id with a dead row, a live
+    // row, and a tombstone, and the read-side anti-join would then
+    // mask BOTH rows
+    minhashTombstones(spark, path).foreach { t =>
+      val hit = t.join(batch.select(col(idCol).as("id")).distinct(), "id")
+        .limit(1).count()
+      require(hit == 0L,
+        s"Dedup.appendMinhashIndex: the batch carries ids that are " +
+          s"tombstoned (deleted, awaiting compaction) in the index at $path " +
+          "— compact the index first, then re-append")
+    }
     // pin ONE instantiation of the batch — but only when the audit
     // runs (ADVICE r15): the pin exists so the audit and the signing
     // write see the same rows (a nondeterministic batch plan could
@@ -768,7 +856,9 @@ object Dedup {
       val sigs = if (requireNewIds) sigs0.cache() else sigs0.localCheckpoint()
       try {
         sigs.write.mode("append").parquet(s"$path/data")
-        writeMinhashMeta(spark, path, prevRows + sigs.count(), n, h, parity)
+        writeMinhashMeta(spark, path, meta.rows + sigs.count(), meta.deleted,
+          n, h, parity)
+        Similarity.refreshIndexPath(spark, path)
       } finally {
         sigs.unpersist()
         org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(sigs)
@@ -800,10 +890,28 @@ object Dedup {
   def compactMinhashIndex(spark: SparkSession, path: String,
                           numFiles: Int = 1): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    val (metaRows, _, _, _) = readMinhashMeta(spark, path)
+    val meta = readMinhashMeta(spark, path)
+    val actualTombs = minhashTombCount(spark, path)
+    require(actualTombs == meta.deleted,
+      s"Dedup.compactMinhashIndex: index at $path holds $actualTombs " +
+        s"tombstones but its meta records ${meta.deleted} — interrupted " +
+        "delete or concurrent writer; re-run the delete, then compact")
+    val tombs = if (meta.deleted > 0) minhashTombstones(spark, path) else None
     Similarity.compactIndexRoot(spark, path, "data", "_graft_index_meta",
-      metaRows, "Dedup.compactMinhashIndex") { (df, dest) =>
-      df.repartition(numFiles).write.mode("overwrite").parquet(dest)
+      meta.rows, "Dedup.compactMinhashIndex", expectedCopied = meta.live,
+      writeMeta =
+        // tombstoned rows drop physically here (r17 deletes), so the
+        // meta rewrites to (rows := live, deleted := 0); the tombstone
+        // dir stays behind in the swapped-away root
+        if (meta.deleted > 0) Some { metaDest: String =>
+          import spark.implicits._
+          Seq((MinhashMetaVersion, meta.live, 0L, meta.n, meta.h, meta.parity))
+            .toDF("version", "rows", "deleted", "n", "h", "parity")
+            .coalesce(1).write.mode("overwrite").parquet(metaDest)
+        } else None) { (df, dest) =>
+      val survivors = tombs.fold(df)(t =>
+        df.join(broadcast(t), Seq("id"), "left_anti"))
+      survivors.repartition(numFiles).write.mode("overwrite").parquet(dest)
     }
   }
 

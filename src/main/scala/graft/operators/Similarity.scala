@@ -160,7 +160,33 @@ object Similarity {
   // bulk-built serving indexes); the meta is the detector, not a
   // lock.
 
-  private val IvfMetaVersion = 1
+  private val IvfMetaVersion = 2
+
+  /** Decoded IVF (float) index meta; v1 (no deletes) reads as
+    * deleted = 0 — the tolerant-read convention (ADVICE r16). */
+  private[operators] final case class IvfMeta(version: Int, rows: Long,
+                                              deleted: Long, fingerprint: String,
+                                              cents: KMeans.Centroids) {
+    def live: Long = rows - deleted
+  }
+
+  /** Root-layout tombstone directory (underscore-prefixed, so data
+    * scans at the root never see it) — shared by the float IVF index
+    * and, with its own root, Dedup's MinHash index. */
+  private[operators] def rootTombDir(path: String): String = s"$path/_tomb"
+
+  /** Invalidate Spark's cached plans and file-status listings under a
+    * MUTATED index root — the same refresh Spark's own table INSERTs
+    * perform. Without it, a consumer that cached a read of the index
+    * (df.cache() over a serve, Dedup's internal registerCache) — or
+    * merely re-reads the path through the session-shared file-status
+    * cache — silently serves PRE-mutation rows after an append,
+    * delete, or compact (caught live by IndexDeleteSpec: a compacted
+    * MinHash index kept answering from the pre-compact cached scan).
+    * Every index mutator calls this after its meta write. */
+  private[operators] def refreshIndexPath(spark: SparkSession,
+                                          path: String): Unit =
+    spark.catalog.refreshByPath(path)
 
   /** Order- and formatting-independent digest of a centroid set: md5
     * over (cid, IEEE-754 bits) in cid order — exact doubles, no
@@ -180,16 +206,15 @@ object Similarity {
   }
 
   private def writeIvfMeta(spark: SparkSession, path: String, rows: Long,
-                           cents: KMeans.Centroids): Unit = {
+                           deleted: Long, cents: KMeans.Centroids): Unit = {
     import spark.implicits._
-    Seq((IvfMetaVersion, rows, centsFingerprint(cents),
+    Seq((IvfMetaVersion, rows, deleted, centsFingerprint(cents),
         cents.sortBy(_._1).toSeq.map { case (cid, v) => (cid, v.toSeq) }))
-      .toDF("version", "rows", "fingerprint", "cents")
+      .toDF("version", "rows", "deleted", "fingerprint", "cents")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_index_meta")
   }
 
-  private def readIvfMeta(spark: SparkSession, path: String)
-      : (Long, String, KMeans.Centroids) = {
+  private def readIvfMeta(spark: SparkSession, path: String): IvfMeta = {
     // AnalysisException only (path missing / not parquet): a transient
     // storage or permission error must surface as ITSELF, not as a
     // "rebuild the index" diagnosis (review r12)
@@ -199,11 +224,16 @@ object Similarity {
         throw new IllegalArgumentException(
           s"$path is not a graft IVF index (no _graft_index_meta — built " +
             s"before the freshness contract, or not an index): ${e.getMessage}") }
-    require(meta.getInt(0) == IvfMetaVersion,
-      s"IVF index format version ${meta.getInt(0)} != $IvfMetaVersion — rebuild")
-    val cents: KMeans.Centroids = meta.getSeq[org.apache.spark.sql.Row](3)
-      .map(c => c.getInt(0) -> c.getSeq[Double](1).toArray).toArray
-    (meta.getLong(1), meta.getString(2), cents)
+    val version = meta.getAs[Int]("version")
+    require(version >= 1 && version <= IvfMetaVersion,
+      s"IVF index format version $version at $path; this build reads up to " +
+        s"$IvfMetaVersion — rebuild")
+    val cents: KMeans.Centroids =
+      meta.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("cents")
+        .map(c => c.getInt(0) -> c.getSeq[Double](1).toArray).toArray
+    IvfMeta(version, meta.getAs[Long]("rows"),
+      if (version >= 2) meta.getAs[Long]("deleted") else 0L,
+      meta.getAs[String]("fingerprint"), cents)
   }
 
   /** Persist the IVF index: corpus assigned to its nearest centroid
@@ -231,7 +261,40 @@ object Similarity {
       .write.option("partitionOverwriteMode", "static")
       .partitionBy("cell").mode("overwrite").parquet(path)
     val spark = corpus.sparkSession
-    writeIvfMeta(spark, path, spark.read.parquet(path).count(), cents)
+    // stale tombstones from a previous index at this root must not
+    // mask the fresh build's rows
+    val conf = spark.sessionState.newHadoopConf()
+    val tomb = new org.apache.hadoop.fs.Path(rootTombDir(path))
+    tomb.getFileSystem(conf).delete(tomb, true)
+    writeIvfMeta(spark, path, spark.read.parquet(path).count(),
+      deleted = 0L, cents)
+    refreshIndexPath(spark, path)
+  }
+
+  /** Tombstone-delete ids from a persisted (float) IVF index — the
+    * deleteFromIvfPqIndex contract over the root-layout float table:
+    * O(takedown) tombstone append, serve-side anti-join, physical
+    * drop at the next compact, idempotent, meta written after the
+    * tombstone data so a crash is detectably stale. */
+  def deleteFromIvfIndex(spark: SparkSession, ids: DataFrame,
+                         idCol: String, path: String): Unit = {
+    TopKAgg.requireLongCastableId(ids, idCol, "Similarity.deleteFromIvfIndex")
+    val meta = readIvfMeta(spark, path)
+    val tombDir = rootTombDir(path)
+    val doomed = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .join(spark.read.parquet(path).select(col("id")), "id")
+      .join(readTombstones(spark, tombDir), Seq("id"), "left_anti")
+      .localCheckpoint()
+    try {
+      val n = doomed.count()
+      if (n > 0) {
+        doomed.write.mode("append").parquet(tombDir)
+        writeIvfMeta(spark, path, meta.rows, meta.deleted + n, meta.cents)
+        refreshIndexPath(spark, path)
+      }
+    } finally {
+      org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(doomed)
+    }
   }
 
   /** Append id audit (review r14; default ON since r15 — VERDICT r14
@@ -283,7 +346,7 @@ object Similarity {
                      idCol: String, vecCol: String, path: String,
                      requireNewIds: Boolean = true): Unit = {
     TopKAgg.requireLongCastableId(batch, idCol, "Similarity.appendIvfIndex")
-    val (prevRows, _, cents) = readIvfMeta(spark, path)
+    val meta = readIvfMeta(spark, path)
     // pin ONE instantiation of the batch: the audit, the write, and
     // the meta count must see the same rows (see requireIdsNotIndexed)
     val src = batch.select(col(idCol).cast("long").as("id"),
@@ -293,15 +356,20 @@ object Similarity {
     // the ContextCleaner leaks one batch of storage per append in a
     // long-lived ingest driver
     try {
+      // tombstoned ids refuse FIRST — see appendIvfPqIndexCore
+      requireNotTombstoned(spark, src, rootTombDir(path), path,
+        "Similarity.appendIvfIndex")
       if (requireNewIds) requireIdsNotIndexed(spark, src, path,
         "Similarity.appendIvfIndex", "serve duplicate rows")
       // meta rows = prev + batch (O(batch), not a full-index recount —
       // review r12); a crash between data and meta leaves actual > meta,
       // which ivfTopKIndexed's row check refuses
-      val assigned = KMeans.assign(src, "v", cents, outCol = "cell")
+      val assigned = KMeans.assign(src, "v", cents = meta.cents, outCol = "cell")
         .withColumn("n", VectorOps.norm2(col("v")))
       assigned.write.partitionBy("cell").mode("append").parquet(path)
-      writeIvfMeta(spark, path, prevRows + src.count(), cents)
+      writeIvfMeta(spark, path, meta.rows + src.count(), meta.deleted,
+        meta.cents)
+      refreshIndexPath(spark, path)
     } finally {
       org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(src)
     }
@@ -328,17 +396,21 @@ object Similarity {
                      verifyRows: Boolean = true,
                      maxProbes: Int = 10000): DataFrame = {
     TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.ivfTopKIndexed")
-    val (metaRows, fp, _) = readIvfMeta(spark, indexPath)
-    require(fp == centsFingerprint(cents),
+    val meta = readIvfMeta(spark, indexPath)
+    require(meta.fingerprint == centsFingerprint(cents),
       s"stale IVF index at $indexPath: the quantizer passed to the query does " +
         "not match the one the index was built/appended with — probing the " +
         "wrong cells returns silently wrong neighbors; rebuild the index or " +
         "query with its own centroids")
     if (verifyRows) {
       val actual = spark.read.parquet(indexPath).count()
-      require(actual == metaRows,
-        s"stale IVF index at $indexPath: meta records $metaRows rows, index " +
+      require(actual == meta.rows,
+        s"stale IVF index at $indexPath: meta records ${meta.rows} rows, index " +
           s"holds $actual — partial append or concurrent write; rebuild")
+      val tombs = tombstoneCount(spark, rootTombDir(indexPath))
+      require(tombs == meta.deleted,
+        s"stale IVF index at $indexPath: meta records ${meta.deleted} " +
+          s"tombstones, index holds $tombs — interrupted delete; re-run it")
     }
     val pinned = boundedProbes(probes, maxProbes,
       (if (cents.nonEmpty) cents.head._2.length else 0) * 8L,
@@ -362,8 +434,14 @@ object Similarity {
     val cells = probeCells.map(_._2).distinct.toSeq
     import spark.implicits._
     val pc = probeCells.toSeq.toDF("probe_id", "cell")
-    val idx = spark.read.parquet(indexPath)
+    val idx0 = spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells: _*)) // static partition pruning
+    // tombstone mask (r17 deletes): one broadcast anti-join against
+    // the takedown-sized set, skipped while no deletes are pending
+    val idx = if (meta.deleted > 0)
+      idx0.join(broadcast(readTombstones(spark, rootTombDir(indexPath))),
+        Seq("id"), "left_anti")
+    else idx0
     val scored = idx.join(broadcast(pc), "cell")
       .filter(col("id") =!= col("probe_id"))
       .join(broadcast(pv), "probe_id")
@@ -842,6 +920,238 @@ object Similarity {
       val (_, cents, pq) = fitSpace(rot)
       OpqIvfModel(rot, cents, pq)
     } finally { x.unpersist(); () }
+  }
+
+  // ── OPQ artifact persistence (VERDICT r16 item 1) ────────────────
+  //
+  // A rotation that lives only in driver memory strands its index:
+  // codes written over x·R can never be correctly served again once
+  // the session ends, and nothing stops a later session from serving
+  // them UNROTATED — silently wrong, no error (ADVICE r16). So the
+  // rotation freezes exactly like codebooks do: a versioned parquet
+  // artifact with a commit-marker meta, an IEEE-bits fingerprint
+  // that also lands in every index built over the rotated space, and
+  // loud refusals on any drift.
+
+  /** Order-independent digest of a rotation matrix: md5 over (d,
+    * row-major IEEE-754 bits) — the provenance that binds an index's
+    * stored codes to the rotation that produced their input space. */
+  private[graft] def rotationFingerprint(r: Array[Array[Double]]): String = {
+    val d = r.length
+    r.foreach(row => require(row.length == d,
+      s"rotation must be square, got a ${row.length}-wide row in d=$d"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    buf.putInt(d); buf.putInt(d)
+    md.update(buf.array(), 0, 8)
+    r.foreach(_.foreach { x =>
+      buf.clear(); buf.putLong(java.lang.Double.doubleToLongBits(x))
+      md.update(buf.array(), 0, 8)
+    })
+    md.digest().map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** OPQ artifact format version; bumped on any schema change so a
+    * loader refuses an artifact it does not understand (newer only —
+    * the loadPQ v1 lesson). */
+  val OpqFormatVersion = 1
+
+  /** Rotation rows land under `$path/rotation` (i, r: the i-th row of
+    * R); d rows of d doubles — centroid-sized driver data. */
+  private def writeRotation(spark: SparkSession, path: String,
+                            rotation: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    rotation.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+      .toDF("i", "r")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/rotation")
+  }
+
+  /** Loads and VALIDATES a rotation: square, rows contiguous 0..d−1,
+    * finite, fingerprint-matching the meta's record (bit corruption
+    * surfaces as itself), and orthogonal to 1e-6 (‖RᵀR−I‖∞) — a
+    * non-orthogonal matrix silently breaks the distance-preservation
+    * contract every OPQ guarantee rests on, so it refuses loudly. */
+  private def readRotation(spark: SparkSession, path: String, d: Int,
+                           expectedFp: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(s"$path/rotation").collect()
+    require(rows.length == d,
+      s"OPQ rotation at $path has ${rows.length} rows, expected d=$d")
+    val byI = rows.map(r => r.getAs[Int]("i") ->
+      r.getAs[scala.collection.Seq[Double]]("r").toArray).toMap
+    require(byI.keySet == (0 until d).toSet,
+      s"OPQ rotation at $path has non-contiguous row indices — corrupt artifact")
+    val rot = (0 until d).map(byI).toArray
+    rot.foreach { row =>
+      require(row.length == d, s"OPQ rotation at $path is not square")
+      require(row.forall(v => !v.isNaN && !v.isInfinite),
+        s"non-finite value in OPQ rotation at $path")
+    }
+    require(rotationFingerprint(rot) == expectedFp,
+      s"OPQ rotation at $path does not match its recorded fingerprint — " +
+        "bit corruption or a hand-swapped rotation file; refusing to serve")
+    var maxDev = 0.0
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        var s = 0.0; var t = 0
+        while (t < d) { s += rot(t)(i) * rot(t)(j); t += 1 }
+        val dev = math.abs(s - (if (i == j) 1.0 else 0.0))
+        if (dev > maxDev) maxDev = dev
+        j += 1
+      }
+      i += 1
+    }
+    require(maxDev < 1e-6,
+      f"OPQ rotation at $path is not orthogonal (max |RᵀR−I| = $maxDev%g) " +
+        "— a non-orthogonal matrix breaks rotation-invariant distances " +
+        "silently; retrain")
+    rot
+  }
+
+  /** Persists a plain OPQ model (rotation + the codebooks trained in
+    * rotated space): rotation rows, the PQ artifact (savePQ v2), and
+    * ONE meta row binding BOTH fingerprints LAST as the commit marker
+    * — so a hand-swap of either subdirectory refuses at load. */
+  def saveOpq(spark: SparkSession, path: String, model: OPQModel): Unit = {
+    import spark.implicits._
+    writeRotation(spark, path, model.rotation)
+    savePQ(spark, s"$path/pq", model.pq)
+    Seq((OpqFormatVersion, model.rotation.length,
+        rotationFingerprint(model.rotation), pqFingerprint(model.pq)))
+      .toDF("version", "d", "rotation_fp", "pq_fp")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def readOpqMeta(spark: SparkSession, path: String)
+      : (Int, String, String) = {
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.length == 1,
+      s"OPQ meta at $path has ${metaRows.length} rows, expected exactly 1")
+    val mr = metaRows(0)
+    val version = mr.getAs[Int]("version")
+    require(version >= 1 && version <= OpqFormatVersion,
+      s"OPQ artifact version $version at $path; this build reads up to " +
+        s"$OpqFormatVersion")
+    (mr.getAs[Int]("d"), mr.getAs[String]("rotation_fp"),
+      mr.getAs[String]("pq_fp"))
+  }
+
+  /** Loads a `saveOpq` artifact — validated rotation (see
+    * readRotation) + the paired codebooks, refusing a codebook whose
+    * fingerprint disagrees with the meta's pairing record. */
+  def loadOpq(spark: SparkSession, path: String): OPQModel = {
+    val (d, rotFp, pqFp) = readOpqMeta(spark, path)
+    val pq = loadPQ(spark, s"$path/pq")
+    require(pqFingerprint(pq) == pqFp,
+      s"OPQ artifact at $path: the stored codebooks do not match the meta's " +
+        "pairing fingerprint — a hand-swapped pq/ directory would silently " +
+        "decode garbage; refusing to serve")
+    require(pq.d == d, s"OPQ artifact at $path: rotation d=$d but codebook " +
+      s"d=${pq.d} — mismatched artifact halves")
+    OPQModel(readRotation(spark, path, d, rotFp), pq)
+  }
+
+  /** Persists the full production triple (rotation + coarse quantizer
+    * + residual-or-raw codebooks) — what `trainOpqIvf` returns and a
+    * rotated persisted index serves with. The meta binds all THREE
+    * fingerprints and stores the centroids themselves (they are
+    * centroid-sized — the writeIvfPqMeta convention). */
+  def saveOpqIvf(spark: SparkSession, path: String, model: OpqIvfModel): Unit = {
+    import spark.implicits._
+    writeRotation(spark, path, model.rotation)
+    savePQ(spark, s"$path/pq", model.pq)
+    Seq((OpqFormatVersion, model.rotation.length,
+        rotationFingerprint(model.rotation), pqFingerprint(model.pq),
+        centsFingerprint(model.cents),
+        model.cents.sortBy(_._1).toSeq.map { case (cid, v) => (cid, v.toSeq) }))
+      .toDF("version", "d", "rotation_fp", "pq_fp", "cents_fp", "cents")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Loads a `saveOpqIvf` artifact with the full refusal battery:
+    * rotation validation, codebook pairing, centroid fingerprint, and
+    * (for residual codebooks) the residualTo ↔ stored-quantizer
+    * agreement — a forged or mixed artifact fails here, with its own
+    * diagnosis, never downstream as wrong neighbors. */
+  def loadOpqIvf(spark: SparkSession, path: String): OpqIvfModel = {
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.length == 1,
+      s"OPQ-IVF meta at $path has ${metaRows.length} rows, expected exactly 1")
+    val mr = metaRows(0)
+    val version = mr.getAs[Int]("version")
+    require(version >= 1 && version <= OpqFormatVersion,
+      s"OPQ-IVF artifact version $version at $path; this build reads up to " +
+        s"$OpqFormatVersion")
+    val d = mr.getAs[Int]("d")
+    val cents: KMeans.Centroids =
+      mr.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("cents")
+        .map(c => c.getInt(0) -> c.getSeq[Double](1).toArray).toArray
+    require(centsFingerprint(cents) == mr.getAs[String]("cents_fp"),
+      s"OPQ-IVF artifact at $path: stored centroids do not match their " +
+        "fingerprint — corrupt artifact, refusing to serve")
+    val pq = loadPQ(spark, s"$path/pq")
+    require(pqFingerprint(pq) == mr.getAs[String]("pq_fp"),
+      s"OPQ-IVF artifact at $path: the stored codebooks do not match the " +
+        "meta's pairing fingerprint — a hand-swapped pq/ directory would " +
+        "silently decode garbage; refusing to serve")
+    pq.residualTo.foreach { rt =>
+      require(rt == centsFingerprint(cents),
+        s"OPQ-IVF artifact at $path: the residual codebook is paired with a " +
+          "different coarse quantizer than the artifact stores — refusing")
+    }
+    OpqIvfModel(readRotation(spark, path, d,
+      mr.getAs[String]("rotation_fp")), cents, pq)
+  }
+
+  // ── Rotated persisted-index lifecycle (VERDICT r16 item 1) ──────
+  //
+  // The OPQ composition at rest: corpus and probes rotate through the
+  // same rotateCol kernel, the whole IVF-PQ stack runs verbatim in
+  // rotated space, and the index meta carries the rotation's
+  // fingerprint so every plain (unrotated) entry refuses it — and
+  // vice versa (requireRotationMatch). The quantizer and codebooks in
+  // `model` must themselves have been trained in rotated space
+  // (trainOpqIvf, or FirstK/trainPQ over rotateVectors output).
+
+  def buildIvfPqIndexRotated(corpus: DataFrame, idCol: String,
+                             vecCol: String, model: OpqIvfModel,
+                             path: String): Unit =
+    buildIvfPqIndexCore(corpus, idCol, vecCol,
+      v => rotateCol(v, model.rotation), model.cents, model.pq, path,
+      rotationFp = Some(rotationFingerprint(model.rotation)))
+
+  def appendIvfPqIndexRotated(spark: SparkSession, batch: DataFrame,
+                              idCol: String, vecCol: String,
+                              model: OpqIvfModel, path: String,
+                              requireNewIds: Boolean = true): Unit =
+    appendIvfPqIndexCore(spark, batch, idCol, vecCol,
+      v => rotateCol(v, model.rotation), model.pq, path, requireNewIds,
+      rotationFp = Some(rotationFingerprint(model.rotation)))
+
+  /** Indexed IVF-PQ top-k over a ROTATED persisted index: probes
+    * arrive RAW and rotate here, through the same kernel the build
+    * used, before the pin — cell ranking, residuals, and ADC then run
+    * entirely in rotated space, bit-identically to an in-memory
+    * search over pre-rotated inputs. Refuses an unrotated or
+    * differently-rotated index (requireRotationMatch). */
+  def ivfPqTopKIndexedRotated(spark: SparkSession, indexPath: String,
+                              probes: DataFrame, probeIdCol: String,
+                              probeVecCol: String, model: OpqIvfModel,
+                              nprobe: Int, k: Int,
+                              verifyRows: Boolean = true,
+                              maxProbes: Int = 10000): DataFrame = {
+    TopKAgg.requireLongCastableId(probes, probeIdCol,
+      "Similarity.ivfPqTopKIndexedRotated")
+    val meta = requireFreshIvfPqIndex(spark, indexPath, model.cents, model.pq,
+      verifyRows, rotationFp = Some(rotationFingerprint(model.rotation)))
+    val rotated = probes.select(col(probeIdCol),
+      rotateCol(VectorOps.toDouble(col(probeVecCol)), model.rotation)
+        .as("__rpv"))
+    val pinned = boundedProbes(rotated, maxProbes,
+      ivfPqProbeBytes(model.pq, nprobe), "Similarity.ivfPqTopKIndexedRotated")
+    ivfPqTopKIndexedPinned(spark, indexPath, meta, pinned, probeIdCol,
+      "__rpv", model.cents, model.pq, nprobe, k)
   }
 
   /** Mean squared FULL-STACK reconstruction error (coarse + residual
@@ -1325,8 +1635,67 @@ object Similarity {
   }
 
   // ── Persisted IVF-PQ index (the full production serving stack) ───
+  //
+  // Layout v2 (r17): data lives in a GENERATION directory `g<N>`
+  // under the index root instead of at the root itself. Appends and
+  // deletes mutate the current generation (new files / tombstones);
+  // compaction writes generation N+1 BESIDE generation N and flips
+  // the meta pointer, retaining exactly one retired generation — so a
+  // reader that planned against generation N (a streaming serve mid-
+  // trigger, a long batch query) keeps a consistent snapshot through
+  // one full compact instead of hitting files a rename swept away
+  // (VERDICT r16 item 6: before-or-after, never torn). The retired
+  // generation dies on the NEXT compact. v1 indexes (data at the
+  // root) still READ; the write paths (append/delete) require one
+  // compact first, which migrates to the generational layout — the
+  // rewrite compaction was going to do anyway.
 
-  private val IvfPqMetaVersion = 1
+  private val IvfPqMetaVersion = 2
+
+  /** Decoded IVF-PQ index meta. `rows` counts rows physically landed
+    * in the current generation; `deleted` of them are tombstoned
+    * (takedowns awaiting compaction), so `live = rows - deleted` is
+    * what a serve returns candidates from. `rotationFp` is the OPQ
+    * rotation provenance: Some(fp) means every stored code quantizes
+    * x·R — serving unrotated probes against it (or rotated probes
+    * against an unrotated index) is silently wrong, so the serve
+    * entries refuse any mismatch (ADVICE r16). */
+  private[operators] final case class IvfPqMeta(
+      version: Int, rows: Long, deleted: Long, gen: Long,
+      fingerprint: String, cents: KMeans.Centroids,
+      pqFingerprint: String, rotationFp: Option[String]) {
+    def live: Long = rows - deleted
+  }
+
+  /** The current generation's data directory ­— the index root itself
+    * for a v1 (pre-generational) index. */
+  private def ivfPqDataDir(path: String, meta: IvfPqMeta): String =
+    if (meta.version >= 2) s"$path/g${meta.gen}" else path
+
+  /** The current generation's tombstone directory (v2 only — v1
+    * indexes refuse deletes). Kept per generation so a reader pinned
+    * to the retired generation still resolves ITS tombstones during
+    * the one-compact grace window. */
+  private def ivfPqTombDir(path: String, gen: Long): String =
+    s"$path/_tomb/g$gen"
+
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Tombstoned ids of a generation as (id: long), empty when none
+    * were ever written (existence-checked — no logged read failures
+    * on the common no-deletes path). */
+  private def readTombstones(spark: SparkSession, tombDir: String): DataFrame = {
+    import spark.implicits._
+    if (dirExists(spark, tombDir))
+      spark.read.parquet(tombDir).select(col("id").cast("long").as("id"))
+    else Seq.empty[Long].toDF("id")
+  }
+
+  private def tombstoneCount(spark: SparkSession, tombDir: String): Long =
+    if (dirExists(spark, tombDir)) spark.read.parquet(tombDir).count() else 0L
 
   /** Order-independent digest of a PQ codebook set: md5 over
     * (j, cid, dsub, IEEE-754 bits) in (j, cid) order, plus the
@@ -1366,56 +1735,89 @@ object Similarity {
     * quantizer, are silently-plausible garbage — the serve refuses
     * both. */
   private def writeIvfPqMeta(spark: SparkSession, path: String, rows: Long,
-                             cents: KMeans.Centroids, model: PQModel): Unit = {
+                             deleted: Long, gen: Long, fingerprint: String,
+                             cents: KMeans.Centroids, pqFp: String,
+                             rotationFp: Option[String]): Unit = {
     import spark.implicits._
-    Seq((IvfPqMetaVersion, rows, centsFingerprint(cents),
+    Seq((IvfPqMetaVersion, rows, deleted, gen, fingerprint,
         cents.sortBy(_._1).toSeq.map { case (cid, v) => (cid, v.toSeq) },
-        pqFingerprint(model)))
-      .toDF("version", "rows", "fingerprint", "cents", "pq_fingerprint")
+        pqFp, rotationFp.orNull))
+      .toDF("version", "rows", "deleted", "gen", "fingerprint", "cents",
+        "pq_fingerprint", "rotation_fp")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_ivfpq_meta")
   }
 
-  /** (rows, quantizer fingerprint, stored centroids, codebook
-    * fingerprint) of a persisted IVF-PQ index, refusing non-index
-    * paths and unknown format versions. */
-  private def readIvfPqMeta(spark: SparkSession, path: String)
-      : (Long, String, KMeans.Centroids, String) = {
+  /** Decodes a persisted IVF-PQ index's meta, refusing non-index
+    * paths and unknown (NEWER) format versions. v1 metas — data at
+    * the root, no deletes, no rotation provenance — read as
+    * (deleted = 0, gen = 0, rotationFp = None): every v1 field is
+    * safely interpretable, so reads never strand an old index
+    * (the loadPQ v1 lesson, ADVICE r16); only the write paths demand
+    * the v2 layout, reachable through one compact. */
+  private[operators] def readIvfPqMeta(spark: SparkSession,
+                                       path: String): IvfPqMeta = {
     val meta =
       try spark.read.parquet(s"$path/_graft_ivfpq_meta").head()
       catch { case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(
           s"$path is not a graft IVF-PQ index (no _graft_ivfpq_meta): " +
             e.getMessage) }
-    require(meta.getAs[Int]("version") == IvfPqMetaVersion,
-      s"IVF-PQ index format version ${meta.getAs[Int]("version")} != " +
-        s"$IvfPqMetaVersion — rebuild")
+    val version = meta.getAs[Int]("version")
+    require(version >= 1 && version <= IvfPqMetaVersion,
+      s"IVF-PQ index format version $version at $path; this build reads up " +
+        s"to $IvfPqMetaVersion — rebuild")
     val cents: KMeans.Centroids =
       meta.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("cents")
         .map(c => c.getInt(0) -> c.getSeq[Double](1).toArray).toArray
-    (meta.getAs[Long]("rows"), meta.getAs[String]("fingerprint"), cents,
-      meta.getAs[String]("pq_fingerprint"))
+    IvfPqMeta(version, meta.getAs[Long]("rows"),
+      if (version >= 2) meta.getAs[Long]("deleted") else 0L,
+      if (version >= 2) meta.getAs[Long]("gen") else 0L,
+      meta.getAs[String]("fingerprint"), cents,
+      meta.getAs[String]("pq_fingerprint"),
+      if (version >= 2) Option(meta.getAs[String]("rotation_fp")) else None)
   }
 
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       cents: KMeans.Centroids, model: PQModel,
-                      path: String): Unit = {
+                      path: String): Unit =
+    buildIvfPqIndexCore(corpus, idCol, vecCol, identity, cents, model, path,
+      rotationFp = None)
+
+  /** Shared build core: `prep` transforms the raw vector column
+    * (identity for the plain entry, x·R for the rotated one) BEFORE
+    * assignment and encoding, and `rotationFp` lands in the meta so
+    * the serve refuses a mixed-space query. A fresh build starts at
+    * generation 0 under the v2 layout; the whole index root is wiped
+    * first so a rebuild can never leave stale generations (or v1
+    * root-level cells) behind a fresh meta. */
+  private def buildIvfPqIndexCore(corpus: DataFrame, idCol: String,
+                                  vecCol: String, prep: Column => Column,
+                                  cents: KMeans.Centroids, model: PQModel,
+                                  path: String,
+                                  rotationFp: Option[String]): Unit = {
     TopKAgg.requireLongCastableId(corpus, idCol, "Similarity.buildIvfPqIndex")
+    val spark = corpus.sparkSession
+    // wipe the root (not just the data dir): a rebuild over an old
+    // index must not leave retired generations, tombstones, or
+    // v1-layout cells behind the new meta — the generational twin of
+    // the forced-static-overwrite rule (ADVICE r13)
+    val conf = spark.sessionState.newHadoopConf()
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    rootP.getFileSystem(conf).delete(rootP, true)
+    val dataDir = s"$path/g0"
     encodeForIndex(
       KMeans.assign(
         corpus.select(col(idCol).cast("long").as("id"),
-          VectorOps.toDouble(col(vecCol)).as("__v")),
+          prep(VectorOps.toDouble(col(vecCol))).as("__v")),
         "__v", cents, outCol = "cell"),
       "__v", "cell", cents, model, outCol = "codes")
       .select("id", "codes", "cell")
-      // static overwrite FORCED per-write (ADVICE r13): under a
-      // dynamic session conf a rebuild would keep stale cells encoded
-      // under the OLD codebook while the meta (written from a
-      // read-back over the mixed directory) carries the NEW
-      // fingerprints — both gates pass, ADC silently decodes garbage
       .write.option("partitionOverwriteMode", "static")
-      .partitionBy("cell").mode("overwrite").parquet(path)
-    val spark = corpus.sparkSession
-    writeIvfPqMeta(spark, path, spark.read.parquet(path).count(), cents, model)
+      .partitionBy("cell").mode("overwrite").parquet(dataDir)
+    writeIvfPqMeta(spark, path, spark.read.parquet(dataDir).count(),
+      deleted = 0L, gen = 0L, centsFingerprint(cents), cents,
+      pqFingerprint(model), rotationFp)
+    refreshIndexPath(spark, path)
   }
 
   /** Incremental IVF-PQ index maintenance — the `appendIvfIndex`
@@ -1434,35 +1836,112 @@ object Similarity {
     * upstream (dropSeenExact) opt out with requireNewIds = false. */
   def appendIvfPqIndex(spark: SparkSession, batch: DataFrame,
                        idCol: String, vecCol: String, model: PQModel,
-                       path: String, requireNewIds: Boolean = true): Unit = {
+                       path: String, requireNewIds: Boolean = true): Unit =
+    appendIvfPqIndexCore(spark, batch, idCol, vecCol, identity, model, path,
+      requireNewIds, rotationFp = None)
+
+  private def appendIvfPqIndexCore(spark: SparkSession, batch: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   prep: Column => Column, model: PQModel,
+                                   path: String, requireNewIds: Boolean,
+                                   rotationFp: Option[String]): Unit = {
     TopKAgg.requireLongCastableId(batch, idCol, "Similarity.appendIvfPqIndex")
-    val (prevRows, _, cents, pqFp) = readIvfPqMeta(spark, path)
-    // fingerprint first (driver-local), THEN the dup audit (one
-    // id-column scan) — a drifted codebook must surface as itself,
-    // not as whatever the audit happens to hit first
-    require(pqFp == pqFingerprint(model),
+    val meta = readIvfPqMeta(spark, path)
+    requireV2Layout(meta, path, "Similarity.appendIvfPqIndex")
+    // provenance first (driver-local), THEN the dup audit (one
+    // id-column scan) — a drifted codebook or a mixed rotation space
+    // must surface as itself, not as whatever the audit hits first
+    require(meta.pqFingerprint == pqFingerprint(model),
       s"stale IVF-PQ index at $path: the PQ codebook passed to the append " +
         "does not match the one the index's codes were written with — " +
         "mixed-codebook codes are silently wrong at ADC time; rebuild the " +
         "index or load its paired codebook")
+    requireRotationMatch(meta, rotationFp, path,
+      "Similarity.appendIvfPqIndex")
+    val dataDir = ivfPqDataDir(path, meta)
     // pin ONE instantiation of the batch: the audit, the write, and
     // the meta count must see the same rows (see requireIdsNotIndexed)
     val src = batch.select(col(idCol).cast("long").as("id"),
-      VectorOps.toDouble(col(vecCol)).as("__v")).localCheckpoint()
+      prep(VectorOps.toDouble(col(vecCol))).as("__v")).localCheckpoint()
     // explicit block release after the meta write (ADVICE r15) — see
     // appendIvfIndex
     try {
-      if (requireNewIds) requireIdsNotIndexed(spark, src, path,
+      // a batch id sitting in the TOMBSTONE set refuses loudly and
+      // FIRST (r17 deletes): its old physical row is still in the
+      // data files, so a re-append before compaction would leave the
+      // id with one dead row, one live row, and one tombstone — the
+      // serve's anti-join would then kill BOTH rows, silently
+      // disappearing the re-appended document. After a compact the id
+      // is physically gone and re-appends cleanly (gated in
+      // q_ivfpq_delete).
+      requireNotTombstoned(spark, src, ivfPqTombDir(path, meta.gen), path,
+        "Similarity.appendIvfPqIndex")
+      if (requireNewIds) requireIdsNotIndexed(spark, src, dataDir,
         "Similarity.appendIvfPqIndex", "serve duplicate rows")
       val assigned = encodeForIndex(
-        KMeans.assign(src, "__v", cents, outCol = "cell"),
-        "__v", "cell", cents, model, outCol = "codes")
+        KMeans.assign(src, "__v", cents = meta.cents, outCol = "cell"),
+        "__v", "cell", meta.cents, model, outCol = "codes")
         .select("id", "codes", "cell")
-      assigned.write.partitionBy("cell").mode("append").parquet(path)
-      writeIvfPqMeta(spark, path, prevRows + src.count(), cents, model)
+      assigned.write.partitionBy("cell").mode("append").parquet(dataDir)
+      writeIvfPqMeta(spark, path, meta.rows + src.count(), meta.deleted,
+        meta.gen, meta.fingerprint, meta.cents, meta.pqFingerprint,
+        meta.rotationFp)
+      refreshIndexPath(spark, path)
     } finally {
       org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(src)
     }
+  }
+
+  /** The write paths demand the generational layout; a v1 index
+    * reaches it through one compact (which migrates), so nothing is
+    * stranded — reads on v1 stay untouched. */
+  private def requireV2Layout(meta: IvfPqMeta, path: String,
+                              where: String): Unit =
+    require(meta.version >= 2,
+      s"$where: the index at $path uses the pre-generational v1 layout " +
+        "(data at the root) — run compactIvfPqIndex once to migrate it to " +
+        "the v2 generation layout, then retry; reads work on both layouts")
+
+  /** Mixed-rotation-space refusal, shared by append and serve: codes
+    * written over x·R are silently-plausible garbage under unrotated
+    * (or differently-rotated) queries — exactly the residualTo
+    * failure mode, so the same loud fingerprint gate (ADVICE r16). */
+  private def requireRotationMatch(meta: IvfPqMeta,
+                                   rotationFp: Option[String], path: String,
+                                   where: String): Unit =
+    (meta.rotationFp, rotationFp) match {
+      case (Some(a), Some(b)) => require(a == b,
+        s"$where: the index at $path was built over vectors rotated by a " +
+          "DIFFERENT OPQ rotation than the one passed — mixed rotation " +
+          "spaces are silently wrong; load the index's paired OPQ artifact " +
+          "(loadOpqIvf) or rebuild")
+      case (Some(_), None) => throw new IllegalArgumentException(
+        s"$where: the index at $path stores OPQ-ROTATED codes — serving or " +
+          "appending unrotated vectors against it is silently wrong; use " +
+          "the *Rotated entry with the index's paired OPQ artifact")
+      case (None, Some(_)) => throw new IllegalArgumentException(
+        s"$where: the index at $path stores UNROTATED codes but an OPQ " +
+          "rotation was passed — rotated probes against raw codes are " +
+          "silently wrong; use the plain entry, or rebuild the index " +
+          "through buildIvfPqIndexRotated")
+      case (None, None) => ()
+    }
+
+  /** Loud refusal when a batch intersects the current generation's
+    * tombstone set — see the appendIvfPqIndexCore comment. One
+    * broadcast-sized semi-join against the (small, takedown-sized)
+    * tombstone table. */
+  private def requireNotTombstoned(spark: SparkSession, batchIds: DataFrame,
+                                   tombDir: String, path: String,
+                                   where: String): Unit = {
+    val hit = readTombstones(spark, tombDir)
+      .join(batchIds.select(col("id")).distinct(), "id").limit(1).count()
+    require(hit == 0L,
+      s"$where: the batch carries ids that are tombstoned (deleted, " +
+        s"awaiting compaction) in the index at $path — appending now would " +
+        "leave the id with a dead row, a live row, and a tombstone, and " +
+        "the serve-side anti-join would silently drop BOTH rows; compact " +
+        "the index first, then re-append")
   }
 
   // ── Index compaction (VERDICT r14 item 4) ────────────────────────
@@ -1485,10 +1964,13 @@ object Similarity {
     * intact under a detectable name, never a half-deleted mix. */
   private[operators] def compactIndexRoot(spark: SparkSession, path: String,
                                           dataSub: String, metaSubdir: String,
-                                          metaRows: Long, where: String)(
+                                          metaRows: Long, where: String,
+                                          expectedCopied: Long = -1L,
+                                          writeMeta: Option[String => Unit] = None)(
       rewrite: (DataFrame, String) => Unit): Unit = {
     def data(root: String): String =
       if (dataSub.isEmpty) root else s"$root/$dataSub"
+    val wantCopied = if (expectedCopied >= 0) expectedCopied else metaRows
     val actual = spark.read.parquet(data(path)).count()
     require(actual == metaRows,
       s"$where: index at $path holds $actual rows but its meta records " +
@@ -1499,12 +1981,21 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     rewrite(spark.read.parquet(data(path)), data(tmp))
-    spark.read.parquet(s"$path/$metaSubdir")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$metaSubdir")
+    // meta: copied verbatim when nothing changed semantically, or
+    // REWRITTEN by the caller when the compact drops tombstoned rows
+    // (rows := live, deleted := 0) — either way it lands in the side
+    // directory before the swap, so a crash can never leave a live
+    // root with a stale meta
+    writeMeta match {
+      case Some(w) => w(s"$tmp/$metaSubdir")
+      case None =>
+        spark.read.parquet(s"$path/$metaSubdir")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$metaSubdir")
+    }
     val copied = spark.read.parquet(data(tmp)).count()
-    require(copied == metaRows,
+    require(copied == wantCopied,
       s"$where: compacted copy at $tmp holds $copied rows, expected " +
-        s"$metaRows — refusing the swap; the live index is untouched")
+        s"$wantCopied — refusing the swap; the live index is untouched")
     val live = new org.apache.hadoop.fs.Path(path)
     val side = new org.apache.hadoop.fs.Path(tmp)
     val old = new org.apache.hadoop.fs.Path(s"${path}__precompact")
@@ -1514,45 +2005,161 @@ object Similarity {
       s"$where: could not move the compacted copy into place — the " +
         s"original index is preserved at $old; restore it by renaming back")
     fs.delete(old, true)
+    refreshIndexPath(spark, path)
     ()
   }
-
-  /** The cell-partitioned instantiation of compactIndexRoot: one
-    * shuffle keyed on cell puts every cell's rows in exactly one
-    * task, so partitionBy emits exactly one file per cell (cells are
-    * sized by the coarse quantizer's k; for cells past a comfortable
-    * file size, set spark.sql.files.maxRecordsPerFile and accept >1). */
-  private def compactPartitionedIndex(spark: SparkSession, path: String,
-                                      metaSubdir: String, metaRows: Long,
-                                      where: String): Unit =
-    compactIndexRoot(spark, path, "", metaSubdir, metaRows, where) {
-      (df, dest) =>
-        df.repartition(col("cell"))
-          .write.option("partitionOverwriteMode", "static")
-          .partitionBy("cell").mode("overwrite").parquet(dest)
-    }
 
   /** Compact a persisted IVF index in place: every appendIvfIndex
     * lands ≥1 new parquet file per touched cell, so N ingest batches
     * leave N files/cell — the classic small-file collapse at 100 TB
     * ingest cadence (per-file footer reads and task-scheduling
     * overhead start to dominate the pruned scan). Rewrites each cell
-    * to one file; provenance (meta, fingerprints, quantizer) and the
-    * serve result are byte-identical. Refuses an index whose actual
-    * row count already drifted from its meta. Single-writer
+    * to one file, physically DROPPING tombstoned rows (r17 deletes:
+    * meta rows := landed − deleted, deleted := 0 — the tombstone dir
+    * stays behind in the swapped-away root). On the live rows the
+    * serve result is byte-identical. Refuses an index whose actual
+    * row or tombstone count drifted from its meta. Single-writer
     * discipline is the caller's, as for append. */
   def compactIvfIndex(spark: SparkSession, path: String): Unit = {
-    val (metaRows, _, _) = readIvfMeta(spark, path)
-    compactPartitionedIndex(spark, path, "_graft_index_meta", metaRows,
-      "Similarity.compactIvfIndex")
+    val meta = readIvfMeta(spark, path)
+    val tombDir = rootTombDir(path)
+    val actualTombs = tombstoneCount(spark, tombDir)
+    require(actualTombs == meta.deleted,
+      s"Similarity.compactIvfIndex: index at $path holds $actualTombs " +
+        s"tombstones but its meta records ${meta.deleted} — interrupted " +
+        "delete or concurrent writer; re-run the delete, then compact")
+    val tombs = if (meta.deleted > 0) Some(readTombstones(spark, tombDir))
+      else None
+    compactIndexRoot(spark, path, "", "_graft_index_meta", meta.rows,
+      "Similarity.compactIvfIndex", expectedCopied = meta.live,
+      writeMeta =
+        if (meta.deleted > 0) Some { metaDest: String =>
+          import spark.implicits._
+          Seq((IvfMetaVersion, meta.live, 0L,
+              meta.fingerprint,
+              meta.cents.sortBy(_._1).toSeq.map { case (cid, v) => (cid, v.toSeq) }))
+            .toDF("version", "rows", "deleted", "fingerprint", "cents")
+            .coalesce(1).write.mode("overwrite").parquet(metaDest)
+        } else None) { (df, dest) =>
+      val survivors = tombs.fold(df)(t =>
+        df.join(broadcast(t), Seq("id"), "left_anti"))
+      survivors.repartition(col("cell"))
+        .write.option("partitionOverwriteMode", "static")
+        .partitionBy("cell").mode("overwrite").parquet(dest)
+    }
   }
 
-  /** Compact a persisted IVF-PQ index in place — see compactIvfIndex;
-    * identical contract over the code table's layout. */
+  /** Tombstone-delete ids from a persisted IVF-PQ index — the
+    * takedown mutation a 100 TB training-data pipeline is legally
+    * forced to run (VERDICT r16 item 2), without the full rebuild it
+    * used to cost. The ids land in the current generation's tombstone
+    * set (one small parquet append — O(takedown), never O(index));
+    * every serve anti-joins the set from its candidates immediately,
+    * and the next compact drops the rows physically and clears the
+    * set. Idempotent: ids not live in the index (absent, or already
+    * tombstoned) are skipped, so a retried takedown cannot double-
+    * count `deleted`. The meta (deleted = prev + newly-tombstoned)
+    * writes AFTER the tombstone data, so a crash between the steps
+    * leaves actual tombstones > meta.deleted — detectably stale
+    * (the serve's verifyRows check), never silently un-deleted.
+    * Single-writer discipline is the caller's, as for append. */
+  def deleteFromIvfPqIndex(spark: SparkSession, ids: DataFrame,
+                           idCol: String, path: String): Unit = {
+    TopKAgg.requireLongCastableId(ids, idCol, "Similarity.deleteFromIvfPqIndex")
+    val meta = readIvfPqMeta(spark, path)
+    requireV2Layout(meta, path, "Similarity.deleteFromIvfPqIndex")
+    val dataDir = ivfPqDataDir(path, meta)
+    val tombDir = ivfPqTombDir(path, meta.gen)
+    // pin ONE instantiation of the id set: the live filter, the
+    // tombstone write, and the meta count must agree (the append-pin
+    // discipline, requireIdsNotIndexed)
+    val doomed = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .join(spark.read.parquet(dataDir).select(col("id")), "id")
+      .join(readTombstones(spark, tombDir), Seq("id"), "left_anti")
+      .localCheckpoint()
+    try {
+      val n = doomed.count()
+      if (n > 0) {
+        doomed.write.mode("append").parquet(tombDir)
+        writeIvfPqMeta(spark, path, meta.rows, meta.deleted + n, meta.gen,
+          meta.fingerprint, meta.cents, meta.pqFingerprint, meta.rotationFp)
+        refreshIndexPath(spark, path)
+      }
+    } finally {
+      org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(doomed)
+    }
+  }
+
+  /** Compact a persisted IVF-PQ index: rewrites the current
+    * generation to one file per cell, physically DROPPING tombstoned
+    * rows (meta rows := landed − deleted, deleted := 0), into a NEW
+    * generation directory `g<N+1>` beside the live one — the
+    * versioned-root swap (VERDICT r16 item 6): the meta pointer
+    * flips only after the copy is row-count-verified, a reader that
+    * planned against generation N keeps every file it listed until
+    * the NEXT compact retires N, and a crash anywhere leaves either
+    * the old meta pointing at intact old data or the new meta
+    * pointing at verified new data — never a torn mix. Also the v1 →
+    * v2 migration path: a root-layout index compacts into g<1> and
+    * its root-level cells retire like any old generation. Provenance
+    * (fingerprints, quantizer, rotation) is copied verbatim — the
+    * serve result over the live rows is byte-identical. Refuses an
+    * index whose data or tombstone counts drifted from the meta
+    * (partial append / concurrent writer — compacting would bless
+    * the corruption). Single-writer discipline is the caller's. */
   def compactIvfPqIndex(spark: SparkSession, path: String): Unit = {
-    val (metaRows, _, _, _) = readIvfPqMeta(spark, path)
-    compactPartitionedIndex(spark, path, "_graft_ivfpq_meta", metaRows,
-      "Similarity.compactIvfPqIndex")
+    val meta = readIvfPqMeta(spark, path)
+    val dataDir = ivfPqDataDir(path, meta)
+    val tombDir = ivfPqTombDir(path, meta.gen)
+    val actual = spark.read.parquet(dataDir).count()
+    require(actual == meta.rows,
+      s"Similarity.compactIvfPqIndex: index at $path holds $actual rows " +
+        s"but its meta records ${meta.rows} — partial append or concurrent " +
+        "writer; compacting now would bless the corruption. Rebuild instead")
+    val actualTombs = tombstoneCount(spark, tombDir)
+    require(actualTombs == meta.deleted,
+      s"Similarity.compactIvfPqIndex: index at $path holds $actualTombs " +
+        s"tombstones but its meta records ${meta.deleted} — interrupted " +
+        "delete or concurrent writer; re-run the delete, then compact")
+    val newGen = meta.gen + 1
+    val dest = s"$path/g$newGen"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dest), true) // crashed prior try
+    val survivors0 = spark.read.parquet(dataDir)
+    val survivors = if (meta.deleted > 0)
+      survivors0.join(broadcast(readTombstones(spark, tombDir)), Seq("id"),
+        "left_anti")
+    else survivors0
+    // one shuffle keyed on cell → exactly one file per cell (cells
+    // past a comfortable file size: set maxRecordsPerFile, accept >1)
+    survivors.repartition(col("cell"))
+      .write.option("partitionOverwriteMode", "static")
+      .partitionBy("cell").mode("overwrite").parquet(dest)
+    val copied = spark.read.parquet(dest).count()
+    require(copied == meta.live,
+      s"Similarity.compactIvfPqIndex: compacted generation at $dest holds " +
+        s"$copied rows, expected ${meta.live} — refusing the pointer flip; " +
+        "the live generation is untouched")
+    // the FLIP: readers planning from here on resolve g<N+1>
+    writeIvfPqMeta(spark, path, copied, deleted = 0L, newGen,
+      meta.fingerprint, meta.cents, meta.pqFingerprint, meta.rotationFp)
+    // retire everything OLDER than the just-replaced generation: the
+    // replaced one (g<N>, or the v1 root cells) survives until the
+    // next compact as the in-flight readers' grace window
+    (0L until meta.gen).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/g$g"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ivfPqTombDir(path, g)), true)
+    }
+    if (meta.version >= 2 && meta.gen >= 1) {
+      // a v1-migrated index's original root cells retire once the
+      // pointer has moved at least two generations past them
+      val st = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      st.filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+    refreshIndexPath(spark, path)
+    ()
   }
 
   /** IVF-PQ top-k against a PERSISTED index: probe cells rank
@@ -1569,34 +2176,66 @@ object Similarity {
     * the footer row count, refused loudly with the diagnosis. */
   private def requireFreshIvfPqIndex(spark: SparkSession, indexPath: String,
                                      cents: KMeans.Centroids, model: PQModel,
-                                     verifyRows: Boolean): Unit = {
-    val (metaRows, fp, _, pqFp) = readIvfPqMeta(spark, indexPath)
-    require(fp == centsFingerprint(cents),
+                                     verifyRows: Boolean,
+                                     rotationFp: Option[String] = None)
+      : IvfPqMeta = {
+    val meta = readIvfPqMeta(spark, indexPath)
+    require(meta.fingerprint == centsFingerprint(cents),
       s"stale IVF-PQ index at $indexPath: the coarse quantizer passed to the " +
         "query does not match the one the index was built with — probing the " +
         "wrong cells returns silently wrong neighbors; rebuild or query with " +
         "the index's own centroids")
-    require(pqFp == pqFingerprint(model),
+    require(meta.pqFingerprint == pqFingerprint(model),
       s"stale IVF-PQ index at $indexPath: the PQ codebook passed to the query " +
         "does not match the one the codes were written with — ADC over " +
         "foreign codes is silently wrong; rebuild or load the paired codebook")
+    requireRotationMatch(meta, rotationFp, indexPath,
+      "Similarity.ivfPqTopKIndexed")
     // belt-and-braces for hand-assembled metas: a residual codebook's
     // stored quantizer fingerprint must be the index's own (build
     // enforces this transitively through encodeForIndex + the two
     // checks above, but a forged meta should fail HERE, with the
     // residual diagnosis, not downstream as wrong neighbors)
     model.residualTo.foreach { rt =>
-      require(rt == fp,
+      require(rt == meta.fingerprint,
         s"stale IVF-PQ index at $indexPath: the residual PQ codebook is " +
           "paired with a different coarse quantizer than the index's — " +
           "query residuals would subtract the wrong centroids; rebuild")
     }
     if (verifyRows) {
-      val actual = spark.read.parquet(indexPath).count()
-      require(actual == metaRows,
-        s"stale IVF-PQ index at $indexPath: meta records $metaRows rows, " +
+      val actual = spark.read.parquet(ivfPqDataDir(indexPath, meta)).count()
+      require(actual == meta.rows,
+        s"stale IVF-PQ index at $indexPath: meta records ${meta.rows} rows, " +
           s"index holds $actual — partial write or concurrent writer; rebuild")
+      val tombs = tombstoneCount(spark,
+        ivfPqTombDir(indexPath, meta.gen))
+      require(tombs == meta.deleted,
+        s"stale IVF-PQ index at $indexPath: meta records ${meta.deleted} " +
+          s"tombstones, index holds $tombs — interrupted delete or " +
+          "concurrent writer; re-run the delete")
     }
+    meta
+  }
+
+  /** The live (tombstone-masked) code table of a persisted IVF-PQ
+    * index — (id, codes, cell) from the current generation; the
+    * public read surface for audits and tools that want the raw
+    * codes rather than a serve. */
+  def ivfPqIndexCodes(spark: SparkSession, path: String): DataFrame =
+    ivfPqLiveScan(spark, path, readIvfPqMeta(spark, path))
+
+  /** The current generation's candidate scan with tombstoned rows
+    * masked out — what every indexed serve ranks against. The mask is
+    * one broadcast anti-join against the (takedown-sized) tombstone
+    * set, skipped entirely while no deletes are pending. */
+  private def ivfPqLiveScan(spark: SparkSession, indexPath: String,
+                            meta: IvfPqMeta): DataFrame = {
+    val data = spark.read.parquet(ivfPqDataDir(indexPath, meta))
+    if (meta.deleted > 0)
+      data.join(broadcast(
+        readTombstones(spark, ivfPqTombDir(indexPath, meta.gen))),
+        Seq("id"), "left_anti")
+    else data
   }
 
   def ivfPqTopKIndexed(spark: SparkSession, indexPath: String,
@@ -1606,17 +2245,20 @@ object Similarity {
                        verifyRows: Boolean = true,
                        maxProbes: Int = 10000): DataFrame = {
     TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.ivfPqTopKIndexed")
-    requireFreshIvfPqIndex(spark, indexPath, cents, model, verifyRows)
+    val meta = requireFreshIvfPqIndex(spark, indexPath, cents, model, verifyRows)
     val pinned = boundedProbes(probes, maxProbes, ivfPqProbeBytes(model, nprobe),
       "Similarity.ivfPqTopKIndexed")
-    ivfPqTopKIndexedPinned(spark, indexPath, pinned, probeIdCol, probeVecCol,
-      cents, model, nprobe, k)
+    ivfPqTopKIndexedPinned(spark, indexPath, meta, pinned, probeIdCol,
+      probeVecCol, cents, model, nprobe, k)
   }
 
   /** ivfPqTopKIndexed past the freshness gate and the probe pin —
     * `probes` MUST already be the bounded, checkpointed relation
-    * boundedProbes returned (see pqTopKPinned). */
+    * boundedProbes returned (see pqTopKPinned), with its vector
+    * column ALREADY in the index's space (rotated entries rotate
+    * before pinning). */
   private def ivfPqTopKIndexedPinned(spark: SparkSession, indexPath: String,
+                                     meta: IvfPqMeta,
                                      pinned: DataFrame, probeIdCol: String,
                                      probeVecCol: String,
                                      cents: KMeans.Centroids, model: PQModel,
@@ -1635,7 +2277,7 @@ object Similarity {
     // cell) query residual and the raw-vector join is skipped — see
     // probeCellsDF
     val (pc, cells) = probeCellsDF(spark, pr, cents, nprobe, model, "cell")
-    val cand = spark.read.parquet(indexPath)
+    val cand = ivfPqLiveScan(spark, indexPath, meta)
       .filter(col("cell").isin(cells: _*)) // static partition pruning
       .join(broadcast(pc), "cell")
       .filter(col("id") =!= col("probe_id"))
@@ -1676,10 +2318,10 @@ object Similarity {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     TopKAgg.requireLongCastableId(probes, probeIdCol,
       "Similarity.ivfPqTopKIndexedRerank")
-    requireFreshIvfPqIndex(spark, indexPath, cents, model, verifyRows)
+    val meta = requireFreshIvfPqIndex(spark, indexPath, cents, model, verifyRows)
     val pinned = boundedProbes(probes, maxProbes, ivfPqProbeBytes(model, nprobe),
       "Similarity.ivfPqTopKIndexedRerank")
-    val short = ivfPqTopKIndexedPinned(spark, indexPath, pinned,
+    val short = ivfPqTopKIndexedPinned(spark, indexPath, meta, pinned,
       probeIdCol, probeVecCol, cents, model, nprobe, shortlist)
       .select(col("probe_id"), col("vec_id"))
     exactRerank(corpus, idCol, vecCol, pinned, probeIdCol, probeVecCol,
@@ -1737,7 +2379,7 @@ object Similarity {
     // check, so it is streaming-safe.
     TopKAgg.requireLongCastableId(probes, probeIdCol,
       "Similarity.ivfPqTopKStream")
-    requireFreshIvfPqIndex(spark, indexPath, cents, model, verifyRows)
+    val meta = requireFreshIvfPqIndex(spark, indexPath, cents, model, verifyRows)
     require(nprobe >= 1 && nprobe <= cents.length,
       s"Similarity.ivfPqTopKStream: nprobe=$nprobe outside 1..${cents.length}")
     val centsL = typedlit(
@@ -1762,7 +2404,14 @@ object Similarity {
       else exploded.select(col("probe_id"),
         cellResidualCol(col("__pv"), col("cell"), cents).as("__pv"),
         col("cell"))
-    val idx = spark.read.parquet(indexPath).select("id", "cell", "codes")
+    // the static side resolves the CURRENT generation once at plan
+    // time and keeps that snapshot (tombstones included) for the
+    // stream's lifetime — a compact flipping the pointer mid-stream
+    // retires this generation only at the compact AFTER that, so one
+    // full compact cycle is the query's documented grace window
+    // (StreamDuringCompactSpec pins the before-or-after contract)
+    val idx = ivfPqLiveScan(spark, indexPath, meta)
+      .select("id", "cell", "codes")
     probed.join(idx, Seq("cell"))
       .filter(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id").as("__id"),

@@ -39,8 +39,26 @@ object UnigramTokenizer {
   /** The trained model: (piece, count) with p = count/total — bounded
     * by vocabSize + alphabet, driver-resident like a codebook.
     * Canonical order (count desc, piece asc) for a deterministic
-    * artifact. */
-  final case class UnigramModel(pieces: Seq[(String, Long)]) {
+    * artifact.
+    *
+    * `byteFallback` (VERDICT r16 item 3 — SentencePiece's
+    * --byte_fallback): with it OFF, a word containing a
+    * training-unseen character encodes as ONE `<unk>` piece — the
+    * whole word's text is destroyed. With it ON, such a word
+    * segments through its characters: covered characters as their
+    * single-char pieces, unseen characters as their UTF-8 bytes
+    * rendered `<0xNN>` — no text is ever lost, zero `<unk>`
+    * emissions. Fully-covered words segment IDENTICALLY in both
+    * modes (the fallback only replaces the no-path branch).
+    * Deliberate simplification vs SentencePiece: byte pieces do not
+    * participate in the Viterbi lattice of covered words (they carry
+    * no trained scores here), so a no-path word segments char-by-
+    * char rather than through a mixed byte/piece lattice — the
+    * conservative, exactly-replayable variant. The mode lives IN the
+    * model (and its artifact) because an encoder must agree with the
+    * trainer about it. */
+  final case class UnigramModel(pieces: Seq[(String, Long)],
+                                byteFallback: Boolean = false) {
     require(pieces.nonEmpty, "empty unigram vocabulary")
     pieces.foreach { case (p, c) =>
       require(p.nonEmpty && !p.contains(" "),
@@ -54,16 +72,31 @@ object UnigramTokenizer {
         "piece — a corpus containing the literal token segments through " +
         "its characters (pruneVocab filters the sentinel from every count " +
         "table), so encode output stays unambiguous")
+    require(!byteFallback || !pieces.exists(p => isBytePiece(p._1)),
+      "byte-fallback models reserve '<0xNN>' pieces for UTF-8 byte " +
+        "emission — a vocabulary piece of that shape would make encode " +
+        "output ambiguous (pruneVocab filters them at train time)")
     val total: Long = pieces.map(_._2).sum
     /** The Viterbi lattice window this model needs — its own longest
       * piece; anything wider wastes DP rounds, anything narrower
       * silently never uses the long pieces. */
     val maxPieceLen: Int = pieces.map(_._1.length).max
+    /** The single-character pieces — what the byte-fallback keeps as
+      * char pieces inside a no-path word. */
+    def charPieces: Set[String] = pieces.collect {
+      case (p, _) if p.length == 1 => p
+    }.toSet
   }
 
   /** Marker piece for words with no lattice path under the frozen
-    * vocabulary (a character unseen at training time). */
+    * vocabulary (a character unseen at training time) — byteFallback
+    * OFF only; with it ON, no `<unk>` is ever emitted. */
   val Unk = "<unk>"
+
+  /** The byte-piece shape `<0xNN>` (uppercase hex — Spark's and
+    * DuckDB's hex() convention, so the oracle replays it verbatim). */
+  private val BytePieceRe = "^<0x[0-9A-F]{2}>$"
+  private[graft] def isBytePiece(p: String): Boolean = p.matches(BytePieceRe)
 
   private def vocabDF(spark: SparkSession, model: UnigramModel): DataFrame = {
     import spark.implicits._
@@ -96,14 +129,20 @@ object UnigramTokenizer {
     * stopped using. One bounded TakeOrdered + one alphabet-sized
     * left join. */
   private def pruneVocab(counts0: DataFrame, chars: DataFrame,
-                         vocabSize: Int): DataFrame = {
+                         vocabSize: Int,
+                         byteFallback: Boolean = false): DataFrame = {
     // the sentinel is OUT-OF-BAND by construction (review r16): a
     // corpus literally containing '<unk>' would otherwise seed it as
     // a 5-char piece (maxPieceLen >= 5), the recount filter would
     // then misread genuine segmentations as no-path fallbacks, and
     // encode output would be ambiguous — such words segment through
-    // their characters instead
-    val counts = counts0.filter(col("piece") =!= lit(Unk))
+    // their characters instead. Byte-fallback models additionally
+    // reserve the '<0xNN>' shape (reachable only at maxPieceLen >= 6)
+    // for the same reason.
+    val counts1 = counts0.filter(col("piece") =!= lit(Unk))
+    val counts = if (byteFallback)
+      counts1.filter(!col("piece").rlike(BytePieceRe))
+    else counts1
     val top = counts.orderBy(col("c").desc, col("piece")).limit(vocabSize)
     val charRows = chars.join(top.select(col("piece")), Seq("piece"), "left_anti")
       .join(counts, Seq("piece"), "left")
@@ -124,10 +163,16 @@ object UnigramTokenizer {
     * (the best-per-word window) over the ≤L-way-extended frontier —
     * maxWordLen rounds of word-table-sized shuffles, never
     * corpus-sized. Words
-    * with NO path (an unseen character) fall back to one `Unk` piece.
-    * Output: (w, pieces, np). */
+    * with NO path (an unseen character) fall back to one `Unk` piece
+    * — or, with `fallbackChars = Some(vocab single chars)`, to the
+    * per-character byte-fallback segmentation (covered chars as char
+    * pieces, unseen chars as `<0xNN>` UTF-8 byte pieces — one
+    * rowwise codegen'd expression over the NO-PATH words only; the
+    * happy path is untouched). Output: (w, pieces, np). */
   private[operators] def segmentWords(words: DataFrame, vocab: DataFrame,
-                                      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+                                      maxPieceLen: Int, maxWordLen: Int,
+                                      fallbackChars: Option[Set[String]] = None)
+      : DataFrame = {
     val spark = words.sparkSession
     val w = words.select(col("w")).distinct().localCheckpoint()
     val mxRow = w.agg(max(length(col("w")))).collect()(0)
@@ -183,9 +228,33 @@ object UnigramTokenizer {
       if (bests.isEmpty) w.select(col("w"), lit("").as("pieces"), lit(0L).as("np"))
         .limit(0)
       else bests.reduce(_ unionByName _)
-    // UNK fallback: a word with no lattice path segments to one <unk>
-    val unk = w.join(segmented.select(col("w")), Seq("w"), "left_anti")
-      .select(col("w"), lit(Unk).as("pieces"), lit(1L).as("np"))
+    // no-path words: one <unk> piece, or (byte-fallback) the per-char
+    // expansion — rowwise, codegen'd, touching no covered word
+    val unkWords = w.join(segmented.select(col("w")), Seq("w"), "left_anti")
+    val unk = fallbackChars match {
+      case None =>
+        unkWords.select(col("w"), lit(Unk).as("pieces"), lit(1L).as("np"))
+      case Some(chars) =>
+        // covered char -> its char piece; unseen char -> its UTF-8
+        // bytes as '<0xNN>' (uppercase hex — hex()'s convention on
+        // both engines). The char-piece set is vocab-bounded driver
+        // data, shipped as one plan literal.
+        val charsLit = typedlit(chars.toSeq.sorted)
+        def bytePiecesOf(c: Column): Column = {
+          // fully qualified: this object's own `encode` shadows
+          // functions.encode
+          val h = hex(org.apache.spark.sql.functions.encode(c, "UTF-8"))
+          transform(sequence(lit(1), (length(h) / 2).cast("int")),
+            i => concat(lit("<0x"), h.substr(i * 2 - 1, lit(2)), lit(">")))
+        }
+        val pieceArr = flatten(transform(
+          filter(split(col("w"), ""), c => length(c) === 1),
+          c => when(array_contains(charsLit, c), array(c))
+            .otherwise(bytePiecesOf(c))))
+        unkWords.select(col("w"),
+          array_join(pieceArr, " ").as("pieces"),
+          size(pieceArr).cast("long").as("np"))
+    }
     // pin the FINAL segmentation once, then free every per-round DP
     // frame (review r16 — the same checkpoint-storage discipline the
     // index appends got from ADVICE r15: Dataset.unpersist cannot
@@ -209,7 +278,8 @@ object UnigramTokenizer {
     * model (vocabSize-bounded driver data, like bpeTrain's merges). */
   def train(df: DataFrame, textCol: String, vocabSize: Int,
             rounds: Int = 1, maxPieceLen: Int = 4,
-            maxWordLen: Int = 32): UnigramModel = {
+            maxWordLen: Int = 32,
+            byteFallback: Boolean = false): UnigramModel = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(rounds >= 1 && rounds <= 10, s"rounds must be in [1, 10], got $rounds")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
@@ -219,11 +289,14 @@ object UnigramTokenizer {
       .filter(length(col("piece")) === 1).distinct().localCheckpoint()
     def collectModel(vocab: DataFrame): UnigramModel =
       UnigramModel(vocab.orderBy(col("c").desc, col("piece")).collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq)
+        .map(r => (r.getString(0), r.getLong(1))).toSeq, byteFallback)
     // seed keeps 4·vocabSize pieces (Kudo seeds several times the
-    // target and lets EM + pruning pick) + characters
+    // target and lets EM + pruning pick) + characters.
+    // No fallbackChars here: pruneVocab keeps every corpus character,
+    // so a no-path word is impossible DURING training — the mode only
+    // stamps the model (and reserves the byte-piece shape in pruning)
     var model = collectModel(pruneVocab(
-      seedCounts(words, maxPieceLen), chars, vocabSize * 4))
+      seedCounts(words, maxPieceLen), chars, vocabSize * 4, byteFallback))
     (1 to rounds).foreach { _ =>
       val seg = segmentWords(words, vocabDF(spark, model),
         model.maxPieceLen, maxWordLen)
@@ -231,7 +304,7 @@ object UnigramTokenizer {
         .join(words, "w")
         .select(col("cnt"), explode(split(col("pieces"), " ")).as("piece"))
         .groupBy("piece").agg(sum(col("cnt")).cast("long").as("c"))
-      model = collectModel(pruneVocab(recount, chars, vocabSize))
+      model = collectModel(pruneVocab(recount, chars, vocabSize, byteFallback))
       // the round's segmentation is fully consumed by the collect
       // above — free its pinned frame now (review r16)
       org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(seg)
@@ -272,7 +345,8 @@ object UnigramTokenizer {
       posexplode(filter(split(col(textCol), " "), w => length(w) > 0))
         .as(Seq("__pos", "w")))
     val seg = segmentWords(tokens.select(col("w")).distinct(),
-      vocabDF(spark, model), model.maxPieceLen, maxWordLen)
+      vocabDF(spark, model), model.maxPieceLen, maxWordLen,
+      if (model.byteFallback) Some(model.charPieces) else None)
     val perDoc = tokens.join(seg, "w")
       .groupBy(col(idCol)).agg(
         array_join(transform(
@@ -306,7 +380,8 @@ object UnigramTokenizer {
     val words = df.select(col(keyCol).as("__k"),
       explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("w"))
     val seg = segmentWords(words.select(col("w")).distinct(),
-      vocabDF(spark, model), model.maxPieceLen, maxWordLen)
+      vocabDF(spark, model), model.maxPieceLen, maxWordLen,
+      if (model.byteFallback) Some(model.charPieces) else None)
     val pieces = words.join(seg, "w")
       .groupBy(col("__k")).agg(sum(col("np")).cast("long").as("n_pieces"))
     df.groupBy(col(keyCol).as("__k")).agg(
@@ -321,8 +396,13 @@ object UnigramTokenizer {
   }
 
   /** Unigram artifact format version; bumped on any schema change so
-    * a loader refuses an artifact it does not understand. */
-  val UnigramFormatVersion = 1
+    * a loader refuses an artifact it does not understand (newer only
+    * — the loadPQ v1 lesson: v1 predates byte_fallback and is safely
+    * interpretable as byteFallback = false).
+    * v2 (r17): + byte_fallback — the encoder must agree with the
+    * trainer about the no-path convention, so the mode travels in
+    * the artifact. */
+  val UnigramFormatVersion = 2
 
   /** Persists a unigram vocabulary as a versioned parquet artifact —
     * the saveBpe discipline: pieces land under `pieces/`; ONE meta
@@ -333,8 +413,9 @@ object UnigramTokenizer {
     import spark.implicits._
     model.pieces.toDF("piece", "c")
       .repartition(1).write.mode("overwrite").parquet(s"$path/pieces")
-    Seq((UnigramFormatVersion, model.pieces.length.toLong, model.total))
-      .toDF("version", "n_pieces", "total")
+    Seq((UnigramFormatVersion, model.pieces.length.toLong, model.total,
+        model.byteFallback))
+      .toDF("version", "n_pieces", "total", "byte_fallback")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -349,18 +430,20 @@ object UnigramTokenizer {
     require(metaRows.length == 1,
       s"unigram meta at $path has ${metaRows.length} rows, expected exactly 1")
     val version = metaRows(0).getAs[Int]("version")
-    require(version == UnigramFormatVersion,
-      s"unigram artifact version $version at $path; this build reads " +
-        s"$UnigramFormatVersion")
+    require(version >= 1 && version <= UnigramFormatVersion,
+      s"unigram artifact version $version at $path; this build reads up " +
+        s"to $UnigramFormatVersion")
     val n = metaRows(0).getAs[Long]("n_pieces")
     val total = metaRows(0).getAs[Long]("total")
+    val byteFallback =
+      if (version >= 2) metaRows(0).getAs[Boolean]("byte_fallback") else false
     val rows = spark.read.parquet(s"$path/pieces").collect()
     require(rows.length.toLong == n,
       s"unigram pieces at $path have ${rows.length} rows but the meta says " +
         s"$n — partial or duplicated write, refusing to serve")
     val model = UnigramModel(rows
       .map(r => (r.getAs[String]("piece"), r.getAs[Long]("c")))
-      .sortBy { case (p, c) => (-c, p) }.toSeq)
+      .sortBy { case (p, c) => (-c, p) }.toSeq, byteFallback)
     require(model.total == total,
       s"unigram pieces at $path sum to ${model.total} but the meta says " +
         s"$total — corrupt artifact, refusing to serve")

@@ -236,7 +236,7 @@ object AnnStress {
     // the unpruned baseline, raw mode only (flat pqTopK has no coarse
     // cell, so residual codes cannot serve it): full ADC over the
     // stored codes — the pruning-win denominator
-    val codesRaw = spark.read.parquet(s"$workDir/index_raw")
+    val codesRaw = Similarity.ivfPqIndexCodes(spark, s"$workDir/index_raw")
       .select(col("id"), col("codes"))
     def serveFlat(): DataFrame =
       Similarity.pqTopK(codesRaw, "id", "codes", probes,

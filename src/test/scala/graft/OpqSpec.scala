@@ -137,4 +137,111 @@ class OpqSpec extends AnyFunSuite {
         s"rotation must preserve exact distances: $a vs $b")
     }
   }
+
+  test("saveOpq/loadOpq: bit-exact round trip; swapped or corrupt halves refused") {
+    // VERDICT r16 item 1: the rotation freezes like a codebook —
+    // versioned artifact, fingerprint pairing, loud refusals
+    val model = Similarity.trainOpq(emb, "vec_id", "embedding", d = 64,
+      m = 8, k = 16, iters = 1, pqMaxIter = 1)
+    val base = java.nio.file.Files.createTempDirectory("opq_art_").toString
+    val path = s"$base/m"
+    Similarity.saveOpq(spark, path, model)
+    val lm = Similarity.loadOpq(spark, path)
+    assert(lm.rotation.map(_.toSeq).toSeq == model.rotation.map(_.toSeq).toSeq,
+      "rotation must round-trip bit-exactly")
+    assert(Similarity.pqFingerprint(lm.pq) == Similarity.pqFingerprint(model.pq))
+    // a hand-swapped pq/ directory (codebooks from a DIFFERENT
+    // training run) refuses at load — serving them would silently
+    // decode garbage under the paired rotation
+    val other = Similarity.trainOpq(emb.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", d = 64, m = 8, k = 16, iters = 1, pqMaxIter = 1)
+    val sPath = s"$base/swapped"
+    Similarity.saveOpq(spark, sPath, model)
+    Similarity.savePQ(spark, s"$sPath/pq", other.pq) // the swap
+    val e1 = intercept[IllegalArgumentException] { Similarity.loadOpq(spark, sPath) }
+    assert(e1.getMessage.contains("pairing"))
+    // a bit-corrupted rotation refuses by fingerprint
+    val cPath = s"$base/corrupt"
+    Similarity.saveOpq(spark, cPath, model)
+    spark.read.parquet(s"$cPath/rotation")
+      .withColumn("r", transform(col("r"), x => x + lit(1e-3)))
+      .write.mode("overwrite").parquet(s"$cPath/rotation2")
+    val fs = new java.io.File(s"$cPath/rotation")
+    org.apache.commons.io.FileUtils.deleteDirectory(fs)
+    new java.io.File(s"$cPath/rotation2").renameTo(fs)
+    val e2 = intercept[IllegalArgumentException] { Similarity.loadOpq(spark, cPath) }
+    assert(e2.getMessage.contains("fingerprint"))
+  }
+
+  test("saveOpqIvf/loadOpqIvf round trip; rotated persisted-index lifecycle with mixed-space refusals") {
+    // the q_opq_refresh surface in miniature: freeze the triple, load
+    // it, build/append/serve a rotated index, and pin every
+    // mixed-space refusal direction (ADVICE r16: an OPQ index served
+    // with unrotated probes must refuse, not return garbage)
+    val rot = EntryVector.opqTestRotation(64)
+    val re = Similarity.rotateVectors(emb, "vec_id", "embedding", rot, "r")
+    val cents = KMeans.initCentroids(re, "vec_id", "r", KMeans.FirstK(8))
+    val pq = Similarity.trainPQ(re, "vec_id", "r", d = 64, m = 4, k = 16,
+      maxIter = 0)
+    val model = Similarity.OpqIvfModel(rot, cents, pq)
+    val base = java.nio.file.Files.createTempDirectory("opqivf_").toString
+    Similarity.saveOpqIvf(spark, s"$base/opq", model)
+    val lm = Similarity.loadOpqIvf(spark, s"$base/opq")
+    assert(lm.rotation.map(_.toSeq).toSeq == rot.map(_.toSeq).toSeq)
+    assert(Similarity.pqFingerprint(lm.pq) == Similarity.pqFingerprint(pq))
+    // lifecycle: build 2/3 rotated, append 1/3 rotated, serve RAW
+    // probes through the rotated entry — must equal the in-memory
+    // search over pre-rotated inputs bit-for-bit
+    val idx = s"$base/index"
+    Similarity.buildIvfPqIndexRotated(emb.filter($"vec_id" % 3 =!= 0),
+      "vec_id", "embedding", lm, idx)
+    Similarity.appendIvfPqIndexRotated(spark, emb.filter($"vec_id" % 3 === 0),
+      "vec_id", "embedding", lm, idx)
+    val probes = emb.orderBy("vec_id").limit(3)
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val got = asSet(Similarity.ivfPqTopKIndexedRotated(spark, idx,
+      probes, "vec_id", "embedding", lm, nprobe = 2, k = 5))
+    val want = asSet(Similarity.ivfPqTopK(re, "vec_id", "r",
+      re.orderBy("vec_id").limit(3), "vec_id", "r", cents, pq,
+      nprobe = 2, k = 5))
+    assert(got == want && got.nonEmpty,
+      "rotated persisted serve must equal the in-memory rotated search")
+    // the index survives a compact (meta copied verbatim, rotation
+    // provenance included) and still serves identically
+    Similarity.compactIvfPqIndex(spark, idx)
+    assert(asSet(Similarity.ivfPqTopKIndexedRotated(spark, idx,
+      probes, "vec_id", "embedding", lm, nprobe = 2, k = 5)) == got)
+    // refusal 1: the PLAIN serve against a rotated index
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(spark, idx, probes, "vec_id", "embedding",
+        cents, pq, nprobe = 2, k = 5)
+    }
+    assert(e1.getMessage.contains("ROTATED"))
+    // refusal 2: the rotated serve against a PLAIN index
+    val plainIdx = s"$base/plain"
+    Similarity.buildIvfPqIndex(re, "vec_id", "r", cents, pq, plainIdx)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexedRotated(spark, plainIdx, probes,
+        "vec_id", "embedding", lm, nprobe = 2, k = 5)
+    }
+    assert(e2.getMessage.contains("UNROTATED"))
+    // refusal 3: a DIFFERENT rotation (drifted artifact) at append
+    val rot2 = rot.map(_.clone())
+    rot2(0) = rot(1).clone(); rot2(1) = rot(0).clone() // still orthogonal
+    val lm2 = Similarity.OpqIvfModel(rot2, cents, pq)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndexRotated(spark,
+        emb.limit(2).select(($"vec_id" + 700000L).as("vec_id"), $"embedding"),
+        "vec_id", "embedding", lm2, idx)
+    }
+    assert(e3.getMessage.contains("DIFFERENT OPQ rotation"))
+    // refusal 4: the plain APPEND against a rotated index
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndex(spark,
+        emb.limit(2).select(($"vec_id" + 700000L).as("vec_id"), $"embedding"),
+        "vec_id", "embedding", pq, idx)
+    }
+    assert(e4.getMessage.contains("ROTATED"))
+  }
 }

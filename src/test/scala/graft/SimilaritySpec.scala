@@ -523,10 +523,12 @@ class SimilaritySpec extends AnyFunSuite {
       emb.limit(3).select((col("vec_id") + 500000L).as("vec_id"), col("embedding")),
       "vec_id", "embedding", model, dir)
     // a row-count drift after manual surgery is refused at serve time
+    // (the v2 layout keeps data in the current generation dir, g0
+    // for a fresh build)
     emb.limit(1)
       .select(col("vec_id").cast("long").as("id"),
         typedlit(Seq(1, 1, 1, 1)).as("codes"), lit(1).as("cell"))
-      .write.partitionBy("cell").mode("append").parquet(dir)
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/g0")
     val e2 = intercept[IllegalArgumentException] {
       Similarity.ivfPqTopKIndexed(spark, dir, probes, "vec_id", "embedding",
         cents, model, nprobe = 2, k = 5)
@@ -909,18 +911,24 @@ class SimilaritySpec extends AnyFunSuite {
     def serve() = asSet(Similarity.ivfPqTopKIndexed(spark, dir, probes,
       "vec_id", "embedding", cents, model, nprobe = 2, k = 5))
     val before = serve()
-    assert(cellFiles(dir).values.exists(_ > 1),
+    assert(cellFiles(s"$dir/g0").values.exists(_ > 1),
       "appends should have left more than one file in at least one cell")
     Similarity.compactIvfPqIndex(spark, dir)
-    val files = cellFiles(dir)
+    // generational swap (r17): the compacted copy lands in g1 and the
+    // meta pointer flips; g0 is RETAINED as the in-flight readers'
+    // grace window and retires on the NEXT compact
+    val files = cellFiles(s"$dir/g1")
     assert(files.nonEmpty && files.values.forall(_ == 1),
       s"expected exactly one file per cell after compaction, got $files")
     assert(serve() == before && before.nonEmpty,
       "compaction must not change the serve result")
-    assert(!new java.io.File(s"${dir}__compacting").exists
-      && !new java.io.File(s"${dir}__precompact").exists,
-      "compaction must clean up its working directories")
-    // the verbatim meta still accepts maintenance: a post-compaction
+    assert(new java.io.File(s"$dir/g0").exists,
+      "the replaced generation must survive one compact (reader grace window)")
+    Similarity.compactIvfPqIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/g0").exists,
+      "a twice-retired generation must be deleted")
+    assert(serve() == before)
+    // the copied meta still accepts maintenance: a post-compaction
     // append under the same codebook works (fingerprints survived)
     Similarity.appendIvfPqIndex(spark,
       emb.limit(2).select((col("vec_id") + 900000L).as("vec_id"), col("embedding")),
@@ -970,7 +978,7 @@ class SimilaritySpec extends AnyFunSuite {
       val dir = java.nio.file.Files.createTempDirectory("ivfpq_dyn").toString + "/i"
       Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents8, model, dir)
       Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents2, model, dir)
-      val idx = spark.read.parquet(dir)
+      val idx = spark.read.parquet(s"$dir/g0")
       assert(idx.count() == emb.count(),
         "a rebuild must fully replace the index, not merge into it")
       val cellsLeft = idx.select("cell").distinct()
@@ -1081,7 +1089,7 @@ class SimilaritySpec extends AnyFunSuite {
         (if (e == 0) fresh else indexed).iterator
       }.toDF("vec_id", "embedding")
     Similarity.appendIvfPqIndex(spark, batch, "vec_id", "embedding", model, dir)
-    val ids = spark.read.parquet(dir).select("id").collect().map(_.getLong(0))
+    val ids = spark.read.parquet(s"$dir/g0").select("id").collect().map(_.getLong(0))
     assert(ids.length == ids.distinct.length,
       "the index must never hold duplicate ids after an audited append")
     assert(fresh.map(_._1).toSet.subsetOf(ids.toSet),

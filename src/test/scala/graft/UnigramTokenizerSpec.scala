@@ -145,4 +145,58 @@ class UnigramTokenizerSpec extends AnyFunSuite {
       UnigramTokenizer.UnigramModel(Seq(("a", 1L), ("a", 2L)))
     }
   }
+
+  test("byte fallback: unseen chars become UTF-8 byte pieces, zero <unk>, covered words unchanged") {
+    // VERDICT r16 item 3 — SentencePiece --byte_fallback: no text is
+    // ever destroyed. Train on ascii; encode a mixed-script corpus.
+    val train = Seq((1L, "aa aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    val fb = UnigramTokenizer.train(train, "text", vocabSize = 10,
+      rounds = 1, maxPieceLen = 4, maxWordLen = 8, byteFallback = true)
+    val plain = UnigramTokenizer.train(train, "text", vocabSize = 10,
+      rounds = 1, maxPieceLen = 4, maxWordLen = 8)
+    // identical vocabulary — the mode changes only the no-path branch
+    assert(fb.pieces == plain.pieces && fb.byteFallback && !plain.byteFallback)
+    // 'é' is U+00E9 = 0xC3 0xA9 in UTF-8 (two bytes — the multi-byte
+    // loop is exercised); '5' is one byte 0x35; 'a'/'b' are covered
+    // chars and stay as char pieces INSIDE the fallback word
+    val docs = Seq((1L, "aa ab"), (2L, "aé5b aa"), (3L, "xz"))
+      .toDF("doc_id", "text")
+    val got = UnigramTokenizer.encode(docs, "doc_id", "text", fb, maxWordLen = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // covered words: identical to the plain model's output
+    val gotPlain = UnigramTokenizer.encode(docs, "doc_id", "text", plain,
+        maxWordLen = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == gotPlain(1L) && got(1L) == (("a a ab", 3L)))
+    assert(got(2L) == (("a <0xC3> <0xA9> <0x35> b a a", 7L)), s"got ${got(2L)}")
+    // x and z are unseen ascii chars → their bytes
+    assert(got(3L) == (("<0x78> <0x7A>", 2L)), s"got ${got(3L)}")
+    // zero <unk> anywhere
+    assert(!got.values.exists(_._1.contains(UnigramTokenizer.Unk)))
+    // the mode round-trips through the v2 artifact
+    val path = java.nio.file.Files.createTempDirectory("unigram_fb").toString + "/v"
+    UnigramTokenizer.saveUnigram(spark, path, fb)
+    val loaded = UnigramTokenizer.loadUnigram(spark, path)
+    assert(loaded.byteFallback && loaded.pieces == fb.pieces)
+    // a v1 artifact (no byte_fallback column) loads as fallback-OFF
+    val v1Path = path + "_v1"
+    spark.read.parquet(s"$path/pieces").write.parquet(s"$v1Path/pieces")
+    spark.read.parquet(s"$path/meta")
+      .withColumn("version", lit(1)).drop("byte_fallback")
+      .write.parquet(s"$v1Path/meta")
+    assert(!UnigramTokenizer.loadUnigram(spark, v1Path).byteFallback)
+    // byte-piece-shaped vocabulary pieces are out-of-band: refused at
+    // model construction, and never minted by a byte-fallback train
+    // even when the corpus contains the literal text and maxPieceLen
+    // admits the 6-char shape
+    intercept[IllegalArgumentException] {
+      UnigramTokenizer.UnigramModel(Seq(("a", 2L), ("<0x41>", 1L)),
+        byteFallback = true)
+    }
+    val tricky = Seq((1L, "<0x41> <0x41> <0x41> aa")).toDF("doc_id", "text")
+    val tm = UnigramTokenizer.train(tricky, "text", vocabSize = 20,
+      rounds = 1, maxPieceLen = 6, maxWordLen = 8, byteFallback = true)
+    assert(!tm.pieces.exists(p => UnigramTokenizer.isBytePiece(p._1)),
+      s"byte-shaped piece minted: ${tm.pieces}")
+  }
 }
