@@ -2423,6 +2423,26 @@ object Similarity {
         (col("r0") + 1).cast("int").as("rank"), (-col("p._2")).as("adist"))
   }
 
+  /** One row of a measured serving-budget sweep: the recall and
+    * wall-clock a (nprobe, shortlist) pair achieved on a
+    * representative corpus (AnnStress --sweep on the planted 1M
+    * stress records one of these per grid point in BASELINE.md). */
+  final case class ServingBudget(nprobe: Int, shortlist: Int,
+                                 recall: Double, seconds: Double)
+
+  /** The knob a deployer actually wants (VERDICT r16 item 5): from a
+    * recorded recall/latency sweep, the CHEAPEST (nprobe, shortlist)
+    * meeting a target recall — minimum measured seconds, ties broken
+    * to the smaller (nprobe, shortlist) since both bound work at any
+    * corpus size. None when no swept point reaches the target (caller
+    * must widen the sweep or lower the bar — silently serving the
+    * best-available recall would defeat the target's point).
+    * Driver-side over a grid-sized table; deterministic. */
+  def pickServingBudget(sweep: Seq[ServingBudget],
+                        targetRecall: Double): Option[ServingBudget] =
+    sweep.filter(_.recall >= targetRecall)
+      .sortBy(b => (b.seconds, b.nprobe, b.shortlist)).headOption
+
   /** Recall@k of an approximate ANN result against the exact result —
     * the eval harness every index deserves before it ships: feed both
     * relations (same (probe, hit-id) shape, e.g. ivfTopK vs

@@ -231,6 +231,36 @@ object AnnStress {
         val rec = recallOf(serveRerankIdx(), exactCos)
         println(f"[annstress] [$mode] recall@$k rerank sl=$shortlist%-4d    $rec%8.4f")
       }
+      // recall-vs-budget sweep (VERDICT r16 item 5), residual mode
+      // only (the production encoding): the full (nprobe, shortlist)
+      // grid of the indexed rerank serve, timed on the recall panel —
+      // the table pickServingBudget consumes. Enable with
+      // SPARK_GRAFT_ANN_SWEEP=1.
+      if (mode == "residual" && sys.env.get("SPARK_GRAFT_ANN_SWEEP").contains("1")) {
+        val swept = for {
+          np <- Seq(1, 2, 4, 8, 16, 32).filter(_ <= kCells)
+          sl <- Seq(50, 100, 200, 400)
+        } yield {
+          def run(): DataFrame =
+            Similarity.ivfPqTopKIndexedRerank(spark, indexPath,
+              corpus, "vec_id", "embedding", rp, "vec_id", "embedding",
+              cts, model, nprobe = np, k = k, shortlist = sl,
+              maxProbes = nProbes)
+          run().count() // warm (plan + page cache)
+          val t0 = System.nanoTime(); run().count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val rec = recallOf(run(), exactCos)
+          println(f"[annsweep] nprobe=$np%-3d shortlist=$sl%-4d recall=$rec%.4f sec=$sec%.2f")
+          Similarity.ServingBudget(np, sl, rec, sec)
+        }
+        Seq(0.5, 0.7, 0.9).foreach { tgt =>
+          val pick = Similarity.pickServingBudget(swept, tgt)
+          println(s"[annsweep] target=$tgt -> " + pick.map(b =>
+            f"nprobe=${b.nprobe} shortlist=${b.shortlist} " +
+              f"(recall=${b.recall}%.4f sec=${b.seconds}%.2f)")
+            .getOrElse("UNREACHABLE in swept grid"))
+        }
+      }
     }
 
     // the unpruned baseline, raw mode only (flat pqTopK has no coarse

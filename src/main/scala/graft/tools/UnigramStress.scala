@@ -16,14 +16,24 @@ import graft.operators.UnigramTokenizer
   * prints wall-clock + dictionary geometry so BASELINE.md records
   * measured scaling instead of the design argument.
   *
-  * Usage: runMain graft.tools.UnigramStress <srcSfDir> <workDir>
+  * A SECOND mode (`bigdict:N` as the first arg — VERDICT r16 item 4)
+  * targets the dictionary axis directly: the replica recipe only
+  * reached ~3×10³ distinct words, but the operator's own doc names
+  * 10⁵–10⁸ distinct words as the regime where the DP rounds become
+  * real shuffles. It synthesizes a corpus of N DISTINCT hash-derived
+  * words (md5-seeded letter strings, lengths 4–12, 24 words per doc)
+  * and measures train/encode wall-clock at dictionary sizes the
+  * replica path cannot reach — run it at N and 10N to record the
+  * dictionary-scaling exponent.
+  *
+  * Usage: runMain graft.tools.UnigramStress <srcSfDir|bigdict:N> <workDir>
   *          [replicas=100] [vocabSize=200]
   * Prints one [unistress] line per measurement. */
 object UnigramStress {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: runMain graft.tools.UnigramStress <srcSfDir> <workDir> " +
-        "[replicas] [vocabSize]")
+      "usage: runMain graft.tools.UnigramStress <srcSfDir|bigdict:N> " +
+        "<workDir> [replicas] [vocabSize]")
     val srcDir = args(0)
     val workDir = args(1)
     val replicas = if (args.length > 2) args(2).toInt else 100
@@ -44,15 +54,37 @@ object UnigramStress {
       r
     }
 
-    val src = spark.read.parquet(s"$srcDir/documents.parquet")
-    val mxRow = src.agg(max(col("doc_id"))).collect()(0)
-    if (!mxRow.isNullAt(0)) require(mxRow.getLong(0) < ScaleUp.KeyShift,
-      s"documents.doc_id max ${mxRow.getLong(0)} >= shift " +
-        s"${ScaleUp.KeyShift} — replicas would collide")
-    time(s"scaleup x$replicas") {
-      (0 until replicas).map(r => ScaleUp.documentsReplica(src, r))
-        .reduce(_.unionAll(_))
-        .write.mode("overwrite").parquet(s"$workDir/documents")
+    if (srcDir.startsWith("bigdict:")) {
+      val nWords = srcDir.stripPrefix("bigdict:").toLong
+      time(s"synthesize $nWords-word dictionary corpus") {
+        // word i = 4 + (md5 nibble-sum mod 9) letters drawn a..p from
+        // its own md5 hex — distinct by construction (the id is
+        // appended in base-16-as-letters, so two ids can never
+        // collide), deterministic, length-varied like real tokens
+        spark.range(nWords)
+          .select((col("id") / 24).cast("long").as("doc_id"),
+            concat(
+              // letter prefix from the hash: 3 chars of md5 mapped a..p
+              translate(substring(md5(concat(lit("uw:"), col("id"))), 1, 3),
+                "0123456789abcdef", "abcdefghijklmnop"),
+              // the id itself, base-16 rendered as letters — uniqueness
+              translate(hex(col("id")), "0123456789ABCDEF", "abcdefghijklmnop"))
+              .as("w"))
+          .groupBy("doc_id")
+          .agg(concat_ws(" ", collect_list(col("w"))).as("text"))
+          .write.mode("overwrite").parquet(s"$workDir/documents")
+      }
+    } else {
+      val src = spark.read.parquet(s"$srcDir/documents.parquet")
+      val mxRow = src.agg(max(col("doc_id"))).collect()(0)
+      if (!mxRow.isNullAt(0)) require(mxRow.getLong(0) < ScaleUp.KeyShift,
+        s"documents.doc_id max ${mxRow.getLong(0)} >= shift " +
+          s"${ScaleUp.KeyShift} — replicas would collide")
+      time(s"scaleup x$replicas") {
+        (0 until replicas).map(r => ScaleUp.documentsReplica(src, r))
+          .reduce(_.unionAll(_))
+          .write.mode("overwrite").parquet(s"$workDir/documents")
+      }
     }
     val docs = spark.read.parquet(s"$workDir/documents")
     val nDocs = docs.count()

@@ -1004,6 +1004,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pickServingBudget: cheapest swept point meeting the target; None when unreachable") {
+    // VERDICT r16 item 5: the deployer knob over a RECORDED sweep —
+    // min seconds among rows meeting the target, ties to the smaller
+    // (nprobe, shortlist), loud None when the grid can't reach it
+    import Similarity.ServingBudget
+    val sweep = Seq(
+      ServingBudget(1, 50, 0.40, 1.0),
+      ServingBudget(2, 50, 0.55, 1.5),
+      ServingBudget(4, 100, 0.72, 1.8),
+      ServingBudget(2, 100, 0.72, 1.8), // same cost/recall → smaller nprobe
+      ServingBudget(8, 400, 0.95, 6.0),
+      ServingBudget(16, 400, 0.97, 9.0))
+    def pick(t: Double) = Similarity.pickServingBudget(sweep, t)
+      .map(b => (b.nprobe, b.shortlist))
+    assert(pick(0.5) == Some((2, 50)))
+    assert(pick(0.7) == Some((2, 100)), "ties must break to the smaller nprobe")
+    assert(pick(0.9) == Some((8, 400)))
+    assert(pick(0.99).isEmpty,
+      "an unreachable target must be None, not the best-available recall")
+  }
+
   test("savePQ/loadPQ: bit-exact round trip; drifted artifacts refused") {
     val emb = (1L to 20L).map(i =>
       (i, (0 until 8).map(p => (i * 7 + p * 3 % 11).toDouble / 4.0)))
