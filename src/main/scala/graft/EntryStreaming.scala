@@ -628,6 +628,46 @@ private[graft] object EntryStreaming {
     }),
 
 
+    // ── streaming: OPQ-rotated ANN serving of a probe stream ────────
+    // The rotated twin of q_stream_ann (r17): probes arrive RAW on
+    // the stream and rotate ROWWISE through the same kernel the build
+    // used (a pure projection — streaming-safe), then cell-rank, ADC,
+    // and top-k run entirely in rotated space against the rotated
+    // persisted index. Must equal the batch rotated indexed serve —
+    // the oracle is q_opq_refresh's SQL verbatim, so a mixed-space
+    // slip on the streaming path hash-mismatches.
+    "q_stream_ann_opq" -> ((s, dir) => withStreamRigConf(s) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val emb = Tables(s, dir, "embeddings")
+      val rot = EntryVector.opqTestRotation(64)
+      val re = Similarity.rotateVectors(emb, "vec_id", "embedding", rot, "r")
+      val cents = KMeans.initCentroids(re, "vec_id", "r", KMeans.FirstK(8))
+      val pq = Similarity.trainPQ(re, "vec_id", "r", d = 64, m = 4, k = 16,
+        maxIter = 0)
+      val lm = Similarity.OpqIvfModel(rot, cents, pq)
+      val base = sessionTmpDir(s, "stream_ann_opq", dir)
+      Similarity.buildIvfPqIndexRotated(emb, "vec_id", "embedding", lm,
+        s"$base/index")
+      val arrivals = emb.orderBy("vec_id").limit(5)
+        .select(col("vec_id").cast("long"),
+          VectorOps.toDouble(col("embedding")))
+        .as[(Long, Seq[Double])].collect()
+        .map { case (id, v) => StreamProbe(id, v) }
+      val source = MemoryStream[StreamProbe]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val scored = Similarity.ivfPqTopKStreamRotated(s, s"$base/index",
+        source.toDF(), "vec_id", "embedding", lm, nprobe = 2, k = 10)
+      val q = scored.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try arrivals.grouped(2).foreach { b =>
+        source.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+    }),
+
+
     // ── streaming: funnel state machine, batch-parity gated ─────────
     // Per-user furthest-step state folded across 3 micro-batches; the
     // sink's final steps aggregate to counts that must equal the
@@ -695,6 +735,7 @@ private[graft] object EntryStreaming {
     // the streamed IVF-PQ serve must equal the batch serve over the
     // same probes: q_ivfpq_topk's replay verbatim
     "q_stream_ann" -> EntryVector.sqlIvfPqTopK,
+    "q_stream_ann_opq" -> EntryVector.sqlOpqRefresh,
 
     // the file sink's committed output must be exactly the projection
     "q_stream_filesink" ->

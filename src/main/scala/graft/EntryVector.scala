@@ -484,6 +484,61 @@ private[graft] object EntryVector {
     }),
 
 
+    // ── LLM-pipeline: OPQ rotated shortlist + exact re-rank from the
+    // persisted index — the complete production OPQ query path: raw
+    // probes rotate once, stored rotated codes shortlist 50 per probe
+    // through the cell-pruned ADC, and only the probes × shortlist
+    // float rows (semi-join-pruned BEFORE rotation) re-rank with the
+    // exact cosine in rotated space. Oracle replays shortlist + the
+    // rotated-space cosine bit-for-bit.
+    "q_opq_rerank" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val rot = opqTestRotation(64)
+      val re = Similarity.rotateVectors(emb, "vec_id", "embedding", rot, "r")
+      val cents = KMeans.initCentroids(re, "vec_id", "r", FirstK(8))
+      val pq = Similarity.trainPQ(re, "vec_id", "r", d = 64, m = 4, k = 16,
+        maxIter = 0)
+      val lm = Similarity.OpqIvfModel(rot, cents, pq)
+      val base = sessionTmpDir(s, "opq_rerank", dir)
+      Similarity.buildIvfPqIndexRotated(emb, "vec_id", "embedding", lm,
+        s"$base/index")
+      Similarity.ivfPqTopKIndexedRerankRotated(s, s"$base/index",
+        emb, "vec_id", "embedding",
+        emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+        lm, nprobe = 2, k = 10, shortlist = 50)
+    }),
+
+
+    // ── LLM-pipeline: float-IVF index DELETION — the q_ivfpq_delete
+    // lifecycle over the float table: tombstone-delete ('masked'
+    // serve), compact (physical drop via the root swap — the
+    // tombstone set retires with the swapped-away root), re-append
+    // half the deleted ids, serve again ('final').
+    "q_ivf_delete" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = cents8(s, dir)
+      val base = sessionTmpDir(s, "ivf_del", dir)
+      val idx = s"$base/index"
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents, idx)
+      Similarity.deleteFromIvfIndex(s,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id", idx)
+      val masked = Similarity.ivfTopKIndexed(s, idx,
+          emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+          cents, nprobe = 2, k = 10)
+        .withColumn("phase", lit("masked"))
+        .localCheckpoint(eager = true)
+      Similarity.compactIvfIndex(s, idx)
+      Similarity.appendIvfIndex(s, emb.filter(col("vec_id") % 14 === 3),
+        "vec_id", "embedding", idx)
+      val fin = Similarity.ivfTopKIndexed(s, idx,
+          emb.orderBy("vec_id").limit(5), "vec_id", "embedding",
+          cents, nprobe = 2, k = 10)
+        .withColumn("phase", lit("final"))
+      masked.unionByName(fin)
+        .select("phase", "probe_id", "vec_id", "rank", "sim")
+    }),
+
+
     // ── LLM-pipeline: int8 embedding quantization ───────────────────
     // The 4×-smaller storage form for billion-vector corpora; codes
     // emitted as a comma-joined string so the compare hashes scalars.
@@ -1274,11 +1329,11 @@ private[graft] object EntryVector {
        |         // (2 * pp * (n - pp)) AS BIGINT) AS auc6
        |FROM conf, ag""".stripMargin
 
-  /** q_ivf_topk's replay, shared with q_ivf_refresh (same probes,
-    * cents, nprobe, k — the maintained index must serve the same
-    * result as the in-memory scan). */
-  private val sqlIvfTopK: String =
-    s"""WITH $sqlCents8,
+  /** The IVF float-serve candidate CTEs (probe cells + scored
+    * candidates), shared by q_ivf_topk / q_ivf_refresh / the delete
+    * lifecycle's two phases. */
+  private val sqlIvfCandCtes: String =
+    s"""$sqlCents8,
          |$sqlProbes,
          |pc AS (
          |  SELECT vec_id AS probe_id, cid AS cell FROM (
@@ -1293,12 +1348,33 @@ private[graft] object EntryVector {
          |  JOIN embeddings e ON e.vec_id = a.vec_id
          |  JOIN pr ON pr.probe_id = pc.probe_id
          |  WHERE a.vec_id != pc.probe_id
-         |)
+         |)""".stripMargin
+
+  /** q_ivf_topk's replay, shared with q_ivf_refresh (same probes,
+    * cents, nprobe, k — the maintained index must serve the same
+    * result as the in-memory scan). */
+  private val sqlIvfTopK: String =
+    s"""WITH $sqlIvfCandCtes
          |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
          |  SELECT probe_id, vec_id, sim,
          |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
          |  FROM s)
          |WHERE rn <= 10""".stripMargin
+
+  /** The float-IVF delete-lifecycle replay (q_ivf_delete): candidates
+    * filtered to each phase's survivors, same modulus scheme as
+    * q_ivfpq_delete. */
+  private val sqlIvfDelete: String = {
+    def ranked(phase: String, pred: String) =
+      s"""SELECT '$phase' AS phase, probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM s WHERE $pred) WHERE rn <= 10""".stripMargin
+    s"""WITH $sqlIvfCandCtes
+       |${ranked("masked", "vec_id % 7 != 3")}
+       |UNION ALL
+       |${ranked("final", "vec_id % 14 != 10")}""".stripMargin
+  }
 
   /** The in-memory IVF-PQ CTE chain (probe cells, ADC tables,
     * candidates, summed approximate distances) shared by the topk,
@@ -1544,8 +1620,10 @@ private[graft] object EntryVector {
     * rotated vectors, candidates pruned to each probe's 2 nearest
     * cells, ADC over the rotated codes — the full rotated lifecycle's
     * serve (save/load artifact + build + append + compact are
-    * hash-invisible when correct, and any drift in them breaks this). */
-  private val sqlOpqRefresh: String =
+    * hash-invisible when correct, and any drift in them breaks this).
+    * private[graft]: EntryStreaming's q_stream_ann_opq oracle replays
+    * the same chain (the sqlIvfPqTopK acyclic-reference pattern). */
+  private[graft] val sqlOpqRefresh: String =
     s"""WITH $sqlOpqBaseCtes,
        |co AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
@@ -1585,6 +1663,67 @@ private[graft] object EntryVector {
        |  SELECT probe_id, vec_id, adist,
        |         row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
        |  FROM adivo) WHERE rn <= 10""".stripMargin
+
+  /** The rotated shortlist + rotated-space exact-cosine re-rank
+    * replay (q_opq_rerank — the complete production OPQ query path):
+    * adivo shortlists 50 per probe from the rotated codes, then the
+    * exact cosine runs over the ROTATED vectors (re for candidates,
+    * pro.pv for probes) — bit-identical to the engine's rotated
+    * exactRerank; orthogonality makes the RANKING equal to raw-space
+    * cosine, but the replay stays in rotated space so the hash pins
+    * the arithmetic actually executed. */
+  private val sqlOpqRerank: String =
+    s"""WITH $sqlOpqBaseCtes,
+       |co AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+       |         r AS cvec
+       |  FROM (SELECT * FROM re ORDER BY vec_id LIMIT 8)
+       |),
+       |dco AS (
+       |  SELECT e.vec_id, c.cid,
+       |         list_sum(list_transform(list_zip(e.r, c.cvec),
+       |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+       |  FROM re e CROSS JOIN co c
+       |),
+       |aco AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dco) WHERE rn = 1
+       |),
+       |pco AS (
+       |  SELECT vec_id AS probe_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dco WHERE vec_id IN (SELECT probe_id FROM pro)) WHERE rn <= 2
+       |),
+       |cando AS (
+       |  SELECT DISTINCT pco.probe_id, a.vec_id
+       |  FROM aco a JOIN pco ON a.cell = pco.cell
+       |  WHERE a.vec_id != pco.probe_id
+       |),
+       |adivo AS (
+       |  SELECT cando.probe_id, cando.vec_id, list_sum(list(pto.sd ORDER BY q.j)) AS adist
+       |  FROM cando JOIN pqo q ON q.vec_id = cando.vec_id
+       |             JOIN pto ON pto.probe_id = cando.probe_id AND pto.j = q.j AND pto.cid = q.cid
+       |  GROUP BY 1, 2
+       |),
+       |osl AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+       |    FROM adivo) WHERE rn <= 50
+       |),
+       |orx AS (
+       |  SELECT osl.probe_id, osl.vec_id,
+       |         ${sqlCosine("cv.r", "pro.pv")} AS sim
+       |  FROM osl JOIN re cv ON cv.vec_id = osl.vec_id
+       |           JOIN pro ON pro.probe_id = osl.probe_id
+       |)
+       |SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank, sim FROM (
+       |  SELECT probe_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM orx) WHERE rn <= 10""".stripMargin
 
   /** The delete-lifecycle replay (q_ivfpq_delete — VERDICT r16 item
     * 2): the in-memory IVF-PQ chain with candidates filtered to the
@@ -1872,7 +2011,9 @@ private[graft] object EntryVector {
     // like PCA's eigendecomposition) and spec/stress-gated
     "q_opq_topk" -> sqlOpqTopK,
     "q_opq_refresh" -> sqlOpqRefresh,
+    "q_opq_rerank" -> sqlOpqRerank,
     "q_ivfpq_delete" -> sqlIvfPqDelete,
+    "q_ivf_delete" -> sqlIvfDelete,
 
 
     "q_quantize" ->

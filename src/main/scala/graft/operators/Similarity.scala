@@ -1154,6 +1154,52 @@ object Similarity {
       "__rpv", model.cents, model.pq, nprobe, k)
   }
 
+  /** Shortlist + exact re-rank from a ROTATED persisted index — the
+    * complete production OPQ query path: raw probes rotate once,
+    * stored rotated codes shortlist via cell-pruned ADC, and ONLY
+    * probes × shortlist rows of the ROTATED float table join for the
+    * exact-cosine final top-k. The exact math runs in rotated space;
+    * orthogonality makes its cosine mathematically equal to the raw-
+    * space cosine, and the oracle replays the rotated arithmetic
+    * bit-for-bit. `corpus` is the RAW float table (rotated here, one
+    * rowwise pass over the probes × shortlist join rows only — the
+    * anti-join order keeps the rotation off the corpus scan). */
+  def ivfPqTopKIndexedRerankRotated(spark: SparkSession, indexPath: String,
+                                    corpus: DataFrame, idCol: String,
+                                    vecCol: String, probes: DataFrame,
+                                    probeIdCol: String, probeVecCol: String,
+                                    model: OpqIvfModel, nprobe: Int, k: Int,
+                                    shortlist: Int,
+                                    verifyRows: Boolean = true,
+                                    maxProbes: Int = 10000): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    TopKAgg.requireLongCastableId(probes, probeIdCol,
+      "Similarity.ivfPqTopKIndexedRerankRotated")
+    val meta = requireFreshIvfPqIndex(spark, indexPath, model.cents, model.pq,
+      verifyRows, rotationFp = Some(rotationFingerprint(model.rotation)))
+    val rotated = probes.select(col(probeIdCol),
+      rotateCol(VectorOps.toDouble(col(probeVecCol)), model.rotation)
+        .as("__rpv"))
+    val pinned = boundedProbes(rotated, maxProbes,
+      ivfPqProbeBytes(model.pq, nprobe),
+      "Similarity.ivfPqTopKIndexedRerankRotated")
+    val short = ivfPqTopKIndexedPinned(spark, indexPath, meta, pinned,
+      probeIdCol, "__rpv", model.cents, model.pq, nprobe, shortlist)
+      .select(col("probe_id"), col("vec_id"))
+    // rotate ONLY the touched float rows: a broadcast semi-join on the
+    // (probes × shortlist)-bounded id set prunes the corpus FIRST, so
+    // the d×d rotation runs on thousands of rows, never corpus-wide
+    val touched = corpus
+      .select(col(idCol).cast("long").as("__cid"),
+        VectorOps.toDouble(col(vecCol)).as("__cv"))
+      .join(broadcast(short.select(col("vec_id").as("__cid")).distinct()),
+        Seq("__cid"), "left_semi")
+    val rotTouched = touched.select(col("__cid"),
+      rotateCol(col("__cv"), model.rotation).as("__rv"))
+    exactRerank(rotTouched, "__cid", "__rv", pinned, probeIdCol, "__rpv",
+      short, k)
+  }
+
   /** Mean squared FULL-STACK reconstruction error (coarse + residual
     * codes) of a (cents, pq) pair over a vector column — the
     * objective trainOpqIvf minimizes. */
@@ -2371,7 +2417,31 @@ object Similarity {
                       probes: DataFrame, probeIdCol: String,
                       probeVecCol: String, cents: KMeans.Centroids,
                       model: PQModel, nprobe: Int, k: Int,
-                      verifyRows: Boolean = true): DataFrame = {
+                      verifyRows: Boolean = true): DataFrame =
+    ivfPqTopKStreamCore(spark, indexPath, probes, probeIdCol, probeVecCol,
+      identity, cents, model, nprobe, k, verifyRows, rotationFp = None)
+
+  /** The streaming twin of ivfPqTopKIndexedRotated: probes arrive RAW
+    * on the stream and rotate ROWWISE (a pure projection — fully
+    * streaming-safe) through the same kernel the build used, before
+    * cell ranking and ADC; refuses an unrotated or differently-
+    * rotated index exactly like the batch entry. */
+  def ivfPqTopKStreamRotated(spark: SparkSession, indexPath: String,
+                             probes: DataFrame, probeIdCol: String,
+                             probeVecCol: String, model: OpqIvfModel,
+                             nprobe: Int, k: Int,
+                             verifyRows: Boolean = true): DataFrame =
+    ivfPqTopKStreamCore(spark, indexPath, probes, probeIdCol, probeVecCol,
+      v => rotateCol(v, model.rotation), model.cents, model.pq, nprobe, k,
+      verifyRows, rotationFp = Some(rotationFingerprint(model.rotation)))
+
+  private def ivfPqTopKStreamCore(spark: SparkSession, indexPath: String,
+                                  probes: DataFrame, probeIdCol: String,
+                                  probeVecCol: String, prep: Column => Column,
+                                  cents: KMeans.Centroids,
+                                  model: PQModel, nprobe: Int, k: Int,
+                                  verifyRows: Boolean,
+                                  rotationFp: Option[String]): DataFrame = {
     // same loud refusal as every batch sibling (review r15): without
     // it a non-long-castable probe id casts to NULL, the self-match
     // filter then drops every candidate row for that probe, and the
@@ -2379,7 +2449,8 @@ object Similarity {
     // check, so it is streaming-safe.
     TopKAgg.requireLongCastableId(probes, probeIdCol,
       "Similarity.ivfPqTopKStream")
-    val meta = requireFreshIvfPqIndex(spark, indexPath, cents, model, verifyRows)
+    val meta = requireFreshIvfPqIndex(spark, indexPath, cents, model,
+      verifyRows, rotationFp)
     require(nprobe >= 1 && nprobe <= cents.length,
       s"Similarity.ivfPqTopKStream: nprobe=$nprobe outside 1..${cents.length}")
     val centsL = typedlit(
@@ -2389,7 +2460,7 @@ object Similarity {
       c.getField("_1").as("cid")))), 1, nprobe)
     val exploded = probes
       .select(col(probeIdCol).cast("long").as("probe_id"),
-        VectorOps.toDouble(col(probeVecCol)).as("__pv"))
+        prep(VectorOps.toDouble(col(probeVecCol))).as("__pv"))
       .select(col("probe_id"), col("__pv"),
         explode(rankedCells).as("__pc"))
       .select(col("probe_id"), col("__pv"), col("__pc.cid").as("cell"))
