@@ -2480,7 +2480,15 @@ object Similarity {
     // stream's lifetime — a compact flipping the pointer mid-stream
     // retires this generation only at the compact AFTER that, so one
     // full compact cycle is the query's documented grace window
-    // (StreamDuringCompactSpec pins the before-or-after contract)
+    // (StreamDuringCompactSpec pins the before-or-after contract).
+    // The same snapshot rule applies to DELETES: tombstones appended
+    // mid-stream are invisible to this query (its tombstone file
+    // listing is plan-time-fixed), so an in-flight stream keeps
+    // serving a just-deleted id until it re-plans — pinned in
+    // StreamDuringCompactSpec. A production takedown therefore
+    // restarts long-lived serving streams (or serves through
+    // foreachBatch → ivfPqTopKIndexed, which re-plans per
+    // micro-batch and picks the tombstones up immediately).
     val idx = ivfPqLiveScan(spark, indexPath, meta)
       .select("id", "cell", "codes")
     probed.join(idx, Seq("cell"))

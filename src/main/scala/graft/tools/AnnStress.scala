@@ -62,8 +62,13 @@ object AnnStress {
     val nProbes = if (args.length > 3) args(3).toInt else 1000
     val recallProbes = if (args.length > 4) args(4).toInt else 100
     val kCells = if (args.length > 5) args(5).toInt else 64
-    val m = 8
+    // codebook geometry + mode filter via env (r17): the serving-
+    // budget sweep showed recall 0.9 unreachable at m=8 — the lever
+    // is MORE CODE BYTES, measured by re-running with ANN_M=16
+    val m = sys.env.get("SPARK_GRAFT_ANN_M").map(_.toInt).getOrElse(8)
     val kCodes = 256
+    val modeFilter = sys.env.get("SPARK_GRAFT_ANN_MODES")
+      .map(_.split(",").toSet)
     val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -122,14 +127,17 @@ object AnnStress {
       KMeans.fit(sample, "vec_id", "embedding",
         KMeans.FirstK(kCells), maxIter = 5).centroids
     }
-    val modelRaw = time("train PQ raw (sample)") {
-      Similarity.trainPQ(sample, "vec_id", "embedding", d = 64,
-        m = m, k = kCodes, maxIter = 3)
-    }
-    val modelRes = time("train PQ residual (sample)") {
-      Similarity.trainPQResidual(sample, "vec_id", "embedding", d = 64,
-        cents, m = m, k = kCodes, maxIter = 3)
-    }
+    def enabled(mode: String): Boolean = modeFilter.forall(_.contains(mode))
+    val modelRaw = if (!enabled("raw")) None else Some(
+      time("train PQ raw (sample)") {
+        Similarity.trainPQ(sample, "vec_id", "embedding", d = 64,
+          m = m, k = kCodes, maxIter = 3)
+      })
+    val modelRes = if (!enabled("residual")) None else Some(
+      time("train PQ residual (sample)") {
+        Similarity.trainPQResidual(sample, "vec_id", "embedding", d = 64,
+          cents, m = m, k = kCodes, maxIter = 3)
+      })
     // OPQ mode (round 16): learn the rotation on the sample, rotate
     // the corpus ONCE (written next to it — at 100 TB this is the
     // one extra corpus pass OPQ costs), then train a fresh coarse
@@ -137,18 +145,19 @@ object AnnStress {
     // is the production combo, both levers stacked. Exact L2/cosine
     // ground truth is rotation-INVARIANT (R is orthogonal), so the
     // raw-space baselines grade the rotated serves directly.
-    val opqIvf = time("train OPQ-IVF (sample)") {
-      Similarity.trainOpqIvf(sample, "vec_id", "embedding", d = 64,
-        kCells = kCells, m = m, k = kCodes, iters = 3, lloydIter = 5,
-        pqMaxIter = 2)
+    val opqIvf = if (!enabled("opq_res")) None else Some {
+      val t = time("train OPQ-IVF (sample)") {
+        Similarity.trainOpqIvf(sample, "vec_id", "embedding", d = 64,
+          kCells = kCells, m = m, k = kCodes, iters = 3, lloydIter = 5,
+          pqMaxIter = 2)
+      }
+      time("rotate corpus (one pass)") {
+        Similarity.rotateVectors(emb, "vec_id", "embedding", t.rotation,
+          "embedding").write.mode("overwrite").parquet(s"$workDir/embeddings_opq")
+      }
+      t
     }
-    time("rotate corpus (one pass)") {
-      Similarity.rotateVectors(emb, "vec_id", "embedding", opqIvf.rotation,
-        "embedding").write.mode("overwrite").parquet(s"$workDir/embeddings_opq")
-    }
-    val embO = spark.read.parquet(s"$workDir/embeddings_opq")
-    val centsO = opqIvf.cents
-    val modelOpq = opqIvf.pq
+    val embO = opqIvf.map(_ => spark.read.parquet(s"$workDir/embeddings_opq"))
 
     // probe panel + recall ground truths, shared by both modes
     val probes = emb.orderBy("vec_id").limit(nProbes).localCheckpoint()
@@ -180,12 +189,12 @@ object AnnStress {
             .join(broadcast(rpIds), "probe_id"), truth)
         .agg(avg(col("recall"))).collect()(0).getDouble(0)
 
-    val probesO = embO.orderBy("vec_id").limit(nProbes).localCheckpoint()
+    val probesO = embO.map(_.orderBy("vec_id").limit(nProbes).localCheckpoint())
 
     // 3.–6. per mode: build, serve, recall, rerank
-    Seq(("raw", emb, probes, cents, modelRaw),
-        ("residual", emb, probes, cents, modelRes),
-        ("opq_res", embO, probesO, centsO, modelOpq))
+    (modelRaw.map(mr => ("raw", emb, probes, cents, mr)).toSeq ++
+     modelRes.map(mr => ("residual", emb, probes, cents, mr)).toSeq ++
+     opqIvf.map(o => ("opq_res", embO.get, probesO.get, o.cents, o.pq)).toSeq)
       .foreach { case (mode, corpus, prb, cts, model) =>
       val indexPath = s"$workDir/index_$mode"
       time(s"[$mode] build index (full corpus)") {
@@ -266,16 +275,18 @@ object AnnStress {
     // the unpruned baseline, raw mode only (flat pqTopK has no coarse
     // cell, so residual codes cannot serve it): full ADC over the
     // stored codes — the pruning-win denominator
-    val codesRaw = Similarity.ivfPqIndexCodes(spark, s"$workDir/index_raw")
-      .select(col("id"), col("codes"))
-    def serveFlat(): DataFrame =
-      Similarity.pqTopK(codesRaw, "id", "codes", probes,
-        "vec_id", "embedding", modelRaw, k = k, maxProbes = nProbes)
-    time(s"serve full-ADC scan ($nProbes probes)") { serveFlat().count() }
-    time("serve full-ADC scan rep2") { serveFlat().count() }
-    val recFlat = recallOf(
-      serveFlat().select(col("probe_id"), col("vec_id")), exact)
-    println(f"[annstress] [raw] recall@$k full-ADC (no pruning)   $recFlat%8.4f")
+    modelRaw.foreach { mr =>
+      val codesRaw = Similarity.ivfPqIndexCodes(spark, s"$workDir/index_raw")
+        .select(col("id"), col("codes"))
+      def serveFlat(): DataFrame =
+        Similarity.pqTopK(codesRaw, "id", "codes", probes,
+          "vec_id", "embedding", mr, k = k, maxProbes = nProbes)
+      time(s"serve full-ADC scan ($nProbes probes)") { serveFlat().count() }
+      time("serve full-ADC scan rep2") { serveFlat().count() }
+      val recFlat = recallOf(
+        serveFlat().select(col("probe_id"), col("vec_id")), exact)
+      println(f"[annstress] [raw] recall@$k full-ADC (no pruning)   $recFlat%8.4f")
+    }
     spark.stop()
   }
 }

@@ -20,4 +20,26 @@ class PlanAuditDeleteSpec extends AnyFunSuite {
       s"tombstone mask must be a broadcast anti-join:\n$plan")
     assert(served.count() > 0)
   }
+
+  test("rotated rerank prunes the float table via a broadcast semi-join BEFORE rotating") {
+    // the d×d rotation must run on probes × shortlist rows, never
+    // corpus-wide — the semi-join on the shortlist ids has to reach
+    // the plan as a broadcast LeftSemi under the rotate projection
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rot = EntryVector.opqTestRotation(64)
+    val re = Similarity.rotateVectors(emb, "vec_id", "embedding", rot, "r")
+    val cents = KMeans.initCentroids(re, "vec_id", "r", KMeans.FirstK(8))
+    val pq = Similarity.trainPQ(re, "vec_id", "r", d = 64, m = 4, k = 16,
+      maxIter = 0)
+    val lm = Similarity.OpqIvfModel(rot, cents, pq)
+    val dir = java.nio.file.Files.createTempDirectory("opq_plan").toString + "/i"
+    Similarity.buildIvfPqIndexRotated(emb, "vec_id", "embedding", lm, dir)
+    val served = Similarity.ivfPqTopKIndexedRerankRotated(spark, dir,
+      emb, "vec_id", "embedding", emb.orderBy("vec_id").limit(3),
+      "vec_id", "embedding", lm, nprobe = 2, k = 5, shortlist = 20)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"),
+      s"shortlist semi-join must be a broadcast LeftSemi:\n$plan")
+    assert(served.count() > 0)
+  }
 }

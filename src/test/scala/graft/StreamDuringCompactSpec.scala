@@ -100,4 +100,54 @@ class StreamDuringCompactSpec extends AnyFunSuite {
         "a restarted stream must serve the post-compact state")
     } finally q2.stop()
   }
+
+  test("mid-stream delete: invisible to the in-flight snapshot, immediate via foreachBatch re-plan") {
+    // the takedown-vs-serving-stream contract: an in-flight stream's
+    // tombstone listing is plan-time-fixed, so a delete between
+    // triggers does NOT mask rows for it (snapshot semantics, same as
+    // appends) — production restarts serving streams on takedown or
+    // serves through foreachBatch, which re-plans per micro-batch and
+    // picks tombstones up immediately. Both halves pinned here.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+      m = 4, k = 16, maxIter = 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_sdel").toString + "/i"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model, dir)
+    val want0 = asSet(Similarity.ivfPqTopKIndexed(spark, dir,
+      emb.orderBy("vec_id").limit(3), "vec_id", "embedding",
+      cents, model, nprobe = 2, k = 5).collect())
+    val probeRows = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id").cast("long"),
+        graft.functions.VectorOps.toDouble(col("embedding")))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => StreamProbe(id, v) }
+    val source = MemoryStream[StreamProbe]
+    val q = Similarity.ivfPqTopKStream(spark, dir, source.toDF(),
+        "vec_id", "embedding", cents, model, nprobe = 2, k = 5)
+      .writeStream.format("memory").queryName("sdel_stream")
+      .outputMode("complete").start()
+    try {
+      source.addData(probeRows.take(1).toSeq); q.processAllAvailable()
+      // DELETE the current top hit of probe 1 mid-stream
+      val victim = want0.filter(_._1 == probeRows(0).vec_id)
+        .minBy(_._3)._2
+      Similarity.deleteFromIvfPqIndex(spark,
+        Seq(victim).toDF("vec_id"), "vec_id", dir)
+      source.addData(probeRows.drop(1).toSeq); q.processAllAvailable()
+      // in-flight stream: snapshot semantics — the deleted id still
+      // serves (complete mode re-outputs everything)
+      assert(asSet(spark.table("sdel_stream").collect()) == want0,
+        "an in-flight stream must keep its plan-time snapshot across a delete")
+      // a fresh (re-planned) batch serve masks it immediately — the
+      // foreachBatch production pattern
+      val fresh = asSet(Similarity.ivfPqTopKIndexed(spark, dir,
+        emb.orderBy("vec_id").limit(3), "vec_id", "embedding",
+        cents, model, nprobe = 2, k = 5).collect())
+      assert(!fresh.exists(_._2 == victim) && fresh != want0,
+        "a re-planned serve must mask the deleted id immediately")
+    } finally q.stop()
+  }
 }
