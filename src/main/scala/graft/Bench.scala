@@ -55,10 +55,18 @@ object Bench {
     // without paying the full suite (driver runs leave it unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
+    val selected0 = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // SPARK_GRAFT_BENCH_SKIP_STREAM=1: drop the q_stream_* rows — for
+    // the big ScaleUp batch-scaling points (sf10), where the
+    // MemoryStream rig's fixed feed cost is not the thing under
+    // measurement (VERDICT r17 item 6)
+    val selected =
+      if (sys.env.get("SPARK_GRAFT_BENCH_SKIP_STREAM").contains("1"))
+        selected0.filterNot { case (n, _) => n.startsWith("q_stream_") }
+      else selected0
     // Shared near-dup pair fixture, warmed OUTSIDE the timed region
     // (VERDICT r8 item 3): the six graph-family queries all open with
     // the identical md5-parity MinHash chain; benching each rebuild
@@ -150,7 +158,18 @@ object Bench {
     // the println remains the driver's legacy capture path.
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)
+    // Stop the JVM-global state-store maintenance pool BEFORE the
+    // context goes down (VERDICT r17 item 4): a tick racing the
+    // shutdown used to print a cosmetic WARN stack trace as the
+    // bench's last output.
+    org.apache.spark.sql.graftglue.ColumnGlue.stopStateStoreMaintenance()
     spark.stop()
+    // Compact summary as the FINAL stdout line (VERDICT r17 item 4):
+    // the full one-line JSON above overflows the driver's stdout
+    // capture at 312 queries (BENCH_r17 recorded parsed: null), so the
+    // parseable record the driver keeps is this map-free line; the
+    // per-query map lives in bench_result.json and the full println.
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","batch_sec":${f3(batchSec)},"streaming_sec":${f3(streamSec)},"canary_sec":${f3(canarySec)},"sf":"$sfDir","errors":$nErr}""")
     if (nErr > 0) sys.exit(1)
   }
 }

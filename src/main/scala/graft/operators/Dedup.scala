@@ -737,6 +737,27 @@ object Dedup {
   def deleteFromMinhashIndex(spark: SparkSession, ids: DataFrame,
                              idCol: String, path: String): Unit = {
     val meta = readMinhashMeta(spark, path)
+    // self-heal first (ADVICE r17): a prior delete that crashed between
+    // its tombstone append and its meta write left actual > meta —
+    // the tombstone data is the source of truth (every id in it was
+    // verified live, the set is deduplicated by construction), so the
+    // meta catches up here before anything else; the other direction
+    // (tombstone files lost) has no record to heal from and refuses
+    val actualTombs = minhashTombCount(spark, path)
+    val deleted0 =
+      if (actualTombs > meta.deleted) {
+        writeMinhashMeta(spark, path, meta.rows, actualTombs,
+          meta.n, meta.h, meta.parity)
+        Similarity.refreshIndexPath(spark, path)
+        actualTombs
+      } else {
+        require(actualTombs == meta.deleted,
+          s"Dedup.deleteFromMinhashIndex: the index at $path records " +
+            s"${meta.deleted} tombstones but holds only $actualTombs — " +
+            "tombstone data was lost or hand-edited; the takedown record " +
+            "cannot be reconstructed, rebuild the index")
+        meta.deleted
+      }
     val existing = minhashTombstones(spark, path)
     val doomed0 = ids.select(col(idCol).as("id")).distinct()
       .join(spark.read.parquet(s"$path/data").select(col("id")), "id")
@@ -746,7 +767,7 @@ object Dedup {
       val nNew = doomed.count()
       if (nNew > 0) {
         doomed.write.mode("append").parquet(minhashTombDir(path))
-        writeMinhashMeta(spark, path, meta.rows, meta.deleted + nNew,
+        writeMinhashMeta(spark, path, meta.rows, deleted0 + nNew,
           meta.n, meta.h, meta.parity)
         Similarity.refreshIndexPath(spark, path)
       }
@@ -780,8 +801,14 @@ object Dedup {
           s"index holds $actual — partial append or concurrent write; rebuild")
       val tombs = minhashTombCount(spark, path)
       require(tombs == meta.deleted,
-        s"stale MinHash index at $path: meta records ${meta.deleted} " +
-          s"tombstones, index holds $tombs — interrupted delete; re-run it")
+        if (tombs > meta.deleted)
+          s"stale MinHash index at $path: meta records ${meta.deleted} " +
+            s"tombstones, index holds $tombs — interrupted delete; re-run " +
+            "the delete (it self-heals the meta from the tombstone data)"
+        else
+          s"stale MinHash index at $path: meta records ${meta.deleted} " +
+            s"tombstones, index holds only $tombs — tombstone data was " +
+            "lost; rebuild")
     }
     if (meta.deleted > 0)
       data.join(broadcast(minhashTombstones(spark, path).get), Seq("id"),
@@ -893,9 +920,15 @@ object Dedup {
     val meta = readMinhashMeta(spark, path)
     val actualTombs = minhashTombCount(spark, path)
     require(actualTombs == meta.deleted,
-      s"Dedup.compactMinhashIndex: index at $path holds $actualTombs " +
-        s"tombstones but its meta records ${meta.deleted} — interrupted " +
-        "delete or concurrent writer; re-run the delete, then compact")
+      if (actualTombs > meta.deleted)
+        s"Dedup.compactMinhashIndex: index at $path holds $actualTombs " +
+          s"tombstones but its meta records ${meta.deleted} — interrupted " +
+          "delete; re-run the delete (it self-heals the meta from the " +
+          "tombstone data), then compact"
+      else
+        s"Dedup.compactMinhashIndex: index at $path records ${meta.deleted} " +
+          s"tombstones but holds only $actualTombs — tombstone data was " +
+          "lost; rebuild")
     val tombs = if (meta.deleted > 0) minhashTombstones(spark, path) else None
     Similarity.compactIndexRoot(spark, path, "data", "_graft_index_meta",
       meta.rows, "Dedup.compactMinhashIndex", expectedCopied = meta.live,

@@ -236,6 +236,77 @@ object Similarity {
       meta.getAs[String]("fingerprint"), cents)
   }
 
+  /** Reserved column-name guard for filterable index metadata: the
+    * index's own columns must never be shadowed by a metadata column,
+    * or the serve arithmetic would silently read user data. */
+  private def requireMetaColNames(metaCols: Seq[String], reserved: Set[String],
+                                  where: String): Unit = {
+    val clash = metaCols.filter(reserved)
+    require(clash.isEmpty,
+      s"$where: metadata column(s) ${clash.mkString(", ")} collide with the " +
+        s"index's own columns (${reserved.toSeq.sorted.mkString(", ")}) — " +
+        "rename them in the corpus projection")
+    require(metaCols.distinct.length == metaCols.length,
+      s"$where: duplicate metadata column names in ${metaCols.mkString(", ")}")
+  }
+
+  /** The filterable metadata columns a persisted index carries —
+    * everything in its parquet schema beyond the index's own columns.
+    * Appends introspect this so a batch can never silently write a
+    * narrower schema than the index serves filters against. */
+  private def indexExtraCols(spark: SparkSession, dataDir: String,
+                             reserved: Set[String]): Seq[String] =
+    spark.read.parquet(dataDir).schema.fieldNames.toSeq.filterNot(reserved)
+
+  private def requireBatchCarriesMeta(batch: DataFrame, extra: Seq[String],
+                                      path: String, where: String): Unit = {
+    val missing = extra.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"$where: the index at $path carries filterable metadata column(s) " +
+        s"${extra.mkString(", ")} but the batch lacks ${missing.mkString(", ")} " +
+        "— appending a narrower schema would make filtered serves silently " +
+        "drop (null-filter) every appended row; project the columns into " +
+        "the batch")
+  }
+
+  /** Self-healing tombstone reconciliation (ADVICE r17): a crash
+    * between the tombstone append and the meta write leaves actual
+    * tombstones > meta.deleted, and the retry used to be a no-op (the
+    * anti-join finds nothing new, so the meta never catches up and
+    * every verified serve/compact refuses forever). The tombstone data
+    * is the source of truth — every id in it was verified live before
+    * landing and the set is deduplicated by construction — so a delete
+    * entry first rewrites the meta from the OBSERVED count. The other
+    * direction (meta > actual: tombstone files lost) is real
+    * corruption with no record to heal from, so it refuses with the
+    * rebuild diagnosis. Returns the reconciled deleted count. */
+  private def reconcileTombstones(spark: SparkSession, tombDir: String,
+                                  metaDeleted: Long, path: String,
+                                  where: String)(heal: Long => Unit): Long = {
+    val actual = tombstoneCount(spark, tombDir)
+    if (actual > metaDeleted) { heal(actual); actual }
+    else {
+      require(actual == metaDeleted,
+        s"$where: the index at $path records $metaDeleted tombstones but " +
+          s"holds only $actual — tombstone data was lost or hand-edited; " +
+          "the takedown record cannot be reconstructed, rebuild the index")
+      metaDeleted
+    }
+  }
+
+  /** The shared tombstone-drift diagnosis for serve/compact gates:
+    * names the direction-specific remedy (deletes self-heal the
+    * forward direction; the backward one needs a rebuild). */
+  private def tombstoneDriftMsg(path: String, metaDeleted: Long,
+                                actual: Long): String =
+    if (actual > metaDeleted)
+      s"stale index at $path: meta records $metaDeleted tombstones, index " +
+        s"holds $actual — interrupted delete; re-run the delete (delete " +
+        "entries self-heal the meta from the tombstone data)"
+    else
+      s"stale index at $path: meta records $metaDeleted tombstones, index " +
+        s"holds only $actual — tombstone data was lost; rebuild"
+
   /** Persist the IVF index: corpus assigned to its nearest centroid
     * once, written PARTITIONED BY cell — the production form of the
     * "index build". At 100 TB each cell is a parquet partition
@@ -243,12 +314,22 @@ object Similarity {
     * the corpus from disk (static partition pruning — see
     * ivfTopKIndexed), not a full scan. Norms are precomputed into the
     * index so queries never re-fold them. Writes the freshness meta
-    * (row count + quantizer) after the data. */
+    * (row count + quantizer) after the data.
+    *
+    * `metaCols` (round 18): extra corpus columns carried into the
+    * index rows as FILTERABLE METADATA (source, license, date, label)
+    * — what lets ivfTopKIndexed push a predicate INSIDE the pruned
+    * cell scan instead of post-filtering a top-k (recall loss) or
+    * falling back to the exact scan. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    cents: KMeans.Centroids, path: String): Unit = {
+                    cents: KMeans.Centroids, path: String,
+                    metaCols: Seq[String] = Nil): Unit = {
     TopKAgg.requireLongCastableId(corpus, idCol, "Similarity.buildIvfIndex")
+    requireMetaColNames(metaCols, Set("id", "v", "n", "cell"),
+      "Similarity.buildIvfIndex")
     KMeans.assign(
-      corpus.select(col(idCol).cast("long").as("id"), VectorOps.toDouble(col(vecCol)).as("v")),
+      corpus.select(col(idCol).cast("long").as("id") +:
+        VectorOps.toDouble(col(vecCol)).as("v") +: metaCols.map(col): _*),
       "v", cents, outCol = "cell")
       .withColumn("n", VectorOps.norm2(col("v")))
       // static overwrite semantics FORCED per-write (ADVICE r13):
@@ -281,6 +362,14 @@ object Similarity {
     TopKAgg.requireLongCastableId(ids, idCol, "Similarity.deleteFromIvfIndex")
     val meta = readIvfMeta(spark, path)
     val tombDir = rootTombDir(path)
+    // self-heal first (ADVICE r17): a prior delete that crashed between
+    // its tombstone append and its meta write re-enters here and the
+    // meta catches up from the tombstone data before anything else
+    val deleted0 = reconcileTombstones(spark, tombDir, meta.deleted, path,
+      "Similarity.deleteFromIvfIndex") { healed =>
+      writeIvfMeta(spark, path, meta.rows, healed, meta.cents)
+      refreshIndexPath(spark, path)
+    }
     val doomed = ids.select(col(idCol).cast("long").as("id")).distinct()
       .join(spark.read.parquet(path).select(col("id")), "id")
       .join(readTombstones(spark, tombDir), Seq("id"), "left_anti")
@@ -289,7 +378,7 @@ object Similarity {
       val n = doomed.count()
       if (n > 0) {
         doomed.write.mode("append").parquet(tombDir)
-        writeIvfMeta(spark, path, meta.rows, meta.deleted + n, meta.cents)
+        writeIvfMeta(spark, path, meta.rows, deleted0 + n, meta.cents)
         refreshIndexPath(spark, path)
       }
     } finally {
@@ -347,10 +436,16 @@ object Similarity {
                      requireNewIds: Boolean = true): Unit = {
     TopKAgg.requireLongCastableId(batch, idCol, "Similarity.appendIvfIndex")
     val meta = readIvfMeta(spark, path)
+    // filterable metadata columns are part of the index's schema
+    // contract: a batch missing them would append rows every filtered
+    // serve silently null-filters away
+    val extra = indexExtraCols(spark, path, Set("id", "v", "n", "cell"))
+    requireBatchCarriesMeta(batch, extra, path, "Similarity.appendIvfIndex")
     // pin ONE instantiation of the batch: the audit, the write, and
     // the meta count must see the same rows (see requireIdsNotIndexed)
-    val src = batch.select(col(idCol).cast("long").as("id"),
-      VectorOps.toDouble(col(vecCol)).as("v")).localCheckpoint()
+    val src = batch.select(col(idCol).cast("long").as("id") +:
+      VectorOps.toDouble(col(vecCol)).as("v") +: extra.map(col): _*)
+      .localCheckpoint()
     // explicit block release after the meta write (ADVICE r15):
     // Dataset.unpersist cannot free checkpoint blocks, and waiting on
     // the ContextCleaner leaks one batch of storage per append in a
@@ -389,12 +484,22 @@ object Similarity {
     * from the meta (partial append, manual file surgery). The row
     * check is a parquet-footer count — metadata-only I/O, no data
     * read; skip it on hot serving paths via verifyRows=false once an
-    * external writer discipline guarantees it. */
+    * external writer discipline guarantees it.
+    *
+    * `filter` (round 18 — filtered ANN): an optional predicate over
+    * the index's metadata columns (buildIvfIndex's metaCols), applied
+    * INSIDE the pruned cell scan BEFORE scoring — Catalyst pushes it
+    * to the parquet reader alongside the partition pruning, so a
+    * selective filter cuts I/O instead of adding it, the top-k ranks
+    * only qualifying vectors (full k results whenever ≥k matches
+    * exist — no post-filter recall loss), and it composes with the
+    * tombstone mask. */
   def ivfTopKIndexed(spark: SparkSession, indexPath: String,
                      probes: DataFrame, probeIdCol: String, probeVecCol: String,
                      cents: KMeans.Centroids, nprobe: Int, k: Int,
                      verifyRows: Boolean = true,
-                     maxProbes: Int = 10000): DataFrame = {
+                     maxProbes: Int = 10000,
+                     filter: Option[Column] = None): DataFrame = {
     TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.ivfTopKIndexed")
     val meta = readIvfMeta(spark, indexPath)
     require(meta.fingerprint == centsFingerprint(cents),
@@ -409,8 +514,7 @@ object Similarity {
           s"holds $actual — partial append or concurrent write; rebuild")
       val tombs = tombstoneCount(spark, rootTombDir(indexPath))
       require(tombs == meta.deleted,
-        s"stale IVF index at $indexPath: meta records ${meta.deleted} " +
-          s"tombstones, index holds $tombs — interrupted delete; re-run it")
+        tombstoneDriftMsg(indexPath, meta.deleted, tombs))
     }
     val pinned = boundedProbes(probes, maxProbes,
       (if (cents.nonEmpty) cents.head._2.length else 0) * 8L,
@@ -434,8 +538,13 @@ object Similarity {
     val cells = probeCells.map(_._2).distinct.toSeq
     import spark.implicits._
     val pc = probeCells.toSeq.toDF("probe_id", "cell")
-    val idx0 = spark.read.parquet(indexPath)
+    val idxP = spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells: _*)) // static partition pruning
+    // metadata predicate INSIDE the pruned scan, before any scoring:
+    // Catalyst pushes it into the parquet reader next to the partition
+    // filter, so the ADC/cosine work and the top-k see only qualifying
+    // rows — full-k results, no post-filter recall loss
+    val idx0 = filter.fold(idxP)(idxP.filter)
     // tombstone mask (r17 deletes): one broadcast anti-join against
     // the takedown-sized set, skipped while no deletes are pending
     val idx = if (meta.deleted > 0)
@@ -1116,10 +1225,11 @@ object Similarity {
 
   def buildIvfPqIndexRotated(corpus: DataFrame, idCol: String,
                              vecCol: String, model: OpqIvfModel,
-                             path: String): Unit =
+                             path: String,
+                             metaCols: Seq[String] = Nil): Unit =
     buildIvfPqIndexCore(corpus, idCol, vecCol,
       v => rotateCol(v, model.rotation), model.cents, model.pq, path,
-      rotationFp = Some(rotationFingerprint(model.rotation)))
+      rotationFp = Some(rotationFingerprint(model.rotation)), metaCols)
 
   def appendIvfPqIndexRotated(spark: SparkSession, batch: DataFrame,
                               idCol: String, vecCol: String,
@@ -1140,7 +1250,8 @@ object Similarity {
                               probeVecCol: String, model: OpqIvfModel,
                               nprobe: Int, k: Int,
                               verifyRows: Boolean = true,
-                              maxProbes: Int = 10000): DataFrame = {
+                              maxProbes: Int = 10000,
+                              filter: Option[Column] = None): DataFrame = {
     TopKAgg.requireLongCastableId(probes, probeIdCol,
       "Similarity.ivfPqTopKIndexedRotated")
     val meta = requireFreshIvfPqIndex(spark, indexPath, model.cents, model.pq,
@@ -1151,7 +1262,7 @@ object Similarity {
     val pinned = boundedProbes(rotated, maxProbes,
       ivfPqProbeBytes(model.pq, nprobe), "Similarity.ivfPqTopKIndexedRotated")
     ivfPqTopKIndexedPinned(spark, indexPath, meta, pinned, probeIdCol,
-      "__rpv", model.cents, model.pq, nprobe, k)
+      "__rpv", model.cents, model.pq, nprobe, k, filter)
   }
 
   /** Shortlist + exact re-rank from a ROTATED persisted index — the
@@ -1171,7 +1282,8 @@ object Similarity {
                                     model: OpqIvfModel, nprobe: Int, k: Int,
                                     shortlist: Int,
                                     verifyRows: Boolean = true,
-                                    maxProbes: Int = 10000): DataFrame = {
+                                    maxProbes: Int = 10000,
+                                    filter: Option[Column] = None): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     TopKAgg.requireLongCastableId(probes, probeIdCol,
       "Similarity.ivfPqTopKIndexedRerankRotated")
@@ -1183,8 +1295,9 @@ object Similarity {
     val pinned = boundedProbes(rotated, maxProbes,
       ivfPqProbeBytes(model.pq, nprobe),
       "Similarity.ivfPqTopKIndexedRerankRotated")
+    // shortlist sized post-filter — see ivfPqTopKIndexedRerank
     val short = ivfPqTopKIndexedPinned(spark, indexPath, meta, pinned,
-      probeIdCol, "__rpv", model.cents, model.pq, nprobe, shortlist)
+      probeIdCol, "__rpv", model.cents, model.pq, nprobe, shortlist, filter)
       .select(col("probe_id"), col("vec_id"))
     // rotate ONLY the touched float rows: a broadcast semi-join on the
     // (probes × shortlist)-bounded id set prunes the corpus FIRST, so
@@ -1825,9 +1938,9 @@ object Similarity {
 
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       cents: KMeans.Centroids, model: PQModel,
-                      path: String): Unit =
+                      path: String, metaCols: Seq[String] = Nil): Unit =
     buildIvfPqIndexCore(corpus, idCol, vecCol, identity, cents, model, path,
-      rotationFp = None)
+      rotationFp = None, metaCols)
 
   /** Shared build core: `prep` transforms the raw vector column
     * (identity for the plain entry, x·R for the rotated one) BEFORE
@@ -1835,13 +1948,20 @@ object Similarity {
     * the serve refuses a mixed-space query. A fresh build starts at
     * generation 0 under the v2 layout; the whole index root is wiped
     * first so a rebuild can never leave stale generations (or v1
-    * root-level cells) behind a fresh meta. */
+    * root-level cells) behind a fresh meta. `metaCols` are filterable
+    * metadata columns carried into the index rows (see buildIvfIndex)
+    * — at 100 TB these small columns ride the 32×-compressed code
+    * table, so a source/license/date predicate prunes candidates
+    * inside the cell scan without ever touching the float table. */
   private def buildIvfPqIndexCore(corpus: DataFrame, idCol: String,
                                   vecCol: String, prep: Column => Column,
                                   cents: KMeans.Centroids, model: PQModel,
                                   path: String,
-                                  rotationFp: Option[String]): Unit = {
+                                  rotationFp: Option[String],
+                                  metaCols: Seq[String] = Nil): Unit = {
     TopKAgg.requireLongCastableId(corpus, idCol, "Similarity.buildIvfPqIndex")
+    requireMetaColNames(metaCols, Set("id", "codes", "cell"),
+      "Similarity.buildIvfPqIndex")
     val spark = corpus.sparkSession
     // wipe the root (not just the data dir): a rebuild over an old
     // index must not leave retired generations, tombstones, or
@@ -1853,11 +1973,12 @@ object Similarity {
     val dataDir = s"$path/g0"
     encodeForIndex(
       KMeans.assign(
-        corpus.select(col(idCol).cast("long").as("id"),
-          prep(VectorOps.toDouble(col(vecCol))).as("__v")),
+        corpus.select(col(idCol).cast("long").as("id") +:
+          prep(VectorOps.toDouble(col(vecCol))).as("__v") +:
+          metaCols.map(col): _*),
         "__v", cents, outCol = "cell"),
       "__v", "cell", cents, model, outCol = "codes")
-      .select("id", "codes", "cell")
+      .select(col("id") +: col("codes") +: col("cell") +: metaCols.map(col): _*)
       .write.option("partitionOverwriteMode", "static")
       .partitionBy("cell").mode("overwrite").parquet(dataDir)
     writeIvfPqMeta(spark, path, spark.read.parquet(dataDir).count(),
@@ -1905,10 +2026,15 @@ object Similarity {
     requireRotationMatch(meta, rotationFp, path,
       "Similarity.appendIvfPqIndex")
     val dataDir = ivfPqDataDir(path, meta)
+    // filterable metadata columns are part of the index's schema
+    // contract (see appendIvfIndex)
+    val extra = indexExtraCols(spark, dataDir, Set("id", "codes", "cell"))
+    requireBatchCarriesMeta(batch, extra, path, "Similarity.appendIvfPqIndex")
     // pin ONE instantiation of the batch: the audit, the write, and
     // the meta count must see the same rows (see requireIdsNotIndexed)
-    val src = batch.select(col(idCol).cast("long").as("id"),
-      prep(VectorOps.toDouble(col(vecCol))).as("__v")).localCheckpoint()
+    val src = batch.select(col(idCol).cast("long").as("id") +:
+      prep(VectorOps.toDouble(col(vecCol))).as("__v") +: extra.map(col): _*)
+      .localCheckpoint()
     // explicit block release after the meta write (ADVICE r15) — see
     // appendIvfIndex
     try {
@@ -1927,7 +2053,8 @@ object Similarity {
       val assigned = encodeForIndex(
         KMeans.assign(src, "__v", cents = meta.cents, outCol = "cell"),
         "__v", "cell", meta.cents, model, outCol = "codes")
-        .select("id", "codes", "cell")
+        .select(col("id") +: col("codes") +: col("cell") +:
+          extra.map(col): _*)
       assigned.write.partitionBy("cell").mode("append").parquet(dataDir)
       writeIvfPqMeta(spark, path, meta.rows + src.count(), meta.deleted,
         meta.gen, meta.fingerprint, meta.cents, meta.pqFingerprint,
@@ -2071,9 +2198,8 @@ object Similarity {
     val tombDir = rootTombDir(path)
     val actualTombs = tombstoneCount(spark, tombDir)
     require(actualTombs == meta.deleted,
-      s"Similarity.compactIvfIndex: index at $path holds $actualTombs " +
-        s"tombstones but its meta records ${meta.deleted} — interrupted " +
-        "delete or concurrent writer; re-run the delete, then compact")
+      s"Similarity.compactIvfIndex: ${
+        tombstoneDriftMsg(path, meta.deleted, actualTombs)}")
     val tombs = if (meta.deleted > 0) Some(readTombstones(spark, tombDir))
       else None
     compactIndexRoot(spark, path, "", "_graft_index_meta", meta.rows,
@@ -2116,6 +2242,15 @@ object Similarity {
     requireV2Layout(meta, path, "Similarity.deleteFromIvfPqIndex")
     val dataDir = ivfPqDataDir(path, meta)
     val tombDir = ivfPqTombDir(path, meta.gen)
+    // self-heal first (ADVICE r17): a prior delete that crashed between
+    // its tombstone append and its meta write re-enters here and the
+    // meta catches up from the tombstone data before anything else
+    val deleted0 = reconcileTombstones(spark, tombDir, meta.deleted, path,
+      "Similarity.deleteFromIvfPqIndex") { healed =>
+      writeIvfPqMeta(spark, path, meta.rows, healed, meta.gen,
+        meta.fingerprint, meta.cents, meta.pqFingerprint, meta.rotationFp)
+      refreshIndexPath(spark, path)
+    }
     // pin ONE instantiation of the id set: the live filter, the
     // tombstone write, and the meta count must agree (the append-pin
     // discipline, requireIdsNotIndexed)
@@ -2127,7 +2262,7 @@ object Similarity {
       val n = doomed.count()
       if (n > 0) {
         doomed.write.mode("append").parquet(tombDir)
-        writeIvfPqMeta(spark, path, meta.rows, meta.deleted + n, meta.gen,
+        writeIvfPqMeta(spark, path, meta.rows, deleted0 + n, meta.gen,
           meta.fingerprint, meta.cents, meta.pqFingerprint, meta.rotationFp)
         refreshIndexPath(spark, path)
       }
@@ -2164,9 +2299,8 @@ object Similarity {
         "writer; compacting now would bless the corruption. Rebuild instead")
     val actualTombs = tombstoneCount(spark, tombDir)
     require(actualTombs == meta.deleted,
-      s"Similarity.compactIvfPqIndex: index at $path holds $actualTombs " +
-        s"tombstones but its meta records ${meta.deleted} — interrupted " +
-        "delete or concurrent writer; re-run the delete, then compact")
+      s"Similarity.compactIvfPqIndex: ${
+        tombstoneDriftMsg(path, meta.deleted, actualTombs)}")
     val newGen = meta.gen + 1
     val dest = s"$path/g$newGen"
     val conf = spark.sessionState.newHadoopConf()
@@ -2207,6 +2341,191 @@ object Similarity {
     refreshIndexPath(spark, path)
     ()
   }
+
+  // ── Blue/green quantizer retrain (VERDICT r17 item 3) ────────────
+  //
+  // The one maintenance operation drift eventually forces: the coarse
+  // quantizer (and usually the codebooks with it) retrains on fresher
+  // data and the whole index must re-encode under the new geometry.
+  // buildIvfPqIndex rebuilds IN PLACE (it wipes the root first), so a
+  // retrain through it takes the index offline and races any reader;
+  // the generational machinery compaction already proves is the right
+  // tool, so retrain writes the re-encoded corpus into generation N+1
+  // BESIDE the live generation and flips the meta pointer — with the
+  // NEW provenance fingerprints — only after the copy is row-count
+  // verified. A reader that planned against generation N (a streaming
+  // serve mid-trigger) keeps ITS quantizer's snapshot until the next
+  // generation turnover: answers are before-or-after, never
+  // mixed-quantizer (StreamDuringRetrainSpec pins it).
+
+  def retrainIvfPqIndex(spark: SparkSession, corpus: DataFrame,
+                        idCol: String, vecCol: String,
+                        cents: KMeans.Centroids, model: PQModel,
+                        path: String): Unit =
+    retrainIvfPqIndexCore(spark, corpus, idCol, vecCol, identity, cents,
+      model, path, rotationFp = None)
+
+  /** The rotated twin: a retrain that also (or only) refreshes the OPQ
+    * rotation — corpus re-rotates through the NEW rotation here, and
+    * the flipped meta carries its fingerprint, so post-flip serves
+    * must present the new artifact and pre-flip streams keep the old
+    * space. */
+  def retrainIvfPqIndexRotated(spark: SparkSession, corpus: DataFrame,
+                               idCol: String, vecCol: String,
+                               model: OpqIvfModel, path: String): Unit =
+    retrainIvfPqIndexCore(spark, corpus, idCol, vecCol,
+      v => rotateCol(v, model.rotation), model.cents, model.pq, path,
+      rotationFp = Some(rotationFingerprint(model.rotation)))
+
+  private def retrainIvfPqIndexCore(spark: SparkSession, corpus: DataFrame,
+                                    idCol: String, vecCol: String,
+                                    prep: Column => Column,
+                                    cents: KMeans.Centroids, model: PQModel,
+                                    path: String,
+                                    rotationFp: Option[String]): Unit = {
+    TopKAgg.requireLongCastableId(corpus, idCol, "Similarity.retrainIvfPqIndex")
+    val meta = readIvfPqMeta(spark, path)
+    requireV2Layout(meta, path, "Similarity.retrainIvfPqIndex")
+    // the retrain takes the caller's CORPUS (the index stores only
+    // codes — re-encoding under a new quantizer needs the floats), but
+    // the current generation's TAKEDOWNS must survive it: a legal
+    // delete cannot be silently resurrected because the caller's
+    // corpus snapshot still contains the doomed rows. One broadcast
+    // anti-join against the takedown-sized tombstone set.
+    val tombs = readTombstones(spark, ivfPqTombDir(path, meta.gen))
+    // metadata columns are part of the index's schema contract across
+    // generations, exactly as for appends
+    val extra = indexExtraCols(spark, ivfPqDataDir(path, meta),
+      Set("id", "codes", "cell"))
+    requireBatchCarriesMeta(corpus, extra, path,
+      "Similarity.retrainIvfPqIndex")
+    val newGen = meta.gen + 1
+    val dest = s"$path/g$newGen"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dest), true) // crashed prior try
+    val src = corpus.select(col(idCol).cast("long").as("id") +:
+        prep(VectorOps.toDouble(col(vecCol))).as("__v") +:
+        extra.map(col): _*)
+      .join(broadcast(tombs), Seq("id"), "left_anti")
+    encodeForIndex(
+      KMeans.assign(src, "__v", cents, outCol = "cell"),
+      "__v", "cell", cents, model, outCol = "codes")
+      .select(col("id") +: col("codes") +: col("cell") +: extra.map(col): _*)
+      .write.option("partitionOverwriteMode", "static")
+      .partitionBy("cell").mode("overwrite").parquet(dest)
+    val landed = spark.read.parquet(dest).count()
+    // the FLIP: new generation, NEW provenance (quantizer + codebook +
+    // rotation fingerprints), zero tombstones — readers planning from
+    // here resolve the retrained geometry end to end; a crash BEFORE
+    // this line leaves the old meta pointing at intact old data
+    writeIvfPqMeta(spark, path, landed, deleted = 0L, newGen,
+      centsFingerprint(cents), cents, pqFingerprint(model), rotationFp)
+    // same grace window as compaction: the replaced generation
+    // survives one turnover for in-flight readers; older ones retire
+    (0L until meta.gen).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/g$g"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ivfPqTombDir(path, g)), true)
+    }
+    refreshIndexPath(spark, path)
+    ()
+  }
+
+  // ── Persisted serving-budget sweep (VERDICT r17 item 5) ──────────
+  //
+  // The (nprobe, shortlist) recall/latency grid a deployer tunes with
+  // is an empirical property OF ONE INDEX (its geometry, quantizer,
+  // codebooks, rotation); keeping it in prose strands it. It persists
+  // next to the index like every other artifact — bound by the same
+  // provenance fingerprints, so a retrain/rebuild (new fingerprints)
+  // invalidates the stored sweep LOUDLY instead of silently serving a
+  // budget measured under dead geometry.
+
+  val SweepFormatVersion = 1
+
+  /** Persist a measured serving sweep under the index root: grid rows
+    * first, then ONE meta row (version + the index's provenance
+    * fingerprints + row count) LAST as the commit marker. */
+  def saveServingSweep(spark: SparkSession, indexPath: String,
+                       sweep: Seq[ServingBudget]): Unit = {
+    require(sweep.nonEmpty, "saveServingSweep: empty sweep")
+    val meta = readIvfPqMeta(spark, indexPath)
+    import spark.implicits._
+    sweep.map(b => (b.nprobe, b.shortlist, b.recall, b.seconds))
+      .toDF("nprobe", "shortlist", "recall", "seconds")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$indexPath/_graft_sweep/grid")
+    Seq((SweepFormatVersion, meta.fingerprint, meta.pqFingerprint,
+        meta.rotationFp.orNull, sweep.length.toLong))
+      .toDF("version", "cents_fp", "pq_fp", "rotation_fp", "n_rows")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$indexPath/_graft_sweep/meta")
+  }
+
+  /** Load the index's own stored sweep, refusing: no sweep, an
+    * unknown (newer) version, a row-count drift, or — the one that
+    * matters operationally — provenance fingerprints that no longer
+    * match the index's current meta (the index was retrained or
+    * rebuilt since the sweep was measured; its numbers describe dead
+    * geometry — re-run the sweep). */
+  def loadServingSweep(spark: SparkSession, indexPath: String): Seq[ServingBudget] = {
+    val im = readIvfPqMeta(spark, indexPath)
+    val metaRows =
+      try spark.read.parquet(s"$indexPath/_graft_sweep/meta").collect()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"no serving sweep stored at $indexPath (_graft_sweep missing) — " +
+            s"run the sweep (AnnStress --sweep) and saveServingSweep first: " +
+            e.getMessage) }
+    require(metaRows.length == 1,
+      s"sweep meta at $indexPath has ${metaRows.length} rows, expected 1")
+    val mr = metaRows(0)
+    val version = mr.getAs[Int]("version")
+    require(version >= 1 && version <= SweepFormatVersion,
+      s"sweep artifact version $version at $indexPath; this build reads up " +
+        s"to $SweepFormatVersion")
+    require(mr.getAs[String]("cents_fp") == im.fingerprint
+        && mr.getAs[String]("pq_fp") == im.pqFingerprint
+        && Option(mr.getAs[String]("rotation_fp")) == im.rotationFp,
+      s"stale serving sweep at $indexPath: it was measured under a " +
+        "different quantizer/codebook/rotation than the index currently " +
+        "serves (retrained or rebuilt since) — its recall/latency numbers " +
+        "describe dead geometry; re-run the sweep and save it again")
+    val rows = spark.read.parquet(s"$indexPath/_graft_sweep/grid").collect()
+    require(rows.length.toLong == mr.getAs[Long]("n_rows"),
+      s"sweep grid at $indexPath holds ${rows.length} rows, meta says " +
+        s"${mr.getAs[Long]("n_rows")} — partial write; re-save the sweep")
+    rows.map(r => ServingBudget(r.getAs[Int]("nprobe"),
+        r.getAs[Int]("shortlist"), r.getAs[Double]("recall"),
+        r.getAs[Double]("seconds")))
+      .sortBy(b => (b.nprobe, b.shortlist)).toSeq
+  }
+
+  /** The deployer's one-call knob: pick the cheapest qualifying
+    * (nprobe, shortlist) from the index's OWN stored sweep. None when
+    * no swept point reaches the target — see servingBudgetOrAdvice
+    * for the loud variant that names the next lever. */
+  def pickServingBudgetIndexed(spark: SparkSession, indexPath: String,
+                               targetRecall: Double): Option[ServingBudget] =
+    pickServingBudget(loadServingSweep(spark, indexPath), targetRecall)
+
+  /** pickServingBudget with the unreachable-target diagnosis surfaced
+    * (VERDICT r17 item 5): Left names the best recall the sweep ever
+    * reached and the measured next lever — code bytes before probe
+    * count (the m=8→16 record reached 0.908 at an unchanged latency
+    * band, where nprobe/shortlist alone plateaued; BASELINE round 17). */
+  def servingBudgetOrAdvice(sweep: Seq[ServingBudget],
+                            targetRecall: Double): Either[String, ServingBudget] =
+    pickServingBudget(sweep, targetRecall).toRight {
+      val best = sweep.maxBy(b => (b.recall, -b.seconds))
+      f"no swept (nprobe, shortlist) reaches recall $targetRecall%.3f — " +
+        f"best measured is ${best.recall}%.3f at nprobe=${best.nprobe}/" +
+        f"shortlist=${best.shortlist} (${best.seconds}%.2f s). Widening " +
+        "nprobe/shortlist past the swept grid buys little once the curve " +
+        "plateaus; the measured next lever is the PQ code budget (m — " +
+        "8→16 bytes reached recall 0.908 at the same latency band on the " +
+        "1M stress), then retrain, re-sweep, and save the new grid"
+    }
 
   /** IVF-PQ top-k against a PERSISTED index: probe cells rank
     * driver-side against the meta's stored centroids, prune the scan
@@ -2256,9 +2575,7 @@ object Similarity {
       val tombs = tombstoneCount(spark,
         ivfPqTombDir(indexPath, meta.gen))
       require(tombs == meta.deleted,
-        s"stale IVF-PQ index at $indexPath: meta records ${meta.deleted} " +
-          s"tombstones, index holds $tombs — interrupted delete or " +
-          "concurrent writer; re-run the delete")
+        tombstoneDriftMsg(indexPath, meta.deleted, tombs))
     }
     meta
   }
@@ -2273,10 +2590,16 @@ object Similarity {
   /** The current generation's candidate scan with tombstoned rows
     * masked out — what every indexed serve ranks against. The mask is
     * one broadcast anti-join against the (takedown-sized) tombstone
-    * set, skipped entirely while no deletes are pending. */
+    * set, skipped entirely while no deletes are pending. `filter`
+    * (round 18 — filtered ANN) is the caller's metadata predicate over
+    * the index's metaCols, applied directly on the scan so Catalyst
+    * pushes it into the parquet reader BEFORE the mask, the cell join,
+    * and ADC. */
   private def ivfPqLiveScan(spark: SparkSession, indexPath: String,
-                            meta: IvfPqMeta): DataFrame = {
-    val data = spark.read.parquet(ivfPqDataDir(indexPath, meta))
+                            meta: IvfPqMeta,
+                            filter: Option[Column] = None): DataFrame = {
+    val data0 = spark.read.parquet(ivfPqDataDir(indexPath, meta))
+    val data = filter.fold(data0)(data0.filter)
     if (meta.deleted > 0)
       data.join(broadcast(
         readTombstones(spark, ivfPqTombDir(indexPath, meta.gen))),
@@ -2289,13 +2612,14 @@ object Similarity {
                        probeVecCol: String, cents: KMeans.Centroids,
                        model: PQModel, nprobe: Int, k: Int,
                        verifyRows: Boolean = true,
-                       maxProbes: Int = 10000): DataFrame = {
+                       maxProbes: Int = 10000,
+                       filter: Option[Column] = None): DataFrame = {
     TopKAgg.requireLongCastableId(probes, probeIdCol, "Similarity.ivfPqTopKIndexed")
     val meta = requireFreshIvfPqIndex(spark, indexPath, cents, model, verifyRows)
     val pinned = boundedProbes(probes, maxProbes, ivfPqProbeBytes(model, nprobe),
       "Similarity.ivfPqTopKIndexed")
     ivfPqTopKIndexedPinned(spark, indexPath, meta, pinned, probeIdCol,
-      probeVecCol, cents, model, nprobe, k)
+      probeVecCol, cents, model, nprobe, k, filter)
   }
 
   /** ivfPqTopKIndexed past the freshness gate and the probe pin —
@@ -2308,7 +2632,8 @@ object Similarity {
                                      pinned: DataFrame, probeIdCol: String,
                                      probeVecCol: String,
                                      cents: KMeans.Centroids, model: PQModel,
-                                     nprobe: Int, k: Int): DataFrame = {
+                                     nprobe: Int, k: Int,
+                                     filter: Option[Column] = None): DataFrame = {
     // two broadcast relations (VERDICT r13 item 1): the (probe, cell)
     // pruning pairs — probes × nprobe ints, ranked driver-side from
     // the pinned collect — and ONE d-vector per probe joined on
@@ -2323,7 +2648,7 @@ object Similarity {
     // cell) query residual and the raw-vector join is skipped — see
     // probeCellsDF
     val (pc, cells) = probeCellsDF(spark, pr, cents, nprobe, model, "cell")
-    val cand = ivfPqLiveScan(spark, indexPath, meta)
+    val cand = ivfPqLiveScan(spark, indexPath, meta, filter)
       .filter(col("cell").isin(cells: _*)) // static partition pruning
       .join(broadcast(pc), "cell")
       .filter(col("id") =!= col("probe_id"))
@@ -2360,15 +2685,21 @@ object Similarity {
                              probeVecCol: String, cents: KMeans.Centroids,
                              model: PQModel, nprobe: Int, k: Int,
                              shortlist: Int, verifyRows: Boolean = true,
-                             maxProbes: Int = 10000): DataFrame = {
+                             maxProbes: Int = 10000,
+                             filter: Option[Column] = None): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     TopKAgg.requireLongCastableId(probes, probeIdCol,
       "Similarity.ivfPqTopKIndexedRerank")
     val meta = requireFreshIvfPqIndex(spark, indexPath, cents, model, verifyRows)
     val pinned = boundedProbes(probes, maxProbes, ivfPqProbeBytes(model, nprobe),
       "Similarity.ivfPqTopKIndexedRerank")
+    // the filter applies INSIDE the shortlist stage, so the shortlist
+    // holds `shortlist` QUALIFYING candidates (sized post-filter —
+    // recall under a selective predicate does not silently degrade the
+    // way filtering an unfiltered shortlist would); the exact re-rank
+    // then only ever sees filtered ids
     val short = ivfPqTopKIndexedPinned(spark, indexPath, meta, pinned,
-      probeIdCol, probeVecCol, cents, model, nprobe, shortlist)
+      probeIdCol, probeVecCol, cents, model, nprobe, shortlist, filter)
       .select(col("probe_id"), col("vec_id"))
     exactRerank(corpus, idCol, vecCol, pinned, probeIdCol, probeVecCol,
       short, k)
@@ -2417,9 +2748,11 @@ object Similarity {
                       probes: DataFrame, probeIdCol: String,
                       probeVecCol: String, cents: KMeans.Centroids,
                       model: PQModel, nprobe: Int, k: Int,
-                      verifyRows: Boolean = true): DataFrame =
+                      verifyRows: Boolean = true,
+                      filter: Option[Column] = None): DataFrame =
     ivfPqTopKStreamCore(spark, indexPath, probes, probeIdCol, probeVecCol,
-      identity, cents, model, nprobe, k, verifyRows, rotationFp = None)
+      identity, cents, model, nprobe, k, verifyRows, rotationFp = None,
+      filter)
 
   /** The streaming twin of ivfPqTopKIndexedRotated: probes arrive RAW
     * on the stream and rotate ROWWISE (a pure projection — fully
@@ -2430,10 +2763,12 @@ object Similarity {
                              probes: DataFrame, probeIdCol: String,
                              probeVecCol: String, model: OpqIvfModel,
                              nprobe: Int, k: Int,
-                             verifyRows: Boolean = true): DataFrame =
+                             verifyRows: Boolean = true,
+                             filter: Option[Column] = None): DataFrame =
     ivfPqTopKStreamCore(spark, indexPath, probes, probeIdCol, probeVecCol,
       v => rotateCol(v, model.rotation), model.cents, model.pq, nprobe, k,
-      verifyRows, rotationFp = Some(rotationFingerprint(model.rotation)))
+      verifyRows, rotationFp = Some(rotationFingerprint(model.rotation)),
+      filter)
 
   private def ivfPqTopKStreamCore(spark: SparkSession, indexPath: String,
                                   probes: DataFrame, probeIdCol: String,
@@ -2441,7 +2776,8 @@ object Similarity {
                                   cents: KMeans.Centroids,
                                   model: PQModel, nprobe: Int, k: Int,
                                   verifyRows: Boolean,
-                                  rotationFp: Option[String]): DataFrame = {
+                                  rotationFp: Option[String],
+                                  filter: Option[Column] = None): DataFrame = {
     // same loud refusal as every batch sibling (review r15): without
     // it a non-long-castable probe id casts to NULL, the self-match
     // filter then drops every candidate row for that probe, and the
@@ -2489,7 +2825,7 @@ object Similarity {
     // restarts long-lived serving streams (or serves through
     // foreachBatch → ivfPqTopKIndexed, which re-plans per
     // micro-batch and picks the tombstones up immediately).
-    val idx = ivfPqLiveScan(spark, indexPath, meta)
+    val idx = ivfPqLiveScan(spark, indexPath, meta, filter)
       .select("id", "cell", "codes")
     probed.join(idx, Seq("cell"))
       .filter(col("id") =!= col("probe_id"))

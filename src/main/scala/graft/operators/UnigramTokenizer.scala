@@ -82,9 +82,14 @@ object UnigramTokenizer {
       * silently never uses the long pieces. */
     val maxPieceLen: Int = pieces.map(_._1.length).max
     /** The single-character pieces — what the byte-fallback keeps as
-      * char pieces inside a no-path word. */
+      * char pieces inside a no-path word. CODE POINTS, not UTF-16
+      * units (ADVICE r17): a supplementary-plane character piece is
+      * String.length == 2 but one character to Spark's length() and
+      * DuckDB's len(), so classifying by UTF-16 length would
+      * byte-expand a trained astral char in the engine while the
+      * oracle keeps it — latent non-BMP divergence. */
     def charPieces: Set[String] = pieces.collect {
-      case (p, _) if p.length == 1 => p
+      case (p, _) if p.codePointCount(0, p.length) == 1 => p
     }.toSet
   }
 

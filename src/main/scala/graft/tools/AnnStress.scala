@@ -269,6 +269,49 @@ object AnnStress {
               f"(recall=${b.recall}%.4f sec=${b.seconds}%.2f)")
             .getOrElse("UNREACHABLE in swept grid"))
         }
+        // persist the swept grid next to the index (VERDICT r17 item
+        // 5): the deployer's pickServingBudgetIndexed then reads the
+        // index's OWN record instead of BASELINE prose
+        Similarity.saveServingSweep(spark, indexPath, swept)
+        println(s"[annsweep] sweep persisted at $indexPath/_graft_sweep " +
+          s"(${swept.length} grid points)")
+      }
+      // takedown-at-scale stress (VERDICT r17 item 2): the delete
+      // lifecycle is oracle-gated at sf0.1 only; this measures the
+      // O(takedown) claim and the serve-side anti-join cost under a
+      // LARGE live tombstone set — delete 0.1% / 1% / 10% of the
+      // corpus, record delete wall-clock (should be ~flat: one
+      // id-projection scan + a takedown-sized write), serve latency
+      // with tombstones live vs after compact, and compact cost vs
+      // tombstone fraction. Fresh index per fraction so the fractions
+      // are independent measurements. Enable with
+      // SPARK_GRAFT_ANN_DELETE=1 (runs on the residual index — the
+      // production encoding).
+      if (mode == "residual" && sys.env.get("SPARK_GRAFT_ANN_DELETE").contains("1")) {
+        Seq(1000L, 100L, 10L).foreach { mod =>
+          val delPath = s"$workDir/index_del_$mod"
+          time(s"[del 1/$mod] build index") {
+            Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", cts,
+              model, delPath)
+          }
+          val doomed = corpus.filter(col("vec_id") % mod === 0)
+            .select("vec_id")
+          val nDel = doomed.count()
+          time(s"[del 1/$mod] delete $nDel ids") {
+            Similarity.deleteFromIvfPqIndex(spark, doomed, "vec_id", delPath)
+          }
+          def serveDel(): DataFrame =
+            Similarity.ivfPqTopKIndexed(spark, delPath, prb,
+              "vec_id", "embedding", cts, model, nprobe = 16, k = k,
+              maxProbes = nProbes)
+          time(s"[del 1/$mod] serve masked") { serveDel().count() }
+          time(s"[del 1/$mod] serve masked rep2") { serveDel().count() }
+          time(s"[del 1/$mod] compact") {
+            Similarity.compactIvfPqIndex(spark, delPath)
+          }
+          time(s"[del 1/$mod] serve compacted") { serveDel().count() }
+          time(s"[del 1/$mod] serve compacted rep2") { serveDel().count() }
+        }
       }
     }
 

@@ -21,10 +21,11 @@ import graft.operators.UnigramTokenizer
   * reached ~3×10³ distinct words, but the operator's own doc names
   * 10⁵–10⁸ distinct words as the regime where the DP rounds become
   * real shuffles. It synthesizes a corpus of N DISTINCT hash-derived
-  * words (md5-seeded letter strings, lengths 4–12, 24 words per doc)
-  * and measures train/encode wall-clock at dictionary sizes the
-  * replica path cannot reach — run it at N and 10N to record the
-  * dictionary-scaling exponent.
+  * words (a 3-letter md5 prefix + the word's id rendered base-16 as
+  * letters, so lengths run 4 up to ~3+16 and grow slowly with N; 24
+  * words per doc) and measures train/encode wall-clock at dictionary
+  * sizes the replica path cannot reach — run it at N and 10N to
+  * record the dictionary-scaling exponent.
   *
   * Usage: runMain graft.tools.UnigramStress <srcSfDir|bigdict:N> <workDir>
   *          [replicas=100] [vocabSize=200]
@@ -57,10 +58,11 @@ object UnigramStress {
     if (srcDir.startsWith("bigdict:")) {
       val nWords = srcDir.stripPrefix("bigdict:").toLong
       time(s"synthesize $nWords-word dictionary corpus") {
-        // word i = 4 + (md5 nibble-sum mod 9) letters drawn a..p from
-        // its own md5 hex — distinct by construction (the id is
-        // appended in base-16-as-letters, so two ids can never
-        // collide), deterministic, length-varied like real tokens
+        // word i = a 3-letter md5-derived prefix + hex(i) rendered as
+        // letters a..p — distinct by construction (the base-16 id can
+        // never collide), deterministic, length 4 up to ~3+16 growing
+        // slowly (log16) with i (ADVICE r17: comment now matches the
+        // construction BASELINE.md's dictionary-scaling record measured)
         spark.range(nWords)
           .select((col("id") / 24).cast("long").as("doc_id"),
             concat(

@@ -45,6 +45,17 @@ object ColumnGlue {
       case _ => ()
     }
 
+  /** Stop the streaming state-store maintenance thread pool (it is
+    * JVM-global, started by the first stateful streaming query and
+    * otherwise alive until JVM exit). A driver that stops its
+    * SparkContext while a maintenance tick is mid-flight gets a
+    * cosmetic post-shutdown WARN stack trace as its LAST output —
+    * exactly where Bench's result line lives (VERDICT r17 item 4) —
+    * so Bench calls this before session close. Safe to call with no
+    * stateful query ever run; new queries restart the pool. */
+  def stopStateStoreMaintenance(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
   /** Register a temp function on a LIVE session (sessionState is
     * private[sql]); config-driven deployments use GraftExtensions via
     * spark.sql.extensions instead. */

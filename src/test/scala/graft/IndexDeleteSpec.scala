@@ -155,4 +155,95 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(admitted() == before,
       "re-appending the deleted docs must restore the original verdicts")
   }
+
+  // ── Crash-healing (ADVICE r17): a delete that crashed between its
+  // tombstone append and its meta write leaves tombstones >
+  // meta.deleted; the retry used to be a no-op (nothing new to
+  // anti-join, meta never caught up, every verified serve and compact
+  // refused forever). Deletes now reconcile the meta from the
+  // tombstone data — the source of truth — on entry, so the
+  // documented remedy ('re-run the delete') actually repairs.
+
+  test("IVF-PQ: a crashed delete (tombstones ahead of meta) heals on the retry") {
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val model = Similarity.trainPQ(emb, "vec_id", "embedding", d = 64,
+      m = 4, k = 16, maxIter = 0)
+    val probes = emb.orderBy("vec_id").limit(3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_heal").toString + "/i"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model, dir)
+    def serve() = asSet(Similarity.ivfPqTopKIndexed(spark, dir, probes,
+      "vec_id", "embedding", cents, model, nprobe = 2, k = 5))
+    // simulate the crash window: tombstones land, the meta write never
+    // happens (exactly the state a killed driver leaves)
+    emb.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id").cast("long").as("id"))
+      .write.mode("append").parquet(s"$dir/_tomb/g0")
+    // every verified serve refuses, naming the real remedy
+    val e = intercept[IllegalArgumentException] { serve() }
+    assert(e.getMessage.contains("re-run the delete")
+      && e.getMessage.contains("self-heal"), e.getMessage)
+    // the user's retry of the SAME delete heals the meta and is then
+    // a no-op on the tombstone set (idempotent)
+    Similarity.deleteFromIvfPqIndex(spark,
+      emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id", dir)
+    val masked = serve()
+    assert(masked == asSet(Similarity.ivfPqTopK(
+      emb.filter(col("vec_id") % 7 =!= 3), "vec_id", "embedding",
+      probes, "vec_id", "embedding", cents, model, nprobe = 2, k = 5)),
+      "the healed index must serve the survivors")
+    // compact now proceeds (it used to refuse forever)
+    Similarity.compactIvfPqIndex(spark, dir)
+    assert(serve() == masked)
+  }
+
+  test("float IVF: a crashed delete heals on the retry; lost tombstones refuse with the rebuild diagnosis") {
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", KMeans.FirstK(8))
+    val probes = emb.orderBy("vec_id").limit(3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_heal").toString + "/i"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents, dir)
+    def serve() = asSet(Similarity.ivfTopKIndexed(spark, dir, probes,
+      "vec_id", "embedding", cents, nprobe = 2, k = 5))
+    emb.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id").cast("long").as("id"))
+      .write.mode("append").parquet(s"$dir/_tomb")
+    val e = intercept[IllegalArgumentException] { serve() }
+    assert(e.getMessage.contains("re-run the delete"), e.getMessage)
+    // retry with a DIFFERENT (empty-intersection) id set still heals —
+    // the reconciliation runs on entry, not only when new ids land
+    Similarity.deleteFromIvfIndex(spark,
+      Seq(-1L).toDF("vec_id"), "vec_id", dir)
+    assert(serve() == asSet(Similarity.ivfTopK(
+      emb.filter(col("vec_id") % 7 =!= 3), "vec_id", "embedding",
+      probes, "vec_id", "embedding", cents, nprobe = 2, k = 5)))
+    // the OTHER direction — tombstone files lost (meta ahead) — has no
+    // record to heal from: the delete refuses with the rebuild
+    // diagnosis instead of silently zeroing the takedown
+    val fs = new java.io.File(s"$dir/_tomb")
+    org.apache.commons.io.FileUtils.deleteDirectory(fs)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.deleteFromIvfIndex(spark, Seq(-1L).toDF("vec_id"), "vec_id", dir)
+    }
+    assert(e2.getMessage.contains("rebuild"), e2.getMessage)
+  }
+
+  test("MinHash: a crashed delete heals on the retry") {
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("mh_heal").toString + "/i"
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir,
+      n = 3, h = 16, parity = true)
+    corpus.filter(col("doc_id") % 3 === 1).select(col("doc_id").as("id"))
+      .write.mode("append").parquet(s"$dir/_tomb")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.readMinhashIndex(spark, dir, n = 3, h = 16, parity = true).count()
+    }
+    assert(e.getMessage.contains("re-run"), e.getMessage)
+    Dedup.deleteFromMinhashIndex(spark,
+      corpus.filter(col("doc_id") % 3 === 1).select("doc_id"), "doc_id", dir)
+    // healed: reads serve the survivors, compact proceeds
+    assert(Dedup.readMinhashIndex(spark, dir, n = 3, h = 16, parity = true)
+      .filter(col("id") % 3 === 1).count() == 0)
+    Dedup.compactMinhashIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/data")
+      .filter(col("id") % 3 === 1).count() == 0)
+  }
 }

@@ -199,4 +199,31 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     assert(!tm.pieces.exists(p => UnigramTokenizer.isBytePiece(p._1)),
       s"byte-shaped piece minted: ${tm.pieces}")
   }
+
+  test("byte fallback, non-BMP: a trained astral char piece stays a char piece (code points, not UTF-16 units)") {
+    // ADVICE r17: '𝄞' (U+1D11E) is TWO UTF-16 units but ONE character
+    // to Spark's length() and DuckDB's len(); classifying char pieces
+    // by String.length would byte-expand a TRAINED astral char inside
+    // a no-path word while the oracle (code-point semantics) keeps it.
+    val clef = "𝄞" // 𝄞
+    val train = Seq((1L, s"${clef}a ${clef}a a")).toDF("doc_id", "text")
+    val fb = UnigramTokenizer.train(train, "text", vocabSize = 10,
+      rounds = 1, maxPieceLen = 4, maxWordLen = 8, byteFallback = true)
+    assert(fb.charPieces.contains(clef),
+      s"astral single-character piece not classified as a char piece: " +
+        s"${fb.pieces}")
+    // covered astral word: the happy Viterbi path, untouched
+    val docs = Seq((1L, s"${clef}a"), (2L, s"${clef}z"), (3L, "𝄢"))
+      .toDF("doc_id", "text")
+    val got = UnigramTokenizer.encode(docs, "doc_id", "text", fb, maxWordLen = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // no-path word (z unseen): the trained astral char STAYS a char
+    // piece; only z byte-expands — pre-fix this read
+    // '<0xF0> <0x9D> <0x84> <0x9E> <0x7A>'
+    assert(got(2L) == ((s"$clef <0x7A>", 2L)), s"got ${got(2L)}")
+    // an UNSEEN astral char ('𝄢' U+1D122) byte-expands through the
+    // 4-byte UTF-8 loop
+    assert(got(3L) == (("<0xF0> <0x9D> <0x84> <0xA2>", 4L)), s"got ${got(3L)}")
+    assert(!got.values.exists(_._1.contains(UnigramTokenizer.Unk)))
+  }
 }
