@@ -628,6 +628,44 @@ private[graft] object EntryStreaming {
     }),
 
 
+    // ── streaming: FILTERED ANN serving of a probe stream ───────────
+    // The filtered twin of q_stream_ann (round 18 — VERDICT r17 item
+    // 1 extended to the streaming surface): the index carries the
+    // label column (metaCols) and the stream-static serve pushes the
+    // predicate into the static-side scan, so every micro-batch ranks
+    // only qualifying candidates — before ADC, exactly like the batch
+    // serve. Oracle = q_ivfpq_filtered's SQL verbatim: the streamed
+    // filtered serve must equal the batch filtered serve row for row.
+    "q_stream_ann_filtered" -> ((s, dir) => withStreamRigConf(s) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val emb = Tables(s, dir, "embeddings")
+      val model = Similarity.trainPQ(emb, "vec_id", "embedding",
+        d = 64, m = 4, k = 16, maxIter = 0)
+      val cents = cents8(s, dir)
+      val base = sessionTmpDir(s, "stream_ann_flt", dir)
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cents, model,
+        s"$base/index", metaCols = Seq("label"))
+      val arrivals = emb.orderBy("vec_id").limit(5)
+        .select(col("vec_id").cast("long"),
+          VectorOps.toDouble(col("embedding")))
+        .as[(Long, Seq[Double])].collect()
+        .map { case (id, v) => StreamProbe(id, v) }
+      val source = MemoryStream[StreamProbe]
+      val qn = s"graft_stream_sink_${streamSinkId.incrementAndGet()}"
+      val scored = Similarity.ivfPqTopKStream(s, s"$base/index",
+        source.toDF(), "vec_id", "embedding", cents, model,
+        nprobe = 2, k = 10, filter = Some(col("label") % 2 === 0))
+      val q = scored.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try arrivals.grouped(2).foreach { b =>
+        source.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+    }),
+
+
     // ── streaming: OPQ-rotated ANN serving of a probe stream ────────
     // The rotated twin of q_stream_ann (r17): probes arrive RAW on
     // the stream and rotate ROWWISE through the same kernel the build
@@ -735,6 +773,7 @@ private[graft] object EntryStreaming {
     // the streamed IVF-PQ serve must equal the batch serve over the
     // same probes: q_ivfpq_topk's replay verbatim
     "q_stream_ann" -> EntryVector.sqlIvfPqTopK,
+    "q_stream_ann_filtered" -> EntryVector.sqlIvfPqFiltered,
     "q_stream_ann_opq" -> EntryVector.sqlOpqRefresh,
 
     // the file sink's committed output must be exactly the projection

@@ -1570,6 +1570,13 @@ private[graft] object EntryVector {
        |  FROM adq) WHERE rn <= 10""".stripMargin
   private[graft] val sqlIvfPqTopK: String = ivfPqTopKSql(None)
 
+  /** The filtered-serve replay (label % 2 = 0 on the candidate set) —
+    * shared by q_ivfpq_filtered and EntryStreaming's
+    * q_stream_ann_filtered (the streamed filtered serve must equal the
+    * batch filtered serve). */
+  private[graft] val sqlIvfPqFiltered: String =
+    ivfPqTopKSql(Some("em.label % 2 = 0"))
+
   /** The q_opq_topk test rotation: a deterministic md5-derived
     * permutation + sign flip — orthogonal by construction (every row
     * and column carries exactly one ±1), cheap to replay in SQL, and
@@ -2296,7 +2303,7 @@ private[graft] object EntryVector {
     // filtered ANN (VERDICT r17 item 1): the metadata predicate masks
     // the CANDIDATE set before ADC / before the shortlist — the
     // engine's in-scan filter replayed on the candq join
-    "q_ivfpq_filtered" -> ivfPqTopKSql(Some("em.label % 2 = 0")),
+    "q_ivfpq_filtered" -> sqlIvfPqFiltered,
     "q_ivfpq_filtered_rr" -> ivfPqRerankSql(Some("em.label % 4 = 1")),
     "q_ivf_filtered" -> ivfTopKSql(Some("e.label % 2 = 0")),
 
