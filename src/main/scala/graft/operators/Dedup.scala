@@ -165,7 +165,11 @@ object Dedup {
     *
     * Scale shape: ONE signature pass (the native MinHashSig kernel),
     * a bounded ×Σb band explode, one (config, band, bucket) count,
-    * one config-sized rollup. All exact longs; m(m−1) is even so the
+    * one config-sized rollup. The configs come off a SINGLE sig scan
+    * via a nested explode — the earlier per-config union re-ran the
+    * signature kernel |bs| times, which the sf10 scale run measured
+    * at 3× the whole query's cost once the corpus was large enough
+    * for signing to dominate. All exact longs; m(m−1) is even so the
     * halving div is exact. Output: (b, r, n_buckets, n_candidates). */
   def lshBudget(df: DataFrame, idCol: String, textCol: String,
                 n: Int, h: Int, bs: Seq[Int],
@@ -174,10 +178,14 @@ object Dedup {
     bs.foreach(b => require(b >= 1 && h % b == 0,
       s"every band count must divide h=$h, got $b"))
     val sigs = sigTable(df, idCol, textCol, n, h, parity)
-    val exploded = bs.map { b =>
-      sigs.select(lit(b.toLong).as("b"), lit((h / b).toLong).as("r"),
-        explode(bandBuckets(col("sig"), b, h / b)).as("bb"))
-    }.reduceLeft(_ unionByName _)
+    val cfgs = bs.map { b =>
+      struct(lit(b.toLong).as("b"), lit((h / b).toLong).as("r"),
+        bandBuckets(col("sig"), b, h / b).as("bbs"))
+    }
+    val exploded = sigs
+      .select(explode(array(cfgs: _*)).as("cfg"))
+      .select(col("cfg.b").as("b"), col("cfg.r").as("r"),
+        explode(col("cfg.bbs")).as("bb"))
     exploded
       .groupBy(col("b"), col("r"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))

@@ -552,38 +552,31 @@ object Events {
     * order-dependent; so is a two-pass mean-then-variance).
     *
     * The exactness trick: work in integer cents c = round(100·x).
-    * Per key, Σc, Σc² and n are EXACT longs (integer addition is
-    * order-free), and the population z-score algebra collapses to
-    * integer numerators: z = (c·n − Σc) / √(n·Σc² − (Σc)²) — two
-    * exact long operands, one correctly-rounded sqrt, one IEEE
-    * division. Degenerate keys (σ = 0 or n = 1) yield NULL, not a
-    * division blow-up. Long bounds: n·Σc² ≤ n²·max(c)² must stay
-    * under 2⁶³ — loudly guarded (≈ 30M rows/key at $1000 values;
-    * shard beyond that).
+    * Per key, Σc, Σc² and n are EXACT (integer addition is order-
+    * free), and the population z-score algebra collapses to integer
+    * numerators: z = (c·n − Σc) / √(n·Σc² − (Σc)²) — two exact
+    * operands, one correctly-rounded sqrt, one IEEE division.
+    * Degenerate keys (σ = 0 or n = 1) yield NULL, not a division
+    * blow-up. The moments accumulate as decimal(38,0), not long: the
+    * sf10 scale run tripped the earlier long guard at 2M rows/key
+    * ((Σc)² passes 2⁶³ around |Σc| ≈ 3·10⁹), while 38-digit decimal
+    * holds n·Σc² for ~10¹² rows/key of $10⁶ values — the DuckDB
+    * oracle's HUGEINT-exact sums agree digit for digit, and a value
+    * that somehow passes 10³⁸ fails loudly under ANSI decimal
+    * overflow instead of wrapping.
     *
     * Scale shape: one partial-agg shuffle on the key for the moment
-    * table (3 longs per key), broadcast back over the scan — the
-    * corpus never re-shuffles. Output: input id/key/value + z. */
+    * table (3 decimals per key), broadcast back over the scan — the
+    * corpus never re-shuffles, and no driver-side guard job runs.
+    * Output: input id/key/value + z. */
   def zscoreByKey(df: DataFrame, idCol: String, keyCol: String,
                   valueCol: String): DataFrame = {
     val cents = round(col(valueCol) * 100).cast("long")
+    val dec = cents.cast("decimal(38,0)")
     val moments = df.groupBy(col(keyCol))
       .agg(count(lit(1)).cast("long").as("__n"),
-        sum(cents).cast("long").as("__s"),
-        sum(cents * cents).cast("long").as("__ss"))
-    val guard = moments.agg(max(col("__n")).cast("long"),
-      max(abs(col("__s"))).cast("long"), max(col("__ss")).cast("long")).collect()(0)
-    // all three maxima null-checked (review r15): with a non-empty df
-    // whose value column is entirely NULL, __n is populated but __s /
-    // __ss are NULL in every group — the guard has nothing to check
-    // (no sums ⇒ nothing to overflow; z comes out NULL row-wise), and
-    // getLong on the NULL maxima would NPE at the driver instead
-    if (!guard.isNullAt(0) && !guard.isNullAt(1) && !guard.isNullAt(2)) {
-      val (mn, ms, mss) = (guard.getLong(0), guard.getLong(1), guard.getLong(2))
-      require(mss <= Long.MaxValue / math.max(mn, 1L) && ms <= 3000000000L,
-        s"zscoreByKey long arithmetic overflow risk (n=$mn, |sum|=$ms, sumsq=$mss) — " +
-          "shard the key space or rescale the value column")
-    }
+        sum(dec).cast("decimal(38,0)").as("__s"),
+        sum(dec * dec).cast("decimal(38,0)").as("__ss"))
     val varNum = col("__n") * col("__ss") - col("__s") * col("__s")
     // null-safe key join: the moments table already carries the NULL
     // key's group (groupBy keeps it), so a NULL-keyed row must get
