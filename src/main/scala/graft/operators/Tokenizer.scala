@@ -19,13 +19,15 @@ import org.apache.spark.sql.functions._
   * Symbols are space-joined inside a word's `sym` string (symbols
   * never contain spaces — they are concatenations of characters of a
   * whitespace-split word), and the merge step is a greedy
-  * left-to-right fold over the symbol list: `aggregate` over the
-  * split array, appending each symbol unless the accumulator's last
-  * symbol is `l` and the incoming symbol is `r`, in which case the
-  * tail rewrites to the merged symbol. Replaying the fold left to
-  * right reproduces exactly the reference BPE behavior on repeats
-  * ("a a b a b b" + (a,b) → "a ab ab b" — the merged symbol never
-  * re-merges within the same round). */
+  * left-to-right fold over the symbol list: appending each symbol
+  * unless the accumulator's last symbol is `l` and the incoming
+  * symbol is `r`, in which case the tail rewrites to the merged
+  * symbol. Replaying the fold left to right reproduces exactly the
+  * reference BPE behavior on repeats ("a a b a b b" + (a,b) →
+  * "a ab ab b" — the merged symbol never re-merges within the same
+  * round). Shipped as a leftmost-first whole-symbol regexp_replace
+  * per round (codegen'd; `mergeFold` — equivalence argument there);
+  * `mergeFoldHof` is the aggregate-HOF twin the oracle SQL mirrors. */
 object Tokenizer {
 
   /** Word-frequency table: (w, cnt). The one corpus-sized shuffle of
@@ -36,13 +38,42 @@ object Tokenizer {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).cast("long").as("cnt"))
 
-  /** Character split as a space-joined symbol string: "low" → "l o w". */
+  /** Character split as a space-joined symbol string: "low" → "l o w".
+    * One codegen'd regex pass (every match of `(?s).` is exactly one
+    * code point — the same unit Spark's length()/substr() count, and
+    * valid UTF-8 input cannot surface lone surrogates) instead of the
+    * old transform(sequence)+substr HOF chain, which was interpreted
+    * (HOFs are CodegenFallback) and O(len²) in per-char substr calls. */
   private def charSeq(w: Column): Column =
-    array_join(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))), " ")
+    array_join(regexp_extract_all(w, lit("(?s)."), lit(0)), " ")
 
   /** One greedy left-to-right merge pass of pair (l, r) over a symbol
-    * string. Pure plan arithmetic (aggregate HOF) — no UDF. */
-  private def mergeFold(sym: Column, l: String, r: String): Column = {
+    * string, as a single leftmost-first regex replacement: replacing
+    * non-overlapping whole-symbol occurrences of "l r" left to right
+    * is EXACTLY the greedy fold (`mergeFoldHof`, the pinned twin) —
+    * the scan resumes after each replaced pair, so a just-merged
+    * symbol never re-merges within the round (l+r can't equal l, r is
+    * non-empty), which is the fold's tail-rewrite rule. Boundaries:
+    * `(^| )` on the left (restored via $1) and a lookahead `(?= |\z)`
+    * on the right so only whole symbols match (`\z`, not `$`, which
+    * would falsely anchor before a trailing newline CHARACTER inside
+    * a symbol). Symbols are corpus text — Pattern.quote/
+    * quoteReplacement escape regex metacharacters exactly.
+    * regexp_replace is whole-stage-codegen'd with a cached compiled
+    * pattern; the old aggregate-HOF fold was interpreted and rebuilt
+    * the accumulator string per symbol (O(len²) per word per round).
+    * Bit-equivalence with the fold is pinned in TokenizerSpec. */
+  private[graft] def mergePattern(l: String, r: String): String =
+    "(^| )" + java.util.regex.Pattern.quote(l) + " " +
+      java.util.regex.Pattern.quote(r) + "(?= |\\z)"
+  private[graft] def mergeFold(sym: Column, l: String, r: String): Column =
+    regexp_replace(sym, mergePattern(l, r),
+      "$1" + java.util.regex.Matcher.quoteReplacement(l + r))
+
+  /** The aggregate-HOF twin of mergeFold — the form the oracle SQL
+    * mirrors (list_reduce) — kept as the equivalence oracle for
+    * TokenizerSpec's fold-vs-regex pins. Not on any query path. */
+  private[graft] def mergeFoldHof(sym: Column, l: String, r: String): Column = {
     val ss = split(sym, " ")
     val lLit = lit(l)
     when(size(ss) <= 1, sym).otherwise(
@@ -182,20 +213,28 @@ object Tokenizer {
     * order; the document's subwords join into one space-separated
     * stream. Zero shuffles — scales as corpus/cores. Output:
     * (idCol, bpe, n_subwords). */
+  /** The whole document as ONE symbol stream with words separated by
+    * a DOUBLE space: symbols never contain spaces and within a word
+    * they are single-space-joined, so "l r" (single space) can never
+    * match across a word boundary — each merge round is then ONE
+    * codegen'd regexp_replace over the document instead of a per-word
+    * HOF transform of interpreted folds. Collapsing the boundaries
+    * back to single spaces afterwards reproduces array_join(syms, " ")
+    * exactly (each boundary is exactly two spaces: words are non-empty
+    * and merges only ever fuse "l r" → "lr" around single spaces). */
+  private def docSymStream(textCol: String, merges: Seq[(String, String)]): Column = {
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    var sym: Column = array_join(transform(words, w => charSeq(w)), "  ")
+    merges.foreach { case (l, r) => sym = mergeFold(sym, l, r) }
+    replace(sym, lit("  "), lit(" "))
+  }
+
   def applyBpe(df: DataFrame, idCol: String, textCol: String,
                merges: Seq[(String, String)]): DataFrame = {
-    val words = filter(split(col(textCol), " "), w => length(w) > 0)
-    var syms: Column = transform(words, w => charSeq(w))
-    merges.foreach { case (l, r) =>
-      syms = transform(syms, s => mergeFold(s, l, r))
-    }
-    val bpe = array_join(syms, " ")
-    // count via re-split of the joined string ON PURPOSE: here the
-    // chain result IS projected (bpe), so codegen subexpression
-    // elimination shares one evaluation across all three references —
-    // measured 5.5 s vs 10.0 s for the per-word-aggregate form at
-    // sf0.1. bpeCompression is the opposite case (string not
-    // projected) and counts off the symbol strings instead.
+    // count via re-split of the joined string ON PURPOSE: the chain
+    // result IS projected (bpe), so codegen subexpression elimination
+    // shares one evaluation across both references.
+    val bpe = docSymStream(textCol, merges)
     df.select(col(idCol), bpe.as("bpe"),
       when(bpe === "", lit(0L))
         .otherwise(size(split(bpe, " ")).cast("long")).as("n_subwords"))
@@ -215,20 +254,14 @@ object Tokenizer {
     * chars_per_subword). */
   def bpeCompression(df: DataFrame, textCol: String, keyCol: String,
                      merges: Seq[(String, String)]): DataFrame = {
-    val words = filter(split(col(textCol), " "), w => length(w) > 0)
-    var syms: Column = transform(words, w => charSeq(w))
-    merges.foreach { case (l, r) =>
-      syms = transform(syms, s => mergeFold(s, l, r))
-    }
-    // count straight off the per-word symbol strings: Σ_w |split(w)| —
-    // same value as size(split(array_join(...))) (words are non-empty
-    // and symbols never contain spaces; an empty doc collapses to an
-    // empty fold = 0) but evaluates the 6-round merge chain ONCE and
-    // never builds the doc-sized joined string this report doesn't
-    // output (the old form ran the chain twice per row: once in the
-    // empty-guard, once in the count)
-    val nTok = aggregate(syms, lit(0L),
-      (a, s) => a + size(split(s, " ")).cast("long"))
+    // token count off the merged document stream: size(split(bpe)) =
+    // Σ_w per-word symbol counts (words are non-empty and symbols
+    // never contain spaces; an empty doc is the empty string = 0);
+    // the regex chain evaluates once under codegen subexpression
+    // elimination, same as applyBpe
+    val bpe = docSymStream(textCol, merges)
+    val nTok = when(bpe === "", lit(0L))
+      .otherwise(size(split(bpe, " ")).cast("long"))
     df.select(col(keyCol), nTok.as("__t"),
       length(col(textCol)).cast("long").as("__c"))
       .groupBy(col(keyCol)).agg(

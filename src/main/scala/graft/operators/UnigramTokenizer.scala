@@ -24,13 +24,14 @@ import org.apache.spark.sql.functions._
   * Scale shape: the corpus is touched ONCE (Tokenizer.wordCounts — the
   * only corpus-sized shuffle in training); everything after runs on
   * the distinct-WORD table (vocabulary-sized: ~10⁵–10⁸ rows at 100 TB,
-  * distributed — never collected). Viterbi is a relational DP over
-  * word positions: round j joins the live (word, prefix) frontier
-  * against the broadcast piece vocab — maxWordLen bounded rounds of
-  * word-table-sized joins, one eager checkpoint each (the bpeTrain
-  * lineage idiom). The MODEL (vocabSize-bounded) is the only
-  * driver-resident data, exactly like K-Means centroids and PQ
-  * codebooks. Encoding joins the corpus's distinct words to their
+  * distributed — never collected). Viterbi runs ROWWISE per distinct
+  * word (segmentWords): one aggregate HOF over the word's positions
+  * with the piece vocabulary as a plan map literal — ONE projection
+  * over the word table, zero per-round shuffles (the r18
+  * optimization; the old relational DP paid maxWordLen rounds of
+  * join + window + checkpoint over the same table). The MODEL
+  * (vocabSize-bounded) is the only driver-resident data, exactly
+  * like K-Means centroids and PQ codebooks. Encoding joins the corpus's distinct words to their
   * segmentation once (word-dictionary hash join) and reassembles per
   * document — one token-stream shuffle; token/char counts per doc are
   * exact longs. */
@@ -103,15 +104,14 @@ object UnigramTokenizer {
   private val BytePieceRe = "^<0x[0-9A-F]{2}>$"
   private[graft] def isBytePiece(p: String): Boolean = p.matches(BytePieceRe)
 
-  private def vocabDF(spark: SparkSession, model: UnigramModel): DataFrame = {
-    import spark.implicits._
-    // p computed driver-side: c.toDouble / total.toDouble — the same
-    // IEEE division the oracle's CAST(c AS DOUBLE)/CAST(T AS DOUBLE)
-    // performs, so Viterbi prefix products are bit-identical
-    model.pieces.map { case (p, c) =>
-      (p, c.toDouble / model.total.toDouble)
-    }.toDF("piece", "p")
-  }
+  /** Piece probabilities, computed driver-side: c.toDouble /
+    * total.toDouble — the same IEEE division the oracle's
+    * CAST(c AS DOUBLE)/CAST(T AS DOUBLE) performs, so Viterbi prefix
+    * products are bit-identical. Ships to segmentWords as a plan map
+    * literal (model-sized driver data — the KMeans-centroid / PQ-
+    * codebook posture). */
+  private def modelProbs(model: UnigramModel): Seq[(String, Double)] =
+    model.pieces.map { case (p, c) => (p, c.toDouble / model.total.toDouble) }
 
   /** Seed piece counts: every substring of length 1..maxPieceLen of
     * every distinct word, weighted by word frequency — Kudo's seed
@@ -159,86 +159,96 @@ object UnigramTokenizer {
     * vocabulary: per word, the piece sequence maximizing the product
     * of piece probabilities (prefix products left-to-right); ties
     * break to fewer pieces, then the lexicographically smaller piece
-    * string — a total, engine-replayable order. Relational DP: round
-    * j extends every surviving prefix of length i in [j−L, j) by the
-    * piece substring(w, i+1, j−i), keeps the best row per (word,
-    * position) — so the frontier never exceeds the word table's size
-    * — and eagerly checkpoints (the bpeTrain lineage idiom). Per-round
-    * cost: one broadcast join against the vocab + ONE keyed exchange
-    * (the best-per-word window) over the ≤L-way-extended frontier —
-    * maxWordLen rounds of word-table-sized shuffles, never
-    * corpus-sized. Words
-    * with NO path (an unseen character) fall back to one `Unk` piece
-    * — or, with `fallbackChars = Some(vocab single chars)`, to the
-    * per-character byte-fallback segmentation (covered chars as char
-    * pieces, unseen chars as `<0xNN>` UTF-8 byte pieces — one
-    * rowwise codegen'd expression over the NO-PATH words only; the
-    * happy path is untouched). Output: (w, pieces, np). */
-  private[operators] def segmentWords(words: DataFrame, vocab: DataFrame,
+    * string — a total, engine-replayable order.
+    *
+    * Optimization-round rewrite (r18): the DP runs ROWWISE per word —
+    * one aggregate HOF over positions 1..len(w), each position picking
+    * the best extension of the ≤ maxPieceLen reachable prefixes via a
+    * `try_element_at` lookup into the vocabulary as a plan MAP literal
+    * (model-sized driver data — the KMeans-centroid / PQ-codebook
+    * posture; the vocab is vocabSize+alphabet-bounded by pruneVocab,
+    * never corpus-derived). The previous relational DP ran maxWordLen
+    * ROUNDS of (unionByName frontier → broadcast-join vocab →
+    * best-per-word window exchange → eager localCheckpoint): ~16
+    * sequential Spark jobs + 16 keyed exchanges + 16 pinned frames per
+    * call, all over a word-DICTIONARY-sized table — pure fixed
+    * overhead that dominated every unigram gate row at bench scale
+    * (guide §2.4: remove shuffles outright; §1.2: fix the distributed
+    * algorithm first). Now: ONE distinct + ONE projection, zero
+    * per-round exchanges, one pinned frame (the result). Identical
+    * results bit-for-bit: probabilities multiply in the same
+    * left-to-right path order, and the argbest comparison replays the
+    * old window's (prob desc, np asc, pieces asc) total order — pinned
+    * against the gates (q_unigram_* hash-green) and
+    * UnigramTokenizerSpec's goldens.
+    *
+    * Words with NO path (an unseen character) fall back to one `Unk`
+    * piece — or, with `fallbackChars = Some(vocab single chars)`, to
+    * the per-character byte-fallback segmentation (covered chars as
+    * char pieces, unseen chars as `<0xNN>` UTF-8 byte pieces — the
+    * same rowwise expression as before, evaluated only on no-path
+    * rows via the CaseWhen branch). Output: (w, pieces, np). */
+  private[operators] def segmentWords(words: DataFrame,
+                                      vocab: Seq[(String, Double)],
                                       maxPieceLen: Int, maxWordLen: Int,
                                       fallbackChars: Option[Set[String]] = None)
       : DataFrame = {
-    val spark = words.sparkSession
-    val w = words.select(col("w")).distinct().localCheckpoint()
+    val w = words.select(col("w")).distinct()
+    // the lattice-bound contract stays loud: a word longer than
+    // maxWordLen is refused, not silently mis-segmented
     val mxRow = w.agg(max(length(col("w")))).collect()(0)
-    if (mxRow.isNullAt(0)) {
-      // empty word table: materialize the (empty) result and release
-      // w's checkpoint blocks before returning — the early return
-      // previously skipped the release block below and leaked one
-      // pinned frame per empty call (ADVICE r16)
-      val empty = w.select(col("w"), lit("").as("pieces"), lit(0L).as("np"))
-        .localCheckpoint(eager = true)
-      org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(w)
-      return empty
+    if (!mxRow.isNullAt(0)) {
+      val maxLen = mxRow.getInt(0)
+      require(maxLen <= maxWordLen,
+        s"UnigramTokenizer: a word of length $maxLen exceeds maxWordLen=" +
+          s"$maxWordLen — the Viterbi lattice is bounded by design; raise " +
+          "maxWordLen or pre-split pathological tokens upstream")
     }
-    val maxLen = mxRow.getInt(0)
-    require(maxLen <= maxWordLen,
-      s"UnigramTokenizer: a word of length $maxLen exceeds maxWordLen=" +
-        s"$maxWordLen — the Viterbi lattice is bounded by design; raise " +
-        "maxWordLen or pre-split pathological tokens upstream")
-    val v = broadcast(vocab.select(col("piece"), col("p")))
-    val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    // dps(i): best prefix of length i per word — (w, prob, np, pieces)
-    val dps = scala.collection.mutable.Map[Int, DataFrame](
-      0 -> w.select(col("w"), lit(1.0).as("prob"), lit(0L).as("np"),
-        lit("").as("pieces")))
-    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
-      .orderBy(col("prob").desc, col("np"), col("pieces"))
-    for (j <- 1 to maxLen) {
-      val cands = (math.max(0, j - maxPieceLen) until j).flatMap { i =>
-        dps.get(i).map { dp =>
-          dp.filter(length(col("w")) >= j)
-            .select(col("w"), col("prob"), col("np"), col("pieces"),
-              col("w").substr(i + 1, j - i).as("piece"))
-        }
-      }
-      if (cands.nonEmpty) {
-        val extended = cands.reduce(_ unionByName _)
-          .join(v, "piece")
-          .select(col("w"), (col("prob") * col("p")).as("prob"),
-            (col("np") + 1L).as("np"),
-            when(col("pieces") === "", col("piece"))
-              .otherwise(concat(col("pieces"), lit(" "), col("piece")))
-              .as("pieces"))
-        val best = extended
-          .withColumn("__rn", row_number().over(win))
-          .filter(col("__rn") === 1).drop("__rn")
-          .localCheckpoint()
-        dps(j) = best
-        bests += best.filter(length(col("w")) === j)
-          .select(col("w"), col("pieces"), col("np"))
-      }
-    }
-    val segmented =
-      if (bests.isEmpty) w.select(col("w"), lit("").as("pieces"), lit(0L).as("np"))
-        .limit(0)
-      else bests.reduce(_ unionByName _)
+    val pMap = typedlit(vocab.toMap)
+    def fOk(s: Column) = s.getField("ok")
+    def fPr(s: Column) = s.getField("prob")
+    def fNp(s: Column) = s.getField("np")
+    def fPc(s: Column) = s.getField("pieces")
+    def dpSt(ok: Column, pr: Column, np: Column, pc: Column): Column =
+      struct(ok.as("ok"), pr.as("prob"), np.as("np"), pc.as("pieces"))
+    val wc = col("w")
+    // acc(k) = best segmentation of the length-(k−1) prefix
+    // (ok=false ⇒ unreachable); round j appends the best extension of
+    // prefixes i ∈ [j−L, j) by piece substring(w, i+1, j−i) — exactly
+    // the relational rounds, evaluated per row
+    val full = aggregate(
+      sequence(lit(1), length(wc)),
+      array(dpSt(lit(true), lit(1.0), lit(0L), lit(""))),
+      (acc, j) => {
+        val cands = filter(
+          transform(sequence(greatest(lit(1), j - lit(maxPieceLen) + lit(1)), j),
+            s => {
+              val prev = element_at(acc, s)
+              val piece = wc.substr(s, j - s + lit(1))
+              val p = try_element_at(pMap, piece)
+              dpSt(fOk(prev) && p.isNotNull,
+                fPr(prev) * p,
+                fNp(prev) + lit(1L),
+                when(fPc(prev) === "", piece)
+                  .otherwise(concat(fPc(prev), lit(" "), piece)))
+            }),
+          c => fOk(c))
+        val best = aggregate(cands,
+          dpSt(lit(false), lit(0.0), lit(0L), lit("")),
+          (b, c) => when(!fOk(b), c).otherwise(
+            when(fPr(c) > fPr(b) ||
+                (fPr(c) === fPr(b) && (fNp(c) < fNp(b) ||
+                  (fNp(c) === fNp(b) && fPc(c) < fPc(b)))), c)
+              .otherwise(b)))
+        concat(acc, array(best))
+      })
+    val d = element_at(full, length(wc) + lit(1))
     // no-path words: one <unk> piece, or (byte-fallback) the per-char
-    // expansion — rowwise, codegen'd, touching no covered word
-    val unkWords = w.join(segmented.select(col("w")), Seq("w"), "left_anti")
-    val unk = fallbackChars match {
+    // expansion — rowwise, evaluated only on no-path rows
+    val (pcsCol, npCol) = fallbackChars match {
       case None =>
-        unkWords.select(col("w"), lit(Unk).as("pieces"), lit(1L).as("np"))
+        (when(fOk(d), fPc(d)).otherwise(lit(Unk)),
+          when(fOk(d), fNp(d)).otherwise(lit(1L)))
       case Some(chars) =>
         // covered char -> its char piece; unseen char -> its UTF-8
         // bytes as '<0xNN>' (uppercase hex — hex()'s convention on
@@ -256,24 +266,16 @@ object UnigramTokenizer {
           filter(split(col("w"), ""), c => length(c) === 1),
           c => when(array_contains(charsLit, c), array(c))
             .otherwise(bytePiecesOf(c))))
-        unkWords.select(col("w"),
-          array_join(pieceArr, " ").as("pieces"),
-          size(pieceArr).cast("long").as("np"))
+        (when(fOk(d), fPc(d)).otherwise(array_join(pieceArr, " ")),
+          when(fOk(d), fNp(d)).otherwise(size(pieceArr).cast("long")))
     }
-    // pin the FINAL segmentation once, then free every per-round DP
-    // frame (review r16 — the same checkpoint-storage discipline the
-    // index appends got from ADVICE r15: Dataset.unpersist cannot
-    // release checkpoint blocks, and up to maxWordLen frames per call
-    // would otherwise sit on executors until the ContextCleaner GCs
-    // them). Order matters: the final union reads the frames lazily,
-    // so it must materialize BEFORE they are released — a released
-    // local checkpoint cannot recompute. What remains pinned is ONE
-    // word-dictionary-sized frame (the result the caller consumes).
-    val seg = segmented.unionByName(unk).localCheckpoint(eager = true)
-    org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(w)
-    dps.valuesIterator.foreach(
-      org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(_))
-    seg
+    // one pinned dictionary-sized frame — same storage contract as the
+    // old final-segmentation pin (review r16): the returned frame IS
+    // the LogicalRDD, so unpersistLocalCheckpoint releases it; the DP
+    // lattice evaluates once per row under codegen subexpression
+    // elimination (pieces and np share the `d` subtree)
+    w.select(wc, pcsCol.as("pieces"), npCol.as("np"))
+      .localCheckpoint(eager = true)
   }
 
   /** Train a unigram-LM vocabulary: seed with all frequent substrings
@@ -288,7 +290,6 @@ object UnigramTokenizer {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(rounds >= 1 && rounds <= 10, s"rounds must be in [1, 10], got $rounds")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
-    val spark = df.sparkSession
     val words = Tokenizer.wordCounts(df, textCol).localCheckpoint()
     val chars = words.select(explode(split(col("w"), "")).as("piece"))
       .filter(length(col("piece")) === 1).distinct().localCheckpoint()
@@ -303,7 +304,7 @@ object UnigramTokenizer {
     var model = collectModel(pruneVocab(
       seedCounts(words, maxPieceLen), chars, vocabSize * 4, byteFallback))
     (1 to rounds).foreach { _ =>
-      val seg = segmentWords(words, vocabDF(spark, model),
+      val seg = segmentWords(words, modelProbs(model),
         model.maxPieceLen, maxWordLen)
       val recount = seg.filter(col("pieces") =!= Unk)
         .join(words, "w")
@@ -345,12 +346,11 @@ object UnigramTokenizer {
     * returning — the model is driver data, nothing lazy escapes). */
   def encode(df: DataFrame, idCol: String, textCol: String,
              model: UnigramModel, maxWordLen: Int = 32): DataFrame = {
-    val spark = df.sparkSession
     val tokens = df.select(col(idCol),
       posexplode(filter(split(col(textCol), " "), w => length(w) > 0))
         .as(Seq("__pos", "w")))
     val seg = segmentWords(tokens.select(col("w")).distinct(),
-      vocabDF(spark, model), model.maxPieceLen, maxWordLen,
+      modelProbs(model), model.maxPieceLen, maxWordLen,
       if (model.byteFallback) Some(model.charPieces) else None)
     val perDoc = tokens.join(seg, "w")
       .groupBy(col(idCol)).agg(
@@ -381,11 +381,10 @@ object UnigramTokenizer {
     * dictionary-sized segmentation checkpoint until GC'd. */
   def compression(df: DataFrame, textCol: String, keyCol: String,
                   model: UnigramModel, maxWordLen: Int = 32): DataFrame = {
-    val spark = df.sparkSession
     val words = df.select(col(keyCol).as("__k"),
       explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("w"))
     val seg = segmentWords(words.select(col("w")).distinct(),
-      vocabDF(spark, model), model.maxPieceLen, maxWordLen,
+      modelProbs(model), model.maxPieceLen, maxWordLen,
       if (model.byteFallback) Some(model.charPieces) else None)
     val pieces = words.join(seg, "w")
       .groupBy(col("__k")).agg(sum(col("np")).cast("long").as("n_pieces"))

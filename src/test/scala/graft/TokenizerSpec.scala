@@ -130,4 +130,34 @@ class TokenizerSpec extends AnyFunSuite {
       Tokenizer.saveBpe(spark, path + "_x", Seq(("a b", "c")))
     }
   }
+
+  test("regex merge pass is bit-identical to the greedy HOF fold") {
+    // the optimization-round rewrite (round 18): one leftmost-first
+    // regexp_replace per merge round replaces the interpreted
+    // aggregate-HOF fold. Adversarial symbol streams: repeats,
+    // l == r, merged-symbol-adjacent repeats, multi-char symbols,
+    // regex metacharacters, replacement metacharacters ($, \),
+    // newline characters INSIDE symbols (the `$`-vs-`\z` anchor trap),
+    // single symbols, prefix-sharing symbols.
+    val syms = Seq(
+      "a a b a b b", "a b a b", "a a a", "a", "b", "a b",
+      "ab a b ab", "x a b y a b", "a b b a", "b a a b a b a",
+      ". * ( ) [ ] { } | + ? ^ $ \\ . *", "$ \\ $ \\",
+      "\n a b \n", "a b \n", "\n", "x\ny a b", "a b x\n",
+      "foo bar foo bar bar", "lo w e r", "aa a a aa a")
+    val pairs = Seq(("a", "b"), ("a", "a"), ("b", "a"), (".", "*"),
+      ("(", ")"), ("$", "\\"), ("\n", "a"), ("b", "\n"), ("x\ny", "a"),
+      ("foo", "bar"), ("a", "ab"), ("aa", "a"), ("b", "x"), ("b", "x\n"))
+    val df = syms.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "sym")
+    pairs.foreach { case (l, r) =>
+      val got = df.select(col("id"),
+          Tokenizer.mergeFold(col("sym"), l, r).as("rx"),
+          Tokenizer.mergeFoldHof(col("sym"), l, r).as("hof"))
+        .collect()
+      got.foreach { row =>
+        assert(row.getString(1) === row.getString(2),
+          s"pair ($l,$r) on '${syms(row.getLong(0).toInt)}'")
+      }
+    }
+  }
 }
