@@ -833,11 +833,35 @@ object Similarity {
     // any fit computes.
     val proj = proj0.persist()
     try {
-      val books = (0 until m).map { j =>
-        val sub = proj.select(col(idCol), slice(col("__v"), j * dsub + 1, dsub).as("__sub"))
-        KMeans.fit(sub, idCol, "__sub", KMeans.FirstK(k), maxIter).centroids
-      }
-      PQModel(d, m, k, books, residualTo)
+      // materialize the cache with ONE pass before the fits fork, so
+      // concurrent first-touches don't each race the source scan
+      proj.count()
+      // The m sub-fits are INDEPENDENT Lloyd loops over disjoint
+      // slices of the cached sample — each is a chain of tiny jobs
+      // (init collect + maxIter step collects) whose wall-clock is
+      // dominated by per-job scheduling gaps, not compute. Run them
+      // from a small thread pool so one fit's gaps back-fill with
+      // another's tasks (optimization guide §2.6, "overlap independent
+      // jobs"; r18). Results are UNCHANGED: every fit is a
+      // deterministic function of its own slice (FirstK init, fixed
+      // iteration count), threads share only the read-only cache, and
+      // `books` collects in subspace order. 4 in flight is the guide's
+      // "enough to fill the tail" sizing — m jobs are never wider than
+      // the executor anyway.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 4))
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val futs = (0 until m).map { j =>
+          scala.concurrent.Future {
+            val sub = proj.select(col(idCol),
+              slice(col("__v"), j * dsub + 1, dsub).as("__sub"))
+            KMeans.fit(sub, idCol, "__sub", KMeans.FirstK(k), maxIter).centroids
+          }(ec)
+        }
+        val books = futs.map(f =>
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+        PQModel(d, m, k, books, residualTo)
+      } finally { pool.shutdown() }
     } finally { proj.unpersist(); () }
   }
 
