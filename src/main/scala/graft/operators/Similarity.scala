@@ -338,7 +338,12 @@ object Similarity {
       // assignment and leave stale foreign-quantizer cells behind a
       // fresh meta — the exact drift the fingerprint gate exists to
       // refuse, made invisible because the meta is written from a
-      // read-back over the mixed directory
+      // read-back over the mixed directory.
+      // repartition(cell) first — one file per cell per write (the
+      // compact posture; guide §6: without it every scan task writes a
+      // sliver into every cell, and every later meta/serve/compact
+      // read re-lists and re-opens tasks × cells tiny files)
+      .repartition(col("cell"))
       .write.option("partitionOverwriteMode", "static")
       .partitionBy("cell").mode("overwrite").parquet(path)
     val spark = corpus.sparkSession
@@ -461,7 +466,9 @@ object Similarity {
       // which ivfTopKIndexed's row check refuses
       val assigned = KMeans.assign(src, "v", cents = meta.cents, outCol = "cell")
         .withColumn("n", VectorOps.norm2(col("v")))
-      assigned.write.partitionBy("cell").mode("append").parquet(path)
+      // one file per cell per append (the compact posture — see build)
+      assigned.repartition(col("cell"))
+        .write.partitionBy("cell").mode("append").parquet(path)
       writeIvfMeta(spark, path, meta.rows + src.count(), meta.deleted,
         meta.cents)
       refreshIndexPath(spark, path)
@@ -2003,6 +2010,9 @@ object Similarity {
         "__v", cents, outCol = "cell"),
       "__v", "cell", cents, model, outCol = "codes")
       .select(col("id") +: col("codes") +: col("cell") +: metaCols.map(col): _*)
+      // one file per cell per write (the compact posture — see
+      // buildIvfIndex; guide §6 small-files)
+      .repartition(col("cell"))
       .write.option("partitionOverwriteMode", "static")
       .partitionBy("cell").mode("overwrite").parquet(dataDir)
     writeIvfPqMeta(spark, path, spark.read.parquet(dataDir).count(),
@@ -2079,7 +2089,9 @@ object Similarity {
         "__v", "cell", meta.cents, model, outCol = "codes")
         .select(col("id") +: col("codes") +: col("cell") +:
           extra.map(col): _*)
-      assigned.write.partitionBy("cell").mode("append").parquet(dataDir)
+      // one file per cell per append (the compact posture — see build)
+      assigned.repartition(col("cell"))
+        .write.partitionBy("cell").mode("append").parquet(dataDir)
       writeIvfPqMeta(spark, path, meta.rows + src.count(), meta.deleted,
         meta.gen, meta.fingerprint, meta.cents, meta.pqFingerprint,
         meta.rotationFp)
@@ -2436,6 +2448,9 @@ object Similarity {
       KMeans.assign(src, "__v", cents, outCol = "cell"),
       "__v", "cell", cents, model, outCol = "codes")
       .select(col("id") +: col("codes") +: col("cell") +: extra.map(col): _*)
+      // one file per cell per write (the compact posture — see
+      // buildIvfIndex; guide §6 small-files)
+      .repartition(col("cell"))
       .write.option("partitionOverwriteMode", "static")
       .partitionBy("cell").mode("overwrite").parquet(dest)
     val landed = spark.read.parquet(dest).count()
