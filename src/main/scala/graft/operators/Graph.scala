@@ -94,10 +94,16 @@ object Graph {
     val n = degs.count()
     require(n > 0, "pageRank on an empty edge list")
     val tele = (1.0 - damping) / n.toDouble
-    var ranks = degs.select(col("id"), lit(1.0 / n.toDouble).as("pr"))
+    // degree rides INSIDE the iterated frame (r18): the old loop
+    // re-joined ranks to the degree table every round just to read
+    // pr/degree, and the final result joined it once more — one join
+    // per round plus one at the end, all removable by carrying the
+    // (long) column through the checkpointed frame. Arithmetic is
+    // untouched, so every pr is bit-identical.
+    var ranks = degs.select(col("id"), lit(1.0 / n.toDouble).as("pr"), col("degree"))
     for (_ <- 1 to iters) {
       val contribs = e.join(
-        ranks.join(degs, Seq("id")).filter(col("degree") > 0L)
+        ranks.filter(col("degree") > 0L)
           .select(col("id").as("src"), (col("pr") / col("degree")).as("c")),
         Seq("src"))
         .select(col("dst").as("id"), col("c"))
@@ -109,12 +115,13 @@ object Graph {
       // per-round eager checkpoint (the labelPropagation/kCore
       // lesson): ranks' lineage otherwise nests one join tree per
       // round, and iters may legitimately be 50
-      ranks = degs.select(col("id")).join(sums, Seq("id"), "left")
+      ranks = degs.join(sums, Seq("id"), "left")
         .select(col("id"),
-          (lit(tele) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+          (lit(tele) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"),
+          col("degree"))
         .localCheckpoint(eager = true)
     }
-    ranks.join(degs, Seq("id"))
+    ranks.select(col("id"), col("pr"), col("degree"))
   }
 
   /** Personalized PageRank (Haveliwala 2002 / Jeh & Widom 2003's
@@ -154,10 +161,14 @@ object Graph {
     val sv = Dedup.pin(degs
       .join(broadcast(seedIds.withColumn("__s0", lit(1.0 / nS.toDouble))), Seq("id"), "left")
       .select(col("id"), col("degree"), coalesce(col("__s0"), lit(0.0)).as("__s")))
-    var ranks = sv.select(col("id"), col("__s").as("pr"))
+    // degree and the seed vector ride INSIDE the iterated frame (r18,
+    // the pageRank rewrite): one join per round instead of two, and
+    // the final degree join disappears; arithmetic untouched, every
+    // pr bit-identical.
+    var ranks = sv.select(col("id"), col("__s").as("pr"), col("degree"))
     for (_ <- 1 to iters) {
       val contribs = e.join(
-        ranks.join(sv.select("id", "degree"), Seq("id")).filter(col("degree") > 0L)
+        ranks.filter(col("degree") > 0L)
           .select(col("id").as("src"), (col("pr") / col("degree")).as("c")),
         Seq("src"))
         .select(col("dst").as("id"), col("c"))
@@ -166,13 +177,14 @@ object Graph {
           contribs.groupBy("id").agg(
             graft.functions.VectorOps.foldSum(array_sort(collect_list(col("c")))).as("s"))
         else contribs.groupBy("id").agg(sum(col("c")).as("s"))
-      ranks = sv.select(col("id"), col("__s")).join(sums, Seq("id"), "left")
+      ranks = sv.join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) * col("__s")
-            + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+            + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"),
+          col("degree"))
         .localCheckpoint(eager = true)
     }
-    ranks.join(degs, Seq("id"))
+    ranks.select(col("id"), col("pr"), col("degree"))
   }
 
   /** Label propagation communities (Raghavan et al. 2007, the
@@ -207,9 +219,11 @@ object Graph {
         .select(col("dst").as("id"), col("__b.l").as("label"))
       // each round reads the previous labels twice (votes + keep-old)
       // — checkpoint cuts the 2^rounds lineage, as in the component
-      // loops
-      labels = nodes.join(winners.withColumnRenamed("label", "__new"), Seq("id"), "left")
-        .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+      // loops. labels' id set IS the node set (invariant from the
+      // init + this left join), so anchoring on labels directly saves
+      // the separate nodes join each round (r18).
+      labels = labels.withColumnRenamed("label", "__old")
+        .join(winners.withColumnRenamed("label", "__new"), Seq("id"), "left")
         .select(col("id"), coalesce(col("__new"), col("__old")).as("label"))
         .localCheckpoint(eager = true)
     }
