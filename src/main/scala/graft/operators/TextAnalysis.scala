@@ -554,8 +554,12 @@ object TextAnalysis {
   def corpusNgramScore(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val grams = df.select(col(idCol),
-      explode(tokenNgrams(tokens(col(textCol)), n)).as("gram"))
+    // pinned: the gram stream feeds BOTH the corpus count table and
+    // the per-doc join probe — unpinned, the tokenize + n-gram
+    // expansion (an interpreted HOF chain) runs twice over the corpus
+    // (r18; the collocations `toks` pin, one level later)
+    val grams = Dedup.pin(df.select(col(idCol),
+      explode(tokenNgrams(tokens(col(textCol)), n)).as("gram")))
     val counts = grams.groupBy("gram").agg(count(lit(1)).cast("long").as("__cnt"))
     val perDoc = grams.join(counts, Seq("gram"))
       .groupBy(col(idCol)).agg(
