@@ -142,9 +142,14 @@ object Classifier {
             (-(col("__y") * log(greatest(col("__p"), lit(1e-300))) +
               (lit(1.0) - col("__y")) *
                 log(greatest(lit(1.0) - col("__p"), lit(1e-300))))).as("__l"))
+        // native gradient-row kernel (r19, VERDICT item 4): the HOF
+        // form — retained below as gradRowHof, the pinned twin — ran
+        // interpreted inside the aggregate's input projection, one
+        // lambda dispatch + boxed element per dimension per row per
+        // iteration; the kernel is one primitive pass, bit-identical
         val g = scored.select(VectorMeanAgg.vecMean(
-            concat(transform(col("__x"), e => e * col("__r")),
-              array(col("__r"), col("__l")))).as("g"))
+            graft.functions.VectorKernels.gradRowCol(
+              col("__x"), col("__r"), col("__l"))).as("g"))
           .head().getSeq[Double](0).toArray
         require(g.length == d + 2,
           s"ragged feature vectors: expected dim $d, gradient pass saw ${g.length - 2}")
@@ -159,6 +164,13 @@ object Classifier {
       LogRegModel(w, b, losses.result())
     } finally { data.unpersist(); () }
   }
+
+  /** The interpreted HOF form of the GD gradient row — the TEST TWIN
+    * GradRowExpr is pinned bit-identical to (ClassifierSpec), and the
+    * form the oracle's per-iteration SQL mirrors. Not on any query
+    * path. */
+  private[graft] def gradRowHof(x: Column, r: Column, l: Column): Column =
+    concat(transform(x, e => e * r), array(r, l))
 
   /** Binary confusion counts in one pass: tp/fp/tn/fn as a single
     * aggregated row (predicate sums — one partial-agg job, four longs

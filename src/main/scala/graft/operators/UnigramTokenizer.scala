@@ -25,11 +25,13 @@ import org.apache.spark.sql.functions._
   * only corpus-sized shuffle in training); everything after runs on
   * the distinct-WORD table (vocabulary-sized: ~10⁵–10⁸ rows at 100 TB,
   * distributed — never collected). Viterbi runs ROWWISE per distinct
-  * word (segmentWords): one aggregate HOF over the word's positions
-  * with the piece vocabulary as a plan map literal — ONE projection
-  * over the word table, zero per-round shuffles (the r18
-  * optimization; the old relational DP paid maxWordLen rounds of
-  * join + window + checkpoint over the same table). The MODEL
+  * word (segmentWords): one NATIVE compiled expression per word with
+  * the piece vocabulary in a hash map — ONE projection over the word
+  * table, zero per-round shuffles, O(len·maxPieceLen) per word
+  * independent of vocab size (r19; the r18 interpreted HOF form is
+  * retained as the segmentWordsHof test twin, and the pre-r18
+  * relational DP paid maxWordLen rounds of join + window + checkpoint
+  * over the same table). The MODEL
   * (vocabSize-bounded) is the only driver-resident data, exactly
   * like K-Means centroids and PQ codebooks. Encoding joins the corpus's distinct words to their
   * segmentation once (word-dictionary hash join) and reassembles per
@@ -161,37 +163,79 @@ object UnigramTokenizer {
     * break to fewer pieces, then the lexicographically smaller piece
     * string — a total, engine-replayable order.
     *
-    * Optimization-round rewrite (r18): the DP runs ROWWISE per word —
-    * one aggregate HOF over positions 1..len(w), each position picking
-    * the best extension of the ≤ maxPieceLen reachable prefixes via a
-    * `try_element_at` lookup into the vocabulary as a plan MAP literal
-    * (model-sized driver data — the KMeans-centroid / PQ-codebook
-    * posture; the vocab is vocabSize+alphabet-bounded by pruneVocab,
-    * never corpus-derived). The previous relational DP ran maxWordLen
-    * ROUNDS of (unionByName frontier → broadcast-join vocab →
-    * best-per-word window exchange → eager localCheckpoint): ~16
-    * sequential Spark jobs + 16 keyed exchanges + 16 pinned frames per
-    * call, all over a word-DICTIONARY-sized table — pure fixed
-    * overhead that dominated every unigram gate row at bench scale
-    * (guide §2.4: remove shuffles outright; §1.2: fix the distributed
-    * algorithm first). Now: ONE distinct + ONE projection, zero
-    * per-round exchanges, one pinned frame (the result). Identical
-    * results bit-for-bit: probabilities multiply in the same
-    * left-to-right path order, and the argbest comparison replays the
-    * old window's (prob desc, np asc, pieces asc) total order — pinned
-    * against the gates (q_unigram_* hash-green) and
-    * UnigramTokenizerSpec's goldens.
+    * The DP runs ROWWISE per distinct word (the r18 rewrite: ONE
+    * distinct + ONE projection, zero per-round shuffles — the
+    * pre-r18 relational DP paid maxWordLen rounds of join + window +
+    * checkpoint over the dictionary; guide §2.4/§1.2). The vocabulary
+    * rides in the plan as model-sized driver data — the
+    * KMeans-centroid / PQ-codebook posture; vocabSize+alphabet-
+    * bounded by pruneVocab, never corpus-derived.
     *
     * Words with NO path (an unseen character) fall back to one `Unk`
     * piece — or, with `fallbackChars = Some(vocab single chars)`, to
     * the per-character byte-fallback segmentation (covered chars as
-    * char pieces, unseen chars as `<0xNN>` UTF-8 byte pieces — the
-    * same rowwise expression as before, evaluated only on no-path
-    * rows via the CaseWhen branch). Output: (w, pieces, np). */
-  private[operators] def segmentWords(words: DataFrame,
+    * char pieces, unseen chars as `<0xNN>` UTF-8 byte pieces).
+    * Output: (w, pieces, np).
+    *
+    * Optimization-round rewrite (r19): the DP now runs as ONE native
+    * compiled expression per word (`UnigramSegExpr` — the
+    * PqEncodeExpr precedent) with the vocabulary in a HASH map. The
+    * r18 interpreted HOF form probed the vocab through
+    * `try_element_at` on a map literal — a LINEAR scan per probe, so
+    * per word it paid O(len · maxPieceLen · |vocab|) string compares
+    * plus boxed struct allocations per lattice step: the honest
+    * 0.67× sf1 regression on q_unigram_encode, and unbounded
+    * degradation at production vocab sizes (ADVICE r18). The kernel
+    * replays every decision bit-identically (same code-point units,
+    * same left-to-right IEEE products, same (prob desc, np asc,
+    * pieces-binary asc) argbest, same fallbacks) — pinned against the
+    * retained HOF twin `segmentWordsHof` in UnigramTokenizerSpec and
+    * by the q_unigram_* oracle gates. Empty words are filtered at the
+    * precondition (ADVICE r18: callers all pre-filter; enforcing it
+    * here keeps the contract where the old crash lived). */
+  private[graft] def segmentWords(words: DataFrame,
                                       vocab: Seq[(String, Double)],
                                       maxPieceLen: Int, maxWordLen: Int,
                                       fallbackChars: Option[Set[String]] = None)
+      : DataFrame = {
+    val w = words.select(col("w")).distinct()
+      .filter(length(col("w")) > 0)
+    val seg = graft.functions.UnigramKernels.segmentCol(col("w"), vocab,
+      maxPieceLen, fallbackChars.map(_.toSeq.sorted), Unk)
+    // one pinned dictionary-sized frame — same storage contract as
+    // before (review r16): the returned frame IS the LogicalRDD, so
+    // unpersistLocalCheckpoint releases it; the kernel evaluates once
+    // per row (pieces and np share the struct under codegen
+    // subexpression elimination)
+    val res = w.select(col("w"), seg.getField("pieces").as("pieces"),
+        seg.getField("np").as("np"))
+      .localCheckpoint(eager = true)
+    // the lattice-bound contract stays loud: a word longer than
+    // maxWordLen is refused, not silently mis-segmented. Checked on
+    // the already-materialized frame (one cheap agg over the
+    // LogicalRDD) instead of a second distinct pass over the input.
+    val mxRow = res.agg(max(length(col("w")))).collect()(0)
+    if (!mxRow.isNullAt(0)) {
+      val maxLen = mxRow.getInt(0)
+      if (maxLen > maxWordLen) {
+        org.apache.spark.sql.graftglue.ColumnGlue.unpersistLocalCheckpoint(res)
+        require(maxLen <= maxWordLen,
+          s"UnigramTokenizer: a word of length $maxLen exceeds maxWordLen=" +
+            s"$maxWordLen — the Viterbi lattice is bounded by design; raise " +
+            "maxWordLen or pre-split pathological tokens upstream")
+      }
+    }
+    res
+  }
+
+  /** The r18 interpreted rowwise DP, retained as the TEST TWIN the
+    * native kernel is pinned bit-identical to (the mergeFoldHof
+    * posture) — the form whose per-decision semantics the DuckDB
+    * oracle mirrors. Not on any query path. */
+  private[graft] def segmentWordsHof(words: DataFrame,
+                                         vocab: Seq[(String, Double)],
+                                         maxPieceLen: Int, maxWordLen: Int,
+                                         fallbackChars: Option[Set[String]] = None)
       : DataFrame = {
     val w = words.select(col("w")).distinct()
     // the lattice-bound contract stays loud: a word longer than

@@ -246,4 +246,26 @@ class ClassifierSpec extends AnyFunSuite {
     assert(gplan.contains("partial_"),
       s"gradient must partial-aggregate before the exchange:\n$gplan")
   }
+
+  test("native gradient-row kernel ≡ interpreted HOF twin, including null propagation (r19)") {
+    // exact-in-double values; rows exercise the clean fast path, a
+    // null element, a null residual, an empty vector, a null loss,
+    // and a NULL vector (→ NULL row, like transform→concat)
+    val df = Seq(
+      (Option(Seq(Option(1.5), Option(-2.25), Option(0.0))), Option(0.375), Option(1.25)),
+      (Option(Seq(Option(1.0), None, Option(3.0))), Option(0.5), Option(2.0)),
+      (Option(Seq(Option(1.0), Option(2.0))), None, Option(2.0)),
+      (Option(Seq.empty[Option[Double]]), Option(0.5), None),
+      (Option.empty[Seq[Option[Double]]], Option(0.5), Option(1.0))
+    ).toDF("x", "r", "l")
+    val got = df.select(
+        graft.functions.VectorKernels.gradRowCol(col("x"), col("r"), col("l")).as("k"),
+        Classifier.gradRowHof(col("x"), col("r"), col("l")).as("h"))
+      .collect()
+    got.zipWithIndex.foreach { case (row, i) =>
+      val k = if (row.isNullAt(0)) null else row.getSeq[Any](0)
+      val h = if (row.isNullAt(1)) null else row.getSeq[Any](1)
+      assert(k == h, s"row $i: kernel $k vs HOF $h")
+    }
+  }
 }

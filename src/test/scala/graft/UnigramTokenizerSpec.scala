@@ -200,6 +200,35 @@ class UnigramTokenizerSpec extends AnyFunSuite {
       s"byte-shaped piece minted: ${tm.pieces}")
   }
 
+  test("native Viterbi kernel ≡ interpreted HOF twin on adversarial words, both fallback modes (r19)") {
+    // power-of-two probabilities so (prob, np, pieces) tie-breaks are
+    // hit EXACTLY; multi-byte ('é') and astral ('𝄞') chars exercise
+    // the code-point units and the binary (UTF-8 byte) string
+    // tie-break order; unseen chars exercise both no-path fallbacks
+    val vocab = Seq(("a", 0.25), ("c", 0.25), ("ac", 0.0625),
+      ("ca", 0.0625), ("é", 0.125), ("𝄞", 0.0625), ("b", 0.125),
+      ("aca", 0.015625), ("bb", 0.015625))
+    val words = Seq("a", "aca", "acaca", "cacac", "aéa", "𝄞a𝄞", "ab",
+      "ba", "zz", "a𝄢é", "bbbb", "acacacacacacacac", "éb𝄞",
+      "q", "aq", "qa", "caé").toDF("w")
+    for (fb <- Seq(None, Some(Set("a", "c", "é", "𝄞", "b")))) {
+      val kern = UnigramTokenizer.segmentWords(words, vocab,
+          maxPieceLen = 3, maxWordLen = 32, fallbackChars = fb)
+        .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val hof = UnigramTokenizer.segmentWordsHof(words, vocab,
+          maxPieceLen = 3, maxWordLen = 32, fallbackChars = fb)
+        .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(kern == hof, s"kernel vs HOF twin diverged (fallback=$fb):\n" +
+        s"kernel: $kern\nhof:    $hof")
+    }
+    // the kernel enforces the non-empty-word precondition (ADVICE
+    // r18): an empty word is filtered, not crashed on or segmented
+    val withEmpty = Seq("", "aca").toDF("w")
+    val seg = UnigramTokenizer.segmentWords(withEmpty, vocab,
+      maxPieceLen = 3, maxWordLen = 32).collect()
+    assert(seg.map(_.getString(0)).toSeq == Seq("aca"))
+  }
+
   test("byte fallback, non-BMP: a trained astral char piece stays a char piece (code points, not UTF-16 units)") {
     // ADVICE r17: '𝄞' (U+1D11E) is TWO UTF-16 units but ONE character
     // to Spark's length() and DuckDB's len(); classifying char pieces
