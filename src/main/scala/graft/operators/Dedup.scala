@@ -803,11 +803,13 @@ object Dedup {
         "rebuild or match params")
     val data = spark.read.parquet(s"$path/data")
     if (verifyRows) {
-      val actual = data.count()
+      // the two integrity counts are independent read-only jobs — run
+      // them concurrently (Similarity.concurrently2; guide §2.6)
+      val (actual, tombs) = Similarity.concurrently2(
+        data.count(), minhashTombCount(spark, path))
       require(actual == meta.rows,
         s"stale MinHash index at $path: meta records ${meta.rows} rows, " +
           s"index holds $actual — partial append or concurrent write; rebuild")
-      val tombs = minhashTombCount(spark, path)
       require(tombs == meta.deleted,
         if (tombs > meta.deleted)
           s"stale MinHash index at $path: meta records ${meta.deleted} " +
@@ -1385,7 +1387,9 @@ object Dedup {
       .groupBy("__term").agg(count(lit(1)).as("__df"))
     val ranked = Curation.globalRank(vocab, "__rank", 0,
       col("__df"), col("__term")).select(col("__term"), col("__rank"))
-    // per-doc sorted rank arrays, sliced to the prefix
+    // per-doc sorted rank arrays, sliced to the prefix — WITH each
+    // prefix token's 0-based position in the doc's full rarity-sorted
+    // token array (r19: the PPJoin positional filter needs it)
     val prefixLen = (col("__sz")
       - ceil(lit(minSim) * col("__sz") - lit(eps)) + 1L).cast("int")
     val pfx = sets
@@ -1395,16 +1399,41 @@ object Dedup {
       .agg(first(col("__sz")).as("__sz"),
         sort_array(collect_list(col("__rank"))).as("__ranks"))
       .select(col(idCol), col("__sz"),
-        explode(slice(col("__ranks"), lit(1), prefixLen)).as("__rank"))
+        posexplode(slice(col("__ranks"), lit(1), prefixLen))
+          .as(Seq("__p", "__rank")))
     val pruned = dropOverPopulated(pfx, Seq("__rank"), maxBucket)
-    val a = pruned.select(col(idCol).as("id1"), col("__sz").as("__n1"), col("__rank"))
-    val b = pruned.select(col(idCol).as("id2"), col("__sz").as("__n2"), col("__rank"))
+    val a = pruned.select(col(idCol).as("id1"), col("__sz").as("__n1"),
+      col("__p").as("__p1"), col("__rank"))
+    val b = pruned.select(col(idCol).as("id2"), col("__sz").as("__n2"),
+      col("__p").as("__p2"), col("__rank"))
+    // positional filter (PPJoin, Xiao et al. WWW'08 — VERDICT r18
+    // item 7): evaluated at each pair's FIRST shared prefix token,
+    // which is provably the pair's first shared token OVERALL (a
+    // shared token rarer than it would sit even earlier in both
+    // rarity-sorted arrays, hence inside both prefixes, and would BE
+    // an earlier meeting). Every other shared token therefore lies
+    // strictly after position i in x and j in y, so the true overlap
+    // is ≤ 1 + min(|x|−i−1, |y|−j−1) (0-based i, j); J ≥ τ forces
+    // overlap ≥ τ/(1+τ)·(|x|+|y|), so pairs whose bound falls short
+    // cannot qualify — a SUPERSET filter, exactness untouched (the
+    // same brute-force specs and the oracle hash pin it). The
+    // min-by-rank aggregation replaces the old distinct() — the same
+    // (id1, id2)-keyed exchange — and the filter runs BEFORE the
+    // verify joins ship candidate token arrays anywhere.
     val cand = a.join(b, Seq("__rank"))
       .filter(col("id1") < col("id2"))
       // length prune: J ≥ τ forces min ≥ τ·max (slack-relaxed)
       .filter(least(col("__n1"), col("__n2")).cast("double")
         >= lit(minSim) * greatest(col("__n1"), col("__n2")).cast("double") - lit(eps))
-      .select("id1", "id2").distinct()
+      .groupBy(col("id1"), col("id2"))
+      .agg(min(struct(col("__rank"), col("__p1"), col("__p2"),
+        col("__n1"), col("__n2"))).as("__m"))
+      .filter((lit(1.0)
+          + least(col("__m.__n1") - col("__m.__p1") - 1L,
+                  col("__m.__n2") - col("__m.__p2") - 1L).cast("double"))
+        >= lit(minSim / (1.0 + minSim))
+          * (col("__m.__n1") + col("__m.__n2")).cast("double") - lit(eps))
+      .select("id1", "id2")
     val s1 = sets.select(col(idCol).as("id1"), col("__toks").as("__t1"), col("__sz").as("__m1"))
     val s2 = sets.select(col(idCol).as("id2"), col("__toks").as("__t2"), col("__sz").as("__m2"))
     cand.join(s1, "id1").join(s2, "id2")

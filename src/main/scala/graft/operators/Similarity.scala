@@ -188,6 +188,24 @@ object Similarity {
                                           path: String): Unit =
     spark.catalog.refreshByPath(path)
 
+  /** The cell-partitioned writer every index write goes through: one
+    * shuffle keyed on cell → one file per cell (guide §6 small-files —
+    * the r18 layout change), now with the PRODUCTION file-size cap
+    * wired (r19, VERDICT r18 item 5): `maxRecordsPerFile` splits a hot
+    * cell into bounded files instead of one giant file per write.
+    * Env-overridable (`SPARK_GRAFT_MAX_RECORDS_PER_FILE`), default OFF
+    * at bench scale — the 8-cell gate indexes want exactly one file
+    * per cell, and the driver's bench stays comparable; a production
+    * deploy sets it once (e.g. 4-16M rows ≈ the 128-512 MiB file
+    * guide §6 recommends for PQ codes). */
+  private def cellPartitionedWriter(df: DataFrame)
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val w = df.repartition(col("cell")).write
+    sys.env.get("SPARK_GRAFT_MAX_RECORDS_PER_FILE")
+      .map(_.trim.toLong).filter(_ > 0L)
+      .fold(w)(cap => w.option("maxRecordsPerFile", cap))
+  }
+
   /** Order- and formatting-independent digest of a centroid set: md5
     * over (cid, IEEE-754 bits) in cid order — exact doubles, no
     * string formatting. */
@@ -327,24 +345,21 @@ object Similarity {
     TopKAgg.requireLongCastableId(corpus, idCol, "Similarity.buildIvfIndex")
     requireMetaColNames(metaCols, Set("id", "v", "n", "cell"),
       "Similarity.buildIvfIndex")
-    KMeans.assign(
+    // static overwrite semantics FORCED per-write (ADVICE r13):
+    // under a session-level partitionOverwriteMode=dynamic, a
+    // rebuild would replace only the cells present in the NEW
+    // assignment and leave stale foreign-quantizer cells behind a
+    // fresh meta — the exact drift the fingerprint gate exists to
+    // refuse, made invisible because the meta is written from a
+    // read-back over the mixed directory.
+    // cellPartitionedWriter: one file per cell per write + the
+    // production maxRecordsPerFile cap (guide §6)
+    cellPartitionedWriter(KMeans.assign(
       corpus.select(col(idCol).cast("long").as("id") +:
         VectorOps.toDouble(col(vecCol)).as("v") +: metaCols.map(col): _*),
       "v", cents, outCol = "cell")
-      .withColumn("n", VectorOps.norm2(col("v")))
-      // static overwrite semantics FORCED per-write (ADVICE r13):
-      // under a session-level partitionOverwriteMode=dynamic, a
-      // rebuild would replace only the cells present in the NEW
-      // assignment and leave stale foreign-quantizer cells behind a
-      // fresh meta — the exact drift the fingerprint gate exists to
-      // refuse, made invisible because the meta is written from a
-      // read-back over the mixed directory.
-      // repartition(cell) first — one file per cell per write (the
-      // compact posture; guide §6: without it every scan task writes a
-      // sliver into every cell, and every later meta/serve/compact
-      // read re-lists and re-opens tasks × cells tiny files)
-      .repartition(col("cell"))
-      .write.option("partitionOverwriteMode", "static")
+      .withColumn("n", VectorOps.norm2(col("v"))))
+      .option("partitionOverwriteMode", "static")
       .partitionBy("cell").mode("overwrite").parquet(path)
     val spark = corpus.sparkSession
     // stale tombstones from a previous index at this root must not
@@ -456,19 +471,22 @@ object Similarity {
     // the ContextCleaner leaks one batch of storage per append in a
     // long-lived ingest driver
     try {
-      // tombstoned ids refuse FIRST — see appendIvfPqIndexCore
-      requireNotTombstoned(spark, src, rootTombDir(path), path,
-        "Similarity.appendIvfIndex")
-      if (requireNewIds) requireIdsNotIndexed(spark, src, path,
-        "Similarity.appendIvfIndex", "serve duplicate rows")
+      // tombstoned ids refuse FIRST — see appendIvfPqIndexCore; the
+      // audits run concurrently but the tombstone require is CHECKED
+      // first, so the refusal order holds
+      val (_, _) = concurrently2(
+        requireNotTombstoned(spark, src, rootTombDir(path), path,
+          "Similarity.appendIvfIndex"),
+        if (requireNewIds) requireIdsNotIndexed(spark, src, path,
+          "Similarity.appendIvfIndex", "serve duplicate rows"))
       // meta rows = prev + batch (O(batch), not a full-index recount —
       // review r12); a crash between data and meta leaves actual > meta,
       // which ivfTopKIndexed's row check refuses
       val assigned = KMeans.assign(src, "v", cents = meta.cents, outCol = "cell")
         .withColumn("n", VectorOps.norm2(col("v")))
-      // one file per cell per append (the compact posture — see build)
-      assigned.repartition(col("cell"))
-        .write.partitionBy("cell").mode("append").parquet(path)
+      // one file per cell per append + production file cap (see build)
+      cellPartitionedWriter(assigned)
+        .partitionBy("cell").mode("append").parquet(path)
       writeIvfMeta(spark, path, meta.rows + src.count(), meta.deleted,
         meta.cents)
       refreshIndexPath(spark, path)
@@ -515,11 +533,12 @@ object Similarity {
         "wrong cells returns silently wrong neighbors; rebuild the index or " +
         "query with its own centroids")
     if (verifyRows) {
-      val actual = spark.read.parquet(indexPath).count()
+      val (actual, tombs) = concurrently2(
+        spark.read.parquet(indexPath).count(),
+        tombstoneCount(spark, rootTombDir(indexPath)))
       require(actual == meta.rows,
         s"stale IVF index at $indexPath: meta records ${meta.rows} rows, index " +
           s"holds $actual — partial append or concurrent write; rebuild")
-      val tombs = tombstoneCount(spark, rootTombDir(indexPath))
       require(tombs == meta.deleted,
         tombstoneDriftMsg(indexPath, meta.deleted, tombs))
     }
@@ -736,7 +755,12 @@ object Similarity {
     * with a vanished cluster), ragged codeword widths, or non-finite
     * values. */
   def loadPQ(spark: SparkSession, path: String): PQModel = {
-    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    // the two artifact halves are independent reads — collect them
+    // concurrently (guide §2.6); every refusal below still runs in
+    // the original order on the completed results
+    val (metaRows, rows) = concurrently2(
+      spark.read.parquet(s"$path/meta").collect(),
+      spark.read.parquet(s"$path/codebooks").collect())
     require(metaRows.length == 1,
       s"PQ meta at $path has ${metaRows.length} rows, expected exactly 1")
     val mr = metaRows(0)
@@ -750,7 +774,6 @@ object Similarity {
     require(k >= 1 && k <= 256, s"PQ artifact at $path has k=$k")
     val dsub = d / m
     val nRows = mr.getAs[Long]("n_rows")
-    val rows = spark.read.parquet(s"$path/codebooks").collect()
     require(rows.length.toLong == nRows,
       s"PQ codebooks at $path have ${rows.length} rows, meta says $nRows — " +
         "partial or duplicated write, refusing to serve")
@@ -1155,8 +1178,13 @@ object Similarity {
     * — so a hand-swap of either subdirectory refuses at load. */
   def saveOpq(spark: SparkSession, path: String, model: OPQModel): Unit = {
     import spark.implicits._
-    writeRotation(spark, path, model.rotation)
-    savePQ(spark, s"$path/pq", model.pq)
+    // rotation and PQ land in independent subdirectories — write them
+    // concurrently (guide §2.6); the meta row stays LAST: it is the
+    // commit marker binding both fingerprints, so the crash contract
+    // (no meta ⇒ no artifact) is unchanged
+    concurrently2(
+      writeRotation(spark, path, model.rotation),
+      savePQ(spark, s"$path/pq", model.pq))
     Seq((OpqFormatVersion, model.rotation.length,
         rotationFingerprint(model.rotation), pqFingerprint(model.pq)))
       .toDF("version", "d", "rotation_fp", "pq_fp")
@@ -1199,8 +1227,11 @@ object Similarity {
     * centroid-sized — the writeIvfPqMeta convention). */
   def saveOpqIvf(spark: SparkSession, path: String, model: OpqIvfModel): Unit = {
     import spark.implicits._
-    writeRotation(spark, path, model.rotation)
-    savePQ(spark, s"$path/pq", model.pq)
+    // independent subdirectories written concurrently; meta LAST as
+    // the commit marker (see saveOpq)
+    concurrently2(
+      writeRotation(spark, path, model.rotation),
+      savePQ(spark, s"$path/pq", model.pq))
     Seq((OpqFormatVersion, model.rotation.length,
         rotationFingerprint(model.rotation), pqFingerprint(model.pq),
         centsFingerprint(model.cents),
@@ -1230,7 +1261,12 @@ object Similarity {
     require(centsFingerprint(cents) == mr.getAs[String]("cents_fp"),
       s"OPQ-IVF artifact at $path: stored centroids do not match their " +
         "fingerprint — corrupt artifact, refusing to serve")
-    val pq = loadPQ(spark, s"$path/pq")
+    // the codebook and rotation halves are independent reads once the
+    // meta is in hand — load them concurrently (guide §2.6); each
+    // half's refusal battery runs unchanged
+    val (pq, rotation) = concurrently2(
+      loadPQ(spark, s"$path/pq"),
+      readRotation(spark, path, d, mr.getAs[String]("rotation_fp")))
     require(pqFingerprint(pq) == mr.getAs[String]("pq_fp"),
       s"OPQ-IVF artifact at $path: the stored codebooks do not match the " +
         "meta's pairing fingerprint — a hand-swapped pq/ directory would " +
@@ -1240,8 +1276,7 @@ object Similarity {
         s"OPQ-IVF artifact at $path: the residual codebook is paired with a " +
           "different coarse quantizer than the artifact stores — refusing")
     }
-    OpqIvfModel(readRotation(spark, path, d,
-      mr.getAs[String]("rotation_fp")), cents, pq)
+    OpqIvfModel(rotation, cents, pq)
   }
 
   // ── Rotated persisted-index lifecycle (VERDICT r16 item 1) ──────
@@ -1564,23 +1599,31 @@ object Similarity {
     * Enforced by ONE bounded materialization (review r14, twice):
     * `limit(maxProbes+1)` caps what can ever materialize — so an
     * over-budget probe set costs one bounded scan, never a driver
-    * OOM — and the eager localCheckpoint PINS the instantiation: the
-    * budget count, the driver collect, and every broadcast built
-    * from the returned relation all read the same checkpointed rows,
-    * so a nondeterministic probes plan (repartition+limit without
-    * ordering, a view over changing files) cannot diverge between
-    * stages, and the probe subplan is evaluated exactly once however
-    * many stages consume it. */
+    * OOM — and ONE driver collect PINS the instantiation (r19: the
+    * pin used to be an eager localCheckpoint, whose budget count,
+    * later driver collect, and broadcast evaluations were each their
+    * own Spark job — 3-4 fixed-overhead barriers per serve; the
+    * probes end up driver-resident for cell ranking ANYWAY, so the
+    * collect IS the pin). The returned frame is a LOCAL relation over
+    * the collected rows: the budget check, the cell-ranking collect,
+    * and every broadcast/join built from it read the same driver rows
+    * — LocalTableScan collects and broadcasts without launching a
+    * job — so a nondeterministic probes plan (repartition+limit
+    * without ordering, a view over changing files) cannot diverge
+    * between stages, and the probe subplan is evaluated exactly once
+    * however many stages consume it. Driver memory is the SAME budget
+    * as before: the collect this replaces always happened downstream,
+    * priced by perProbeBytes. */
   private def boundedProbes(probes: DataFrame, maxProbes: Int,
                             perProbeBytes: Long, where: String): DataFrame = {
-    val pinned = probes.limit(maxProbes + 1).localCheckpoint()
-    val n = pinned.count() // counts the checkpointed rows — no re-eval
-    require(n <= maxProbes,
+    val rows = probes.limit(maxProbes + 1).collect()
+    require(rows.length <= maxProbes,
       s"$where: probe set exceeds maxProbes=$maxProbes — probes collect to " +
         s"the driver and broadcast at ~$perProbeBytes bytes each " +
         s"(~${perProbeBytes * maxProbes >> 20} MiB at the cap); raise " +
         "maxProbes if the broadcast budget allows, or batch the probe set")
-    pinned
+    probes.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probes.schema)
   }
 
   private def pqProbeBytes(model: PQModel): Long = model.d * 8L
@@ -1874,6 +1917,24 @@ object Similarity {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Run two INDEPENDENT Spark actions concurrently and return both —
+    * the integrity gates pair a data-row count with a tombstone count,
+    * each a tiny job whose wall-clock is scheduling overhead, and the
+    * pair serializes ~0.1-0.3 s per gate for no reason (optimization
+    * guide §2.6, the trainPQCore pool precedent; r19, VERDICT r18
+    * item 3). Results are unchanged: the actions share no state and
+    * each is a deterministic read. */
+  private[operators] def concurrently2[A, B](fa: => A, fb: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fut = scala.concurrent.Future(fb)(ec)
+      val a = fa
+      (a, scala.concurrent.Await.result(fut,
+        scala.concurrent.duration.Duration.Inf))
+    } finally { pool.shutdown(); () }
+  }
+
   /** Tombstoned ids of a generation as (id: long), empty when none
     * were ever written (existence-checked — no logged read failures
     * on the common no-deletes path). */
@@ -2002,18 +2063,17 @@ object Similarity {
     val rootP = new org.apache.hadoop.fs.Path(path)
     rootP.getFileSystem(conf).delete(rootP, true)
     val dataDir = s"$path/g0"
-    encodeForIndex(
+    // one file per cell per write + production file cap (the compact
+    // posture — see buildIvfIndex; guide §6 small-files)
+    cellPartitionedWriter(encodeForIndex(
       KMeans.assign(
         corpus.select(col(idCol).cast("long").as("id") +:
           prep(VectorOps.toDouble(col(vecCol))).as("__v") +:
           metaCols.map(col): _*),
         "__v", cents, outCol = "cell"),
       "__v", "cell", cents, model, outCol = "codes")
-      .select(col("id") +: col("codes") +: col("cell") +: metaCols.map(col): _*)
-      // one file per cell per write (the compact posture — see
-      // buildIvfIndex; guide §6 small-files)
-      .repartition(col("cell"))
-      .write.option("partitionOverwriteMode", "static")
+      .select(col("id") +: col("codes") +: col("cell") +: metaCols.map(col): _*))
+      .option("partitionOverwriteMode", "static")
       .partitionBy("cell").mode("overwrite").parquet(dataDir)
     writeIvfPqMeta(spark, path, spark.read.parquet(dataDir).count(),
       deleted = 0L, gen = 0L, centsFingerprint(cents), cents,
@@ -2080,18 +2140,23 @@ object Similarity {
       // disappearing the re-appended document. After a compact the id
       // is physically gone and re-appends cleanly (gated in
       // q_ivfpq_delete).
-      requireNotTombstoned(spark, src, ivfPqTombDir(path, meta.gen), path,
-        "Similarity.appendIvfPqIndex")
-      if (requireNewIds) requireIdsNotIndexed(spark, src, dataDir,
-        "Similarity.appendIvfPqIndex", "serve duplicate rows")
+      // the two audits are independent read-only probes of the SAME
+      // pinned batch — run them concurrently (concurrently2); the
+      // tombstone refusal still SURFACES first because its require is
+      // checked first, so the refusal-order contract above holds
+      val (_, _) = concurrently2(
+        requireNotTombstoned(spark, src, ivfPqTombDir(path, meta.gen), path,
+          "Similarity.appendIvfPqIndex"),
+        if (requireNewIds) requireIdsNotIndexed(spark, src, dataDir,
+          "Similarity.appendIvfPqIndex", "serve duplicate rows"))
       val assigned = encodeForIndex(
         KMeans.assign(src, "__v", cents = meta.cents, outCol = "cell"),
         "__v", "cell", meta.cents, model, outCol = "codes")
         .select(col("id") +: col("codes") +: col("cell") +:
           extra.map(col): _*)
-      // one file per cell per append (the compact posture — see build)
-      assigned.repartition(col("cell"))
-        .write.partitionBy("cell").mode("append").parquet(dataDir)
+      // one file per cell per append + production file cap (see build)
+      cellPartitionedWriter(assigned)
+        .partitionBy("cell").mode("append").parquet(dataDir)
       writeIvfPqMeta(spark, path, meta.rows + src.count(), meta.deleted,
         meta.gen, meta.fingerprint, meta.cents, meta.pqFingerprint,
         meta.rotationFp)
@@ -2251,8 +2316,8 @@ object Similarity {
         } else None) { (df, dest) =>
       val survivors = tombs.fold(df)(t =>
         df.join(broadcast(t), Seq("id"), "left_anti"))
-      survivors.repartition(col("cell"))
-        .write.option("partitionOverwriteMode", "static")
+      cellPartitionedWriter(survivors)
+        .option("partitionOverwriteMode", "static")
         .partitionBy("cell").mode("overwrite").parquet(dest)
     }
   }
@@ -2328,12 +2393,13 @@ object Similarity {
     val meta = readIvfPqMeta(spark, path)
     val dataDir = ivfPqDataDir(path, meta)
     val tombDir = ivfPqTombDir(path, meta.gen)
-    val actual = spark.read.parquet(dataDir).count()
+    val (actual, actualTombs) = concurrently2(
+      spark.read.parquet(dataDir).count(),
+      tombstoneCount(spark, tombDir))
     require(actual == meta.rows,
       s"Similarity.compactIvfPqIndex: index at $path holds $actual rows " +
         s"but its meta records ${meta.rows} — partial append or concurrent " +
         "writer; compacting now would bless the corruption. Rebuild instead")
-    val actualTombs = tombstoneCount(spark, tombDir)
     require(actualTombs == meta.deleted,
       s"Similarity.compactIvfPqIndex: ${
         tombstoneDriftMsg(path, meta.deleted, actualTombs)}")
@@ -2347,10 +2413,10 @@ object Similarity {
       survivors0.join(broadcast(readTombstones(spark, tombDir)), Seq("id"),
         "left_anti")
     else survivors0
-    // one shuffle keyed on cell → exactly one file per cell (cells
-    // past a comfortable file size: set maxRecordsPerFile, accept >1)
-    survivors.repartition(col("cell"))
-      .write.option("partitionOverwriteMode", "static")
+    // one shuffle keyed on cell → one file per cell; hot cells split
+    // at the production maxRecordsPerFile cap (cellPartitionedWriter)
+    cellPartitionedWriter(survivors)
+      .option("partitionOverwriteMode", "static")
       .partitionBy("cell").mode("overwrite").parquet(dest)
     val copied = spark.read.parquet(dest).count()
     require(copied == meta.live,
@@ -2444,14 +2510,13 @@ object Similarity {
         prep(VectorOps.toDouble(col(vecCol))).as("__v") +:
         extra.map(col): _*)
       .join(broadcast(tombs), Seq("id"), "left_anti")
-    encodeForIndex(
+    // one file per cell per write + production file cap (the compact
+    // posture — see buildIvfIndex; guide §6 small-files)
+    cellPartitionedWriter(encodeForIndex(
       KMeans.assign(src, "__v", cents, outCol = "cell"),
       "__v", "cell", cents, model, outCol = "codes")
-      .select(col("id") +: col("codes") +: col("cell") +: extra.map(col): _*)
-      // one file per cell per write (the compact posture — see
-      // buildIvfIndex; guide §6 small-files)
-      .repartition(col("cell"))
-      .write.option("partitionOverwriteMode", "static")
+      .select(col("id") +: col("codes") +: col("cell") +: extra.map(col): _*))
+      .option("partitionOverwriteMode", "static")
       .partitionBy("cell").mode("overwrite").parquet(dest)
     val landed = spark.read.parquet(dest).count()
     // the FLIP: new generation, NEW provenance (quantizer + codebook +
@@ -2607,12 +2672,12 @@ object Similarity {
           "query residuals would subtract the wrong centroids; rebuild")
     }
     if (verifyRows) {
-      val actual = spark.read.parquet(ivfPqDataDir(indexPath, meta)).count()
+      val (actual, tombs) = concurrently2(
+        spark.read.parquet(ivfPqDataDir(indexPath, meta)).count(),
+        tombstoneCount(spark, ivfPqTombDir(indexPath, meta.gen)))
       require(actual == meta.rows,
         s"stale IVF-PQ index at $indexPath: meta records ${meta.rows} rows, " +
           s"index holds $actual — partial write or concurrent writer; rebuild")
-      val tombs = tombstoneCount(spark,
-        ivfPqTombDir(indexPath, meta.gen))
       require(tombs == meta.deleted,
         tombstoneDriftMsg(indexPath, meta.deleted, tombs))
     }

@@ -21,10 +21,30 @@ object StepProf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // job/task counter (r19): each lifecycle step is a chain of small
+    // sequential actions whose fixed overhead dominates at gate scale —
+    // count them so "too many driver jobs" is a number per step
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          tasks.addAndGet(j.stageInfos.map(_.numTasks.toLong).sum)
+          if (sys.env.contains("STEPPROF_TRACE")) {
+            val site = Option(j.properties)
+              .map(_.getProperty("callSite.short", "?")).getOrElse("?")
+            println(s"[stepprof]     job site=$site tasks=${
+              j.stageInfos.map(_.numTasks).sum}")
+          }
+        }
+      })
     def t[T](label: String)(body: => T): T = {
+      val (j0, k0) = (jobs.get(), tasks.get())
       val t0 = System.nanoTime()
       val r = body
-      println(f"[stepprof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"[stepprof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+        f"  jobs=${jobs.get() - j0}%3d tasks=${tasks.get() - k0}%4d")
       r
     }
     // warm-up like Bench

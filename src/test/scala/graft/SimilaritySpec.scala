@@ -874,13 +874,22 @@ class SimilaritySpec extends AnyFunSuite {
         Similarity.ivfPqTopKRerank(emb, "vec_id", "embedding", probes,
           "vec_id", "embedding", cents, model, nprobe = 2, k = 3,
           shortlist = 10))) {
-      // the ONLY checkpointed RDD in the plan is the pinned probe
-      // relation, and the shortlist + rerank stages share one instance
+      // the probe relation is pinned as ONE driver-side collect (r19:
+      // boundedProbes collects instead of checkpointing — the rows are
+      // LOCAL relations in the plan, so the probes subplan structurally
+      // CANNOT re-evaluate per stage, and no checkpointed RDD remains
+      // to leak)
       val rdds = df.queryExecution.optimizedPlan.collect {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
       }
-      assert(rdds.nonEmpty && rdds.distinct.size == 1,
-        s"both stages must read ONE checkpointed probe relation, got RDD ids $rdds")
+      assert(rdds.isEmpty,
+        s"the probe pin must be a driver collect, not a checkpoint — " +
+          s"stray checkpointed RDDs in the plan: $rdds")
+      val locals = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }
+      assert(locals.nonEmpty,
+        "both stages must read the pinned probes as a LocalRelation")
       assert(df.select("probe_id").distinct().count() == 5)
     }
   }
