@@ -115,9 +115,11 @@ object Curation {
     packByTokenBudget(df, keyCol, idCol, textCol, budget)
       .groupBy(col(keyCol), col("shard"))
       .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col(idCol), col(textCol)))),
-          s => s.getField(textCol)), sep).as("sequence"),
+        // codegen reassembly (r19): sort_array ≡ array_sort here
+        // (non-null structs, unique id) and .getField is native —
+        // see UnigramTokenizer.encode
+        array_join(sort_array(collect_list(struct(col(idCol), col(textCol))))
+          .getField(textCol), sep).as("sequence"),
         sum(col("n_tokens")).cast("long").as("n_tokens"),
         count(lit(1)).cast("long").as("n_docs"))
 

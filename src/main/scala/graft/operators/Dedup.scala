@@ -1306,9 +1306,11 @@ object Dedup {
       .filter(col("__enc") === col("__win"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
-          s => s.getField("chunk_text")), " ").as("clean_text"))
+        // codegen reassembly (r19): sort_array ≡ array_sort here
+        // (non-null structs, unique chunk_id) and .getField is native
+        // — see UnigramTokenizer.encode
+        array_join(sort_array(collect_list(struct(col("chunk_id"), col("chunk_text"))))
+          .getField("chunk_text"), " ").as("clean_text"))
     // chunk_ids are contiguous 0..k-1, so totals come from the CACHED
     // chunks (max+1) — the corpus parquet is scanned exactly once
     val totals = chunks.groupBy(col(idCol))

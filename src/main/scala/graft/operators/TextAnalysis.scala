@@ -922,8 +922,11 @@ object TextAnalysis {
       .select(col("__line"))
     val rebuilt = lines.join(boiler, Seq("__line"), "left_anti")
       .groupBy(col(idCol)).agg(
-        array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
-          s => s.getField("__line")), sep).as("__clean"),
+        // codegen reassembly (r19): sort_array ≡ array_sort here
+        // (non-null structs, unique __pos) and .getField is native —
+        // see UnigramTokenizer.encode
+        array_join(sort_array(collect_list(struct(col("__pos"), col("__line"))))
+          .getField("__line"), sep).as("__clean"),
         count(lit(1)).cast("long").as("__kept"))
     df.select(col(idCol),
         size(split(col(textCol), java.util.regex.Pattern.quote(sep))).cast("long")

@@ -396,11 +396,17 @@ object UnigramTokenizer {
     val seg = segmentWords(tokens.select(col("w")).distinct(),
       modelProbs(model), model.maxPieceLen, maxWordLen,
       if (model.byteFallback) Some(model.charPieces) else None)
+    // reassembly is fully codegen (r19): sort_array's natural struct
+    // order ≡ array_sort's default comparator on these non-null
+    // elements (position is unique per doc, so the first field alone
+    // decides), and .getField on the array-of-struct is the native
+    // GetArrayStructFields projection — the old array_sort+transform
+    // pair was an interpreted HOF per doc
     val perDoc = tokens.join(seg, "w")
       .groupBy(col(idCol)).agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("__pos"), col("pieces")))),
-          s => s.getField("pieces")), " ").as("unigram"),
+        array_join(
+          sort_array(collect_list(struct(col("__pos"), col("pieces"))))
+            .getField("pieces"), " ").as("unigram"),
         sum(col("np")).cast("long").as("n_pieces"))
     // distinct anchor: empty/NULL-text docs keep a row (the oovRate
     // convention), one row per distinct id
