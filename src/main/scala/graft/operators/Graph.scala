@@ -101,7 +101,7 @@ object Graph {
     // (long) column through the checkpointed frame. Arithmetic is
     // untouched, so every pr is bit-identical.
     var ranks = degs.select(col("id"), lit(1.0 / n.toDouble).as("pr"), col("degree"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = e.join(
         ranks.filter(col("degree") > 0L)
           .select(col("id").as("src"), (col("pr") / col("degree")).as("c")),
@@ -114,12 +114,15 @@ object Graph {
         else contribs.groupBy("id").agg(sum(col("c")).as("s"))
       // per-round eager checkpoint (the labelPropagation/kCore
       // lesson): ranks' lineage otherwise nests one join tree per
-      // round, and iters may legitimately be 50
+      // round, and iters may legitimately be 50. The FINAL round
+      // stays lazy (r19): its only consumer is the returned plan, so
+      // checkpointing it would materialize the frame once and read it
+      // back once for nothing — one barrier fewer, values identical
       ranks = degs.join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(tele) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"),
           col("degree"))
-        .localCheckpoint(eager = true)
+      if (i < iters) ranks = ranks.localCheckpoint(eager = true)
     }
     ranks.select(col("id"), col("pr"), col("degree"))
   }
@@ -166,7 +169,7 @@ object Graph {
     // the final degree join disappears; arithmetic untouched, every
     // pr bit-identical.
     var ranks = sv.select(col("id"), col("__s").as("pr"), col("degree"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = e.join(
         ranks.filter(col("degree") > 0L)
           .select(col("id").as("src"), (col("pr") / col("degree")).as("c")),
@@ -177,12 +180,13 @@ object Graph {
           contribs.groupBy("id").agg(
             graft.functions.VectorOps.foldSum(array_sort(collect_list(col("c")))).as("s"))
         else contribs.groupBy("id").agg(sum(col("c")).as("s"))
+      // final round lazy — single consumer, see pageRank (r19)
       ranks = sv.join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) * col("__s")
             + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"),
           col("degree"))
-        .localCheckpoint(eager = true)
+      if (i < iters) ranks = ranks.localCheckpoint(eager = true)
     }
     ranks.select(col("id"), col("pr"), col("degree"))
   }
@@ -211,7 +215,7 @@ object Graph {
     val nodes = Dedup.pin(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
     var labels = nodes.select(col("id"), col("id").as("label"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val votes = e.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__c"))
       val winners = votes.groupBy("dst")
@@ -225,7 +229,10 @@ object Graph {
       labels = labels.withColumnRenamed("label", "__old")
         .join(winners.withColumnRenamed("label", "__new"), Seq("id"), "left")
         .select(col("id"), coalesce(col("__new"), col("__old")).as("label"))
-        .localCheckpoint(eager = true)
+      // final round lazy — its only consumer is the returned plan,
+      // which reads the (checkpointed) previous frame twice, a
+      // bounded lineage (r19; see pageRank)
+      labels = if (r < rounds) labels.localCheckpoint(eager = true) else labels
     }
     labels
   }
@@ -779,9 +786,12 @@ object Graph {
         // auth frame feeds both this round's hub sums and the output
         val a = if (round == iters) aSums.localCheckpoint(eager = true)
                 else aSums
-        val hSums = e.join(a.withColumnRenamed("id", "dst"), Seq("dst"))
+        val hSums0 = e.join(a.withColumnRenamed("id", "dst"), Seq("dst"))
           .groupBy(col("src").as("id")).agg(foldedSum(col("auth")).as("hub"))
-          .localCheckpoint(eager = true)
+        // the final round's hub frame has one consumer (the returned
+        // plan) — leave it lazy, like pageRank's final round (r19)
+        val hSums = if (round == iters) hSums0
+                    else hSums0.localCheckpoint(eager = true)
         (a, hSums)
     }
     nodes.join(auths, Seq("id"), "left").join(hubs, Seq("id"), "left")

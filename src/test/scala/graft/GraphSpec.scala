@@ -240,17 +240,19 @@ class GraphSpec extends AnyFunSuite {
       assert(rows.size === 4)
       rows.values.foreach(v => assert(math.abs(v - 0.25) < 1e-12))
       // bounded plan: the final plan must be ITERATION-INVARIANT (each
-      // round's lineage truncated to a LogicalRDD scan). The absolute
-      // line count is dominated by the constant-size InMemoryRelation
-      // print of the cached degree table (~150 lines at any iters), so
-      // assert invariance vs a 1-round run, not an absolute bound.
+      // non-final round's lineage truncated to a LogicalRDD scan; the
+      // FINAL round stays lazy by design since r19 — its single
+      // consumer is the returned plan). So the invariant holds from
+      // iters=2 up: one lazy round over a checkpointed frame. iters=1
+      // legitimately prints differently (its one lazy round reads the
+      // cached degree table, no checkpoint exists yet).
       def planLines(df: org.apache.spark.sql.DataFrame): Int =
         df.queryExecution.optimizedPlan.toString.linesIterator.size
       val deep = planLines(pr)
       Dedup.releaseCaches()
-      val shallow = planLines(Graph.pageRank(k4, "src", "dst", iters = 1))
+      val shallow = planLines(Graph.pageRank(k4, "src", "dst", iters = 2))
       assert(deep === shallow,
-        s"plan grew with rounds ($shallow lines at iters=1, $deep at 25) — lineage not truncated?")
+        s"plan grew with rounds ($shallow lines at iters=2, $deep at 25) — lineage not truncated?")
     } finally Dedup.releaseCaches()
   }
 
